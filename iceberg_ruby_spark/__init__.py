@@ -1,0 +1,128 @@
+"""iceberg_ruby_spark — a PySpark-native analytics engine with the query and
+data-processing capabilities of ankane/iceberg-ruby (reference studied at
+/root/reference, v0.12.0), re-expressed Spark-first.
+
+The reference is a Ruby *client* for Apache Iceberg: catalog DDL, metadata
+introspection, snapshot-pinned scans, fast-append writes, and a delegated SQL
+surface (DataFusion).  This package provides the same user-facing surface on
+top of Spark:
+
+- :class:`Catalog` — namespace/table DDL + ``sql()`` (reference
+  ``lib/iceberg/catalog.rb``), backed by a filesystem warehouse with an
+  Iceberg-style snapshot/metadata log (no Iceberg runtime jar needed).
+- :class:`Table` / :class:`TableScan` / :class:`StaticTable` — metadata
+  accessors, time travel, append/overwrite/delete (reference
+  ``lib/iceberg/table.rb``, ``lib/iceberg/table_scan.rb``).
+- :class:`TableDefinition` + type classes — Rails-migration-style schema DSL
+  (reference ``lib/iceberg/table_definition.rb``, ``lib/iceberg/types.rb``).
+- ``operators/`` — large-scale extension operators (dedup, similarity search,
+  as-of joins, text analysis, multimodal columns) designed for 100 TB.
+- ``plans/`` — the declared query library (TPC-H-ish analytics over the
+  driver testdata) with DuckDB oracle SQL twins.
+- ``streaming/`` — Structured Streaming surface for the events table.
+
+Everything here derives from public knowledge only: the Apache Spark API and
+the reference repo's observable behavior.
+"""
+
+from iceberg_ruby_spark.errors import (
+    Error,
+    InvalidDataError,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+    Todo,
+    UnsupportedFeatureError,
+)
+from iceberg_ruby_spark.session import get_spark, stop_spark
+from iceberg_ruby_spark.result import Result
+from iceberg_ruby_spark.types import (
+    BinaryType,
+    BooleanType,
+    DateType,
+    DecimalType,
+    DoubleType,
+    FixedType,
+    FloatType,
+    IntType,
+    ListType,
+    LongType,
+    MapType,
+    NestedField,
+    Schema,
+    StringType,
+    StructType,
+    TimeType,
+    TimestampType,
+    TimestampTzType,
+    UuidType,
+)
+from iceberg_ruby_spark.table_definition import TableDefinition
+from iceberg_ruby_spark.transforms import (
+    BucketTransform,
+    DayTransform,
+    HourTransform,
+    IdentityTransform,
+    MonthTransform,
+    TruncateTransform,
+    UnknownTransform,
+    VoidTransform,
+    YearTransform,
+)
+from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
+from iceberg_ruby_spark.table import Table, TableScan
+from iceberg_ruby_spark.static_table import StaticTable
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Catalog",
+    "MemoryCatalog",
+    "Table",
+    "TableScan",
+    "StaticTable",
+    "TableDefinition",
+    "Result",
+    "Schema",
+    "NestedField",
+    "get_spark",
+    "stop_spark",
+    # errors
+    "Error",
+    "Todo",
+    "UnsupportedFeatureError",
+    "InvalidDataError",
+    "NamespaceAlreadyExistsError",
+    "NoSuchNamespaceError",
+    "NoSuchTableError",
+    "TableAlreadyExistsError",
+    # types
+    "BooleanType",
+    "IntType",
+    "LongType",
+    "FloatType",
+    "DoubleType",
+    "DecimalType",
+    "DateType",
+    "TimeType",
+    "TimestampType",
+    "TimestampTzType",
+    "StringType",
+    "UuidType",
+    "FixedType",
+    "BinaryType",
+    "StructType",
+    "ListType",
+    "MapType",
+    # transforms
+    "IdentityTransform",
+    "BucketTransform",
+    "TruncateTransform",
+    "YearTransform",
+    "MonthTransform",
+    "DayTransform",
+    "HourTransform",
+    "VoidTransform",
+    "UnknownTransform",
+]

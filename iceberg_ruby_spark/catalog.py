@@ -1,0 +1,385 @@
+"""Catalog — namespace + table DDL and the SQL entry point.
+
+Reference: ``lib/iceberg/catalog.rb`` (+5 backend subclasses —
+rest/glue/s3tables/sql/memory).  This engine ships one backend, a
+**filesystem warehouse catalog** (the analog of the reference's
+``MemoryCatalog(warehouse:)``, ``lib/iceberg/memory_catalog.rb:4-10``); the
+other backends are thin config over the same protocol and are intentionally
+out of scope in a jar-less environment (they would be Spark catalog-plugin
+configs, not engine code).
+
+Warehouse layout::
+
+    <warehouse>/<ns>[/<ns2>...]/.namespace.json     # namespace marker + props
+    <warehouse>/<ns...>/<table>/metadata, /data     # see table.py
+
+Namespaces are multi-level (list of levels, dots forbidden inside a level —
+reference ``ext/iceberg/src/utils.rs:25-41``).
+
+``catalog.sql(sql, params)`` registers catalog tables as temp views and
+executes via Spark SQL — the analog of the reference's DataFusion
+delegation (``ext/iceberg/src/catalog.rs:443-508``), with the same
+positional ``$1..$n`` parameter convention (``test/sql_test.rb:29-43``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import uuid as uuid_mod
+from typing import Any, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+
+from iceberg_ruby_spark.errors import (
+    InvalidDataError,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+from iceberg_ruby_spark.result import Result
+from iceberg_ruby_spark import types as ice_t
+from iceberg_ruby_spark.session import get_spark
+from iceberg_ruby_spark.table import Table, TableMetadata, _now_ms, _schema_to_json
+from iceberg_ruby_spark.table_definition import schema_from_any
+from iceberg_ruby_spark.transforms import PartitionSpec, SortOrder
+
+Ident = Union[str, list[str]]
+
+_NS_FILE = ".namespace.json"
+
+
+def _norm_ident(ident: Ident) -> list[str]:
+    """Normalize a namespace/table identifier: str with dots → levels; levels
+    must not contain dots (reference ``ext/iceberg/src/utils.rs:25-41``)."""
+    if isinstance(ident, str):
+        parts = ident.split(".")
+    else:
+        parts = list(ident)
+        for p in parts:
+            if "." in p:
+                raise InvalidDataError(f"identifier level cannot contain '.': {p!r}")
+    if not parts or any(not p for p in parts):
+        raise InvalidDataError(f"invalid identifier: {ident!r}")
+    return parts
+
+
+class Catalog:
+    """Filesystem-warehouse catalog."""
+
+    def __init__(
+        self,
+        warehouse: str,
+        namespace: Optional[Ident] = None,
+        spark: Optional[SparkSession] = None,
+        name: str = "iceberg",
+    ):
+        self.name = name
+        self.warehouse = os.path.abspath(warehouse)
+        os.makedirs(self.warehouse, exist_ok=True)
+        self.spark = spark or get_spark()
+        self.default_namespace = _norm_ident(namespace) if namespace else None
+
+    # ------------------------------------------------------------------ utils
+    def _ns_dir(self, ns: list[str]) -> str:
+        return os.path.join(self.warehouse, *ns)
+
+    def _ns_marker(self, ns: list[str]) -> str:
+        return os.path.join(self._ns_dir(ns), _NS_FILE)
+
+    def _with_namespace(self, ident: Ident) -> list[str]:
+        """Unqualified table name → ``[*default_ns, name]`` (reference
+        ``lib/iceberg/catalog.rb:117-123``)."""
+        parts = _norm_ident(ident)
+        if len(parts) == 1:
+            if not self.default_namespace:
+                raise InvalidDataError(
+                    f"unqualified name {parts[0]!r} requires a default namespace"
+                )
+            return [*self.default_namespace, parts[0]]
+        return parts
+
+    def _table_location(self, ident: Ident) -> tuple[list[str], str]:
+        parts = self._with_namespace(ident)
+        return parts, os.path.join(self.warehouse, *parts)
+
+    # ------------------------------------------------------------- namespaces
+    def create_namespace(
+        self,
+        ns: Ident,
+        properties: Optional[dict[str, str]] = None,
+        if_not_exists: bool = False,
+    ) -> None:
+        parts = _norm_ident(ns)
+        marker = self._ns_marker(parts)
+        if os.path.exists(marker):
+            if if_not_exists:
+                return
+            raise NamespaceAlreadyExistsError(f"namespace already exists: {'.'.join(parts)}")
+        # parents must exist for nested namespaces (reference
+        # test/namespace_test.rb:32-49)
+        if len(parts) > 1 and not os.path.exists(self._ns_marker(parts[:-1])):
+            raise NoSuchNamespaceError(f"parent namespace does not exist: {'.'.join(parts[:-1])}")
+        os.makedirs(self._ns_dir(parts), exist_ok=True)
+        with open(marker, "w") as f:
+            json.dump({"properties": properties or {}}, f)
+
+    def list_namespaces(self, parent: Optional[Ident] = None) -> list[list[str]]:
+        base = _norm_ident(parent) if parent else []
+        if base and not self.namespace_exists(base):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(base)}")
+        root = self._ns_dir(base) if base else self.warehouse
+        out = []
+        if os.path.isdir(root):
+            for d in sorted(os.listdir(root)):
+                if os.path.exists(os.path.join(root, d, _NS_FILE)):
+                    out.append([*base, d])
+        return out
+
+    def namespace_exists(self, ns: Ident) -> bool:
+        try:
+            parts = _norm_ident(ns)
+        except InvalidDataError:
+            return False
+        return os.path.exists(self._ns_marker(parts))
+
+    def namespace_properties(self, ns: Ident) -> dict[str, str]:
+        parts = _norm_ident(ns)
+        marker = self._ns_marker(parts)
+        if not os.path.exists(marker):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
+        with open(marker) as f:
+            return json.load(f).get("properties", {})
+
+    def update_namespace(self, ns: Ident, properties: dict[str, str]) -> None:
+        parts = _norm_ident(ns)
+        marker = self._ns_marker(parts)
+        if not os.path.exists(marker):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
+        with open(marker, "w") as f:
+            json.dump({"properties": properties}, f)
+
+    def drop_namespace(self, ns: Ident, if_exists: bool = False) -> None:
+        parts = _norm_ident(ns)
+        marker = self._ns_marker(parts)
+        if not os.path.exists(marker):
+            if if_exists:
+                return
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
+        if self.list_tables(parts) or self.list_namespaces(parts):
+            raise InvalidDataError(f"namespace is not empty: {'.'.join(parts)}")
+        shutil.rmtree(self._ns_dir(parts))
+
+    # ----------------------------------------------------------------- tables
+    def create_table(
+        self,
+        ident: Ident,
+        schema: Any = None,
+        location: Optional[str] = None,
+        partition_spec: Optional[Union[PartitionSpec, list]] = None,
+        sort_order: Optional[Union[SortOrder, list]] = None,
+        properties: Optional[dict[str, str]] = None,
+        if_not_exists: bool = False,
+    ) -> Table:
+        """Create a table (reference ``lib/iceberg/catalog.rb:46-70``).
+        ``schema`` accepts a Schema / TableDefinition / {name: type} hash /
+        Spark StructType / DSL callable."""
+        parts, loc = self._table_location(ident)
+        ns = parts[:-1]
+        if not self.namespace_exists(ns):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(ns)}")
+        if self.table_exists(parts):
+            if if_not_exists:
+                return self.load_table(parts)
+            raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
+        if schema is None:
+            raise InvalidDataError("schema is required")
+        ice_schema = schema_from_any(schema)
+        if location is not None:
+            loc = location
+
+        props = dict(properties or {})
+        fv = int(props.pop("format-version", 2))
+        if fv not in (1, 2, 3):
+            raise InvalidDataError(f"invalid format-version: {fv}")
+
+        spec_json: list[dict] = []
+        if partition_spec is not None:
+            if isinstance(partition_spec, PartitionSpec):
+                partition_spec.validate(ice_schema)
+                spec_json = partition_spec.to_json()
+            else:
+                ps = PartitionSpec(fields=list(partition_spec))
+                ps.validate(ice_schema)
+                spec_json = ps.to_json()
+        order_json: list[dict] = []
+        if sort_order is not None:
+            so = sort_order if isinstance(sort_order, SortOrder) else SortOrder(fields=list(sort_order))
+            order_json = so.to_json()
+
+        now = _now_ms()
+        meta = {
+            "format-version": fv,
+            "table-uuid": str(uuid_mod.uuid4()),
+            "location": loc,
+            "last-updated-ms": now,
+            "last-column-id": ice_schema.highest_field_id,
+            "schemas": [_schema_to_json(ice_schema)],
+            "current-schema-id": ice_schema.schema_id,
+            "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+            "default-spec-id": 0,
+            "sort-orders": [{"order-id": 1 if order_json else 0, "fields": order_json}],
+            "default-sort-order-id": 1 if order_json else 0,
+            "properties": props,
+            "current-snapshot-id": None,
+            "snapshots": [],
+            "snapshot-log": [],
+            "metadata-log": [],
+            "refs": {},
+            "next-row-id": 0,
+            "statistics": [],
+            "partition-statistics": [],
+            "encryption-keys": {},
+        }
+        from iceberg_ruby_spark.table import FsTableOps
+
+        ops = FsTableOps(loc)
+        os.makedirs(ops.data_dir, exist_ok=True)
+        ops.commit(0, meta)
+        return Table(self.spark, loc, identifier=parts, catalog=self)
+
+    def load_table(self, ident: Ident) -> Table:
+        parts, loc = self._table_location(ident)
+        from iceberg_ruby_spark.table import FsTableOps
+
+        if not FsTableOps(loc).exists():
+            raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+        return Table(self.spark, loc, identifier=parts, catalog=self)
+
+    def table_exists(self, ident: Ident) -> bool:
+        try:
+            _parts, loc = self._table_location(ident)
+        except InvalidDataError:
+            return False
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps(loc).exists()
+
+    def list_tables(self, ns: Optional[Ident] = None) -> list[list[str]]:
+        if ns is None:
+            if not self.default_namespace:
+                raise InvalidDataError("no namespace given and no default namespace set")
+            parts = self.default_namespace
+        else:
+            parts = _norm_ident(ns)
+        if not self.namespace_exists(parts):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
+        root = self._ns_dir(parts)
+        out = []
+        for d in sorted(os.listdir(root)):
+            if os.path.exists(os.path.join(root, d, "metadata", "version-hint.text")):
+                out.append([*parts, d])
+        return out
+
+    def drop_table(self, ident: Ident, if_exists: bool = False) -> None:
+        parts, loc = self._table_location(ident)
+        if not self.table_exists(parts):
+            if if_exists:
+                return
+            raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+        # drop from catalog without purging data (reference semantics:
+        # drop_table leaves files; purge_table deletes them)
+        meta_dir = os.path.join(loc, "metadata")
+        shutil.move(
+            os.path.join(meta_dir, "version-hint.text"),
+            os.path.join(meta_dir, f".dropped-{uuid_mod.uuid4().hex}"),
+        )
+
+    def purge_table(self, ident: Ident) -> None:
+        parts, loc = self._table_location(ident)
+        if not self.table_exists(parts):
+            raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+        shutil.rmtree(loc)
+
+    def rename_table(self, old: Ident, new: Ident) -> None:
+        old_parts, old_loc = self._table_location(old)
+        new_parts, new_loc = self._table_location(new)
+        if not self.table_exists(old_parts):
+            raise NoSuchTableError(f"table does not exist: {'.'.join(old_parts)}")
+        if not self.namespace_exists(new_parts[:-1]):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(new_parts[:-1])}")
+        if self.table_exists(new_parts):
+            raise TableAlreadyExistsError(f"table already exists: {'.'.join(new_parts)}")
+        shutil.move(old_loc, new_loc)
+
+    def register_table(self, ident: Ident, metadata_location: str) -> Table:
+        """Attach an existing metadata dir/file to a catalog name (reference
+        ``catalog.rb:99-101``)."""
+        parts, loc = self._table_location(ident)
+        if self.table_exists(parts):
+            raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
+        src = metadata_location
+        if src.endswith(".json"):
+            src = os.path.dirname(os.path.dirname(src))  # .../metadata/vN.json → table dir
+        os.makedirs(os.path.dirname(loc), exist_ok=True)
+        if os.path.abspath(src) != os.path.abspath(loc):
+            shutil.copytree(src, loc)
+        return self.load_table(parts)
+
+    # -------------------------------------------------------------------- sql
+    _PARAM_RE = re.compile(r"\$(\d+)")
+
+    def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
+        """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
+        DataFusion; here → Spark SQL).  Positional params ``$1..$n`` are
+        bound Spark-side; extra params are ignored (reference
+        ``test/sql_test.rb:29-43``)."""
+        self._register_views()
+        args: dict[str, Any] = {}
+        if params:
+            used = {int(m) for m in self._PARAM_RE.findall(query)}
+            for i, v in enumerate(params, start=1):
+                if i in used:
+                    args[f"p{i}"] = v
+            query = self._PARAM_RE.sub(lambda m: f":p{m.group(1)}", query)
+        df = self.spark.sql(query, args=args or None)
+        return Result(df)
+
+    def _register_views(self) -> None:
+        """Expose catalog tables to Spark SQL as temp views: default-namespace
+        tables by bare name, everything else as ``ns_table``."""
+        for ns in self._all_namespaces():
+            for parts in self.list_tables(ns):
+                tbl = self.load_table(parts)
+                df = tbl.to_df()
+                if self.default_namespace and parts[:-1] == self.default_namespace:
+                    df.createOrReplaceTempView(parts[-1])
+                df.createOrReplaceTempView("_".join(parts))
+
+    def _all_namespaces(self) -> list[list[str]]:
+        out: list[list[str]] = []
+
+        def walk(parent: Optional[list[str]]) -> None:
+            for ns in self.list_namespaces(parent):
+                out.append(ns)
+                walk(ns)
+
+        walk(None)
+        return out
+
+
+class MemoryCatalog(Catalog):
+    """Analog of the reference's in-memory/FS catalog
+    (``lib/iceberg/memory_catalog.rb:4-10``) — a Catalog over a temp dir."""
+
+    def __init__(self, warehouse: Optional[str] = None, **kw: Any):
+        import tempfile
+
+        self._tmp = None
+        if warehouse is None:
+            self._tmp = tempfile.mkdtemp(prefix="iceberg_ruby_spark_wh_")
+            warehouse = self._tmp
+        super().__init__(warehouse, **kw)

@@ -1,0 +1,54 @@
+"""Row-oriented query result, mirroring the reference's ``Iceberg::Result``.
+
+Reference: ``lib/iceberg/result.rb:2-21`` — ``columns`` (names), ``rows``
+(arrays), Enumerable of ``{col => val}`` hashes.  Here a thin wrapper over a
+Spark DataFrame: ``columns``/``rows`` materialize via ``collect()``; the
+underlying DataFrame stays available as ``.df`` for further (distributed)
+composition, and ``to_arrow()`` gives the columnar interchange path
+(reference Arrow C-stream export, ``ext/iceberg/src/scan.rs:65-79``).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+from pyspark.sql import DataFrame
+
+
+class Result:
+    def __init__(self, df: DataFrame):
+        self.df = df
+        self._collected: list | None = None
+
+    @property
+    def columns(self) -> list[str]:
+        return list(self.df.columns)
+
+    def _collect(self) -> list:
+        if self._collected is None:
+            self._collected = self.df.collect()
+        return self._collected
+
+    @property
+    def rows(self) -> list[list[Any]]:
+        return [list(r) for r in self._collect()]
+
+    def __iter__(self) -> Iterator[dict[str, Any]]:
+        for r in self._collect():
+            yield r.asDict(recursive=True)
+
+    def to_a(self) -> list[dict[str, Any]]:
+        return list(self)
+
+    def to_arrow(self):
+        """Columnar interchange (reference ``scan.to_arrow``)."""
+        return self.df.toArrow()
+
+    def to_pandas(self):
+        return self.df.toPandas()
+
+    def __len__(self) -> int:
+        return len(self._collect())
+
+    def __repr__(self) -> str:
+        return f"Result(columns={self.columns!r})"

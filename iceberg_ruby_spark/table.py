@@ -1,0 +1,873 @@
+"""Table, TableScan, Snapshot — the read/write surface.
+
+Reference: ``lib/iceberg/table.rb``, ``lib/iceberg/table_scan.rb``,
+``ext/iceberg/src/table.rs``, ``ext/iceberg/src/scan.rs``,
+``ext/iceberg/src/snapshot.rs``.
+
+Storage model (Iceberg-shaped, Spark-native — no Iceberg runtime jar):
+
+```
+<warehouse>/<ns...>/<table>/
+    metadata/
+        v1.json, v2.json, ...     # full table metadata per committed version
+        version-hint.text         # current version number (atomic rename)
+        snap-<id>.json            # per-snapshot manifest: list of data dirs
+    data/
+        <commit-uuid>/part-*.parquet   (optionally partitionBy'd subdirs)
+```
+
+Each commit (append / overwrite / delete / update / merge) writes a new data
+directory via a distributed Spark job, then commits a new snapshot +
+metadata version with an **optimistic, atomic** ``O_EXCL`` create of
+``v{N+1}.json`` — the same commit protocol shape as Iceberg's
+HadoopTableOperations.  Snapshot manifests live in their own files so the
+metadata log does not grow quadratically with history length (the analog of
+Iceberg's manifest-list indirection; at true 100 TB scale those would be
+Avro manifest files with per-file stats — here JSON file lists with
+row/byte counts, same pruning contract).
+
+Reads are plain ``spark.read.parquet(*dirs)`` — Catalyst pushes filters and
+projections into the Parquet scan, and hidden-partition columns written by
+``partitionBy`` prune directories.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid as uuid_mod
+from dataclasses import dataclass
+from typing import Any, Iterable, Optional, Union
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.errors import (
+    InvalidDataError,
+    NoSuchTableError,
+    UnsupportedFeatureError,
+)
+from iceberg_ruby_spark.result import Result
+from iceberg_ruby_spark import types as ice_t
+from iceberg_ruby_spark.transforms import (
+    PartitionSpec,
+    SortOrder,
+    parse_transform,
+)
+
+MAIN_BRANCH = "main"
+
+
+# --------------------------------------------------------------------------
+# snapshot / metadata model
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class Snapshot:
+    """Immutable table version — reference ``ext/iceberg/src/snapshot.rs:19-49``."""
+
+    snapshot_id: int
+    parent_snapshot_id: Optional[int]
+    sequence_number: int
+    timestamp_ms: int
+    manifest_list: str  # path to snap-<id>.json
+    schema_id: int
+    summary: dict[str, Any]
+
+    @property
+    def operation(self) -> str:
+        return self.summary.get("operation", "append")
+
+    def to_json(self) -> dict[str, Any]:
+        return {
+            "snapshot-id": self.snapshot_id,
+            "parent-snapshot-id": self.parent_snapshot_id,
+            "sequence-number": self.sequence_number,
+            "timestamp-ms": self.timestamp_ms,
+            "manifest-list": self.manifest_list,
+            "schema-id": self.schema_id,
+            "summary": self.summary,
+        }
+
+    @staticmethod
+    def from_json(d: dict[str, Any]) -> "Snapshot":
+        return Snapshot(
+            snapshot_id=d["snapshot-id"],
+            parent_snapshot_id=d.get("parent-snapshot-id"),
+            sequence_number=d["sequence-number"],
+            timestamp_ms=d["timestamp-ms"],
+            manifest_list=d["manifest-list"],
+            schema_id=d.get("schema-id", 0),
+            summary=d.get("summary", {}),
+        )
+
+
+def _schema_to_json(schema: ice_t.Schema) -> dict[str, Any]:
+    def type_json(t: ice_t.Type) -> Any:
+        if isinstance(t, ice_t.DecimalType):
+            return f"decimal({t.precision},{t.scale})"
+        if isinstance(t, ice_t.FixedType):
+            return f"fixed({t.length})"
+        if isinstance(t, ice_t.ListType):
+            return {
+                "type": "list",
+                "element-id": t.element_field.field_id,
+                "element": type_json(t.element_field.field_type),
+                "element-required": t.element_field.required,
+            }
+        if isinstance(t, ice_t.MapType):
+            return {
+                "type": "map",
+                "key-id": t.key_field.field_id,
+                "key": type_json(t.key_field.field_type),
+                "value-id": t.value_field.field_id,
+                "value": type_json(t.value_field.field_type),
+                "value-required": t.value_field.required,
+            }
+        if isinstance(t, ice_t.StructType):
+            return {"type": "struct", "fields": [field_json(f) for f in t.fields]}
+        return t.name
+
+    def field_json(f: ice_t.NestedField) -> dict[str, Any]:
+        d: dict[str, Any] = {
+            "id": f.field_id,
+            "name": f.name,
+            "required": f.required,
+            "type": type_json(f.field_type),
+        }
+        if f.doc is not None:
+            d["doc"] = f.doc
+        if f.initial_default is not None:
+            d["initial-default"] = f.initial_default
+        if f.write_default is not None:
+            d["write-default"] = f.write_default
+        return d
+
+    return {
+        "schema-id": schema.schema_id,
+        "identifier-field-ids": schema.identifier_field_ids,
+        "fields": [field_json(f) for f in schema.fields],
+    }
+
+
+def _schema_from_json(d: dict[str, Any]) -> ice_t.Schema:
+    from iceberg_ruby_spark.table_definition import parse_type
+
+    def type_from(tj: Any) -> ice_t.Type:
+        if isinstance(tj, str):
+            return parse_type(tj)
+        if tj["type"] == "list":
+            elem = ice_t.NestedField(
+                tj["element-id"], "element", type_from(tj["element"]), tj.get("element-required", False)
+            )
+            return ice_t.ListType(elem)
+        if tj["type"] == "map":
+            kf = ice_t.NestedField(tj["key-id"], "key", type_from(tj["key"]), True)
+            vf = ice_t.NestedField(
+                tj["value-id"], "value", type_from(tj["value"]), tj.get("value-required", False)
+            )
+            return ice_t.MapType(kf, vf)
+        if tj["type"] == "struct":
+            return ice_t.StructType([field_from(fj) for fj in tj["fields"]])
+        raise InvalidDataError(f"bad type json: {tj}")
+
+    def field_from(fj: dict[str, Any]) -> ice_t.NestedField:
+        return ice_t.NestedField(
+            fj["id"],
+            fj["name"],
+            type_from(fj["type"]),
+            required=fj.get("required", False),
+            doc=fj.get("doc"),
+            initial_default=fj.get("initial-default"),
+            write_default=fj.get("write-default"),
+        )
+
+    return ice_t.Schema(
+        fields=[field_from(fj) for fj in d.get("fields", [])],
+        schema_id=d.get("schema-id", 0),
+        identifier_field_ids=d.get("identifier-field-ids", []),
+    )
+
+
+class TableMetadata:
+    """In-memory mirror of one ``v{N}.json``."""
+
+    def __init__(self, d: dict[str, Any], version: int, metadata_file: str):
+        self.raw = d
+        self.version = version
+        self.metadata_file = metadata_file
+
+    # -- convenience accessors ---------------------------------------------
+    @property
+    def format_version(self) -> int:
+        return self.raw.get("format-version", 2)
+
+    @property
+    def table_uuid(self) -> str:
+        return self.raw["table-uuid"]
+
+    @property
+    def location(self) -> str:
+        return self.raw["location"]
+
+    @property
+    def last_updated_ms(self) -> int:
+        return self.raw["last-updated-ms"]
+
+    @property
+    def last_column_id(self) -> int:
+        return self.raw.get("last-column-id", 0)
+
+    @property
+    def last_sequence_number(self) -> int:
+        return self.raw.get("last-sequence-number", 0)
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return dict(self.raw.get("properties", {}))
+
+    @property
+    def schemas(self) -> list[ice_t.Schema]:
+        return [_schema_from_json(s) for s in self.raw.get("schemas", [])]
+
+    @property
+    def current_schema_id(self) -> int:
+        return self.raw.get("current-schema-id", 0)
+
+    @property
+    def snapshots(self) -> list[Snapshot]:
+        return [Snapshot.from_json(s) for s in self.raw.get("snapshots", [])]
+
+    @property
+    def current_snapshot_id(self) -> Optional[int]:
+        return self.raw.get("current-snapshot-id")
+
+    @property
+    def refs(self) -> dict[str, dict[str, Any]]:
+        return self.raw.get("refs", {})
+
+    @property
+    def snapshot_log(self) -> list[dict[str, Any]]:
+        return self.raw.get("snapshot-log", [])
+
+    @property
+    def metadata_log(self) -> list[dict[str, Any]]:
+        return self.raw.get("metadata-log", [])
+
+    @property
+    def next_row_id(self) -> int:
+        return self.raw.get("next-row-id", 0)
+
+
+# --------------------------------------------------------------------------
+# filesystem table ops (HadoopTableOperations analog)
+# --------------------------------------------------------------------------
+
+
+class FsTableOps:
+    def __init__(self, location: str):
+        self.location = location
+        self.metadata_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.metadata_dir, "version-hint.text"))
+
+    def current_version(self) -> int:
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        with open(hint) as f:
+            return int(f.read().strip())
+
+    def load(self, version: Optional[int] = None) -> TableMetadata:
+        if not self.exists():
+            raise NoSuchTableError(f"no table at {self.location}")
+        v = version if version is not None else self.current_version()
+        path = os.path.join(self.metadata_dir, f"v{v}.json")
+        with open(path) as f:
+            return TableMetadata(json.load(f), v, path)
+
+    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]) -> TableMetadata:
+        """Optimistic commit: O_EXCL create of the next version file; the
+        version-hint rename is atomic.  A concurrent committer loses the
+        race and must retry on fresh metadata (Iceberg's protocol)."""
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        new_version = (base_version or 0) + 1
+        path = os.path.join(self.metadata_dir, f"v{new_version}.json")
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "w") as f:
+            json.dump(new_meta, f, indent=1)
+        hint_tmp = os.path.join(self.metadata_dir, f".version-hint.{uuid_mod.uuid4().hex}")
+        with open(hint_tmp, "w") as f:
+            f.write(str(new_version))
+        os.replace(hint_tmp, os.path.join(self.metadata_dir, "version-hint.text"))
+        return TableMetadata(new_meta, new_version, path)
+
+    def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
+        os.makedirs(self.metadata_dir, exist_ok=True)
+        path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
+        with open(path, "w") as f:
+            json.dump({"snapshot-id": snapshot_id, "entries": entries}, f)
+        return path
+
+    def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
+        with open(manifest_list) as f:
+            return json.load(f)["entries"]
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+def _new_snapshot_id() -> int:
+    return uuid_mod.uuid4().int >> 65  # 63-bit positive
+
+
+# --------------------------------------------------------------------------
+# Table
+# --------------------------------------------------------------------------
+
+
+class Table:
+    """A loaded table handle (reference ``lib/iceberg/table.rb``)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        location: str,
+        identifier: Optional[list[str]] = None,
+        catalog: Optional[Any] = None,
+        read_only: bool = False,
+    ):
+        self.spark = spark
+        self.identifier = identifier or []
+        self.catalog = catalog
+        self.read_only = read_only
+        self.ops = FsTableOps(location)
+        self.metadata = self.ops.load()
+
+    # -- metadata accessors (reference table.rb:12-141) ---------------------
+    def refresh(self) -> "Table":
+        self.metadata = self.ops.load()
+        return self
+
+    @property
+    def format_version(self) -> int:
+        return self.metadata.format_version
+
+    @property
+    def uuid(self) -> str:
+        return self.metadata.table_uuid
+
+    @property
+    def location(self) -> str:
+        return self.metadata.location
+
+    @property
+    def last_updated_at(self) -> float:
+        return self.metadata.last_updated_ms / 1000.0
+
+    @property
+    def last_column_id(self) -> int:
+        return self.metadata.last_column_id
+
+    @property
+    def last_sequence_number(self) -> int:
+        return self.metadata.last_sequence_number
+
+    @property
+    def next_sequence_number(self) -> int:
+        return self.metadata.last_sequence_number + 1
+
+    @property
+    def last_partition_id(self) -> Optional[int]:
+        specs = self.metadata.raw.get("partition-specs", [])
+        ids = [f.get("field-id", 0) for s in specs for f in s.get("fields", [])]
+        return max(ids) if ids else None
+
+    @property
+    def next_row_id(self) -> int:
+        return self.metadata.next_row_id
+
+    # schemas
+    @property
+    def schemas(self) -> list[ice_t.Schema]:
+        return self.metadata.schemas
+
+    def schema_by_id(self, schema_id: int) -> Optional[ice_t.Schema]:
+        for s in self.schemas:
+            if s.schema_id == schema_id:
+                return s
+        return None
+
+    @property
+    def current_schema_id(self) -> int:
+        return self.metadata.current_schema_id
+
+    def current_schema(self) -> ice_t.Schema:
+        s = self.schema_by_id(self.current_schema_id)
+        assert s is not None
+        return s
+
+    @property
+    def schema(self) -> ice_t.Schema:
+        return self.current_schema()
+
+    def spark_schema(self):
+        return self.current_schema().to_spark()
+
+    # partition specs
+    @property
+    def partition_specs(self) -> list[dict[str, Any]]:
+        return self.metadata.raw.get("partition-specs", [])
+
+    def partition_spec_by_id(self, spec_id: int) -> Optional[dict[str, Any]]:
+        for s in self.partition_specs:
+            if s.get("spec-id") == spec_id:
+                return s
+        return None
+
+    @property
+    def default_spec_id(self) -> int:
+        return self.metadata.raw.get("default-spec-id", 0)
+
+    def default_partition_spec(self) -> Optional[dict[str, Any]]:
+        return self.partition_spec_by_id(self.default_spec_id)
+
+    # sort orders
+    @property
+    def sort_orders(self) -> list[dict[str, Any]]:
+        return self.metadata.raw.get("sort-orders", [])
+
+    def sort_order_by_id(self, order_id: int) -> Optional[dict[str, Any]]:
+        for s in self.sort_orders:
+            if s.get("order-id") == order_id:
+                return s
+        return None
+
+    @property
+    def default_sort_order_id(self) -> int:
+        return self.metadata.raw.get("default-sort-order-id", 0)
+
+    def default_sort_order(self) -> Optional[dict[str, Any]]:
+        return self.sort_order_by_id(self.default_sort_order_id)
+
+    # snapshots
+    @property
+    def snapshots(self) -> list[Snapshot]:
+        return self.metadata.snapshots
+
+    def snapshot_by_id(self, snapshot_id: int) -> Optional[Snapshot]:
+        for s in self.snapshots:
+            if s.snapshot_id == snapshot_id:
+                return s
+        return None
+
+    @property
+    def current_snapshot_id(self) -> Optional[int]:
+        return self.metadata.current_snapshot_id
+
+    def current_snapshot(self) -> Optional[Snapshot]:
+        sid = self.current_snapshot_id
+        return self.snapshot_by_id(sid) if sid is not None else None
+
+    def snapshot_for_ref(self, ref_name: str) -> Optional[Snapshot]:
+        ref = self.metadata.refs.get(ref_name)
+        if ref is None:
+            return None
+        return self.snapshot_by_id(ref["snapshot-id"])
+
+    @property
+    def refs(self) -> dict[str, dict[str, Any]]:
+        return self.metadata.refs
+
+    def history(self) -> list[dict[str, Any]]:
+        return self.metadata.snapshot_log
+
+    def metadata_log(self) -> list[dict[str, Any]]:
+        return self.metadata.metadata_log
+
+    @property
+    def properties(self) -> dict[str, str]:
+        return self.metadata.properties
+
+    # statistics / encryption (reference table.rb:119-137) — present, empty
+    @property
+    def statistics(self) -> list[dict[str, Any]]:
+        return self.metadata.raw.get("statistics", [])
+
+    def statistics_for_snapshot(self, snapshot_id: int) -> list[dict[str, Any]]:
+        return [s for s in self.statistics if s.get("snapshot-id") == snapshot_id]
+
+    @property
+    def partition_statistics(self) -> list[dict[str, Any]]:
+        return self.metadata.raw.get("partition-statistics", [])
+
+    @property
+    def encryption_keys(self) -> dict[str, Any]:
+        return self.metadata.raw.get("encryption-keys", {})
+
+    def encryption_key(self, key_id: str) -> Optional[Any]:
+        return self.encryption_keys.get(key_id)
+
+    # -- scan path ----------------------------------------------------------
+    def scan(self, snapshot_id: Optional[int] = None) -> "TableScan":
+        return TableScan(self, snapshot_id=snapshot_id)
+
+    def to_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
+        return self.scan(snapshot_id=snapshot_id).to_df()
+
+    def to_a(self, snapshot_id: Optional[int] = None) -> list[dict[str, Any]]:
+        return self.scan(snapshot_id=snapshot_id).to_a()
+
+    def to_arrow(self, snapshot_id: Optional[int] = None):
+        return self.scan(snapshot_id=snapshot_id).to_arrow()
+
+    def to_pandas(self, snapshot_id: Optional[int] = None):
+        return self.to_df(snapshot_id=snapshot_id).toPandas()
+
+    # -- write path ----------------------------------------------------------
+    def _check_writable(self) -> None:
+        if self.read_only:
+            raise UnsupportedFeatureError("table is read-only")
+
+    def _normalize_input(self, data: Any) -> DataFrame:
+        """Accept DataFrame / list-of-dicts / pandas / Arrow (reference accepts
+        row hashes or any Arrow-stream-bearing object, ``lib/iceberg/table.rb:161-166``)."""
+        spark_schema = self.spark_schema()
+        if isinstance(data, DataFrame):
+            df = data
+        elif isinstance(data, list):
+            # row dicts; missing keys backfill null (reference test
+            # table_test.rb:95-99)
+            cols = [f.name for f in spark_schema.fields]
+            rows = [tuple(d.get(c) for c in cols) for d in data]
+            df = self.spark.createDataFrame(rows, schema=spark_schema)
+            return df
+        else:
+            try:  # pandas / pyarrow
+                df = self.spark.createDataFrame(data)
+            except Exception as exc:  # pragma: no cover
+                raise InvalidDataError(f"cannot append {type(data).__name__}: {exc}")
+        # align columns: project table columns, null/default-fill missing,
+        # reject unknown extras
+        schema = self.current_schema()
+        table_cols = [f.name for f in schema.fields]
+        extra = [c for c in df.columns if c not in table_cols]
+        if extra:
+            raise InvalidDataError(f"columns not in table schema: {extra}")
+        select_cols = []
+        for f in schema.fields:
+            spark_f = f.to_spark()
+            if f.name in df.columns:
+                select_cols.append(F.col(f.name).cast(spark_f.dataType).alias(f.name))
+            else:
+                default = f.write_default
+                select_cols.append(F.lit(default).cast(spark_f.dataType).alias(f.name))
+        return df.select(*select_cols)
+
+    def _write_data_dir(self, df: DataFrame) -> tuple[str, int]:
+        """Distributed write of one commit's data files; returns (dir, rowcount)."""
+        commit_id = uuid_mod.uuid4().hex
+        out = os.path.join(self.ops.data_dir, commit_id)
+        spec = self.default_partition_spec()
+        sort = self.default_sort_order()
+        part_cols: list[str] = []
+        if spec and spec.get("fields"):
+            for pf in spec["fields"]:
+                tr = parse_transform(pf.get("transform", "identity"))
+                src = pf["source"]
+                name = pf.get("name") or tr.result_name(src)
+                if name != src:
+                    df = df.withColumn(name, tr(F.col(src)))
+                part_cols.append(name)
+        if sort and sort.get("fields"):
+            from iceberg_ruby_spark.transforms import SortField
+
+            sort_cols = [
+                SortField(
+                    sf["source"],
+                    parse_transform(sf.get("transform", "identity")),
+                    sf.get("direction", "asc"),
+                    sf.get("null_order"),
+                ).column()
+                for sf in sort["fields"]
+            ]
+            df = df.sortWithinPartitions(*sort_cols)
+        writer = df.write.mode("error")
+        if part_cols:
+            writer = writer.partitionBy(*part_cols)
+        writer.parquet(out)
+        # count rows from parquet footers (cheap; no second job over data)
+        n = self.spark.read.parquet(out).count()
+        return out, n
+
+    def _commit_snapshot(self, operation: str, entries: list[dict[str, Any]], summary_extra: Optional[dict] = None) -> None:
+        for _attempt in range(5):
+            meta = self.ops.load()
+            snapshot_id = _new_snapshot_id()
+            manifest = self.ops.write_manifest(snapshot_id, entries)
+            now = _now_ms()
+            parent = meta.current_snapshot_id
+            snap = Snapshot(
+                snapshot_id=snapshot_id,
+                parent_snapshot_id=parent,
+                sequence_number=meta.last_sequence_number + 1,
+                timestamp_ms=now,
+                manifest_list=manifest,
+                schema_id=meta.current_schema_id,
+                summary={"operation": operation, **(summary_extra or {})},
+            )
+            raw = dict(meta.raw)
+            raw["snapshots"] = meta.raw.get("snapshots", []) + [snap.to_json()]
+            raw["current-snapshot-id"] = snapshot_id
+            raw["last-sequence-number"] = snap.sequence_number
+            raw["last-updated-ms"] = now
+            raw["snapshot-log"] = meta.snapshot_log + [
+                {"snapshot-id": snapshot_id, "timestamp-ms": now}
+            ]
+            raw["metadata-log"] = meta.metadata_log + [
+                {"metadata-file": meta.metadata_file, "timestamp-ms": meta.last_updated_ms}
+            ]
+            refs = dict(meta.refs)
+            refs[MAIN_BRANCH] = {"snapshot-id": snapshot_id, "type": "branch"}
+            raw["refs"] = refs
+            raw["next-row-id"] = meta.next_row_id + sum(e.get("record-count", 0) for e in entries)
+            try:
+                self.metadata = self.ops.commit(meta.version, raw)
+                return
+            except FileExistsError:
+                continue  # lost the optimistic race; retry on fresh metadata
+        raise InvalidDataError("commit conflict: too many retries")
+
+    def _current_entries(self) -> list[dict[str, Any]]:
+        snap = self.current_snapshot()
+        if snap is None:
+            return []
+        return self.ops.read_manifest(snap.manifest_list)
+
+    def append(self, data: Any) -> "Table":
+        """Fast-append: write new files, commit a child snapshot (reference
+        ``table.rb:161-166`` / ``table.rs:62-125``)."""
+        self._check_writable()
+        df = self._normalize_input(data)
+        data_dir, n = self._write_data_dir(df)
+        entries = self._current_entries() + [
+            {"data-dir": data_dir, "record-count": n, "added-ms": _now_ms()}
+        ]
+        self._commit_snapshot("append", entries, {"added-records": n})
+        return self
+
+    def overwrite(self, data: Any) -> "Table":
+        """Full-table replace — beyond the reference's surface (its UPDATE /
+        DELETE error out, ``test/sql_test.rb:55-69``)."""
+        self._check_writable()
+        df = self._normalize_input(data)
+        data_dir, n = self._write_data_dir(df)
+        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"added-records": n})
+        return self
+
+    def delete_where(self, condition: Union[str, Any]) -> int:
+        """Copy-on-write DELETE: rewrite surviving rows, commit ``delete``
+        snapshot.  Returns deleted row count."""
+        self._check_writable()
+        df = self.to_df()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        survivors = df.filter(~cond | cond.isNull())
+        data_dir, n = self._write_data_dir(survivors.select(*[f.name for f in self.current_schema().fields]))
+        before = df.count()
+        self._commit_snapshot("delete", [{"data-dir": data_dir, "record-count": n}], {"deleted-records": before - n})
+        return before - n
+
+    def update_where(self, assignments: dict[str, Any], condition: Union[str, Any]) -> int:
+        """Copy-on-write UPDATE."""
+        self._check_writable()
+        df = self.to_df()
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        out = df
+        for col, val in assignments.items():
+            expr = F.expr(val) if isinstance(val, str) else F.lit(val)
+            out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
+        data_dir, n = self._write_data_dir(out.select(*[f.name for f in self.current_schema().fields]))
+        updated = df.filter(cond).count()
+        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"updated-records": updated})
+        return updated
+
+    def merge_into(
+        self,
+        source: DataFrame,
+        on: Union[str, list[str]],
+        when_matched_update: Optional[dict[str, str]] = None,
+        when_not_matched_insert: bool = True,
+    ) -> "Table":
+        """MERGE INTO emulation: anti-join + union + conditional update —
+        copy-on-write, one commit."""
+        self._check_writable()
+        keys = [on] if isinstance(on, str) else list(on)
+        target = self.to_df()
+        cols = [f.name for f in self.current_schema().fields]
+        matched = target.alias("t").join(source.alias("s"), keys, "left")
+        out_cols = []
+        for c in cols:
+            if when_matched_update and c in when_matched_update:
+                upd = F.expr(when_matched_update[c])
+                out_cols.append(
+                    F.when(F.col(f"s.{keys[0]}").isNotNull(), upd).otherwise(F.col(f"t.{c}")).alias(c)
+                )
+            elif c in keys:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+            else:
+                out_cols.append(F.col(f"t.{c}").alias(c))
+        merged = matched.select(*out_cols)
+        if when_not_matched_insert:
+            inserts = source.join(target.select(*keys), keys, "left_anti")
+            for c in cols:
+                if c not in inserts.columns:
+                    inserts = inserts.withColumn(c, F.lit(None))
+            merged = merged.unionByName(inserts.select(*cols))
+        data_dir, n = self._write_data_dir(merged)
+        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"operation-detail": "merge"})
+        return self
+
+    # -- maintenance ---------------------------------------------------------
+    def compact(self, target_file_rows: int = 1_000_000) -> "Table":
+        """rewrite_data_files analog: coalesce all live files into one commit
+        (reference exposes none; north-star 'compaction')."""
+        self._check_writable()
+        df = self.to_df()
+        n_rows = df.count()
+        n_files = max(1, n_rows // target_file_rows)
+        data_dir, n = self._write_data_dir(df.repartition(n_files))
+        self._commit_snapshot("replace", [{"data-dir": data_dir, "record-count": n}], {"compacted": True})
+        return self
+
+    def expire_snapshots(self, keep_last: int = 1) -> int:
+        """Drop history beyond the newest ``keep_last`` snapshots (metadata
+        only; orphan data dirs removable via remove_orphan_files)."""
+        self._check_writable()
+        meta = self.ops.load()
+        snaps = meta.raw.get("snapshots", [])
+        if len(snaps) <= keep_last:
+            return 0
+        expired = len(snaps) - keep_last
+        raw = dict(meta.raw)
+        raw["snapshots"] = snaps[-keep_last:]
+        raw["snapshot-log"] = meta.snapshot_log[-keep_last:]
+        raw["last-updated-ms"] = _now_ms()
+        self.metadata = self.ops.commit(meta.version, raw)
+        return expired
+
+    def remove_orphan_files(self) -> list[str]:
+        """Delete data dirs not referenced by any live snapshot."""
+        self._check_writable()
+        live: set[str] = set()
+        for snap in self.snapshots:
+            for e in self.ops.read_manifest(snap.manifest_list):
+                live.add(e["data-dir"])
+        removed = []
+        if os.path.isdir(self.ops.data_dir):
+            for d in os.listdir(self.ops.data_dir):
+                full = os.path.join(self.ops.data_dir, d)
+                if full not in live:
+                    import shutil
+
+                    shutil.rmtree(full)
+                    removed.append(full)
+        return removed
+
+
+# --------------------------------------------------------------------------
+# TableScan
+# --------------------------------------------------------------------------
+
+
+class TableScan:
+    """Snapshot-pinned scan (reference ``lib/iceberg/table_scan.rb``).
+
+    Unlike the reference binding — which exposes *no* filter or projection
+    builder (``ext/iceberg/src/table.rs:52-60``) — ``select``/``filter``
+    compose here and push down into the Parquet scan via Catalyst."""
+
+    def __init__(self, table: Table, snapshot_id: Optional[int] = None):
+        self.table = table
+        self._snapshot_id = snapshot_id
+        self._selects: list[str] = []
+        self._filters: list[Any] = []
+        self._limit: Optional[int] = None
+
+    def snapshot(self) -> Optional[Snapshot]:
+        if self._snapshot_id is not None:
+            snap = self.table.snapshot_by_id(self._snapshot_id)
+            if snap is None:
+                raise InvalidDataError(f"no snapshot with id {self._snapshot_id}")
+            return snap
+        return self.table.current_snapshot()
+
+    def select(self, *cols: str) -> "TableScan":
+        self._selects.extend(cols)
+        return self
+
+    def filter(self, condition: Any) -> "TableScan":
+        self._filters.append(condition)
+        return self
+
+    def limit(self, n: int) -> "TableScan":
+        self._limit = n
+        return self
+
+    def plan_files(self) -> list[dict[str, Any]]:
+        """File-level scan plan (reference ``scan.plan_files`` →
+        FileScanTask list, ``ext/iceberg/src/scan.rs:82-109``)."""
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        tasks = []
+        for e in self.table.ops.read_manifest(snap.manifest_list):
+            d = e["data-dir"]
+            for root, _dirs, files in os.walk(d):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        full = os.path.join(root, fn)
+                        tasks.append(
+                            {
+                                "data_file_path": full,
+                                "file_size_in_bytes": os.path.getsize(full),
+                                "record_count": None,
+                                "delete_files": [],
+                            }
+                        )
+        return tasks
+
+    def to_df(self) -> DataFrame:
+        snap = self.snapshot()
+        schema = self.table.schema_by_id(snap.schema_id) if snap else self.table.current_schema()
+        if schema is None:
+            schema = self.table.current_schema()
+        spark = self.table.spark
+        if snap is None:
+            df = spark.createDataFrame([], schema.to_spark())
+        else:
+            dirs = [e["data-dir"] for e in self.table.ops.read_manifest(snap.manifest_list)]
+            if not dirs:
+                df = spark.createDataFrame([], schema.to_spark())
+            else:
+                df = spark.read.option("basePath", self.table.ops.data_dir).parquet(*dirs)
+                # drop hidden-partition derived columns, restore column order
+                df = df.select(*[f.name for f in schema.fields])
+        for c in self._filters:
+            df = df.filter(c)
+        if self._selects:
+            df = df.select(*self._selects)
+        if self._limit is not None:
+            df = df.limit(self._limit)
+        return df
+
+    def to_arrow(self):
+        return self.to_df().toArrow()
+
+    def collect(self) -> Result:
+        return Result(self.to_df())
+
+    def to_a(self) -> list[dict[str, Any]]:
+        return self.collect().to_a()

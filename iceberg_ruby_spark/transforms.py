@@ -1,0 +1,295 @@
+"""Partition transforms + partition spec + sort order.
+
+Reference: ``lib/iceberg/transforms.rb`` (identity/bucket/truncate/
+year/month/day/hour/void/unknown), ``ext/iceberg/src/partitioning.rs`` and
+``ext/iceberg/src/sorting.rs``.  Source-type validation mirrors
+``test/transforms_test.rb:17-35`` (temporal transforms reject int sources).
+
+Spark-side realisation: each transform produces a Spark Column expression so
+writes can ``partitionBy`` on a derived column and scans can prune on it —
+the same physical effect as Iceberg hidden partitioning.  ``bucket`` uses a
+positive-modulo Murmur3-style hash (Spark ``F.hash`` is Murmur3-x86-32, the
+same family Iceberg specifies).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark import types as ice_t
+from iceberg_ruby_spark.errors import InvalidDataError
+
+_TEMPORAL_OK = (ice_t.DateType, ice_t.TimestampType, ice_t.TimestampTzType)
+
+
+class Transform:
+    name: str = ""
+
+    def __call__(self, col: Column) -> Column:
+        raise NotImplementedError
+
+    def result_name(self, source_name: str) -> str:
+        return f"{source_name}_{self.name}"
+
+    def spec_string(self) -> str:
+        """Canonical parseable form, e.g. ``bucket[16]``, ``day``."""
+        arg = getattr(self, "n", getattr(self, "width", None))
+        return f"{self.name}[{arg}]" if arg is not None else self.name
+
+    def validate_source(self, source_type: ice_t.Type) -> None:
+        """Raise on invalid (transform, source-type) pairs — transforms matrix
+        in reference ``test/transforms_test.rb:4-58``."""
+
+    def __eq__(self, other: object) -> bool:
+        return type(self) is type(other) and self.__dict__ == getattr(other, "__dict__", None)
+
+    def __repr__(self) -> str:
+        return f"{type(self).__name__}()"
+
+
+class IdentityTransform(Transform):
+    name = "identity"
+
+    def __call__(self, col: Column) -> Column:
+        return col
+
+    def result_name(self, source_name: str) -> str:
+        return source_name
+
+
+class BucketTransform(Transform):
+    """bucket(N): Murmur3 hash → non-negative modulo N."""
+
+    name = "bucket"
+
+    def __init__(self, n: int):
+        if n <= 0:
+            raise InvalidDataError(f"bucket count must be positive: {n}")
+        self.n = n
+
+    def __call__(self, col: Column) -> Column:
+        return F.pmod(F.hash(col), F.lit(self.n)).cast("int")
+
+    def result_name(self, source_name: str) -> str:
+        return f"{source_name}_bucket_{self.n}"
+
+    def validate_source(self, source_type: ice_t.Type) -> None:
+        if isinstance(source_type, (ice_t.BooleanType, ice_t.FloatType, ice_t.DoubleType)):
+            raise InvalidDataError(f"bucket transform does not accept {source_type.name}")
+
+    def __repr__(self) -> str:
+        return f"BucketTransform({self.n})"
+
+
+class TruncateTransform(Transform):
+    """truncate(W): strings → prefix of W chars; ints/longs → floor to a
+    multiple of W; decimals → floor to a multiple of W (scaled)."""
+
+    name = "truncate"
+
+    def __init__(self, width: int):
+        if width <= 0:
+            raise InvalidDataError(f"truncate width must be positive: {width}")
+        self.width = width
+
+    def __call__(self, col: Column) -> Column:
+        # string truncation when the input is a string; numeric floor otherwise.
+        w = F.lit(self.width)
+        return F.when(
+            col.cast("string").isNotNull() & col.try_cast("double").isNull(),
+            F.substring(col.cast("string"), 1, self.width),
+        ).otherwise((col - F.pmod(col, w)).cast("string"))
+
+    def for_type(self, source_type: ice_t.Type, col: Column) -> Column:
+        if isinstance(source_type, ice_t.StringType):
+            return F.substring(col, 1, self.width)
+        return col - F.pmod(col, F.lit(self.width))
+
+    def result_name(self, source_name: str) -> str:
+        return f"{source_name}_trunc_{self.width}"
+
+    def validate_source(self, source_type: ice_t.Type) -> None:
+        ok = (ice_t.IntType, ice_t.LongType, ice_t.StringType, ice_t.DecimalType, ice_t.BinaryType)
+        if not isinstance(source_type, ok):
+            raise InvalidDataError(f"truncate transform does not accept {source_type.name}")
+
+    def __repr__(self) -> str:
+        return f"TruncateTransform({self.width})"
+
+
+class _TemporalTransform(Transform):
+    def validate_source(self, source_type: ice_t.Type) -> None:
+        if not isinstance(source_type, _TEMPORAL_OK):
+            raise InvalidDataError(
+                f"{self.name} transform requires a date/timestamp source, got {source_type.name}"
+            )
+
+
+class YearTransform(_TemporalTransform):
+    name = "year"
+
+    def __call__(self, col: Column) -> Column:
+        return F.year(col)
+
+
+class MonthTransform(_TemporalTransform):
+    name = "month"
+
+    def __call__(self, col: Column) -> Column:
+        # iceberg months-since-epoch would also work; calendar (year, month)
+        # prunes identically.  Keep a single sortable int: y*12 + (m-1).
+        return (F.year(col) * 12 + F.month(col) - 1).cast("int")
+
+
+class DayTransform(_TemporalTransform):
+    name = "day"
+
+    def __call__(self, col: Column) -> Column:
+        return F.to_date(col)
+
+
+class HourTransform(_TemporalTransform):
+    name = "hour"
+
+    def __call__(self, col: Column) -> Column:
+        return (F.unix_timestamp(col) / 3600).cast("long")
+
+    def validate_source(self, source_type: ice_t.Type) -> None:
+        if not isinstance(source_type, (ice_t.TimestampType, ice_t.TimestampTzType)):
+            raise InvalidDataError(
+                f"hour transform requires a timestamp source, got {source_type.name}"
+            )
+
+
+class VoidTransform(Transform):
+    """Always-null (partition-spec evolution placeholder)."""
+
+    name = "void"
+
+    def __call__(self, col: Column) -> Column:
+        return F.lit(None)
+
+
+class UnknownTransform(Transform):
+    """Forward-compat placeholder — reference ``lib/iceberg/transforms.rb:62-63``."""
+
+    name = "unknown"
+
+    def __call__(self, col: Column) -> Column:
+        raise InvalidDataError("unknown transform cannot be evaluated")
+
+
+_TRANSFORM_FACTORIES = {
+    "identity": lambda arg=None: IdentityTransform(),
+    "bucket": lambda arg: BucketTransform(int(arg)),
+    "truncate": lambda arg: TruncateTransform(int(arg)),
+    "year": lambda arg=None: YearTransform(),
+    "month": lambda arg=None: MonthTransform(),
+    "day": lambda arg=None: DayTransform(),
+    "hour": lambda arg=None: HourTransform(),
+    "void": lambda arg=None: VoidTransform(),
+    "unknown": lambda arg=None: UnknownTransform(),
+}
+
+
+def parse_transform(spec: str) -> Transform:
+    """Parse ``"bucket[16]"`` / ``"bucket(16)"`` / ``"day"`` style transform strings."""
+    spec = spec.strip()
+    for open_c, close_c in (("[", "]"), ("(", ")")):
+        if open_c in spec and spec.endswith(close_c):
+            name, _, rest = spec.partition(open_c)
+            arg = rest[: -len(close_c)]
+            fac = _TRANSFORM_FACTORIES.get(name.strip())
+            if fac is None:
+                raise InvalidDataError(f"unknown transform: {name}")
+            return fac(arg)
+    fac = _TRANSFORM_FACTORIES.get(spec)
+    if fac is None:
+        raise InvalidDataError(f"unknown transform: {spec}")
+    return fac()
+
+
+@dataclass
+class PartitionField:
+    """One field of a partition spec — reference ``ext/iceberg/src/partitioning.rs:18-102``."""
+
+    source_name: str
+    transform: Transform
+    name: Optional[str] = None
+    field_id: Optional[int] = None
+
+    @property
+    def result_name(self) -> str:
+        return self.name or self.transform.result_name(self.source_name)
+
+    def column(self) -> Column:
+        return self.transform(F.col(self.source_name)).alias(self.result_name)
+
+
+@dataclass
+class PartitionSpec:
+    fields: list[PartitionField] = field(default_factory=list)
+    spec_id: int = 0
+
+    def validate(self, schema: ice_t.Schema) -> None:
+        for f in self.fields:
+            sf = schema.field_by_name(f.source_name)
+            if sf is None:
+                raise InvalidDataError(f"partition source column not in schema: {f.source_name}")
+            f.transform.validate_source(sf.field_type)
+
+    def to_json(self) -> list[dict]:
+        return [
+            {
+                "source": f.source_name,
+                "transform": f.transform.spec_string(),
+                "name": f.result_name,
+            }
+            for f in self.fields
+        ]
+
+
+@dataclass
+class SortField:
+    """Sort order field — reference ``ext/iceberg/src/sorting.rs:18-122``.
+    Default null order is nulls-first when ascending (sorting.rs:69-76)."""
+
+    source_name: str
+    transform: Transform = field(default_factory=IdentityTransform)
+    direction: str = "asc"  # asc | desc
+    null_order: Optional[str] = None  # first | last
+
+    def __post_init__(self) -> None:
+        if self.direction not in ("asc", "desc"):
+            raise InvalidDataError(f"invalid sort direction: {self.direction}")
+        if self.null_order is None:
+            self.null_order = "first" if self.direction == "asc" else "last"
+        if self.null_order not in ("first", "last"):
+            raise InvalidDataError(f"invalid null order: {self.null_order}")
+
+    def column(self) -> Column:
+        c = self.transform(F.col(self.source_name))
+        if self.direction == "asc":
+            return c.asc_nulls_first() if self.null_order == "first" else c.asc_nulls_last()
+        return c.desc_nulls_first() if self.null_order == "first" else c.desc_nulls_last()
+
+
+@dataclass
+class SortOrder:
+    fields: list[SortField] = field(default_factory=list)
+    order_id: int = 1
+
+    def to_json(self) -> list[dict]:
+        return [
+            {
+                "source": f.source_name,
+                "transform": f.transform.name,
+                "direction": f.direction,
+                "null_order": f.null_order,
+            }
+            for f in self.fields
+        ]
