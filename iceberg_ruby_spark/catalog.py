@@ -50,6 +50,7 @@ from iceberg_ruby_spark.transforms import PartitionSpec, SortOrder
 Ident = Union[str, list[str]]
 
 _NS_FILE = ".namespace.json"
+_POINTER_FILE = ".pointer.json"
 
 
 def _norm_ident(ident: Ident) -> list[str]:
@@ -103,8 +104,24 @@ class Catalog:
         return parts
 
     def _table_location(self, ident: Ident) -> tuple[list[str], str]:
+        """Resolve identifier → (parts, physical location).  A table whose
+        data lives outside the warehouse (create_table(location=...) or
+        register_table) is reachable through a small pointer file at its
+        warehouse path — round-1 review: custom-location tables used to be
+        unreachable after creation."""
         parts = self._with_namespace(ident)
-        return parts, os.path.join(self.warehouse, *parts)
+        default_loc = os.path.join(self.warehouse, *parts)
+        pointer = os.path.join(default_loc, _POINTER_FILE)
+        if os.path.exists(pointer):
+            with open(pointer) as f:
+                return parts, json.load(f)["location"]
+        return parts, default_loc
+
+    def _write_pointer(self, parts: list[str], location: str) -> None:
+        default_loc = os.path.join(self.warehouse, *parts)
+        os.makedirs(default_loc, exist_ok=True)
+        with open(os.path.join(default_loc, _POINTER_FILE), "w") as f:
+            json.dump({"location": os.path.abspath(location)}, f)
 
     # ------------------------------------------------------------- namespaces
     def create_namespace(
@@ -249,6 +266,8 @@ class Catalog:
         ops = FsTableOps(loc)
         os.makedirs(ops.data_dir, exist_ok=True)
         ops.commit(0, meta)
+        if location is not None:
+            self._write_pointer(parts, loc)
         return Table(self.spark, loc, identifier=parts, catalog=self)
 
     def load_table(self, ident: Ident) -> Table:
@@ -280,7 +299,13 @@ class Catalog:
         root = self._ns_dir(parts)
         out = []
         for d in sorted(os.listdir(root)):
-            if os.path.exists(os.path.join(root, d, "metadata", "version-hint.text")):
+            candidate = os.path.join(root, d)
+            if not os.path.isdir(candidate):
+                continue
+            if os.path.exists(os.path.join(candidate, "metadata", "version-hint.text")) or (
+                os.path.exists(os.path.join(candidate, _POINTER_FILE))
+                and self.table_exists([*parts, d])
+            ):
                 out.append([*parts, d])
         return out
 
@@ -290,6 +315,12 @@ class Catalog:
             if if_exists:
                 return
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+        warehouse_loc = os.path.join(self.warehouse, *parts)
+        pointer = os.path.join(warehouse_loc, _POINTER_FILE)
+        if os.path.exists(pointer):
+            # registered/custom-location table: detach, leave data in place
+            shutil.rmtree(warehouse_loc)
+            return
         # drop from catalog without purging data (reference semantics:
         # drop_table leaves files; purge_table deletes them)
         meta_dir = os.path.join(loc, "metadata")
@@ -303,40 +334,80 @@ class Catalog:
         if not self.table_exists(parts):
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
         shutil.rmtree(loc)
+        warehouse_loc = os.path.join(self.warehouse, *parts)
+        if os.path.abspath(warehouse_loc) != os.path.abspath(loc) and os.path.isdir(warehouse_loc):
+            shutil.rmtree(warehouse_loc)
 
     def rename_table(self, old: Ident, new: Ident) -> None:
-        old_parts, old_loc = self._table_location(old)
-        new_parts, new_loc = self._table_location(new)
+        old_parts, _old_loc = self._table_location(old)
+        new_parts, _new_loc = self._table_location(new)
         if not self.table_exists(old_parts):
             raise NoSuchTableError(f"table does not exist: {'.'.join(old_parts)}")
         if not self.namespace_exists(new_parts[:-1]):
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(new_parts[:-1])}")
         if self.table_exists(new_parts):
             raise TableAlreadyExistsError(f"table already exists: {'.'.join(new_parts)}")
-        shutil.move(old_loc, new_loc)
+        # move the warehouse entry (data dir, or pointer file for
+        # registered/custom-location tables — those keep their data in place)
+        shutil.move(
+            os.path.join(self.warehouse, *old_parts),
+            os.path.join(self.warehouse, *new_parts),
+        )
 
     def register_table(self, ident: Ident, metadata_location: str) -> Table:
-        """Attach an existing metadata dir/file to a catalog name (reference
-        ``catalog.rb:99-101``)."""
+        """Attach an existing table's metadata to a catalog name **by
+        reference** (pointer file), matching the reference's semantics
+        (``catalog.rb:99-101``) — no O(data) copy (round-1 review item)."""
         parts, loc = self._table_location(ident)
         if self.table_exists(parts):
             raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
         src = metadata_location
         if src.endswith(".json"):
             src = os.path.dirname(os.path.dirname(src))  # .../metadata/vN.json → table dir
-        os.makedirs(os.path.dirname(loc), exist_ok=True)
-        if os.path.abspath(src) != os.path.abspath(loc):
-            shutil.copytree(src, loc)
+        src = os.path.abspath(src)
+        from iceberg_ruby_spark.table import FsTableOps
+
+        if not FsTableOps(src).exists():
+            raise NoSuchTableError(f"no table metadata at {metadata_location}")
+        if src != os.path.abspath(loc):
+            self._write_pointer(parts, src)
         return self.load_table(parts)
 
     # -------------------------------------------------------------------- sql
     _PARAM_RE = re.compile(r"\$(\d+)")
+    _DDL_RE = re.compile(
+        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _INSERT_RE = re.compile(
+        r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+    )
+    _UPDATE_RE = re.compile(
+        r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DELETE_RE = re.compile(
+        r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _WRITE_KEYWORDS = re.compile(
+        r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
+        re.IGNORECASE,
+    )
 
     def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
         """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
         DataFusion; here → Spark SQL).  Positional params ``$1..$n`` are
         bound Spark-side; extra params are ignored (reference
-        ``test/sql_test.rb:29-43``)."""
+        ``test/sql_test.rb:29-43``).
+
+        DDL/DML routes to the *warehouse* catalog — ``CREATE TABLE``/
+        ``INSERT INTO`` (reference ``test/sql_test.rb:46-47``) plus
+        ``UPDATE``/``DELETE`` (beyond the reference, whose versions error);
+        other write statements raise ``UnsupportedFeatureError`` instead of
+        silently landing in Spark's session catalog (round-1 review item)."""
+        if self._WRITE_KEYWORDS.match(query):
+            return self._sql_write(query, params)
         self._register_views()
         args: dict[str, Any] = {}
         if params:
@@ -348,16 +419,102 @@ class Catalog:
         df = self.spark.sql(query, args=args or None)
         return Result(df)
 
+    def _sql_table_ident(self, name: str) -> list[str]:
+        parts = name.split(".")
+        return self._with_namespace(parts)
+
+    def _sql_write(self, query: str, params: Optional[list[Any]] = None) -> Result:
+        from iceberg_ruby_spark.errors import UnsupportedFeatureError
+
+        m = self._DDL_RE.match(query)
+        if m:
+            name, cols_src = m.group(1), m.group(2)
+            cols: dict[str, str] = {}
+            depth = 0
+            piece = ""
+            pieces = []
+            for ch in cols_src:
+                if ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    pieces.append(piece)
+                    piece = ""
+                else:
+                    piece += ch
+            if piece.strip():
+                pieces.append(piece)
+            for p in pieces:
+                toks = p.strip().split(None, 1)
+                if len(toks) != 2:
+                    raise UnsupportedFeatureError(f"cannot parse column definition: {p!r}")
+                cols[toks[0]] = toks[1].strip()
+            if_not_exists = bool(re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE))
+            self.create_table(self._sql_table_ident(name), schema=cols, if_not_exists=if_not_exists)
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._INSERT_RE.match(query)
+        if m:
+            name, rest = m.group(1), m.group(2).rstrip().rstrip(";")
+            tbl = self.load_table(self._sql_table_ident(name))
+            self._register_views()
+            # Spark SQL evaluates both `VALUES (...), (...)` and `SELECT ...`
+            df = self.spark.sql(rest)
+            # positional VALUES come back as col1..colN — align by position
+            if all(c.startswith("col") for c in df.columns):
+                df = df.toDF(*[f.name for f in tbl.current_schema().fields][: len(df.columns)])
+            tbl.append(df)
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._UPDATE_RE.match(query)
+        if m:
+            name, set_src, where_src = m.groups()
+            tbl = self.load_table(self._sql_table_ident(name))
+            assignments = {}
+            for p in set_src.split(","):
+                k, _, v = p.partition("=")
+                assignments[k.strip()] = v.strip()
+            n = tbl.update_where(assignments, where_src)
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([(n,)], "updated long"))
+        m = self._DELETE_RE.match(query)
+        if m:
+            name, where_src = m.groups()
+            tbl = self.load_table(self._sql_table_ident(name))
+            n = tbl.delete_where(where_src)
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([(n,)], "deleted long"))
+        raise UnsupportedFeatureError(
+            f"unsupported write statement (use the catalog/table API): {query[:80]!r}"
+        )
+
+    def _invalidate_views(self) -> None:
+        self._view_cache: dict[str, int] = {}
+
     def _register_views(self) -> None:
         """Expose catalog tables to Spark SQL as temp views: default-namespace
-        tables by bare name, everything else as ``ns_table``."""
+        tables by bare name, everything else as ``ns_table``.  Views are
+        cached by table metadata version — re-registered only when a table
+        committed a new version (round-1 review: O(all tables) per query)."""
+        cache = getattr(self, "_view_cache", None)
+        if cache is None:
+            cache = self._view_cache = {}
+        seen = set()
         for ns in self._all_namespaces():
             for parts in self.list_tables(ns):
+                key = ".".join(parts)
+                seen.add(key)
                 tbl = self.load_table(parts)
+                version = tbl.metadata.version
+                if cache.get(key) == version:
+                    continue
                 df = tbl.to_df()
                 if self.default_namespace and parts[:-1] == self.default_namespace:
                     df.createOrReplaceTempView(parts[-1])
                 df.createOrReplaceTempView("_".join(parts))
+                cache[key] = version
+        for gone in set(cache) - seen:
+            del cache[gone]
 
     def _all_namespaces(self) -> list[list[str]]:
         out: list[list[str]] = []

@@ -22,11 +22,18 @@ metadata version with an **optimistic, atomic** ``O_EXCL`` create of
 ``v{N+1}.json`` — the same commit protocol shape as Iceberg's
 HadoopTableOperations.  Snapshot manifests live in their own files so the
 metadata log does not grow quadratically with history length (the analog of
-Iceberg's manifest-list indirection; at true 100 TB scale those would be
-Avro manifest files with per-file stats — here JSON file lists with
-row/byte counts, same pruning contract).
+Iceberg's manifest-list indirection).
 
-Reads are plain ``spark.read.parquet(*dirs)`` — Catalyst pushes filters and
+Manifest entries are **per data file** and carry ``record-count`` plus
+per-column ``lower-bounds``/``upper-bounds`` captured at write time (the
+same contract as Iceberg manifest stats).  Mutations are **file-pruned
+copy-on-write**: ``delete_where``/``update_where``/``merge_into`` first find
+the files that actually contain matching rows (one Spark job over
+``_metadata.file_path`` with the predicate pushed into the Parquet scan),
+rewrite only those, and carry every other file forward by reference — a
+one-row delete on a 100 TB table rewrites one file, not the table.
+
+Reads are plain ``spark.read.parquet(*files)`` — Catalyst pushes filters and
 projections into the Parquet scan, and hidden-partition columns written by
 ``partitionBy`` prune directories.
 """
@@ -527,6 +534,18 @@ class Table:
     def to_pandas(self, snapshot_id: Optional[int] = None):
         return self.to_df(snapshot_id=snapshot_id).toPandas()
 
+    def to_polars(self, snapshot_id: Optional[int] = None, lazy: bool = False):
+        """Polars frame (reference ``lib/iceberg/table.rb:151-159``); gated on
+        polars being installed (not baked into this container)."""
+        try:
+            import polars as pl
+        except ImportError as exc:
+            from iceberg_ruby_spark.errors import Todo
+
+            raise Todo("polars is not installed in this environment") from exc
+        out = pl.from_arrow(self.to_arrow(snapshot_id=snapshot_id))
+        return out.lazy() if lazy else out
+
     # -- write path ----------------------------------------------------------
     def _check_writable(self) -> None:
         if self.read_only:
@@ -534,26 +553,47 @@ class Table:
 
     def _normalize_input(self, data: Any) -> DataFrame:
         """Accept DataFrame / list-of-dicts / pandas / Arrow (reference accepts
-        row hashes or any Arrow-stream-bearing object, ``lib/iceberg/table.rb:161-166``)."""
-        spark_schema = self.spark_schema()
+        row hashes or any Arrow-stream-bearing object, ``lib/iceberg/table.rb:161-166``).
+
+        All input paths share the same align/validate/default-fill projection
+        (round-1 review: the dict path used to return early, skipping
+        unknown-key rejection and write-default fill)."""
+        schema = self.current_schema()
+        table_cols = [f.name for f in schema.fields]
         if isinstance(data, DataFrame):
             df = data
         elif isinstance(data, list):
-            # row dicts; missing keys backfill null (reference test
-            # table_test.rb:95-99)
-            cols = [f.name for f in spark_schema.fields]
-            rows = [tuple(d.get(c) for c in cols) for d in data]
-            df = self.spark.createDataFrame(rows, schema=spark_schema)
-            return df
+            # row dicts; missing keys backfill write-default/null (reference
+            # test table_test.rb:95-99)
+            keys: set[str] = set()
+            for d in data:
+                keys.update(d.keys())
+            extra_keys = sorted(k for k in keys if k not in table_cols)
+            if extra_keys:
+                raise InvalidDataError(f"columns not in table schema: {extra_keys}")
+            present = [f for f in schema.fields if f.name in keys]
+            import pyspark.sql.types as T
+
+            sub_schema = T.StructType(
+                [T.StructField(f.name, f.to_spark().dataType, True) for f in present]
+            )
+            rows = [tuple(d.get(f.name) for f in present) for d in data]
+            df = self.spark.createDataFrame(rows, schema=sub_schema)
         else:
             try:  # pandas / pyarrow
+                import pyarrow as pa
+
+                if isinstance(data, (pa.Table, pa.RecordBatch)):
+                    data = (
+                        data.to_pandas()
+                        if isinstance(data, pa.Table)
+                        else pa.Table.from_batches([data]).to_pandas()
+                    )
                 df = self.spark.createDataFrame(data)
+            except InvalidDataError:
+                raise
             except Exception as exc:  # pragma: no cover
                 raise InvalidDataError(f"cannot append {type(data).__name__}: {exc}")
-        # align columns: project table columns, null/default-fill missing,
-        # reject unknown extras
-        schema = self.current_schema()
-        table_cols = [f.name for f in schema.fields]
         extra = [c for c in df.columns if c not in table_cols]
         if extra:
             raise InvalidDataError(f"columns not in table schema: {extra}")
@@ -567,12 +607,55 @@ class Table:
                 select_cols.append(F.lit(default).cast(spark_f.dataType).alias(f.name))
         return df.select(*select_cols)
 
-    def _write_data_dir(self, df: DataFrame) -> tuple[str, int]:
-        """Distributed write of one commit's data files; returns (dir, rowcount)."""
+    # -- file-level manifest entries with column stats -----------------------
+
+    _STATS_TYPES = (
+        ice_t.BooleanType,
+        ice_t.IntType,
+        ice_t.LongType,
+        ice_t.FloatType,
+        ice_t.DoubleType,
+        ice_t.DecimalType,
+        ice_t.DateType,
+        ice_t.TimestampType,
+        ice_t.TimestampTzType,
+        ice_t.StringType,
+    )
+
+    def _stats_columns(self) -> list[str]:
+        return [
+            f.name
+            for f in self.current_schema().fields
+            if isinstance(f.field_type, self._STATS_TYPES)
+        ]
+
+    @staticmethod
+    def _json_stat(v: Any) -> Any:
+        import datetime
+        import decimal
+
+        if isinstance(v, (datetime.datetime, datetime.date)):
+            return v.isoformat()
+        if isinstance(v, decimal.Decimal):
+            return str(v)
+        return v
+
+    def _write_data_dir(self, df: DataFrame) -> list[dict[str, Any]]:
+        """Distributed write of one commit's data files.  Returns the new
+        file-level manifest entries (path, record-count, per-column
+        lower/upper bounds).  Stats come from one
+        aggregation over ``_metadata.file_path`` on the freshly written
+        files — the write itself stays a single distributed job."""
         commit_id = uuid_mod.uuid4().hex
         out = os.path.join(self.ops.data_dir, commit_id)
         spec = self.default_partition_spec()
         sort = self.default_sort_order()
+        schema = self.current_schema()
+
+        def _source_type(name: str) -> Optional[ice_t.Type]:
+            f = schema.field_by_name(name)
+            return f.field_type if f else None
+
         part_cols: list[str] = []
         if spec and spec.get("fields"):
             for pf in spec["fields"]:
@@ -580,34 +663,140 @@ class Table:
                 src = pf["source"]
                 name = pf.get("name") or tr.result_name(src)
                 if name != src:
-                    df = df.withColumn(name, tr(F.col(src)))
+                    df = df.withColumn(name, tr.apply_typed(_source_type(src), F.col(src)))
                 part_cols.append(name)
         if sort and sort.get("fields"):
             from iceberg_ruby_spark.transforms import SortField
 
-            sort_cols = [
-                SortField(
+            sort_cols = []
+            for sf in sort["fields"]:
+                field_obj = SortField(
                     sf["source"],
                     parse_transform(sf.get("transform", "identity")),
                     sf.get("direction", "asc"),
                     sf.get("null_order"),
-                ).column()
-                for sf in sort["fields"]
-            ]
+                )
+                sort_cols.append(field_obj.column())
             df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("error")
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(out)
-        # count rows from parquet footers (cheap; no second job over data)
-        n = self.spark.read.parquet(out).count()
-        return out, n
+        return self._collect_file_stats(out)
 
-    def _commit_snapshot(self, operation: str, entries: list[dict[str, Any]], summary_extra: Optional[dict] = None) -> None:
+    def _collect_file_stats(self, out_dir: str) -> list[dict[str, Any]]:
+        """One Spark aggregation over the written files → per-file manifest
+        entries with record counts and min/max column bounds."""
+        written = self.spark.read.option("basePath", out_dir).parquet(out_dir)
+        stat_cols = [c for c in self._stats_columns() if c in written.columns]
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        for c in stat_cols:
+            aggs.append(F.min(c).alias(f"__min_{c}"))
+            aggs.append(F.max(c).alias(f"__max_{c}"))
+        rows = (
+            written.groupBy(F.col("_metadata.file_path").alias("__path"))
+            .agg(*aggs)
+            .collect()
+        )
+        entries = []
+        for r in rows:
+            d = r.asDict()
+            path = d["__path"]
+            if path.startswith("file:"):
+                path = path[len("file:"):]
+            entries.append(
+                {
+                    "path": path,
+                    "record-count": d["__rc"],
+                    "file-size-bytes": os.path.getsize(path) if os.path.exists(path) else None,
+                    "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
+                    "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
+                }
+            )
+        entries.sort(key=lambda e: e["path"])
+        return entries
+
+    @staticmethod
+    def _entries_rowcount(entries: list[dict[str, Any]]) -> int:
+        return sum(e.get("record-count") or 0 for e in entries)
+
+    @staticmethod
+    def _entry_files(entries: Iterable[dict[str, Any]]) -> list[str]:
+        """Expand manifest entries to data-file paths.  Supports current
+        per-file entries and round-1 legacy ``data-dir`` entries."""
+        files: list[str] = []
+        for e in entries:
+            if "path" in e:
+                files.append(e["path"])
+            elif "data-dir" in e:  # legacy dir-level entry
+                for root, _dirs, fns in os.walk(e["data-dir"]):
+                    for fn in sorted(fns):
+                        if fn.endswith(".parquet"):
+                            files.append(os.path.join(root, fn))
+        return files
+
+    def _read_entries(self, entries: list[dict[str, Any]], schema: Optional[ice_t.Schema] = None) -> DataFrame:
+        """Read manifest entries back as a DataFrame, restoring declared
+        column order and types (identity-partition values round-trip through
+        directory names; Spark's partition-column type inference is undone by
+        casting back to the table schema — round-1 review item)."""
+        schema = schema or self.current_schema()
+        files = self._entry_files(entries)
+        if not files:
+            return self.spark.createDataFrame([], schema.to_spark())
+        df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
+        return df.select(
+            *[F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
+        )
+
+    def _matching_files(self, entries: list[dict[str, Any]], cond) -> dict[str, int]:
+        """Find data files containing rows that match ``cond`` — one Spark job
+        with the predicate pushed into the Parquet scan; returns
+        {file_path: matching_row_count}.  This is the pruning step that makes
+        mutations file-local instead of full-table rewrites."""
+        files = self._entry_files(entries)
+        if not files:
+            return {}
+        df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
+        schema = self.current_schema()
+        cast_cols = [F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
+        df = df.select(F.col("_metadata.file_path").alias("__file"), *cast_cols)
+        rows = df.filter(cond).groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
+        out = {}
+        for r in rows:
+            p = r["__file"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            out[p] = r["n"]
+        return out
+
+    def _commit_snapshot(
+        self,
+        operation: str,
+        entries: list[dict[str, Any]],
+        summary_extra: Optional[dict] = None,
+        mode: str = "replace",
+    ) -> None:
+        """Optimistic commit.  ``mode='append'`` treats ``entries`` as a
+        *delta* merged with the live manifest **re-read on every retry** —
+        a concurrent committer's files are never dropped (round-1 advisory:
+        stale entry list on retry = lost update).  ``mode='replace'`` commits
+        ``entries`` as the full new manifest."""
         for _attempt in range(5):
             meta = self.ops.load()
+            if mode == "append":
+                cur = meta.current_snapshot_id
+                base_entries: list[dict[str, Any]] = []
+                if cur is not None:
+                    for s in meta.snapshots:
+                        if s.snapshot_id == cur:
+                            base_entries = self.ops.read_manifest(s.manifest_list)
+                            break
+                all_entries = base_entries + entries
+            else:
+                all_entries = entries
             snapshot_id = _new_snapshot_id()
-            manifest = self.ops.write_manifest(snapshot_id, entries)
+            manifest = self.ops.write_manifest(snapshot_id, all_entries)
             now = _now_ms()
             parent = meta.current_snapshot_id
             snap = Snapshot(
@@ -633,7 +822,7 @@ class Table:
             refs = dict(meta.refs)
             refs[MAIN_BRANCH] = {"snapshot-id": snapshot_id, "type": "branch"}
             raw["refs"] = refs
-            raw["next-row-id"] = meta.next_row_id + sum(e.get("record-count", 0) for e in entries)
+            raw["next-row-id"] = meta.next_row_id + self._entries_rowcount(entries)
             try:
                 self.metadata = self.ops.commit(meta.version, raw)
                 return
@@ -649,14 +838,13 @@ class Table:
 
     def append(self, data: Any) -> "Table":
         """Fast-append: write new files, commit a child snapshot (reference
-        ``table.rb:161-166`` / ``table.rs:62-125``)."""
+        ``table.rb:161-166`` / ``table.rs:62-125``).  Only the delta entries
+        go to the commit loop; the live manifest is re-read per retry."""
         self._check_writable()
         df = self._normalize_input(data)
-        data_dir, n = self._write_data_dir(df)
-        entries = self._current_entries() + [
-            {"data-dir": data_dir, "record-count": n, "added-ms": _now_ms()}
-        ]
-        self._commit_snapshot("append", entries, {"added-records": n})
+        new_entries = self._write_data_dir(df)
+        n = self._entries_rowcount(new_entries)
+        self._commit_snapshot("append", new_entries, {"added-records": n}, mode="append")
         return self
 
     def overwrite(self, data: Any) -> "Table":
@@ -664,34 +852,53 @@ class Table:
         DELETE error out, ``test/sql_test.rb:55-69``)."""
         self._check_writable()
         df = self._normalize_input(data)
-        data_dir, n = self._write_data_dir(df)
-        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"added-records": n})
+        new_entries = self._write_data_dir(df)
+        n = self._entries_rowcount(new_entries)
+        self._commit_snapshot("overwrite", new_entries, {"added-records": n})
         return self
 
     def delete_where(self, condition: Union[str, Any]) -> int:
-        """Copy-on-write DELETE: rewrite surviving rows, commit ``delete``
-        snapshot.  Returns deleted row count."""
+        """File-pruned copy-on-write DELETE: rewrite only the files that
+        contain matching rows; carry all other files forward by reference.
+        Returns deleted row count."""
         self._check_writable()
-        df = self.to_df()
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        survivors = df.filter(~cond | cond.isNull())
-        data_dir, n = self._write_data_dir(survivors.select(*[f.name for f in self.current_schema().fields]))
-        before = df.count()
-        self._commit_snapshot("delete", [{"data-dir": data_dir, "record-count": n}], {"deleted-records": before - n})
-        return before - n
+        entries = self._current_entries()
+        hits = self._matching_files(entries, cond)
+        deleted = sum(hits.values())
+        if not hits:
+            return 0
+        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
+        survivors = self._read_entries(hit_entries).filter(~cond | cond.isNull())
+        new_entries = self._write_data_dir(survivors)
+        self._commit_snapshot(
+            "delete", keep_entries + new_entries, {"deleted-records": deleted}
+        )
+        return deleted
 
     def update_where(self, assignments: dict[str, Any], condition: Union[str, Any]) -> int:
-        """Copy-on-write UPDATE."""
+        """File-pruned copy-on-write UPDATE: rewrite only files containing
+        matching rows."""
         self._check_writable()
-        df = self.to_df()
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        out = df
+        entries = self._current_entries()
+        hits = self._matching_files(entries, cond)
+        updated = sum(hits.values())
+        if not hits:
+            return 0
+        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
+        out = self._read_entries(hit_entries)
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
             out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-        data_dir, n = self._write_data_dir(out.select(*[f.name for f in self.current_schema().fields]))
-        updated = df.filter(cond).count()
-        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"updated-records": updated})
+        new_entries = self._write_data_dir(
+            out.select(*[f.name for f in self.current_schema().fields])
+        )
+        self._commit_snapshot(
+            "overwrite", keep_entries + new_entries, {"updated-records": updated}
+        )
         return updated
 
     def merge_into(
@@ -701,45 +908,91 @@ class Table:
         when_matched_update: Optional[dict[str, str]] = None,
         when_not_matched_insert: bool = True,
     ) -> "Table":
-        """MERGE INTO emulation: anti-join + union + conditional update —
-        copy-on-write, one commit."""
+        """MERGE INTO emulation — file-pruned copy-on-write, one commit.
+
+        Matching uses an explicit marker column (not key-null sniffing) and
+        duplicate source keys are rejected up front, matching ANSI MERGE
+        cardinality semantics (round-1 review items)."""
         self._check_writable()
         keys = [on] if isinstance(on, str) else list(on)
-        target = self.to_df()
         cols = [f.name for f in self.current_schema().fields]
-        matched = target.alias("t").join(source.alias("s"), keys, "left")
+        dup = (
+            source.groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") > 1)
+            .limit(1)
+            .count()
+        )
+        if dup:
+            raise InvalidDataError(
+                "merge source has duplicate rows for the ON keys; MERGE requires "
+                "at most one source row per target row"
+            )
+        entries = self._current_entries()
+        key_cond = None
+        # files containing rows whose keys appear in the source (semi-join
+        # against distinct source keys; AQE broadcasts when small)
+        files = self._entry_files(entries)
+        if files:
+            schema = self.current_schema()
+            raw_df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
+            cast_cols = [
+                F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields
+            ]
+            t_meta = raw_df.select(F.col("_metadata.file_path").alias("__file"), *cast_cols)
+            hit_rows = (
+                t_meta.join(source.select(*keys).distinct(), keys, "left_semi")
+                .groupBy("__file")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+            hits = {}
+            for r in hit_rows:
+                p = r["__file"]
+                if p.startswith("file:"):
+                    p = p[len("file:"):]
+                hits[p] = r["n"]
+        else:
+            hits = {}
+        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
+        target = self._read_entries(hit_entries)
+        marked = source.withColumn("__s_matched", F.lit(True))
+        matched = target.alias("t").join(marked.alias("s"), keys, "left")
+        is_matched = F.col("__s_matched").isNotNull()
         out_cols = []
         for c in cols:
             if when_matched_update and c in when_matched_update:
                 upd = F.expr(when_matched_update[c])
-                out_cols.append(
-                    F.when(F.col(f"s.{keys[0]}").isNotNull(), upd).otherwise(F.col(f"t.{c}")).alias(c)
-                )
-            elif c in keys:
-                out_cols.append(F.col(f"t.{c}").alias(c))
+                out_cols.append(F.when(is_matched, upd).otherwise(F.col(f"t.{c}")).alias(c))
             else:
                 out_cols.append(F.col(f"t.{c}").alias(c))
         merged = matched.select(*out_cols)
         if when_not_matched_insert:
-            inserts = source.join(target.select(*keys), keys, "left_anti")
+            full_target = self._read_entries(entries)
+            inserts = source.join(full_target.select(*keys), keys, "left_anti")
             for c in cols:
                 if c not in inserts.columns:
                     inserts = inserts.withColumn(c, F.lit(None))
             merged = merged.unionByName(inserts.select(*cols))
-        data_dir, n = self._write_data_dir(merged)
-        self._commit_snapshot("overwrite", [{"data-dir": data_dir, "record-count": n}], {"operation-detail": "merge"})
+        new_entries = self._write_data_dir(merged)
+        self._commit_snapshot(
+            "overwrite", keep_entries + new_entries, {"operation-detail": "merge"}
+        )
         return self
 
     # -- maintenance ---------------------------------------------------------
     def compact(self, target_file_rows: int = 1_000_000) -> "Table":
         """rewrite_data_files analog: coalesce all live files into one commit
-        (reference exposes none; north-star 'compaction')."""
+        (reference exposes none; north-star 'compaction').  Row count comes
+        from manifest stats — no extra count job."""
         self._check_writable()
-        df = self.to_df()
-        n_rows = df.count()
-        n_files = max(1, n_rows // target_file_rows)
-        data_dir, n = self._write_data_dir(df.repartition(n_files))
-        self._commit_snapshot("replace", [{"data-dir": data_dir, "record-count": n}], {"compacted": True})
+        entries = self._current_entries()
+        n_rows = self._entries_rowcount(entries)
+        n_files = max(1, n_rows // max(1, target_file_rows))
+        df = self._read_entries(entries)
+        new_entries = self._write_data_dir(df.repartition(n_files))
+        self._commit_snapshot("replace", new_entries, {"compacted": True})
         return self
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
@@ -759,17 +1012,25 @@ class Table:
         return expired
 
     def remove_orphan_files(self) -> list[str]:
-        """Delete data dirs not referenced by any live snapshot."""
+        """Delete commit dirs whose files are referenced by no live snapshot."""
         self._check_writable()
         live: set[str] = set()
         for snap in self.snapshots:
-            for e in self.ops.read_manifest(snap.manifest_list):
-                live.add(e["data-dir"])
+            for f in self._entry_files(self.ops.read_manifest(snap.manifest_list)):
+                live.add(os.path.abspath(f))
         removed = []
         if os.path.isdir(self.ops.data_dir):
-            for d in os.listdir(self.ops.data_dir):
+            for d in sorted(os.listdir(self.ops.data_dir)):
                 full = os.path.join(self.ops.data_dir, d)
-                if full not in live:
+                if not os.path.isdir(full):
+                    continue
+                has_live = any(
+                    os.path.abspath(os.path.join(root, fn)) in live
+                    for root, _dirs, fns in os.walk(full)
+                    for fn in fns
+                    if fn.endswith(".parquet")
+                )
+                if not has_live:
                     import shutil
 
                     shutil.rmtree(full)
@@ -817,26 +1078,39 @@ class TableScan:
         return self
 
     def plan_files(self) -> list[dict[str, Any]]:
-        """File-level scan plan (reference ``scan.plan_files`` →
-        FileScanTask list, ``ext/iceberg/src/scan.rs:82-109``)."""
+        """File-level scan plan from manifest entries — record counts and
+        column bounds come from commit-time stats, no filesystem walk
+        (reference ``scan.plan_files`` → FileScanTask list,
+        ``ext/iceberg/src/scan.rs:82-109``)."""
         snap = self.snapshot()
         if snap is None:
             return []
         tasks = []
         for e in self.table.ops.read_manifest(snap.manifest_list):
-            d = e["data-dir"]
-            for root, _dirs, files in os.walk(d):
-                for fn in files:
-                    if fn.endswith(".parquet"):
-                        full = os.path.join(root, fn)
-                        tasks.append(
-                            {
-                                "data_file_path": full,
-                                "file_size_in_bytes": os.path.getsize(full),
-                                "record_count": None,
-                                "delete_files": [],
-                            }
-                        )
+            if "path" in e:
+                tasks.append(
+                    {
+                        "data_file_path": e["path"],
+                        "file_size_in_bytes": e.get("file-size-bytes"),
+                        "record_count": e.get("record-count"),
+                        "lower_bounds": e.get("lower-bounds", {}),
+                        "upper_bounds": e.get("upper-bounds", {}),
+                        "delete_files": [],
+                    }
+                )
+            elif "data-dir" in e:  # legacy dir-level entry
+                for root, _dirs, files in os.walk(e["data-dir"]):
+                    for fn in sorted(files):
+                        if fn.endswith(".parquet"):
+                            full = os.path.join(root, fn)
+                            tasks.append(
+                                {
+                                    "data_file_path": full,
+                                    "file_size_in_bytes": os.path.getsize(full),
+                                    "record_count": None,
+                                    "delete_files": [],
+                                }
+                            )
         return tasks
 
     def to_df(self) -> DataFrame:
@@ -848,13 +1122,12 @@ class TableScan:
         if snap is None:
             df = spark.createDataFrame([], schema.to_spark())
         else:
-            dirs = [e["data-dir"] for e in self.table.ops.read_manifest(snap.manifest_list)]
-            if not dirs:
-                df = spark.createDataFrame([], schema.to_spark())
-            else:
-                df = spark.read.option("basePath", self.table.ops.data_dir).parquet(*dirs)
-                # drop hidden-partition derived columns, restore column order
-                df = df.select(*[f.name for f in schema.fields])
+            entries = self.table.ops.read_manifest(snap.manifest_list)
+            # _read_entries restores declared column order AND casts each
+            # column back to the table schema (identity-partition values
+            # round-trip through directory names; without the cast Spark's
+            # partition type inference can flip e.g. string→int)
+            df = self.table._read_entries(entries, schema=schema)
         for c in self._filters:
             df = df.filter(c)
         if self._selects:

@@ -196,9 +196,11 @@ class TableDefinition:
 
 def schema_from_any(spec: Any) -> ice_t.Schema:
     """Accept the reference's create_table schema forms: a Schema, a
-    TableDefinition, a ``{name: type}`` hash, a Spark StructType, or a
-    callable DSL block ``lambda t: t.long("id")``
-    (reference ``lib/iceberg/catalog.rb:46-70``)."""
+    TableDefinition, a ``{name: type}`` hash, a Spark StructType, a pyarrow
+    Schema/Table/RecordBatch (the reference infers from any
+    Arrow-schema-bearing object, ``lib/iceberg/catalog.rb:57-58``,
+    ``ext/iceberg/src/schema.rs:27-44``), or a callable DSL block
+    ``lambda t: t.long("id")`` (reference ``lib/iceberg/catalog.rb:46-70``)."""
     from pyspark.sql import types as T
 
     if isinstance(spec, ice_t.Schema):
@@ -207,6 +209,15 @@ def schema_from_any(spec: Any) -> ice_t.Schema:
         return spec.schema()
     if isinstance(spec, T.StructType):
         return ice_t.Schema.from_spark(spec)
+    try:
+        import pyarrow as pa
+
+        if isinstance(spec, (pa.Table, pa.RecordBatch)):
+            spec = spec.schema
+        if isinstance(spec, pa.Schema):
+            return ice_t.Schema.from_spark(_arrow_to_spark_struct(spec))
+    except ImportError:  # pragma: no cover
+        pass
     if isinstance(spec, dict):
         td = TableDefinition()
         for name, type_spec in spec.items():
@@ -217,3 +228,12 @@ def schema_from_any(spec: Any) -> ice_t.Schema:
         spec(td)
         return td.schema()
     raise InvalidDataError(f"cannot build a schema from {type(spec).__name__}")
+
+
+def _arrow_to_spark_struct(arrow_schema: Any):
+    """pyarrow Schema → Spark StructType (auto-assigned field ids follow via
+    Schema.from_spark, matching the reference's
+    ``arrow_schema_to_schema_auto_assign_ids``)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    return from_arrow_schema(arrow_schema)

@@ -32,6 +32,12 @@ class Transform:
     def __call__(self, col: Column) -> Column:
         raise NotImplementedError
 
+    def apply_typed(self, source_type: Optional[ice_t.Type], col: Column) -> Column:
+        """Type-aware application; transforms whose semantics depend on the
+        source type (truncate) override this.  Callers that know the schema
+        (the write path) must use this instead of ``__call__``."""
+        return self(col)
+
     def result_name(self, source_name: str) -> str:
         return f"{source_name}_{self.name}"
 
@@ -97,17 +103,29 @@ class TruncateTransform(Transform):
         self.width = width
 
     def __call__(self, col: Column) -> Column:
-        # string truncation when the input is a string; numeric floor otherwise.
-        w = F.lit(self.width)
-        return F.when(
-            col.cast("string").isNotNull() & col.try_cast("double").isNull(),
-            F.substring(col.cast("string"), 1, self.width),
-        ).otherwise((col - F.pmod(col, w)).cast("string"))
+        # Untyped fallback (no schema in hand): treat as string prefix.  The
+        # write path always goes through apply_typed with the schema type —
+        # round-1 review flagged the old runtime value-sniffing dispatch as a
+        # wrong-answer bug for numeric-looking strings.
+        return F.substring(col.cast("string"), 1, self.width)
+
+    def apply_typed(self, source_type: Optional[ice_t.Type], col: Column) -> Column:
+        if source_type is None:
+            return self(col)
+        return self.for_type(source_type, col)
 
     def for_type(self, source_type: ice_t.Type, col: Column) -> Column:
+        """Static dispatch on the declared source type (Iceberg spec:
+        string → prefix, int/long/decimal → floor to multiple of W,
+        binary → byte prefix)."""
         if isinstance(source_type, ice_t.StringType):
             return F.substring(col, 1, self.width)
-        return col - F.pmod(col, F.lit(self.width))
+        if isinstance(source_type, (ice_t.BinaryType, ice_t.FixedType)):
+            # byte prefix: Spark substring on BinaryType slices bytes
+            return F.substring(col, 1, self.width)
+        if isinstance(source_type, (ice_t.IntType, ice_t.LongType, ice_t.DecimalType)):
+            return col - F.pmod(col, F.lit(self.width))
+        raise InvalidDataError(f"truncate transform does not accept {source_type.name}")
 
     def result_name(self, source_name: str) -> str:
         return f"{source_name}_trunc_{self.width}"
