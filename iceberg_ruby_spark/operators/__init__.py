@@ -1,0 +1,69 @@
+"""operators — large-scale data-pipeline operators beyond the reference.
+
+The reference (ankane/iceberg-ruby) has no compute operators of its own
+(SURVEY.md §2 Tier C); these are the LLM-training-data-pipeline extensions
+mandated by the project north star, each designed Spark-first for ~100 TB:
+
+- :mod:`dedup` — exact, MinHash-LSH, SimHash, n-gram-Jaccard dedup.
+- :mod:`similarity` — brute-force cosine top-k + LSH-bucketed ANN.
+- :mod:`text` — language-ID, quality scoring, token counting, fingerprints.
+- :mod:`asof` — as-of (nearest-key temporal) join via a single-shuffle
+  union+window plan.
+- :mod:`multimodal` — binary media columns with typed metadata; decode /
+  feature-extract plumbing over ``mapInPandas`` (codec stubbed: the image /
+  audio libraries are not in this container).
+
+Every operator keeps the hot path JVM-side (built-in ``pyspark.sql.functions``
+inside whole-stage codegen); Python appears only in Arrow-batched pandas UDFs
+where Spark lacks the primitive.
+"""
+
+from iceberg_ruby_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_by_hash,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash,
+)
+from iceberg_ruby_spark.operators.similarity import (
+    cosine_topk,
+    lsh_ann_topk,
+    vector_norms,
+)
+from iceberg_ruby_spark.operators.text import (
+    add_text_stats,
+    fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+)
+from iceberg_ruby_spark.operators.asof import asof_join
+from iceberg_ruby_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    attach_media_metadata,
+    decode_media_batch,
+    extract_features,
+)
+
+__all__ = [
+    "exact_dedup",
+    "exact_dedup_by_hash",
+    "minhash_signatures",
+    "minhash_lsh_pairs",
+    "ngram_jaccard_pairs",
+    "simhash",
+    "cosine_topk",
+    "lsh_ann_topk",
+    "vector_norms",
+    "add_text_stats",
+    "fingerprint",
+    "language_id",
+    "quality_score",
+    "token_count",
+    "asof_join",
+    "MEDIA_SCHEMA",
+    "attach_media_metadata",
+    "decode_media_batch",
+    "extract_features",
+]

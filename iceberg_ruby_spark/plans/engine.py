@@ -1,0 +1,185 @@
+"""Engine (write-path) queries: the catalog/table API exercised end-to-end
+and re-read as a query, hash-compared against a pure-SQL oracle.
+
+These verify the parts of SURVEY.md §2 Tier A that a SELECT cannot reach:
+append (A17), copy-on-write delete/update/merge (Tier C), time travel
+(A23), and hidden-partition transforms (A37-A44).  Each builds a throwaway
+warehouse under /tmp, writes a small deterministic slice of the testdata,
+and returns the read-back DataFrame.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.plans.registry import query
+from iceberg_ruby_spark.plans.tables import load
+
+_ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def _temp_catalog(spark):
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    return cat
+
+
+def _orders_schema():
+    return {
+        "o_orderkey": "long",
+        "o_custkey": "long",
+        "o_orderstatus": "string",
+        "o_totalprice": "double",
+        "o_orderdate": "timestamp",
+        "o_orderpriority": "string",
+    }
+
+
+@query(
+    "engine_append_roundtrip",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey < 2000",
+)
+def engine_append_roundtrip(spark, sf_dir):
+    """append → scan round trip (reference table.rb:161-166): values must
+    survive the Parquet write bit-for-bit."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_rt", schema=_orders_schema())
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    t.append(src)
+    return t.to_df()
+
+
+@query(
+    "engine_delete_cow",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_delete_cow(spark, sf_dir):
+    """File-pruned copy-on-write DELETE, re-read after commit."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_del", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_where("o_totalprice > 200000")
+    return t.to_df()
+
+
+@query(
+    "engine_update_cow",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_totalprice < 1000 THEN 'L' ELSE o_orderstatus END AS o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders WHERE o_orderkey < 2000
+    """,
+)
+def engine_update_cow(spark, sf_dir):
+    """File-pruned copy-on-write UPDATE."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_upd", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.update_where({"o_orderstatus": "'L'"}, "o_totalprice < 1000")
+    return t.to_df()
+
+
+@query(
+    "engine_merge",
+    oracle="""
+    WITH target AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000),
+         source AS (SELECT o_orderkey, o_totalprice * 2 AS new_price FROM orders
+                    WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+    SELECT t.o_orderkey, COALESCE(s.new_price, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, s.new_price AS o_totalprice FROM source s
+    WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    """,
+)
+def engine_merge(spark, sf_dir):
+    """MERGE INTO emulation: matched rows updated, unmatched inserted."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_mrg", schema={"o_orderkey": "long", "o_totalprice": "double"})
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice"))
+    source = (
+        orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    t.merge_into(
+        source,
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=True,
+    )
+    return t.to_df()
+
+
+@query(
+    "engine_time_travel",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderdate < TIMESTAMP '1996-01-01 00:00:00' AND o_orderkey < 3000
+    """,
+)
+def engine_time_travel(spark, sf_dir):
+    """Two appends; scan pinned at the first snapshot sees only batch 1
+    (reference scan(snapshot_id:), table.rs:52-60)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_tt", schema=_orders_schema())
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    t.append(orders.filter(F.col("o_orderdate") < F.lit("1996-01-01").cast("timestamp")))
+    first_snapshot = t.current_snapshot_id
+    t.append(orders.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")))
+    return t.to_df(snapshot_id=first_snapshot)
+
+
+@query(
+    "engine_partitioned_write",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 4000 AND year(o_orderdate) = 1996
+    """,
+)
+def engine_partitioned_write(spark, sf_dir):
+    """Hidden partitioning: write with a year() transform, read back with a
+    partition-pruned filter (transforms A37/A40)."""
+    from iceberg_ruby_spark.transforms import PartitionField, PartitionSpec, YearTransform
+
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_part",
+        schema=_orders_schema(),
+        partition_spec=PartitionSpec(fields=[PartitionField("o_orderdate", YearTransform())]),
+    )
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000))
+    return t.to_df().filter(F.year("o_orderdate") == 1996)
+
+
+@query(
+    "engine_sql_roundtrip",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n FROM orders
+    WHERE o_orderkey < 2000 GROUP BY o_orderpriority
+    """,
+)
+def engine_sql_roundtrip(spark, sf_dir):
+    """catalog.sql() over a warehouse table with $n params (reference
+    catalog.rb:103-108, sql_test.rb:29-43)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_sql", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    return cat.sql(
+        "SELECT o_orderpriority, COUNT(*) AS n FROM orders_sql WHERE o_orderkey < $1 "
+        "GROUP BY o_orderpriority",
+        [2000],
+    ).df

@@ -1,0 +1,337 @@
+"""LLM-data-pipeline queries over documents/embeddings — SURVEY.md §2 Tier C
+extension surface (dedup, similarity search, text analysis, multimodal).
+
+Oracle twins replicate the operator formulas in DuckDB SQL term by term;
+hash-based operators (MinHash/SimHash/LSH) are engine-specific and declared
+rows-only (no oracle — the driver records the weaker check).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.plans.registry import query
+from iceberg_ruby_spark.plans.tables import load
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact_text",
+    oracle="""
+    SELECT MIN(doc_id) AS keep_id, COUNT(*) AS n_copies FROM documents GROUP BY text
+    """,
+    bench=True,
+)
+def dedup_exact_text(spark, sf_dir):
+    """Exact dedup: one hash shuffle on the text; survivor = min doc_id."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy("text").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    ).select("keep_id", "n_copies")
+
+
+_FP_SQL = (
+    "md5(trim(regexp_replace(regexp_replace(lower(text), '[^\\w\\s]', '', 'g'), "
+    "'\\s+', ' ', 'g')))"
+)
+
+
+@query(
+    "dedup_fingerprint",
+    oracle=f"""
+    SELECT {_FP_SQL} AS fp, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_fingerprint(spark, sf_dir):
+    """Near-exact dedup on the normalized-text fingerprint: shuffles a
+    32-byte digest instead of document bodies (the 100 TB-safe key)."""
+    from iceberg_ruby_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(fingerprint(F.col("text")).alias("fp"), "doc_id").groupBy("fp").agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@query("dedup_minhash_lsh", bench=True)  # xxhash64-based — rows-only check
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup pairs (operators/dedup.py): banded bucket join,
+    exact-Jaccard verification of candidates only — never all-pairs."""
+    from iceberg_ruby_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_size=5, threshold=0.5
+    )
+
+
+@query("dedup_simhash")  # xxhash64-based — rows-only check
+def dedup_simhash(spark, sf_dir):
+    """64-bit SimHash signatures (single shuffle, 64 conditional sums)."""
+    from iceberg_ruby_spark.operators.dedup import simhash
+
+    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+
+
+_NGRAM_JACCARD_SQL = """
+WITH sh AS (
+  SELECT doc_id, source,
+         list_distinct(string_split_regex(lower(trim(text)), '\\s+')) AS s
+  FROM documents
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(
+         CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+         / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE),
+       6) AS jaccard
+FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+      / CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS DOUBLE) >= 0.3
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_JACCARD_SQL)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact token-set Jaccard within a blocking key (source) — pair
+    enumeration bounded to blocks."""
+    from iceberg_ruby_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "text", "doc_id", block_col="source", n=1, threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+_TOKEN_COUNT_SQL = (
+    f"CASE WHEN length(trim(text)) = 0 THEN 0 ELSE CAST(len({_TOKENS_SQL}) AS INTEGER) END"
+)
+_BPE_SQL = "CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^\\sA-Za-z0-9]')) AS INTEGER)"
+_PUNCT_SQL = (
+    "(length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))"
+    " / greatest(length(text), 1)"
+)
+_UPPER_SQL = (
+    "(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))"
+    " / greatest(length(text), 1)"
+)
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS INTEGER) AS char_len,
+           {_TOKEN_COUNT_SQL} AS n_tokens,
+           {_BPE_SQL} AS n_bpe_tokens,
+           round({_PUNCT_SQL}, 6) AS punct_ratio,
+           round({_UPPER_SQL}, 6) AS upper_ratio
+    FROM documents
+    """,
+)
+def text_token_stats(spark, sf_dir):
+    """Whitespace + BPE-ish token counts and character-class ratios — all
+    built-in functions, zero UDFs (operators/text.py)."""
+    from iceberg_ruby_spark.operators import text as T
+
+    d = load(spark, sf_dir, "documents")
+    c = F.col("text")
+    return d.select(
+        "doc_id",
+        F.length(c).alias("char_len"),
+        T.token_count(c).alias("n_tokens"),
+        T.bpe_ish_token_count(c).alias("n_bpe_tokens"),
+        F.round(T.punct_ratio(c), 6).alias("punct_ratio"),
+        F.round(T.uppercase_ratio(c), 6).alias("upper_ratio"),
+    )
+
+
+def _lang_hits_sql(words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_intersect(list_distinct(string_split_regex(lower(trim(text)), '\\s+')), "
+        f"[{arr}]))"
+    )
+
+
+def _lang_id_oracle() -> str:
+    from iceberg_ruby_spark.operators.text import STOPWORDS
+
+    hits = {lang: _lang_hits_sql(ws) for lang, ws in STOPWORDS.items()}
+    best = "greatest(" + ", ".join(hits[lang] for lang in sorted(hits)) + ")"
+    cases = "\n".join(
+        f"WHEN {best} > 0 AND {hits[lang]} = {best} THEN '{lang}'"
+        for lang in sorted(hits)
+    )
+    return f"""
+    SELECT doc_id, lang AS labeled_lang,
+           CASE {cases} ELSE 'und' END AS lang_guess
+    FROM documents
+    """
+
+
+@query("text_language_id", oracle=_lang_id_oracle())
+def text_language_id(spark, sf_dir):
+    """Stopword-hit language-ID heuristic; ties break in sorted-lang order."""
+    from iceberg_ruby_spark.operators.text import language_id
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        language_id(F.col("text")).alias("lang_guess"),
+    )
+
+
+_QUALITY_SQL = f"""
+    round(
+      least(length(text) / 500.0, 1.0) * 0.4
+      + (CASE WHEN (length(regexp_replace(text, '\\s+', '', 'g'))
+                    / greatest({_TOKEN_COUNT_SQL}, 1)) BETWEEN 3 AND 10
+              THEN 1.0 ELSE 0.5 END) * 0.3
+      + greatest(0.0, 1.0 - ({_PUNCT_SQL}) * 5 - ({_UPPER_SQL}) * 2) * 0.3,
+    6)
+"""
+
+
+@query(
+    "text_quality_score",
+    oracle=f"SELECT doc_id, {_QUALITY_SQL} AS quality FROM documents",
+)
+def text_quality_score(spark, sf_dir):
+    from iceberg_ruby_spark.operators.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",
+)
+def text_fingerprint(spark, sf_dir):
+    from iceberg_ruby_spark.operators.text import fingerprint
+
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_COS_SQL = (
+    "list_cosine_similarity(CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))"
+)
+
+
+@query(
+    "embedding_cosine_topk",
+    oracle=f"""
+    SELECT q.vec_id AS query_id, c.vec_id, round({_COS_SQL}, 6) AS cosine,
+           CAST(row_number() OVER (PARTITION BY q.vec_id
+                                   ORDER BY round({_COS_SQL}, 6) DESC, c.vec_id) AS INTEGER) AS rank
+    FROM embeddings c, (SELECT * FROM embeddings WHERE vec_id < 5) q
+    WHERE c.vec_id != q.vec_id
+    QUALIFY rank <= 10
+    """,
+    bench=True,
+)
+def embedding_cosine_topk(spark, sf_dir):
+    """Brute-force exact cosine top-10 for 5 query vectors: broadcast the
+    queries, scan the corpus once, JVM-side zip_with/aggregate dot product."""
+    from iceberg_ruby_spark.operators.similarity import cosine_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return cosine_topk(emb, q, k=10)
+
+
+@query("embedding_ann_lsh")  # bucketing is engine-specific — rows-only check
+def embedding_ann_lsh(spark, sf_dir):
+    """Random-hyperplane LSH ANN: bucket join + exact re-rank in bucket."""
+    from iceberg_ruby_spark.operators.similarity import lsh_ann_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return lsh_ann_topk(emb, q, k=10, n_planes=6)
+
+
+@query(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                       CAST(embedding AS DOUBLE[]))), 6) AS l2_norm
+    FROM embeddings
+    """,
+)
+def embedding_norms(spark, sf_dir):
+    from iceberg_ruby_spark.operators.similarity import vector_norms
+
+    emb = load(spark, sf_dir, "embeddings")
+    return vector_norms(emb, "embedding").select(
+        "vec_id", F.round("l2_norm", 6).alias("l2_norm")
+    )
+
+
+@query(
+    "embedding_centroids",
+    oracle="""
+    SELECT label, CAST(i AS INTEGER) AS pos,
+           round(CAST(SUM(CAST(embedding[CAST(i AS INTEGER)] AS DECIMAL(20,10))) AS DOUBLE)
+                 / COUNT(*), 6) AS centroid
+    FROM embeddings, generate_series(1, 64) AS g(i)
+    GROUP BY label, i
+    """,
+)
+def embedding_centroids(spark, sf_dir):
+    """Per-label centroids as (label, pos, mean) — posexplode + one groupBy;
+    element sums accumulate exactly in decimal for engine-independence."""
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(
+            (
+                F.sum(F.col("val").cast("decimal(20,10)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("centroid")
+        )
+        .select("label", F.col("pos").cast("int").alias("pos"), F.round("centroid", 6).alias("centroid"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@query("multimodal_features")  # decoder is a deterministic stub — rows-only
+def multimodal_features(spark, sf_dir):
+    """Binary media columns + metadata + mapInPandas feature extraction.
+    The codec is a deterministic sha256-based stand-in (real image/audio
+    libs are not installed); schema/partitioning/batching are the real
+    pipeline (operators/multimodal.py)."""
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        extract_features,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    media = attach_media_metadata(
+        d.select(F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")),
+        fmt="text/utf-8",
+    )
+    feats = extract_features(media)
+    return feats.select(
+        "media_id",
+        F.col("meta.size_bytes").alias("size_bytes"),
+        F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
+    )

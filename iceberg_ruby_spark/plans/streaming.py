@@ -1,0 +1,93 @@
+"""Streaming queries (SURVEY.md §7.7): Structured Streaming plans executed
+over the bounded events table with the availableNow trigger, hash-compared
+against batch-SQL oracles where the semantics are batch-equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.plans.registry import query
+
+
+@query(
+    "stream_tumbling_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS value_sum
+    FROM events GROUP BY 1, 2, 3
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time windows with a watermark, run as a real
+    streaming query (memory sink, complete mode).  Bounded replay makes the
+    result batch-equivalent → oracle is a date_trunc GROUP BY."""
+    from iceberg_ruby_spark.streaming import (
+        read_events_stream,
+        run_to_memory_table,
+        windowed_counts,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    agg = windowed_counts(events, window="1 hour", watermark="2 hours")
+    return run_to_memory_table(agg, spark, output_mode="complete")
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts - lag(ts) OVER w >= INTERVAL 5 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 5 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Gap-based session windows (5-minute inactivity gap) as a streaming
+    query; oracle is the classic gaps-and-islands SQL."""
+    from iceberg_ruby_spark.streaming import (
+        read_events_stream,
+        run_to_memory_table,
+        session_windows,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    sess = session_windows(events, gap="5 minutes")
+    return run_to_memory_table(sess, spark, output_mode="complete")
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="SELECT event_id, user_id, event_type FROM events",
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark over the stream (event_ids are unique
+    in the testdata, so the deduped stream equals the input set — the
+    assertion is that nothing is dropped or duplicated by the operator)."""
+    from iceberg_ruby_spark.streaming import (
+        dedup_events_stream,
+        read_events_stream,
+        run_to_memory_table,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    deduped = dedup_events_stream(events, watermark="1 hour").select(
+        "event_id", "user_id", "event_type"
+    )
+    return run_to_memory_table(deduped, spark, output_mode="append")

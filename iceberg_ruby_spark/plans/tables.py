@@ -1,0 +1,40 @@
+"""Test-data table loader shared by every declared query.
+
+``events.parquet`` carries INT64 TIMESTAMP(NANOS) which Spark cannot read
+natively; with ``spark.sql.legacy.parquet.nanosAsLong`` (set in session.py)
+it arrives as a long that we truncate to µs — matching DuckDB's ns→µs
+truncation, so both engines see identical timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # integer division — double division loses precision on ~1.7e18 ns
+        # epoch values (> 2^53) and rounds the last µs digit
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Temp views for queries expressed through the SQL surface."""
+    for n in names or TABLES:
+        load(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -44,6 +44,9 @@ def get_spark(app_name: str = "iceberg_ruby_spark", cpus: Optional[int] = None) 
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
+        # driver testdata events.parquet uses INT64 TIMESTAMP(NANOS); Spark
+        # has no ns timestamp — read as long, converted to µs by the loader
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -1,0 +1,25 @@
+"""Structured Streaming surface for the events table (SURVEY.md §2 Tier C /
+§7.7 — the reference is batch-only; `events` is its stream-shaped table).
+
+Patterns provided: bounded replay of the events parquet as a stream
+(``availableNow`` trigger), event-time tumbling windows with watermarks,
+session windows, and ``dropDuplicatesWithinWatermark``.  At scale the same
+plans run unmodified against an unbounded source (Kafka / file arrival) —
+the trigger is the only difference.
+"""
+
+from iceberg_ruby_spark.streaming.events import (
+    dedup_events_stream,
+    read_events_stream,
+    run_to_memory_table,
+    session_windows,
+    windowed_counts,
+)
+
+__all__ = [
+    "read_events_stream",
+    "windowed_counts",
+    "session_windows",
+    "dedup_events_stream",
+    "run_to_memory_table",
+]

@@ -1,0 +1,87 @@
+"""Event-stream building blocks over the driver's events table."""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a bounded stream (schema taken from a batch probe;
+    ns timestamps arrive as long — converted to µs like the batch loader)."""
+    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # file-stream sources take a directory; select the events file by glob
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("pathGlobFilter", "events.parquet")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(sf_dir)
+    )
+    if dict(batch.dtypes).get("ts") == "bigint":
+        stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return stream
+
+
+def windowed_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling event-time windows per event_type: count + exact-decimal
+    value sum.  The watermark bounds state for unbounded sources; replayed
+    bounded data is unaffected (nothing arrives later than it)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("value_sum"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n",
+            "value_sum",
+        )
+    )
+
+
+def session_windows(events: DataFrame, gap: str = "5 minutes") -> DataFrame:
+    """Gap-based session windows per user (session ends after ``gap`` of
+    inactivity; window end = last event + gap)."""
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+def dedup_events_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming dedup: drop event_id repeats within the watermark window
+    (bounded state — the 100 TB-safe streaming dedup)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+
+
+def run_to_memory_table(
+    df: DataFrame, spark: SparkSession, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a (bounded) streaming plan with the availableNow trigger into
+    a memory sink; returns the sink contents as a DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:12]}"
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)
