@@ -311,16 +311,35 @@ class FsTableOps:
         os.replace(hint_tmp, os.path.join(self.metadata_dir, "version-hint.text"))
         return TableMetadata(new_meta, new_version, path)
 
+    def _rel(self, p: str) -> str:
+        """Path as stored: relative to the table location, so the table tree
+        survives rename/move (and the layout maps 1:1 onto an object-store
+        prefix).  Paths outside the location stay absolute."""
+        ap = os.path.abspath(p)
+        loc = os.path.abspath(self.location)
+        if ap == loc or ap.startswith(loc + os.sep):
+            return os.path.relpath(ap, loc)
+        return p
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.location, p)
+
     def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
         os.makedirs(self.metadata_dir, exist_ok=True)
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
+        stored = [
+            {**e, "path": self._rel(e["path"])} if "path" in e else e for e in entries
+        ]
         with open(path, "w") as f:
-            json.dump({"snapshot-id": snapshot_id, "entries": entries}, f)
-        return path
+            json.dump({"snapshot-id": snapshot_id, "entries": stored}, f)
+        return self._rel(path)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
-        with open(manifest_list) as f:
-            return json.load(f)["entries"]
+        with open(self._abs(manifest_list)) as f:
+            entries = json.load(f)["entries"]
+        return [
+            {**e, "path": self._abs(e["path"])} if "path" in e else e for e in entries
+        ]
 
 
 def _now_ms() -> int:
@@ -574,10 +593,23 @@ class Table:
             present = [f for f in schema.fields if f.name in keys]
             import pyspark.sql.types as T
 
+            # decimal columns arrive as strings and are cast in the shared
+            # projection below — the reference coerces int/float/string
+            # decimal inputs alike (test/table_test.rb:79-85)
+            def _field_type(f):
+                if isinstance(f.field_type, ice_t.DecimalType):
+                    return T.StringType()
+                return f.to_spark().dataType
+
+            def _cell(f, v):
+                if v is not None and isinstance(f.field_type, ice_t.DecimalType):
+                    return str(v)
+                return v
+
             sub_schema = T.StructType(
-                [T.StructField(f.name, f.to_spark().dataType, True) for f in present]
+                [T.StructField(f.name, _field_type(f), True) for f in present]
             )
-            rows = [tuple(d.get(f.name) for f in present) for d in data]
+            rows = [tuple(_cell(f, d.get(f.name)) for f in present) for d in data]
             df = self.spark.createDataFrame(rows, schema=sub_schema)
         else:
             try:  # pandas / pyarrow
@@ -651,6 +683,12 @@ class Table:
         spec = self.default_partition_spec()
         sort = self.default_sort_order()
         schema = self.current_schema()
+        # every data file must carry exactly the table schema's physical types
+        # — a caller-shaped LongType column in an int table would write INT64
+        # parquet that later scans reject (round-2 test finding via merge)
+        df = df.select(
+            *[F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
+        )
 
         def _source_type(name: str) -> Optional[ice_t.Type]:
             f = schema.field_by_name(name)

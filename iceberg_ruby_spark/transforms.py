@@ -15,7 +15,7 @@ same family Iceberg specifies).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
+from typing import Any, Optional
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
@@ -248,10 +248,33 @@ class PartitionField:
         return self.transform(F.col(self.source_name)).alias(self.result_name)
 
 
+def partition_field_from_any(item: Any) -> PartitionField:
+    """Coerce a PartitionField / ``(source, transform)`` tuple / ``"source"``
+    string / ``{"source":..., "transform":...}`` dict into a PartitionField."""
+    if isinstance(item, PartitionField):
+        return item
+    if isinstance(item, str):
+        return PartitionField(item, IdentityTransform())
+    if isinstance(item, dict):
+        tr = item.get("transform", "identity")
+        tr = tr if isinstance(tr, Transform) else parse_transform(str(tr))
+        return PartitionField(item["source"], tr, item.get("name"))
+    if isinstance(item, (tuple, list)) and len(item) in (1, 2, 3):
+        src = item[0]
+        tr = item[1] if len(item) > 1 else IdentityTransform()
+        tr = tr if isinstance(tr, Transform) else parse_transform(str(tr))
+        name = item[2] if len(item) > 2 else None
+        return PartitionField(src, tr, name)
+    raise InvalidDataError(f"cannot interpret partition field: {item!r}")
+
+
 @dataclass
 class PartitionSpec:
     fields: list[PartitionField] = field(default_factory=list)
     spec_id: int = 0
+
+    def __post_init__(self) -> None:
+        self.fields = [partition_field_from_any(f) for f in self.fields]
 
     def validate(self, schema: ice_t.Schema) -> None:
         for f in self.fields:
@@ -296,10 +319,28 @@ class SortField:
         return c.desc_nulls_first() if self.null_order == "first" else c.desc_nulls_last()
 
 
+def sort_field_from_any(item: Any) -> SortField:
+    """Coerce a SortField / ``(source, direction)`` tuple / ``"source"``
+    string into a SortField (identity transform unless given)."""
+    if isinstance(item, SortField):
+        return item
+    if isinstance(item, str):
+        return SortField(item)
+    if isinstance(item, (tuple, list)) and len(item) in (1, 2, 3):
+        src = item[0]
+        direction = item[1] if len(item) > 1 else "asc"
+        null_order = item[2] if len(item) > 2 else None
+        return SortField(src, IdentityTransform(), direction, null_order)
+    raise InvalidDataError(f"cannot interpret sort field: {item!r}")
+
+
 @dataclass
 class SortOrder:
     fields: list[SortField] = field(default_factory=list)
     order_id: int = 1
+
+    def __post_init__(self) -> None:
+        self.fields = [sort_field_from_any(f) for f in self.fields]
 
     def to_json(self) -> list[dict]:
         return [

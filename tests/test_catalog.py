@@ -1,0 +1,166 @@
+"""Table DDL + SQL entry point — mirrors reference ``test/catalog_test.rb``,
+``test/create_table_test.rb``, ``test/sql_test.rb``."""
+
+import os
+
+import pytest
+
+import iceberg_ruby_spark as ice
+from iceberg_ruby_spark.errors import (
+    InvalidDataError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+    UnsupportedFeatureError,
+)
+
+
+def test_create_table_hash_schema(catalog):
+    t = catalog.create_table("t1", schema={"a": "int", "b": "string"})
+    names = [f.name for f in t.schema.fields]
+    assert names == ["a", "b"]
+    assert catalog.table_exists("t1")
+
+
+def test_create_table_requires_namespace(catalog):
+    with pytest.raises(NoSuchNamespaceError):
+        catalog.create_table("missing.t", schema={"a": "int"})
+
+
+def test_create_duplicate_raises(catalog):
+    catalog.create_table("t1", schema={"a": "int"})
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table("t1", schema={"a": "int"})
+    t = catalog.create_table("t1", schema={"a": "int"}, if_not_exists=True)
+    assert t is not None
+
+
+def test_create_table_requires_schema(catalog):
+    with pytest.raises(InvalidDataError):
+        catalog.create_table("t1")
+
+
+def test_create_table_from_struct_type(catalog):
+    import pyspark.sql.types as T
+
+    st = T.StructType(
+        [T.StructField("id", T.LongType()), T.StructField("name", T.StringType())]
+    )
+    t = catalog.create_table("t2", schema=st)
+    assert [f.name for f in t.schema.fields] == ["id", "name"]
+
+
+def test_create_table_from_pyarrow_schema(catalog):
+    import pyarrow as pa
+
+    t = catalog.create_table(
+        "t3", schema=pa.schema([("x", pa.int64()), ("y", pa.string())])
+    )
+    assert [f.name for f in t.schema.fields] == ["x", "y"]
+
+
+def test_load_missing_raises(catalog):
+    with pytest.raises(NoSuchTableError):
+        catalog.load_table("nope")
+
+
+def test_list_tables(catalog):
+    catalog.create_table("t1", schema={"a": "int"})
+    catalog.create_table("t2", schema={"a": "int"})
+    tables = catalog.list_tables()
+    assert ["default", "t1"] in tables and ["default", "t2"] in tables
+
+
+def test_drop_table(catalog):
+    catalog.create_table("t1", schema={"a": "int"})
+    catalog.drop_table("t1")
+    assert not catalog.table_exists("t1")
+    with pytest.raises(NoSuchTableError):
+        catalog.drop_table("t1")
+    catalog.drop_table("t1", if_exists=True)  # no raise
+
+
+def test_rename_table(catalog):
+    t = catalog.create_table("old", schema={"a": "int"})
+    t.append([{"a": 5}])
+    catalog.rename_table("old", "new")
+    assert not catalog.table_exists("old")
+    assert catalog.load_table("new").to_a() == [{"a": 5}]
+
+
+def test_register_table_attaches_without_copy(catalog):
+    t = catalog.create_table("src", schema={"a": "int"})
+    t.append([{"a": 1}])
+    meta_loc = t.location
+    reg = catalog.register_table("attached", meta_loc)
+    assert reg.to_a() == [{"a": 1}]
+    # pointer attach, not a tree copy: no duplicated data dir on disk
+    attached_dir = os.path.join(catalog.warehouse, "default", "attached")
+    assert not os.path.isdir(os.path.join(attached_dir, "data"))
+
+
+def test_custom_location_stays_reachable(catalog, tmp_path):
+    loc = str(tmp_path / "elsewhere")
+    t = catalog.create_table("ext", schema={"a": "int"}, location=loc)
+    t.append([{"a": 7}])
+    assert catalog.table_exists("ext")
+    assert catalog.load_table("ext").to_a() == [{"a": 7}]
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table("ext", schema={"a": "int"})
+
+
+# -- sql() ------------------------------------------------------------------
+
+
+def test_sql_select_and_params(catalog):
+    t = catalog.create_table("ev", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1, "b": "one"}, {"a": 2, "b": "two"}, {"a": 3, "b": "three"}])
+    res = catalog.sql("SELECT * FROM ev WHERE a >= $1 ORDER BY a", [2])
+    assert res.rows == [[2, "two"], [3, "three"]]
+    # extra params ignored (reference test/sql_test.rb:29-43)
+    res = catalog.sql("SELECT * FROM ev WHERE a = $1", [1, 99, 98])
+    assert res.rows == [[1, "one"]]
+
+
+def test_sql_scalar_no_table(catalog):
+    assert catalog.sql("SELECT 1 + 1 AS v").rows == [[2]]
+
+
+def test_sql_create_insert_routes_to_warehouse(catalog):
+    catalog.sql("CREATE TABLE sq (a int, b string)")
+    assert catalog.table_exists("sq")
+    catalog.sql("INSERT INTO sq VALUES (1, 'one'), (2, 'two')")
+    t = catalog.load_table("sq")
+    assert sorted(t.to_a(), key=lambda r: r["a"]) == [
+        {"a": 1, "b": "one"},
+        {"a": 2, "b": "two"},
+    ]
+    res = catalog.sql("SELECT b FROM sq WHERE a = 2")
+    assert res.rows == [["two"]]
+
+
+def test_sql_update_delete(catalog):
+    t = catalog.create_table("ud", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1, "b": "one"}, {"a": 2, "b": "two"}])
+    catalog.sql("UPDATE ud SET b = 'ONE' WHERE a = 1")
+    catalog.sql("DELETE FROM ud WHERE a = 2")
+    assert catalog.load_table("ud").to_a() == [{"a": 1, "b": "ONE"}]
+
+
+def test_sql_unsupported_write_raises(catalog):
+    with pytest.raises(UnsupportedFeatureError):
+        catalog.sql("ALTER TABLE x ADD COLUMN c int")
+
+
+def test_default_namespace_resolution():
+    cat = ice.MemoryCatalog()  # no default namespace
+    try:
+        cat.create_namespace("ns")
+        cat.create_table("ns.t", schema={"a": "int"})
+        assert cat.table_exists(["ns", "t"])
+        with pytest.raises(InvalidDataError):
+            cat.create_table("bare", schema={"a": "int"})
+    finally:
+        import shutil
+
+        shutil.rmtree(cat.warehouse, ignore_errors=True)

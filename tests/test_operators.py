@@ -1,0 +1,151 @@
+"""LLM-pipeline operators (SURVEY.md north-star extensions): dedup,
+similarity, text analysis, as-of join, multimodal plumbing — invariant
+checks on small synthetic frames (the driver oracle covers the
+``documents``/``embeddings`` fixtures at sf0.01)."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from iceberg_ruby_spark import operators as ops
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumped over the lazy dog"),  # near dup
+        (4, "completely different text about spark engines"),
+        (5, "THE QUICK BROWN  FOX jumps over the lazy dog"),  # case/ws dup
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup_deterministic_survivor(docs):
+    out = ops.exact_dedup(docs.select("text", "doc_id"), cols=["text"], tie_breaker="doc_id")
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4, 5]  # doc 2 dropped, lowest id survives
+
+
+def test_exact_dedup_by_hash_normalized(docs):
+    out = ops.exact_dedup_by_hash(docs, "text", tie_breaker="doc_id", normalize=True)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]  # 2 and 5 fold into 1
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    pairs = ops.minhash_lsh_pairs(docs, "text", id_col="doc_id", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # exact dup always survives
+    assert (1, 3) in got or (2, 3) in got  # near dup caught
+    assert not any(4 in p for p in got)  # unrelated text not paired
+
+
+def test_simhash_64bit_and_stable(docs, spark):
+    out = ops.simhash(docs, "text", id_col="doc_id")
+    rows = {r["doc_id"]: r["simhash"] for r in out.collect()}
+    assert rows[1] == rows[2]  # identical text → identical simhash
+    again = {r["doc_id"]: r["simhash"] for r in ops.simhash(docs, "text", id_col="doc_id").collect()}
+    assert rows == again  # deterministic
+
+
+def test_ngram_jaccard_pairs(docs):
+    blocked = docs.withColumn("blk", F.lit(1))
+    pairs = ops.ngram_jaccard_pairs(blocked, "text", id_col="doc_id", block_col="blk", threshold=0.5)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 1.0
+    assert all(a < b for a, b in got)  # canonical pair ordering
+
+
+def test_text_scalars(docs):
+    out = docs.select(
+        "doc_id",
+        ops.token_count(F.col("text")).alias("toks"),
+        ops.language_id(F.col("text")).alias("lang"),
+        ops.quality_score(F.col("text")).alias("q"),
+        ops.fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[1]["toks"] == 9
+    assert by_id[1]["lang"] == "en"
+    assert 0.0 <= by_id[1]["q"] <= 1.0
+    assert by_id[1]["fp"] == by_id[2]["fp"]  # same text, same fingerprint
+
+
+def test_cosine_topk_exact(spark):
+    corpus = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 1.0]), (3, [1.0, 0.1]), (4, [-1.0, 0.0])],
+        ["vec_id", "embedding"],
+    )
+    queries = corpus.filter(F.col("vec_id") == 1)
+    out = ops.cosine_topk(corpus, queries, k=2).collect()
+    ranked = [r["vec_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert ranked == [3, 2]  # nearest first, self excluded
+
+
+def test_lsh_ann_is_subset_of_exact(spark):
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 3)
+    ann = ops.lsh_ann_topk(corpus, queries, k=5, n_planes=4)
+    got = ann.collect()
+    assert len(got) > 0
+    # every ANN hit must be a genuine corpus neighbor with a valid cosine
+    assert all(-1.001 <= r["cosine"] <= 1.001 for r in got)
+    assert all(r["vec_id"] != r["query_id"] for r in got)
+
+
+def test_vector_norms(spark):
+    df = spark.createDataFrame([(1, [3.0, 4.0])], ["vec_id", "embedding"])
+    out = ops.vector_norms(df).collect()[0]
+    assert abs(out["l2_norm"] - 5.0) < 1e-9
+
+
+def test_asof_join_basic(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100.0), ("A", 7, 101.0), ("B", 5, 50.0)],
+        ["sym", "ts", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 5, 100.5), ("B", 6, 49.0)],
+        ["sym", "ts", "bid"],
+    )
+    out = ops.asof_join(trades, quotes, on="ts", by=["sym"])
+    got = {(r["sym"], r["ts"]): r["bid"] for r in out.collect()}
+    assert got[("A", 3)] == 99.0
+    assert got[("A", 7)] == 100.5
+    assert got[("B", 5)] is None  # no quote at or before ts=5
+
+
+def test_asof_join_strict_excludes_equal(spark):
+    left = spark.createDataFrame([(1, 5)], ["id", "ts"])
+    right = spark.createDataFrame([(5, "at5"), (4, "at4")], ["ts", "v"])
+    non_strict = ops.asof_join(left, right, on="ts").collect()[0]
+    strict = ops.asof_join(left, right, on="ts", strict=True).collect()[0]
+    assert non_strict["v"] == "at5"
+    assert strict["v"] == "at4"
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"\x00\x01\x02\x03" * 10), (2, b"\xff" * 16)], ["media_id", "payload"]
+    )
+    tagged = ops.attach_media_metadata(df, "payload", fmt="bin")
+    row = tagged.filter(F.col("media_id") == 1).collect()[0]
+    assert row["meta"]["size_bytes"] == 40
+    assert row["meta"]["format"] == "bin"
+    feats = ops.extract_features(tagged, decoder="fake")
+    frow = feats.filter(F.col("media_id") == 1).collect()[0]
+    assert len(frow["features"]) > 0  # deterministic fake decode
+
+
+def test_multimodal_real_decoder_is_stubbed(spark):
+    df = spark.createDataFrame([(1, b"x")], ["media_id", "payload"])
+    tagged = ops.attach_media_metadata(df)
+    with pytest.raises(Exception):
+        # "image" decoder requires codec libs not in this container —
+        # must raise loudly, not silently fake
+        ops.extract_features(tagged, decoder="image").collect()

@@ -1,0 +1,72 @@
+"""TableScan — select/filter/limit composition, snapshot pinning,
+plan_files, and Catalyst pushdown assertions (filters and pruned read
+schema must reach the Parquet scan — the 100 TB contract)."""
+
+import pyspark.sql.functions as F
+
+
+def _make(catalog, name="s", rows=100):
+    t = catalog.create_table(name, schema={"a": "int", "b": "string", "c": "double"})
+    t.append([{"a": i, "b": f"r{i}", "c": i / 2} for i in range(rows)])
+    return t
+
+
+def test_scan_filter_select_limit(catalog):
+    t = _make(catalog)
+    rows = t.scan().filter(F.col("a") < 10).select("a").to_a()
+    assert sorted(r["a"] for r in rows) == list(range(10))
+    assert set(rows[0].keys()) == {"a"}
+    assert len(t.scan().limit(5).to_a()) == 5
+
+
+def test_scan_filter_string_condition(catalog):
+    t = _make(catalog)
+    rows = t.scan().filter("a = 42").to_a()
+    assert rows == [{"a": 42, "b": "r42", "c": 21.0}]
+
+
+def test_scan_snapshot_pinning(catalog):
+    t = _make(catalog, rows=10)
+    snap1 = t.current_snapshot_id
+    t.append([{"a": 99, "b": "late", "c": 0.0}])
+    scan = t.scan(snapshot_id=snap1)
+    assert scan.snapshot().snapshot_id == snap1
+    assert len(scan.to_a()) == 10
+
+
+def test_plan_files_reports_stats(catalog):
+    t = _make(catalog, rows=10)
+    files = t.scan().plan_files()
+    assert len(files) >= 1
+    total = sum(f["record_count"] for f in files)
+    assert total == 10
+    f0 = files[0]
+    assert "lower_bounds" in f0 and "upper_bounds" in f0
+    assert f0["lower_bounds"]["a"] is not None
+
+
+def test_filter_pushdown_reaches_parquet_scan(catalog):
+    t = _make(catalog)
+    df = t.scan().filter(F.col("a") > 90).select("a", "b").to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    assert "IsNotNull(a)" in plan or "GreaterThan(a,90)" in plan
+
+
+def test_projection_prunes_read_schema(catalog):
+    t = _make(catalog)
+    df = t.scan().select("a").to_df()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # ReadSchema should not include unprojected columns b, c
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    fields = {f.split(":")[0] for f in m.group(1).split(",") if f}
+    assert fields == {"a"}, fields
+
+
+def test_to_arrow_from_scan(catalog):
+    t = _make(catalog, rows=10)
+    at = t.scan().select("a").to_arrow()
+    assert at.num_rows == 10 and at.column_names == ["a"]

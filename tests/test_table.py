@@ -1,0 +1,175 @@
+"""Table write/read round-trips — mirrors reference ``test/table_test.rb``
+(type grid incl. nulls/decimal/date/timestamp/binary, missing-column
+backfill, extra-column rejection, metadata accessors, time travel)."""
+
+import datetime
+import decimal
+
+import pytest
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+FULL_SCHEMA = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "decimal": "decimal(38, 8)",
+    "date": "date",
+    "timestamp": "timestamp",
+    "string": "string",
+    "binary": "binary",
+}
+
+
+def test_append_type_grid_roundtrip(catalog):
+    t = catalog.create_table("events", schema=FULL_SCHEMA)
+    today = datetime.date(2026, 8, 13)
+    rows = [
+        {
+            "boolean": True,
+            "int": 1,
+            "long": 1,
+            "float": 1.5,
+            "double": 1.5,
+            "decimal": decimal.Decimal("1000"),
+            "date": today,
+            "timestamp": datetime.datetime(1970, 1, 1),
+            "string": "one",
+            "binary": b"one",
+        },
+        {k: None for k in FULL_SCHEMA},
+        {
+            "boolean": False,
+            "int": 3,
+            "long": 3,
+            "float": 3.5,
+            "double": 3.5,
+            "decimal": decimal.Decimal("-1.23456789"),
+            "date": today + datetime.timedelta(days=2),
+            "timestamp": datetime.datetime(1970, 1, 1, 0, 0, 2),
+            "string": "three",
+            "binary": b"three",
+        },
+    ]
+    t.append(rows)
+    got = sorted(t.to_a(), key=lambda r: (r["int"] is None, r["int"] or 0))
+    exp = sorted(rows, key=lambda r: (r["int"] is None, r["int"] or 0))
+    for g, e in zip(got, exp):
+        for k, v in e.items():
+            if isinstance(v, decimal.Decimal):
+                assert g[k] == v.quantize(decimal.Decimal("1e-8"))
+            elif isinstance(v, bytes):
+                assert bytes(g[k]) == v
+            else:
+                assert g[k] == v, (k, g[k], v)
+
+
+def test_append_decimal_coercion(catalog):
+    # reference test_append_decimal: int / float / string all coerce
+    t = catalog.create_table("d", schema={"a": "decimal(38, 8)"})
+    t.append([{"a": 1000}, {"a": -1.23456789}, {"a": "-1.23456789"}])
+    vals = sorted(r["a"] for r in t.to_a())
+    assert vals == [
+        decimal.Decimal("-1.23456789"),
+        decimal.Decimal("-1.23456789"),
+        decimal.Decimal("1000.00000000"),
+    ]
+
+
+def test_append_missing_column_backfills_null(catalog):
+    t = catalog.create_table("m", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1}, {"a": 2}])
+    assert sorted(t.to_a(), key=lambda r: r["a"]) == [
+        {"a": 1, "b": None},
+        {"a": 2, "b": None},
+    ]
+
+
+def test_append_extra_column_rejected(catalog):
+    t = catalog.create_table("x", schema={"a": "int"})
+    with pytest.raises(InvalidDataError):
+        t.append([{"a": 1, "zz": 2}])
+
+
+def test_append_dataframe_and_pandas_and_arrow(catalog, spark):
+    import pandas as pd
+    import pyarrow as pa
+
+    t = catalog.create_table("multi", schema={"a": "long", "b": "string"})
+    t.append(spark.createDataFrame([(1, "df")], ["a", "b"]))
+    t.append(pd.DataFrame({"a": [2], "b": ["pandas"]}))
+    t.append(pa.table({"a": [3], "b": ["arrow"]}))
+    assert sorted(t.to_a(), key=lambda r: r["a"]) == [
+        {"a": 1, "b": "df"},
+        {"a": 2, "b": "pandas"},
+        {"a": 3, "b": "arrow"},
+    ]
+
+
+def test_to_arrow_and_pandas(catalog):
+    t = catalog.create_table("conv", schema={"a": "int"})
+    t.append([{"a": 1}, {"a": 2}])
+    at = t.to_arrow()
+    assert at.num_rows == 2
+    pdf = t.to_pandas()
+    assert sorted(pdf["a"].tolist()) == [1, 2]
+
+
+def test_time_travel(catalog):
+    t = catalog.create_table("tt", schema={"a": "int"})
+    t.append([{"a": 1}])
+    snap1 = t.current_snapshot_id
+    t.append([{"a": 2}])
+    assert sorted(r["a"] for r in t.to_a()) == [1, 2]
+    assert [r["a"] for r in t.to_a(snapshot_id=snap1)] == [1]
+
+
+def test_snapshot_history_and_refs(catalog):
+    t = catalog.create_table("h", schema={"a": "int"})
+    assert t.current_snapshot() is None
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    assert len(t.snapshots) == 2
+    assert t.snapshots[0].operation == "append"
+    assert t.current_snapshot().snapshot_id == t.current_snapshot_id
+    assert t.refs["main"]["snapshot-id"] == t.current_snapshot_id
+    assert t.snapshot_for_ref("main").snapshot_id == t.current_snapshot_id
+    assert len(t.history()) == 2
+    # parent linkage
+    assert t.snapshots[1].parent_snapshot_id == t.snapshots[0].snapshot_id
+
+
+def test_metadata_accessors(catalog):
+    t = catalog.create_table("meta", schema={"a": "int"}, properties={"k": "v"})
+    assert t.format_version == 2
+    assert t.uuid
+    assert t.properties["k"] == "v"
+    assert t.current_schema_id == 0
+    assert t.last_sequence_number == 0
+    t.append([{"a": 1}])
+    t = t.refresh()
+    assert t.last_sequence_number == 1
+    assert t.next_row_id == 1
+
+
+def test_overwrite(catalog):
+    t = catalog.create_table("ow", schema={"a": "int"})
+    t.append([{"a": 1}, {"a": 2}])
+    t.overwrite([{"a": 9}])
+    assert t.to_a() == [{"a": 9}]
+
+
+def test_partitioned_write_identity_string_keeps_type(catalog):
+    # round-1 advisory: identity-partitioned string '123' must not come
+    # back as an integer via partition-column type inference
+    t = catalog.create_table(
+        "ps",
+        schema={"k": "string", "v": "int"},
+        partition_spec=[("k", "identity")],
+    )
+    t.append([{"k": "123", "v": 1}, {"k": "abc", "v": 2}])
+    rows = sorted(t.to_a(), key=lambda r: r["k"])
+    assert rows == [{"k": "123", "v": 1}, {"k": "abc", "v": 2}]
+    assert isinstance(rows[0]["k"], str)
