@@ -24,6 +24,11 @@ def main() -> None:
     from iceberg_ruby_spark.plans.registry import BENCH_SET
 
     spark = get_spark("bench")
+    # one untimed warmup so the first timed query doesn't absorb JVM/codegen
+    # warmup and parquet footer reads
+    QUERIES["scan_filter_project"](spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
     timings: dict[str, float] = {}
     for name in BENCH_SET:
         fn = QUERIES[name]

@@ -71,7 +71,7 @@ from iceberg_ruby_spark.transforms import (
     YearTransform,
 )
 from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
-from iceberg_ruby_spark.table import Table, TableScan
+from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
 from iceberg_ruby_spark.static_table import StaticTable
 
 __version__ = "0.1.0"
@@ -81,6 +81,7 @@ __all__ = [
     "MemoryCatalog",
     "Table",
     "TableScan",
+    "UpdateSchema",
     "StaticTable",
     "TableDefinition",
     "Result",

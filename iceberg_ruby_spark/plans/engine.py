@@ -183,3 +183,57 @@ def engine_sql_roundtrip(spark, sf_dir):
         "GROUP BY o_orderpriority",
         [2000],
     ).df
+
+
+@query(
+    "engine_schema_evolution",
+    oracle="""
+    SELECT o_orderkey, o_totalprice AS total, CAST(NULL AS VARCHAR) AS channel
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT o_orderkey, o_totalprice AS total, 'web' AS channel
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    """,
+)
+def engine_schema_evolution(spark, sf_dir):
+    """add_column + rename_column between two appends: old files are read
+    by field id under the new names, added column null-backfills (beyond
+    the reference: SURVEY.md notes its evolution is read-tolerated only)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_evo", schema={"o_orderkey": "long", "o_totalprice": "double"}
+    )
+    orders = load(spark, sf_dir, "orders")
+    t.append(
+        orders.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice")
+    )
+    with t.update_schema() as u:
+        u.rename_column("o_totalprice", "total")
+        u.add_column("channel", "string")
+    t = t.refresh()
+    t.append(
+        orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000))
+        .select("o_orderkey", F.col("o_totalprice").alias("total"), F.lit("web").alias("channel"))
+    )
+    return t.to_df()
+
+
+@query(
+    "engine_branch_tag",
+    oracle="""
+    SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 500
+    """,
+)
+def engine_branch_tag(spark, sf_dir):
+    """Tag a snapshot, append more, read through the tag: only the tagged
+    snapshot's rows are visible (authoring half of snapshot_for_ref,
+    reference table.rs:230-268)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_ref", schema={"o_orderkey": "long", "o_totalprice": "double"}
+    )
+    orders = load(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    t.append(orders.filter(F.col("o_orderkey") < 500))
+    t.create_tag("v1")
+    t.append(orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)))
+    return t.to_df(ref="v1")

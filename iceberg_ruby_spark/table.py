@@ -440,6 +440,19 @@ class Table:
     def schema(self) -> ice_t.Schema:
         return self.current_schema()
 
+    def update_schema(self) -> "UpdateSchema":
+        """Schema-evolution builder (beyond the reference, whose client has
+        no authoring surface — SURVEY.md notes evolution is read-tolerated
+        only).  Metadata-only commit; existing data files are never
+        rewritten — reads project them by field id.
+
+        >>> with table.update_schema() as u:
+        ...     u.add_column("tag", "string")
+        ...     u.rename_column("amount", "total")
+        """
+        self._check_writable()
+        return UpdateSchema(self)
+
     def spark_schema(self):
         return self.current_schema().to_spark()
 
@@ -508,6 +521,65 @@ class Table:
     def refs(self) -> dict[str, dict[str, Any]]:
         return self.metadata.refs
 
+    # -- ref authoring (branches & tags) -------------------------------------
+    # The reference only READS refs (`snapshot_for_ref`,
+    # ext/iceberg/src/table.rs:230-268) — authoring is the missing half a
+    # real user needs to create what snapshot_for_ref reads.
+
+    def _metadata_update(self, mutate) -> None:
+        """Optimistic metadata-only commit: ``mutate(raw_dict)`` edits a copy
+        of the current metadata; retried on version conflicts."""
+        self._check_writable()
+        for _attempt in range(5):
+            meta = self.ops.load()
+            raw = dict(meta.raw)
+            mutate(raw)
+            raw["last-updated-ms"] = _now_ms()
+            try:
+                self.metadata = self.ops.commit(meta.version, raw)
+                return
+            except FileExistsError:
+                continue
+        raise InvalidDataError("metadata commit conflict: too many retries")
+
+    def _set_ref(self, name: str, ref_type: str, snapshot_id: Optional[int]) -> None:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        if sid is None:
+            raise InvalidDataError("table has no snapshot to reference")
+        if self.snapshot_by_id(sid) is None:
+            raise InvalidDataError(f"no snapshot with id {sid}")
+
+        def mutate(raw: dict[str, Any]) -> None:
+            refs = dict(raw.get("refs", {}))
+            refs[name] = {"snapshot-id": sid, "type": ref_type}
+            raw["refs"] = refs
+
+        self._metadata_update(mutate)
+
+    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
+        """Tag a snapshot (defaults to the current one)."""
+        self._set_ref(name, "tag", snapshot_id)
+        return self
+
+    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
+        """Create a named branch pointing at a snapshot (defaults current)."""
+        self._set_ref(name, "branch", snapshot_id)
+        return self
+
+    def drop_ref(self, name: str) -> "Table":
+        if name == MAIN_BRANCH:
+            raise InvalidDataError("cannot drop the main branch")
+        if name not in self.refs:
+            raise InvalidDataError(f"no such ref: {name}")
+
+        def mutate(raw: dict[str, Any]) -> None:
+            refs = dict(raw.get("refs", {}))
+            refs.pop(name, None)
+            raw["refs"] = refs
+
+        self._metadata_update(mutate)
+        return self
+
     def history(self) -> list[dict[str, Any]]:
         return self.metadata.snapshot_log
 
@@ -518,7 +590,67 @@ class Table:
     def properties(self) -> dict[str, str]:
         return self.metadata.properties
 
-    # statistics / encryption (reference table.rb:119-137) — present, empty
+    # statistics (reference reads Puffin stats files,
+    # ext/iceberg/src/statistics.rs:14-71; here the analog is a JSON stats
+    # file per snapshot written by compute_statistics)
+    def compute_statistics(self) -> dict[str, Any]:
+        """One distributed aggregation over the current snapshot → a stats
+        file (row count, per-column NDV / null count) registered in table
+        metadata, so ``statistics`` / ``statistics_for_snapshot`` return
+        real entries.  NDV uses HyperLogLog (approx_count_distinct) — the
+        same sketch family Iceberg's Puffin 'apache-datasketches-theta-v1'
+        blobs serve, and the only kind that scales to 100 TB."""
+        self._check_writable()
+        snap = self.current_snapshot()
+        if snap is None:
+            raise InvalidDataError("table has no snapshot to analyze")
+        df = self.to_df()
+        cols = [f.name for f in self.current_schema().fields]
+        aggs = [F.count(F.lit(1)).alias("__rc")]
+        for c in cols:
+            aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
+            aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"__nulls_{c}"))
+        row = df.agg(*aggs).collect()[0].asDict()
+        stats = {
+            "snapshot-id": snap.snapshot_id,
+            "record-count": row["__rc"],
+            "columns": {
+                c: {"ndv": row[f"__ndv_{c}"], "null-count": row[f"__nulls_{c}"]}
+                for c in cols
+            },
+        }
+        path = os.path.join(self.ops.metadata_dir, f"stats-{snap.snapshot_id}.json")
+        with open(path, "w") as f:
+            json.dump(stats, f, indent=1)
+        entry = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": self.ops._rel(path),
+            "file-size-in-bytes": os.path.getsize(path),
+            "blob-metadata": [
+                {"type": "ndv-sketch", "fields": cols, "snapshot-id": snap.snapshot_id}
+            ],
+        }
+
+        def mutate(raw: dict[str, Any]) -> None:
+            existing = [
+                s
+                for s in raw.get("statistics", [])
+                if s.get("snapshot-id") != snap.snapshot_id
+            ]
+            raw["statistics"] = existing + [entry]
+
+        self._metadata_update(mutate)
+        return stats
+
+    def read_statistics(self, snapshot_id: Optional[int] = None) -> Optional[dict[str, Any]]:
+        """Load the stats file registered for a snapshot (default current)."""
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        for s in self.statistics:
+            if s.get("snapshot-id") == sid:
+                with open(self.ops._abs(s["statistics-path"])) as f:
+                    return json.load(f)
+        return None
+
     @property
     def statistics(self) -> list[dict[str, Any]]:
         return self.metadata.raw.get("statistics", [])
@@ -538,20 +670,31 @@ class Table:
         return self.encryption_keys.get(key_id)
 
     # -- scan path ----------------------------------------------------------
-    def scan(self, snapshot_id: Optional[int] = None) -> "TableScan":
+    def scan(
+        self, snapshot_id: Optional[int] = None, ref: Optional[str] = None
+    ) -> "TableScan":
+        if ref is not None:
+            if snapshot_id is not None:
+                raise InvalidDataError("pass snapshot_id or ref, not both")
+            snap = self.snapshot_for_ref(ref)
+            if snap is None:
+                raise InvalidDataError(f"no such ref: {ref}")
+            snapshot_id = snap.snapshot_id
         return TableScan(self, snapshot_id=snapshot_id)
 
-    def to_df(self, snapshot_id: Optional[int] = None) -> DataFrame:
-        return self.scan(snapshot_id=snapshot_id).to_df()
+    def to_df(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None) -> DataFrame:
+        return self.scan(snapshot_id=snapshot_id, ref=ref).to_df()
 
-    def to_a(self, snapshot_id: Optional[int] = None) -> list[dict[str, Any]]:
-        return self.scan(snapshot_id=snapshot_id).to_a()
+    def to_a(
+        self, snapshot_id: Optional[int] = None, ref: Optional[str] = None
+    ) -> list[dict[str, Any]]:
+        return self.scan(snapshot_id=snapshot_id, ref=ref).to_a()
 
-    def to_arrow(self, snapshot_id: Optional[int] = None):
-        return self.scan(snapshot_id=snapshot_id).to_arrow()
+    def to_arrow(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None):
+        return self.scan(snapshot_id=snapshot_id, ref=ref).to_arrow()
 
-    def to_pandas(self, snapshot_id: Optional[int] = None):
-        return self.to_df(snapshot_id=snapshot_id).toPandas()
+    def to_pandas(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None):
+        return self.to_df(snapshot_id=snapshot_id, ref=ref).toPandas()
 
     def to_polars(self, snapshot_id: Optional[int] = None, lazy: bool = False):
         """Polars frame (reference ``lib/iceberg/table.rb:151-159``); gated on
@@ -746,6 +889,7 @@ class Table:
                 {
                     "path": path,
                     "record-count": d["__rc"],
+                    "schema-id": self.metadata.current_schema_id,
                     "file-size-bytes": os.path.getsize(path) if os.path.exists(path) else None,
                     "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
                     "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
@@ -777,15 +921,38 @@ class Table:
         """Read manifest entries back as a DataFrame, restoring declared
         column order and types (identity-partition values round-trip through
         directory names; Spark's partition-column type inference is undone by
-        casting back to the table schema — round-1 review item)."""
+        casting back to the table schema — round-1 review item).
+
+        Schema evolution: each entry records the ``schema-id`` it was
+        written under.  Files are read in per-schema groups and projected
+        onto the target schema by **field id** — renamed columns resolve to
+        their name-at-write, added columns backfill ``initial_default``/null
+        — then unioned.  No data rewrite on evolution, ever."""
         schema = schema or self.current_schema()
-        files = self._entry_files(entries)
-        if not files:
+        groups: dict[int, list[str]] = {}
+        for e in entries:
+            sid = e.get("schema-id", schema.schema_id)
+            groups.setdefault(sid, []).extend(self._entry_files([e]))
+        groups = {sid: fs for sid, fs in groups.items() if fs}
+        if not groups:
             return self.spark.createDataFrame([], schema.to_spark())
-        df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
-        return df.select(
-            *[F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
-        )
+        parts = []
+        for sid in sorted(groups):
+            written = self.schema_by_id(sid) or schema
+            df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*groups[sid])
+            cols = []
+            for f in schema.fields:
+                wf = written.field_by_id(f.field_id)
+                spark_t = f.to_spark().dataType
+                if wf is not None and wf.name in df.columns:
+                    cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
+                else:
+                    cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
+            parts.append(df.select(*cols))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
     def _matching_files(self, entries: list[dict[str, Any]], cond) -> dict[str, int]:
         """Find data files containing rows that match ``cond`` — one Spark job
@@ -1034,17 +1201,27 @@ class Table:
         return self
 
     def expire_snapshots(self, keep_last: int = 1) -> int:
-        """Drop history beyond the newest ``keep_last`` snapshots (metadata
-        only; orphan data dirs removable via remove_orphan_files)."""
+        """Drop history beyond the newest ``keep_last`` snapshots, always
+        retaining snapshots referenced by branches/tags (metadata only;
+        orphan data dirs removable via remove_orphan_files)."""
         self._check_writable()
         meta = self.ops.load()
         snaps = meta.raw.get("snapshots", [])
-        if len(snaps) <= keep_last:
+        protected = {r["snapshot-id"] for r in meta.refs.values()}
+        keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+        kept = [
+            s for s in snaps
+            if s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
+        ]
+        if len(kept) == len(snaps):
             return 0
-        expired = len(snaps) - keep_last
+        expired = len(snaps) - len(kept)
+        kept_ids = {s["snapshot-id"] for s in kept}
         raw = dict(meta.raw)
-        raw["snapshots"] = snaps[-keep_last:]
-        raw["snapshot-log"] = meta.snapshot_log[-keep_last:]
+        raw["snapshots"] = kept
+        raw["snapshot-log"] = [
+            e for e in meta.snapshot_log if e["snapshot-id"] in kept_ids
+        ]
         raw["last-updated-ms"] = _now_ms()
         self.metadata = self.ops.commit(meta.version, raw)
         return expired
@@ -1074,6 +1251,151 @@ class Table:
                     shutil.rmtree(full)
                     removed.append(full)
         return removed
+
+
+# --------------------------------------------------------------------------
+# UpdateSchema
+# --------------------------------------------------------------------------
+
+
+# widening-only type promotions (Iceberg spec: int→long, float→double,
+# decimal precision growth at fixed scale)
+def _promotable(old: ice_t.Type, new: ice_t.Type) -> bool:
+    if type(old) is type(new) and old == new:
+        return True
+    if isinstance(old, ice_t.IntType) and isinstance(new, ice_t.LongType):
+        return True
+    if isinstance(old, ice_t.FloatType) and isinstance(new, ice_t.DoubleType):
+        return True
+    if isinstance(old, ice_t.DecimalType) and isinstance(new, ice_t.DecimalType):
+        return new.scale == old.scale and new.precision >= old.precision
+    return False
+
+
+class UpdateSchema:
+    """Collects add/drop/rename/widen operations and commits them as ONE new
+    schema version.  Ops are validated and applied against the metadata
+    re-read inside the optimistic-commit retry loop, so concurrent evolution
+    attempts serialize cleanly."""
+
+    def __init__(self, table: Table):
+        self.table = table
+        self._ops: list[tuple] = []
+
+    def add_column(self, name: str, field_type: Any, doc: Optional[str] = None) -> "UpdateSchema":
+        self._ops.append(("add", name, field_type, doc))
+        return self
+
+    def drop_column(self, name: str) -> "UpdateSchema":
+        self._ops.append(("drop", name))
+        return self
+
+    def rename_column(self, name: str, new_name: str) -> "UpdateSchema":
+        self._ops.append(("rename", name, new_name))
+        return self
+
+    def update_column(self, name: str, field_type: Any) -> "UpdateSchema":
+        """Widen a column's type (int→long, float→double, decimal precision)."""
+        self._ops.append(("widen", name, field_type))
+        return self
+
+    def __enter__(self) -> "UpdateSchema":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self.commit()
+
+    def commit(self) -> Table:
+        if not self._ops:
+            return self.table
+        from iceberg_ruby_spark.table_definition import parse_type
+
+        # partition/sort sources cannot be dropped or renamed out from under
+        # their specs
+        spec = self.table.default_partition_spec() or {}
+        order = self.table.default_sort_order() or {}
+        pinned = {pf["source"] for pf in spec.get("fields", [])} | {
+            sf["source"] for sf in order.get("fields", [])
+        }
+
+        def mutate(raw: dict[str, Any]) -> None:
+            schemas_json = raw.get("schemas", [])
+            cur = None
+            for sj in schemas_json:
+                if sj.get("schema-id") == raw.get("current-schema-id"):
+                    cur = _schema_from_json(sj)
+            if cur is None:
+                raise InvalidDataError("current schema not found in metadata")
+            fields = list(cur.fields)
+            next_id = raw.get("last-column-id", cur.highest_field_id)
+
+            def idx(name: str) -> int:
+                for i, f in enumerate(fields):
+                    if f.name == name:
+                        return i
+                raise InvalidDataError(f"no such column: {name}")
+
+            for op in self._ops:
+                if op[0] == "add":
+                    _, name, ftype, doc = op
+                    if any(f.name == name for f in fields):
+                        raise InvalidDataError(f"column already exists: {name}")
+                    next_id += 1
+                    t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
+                    fields.append(
+                        ice_t.NestedField(next_id, name, t, required=False, doc=doc)
+                    )
+                elif op[0] == "drop":
+                    _, name = op
+                    if name in pinned:
+                        raise InvalidDataError(
+                            f"column {name} is a partition/sort source; "
+                            "evolve the spec first"
+                        )
+                    fields.pop(idx(name))
+                elif op[0] == "rename":
+                    _, name, new_name = op
+                    if name in pinned:
+                        raise InvalidDataError(
+                            f"column {name} is a partition/sort source; "
+                            "evolve the spec first"
+                        )
+                    if any(f.name == new_name for f in fields):
+                        raise InvalidDataError(f"column already exists: {new_name}")
+                    i = idx(name)
+                    f = fields[i]
+                    fields[i] = ice_t.NestedField(
+                        f.field_id, new_name, f.field_type, f.required, f.doc,
+                        f.initial_default, f.write_default,
+                    )
+                elif op[0] == "widen":
+                    _, name, ftype = op
+                    t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
+                    i = idx(name)
+                    f = fields[i]
+                    if not _promotable(f.field_type, t):
+                        raise InvalidDataError(
+                            f"cannot change {name} from {f.field_type.name} to "
+                            f"{t.name}: only widening promotions are allowed"
+                        )
+                    fields[i] = ice_t.NestedField(
+                        f.field_id, f.name, t, f.required, f.doc,
+                        f.initial_default, f.write_default,
+                    )
+            new_schema_id = max((sj.get("schema-id", 0) for sj in schemas_json), default=0) + 1
+            new_schema = ice_t.Schema(
+                fields=fields,
+                schema_id=new_schema_id,
+                identifier_field_ids=cur.identifier_field_ids,
+            )
+            raw["schemas"] = schemas_json + [_schema_to_json(new_schema)]
+            raw["current-schema-id"] = new_schema_id
+            raw["last-column-id"] = max(next_id, new_schema.highest_field_id)
+
+        self.table._metadata_update(mutate)
+        self._ops = []
+        return self.table
 
 
 # --------------------------------------------------------------------------
@@ -1153,7 +1475,13 @@ class TableScan:
 
     def to_df(self) -> DataFrame:
         snap = self.snapshot()
-        schema = self.table.schema_by_id(snap.schema_id) if snap else self.table.current_schema()
+        # explicit time travel reads with the pinned snapshot's schema;
+        # a current-table scan always uses the current schema (so schema
+        # evolution is visible even though the snapshot predates it)
+        if self._snapshot_id is not None and snap is not None:
+            schema = self.table.schema_by_id(snap.schema_id)
+        else:
+            schema = self.table.current_schema()
         if schema is None:
             schema = self.table.current_schema()
         spark = self.table.spark

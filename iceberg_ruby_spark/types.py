@@ -279,6 +279,12 @@ class Schema:
                 return f
         return None
 
+    def field_by_id(self, field_id: int) -> Optional[NestedField]:
+        for f in self.fields:
+            if f.field_id == field_id:
+                return f
+        return None
+
     @staticmethod
     def from_spark(st: T.StructType, schema_id: int = 0) -> "Schema":
         """Infer an Iceberg-style schema from a Spark StructType, auto-assigning
