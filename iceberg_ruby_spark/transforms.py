@@ -7,9 +7,10 @@ year/month/day/hour/void/unknown), ``ext/iceberg/src/partitioning.rs`` and
 
 Spark-side realisation: each transform produces a Spark Column expression so
 writes can ``partitionBy`` on a derived column and scans can prune on it —
-the same physical effect as Iceberg hidden partitioning.  ``bucket`` uses a
-positive-modulo Murmur3-style hash (Spark ``F.hash`` is Murmur3-x86-32, the
-same family Iceberg specifies).
+the same physical effect as Iceberg hidden partitioning.  ``bucket`` on the
+typed write path implements the Iceberg spec exactly (Murmur3-x86-32 seed 0
+over the spec's byte encodings), checked against the spec's published test
+vectors.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
+import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -67,8 +69,87 @@ class IdentityTransform(Transform):
         return source_name
 
 
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """Murmur3-x86-32 (public algorithm; the hash the Iceberg spec names for
+    bucket transforms).  Returns a signed 32-bit int."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed
+    n = len(data) // 4 * 4
+    for i in range(0, n, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    k = 0
+    tail = data[n:]
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= len(data)
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _iceberg_bucket_bytes(value: Any, source_type: Optional[ice_t.Type]) -> Optional[bytes]:
+    """Iceberg-spec byte encoding for bucket hashing: int/long/date/time/
+    timestamp as 8-byte little-endian longs, strings as UTF-8, decimals as
+    minimal two's-complement big-endian unscaled bytes, binary raw."""
+    import datetime
+    import decimal
+    import struct
+
+    if value is None:
+        return None
+    if isinstance(value, bool):
+        raise InvalidDataError("bucket transform does not accept boolean")
+    if isinstance(value, datetime.datetime):
+        epoch = datetime.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+        micros = int((value - epoch).total_seconds() * 1_000_000)
+        # recompute exactly from timedelta parts to avoid float rounding
+        delta = value - epoch
+        micros = (delta.days * 86_400 + delta.seconds) * 1_000_000 + delta.microseconds
+        return struct.pack("<q", micros)
+    if isinstance(value, datetime.date):
+        return struct.pack("<q", (value - datetime.date(1970, 1, 1)).days)
+    if isinstance(value, decimal.Decimal):
+        scale = source_type.scale if isinstance(source_type, ice_t.DecimalType) else -value.as_tuple().exponent
+        unscaled = int(value.scaleb(scale).to_integral_value())
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise InvalidDataError(f"bucket transform cannot hash {type(value).__name__}")
+
+
 class BucketTransform(Transform):
-    """bucket(N): Murmur3 hash → non-negative modulo N."""
+    """bucket(N): Iceberg-spec Murmur3-x86-32 (seed 0) over the spec's byte
+    encodings, ``(hash & Int.MAX) % N`` — partition values interoperate with
+    real Iceberg bucket specs (verified against the spec's published test
+    vectors in tests/test_transforms.py).
+
+    The typed write path evaluates via an Arrow-batched pandas UDF (bucket
+    computation is once per written row, not in any scan hot path).  The
+    untyped ``__call__`` fallback uses Spark's built-in Murmur3 ``F.hash``
+    (seed 42, Spark's internal byte layout): self-consistent for engine-only
+    pruning but NOT Iceberg-interoperable."""
 
     name = "bucket"
 
@@ -79,6 +160,27 @@ class BucketTransform(Transform):
 
     def __call__(self, col: Column) -> Column:
         return F.pmod(F.hash(col), F.lit(self.n)).cast("int")
+
+    def bucket_value(self, value: Any, source_type: Optional[ice_t.Type] = None) -> Optional[int]:
+        b = _iceberg_bucket_bytes(value, source_type)
+        if b is None:
+            return None
+        return (murmur3_x86_32(b) & 0x7FFFFFFF) % self.n
+
+    def apply_typed(self, source_type: Optional[ice_t.Type], col: Column) -> Column:
+        if source_type is None:
+            return self(col)
+        n = self.n
+
+        @F.pandas_udf("int")
+        def _bucket(s: pd.Series) -> pd.Series:
+            return s.map(
+                lambda v: None
+                if v is None
+                else (murmur3_x86_32(_iceberg_bucket_bytes(v, source_type)) & 0x7FFFFFFF) % n
+            ).astype("Int32")
+
+        return _bucket(col)
 
     def result_name(self, source_name: str) -> str:
         return f"{source_name}_bucket_{self.n}"

@@ -128,3 +128,32 @@ def test_sort_order_defaults():
     assert so_d.null_order == "last"
     with pytest.raises(Error):
         tr.SortField("a", tr.IdentityTransform(), "sideways")
+
+
+def test_bucket_hash_matches_iceberg_spec_vectors():
+    """Published test vectors from the Apache Iceberg spec (Appendix B)."""
+    import datetime
+    import decimal
+
+    from iceberg_ruby_spark import types as ice_types
+    from iceberg_ruby_spark.transforms import _iceberg_bucket_bytes, murmur3_x86_32
+
+    def h(value, source_type=None):
+        return murmur3_x86_32(_iceberg_bucket_bytes(value, source_type))
+
+    assert h(34) == 2017239379  # int and long hash identically
+    assert h("iceberg") == 1210000089
+    assert h(datetime.date(2017, 11, 16)) == -653330422
+    assert h(datetime.datetime(2017, 11, 16, 22, 31, 8)) == -2047944441
+    assert h(decimal.Decimal("14.20"), ice_types.DecimalType(9, 2)) == -500754589
+    assert h(b"\x00\x01\x02\x03") == -188683207
+
+
+def test_bucket_value_range_and_null():
+    from iceberg_ruby_spark import types as ice_types
+
+    b = tr.BucketTransform(16)
+    assert 0 <= b.bucket_value(34, ice_types.IntType()) < 16
+    assert b.bucket_value(None) is None
+    # spec example: bucket[16] of 'iceberg' hash 1210000089 -> 9
+    assert b.bucket_value("iceberg") == (1210000089 & 0x7FFFFFFF) % 16
