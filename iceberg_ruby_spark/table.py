@@ -41,6 +41,7 @@ projections into the Parquet scan, and hidden-partition columns written by
 from __future__ import annotations
 
 import json
+import re
 import os
 import time
 import uuid as uuid_mod
@@ -954,11 +955,19 @@ class Table:
             out = out.unionByName(p)
         return out
 
-    def _matching_files(self, entries: list[dict[str, Any]], cond) -> dict[str, int]:
+    def _matching_files(
+        self, entries: list[dict[str, Any]], cond, cond_str: Optional[str] = None
+    ) -> dict[str, int]:
         """Find data files containing rows that match ``cond`` — one Spark job
         with the predicate pushed into the Parquet scan; returns
         {file_path: matching_row_count}.  This is the pruning step that makes
-        mutations file-local instead of full-table rewrites."""
+        mutations file-local instead of full-table rewrites.  When the
+        condition is a parseable string, manifest bounds pre-prune the scan
+        input so non-overlapping files are never even opened."""
+        if cond_str is not None:
+            tree = _parse_predicate(cond_str)
+            if tree is not None:
+                entries = [e for e in entries if _bounds_may_match(e, tree)]
         files = self._entry_files(entries)
         if not files:
             return {}
@@ -1069,7 +1078,9 @@ class Table:
         self._check_writable()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
-        hits = self._matching_files(entries, cond)
+        hits = self._matching_files(
+            entries, cond, cond_str=condition if isinstance(condition, str) else None
+        )
         deleted = sum(hits.values())
         if not hits:
             return 0
@@ -1088,7 +1099,9 @@ class Table:
         self._check_writable()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
-        hits = self._matching_files(entries, cond)
+        hits = self._matching_files(
+            entries, cond, cond_str=condition if isinstance(condition, str) else None
+        )
         updated = sum(hits.values())
         if not hits:
             return 0
@@ -1251,6 +1264,139 @@ class Table:
                     shutil.rmtree(full)
                     removed.append(full)
         return removed
+
+
+# --------------------------------------------------------------------------
+# manifest-level file pruning from column bounds
+# --------------------------------------------------------------------------
+#
+# A conservative evaluator over the per-file lower/upper bounds captured at
+# commit time: a file is skipped only when the predicate PROVABLY matches no
+# row in it.  Handles the planner-relevant shape `col op literal` combined
+# with AND/OR/parens; anything else returns "might match" and the file is
+# read (parquet row-group pushdown still applies).  At 100 TB this is what
+# turns a selective scan from open-every-file into open-few-files.
+
+_PRED_TOKEN = re.compile(
+    r"\s*(\(|\)|AND\b|OR\b|<=|>=|!=|<>|=|<|>|'(?:[^']|'')*'|[A-Za-z_][A-Za-z_0-9.]*|-?\d+\.?\d*)",
+    re.IGNORECASE,
+)
+
+
+def _tokenize_predicate(s: str) -> Optional[list[str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _PRED_TOKEN.match(s, pos)
+        if not m:
+            return None if s[pos:].strip() else out
+        out.append(m.group(1))
+        pos = m.end()
+    return out
+
+
+def _parse_predicate(s: str):
+    """Parse ``col op literal`` / AND / OR / parens into a tree, or None if
+    the expression is outside the supported shape."""
+    toks = _tokenize_predicate(s)
+    if not toks:
+        return None
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def parse_or():
+        node = parse_and()
+        if node is None:
+            return None
+        while peek() is not None and peek().upper() == "OR":
+            take()
+            rhs = parse_and()
+            if rhs is None:
+                return None
+            node = ("or", node, rhs)
+        return node
+
+    def parse_and():
+        node = parse_leaf()
+        if node is None:
+            return None
+        while peek() is not None and peek().upper() == "AND":
+            take()
+            rhs = parse_leaf()
+            if rhs is None:
+                return None
+            node = ("and", node, rhs)
+        return node
+
+    def parse_leaf():
+        if peek() == "(":
+            take()
+            node = parse_or()
+            if node is None or take() != ")":
+                return None
+            return node
+        col = take()
+        if col is None or not re.match(r"^[A-Za-z_]", col):
+            return None
+        op = take()
+        if op not in ("=", "<", "<=", ">", ">=", "!=", "<>"):
+            return None
+        lit = take()
+        if lit is None:
+            return None
+        if lit.startswith("'"):
+            val: Any = lit[1:-1].replace("''", "'")
+        else:
+            try:
+                val = float(lit) if "." in lit else int(lit)
+            except ValueError:
+                return None
+        return ("cmp", col, "!=" if op == "<>" else op, val)
+
+    node = parse_or()
+    return node if node is not None and pos[0] == len(toks) else None
+
+
+def _bounds_may_match(entry: dict[str, Any], node) -> bool:
+    """True unless the bounds prove no row of the file can satisfy node."""
+    kind = node[0]
+    if kind == "and":
+        return _bounds_may_match(entry, node[1]) and _bounds_may_match(entry, node[2])
+    if kind == "or":
+        return _bounds_may_match(entry, node[1]) or _bounds_may_match(entry, node[2])
+    _, col, op, val = node
+    lo = (entry.get("lower-bounds") or {}).get(col)
+    hi = (entry.get("upper-bounds") or {}).get(col)
+    if lo is None or hi is None:
+        return True
+    # numbers compare numerically; dates/timestamps are stored ISO-formatted
+    # so lexicographic string compare orders correctly
+    if isinstance(val, (int, float)) and not isinstance(lo, (int, float)):
+        return True
+    if isinstance(val, str) and not isinstance(lo, str):
+        lo, hi = str(lo), str(hi)
+    try:
+        if op == "=":
+            return lo <= val <= hi
+        if op == "<":
+            return lo < val
+        if op == "<=":
+            return lo <= val
+        if op == ">":
+            return hi > val
+        if op == ">=":
+            return hi >= val
+        if op == "!=":
+            return not (lo == hi == val)
+    except TypeError:
+        return True
+    return True
 
 
 # --------------------------------------------------------------------------
@@ -1437,16 +1583,27 @@ class TableScan:
         self._limit = n
         return self
 
+    def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
+        """Drop files whose commit-time column bounds prove the scan's
+        string filters match nothing there (manifest-level pruning; Column
+        filters and unparseable expressions conservatively keep the file)."""
+        for f in self._filters:
+            if isinstance(f, str):
+                tree = _parse_predicate(f)
+                if tree is not None:
+                    entries = [e for e in entries if _bounds_may_match(e, tree)]
+        return entries
+
     def plan_files(self) -> list[dict[str, Any]]:
         """File-level scan plan from manifest entries — record counts and
-        column bounds come from commit-time stats, no filesystem walk
-        (reference ``scan.plan_files`` → FileScanTask list,
-        ``ext/iceberg/src/scan.rs:82-109``)."""
+        column bounds come from commit-time stats, no filesystem walk; scan
+        filters prune files by their bounds (reference ``scan.plan_files``
+        → FileScanTask list, ``ext/iceberg/src/scan.rs:82-109``)."""
         snap = self.snapshot()
         if snap is None:
             return []
         tasks = []
-        for e in self.table.ops.read_manifest(snap.manifest_list):
+        for e in self._prune_entries(self.table.ops.read_manifest(snap.manifest_list)):
             if "path" in e:
                 tasks.append(
                     {
@@ -1488,7 +1645,7 @@ class TableScan:
         if snap is None:
             df = spark.createDataFrame([], schema.to_spark())
         else:
-            entries = self.table.ops.read_manifest(snap.manifest_list)
+            entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
             # _read_entries restores declared column order AND casts each
             # column back to the table schema (identity-partition values
             # round-trip through directory names; without the cast Spark's

@@ -70,3 +70,31 @@ def test_to_arrow_from_scan(catalog):
     t = _make(catalog, rows=10)
     at = t.scan().select("a").to_arrow()
     assert at.num_rows == 10 and at.column_names == ["a"]
+
+
+def test_manifest_bounds_prune_files(catalog):
+    # two commits with disjoint key ranges -> a bounded filter plans only
+    # the file(s) whose min/max overlap it
+    t = catalog.create_table("pr", schema={"a": "int", "b": "string"})
+    t.append([{"a": i, "b": f"lo{i}"} for i in range(100)])
+    t.append([{"a": i, "b": f"hi{i}"} for i in range(1000, 1100)])
+    all_files = t.scan().plan_files()
+    pruned = t.scan().filter("a >= 1000").plan_files()
+    assert len(pruned) < len(all_files)
+    assert all(f["lower_bounds"]["a"] >= 1000 for f in pruned)
+    # the pruned scan still returns exactly the right rows
+    rows = t.scan().filter("a >= 1000").to_a()
+    assert len(rows) == 100 and min(r["a"] for r in rows) == 1000
+    # compound predicates prune too; unparseable ones stay conservative
+    assert len(t.scan().filter("a >= 1000 AND b = 'hi1000'").plan_files()) < len(all_files)
+    assert len(t.scan().filter("length(b) > 2").plan_files()) == len(all_files)
+
+
+def test_bounds_prune_never_drops_matching_rows(catalog):
+    t = catalog.create_table("pr2", schema={"a": "int"})
+    for lo in (0, 50, 100):
+        t.append([{"a": lo + i} for i in range(50)])
+    got = sorted(r["a"] for r in t.scan().filter("a >= 49 AND a < 101").to_a())
+    assert got == list(range(49, 101))
+    got_or = sorted(r["a"] for r in t.scan().filter("a < 10 OR a >= 140").to_a())
+    assert got_or == list(range(10)) + list(range(140, 150))
