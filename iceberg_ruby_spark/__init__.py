@@ -73,6 +73,7 @@ from iceberg_ruby_spark.transforms import (
 from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
 from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
 from iceberg_ruby_spark.static_table import StaticTable
+from iceberg_ruby_spark.functions import register_functions
 
 __version__ = "0.1.0"
 
@@ -83,6 +84,7 @@ __all__ = [
     "TableScan",
     "UpdateSchema",
     "StaticTable",
+    "register_functions",
     "TableDefinition",
     "Result",
     "Schema",

@@ -23,9 +23,14 @@ STOPWORDS = {
 
 
 def token_count(col) -> Column:
-    """Whitespace token count (0 for empty/blank strings)."""
+    """Whitespace token count (0 for empty/blank strings, null for null —
+    Spark's size(null) legacy -1 must not leak out)."""
     c = F.trim(col if isinstance(col, Column) else F.col(col))
-    return F.when(F.length(c) == 0, F.lit(0)).otherwise(F.size(F.split(c, r"\s+")))
+    return (
+        F.when(c.isNull(), F.lit(None).cast("int"))
+        .when(F.length(c) == 0, F.lit(0))
+        .otherwise(F.size(F.split(c, r"\s+")))
+    )
 
 
 def bpe_ish_token_count(col) -> Column:
@@ -61,13 +66,14 @@ def language_id(col) -> Column:
     """Heuristic language ID: the language with the most distinct stopword
     hits wins; ties and zero hits → 'und'.  Deterministic tie order:
     languages compared in sorted key order."""
+    c = col if isinstance(col, Column) else F.col(col)
     hits = {lang: stopword_hits(col, lang) for lang in sorted(STOPWORDS)}
     best = F.greatest(*hits.values())
     out = F.lit("und")
     # first language (sorted order) achieving the max wins
     for lang in sorted(STOPWORDS, reverse=True):
         out = F.when((best > 0) & (hits[lang] == best), F.lit(lang)).otherwise(out)
-    return out
+    return F.when(c.isNull(), F.lit(None).cast("string")).otherwise(out)
 
 
 def quality_score(col) -> Column:
