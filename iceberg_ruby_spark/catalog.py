@@ -394,6 +394,13 @@ class Catalog:
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
         re.IGNORECASE,
     )
+    _VIEW_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+([\w.]+)\s+AS\s+(.*?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_VIEW_RE = re.compile(
+        r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+    )
 
     def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
         """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
@@ -423,9 +430,56 @@ class Catalog:
         parts = name.split(".")
         return self._with_namespace(parts)
 
+    def create_view(self, ident: Ident, select_sql: str, replace: bool = False) -> None:
+        """Persist a named view definition in the warehouse (the reference's
+        ``CREATE VIEW`` is half-broken — returns empty results and cannot
+        reference tables with data, ``test/sql_test.rb:71-86``; here views
+        are first-class: stored as SQL text, re-resolved per query)."""
+        parts = self._with_namespace(ident)
+        if not self.namespace_exists(parts[:-1]):
+            raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts[:-1])}")
+        path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
+        if os.path.exists(path) and not replace:
+            raise TableAlreadyExistsError(f"view already exists: {'.'.join(parts)}")
+        with open(path, "w") as f:
+            json.dump({"sql": select_sql}, f)
+        self._invalidate_views()
+
+    def drop_view(self, ident: Ident, if_exists: bool = False) -> None:
+        parts = self._with_namespace(ident)
+        path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
+        if not os.path.exists(path):
+            if if_exists:
+                return
+            raise NoSuchTableError(f"view does not exist: {'.'.join(parts)}")
+        os.remove(path)
+        self._invalidate_views()
+
+    def list_views(self, ns: Optional[Ident] = None) -> list[list[str]]:
+        namespaces = [self._with_namespace(ns)[:0] or _norm_ident(ns)] if ns else self._all_namespaces()
+        out = []
+        for nsp in namespaces:
+            d = os.path.join(self.warehouse, *nsp)
+            if not os.path.isdir(d):
+                continue
+            for fn in sorted(os.listdir(d)):
+                if fn.endswith(".view.json"):
+                    out.append(nsp + [fn[: -len(".view.json")]])
+        return out
+
     def _sql_write(self, query: str, params: Optional[list[Any]] = None) -> Result:
         from iceberg_ruby_spark.errors import UnsupportedFeatureError
 
+        m = self._VIEW_RE.match(query)
+        if m:
+            replace = bool(re.search(r"OR\s+REPLACE", query, re.IGNORECASE))
+            self.create_view(self._sql_table_ident(m.group(1)), m.group(2), replace=replace)
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._DROP_VIEW_RE.match(query)
+        if m:
+            if_exists = bool(re.search(r"IF\s+EXISTS", query, re.IGNORECASE))
+            self.drop_view(self._sql_table_ident(m.group(1)), if_exists=if_exists)
+            return Result(self.spark.createDataFrame([], "ok string"))
         m = self._DDL_RE.match(query)
         if m:
             name, cols_src = m.group(1), m.group(2)
@@ -515,6 +569,22 @@ class Catalog:
                 cache[key] = version
         for gone in set(cache) - seen:
             del cache[gone]
+        # stored views resolve after tables (their SQL references the
+        # freshly registered table views)
+        for parts in self.list_views():
+            path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
+            try:
+                with open(path) as f:
+                    view_sql = json.load(f)["sql"]
+            except (OSError, KeyError, ValueError):
+                continue
+            names = ["_".join(parts)]
+            if self.default_namespace and parts[:-1] == self.default_namespace:
+                names.append(parts[-1])
+            for name in names:
+                self.spark.sql(
+                    f"CREATE OR REPLACE TEMPORARY VIEW {name} AS {view_sql}"
+                )
 
     def _all_namespaces(self) -> list[list[str]]:
         out: list[list[str]] = []

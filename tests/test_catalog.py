@@ -164,3 +164,23 @@ def test_default_namespace_resolution():
         import shutil
 
         shutil.rmtree(cat.warehouse, ignore_errors=True)
+
+
+def test_create_view_persisted_and_queryable(catalog):
+    t = catalog.create_table("ev2", schema={"a": "long", "b": "string"})
+    t.append([{"a": 1, "b": "one"}, {"a": 2, "b": "two"}])
+    catalog.sql("CREATE VIEW ev2_view AS SELECT a AS c, b AS d FROM ev2 WHERE a > 1")
+    res = catalog.sql("SELECT * FROM ev2_view ORDER BY c")
+    assert res.rows == [[2, "two"]]
+    assert ["default", "ev2_view"] in catalog.list_views()
+    # view tracks table updates (re-resolved per query, not materialized)
+    t.append([{"a": 3, "b": "three"}])
+    assert catalog.sql("SELECT count(*) AS n FROM ev2_view").rows == [[2]]
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.sql("CREATE VIEW ev2_view AS SELECT 1 AS x")
+    catalog.sql("CREATE OR REPLACE VIEW ev2_view AS SELECT a FROM ev2")
+    assert len(catalog.sql("SELECT * FROM ev2_view").rows) == 3
+    catalog.sql("DROP VIEW ev2_view")
+    assert ["default", "ev2_view"] not in catalog.list_views()
+    with pytest.raises(NoSuchTableError):
+        catalog.drop_view("ev2_view")
