@@ -275,41 +275,43 @@ class TableMetadata:
 
 
 class FsTableOps:
-    def __init__(self, location: str):
+    """Table metadata operations over a :class:`~iceberg_ruby_spark.io.FileIO`
+    (POSIX by default; the interface contract — conditional put for commits,
+    last-writer-wins swap for the version hint — maps directly onto
+    S3/GCS/HDFS, round-1 review item)."""
+
+    def __init__(self, location: str, io: Optional["FileIO"] = None):
+        from iceberg_ruby_spark.io import FileIO, LocalFileIO  # noqa: F401
+
         self.location = location
+        self.io: FileIO = io or LocalFileIO()
         self.metadata_dir = os.path.join(location, "metadata")
         self.data_dir = os.path.join(location, "data")
 
     def exists(self) -> bool:
-        return os.path.exists(os.path.join(self.metadata_dir, "version-hint.text"))
+        return self.io.exists(os.path.join(self.metadata_dir, "version-hint.text"))
 
     def current_version(self) -> int:
-        hint = os.path.join(self.metadata_dir, "version-hint.text")
-        with open(hint) as f:
-            return int(f.read().strip())
+        return int(self.io.read(os.path.join(self.metadata_dir, "version-hint.text")).strip())
 
     def load(self, version: Optional[int] = None) -> TableMetadata:
         if not self.exists():
             raise NoSuchTableError(f"no table at {self.location}")
         v = version if version is not None else self.current_version()
         path = os.path.join(self.metadata_dir, f"v{v}.json")
-        with open(path) as f:
-            return TableMetadata(json.load(f), v, path)
+        return TableMetadata(json.loads(self.io.read(path)), v, path)
 
     def commit(self, base_version: Optional[int], new_meta: dict[str, Any]) -> TableMetadata:
-        """Optimistic commit: O_EXCL create of the next version file; the
-        version-hint rename is atomic.  A concurrent committer loses the
-        race and must retry on fresh metadata (Iceberg's protocol)."""
-        os.makedirs(self.metadata_dir, exist_ok=True)
+        """Optimistic commit: conditional create of the next version file
+        (raises FileExistsError if a concurrent committer won); the
+        version-hint swap is last-writer-wins and always points at an
+        existing version (Iceberg's HadoopTableOperations protocol)."""
         new_version = (base_version or 0) + 1
         path = os.path.join(self.metadata_dir, f"v{new_version}.json")
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        with os.fdopen(fd, "w") as f:
-            json.dump(new_meta, f, indent=1)
-        hint_tmp = os.path.join(self.metadata_dir, f".version-hint.{uuid_mod.uuid4().hex}")
-        with open(hint_tmp, "w") as f:
-            f.write(str(new_version))
-        os.replace(hint_tmp, os.path.join(self.metadata_dir, "version-hint.text"))
+        self.io.write_atomic(path, json.dumps(new_meta, indent=1), overwrite=False)
+        self.io.replace(
+            os.path.join(self.metadata_dir, "version-hint.text"), str(new_version)
+        )
         return TableMetadata(new_meta, new_version, path)
 
     def _rel(self, p: str) -> str:
@@ -326,18 +328,17 @@ class FsTableOps:
         return p if os.path.isabs(p) else os.path.join(self.location, p)
 
     def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
-        os.makedirs(self.metadata_dir, exist_ok=True)
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
         stored = [
             {**e, "path": self._rel(e["path"])} if "path" in e else e for e in entries
         ]
-        with open(path, "w") as f:
-            json.dump({"snapshot-id": snapshot_id, "entries": stored}, f)
+        self.io.write_atomic(
+            path, json.dumps({"snapshot-id": snapshot_id, "entries": stored}), overwrite=True
+        )
         return self._rel(path)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
-        with open(self._abs(manifest_list)) as f:
-            entries = json.load(f)["entries"]
+        entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
         return [
             {**e, "path": self._abs(e["path"])} if "path" in e else e for e in entries
         ]
@@ -621,12 +622,11 @@ class Table:
             },
         }
         path = os.path.join(self.ops.metadata_dir, f"stats-{snap.snapshot_id}.json")
-        with open(path, "w") as f:
-            json.dump(stats, f, indent=1)
+        self.ops.io.write_atomic(path, json.dumps(stats, indent=1), overwrite=True)
         entry = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": self.ops._rel(path),
-            "file-size-in-bytes": os.path.getsize(path),
+            "file-size-in-bytes": self.ops.io.size(path),
             "blob-metadata": [
                 {"type": "ndv-sketch", "fields": cols, "snapshot-id": snap.snapshot_id}
             ],
@@ -648,8 +648,7 @@ class Table:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         for s in self.statistics:
             if s.get("snapshot-id") == sid:
-                with open(self.ops._abs(s["statistics-path"])) as f:
-                    return json.load(f)
+                return json.loads(self.ops.io.read(self.ops._abs(s["statistics-path"])))
         return None
 
     @property
@@ -891,7 +890,7 @@ class Table:
                     "path": path,
                     "record-count": d["__rc"],
                     "schema-id": self.metadata.current_schema_id,
-                    "file-size-bytes": os.path.getsize(path) if os.path.exists(path) else None,
+                    "file-size-bytes": self.ops.io.size(path),
                     "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
                     "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
                 }
@@ -1246,23 +1245,19 @@ class Table:
         for snap in self.snapshots:
             for f in self._entry_files(self.ops.read_manifest(snap.manifest_list)):
                 live.add(os.path.abspath(f))
+        # one recursive listing; commit dirs with no live parquet are dropped
+        commit_dirs: dict[str, bool] = {}
+        for f in self.ops.io.list(self.ops.data_dir):
+            rel = os.path.relpath(f, self.ops.data_dir)
+            top = os.path.join(self.ops.data_dir, rel.split(os.sep)[0])
+            commit_dirs.setdefault(top, False)
+            if f.endswith(".parquet") and os.path.abspath(f) in live:
+                commit_dirs[top] = True
         removed = []
-        if os.path.isdir(self.ops.data_dir):
-            for d in sorted(os.listdir(self.ops.data_dir)):
-                full = os.path.join(self.ops.data_dir, d)
-                if not os.path.isdir(full):
-                    continue
-                has_live = any(
-                    os.path.abspath(os.path.join(root, fn)) in live
-                    for root, _dirs, fns in os.walk(full)
-                    for fn in fns
-                    if fn.endswith(".parquet")
-                )
-                if not has_live:
-                    import shutil
-
-                    shutil.rmtree(full)
-                    removed.append(full)
+        for d in sorted(commit_dirs):
+            if not commit_dirs[d]:
+                self.ops.io.delete_prefix(d)
+                removed.append(d)
         return removed
 
 
