@@ -189,12 +189,28 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     rows_per_band = max(1, num_hashes // bands)
-    # the signature table (k longs per doc — tiny next to the corpus) feeds
-    # three branches: banding, and both sides of the estimate join.  Without
-    # persist each branch re-runs the full shingle+hash scan (measured 3×
-    # the end-to-end time at sf0.1).
-    sig = minhash_signatures(df, text_col, id_col, num_hashes, shingle_size).persist(
+    # ONE shingle+hash scan of the corpus feeds everything: signatures are
+    # k affine mins over it, exact verification joins its distinct sets.
+    # Persisted because it backs four branches (sig, sizes, both sides of
+    # the intersection join).
+    hashed = _shingle_hashes(df, text_col, id_col, shingle_size).persist(
         StorageLevel.MEMORY_AND_DISK
+    )
+    aggs = [
+        F.min(F.col("__h") * F.lit(_MULT[i]) + F.lit(_OFFS[i])).alias(f"__s{i}")
+        for i in range(num_hashes)
+    ]
+    # the signature table (k longs per doc — tiny next to the corpus) feeds
+    # three branches of its own: banding and both sides of the estimate
+    # join (without persist each branch re-runs the aggregation).
+    sig = (
+        hashed.groupBy(id_col)
+        .agg(*aggs)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("sig"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     band_cols = []
     for b in range(bands):
@@ -234,13 +250,9 @@ def minhash_lsh_pairs(
     cand = est.select("id_a", "id_b")
     # exact verification joins 64-bit shingle-hash sets, not strings — the
     # join key payload is 8 bytes/row and the set algebra is identical
-    # (modulo 2^-64 collision probability).  Persisted: it feeds the size
-    # table and both sides of the intersection join.
-    sh = (
-        _shingle_hashes(df, text_col, id_col, shingle_size)
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # (modulo 2^-64 collision probability).  Reuses the persisted shingle
+    # scan computed for the signatures.
+    sh = hashed.distinct()
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
     sh_b = sh.select(F.col(id_col).alias("__idb"), F.col("__h").alias("__hb"))
     inter = (
