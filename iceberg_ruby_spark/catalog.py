@@ -413,6 +413,11 @@ class Catalog:
         ``UPDATE``/``DELETE`` (beyond the reference, whose versions error);
         other write statements raise ``UnsupportedFeatureError`` instead of
         silently landing in Spark's session catalog (round-1 review item)."""
+        # single-statement only (reference test/sql_test.rb:95-100); ignore
+        # semicolons inside string literals
+        stripped = re.sub(r"'(?:[^']|'')*'", "''", query)
+        if re.search(r";\s*\S", stripped):
+            raise InvalidDataError("only a single SQL statement is supported")
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
         self._register_views()
@@ -424,6 +429,13 @@ class Catalog:
                     args[f"p{i}"] = v
             query = self._PARAM_RE.sub(lambda m: f":p{m.group(1)}", query)
         df = self.spark.sql(query, args=args or None)
+        dup = {c for c in df.columns if df.columns.count(c) > 1}
+        if dup:
+            # reference test/sql_test.rb:103-107 (DataFusion: "Projections
+            # require unique expression names")
+            raise InvalidDataError(
+                f"projections require unique expression names: duplicate {sorted(dup)}"
+            )
         return Result(df)
 
     def _sql_table_ident(self, name: str) -> list[str]:

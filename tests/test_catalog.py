@@ -184,3 +184,16 @@ def test_create_view_persisted_and_queryable(catalog):
     assert ["default", "ev2_view"] not in catalog.list_views()
     with pytest.raises(NoSuchTableError):
         catalog.drop_view("ev2_view")
+
+
+def test_sql_multi_statement_rejected(catalog):
+    with pytest.raises(InvalidDataError):
+        catalog.sql("SELECT 1; SELECT 2")
+    # semicolon inside a string literal is fine; so is a trailing one
+    assert catalog.sql("SELECT 'a;b' AS v").rows == [["a;b"]]
+    assert catalog.sql("SELECT 1 AS v;").rows == [[1]]
+
+
+def test_sql_duplicate_output_names_rejected(catalog):
+    with pytest.raises(InvalidDataError):
+        catalog.sql("SELECT 123 AS a, 123 AS a")
