@@ -985,3 +985,58 @@ def asof_join_events(spark, sf_dir):
         "user_id", "ts", F.col("value").alias("last_view_value")
     )
     return asof_join(purchases, views, on="ts", by=["user_id"])
+
+
+@query(
+    "pivot_order_status",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_f,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_o,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_p
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def pivot_order_status(spark, sf_dir):
+    """PIVOT: order counts per priority, one column per status (explicit
+    pivot values keep the plan to a single pass — no distinct-values job)."""
+    return (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "o_orderpriority",
+            F.coalesce(F.col("F"), F.lit(0)).alias("n_f"),
+            F.coalesce(F.col("O"), F.lit(0)).alias("n_o"),
+            F.coalesce(F.col("P"), F.lit(0)).alias("n_p"),
+        )
+    )
+
+
+@query(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'quantity' AS metric, l_quantity AS value
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'extendedprice', l_extendedprice
+    FROM lineitem WHERE l_orderkey < 100
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'discount', l_discount
+    FROM lineitem WHERE l_orderkey < 100
+    """,
+)
+def unpivot_lineitem_metrics(spark, sf_dir):
+    """UNPIVOT/melt: wide metric columns to (metric, value) rows."""
+    return (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") < 100)
+        .unpivot(
+            ["l_orderkey", "l_linenumber"],
+            ["l_quantity", "l_extendedprice", "l_discount"],
+            "metric",
+            "value",
+        )
+        .withColumn("metric", F.expr("substring(metric, 3)"))
+    )

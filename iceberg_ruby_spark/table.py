@@ -348,6 +348,15 @@ def _now_ms() -> int:
     return int(time.time() * 1000)
 
 
+def _commit_backoff(attempt: int) -> None:
+    """Jittered exponential backoff between optimistic-commit retries —
+    without it, N contending writers starve each other into spurious
+    too-many-retries failures (seen at 6 writers with 5 bare retries)."""
+    import random
+
+    time.sleep(random.uniform(0, min(0.5, 0.005 * (2 ** min(attempt, 7)))))
+
+
 def _new_snapshot_id() -> int:
     return uuid_mod.uuid4().int >> 65  # 63-bit positive
 
@@ -532,7 +541,7 @@ class Table:
         """Optimistic metadata-only commit: ``mutate(raw_dict)`` edits a copy
         of the current metadata; retried on version conflicts."""
         self._check_writable()
-        for _attempt in range(5):
+        for attempt in range(self._commit_retries() + 1):
             meta = self.ops.load()
             raw = dict(meta.raw)
             mutate(raw)
@@ -541,6 +550,7 @@ class Table:
                 self.metadata = self.ops.commit(meta.version, raw)
                 return
             except FileExistsError:
+                _commit_backoff(attempt)
                 continue
         raise InvalidDataError("metadata commit conflict: too many retries")
 
@@ -712,6 +722,14 @@ class Table:
     def _check_writable(self) -> None:
         if self.read_only:
             raise UnsupportedFeatureError("table is read-only")
+
+    def _commit_retries(self) -> int:
+        """Optimistic-commit retry budget (Iceberg's commit.retry.num-retries
+        table property; default 20)."""
+        try:
+            return int(self.properties.get("commit.retry.num-retries", 20))
+        except (TypeError, ValueError):
+            return 20
 
     def _normalize_input(self, data: Any) -> DataFrame:
         """Accept DataFrame / list-of-dicts / pandas / Arrow (reference accepts
@@ -995,7 +1013,7 @@ class Table:
         a concurrent committer's files are never dropped (round-1 advisory:
         stale entry list on retry = lost update).  ``mode='replace'`` commits
         ``entries`` as the full new manifest."""
-        for _attempt in range(5):
+        for attempt in range(self._commit_retries() + 1):
             meta = self.ops.load()
             if mode == "append":
                 cur = meta.current_snapshot_id
@@ -1040,6 +1058,7 @@ class Table:
                 self.metadata = self.ops.commit(meta.version, raw)
                 return
             except FileExistsError:
+                _commit_backoff(attempt)
                 continue  # lost the optimistic race; retry on fresh metadata
         raise InvalidDataError("commit conflict: too many retries")
 
