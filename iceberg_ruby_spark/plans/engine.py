@@ -237,3 +237,20 @@ def engine_branch_tag(spark, sf_dir):
     t.create_tag("v1")
     t.append(orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1000)))
     return t.to_df(ref="v1")
+
+
+@query(
+    "engine_delete_mor",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_delete_mor(spark, sf_dir):
+    """Merge-on-read DELETE: a predicate entry, zero files rewritten;
+    the read path applies it (materialized later by compact())."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_mor", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_where("o_totalprice > 200000", mode="merge-on-read")
+    return t.to_df()

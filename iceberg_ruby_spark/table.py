@@ -327,11 +327,17 @@ class FsTableOps:
     def _abs(self, p: str) -> str:
         return p if os.path.isabs(p) else os.path.join(self.location, p)
 
+    def _map_entry_paths(self, e: dict[str, Any], fn) -> dict[str, Any]:
+        out = dict(e)
+        if "path" in out:
+            out["path"] = fn(out["path"])
+        if "applies-to" in out:
+            out["applies-to"] = [fn(p) for p in out["applies-to"]]
+        return out
+
     def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
-        stored = [
-            {**e, "path": self._rel(e["path"])} if "path" in e else e for e in entries
-        ]
+        stored = [self._map_entry_paths(e, self._rel) for e in entries]
         self.io.write_atomic(
             path, json.dumps({"snapshot-id": snapshot_id, "entries": stored}), overwrite=True
         )
@@ -339,9 +345,7 @@ class FsTableOps:
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
-        return [
-            {**e, "path": self._abs(e["path"])} if "path" in e else e for e in entries
-        ]
+        return [self._map_entry_paths(e, self._abs) for e in entries]
 
 
 def _now_ms() -> int:
@@ -947,8 +951,13 @@ class Table:
         their name-at-write, added columns backfill ``initial_default``/null
         — then unioned.  No data rewrite on evolution, ever."""
         schema = schema or self.current_schema()
+        # merge-on-read delete predicates, scoped to the files they matched
+        # at delete time (rewritten files get new paths and fall outside)
+        preds = [e for e in entries if "delete-predicate" in e]
         groups: dict[int, list[str]] = {}
         for e in entries:
+            if "delete-predicate" in e:
+                continue
             sid = e.get("schema-id", schema.schema_id)
             groups.setdefault(sid, []).extend(self._entry_files([e]))
         groups = {sid: fs for sid, fs in groups.items() if fs}
@@ -966,10 +975,51 @@ class Table:
                     cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
                 else:
                     cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
+            if preds:
+                cols = [
+                    F.regexp_replace(
+                        F.col("_metadata.file_path"), "^file:", ""
+                    ).alias("__mor_file")
+                ] + cols
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        for e in preds:
+            # DELETE semantics: a row dies only when the predicate is TRUE
+            # (null-valued predicates keep the row)
+            dead = F.coalesce(F.expr(e["delete-predicate"]), F.lit(False))
+            applies = e.get("applies-to")
+            if applies is not None:
+                dead = dead & F.col("__mor_file").isin(list(applies))
+            out = out.filter(~dead)
+        if preds:
+            out = out.drop("__mor_file")
+        return out
+
+    @staticmethod
+    def _split_entries(
+        entries: list[dict[str, Any]]
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
+        data = [e for e in entries if "delete-predicate" not in e]
+        preds = [e for e in entries if "delete-predicate" in e]
+        return data, preds
+
+    @staticmethod
+    def _live_preds(
+        preds: list[dict[str, Any]], kept_paths: set[str]
+    ) -> list[dict[str, Any]]:
+        """Predicate entries still needed after a rewrite: scope each to the
+        files that remain; drop it once no scoped file survives."""
+        out = []
+        for e in preds:
+            ap = e.get("applies-to")
+            if ap is None:
+                out.append(e)
+                continue
+            ap2 = [p for p in ap if p in kept_paths]
+            if ap2:
+                out.append({**e, "applies-to": ap2})
         return out
 
     def _matching_files(
@@ -1089,25 +1139,57 @@ class Table:
         self._commit_snapshot("overwrite", new_entries, {"added-records": n})
         return self
 
-    def delete_where(self, condition: Union[str, Any]) -> int:
-        """File-pruned copy-on-write DELETE: rewrite only the files that
-        contain matching rows; carry all other files forward by reference.
-        Returns deleted row count."""
+    def delete_where(self, condition: Union[str, Any], mode: str = "copy-on-write") -> int:
+        """DELETE in one of two modes (Iceberg's write.delete.mode choice):
+
+        - ``copy-on-write`` (default): rewrite only the files that contain
+          matching rows; carry all other files forward by reference.
+          Returns the deleted row count.
+        - ``merge-on-read``: commit a predicate delete entry — O(metadata)
+          regardless of table size; reads apply the predicate, ``compact()``
+          materializes it.  Requires a string condition.  Returns the
+          matched row count (one counting job, no rewrite).
+        """
         self._check_writable()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
+        if mode == "merge-on-read":
+            if not isinstance(condition, str):
+                raise InvalidDataError(
+                    "merge-on-read delete requires a string condition"
+                )
+            hits = self._matching_files(entries, cond, cond_str=condition)
+            deleted = sum(hits.values())
+            if not deleted:
+                return 0
+            # file-scoped predicate: applies only to the files that matched
+            # at delete time, so later rewrites (new paths) are unaffected
+            self._commit_snapshot(
+                "delete",
+                entries + [{"delete-predicate": condition, "applies-to": sorted(hits)}],
+                {"deleted-records": deleted, "mode": "merge-on-read"},
+            )
+            return deleted
+        if mode != "copy-on-write":
+            raise InvalidDataError(f"unknown delete mode: {mode}")
+        data, preds = self._split_entries(entries)
         hits = self._matching_files(
-            entries, cond, cond_str=condition if isinstance(condition, str) else None
+            data, cond, cond_str=condition if isinstance(condition, str) else None
         )
         deleted = sum(hits.values())
         if not hits:
             return 0
-        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
-        survivors = self._read_entries(hit_entries).filter(~cond | cond.isNull())
+        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        # outstanding MoR predicates apply while reading hit files so their
+        # deleted rows are not resurrected into the rewrite
+        survivors = self._read_entries(hit_entries + preds).filter(~cond | cond.isNull())
         new_entries = self._write_data_dir(survivors)
+        kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
-            "delete", keep_entries + new_entries, {"deleted-records": deleted}
+            "delete",
+            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            {"deleted-records": deleted},
         )
         return deleted
 
@@ -1116,24 +1198,27 @@ class Table:
         matching rows."""
         self._check_writable()
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        entries = self._current_entries()
+        data, preds = self._split_entries(self._current_entries())
         hits = self._matching_files(
-            entries, cond, cond_str=condition if isinstance(condition, str) else None
+            data, cond, cond_str=condition if isinstance(condition, str) else None
         )
         updated = sum(hits.values())
         if not hits:
             return 0
-        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
-        out = self._read_entries(hit_entries)
+        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        out = self._read_entries(hit_entries + preds)
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
             out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
         new_entries = self._write_data_dir(
             out.select(*[f.name for f in self.current_schema().fields])
         )
+        kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
-            "overwrite", keep_entries + new_entries, {"updated-records": updated}
+            "overwrite",
+            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            {"updated-records": updated},
         )
         return updated
 
@@ -1165,10 +1250,10 @@ class Table:
                 "at most one source row per target row"
             )
         entries = self._current_entries()
-        key_cond = None
+        data, preds = self._split_entries(entries)
         # files containing rows whose keys appear in the source (semi-join
         # against distinct source keys; AQE broadcasts when small)
-        files = self._entry_files(entries)
+        files = self._entry_files(data)
         if files:
             schema = self.current_schema()
             raw_df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
@@ -1190,9 +1275,9 @@ class Table:
                 hits[p] = r["n"]
         else:
             hits = {}
-        hit_entries = [e for e in entries if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in entries if e.get("path") not in hits and "data-dir" not in e]
-        target = self._read_entries(hit_entries)
+        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        target = self._read_entries(hit_entries + preds)
         marked = source.withColumn("__s_matched", F.lit(True))
         matched = target.alias("t").join(marked.alias("s"), keys, "left")
         is_matched = F.col("__s_matched").isNotNull()
@@ -1212,8 +1297,11 @@ class Table:
                     inserts = inserts.withColumn(c, F.lit(None))
             merged = merged.unionByName(inserts.select(*cols))
         new_entries = self._write_data_dir(merged)
+        kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
-            "overwrite", keep_entries + new_entries, {"operation-detail": "merge"}
+            "overwrite",
+            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            {"operation-detail": "merge"},
         )
         return self
 
@@ -1616,8 +1704,18 @@ class TableScan:
         snap = self.snapshot()
         if snap is None:
             return []
+        entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
+        preds = [e for e in entries if "delete-predicate" in e]
+
+        def deletes_for(path: str) -> list[str]:
+            return [
+                e["delete-predicate"]
+                for e in preds
+                if e.get("applies-to") is None or path in e["applies-to"]
+            ]
+
         tasks = []
-        for e in self._prune_entries(self.table.ops.read_manifest(snap.manifest_list)):
+        for e in entries:
             if "path" in e:
                 tasks.append(
                     {
@@ -1626,7 +1724,7 @@ class TableScan:
                         "record_count": e.get("record-count"),
                         "lower_bounds": e.get("lower-bounds", {}),
                         "upper_bounds": e.get("upper-bounds", {}),
-                        "delete_files": [],
+                        "delete_files": deletes_for(e["path"]),
                     }
                 )
             elif "data-dir" in e:  # legacy dir-level entry

@@ -102,3 +102,60 @@ def test_expire_snapshots_and_remove_orphans(catalog):
     removed = t.remove_orphan_files()
     assert len(removed) >= 3  # the 3 pre-compaction commit dirs
     assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2]
+
+
+# -- merge-on-read deletes --------------------------------------------------
+
+
+def test_mor_delete_no_rewrite(catalog):
+    t = catalog.create_table("mor", schema={"a": "int"})
+    t.append([{"a": i} for i in range(20)])
+    files_before = _live_files(t)
+    n = t.delete_where("a >= 15", mode="merge-on-read")
+    assert n == 5
+    assert _live_files(t) == files_before  # zero data files rewritten
+    assert sorted(r["a"] for r in t.to_a()) == list(range(15))
+    # plan_files reports the predicate as a delete file
+    tasks = t.scan().plan_files()
+    assert any(task["delete_files"] for task in tasks)
+
+
+def test_mor_delete_materialized_by_compact(catalog):
+    t = catalog.create_table("morc", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t.delete_where("a = 3", mode="merge-on-read")
+    t.compact()
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2] + list(range(4, 10))
+    # predicate gone after materialization
+    assert all(not task["delete_files"] for task in t.scan().plan_files())
+
+
+def test_mor_then_cow_no_resurrection(catalog):
+    t = catalog.create_table("morx", schema={"a": "int", "b": "string"})
+    t.append([{"a": i, "b": "x"} for i in range(10)])
+    t.delete_where("a = 7", mode="merge-on-read")
+    # CoW delete rewrites the same file; the MoR-deleted row must not return
+    t.delete_where("a = 2")
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 3, 4, 5, 6, 8, 9]
+    # and an update into the deleted predicate's value-space is kept
+    t.update_where({"a": "7"}, "a = 9")
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 3, 4, 5, 6, 7, 8]
+
+
+def test_mor_delete_then_merge_reinserts(catalog, spark):
+    t = catalog.create_table("morm", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "one"}, {"k": 2, "v": "two"}])
+    t.delete_where("k = 2", mode="merge-on-read")
+    src = spark.createDataFrame([(2, "TWO")], ["k", "v"])
+    t.merge_into(src, on="k")
+    rows = sorted(t.to_a(), key=lambda r: r["k"])
+    assert rows == [{"k": 1, "v": "one"}, {"k": 2, "v": "TWO"}]
+
+
+def test_mor_time_travel_sees_pre_delete(catalog):
+    t = catalog.create_table("mort", schema={"a": "int"})
+    t.append([{"a": 1}, {"a": 2}])
+    snap1 = t.current_snapshot_id
+    t.delete_where("a = 2", mode="merge-on-read")
+    assert sorted(r["a"] for r in t.to_a()) == [1]
+    assert sorted(r["a"] for r in t.to_a(snapshot_id=snap1)) == [1, 2]
