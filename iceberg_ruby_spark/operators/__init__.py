@@ -28,6 +28,7 @@ from iceberg_ruby_spark.operators.dedup import (
 )
 from iceberg_ruby_spark.operators.similarity import (
     cosine_topk,
+    ivf_topk,
     lsh_ann_topk,
     vector_norms,
 )
@@ -54,6 +55,7 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
+    "ivf_topk",
     "lsh_ann_topk",
     "vector_norms",
     "add_text_stats",

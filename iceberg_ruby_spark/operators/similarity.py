@@ -18,6 +18,7 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -136,6 +137,127 @@ def lsh_ann_topk(
     ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
     scored = (
         c.join(F.broadcast(q), "__bucket")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col("__cv"))
+                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def _train_centroids(
+    corpus: DataFrame,
+    vec_col: str,
+    n_cells: int,
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 42,
+):
+    """Coarse quantizer: numpy Lloyd iterations on a deterministic sample.
+
+    The sample (≤4096 vectors) is the ONLY data that reaches the driver —
+    training cost is independent of corpus size; assignment below is
+    distributed."""
+    import numpy as np
+
+    rows = corpus.select(vec_col).limit(sample_size).collect()
+    x = np.asarray([r[0] for r in rows], dtype=np.float64)
+    if len(x) == 0:
+        raise ValueError("cannot train IVF on an empty corpus")
+    n_cells = min(n_cells, len(x))
+    rng = np.random.RandomState(seed)
+    centroids = x[rng.choice(len(x), size=n_cells, replace=False)]
+    for _ in range(iters):
+        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(n_cells):
+            members = x[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _cell_assigner(centroids):
+    """Arrow-batched nearest-centroid assignment (one numpy matmul per
+    batch; the centroid table rides the UDF closure → executor broadcast)."""
+    import numpy as np
+    import pandas as pd
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    sq = (cents**2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype="Int32")
+        d = sq[None, :] - 2.0 * (x @ cents.T)  # argmin ||v-c||² sans ||v||²
+        return pd.Series(d.argmin(axis=1)).astype("Int32")
+
+    return _assign
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    n_cells: int = 64,
+    n_probe: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate cosine top-k: coarse-quantize the corpus into
+    ``n_cells`` Voronoi cells, probe the ``n_probe`` nearest cells per
+    query, exact re-rank inside the probed cells.
+
+    Scale path: cell assignment is one distributed pass (and at rest the
+    corpus can be hidden-partitioned by cell); each query touches
+    ``n_probe/n_cells`` of the data through a hash join on the cell id.
+    Recall is tunable via ``n_probe``."""
+    import numpy as np
+
+    query_id_col = query_id_col or id_col
+    centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed)
+    assign = _cell_assigner(centroids)
+
+    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
+        "__cell", assign(F.col("__cv"))
+    )
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    sq = (cents**2).sum(axis=1)
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        d = sq[None, :] - 2.0 * (x @ cents.T)
+        order = np.argsort(d, axis=1)[:, : min(n_probe, len(cents))]
+        return pd.Series([row.tolist() for row in order])
+
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
+    )
+    scored = (
+        c.join(F.broadcast(q), "__cell")
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn(
             "cosine",

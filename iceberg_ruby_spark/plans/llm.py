@@ -335,3 +335,15 @@ def multimodal_features(spark, sf_dir):
         F.col("meta.size_bytes").alias("size_bytes"),
         F.round(F.aggregate("features", F.lit(0.0), lambda a, x: a + x), 6).alias("feature_sum"),
     )
+
+
+@query("embedding_ann_ivf")  # approximate + kmeans-trained — rows-only check
+def embedding_ann_ivf(spark, sf_dir):
+    """IVF ANN (operators/similarity.py): coarse-quantize into Voronoi
+    cells, probe the nearest cells per query, exact re-rank inside — the
+    'each query touches n_probe/n_cells of the corpus' scale path."""
+    from iceberg_ruby_spark.operators.similarity import ivf_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(emb, queries, k=10, n_cells=32, n_probe=8)

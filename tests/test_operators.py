@@ -149,3 +149,27 @@ def test_multimodal_real_decoder_is_stubbed(spark):
         # "image" decoder requires codec libs not in this container —
         # must raise loudly, not silently fake
         ops.extract_features(tagged, decoder="image").collect()
+
+
+def test_ivf_topk_recall_vs_exact(spark):
+    import random
+
+    rnd = random.Random(11)
+    # clustered corpus so IVF cells are meaningful
+    centers = [[rnd.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    for i in range(300):
+        c = centers[i % 6]
+        rows.append((i, [x + rnd.gauss(0, 0.15) for x in c]))
+    corpus = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    queries = corpus.filter(F.col("vec_id") < 5)
+    exact = ops.cosine_topk(corpus, queries, k=5)
+    approx = ops.ivf_topk(corpus, queries, k=5, n_cells=12, n_probe=4)
+    exact_set = {(r["query_id"], r["vec_id"]) for r in exact.collect()}
+    approx_set = {(r["query_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.8, recall
+    # determinism: same seed, same result
+    again = {(r["query_id"], r["vec_id"]) for r in
+             ops.ivf_topk(corpus, queries, k=5, n_cells=12, n_probe=4).collect()}
+    assert again == approx_set
