@@ -41,10 +41,13 @@ from iceberg_ruby_spark.operators.text import (
 )
 from iceberg_ruby_spark.operators.asof import asof_join
 from iceberg_ruby_spark.operators.multimodal import (
+    FRAME_SCHEMA,
     MEDIA_SCHEMA,
     attach_media_metadata,
     decode_media_batch,
     extract_features,
+    resize_media,
+    sample_frames,
 )
 
 __all__ = [
@@ -64,8 +67,11 @@ __all__ = [
     "quality_score",
     "token_count",
     "asof_join",
+    "FRAME_SCHEMA",
     "MEDIA_SCHEMA",
     "attach_media_metadata",
     "decode_media_batch",
     "extract_features",
+    "resize_media",
+    "sample_frames",
 ]

@@ -117,3 +117,107 @@ def extract_features(df: DataFrame, decoder: str = "fake") -> DataFrame:
     keeps the payload column out of the shuffle: only (id, features) moves)."""
     feats = decode_media_batch(df, decoder=decoder)
     return df.drop("payload").join(feats, "media_id")
+
+
+# -- resize / frame-sample plumbing -----------------------------------------
+#
+# Same contract as decode: the Spark side (mapInPandas batch iteration,
+# output schemas, deterministic behavior) is real; the pixel/codec work is
+# behind registerable transformer functions with deterministic fakes.
+
+
+def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
+    """Stand-in for a real image resize (PIL etc.): deterministic bytes of
+    the requested 'size' derived from sha256(payload || dims)."""
+    if payload is None:
+        return None
+    seed = hashlib.sha256(payload + f"|{width}x{height}".encode()).digest()
+    n = max(1, (width * height) // 64)  # token 'pixel buffer', bounded
+    out = bytearray()
+    block = seed
+    while len(out) < n:
+        block = hashlib.sha256(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+_RESIZERS = {"fake": _fake_resize}
+
+
+def register_resizer(name: str, fn) -> None:
+    _RESIZERS[name] = fn
+
+
+def resize_media(
+    df: DataFrame, width: int, height: int, resizer: str = "fake"
+) -> DataFrame:
+    """Distributed resize via ``mapInPandas``: (media_id, payload, meta) in,
+    same schema out with the payload replaced and meta dims updated.
+    Partitioning is preserved — no shuffle; one Arrow batch at a time keeps
+    peak memory at batch_size × payload_size."""
+    if resizer not in _RESIZERS:
+        raise NotImplementedError(
+            f"resizer {resizer!r} not available in this environment; "
+            "register one via register_resizer() (image libs are stubbed)"
+        )
+    fn = _RESIZERS[resizer]
+    out_schema = df.schema
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["payload"] = [fn(p, width, height) for p in pdf["payload"]]
+            metas = []
+            for m in pdf["meta"]:
+                m = dict(m) if m is not None else {}
+                m["width"], m["height"] = width, height
+                metas.append(m)
+            pdf["meta"] = metas
+            yield pdf
+
+    return df.mapInPandas(_resize, out_schema)
+
+
+def _fake_frame_extract(payload: bytes, frame_index: int) -> bytes:
+    """Stand-in for video frame extraction at ``frame_index``."""
+    if payload is None:
+        return None
+    return hashlib.sha256(payload + frame_index.to_bytes(4, "big")).digest()
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_index", T.IntegerType(), False),
+        T.StructField("frame", T.BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    frame_ms: int = 40,
+    max_frames: int = 32,
+) -> DataFrame:
+    """Frame sampling: one output row per sampled frame, count derived from
+    ``meta.duration_ms`` (every ``every_ms``, capped at ``max_frames``).
+    Runs in ``mapInPandas`` so a 2-hour video and a 2-second clip in the
+    same batch each emit their own row count — no skew from per-row
+    explode of a python list."""
+
+    def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                duration = (meta or {}).get("duration_ms") or frame_ms
+                n = min(max_frames, max(1, int(duration // every_ms) + 1))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(_fake_frame_extract(payload, i))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_index": idxs, "frame": frames}
+            )
+
+    return df.select("media_id", "payload", "meta").mapInPandas(_frames, FRAME_SCHEMA)

@@ -347,3 +347,75 @@ def embedding_ann_ivf(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return ivf_topk(emb, queries, k=10, n_cells=32, n_probe=8)
+
+
+@query(
+    "pipeline_clean_corpus",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source,
+             {_TOKEN_COUNT_SQL} AS n_tokens,
+             {_QUALITY_SQL} AS quality,
+             {_FP_SQL} AS fp
+      FROM documents
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM scored
+      WHERE quality >= 0.5 AND n_tokens >= 10
+    )
+    SELECT doc_id, source, n_tokens, quality FROM ranked WHERE rn = 1
+    """,
+)
+def pipeline_clean_corpus(spark, sf_dir):
+    """The composite training-data pipeline: quality-score filter →
+    near-exact dedup by fingerprint (deterministic survivor) → stats.
+    One shuffle (the dedup window); scoring stays in the scan projection."""
+    from pyspark.sql import Window
+
+    from iceberg_ruby_spark.operators.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        token_count(F.col("text")).alias("n_tokens"),
+        quality_score(F.col("text")).alias("quality"),
+        fingerprint(F.col("text")).alias("fp"),
+    ).filter((F.col("quality") >= 0.5) & (F.col("n_tokens") >= 10))
+    w = Window.partitionBy("fp").orderBy(F.col("doc_id").asc())
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "n_tokens", "quality")
+    )
+
+
+@query("multimodal_resize_frames")  # stub codecs — rows-only check
+def multimodal_resize_frames(spark, sf_dir):
+    """Media pipeline plumbing end-to-end: synthesize binary payloads from
+    the documents table, tag metadata, resize, and frame-sample — the
+    mapInPandas batch shapes and schemas are what's under test (codecs are
+    deterministic fakes; real ones register via register_resizer)."""
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents").limit(200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    tagged = attach_media_metadata(media, "payload", fmt="bin").withColumn(
+        "meta",
+        F.col("meta").withField("duration_ms", (F.col("media_id") % 5 + 1) * 1000),
+    )
+    resized = resize_media(tagged, width=32, height=32)
+    return sample_frames(resized, every_ms=1000).select(
+        "media_id", "frame_index", F.length("frame").alias("frame_bytes")
+    )

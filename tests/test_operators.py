@@ -173,3 +173,40 @@ def test_ivf_topk_recall_vs_exact(spark):
     again = {(r["query_id"], r["vec_id"]) for r in
              ops.ivf_topk(corpus, queries, k=5, n_cells=12, n_probe=4).collect()}
     assert again == approx_set
+
+
+def test_resize_media_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, b"imgdata" * 50), (2, None)], ["media_id", "payload"]
+    )
+    tagged = ops.attach_media_metadata(df, "payload", fmt="img")
+    resized = ops.resize_media(tagged, width=64, height=32)
+    rows = {r["media_id"]: r for r in resized.collect()}
+    assert rows[1]["meta"]["width"] == 64 and rows[1]["meta"]["height"] == 32
+    assert len(rows[1]["payload"]) == (64 * 32) // 64
+    assert rows[2]["payload"] is None  # null payload passes through
+    # deterministic
+    again = {r["media_id"]: r for r in ops.resize_media(tagged, 64, 32).collect()}
+    assert bytes(again[1]["payload"]) == bytes(rows[1]["payload"])
+    with pytest.raises(Exception):
+        ops.resize_media(tagged, 64, 32, resizer="pil").collect()
+
+
+def test_sample_frames_row_counts_from_duration(spark):
+    import pyspark.sql.types as T
+
+    rows = [
+        (1, b"vid1", {"format": "vid", "width": None, "height": None,
+                      "duration_ms": 3500, "size_bytes": 4}),
+        (2, b"vid2", {"format": "vid", "width": None, "height": None,
+                      "duration_ms": 100, "size_bytes": 4}),
+    ]
+    df = spark.createDataFrame(rows, ops.MEDIA_SCHEMA)
+    frames = ops.sample_frames(df, every_ms=1000).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 4  # 0,1000,2000,3000 ms
+    assert len(by_id[2]) == 1
+    assert sorted(r["frame_index"] for r in by_id[1]) == [0, 1, 2, 3]
+    assert all(r["frame"] is not None for r in frames)
