@@ -91,3 +91,42 @@ def stream_dedup_watermark(spark, sf_dir):
         "event_id", "user_id", "event_type"
     )
     return run_to_memory_table(deduped, spark, output_mode="append")
+
+
+@query(
+    "stream_stateful_user_activity",
+    oracle="""
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           round(SUM(value), 6) AS value_sum,
+           MIN(ts) AS first_ts, MAX(ts) AS last_ts
+    FROM events GROUP BY user_id
+    """,
+)
+def stream_stateful_user_activity(spark, sf_dir):
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    activity kept in explicit GroupState.  Bounded replay makes the final
+    update per key batch-equivalent to a GROUP BY."""
+    from iceberg_ruby_spark.streaming import (
+        read_events_stream,
+        run_to_memory_table,
+        user_activity_stateful,
+    )
+
+    events = read_events_stream(spark, sf_dir)
+    acts = user_activity_stateful(events, spark)
+    out = run_to_memory_table(acts, spark, output_mode="update")
+    # update mode can emit a row per micro-batch per key; keep the last
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        out.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("value_sum", 6).alias("value_sum"),
+            "first_ts",
+            "last_ts",
+        )
+    )

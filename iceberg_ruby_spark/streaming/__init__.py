@@ -13,6 +13,7 @@ from iceberg_ruby_spark.streaming.events import (
     read_events_stream,
     run_to_memory_table,
     session_windows,
+    user_activity_stateful,
     windowed_counts,
 )
 
@@ -22,4 +23,5 @@ __all__ = [
     "session_windows",
     "dedup_events_stream",
     "run_to_memory_table",
+    "user_activity_stateful",
 ]

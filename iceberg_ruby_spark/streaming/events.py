@@ -6,6 +6,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -85,3 +86,67 @@ def run_to_memory_table(
     )
     q.awaitTermination()
     return spark.table(name)
+
+
+def user_activity_stateful(
+    events: DataFrame, spark: SparkSession, timeout_ms: int = 0
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: per-user
+    running activity (event count, value sum, first/last event time) kept
+    in explicit GroupState across micro-batches — the pattern for stateful
+    logic Spark's built-in aggregations can't express.
+
+    State per key is a constant-size tuple, so memory is O(active users),
+    not O(events); a ProcessingTimeTimeout would evict idle users at scale
+    (left NoTimeout here because the bounded replay ends the query)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType(), False),
+            T.StructField("n_events", T.LongType(), False),
+            T.StructField("value_sum", T.DoubleType(), True),
+            T.StructField("first_ts", T.TimestampType(), True),
+            T.StructField("last_ts", T.TimestampType(), True),
+        ]
+    )
+    state_schema = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("vsum", T.DoubleType()),
+            T.StructField("first_ts", T.TimestampType()),
+            T.StructField("last_ts", T.TimestampType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, vsum, first_ts, last_ts = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            vsum += float(pdf["value"].fillna(0.0).sum())
+            lo, hi = pdf["ts"].min(), pdf["ts"].max()
+            first_ts = lo if first_ts is None or lo < first_ts else first_ts
+            last_ts = hi if last_ts is None or hi > last_ts else last_ts
+        state.update((n, vsum, first_ts, last_ts))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "value_sum": [vsum],
+                "first_ts": [first_ts],
+                "last_ts": [last_ts],
+            }
+        )
+
+    return events.select("user_id", "ts", "value").groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
