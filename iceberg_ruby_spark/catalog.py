@@ -27,7 +27,6 @@ from __future__ import annotations
 import json
 import os
 import re
-import shutil
 import uuid as uuid_mod
 from typing import Any, Optional, Union
 
@@ -77,9 +76,13 @@ class Catalog:
         namespace: Optional[Ident] = None,
         spark: Optional[SparkSession] = None,
         name: str = "iceberg",
+        io: Optional["FileIO"] = None,
     ):
+        from iceberg_ruby_spark.io import LocalFileIO
+
         self.name = name
         self.warehouse = os.path.abspath(warehouse)
+        self.io = io or LocalFileIO()
         os.makedirs(self.warehouse, exist_ok=True)
         self.spark = spark or get_spark()
         self.default_namespace = _norm_ident(namespace) if namespace else None
@@ -112,16 +115,17 @@ class Catalog:
         parts = self._with_namespace(ident)
         default_loc = os.path.join(self.warehouse, *parts)
         pointer = os.path.join(default_loc, _POINTER_FILE)
-        if os.path.exists(pointer):
-            with open(pointer) as f:
-                return parts, json.load(f)["location"]
+        if self.io.exists(pointer):
+            return parts, json.loads(self.io.read(pointer))["location"]
         return parts, default_loc
 
     def _write_pointer(self, parts: list[str], location: str) -> None:
         default_loc = os.path.join(self.warehouse, *parts)
-        os.makedirs(default_loc, exist_ok=True)
-        with open(os.path.join(default_loc, _POINTER_FILE), "w") as f:
-            json.dump({"location": os.path.abspath(location)}, f)
+        self.io.write_atomic(
+            os.path.join(default_loc, _POINTER_FILE),
+            json.dumps({"location": os.path.abspath(location)}),
+            overwrite=True,
+        )
 
     # ------------------------------------------------------------- namespaces
     def create_namespace(
@@ -132,17 +136,15 @@ class Catalog:
     ) -> None:
         parts = _norm_ident(ns)
         marker = self._ns_marker(parts)
-        if os.path.exists(marker):
+        if self.io.exists(marker):
             if if_not_exists:
                 return
             raise NamespaceAlreadyExistsError(f"namespace already exists: {'.'.join(parts)}")
         # parents must exist for nested namespaces (reference
         # test/namespace_test.rb:32-49)
-        if len(parts) > 1 and not os.path.exists(self._ns_marker(parts[:-1])):
+        if len(parts) > 1 and not self.io.exists(self._ns_marker(parts[:-1])):
             raise NoSuchNamespaceError(f"parent namespace does not exist: {'.'.join(parts[:-1])}")
-        os.makedirs(self._ns_dir(parts), exist_ok=True)
-        with open(marker, "w") as f:
-            json.dump({"properties": properties or {}}, f)
+        self.io.write_atomic(marker, json.dumps({"properties": properties or {}}), overwrite=True)
 
     def list_namespaces(self, parent: Optional[Ident] = None) -> list[list[str]]:
         base = _norm_ident(parent) if parent else []
@@ -150,10 +152,9 @@ class Catalog:
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(base)}")
         root = self._ns_dir(base) if base else self.warehouse
         out = []
-        if os.path.isdir(root):
-            for d in sorted(os.listdir(root)):
-                if os.path.exists(os.path.join(root, d, _NS_FILE)):
-                    out.append([*base, d])
+        for d in self.io.list_children(root):
+            if self.io.exists(os.path.join(root, d, _NS_FILE)):
+                out.append([*base, d])
         return out
 
     def namespace_exists(self, ns: Ident) -> bool:
@@ -161,34 +162,32 @@ class Catalog:
             parts = _norm_ident(ns)
         except InvalidDataError:
             return False
-        return os.path.exists(self._ns_marker(parts))
+        return self.io.exists(self._ns_marker(parts))
 
     def namespace_properties(self, ns: Ident) -> dict[str, str]:
         parts = _norm_ident(ns)
         marker = self._ns_marker(parts)
-        if not os.path.exists(marker):
+        if not self.io.exists(marker):
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
-        with open(marker) as f:
-            return json.load(f).get("properties", {})
+        return json.loads(self.io.read(marker)).get("properties", {})
 
     def update_namespace(self, ns: Ident, properties: dict[str, str]) -> None:
         parts = _norm_ident(ns)
         marker = self._ns_marker(parts)
-        if not os.path.exists(marker):
+        if not self.io.exists(marker):
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
-        with open(marker, "w") as f:
-            json.dump({"properties": properties}, f)
+        self.io.write_atomic(marker, json.dumps({"properties": properties}), overwrite=True)
 
     def drop_namespace(self, ns: Ident, if_exists: bool = False) -> None:
         parts = _norm_ident(ns)
         marker = self._ns_marker(parts)
-        if not os.path.exists(marker):
+        if not self.io.exists(marker):
             if if_exists:
                 return
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
         if self.list_tables(parts) or self.list_namespaces(parts):
             raise InvalidDataError(f"namespace is not empty: {'.'.join(parts)}")
-        shutil.rmtree(self._ns_dir(parts))
+        self.io.delete_prefix(self._ns_dir(parts))
 
     # ----------------------------------------------------------------- tables
     def create_table(
@@ -263,20 +262,20 @@ class Catalog:
         }
         from iceberg_ruby_spark.table import FsTableOps
 
-        ops = FsTableOps(loc)
+        ops = FsTableOps(loc, io=self.io)
         os.makedirs(ops.data_dir, exist_ok=True)
         ops.commit(0, meta)
         if location is not None:
             self._write_pointer(parts, loc)
-        return Table(self.spark, loc, identifier=parts, catalog=self)
+        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io)
 
     def load_table(self, ident: Ident) -> Table:
         parts, loc = self._table_location(ident)
         from iceberg_ruby_spark.table import FsTableOps
 
-        if not FsTableOps(loc).exists():
+        if not FsTableOps(loc, io=self.io).exists():
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
-        return Table(self.spark, loc, identifier=parts, catalog=self)
+        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io)
 
     def table_exists(self, ident: Ident) -> bool:
         try:
@@ -285,7 +284,7 @@ class Catalog:
             return False
         from iceberg_ruby_spark.table import FsTableOps
 
-        return FsTableOps(loc).exists()
+        return FsTableOps(loc, io=self.io).exists()
 
     def list_tables(self, ns: Optional[Ident] = None) -> list[list[str]]:
         if ns is None:
@@ -298,12 +297,10 @@ class Catalog:
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
         root = self._ns_dir(parts)
         out = []
-        for d in sorted(os.listdir(root)):
+        for d in self.io.list_children(root):
             candidate = os.path.join(root, d)
-            if not os.path.isdir(candidate):
-                continue
-            if os.path.exists(os.path.join(candidate, "metadata", "version-hint.text")) or (
-                os.path.exists(os.path.join(candidate, _POINTER_FILE))
+            if self.io.exists(os.path.join(candidate, "metadata", "version-hint.text")) or (
+                self.io.exists(os.path.join(candidate, _POINTER_FILE))
                 and self.table_exists([*parts, d])
             ):
                 out.append([*parts, d])
@@ -317,26 +314,29 @@ class Catalog:
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
         warehouse_loc = os.path.join(self.warehouse, *parts)
         pointer = os.path.join(warehouse_loc, _POINTER_FILE)
-        if os.path.exists(pointer):
+        if self.io.exists(pointer):
             # registered/custom-location table: detach, leave data in place
-            shutil.rmtree(warehouse_loc)
+            self.io.delete_prefix(warehouse_loc)
             return
         # drop from catalog without purging data (reference semantics:
         # drop_table leaves files; purge_table deletes them)
         meta_dir = os.path.join(loc, "metadata")
-        shutil.move(
-            os.path.join(meta_dir, "version-hint.text"),
+        hint = os.path.join(meta_dir, "version-hint.text")
+        self.io.write_atomic(
             os.path.join(meta_dir, f".dropped-{uuid_mod.uuid4().hex}"),
+            self.io.read(hint),
+            overwrite=True,
         )
+        self.io.delete(hint)
 
     def purge_table(self, ident: Ident) -> None:
         parts, loc = self._table_location(ident)
         if not self.table_exists(parts):
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
-        shutil.rmtree(loc)
+        self.io.delete_prefix(loc)
         warehouse_loc = os.path.join(self.warehouse, *parts)
-        if os.path.abspath(warehouse_loc) != os.path.abspath(loc) and os.path.isdir(warehouse_loc):
-            shutil.rmtree(warehouse_loc)
+        if os.path.abspath(warehouse_loc) != os.path.abspath(loc):
+            self.io.delete_prefix(warehouse_loc)
 
     def rename_table(self, old: Ident, new: Ident) -> None:
         old_parts, _old_loc = self._table_location(old)
@@ -349,7 +349,7 @@ class Catalog:
             raise TableAlreadyExistsError(f"table already exists: {'.'.join(new_parts)}")
         # move the warehouse entry (data dir, or pointer file for
         # registered/custom-location tables — those keep their data in place)
-        shutil.move(
+        self.io.move_prefix(
             os.path.join(self.warehouse, *old_parts),
             os.path.join(self.warehouse, *new_parts),
         )
@@ -367,7 +367,7 @@ class Catalog:
         src = os.path.abspath(src)
         from iceberg_ruby_spark.table import FsTableOps
 
-        if not FsTableOps(src).exists():
+        if not FsTableOps(src, io=self.io).exists():
             raise NoSuchTableError(f"no table metadata at {metadata_location}")
         if src != os.path.abspath(loc):
             self._write_pointer(parts, src)
@@ -451,20 +451,19 @@ class Catalog:
         if not self.namespace_exists(parts[:-1]):
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts[:-1])}")
         path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
-        if os.path.exists(path) and not replace:
+        if self.io.exists(path) and not replace:
             raise TableAlreadyExistsError(f"view already exists: {'.'.join(parts)}")
-        with open(path, "w") as f:
-            json.dump({"sql": select_sql}, f)
+        self.io.write_atomic(path, json.dumps({"sql": select_sql}), overwrite=True)
         self._invalidate_views()
 
     def drop_view(self, ident: Ident, if_exists: bool = False) -> None:
         parts = self._with_namespace(ident)
         path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
-        if not os.path.exists(path):
+        if not self.io.exists(path):
             if if_exists:
                 return
             raise NoSuchTableError(f"view does not exist: {'.'.join(parts)}")
-        os.remove(path)
+        self.io.delete(path)
         self._invalidate_views()
 
     def list_views(self, ns: Optional[Ident] = None) -> list[list[str]]:
@@ -472,9 +471,7 @@ class Catalog:
         out = []
         for nsp in namespaces:
             d = os.path.join(self.warehouse, *nsp)
-            if not os.path.isdir(d):
-                continue
-            for fn in sorted(os.listdir(d)):
+            for fn in self.io.list_children(d):
                 if fn.endswith(".view.json"):
                     out.append(nsp + [fn[: -len(".view.json")]])
         return out
@@ -586,8 +583,7 @@ class Catalog:
         for parts in self.list_views():
             path = os.path.join(self.warehouse, *parts[:-1], f"{parts[-1]}.view.json")
             try:
-                with open(path) as f:
-                    view_sql = json.load(f)["sql"]
+                view_sql = json.loads(self.io.read(path))["sql"]
             except (OSError, KeyError, ValueError):
                 continue
             names = ["_".join(parts)]

@@ -53,6 +53,16 @@ class FileIO:
     def size(self, path: str) -> int | None:
         raise NotImplementedError
 
+    def list_children(self, prefix: str) -> list[str]:
+        """Immediate child names under ``prefix`` (object stores: delimiter
+        listing)."""
+        raise NotImplementedError
+
+    def move_prefix(self, src: str, dst: str) -> None:
+        """Move every object under ``src`` to ``dst`` (object stores: copy +
+        delete; no rename primitive is assumed)."""
+        raise NotImplementedError
+
 
 class LocalFileIO(FileIO):
     """POSIX implementation: ``O_EXCL`` create for conditional writes,
@@ -105,3 +115,13 @@ class LocalFileIO(FileIO):
 
     def size(self, path: str) -> int | None:
         return os.path.getsize(path) if os.path.exists(path) else None
+
+    def list_children(self, prefix: str) -> list[str]:
+        if not os.path.isdir(prefix):
+            return []
+        return sorted(os.listdir(prefix))
+
+    def move_prefix(self, src: str, dst: str) -> None:
+        import shutil
+
+        shutil.move(src, dst)

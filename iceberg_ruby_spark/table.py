@@ -380,12 +380,13 @@ class Table:
         identifier: Optional[list[str]] = None,
         catalog: Optional[Any] = None,
         read_only: bool = False,
+        io: Optional[Any] = None,
     ):
         self.spark = spark
         self.identifier = identifier or []
         self.catalog = catalog
         self.read_only = read_only
-        self.ops = FsTableOps(location)
+        self.ops = FsTableOps(location, io=io)
         self.metadata = self.ops.load()
 
     # -- metadata accessors (reference table.rb:12-141) ---------------------
