@@ -351,6 +351,7 @@ def embedding_ann_ivf(spark, sf_dir):
 
 @query(
     "pipeline_clean_corpus",
+    bench=True,
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, source,
