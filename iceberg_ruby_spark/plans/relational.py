@@ -1040,3 +1040,124 @@ def unpivot_lineitem_metrics(spark, sf_dir):
         )
         .withColumn("metric", F.expr("substring(metric, 3)"))
     )
+
+
+@query(
+    "regexp_functions",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-m]') AS starts_a_to_m,
+           regexp_extract(p_name, '([a-z]+)', 1) AS first_word,
+           regexp_replace(p_name, '[aeiou]', '*', 'g') AS devoweled,
+           CAST(length(regexp_replace(p_name, '[^ ]', '', 'g')) + 1 AS INTEGER) AS n_words
+    FROM part
+    """,
+)
+def regexp_functions(spark, sf_dir):
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.col("p_name").rlike("^[a-m]").alias("starts_a_to_m"),
+        F.regexp_extract("p_name", "([a-z]+)", 1).alias("first_word"),
+        F.regexp_replace("p_name", "[aeiou]", "*").alias("devoweled"),
+        (F.length(F.regexp_replace("p_name", "[^ ]", "")) + 1).alias("n_words"),
+    )
+
+
+@query(
+    "explode_unnest",
+    oracle="""
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def explode_unnest(spark, sf_dir):
+    """LATERAL VIEW explode — one row per array element."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+@query(
+    "percentile_aggs",
+    oracle="""
+    SELECT o_orderpriority,
+           round(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+           round(quantile_cont(o_totalprice, 0.9), 6) AS p90,
+           round(min(o_totalprice), 6) AS lo,
+           round(max(o_totalprice), 6) AS hi
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def percentile_aggs(spark, sf_dir):
+    """Exact percentiles (continuous interpolation) per group."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90"),
+        F.round(F.min("o_totalprice"), 6).alias("lo"),
+        F.round(F.max("o_totalprice"), 6).alias("hi"),
+    )
+
+
+@query(
+    "stat_aggs",
+    oracle="""
+    SELECT n_nationkey,
+           round(stddev_samp(price), 4) AS sd,
+           round(var_samp(price), 2) AS var,
+           round(corr(price, qty), 4) AS price_qty_corr
+    FROM (
+      SELECT c.c_nationkey AS n_nationkey, l.l_extendedprice AS price,
+             l.l_quantity AS qty
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+    ) GROUP BY n_nationkey
+    """,
+)
+def stat_aggs(spark, sf_dir):
+    """Statistical aggregates (stddev/variance/correlation) per nation."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    joined = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select(
+            F.col("c_nationkey").alias("n_nationkey"),
+            F.col("l_extendedprice").alias("price"),
+            F.col("l_quantity").alias("qty"),
+        )
+    )
+    return joined.groupBy("n_nationkey").agg(
+        F.round(F.stddev_samp("price"), 4).alias("sd"),
+        F.round(F.var_samp("price"), 2).alias("var"),
+        F.round(F.corr("price", "qty"), 4).alias("price_qty_corr"),
+    )
+
+
+@query(
+    "higher_order_array",
+    oracle="""
+    SELECT p_partkey,
+           list_transform(string_split(p_name, ' '), w -> length(w)) AS word_lens,
+           len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS n_long,
+           list_reduce(list_transform(string_split(p_name, ' '), w -> length(w)),
+                       (a, b) -> a + b) AS total_chars
+    FROM part WHERE p_partkey <= 200
+    """,
+)
+def higher_order_array(spark, sf_dir):
+    """Higher-order array functions: transform / filter / aggregate stay
+    JVM-side (no Python) — the 100 TB-safe way to work on array columns."""
+    p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
+    words = F.split("p_name", " ")
+    lens = F.transform(words, lambda w: F.length(w))
+    return p.select(
+        "p_partkey",
+        lens.alias("word_lens"),
+        F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
+        F.aggregate(lens, F.lit(0), lambda a, b: a + b).alias("total_chars"),
+    )
