@@ -1310,13 +1310,35 @@ class Table:
     def compact(self, target_file_rows: int = 1_000_000) -> "Table":
         """rewrite_data_files analog: coalesce all live files into one commit
         (reference exposes none; north-star 'compaction').  Row count comes
-        from manifest stats — no extra count job."""
+        from manifest stats — no extra count job.
+
+        With a default sort order, files are range-partitioned on the sort
+        keys (cluster-by-sort): each output file covers a tight, disjoint
+        key range, so manifest bounds pruning afterwards skips all but the
+        overlapping files for range predicates.  Outstanding merge-on-read
+        delete predicates are materialized and dropped."""
         self._check_writable()
         entries = self._current_entries()
         n_rows = self._entries_rowcount(entries)
         n_files = max(1, n_rows // max(1, target_file_rows))
         df = self._read_entries(entries)
-        new_entries = self._write_data_dir(df.repartition(n_files))
+        sort = self.default_sort_order()
+        if sort and sort.get("fields"):
+            from iceberg_ruby_spark.transforms import SortField, parse_transform
+
+            sort_cols = [
+                SortField(
+                    sf["source"],
+                    parse_transform(sf.get("transform", "identity")),
+                    sf.get("direction", "asc"),
+                    sf.get("null_order"),
+                ).column()
+                for sf in sort["fields"]
+            ]
+            df = df.repartitionByRange(n_files, *sort_cols)
+        else:
+            df = df.repartition(n_files)
+        new_entries = self._write_data_dir(df)
         self._commit_snapshot("replace", new_entries, {"compacted": True})
         return self
 

@@ -159,3 +159,28 @@ def test_mor_time_travel_sees_pre_delete(catalog):
     t.delete_where("a = 2", mode="merge-on-read")
     assert sorted(r["a"] for r in t.to_a()) == [1]
     assert sorted(r["a"] for r in t.to_a(snapshot_id=snap1)) == [1, 2]
+
+
+def test_compact_clusters_by_sort_order(catalog):
+    import random
+
+    rnd = random.Random(3)
+    t = catalog.create_table(
+        "cl",
+        schema={"k": "int", "v": "string"},
+        sort_order=[("k", "asc")],
+    )
+    rows = [{"k": i, "v": f"r{i}"} for i in range(400)]
+    rnd.shuffle(rows)
+    for i in range(0, 400, 100):  # 4 commits, keys interleaved across files
+        t.append(rows[i : i + 100])
+    # before compaction every file overlaps the full key range
+    pre = t.scan().filter("k >= 390").plan_files()
+    assert len(pre) >= 4
+    t.compact(target_file_rows=100)
+    post_all = t.scan().plan_files()
+    assert len(post_all) >= 3
+    # after cluster-by-sort compaction a narrow range hits few files
+    post = t.scan().filter("k >= 390").plan_files()
+    assert len(post) == 1, [(-1, f["lower_bounds"]["k"], f["upper_bounds"]["k"]) for f in post]
+    assert sorted(r["k"] for r in t.scan().filter("k >= 390").to_a()) == list(range(390, 400))
