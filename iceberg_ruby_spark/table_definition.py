@@ -83,9 +83,19 @@ class TableDefinition:
         required: bool = False,
         doc: Optional[str] = None,
         default: Any = None,
+        null: Optional[bool] = None,
+        comment: Optional[str] = None,
     ) -> "TableDefinition":
+        """``null=False`` and ``comment=`` are the reference DSL's spellings
+        of required/doc (``test/create_table_test.rb:4-20``); ``default``
+        sets the WRITE default only — initial-default stays unset, matching
+        the reference (create_table_test.rb:17-18)."""
         if any(f.name == name for f in self._fields):
             raise InvalidDataError(f"duplicate column: {name}")
+        if null is not None:
+            required = not null
+        if comment is not None:
+            doc = comment
         fid = self._next_id
         self._next_id += 1
         self._fields.append(
@@ -96,7 +106,7 @@ class TableDefinition:
                 required=required,
                 doc=doc,
                 write_default=default,
-                initial_default=default,
+                initial_default=None,
             )
         )
         return self
