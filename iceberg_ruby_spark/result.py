@@ -47,6 +47,11 @@ class Result:
     def to_pandas(self):
         return self.df.toPandas()
 
+    @property
+    def empty(self) -> bool:
+        """Reference ``Result#empty?``."""
+        return len(self._collect()) == 0
+
     def __len__(self) -> int:
         return len(self._collect())
 

@@ -98,3 +98,34 @@ def test_bounds_prune_never_drops_matching_rows(catalog):
     assert got == list(range(49, 101))
     got_or = sorted(r["a"] for r in t.scan().filter("a < 10 OR a >= 140").to_a())
     assert got_or == list(range(10)) + list(range(140, 150))
+
+
+def test_incremental_scan_appends_between_snapshots(catalog):
+    t = catalog.create_table("inc", schema={"a": "int"})
+    t.append([{"a": 1}, {"a": 2}])
+    s1 = t.current_snapshot_id
+    t.append([{"a": 3}])
+    s2 = t.current_snapshot_id
+    t.append([{"a": 4}, {"a": 5}])
+    # window (s1, s2]: only the second append
+    inc = t.incremental_scan(from_snapshot_id=s1, to_snapshot_id=s2)
+    assert [r["a"] for r in inc.collect()] == [3]
+    # open-ended: everything after s1
+    inc2 = t.incremental_scan(from_snapshot_id=s1)
+    assert sorted(r["a"] for r in inc2.collect()) == [3, 4, 5]
+    # from=None: full history
+    assert sorted(r["a"] for r in t.incremental_scan().collect()) == [1, 2, 3, 4, 5]
+
+
+def test_incremental_scan_empty_window(catalog):
+    t = catalog.create_table("inc2", schema={"a": "int"})
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot_id
+    assert t.incremental_scan(from_snapshot_id=s1, to_snapshot_id=s1).count() == 0
+
+
+def test_result_empty_property(catalog):
+    t = catalog.create_table("re", schema={"a": "int"})
+    assert catalog.sql("SELECT * FROM re").empty
+    t.append([{"a": 1}])
+    assert not catalog.sql("SELECT * FROM re").empty
