@@ -13,6 +13,7 @@ from iceberg_ruby_spark.streaming.events import (
     read_events_stream,
     run_to_memory_table,
     session_windows,
+    stream_to_table,
     user_activity_stateful,
     windowed_counts,
 )
@@ -23,5 +24,6 @@ __all__ = [
     "session_windows",
     "dedup_events_stream",
     "run_to_memory_table",
+    "stream_to_table",
     "user_activity_stateful",
 ]

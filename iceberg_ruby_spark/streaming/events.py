@@ -150,3 +150,45 @@ def user_activity_stateful(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_to_table(
+    stream_df: DataFrame,
+    table,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming ingestion into a catalog table via ``foreachBatch``, with
+    EXACTLY-ONCE effect: each micro-batch commit records its epoch id in
+    the snapshot summary, and replayed batches (restart after a crash
+    between sink commit and checkpoint advance) are skipped when their id
+    is <= the last committed one.
+
+    Returns the StreamingQuery; callers await/stop it."""
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        last = -1
+        for snap in reversed(t.snapshots):
+            bid = snap.summary.get("streaming-batch-id")
+            if bid is not None:
+                last = int(bid)
+                break
+        if batch_id <= last:
+            return  # replayed batch — already committed
+        df = t._normalize_input(batch_df)
+        new_entries = t._write_data_dir(df)
+        n = t._entries_rowcount(new_entries)
+        t._commit_snapshot(
+            "append",
+            new_entries,
+            {"added-records": n, "streaming-batch-id": str(batch_id)},
+            mode="append",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -1753,10 +1753,15 @@ class TableScan:
         string filters match nothing there (manifest-level pruning; Column
         filters and unparseable expressions conservatively keep the file)."""
         for f in self._filters:
-            if isinstance(f, str):
-                tree = _parse_predicate(f)
-                if tree is not None:
-                    entries = [e for e in entries if _bounds_may_match(e, tree)]
+            src = f
+            if not isinstance(src, str):
+                try:  # Column → its SQL-ish string, e.g. "(a > 90)"
+                    src = f._jc.toString()
+                except Exception:
+                    continue
+            tree = _parse_predicate(src)
+            if tree is not None:
+                entries = [e for e in entries if _bounds_may_match(e, tree)]
         return entries
 
     def plan_files(self) -> list[dict[str, Any]]:
