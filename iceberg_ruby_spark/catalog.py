@@ -559,6 +559,8 @@ class Catalog:
         tables by bare name, everything else as ``ns_table``.  Views are
         cached by table metadata version — re-registered only when a table
         committed a new version (round-1 review: O(all tables) per query)."""
+        from iceberg_ruby_spark.table import FsTableOps
+
         cache = getattr(self, "_view_cache", None)
         if cache is None:
             cache = self._view_cache = {}
@@ -567,11 +569,14 @@ class Catalog:
             for parts in self.list_tables(ns):
                 key = ".".join(parts)
                 seen.add(key)
-                tbl = self.load_table(parts)
-                version = tbl.metadata.version
+                # version check reads only the tiny version-hint file — full
+                # metadata loads (and re-registration) happen only for
+                # tables that actually committed since last seen
+                _p, loc = self._table_location(parts)
+                version = FsTableOps(loc, io=self.io).current_version()
                 if cache.get(key) == version:
                     continue
-                df = tbl.to_df()
+                df = self.load_table(parts).to_df()
                 if self.default_namespace and parts[:-1] == self.default_namespace:
                     df.createOrReplaceTempView(parts[-1])
                 df.createOrReplaceTempView("_".join(parts))
