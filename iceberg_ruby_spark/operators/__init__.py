@@ -28,8 +28,10 @@ from iceberg_ruby_spark.operators.dedup import (
 )
 from iceberg_ruby_spark.operators.similarity import (
     cosine_topk,
+    dequantize_int8,
     ivf_topk,
     lsh_ann_topk,
+    quantize_int8,
     vector_norms,
 )
 from iceberg_ruby_spark.operators.text import (
@@ -58,7 +60,9 @@ __all__ = [
     "ngram_jaccard_pairs",
     "simhash",
     "cosine_topk",
+    "dequantize_int8",
     "ivf_topk",
+    "quantize_int8",
     "lsh_ann_topk",
     "vector_norms",
     "add_text_stats",

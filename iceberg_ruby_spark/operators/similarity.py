@@ -276,3 +276,27 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", id_col, "cosine", "rank")
     )
+
+
+def quantize_int8(
+    df: DataFrame, vec_col: str = "embedding", out_col: str = "embedding_q8"
+) -> DataFrame:
+    """Symmetric int8 quantization of a float vector column: per-row scale
+    = max(|v|)/127, payload shrinks 4× (the difference between storing and
+    not storing a 100 TB embedding table).  All JVM-side array arithmetic;
+    adds (``out_col``: array<tinyint>, ``out_col + '_scale'``: float)."""
+    v = F.col(vec_col)
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, amax / F.lit(127.0)).otherwise(F.lit(1.0))
+    q = F.transform(v, lambda x: F.round(x / scale).cast("tinyint"))
+    return df.withColumn(f"{out_col}_scale", scale.cast("float")).withColumn(out_col, q)
+
+
+def dequantize_int8(
+    df: DataFrame, q_col: str = "embedding_q8", out_col: str = "embedding_deq"
+) -> DataFrame:
+    """Inverse of :func:`quantize_int8` (lossy: max abs error = scale/2)."""
+    scale = F.col(f"{q_col}_scale")
+    return df.withColumn(
+        out_col, F.transform(F.col(q_col), lambda x: (x.cast("float") * scale))
+    )

@@ -420,3 +420,23 @@ def multimodal_resize_frames(spark, sf_dir):
     return sample_frames(resized, every_ms=1000).select(
         "media_id", "frame_index", F.length("frame").alias("frame_bytes")
     )
+
+
+@query(
+    "embedding_quantize_roundtrip",
+    oracle="""
+    SELECT vec_id,
+           round(CAST(list_max(list_transform(CAST(embedding AS DOUBLE[]),
+                 x -> abs(x))) AS DOUBLE) / 127.0, 6) AS scale
+    FROM embeddings
+    """,
+)
+def embedding_quantize_roundtrip(spark, sf_dir):
+    """int8 quantization scale factors (the 4x-smaller storage path for
+    embedding tables); DuckDB recomputes the per-row symmetric scale."""
+    from iceberg_ruby_spark.operators.similarity import quantize_int8
+
+    emb = load(spark, sf_dir, "embeddings")
+    return quantize_int8(emb).select(
+        "vec_id", F.round(F.col("embedding_q8_scale").cast("double"), 6).alias("scale")
+    )

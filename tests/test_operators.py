@@ -210,3 +210,18 @@ def test_sample_frames_row_counts_from_duration(spark):
     assert len(by_id[2]) == 1
     assert sorted(r["frame_index"] for r in by_id[1]) == [0, 1, 2, 3]
     assert all(r["frame"] is not None for r in frames)
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    import random
+
+    rnd = random.Random(5)
+    rows = [(i, [rnd.uniform(-2, 2) for _ in range(16)]) for i in range(50)]
+    rows.append((99, [0.0] * 16))  # all-zero vector: scale guard
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = ops.quantize_int8(df)
+    dq = ops.dequantize_int8(q)
+    for r in dq.collect():
+        orig, back, scale = r["embedding"], r["embedding_deq"], r["embedding_q8_scale"]
+        assert all(abs(a - b) <= scale / 2 + 1e-6 for a, b in zip(orig, back))
+        assert all(-127 <= x <= 127 for x in r["embedding_q8"])
