@@ -467,7 +467,7 @@ class Catalog:
         self._invalidate_views()
 
     def list_views(self, ns: Optional[Ident] = None) -> list[list[str]]:
-        namespaces = [self._with_namespace(ns)[:0] or _norm_ident(ns)] if ns else self._all_namespaces()
+        namespaces = [_norm_ident(ns)] if ns else self._all_namespaces()
         out = []
         for nsp in namespaces:
             d = os.path.join(self.warehouse, *nsp)
