@@ -456,6 +456,51 @@ class Table:
     def schema(self) -> ice_t.Schema:
         return self.current_schema()
 
+    def update_spec(self, partition_spec: Any) -> "Table":
+        """Partition-spec evolution: future writes use the new spec; files
+        written under prior specs stay valid (reads are file-list driven,
+        each commit directory keeps the layout it was written with — the
+        same property that makes Iceberg spec evolution metadata-only)."""
+        from iceberg_ruby_spark.transforms import PartitionSpec
+
+        spec = (
+            partition_spec
+            if isinstance(partition_spec, PartitionSpec)
+            else PartitionSpec(fields=list(partition_spec or []))
+        )
+        spec.validate(self.current_schema())
+        spec_json = spec.to_json()
+
+        def mutate(raw: dict[str, Any]) -> None:
+            specs = raw.get("partition-specs", [])
+            new_id = max((s.get("spec-id", 0) for s in specs), default=-1) + 1
+            raw["partition-specs"] = specs + [{"spec-id": new_id, "fields": spec_json}]
+            raw["default-spec-id"] = new_id
+
+        self._metadata_update(mutate)
+        return self
+
+    def replace_sort_order(self, sort_order: Any) -> "Table":
+        """Sort-order evolution: future writes (and compaction clustering)
+        use the new order."""
+        from iceberg_ruby_spark.transforms import SortOrder
+
+        so = (
+            sort_order
+            if isinstance(sort_order, SortOrder)
+            else SortOrder(fields=list(sort_order or []))
+        )
+        order_json = so.to_json()
+
+        def mutate(raw: dict[str, Any]) -> None:
+            orders = raw.get("sort-orders", [])
+            new_id = max((o.get("order-id", 0) for o in orders), default=0) + 1
+            raw["sort-orders"] = orders + [{"order-id": new_id, "fields": order_json}]
+            raw["default-sort-order-id"] = new_id
+
+        self._metadata_update(mutate)
+        return self
+
     def update_schema(self) -> "UpdateSchema":
         """Schema-evolution builder (beyond the reference, whose client has
         no authoring surface — SURVEY.md notes evolution is read-tolerated
@@ -995,19 +1040,32 @@ class Table:
         # merge-on-read delete predicates, scoped to the files they matched
         # at delete time (rewritten files get new paths and fall outside)
         preds = [e for e in entries if "delete-predicate" in e]
-        groups: dict[int, list[str]] = {}
+
+        def layout_sig(path: str) -> tuple:
+            """Partition-dir key names between data_dir and the file — spec
+            evolution mixes layouts in one table, and Spark's partition
+            discovery requires each read to be layout-uniform."""
+            rel = os.path.relpath(path, self.ops.data_dir)
+            return tuple(
+                seg.split("=", 1)[0] for seg in rel.split(os.sep)[1:-1] if "=" in seg
+            )
+
+        groups: dict[tuple, list[str]] = {}
         for e in entries:
             if "delete-predicate" in e:
                 continue
             sid = e.get("schema-id", schema.schema_id)
-            groups.setdefault(sid, []).extend(self._entry_files([e]))
-        groups = {sid: fs for sid, fs in groups.items() if fs}
+            for p in self._entry_files([e]):
+                groups.setdefault((sid, layout_sig(p)), []).append(p)
+        groups = {k: fs for k, fs in groups.items() if fs}
         if not groups:
             return self.spark.createDataFrame([], schema.to_spark())
         parts = []
-        for sid in sorted(groups):
+        for sid, _sig in sorted(groups):
             written = self.schema_by_id(sid) or schema
-            df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*groups[sid])
+            df = self.spark.read.option("basePath", self.ops.data_dir).parquet(
+                *groups[(sid, _sig)]
+            )
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)

@@ -165,3 +165,45 @@ def test_schema_history_grows(catalog):
     assert len(t.schemas) == 2
     assert t.current_schema_id == 1
     assert t.schema_by_id(0) is not None
+
+
+# -- partition-spec / sort-order evolution ----------------------------------
+
+
+def test_update_spec_applies_to_future_writes(catalog):
+    t = catalog.create_table("pse", schema={"k": "string", "v": "int"})
+    t.append([{"k": "a", "v": 1}])  # unpartitioned commit
+    t.update_spec([("k", "identity")])
+    t = t.refresh()
+    assert t.default_spec_id == 1
+    assert len(t.partition_specs) == 2
+    t.append([{"k": "b", "v": 2}])  # partitioned commit
+    # both layouts read together
+    assert sorted(r["v"] for r in t.to_a()) == [1, 2]
+    # the new commit's files are under k=... directories
+    parts = {e["path"] for e in t._current_entries() if "path" in e}
+    assert any("/k=b/" in p for p in parts)
+    assert not any("/k=a/" in p for p in parts)
+
+
+def test_update_spec_validates_source(catalog):
+    t = catalog.create_table("pse2", schema={"k": "string"})
+    with pytest.raises(Exception):
+        t.update_spec([("missing_col", "identity")])
+
+
+def test_replace_sort_order_used_by_compaction(catalog):
+    import random
+
+    rnd = random.Random(9)
+    t = catalog.create_table("soe", schema={"k": "int"})
+    rows = [{"k": i} for i in range(200)]
+    rnd.shuffle(rows)
+    t.append(rows[:100])
+    t.append(rows[100:])
+    t.replace_sort_order([("k", "asc")])
+    t = t.refresh()
+    assert t.default_sort_order_id == 1
+    t.compact(target_file_rows=50)
+    # cluster-by-sort kicked in: a narrow range now hits one file
+    assert len(t.scan().filter("k >= 195").plan_files()) == 1
