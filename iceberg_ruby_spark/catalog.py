@@ -380,7 +380,8 @@ class Catalog:
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+INTO\s+([\w.]+)\s+(.*)$", re.IGNORECASE | re.DOTALL
+        r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
     )
     _UPDATE_RE = re.compile(
         r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
@@ -518,13 +519,23 @@ class Catalog:
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._INSERT_RE.match(query)
         if m:
-            name, rest = m.group(1), m.group(2).rstrip().rstrip(";")
+            name, col_list, rest = m.group(1), m.group(2), m.group(3).rstrip().rstrip(";")
             tbl = self.load_table(self._sql_table_ident(name))
             self._register_views()
             # Spark SQL evaluates both `VALUES (...), (...)` and `SELECT ...`
             df = self.spark.sql(rest)
-            # positional VALUES come back as col1..colN — align by position
-            if all(c.startswith("col") for c in df.columns):
+            if col_list:
+                # explicit column list: align positionally, missing columns
+                # take their write defaults via the normal append path
+                names = [c.strip() for c in col_list.split(",") if c.strip()]
+                if len(names) != len(df.columns):
+                    raise InvalidDataError(
+                        f"INSERT column list has {len(names)} names but the "
+                        f"source produces {len(df.columns)} columns"
+                    )
+                df = df.toDF(*names)
+            elif all(c.startswith("col") for c in df.columns):
+                # positional VALUES come back as col1..colN — align by position
                 df = df.toDF(*[f.name for f in tbl.current_schema().fields][: len(df.columns)])
             tbl.append(df)
             self._invalidate_views()

@@ -197,3 +197,11 @@ def test_sql_multi_statement_rejected(catalog):
 def test_sql_duplicate_output_names_rejected(catalog):
     with pytest.raises(InvalidDataError):
         catalog.sql("SELECT 123 AS a, 123 AS a")
+
+
+def test_sql_insert_with_column_list(catalog):
+    catalog.sql("CREATE TABLE cl (a int, b string, c double)")
+    catalog.sql("INSERT INTO cl (b, a) VALUES ('one', 1)")
+    assert catalog.load_table("cl").to_a() == [{"a": 1, "b": "one", "c": None}]
+    with pytest.raises(InvalidDataError):
+        catalog.sql("INSERT INTO cl (a) VALUES (1, 'extra')")
