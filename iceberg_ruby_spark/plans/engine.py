@@ -254,3 +254,62 @@ def engine_delete_mor(spark, sf_dir):
     t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
     t.delete_where("o_totalprice > 200000", mode="merge-on-read")
     return t.to_df()
+
+
+@query(
+    "engine_compact",
+    oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey < 2000",
+)
+def engine_compact(spark, sf_dir):
+    """Two appends + cluster-by-sort compaction: the rewrite must preserve
+    every row bit-for-bit (and drops nothing, duplicates nothing)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_cmp", schema=_orders_schema(), sort_order=[("o_orderkey", "asc")]
+    )
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 1000))
+    t.append(orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    t.compact(target_file_rows=500)
+    return t.to_df()
+
+
+@query(
+    "engine_incremental_scan",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    """,
+)
+def engine_incremental_scan(spark, sf_dir):
+    """Incremental append scan: rows added after a snapshot, via manifest
+    diff — exactly the second batch."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_inc", schema=_orders_schema())
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 1000))
+    s1 = t.current_snapshot_id
+    t.append(orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    return t.incremental_scan(from_snapshot_id=s1)
+
+
+@query(
+    "engine_maintenance_cycle",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_orderpriority = '1-URGENT')
+    """,
+)
+def engine_maintenance_cycle(spark, sf_dir):
+    """Full maintenance lifecycle under the oracle: append → delete →
+    compact → expire_snapshots → remove_orphan_files; the surviving state
+    must still match exactly."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_mnt", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_where("o_orderpriority = '1-URGENT'")
+    t.compact()
+    t.expire_snapshots(keep_last=1)
+    t = t.refresh()
+    t.remove_orphan_files()
+    return t.to_df()
