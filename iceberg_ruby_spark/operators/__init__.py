@@ -25,6 +25,7 @@ from iceberg_ruby_spark.operators.dedup import (
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
     simhash,
+    simhash_pairs,
 )
 from iceberg_ruby_spark.operators.similarity import (
     cosine_topk,
@@ -59,6 +60,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "ngram_jaccard_pairs",
     "simhash",
+    "simhash_pairs",
     "cosine_topk",
     "dequantize_int8",
     "ivf_topk",

@@ -334,3 +334,57 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    bits: int = 64,
+) -> DataFrame:
+    """Near-duplicate pairs (id_a < id_b, hamming ≤ ``max_hamming``) from
+    SimHash signatures.
+
+    Pigeonhole banding: split the signature into ``max_hamming + 1``
+    chunks — any pair within the Hamming budget must agree EXACTLY on at
+    least one chunk, so candidates come from equality joins on chunk
+    values (never an all-pairs product); verification is one
+    ``bit_count(xor)`` per candidate.  Everything JVM-side."""
+    n_chunks = max_hamming + 1
+    chunk_bits = bits // n_chunks
+    sig = simhash(df, text_col, id_col, bits=bits)
+    chunk_cols = []
+    for c in range(n_chunks):
+        lo = c * chunk_bits
+        width = bits - lo if c == n_chunks - 1 else chunk_bits
+        mask = (1 << width) - 1
+        chunk_cols.append(
+            F.struct(
+                F.lit(c).alias("chunk"),
+                F.shiftright(F.col("simhash"), lo).bitwiseAND(F.lit(mask)).alias("cv"),
+            )
+        )
+    chunks = sig.select(
+        F.col(id_col), F.col("simhash"), F.explode(F.array(*chunk_cols)).alias("__c")
+    ).select(id_col, "simhash", "__c.chunk", "__c.cv")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(b, (F.col("a.chunk") == F.col("b.chunk")) & (F.col("a.cv") == F.col("b.cv")))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.simhash").alias("__sa"),
+            F.col("b.simhash").alias("__sb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("__sa").bitwiseXOR(F.col("__sb")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -440,3 +440,13 @@ def embedding_quantize_roundtrip(spark, sf_dir):
     return quantize_int8(emb).select(
         "vec_id", F.round(F.col("embedding_q8_scale").cast("double"), 6).alias("scale")
     )
+
+
+@query("dedup_simhash_pairs")  # xxhash64-based — rows-only check
+def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs via pigeonhole banding on signature chunks +
+    one bit_count(xor) verification per candidate (operators/dedup.py)."""
+    from iceberg_ruby_spark.operators.dedup import simhash_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3)

@@ -225,3 +225,15 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         orig, back, scale = r["embedding"], r["embedding_deq"], r["embedding_q8_scale"]
         assert all(abs(a - b) <= scale / 2 + 1e-6 for a, b in zip(orig, back))
         assert all(-127 <= x <= 127 for x in r["embedding_q8"])
+
+
+def test_simhash_pairs_finds_near_dups(docs):
+    # short docs make noisy signatures: a one-word change lands at hamming
+    # ~10 here (longer real documents land much closer), unrelated text at
+    # ~34 — budget 12 separates them
+    pairs = ops.simhash_pairs(docs, "text", id_col="doc_id", max_hamming=12)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got.get((1, 2)) == 0  # identical text
+    assert (1, 3) in got  # one-word change stays within the budget
+    assert not any(4 in p for p in got)  # unrelated text excluded
+    assert all(h <= 12 for h in got.values())
