@@ -1010,8 +1010,7 @@ class Table:
     def _entries_rowcount(entries: list[dict[str, Any]]) -> int:
         return sum(e.get("record-count") or 0 for e in entries)
 
-    @staticmethod
-    def _entry_files(entries: Iterable[dict[str, Any]]) -> list[str]:
+    def _entry_files(self, entries: Iterable[dict[str, Any]]) -> list[str]:
         """Expand manifest entries to data-file paths.  Supports current
         per-file entries and round-1 legacy ``data-dir`` entries."""
         files: list[str] = []
@@ -1019,10 +1018,9 @@ class Table:
             if "path" in e:
                 files.append(e["path"])
             elif "data-dir" in e:  # legacy dir-level entry
-                for root, _dirs, fns in os.walk(e["data-dir"]):
-                    for fn in sorted(fns):
-                        if fn.endswith(".parquet"):
-                            files.append(os.path.join(root, fn))
+                files.extend(
+                    f for f in self.ops.io.list(e["data-dir"]) if f.endswith(".parquet")
+                )
         return files
 
     def _read_entries(self, entries: list[dict[str, Any]], schema: Optional[ice_t.Schema] = None) -> DataFrame:
@@ -1854,18 +1852,17 @@ class TableScan:
                     }
                 )
             elif "data-dir" in e:  # legacy dir-level entry
-                for root, _dirs, files in os.walk(e["data-dir"]):
-                    for fn in sorted(files):
-                        if fn.endswith(".parquet"):
-                            full = os.path.join(root, fn)
-                            tasks.append(
-                                {
-                                    "data_file_path": full,
-                                    "file_size_in_bytes": os.path.getsize(full),
-                                    "record_count": None,
-                                    "delete_files": [],
-                                }
-                            )
+                io = self.table.ops.io
+                for full in io.list(e["data-dir"]):
+                    if full.endswith(".parquet"):
+                        tasks.append(
+                            {
+                                "data_file_path": full,
+                                "file_size_in_bytes": io.size(full),
+                                "record_count": None,
+                                "delete_files": [],
+                            }
+                        )
         return tasks
 
     def to_df(self) -> DataFrame:
