@@ -1161,3 +1161,35 @@ def higher_order_array(spark, sf_dir):
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
         F.aggregate(lens, F.lit(0), lambda a, b: a + b).alias("total_chars"),
     )
+
+
+@query(
+    "map_struct_functions",
+    oracle="""
+    SELECT n_nationkey,
+           map_extract(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)},
+                       'name')[1] AS m_name,
+           CAST(cardinality(MAP {'name': n_name, 'region': CAST(n_regionkey AS VARCHAR)})
+                AS INTEGER) AS m_size,
+           struct_pack(key := n_nationkey, name := n_name).name AS s_name,
+           CAST(struct_pack(key := n_nationkey, name := n_name).key AS INTEGER) AS s_key
+    FROM nation
+    """,
+)
+def map_struct_functions(spark, sf_dir):
+    """Map + struct construction/access with scalar outputs (map/struct
+    cells themselves hash differently across engines; extraction is the
+    comparable surface)."""
+    n = load(spark, sf_dir, "nation")
+    m = F.create_map(
+        F.lit("name"), F.col("n_name"),
+        F.lit("region"), F.col("n_regionkey").cast("string"),
+    )
+    s = F.struct(F.col("n_nationkey").alias("key"), F.col("n_name").alias("name"))
+    return n.select(
+        "n_nationkey",
+        F.element_at(m, "name").alias("m_name"),
+        F.size(m).alias("m_size"),
+        s.getField("name").alias("s_name"),
+        s.getField("key").cast("int").alias("s_key"),
+    )
