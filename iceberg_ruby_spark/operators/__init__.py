@@ -19,6 +19,7 @@ where Spark lacks the primitive.
 """
 
 from iceberg_ruby_spark.operators.dedup import (
+    embedding_cosine_pairs,
     exact_dedup,
     exact_dedup_by_hash,
     minhash_signatures,
@@ -54,6 +55,7 @@ from iceberg_ruby_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "embedding_cosine_pairs",
     "exact_dedup",
     "exact_dedup_by_hash",
     "minhash_signatures",

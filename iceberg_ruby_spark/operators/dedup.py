@@ -388,3 +388,49 @@ def simhash_pairs(
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def embedding_cosine_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.95,
+    n_planes: int = 0,
+) -> DataFrame:
+    """Embedding-based near-duplicate pairs: (id_a < id_b, cosine ≥
+    threshold).
+
+    ``n_planes=0`` computes exact all-pairs — use only on a bounded slice.
+    ``n_planes>0`` is the scale path: sign-LSH bucketing (reused from
+    operators/similarity.py) bounds pair enumeration to same-bucket
+    candidates before the exact cosine check; at high thresholds near-dups
+    land in the same bucket with high probability."""
+    from iceberg_ruby_spark.operators.similarity import (
+        _dot,
+        _hyperplanes,
+        _norm,
+        lsh_bucket,
+    )
+
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    if n_planes > 0:
+        dim = len(df.select(vec_col).first()[0])
+        planes = _hyperplanes(dim, n_planes)
+        a = a.withColumn("__bkt", lsh_bucket(F.col("__va"), planes))
+        b = b.withColumn("__bkt", lsh_bucket(F.col("__vb"), planes))
+        cand = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
+    else:
+        cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    return (
+        cand.withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

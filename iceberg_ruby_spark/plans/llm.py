@@ -450,3 +450,23 @@ def dedup_simhash_pairs(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_COS_SQL.replace('q.embedding', 'b.embedding').replace('c.embedding', 'a.embedding')}, 6) AS cosine
+    FROM (SELECT * FROM embeddings WHERE vec_id < 100) a
+    JOIN (SELECT * FROM embeddings WHERE vec_id < 100) b ON a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.replace('q.embedding', 'b.embedding').replace('c.embedding', 'a.embedding')}, 6) >= 0.5
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact over a bounded slice (the
+    oracle-comparable form; n_planes>0 in operators/dedup.py is the
+    LSH-bucketed scale path)."""
+    from iceberg_ruby_spark.operators.dedup import embedding_cosine_pairs
+
+    emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
+    return embedding_cosine_pairs(emb, threshold=0.5)

@@ -237,3 +237,23 @@ def test_simhash_pairs_finds_near_dups(docs):
     assert (1, 3) in got  # one-word change stays within the budget
     assert not any(4 in p for p in got)  # unrelated text excluded
     assert all(h <= 12 for h in got.values())
+
+
+def test_embedding_cosine_pairs_lsh_vs_exact(spark):
+    import random
+
+    rnd = random.Random(13)
+    base = [[rnd.uniform(-1, 1) for _ in range(16)] for _ in range(30)]
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, v))
+        # near-duplicate: tiny perturbation -> cosine ~0.999
+        rows.append((2 * i + 1, [x + rnd.gauss(0, 0.01) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    exact = {(r["id_a"], r["id_b"]) for r in
+             ops.embedding_cosine_pairs(df, threshold=0.99).collect()}
+    assert all((2 * i, 2 * i + 1) in exact for i in range(30))
+    lsh = {(r["id_a"], r["id_b"]) for r in
+           ops.embedding_cosine_pairs(df, threshold=0.99, n_planes=4).collect()}
+    assert lsh <= exact  # no false positives (exact verify after bucketing)
+    assert len(lsh) >= 0.7 * len(exact)  # high recall at 4 planes
