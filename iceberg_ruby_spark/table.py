@@ -976,6 +976,8 @@ class Table:
     def _collect_file_stats(self, out_dir: str) -> list[dict[str, Any]]:
         """One Spark aggregation over the written files → per-file manifest
         entries with record counts and min/max column bounds."""
+        if not any(f.endswith(".parquet") for f in self.ops.io.list(out_dir)):
+            return []  # zero-row write (e.g. a delete emptied every hit file)
         written = self.spark.read.option("basePath", out_dir).parquet(out_dir)
         stat_cols = [c for c in self._stats_columns() if c in written.columns]
         aggs = [F.count(F.lit(1)).alias("__rc")]
@@ -1023,7 +1025,12 @@ class Table:
                 )
         return files
 
-    def _read_entries(self, entries: list[dict[str, Any]], schema: Optional[ice_t.Schema] = None) -> DataFrame:
+    def _read_entries(
+        self,
+        entries: list[dict[str, Any]],
+        schema: Optional[ice_t.Schema] = None,
+        file_col: Optional[str] = None,
+    ) -> DataFrame:
         """Read manifest entries back as a DataFrame, restoring declared
         column order and types (identity-partition values round-trip through
         directory names; Spark's partition-column type inference is undone by
@@ -1057,7 +1064,14 @@ class Table:
                 groups.setdefault((sid, layout_sig(p)), []).append(p)
         groups = {k: fs for k, fs in groups.items() if fs}
         if not groups:
-            return self.spark.createDataFrame([], schema.to_spark())
+            empty_schema = schema.to_spark()
+            if file_col:
+                import pyspark.sql.types as _T
+
+                empty_schema = _T.StructType(
+                    [_T.StructField(file_col, _T.StringType())] + list(empty_schema.fields)
+                )
+            return self.spark.createDataFrame([], empty_schema)
         parts = []
         for sid, _sig in sorted(groups):
             written = self.schema_by_id(sid) or schema
@@ -1072,25 +1086,23 @@ class Table:
                     cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
                 else:
                     cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
-            if preds:
-                cols = [
-                    F.regexp_replace(
-                        F.col("_metadata.file_path"), "^file:", ""
-                    ).alias("__mor_file")
-                ] + cols
+            if preds or file_col:
+                path_col = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+                cols = [path_col.alias(file_col or "__mor_file")] + cols
             parts.append(df.select(*cols))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        path_name = file_col or "__mor_file"
         for e in preds:
             # DELETE semantics: a row dies only when the predicate is TRUE
             # (null-valued predicates keep the row)
             dead = F.coalesce(F.expr(e["delete-predicate"]), F.lit(False))
             applies = e.get("applies-to")
             if applies is not None:
-                dead = dead & F.col("__mor_file").isin(list(applies))
+                dead = dead & F.col(path_name).isin(list(applies))
             out = out.filter(~dead)
-        if preds:
+        if preds and not file_col:
             out = out.drop("__mor_file")
         return out
 
@@ -1132,21 +1144,13 @@ class Table:
             tree = _parse_predicate(cond_str)
             if tree is not None:
                 entries = [e for e in entries if _bounds_may_match(e, tree)]
-        files = self._entry_files(entries)
-        if not files:
+        if not self._entry_files(entries):
             return {}
-        df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
-        schema = self.current_schema()
-        cast_cols = [F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
-        df = df.select(F.col("_metadata.file_path").alias("__file"), *cast_cols)
+        # schema-evolution-aware read (old files projected by field id) with
+        # the source file path carried alongside
+        df = self._read_entries(entries, file_col="__file")
         rows = df.filter(cond).groupBy("__file").agg(F.count(F.lit(1)).alias("n")).collect()
-        out = {}
-        for r in rows:
-            p = r["__file"]
-            if p.startswith("file:"):
-                p = p[len("file:"):]
-            out[p] = r["n"]
-        return out
+        return {r["__file"]: r["n"] for r in rows}
 
     def _commit_snapshot(
         self,
@@ -1349,27 +1353,17 @@ class Table:
         entries = self._current_entries()
         data, preds = self._split_entries(entries)
         # files containing rows whose keys appear in the source (semi-join
-        # against distinct source keys; AQE broadcasts when small)
-        files = self._entry_files(data)
-        if files:
-            schema = self.current_schema()
-            raw_df = self.spark.read.option("basePath", self.ops.data_dir).parquet(*files)
-            cast_cols = [
-                F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields
-            ]
-            t_meta = raw_df.select(F.col("_metadata.file_path").alias("__file"), *cast_cols)
+        # against distinct source keys; AQE broadcasts when small);
+        # schema-evolution-aware read with the file path carried alongside
+        if self._entry_files(data):
+            t_meta = self._read_entries(data, file_col="__file")
             hit_rows = (
                 t_meta.join(source.select(*keys).distinct(), keys, "left_semi")
                 .groupBy("__file")
                 .agg(F.count(F.lit(1)).alias("n"))
                 .collect()
             )
-            hits = {}
-            for r in hit_rows:
-                p = r["__file"]
-                if p.startswith("file:"):
-                    p = p[len("file:"):]
-                hits[p] = r["n"]
+            hits = {r["__file"]: r["n"] for r in hit_rows}
         else:
             hits = {}
         hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
