@@ -1679,6 +1679,28 @@ class UpdateSchema:
         pinned = {pf["source"] for pf in spec.get("fields", [])} | {
             sf["source"] for sf in order.get("fields", [])
         }
+        # outstanding merge-on-read delete predicates reference columns by
+        # name; renaming or dropping one would break every subsequent read.
+        # Parseable predicates pin exactly their columns; an unparseable one
+        # conservatively pins everything (compact() first to materialize).
+        for e in self.table._current_entries():
+            pred = e.get("delete-predicate")
+            if pred is None:
+                continue
+            tree = _parse_predicate(pred)
+            if tree is None:
+                pinned |= {f.name for f in self.table.current_schema().fields}
+                break
+
+            def cols_of(node, acc):
+                if node[0] == "cmp":
+                    acc.add(node[1])
+                else:
+                    cols_of(node[1], acc)
+                    cols_of(node[2], acc)
+                return acc
+
+            pinned |= cols_of(tree, set())
 
         def mutate(raw: dict[str, Any]) -> None:
             schemas_json = raw.get("schemas", [])
@@ -1711,16 +1733,18 @@ class UpdateSchema:
                     _, name = op
                     if name in pinned:
                         raise InvalidDataError(
-                            f"column {name} is a partition/sort source; "
-                            "evolve the spec first"
+                            f"column {name} is pinned by a partition/sort spec or an "
+                            "outstanding merge-on-read delete predicate; evolve "
+                            "the spec or compact() first"
                         )
                     fields.pop(idx(name))
                 elif op[0] == "rename":
                     _, name, new_name = op
                     if name in pinned:
                         raise InvalidDataError(
-                            f"column {name} is a partition/sort source; "
-                            "evolve the spec first"
+                            f"column {name} is pinned by a partition/sort spec or an "
+                            "outstanding merge-on-read delete predicate; evolve "
+                            "the spec or compact() first"
                         )
                     if any(f.name == new_name for f in fields):
                         raise InvalidDataError(f"column already exists: {new_name}")

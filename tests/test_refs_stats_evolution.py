@@ -207,3 +207,20 @@ def test_replace_sort_order_used_by_compaction(catalog):
     t.compact(target_file_rows=50)
     # cluster-by-sort kicked in: a narrow range now hits one file
     assert len(t.scan().filter("k >= 195").plan_files()) == 1
+
+
+def test_rename_blocked_by_outstanding_mor_predicate(catalog):
+    t = catalog.create_table("morp", schema={"amount": "int", "k": "string"})
+    t.append([{"amount": i, "k": "x"} for i in range(10)])
+    t.delete_where("amount > 5", mode="merge-on-read")
+    with pytest.raises(InvalidDataError):
+        t.update_schema().rename_column("amount", "total").commit()
+    # untouched columns still evolve freely
+    t.update_schema().rename_column("k", "kind").commit()
+    t = t.refresh()
+    assert sorted(r["amount"] for r in t.to_a()) == list(range(6))
+    # compact materializes the predicate; the rename then succeeds
+    t.compact()
+    t.update_schema().rename_column("amount", "total").commit()
+    t = t.refresh()
+    assert sorted(r["total"] for r in t.to_a()) == list(range(6))
