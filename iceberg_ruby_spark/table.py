@@ -756,6 +756,28 @@ class Table:
             from_snap = self.snapshot_by_id(from_snapshot_id)
             if from_snap is None:
                 raise InvalidDataError(f"no snapshot with id {from_snapshot_id}")
+            # a replace/overwrite (compaction, update, merge) inside the
+            # window rewrites rows into new files that a manifest diff would
+            # misreport as appends — same restriction as Iceberg's
+            # incremental append scan
+            cur = to_snap
+            while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
+                if cur.operation not in ("append", "delete"):
+                    raise InvalidDataError(
+                        "incremental scan window crosses a "
+                        f"{cur.operation!r} snapshot ({cur.snapshot_id}); "
+                        "only append/delete commits can be consumed incrementally"
+                    )
+                cur = (
+                    self.snapshot_by_id(cur.parent_snapshot_id)
+                    if cur.parent_snapshot_id is not None
+                    else None
+                )
+            if cur is None:
+                raise InvalidDataError(
+                    f"snapshot {from_snapshot_id} is not an ancestor of "
+                    f"{to_snap.snapshot_id}"
+                )
             base_paths = set(
                 self._entry_files(self.ops.read_manifest(from_snap.manifest_list))
             )
@@ -1046,14 +1068,21 @@ class Table:
         # at delete time (rewritten files get new paths and fall outside)
         preds = [e for e in entries if "delete-predicate" in e]
 
-        def layout_sig(path: str) -> tuple:
-            """Partition-dir key names between data_dir and the file — spec
-            evolution mixes layouts in one table, and Spark's partition
-            discovery requires each read to be layout-uniform."""
+        def commit_dir(path: str) -> str:
+            """The per-commit directory the file was written into — each is
+            internally layout-uniform, so it serves as the basePath for
+            partition-value recovery.  Reading commits separately also keeps
+            Spark's partition discovery away from sibling commits with
+            different layouts (spec evolution) or different partition VALUES
+            at the same depth (multi-commit partitioned tables)."""
             rel = os.path.relpath(path, self.ops.data_dir)
-            return tuple(
-                seg.split("=", 1)[0] for seg in rel.split(os.sep)[1:-1] if "=" in seg
-            )
+            segs = rel.split(os.sep)
+            if not any("=" in seg for seg in segs[1:-1]):
+                # unpartitioned commit: no partition discovery involved, so
+                # all such commits share ONE scan (plan stays flat however
+                # many appends the table has)
+                return self.ops.data_dir
+            return os.path.join(self.ops.data_dir, segs[0])
 
         groups: dict[tuple, list[str]] = {}
         for e in entries:
@@ -1061,7 +1090,7 @@ class Table:
                 continue
             sid = e.get("schema-id", schema.schema_id)
             for p in self._entry_files([e]):
-                groups.setdefault((sid, layout_sig(p)), []).append(p)
+                groups.setdefault((sid, commit_dir(p)), []).append(p)
         groups = {k: fs for k, fs in groups.items() if fs}
         if not groups:
             empty_schema = schema.to_spark()
@@ -1073,11 +1102,9 @@ class Table:
                 )
             return self.spark.createDataFrame([], empty_schema)
         parts = []
-        for sid, _sig in sorted(groups):
+        for sid, cdir in sorted(groups):
             written = self.schema_by_id(sid) or schema
-            df = self.spark.read.option("basePath", self.ops.data_dir).parquet(
-                *groups[(sid, _sig)]
-            )
+            df = self.spark.read.option("basePath", cdir).parquet(*groups[(sid, cdir)])
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)

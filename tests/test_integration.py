@@ -107,3 +107,17 @@ def test_overwrite_partitioned(catalog):
     assert t.to_a() == [{"k": "c", "v": 9}]
     files = t.scan().plan_files()
     assert all("/k=c/" in f["data_file_path"] for f in files)
+
+
+def test_update_moves_rows_across_partitions(catalog):
+    t = catalog.create_table(
+        "repart", schema={"k": "string", "v": "int"}, partition_spec=[("k", "identity")]
+    )
+    t.append([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    t.update_where({"k": "'c'"}, "v = 1")
+    rows = sorted(t.to_a(), key=lambda r: r["v"])
+    assert rows == [{"k": "c", "v": 1}, {"k": "b", "v": 2}]
+    # the moved row physically lives under its new partition directory
+    files = {f["data_file_path"] for f in t.scan().plan_files()}
+    assert any("/k=c/" in p for p in files)
+    assert not any("/k=a/" in p for p in files)

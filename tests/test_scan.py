@@ -129,3 +129,38 @@ def test_result_empty_property(catalog):
     assert catalog.sql("SELECT * FROM re").empty
     t.append([{"a": 1}])
     assert not catalog.sql("SELECT * FROM re").empty
+
+
+def test_incremental_scan_rejects_rewrite_window(catalog):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("incr", schema={"a": "int"})
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot_id
+    t.append([{"a": 2}])
+    t.compact()  # replace snapshot inside the window
+    with pytest.raises(InvalidDataError):
+        t.incremental_scan(from_snapshot_id=s1).collect()
+    # windows that stop before the rewrite still work
+    t2 = catalog.create_table("incr2", schema={"a": "int"})
+    t2.append([{"a": 1}])
+    s1 = t2.current_snapshot_id
+    t2.append([{"a": 2}])
+    s2 = t2.current_snapshot_id
+    t2.compact()
+    assert [r["a"] for r in t2.incremental_scan(s1, s2).collect()] == [2]
+
+
+def test_incremental_scan_rejects_non_ancestor(catalog):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("incr3", schema={"a": "int"})
+    t.append([{"a": 1}])
+    other = catalog.create_table("incr4", schema={"a": "int"})
+    other.append([{"a": 9}])
+    with pytest.raises(InvalidDataError):
+        t.incremental_scan(from_snapshot_id=other.current_snapshot_id).collect()
