@@ -762,11 +762,19 @@ class Table:
             # incremental append scan
             cur = to_snap
             while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
-                if cur.operation not in ("append", "delete"):
+                incremental_safe = cur.operation == "append" or (
+                    # merge-on-read deletes add no data files; copy-on-write
+                    # deletes REWRITE survivors into new files a manifest
+                    # diff would misreport as appends
+                    cur.operation == "delete"
+                    and cur.summary.get("mode") == "merge-on-read"
+                )
+                if not incremental_safe:
                     raise InvalidDataError(
                         "incremental scan window crosses a "
                         f"{cur.operation!r} snapshot ({cur.snapshot_id}); "
-                        "only append/delete commits can be consumed incrementally"
+                        "only append and merge-on-read-delete commits can "
+                        "be consumed incrementally"
                     )
                 cur = (
                     self.snapshot_by_id(cur.parent_snapshot_id)

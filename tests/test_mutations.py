@@ -184,3 +184,14 @@ def test_compact_clusters_by_sort_order(catalog):
     post = t.scan().filter("k >= 390").plan_files()
     assert len(post) == 1, [(-1, f["lower_bounds"]["k"], f["upper_bounds"]["k"]) for f in post]
     assert sorted(r["k"] for r in t.scan().filter("k >= 390").to_a()) == list(range(390, 400))
+
+
+def test_merge_on_partitioned_table(catalog, spark):
+    t = catalog.create_table(
+        "mp", schema={"k": "string", "v": "int"}, partition_spec=[("k", "identity")]
+    )
+    t.append([{"k": "a", "v": 1}, {"k": "b", "v": 2}])
+    src = spark.createDataFrame([("a", 10), ("c", 3)], ["k", "v"])
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
+    rows = sorted(t.to_a(), key=lambda r: r["k"])
+    assert rows == [{"k": "a", "v": 10}, {"k": "b", "v": 2}, {"k": "c", "v": 3}]

@@ -164,3 +164,19 @@ def test_incremental_scan_rejects_non_ancestor(catalog):
     other.append([{"a": 9}])
     with pytest.raises(InvalidDataError):
         t.incremental_scan(from_snapshot_id=other.current_snapshot_id).collect()
+
+
+def test_incremental_scan_cow_delete_rejected_mor_allowed(catalog):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("incr5", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    s1 = t.current_snapshot_id
+    t.append([{"a": 10}])
+    t.delete_where("a = 3", mode="merge-on-read")  # no files rewritten
+    assert [r["a"] for r in t.incremental_scan(s1).collect()] == [10]
+    t.delete_where("a = 5")  # copy-on-write: rewrites survivors
+    with pytest.raises(InvalidDataError):
+        t.incremental_scan(s1).collect()
