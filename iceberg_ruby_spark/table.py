@@ -1193,12 +1193,18 @@ class Table:
         entries: list[dict[str, Any]],
         summary_extra: Optional[dict] = None,
         mode: str = "replace",
+        base_snapshot_id: Optional[int] = None,
     ) -> None:
         """Optimistic commit.  ``mode='append'`` treats ``entries`` as a
         *delta* merged with the live manifest **re-read on every retry** —
         a concurrent committer's files are never dropped (round-1 advisory:
         stale entry list on retry = lost update).  ``mode='replace'`` commits
-        ``entries`` as the full new manifest."""
+        ``entries`` as the full new manifest, **rebased** against commits
+        that landed since ``base_snapshot_id`` (the snapshot the mutation
+        planned against): files a concurrent APPEND added are carried into
+        the new manifest; a concurrent commit that removed files this
+        mutation depends on aborts with a conflict error instead of
+        silently resurrecting or dropping rows."""
         for attempt in range(self._commit_retries() + 1):
             meta = self.ops.load()
             if mode == "append":
@@ -1212,6 +1218,33 @@ class Table:
                 all_entries = base_entries + entries
             else:
                 all_entries = entries
+                cur = meta.current_snapshot_id
+                if base_snapshot_id is not None and cur != base_snapshot_id:
+                    base_snap = self.snapshot_by_id(base_snapshot_id)
+                    cur_entries = []
+                    for s in meta.snapshots:
+                        if s.snapshot_id == cur:
+                            cur_entries = self.ops.read_manifest(s.manifest_list)
+                            break
+                    base_entries = (
+                        self.ops.read_manifest(base_snap.manifest_list)
+                        if base_snap is not None
+                        else []
+                    )
+                    base_paths = {e["path"] for e in base_entries if "path" in e}
+                    cur_paths = {e["path"] for e in cur_entries if "path" in e}
+                    if base_paths - cur_paths:
+                        raise InvalidDataError(
+                            "commit conflict: a concurrent commit removed "
+                            "files this operation planned against; retry the "
+                            "operation on fresh state"
+                        )
+                    concurrent_added = [
+                        e
+                        for e in cur_entries
+                        if "path" in e and e["path"] not in base_paths
+                    ]
+                    all_entries = entries + concurrent_added
             snapshot_id = _new_snapshot_id()
             manifest = self.ops.write_manifest(snapshot_id, all_entries)
             now = _now_ms()
@@ -1304,6 +1337,7 @@ class Table:
                 "delete",
                 entries + [{"delete-predicate": condition, "applies-to": sorted(hits)}],
                 {"deleted-records": deleted, "mode": "merge-on-read"},
+                base_snapshot_id=self.current_snapshot_id,
             )
             return deleted
         if mode != "copy-on-write":
@@ -1326,6 +1360,7 @@ class Table:
             "delete",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"deleted-records": deleted},
+            base_snapshot_id=self.current_snapshot_id,
         )
         return deleted
 
@@ -1355,6 +1390,7 @@ class Table:
             "overwrite",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"updated-records": updated},
+            base_snapshot_id=self.current_snapshot_id,
         )
         return updated
 
@@ -1428,6 +1464,7 @@ class Table:
             "overwrite",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"operation-detail": "merge"},
+            base_snapshot_id=self.current_snapshot_id,
         )
         return self
 
@@ -1464,7 +1501,12 @@ class Table:
         else:
             df = df.repartition(n_files)
         new_entries = self._write_data_dir(df)
-        self._commit_snapshot("replace", new_entries, {"compacted": True})
+        self._commit_snapshot(
+            "replace",
+            new_entries,
+            {"compacted": True},
+            base_snapshot_id=self.current_snapshot_id,
+        )
         return self
 
     def expire_snapshots(self, keep_last: int = 1) -> int:

@@ -60,3 +60,33 @@ def test_concurrent_ref_and_append(catalog):
     t = t.refresh()
     assert len(t.to_a()) == 6
     assert {f"tag{i}" for i in range(5)} <= set(t.refs)
+
+
+def test_concurrent_append_during_delete_not_lost(catalog):
+    """A delete planned against snapshot A must not drop files a
+    concurrent append committed between planning and commit (replace-mode
+    rebase)."""
+    t = catalog.create_table("cd", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+
+    h_del = catalog.load_table("cd")   # plans against the 10-row snapshot
+    h_app = catalog.load_table("cd")
+    # interleave: append lands AFTER the delete handle loaded its metadata
+    h_app.append([{"a": 100}])
+    n = h_del.delete_where("a < 3")
+    assert n == 3
+    t = t.refresh()
+    got = sorted(r["a"] for r in t.to_a())
+    assert got == [3, 4, 5, 6, 7, 8, 9, 100]  # concurrent append survived
+
+
+def test_concurrent_compact_and_append_not_lost(catalog):
+    t = catalog.create_table("cc2", schema={"a": "int"})
+    for i in range(3):
+        t.append([{"a": i}])
+    h_cmp = catalog.load_table("cc2")
+    h_app = catalog.load_table("cc2")
+    h_app.append([{"a": 99}])
+    h_cmp.compact()
+    t = t.refresh()
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2, 99]
