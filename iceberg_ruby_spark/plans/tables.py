@@ -26,6 +26,11 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet stores INT64 TIMESTAMP(NANOS); sessions other than
+        # ours (e.g. the correctness driver's) won't have the legacy flag, so
+        # set it here — it's a runtime SQL conf, safe to set per-read.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
         # integer division — double division loses precision on ~1.7e18 ns
