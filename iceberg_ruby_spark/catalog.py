@@ -67,6 +67,46 @@ def _norm_ident(ident: Ident) -> list[str]:
     return parts
 
 
+def _split_top_level(src: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` only at paren depth 0 and outside single-quoted
+    strings ('' escapes a quote) — shared by CREATE TABLE column defs and
+    UPDATE SET assignments (round-2 advisory: a naive comma split mangled
+    ``SET a = concat(x, ', ')``)."""
+    out: list[str] = []
+    piece = ""
+    depth = 0
+    in_str = False
+    i = 0
+    while i < len(src):
+        ch = src[i]
+        if in_str:
+            if ch == "'" and i + 1 < len(src) and src[i + 1] == "'":
+                piece += "''"
+                i += 2
+                continue
+            if ch == "'":
+                in_str = False
+            piece += ch
+        elif ch == "'":
+            in_str = True
+            piece += ch
+        elif ch == "(":
+            depth += 1
+            piece += ch
+        elif ch == ")":
+            depth -= 1
+            piece += ch
+        elif ch == sep and depth == 0:
+            out.append(piece)
+            piece = ""
+        else:
+            piece += ch
+        i += 1
+    if piece.strip():
+        out.append(piece)
+    return out
+
+
 class Catalog:
     """Filesystem-warehouse catalog."""
 
@@ -494,22 +534,7 @@ class Catalog:
         if m:
             name, cols_src = m.group(1), m.group(2)
             cols: dict[str, str] = {}
-            depth = 0
-            piece = ""
-            pieces = []
-            for ch in cols_src:
-                if ch == "(":
-                    depth += 1
-                elif ch == ")":
-                    depth -= 1
-                if ch == "," and depth == 0:
-                    pieces.append(piece)
-                    piece = ""
-                else:
-                    piece += ch
-            if piece.strip():
-                pieces.append(piece)
-            for p in pieces:
+            for p in _split_top_level(cols_src):
                 toks = p.strip().split(None, 1)
                 if len(toks) != 2:
                     raise UnsupportedFeatureError(f"cannot parse column definition: {p!r}")
@@ -545,8 +570,12 @@ class Catalog:
             name, set_src, where_src = m.groups()
             tbl = self.load_table(self._sql_table_ident(name))
             assignments = {}
-            for p in set_src.split(","):
-                k, _, v = p.partition("=")
+            for p in _split_top_level(set_src):
+                k, eq, v = p.partition("=")
+                if not eq or not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", k.strip()):
+                    raise UnsupportedFeatureError(
+                        f"cannot parse SET assignment: {p.strip()!r}"
+                    )
                 assignments[k.strip()] = v.strip()
             n = tbl.update_where(assignments, where_src)
             self._invalidate_views()

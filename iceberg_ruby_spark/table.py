@@ -365,6 +365,12 @@ def _new_snapshot_id() -> int:
     return uuid_mod.uuid4().int >> 65  # 63-bit positive
 
 
+def _entry_key(e: dict[str, Any]) -> str:
+    """Stable identity for pathless manifest entries (delete predicates,
+    legacy data-dir entries) so replace-mode rebases can diff them by value."""
+    return json.dumps(e, sort_keys=True, default=str)
+
+
 # --------------------------------------------------------------------------
 # Table
 # --------------------------------------------------------------------------
@@ -1244,7 +1250,32 @@ class Table:
                         for e in cur_entries
                         if "path" in e and e["path"] not in base_paths
                     ]
-                    all_entries = entries + concurrent_added
+                    # Pathless entries (merge-on-read delete predicates, legacy
+                    # data-dir entries) rebase by value: one committed since the
+                    # base snapshot must be carried into the new manifest, and
+                    # if its file scope intersects files this mutation rewrote
+                    # the delete cannot be replayed onto the rewritten files —
+                    # that's a validation failure, like Iceberg's conflicting-
+                    # delete check (round-2 advisory: racing replace commits
+                    # silently dropped concurrent MoR delete predicates).
+                    base_keys = {_entry_key(e) for e in base_entries if "path" not in e}
+                    concurrent_pathless = [
+                        e
+                        for e in cur_entries
+                        if "path" not in e and _entry_key(e) not in base_keys
+                    ]
+                    new_paths = {e["path"] for e in entries if "path" in e}
+                    removed_here = base_paths - new_paths
+                    for e in concurrent_pathless:
+                        ap = e.get("applies-to")
+                        scope_open = "delete-predicate" in e and ap is None
+                        if scope_open or (ap is not None and set(ap) & removed_here):
+                            raise InvalidDataError(
+                                "commit conflict: a concurrent merge-on-read "
+                                "delete applies to files this operation "
+                                "rewrote; retry the operation on fresh state"
+                            )
+                    all_entries = entries + concurrent_added + concurrent_pathless
             snapshot_id = _new_snapshot_id()
             manifest = self.ops.write_manifest(snapshot_id, all_entries)
             now = _now_ms()
@@ -1514,26 +1545,41 @@ class Table:
         retaining snapshots referenced by branches/tags (metadata only;
         orphan data dirs removable via remove_orphan_files)."""
         self._check_writable()
-        meta = self.ops.load()
-        snaps = meta.raw.get("snapshots", [])
-        protected = {r["snapshot-id"] for r in meta.refs.values()}
-        keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
-        kept = [
-            s for s in snaps
-            if s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
-        ]
-        if len(kept) == len(snaps):
-            return 0
-        expired = len(snaps) - len(kept)
-        kept_ids = {s["snapshot-id"] for s in kept}
-        raw = dict(meta.raw)
-        raw["snapshots"] = kept
-        raw["snapshot-log"] = [
-            e for e in meta.snapshot_log if e["snapshot-id"] in kept_ids
-        ]
-        raw["last-updated-ms"] = _now_ms()
-        self.metadata = self.ops.commit(meta.version, raw)
-        return expired
+        expired = [0]
+
+        def nothing_to_expire(raw: dict[str, Any]) -> bool:
+            snaps = raw.get("snapshots", [])
+            protected = {r["snapshot-id"] for r in raw.get("refs", {}).values()}
+            keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+            return all(
+                s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
+                for s in snaps
+            )
+
+        if nothing_to_expire(self.ops.load().raw):
+            return 0  # skip the metadata version bump entirely
+
+        def mutate(raw: dict[str, Any]) -> None:
+            # recomputed from fresh metadata on every retry so a concurrent
+            # commit's snapshot is never expired by a stale view
+            snaps = raw.get("snapshots", [])
+            refs = raw.get("refs", {})
+            protected = {r["snapshot-id"] for r in refs.values()}
+            keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+            kept = [
+                s for s in snaps
+                if s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
+            ]
+            expired[0] = len(snaps) - len(kept)
+            kept_ids = {s["snapshot-id"] for s in kept}
+            raw["snapshots"] = kept
+            raw["snapshot-log"] = [
+                e for e in raw.get("snapshot-log", [])
+                if e["snapshot-id"] in kept_ids
+            ]
+
+        self._metadata_update(mutate)
+        return expired[0]
 
     def remove_orphan_files(self) -> list[str]:
         """Delete commit dirs whose files are referenced by no live snapshot."""
@@ -1655,6 +1701,58 @@ def _parse_predicate(s: str):
     return node if node is not None and pos[0] == len(toks) else None
 
 
+_ISO_TEMPORAL = re.compile(r"^\d{4}-\d{2}-\d{2}([T ].+)?$")
+
+
+def _parse_temporal(s: Any):
+    """datetime for an ISO date/timestamp string, else None.  Bounds are
+    stored via isoformat() ('2024-01-01T05:00:00'); SQL literals usually
+    use a space separator — both parse here."""
+    import datetime as _dt
+
+    if not isinstance(s, str) or not _ISO_TEMPORAL.match(s):
+        return None
+    txt = s.replace("T", " ", 1)
+    try:
+        if len(txt) == 10:
+            return _dt.datetime.fromisoformat(txt + " 00:00:00")
+        return _dt.datetime.fromisoformat(txt)
+    except ValueError:
+        return None
+
+
+def _normalize_bounds_literal(lo: Any, hi: Any, val: Any):
+    """Coerce (lower bound, upper bound, predicate literal) into one
+    comparable domain, or None when they are not *provably* comparable
+    (caller must then keep the file).  Round-2 advisory: naive str()/
+    lexicographic coercion pruned files that contained matching rows —
+    'T'-separated timestamp bounds vs space-separated literals, and
+    stringified numeric bounds vs quoted numeric literals."""
+    from decimal import Decimal, InvalidOperation
+
+    sides = (lo, hi, val)
+    if any(isinstance(x, bool) for x in sides):
+        return (lo, hi, val) if all(isinstance(x, bool) for x in sides) else None
+    # numeric domain: if ANY side is a real number, every side must coerce
+    # (SQL compares an int column to '9' numerically — so must pruning).
+    # Decimal keeps >2^53 integers exact where float would misprune.
+    if any(isinstance(x, (int, float)) for x in sides):
+        try:
+            return tuple(Decimal(str(x).strip()) for x in sides)
+        except (InvalidOperation, ValueError, TypeError):
+            return None
+    if not all(isinstance(x, str) for x in sides):
+        return None
+    # temporal domain: all three parse as ISO date/timestamp → compare as
+    # datetimes (date-only promotes to midnight, matching Spark's cast)
+    dts = tuple(_parse_temporal(x) for x in sides)
+    if all(d is not None for d in dts):
+        return dts
+    if any(d is not None for d in dts):
+        return None  # mixed temporal/plain-string — not provably comparable
+    return lo, hi, val  # plain strings: lexicographic is the SQL semantic
+
+
 def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     """True unless the bounds prove no row of the file can satisfy node."""
     kind = node[0]
@@ -1667,12 +1765,10 @@ def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     hi = (entry.get("upper-bounds") or {}).get(col)
     if lo is None or hi is None:
         return True
-    # numbers compare numerically; dates/timestamps are stored ISO-formatted
-    # so lexicographic string compare orders correctly
-    if isinstance(val, (int, float)) and not isinstance(lo, (int, float)):
-        return True
-    if isinstance(val, str) and not isinstance(lo, str):
-        lo, hi = str(lo), str(hi)
+    norm = _normalize_bounds_literal(lo, hi, val)
+    if norm is None:
+        return True  # not provably comparable — keep the file
+    lo, hi, val = norm
     try:
         if op == "=":
             return lo <= val <= hi

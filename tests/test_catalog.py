@@ -147,6 +147,37 @@ def test_sql_update_delete(catalog):
     assert catalog.load_table("ud").to_a() == [{"a": 1, "b": "ONE"}]
 
 
+def test_sql_update_set_with_commas_in_call(catalog):
+    """SET expressions may contain multi-arg calls and quoted commas —
+    the assignment splitter must be depth/quote-aware (round-2 advisory)."""
+    t = catalog.create_table("ud2", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1, "b": "one"}, {"a": 2, "b": "two"}])
+    catalog.sql("UPDATE ud2 SET b = concat(b, ', ', 'x') WHERE a = 1")
+    rows = {r["a"]: r["b"] for r in catalog.load_table("ud2").to_a()}
+    assert rows == {1: "one, x", 2: "two"}
+    # multiple assignments still split on the top-level comma
+    catalog.sql("UPDATE ud2 SET b = concat('p,q', b), a = a + 10 WHERE a = 2")
+    rows = {r["a"]: r["b"] for r in catalog.load_table("ud2").to_a()}
+    assert rows == {1: "one, x", 12: "p,qtwo"}
+
+
+def test_sql_update_bad_set_assignment_raises(catalog):
+    t = catalog.create_table("ud3", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1, "b": "one"}])
+    with pytest.raises(UnsupportedFeatureError):
+        catalog.sql("UPDATE ud3 SET WHERE a = 1")
+
+
+def test_expire_snapshots_noop_keeps_version(catalog):
+    t = catalog.create_table("ex1", schema={"a": "int"})
+    t.append([{"a": 1}])
+    v = t.ops.load().version
+    assert t.expire_snapshots(keep_last=5) == 0
+    assert t.ops.load().version == v  # no-op expire must not bump metadata
+    t.append([{"a": 2}])
+    assert t.expire_snapshots(keep_last=1) == 1
+
+
 def test_sql_unsupported_write_raises(catalog):
     with pytest.raises(UnsupportedFeatureError):
         catalog.sql("ALTER TABLE x ADD COLUMN c int")

@@ -90,3 +90,46 @@ def test_concurrent_compact_and_append_not_lost(catalog):
     h_cmp.compact()
     t = t.refresh()
     assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2, 99]
+
+
+def test_concurrent_mor_delete_carried_by_replace(catalog):
+    """A merge-on-read delete predicate committed between a replace-mode
+    mutation's planning and its commit must ride the rebase into the new
+    manifest (round-2 advisory: it was silently dropped, resurrecting the
+    deleted rows)."""
+    t = catalog.create_table("cm", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1, "b": "x"}, {"a": 2, "b": "x"}])   # file set 1
+    t.append([{"a": 5, "b": "x"}, {"a": 6, "b": "x"}])   # file set 2
+
+    h_upd = catalog.load_table("cm")   # plans against the 4-row snapshot
+    h_del = catalog.load_table("cm")
+    # interleave: MoR delete (file set 1) lands after h_upd loaded metadata
+    assert h_del.delete_where("a = 2", mode="merge-on-read") == 1
+    # replace-mode update rewrites file set 2 only
+    assert h_upd.update_where({"b": "'y'"}, "a = 5") == 1
+    t = t.refresh()
+    rows = {(r["a"], r["b"]) for r in t.to_a()}
+    assert rows == {(1, "x"), (5, "y"), (6, "x")}  # a=2 stayed deleted
+
+
+def test_concurrent_mor_delete_conflicts_with_overlapping_rewrite(catalog):
+    """If the concurrent MoR delete applies to a file the replace-mode
+    mutation rewrote, the delete cannot be replayed — the commit must fail
+    with a conflict instead of resurrecting or double-applying rows."""
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("cm2", schema={"a": "int", "b": "string"})
+    # both rows must share ONE data file for the scopes to overlap
+    df = catalog.spark.createDataFrame(
+        [(1, "x"), (2, "x")], "a int, b string"
+    ).coalesce(1)
+    t.append(df)
+    assert len(t.scan().plan_files()) == 1
+
+    h_upd = catalog.load_table("cm2")
+    h_del = catalog.load_table("cm2")
+    assert h_del.delete_where("a = 2", mode="merge-on-read") == 1
+    with pytest.raises(InvalidDataError, match="conflict"):
+        h_upd.update_where({"b": "'y'"}, "a = 1")  # rewrites the same file

@@ -72,3 +72,100 @@ def test_parser_rejects_out_of_grammar():
     assert _parse_predicate("a + 1 > 2") is None
     assert _parse_predicate("a > b") is None  # column-to-column: not supported
     assert _parse_predicate("") is None
+
+
+# -- round-2 advisory: unsound type coercion ------------------------------
+
+def _cmp(a, op, b):
+    return {
+        "=": a == b, "<": a < b, "<=": a <= b,
+        ">": a > b, ">=": a >= b, "!=": a != b,
+    }[op]
+
+
+def test_timestamp_bounds_vs_space_separated_literal():
+    """isoformat() bounds ('T' separator) vs SQL literals (space) must
+    compare temporally, not lexicographically ('T' > ' ' pruned files
+    that contained matching rows)."""
+    entry = {
+        "lower-bounds": {"ts": "2024-01-01T05:00:00"},
+        "upper-bounds": {"ts": "2024-01-01T07:00:00"},
+    }
+    assert _bounds_may_match(entry, _parse_predicate("ts = '2024-01-01 06:00:00'"))
+    assert _bounds_may_match(entry, _parse_predicate("ts >= '2024-01-01 06:30:00'"))
+    assert not _bounds_may_match(entry, _parse_predicate("ts > '2024-01-02 00:00:00'"))
+    assert not _bounds_may_match(entry, _parse_predicate("ts < '2024-01-01 04:00:00'"))
+
+
+def test_numeric_bounds_vs_quoted_literal():
+    """int bounds vs a quoted numeric literal compare numerically (SQL
+    coerces '9' to 9); non-numeric strings keep the file."""
+    entry = {"lower-bounds": {"a": 5}, "upper-bounds": {"a": 20}}
+    assert _bounds_may_match(entry, _parse_predicate("a = '9'"))
+    assert not _bounds_may_match(entry, _parse_predicate("a = '21'"))
+    assert _bounds_may_match(entry, _parse_predicate("a = 'abc'"))  # unprovable
+
+
+def test_date_only_bounds_vs_datetime_literal():
+    entry = {"lower-bounds": {"d": "2024-01-01"}, "upper-bounds": {"d": "2024-01-03"}}
+    assert _bounds_may_match(entry, _parse_predicate("d = '2024-01-02 12:00:00'"))
+    assert not _bounds_may_match(entry, _parse_predicate("d > '2024-01-05 00:00:00'"))
+
+
+def test_mixed_temporal_and_plain_string_keeps_file():
+    entry = {"lower-bounds": {"s": "2024-01-01"}, "upper-bounds": {"s": "zebra"}}
+    assert _bounds_may_match(entry, _parse_predicate("s = 'apple'"))
+
+
+def test_huge_int_bounds_stay_exact():
+    big = 2**60
+    entry = {"lower-bounds": {"a": big}, "upper-bounds": {"a": big}}
+    assert _bounds_may_match(entry, _parse_predicate(f"a = '{big}'"))
+    assert not _bounds_may_match(entry, _parse_predicate(f"a = '{big + 1}'"))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    lo_h=st.integers(0, 40),
+    span=st.integers(0, 20),
+    lit_h=st.integers(0, 60),
+    op=st.sampled_from(OPS),
+)
+def test_timestamp_pruning_sound(lo_h, span, lit_h, op):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    lo = base + dt.timedelta(hours=lo_h)
+    hi = lo + dt.timedelta(hours=span)
+    lit = base + dt.timedelta(hours=lit_h)
+    entry = {
+        "lower-bounds": {"ts": lo.isoformat()},
+        "upper-bounds": {"ts": hi.isoformat()},
+    }
+    pred = f"ts {op} '{lit.strftime('%Y-%m-%d %H:%M:%S')}'"
+    tree = _parse_predicate(pred)
+    assert tree is not None
+    if _bounds_may_match(entry, tree):
+        return
+    cur = lo
+    while cur <= hi:
+        assert not _cmp(cur, op, lit), (pred, entry, cur)
+        cur += dt.timedelta(hours=1)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a_lo=st.integers(-15, 15),
+    a_len=st.integers(0, 10),
+    v=st.integers(-20, 20),
+    op=st.sampled_from(OPS),
+)
+def test_quoted_numeric_literal_pruning_sound(a_lo, a_len, v, op):
+    a_hi = a_lo + a_len
+    entry = {"lower-bounds": {"a": a_lo}, "upper-bounds": {"a": a_hi}}
+    tree = _parse_predicate(f"a {op} '{v}'")
+    assert tree is not None
+    if _bounds_may_match(entry, tree):
+        return
+    for a in range(a_lo, a_hi + 1):
+        assert not _cmp(a, op, v), (op, v, entry, a)
