@@ -157,3 +157,65 @@ def test_bucket_value_range_and_null():
     assert b.bucket_value(None) is None
     # spec example: bucket[16] of 'iceberg' hash 1210000089 -> 9
     assert b.bucket_value("iceberg") == (1210000089 & 0x7FFFFFFF) % 16
+
+
+def test_vectorized_murmur3_matches_scalar():
+    """The numpy batch hash must be bit-identical to the per-value spec
+    implementation for 8-byte LE encodings (the write path relies on it)."""
+    import struct
+
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from iceberg_ruby_spark.transforms import (
+        _murmur3_32_int64_batch,
+        murmur3_x86_32,
+    )
+
+    @settings(max_examples=50, deadline=None)
+    @given(st.lists(st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=64))
+    def check(vals):
+        got = _murmur3_32_int64_batch(np.array(vals, dtype=np.int64))
+        want = [murmur3_x86_32(struct.pack("<q", v)) for v in vals]
+        assert got.tolist() == want
+
+    check()
+
+
+def test_bucket_udf_paths_match_bucket_value(catalog):
+    """Every typed UDF path (vectorized fixed-width, unique-string, and
+    per-value fallback) must agree with the scalar bucket_value."""
+    import datetime
+    import decimal
+
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark import types as ice_types
+
+    spark = catalog.spark
+    b = tr.BucketTransform(32)
+    rows = [
+        (1, 7, datetime.date(2020, 5, 17), datetime.datetime(2021, 3, 4, 5, 6, 7, 123456),
+         "alpha", decimal.Decimal("14.20")),
+        (2, -99, datetime.date(1969, 12, 31), datetime.datetime(1969, 12, 31, 23, 59, 59),
+         "iceberg", decimal.Decimal("0.01")),
+        (3, None, None, None, None, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "id int, l long, d date, ts timestamp, s string, dec decimal(9,2)"
+    ).coalesce(1)
+    out = df.select(
+        "l", "d", "ts", "s", "dec",
+        b.apply_typed(ice_types.LongType(), F.col("l")).alias("bl"),
+        b.apply_typed(ice_types.DateType(), F.col("d")).alias("bd"),
+        b.apply_typed(ice_types.TimestampType(), F.col("ts")).alias("bts"),
+        b.apply_typed(ice_types.StringType(), F.col("s")).alias("bs"),
+        b.apply_typed(ice_types.DecimalType(9, 2), F.col("dec")).alias("bdec"),
+    ).collect()
+    for r in out:
+        assert r["bl"] == b.bucket_value(r["l"], ice_types.LongType())
+        assert r["bd"] == b.bucket_value(r["d"], ice_types.DateType())
+        assert r["bts"] == b.bucket_value(r["ts"], ice_types.TimestampType())
+        assert r["bs"] == b.bucket_value(r["s"], ice_types.StringType())
+        assert r["bdec"] == b.bucket_value(r["dec"], ice_types.DecimalType(9, 2))
