@@ -25,6 +25,8 @@ from typing import Optional, Sequence
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_ruby_spark.errors import InvalidDataError
+
 
 def exact_dedup(
     df: DataFrame,
@@ -136,6 +138,17 @@ _MULT = [_signed64(_splitmix64(2 * i) | 1) for i in range(256)]
 _OFFS = [_signed64(_splitmix64(2 * i + 1)) for i in range(256)]
 
 
+def _sig_agg_expr(num_hashes: int) -> str:
+    """The whole signature as ONE SQL expression string: ``array(min(a_0*h+
+    b_0), …)``.  A single ``F.expr`` costs one py4j round trip where the
+    equivalent Column-object construction costs ~6 per hash function —
+    measured 2.7 s of pure driver-side graph building at k=64 before this."""
+    mins = ",".join(
+        f"min(__h * ({_MULT[i]}L) + ({_OFFS[i]}L))" for i in range(num_hashes)
+    )
+    return f"array({mins}) AS sig"
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str,
@@ -153,17 +166,10 @@ def minhash_signatures(
     *large random* odd constants: small multipliers (3, 5, 7…) preserve the
     ordering near the minimum, correlating all k mins and collapsing LSH
     into near-all-pairs (measured: 3.2M candidate pairs on 5k docs).
-    No Python per row."""
+    No Python per row; wrapping long arithmetic requires ANSI off (pinned
+    by plans.tables.load)."""
     hashed = _shingle_hashes(df, text_col, id_col, shingle_size)
-    aggs = [
-        F.min(F.col("__h") * F.lit(_MULT[i]) + F.lit(_OFFS[i])).alias(f"__s{i}")
-        for i in range(num_hashes)
-    ]
-    sig = hashed.groupBy(id_col).agg(*aggs)
-    return sig.select(
-        F.col(id_col),
-        F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("sig"),
-    )
+    return hashed.groupBy(id_col).agg(F.expr(_sig_agg_expr(num_hashes)))
 
 
 def minhash_lsh_pairs(
@@ -190,42 +196,42 @@ def minhash_lsh_pairs(
 
     rows_per_band = max(1, num_hashes // bands)
     # ONE shingle+hash scan of the corpus feeds everything: signatures are
-    # k affine mins over it, exact verification joins its distinct sets.
-    # Persisted because it backs four branches (sig, sizes, both sides of
-    # the intersection join).
+    # k affine mins over it, exact verification reuses it for candidate
+    # docs.  Persisted because the broadcast-estimate stage and the
+    # verification branch would otherwise re-run the scan+explode.
     hashed = _shingle_hashes(df, text_col, id_col, shingle_size).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    aggs = [
-        F.min(F.col("__h") * F.lit(_MULT[i]) + F.lit(_OFFS[i])).alias(f"__s{i}")
-        for i in range(num_hashes)
-    ]
     # the signature table (k longs per doc — tiny next to the corpus) feeds
     # three branches of its own: banding and both sides of the estimate
     # join (without persist each branch re-runs the aggregation).
     sig = (
         hashed.groupBy(id_col)
-        .agg(*aggs)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"__s{i}") for i in range(num_hashes)]).alias("sig"),
-        )
+        .agg(F.expr(_sig_agg_expr(num_hashes)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    band_cols = []
-    for b in range(bands):
-        chunk = [F.col("sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-        band_cols.append(F.struct(F.lit(b).alias("band"), F.xxhash64(*chunk).alias("bh")))
+    # band index folded into ONE 64-bit key — the bucket join shuffles and
+    # compares a single long instead of (int, long)
+    band_exprs = ",".join(
+        "xxhash64("
+        + ",".join([str(b)] + [f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
+        + ")"
+        for b in range(bands)
+    )
     bands_df = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("__b")
-    ).select(id_col, "__b.band", "__b.bh")
+        F.col(id_col), F.expr(f"explode(array({band_exprs})) AS __bh")
+    )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
+    # NO distinct here: a pair colliding in several bands appears once per
+    # collision, but the estimate stage below is a pipelined broadcast
+    # join + filter (dup-insensitive), and deduping its tiny output beats
+    # shuffling the full candidate multiset (measured on the r2 bench:
+    # the candidate distinct was the single largest exchange).
     cand = (
-        a.join(b_, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        a.join(b_, F.col("a.__bh") == F.col("b.__bh"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
     )
     # funnel stage: estimate Jaccard from signature agreement (two broadcast
     # joins — a signature table is k longs/doc, tiny next to the corpus) and
@@ -233,38 +239,66 @@ def minhash_lsh_pairs(
     # alone admits ~threshold-similar pairs by design, so the exact
     # verification below would otherwise join shingle sets for every
     # marginal candidate (measured: 669k candidates → 256 real pairs).
+    # Both joins broadcast the IDENTICAL `sig` subtree (aliases applied
+    # after the join, not in the broadcast input) so Spark builds the
+    # broadcast table once and ReusedExchange serves the second join —
+    # with per-side projections each side raced to compute the corpus
+    # scan+agg before the cache was populated.
     # ~2σ of the k-sample Bernoulli estimate at j≈threshold
     margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    sig_a = sig.select(F.col(id_col).alias("id_a"), F.col("sig").alias("__sa"))
-    sig_b = sig.select(F.col(id_col).alias("id_b"), F.col("sig").alias("__sb"))
+    bsig = F.broadcast(sig)
     est = (
-        cand.join(F.broadcast(sig_a), "id_a")
-        .join(F.broadcast(sig_b), "id_b")
+        cand.join(bsig, F.col("id_a") == F.col(id_col))
+        .drop(id_col)
+        .withColumnRenamed("sig", "__sa")
+        .join(bsig, F.col("id_b") == F.col(id_col))
+        .drop(id_col)
+        .withColumnRenamed("sig", "__sb")
         .withColumn(
             "__est",
-            F.size(F.filter(F.zip_with("__sa", "__sb", lambda x, y: x == y), lambda m: m))
-            / F.lit(num_hashes),
+            F.expr(
+                f"size(filter(zip_with(__sa, __sb, (x, y) -> x = y), m -> m)) / {num_hashes}"
+            ),
         )
         .filter(F.col("__est") >= F.lit(max(0.0, threshold - margin)))
     )
-    cand = est.select("id_a", "id_b")
-    # exact verification joins 64-bit shingle-hash sets, not strings — the
-    # join key payload is 8 bytes/row and the set algebra is identical
-    # (modulo 2^-64 collision probability).  Reuses the persisted shingle
-    # scan computed for the signatures.
-    sh = hashed.distinct()
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n"))
-    sh_b = sh.select(F.col(id_col).alias("__idb"), F.col("__h").alias("__hb"))
-    inter = (
-        cand.join(sh.withColumnRenamed(id_col, "id_a"), "id_a")
-        .join(sh_b, (F.col("__idb") == F.col("id_b")) & (F.col("__h") == F.col("__hb")))
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    # dedup AFTER the funnel: this set is orders of magnitude smaller than
+    # the raw band-collision multiset (r2 bench: 669k collisions → ~300
+    # survivors), so this is the cheap place to pay the distinct shuffle
+    cand = est.select("id_a", "id_b").distinct().persist(StorageLevel.MEMORY_AND_DISK)
+    # exact verification compares 64-bit shingle-hash SETS, not strings —
+    # identical set algebra modulo 2^-64 collisions.  Only docs that appear
+    # in a surviving pair are re-shingled (semi-join BEFORE the explode, so
+    # the blow-up happens for a few hundred docs, not the corpus), then
+    # collapsed to one set array per doc; each pair costs one JVM
+    # array_intersect over two in-row arrays instead of a multi-million-row
+    # shingle×pair shuffle join (r2 bench: that join was the largest stage
+    # of the whole query).  Array size is bounded by a doc's distinct
+    # shingle count — the same bound the join variant paid as shuffle rows,
+    # now paid once as an in-row payload.
+    cand_ids = (
+        cand.select(F.col("id_a").alias(id_col))
+        .union(cand.select(F.col("id_b").alias(id_col)))
+        .distinct()
     )
+    # broadcast the id set — a shuffled semi-join would move every shingle
+    # row; the id list is 8 bytes per candidate doc
+    sets = (
+        hashed.join(F.broadcast(cand_ids), id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("__h").alias("__set"))
+    )
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__seta"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__setb"))
     out = (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("n", "na"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("n", "nb"), "id_b")
-        .withColumn("jaccard", F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter")))
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("__inter", F.size(F.array_intersect("__seta", "__setb")))
+        .withColumn(
+            "jaccard",
+            F.col("__inter")
+            / (F.size("__seta") + F.size("__setb") - F.col("__inter")),
+        )
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
@@ -395,16 +429,19 @@ def embedding_cosine_pairs(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     threshold: float = 0.95,
-    n_planes: int = 0,
+    n_planes: int = 8,
+    allow_all_pairs: bool = False,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: (id_a < id_b, cosine ≥
     threshold).
 
-    ``n_planes=0`` computes exact all-pairs — use only on a bounded slice.
-    ``n_planes>0`` is the scale path: sign-LSH bucketing (reused from
+    The default is the scale path: sign-LSH bucketing (reused from
     operators/similarity.py) bounds pair enumeration to same-bucket
     candidates before the exact cosine check; at high thresholds near-dups
-    land in the same bucket with high probability."""
+    land in the same bucket with high probability.  Exact all-pairs
+    (``n_planes=0``) is a crossJoin — quadratic, only sane on a bounded
+    slice — so it additionally requires ``allow_all_pairs=True`` (round-2
+    advisory: a 100 TB-facing API must not default to O(n²))."""
     from iceberg_ruby_spark.operators.similarity import (
         _dot,
         _hyperplanes,
@@ -412,6 +449,12 @@ def embedding_cosine_pairs(
         lsh_bucket,
     )
 
+    if n_planes <= 0 and not allow_all_pairs:
+        raise InvalidDataError(
+            "embedding_cosine_pairs with n_planes=0 enumerates ALL pairs "
+            "(quadratic); pass allow_all_pairs=True to opt in on a bounded "
+            "slice, or keep n_planes>0 for the LSH-bucketed path"
+        )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if n_planes > 0:

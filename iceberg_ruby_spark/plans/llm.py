@@ -469,4 +469,6 @@ def dedup_embedding_cosine(spark, sf_dir):
     from iceberg_ruby_spark.operators.dedup import embedding_cosine_pairs
 
     emb = load(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 100)
-    return embedding_cosine_pairs(emb, threshold=0.5)
+    return embedding_cosine_pairs(
+        emb, threshold=0.5, n_planes=0, allow_all_pairs=True
+    )

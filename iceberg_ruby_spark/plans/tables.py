@@ -26,10 +26,17 @@ TABLES = [
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Every declared query funnels through here, so pin the runtime confs
+    # the query library is written against even when the session is not
+    # ours (e.g. the correctness driver builds a bare SparkSession):
+    # ANSI off (Spark 4 defaults it ON; the MinHash affine hashes rely on
+    # wrapping long arithmetic) and UTC timestamps (matches the DuckDB
+    # oracle).  All are runtime-settable SQL confs.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # events.parquet stores INT64 TIMESTAMP(NANOS); sessions other than
-        # ours (e.g. the correctness driver's) won't have the legacy flag, so
-        # set it here — it's a runtime SQL conf, safe to set per-read.
+        # events.parquet stores INT64 TIMESTAMP(NANOS); Spark has no ns
+        # timestamp — read as long, truncated to µs below.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":

@@ -387,12 +387,16 @@ class Table:
         catalog: Optional[Any] = None,
         read_only: bool = False,
         io: Optional[Any] = None,
+        ops: Optional[Any] = None,
     ):
         self.spark = spark
         self.identifier = identifier or []
         self.catalog = catalog
         self.read_only = read_only
-        self.ops = FsTableOps(location, io=io)
+        # ops: the metadata plane (load/commit/manifests).  FsTableOps by
+        # default; a REST-catalog table passes RestTableOps so commits CAS
+        # through the catalog server instead of the filesystem.
+        self.ops = ops or FsTableOps(location, io=io)
         self.metadata = self.ops.load()
 
     # -- metadata accessors (reference table.rb:12-141) ---------------------

@@ -251,9 +251,19 @@ def test_embedding_cosine_pairs_lsh_vs_exact(spark):
         rows.append((2 * i + 1, [x + rnd.gauss(0, 0.01) for x in v]))
     df = spark.createDataFrame(rows, ["vec_id", "embedding"])
     exact = {(r["id_a"], r["id_b"]) for r in
-             ops.embedding_cosine_pairs(df, threshold=0.99).collect()}
+             ops.embedding_cosine_pairs(
+                 df, threshold=0.99, n_planes=0, allow_all_pairs=True
+             ).collect()}
     assert all((2 * i, 2 * i + 1) in exact for i in range(30))
     lsh = {(r["id_a"], r["id_b"]) for r in
            ops.embedding_cosine_pairs(df, threshold=0.99, n_planes=4).collect()}
     assert lsh <= exact  # no false positives (exact verify after bucketing)
     assert len(lsh) >= 0.7 * len(exact)  # high recall at 4 planes
+
+
+def test_embedding_cosine_pairs_all_pairs_needs_opt_in(spark):
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"])
+    with pytest.raises(InvalidDataError, match="all_pairs"):
+        ops.embedding_cosine_pairs(df, n_planes=0)
