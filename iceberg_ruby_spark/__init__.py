@@ -71,6 +71,7 @@ from iceberg_ruby_spark.transforms import (
     YearTransform,
 )
 from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
+from iceberg_ruby_spark.rest import RestCatalog
 from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
 from iceberg_ruby_spark.static_table import StaticTable
 from iceberg_ruby_spark.functions import register_functions
@@ -80,6 +81,7 @@ __version__ = "0.1.0"
 __all__ = [
     "Catalog",
     "MemoryCatalog",
+    "RestCatalog",
     "Table",
     "TableScan",
     "UpdateSchema",

@@ -128,6 +128,16 @@ class Catalog:
         self.default_namespace = _norm_ident(namespace) if namespace else None
 
     # ------------------------------------------------------------------ utils
+    def _table_ops(self, location: str, parts: Optional[list[str]] = None):
+        """The metadata plane for a table at ``location`` — the backend
+        seam: FsTableOps here; RestCatalog returns RestTableOps so the
+        version pointer and commits live on the catalog server.  ``parts``
+        is the catalog identifier when the caller knows it (required by
+        registry-backed ops; unused by filesystem ops)."""
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps(location, io=self.io)
+
     def _ns_dir(self, ns: list[str]) -> str:
         return os.path.join(self.warehouse, *ns)
 
@@ -300,31 +310,26 @@ class Catalog:
             "partition-statistics": [],
             "encryption-keys": {},
         }
-        from iceberg_ruby_spark.table import FsTableOps
-
-        ops = FsTableOps(loc, io=self.io)
+        ops = self._table_ops(loc, parts)
         os.makedirs(ops.data_dir, exist_ok=True)
         ops.commit(0, meta)
         if location is not None:
             self._write_pointer(parts, loc)
-        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io)
+        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io, ops=ops)
 
     def load_table(self, ident: Ident) -> Table:
         parts, loc = self._table_location(ident)
-        from iceberg_ruby_spark.table import FsTableOps
-
-        if not FsTableOps(loc, io=self.io).exists():
+        ops = self._table_ops(loc, parts)
+        if not ops.exists():
             raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
-        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io)
+        return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io, ops=ops)
 
     def table_exists(self, ident: Ident) -> bool:
         try:
-            _parts, loc = self._table_location(ident)
+            parts, loc = self._table_location(ident)
         except InvalidDataError:
             return False
-        from iceberg_ruby_spark.table import FsTableOps
-
-        return FsTableOps(loc, io=self.io).exists()
+        return self._table_ops(loc, parts).exists()
 
     def list_tables(self, ns: Optional[Ident] = None) -> list[list[str]]:
         if ns is None:
@@ -599,8 +604,6 @@ class Catalog:
         tables by bare name, everything else as ``ns_table``.  Views are
         cached by table metadata version — re-registered only when a table
         committed a new version (round-1 review: O(all tables) per query)."""
-        from iceberg_ruby_spark.table import FsTableOps
-
         cache = getattr(self, "_view_cache", None)
         if cache is None:
             cache = self._view_cache = {}
@@ -613,7 +616,7 @@ class Catalog:
                 # metadata loads (and re-registration) happen only for
                 # tables that actually committed since last seen
                 _p, loc = self._table_location(parts)
-                version = FsTableOps(loc, io=self.io).current_version()
+                version = self._table_ops(loc, parts).current_version()
                 if cache.get(key) == version:
                     continue
                 df = self.load_table(parts).to_df()

@@ -1,0 +1,510 @@
+"""REST catalog backend — the Apache Iceberg REST catalog protocol
+(public spec: ``rest-catalog-open-api.yaml``) over the existing
+Catalog/FileIO seam, matching the reference's REST backend surface
+(``lib/iceberg/rest_catalog.rb:2-11``: uri, warehouse, properties,
+default_namespace; option passthrough ``ext/iceberg/src/catalog.rs:130-152``).
+
+Split of responsibilities, mirroring how iceberg-rust's RestCatalog works:
+
+- the catalog REGISTRY (namespaces, table identities, the current-metadata
+  pointer, commit CAS) lives on the REST server;
+- table DATA and manifests stay on storage reached through FileIO /
+  Spark's Hadoop layer, at the location the server returns.
+
+Commits route through the server with an optimistic requirement, so two
+engines sharing the catalog serialize their snapshots exactly like two
+FsTableOps writers racing on a version file: :class:`RestTableOps.commit`
+raises ``FileExistsError`` on a 409, which the existing retry loops in
+``table.py`` already handle.
+
+Auth passthrough: a static bearer ``token`` property, or OAuth2
+client-credentials (``credential=client_id:client_secret``) exchanged at
+``{uri}/v1/oauth/tokens`` — the two modes iceberg-rust's builder accepts.
+
+Tested against a local stub server (tests/support/rest_server.py) the way
+reference CI runs ``apache/iceberg-rest-fixture``
+(``.github/workflows/build.yml:6-31``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import urllib.error
+import urllib.parse
+import urllib.request
+from typing import Any, Optional
+
+from iceberg_ruby_spark.catalog import Catalog, Ident, _norm_ident
+from iceberg_ruby_spark.errors import (
+    InvalidDataError,
+    NamespaceAlreadyExistsError,
+    NoSuchNamespaceError,
+    NoSuchTableError,
+    TableAlreadyExistsError,
+)
+
+# multi-level namespace separator in URL paths, per the REST spec
+_NS_SEP = "\x1f"
+
+
+class RestError(InvalidDataError):
+    def __init__(self, status: int, body: str):
+        super().__init__(f"REST catalog error {status}: {body[:200]}")
+        self.status = status
+
+
+class RestClient:
+    """Minimal stdlib HTTP client for the REST catalog endpoints."""
+
+    def __init__(
+        self,
+        uri: str,
+        token: Optional[str] = None,
+        credential: Optional[str] = None,
+        properties: Optional[dict[str, str]] = None,
+        warehouse: Optional[str] = None,
+    ):
+        self.base = uri.rstrip("/")
+        props = dict(properties or {})
+        self.token = token or props.pop("token", None)
+        credential = credential or props.pop("credential", None)
+        if self.token is None and credential is not None:
+            self.token = self._fetch_oauth_token(credential)
+        # GET /v1/config: server-side defaults/overrides (prefix, etc.)
+        params = {"warehouse": warehouse} if warehouse else None
+        try:
+            cfg = self.request("GET", "/v1/config", params=params)
+        except (urllib.error.URLError, RestError) as exc:
+            raise InvalidDataError(f"cannot reach REST catalog at {self.base}: {exc}")
+        merged = dict(cfg.get("defaults", {}))
+        merged.update(props)
+        merged.update(cfg.get("overrides", {}))
+        self.properties = merged
+        prefix = merged.get("prefix", "")
+        self.prefix = f"/v1/{urllib.parse.quote(prefix, safe='')}" if prefix else "/v1"
+
+    def _fetch_oauth_token(self, credential: str) -> str:
+        """OAuth2 client-credentials exchange (iceberg-rust's ``credential``
+        option): ``client_id:client_secret`` → access token."""
+        client_id, _, client_secret = credential.partition(":")
+        data = urllib.parse.urlencode(
+            {
+                "grant_type": "client_credentials",
+                "client_id": client_id,
+                "client_secret": client_secret,
+                "scope": "catalog",
+            }
+        ).encode()
+        req = urllib.request.Request(
+            f"{self.base}/v1/oauth/tokens",
+            data=data,
+            headers={"Content-Type": "application/x-www-form-urlencoded"},
+            method="POST",
+        )
+        with urllib.request.urlopen(req) as resp:
+            return json.loads(resp.read().decode())["access_token"]
+
+    def request(
+        self,
+        method: str,
+        path: str,
+        body: Optional[dict] = None,
+        params: Optional[dict] = None,
+    ) -> dict:
+        url = self.base + path
+        if params:
+            url += "?" + urllib.parse.urlencode(params)
+        headers = {"Content-Type": "application/json"}
+        if self.token:
+            headers["Authorization"] = f"Bearer {self.token}"
+        data = json.dumps(body).encode() if body is not None else None
+        req = urllib.request.Request(url, data=data, headers=headers, method=method)
+        try:
+            with urllib.request.urlopen(req) as resp:
+                raw = resp.read().decode()
+                return json.loads(raw) if raw.strip() else {}
+        except urllib.error.HTTPError as e:
+            raise RestError(e.code, e.read().decode(errors="replace"))
+
+    # -- path helpers ------------------------------------------------------
+    def ns_path(self, ns: list[str], *suffix: str) -> str:
+        enc = urllib.parse.quote(_NS_SEP.join(ns), safe="")
+        return "/".join([f"{self.prefix}/namespaces/{enc}", *suffix])
+
+    def table_path(self, parts: list[str]) -> str:
+        return self.ns_path(parts[:-1], "tables", urllib.parse.quote(parts[-1], safe=""))
+
+
+class RestTableOps:
+    """FsTableOps-compatible metadata plane backed by the REST server.
+
+    The server owns the metadata document and its version; manifests and
+    data files live under the table location on FileIO storage (same
+    relative-path mapping as FsTableOps, so a table registered into a
+    filesystem catalog later reads identically)."""
+
+    def __init__(self, client: RestClient, parts: list[str], location: str, io):
+        from iceberg_ruby_spark.io import LocalFileIO
+
+        self.client = client
+        self.parts = list(parts)
+        self.location = location
+        self.io = io or LocalFileIO()
+        self.metadata_dir = os.path.join(location, "metadata")
+        self.data_dir = os.path.join(location, "data")
+
+    # -- registry ----------------------------------------------------------
+    def exists(self) -> bool:
+        try:
+            self.client.request("HEAD", self.client.table_path(self.parts))
+            return True
+        except RestError as e:
+            if e.status == 404:
+                return False
+            raise
+
+    def _get(self) -> dict:
+        try:
+            return self.client.request("GET", self.client.table_path(self.parts))
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchTableError(f"table does not exist: {'.'.join(self.parts)}")
+            raise
+
+    def current_version(self) -> int:
+        return int(self._get()["metadata"]["__rest-version"])
+
+    def load(self, version: Optional[int] = None):
+        from iceberg_ruby_spark.table import TableMetadata
+
+        doc = self._get()
+        meta = doc["metadata"]
+        v = int(meta["__rest-version"])
+        if version is not None and version != v:
+            raise NoSuchTableError(
+                f"REST catalog serves only the current metadata version "
+                f"(asked v{version}, current v{v})"
+            )
+        return TableMetadata(meta, v, doc.get("metadata-location", self.location))
+
+    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]):
+        """CAS through the server: create on first commit, else an update
+        with an assert-table-version requirement.  409 → FileExistsError so
+        the optimistic retry loops in table.py treat server conflicts
+        exactly like filesystem version-file races."""
+        from iceberg_ruby_spark.table import TableMetadata
+
+        new_version = (base_version or 0) + 1
+        meta = dict(new_meta)
+        meta["__rest-version"] = new_version
+        if base_version in (None, 0) and not self.exists():
+            body = {
+                "name": self.parts[-1],
+                "location": self.location,
+                "metadata": meta,
+            }
+            try:
+                self.client.request(
+                    "POST", self.client.ns_path(self.parts[:-1], "tables"), body
+                )
+            except RestError as e:
+                if e.status == 409:
+                    raise FileExistsError(str(e))
+                raise
+        else:
+            body = {
+                "requirements": [
+                    {"type": "assert-table-version", "version": base_version}
+                ],
+                "updates": [{"action": "set-metadata", "metadata": meta}],
+            }
+            try:
+                self.client.request("POST", self.client.table_path(self.parts), body)
+            except RestError as e:
+                if e.status == 409:
+                    raise FileExistsError(str(e))
+                raise
+        return TableMetadata(meta, new_version, self.location)
+
+    # -- manifests: identical relative-path storage to FsTableOps ----------
+    def _rel(self, p: str) -> str:
+        ap = os.path.abspath(p)
+        loc = os.path.abspath(self.location)
+        if ap == loc or ap.startswith(loc + os.sep):
+            return os.path.relpath(ap, loc)
+        return p
+
+    def _abs(self, p: str) -> str:
+        return p if os.path.isabs(p) else os.path.join(self.location, p)
+
+    def _map_entry_paths(self, e: dict[str, Any], fn) -> dict[str, Any]:
+        out = dict(e)
+        if "path" in out:
+            out["path"] = fn(out["path"])
+        if "applies-to" in out:
+            out["applies-to"] = [fn(p) for p in out["applies-to"]]
+        return out
+
+    def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
+        path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
+        stored = [self._map_entry_paths(e, self._rel) for e in entries]
+        self.io.write_atomic(
+            path,
+            json.dumps({"snapshot-id": snapshot_id, "entries": stored}),
+            overwrite=True,
+        )
+        return self._rel(path)
+
+    def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
+        entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
+        return [self._map_entry_paths(e, self._abs) for e in entries]
+
+
+class RestCatalog(Catalog):
+    """Catalog whose registry lives on an Iceberg REST catalog server
+    (reference ``lib/iceberg/rest_catalog.rb:2-11``).
+
+    ``warehouse`` doubles as the local storage root for table files when
+    the server does not dictate locations (the stub fixture assigns
+    ``{warehouse}/{ns...}/{table}`` like the FS catalog, so the on-disk
+    layout is identical between backends)."""
+
+    def __init__(
+        self,
+        uri: str,
+        warehouse: Optional[str] = None,
+        properties: Optional[dict[str, str]] = None,
+        namespace: Optional[Ident] = None,
+        token: Optional[str] = None,
+        credential: Optional[str] = None,
+        spark=None,
+        name: str = "rest",
+        io=None,
+    ):
+        import tempfile
+
+        self._tmp = None
+        if warehouse is None:
+            self._tmp = tempfile.mkdtemp(prefix="iceberg_ruby_spark_rest_wh_")
+            warehouse = self._tmp
+        self.client = RestClient(
+            uri,
+            token=token,
+            credential=credential,
+            properties=properties,
+            warehouse=warehouse,
+        )
+        super().__init__(warehouse, namespace=namespace, spark=spark, name=name, io=io)
+
+    # -- backend seam ------------------------------------------------------
+    def _table_ops(self, location: str, parts: Optional[list[str]] = None):
+        if parts is None:
+            # only derivable for warehouse-resident tables; callers pass
+            # the identifier explicitly for custom locations
+            rel = os.path.relpath(os.path.abspath(location), self.warehouse)
+            parts = rel.split(os.sep)
+        return RestTableOps(self.client, parts, location, self.io)
+
+    def _table_location(self, ident: Ident) -> tuple[list[str], str]:
+        parts = self._with_namespace(ident)
+        try:
+            doc = self.client.request("GET", self.client.table_path(parts))
+            return parts, doc.get("location") or os.path.join(self.warehouse, *parts)
+        except RestError as e:
+            if e.status == 404:
+                return parts, os.path.join(self.warehouse, *parts)
+            raise
+
+    # -- namespaces --------------------------------------------------------
+    def create_namespace(self, ns, properties=None, if_not_exists=False) -> None:
+        parts = _norm_ident(ns)
+        try:
+            self.client.request(
+                "POST",
+                f"{self.client.prefix}/namespaces",
+                {"namespace": parts, "properties": properties or {}},
+            )
+        except RestError as e:
+            if e.status == 409:
+                if if_not_exists:
+                    return
+                raise NamespaceAlreadyExistsError(
+                    f"namespace already exists: {'.'.join(parts)}"
+                )
+            if e.status == 404:
+                raise NoSuchNamespaceError(
+                    f"parent namespace does not exist: {'.'.join(parts[:-1])}"
+                )
+            raise
+
+    def list_namespaces(self, parent=None) -> list[list[str]]:
+        params = None
+        if parent:
+            base = _norm_ident(parent)
+            params = {"parent": _NS_SEP.join(base)}
+        try:
+            out = self.client.request(
+                "GET", f"{self.client.prefix}/namespaces", params=params
+            )
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchNamespaceError(f"namespace does not exist: {parent}")
+            raise
+        return [list(n) for n in out.get("namespaces", [])]
+
+    def namespace_exists(self, ns) -> bool:
+        try:
+            parts = _norm_ident(ns)
+        except InvalidDataError:
+            return False
+        try:
+            self.client.request("HEAD", self.client.ns_path(parts))
+            return True
+        except RestError as e:
+            if e.status == 404:
+                return False
+            raise
+
+    def namespace_properties(self, ns) -> dict[str, str]:
+        parts = _norm_ident(ns)
+        try:
+            out = self.client.request("GET", self.client.ns_path(parts))
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchNamespaceError(
+                    f"namespace does not exist: {'.'.join(parts)}"
+                )
+            raise
+        return out.get("properties", {})
+
+    def update_namespace(self, ns, properties) -> None:
+        parts = _norm_ident(ns)
+        try:
+            self.client.request(
+                "POST",
+                self.client.ns_path(parts, "properties"),
+                {"removals": [], "updates": properties},
+            )
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchNamespaceError(
+                    f"namespace does not exist: {'.'.join(parts)}"
+                )
+            raise
+
+    def drop_namespace(self, ns, if_exists=False) -> None:
+        parts = _norm_ident(ns)
+        try:
+            self.client.request("DELETE", self.client.ns_path(parts))
+        except RestError as e:
+            if e.status == 404:
+                if if_exists:
+                    return
+                raise NoSuchNamespaceError(
+                    f"namespace does not exist: {'.'.join(parts)}"
+                )
+            if e.status == 409:
+                raise InvalidDataError(f"namespace is not empty: {'.'.join(parts)}")
+            raise
+
+    # -- tables ------------------------------------------------------------
+    def list_tables(self, ns=None) -> list[list[str]]:
+        if ns is None:
+            if not self.default_namespace:
+                raise InvalidDataError(
+                    "no namespace given and no default namespace set"
+                )
+            parts = self.default_namespace
+        else:
+            parts = _norm_ident(ns)
+        try:
+            out = self.client.request("GET", self.client.ns_path(parts, "tables"))
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchNamespaceError(
+                    f"namespace does not exist: {'.'.join(parts)}"
+                )
+            raise
+        return [
+            [*ident["namespace"], ident["name"]]
+            for ident in out.get("identifiers", [])
+        ]
+
+    def drop_table(self, ident, if_exists=False) -> None:
+        parts, _loc = self._table_location(ident)
+        try:
+            self.client.request("DELETE", self.client.table_path(parts))
+        except RestError as e:
+            if e.status == 404:
+                if if_exists:
+                    return
+                raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+            raise
+
+    def purge_table(self, ident) -> None:
+        parts, loc = self._table_location(ident)
+        try:
+            self.client.request(
+                "DELETE",
+                self.client.table_path(parts),
+                params={"purgeRequested": "true"},
+            )
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchTableError(f"table does not exist: {'.'.join(parts)}")
+            raise
+        self.io.delete_prefix(loc)
+
+    def rename_table(self, old, new) -> None:
+        old_parts = self._with_namespace(old)
+        new_parts = self._with_namespace(new)
+        body = {
+            "source": {"namespace": old_parts[:-1], "name": old_parts[-1]},
+            "destination": {"namespace": new_parts[:-1], "name": new_parts[-1]},
+        }
+        try:
+            self.client.request(
+                "POST", f"{self.client.prefix}/tables/rename", body
+            )
+        except RestError as e:
+            if e.status == 404:
+                raise NoSuchTableError(
+                    f"table does not exist: {'.'.join(old_parts)}"
+                )
+            if e.status == 409:
+                raise TableAlreadyExistsError(
+                    f"table already exists: {'.'.join(new_parts)}"
+                )
+            raise
+
+    def register_table(self, ident, metadata_location: str):
+        """Attach an existing FS table to the REST catalog by reference:
+        reads its current metadata once and registers the document."""
+        from iceberg_ruby_spark.table import FsTableOps
+
+        parts = self._with_namespace(ident)
+        if self.table_exists(parts):
+            raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
+        src = metadata_location
+        if src.endswith(".json"):
+            src = os.path.dirname(os.path.dirname(src))
+        src = os.path.abspath(src)
+        fs_ops = FsTableOps(src, io=self.io)
+        if not fs_ops.exists():
+            raise NoSuchTableError(f"no table metadata at {metadata_location}")
+        meta = fs_ops.load()
+        doc = dict(meta.raw)
+        doc["__rest-version"] = meta.version
+        body = {"name": parts[-1], "location": src, "metadata": doc}
+        try:
+            self.client.request(
+                "POST", self.client.ns_path(parts[:-1], "register"), body
+            )
+        except RestError as e:
+            if e.status == 409:
+                raise TableAlreadyExistsError(
+                    f"table already exists: {'.'.join(parts)}"
+                )
+            raise
+        return self.load_table(parts)
