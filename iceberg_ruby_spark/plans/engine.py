@@ -257,6 +257,26 @@ def engine_delete_mor(spark, sf_dir):
 
 
 @query(
+    "engine_delete_mor_positional",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_delete_mor_positional(spark, sf_dir):
+    """Merge-on-read DELETE via positional delete FILES: parquet of
+    (file_path, pos) pairs committed as a delete-file entry, zero data
+    files rewritten; the read path anti-joins the positions and
+    plan_files lists the delete files per task (reference
+    ``FileScanTask#delete_files``, ``ext/iceberg/src/scan.rs:92-99``)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_morp", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_where("o_totalprice > 200000", mode="merge-on-read-positional")
+    return t.to_df()
+
+
+@query(
     "engine_compact",
     oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey < 2000",
 )

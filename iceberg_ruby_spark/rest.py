@@ -242,6 +242,8 @@ class RestTableOps:
         out = dict(e)
         if "path" in out:
             out["path"] = fn(out["path"])
+        if "delete-file" in out:
+            out["delete-file"] = fn(out["delete-file"])
         if "applies-to" in out:
             out["applies-to"] = [fn(p) for p in out["applies-to"]]
         return out

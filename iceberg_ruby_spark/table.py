@@ -331,6 +331,8 @@ class FsTableOps:
         out = dict(e)
         if "path" in out:
             out["path"] = fn(out["path"])
+        if "delete-file" in out:
+            out["delete-file"] = fn(out["delete-file"])
         if "applies-to" in out:
             out["applies-to"] = [fn(p) for p in out["applies-to"]]
         return out
@@ -773,11 +775,13 @@ class Table:
             cur = to_snap
             while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
                 incremental_safe = cur.operation == "append" or (
-                    # merge-on-read deletes add no data files; copy-on-write
-                    # deletes REWRITE survivors into new files a manifest
-                    # diff would misreport as appends
+                    # merge-on-read deletes (predicate or positional file)
+                    # add no data files; copy-on-write deletes REWRITE
+                    # survivors into new files a manifest diff would
+                    # misreport as appends
                     cur.operation == "delete"
-                    and cur.summary.get("mode") == "merge-on-read"
+                    and cur.summary.get("mode")
+                    in ("merge-on-read", "merge-on-read-positional")
                 )
                 if not incremental_safe:
                     raise InvalidDataError(
@@ -1070,6 +1074,7 @@ class Table:
         entries: list[dict[str, Any]],
         schema: Optional[ice_t.Schema] = None,
         file_col: Optional[str] = None,
+        pos_col: Optional[str] = None,
     ) -> DataFrame:
         """Read manifest entries back as a DataFrame, restoring declared
         column order and types (identity-partition values round-trip through
@@ -1082,9 +1087,13 @@ class Table:
         their name-at-write, added columns backfill ``initial_default``/null
         — then unioned.  No data rewrite on evolution, ever."""
         schema = schema or self.current_schema()
-        # merge-on-read delete predicates, scoped to the files they matched
-        # at delete time (rewritten files get new paths and fall outside)
+        # merge-on-read deletes, scoped to the files they matched at delete
+        # time (rewritten files get new paths and fall outside): predicate
+        # entries filter by expression; delete-file entries anti-join the
+        # spec's positional (file_path, pos) pairs
         preds = [e for e in entries if "delete-predicate" in e]
+        dfiles = [e for e in entries if "delete-file" in e]
+        need_pos = bool(dfiles) or pos_col is not None
 
         def commit_dir(path: str) -> str:
             """The per-commit directory the file was written into — each is
@@ -1104,20 +1113,23 @@ class Table:
 
         groups: dict[tuple, list[str]] = {}
         for e in entries:
-            if "delete-predicate" in e:
+            if "delete-predicate" in e or "delete-file" in e:
                 continue
             sid = e.get("schema-id", schema.schema_id)
             for p in self._entry_files([e]):
                 groups.setdefault((sid, commit_dir(p)), []).append(p)
         groups = {k: fs for k, fs in groups.items() if fs}
         if not groups:
-            empty_schema = schema.to_spark()
-            if file_col:
-                import pyspark.sql.types as _T
+            import pyspark.sql.types as _T
 
-                empty_schema = _T.StructType(
-                    [_T.StructField(file_col, _T.StringType())] + list(empty_schema.fields)
-                )
+            empty_schema = schema.to_spark()
+            extra = []
+            if file_col:
+                extra.append(_T.StructField(file_col, _T.StringType()))
+            if pos_col:
+                extra.append(_T.StructField(pos_col, _T.LongType()))
+            if extra:
+                empty_schema = _T.StructType(extra + list(empty_schema.fields))
             return self.spark.createDataFrame([], empty_schema)
         parts = []
         for sid, cdir in sorted(groups):
@@ -1131,7 +1143,12 @@ class Table:
                     cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
                 else:
                     cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
-            if preds or file_col:
+            if need_pos:
+                # physical row position within the parquet file — the spec's
+                # positional-delete coordinate; Spark's _metadata.row_index
+                # is stable across scans of the same file
+                cols = [F.col("_metadata.row_index").alias(pos_col or "__mor_pos")] + cols
+            if preds or dfiles or file_col:
                 path_col = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
                 cols = [path_col.alias(file_col or "__mor_file")] + cols
             parts.append(df.select(*cols))
@@ -1139,6 +1156,7 @@ class Table:
         for p in parts[1:]:
             out = out.unionByName(p)
         path_name = file_col or "__mor_file"
+        pos_name = pos_col or "__mor_pos"
         for e in preds:
             # DELETE semantics: a row dies only when the predicate is TRUE
             # (null-valued predicates keep the row)
@@ -1147,7 +1165,22 @@ class Table:
             if applies is not None:
                 dead = dead & F.col(path_name).isin(list(applies))
             out = out.filter(~dead)
-        if preds and not file_col:
+        if dfiles:
+            # anti-join the (file_path, pos) pairs; delete sets are small
+            # next to the data they delete from, so broadcast them — the
+            # distributed analog of Iceberg readers merging sorted position
+            # lists per file
+            del_df = (
+                self.spark.read.parquet(*[self.ops._abs(e["delete-file"]) for e in dfiles])
+                .select(
+                    F.col("file_path").alias(path_name),
+                    F.col("pos").alias(pos_name),
+                )
+            )
+            out = out.join(F.broadcast(del_df), [path_name, pos_name], "left_anti")
+        if pos_col is None and "__mor_pos" in out.columns:
+            out = out.drop("__mor_pos")
+        if (preds or dfiles) and not file_col:
             out = out.drop("__mor_file")
         return out
 
@@ -1155,9 +1188,13 @@ class Table:
     def _split_entries(
         entries: list[dict[str, Any]]
     ) -> tuple[list[dict[str, Any]], list[dict[str, Any]]]:
-        data = [e for e in entries if "delete-predicate" not in e]
-        preds = [e for e in entries if "delete-predicate" in e]
-        return data, preds
+        """(data entries, merge-on-read delete entries) — the latter covers
+        both predicate entries and positional delete-file entries."""
+        data = [
+            e for e in entries if "delete-predicate" not in e and "delete-file" not in e
+        ]
+        mor = [e for e in entries if "delete-predicate" in e or "delete-file" in e]
+        return data, mor
 
     @staticmethod
     def _live_preds(
@@ -1344,7 +1381,7 @@ class Table:
         return self
 
     def delete_where(self, condition: Union[str, Any], mode: str = "copy-on-write") -> int:
-        """DELETE in one of two modes (Iceberg's write.delete.mode choice):
+        """DELETE in one of three modes (Iceberg's write.delete.mode choice):
 
         - ``copy-on-write`` (default): rewrite only the files that contain
           matching rows; carry all other files forward by reference.
@@ -1353,10 +1390,51 @@ class Table:
           regardless of table size; reads apply the predicate, ``compact()``
           materializes it.  Requires a string condition.  Returns the
           matched row count (one counting job, no rewrite).
+        - ``merge-on-read-positional``: write spec-style positional delete
+          FILES — parquet of (file_path, pos) — and commit a delete-file
+          entry; reads anti-join the positions, ``plan_files`` lists the
+          delete files per task (reference ``FileScanTask#delete_files``,
+          ``ext/iceberg/src/scan.rs:92-99``).  O(matched rows) write,
+          no data-file rewrite.
         """
         self._check_writable()
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
+        if mode == "merge-on-read-positional":
+            # positions of rows matching NOW, with all prior MoR deletes
+            # applied so already-dead rows are not re-deleted (keeps the
+            # returned count an honest delta)
+            live = self._read_entries(entries, file_col="__f", pos_col="__p")
+            hits = live.filter(cond).select(
+                F.col("__f").alias("file_path"), F.col("__p").alias("pos")
+            )
+            del_dir = os.path.join(
+                self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+            )
+            hits.write.parquet(del_dir)
+            written = self.spark.read.parquet(del_dir)
+            deleted = written.count()  # footer-count, no second scan
+            if not deleted:
+                self.ops.io.delete_prefix(del_dir)
+                return 0
+            applies = sorted(
+                r["file_path"] for r in written.select("file_path").distinct().collect()
+            )
+            self._commit_snapshot(
+                "delete",
+                entries
+                + [
+                    {
+                        "delete-file": del_dir,
+                        "applies-to": applies,
+                        "deleted-records": deleted,
+                        "content": "position-deletes",
+                    }
+                ],
+                {"deleted-records": deleted, "mode": "merge-on-read-positional"},
+                base_snapshot_id=self.current_snapshot_id,
+            )
+            return deleted
         if mode == "merge-on-read":
             if not isinstance(condition, str):
                 raise InvalidDataError(
@@ -1590,8 +1668,13 @@ class Table:
         self._check_writable()
         live: set[str] = set()
         for snap in self.snapshots:
-            for f in self._entry_files(self.ops.read_manifest(snap.manifest_list)):
+            manifest = self.ops.read_manifest(snap.manifest_list)
+            for f in self._entry_files(manifest):
                 live.add(os.path.abspath(f))
+            for e in manifest:
+                if "delete-file" in e:  # positional delete dirs stay live
+                    for f in self.ops.io.list(e["delete-file"]):
+                        live.add(os.path.abspath(f))
         # one recursive listing; commit dirs with no live parquet are dropped
         commit_dirs: dict[str, bool] = {}
         for f in self.ops.io.list(self.ops.data_dir):
@@ -2025,13 +2108,25 @@ class TableScan:
             return []
         entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
         preds = [e for e in entries if "delete-predicate" in e]
+        dfile_entries = [e for e in entries if "delete-file" in e]
+        io = self.table.ops.io
+        # expand each positional delete entry (a parquet dir) to its files
+        # once, not per task
+        dfile_paths = {
+            id(e): [f for f in io.list(e["delete-file"]) if f.endswith(".parquet")]
+            for e in dfile_entries
+        }
 
         def deletes_for(path: str) -> list[str]:
-            return [
+            out = [
                 e["delete-predicate"]
                 for e in preds
                 if e.get("applies-to") is None or path in e["applies-to"]
             ]
+            for e in dfile_entries:
+                if e.get("applies-to") is None or path in e["applies-to"]:
+                    out.extend(dfile_paths[id(e)])
+            return out
 
         tasks = []
         for e in entries:

@@ -161,6 +161,74 @@ def test_mor_time_travel_sees_pre_delete(catalog):
     assert sorted(r["a"] for r in t.to_a(snapshot_id=snap1)) == [1, 2]
 
 
+# -- positional delete files -----------------------------------------------
+
+
+def test_positional_mor_delete_no_rewrite(catalog):
+    t = catalog.create_table("morp", schema={"a": "int"})
+    t.append([{"a": i} for i in range(20)])
+    files_before = _live_files(t)
+    n = t.delete_where("a >= 15", mode="merge-on-read-positional")
+    assert n == 5
+    assert _live_files(t) == files_before  # zero data files rewritten
+    assert sorted(r["a"] for r in t.to_a()) == list(range(15))
+    # plan_files lists actual positional delete parquet files per task
+    tasks = t.scan().plan_files()
+    dels = [d for task in tasks for d in task["delete_files"]]
+    assert any(d.endswith(".parquet") for d in dels)
+    # tasks whose data file has no matching rows carry no delete files
+    affected = {task["data_file_path"] for task in tasks if task["delete_files"]}
+    assert len(affected) < len(tasks)
+
+
+def test_positional_mor_delete_twice_counts_delta(catalog):
+    t = catalog.create_table("morp2", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    assert t.delete_where("a >= 8", mode="merge-on-read-positional") == 2
+    # overlapping second delete only counts still-live rows
+    assert t.delete_where("a >= 6", mode="merge-on-read-positional") == 2
+    assert t.delete_where("a >= 6", mode="merge-on-read-positional") == 0
+    assert sorted(r["a"] for r in t.to_a()) == list(range(6))
+
+
+def test_positional_mor_materialized_by_compact(catalog):
+    t = catalog.create_table("morp3", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t.delete_where("a = 3", mode="merge-on-read-positional")
+    t.compact()
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2] + list(range(4, 10))
+    assert all(not task["delete_files"] for task in t.scan().plan_files())
+    # once no snapshot references them, the delete dirs are orphans
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphan_files()
+    assert any("deletes-" in d for d in removed)
+
+
+def test_positional_mor_then_cow_no_resurrection(catalog):
+    t = catalog.create_table("morp4", schema={"a": "int", "b": "string"})
+    t.append([{"a": i, "b": "x"} for i in range(10)])
+    t.delete_where("a = 7", mode="merge-on-read-positional")
+    t.delete_where("a = 2")  # CoW rewrite of the same file
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 3, 4, 5, 6, 8, 9]
+
+
+def test_positional_mor_time_travel(catalog):
+    t = catalog.create_table("morp5", schema={"a": "int"})
+    t.append([{"a": 1}, {"a": 2}])
+    snap1 = t.current_snapshot_id
+    t.delete_where("a = 2", mode="merge-on-read-positional")
+    assert sorted(r["a"] for r in t.to_a()) == [1]
+    assert sorted(r["a"] for r in t.to_a(snapshot_id=snap1)) == [1, 2]
+
+
+def test_positional_and_predicate_mor_compose(catalog):
+    t = catalog.create_table("morp6", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t.delete_where("a < 2", mode="merge-on-read")
+    t.delete_where("a >= 8", mode="merge-on-read-positional")
+    assert sorted(r["a"] for r in t.to_a()) == list(range(2, 8))
+
+
 def test_compact_clusters_by_sort_order(catalog):
     import random
 
