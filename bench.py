@@ -5,6 +5,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query executes fully via the noop sink (runs the whole plan,
 including projections the optimizer would drop under count()).
+
+Scale tiers: any ``SPARK_GRAFT_SF_DIR`` works unchanged (e.g.
+``/root/testdata/sf1`` to expose plan-shape regressions sf0.1 hides —
+broadcast-threshold flips, skew).  This environment ships only
+sf{0.001,0.01,0.1}; point the var at a larger generated dir when one
+exists.
 """
 
 from __future__ import annotations

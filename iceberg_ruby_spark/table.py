@@ -695,12 +695,31 @@ class Table:
         }
         path = os.path.join(self.ops.metadata_dir, f"stats-{snap.snapshot_id}.json")
         self.ops.io.write_atomic(path, json.dumps(stats, indent=1), overwrite=True)
+        schema = self.current_schema()
+        # StatisticsFile surface matches the reference's Puffin fields
+        # (``ext/iceberg/src/statistics.rs:14-47``: snapshot_id,
+        # statistics_path, file_size_in_bytes, file_footer_size_in_bytes,
+        # key_metadata) and one NDV blob per column using the Puffin blob
+        # type name; NDV rides blob properties as in Iceberg's spec.
         entry = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": self.ops._rel(path),
             "file-size-in-bytes": self.ops.io.size(path),
+            "file-footer-size-in-bytes": 0,  # JSON container: no footer
+            "key-metadata": None,
             "blob-metadata": [
-                {"type": "ndv-sketch", "fields": cols, "snapshot-id": snap.snapshot_id}
+                {
+                    "type": "apache-datasketches-theta-v1",
+                    "snapshot-id": snap.snapshot_id,
+                    "sequence-number": snap.sequence_number,
+                    "fields": [
+                        schema.field_by_name(c).field_id
+                        if schema.field_by_name(c)
+                        else None
+                    ],
+                    "properties": {"ndv": str(row[f"__ndv_{c}"])},
+                }
+                for c in cols
             ],
         }
 
@@ -714,6 +733,64 @@ class Table:
 
         self._metadata_update(mutate)
         return stats
+
+    def compute_partition_statistics(self) -> dict[str, Any]:
+        """Per-partition record/file counts for the current snapshot,
+        registered as a partition-statistics file (reference
+        ``RbPartitionStatisticsFile``, ``ext/iceberg/src/statistics.rs:50-71``:
+        snapshot_id, statistics_path, file_size_in_bytes).  Counts come from
+        manifest entry stats grouped by the file's partition directory — no
+        data scan."""
+        self._check_writable()
+        snap = self.current_snapshot()
+        if snap is None:
+            raise InvalidDataError("table has no snapshot to analyze")
+        entries = self.ops.read_manifest(snap.manifest_list)
+        per_part: dict[str, dict[str, int]] = {}
+        for e in entries:
+            if "path" not in e:
+                continue
+            rel = os.path.relpath(e["path"], self.ops.data_dir)
+            segs = [s for s in rel.split(os.sep)[1:-1] if "=" in s]
+            key = "/".join(segs)  # "" for unpartitioned
+            agg = per_part.setdefault(key, {"record-count": 0, "file-count": 0})
+            agg["record-count"] += e.get("record-count") or 0
+            agg["file-count"] += 1
+        stats = {
+            "snapshot-id": snap.snapshot_id,
+            "partitions": [
+                {"partition": k, **v} for k, v in sorted(per_part.items())
+            ],
+        }
+        path = os.path.join(
+            self.ops.metadata_dir, f"partition-stats-{snap.snapshot_id}.json"
+        )
+        self.ops.io.write_atomic(path, json.dumps(stats, indent=1), overwrite=True)
+        entry = {
+            "snapshot-id": snap.snapshot_id,
+            "statistics-path": self.ops._rel(path),
+            "file-size-in-bytes": self.ops.io.size(path),
+        }
+
+        def mutate(raw: dict[str, Any]) -> None:
+            existing = [
+                s
+                for s in raw.get("partition-statistics", [])
+                if s.get("snapshot-id") != snap.snapshot_id
+            ]
+            raw["partition-statistics"] = existing + [entry]
+
+        self._metadata_update(mutate)
+        return stats
+
+    def read_partition_statistics(
+        self, snapshot_id: Optional[int] = None
+    ) -> Optional[dict[str, Any]]:
+        sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
+        for s in self.partition_statistics:
+            if s.get("snapshot-id") == sid:
+                return json.loads(self.ops.io.read(self.ops._abs(s["statistics-path"])))
+        return None
 
     def read_statistics(self, snapshot_id: Optional[int] = None) -> Optional[dict[str, Any]]:
         """Load the stats file registered for a snapshot (default current)."""

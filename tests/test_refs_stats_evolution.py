@@ -85,6 +85,56 @@ def test_statistics_empty_without_compute(catalog):
     assert t.read_statistics() is None
 
 
+def test_statistics_puffin_surface(catalog):
+    """StatisticsFile entries carry the reference's Puffin field surface
+    (statistics.rs:14-47): footer size, key metadata, and one
+    apache-datasketches-theta-v1 blob per column with NDV in properties
+    and the column's field id in fields."""
+    t = catalog.create_table("s3", schema={"a": "int", "b": "string"})
+    t.append([{"a": i % 4, "b": f"x{i}"} for i in range(40)])
+    t.compute_statistics()
+    t = t.refresh()
+    entry = t.statistics[0]
+    assert entry["file-footer-size-in-bytes"] == 0
+    assert entry["key-metadata"] is None
+    blobs = entry["blob-metadata"]
+    assert [b["type"] for b in blobs] == ["apache-datasketches-theta-v1"] * 2
+    by_field = {b["fields"][0]: b for b in blobs}
+    schema = t.current_schema()
+    a_id = schema.field_by_name("a").field_id
+    assert int(by_field[a_id]["properties"]["ndv"]) == 4
+    assert all(b["sequence-number"] == t.current_snapshot().sequence_number for b in blobs)
+
+
+def test_partition_statistics_roundtrip(catalog):
+    from iceberg_ruby_spark.transforms import PartitionSpec
+
+    t = catalog.create_table(
+        "ps",
+        schema={"a": "int", "b": "string"},
+        partition_spec=PartitionSpec(fields=["b"]),
+    )
+    t.append([{"a": i, "b": "g1" if i < 6 else "g2"} for i in range(10)])
+    stats = t.compute_partition_statistics()
+    assert stats["snapshot-id"] == t.current_snapshot_id
+    counts = {p["partition"]: p["record-count"] for p in stats["partitions"]}
+    assert counts == {"b=g1": 6, "b=g2": 4}
+    t = t.refresh()
+    entry = t.partition_statistics[0]
+    assert entry["snapshot-id"] == t.current_snapshot_id
+    assert entry["file-size-in-bytes"] > 0
+    assert t.read_partition_statistics() == stats
+
+
+def test_partition_statistics_unpartitioned(catalog):
+    t = catalog.create_table("ps2", schema={"a": "int"})
+    t.append([{"a": i} for i in range(7)])
+    stats = t.compute_partition_statistics()
+    assert len(stats["partitions"]) == 1
+    assert stats["partitions"][0]["partition"] == ""
+    assert stats["partitions"][0]["record-count"] == 7
+
+
 # -- schema evolution -------------------------------------------------------
 
 
