@@ -12,6 +12,10 @@ from pyspark.sql import types as T
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (schema taken from a batch probe;
     ns timestamps arrive as long — converted to µs like the batch loader)."""
+    # events.parquet stores INT64 TIMESTAMP(NANOS); pin the runtime conf so
+    # this reads under any SparkSession, not just our factory's (the
+    # correctness driver builds a bare one)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file-stream sources take a directory; select the events file by glob
     stream = (
