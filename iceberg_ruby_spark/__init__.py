@@ -72,6 +72,7 @@ from iceberg_ruby_spark.transforms import (
 )
 from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
 from iceberg_ruby_spark.rest import RestCatalog
+from iceberg_ruby_spark.sql_catalog import SqlCatalog
 from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
 from iceberg_ruby_spark.static_table import StaticTable
 from iceberg_ruby_spark.functions import register_functions
@@ -82,6 +83,7 @@ __all__ = [
     "Catalog",
     "MemoryCatalog",
     "RestCatalog",
+    "SqlCatalog",
     "Table",
     "TableScan",
     "UpdateSchema",
