@@ -1340,16 +1340,26 @@ class Table:
                             base_entries = self.ops.read_manifest(s.manifest_list)
                             break
                 all_entries = base_entries + entries
+                added_rows = self._entries_rowcount(entries)  # delta only
             else:
                 all_entries = entries
                 cur = meta.current_snapshot_id
+                # next-row-id advances by rows in files ADDED relative to the
+                # parent snapshot (Iceberg v3 row-lineage accounting) — not
+                # by the whole replacement manifest, which double-counts
+                # carried-forward files
+                parent_entries: list[dict[str, Any]] = []
+                for s in meta.snapshots:
+                    if s.snapshot_id == cur:
+                        parent_entries = self.ops.read_manifest(s.manifest_list)
+                        break
+                parent_paths = {e["path"] for e in parent_entries if "path" in e}
+                added_rows = self._entries_rowcount(
+                    [e for e in entries if "path" in e and e["path"] not in parent_paths]
+                )
                 if base_snapshot_id is not None and cur != base_snapshot_id:
                     base_snap = self.snapshot_by_id(base_snapshot_id)
-                    cur_entries = []
-                    for s in meta.snapshots:
-                        if s.snapshot_id == cur:
-                            cur_entries = self.ops.read_manifest(s.manifest_list)
-                            break
+                    cur_entries = parent_entries
                     base_entries = (
                         self.ops.read_manifest(base_snap.manifest_list)
                         if base_snap is not None
@@ -1421,7 +1431,7 @@ class Table:
             refs = dict(meta.refs)
             refs[MAIN_BRANCH] = {"snapshot-id": snapshot_id, "type": "branch"}
             raw["refs"] = refs
-            raw["next-row-id"] = meta.next_row_id + self._entries_rowcount(entries)
+            raw["next-row-id"] = meta.next_row_id + added_rows
             try:
                 self.metadata = self.ops.commit(meta.version, raw)
                 return

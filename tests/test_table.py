@@ -173,3 +173,26 @@ def test_partitioned_write_identity_string_keeps_type(catalog):
     rows = sorted(t.to_a(), key=lambda r: r["k"])
     assert rows == [{"k": "123", "v": 1}, {"k": "abc", "v": 2}]
     assert isinstance(rows[0]["k"], str)
+
+
+def test_next_row_id_counts_only_added_rows(catalog):
+    """Replace commits advance next-row-id by rows in ADDED files only
+    (Iceberg v3 row-lineage accounting), not the whole new manifest."""
+    t = catalog.create_table("nri", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t = t.refresh()
+    assert t.next_row_id == 10
+    t.append([{"a": i} for i in range(10, 15)])
+    t = t.refresh()
+    assert t.next_row_id == 15
+    # CoW delete of a few rows rewrites only the hit files: next-row-id
+    # grows by the rewritten survivors, never re-counts carried files
+    before = t.next_row_id
+    t.delete_where("a = 3")
+    t = t.refresh()
+    growth = t.next_row_id - before
+    assert 0 <= growth <= 1  # at most the survivor rewrite of a=3's file
+    # MoR delete adds no files at all
+    before = t.next_row_id
+    t.delete_where("a = 4", mode="merge-on-read")
+    assert t.refresh().next_row_id == before
