@@ -277,6 +277,25 @@ def engine_delete_mor_positional(spark, sf_dir):
 
 
 @query(
+    "engine_delete_mor_equality",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND o_custkey NOT IN (7, 13, 64)
+    """,
+)
+def engine_delete_mor_equality(spark, sf_dir):
+    """Merge-on-read DELETE by key set: an EQUALITY delete file (parquet of
+    key tuples + the key columns' field ids in the manifest entry), the
+    CDC/streaming-upsert shape — reference ``FileScanTask#delete_files``
+    surfaces ``equality_ids`` (``ext/iceberg/src/scan.rs:92-99``)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_more", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_by_keys([(7,), (13,), (64,)], on="o_custkey")
+    return t.to_df()
+
+
+@query(
     "engine_compact",
     oracle=f"SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey < 2000",
 )

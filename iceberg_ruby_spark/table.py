@@ -1170,7 +1170,9 @@ class Table:
         # spec's positional (file_path, pos) pairs
         preds = [e for e in entries if "delete-predicate" in e]
         dfiles = [e for e in entries if "delete-file" in e]
-        need_pos = bool(dfiles) or pos_col is not None
+        pos_files = [e for e in dfiles if e.get("content") != "equality-deletes"]
+        eq_files = [e for e in dfiles if e.get("content") == "equality-deletes"]
+        need_pos = bool(pos_files) or pos_col is not None
 
         def commit_dir(path: str) -> str:
             """The per-commit directory the file was written into — each is
@@ -1242,19 +1244,46 @@ class Table:
             if applies is not None:
                 dead = dead & F.col(path_name).isin(list(applies))
             out = out.filter(~dead)
-        if dfiles:
+        if pos_files:
             # anti-join the (file_path, pos) pairs; delete sets are small
             # next to the data they delete from, so broadcast them — the
             # distributed analog of Iceberg readers merging sorted position
             # lists per file
             del_df = (
-                self.spark.read.parquet(*[self.ops._abs(e["delete-file"]) for e in dfiles])
+                self.spark.read.parquet(
+                    *[self.ops._abs(e["delete-file"]) for e in pos_files]
+                )
                 .select(
                     F.col("file_path").alias(path_name),
                     F.col("pos").alias(pos_name),
                 )
             )
             out = out.join(F.broadcast(del_df), [path_name, pos_name], "left_anti")
+        for i, e in enumerate(eq_files):
+            # equality delete: a row dies when its key tuple appears in the
+            # delete file (null-safe equality, Iceberg's semantics), scoped
+            # to the files live at delete time
+            eq_cols = e["equality-cols"]
+            dels = (
+                self.spark.read.parquet(self.ops._abs(e["delete-file"]))
+                .select(
+                    *[F.col(c).alias(f"__eqk{i}_{j}") for j, c in enumerate(eq_cols)]
+                )
+                .distinct()
+                .withColumn(f"__eqd{i}", F.lit(True))
+            )
+            join_cond = None
+            for j, c in enumerate(eq_cols):
+                this = out[c].eqNullSafe(dels[f"__eqk{i}_{j}"])
+                join_cond = this if join_cond is None else (join_cond & this)
+            out = out.join(F.broadcast(dels), join_cond, "left")
+            dead = F.coalesce(F.col(f"__eqd{i}"), F.lit(False))
+            applies = e.get("applies-to")
+            if applies is not None:
+                dead = dead & F.col(path_name).isin(list(applies))
+            out = out.filter(~dead).drop(
+                f"__eqd{i}", *[f"__eqk{i}_{j}" for j in range(len(eq_cols))]
+            )
         if pos_col is None and "__mor_pos" in out.columns:
             out = out.drop("__mor_pos")
         if (preds or dfiles) and not file_col:
@@ -1560,6 +1589,75 @@ class Table:
             "delete",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"deleted-records": deleted},
+            base_snapshot_id=self.current_snapshot_id,
+        )
+        return deleted
+
+    def delete_by_keys(self, keys: Any, on: Union[str, list[str]]) -> int:
+        """Merge-on-read DELETE by key set — an EQUALITY delete file
+        (reference ``FileScanTask#delete_files`` exposes ``equality_ids``,
+        ``ext/iceberg/src/scan.rs:92-99``): the distinct key tuples are
+        written as parquet and committed as a delete-file entry with the
+        key columns' field ids; any row matching a key tuple on ``on`` (null
+        key values match null, Iceberg's IS NOT DISTINCT FROM semantics) is
+        dead on read.  O(|keys|) write, no data-file rewrite — the
+        streaming-upsert shape (a CDC feed deletes by primary key without
+        knowing file positions)."""
+        self._check_writable()
+        cols = [on] if isinstance(on, str) else list(on)
+        schema = self.current_schema()
+        field_ids = []
+        for c in cols:
+            f = schema.field_by_name(c)
+            if f is None:
+                raise InvalidDataError(f"unknown equality column: {c}")
+            field_ids.append(f.field_id)
+        keys_df = (
+            keys
+            if isinstance(keys, DataFrame)
+            else self.spark.createDataFrame(
+                keys,
+                ice_t.Schema(
+                    fields=[schema.field_by_name(c) for c in cols]
+                ).to_spark(),
+            )
+        )
+        keys_df = keys_df.select(
+            *[
+                F.col(c).cast(schema.field_by_name(c).to_spark().dataType).alias(c)
+                for c in cols
+            ]
+        ).distinct()
+        entries = self._current_entries()
+        # count the live rows that will die (delta semantics, like the
+        # other MoR modes) and find which files they live in
+        live = self._read_entries(entries, file_col="__f")
+        match_cond = [live[c].eqNullSafe(keys_df[c]) for c in cols]
+        hit_rows = (
+            live.join(F.broadcast(keys_df), match_cond, "left_semi")
+            .groupBy("__f")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        deleted = sum(r["n"] for r in hit_rows)
+        if not deleted:
+            return 0
+        del_dir = os.path.join(self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}")
+        keys_df.write.parquet(del_dir)
+        self._commit_snapshot(
+            "delete",
+            entries
+            + [
+                {
+                    "delete-file": del_dir,
+                    "applies-to": sorted(r["__f"] for r in hit_rows),
+                    "deleted-records": deleted,
+                    "content": "equality-deletes",
+                    "equality-ids": field_ids,
+                    "equality-cols": cols,
+                }
+            ],
+            {"deleted-records": deleted, "mode": "merge-on-read-equality"},
             base_snapshot_id=self.current_snapshot_id,
         )
         return deleted

@@ -263,3 +263,53 @@ def test_merge_on_partitioned_table(catalog, spark):
     t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
     rows = sorted(t.to_a(), key=lambda r: r["k"])
     assert rows == [{"k": "a", "v": 10}, {"k": "b", "v": 2}, {"k": "c", "v": 3}]
+
+
+def test_equality_delete_by_keys(catalog, spark):
+    t = catalog.create_table("eqd", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(10)])
+    files_before = _live_files(t)
+    n = t.delete_by_keys([(2,), (5,), (99,)], on="k")
+    assert n == 2  # 99 matches nothing
+    assert _live_files(t) == files_before  # no data rewrite
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 3, 4, 6, 7, 8, 9]
+    # delete-file entry carries equality ids; plan_files lists the parquet
+    tasks = t.scan().plan_files()
+    dels = [d for task in tasks for d in task["delete_files"]]
+    assert any(d.endswith(".parquet") for d in dels)
+    # delta semantics on repeat
+    assert t.delete_by_keys([(2,), (3,)], on="k") == 1
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 4, 6, 7, 8, 9]
+
+
+def test_equality_delete_null_safe_and_df_keys(catalog, spark):
+    t = catalog.create_table("eqd2", schema={"k": "int", "g": "string", "v": "int"})
+    t.append(
+        [
+            {"k": 1, "g": "a", "v": 10},
+            {"k": 1, "g": None, "v": 20},
+            {"k": 2, "g": "a", "v": 30},
+        ]
+    )
+    keys = spark.createDataFrame([(1, None)], "k int, g string")
+    assert t.delete_by_keys(keys, on=["k", "g"]) == 1  # null matches null only
+    assert sorted(r["v"] for r in t.to_a()) == [10, 30]
+
+
+def test_equality_delete_materialized_by_compact(catalog):
+    t = catalog.create_table("eqd3", schema={"k": "int"})
+    t.append([{"k": i} for i in range(6)])
+    t.delete_by_keys([(0,), (5,)], on="k")
+    t.compact()
+    assert sorted(r["k"] for r in t.to_a()) == [1, 2, 3, 4]
+    assert all(not task["delete_files"] for task in t.scan().plan_files())
+
+
+def test_equality_delete_does_not_hit_later_appends(catalog):
+    """Scoped to files live at delete time: a re-appended key survives
+    (sequence-number semantics of equality deletes)."""
+    t = catalog.create_table("eqd4", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}])
+    t.delete_by_keys([(1,)], on="k")
+    t.append([{"k": 1}])  # new file, after the delete
+    assert sorted(r["k"] for r in t.to_a()) == [1, 2]
