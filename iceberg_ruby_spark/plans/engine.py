@@ -125,6 +125,41 @@ def engine_merge(spark, sf_dir):
 
 
 @query(
+    "engine_merge_mor",
+    oracle="""
+    WITH target AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000),
+         source AS (SELECT o_orderkey, o_totalprice * 2 AS new_price FROM orders
+                    WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+    SELECT t.o_orderkey, COALESCE(s.new_price, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    UNION ALL
+    SELECT s.o_orderkey, s.new_price AS o_totalprice FROM source s
+    WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    """,
+)
+def engine_merge_mor(spark, sf_dir):
+    """MERGE in merge-on-read mode: matched keys become an equality delete
+    file, updated versions + inserts are appended — zero rewrites, the
+    CDC-upsert write shape (same answer as engine_merge's CoW plan)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_mrgm", schema={"o_orderkey": "long", "o_totalprice": "double"})
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 1000).select("o_orderkey", "o_totalprice"))
+    source = (
+        orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    t.merge_into(
+        source,
+        on="o_orderkey",
+        when_matched_update={"o_totalprice": "s.o_totalprice"},
+        when_not_matched_insert=True,
+        mode="merge-on-read",
+    )
+    return t.to_df()
+
+
+@query(
     "engine_time_travel",
     oracle=f"""
     SELECT {', '.join(_ORDER_COLS)} FROM orders

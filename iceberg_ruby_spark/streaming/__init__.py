@@ -14,6 +14,7 @@ from iceberg_ruby_spark.streaming.events import (
     run_to_memory_table,
     session_windows,
     stream_to_table,
+    stream_upsert_to_table,
     user_activity_stateful,
     windowed_counts,
 )
@@ -25,5 +26,6 @@ __all__ = [
     "dedup_events_stream",
     "run_to_memory_table",
     "stream_to_table",
+    "stream_upsert_to_table",
     "user_activity_stateful",
 ]

@@ -4,7 +4,7 @@ from __future__ import annotations
 
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -188,6 +188,61 @@ def stream_to_table(
             new_entries,
             {"added-records": n, "streaming-batch-id": str(batch_id)},
             mode="append",
+        )
+
+    writer = stream_df.writeStream.foreachBatch(write_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_upsert_to_table(
+    stream_df: DataFrame,
+    table,
+    on,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+):
+    """Streaming CDC UPSERT into a catalog table: each micro-batch runs a
+    merge-on-read MERGE (matched keys → equality delete file, new versions
+    + inserts appended — zero rewrites, the Flink-upsert write shape), with
+    the same exactly-once replay detection as :func:`stream_to_table`.
+    Later occurrences of a key within one batch win (event-order upsert).
+
+    Returns the StreamingQuery; callers await/stop it."""
+    keys = [on] if isinstance(on, str) else list(on)
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        t = table.refresh()
+        last = -1
+        for snap in reversed(t.snapshots):
+            bid = snap.summary.get("streaming-batch-id")
+            if bid is not None:
+                last = int(bid)
+                break
+        if batch_id <= last:
+            return  # replayed batch — already committed
+        cols = [f.name for f in t.current_schema().fields]
+        # collapse duplicate keys inside the batch: last occurrence wins
+        # (MERGE requires at most one source row per key)
+        w = Window.partitionBy(*keys).orderBy(
+            F.col("__seq").desc()
+        )
+        deduped = (
+            batch_df.withColumn("__seq", F.monotonically_increasing_id())
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(*[c for c in batch_df.columns])
+        )
+        t.merge_into(
+            deduped,
+            on=keys,
+            when_matched_update={c: f"s.{c}" for c in cols if c not in keys},
+            when_not_matched_insert=True,
+            mode="merge-on-read",
+            summary_extra={"streaming-batch-id": str(batch_id)},
         )
 
     writer = stream_df.writeStream.foreachBatch(write_batch).option(

@@ -1698,8 +1698,21 @@ class Table:
         on: Union[str, list[str]],
         when_matched_update: Optional[dict[str, str]] = None,
         when_not_matched_insert: bool = True,
+        mode: str = "copy-on-write",
+        summary_extra: Optional[dict] = None,
     ) -> "Table":
-        """MERGE INTO emulation — file-pruned copy-on-write, one commit.
+        """MERGE INTO emulation, one commit either way.  ``summary_extra``
+        rides the snapshot summary (streaming sinks stamp their batch id
+        there for exactly-once replay detection).
+
+        - ``copy-on-write`` (default): rewrite only files containing
+          matched keys; carry the rest by reference.
+        - ``merge-on-read``: the CDC-upsert shape — matched keys become an
+          EQUALITY delete file and the new row versions (+ inserts) are
+          appended; NO data file is rewritten.  Write cost is O(changed
+          rows) regardless of table size, which is what a streaming
+          upsert feed needs at 100 TB (Flink writes Iceberg upserts
+          exactly this way).
 
         Matching uses an explicit marker column (not key-null sniffing) and
         duplicate source keys are rejected up front, matching ANSI MERGE
@@ -1719,6 +1732,13 @@ class Table:
                 "merge source has duplicate rows for the ON keys; MERGE requires "
                 "at most one source row per target row"
             )
+        if mode == "merge-on-read":
+            return self._merge_into_mor(
+                source, keys, cols, when_matched_update, when_not_matched_insert,
+                summary_extra,
+            )
+        if mode != "copy-on-write":
+            raise InvalidDataError(f"unknown merge mode: {mode}")
         entries = self._current_entries()
         data, preds = self._split_entries(entries)
         # files containing rows whose keys appear in the source (semi-join
@@ -1761,7 +1781,83 @@ class Table:
         self._commit_snapshot(
             "overwrite",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
-            {"operation-detail": "merge"},
+            {"operation-detail": "merge", **(summary_extra or {})},
+            base_snapshot_id=self.current_snapshot_id,
+        )
+        return self
+
+    def _merge_into_mor(
+        self,
+        source: DataFrame,
+        keys: list[str],
+        cols: list[str],
+        when_matched_update: Optional[dict[str, str]],
+        when_not_matched_insert: bool,
+        summary_extra: Optional[dict] = None,
+    ) -> "Table":
+        """merge_into(mode='merge-on-read'): equality-delete the matched
+        keys, append their updated versions plus inserts — single commit,
+        zero rewrites of existing files."""
+        schema = self.current_schema()
+        entries = self._current_entries()
+        live = self._read_entries(entries, file_col="__f")
+        marked = source.withColumn("__s_matched", F.lit(True))
+        joined = live.alias("t").join(marked.alias("s"), keys, "inner")
+        new_parts: list[DataFrame] = []
+        eq_entry = None
+        if when_matched_update:
+            # matched rows: which files they live in (delete scope) and
+            # their distinct key tuples (the equality delete content)
+            hit_rows = (
+                joined.groupBy("__f").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            matched_n = sum(r["n"] for r in hit_rows)
+            if matched_n:
+                matched_keys = joined.select(
+                    *[F.col(f"t.{k}").alias(k) for k in keys]
+                ).distinct()
+                del_dir = os.path.join(
+                    self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+                )
+                matched_keys.write.parquet(del_dir)
+                eq_entry = {
+                    "delete-file": del_dir,
+                    "applies-to": sorted(r["__f"] for r in hit_rows),
+                    "deleted-records": matched_n,
+                    "content": "equality-deletes",
+                    "equality-ids": [schema.field_by_name(k).field_id for k in keys],
+                    "equality-cols": keys,
+                }
+                out_cols = []
+                for c in cols:
+                    if c in when_matched_update:
+                        out_cols.append(F.expr(when_matched_update[c]).alias(c))
+                    else:
+                        out_cols.append(F.col(f"t.{c}").alias(c))
+                new_parts.append(joined.select(*out_cols))
+        if when_not_matched_insert:
+            inserts = source.join(live.select(*keys), keys, "left_anti")
+            for c in cols:
+                if c not in inserts.columns:
+                    inserts = inserts.withColumn(c, F.lit(None))
+            new_parts.append(inserts.select(*cols))
+        if not new_parts and eq_entry is None:
+            return self
+        merged = new_parts[0] if new_parts else None
+        for p in new_parts[1:]:
+            merged = merged.unionByName(p)
+        new_entries = self._write_data_dir(merged) if merged is not None else []
+        if not new_entries and eq_entry is None:
+            return self
+        all_new = entries + ([eq_entry] if eq_entry else []) + new_entries
+        self._commit_snapshot(
+            "overwrite",
+            all_new,
+            {
+                "operation-detail": "merge",
+                "mode": "merge-on-read",
+                **(summary_extra or {}),
+            },
             base_snapshot_id=self.current_snapshot_id,
         )
         return self

@@ -313,3 +313,41 @@ def test_equality_delete_does_not_hit_later_appends(catalog):
     t.delete_by_keys([(1,)], on="k")
     t.append([{"k": 1}])  # new file, after the delete
     assert sorted(r["k"] for r in t.to_a()) == [1, 2]
+
+
+def test_merge_into_mor_upsert(catalog, spark):
+    t = catalog.create_table("mmor", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "one"}, {"k": 2, "v": "two"}, {"k": 3, "v": "three"}])
+    files_before = _live_files(t)
+    src = spark.createDataFrame([(2, "TWO"), (9, "nine")], ["k", "v"])
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"}, mode="merge-on-read")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows == {1: "one", 2: "TWO", 3: "three", 9: "nine"}
+    # every pre-existing data file survives untouched
+    assert files_before <= _live_files(t)
+    # the matched key rides an equality delete entry
+    assert any(
+        e.get("content") == "equality-deletes"
+        for e in t._current_entries()
+    )
+
+
+def test_merge_into_mor_insert_only(catalog, spark):
+    t = catalog.create_table("mmor2", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "one"}])
+    src = spark.createDataFrame([(1, "ONE"), (2, "two")], ["k", "v"])
+    t.merge_into(src, on="k", when_matched_update=None, mode="merge-on-read")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows == {1: "one", 2: "two"}  # matched row untouched, no delete
+    assert not any("delete-file" in e for e in t._current_entries())
+
+
+def test_merge_into_mor_then_compact(catalog, spark):
+    t = catalog.create_table("mmor3", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": "x"} for i in range(5)])
+    src = spark.createDataFrame([(0, "y"), (4, "y")], ["k", "v"])
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"}, mode="merge-on-read")
+    t.compact()
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows == {0: "y", 1: "x", 2: "x", 3: "x", 4: "y"}
+    assert not any("delete-file" in e for e in t._current_entries())
