@@ -1863,7 +1863,65 @@ class Table:
         return self
 
     # -- maintenance ---------------------------------------------------------
-    def compact(self, target_file_rows: int = 1_000_000) -> "Table":
+    def _zorder_column(self, df: DataFrame, cols: list[str]) -> Column:
+        """64-bit Z-value (Morton code) interleaving up to 4 columns.
+
+        Each column is normalized to a 16-bit fixed-point rank inside its
+        observed [min, max] (one tiny agg job), then bits interleave so
+        rows close in EVERY dimension get close Z-values.  Compaction
+        range-partitioned on this makes each output file a tight
+        hyper-box in all Z dimensions at once — manifest min/max pruning
+        then works for predicates on ANY of the columns, where single-key
+        sort clustering only serves its leading column.  All arithmetic is
+        one JVM expression (shift/and/or — codegen'd, no Python).
+        Numeric/date/timestamp columns keep value locality; strings use
+        their first two bytes (UTF-8 prefix order, Iceberg's choice)."""
+        if not (1 <= len(cols) <= 4):
+            raise InvalidDataError("zorder takes 1..4 columns")
+        schema = self.current_schema()
+        bits = 16
+        norm_exprs = []
+        for c in cols:
+            f = schema.field_by_name(c)
+            if f is None:
+                raise InvalidDataError(f"unknown zorder column: {c}")
+            t = f.to_spark().dataType.simpleString()
+            if t == "string":
+                norm_exprs.append(
+                    f"coalesce(ascii(substr(`{c}`,1,1))*256 + "
+                    f"coalesce(ascii(substr(`{c}`,2,1)),0), 0)"
+                )
+            elif t in ("date",):
+                norm_exprs.append(f"coalesce(datediff(`{c}`, DATE'1970-01-01'), 0)")
+            elif t.startswith("timestamp"):
+                norm_exprs.append(f"coalesce(unix_micros(`{c}`), 0)")
+            else:
+                norm_exprs.append(f"coalesce(cast(`{c}` as double), 0.0)")
+        # per-column min/max for the fixed-point normalization
+        row = df.agg(
+            *[F.expr(f"min({e})").alias(f"__lo{i}") for i, e in enumerate(norm_exprs)],
+            *[F.expr(f"max({e})").alias(f"__hi{i}") for i, e in enumerate(norm_exprs)],
+        ).collect()[0]
+        k = len(cols)
+        terms = []
+        for i, e in enumerate(norm_exprs):
+            lo_v, hi_v = row[f"__lo{i}"], row[f"__hi{i}"]
+            lo = float(lo_v) if lo_v is not None else 0.0
+            hi = float(hi_v) if hi_v is not None else 0.0
+            span = (hi - lo) or 1.0
+            q = (
+                f"cast(least(greatest(({e} - {lo!r}) / {span!r}, 0.0), 1.0)"
+                f" * {(1 << bits) - 1} as bigint)"
+            )
+            for b in range(bits):
+                terms.append(f"shiftleft(shiftright({q}, {b}) & 1, {b * k + i})")
+        return F.expr(" | ".join(terms)).alias("__zvalue")
+
+    def compact(
+        self,
+        target_file_rows: int = 1_000_000,
+        zorder: Optional[list[str]] = None,
+    ) -> "Table":
         """rewrite_data_files analog: coalesce all live files into one commit
         (reference exposes none; north-star 'compaction').  Row count comes
         from manifest stats — no extra count job.
@@ -1871,15 +1929,26 @@ class Table:
         With a default sort order, files are range-partitioned on the sort
         keys (cluster-by-sort): each output file covers a tight, disjoint
         key range, so manifest bounds pruning afterwards skips all but the
-        overlapping files for range predicates.  Outstanding merge-on-read
-        delete predicates are materialized and dropped."""
+        overlapping files for range predicates.  ``zorder=[cols]`` instead
+        clusters on a Morton code over up to 4 columns (Iceberg's
+        rewrite_data_files Z-order strategy) so pruning works for
+        predicates on any of them.  Outstanding merge-on-read deletes are
+        materialized and dropped."""
         self._check_writable()
         entries = self._current_entries()
         n_rows = self._entries_rowcount(entries)
         n_files = max(1, n_rows // max(1, target_file_rows))
         df = self._read_entries(entries)
         sort = self.default_sort_order()
-        if sort and sort.get("fields"):
+        if zorder:
+            z = self._zorder_column(df, list(zorder))
+            df = (
+                df.withColumn("__zvalue", z)
+                .repartitionByRange(n_files, F.col("__zvalue"))
+                .sortWithinPartitions("__zvalue")
+                .drop("__zvalue")
+            )
+        elif sort and sort.get("fields"):
             from iceberg_ruby_spark.transforms import SortField, parse_transform
 
             sort_cols = [

@@ -351,3 +351,53 @@ def test_merge_into_mor_then_compact(catalog, spark):
     rows = {r["k"]: r["v"] for r in t.to_a()}
     assert rows == {0: "y", 1: "x", 2: "x", 3: "x", 4: "y"}
     assert not any("delete-file" in e for e in t._current_entries())
+
+
+def test_compact_zorder_prunes_both_dimensions(catalog, spark):
+    """Z-order compaction: after clustering on (x, y), a box predicate on
+    EITHER dimension prunes most files via manifest bounds — single-key
+    sorting can only do this for its leading column."""
+    import random
+
+    rnd = random.Random(7)
+    t = catalog.create_table("zo", schema={"x": "int", "y": "int", "v": "int"})
+    rows = [
+        {"x": rnd.randrange(1000), "y": rnd.randrange(1000), "v": i}
+        for i in range(4000)
+    ]
+    t.append(spark.createDataFrame(rows, "x int, y int, v int"))
+    t.compact(target_file_rows=250, zorder=["x", "y"])
+    t = t.refresh()
+    total = len(t.scan().plan_files())
+    assert total >= 8
+    pruned_x = len(t.scan().filter("x < 50").plan_files())
+    pruned_y = len(t.scan().filter("y < 50").plan_files())
+    assert pruned_x < total / 2, (pruned_x, total)
+    assert pruned_y < total / 2, (pruned_y, total)
+    # data intact
+    assert len(t.to_a()) == 4000
+    assert sorted(r["v"] for r in t.to_a()) == list(range(4000))
+
+
+def test_compact_zorder_string_and_date(catalog, spark):
+    import datetime
+
+    t = catalog.create_table("zo2", schema={"s": "string", "d": "date", "v": "int"})
+    rows = [
+        (f"{chr(97 + i % 26)}{i}", datetime.date(2024, 1, 1) + datetime.timedelta(days=i % 300), i)
+        for i in range(500)
+    ]
+    t.append(spark.createDataFrame(rows, "s string, d date, v int"))
+    t.compact(target_file_rows=100, zorder=["s", "d"])
+    assert len(t.refresh().to_a()) == 500
+
+
+def test_compact_zorder_validates_columns(catalog):
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("zo3", schema={"a": "int"})
+    t.append([{"a": 1}])
+    with pytest.raises(InvalidDataError):
+        t.compact(zorder=["missing"])
+    with pytest.raises(InvalidDataError):
+        t.compact(zorder=["a"] * 5)
