@@ -1100,6 +1100,9 @@ class Table:
         if not any(f.endswith(".parquet") for f in self.ops.io.list(out_dir)):
             return []  # zero-row write (e.g. a delete emptied every hit file)
         written = self.spark.read.option("basePath", out_dir).parquet(out_dir)
+        return self._file_stat_entries(written)
+
+    def _file_stat_entries(self, written: DataFrame) -> list[dict[str, Any]]:
         stat_cols = [c for c in self._stats_columns() if c in written.columns]
         aggs = [F.count(F.lit(1)).alias("__rc")]
         for c in stat_cols:
@@ -1183,6 +1186,10 @@ class Table:
             at the same depth (multi-commit partitioned tables)."""
             rel = os.path.relpath(path, self.ops.data_dir)
             segs = rel.split(os.sep)
+            if segs[0] == os.pardir:
+                # add_files-registered external file: its own directory is
+                # the basePath (never mix with warehouse-resident commits)
+                return os.path.dirname(path)
             if not any("=" in seg for seg in segs[1:-1]):
                 # unpartitioned commit: no partition discovery involved, so
                 # all such commits share ONE scan (plan stays flat however
@@ -1485,6 +1492,44 @@ class Table:
         n = self._entries_rowcount(new_entries)
         self._commit_snapshot("append", new_entries, {"added-records": n}, mode="append")
         return self
+
+    def add_files(self, source: Union[str, list[str]]) -> int:
+        """Register existing parquet files as table data BY REFERENCE — the
+        Iceberg ``add_files`` migration procedure: no rewrite, no copy, one
+        stats-collection scan to capture per-file record counts and column
+        bounds for pruning.  Files must already match the table schema
+        physically (name and type) since nothing rewrites them; use
+        ``append`` when a cast is needed.  Returns the file count."""
+        self._check_writable()
+        paths = [source] if isinstance(source, str) else list(source)
+        df = self.spark.read.parquet(*paths)
+        schema = self.current_schema()
+        names = {f.name for f in schema.fields}
+        extra = set(df.columns) - names
+        if extra:
+            raise InvalidDataError(
+                f"files carry columns not in the table schema: {sorted(extra)}"
+            )
+        for f in schema.fields:
+            if f.name not in df.columns:
+                raise InvalidDataError(f"files are missing column {f.name!r}")
+            actual = df.schema[f.name].dataType
+            expected = f.to_spark().dataType
+            if actual != expected:
+                raise InvalidDataError(
+                    f"column {f.name!r} is {actual.simpleString()} in the files "
+                    f"but {expected.simpleString()} in the table; add_files "
+                    "registers files as-is — use append to rewrite with a cast"
+                )
+        new_entries = self._file_stat_entries(df)
+        n = self._entries_rowcount(new_entries)
+        self._commit_snapshot(
+            "append",
+            new_entries,
+            {"added-records": n, "added-files-by-reference": len(new_entries)},
+            mode="append",
+        )
+        return len(new_entries)
 
     def overwrite(self, data: Any) -> "Table":
         """Full-table replace — beyond the reference's surface (its UPDATE /

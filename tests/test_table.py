@@ -196,3 +196,45 @@ def test_next_row_id_counts_only_added_rows(catalog):
     before = t.next_row_id
     t.delete_where("a = 4", mode="merge-on-read")
     assert t.refresh().next_row_id == before
+
+
+def test_add_files_registers_by_reference(catalog, spark, tmp_path):
+    ext = str(tmp_path / "external")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(100)], "a int, b string"
+    ).repartition(3).write.parquet(ext)
+    t = catalog.create_table("af", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1000, "b": "own"}])
+    import glob
+
+    files = sorted(glob.glob(f"{ext}/*.parquet"))
+    n = t.add_files(files)
+    assert n == len(files)
+    assert len(t.to_a()) == 101
+    # the external files were NOT copied into the warehouse
+    assert all(p.startswith(ext) for p in files)
+    ext_entries = [
+        e for e in t._current_entries() if e.get("path", "").startswith(ext)
+    ]
+    assert len(ext_entries) == len(files)
+    # bounds captured → scans prune; mutations work across the boundary
+    assert all(e.get("lower-bounds") for e in ext_entries)
+    assert t.delete_where("a = 5") == 1
+    assert len(t.refresh().to_a()) == 100
+
+
+def test_add_files_rejects_schema_mismatch(catalog, spark, tmp_path):
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    ext = str(tmp_path / "bad")
+    spark.createDataFrame([(1,)], "a bigint").write.parquet(ext)
+    t = catalog.create_table("af2", schema={"a": "int"})
+    import glob
+
+    with pytest.raises(InvalidDataError, match="as-is"):
+        t.add_files(glob.glob(f"{ext}/*.parquet"))
+
+    ext2 = str(tmp_path / "extra")
+    spark.createDataFrame([(1, 2)], "a int, zz int").write.parquet(ext2)
+    with pytest.raises(InvalidDataError, match="zz"):
+        t.add_files(glob.glob(f"{ext2}/*.parquet"))
