@@ -436,6 +436,10 @@ class Catalog:
         r"^\s*DELETE\s+FROM\s+([\w.]+)\s+WHERE\s+(.*?)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    _ALTER_RE = re.compile(
+        r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.*)$",
+        re.IGNORECASE | re.DOTALL,
+    )
     _WRITE_KEYWORDS = re.compile(
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
         re.IGNORECASE,
@@ -568,6 +572,31 @@ class Catalog:
                 # positional VALUES come back as col1..colN — align by position
                 df = df.toDF(*[f.name for f in tbl.current_schema().fields][: len(df.columns)])
             tbl.append(df)
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._ALTER_RE.match(query)
+        if m:
+            name, action = m.group(1), m.group(2).strip().rstrip(";").strip()
+            if (mm := re.match(
+                r"ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+([\w()\s,]+?)\s*\)?\s*$",
+                action, re.IGNORECASE,
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_schema().add_column(mm.group(1), mm.group(2).strip()).commit()
+            elif (mm := re.match(r"DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*$", action, re.IGNORECASE)):
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_schema().drop_column(mm.group(1)).commit()
+            elif (mm := re.match(
+                r"RENAME\s+COLUMN\s+(\w+)\s+TO\s+(\w+)\s*$", action, re.IGNORECASE
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_schema().rename_column(mm.group(1), mm.group(2)).commit()
+            elif (mm := re.match(r"RENAME\s+TO\s+([\w.]+)\s*$", action, re.IGNORECASE)):
+                self.rename_table(self._sql_table_ident(name), self._sql_table_ident(mm.group(1)))
+            else:
+                raise UnsupportedFeatureError(
+                    f"unsupported ALTER TABLE action: {action[:60]!r}"
+                )
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._UPDATE_RE.match(query)

@@ -180,7 +180,24 @@ def test_expire_snapshots_noop_keeps_version(catalog):
 
 def test_sql_unsupported_write_raises(catalog):
     with pytest.raises(UnsupportedFeatureError):
-        catalog.sql("ALTER TABLE x ADD COLUMN c int")
+        catalog.sql("TRUNCATE TABLE x")
+    with pytest.raises(UnsupportedFeatureError):
+        catalog.sql("ALTER TABLE x SET TBLPROPERTIES ('a'='b')")
+
+
+def test_sql_alter_table_ddl(catalog):
+    t = catalog.create_table("alt", schema={"a": "int"})
+    t.append([{"a": 1}])
+    catalog.sql("ALTER TABLE alt ADD COLUMN b string")
+    catalog.sql("ALTER TABLE alt RENAME COLUMN a TO total")
+    t = catalog.load_table("alt")
+    assert [f.name for f in t.schema.fields] == ["total", "b"]
+    assert t.to_a() == [{"total": 1, "b": None}]
+    catalog.sql("ALTER TABLE alt DROP COLUMN b")
+    assert catalog.load_table("alt").to_a() == [{"total": 1}]
+    catalog.sql("ALTER TABLE alt RENAME TO alt2")
+    assert catalog.table_exists("alt2") and not catalog.table_exists("alt")
+    assert catalog.sql("SELECT total FROM alt2").rows == [[1]]
 
 
 def test_default_namespace_resolution():
