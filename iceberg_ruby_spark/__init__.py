@@ -71,6 +71,7 @@ from iceberg_ruby_spark.transforms import (
     YearTransform,
 )
 from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
+from iceberg_ruby_spark.aws import GlueCatalog, S3TablesCatalog
 from iceberg_ruby_spark.rest import RestCatalog
 from iceberg_ruby_spark.sql_catalog import SqlCatalog
 from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
@@ -82,7 +83,9 @@ __version__ = "0.1.0"
 __all__ = [
     "Catalog",
     "MemoryCatalog",
+    "GlueCatalog",
     "RestCatalog",
+    "S3TablesCatalog",
     "SqlCatalog",
     "Table",
     "TableScan",
