@@ -1075,10 +1075,10 @@ class Table:
                 if name != src:
                     df = df.withColumn(name, tr.apply_typed(_source_type(src), F.col(src)))
                 part_cols.append(name)
+        sort_cols = []
         if sort and sort.get("fields"):
             from iceberg_ruby_spark.transforms import SortField
 
-            sort_cols = []
             for sf in sort["fields"]:
                 field_obj = SortField(
                     sf["source"],
@@ -1087,8 +1087,33 @@ class Table:
                     sf.get("null_order"),
                 )
                 sort_cols.append(field_obj.column())
+        # write.distribution-mode (Iceberg table property): without it a
+        # partitioned write fans out as (input partitions × partition
+        # values) files — the classic small-files explosion at scale.
+        # ``hash`` (default for partitioned tables, as in Iceberg ≥1.2)
+        # shuffles each partition value to ONE task → one file per value;
+        # ``range`` range-partitions on (partition, sort) for globally
+        # sorted layouts; ``none`` keeps the input partitioning.  Oversized
+        # partitions are split by write.spark.max-records-per-file (file
+        # rolling inside the task), not by extra shuffle.
+        props = self.metadata.raw.get("properties", {})
+        mode = props.get(
+            "write.distribution-mode", "hash" if part_cols else "none"
+        )
+        if mode == "hash" and part_cols:
+            df = df.repartition(*[F.col(c) for c in part_cols])
+        elif mode == "range" and (part_cols or sort_cols):
+            df = df.repartitionByRange(
+                *([F.col(c) for c in part_cols] + sort_cols)
+            )
+        elif mode not in ("none", "hash", "range"):
+            raise InvalidDataError(f"unknown write.distribution-mode: {mode!r}")
+        if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("error")
+        max_per_file = props.get("write.spark.max-records-per-file")
+        if max_per_file:
+            writer = writer.option("maxRecordsPerFile", int(max_per_file))
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(out)

@@ -238,3 +238,38 @@ def test_add_files_rejects_schema_mismatch(catalog, spark, tmp_path):
     spark.createDataFrame([(1, 2)], "a int, zz int").write.parquet(ext2)
     with pytest.raises(InvalidDataError, match="zz"):
         t.add_files(glob.glob(f"{ext2}/*.parquet"))
+
+
+def test_write_distribution_modes(catalog):
+    """write.distribution-mode: hash (default for partitioned) → one file
+    per partition value; none → input-partitioning fan-out; max-records
+    rolls files inside a task."""
+    t = catalog.create_table(
+        "dist_hash",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "identity"}],
+    )
+    rows = [{"k": i % 4, "v": f"x{i}"} for i in range(400)]
+    t.append(rows)
+    files = t.scan().plan_files()
+    assert len(files) == 4  # one per partition value, not 4 × shuffle-parallelism
+    assert sorted(r["k"] for r in t.to_a()) == sorted(r["k"] for r in rows)
+
+    t2 = catalog.create_table(
+        "dist_none",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "identity"}],
+        properties={"write.distribution-mode": "none"},
+    )
+    t2.append(rows)
+    assert len(t2.scan().plan_files()) >= 4
+
+    t3 = catalog.create_table(
+        "dist_roll",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "identity"}],
+        properties={"write.spark.max-records-per-file": "40"},
+    )
+    t3.append(rows)  # 100 rows per partition value / 40 → 3 files each
+    assert len(t3.scan().plan_files()) == 12
+    assert len(t3.to_a()) == 400
