@@ -1351,6 +1351,47 @@ class Table:
                 out.append({**e, "applies-to": ap2})
         return out
 
+    def _partition_fields(self) -> dict[str, tuple]:
+        """name → (transform, source) across ALL partition specs, for
+        directory pruning.  Identity fields are skipped (their column
+        bounds already prune exactly); a name whose transform differs
+        between specs is disabled (ambiguous)."""
+        out: dict[str, Any] = {}
+        for spec in self.metadata.raw.get("partition-specs", []):
+            for pf in spec.get("fields", []):
+                tr = parse_transform(pf.get("transform", "identity"))
+                if tr.name in ("identity", "void"):
+                    continue
+                name = pf.get("name") or tr.result_name(pf["source"])
+                prev = out.get(name)
+                if prev is not None and (prev[0] != tr or prev[1] != pf["source"]):
+                    out[name] = None
+                elif name not in out:
+                    out[name] = (tr, pf["source"])
+        return {k: v for k, v in out.items() if v is not None}
+
+    def _prune_by_stats(
+        self, entries: list[dict[str, Any]], tree
+    ) -> list[dict[str, Any]]:
+        """Manifest-level pruning: column bounds first, then partition
+        directory values (covers bucket/truncate/temporal transforms whose
+        source bounds can't prune).  Non-data entries pass through."""
+        pfields = self._partition_fields()
+        schema = self.current_schema()
+        out = []
+        for e in entries:
+            if "path" not in e:
+                out.append(e)
+                continue
+            if not _bounds_may_match(e, tree):
+                continue
+            if pfields:
+                pvals = _parse_dir_partition_values(e["path"])
+                if pvals and not _partition_may_match(pvals, tree, pfields, schema):
+                    continue
+            out.append(e)
+        return out
+
     def _matching_files(
         self, entries: list[dict[str, Any]], cond, cond_str: Optional[str] = None
     ) -> dict[str, int]:
@@ -1363,7 +1404,7 @@ class Table:
         if cond_str is not None:
             tree = _parse_predicate(cond_str)
             if tree is not None:
-                entries = [e for e in entries if _bounds_may_match(e, tree)]
+                entries = self._prune_by_stats(entries, tree)
         if not self._entry_files(entries):
             return {}
         # schema-evolution-aware read (old files projected by field id) with
@@ -2228,6 +2269,104 @@ def _parse_temporal(s: Any):
         return None
 
 
+def _parse_dir_partition_values(path: str) -> dict[str, str]:
+    """``{name: value}`` from the ``name=value`` directory segments of a
+    data-file path (Spark's partitioned layout; values URL-unescaped)."""
+    import urllib.parse
+
+    out: dict[str, str] = {}
+    for seg in path.split(os.sep)[:-1]:
+        if "=" in seg:
+            k, _, v = seg.partition("=")
+            out[k] = urllib.parse.unquote(v)
+    return out
+
+
+def _coerce_partition_literal(val: Any, t: Optional[ice_t.Type]):
+    """Predicate literal → the Python domain the transform's ``scalar``
+    expects for this source type, or None when not provably convertible."""
+    if isinstance(t, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        return _parse_temporal(val) if isinstance(val, str) else None
+    if isinstance(t, ice_t.DateType):
+        d = _parse_temporal(val) if isinstance(val, str) else None
+        return d.date() if d is not None else None
+    if isinstance(t, (ice_t.IntType, ice_t.LongType)):
+        return val if isinstance(val, int) and not isinstance(val, bool) else None
+    if isinstance(t, ice_t.StringType):
+        return val if isinstance(val, str) else None
+    return None
+
+
+def _parse_dir_value(seg: str, exemplar: Any):
+    """Directory-value string → the exemplar's domain (int / date / str),
+    or None when unparseable (caller keeps the file)."""
+    import datetime as _dt
+
+    if seg == "__HIVE_DEFAULT_PARTITION__":
+        return None
+    if isinstance(exemplar, bool):
+        return None
+    if isinstance(exemplar, int):
+        try:
+            return int(seg)
+        except ValueError:
+            return None
+    if isinstance(exemplar, _dt.date):
+        try:
+            return _dt.date.fromisoformat(seg)
+        except ValueError:
+            return None
+    if isinstance(exemplar, str):
+        return seg
+    return None
+
+
+def _partition_may_match(
+    pvals: dict[str, str], node, pfields: dict[str, tuple], schema
+) -> bool:
+    """True unless the file's partition-directory values prove no row can
+    satisfy ``node``.  This is what makes hidden partitioning *hidden*: a
+    predicate on the SOURCE column prunes bucket/truncate/temporal
+    partition dirs the column bounds can't (a bucket file's source bounds
+    span the whole domain).  ``pfields``: name → (transform, source)."""
+    kind = node[0]
+    if kind == "and":
+        return _partition_may_match(pvals, node[1], pfields, schema) and (
+            _partition_may_match(pvals, node[2], pfields, schema)
+        )
+    if kind == "or":
+        return _partition_may_match(pvals, node[1], pfields, schema) or (
+            _partition_may_match(pvals, node[2], pfields, schema)
+        )
+    _, col, op, val = node
+    for name, (tr, src) in pfields.items():
+        if src != col or name not in pvals:
+            continue
+        f = schema.field_by_name(col) if schema else None
+        lit = _coerce_partition_literal(val, f.field_type if f else None)
+        if lit is None:
+            continue
+        exp = tr.scalar(lit, f.field_type if f else None)
+        if exp is None:
+            continue
+        actual = _parse_dir_value(pvals[name], exp)
+        if actual is None:
+            continue
+        try:
+            if op == "=" and actual != exp:
+                return False
+            # order-preserving transforms bound the transformed value:
+            # v < L ⇒ T(v) <= T(L), so a dir with T-value above T(L)
+            # cannot hold a matching row (mirrored for >)
+            if op in ("<", "<=") and tr.preserves_order and not actual <= exp:
+                return False
+            if op in (">", ">=") and tr.preserves_order and not actual >= exp:
+                return False
+        except TypeError:
+            continue
+    return True
+
+
 def _normalize_bounds_literal(lo: Any, hi: Any, val: Any):
     """Coerce (lower bound, upper bound, predicate literal) into one
     comparable domain, or None when they are not *provably* comparable
@@ -2515,7 +2654,7 @@ class TableScan:
                     continue
             tree = _parse_predicate(src)
             if tree is not None:
-                entries = [e for e in entries if _bounds_may_match(e, tree)]
+                entries = self.table._prune_by_stats(entries, tree)
         return entries
 
     def plan_files(self) -> list[dict[str, Any]]:

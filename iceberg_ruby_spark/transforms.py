@@ -43,6 +43,17 @@ class Transform:
     def result_name(self, source_name: str) -> str:
         return f"{source_name}_{self.name}"
 
+    #: True when the transform is order-preserving on its source — a range
+    #: predicate on the source then bounds the transformed value, so scans
+    #: can prune partition directories by range, not just equality.
+    preserves_order = False
+
+    def scalar(self, value: Any, source_type: Optional[ice_t.Type] = None):
+        """Python-side mirror of the Column semantics for ONE literal —
+        what partition-directory pruning compares against.  ``None`` means
+        "not computable here"; callers must keep the file."""
+        return None
+
     def spec_string(self) -> str:
         """Canonical parseable form, e.g. ``bucket[16]``, ``day``."""
         arg = getattr(self, "n", getattr(self, "width", None))
@@ -59,7 +70,14 @@ class Transform:
         return f"{type(self).__name__}()"
 
 
-class IdentityTransform(Transform):
+class _IdentityScalarMixin:
+    preserves_order = True
+
+    def scalar(self, value: Any, source_type: Optional[ice_t.Type] = None):
+        return value
+
+
+class IdentityTransform(_IdentityScalarMixin, Transform):
     name = "identity"
 
     def __call__(self, col: Column) -> Column:
@@ -201,6 +219,9 @@ class BucketTransform(Transform):
             return None
         return (murmur3_x86_32(b) & 0x7FFFFFFF) % self.n
 
+    def scalar(self, value: Any, source_type: Optional[ice_t.Type] = None):
+        return self.bucket_value(value, source_type)
+
     def apply_typed(self, source_type: Optional[ice_t.Type], col: Column) -> Column:
         if source_type is None:
             return self(col)
@@ -310,6 +331,16 @@ class TruncateTransform(Transform):
     def result_name(self, source_name: str) -> str:
         return f"{source_name}_trunc_{self.width}"
 
+    # prefix/floor truncation preserves source ordering
+    preserves_order = True
+
+    def scalar(self, value: Any, source_type: Optional[ice_t.Type] = None):
+        if isinstance(value, str):
+            return value[: self.width]
+        if isinstance(value, int) and not isinstance(value, bool):
+            return value - (value % self.width)
+        return None
+
     def validate_source(self, source_type: ice_t.Type) -> None:
         ok = (ice_t.IntType, ice_t.LongType, ice_t.StringType, ice_t.DecimalType, ice_t.BinaryType)
         if not isinstance(source_type, ok):
@@ -330,8 +361,13 @@ class _TemporalTransform(Transform):
 class YearTransform(_TemporalTransform):
     name = "year"
 
+    preserves_order = True
+
     def __call__(self, col: Column) -> Column:
         return F.year(col)
+
+    def scalar(self, value, source_type=None):
+        return value.year if hasattr(value, "year") else None
 
 
 class MonthTransform(_TemporalTransform):
@@ -342,19 +378,48 @@ class MonthTransform(_TemporalTransform):
         # prunes identically.  Keep a single sortable int: y*12 + (m-1).
         return (F.year(col) * 12 + F.month(col) - 1).cast("int")
 
+    preserves_order = True
+
+    def scalar(self, value, source_type=None):
+        if hasattr(value, "year") and hasattr(value, "month"):
+            return value.year * 12 + value.month - 1
+        return None
+
 
 class DayTransform(_TemporalTransform):
     name = "day"
 
+    preserves_order = True
+
     def __call__(self, col: Column) -> Column:
         return F.to_date(col)
+
+    def scalar(self, value, source_type=None):
+        import datetime as _dt
+
+        if isinstance(value, _dt.datetime):
+            return value.date()
+        if isinstance(value, _dt.date):
+            return value
+        return None
 
 
 class HourTransform(_TemporalTransform):
     name = "hour"
 
+    preserves_order = True
+
     def __call__(self, col: Column) -> Column:
         return (F.unix_timestamp(col) / 3600).cast("long")
+
+    def scalar(self, value, source_type=None):
+        import datetime as _dt
+
+        if isinstance(value, _dt.datetime):
+            # sessions are pinned to UTC (session.py/tables.load), so the
+            # column-side unix_timestamp and this mirror agree
+            return int(value.replace(tzinfo=_dt.timezone.utc).timestamp()) // 3600
+        return None
 
     def validate_source(self, source_type: ice_t.Type) -> None:
         if not isinstance(source_type, (ice_t.TimestampType, ice_t.TimestampTzType)):

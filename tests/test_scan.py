@@ -180,3 +180,58 @@ def test_incremental_scan_cow_delete_rejected_mor_allowed(catalog):
     t.delete_where("a = 5")  # copy-on-write: rewrites survivors
     with pytest.raises(InvalidDataError):
         t.incremental_scan(s1).collect()
+
+
+def test_bucket_partition_pruning(catalog):
+    """Hidden partitioning: an equality predicate on the SOURCE column
+    prunes bucket dirs (source bounds can't — a bucket file spans the
+    whole key domain)."""
+    from iceberg_ruby_spark.transforms import BucketTransform
+
+    t = catalog.create_table(
+        "bucketed",
+        schema={"k": "long", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "bucket[8]"}],
+    )
+    t.append([{"k": i, "v": f"r{i}"} for i in range(400)])
+    total = len(t.scan().plan_files())
+    assert total == 8  # hash-distributed write: one file per bucket
+    pruned = t.scan().filter("k = 137").plan_files()
+    assert len(pruned) == 1
+    expected_bucket = BucketTransform(8).bucket_value(137)
+    assert f"k_bucket_8={expected_bucket}" in pruned[0]["data_file_path"]
+    # correctness preserved end-to-end
+    assert [r["v"] for r in t.scan().filter("k = 137").to_df().collect()] == ["r137"]
+
+
+def test_truncate_and_day_partition_pruning(catalog):
+    import datetime as dt
+
+    t = catalog.create_table(
+        "truncated",
+        schema={"n": "long", "v": "string"},
+        partition_spec=[{"source": "n", "transform": "truncate[100]"}],
+    )
+    t.append([{"n": i, "v": "x"} for i in range(0, 1000, 10)])
+    assert len(t.scan().plan_files()) == 10
+    assert len(t.scan().filter("n = 555").plan_files()) == 1
+    # order-preserving transform → range pruning on the source column
+    assert len(t.scan().filter("n < 250").plan_files()) == 3
+    assert len(t.scan().filter("n >= 700").plan_files()) == 3
+
+    t2 = catalog.create_table(
+        "daily",
+        schema={"ts": "timestamp", "v": "string"},
+        partition_spec=[{"source": "ts", "transform": "day"}],
+    )
+    rows = [
+        {"ts": dt.datetime(2024, 1, d, h), "v": f"{d}-{h}"}
+        for d in (1, 2, 3)
+        for h in (0, 12)
+    ]
+    t2.append(rows)
+    assert len(t2.scan().plan_files()) == 3
+    assert len(t2.scan().filter("ts = '2024-01-02 12:00:00'").plan_files()) == 1
+    assert len(t2.scan().filter("ts >= '2024-01-02 00:00:00'").plan_files()) == 2
+    got = t2.scan().filter("ts >= '2024-01-02 00:00:00'").to_df().count()
+    assert got == 4
