@@ -387,3 +387,31 @@ def engine_maintenance_cycle(spark, sf_dir):
     t = t.refresh()
     t.remove_orphan_files()
     return t.to_df()
+
+
+@query(
+    "engine_changelog_scan",
+    oracle=f"""
+    SELECT 'delete' AS _change_type, {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 500 AND o_totalprice > 200000
+    UNION ALL
+    SELECT 'insert' AS _change_type, {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1250
+    """,
+)
+def engine_changelog_scan(spark, sf_dir):
+    """Row-level changelog across a delete + append + compaction window:
+    the CoW delete emits its dead rows, the append emits its new rows, and
+    the compaction rewrite cancels to nothing — so the oracle is just the
+    logical delta.  Per-commit cost is O(changed files) (manifest diff +
+    exceptAll over differing files only)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_cdc", schema=_orders_schema())
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 500))
+    s1 = t.current_snapshot_id
+    t.delete_where("o_totalprice > 200000")
+    t.append(orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1250)))
+    t.compact()
+    ch = t.changelog_scan(from_snapshot_id=s1)
+    return ch.select("_change_type", *_ORDER_COLS)

@@ -891,6 +891,130 @@ class Table:
         schema = self.schema_by_id(to_snap.schema_id) or self.current_schema()
         return self._read_entries(new_entries + preds, schema=schema)
 
+    def changelog_scan(
+        self,
+        from_snapshot_id: Optional[int] = None,
+        to_snapshot_id: Optional[int] = None,
+    ) -> DataFrame:
+        """Row-level changes between two snapshots: the table columns plus
+        ``_change_type`` ('insert' | 'delete'), ``_commit_snapshot_id``,
+        and ``_change_ordinal`` (commit position within the window) —
+        Iceberg's changelog-read surface, expressed as per-commit manifest
+        diffs.
+
+        Unlike :meth:`incremental_scan`, EVERY commit kind is consumable:
+        for each adjacent snapshot pair only the files/delete-entries that
+        differ are read, and the two sides cancel through ``exceptAll`` —
+        so an UPDATE emits delete+insert for touched rows, a merge-on-read
+        delete emits just the dead rows, and a pure rewrite (compaction /
+        Z-order) emits NOTHING, because physical file churn without
+        logical change cancels exactly.  Cost per commit is O(changed
+        files); unchanged files are never opened."""
+        to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
+        if to_id is None:
+            return self._changelog_empty()
+        to_snap = self.snapshot_by_id(to_id)
+        if to_snap is None:
+            raise InvalidDataError(f"no snapshot with id {to_snapshot_id}")
+        # walk parents back to the window start; replay forward
+        chain = []
+        cur = to_snap
+        while cur is not None and cur.snapshot_id != from_snapshot_id:
+            chain.append(cur)
+            cur = (
+                self.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if from_snapshot_id is not None and cur is None:
+            raise InvalidDataError(
+                f"snapshot {from_snapshot_id} is not an ancestor of {to_id}"
+            )
+        chain.reverse()
+        schema = self.current_schema()
+        parts = []
+        prev_entries = (
+            self.ops.read_manifest(cur.manifest_list) if cur is not None else []
+        )
+        for ordinal, snap in enumerate(chain):
+            cur_entries = self.ops.read_manifest(snap.manifest_list)
+            delta = self._changelog_commit_diff(prev_entries, cur_entries, schema)
+            if delta is not None:
+                parts.append(
+                    delta.withColumn(
+                        "_commit_snapshot_id", F.lit(snap.snapshot_id)
+                    ).withColumn("_change_ordinal", F.lit(ordinal))
+                )
+            prev_entries = cur_entries
+        if not parts:
+            return self._changelog_empty()
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _changelog_empty(self) -> DataFrame:
+        import pyspark.sql.types as _T
+
+        base = self.current_schema().to_spark()
+        fields = list(base.fields) + [
+            _T.StructField("_change_type", _T.StringType()),
+            _T.StructField("_commit_snapshot_id", _T.LongType()),
+            _T.StructField("_change_ordinal", _T.IntegerType()),
+        ]
+        return self.spark.createDataFrame([], _T.StructType(fields))
+
+    def _changelog_commit_diff(
+        self,
+        prev_entries: list[dict[str, Any]],
+        cur_entries: list[dict[str, Any]],
+        schema,
+    ) -> Optional[DataFrame]:
+        """insert/delete rows for ONE commit, reading only what changed.
+
+        A data file common to both manifests contributes identical rows to
+        both sides UNLESS the merge-on-read delete entries scoped to it
+        differ — so common files with unchanged delete scope are excluded
+        from BOTH reads up front, and ``exceptAll`` cancels the rest."""
+
+        def mor_key(e: dict[str, Any]):
+            return json.dumps(
+                {k: sorted(v) if isinstance(v, (list, set)) else v
+                 for k, v in e.items() if k != "schema-id"},
+                sort_keys=True, default=str,
+            )
+
+        def split(entries):
+            data = {e["path"]: e for e in entries if "path" in e}
+            mor = {mor_key(e): e for e in entries if "path" not in e}
+            return data, mor
+
+        prev_data, prev_mor = split(prev_entries)
+        cur_data, cur_mor = split(cur_entries)
+        mor_changed = set(prev_mor) ^ set(cur_mor)
+        # a common file is "touched" when any added/removed MoR entry's
+        # scope includes it (applies-to None = all files at commit time)
+        touched = set()
+        for k in mor_changed:
+            e = prev_mor.get(k) or cur_mor[k]
+            ap = e.get("applies-to")
+            touched |= set(ap) if ap is not None else set(prev_data) | set(cur_data)
+        common_quiet = {
+            p for p in set(prev_data) & set(cur_data) if p not in touched
+        }
+        prev_side = [e for p, e in prev_data.items() if p not in common_quiet]
+        cur_side = [e for p, e in cur_data.items() if p not in common_quiet]
+        if not prev_side and not cur_side:
+            return None
+        # each side reads under ITS snapshot's full delete-entry view (MoR
+        # entries scoped to excluded files filter nothing — applies-to)
+        cols = [f.name for f in schema.fields]
+        before = self._read_entries(prev_side + list(prev_mor.values()), schema=schema).select(*cols)
+        after = self._read_entries(cur_side + list(cur_mor.values()), schema=schema).select(*cols)
+        inserts = after.exceptAll(before).withColumn("_change_type", F.lit("insert"))
+        deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
+        return inserts.unionByName(deletes)
+
     def scan(
         self, snapshot_id: Optional[int] = None, ref: Optional[str] = None
     ) -> "TableScan":

@@ -235,3 +235,39 @@ def test_truncate_and_day_partition_pruning(catalog):
     assert len(t2.scan().filter("ts >= '2024-01-02 00:00:00'").plan_files()) == 2
     got = t2.scan().filter("ts >= '2024-01-02 00:00:00'").to_df().count()
     assert got == 4
+
+
+def test_changelog_scan(catalog):
+    """Row-level CDC: inserts/deletes per commit; UPDATE emits both sides;
+    compaction (pure rewrite) emits nothing."""
+    t = catalog.create_table("cdc", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"k": 3, "v": "c"}])
+    t.delete_where("k = 1")                        # copy-on-write rewrite
+    t.update_where({"v": "'B'"}, "k = 2")
+    t.delete_where("k = 3", mode="merge-on-read")  # no file rewrite
+    t.compact()                                    # physical only
+
+    ch = t.changelog_scan(from_snapshot_id=s1).collect()
+    by_type = {}
+    for r in ch:
+        by_type.setdefault(r["_change_type"], []).append((r["k"], r["v"]))
+    assert sorted(by_type["insert"]) == [(2, "B"), (3, "c")]
+    assert sorted(by_type["delete"]) == [(1, "a"), (2, "b"), (3, "c")]
+    # the compaction commit contributed no rows
+    compact_id = t.current_snapshot().snapshot_id
+    assert all(r["_commit_snapshot_id"] != compact_id for r in ch)
+    # ordinals follow commit order within the window
+    ords = {r["_commit_snapshot_id"]: r["_change_ordinal"] for r in ch}
+    assert list(ords.values()) == sorted(ords.values())
+    # net state replay: inserts minus deletes == final table
+    final = {(r["k"], r["v"]) for r in t.to_a()}
+    start = {(1, "a"), (2, "b")}
+    net = (start | set(by_type["insert"])) - set(by_type["delete"])
+    assert net == final
+    # full-history changelog (from table creation)
+    all_ch = t.changelog_scan().collect()
+    assert len([r for r in all_ch if r["_change_type"] == "insert"]) == 4
+    # empty window
+    assert t.changelog_scan(from_snapshot_id=t.current_snapshot().snapshot_id).count() == 0
