@@ -111,3 +111,46 @@ def add_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
         quality_score(c).alias("quality"),
         fingerprint(c).alias("fp"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    overlap: int = 16,
+) -> DataFrame:
+    """Sliding token-window chunking — the standard pre-tokenization split
+    for LLM training corpora.  Windows of ``chunk_size`` whitespace tokens
+    advancing by ``chunk_size - overlap``; the last window keeps the tail
+    (may be short).  Emits (id, chunk_id, chunk_text, chunk_tokens).
+
+    Entirely JVM-side: split → ONE explode over the window count →
+    slice/array_join per window (plain expressions, codegen-friendly; no
+    higher-order lambdas, no shuffle — chunking is a map-only operation
+    however large the corpus)."""
+    if overlap >= chunk_size:
+        from iceberg_ruby_spark.errors import InvalidDataError
+
+        raise InvalidDataError(f"overlap ({overlap}) must be < chunk_size ({chunk_size})")
+    step = chunk_size - overlap
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+    n_windows = F.lit(1) + F.greatest(
+        F.ceil((n - F.lit(chunk_size)) / F.lit(float(step))).cast("int"), F.lit(0)
+    )
+    base = df.select(F.col(id_col), toks.alias("__toks"), n_windows.alias("__nw"))
+    win = F.slice(F.col("__toks"), F.col("chunk_id") * step + 1, chunk_size)
+    return (
+        base.select(
+            F.col(id_col),
+            F.explode(F.sequence(F.lit(0), F.col("__nw") - 1)).alias("chunk_id"),
+            F.col("__toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id"),
+            F.array_join(win, " ").alias("chunk_text"),
+            F.size(win).alias("chunk_tokens"),
+        )
+    )

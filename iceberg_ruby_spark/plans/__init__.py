@@ -58,6 +58,7 @@ _R03_NEW = {
     "q17_small_quantity_revenue", "q18_large_volume_customers",
     "q19_bracketed_revenue", "q20_forest_part_suppliers",
     "q22_idle_rich_customers",
+    "text_chunk_documents",
 }
 
 _ordered = sorted(

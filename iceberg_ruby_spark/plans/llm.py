@@ -472,3 +472,34 @@ def dedup_embedding_cosine(spark, sf_dir):
     return embedding_cosine_pairs(
         emb, threshold=0.5, n_planes=0, allow_all_pairs=True
     )
+
+
+@query(
+    "text_chunk_documents",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, str_split_regex(trim(text), '\\s+') AS t FROM documents
+    ), w AS (
+      SELECT doc_id, t,
+             1 + GREATEST(CAST(CEIL((len(t) - 64) / 48.0) AS INT), 0) AS nw
+      FROM toks
+    )
+    SELECT doc_id, CAST(i AS BIGINT) AS chunk_id,
+           array_to_string(t[i*48+1 : i*48+64], ' ') AS chunk_text,
+           CAST(len(t[i*48+1 : i*48+64]) AS BIGINT) AS chunk_tokens
+    FROM w, LATERAL (SELECT unnest(generate_series(0, nw - 1)) AS i) g
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Sliding-window chunking (64-token windows, 16 overlap) — map-only
+    split→explode→slice, no shuffle at any corpus size."""
+    from iceberg_ruby_spark.operators.text import chunk_documents
+
+    docs = load(spark, sf_dir, "documents")
+    out = chunk_documents(docs, chunk_size=64, overlap=16)
+    return out.select(
+        "doc_id",
+        F.col("chunk_id").cast("bigint").alias("chunk_id"),
+        "chunk_text",
+        F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
+    )

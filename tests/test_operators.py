@@ -267,3 +267,30 @@ def test_embedding_cosine_pairs_all_pairs_needs_opt_in(spark):
     df = spark.createDataFrame([(1, [1.0, 0.0]), (2, [1.0, 0.0])], ["vec_id", "embedding"])
     with pytest.raises(InvalidDataError, match="all_pairs"):
         ops.embedding_cosine_pairs(df, n_planes=0)
+
+
+def test_chunk_documents(spark):
+    import pytest as _pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.operators.text import chunk_documents
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"w{i}" for i in range(100))), (2, "a b c")],
+        "doc_id long, text string",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_size=40, overlap=10).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    d1 = [r for r in rows if r["doc_id"] == 1]
+    assert [r["chunk_id"] for r in d1] == [0, 1, 2]
+    assert all(r["chunk_tokens"] == 40 for r in d1)
+    assert d1[1]["chunk_text"].startswith("w30 ")          # step = 30
+    assert d1[0]["chunk_text"].split()[-10:] == d1[1]["chunk_text"].split()[:10]  # overlap
+    # tail covered exactly; short doc → one short chunk
+    assert d1[2]["chunk_text"].split()[-1] == "w99"
+    d2 = [r for r in rows if r["doc_id"] == 2]
+    assert len(d2) == 1 and d2[0]["chunk_tokens"] == 3
+    with _pytest.raises(InvalidDataError):
+        chunk_documents(df, chunk_size=10, overlap=10)
