@@ -1238,6 +1238,22 @@ class Table:
         max_per_file = props.get("write.spark.max-records-per-file")
         if max_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_per_file))
+        # Iceberg's parquet bloom-filter properties → parquet-mr writer
+        # options: point lookups on high-cardinality non-sort columns then
+        # skip row groups the min/max bounds can't (bounds only help on
+        # clustered columns; blooms work on any).
+        for k, v in props.items():
+            if k.startswith("write.parquet.bloom-filter-enabled.column."):
+                col = k.rsplit(".", 1)[-1]
+                writer = writer.option(f"parquet.bloom.filter.enabled#{col}", v)
+            elif k.startswith("write.parquet.bloom-filter-expected-ndv.column."):
+                col = k.rsplit(".", 1)[-1]
+                writer = writer.option(f"parquet.bloom.filter.expected.ndv#{col}", v)
+        if props.get("write.parquet.bloom-filter-max-bytes"):
+            writer = writer.option(
+                "parquet.bloom.filter.max.bytes",
+                int(props["write.parquet.bloom-filter-max-bytes"]),
+            )
         if part_cols:
             writer = writer.partitionBy(*part_cols)
         writer.parquet(out)

@@ -273,3 +273,34 @@ def test_write_distribution_modes(catalog):
     t3.append(rows)  # 100 rows per partition value / 40 → 3 files each
     assert len(t3.scan().plan_files()) == 12
     assert len(t3.to_a()) == 400
+
+
+def test_parquet_bloom_filter_property(catalog, spark):
+    """write.parquet.bloom-filter-enabled.column.<col> reaches the parquet
+    writer — verified in the file footer (bloom offset present only for
+    the enabled column)."""
+    t = catalog.create_table(
+        "bloomed",
+        schema={"k": "long", "v": "string"},
+        properties={
+            "write.parquet.bloom-filter-enabled.column.k": "true",
+            "write.parquet.bloom-filter-expected-ndv.column.k": "1000",
+        },
+    )
+    t.append([{"k": i, "v": f"x{i}"} for i in range(1000)])
+    path = t.scan().plan_files()[0]["data_file_path"]
+    jvm = spark._jvm
+    infile = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        jvm.org.apache.hadoop.fs.Path(path), spark._jsc.hadoopConfiguration()
+    )
+    reader = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(infile)
+    try:
+        cols = reader.getRowGroups().get(0).getColumns()
+        offsets = {
+            cols.get(i).getPath().toDotString(): cols.get(i).getBloomFilterOffset()
+            for i in range(cols.size())
+        }
+    finally:
+        reader.close()
+    assert offsets["k"] >= 0
+    assert offsets["v"] == -1
