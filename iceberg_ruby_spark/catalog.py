@@ -440,6 +440,20 @@ class Catalog:
         r"^\s*ALTER\s+TABLE\s+([\w.]+)\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
     )
+    _MERGE_RE = re.compile(
+        r"^\s*MERGE\s+INTO\s+([\w.]+)(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+USING\s+(?:\((.+?)\)|([\w.]+))(?:\s+(?:AS\s+)?(\w+))?"
+        r"\s+ON\s+(.+?)"
+        r"\s+(WHEN\s+.+?)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_MATCHED_RE = re.compile(
+        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _MERGE_INSERT_RE = re.compile(
+        r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+    )
     _WRITE_KEYWORDS = re.compile(
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
         re.IGNORECASE,
@@ -597,6 +611,59 @@ class Catalog:
                 raise UnsupportedFeatureError(
                     f"unsupported ALTER TABLE action: {action[:60]!r}"
                 )
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._MERGE_RE.match(query)
+        if m:
+            name, talias, sub_src, src_name, salias, on_src, when_src = m.groups()
+            tbl = self.load_table(self._sql_table_ident(name))
+            self._register_views()
+            source = self.spark.sql(sub_src if sub_src else f"SELECT * FROM {src_name}")
+            # equality-conjunction ON → key columns (both sides must name
+            # the same column, optionally alias-qualified)
+            keys = []
+            for part in re.split(r"\bAND\b", on_src, flags=re.IGNORECASE):
+                em = re.match(
+                    r"^\s*(?:\w+\.)?(\w+)\s*=\s*(?:\w+\.)?(\w+)\s*$", part
+                )
+                if not em or em.group(1) != em.group(2):
+                    raise UnsupportedFeatureError(
+                        "MERGE ON must be an equality conjunction on same-named "
+                        f"columns, got: {part.strip()!r}"
+                    )
+                keys.append(em.group(1))
+            assignments = None
+            mm = self._MERGE_MATCHED_RE.search(when_src)
+            if mm:
+                assignments = {}
+                for p in _split_top_level(mm.group(1)):
+                    k, eq, v = p.partition("=")
+                    k = re.sub(r"^\s*\w+\.", "", k).strip()  # drop target alias
+                    if not eq or not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", k):
+                        raise UnsupportedFeatureError(
+                            f"cannot parse MERGE SET assignment: {p.strip()!r}"
+                        )
+                    # merge_into evaluates expressions against aliases t/s —
+                    # rewrite the user's aliases to those
+                    expr = v.strip()
+                    for user, canon in ((talias, "t"), (salias, "s")):
+                        if user:
+                            expr = re.sub(rf"\b{re.escape(user)}\.", f"{canon}.", expr)
+                    assignments[k] = expr
+            insert = bool(self._MERGE_INSERT_RE.search(when_src))
+            covered = (self._MERGE_MATCHED_RE.sub("", when_src))
+            covered = self._MERGE_INSERT_RE.sub("", covered).strip()
+            if covered.upper().startswith("WHEN"):
+                raise UnsupportedFeatureError(
+                    "MERGE supports WHEN MATCHED THEN UPDATE SET ... and WHEN "
+                    f"NOT MATCHED THEN INSERT *; unsupported clause: {covered[:60]!r}"
+                )
+            tbl.merge_into(
+                source,
+                on=keys,
+                when_matched_update=assignments,
+                when_not_matched_insert=insert,
+            )
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._UPDATE_RE.match(query)

@@ -253,3 +253,26 @@ def test_sql_insert_with_column_list(catalog):
     assert catalog.load_table("cl").to_a() == [{"a": 1, "b": "one", "c": None}]
     with pytest.raises(InvalidDataError):
         catalog.sql("INSERT INTO cl (a) VALUES (1, 'extra')")
+
+
+def test_sql_merge_into(catalog):
+    """MERGE INTO routed through table.merge_into: matched rows update,
+    unmatched insert; aliases in SET rewrite to the engine's t/s."""
+    catalog.sql("CREATE TABLE mt (k INT, v STRING)")
+    catalog.sql("INSERT INTO mt VALUES (1, 'a'), (2, 'b')")
+    catalog.sql("CREATE TABLE ms (k INT, v STRING)")
+    catalog.sql("INSERT INTO ms VALUES (2, 'B'), (3, 'c')")
+    catalog.sql(
+        "MERGE INTO mt AS t USING ms AS s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v "
+        "WHEN NOT MATCHED THEN INSERT *"
+    )
+    rows = {tuple(r) for r in catalog.sql("SELECT k, v FROM mt").rows}
+    assert rows == {(1, "a"), (2, "B"), (3, "c")}
+    # subquery source + update-only merge
+    catalog.sql(
+        "MERGE INTO mt t USING (SELECT 1 AS k, 'z' AS v) s ON t.k = s.k "
+        "WHEN MATCHED THEN UPDATE SET v = s.v"
+    )
+    rows = {tuple(r) for r in catalog.sql("SELECT k, v FROM mt").rows}
+    assert rows == {(1, "z"), (2, "B"), (3, "c")}
