@@ -350,6 +350,25 @@ class FsTableOps:
         return [self._map_entry_paths(e, self._abs) for e in entries]
 
 
+def _as_epoch_ms(v: Any) -> int:
+    """int epoch-millis, datetime, or ISO string → epoch millis (naive
+    datetimes read as UTC — sessions are pinned to UTC)."""
+    import datetime as _dt
+
+    if isinstance(v, bool):
+        raise InvalidDataError(f"not a timestamp: {v!r}")
+    if isinstance(v, int):
+        return v
+    if isinstance(v, str):
+        parsed = _dt.datetime.fromisoformat(v.replace("T", " ", 1))
+        v = parsed
+    if isinstance(v, _dt.datetime):
+        if v.tzinfo is None:
+            v = v.replace(tzinfo=_dt.timezone.utc)
+        return int(v.timestamp() * 1000)
+    raise InvalidDataError(f"not a timestamp: {v!r}")
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -1015,28 +1034,93 @@ class Table:
         deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    def rollback_to_snapshot(self, snapshot_id: int) -> "Table":
+        """Set the current table state back to an existing snapshot (no
+        history rewrite — the rollback itself is a new snapshot-log entry,
+        and later snapshots stay reachable by id until expired), matching
+        Iceberg's ``rollback_to_snapshot`` management op."""
+
+        def mutate(raw: dict[str, Any]) -> None:
+            ids = {s["snapshot-id"] for s in raw.get("snapshots", [])}
+            if snapshot_id not in ids:
+                raise InvalidDataError(f"no snapshot with id {snapshot_id}")
+            raw["current-snapshot-id"] = snapshot_id
+            raw["snapshot-log"] = raw.get("snapshot-log", []) + [
+                {"snapshot-id": snapshot_id, "timestamp-ms": _now_ms()}
+            ]
+            refs = dict(raw.get("refs", {}))
+            if MAIN_BRANCH in refs:
+                refs[MAIN_BRANCH] = {**refs[MAIN_BRANCH], "snapshot-id": snapshot_id}
+                raw["refs"] = refs
+
+        self._metadata_update(mutate)
+        return self
+
+    def rollback_to_timestamp(self, as_of: Any) -> "Table":
+        """Roll back to the snapshot that was current at ``as_of``."""
+        snap = self.snapshot_as_of(_as_epoch_ms(as_of))
+        if snap is None:
+            raise InvalidDataError(f"no snapshot exists as of {as_of!r}")
+        return self.rollback_to_snapshot(snap.snapshot_id)
+
+    def snapshot_as_of(self, timestamp_ms: int) -> Optional["Snapshot"]:
+        """Latest snapshot current at ``timestamp_ms`` (epoch millis), from
+        the snapshot log — Iceberg's timestamp time travel resolution."""
+        best = None
+        for e in self.metadata.snapshot_log:
+            if e["timestamp-ms"] <= timestamp_ms and (
+                best is None or e["timestamp-ms"] >= best["timestamp-ms"]
+            ):
+                best = e
+        return self.snapshot_by_id(best["snapshot-id"]) if best else None
+
     def scan(
-        self, snapshot_id: Optional[int] = None, ref: Optional[str] = None
+        self,
+        snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
+        as_of: Optional[Any] = None,
     ) -> "TableScan":
+        given = [x for x in (snapshot_id, ref, as_of) if x is not None]
+        if len(given) > 1:
+            raise InvalidDataError("pass only one of snapshot_id, ref, as_of")
         if ref is not None:
-            if snapshot_id is not None:
-                raise InvalidDataError("pass snapshot_id or ref, not both")
             snap = self.snapshot_for_ref(ref)
             if snap is None:
                 raise InvalidDataError(f"no such ref: {ref}")
             snapshot_id = snap.snapshot_id
+        if as_of is not None:
+            ts_ms = _as_epoch_ms(as_of)
+            snap = self.snapshot_as_of(ts_ms)
+            if snap is None:
+                raise InvalidDataError(
+                    f"no snapshot exists as of {as_of!r} (table created later?)"
+                )
+            snapshot_id = snap.snapshot_id
         return TableScan(self, snapshot_id=snapshot_id)
 
-    def to_df(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None) -> DataFrame:
-        return self.scan(snapshot_id=snapshot_id, ref=ref).to_df()
+    def to_df(
+        self,
+        snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
+        as_of: Optional[Any] = None,
+    ) -> DataFrame:
+        return self.scan(snapshot_id=snapshot_id, ref=ref, as_of=as_of).to_df()
 
     def to_a(
-        self, snapshot_id: Optional[int] = None, ref: Optional[str] = None
+        self,
+        snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
+        as_of: Optional[Any] = None,
     ) -> list[dict[str, Any]]:
-        return self.scan(snapshot_id=snapshot_id, ref=ref).to_a()
+        return self.scan(snapshot_id=snapshot_id, ref=ref, as_of=as_of).to_a()
 
-    def to_arrow(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None):
-        return self.scan(snapshot_id=snapshot_id, ref=ref).to_arrow()
+    def to_arrow(
+        self,
+        snapshot_id: Optional[int] = None,
+        ref: Optional[str] = None,
+        as_of: Optional[Any] = None,
+    ):
+        return self.scan(snapshot_id=snapshot_id, ref=ref, as_of=as_of).to_arrow()
 
     def to_pandas(self, snapshot_id: Optional[int] = None, ref: Optional[str] = None):
         return self.to_df(snapshot_id=snapshot_id, ref=ref).toPandas()

@@ -304,3 +304,36 @@ def test_parquet_bloom_filter_property(catalog, spark):
         reader.close()
     assert offsets["k"] >= 0
     assert offsets["v"] == -1
+
+
+def test_timestamp_time_travel_and_rollback(catalog):
+    import time
+
+    t = catalog.create_table("ttravel", schema={"a": "int"})
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot().snapshot_id
+    ts_after_s1 = t.metadata.snapshot_log[-1]["timestamp-ms"]
+    time.sleep(0.01)
+    t.append([{"a": 2}])
+    # timestamp travel: state as of the first commit
+    assert [r["a"] for r in t.to_a(as_of=ts_after_s1)] == [1]
+    assert sorted(r["a"] for r in t.to_a()) == [1, 2]
+    import pytest as _p
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with _p.raises(InvalidDataError):
+        t.to_a(as_of=ts_after_s1 - 1_000_000)  # before table creation
+    with _p.raises(InvalidDataError):
+        t.scan(snapshot_id=s1, as_of=ts_after_s1)  # mutually exclusive
+    # rollback: current state returns to s1; rolled-back snapshot stays
+    t.rollback_to_snapshot(s1)
+    assert [r["a"] for r in t.to_a()] == [1]
+    assert t.current_snapshot().snapshot_id == s1
+    # forward history still reachable by id until expired
+    later = [s.snapshot_id for s in t.snapshots if s.snapshot_id != s1]
+    assert sorted(r["a"] for r in t.to_a(snapshot_id=later[0])) == [1, 2]
+    # rollback_to_timestamp composes the two
+    t.append([{"a": 3}])
+    t.rollback_to_timestamp(ts_after_s1)
+    assert [r["a"] for r in t.to_a()] == [1]
