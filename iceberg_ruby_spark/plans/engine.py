@@ -415,3 +415,33 @@ def engine_changelog_scan(spark, sf_dir):
     t.compact()
     ch = t.changelog_scan(from_snapshot_id=s1)
     return ch.select("_change_type", *_ORDER_COLS)
+
+
+@query(
+    "engine_inspect_partitions",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS record_count
+    FROM orders WHERE o_orderkey < 2000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def engine_inspect_partitions(spark, sf_dir):
+    """inspect.partitions() (metadata-only, no data scan) must agree with
+    a real GROUP BY of the source — also pins the hash distribution mode
+    (one file per partition value)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_parts",
+        schema=_orders_schema(),
+        partition_spec=[{"source": "o_orderpriority", "transform": "identity"}],
+    )
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 2000))
+    parts = t.inspect.partitions()
+    return (
+        parts.select(
+            F.element_at(F.col("partition"), "o_orderpriority").alias("o_orderpriority"),
+            F.col("record_count"),
+        )
+        .orderBy("o_orderpriority")
+    )

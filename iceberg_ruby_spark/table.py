@@ -1034,6 +1034,13 @@ class Table:
         deletes = before.exceptAll(after).withColumn("_change_type", F.lit("delete"))
         return inserts.unionByName(deletes)
 
+    @property
+    def inspect(self) -> "TableInspect":
+        """Metadata tables as DataFrames: ``t.inspect.snapshots()``,
+        ``.history()``, ``.refs()``, ``.files()``, ``.delete_entries()``,
+        ``.partitions()`` — metadata-only, no data files opened."""
+        return TableInspect(self)
+
     def rollback_to_snapshot(self, snapshot_id: int) -> "Table":
         """Set the current table state back to an existing snapshot (no
         history rewrite — the rollback itself is a new snapshot-log entry,
@@ -2674,6 +2681,134 @@ def _promotable(old: ice_t.Type, new: ice_t.Type) -> bool:
     if isinstance(old, ice_t.DecimalType) and isinstance(new, ice_t.DecimalType):
         return new.scale == old.scale and new.precision >= old.precision
     return False
+
+
+class TableInspect:
+    """Metadata tables as DataFrames (the ``table.inspect.*`` surface of
+    modern Iceberg clients) — snapshots/history/refs/files/partitions,
+    built from table metadata only: no data files are opened, so every
+    view is O(manifest) however large the table."""
+
+    def __init__(self, table: "Table"):
+        self.table = table
+
+    def _df(self, rows: list[dict[str, Any]], ddl: str) -> DataFrame:
+        return self.table.spark.createDataFrame(rows, ddl)  # type: ignore[arg-type]
+
+    def snapshots(self) -> DataFrame:
+        rows = [
+            {
+                "committed_at": s.timestamp_ms,
+                "snapshot_id": s.snapshot_id,
+                "parent_id": s.parent_snapshot_id,
+                "operation": s.operation,
+                "manifest_list": s.manifest_list,
+                "summary": {k: str(v) for k, v in (s.summary or {}).items()},
+            }
+            for s in self.table.snapshots
+        ]
+        return self._df(
+            rows,
+            "committed_at long, snapshot_id long, parent_id long, "
+            "operation string, manifest_list string, summary map<string,string>",
+        )
+
+    def history(self) -> DataFrame:
+        current = self.table.current_snapshot_id
+        ancestors = set()
+        cur = self.table.current_snapshot()
+        while cur is not None:
+            ancestors.add(cur.snapshot_id)
+            cur = (
+                self.table.snapshot_by_id(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        rows = [
+            {
+                "made_current_at": e["timestamp-ms"],
+                "snapshot_id": e["snapshot-id"],
+                "is_current_ancestor": e["snapshot-id"] in ancestors,
+            }
+            for e in self.table.metadata.snapshot_log
+        ]
+        return self._df(
+            rows, "made_current_at long, snapshot_id long, is_current_ancestor boolean"
+        )
+
+    def refs(self) -> DataFrame:
+        rows = [
+            {"name": name, "type": r.get("type"), "snapshot_id": r.get("snapshot-id")}
+            for name, r in self.table.refs.items()
+        ]
+        return self._df(rows, "name string, type string, snapshot_id long")
+
+    def files(self) -> DataFrame:
+        entries = self.table._current_entries()
+        rows = [
+            {
+                "file_path": e["path"],
+                "record_count": e.get("record-count"),
+                "file_size_in_bytes": e.get("file-size-bytes"),
+                "schema_id": e.get("schema-id"),
+                "lower_bounds": {
+                    k: str(v) for k, v in (e.get("lower-bounds") or {}).items()
+                },
+                "upper_bounds": {
+                    k: str(v) for k, v in (e.get("upper-bounds") or {}).items()
+                },
+            }
+            for e in entries
+            if "path" in e
+        ]
+        return self._df(
+            rows,
+            "file_path string, record_count long, file_size_in_bytes long, "
+            "schema_id int, lower_bounds map<string,string>, "
+            "upper_bounds map<string,string>",
+        )
+
+    def delete_entries(self) -> DataFrame:
+        entries = self.table._current_entries()
+        rows = []
+        for e in entries:
+            if "delete-predicate" in e:
+                rows.append(
+                    {
+                        "kind": "predicate",
+                        "detail": e["delete-predicate"],
+                        "scope_files": len(e.get("applies-to") or []),
+                    }
+                )
+            elif "delete-file" in e:
+                rows.append(
+                    {
+                        "kind": e.get("content") or "position-deletes",
+                        "detail": e["delete-file"],
+                        "scope_files": len(e.get("applies-to") or []),
+                    }
+                )
+        return self._df(rows, "kind string, detail string, scope_files int")
+
+    def partitions(self) -> DataFrame:
+        """(partition, record_count, file_count) from manifest stats and
+        the files' name=value directory segments — no data scan."""
+        agg: dict[tuple, list[int]] = {}
+        for e in self.table._current_entries():
+            if "path" not in e:
+                continue
+            pvals = _parse_dir_partition_values(e["path"])
+            key = tuple(sorted(pvals.items()))
+            a = agg.setdefault(key, [0, 0])
+            a[0] += e.get("record-count") or 0
+            a[1] += 1
+        rows = [
+            {"partition": dict(k), "record_count": rc, "file_count": fc}
+            for k, (rc, fc) in agg.items()
+        ]
+        return self._df(
+            rows, "partition map<string,string>, record_count long, file_count long"
+        )
 
 
 class UpdateSchema:

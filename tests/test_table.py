@@ -337,3 +337,36 @@ def test_timestamp_time_travel_and_rollback(catalog):
     t.append([{"a": 3}])
     t.rollback_to_timestamp(ts_after_s1)
     assert [r["a"] for r in t.to_a()] == [1]
+
+
+def test_inspect_metadata_tables(catalog):
+    t = catalog.create_table(
+        "insp",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "identity"}],
+    )
+    t.append([{"k": i % 3, "v": f"x{i}"} for i in range(30)])
+    t.create_tag("v1", t.current_snapshot().snapshot_id)
+    t.append([{"k": 0, "v": "y"}])
+    t.delete_where("v = 'x0'", mode="merge-on-read")
+
+    snaps = t.inspect.snapshots().collect()
+    assert [r["operation"] for r in snaps] == ["append", "append", "delete"]
+    assert snaps[1]["parent_id"] == snaps[0]["snapshot_id"]
+
+    hist = t.inspect.history().collect()
+    assert [r["snapshot_id"] for r in hist] == [r["snapshot_id"] for r in snaps]
+    assert all(r["is_current_ancestor"] for r in hist)
+
+    refs = {r["name"]: r["snapshot_id"] for r in t.inspect.refs().collect()}
+    assert refs["v1"] == snaps[0]["snapshot_id"]
+
+    files = t.inspect.files().collect()
+    assert sum(r["record_count"] for r in files) == 31
+    assert all(r["file_size_in_bytes"] > 0 for r in files)
+
+    dels = t.inspect.delete_entries().collect()
+    assert len(dels) == 1 and dels[0]["kind"] == "predicate"
+
+    parts = {r["partition"]["k"]: r["record_count"] for r in t.inspect.partitions().collect()}
+    assert parts == {"0": 11, "1": 10, "2": 10}
