@@ -1070,6 +1070,57 @@ class Table:
             raise InvalidDataError(f"no snapshot exists as of {as_of!r}")
         return self.rollback_to_snapshot(snap.snapshot_id)
 
+    def fast_forward(self, branch: str, to: Union[str, int]) -> "Table":
+        """Fast-forward ``branch`` to ``to`` (a ref name or snapshot id).
+        The target must be a DESCENDANT of the branch's current head —
+        this only moves a pointer forward along an existing chain (e.g.
+        publishing after a rollback, or promoting an audit tag), never
+        rewrites. Iceberg's ``fast_forward`` management procedure."""
+        if isinstance(to, str):
+            target = self.snapshot_for_ref(to)
+            if target is None:
+                raise InvalidDataError(f"no such ref: {to}")
+        else:
+            target = self.snapshot_by_id(to)
+            if target is None:
+                raise InvalidDataError(f"no snapshot with id {to}")
+        target_id = target.snapshot_id
+
+        def mutate(raw: dict[str, Any]) -> None:
+            refs = dict(raw.get("refs", {}))
+            if branch == MAIN_BRANCH:
+                head = raw.get("current-snapshot-id")
+            else:
+                r = refs.get(branch)
+                if r is None:
+                    raise InvalidDataError(f"no such branch: {branch}")
+                if r.get("type") != "branch":
+                    raise InvalidDataError(f"not a branch: {branch}")
+                head = r.get("snapshot-id")
+            # descendant check: walk target's parents back to the head
+            by_id = {s["snapshot-id"]: s for s in raw.get("snapshots", [])}
+            cur = by_id.get(target_id)
+            while cur is not None and cur["snapshot-id"] != head:
+                cur = by_id.get(cur.get("parent-snapshot-id"))
+            if head is not None and cur is None:
+                raise InvalidDataError(
+                    f"cannot fast-forward {branch}: snapshot {target_id} is "
+                    f"not a descendant of its head {head}"
+                )
+            if branch == MAIN_BRANCH:
+                raw["current-snapshot-id"] = target_id
+                raw["snapshot-log"] = raw.get("snapshot-log", []) + [
+                    {"snapshot-id": target_id, "timestamp-ms": _now_ms()}
+                ]
+                if MAIN_BRANCH in refs:
+                    refs[MAIN_BRANCH] = {**refs[MAIN_BRANCH], "snapshot-id": target_id}
+            else:
+                refs[branch] = {**refs[branch], "snapshot-id": target_id}
+            raw["refs"] = refs
+
+        self._metadata_update(mutate)
+        return self
+
     def snapshot_as_of(self, timestamp_ms: int) -> Optional["Snapshot"]:
         """Latest snapshot current at ``timestamp_ms`` (epoch millis), from
         the snapshot log — Iceberg's timestamp time travel resolution."""
@@ -2999,6 +3050,25 @@ class TableScan:
     def limit(self, n: int) -> "TableScan":
         self._limit = n
         return self
+
+    def count(self) -> int:
+        """Row count.  With no filters and no merge-on-read deletes in the
+        snapshot this is a pure metadata answer — the sum of manifest
+        record counts, zero data files opened (what a 100 TB ``SELECT
+        COUNT(*)`` should cost).  Any filter or outstanding delete entry
+        falls back to executing the scan."""
+        snap = self.snapshot()
+        if snap is None:
+            return 0
+        if not self._filters and self._limit is None:
+            entries = self.table.ops.read_manifest(snap.manifest_list)
+            data, mor = Table._split_entries(entries)
+            if not mor and all(
+                "path" in e and e.get("record-count") is not None for e in data
+            ):
+                return sum(e["record-count"] for e in data)
+        n = self.to_df().count()
+        return min(n, self._limit) if self._limit is not None else n
 
     def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Drop files whose commit-time column bounds prove the scan's

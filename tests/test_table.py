@@ -370,3 +370,40 @@ def test_inspect_metadata_tables(catalog):
 
     parts = {r["partition"]["k"]: r["record_count"] for r in t.inspect.partitions().collect()}
     assert parts == {"0": 11, "1": 10, "2": 10}
+
+
+def test_scan_count_metadata_only(catalog):
+    t = catalog.create_table("cnt", schema={"a": "int"})
+    t.append([{"a": i} for i in range(500)])
+    t.append([{"a": i} for i in range(100)])
+    assert t.scan().count() == 600          # manifest-stats path
+    assert t.scan().filter("a < 10").count() == 20  # falls back to scan
+    t.delete_where("a = 0", mode="merge-on-read")   # MoR entry → fallback
+    assert t.scan().count() == 598
+    assert t.scan().limit(5).count() == 5
+
+
+def test_fast_forward(catalog):
+    import pytest as _p
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("ffwd", schema={"a": "int"})
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"a": 2}])
+    s2 = t.current_snapshot().snapshot_id
+    # rollback then publish forward again (the un-rollback flow)
+    t.rollback_to_snapshot(s1)
+    assert [r["a"] for r in t.to_a()] == [1]
+    t.fast_forward("main", s2)
+    assert sorted(r["a"] for r in t.to_a()) == [1, 2]
+    # branch fast-forward along the chain
+    t.create_branch("audit", s1)
+    t.fast_forward("audit", s2)
+    assert t.snapshot_for_ref("audit").snapshot_id == s2
+    # non-descendant target refuses
+    t.rollback_to_snapshot(s1)
+    t.append([{"a": 3}])  # diverged head
+    with _p.raises(InvalidDataError):
+        t.fast_forward("main", s2)
