@@ -271,3 +271,37 @@ def test_changelog_scan(catalog):
     assert len([r for r in all_ch if r["_change_type"] == "insert"]) == 4
     # empty window
     assert t.changelog_scan(from_snapshot_id=t.current_snapshot().snapshot_id).count() == 0
+
+
+def test_changelog_replay_property(catalog):
+    """Replay invariant over randomized op sequences: for any window,
+    multiset(start) + inserts - deletes == multiset(end)."""
+    import random
+    from collections import Counter
+
+    rng = random.Random(42)
+    for trial in range(3):
+        t = catalog.create_table(f"cdcprop{trial}", schema={"k": "int", "v": "int"})
+        t.append([{"k": i, "v": 0} for i in range(20)])
+        s0 = t.current_snapshot().snapshot_id
+        start = Counter((r["k"], r["v"]) for r in t.to_a())
+        for _ in range(4):
+            op = rng.choice(["append", "del_cow", "del_mor", "update", "compact"])
+            if op == "append":
+                base = rng.randrange(100, 1000)
+                t.append([{"k": base + i, "v": trial} for i in range(3)])
+            elif op == "del_cow":
+                t.delete_where(f"k % 7 = {rng.randrange(7)}")
+            elif op == "del_mor":
+                t.delete_where(f"k % 5 = {rng.randrange(5)}", mode="merge-on-read")
+            elif op == "update":
+                t.update_where({"v": "v + 1"}, f"k % 3 = {rng.randrange(3)}")
+            else:
+                t.compact()
+        final = Counter((r["k"], r["v"]) for r in t.to_a())
+        ch = t.changelog_scan(from_snapshot_id=s0).collect()
+        replayed = Counter(start)
+        replayed.update((r["k"], r["v"]) for r in ch if r["_change_type"] == "insert")
+        replayed.subtract((r["k"], r["v"]) for r in ch if r["_change_type"] == "delete")
+        replayed = +replayed  # drop zero counts
+        assert replayed == final, f"trial {trial}: replay mismatch"
