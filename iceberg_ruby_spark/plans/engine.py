@@ -445,3 +445,36 @@ def engine_inspect_partitions(spark, sf_dir):
         )
         .orderBy("o_orderpriority")
     )
+
+
+@query(
+    "engine_bucket_point_lookup",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey IN (137, 1042, 1899) AND o_orderkey < 2000
+    """,
+)
+def engine_bucket_point_lookup(spark, sf_dir):
+    """Point lookups on a bucket-partitioned table: the scan plans only
+    the matching bucket's files (hidden-partition pruning through the
+    spec Murmur3 transform — 1 of 8 files per key), and the result must
+    still match the raw-parquet oracle exactly."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_bucketed",
+        schema=_orders_schema(),
+        partition_spec=[{"source": "o_orderkey", "transform": "bucket[8]"}],
+    )
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 2000))
+    total = len(t.scan().plan_files())
+    parts = [
+        t.scan().filter(f"o_orderkey = {k}").to_df() for k in (137, 1042, 1899)
+    ]
+    # each single-key scan must have planned a strict subset of the files
+    for k in (137, 1042, 1899):
+        assert len(t.scan().filter(f"o_orderkey = {k}").plan_files()) < total
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(*_ORDER_COLS)
