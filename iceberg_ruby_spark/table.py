@@ -1702,6 +1702,7 @@ class Table:
         summary_extra: Optional[dict] = None,
         mode: str = "replace",
         base_snapshot_id: Optional[int] = None,
+        branch: str = MAIN_BRANCH,
     ) -> None:
         """Optimistic commit.  ``mode='append'`` treats ``entries`` as a
         *delta* merged with the live manifest **re-read on every retry** —
@@ -1715,8 +1716,17 @@ class Table:
         silently resurrecting or dropping rows."""
         for attempt in range(self._commit_retries() + 1):
             meta = self.ops.load()
+            if branch == MAIN_BRANCH:
+                head = meta.current_snapshot_id
+            else:
+                # branch commit (write-audit-publish): parent is the branch
+                # head; a missing branch forks implicitly from main's head
+                r = meta.refs.get(branch)
+                if r is not None and r.get("type") != "branch":
+                    raise InvalidDataError(f"not a branch: {branch}")
+                head = r["snapshot-id"] if r else meta.current_snapshot_id
             if mode == "append":
-                cur = meta.current_snapshot_id
+                cur = head
                 base_entries: list[dict[str, Any]] = []
                 if cur is not None:
                     for s in meta.snapshots:
@@ -1727,7 +1737,7 @@ class Table:
                 added_rows = self._entries_rowcount(entries)  # delta only
             else:
                 all_entries = entries
-                cur = meta.current_snapshot_id
+                cur = head
                 # next-row-id advances by rows in files ADDED relative to the
                 # parent snapshot (Iceberg v3 row-lineage accounting) — not
                 # by the whole replacement manifest, which double-counts
@@ -1791,7 +1801,7 @@ class Table:
             snapshot_id = _new_snapshot_id()
             manifest = self.ops.write_manifest(snapshot_id, all_entries)
             now = _now_ms()
-            parent = meta.current_snapshot_id
+            parent = head
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_snapshot_id=parent,
@@ -1803,18 +1813,22 @@ class Table:
             )
             raw = dict(meta.raw)
             raw["snapshots"] = meta.raw.get("snapshots", []) + [snap.to_json()]
-            raw["current-snapshot-id"] = snapshot_id
             raw["last-sequence-number"] = snap.sequence_number
             raw["last-updated-ms"] = now
-            raw["snapshot-log"] = meta.snapshot_log + [
-                {"snapshot-id": snapshot_id, "timestamp-ms": now}
-            ]
             raw["metadata-log"] = meta.metadata_log + [
                 {"metadata-file": meta.metadata_file, "timestamp-ms": meta.last_updated_ms}
             ]
             refs = dict(meta.refs)
-            refs[MAIN_BRANCH] = {"snapshot-id": snapshot_id, "type": "branch"}
+            refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
             raw["refs"] = refs
+            if branch == MAIN_BRANCH:
+                # only a main commit moves the table's current state; branch
+                # commits become visible through scan(ref=...) and publish
+                # via fast_forward
+                raw["current-snapshot-id"] = snapshot_id
+                raw["snapshot-log"] = meta.snapshot_log + [
+                    {"snapshot-id": snapshot_id, "timestamp-ms": now}
+                ]
             raw["next-row-id"] = meta.next_row_id + added_rows
             try:
                 self.metadata = self.ops.commit(meta.version, raw)
@@ -1830,15 +1844,27 @@ class Table:
             return []
         return self.ops.read_manifest(snap.manifest_list)
 
-    def append(self, data: Any) -> "Table":
+    def append(self, data: Any, branch: Optional[str] = None) -> "Table":
         """Fast-append: write new files, commit a child snapshot (reference
         ``table.rb:161-166`` / ``table.rs:62-125``).  Only the delta entries
-        go to the commit loop; the live manifest is re-read per retry."""
+        go to the commit loop; the live manifest is re-read per retry.
+
+        ``branch`` targets a branch head instead of main (write-audit-
+        publish): the append is visible via ``scan(ref=branch)`` but does
+        NOT move the table's current state until ``fast_forward("main",
+        branch)`` publishes it.  A missing branch forks implicitly from
+        main's head."""
         self._check_writable()
         df = self._normalize_input(data)
         new_entries = self._write_data_dir(df)
         n = self._entries_rowcount(new_entries)
-        self._commit_snapshot("append", new_entries, {"added-records": n}, mode="append")
+        self._commit_snapshot(
+            "append",
+            new_entries,
+            {"added-records": n},
+            mode="append",
+            branch=branch or MAIN_BRANCH,
+        )
         return self
 
     def add_files(self, source: Union[str, list[str]]) -> int:

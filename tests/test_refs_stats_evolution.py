@@ -274,3 +274,26 @@ def test_rename_blocked_by_outstanding_mor_predicate(catalog):
     t.update_schema().rename_column("amount", "total").commit()
     t = t.refresh()
     assert sorted(r["total"] for r in t.to_a()) == list(range(6))
+
+
+def test_write_audit_publish(catalog):
+    """WAP: append to a branch, audit via ref scan, publish with
+    fast_forward — main's state never moves until publish."""
+    t = catalog.create_table("wap", schema={"a": "int"})
+    t.append([{"a": 1}])
+    main_before = t.current_snapshot().snapshot_id
+    t.append([{"a": 2}], branch="audit")
+    # main unchanged; branch sees both rows
+    assert [r["a"] for r in t.to_a()] == [1]
+    assert t.current_snapshot().snapshot_id == main_before
+    assert sorted(r["a"] for r in t.to_a(ref="audit")) == [1, 2]
+    # second staged append chains on the branch
+    t.append([{"a": 3}], branch="audit")
+    assert sorted(r["a"] for r in t.to_a(ref="audit")) == [1, 2, 3]
+    assert [r["a"] for r in t.to_a()] == [1]
+    # publish
+    t.fast_forward("main", "audit")
+    assert sorted(r["a"] for r in t.to_a()) == [1, 2, 3]
+    # incremental consumers see the published rows as appends
+    inc = t.incremental_scan(from_snapshot_id=main_before)
+    assert sorted(r["a"] for r in inc.collect()) == [2, 3]
