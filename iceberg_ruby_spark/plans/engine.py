@@ -478,3 +478,29 @@ def engine_bucket_point_lookup(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select(*_ORDER_COLS)
+
+
+@query(
+    "engine_wap_publish",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders WHERE o_orderkey < 1500
+    """,
+)
+def engine_wap_publish(spark, sf_dir):
+    """Write-audit-publish: stage an append on a branch (main unmoved),
+    audit via ref scan, publish with fast_forward — final state must
+    equal the oracle exactly."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_wap", schema=_orders_schema())
+    orders = load(spark, sf_dir, "orders")
+    t.append(orders.filter(F.col("o_orderkey") < 1000))
+    main_before = t.current_snapshot_id
+    t.append(
+        orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1500)),
+        branch="audit",
+    )
+    assert t.current_snapshot_id == main_before  # staging moved nothing
+    audit_count = t.scan(ref="audit").count()
+    assert audit_count > t.scan().count()
+    t.fast_forward("main", "audit")
+    return t.to_df()
