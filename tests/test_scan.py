@@ -305,3 +305,49 @@ def test_changelog_replay_property(catalog):
         replayed.subtract((r["k"], r["v"]) for r in ch if r["_change_type"] == "delete")
         replayed = +replayed  # drop zero counts
         assert replayed == final, f"trial {trial}: replay mismatch"
+
+
+def test_partition_pruning_never_drops_rows(catalog):
+    """Randomized equivalence: for bucket/truncate/day layouts and random
+    predicates, the pruned scan returns exactly the rows a full-table
+    filter returns — pruning may only skip files it can PROVE empty."""
+    import datetime as dt
+    import random
+
+    rng = random.Random(7)
+    t_bucket = catalog.create_table(
+        "prop_bucket", schema={"k": "long", "v": "int"},
+        partition_spec=[{"source": "k", "transform": "bucket[4]"}],
+    )
+    t_trunc = catalog.create_table(
+        "prop_trunc", schema={"k": "long", "v": "int"},
+        partition_spec=[{"source": "k", "transform": "truncate[50]"}],
+    )
+    t_day = catalog.create_table(
+        "prop_day", schema={"ts": "timestamp", "v": "int"},
+        partition_spec=[{"source": "ts", "transform": "day"}],
+    )
+    rows = [{"k": rng.randrange(0, 300), "v": i} for i in range(300)]
+    t_bucket.append(rows)
+    t_trunc.append(rows)
+    t_day.append(
+        [
+            {"ts": dt.datetime(2024, 1, 1 + rng.randrange(5), rng.randrange(24)), "v": i}
+            for i in range(300)
+        ]
+    )
+    ops = ["=", "<", "<=", ">", ">=", "!="]
+    for _ in range(12):
+        k = rng.randrange(0, 300)
+        pred = f"k {rng.choice(ops)} {k}"
+        for t in (t_bucket, t_trunc):
+            got = sorted(r["v"] for r in t.scan().filter(pred).to_df().collect())
+            want = sorted(r["v"] for r in t.to_df().filter(pred).collect())
+            assert got == want, f"{t.identifier}: {pred}"
+    for _ in range(8):
+        d = 1 + rng.randrange(5)
+        h = rng.randrange(24)
+        pred = f"ts {rng.choice(ops)} '2024-01-0{d} {h:02d}:00:00'"
+        got = sorted(r["v"] for r in t_day.scan().filter(pred).to_df().collect())
+        want = sorted(r["v"] for r in t_day.to_df().filter(pred).collect())
+        assert got == want, pred
