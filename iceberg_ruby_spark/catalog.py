@@ -485,6 +485,7 @@ class Catalog:
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
         self._register_views()
+        query = self._rewrite_time_travel(query)
         args: dict[str, Any] = {}
         if params:
             used = {int(m) for m in self._PARAM_RE.findall(query)}
@@ -501,6 +502,31 @@ class Catalog:
                 f"projections require unique expression names: duplicate {sorted(dup)}"
             )
         return Result(df)
+
+    _TRAVEL_RE = re.compile(
+        r"\b([\w.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)",
+        re.IGNORECASE,
+    )
+
+    def _rewrite_time_travel(self, query: str) -> str:
+        """``t VERSION AS OF <id>`` / ``t TIMESTAMP AS OF '<ts>'`` → a
+        dedicated temp view pinned to that snapshot (Spark's own syntax
+        only works for DSv2 tables, not temp views)."""
+
+        def sub(m: re.Match) -> str:
+            name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            tbl = self.load_table(self._sql_table_ident(name))
+            if kind == "VERSION":
+                df = tbl.to_df(snapshot_id=int(lit))
+                view = f"{name.replace('.', '_')}__v{lit}"
+            else:
+                ts = lit[1:-1].replace("''", "'")
+                df = tbl.to_df(as_of=ts)
+                view = f"{name.replace('.', '_')}__t{abs(hash(ts))}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._TRAVEL_RE.sub(sub, query)
 
     def _sql_table_ident(self, name: str) -> list[str]:
         parts = name.split(".")

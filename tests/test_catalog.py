@@ -276,3 +276,25 @@ def test_sql_merge_into(catalog):
     )
     rows = {tuple(r) for r in catalog.sql("SELECT k, v FROM mt").rows}
     assert rows == {(1, "z"), (2, "B"), (3, "c")}
+
+
+def test_sql_time_travel(catalog):
+    catalog.sql("CREATE TABLE tt (a INT)")
+    catalog.sql("INSERT INTO tt VALUES (1)")
+    t = catalog.load_table("tt")
+    s1 = t.current_snapshot().snapshot_id
+    ts1 = t.metadata.snapshot_log[-1]["timestamp-ms"]
+    import datetime as dt
+
+    iso = dt.datetime.fromtimestamp(ts1 / 1000, dt.timezone.utc).strftime(
+        "%Y-%m-%d %H:%M:%S.%f"
+    )
+    catalog.sql("INSERT INTO tt VALUES (2)")
+    assert sorted(r[0] for r in catalog.sql("SELECT a FROM tt").rows) == [1, 2]
+    assert catalog.sql(f"SELECT a FROM tt VERSION AS OF {s1}").rows == [[1]]
+    assert catalog.sql(f"SELECT a FROM tt TIMESTAMP AS OF '{iso}'").rows == [[1]]
+    # composes inside a larger query
+    n = catalog.sql(
+        f"SELECT COUNT(*) AS n FROM tt x JOIN tt VERSION AS OF {s1} y ON x.a = y.a"
+    ).rows[0][0]
+    assert n == 1
