@@ -1802,6 +1802,18 @@ class Table:
             manifest = self.ops.write_manifest(snapshot_id, all_entries)
             now = _now_ms()
             parent = head
+            data_entries = [e for e in all_entries if "path" in e]
+            counters = {
+                # Iceberg snapshot-summary counters (metadata-only totals)
+                "added-data-files": str(
+                    len([e for e in entries if "path" in e])
+                    if mode == "append"
+                    else len(data_entries)
+                ),
+                "total-data-files": str(len(data_entries)),
+                "total-records": str(self._entries_rowcount(data_entries)),
+                "total-delete-entries": str(len(all_entries) - len(data_entries)),
+            }
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_snapshot_id=parent,
@@ -1809,7 +1821,7 @@ class Table:
                 timestamp_ms=now,
                 manifest_list=manifest,
                 schema_id=meta.current_schema_id,
-                summary={"operation": operation, **(summary_extra or {})},
+                summary={"operation": operation, **counters, **(summary_extra or {})},
             )
             raw = dict(meta.raw)
             raw["snapshots"] = meta.raw.get("snapshots", []) + [snap.to_json()]

@@ -407,3 +407,20 @@ def test_fast_forward(catalog):
     t.append([{"a": 3}])  # diverged head
     with _p.raises(InvalidDataError):
         t.fast_forward("main", s2)
+
+
+def test_snapshot_summary_counters(catalog):
+    t = catalog.create_table("summ", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    s = t.current_snapshot().summary
+    assert s["operation"] == "append"
+    assert s["added-records"] == 10
+    assert s["total-records"] == "10"
+    t.append([{"a": 99}])
+    s = t.current_snapshot().summary
+    assert s["total-records"] == "11"
+    assert int(s["total-data-files"]) >= 1
+    t.delete_where("a < 5", mode="merge-on-read")
+    s = t.current_snapshot().summary
+    assert s["total-delete-entries"] == "1"
+    assert s["total-records"] == "11"  # data-file records; MoR entry separate
