@@ -38,6 +38,7 @@ from iceberg_ruby_spark.operators.similarity import (
 )
 from iceberg_ruby_spark.operators.text import (
     add_text_stats,
+    chunk_documents,
     fingerprint,
     language_id,
     quality_score,
@@ -70,6 +71,7 @@ __all__ = [
     "lsh_ann_topk",
     "vector_norms",
     "add_text_stats",
+    "chunk_documents",
     "fingerprint",
     "language_id",
     "quality_score",
