@@ -509,16 +509,26 @@ class Catalog:
     )
 
     def _rewrite_time_travel(self, query: str) -> str:
-        """``t VERSION AS OF <id>`` / ``t TIMESTAMP AS OF '<ts>'`` → a
+        """``t VERSION AS OF <id|'ref'>`` / ``t TIMESTAMP AS OF '<ts>'`` → a
         dedicated temp view pinned to that snapshot (Spark's own syntax
-        only works for DSv2 tables, not temp views)."""
+        only works for DSv2 tables, not temp views).  A quoted VERSION
+        literal names a branch/tag (Iceberg SQL allows both).  Matches that
+        start inside a string literal are left untouched."""
+        lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", query)]
 
         def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in lit_spans):
+                return m.group(0)
             name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
             tbl = self.load_table(self._sql_table_ident(name))
             if kind == "VERSION":
-                df = tbl.to_df(snapshot_id=int(lit))
-                view = f"{name.replace('.', '_')}__v{lit}"
+                if lit.startswith("'"):
+                    ref = lit[1:-1].replace("''", "'")
+                    df = tbl.to_df(ref=ref)
+                    view = f"{name.replace('.', '_')}__r{abs(hash(ref))}"
+                else:
+                    df = tbl.to_df(snapshot_id=int(lit))
+                    view = f"{name.replace('.', '_')}__v{lit}"
             else:
                 ts = lit[1:-1].replace("''", "'")
                 df = tbl.to_df(as_of=ts)

@@ -1142,7 +1142,8 @@ def stat_aggs(spark, sf_dir):
     "higher_order_array",
     oracle="""
     SELECT p_partkey,
-           list_transform(string_split(p_name, ' '), w -> length(w)) AS word_lens,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> length(w)), ',') AS word_lens,
            len(list_filter(string_split(p_name, ' '), w -> length(w) > 4)) AS n_long,
            list_reduce(list_transform(string_split(p_name, ' '), w -> length(w)),
                        (a, b) -> a + b) AS total_chars
@@ -1151,13 +1152,18 @@ def stat_aggs(spark, sf_dir):
 )
 def higher_order_array(spark, sf_dir):
     """Higher-order array functions: transform / filter / aggregate stay
-    JVM-side (no Python) — the 100 TB-safe way to work on array columns."""
+    JVM-side (no Python) — the 100 TB-safe way to work on array columns.
+
+    The per-word length array is serialized to a comma-joined string on
+    BOTH sides (Spark array_join / DuckDB array_to_string): raw array
+    cells are unhashable in the driver's pandas canonicalizer, and the
+    serialized form compares identically across engines."""
     p = load(spark, sf_dir, "part").filter(F.col("p_partkey") <= 200)
     words = F.split("p_name", " ")
     lens = F.transform(words, lambda w: F.length(w))
     return p.select(
         "p_partkey",
-        lens.alias("word_lens"),
+        F.array_join(lens.cast("array<string>"), ",").alias("word_lens"),
         F.size(F.filter(words, lambda w: F.length(w) > 4)).alias("n_long"),
         F.aggregate(lens, F.lit(0), lambda a, b: a + b).alias("total_chars"),
     )

@@ -1,8 +1,21 @@
-"""REST catalog backend — the Apache Iceberg REST catalog protocol
-(public spec: ``rest-catalog-open-api.yaml``) over the existing
-Catalog/FileIO seam, matching the reference's REST backend surface
-(``lib/iceberg/rest_catalog.rb:2-11``: uri, warehouse, properties,
-default_namespace; option passthrough ``ext/iceberg/src/catalog.rs:130-152``).
+"""REST catalog backend — an HTTP catalog registry whose URL layout,
+auth modes, and namespace/table endpoints follow the Apache Iceberg REST
+catalog spec (``rest-catalog-open-api.yaml``), matching the reference's
+REST backend surface (``lib/iceberg/rest_catalog.rb:2-11``: uri,
+warehouse, properties, default_namespace; option passthrough
+``ext/iceberg/src/catalog.rs:130-152``).
+
+**Protocol honesty:** the *commit* exchange is a simplified stub protocol,
+not the spec's. Spec commits send granular metadata updates
+(``add-snapshot`` / ``set-snapshot-ref``) with requirements like
+``assert-ref-snapshot-id``; this backend sends the whole metadata document
+with an invented ``assert-table-version`` CAS requirement that only the
+in-repo stub server (tests/support/rest_server.py) understands. It will
+NOT interoperate with real REST catalogs (iceberg-rest-fixture, Polaris)
+— that additionally requires spec Avro manifests and spec table-metadata
+JSON, tracked as the Avro-interop work item. The registry split below
+(identities + current-metadata pointer on the server, data/manifests on
+storage via FileIO) does mirror how iceberg-rust's RestCatalog works.
 
 Split of responsibilities, mirroring how iceberg-rust's RestCatalog works:
 
@@ -190,9 +203,11 @@ class RestTableOps:
 
     def commit(self, base_version: Optional[int], new_meta: dict[str, Any]):
         """CAS through the server: create on first commit, else an update
-        with an assert-table-version requirement.  409 → FileExistsError so
-        the optimistic retry loops in table.py treat server conflicts
-        exactly like filesystem version-file races."""
+        with an ``assert-table-version`` requirement (stub protocol — the
+        Iceberg REST spec uses ``assert-ref-snapshot-id`` + granular
+        updates; see the module docstring).  409 → FileExistsError so the
+        optimistic retry loops in table.py treat server conflicts exactly
+        like filesystem version-file races."""
         from iceberg_ruby_spark.table import TableMetadata
 
         new_version = (base_version or 0) + 1

@@ -1563,12 +1563,19 @@ class Table:
             # next to the data they delete from, so broadcast them — the
             # distributed analog of Iceberg readers merging sorted position
             # lists per file
+            # stored file_path is relative to the table location (rename-
+            # safe); pre-fix delete files hold absolute paths — keep those
+            loc = os.path.abspath(self.ops.location)
+            fp = F.col("file_path")
+            abs_fp = F.when(fp.startswith(os.sep), fp).otherwise(
+                F.concat(F.lit(loc + os.sep), fp)
+            )
             del_df = (
                 self.spark.read.parquet(
                     *[self.ops._abs(e["delete-file"]) for e in pos_files]
                 )
                 .select(
-                    F.col("file_path").alias(path_name),
+                    abs_fp.alias(path_name),
                     F.col("pos").alias(pos_name),
                 )
             )
@@ -1803,13 +1810,22 @@ class Table:
             now = _now_ms()
             parent = head
             data_entries = [e for e in all_entries if "path" in e]
+            if mode == "append":
+                added_files = len([e for e in entries if "path" in e])
+            else:
+                # only files NEW relative to the parent count as added —
+                # carried-forward files in a file-pruned CoW rewrite don't
+                # (same delta set next-row-id uses; Iceberg summary semantics)
+                added_files = len(
+                    [
+                        e
+                        for e in entries
+                        if "path" in e and e["path"] not in parent_paths
+                    ]
+                )
             counters = {
                 # Iceberg snapshot-summary counters (metadata-only totals)
-                "added-data-files": str(
-                    len([e for e in entries if "path" in e])
-                    if mode == "append"
-                    else len(data_entries)
-                ),
+                "added-data-files": str(added_files),
                 "total-data-files": str(len(data_entries)),
                 "total-records": str(self._entries_rowcount(data_entries)),
                 "total-delete-entries": str(len(all_entries) - len(data_entries)),
@@ -1952,8 +1968,17 @@ class Table:
             # applied so already-dead rows are not re-deleted (keeps the
             # returned count an honest delta)
             live = self._read_entries(entries, file_col="__f", pos_col="__p")
+            # store file_path RELATIVE to the table location (like every
+            # manifest path) so positional deletes survive rename_table /
+            # register_table moving the table tree; absolutized on read
+            loc_prefix = os.path.abspath(self.ops.location) + os.sep
+            fp = F.col("__f")
+            rel_fp = F.when(
+                fp.startswith(loc_prefix),
+                fp.substr(F.lit(len(loc_prefix) + 1), F.length(fp)),
+            ).otherwise(fp)
             hits = live.filter(cond).select(
-                F.col("__f").alias("file_path"), F.col("__p").alias("pos")
+                rel_fp.alias("file_path"), F.col("__p").alias("pos")
             )
             del_dir = os.path.join(
                 self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"

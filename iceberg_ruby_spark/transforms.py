@@ -410,7 +410,10 @@ class HourTransform(_TemporalTransform):
     preserves_order = True
 
     def __call__(self, col: Column) -> Column:
-        return (F.unix_timestamp(col) / 3600).cast("long")
+        # floor, not cast-truncation: pre-1970 timestamps must round toward
+        # -inf so the directory value agrees with scalar()'s // mirror —
+        # otherwise pruning can skip a file that contains matching rows
+        return F.floor(F.unix_timestamp(col) / 3600).cast("long")
 
     def scalar(self, value, source_type=None):
         import datetime as _dt
@@ -418,7 +421,8 @@ class HourTransform(_TemporalTransform):
         if isinstance(value, _dt.datetime):
             # sessions are pinned to UTC (session.py/tables.load), so the
             # column-side unix_timestamp and this mirror agree
-            return int(value.replace(tzinfo=_dt.timezone.utc).timestamp()) // 3600
+            ts = value.replace(tzinfo=_dt.timezone.utc).timestamp()
+            return int(ts // 3600)
         return None
 
     def validate_source(self, source_type: ice_t.Type) -> None:

@@ -298,3 +298,18 @@ def test_sql_time_travel(catalog):
         f"SELECT COUNT(*) AS n FROM tt x JOIN tt VERSION AS OF {s1} y ON x.a = y.a"
     ).rows[0][0]
     assert n == 1
+
+
+def test_sql_version_as_of_quoted_ref(catalog):
+    """VERSION AS OF accepts a quoted branch/tag name (Iceberg SQL), and
+    the rewriter must not touch time-travel-looking text inside string
+    literals (round-3 advisory)."""
+    catalog.sql("CREATE TABLE ttr (a INT)")
+    catalog.sql("INSERT INTO ttr VALUES (1)")
+    t = catalog.load_table("ttr")
+    t.create_tag("v1", t.current_snapshot_id)
+    catalog.sql("INSERT INTO ttr VALUES (2)")
+    assert catalog.sql("SELECT a FROM ttr VERSION AS OF 'v1'").rows == [[1]]
+    # inside a string literal: no rewrite, the literal comes back verbatim
+    lit = catalog.sql("SELECT 'ttr VERSION AS OF 99' AS s").rows
+    assert lit == [["ttr VERSION AS OF 99"]]

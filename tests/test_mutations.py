@@ -401,3 +401,38 @@ def test_compact_zorder_validates_columns(catalog):
         t.compact(zorder=["missing"])
     with pytest.raises(InvalidDataError):
         t.compact(zorder=["a"] * 5)
+
+
+# -- round-4 advisory regressions ------------------------------------------
+
+
+def test_positional_mor_delete_survives_rename(catalog):
+    """Positional delete files store file_path relative to the table
+    location, so rename_table's physical move cannot resurrect deleted
+    rows (round-3 advisory)."""
+    t = catalog.create_table("morp_mv", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    assert t.delete_where("a >= 7", mode="merge-on-read-positional") == 3
+    catalog.rename_table("morp_mv", "morp_mv2")
+    t2 = catalog.load_table("morp_mv2")
+    assert sorted(r["a"] for r in t2.to_a()) == list(range(7))
+    # deletes written at the new location compose with the moved ones
+    assert t2.delete_where("a >= 5", mode="merge-on-read-positional") == 2
+    assert sorted(r["a"] for r in t2.to_a()) == list(range(5))
+
+
+def test_cow_delete_counts_only_new_files_as_added(catalog):
+    """A file-pruned CoW delete carries untouched files forward by
+    reference; snapshot summary 'added-data-files' must count only the
+    rewritten file(s), not the carried-forward set (round-3 advisory)."""
+    t = catalog.create_table("cnt", schema={"a": "int"})
+    for batch in range(4):
+        t.append([{"a": batch * 10 + i} for i in range(10)])
+    before = _live_files(t)
+    t.delete_where("a = 5")  # hits exactly one file
+    after = _live_files(t)
+    summary = t.current_snapshot().summary
+    assert int(summary["total-data-files"]) == len(after)
+    # added = files NEW relative to the parent, not the carried-forward set
+    assert int(summary["added-data-files"]) == len(after - before)
+    assert len(after - before) < len(after)  # some files were carried

@@ -219,3 +219,19 @@ def test_bucket_udf_paths_match_bucket_value(catalog):
         assert r["bts"] == b.bucket_value(r["ts"], ice_types.TimestampType())
         assert r["bs"] == b.bucket_value(r["s"], ice_types.StringType())
         assert r["bdec"] == b.bucket_value(r["dec"], ice_types.DecimalType(9, 2))
+
+
+def test_hour_transform_floors_pre_epoch(spark):
+    """Column side must floor (round toward -inf) like scalar() does, or
+    pre-1970 values partition into the wrong hour and pruning can skip
+    files that contain matching rows (round-3 advisory)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    h = tr.HourTransform()
+    ts = dt.datetime(1969, 12, 31, 23, 30)  # epoch -1800 s
+    assert h.scalar(ts) == -1
+    df = spark.createDataFrame([(ts,), (dt.datetime(1970, 1, 1, 0, 30),)], "ts timestamp")
+    vals = [r["h"] for r in df.select(h(F.col("ts")).alias("h")).collect()]
+    assert sorted(vals) == [-1, 0]
