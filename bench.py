@@ -39,8 +39,11 @@ def main() -> None:
     # cache carries over; a cluster job amortizes this the same way.
     warm_dir = "/root/testdata/sf0.001"
     warm_dir = warm_dir if os.path.isdir(warm_dir) else sf_dir
+    warmup: dict[str, float] = {}
     for name in BENCH_SET:
+        t0 = time.perf_counter()
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+        warmup[name] = round(time.perf_counter() - t0, 3)
     # warmup persists live on tiny warm-tier data; clear them so timed runs
     # build their own caches and nothing cross-pollinates
     spark.catalog.clearCache()
@@ -54,6 +57,7 @@ def main() -> None:
         print(f"# {name}: {timings[name]}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    warmup_total = round(sum(warmup.values()), 3)
     print(
         json.dumps(
             {
@@ -62,6 +66,12 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "", 1).isdigit() else sf,
+                # one-time-compile accounting so round-over-round deltas are
+                # methodology-comparable in both directions: warmup_sec is
+                # the untimed sf0.001 compile pass; cold_total approximates
+                # a no-warmup run (compile cost + steady-state throughput)
+                "warmup_sec": warmup_total,
+                "cold_total": round(total + warmup_total, 3),
             }
         ),
         flush=True,

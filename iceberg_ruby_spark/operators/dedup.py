@@ -202,33 +202,44 @@ def minhash_lsh_pairs(
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash + banded LSH.
 
-    1. signatures (one shuffle);
-    2. explode ``bands`` band-hashes, self-join on (band, hash) → candidate
-       pairs — the only pair enumeration, and it is bucket-local;
-    3. exact Jaccard verification **of candidates only**, via a shingle
-       join (|A∩B| from matching shingles, |A∪B| = |A|+|B|−|A∩B|).
+    1. signatures (one shuffle, map-side partial aggregation — only the
+       compact k-long sketch per doc reaches the exchange);
+    2. explode ``bands`` band-hashes WITH the signature carried alongside,
+       self-join on the band hash → candidate pairs — the only pair
+       enumeration, and it is bucket-local.  Carrying the sketch through
+       the band join costs bands×|sig| per doc in that one exchange but
+       removes the alternative: joining candidates back to a broadcast of
+       the full signature table, which is corpus-sized and therefore NOT
+       broadcastable at 100 TB (the round-3 form did exactly that — fine
+       at sf0.1, a driver OOM at scale);
+    3. funnel: estimate Jaccard from signature agreement as a pipelined
+       filter on the band-join output — no extra joins, no extra shuffle.
+       The agreement sum is ONE ``aggregate(zip_with(...))`` walk over the
+       two in-row arrays: measured 6× faster than the unrolled 64-term
+       ``IF(sa[i]=sb[i],...)`` sum it replaces (687k-row multiset, sf0.1 —
+       the unrolled form's 128 GetArrayItem calls per row defeat codegen;
+       the round-2 measurement that rejected higher-order here predates
+       the current funnel shape and no longer holds);
+    4. exact Jaccard verification **of candidates only**, via a
+       candidate-filtered corpus re-scan (shingle sets compared with one
+       JVM array_intersect per pair).
 
     At 100 TB step 2's bucket join replaces the O(n²) all-pairs product;
-    skewed buckets (boilerplate shingles) are handled by AQE skew-join."""
+    skewed buckets (boilerplate shingles) are handled by AQE skew-join.
+    Every intermediate that is persisted or broadcast is output-sized
+    (surviving pairs, candidate ids), never corpus-sized."""
     from pyspark import StorageLevel
 
     rows_per_band = max(1, num_hashes // bands)
-    # the signature table is the corpus's compact sketch — k longs per doc
-    # (~512 B); map-side partial aggregation means only sketch-sized rows
-    # reach its one exchange.  It feeds three branches (banding + both
-    # sides of the estimate join), so persist THIS — at 100 TB it is the
-    # only full-corpus intermediate worth caching (the round-2 form also
-    # persisted the exploded shingle hashes: ~8 bytes per character, i.e.
-    # 8× the corpus — a non-starter at scale; exact verification now
-    # re-scans the corpus for candidate docs only instead).
     sig = (
         _shingle_hashes(df, text_col, id_col, shingle_size)
         .groupBy(id_col)
         .agg(F.expr(_sig_agg_expr(num_hashes)))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # band index folded into ONE 64-bit key — the bucket join shuffles and
-    # compares a single long instead of (int, long)
+    # compares a single long instead of (int, long).  No persist: the self-
+    # join's two sides are the identical subtree, so the exchange is built
+    # once and served to the probe side via ReusedExchange.
     band_exprs = ",".join(
         "xxhash64("
         + ",".join([str(b)] + [f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
@@ -236,71 +247,37 @@ def minhash_lsh_pairs(
         for b in range(bands)
     )
     bands_df = sig.select(
-        F.col(id_col), F.expr(f"explode(array({band_exprs})) AS __bh")
+        F.col(id_col), F.col("sig"), F.expr(f"explode(array({band_exprs})) AS __bh")
     )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
-    # NO distinct here: a pair colliding in several bands appears once per
-    # collision, but the estimate stage below is a pipelined broadcast
-    # join + filter (dup-insensitive), and deduping its tiny output beats
-    # shuffling the full candidate multiset (measured on the r2 bench:
-    # the candidate distinct was the single largest exchange).
+    # ~2σ of the k-sample Bernoulli estimate at j≈threshold
+    margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
+    est = (
+        "aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, "
+        f"(acc, v) -> acc + v) / CAST({num_hashes} AS DOUBLE)"
+    )
+    # NO distinct before the funnel: a pair colliding in several bands is
+    # estimated once per collision, but the estimate is a pipelined filter
+    # (dup-insensitive) and deduping its small output beats shuffling the
+    # full candidate multiset.  The distinct AFTER the funnel is the cheap
+    # place to pay that shuffle (sf0.1: 687k collisions → 23k survivors).
     cand = (
         a.join(b_, F.col("a.__bh") == F.col("b.__bh"))
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.expr(est) >= F.lit(max(0.0, threshold - margin)))
         .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    # funnel stage: estimate Jaccard from signature agreement (two broadcast
-    # joins — a signature table is k longs/doc, tiny next to the corpus) and
-    # keep only pairs that could plausibly clear the threshold.  Banding
-    # alone admits ~threshold-similar pairs by design, so the exact
-    # verification below would otherwise join shingle sets for every
-    # marginal candidate (measured: 669k candidates → 256 real pairs).
-    # Both joins broadcast the IDENTICAL `sig` subtree (aliases applied
-    # after the join, not in the broadcast input) so Spark builds the
-    # broadcast table once and ReusedExchange serves the second join —
-    # with per-side projections each side raced to compute the corpus
-    # scan+agg before the cache was populated.
-    # ~2σ of the k-sample Bernoulli estimate at j≈threshold
-    margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    bsig = F.broadcast(sig)
-    est = (
-        cand.join(bsig, F.col("id_a") == F.col(id_col))
-        .drop(id_col)
-        .withColumnRenamed("sig", "__sa")
-        .join(bsig, F.col("id_b") == F.col(id_col))
-        .drop(id_col)
-        .withColumnRenamed("sig", "__sb")
-        .withColumn(
-            "__est",
-            # signature agreement as a sum of k indexed equalities —
-            # GetArrayItem + IF are plain codegen expressions; the
-            # equivalent zip_with/filter lambda walk is interpreted
-            # per-element and was this stage's real cost (measured ~3×
-            # slower on the r2 candidate multiset)
-            F.expr(
-                "("
-                + "+".join(
-                    f"IF(__sa[{i}] = __sb[{i}], 1, 0)" for i in range(num_hashes)
-                )
-                + f") / {num_hashes}"
-            ),
-        )
-        .filter(F.col("__est") >= F.lit(max(0.0, threshold - margin)))
-    )
-    # dedup AFTER the funnel: this set is orders of magnitude smaller than
-    # the raw band-collision multiset (r2 bench: 669k collisions → ~300
-    # survivors), so this is the cheap place to pay the distinct shuffle
-    cand = est.select("id_a", "id_b").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     # exact verification compares 64-bit shingle-hash SETS, not strings —
     # identical set algebra modulo 2^-64 collisions.  Only docs that appear
     # in a surviving pair are re-shingled: the broadcast semi-join filters
     # the corpus scan BEFORE the shingle explode runs, so the blow-up
-    # happens for a few hundred docs, not the corpus.  Each pair then costs
+    # happens for the candidate docs, not the corpus.  Each pair then costs
     # one JVM array_intersect over two in-row arrays instead of a
-    # multi-million-row shingle×pair shuffle join (r2 bench: that join was
-    # the largest stage of the whole query).  One extra corpus scan (IO
-    # only — columns pruned to id+text) buys never materializing the
+    # multi-million-row shingle×pair shuffle join.  One extra corpus scan
+    # (IO only — columns pruned to id+text) buys never materializing the
     # 8×-corpus exploded shingle table.
     cand_ids = (
         cand.select(F.col("id_a").alias(id_col))
@@ -319,6 +296,8 @@ def minhash_lsh_pairs(
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))
     )
+    # plain shuffle joins: candidate shingle sets are doc-sized, so unlike
+    # the pair list they are not safely broadcastable at scale
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__seta"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__setb"))
     out = (
