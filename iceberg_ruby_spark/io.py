@@ -125,3 +125,152 @@ class LocalFileIO(FileIO):
         import shutil
 
         shutil.move(src, dst)
+
+
+class S3FileIO(FileIO):
+    """S3 implementation over an INJECTED client with the boto3 ``s3``
+    method surface (the aws.py pattern: with ``client=None`` a real boto3
+    client is built; tests inject an in-process fake since no AWS endpoint
+    exists in CI).  Parity target: the reference routes FS vs S3 storage
+    through OpenDAL behind one interface
+    (``ext/iceberg/src/catalog.rs:510-524``); this class is the S3 arm of
+    the same seam for METADATA I/O.  The data plane (parquet) goes through
+    Spark's Hadoop layer and needs ``spark.hadoop.fs.s3a.*`` configured on
+    the cluster — out of scope here.
+
+    Atomicity mapping (module docstring contract):
+
+    - ``write_atomic(overwrite=False)`` → conditional put with
+      ``IfNoneMatch='*'`` (S3 native compare-and-swap); a lost race
+      surfaces the service's 412 ``PreconditionFailed`` as
+      ``FileExistsError``, which the engine's optimistic-commit retry
+      loops already handle.
+    - ``replace`` → plain put (single-key S3 puts are atomic,
+      last-writer-wins — exactly the version-hint contract).
+    - ``move_prefix`` → copy + delete per object (S3 has no rename).
+    """
+
+    def __init__(self, client: object = None):
+        if client is None:  # pragma: no cover - requires AWS credentials
+            import boto3
+
+            client = boto3.client("s3")
+        self.client = client
+
+    @staticmethod
+    def _parse(path: str) -> tuple[str, str]:
+        if not path.startswith("s3://"):
+            raise ValueError(f"not an s3 path: {path!r}")
+        rest = path[len("s3://"):]
+        bucket, _, key = rest.partition("/")
+        return bucket, key
+
+    @staticmethod
+    def _is_precondition_failure(exc: Exception) -> bool:
+        code = getattr(exc, "response", {}).get("Error", {}).get("Code", "")
+        return (code or type(exc).__name__) in (
+            "PreconditionFailed",
+            "ConditionalRequestConflict",
+        )
+
+    def read(self, path: str) -> str:
+        bucket, key = self._parse(path)
+        try:
+            body = self.client.get_object(Bucket=bucket, Key=key)["Body"]
+        except Exception as e:
+            code = getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            if (code or type(e).__name__) == "NoSuchKey":
+                raise FileNotFoundError(path)
+            raise
+        data = body.read()
+        return data.decode() if isinstance(data, bytes) else data
+
+    def write_atomic(self, path: str, text: str, overwrite: bool = False) -> None:
+        bucket, key = self._parse(path)
+        if overwrite:
+            self.client.put_object(Bucket=bucket, Key=key, Body=text.encode())
+            return
+        try:
+            self.client.put_object(
+                Bucket=bucket, Key=key, Body=text.encode(), IfNoneMatch="*"
+            )
+        except Exception as e:
+            if self._is_precondition_failure(e):
+                raise FileExistsError(path)
+            raise
+
+    def replace(self, path: str, text: str) -> None:
+        bucket, key = self._parse(path)
+        self.client.put_object(Bucket=bucket, Key=key, Body=text.encode())
+
+    def exists(self, path: str) -> bool:
+        bucket, key = self._parse(path)
+        try:
+            self.client.head_object(Bucket=bucket, Key=key)
+            return True
+        except Exception as e:
+            code = getattr(e, "response", {}).get("Error", {}).get("Code", "")
+            if (code or type(e).__name__) in ("404", "NoSuchKey", "NotFound"):
+                # key miss: fall through to a prefix probe (callers use
+                # exists() on "directories", which S3 models as prefixes)
+                return bool(self.list_children(path))
+            raise
+
+    def delete(self, path: str) -> None:
+        bucket, key = self._parse(path)
+        self.client.delete_object(Bucket=bucket, Key=key)
+
+    def delete_prefix(self, prefix: str) -> None:
+        for p in list(self.list(prefix)):
+            self.delete(p)
+
+    def _list_keys(self, bucket: str, key_prefix: str) -> list[str]:
+        keys: list[str] = []
+        token = None
+        while True:
+            kwargs = {"Bucket": bucket, "Prefix": key_prefix}
+            if token:
+                kwargs["ContinuationToken"] = token
+            resp = self.client.list_objects_v2(**kwargs)
+            keys.extend(o["Key"] for o in resp.get("Contents", []))
+            if not resp.get("IsTruncated"):
+                return keys
+            token = resp.get("NextContinuationToken")
+
+    def list(self, prefix: str) -> Iterator[str]:
+        bucket, key = self._parse(prefix)
+        # a bare key is itself a "file"; a prefix lists its subtree
+        exact = key in self._list_keys(bucket, key)
+        for k in sorted(self._list_keys(bucket, key.rstrip("/") + "/") or ([key] if exact else [])):
+            yield f"s3://{bucket}/{k}"
+
+    def size(self, path: str) -> int | None:
+        bucket, key = self._parse(path)
+        try:
+            return int(self.client.head_object(Bucket=bucket, Key=key)["ContentLength"])
+        except Exception:
+            return None
+
+    def list_children(self, prefix: str) -> list[str]:
+        bucket, key = self._parse(prefix)
+        key = key.rstrip("/") + "/" if key else ""
+        resp = self.client.list_objects_v2(
+            Bucket=bucket, Prefix=key, Delimiter="/"
+        )
+        names = [p["Prefix"][len(key):].rstrip("/") for p in resp.get("CommonPrefixes", [])]
+        names += [o["Key"][len(key):] for o in resp.get("Contents", []) if o["Key"] != key]
+        return sorted(n for n in names if n)
+
+    def move_prefix(self, src: str, dst: str) -> None:
+        sbucket, skey = self._parse(src)
+        dbucket, dkey = self._parse(dst)
+        for k in self._list_keys(sbucket, skey.rstrip("/") + "/") + (
+            [skey] if skey in self._list_keys(sbucket, skey) else []
+        ):
+            new_key = dkey + k[len(skey):]
+            self.client.copy_object(
+                Bucket=dbucket,
+                Key=new_key,
+                CopySource={"Bucket": sbucket, "Key": k},
+            )
+            self.client.delete_object(Bucket=sbucket, Key=k)

@@ -317,7 +317,14 @@ class FsTableOps:
     def _rel(self, p: str) -> str:
         """Path as stored: relative to the table location, so the table tree
         survives rename/move (and the layout maps 1:1 onto an object-store
-        prefix).  Paths outside the location stay absolute."""
+        prefix).  Paths outside the location stay absolute.  URI locations
+        (``s3://…``) use plain prefix-stripping — ``os.path.abspath`` would
+        mangle the scheme."""
+        if "://" in self.location:
+            loc = self.location.rstrip("/")
+            if p == loc or p.startswith(loc + "/"):
+                return p[len(loc) + 1 :] if p != loc else "."
+            return p
         ap = os.path.abspath(p)
         loc = os.path.abspath(self.location)
         if ap == loc or ap.startswith(loc + os.sep):
@@ -325,6 +332,10 @@ class FsTableOps:
         return p
 
     def _abs(self, p: str) -> str:
+        if "://" in self.location:
+            if "://" in p:
+                return p
+            return self.location.rstrip("/") + "/" + p
         return p if os.path.isabs(p) else os.path.join(self.location, p)
 
     def _map_entry_paths(self, e: dict[str, Any], fn) -> dict[str, Any]:
