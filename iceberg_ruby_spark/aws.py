@@ -127,8 +127,10 @@ class _PointerTableOps:
     def _abs(self, p: str) -> str:
         return self._fs._abs(p)
 
-    def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
-        return self._fs.write_manifest(snapshot_id, entries)
+    def write_manifest(
+        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+    ) -> str:
+        return self._fs.write_manifest(snapshot_id, entries, ctx=ctx)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         return self._fs.read_manifest(manifest_list)

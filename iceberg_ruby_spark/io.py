@@ -34,6 +34,16 @@ class FileIO:
     def write_atomic(self, path: str, text: str, overwrite: bool = False) -> None:
         raise NotImplementedError
 
+    def read_bytes(self, path: str) -> bytes:
+        """Binary read (Avro manifests).  Default bridges through the text
+        methods via latin-1 — a lossless bytes↔str bijection — so str-based
+        backends (the injected-client S3 fake) inherit binary support;
+        filesystem backends override with real binary I/O."""
+        return self.read(path).encode("latin-1")
+
+    def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool = False) -> None:
+        self.write_atomic(path, data.decode("latin-1"), overwrite=overwrite)
+
     def replace(self, path: str, text: str) -> None:
         raise NotImplementedError
 
@@ -72,6 +82,10 @@ class LocalFileIO(FileIO):
         with open(path) as f:
             return f.read()
 
+    def read_bytes(self, path: str) -> bytes:
+        with open(path, "rb") as f:
+            return f.read()
+
     def write_atomic(self, path: str, text: str, overwrite: bool = False) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)
         if overwrite:
@@ -80,6 +94,20 @@ class LocalFileIO(FileIO):
         fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         with os.fdopen(fd, "w") as f:
             f.write(text)
+
+    def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool = False) -> None:
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        if overwrite:
+            tmp = os.path.join(
+                os.path.dirname(path), f".{os.path.basename(path)}.{uuid.uuid4().hex}"
+            )
+            with open(tmp, "wb") as f:
+                f.write(data)
+            os.replace(tmp, path)
+            return
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        with os.fdopen(fd, "wb") as f:
+            f.write(data)
 
     def replace(self, path: str, text: str) -> None:
         os.makedirs(os.path.dirname(path), exist_ok=True)

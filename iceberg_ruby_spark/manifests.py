@@ -1,0 +1,748 @@
+"""Iceberg-spec Avro manifests and manifest lists.
+
+The reference's tables are readable by any Iceberg engine because
+iceberg-rust writes spec Avro metadata on commit
+(``/root/reference/ext/iceberg/src/table.rs:62-125``) and plans scans
+from it (``ext/iceberg/src/scan.rs:36-51``).  This module gives the
+engine the same surface behind a table property::
+
+    "write.metadata.manifest-format": "avro"     # default: "json"
+
+With it set, every commit writes
+
+- ``metadata/<uuid>-m0.avro``            — data manifest (content=0)
+- ``metadata/<uuid>-m1.avro``            — deletes manifest (content=1,
+  only when merge-on-read delete files exist)
+- ``metadata/snap-<snapshot-id>-<uuid>.avro`` — manifest list
+
+as Avro object-container files matching the Iceberg table-spec v2
+structures: ``manifest_entry``/``data_file`` records with spec field ids
+(status=1 ADDED, sequence numbers inherited from the list entry),
+``manifest_file`` list records (fields 500-519), file metadata carrying
+``schema`` / ``partition-spec`` / ``format-version`` / ``content``, and
+lower/upper bounds as ``map<field-id, binary>`` in Iceberg's
+single-value binary serialization (little-endian ints/longs/floats,
+date as int days, timestamp as long micros, decimal as minimal
+big-endian unscaled).  ``tests/test_avro_manifests.py`` decodes the
+files with the JVM's own ``org.apache.avro`` DataFileReader from
+Spark's classpath — an independent decoder, so the encoding is checked
+against something this repo didn't write.
+
+Documented deviations from a fully-interoperable Iceberg table (the
+engine is honest about what stays internal):
+
+- Data "files" written by distributed Spark jobs are per-file spec
+  entries, but merge-on-read delete artifacts are parquet *directories*
+  (one per commit); their ``file_path`` points at the directory prefix.
+- Engine-internal state a spec reader has no slot for — per-entry
+  schema-id (our parquet carries no embedded field ids), location-
+  relative paths (tables survive ``rename_table``), applies-to file
+  scoping, equality column names — rides in one app metadata key
+  (``x-irs``) per file, which spec readers ignore by contract.
+- Predicate-style merge-on-read deletes (``delete-predicate`` entries)
+  have no spec representation at all; they are carried only in the
+  manifest list's ``x-irs`` metadata.
+- The table metadata pointer file stays JSON (``v<N>.json``), as in the
+  Iceberg spec itself.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import decimal as _decimal
+import json
+import os
+import struct
+import urllib.parse
+import uuid as _uuid
+from dataclasses import dataclass
+from typing import Any, Optional
+
+from iceberg_ruby_spark import types as ice_t
+from iceberg_ruby_spark.avro_file import read_ocf, write_ocf
+from iceberg_ruby_spark.errors import InvalidDataError
+from iceberg_ruby_spark.transforms import (
+    BucketTransform,
+    DayTransform,
+    HourTransform,
+    IdentityTransform,
+    MonthTransform,
+    TruncateTransform,
+    VoidTransform,
+    YearTransform,
+    parse_transform,
+)
+
+MANIFEST_FORMAT_PROPERTY = "write.metadata.manifest-format"
+
+_EXTRAS_KEY = "x-irs"
+_EPOCH_DT = _dt.datetime(1970, 1, 1)
+_EPOCH_DATE = _dt.date(1970, 1, 1)
+
+
+@dataclass
+class ManifestContext:
+    """Everything the Avro writer needs beyond the entry dicts."""
+
+    schemas_by_id: dict[int, ice_t.Schema]
+    current_schema_id: int
+    spec_fields: list[dict[str, Any]]
+    spec_id: int
+    sequence_number: int
+    parent_snapshot_id: Optional[int]
+
+
+# --------------------------------------------------------------------------
+# Iceberg single-value binary serialization (spec "Binary single-value
+# serialization") for bound maps
+# --------------------------------------------------------------------------
+
+
+def bound_to_bytes(value: Any, t: Optional[ice_t.Type]) -> Optional[bytes]:
+    if value is None or t is None:
+        return None
+    if isinstance(t, ice_t.BooleanType):
+        return b"\x01" if value else b"\x00"
+    if isinstance(t, ice_t.IntType):
+        return struct.pack("<i", int(value))
+    if isinstance(t, ice_t.LongType):
+        return struct.pack("<q", int(value))
+    if isinstance(t, ice_t.FloatType):
+        return struct.pack("<f", float(value))
+    if isinstance(t, ice_t.DoubleType):
+        return struct.pack("<d", float(value))
+    if isinstance(t, ice_t.DateType):
+        d = _dt.date.fromisoformat(value) if isinstance(value, str) else value
+        return struct.pack("<i", (d - _EPOCH_DATE).days)
+    if isinstance(t, (ice_t.TimestampNanoType, ice_t.TimestampTzNanoType)):
+        # nanos timestamps surface as raw int64 (session reads them
+        # nanosAsLong); the stat value is already the spec payload
+        return struct.pack("<q", int(value))
+    if isinstance(t, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        if isinstance(value, str):
+            value = _dt.datetime.fromisoformat(value.replace("T", " ", 1))
+        if isinstance(value, _dt.datetime):
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            micros = (value - _EPOCH_DT) // _dt.timedelta(microseconds=1)
+            return struct.pack("<q", micros)
+        return struct.pack("<q", int(value))
+    if isinstance(t, ice_t.DecimalType):
+        unscaled = int(
+            _decimal.Decimal(str(value)).scaleb(t.scale).to_integral_value()
+        )
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    if isinstance(t, ice_t.StringType):
+        return str(value).encode("utf-8")
+    raise InvalidDataError(f"no single-value serialization for {t!r}")
+
+
+def bound_from_bytes(b: bytes, t: ice_t.Type) -> Any:
+    """Inverse of :func:`bound_to_bytes`, producing the same JSON-safe form
+    the engine stores in its internal entries (``Table._json_stat``)."""
+    if isinstance(t, ice_t.BooleanType):
+        return b == b"\x01"
+    if isinstance(t, ice_t.IntType):
+        return struct.unpack("<i", b)[0]
+    if isinstance(t, ice_t.LongType):
+        return struct.unpack("<q", b)[0]
+    if isinstance(t, ice_t.FloatType):
+        return struct.unpack("<f", b)[0]
+    if isinstance(t, ice_t.DoubleType):
+        return struct.unpack("<d", b)[0]
+    if isinstance(t, ice_t.DateType):
+        return (_EPOCH_DATE + _dt.timedelta(days=struct.unpack("<i", b)[0])).isoformat()
+    if isinstance(t, (ice_t.TimestampNanoType, ice_t.TimestampTzNanoType)):
+        return struct.unpack("<q", b)[0]
+    if isinstance(t, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        micros = struct.unpack("<q", b)[0]
+        return (_EPOCH_DT + _dt.timedelta(microseconds=micros)).isoformat()
+    if isinstance(t, ice_t.DecimalType):
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return str(_decimal.Decimal(unscaled).scaleb(-t.scale))
+    if isinstance(t, ice_t.StringType):
+        return b.decode("utf-8")
+    raise InvalidDataError(f"no single-value deserialization for {t!r}")
+
+
+# --------------------------------------------------------------------------
+# Avro schema builders (spec v2 structures, field-id annotated)
+# --------------------------------------------------------------------------
+
+
+def _opt(t: Any) -> list:
+    return ["null", t]
+
+
+def _kv_map(record_name: str, key_id: int, value_id: int, value_type: Any) -> list:
+    """Iceberg encodes ``map<int, X>`` as an array of key/value records
+    (Avro maps require string keys)."""
+    return _opt(
+        {
+            "type": "array",
+            "logicalType": "map",
+            "items": {
+                "type": "record",
+                "name": record_name,
+                "fields": [
+                    {"name": "key", "type": "int", "field-id": key_id},
+                    {"name": "value", "type": value_type, "field-id": value_id},
+                ],
+            },
+        }
+    )
+
+
+def _result_type(transform: Any, source: ice_t.Type) -> ice_t.Type:
+    if isinstance(transform, (BucketTransform, YearTransform, MonthTransform,
+                              DayTransform, HourTransform)):
+        return ice_t.IntType()
+    if isinstance(transform, (IdentityTransform, TruncateTransform, VoidTransform)):
+        return source
+    return source
+
+
+def _avro_prim(t: ice_t.Type) -> Any:
+    if isinstance(t, ice_t.BooleanType):
+        return "boolean"
+    if isinstance(t, ice_t.IntType):
+        return "int"
+    if isinstance(t, ice_t.LongType):
+        return "long"
+    if isinstance(t, ice_t.FloatType):
+        return "float"
+    if isinstance(t, ice_t.DoubleType):
+        return "double"
+    if isinstance(t, ice_t.DateType):
+        return {"type": "int", "logicalType": "date"}
+    if isinstance(t, (ice_t.TimestampNanoType, ice_t.TimestampTzNanoType)):
+        return "long"
+    if isinstance(t, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        return {"type": "long", "logicalType": "timestamp-micros"}
+    if isinstance(t, ice_t.DecimalType):
+        return {
+            "type": "bytes",
+            "logicalType": "decimal",
+            "precision": t.precision,
+            "scale": t.scale,
+        }
+    return "string"
+
+
+def _sanitize(name: str) -> str:
+    out = "".join(c if c.isalnum() or c == "_" else "_" for c in name)
+    return out if out and not out[0].isdigit() else f"_{out}"
+
+
+def _partition_fields(ctx: ManifestContext) -> list[dict[str, Any]]:
+    """Resolved partition fields: (avro name, result type, source field)."""
+    schema = ctx.schemas_by_id.get(ctx.current_schema_id)
+    out = []
+    for i, pf in enumerate(ctx.spec_fields):
+        tr = parse_transform(pf.get("transform", "identity"))
+        src = schema.field_by_name(pf["source"]) if schema else None
+        name = pf.get("name") or tr.result_name(pf["source"])
+        rt = _result_type(tr, src.field_type if src else ice_t.StringType())
+        out.append(
+            {
+                "name": name,
+                "avro_name": _sanitize(name),
+                "type": rt,
+                "source_id": src.field_id if src else -1,
+                "transform": tr.spec_string(),
+                "field_id": 1000 + i,
+            }
+        )
+    return out
+
+
+def _partition_record_schema(pfields: list[dict[str, Any]]) -> dict[str, Any]:
+    return {
+        "type": "record",
+        "name": "r102",
+        "fields": [
+            {
+                "name": p["avro_name"],
+                "type": _opt(_avro_prim(p["type"])),
+                "default": None,
+                "field-id": p["field_id"],
+            }
+            for p in pfields
+        ],
+    }
+
+
+def manifest_entry_schema(pfields: list[dict[str, Any]]) -> dict[str, Any]:
+    data_file = {
+        "type": "record",
+        "name": "r2",
+        "fields": [
+            {"name": "content", "type": "int", "field-id": 134},
+            {"name": "file_path", "type": "string", "field-id": 100},
+            {"name": "file_format", "type": "string", "field-id": 101},
+            {"name": "partition", "type": _partition_record_schema(pfields), "field-id": 102},
+            {"name": "record_count", "type": "long", "field-id": 103},
+            {"name": "file_size_in_bytes", "type": "long", "field-id": 104},
+            {"name": "column_sizes", "type": _kv_map("k117_v118", 117, 118, "long"),
+             "default": None, "field-id": 105},
+            {"name": "value_counts", "type": _kv_map("k119_v120", 119, 120, "long"),
+             "default": None, "field-id": 106},
+            {"name": "null_value_counts", "type": _kv_map("k121_v122", 121, 122, "long"),
+             "default": None, "field-id": 107},
+            {"name": "nan_value_counts", "type": _kv_map("k138_v139", 138, 139, "long"),
+             "default": None, "field-id": 137},
+            {"name": "lower_bounds", "type": _kv_map("k126_v127", 126, 127, "bytes"),
+             "default": None, "field-id": 125},
+            {"name": "upper_bounds", "type": _kv_map("k129_v130", 129, 130, "bytes"),
+             "default": None, "field-id": 128},
+            {"name": "key_metadata", "type": _opt("bytes"), "default": None, "field-id": 131},
+            {"name": "split_offsets",
+             "type": _opt({"type": "array", "items": "long", "element-id": 133}),
+             "default": None, "field-id": 132},
+            {"name": "equality_ids",
+             "type": _opt({"type": "array", "items": "int", "element-id": 136}),
+             "default": None, "field-id": 135},
+            {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int", "field-id": 0},
+            {"name": "snapshot_id", "type": _opt("long"), "default": None, "field-id": 1},
+            {"name": "sequence_number", "type": _opt("long"), "default": None, "field-id": 3},
+            {"name": "file_sequence_number", "type": _opt("long"), "default": None,
+             "field-id": 4},
+            {"name": "data_file", "type": data_file, "field-id": 2},
+        ],
+    }
+
+
+MANIFEST_LIST_SCHEMA: dict[str, Any] = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string", "field-id": 500},
+        {"name": "manifest_length", "type": "long", "field-id": 501},
+        {"name": "partition_spec_id", "type": "int", "field-id": 502},
+        {"name": "content", "type": "int", "field-id": 517},
+        {"name": "sequence_number", "type": "long", "field-id": 515},
+        {"name": "min_sequence_number", "type": "long", "field-id": 516},
+        {"name": "added_snapshot_id", "type": "long", "field-id": 503},
+        {"name": "added_files_count", "type": "int", "field-id": 504},
+        {"name": "existing_files_count", "type": "int", "field-id": 505},
+        {"name": "deleted_files_count", "type": "int", "field-id": 506},
+        {"name": "added_rows_count", "type": "long", "field-id": 512},
+        {"name": "existing_rows_count", "type": "long", "field-id": 513},
+        {"name": "deleted_rows_count", "type": "long", "field-id": 514},
+        {
+            "name": "partitions",
+            "type": _opt(
+                {
+                    "type": "array",
+                    "element-id": 508,
+                    "items": {
+                        "type": "record",
+                        "name": "r508",
+                        "fields": [
+                            {"name": "contains_null", "type": "boolean", "field-id": 509},
+                            {"name": "contains_nan", "type": _opt("boolean"),
+                             "default": None, "field-id": 518},
+                            {"name": "lower_bound", "type": _opt("bytes"),
+                             "default": None, "field-id": 510},
+                            {"name": "upper_bound", "type": _opt("bytes"),
+                             "default": None, "field-id": 511},
+                        ],
+                    },
+                }
+            ),
+            "default": None,
+            "field-id": 507,
+        },
+        {"name": "key_metadata", "type": _opt("bytes"), "default": None, "field-id": 519},
+    ],
+}
+
+
+# --------------------------------------------------------------------------
+# partition values from hive-style data paths
+# --------------------------------------------------------------------------
+
+_HIVE_NULL = "__HIVE_DEFAULT_PARTITION__"
+
+
+def _parse_partition_value(raw: str, t: ice_t.Type) -> Any:
+    if isinstance(t, (ice_t.IntType, ice_t.LongType)):
+        return int(raw)
+    if isinstance(t, ice_t.BooleanType):
+        return raw.lower() == "true"
+    if isinstance(t, (ice_t.FloatType, ice_t.DoubleType)):
+        return float(raw)
+    if isinstance(t, ice_t.DateType):
+        return (_dt.date.fromisoformat(raw) - _EPOCH_DATE).days
+    if isinstance(t, (ice_t.TimestampNanoType, ice_t.TimestampTzNanoType)):
+        return int(raw)
+    if isinstance(t, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        d = _dt.datetime.fromisoformat(raw.replace("T", " ", 1))
+        if d.tzinfo is not None:
+            d = d.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        return (d - _EPOCH_DT) // _dt.timedelta(microseconds=1)
+    if isinstance(t, ice_t.DecimalType):
+        unscaled = int(_decimal.Decimal(raw).scaleb(t.scale).to_integral_value())
+        length = max(1, (unscaled.bit_length() + 8) // 8)
+        return unscaled.to_bytes(length, "big", signed=True)
+    return raw
+
+
+def partition_values_from_path(
+    path: str, pfields: list[dict[str, Any]]
+) -> dict[str, Any]:
+    """Spark writes hive-style ``name=value`` directories; the spec
+    manifest stores the typed partition tuple per file.  Unknown or
+    missing segments (and ``__HIVE_DEFAULT_PARTITION__``) become null."""
+    segs: dict[str, str] = {}
+    for part in path.split("/"):
+        if "=" in part:
+            k, _, v = part.partition("=")
+            segs[k] = urllib.parse.unquote(v)
+    out: dict[str, Any] = {}
+    for p in pfields:
+        raw = segs.get(p["name"])
+        if raw is None or raw == _HIVE_NULL:
+            out[p["avro_name"]] = None
+        else:
+            try:
+                out[p["avro_name"]] = _parse_partition_value(raw, p["type"])
+            except (ValueError, ArithmeticError):
+                out[p["avro_name"]] = None
+    return out
+
+
+# --------------------------------------------------------------------------
+# write path
+# --------------------------------------------------------------------------
+
+
+def _spec_schema_json(schema: ice_t.Schema) -> dict[str, Any]:
+    from iceberg_ruby_spark.table import _schema_to_json
+
+    j = _schema_to_json(schema)
+    return {"type": "struct", **j}
+
+
+def _bounds_to_spec(
+    bounds: dict[str, Any], schema: Optional[ice_t.Schema]
+) -> Optional[list[dict[str, Any]]]:
+    if not bounds or schema is None:
+        return None
+    out = []
+    for name, v in bounds.items():
+        f = schema.field_by_name(name)
+        if f is None:
+            continue
+        b = bound_to_bytes(v, f.field_type)
+        if b is not None:
+            out.append({"key": f.field_id, "value": b})
+    return sorted(out, key=lambda kv: kv["key"]) or None
+
+
+def _dir_size(ops: Any, path: str) -> int:
+    total = 0
+    for f in ops.io.list(path):
+        total += ops.io.size(f) or 0
+    return total
+
+
+def write_avro_manifests(
+    ops: Any, snapshot_id: int, entries: list[dict[str, Any]], ctx: ManifestContext
+) -> str:
+    """Write spec manifests + manifest list; returns the manifest-list path
+    relative to the table location (what the snapshot stores)."""
+    pfields = _partition_fields(ctx)
+    entry_schema = manifest_entry_schema(pfields)
+    cur_schema = ctx.schemas_by_id.get(ctx.current_schema_id)
+
+    data_entries = [e for e in entries if "path" in e]
+    delete_entries = [e for e in entries if "delete-file" in e]
+    carried = [
+        e for e in entries if "path" not in e and "delete-file" not in e
+    ]  # delete-predicate + legacy data-dir entries: JSON-only, list extras
+
+    uid = _uuid.uuid4().hex
+    used_schema_ids = sorted(
+        {e.get("schema-id", ctx.current_schema_id) for e in data_entries}
+        | {ctx.current_schema_id}
+    )
+    schemas_json = {
+        str(sid): _spec_schema_json(ctx.schemas_by_id[sid])
+        for sid in used_schema_ids
+        if sid in ctx.schemas_by_id
+    }
+    spec_json = [
+        {
+            "name": p["name"],
+            "transform": p["transform"],
+            "source-id": p["source_id"],
+            "field-id": p["field_id"],
+        }
+        for p in pfields
+    ]
+    base_meta = {
+        "schema": json.dumps(_spec_schema_json(cur_schema) if cur_schema else {}),
+        "schema-id": str(ctx.current_schema_id),
+        "partition-spec": json.dumps(spec_json),
+        "partition-spec-id": str(ctx.spec_id),
+        "format-version": "2",
+    }
+
+    def _write_manifest_file(
+        path: str, records: list[dict[str, Any]], extras: list[dict[str, Any]],
+        content: str,
+    ) -> int:
+        data = write_ocf(
+            entry_schema,
+            records,
+            metadata={
+                **base_meta,
+                "content": content,
+                _EXTRAS_KEY: json.dumps({"entries": extras, "schemas": schemas_json}),
+            },
+        )
+        ops.io.write_bytes_atomic(path, data, overwrite=True)
+        return len(data)
+
+    list_records: list[dict[str, Any]] = []
+    seq = ctx.sequence_number
+
+    if data_entries:
+        records, extras = [], []
+        for e in data_entries:
+            sid = e.get("schema-id", ctx.current_schema_id)
+            eschema = ctx.schemas_by_id.get(sid)
+            abs_path = ops._abs(e["path"])
+            records.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 0,
+                        "file_path": abs_path,
+                        "file_format": "PARQUET",
+                        "partition": partition_values_from_path(abs_path, pfields),
+                        "record_count": e.get("record-count") or 0,
+                        "file_size_in_bytes": e.get("file-size-bytes")
+                        or ops.io.size(abs_path)
+                        or 0,
+                        "lower_bounds": _bounds_to_spec(e.get("lower-bounds", {}), eschema),
+                        "upper_bounds": _bounds_to_spec(e.get("upper-bounds", {}), eschema),
+                    },
+                }
+            )
+            extras.append({"rel": ops._rel(abs_path), "schema-id": sid})
+        m0 = os.path.join(ops.metadata_dir, f"{uid}-m0.avro")
+        length = _write_manifest_file(m0, records, extras, "data")
+        list_records.append(
+            {
+                "manifest_path": ops._abs(m0),
+                "manifest_length": length,
+                "partition_spec_id": ctx.spec_id,
+                "content": 0,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": sum(r["data_file"]["record_count"] for r in records),
+                "existing_rows_count": 0,
+                "deleted_rows_count": 0,
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
+
+    if delete_entries:
+        records, extras = [], []
+        for e in delete_entries:
+            abs_path = ops._abs(e["delete-file"])
+            is_eq = e.get("content") == "equality-deletes"
+            records.append(
+                {
+                    "status": 1,
+                    "snapshot_id": snapshot_id,
+                    "sequence_number": None,
+                    "file_sequence_number": None,
+                    "data_file": {
+                        "content": 2 if is_eq else 1,
+                        "file_path": abs_path,
+                        "file_format": "PARQUET",
+                        "partition": {p["avro_name"]: None for p in pfields},
+                        "record_count": e.get("deleted-records") or 0,
+                        "file_size_in_bytes": _dir_size(ops, abs_path),
+                        "lower_bounds": None,
+                        "upper_bounds": None,
+                        "equality_ids": e.get("equality-ids") if is_eq else None,
+                    },
+                }
+            )
+            ext = {
+                "rel": ops._rel(abs_path),
+                "content": e.get("content"),
+                "deleted-records": e.get("deleted-records"),
+            }
+            if e.get("applies-to") is not None:
+                ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
+            if is_eq:
+                ext["equality-ids"] = e.get("equality-ids")
+                ext["equality-cols"] = e.get("equality-cols")
+            extras.append(ext)
+        m1 = os.path.join(ops.metadata_dir, f"{uid}-m1.avro")
+        length = _write_manifest_file(m1, records, extras, "deletes")
+        list_records.append(
+            {
+                "manifest_path": ops._abs(m1),
+                "manifest_length": length,
+                "partition_spec_id": ctx.spec_id,
+                "content": 1,
+                "sequence_number": seq,
+                "min_sequence_number": seq,
+                "added_snapshot_id": snapshot_id,
+                "added_files_count": len(records),
+                "existing_files_count": 0,
+                "deleted_files_count": 0,
+                "added_rows_count": 0,
+                "existing_rows_count": 0,
+                "deleted_rows_count": sum(
+                    r["data_file"]["record_count"] for r in records
+                ),
+                "partitions": None,
+                "key_metadata": None,
+            }
+        )
+
+    carried_rel = [
+        {
+            **({k: v for k, v in e.items() if k != "applies-to"}),
+            **(
+                {"applies-to": [ops._rel(ops._abs(p)) for p in e["applies-to"]]}
+                if e.get("applies-to") is not None
+                else {}
+            ),
+        }
+        for e in carried
+    ]
+    list_meta = {
+        "snapshot-id": str(snapshot_id),
+        "sequence-number": str(seq),
+        "format-version": "2",
+        _EXTRAS_KEY: json.dumps(
+            {
+                "manifests": [ops._rel(r["manifest_path"]) for r in list_records],
+                "carried": carried_rel,
+            }
+        ),
+    }
+    if ctx.parent_snapshot_id is not None:
+        list_meta["parent-snapshot-id"] = str(ctx.parent_snapshot_id)
+    list_path = os.path.join(ops.metadata_dir, f"snap-{snapshot_id}-{uid}.avro")
+    ops.io.write_bytes_atomic(
+        list_path, write_ocf(MANIFEST_LIST_SCHEMA, list_records, metadata=list_meta),
+        overwrite=True,
+    )
+    return ops._rel(list_path)
+
+
+# --------------------------------------------------------------------------
+# read path
+# --------------------------------------------------------------------------
+
+
+def _bounds_from_spec(
+    kvs: Optional[list[dict[str, Any]]], schema: Optional[ice_t.Schema]
+) -> dict[str, Any]:
+    out: dict[str, Any] = {}
+    if not kvs or schema is None:
+        return out
+    for kv in kvs:
+        f = schema.field_by_id(kv["key"])
+        if f is None:
+            continue
+        try:
+            out[f.name] = bound_from_bytes(kv["value"], f.field_type)
+        except (ValueError, struct.error):
+            continue
+    return out
+
+
+def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
+    """Manifest list + manifests → the engine's internal entry dicts.
+
+    Paths resolve through the ``x-irs`` location-relative forms so the
+    table tree survives :meth:`Catalog.rename_table`'s physical move, like
+    the JSON manifest format."""
+    from iceberg_ruby_spark.table import _schema_from_json
+
+    _, list_records, list_meta = read_ocf(ops.io.read_bytes(ops._abs(list_path)))
+    list_extras = json.loads(list_meta.get(_EXTRAS_KEY, b"{}").decode())
+    rel_manifests = list_extras.get("manifests")
+
+    entries: list[dict[str, Any]] = []
+    for i, mf in enumerate(list_records):
+        mpath = (
+            ops._abs(rel_manifests[i])
+            if rel_manifests and i < len(rel_manifests)
+            else mf["manifest_path"]
+        )
+        _, records, mmeta = read_ocf(ops.io.read_bytes(mpath))
+        extras_doc = json.loads(mmeta.get(_EXTRAS_KEY, b"{}").decode())
+        extras = extras_doc.get("entries", [])
+        schemas = {
+            int(sid): _schema_from_json(sj)
+            for sid, sj in extras_doc.get("schemas", {}).items()
+        }
+        fallback_sid = int(mmeta.get("schema-id", b"0").decode() or 0)
+        for j, rec in enumerate(records):
+            ext = extras[j] if j < len(extras) else {}
+            df = rec["data_file"]
+            path = ops._abs(ext["rel"]) if "rel" in ext else df["file_path"]
+            if df["content"] == 0:
+                sid = ext.get("schema-id", fallback_sid)
+                schema = schemas.get(sid)
+                entries.append(
+                    {
+                        "path": path,
+                        "record-count": df["record_count"],
+                        "schema-id": sid,
+                        "file-size-bytes": df["file_size_in_bytes"],
+                        "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
+                        "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
+                    }
+                )
+            else:
+                e: dict[str, Any] = {
+                    "delete-file": path,
+                    "content": ext.get(
+                        "content",
+                        "equality-deletes" if df["content"] == 2 else "position-deletes",
+                    ),
+                }
+                if ext.get("applies-to") is not None:
+                    e["applies-to"] = [ops._abs(p) for p in ext["applies-to"]]
+                if ext.get("deleted-records") is not None:
+                    e["deleted-records"] = ext["deleted-records"]
+                if df["content"] == 2:
+                    e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
+                    if ext.get("equality-cols") is not None:
+                        e["equality-cols"] = ext["equality-cols"]
+                entries.append(e)
+
+    for e in list_extras.get("carried", []):
+        out = dict(e)
+        if out.get("applies-to") is not None:
+            out["applies-to"] = [ops._abs(p) for p in out["applies-to"]]
+        entries.append(out)
+    return entries

@@ -263,7 +263,13 @@ class RestTableOps:
             out["applies-to"] = [fn(p) for p in out["applies-to"]]
         return out
 
-    def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
+    def write_manifest(
+        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+    ) -> str:
+        if ctx is not None:
+            from iceberg_ruby_spark.manifests import write_avro_manifests
+
+            return write_avro_manifests(self, snapshot_id, entries, ctx)
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
         stored = [self._map_entry_paths(e, self._rel) for e in entries]
         self.io.write_atomic(
@@ -274,6 +280,10 @@ class RestTableOps:
         return self._rel(path)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
+        if manifest_list.endswith(".avro"):
+            from iceberg_ruby_spark.manifests import read_avro_manifest_list
+
+            return read_avro_manifest_list(self, manifest_list)
         entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
         return [self._map_entry_paths(e, self._abs) for e in entries]
 

@@ -348,7 +348,16 @@ class FsTableOps:
             out["applies-to"] = [fn(p) for p in out["applies-to"]]
         return out
 
-    def write_manifest(self, snapshot_id: int, entries: list[dict[str, Any]]) -> str:
+    def write_manifest(
+        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+    ) -> str:
+        """``ctx`` (a :class:`manifests.ManifestContext`) switches the commit
+        to Iceberg-spec Avro manifests + manifest list; without it the
+        internal JSON manifest is written."""
+        if ctx is not None:
+            from iceberg_ruby_spark.manifests import write_avro_manifests
+
+            return write_avro_manifests(self, snapshot_id, entries, ctx)
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
         stored = [self._map_entry_paths(e, self._rel) for e in entries]
         self.io.write_atomic(
@@ -357,6 +366,10 @@ class FsTableOps:
         return self._rel(path)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
+        if manifest_list.endswith(".avro"):
+            from iceberg_ruby_spark.manifests import read_avro_manifest_list
+
+            return read_avro_manifest_list(self, manifest_list)
         entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
         return [self._map_entry_paths(e, self._abs) for e in entries]
 
@@ -1219,6 +1232,38 @@ class Table:
         except (TypeError, ValueError):
             return 20
 
+    def _avro_manifest_ctx(self, meta: TableMetadata, parent: Optional[int]):
+        """Non-None when ``write.metadata.manifest-format=avro``: commits
+        then write Iceberg-spec Avro manifests + manifest lists (see
+        :mod:`iceberg_ruby_spark.manifests`) instead of internal JSON."""
+        from iceberg_ruby_spark.manifests import (
+            MANIFEST_FORMAT_PROPERTY,
+            ManifestContext,
+        )
+
+        fmt = meta.raw.get("properties", {}).get(MANIFEST_FORMAT_PROPERTY, "json")
+        if fmt == "json":
+            return None
+        if fmt != "avro":
+            raise InvalidDataError(f"unknown {MANIFEST_FORMAT_PROPERTY}: {fmt!r}")
+        spec_id = meta.raw.get("default-spec-id", 0)
+        spec = next(
+            (
+                s
+                for s in meta.raw.get("partition-specs", [])
+                if s.get("spec-id") == spec_id
+            ),
+            None,
+        ) or {}
+        return ManifestContext(
+            schemas_by_id={s.schema_id: s for s in meta.schemas},
+            current_schema_id=meta.current_schema_id,
+            spec_fields=spec.get("fields", []),
+            spec_id=spec_id,
+            sequence_number=meta.last_sequence_number + 1,
+            parent_snapshot_id=parent,
+        )
+
     def _normalize_input(self, data: Any) -> DataFrame:
         """Accept DataFrame / list-of-dicts / pandas / Arrow (reference accepts
         row hashes or any Arrow-stream-bearing object, ``lib/iceberg/table.rb:161-166``).
@@ -1817,7 +1862,9 @@ class Table:
                             )
                     all_entries = entries + concurrent_added + concurrent_pathless
             snapshot_id = _new_snapshot_id()
-            manifest = self.ops.write_manifest(snapshot_id, all_entries)
+            manifest = self.ops.write_manifest(
+                snapshot_id, all_entries, ctx=self._avro_manifest_ctx(meta, head)
+            )
             now = _now_ms()
             parent = head
             data_entries = [e for e in all_entries if "path" in e]

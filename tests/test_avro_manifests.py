@@ -1,0 +1,315 @@
+"""Iceberg-spec Avro manifests (``write.metadata.manifest-format=avro``).
+
+The reference's metadata interop comes from iceberg-rust's Avro writers
+(``ext/iceberg/src/table.rs:62-125``); these tests hold the repo's Avro
+mode to the same behaviors the JSON mode passes — appends, CoW and MoR
+mutations, schema evolution, time travel, rename survival — and then
+decode every written manifest with the JVM's own ``org.apache.avro``
+DataFileReader (an independent decoder from Spark's classpath), checking
+spec structure: record/field names, field counts, bound byte values."""
+
+from __future__ import annotations
+
+import datetime
+import glob
+import json
+import os
+
+import pytest
+
+from iceberg_ruby_spark import types as ice_t
+from iceberg_ruby_spark.avro_file import read_ocf
+from iceberg_ruby_spark.manifests import bound_from_bytes, bound_to_bytes
+
+AVRO_PROPS = {"write.metadata.manifest-format": "avro"}
+
+
+def _manifest_files(t):
+    return sorted(glob.glob(os.path.join(t.ops.metadata_dir, "*.avro")))
+
+
+def _list_files(t):
+    return [p for p in _manifest_files(t) if os.path.basename(p).startswith("snap-")]
+
+
+def _jvm_read(spark, path):
+    """Decode an Avro OCF with org.apache.avro from Spark's classpath."""
+    jvm = spark._jvm
+    reader = jvm.org.apache.avro.file.DataFileReader(
+        jvm.java.io.File(path), jvm.org.apache.avro.generic.GenericDatumReader()
+    )
+    try:
+        schema = json.loads(reader.getSchema().toString())
+        records = []
+        while reader.hasNext():
+            records.append(json.loads(str(reader.next())))
+        return schema, records
+    finally:
+        reader.close()
+
+
+def test_append_scan_roundtrip(catalog):
+    t = catalog.create_table(
+        "av1", schema={"a": "int", "b": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"a": i, "b": f"r{i}"} for i in range(10)])
+    assert sorted(r["a"] for r in t.to_a()) == list(range(10))
+    snap = t.current_snapshot()
+    assert snap.manifest_list.endswith(".avro")
+    # one data manifest + one manifest list on disk
+    files = _manifest_files(t)
+    assert any("-m0.avro" in f for f in files)
+    assert any(os.path.basename(f).startswith("snap-") for f in files)
+
+
+def test_manifest_list_is_spec_shaped_via_jvm(catalog, spark):
+    t = catalog.create_table(
+        "av2", schema={"a": "int", "b": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    [list_path] = _list_files(t)
+    schema, records = _jvm_read(spark, list_path)
+    assert schema["name"] == "manifest_file"
+    names = [f["name"] for f in schema["fields"]]
+    for expected in (
+        "manifest_path", "manifest_length", "partition_spec_id", "content",
+        "sequence_number", "min_sequence_number", "added_snapshot_id",
+        "added_files_count", "existing_files_count", "deleted_files_count",
+        "added_rows_count", "existing_rows_count", "deleted_rows_count",
+        "partitions", "key_metadata",
+    ):
+        assert expected in names
+    assert len(records) == 1
+    mf = records[0]
+    assert mf["content"] == 0
+    assert mf["added_rows_count"] == 2
+    assert mf["sequence_number"] == 1
+    # the manifest it points to is itself JVM-decodable and spec-shaped
+    mschema, mrecords = _jvm_read(spark, mf["manifest_path"])
+    assert mschema["name"] == "manifest_entry"
+    assert [f["name"] for f in mschema["fields"]] == [
+        "status", "snapshot_id", "sequence_number", "file_sequence_number", "data_file",
+    ]
+    # the distributed write may emit 1..n files; entries must cover all rows
+    assert len(mrecords) >= 1
+    assert sum(r["data_file"]["record_count"] for r in mrecords) == 2
+    for rec in mrecords:
+        assert rec["data_file"]["content"] == 0
+        assert rec["data_file"]["file_format"] == "PARQUET"
+        assert rec["status"] == 1
+        assert rec["snapshot_id"] == t.current_snapshot().snapshot_id
+
+
+def test_manifest_metadata_keys(catalog):
+    t = catalog.create_table(
+        "av3",
+        schema={"a": "int", "ts": "timestamp", "d": "date"},
+        properties=AVRO_PROPS,
+    )
+    t.append(
+        [
+            {
+                "a": 1,
+                "ts": datetime.datetime(2024, 5, 1, 10, 0, 0),
+                "d": datetime.date(2024, 5, 1),
+            }
+        ]
+    )
+    [list_path] = _list_files(t)
+    _, _, list_meta = read_ocf(open(list_path, "rb").read())
+    assert list_meta["format-version"] == b"2"
+    assert int(list_meta["snapshot-id"]) == t.current_snapshot().snapshot_id
+    m0 = [p for p in _manifest_files(t) if p.endswith("-m0.avro")][0]
+    _, _, mmeta = read_ocf(open(m0, "rb").read())
+    schema_json = json.loads(mmeta["schema"].decode())
+    assert schema_json["type"] == "struct"
+    assert [f["name"] for f in schema_json["fields"]] == ["a", "ts", "d"]
+    assert mmeta["content"] == b"data"
+    assert json.loads(mmeta["partition-spec"].decode()) == []
+
+
+def test_bounds_binary_single_values(catalog, spark):
+    t = catalog.create_table(
+        "av4",
+        schema={"a": "int", "ts": "timestamp", "d": "date", "s": "string"},
+        properties=AVRO_PROPS,
+    )
+    t.append(
+        [
+            {
+                "a": 5,
+                "ts": datetime.datetime(2024, 5, 1, 10, 0, 0),
+                "d": datetime.date(2024, 5, 1),
+                "s": "mm",
+            },
+            {
+                "a": 9,
+                "ts": datetime.datetime(2024, 6, 1, 0, 0, 0, 250000),
+                "d": datetime.date(2024, 6, 2),
+                "s": "zz",
+            },
+        ]
+    )
+    [list_path] = _list_files(t)
+    _, [mf] = _jvm_read(spark, list_path)
+    # raw python decode (JVM JSON-escapes the bound bytes; decode binary here).
+    # The write may split rows across files — aggregate bounds over entries.
+    _, entries, _ = read_ocf(open(mf["manifest_path"], "rb").read())
+    schema = t.current_schema()
+    ids = {f.name: f.field_id for f in schema.fields}
+
+    def agg(bounds_key, fid, typ, pick):
+        vals = []
+        for entry in entries:
+            kv = {p["key"]: p["value"] for p in entry["data_file"][bounds_key]}
+            if fid in kv:
+                vals.append(bound_from_bytes(kv[fid], typ))
+        return pick(vals)
+
+    assert agg("lower_bounds", ids["a"], ice_t.IntType(), min) == 5
+    assert agg("upper_bounds", ids["a"], ice_t.IntType(), max) == 9
+    assert agg("lower_bounds", ids["d"], ice_t.DateType(), min) == "2024-05-01"
+    assert agg("upper_bounds", ids["ts"], ice_t.TimestampType(), max) == (
+        "2024-06-01T00:00:00.250000"
+    )
+    assert agg("upper_bounds", ids["s"], ice_t.StringType(), max) == "zz"
+    assert bound_to_bytes(5, ice_t.IntType()) == (5).to_bytes(4, "little")
+    # internal entries reconstruct bounds for the pruning path
+    es = t._current_entries()
+    assert min(e["lower-bounds"]["a"] for e in es) == 5
+    assert max(e["upper-bounds"]["d"] for e in es) == "2024-06-02"
+
+
+def test_partitioned_write_partition_tuples(catalog, spark):
+    t = catalog.create_table(
+        "av5",
+        schema={"a": "int", "cat": "string"},
+        partition_spec=[("cat", "identity")],
+        properties=AVRO_PROPS,
+    )
+    t.append([{"a": 1, "cat": "x"}, {"a": 2, "cat": "y"}, {"a": 3, "cat": "y"}])
+    [list_path] = _list_files(t)
+    _, [mf] = _jvm_read(spark, list_path)
+    mschema, mrecords = _jvm_read(spark, mf["manifest_path"])
+    parts = sorted(r["data_file"]["partition"]["cat"] for r in mrecords)
+    assert parts == ["x", "y"]
+    # partition field carried in manifest metadata as spec JSON
+    _, _, mmeta = read_ocf(open(mf["manifest_path"], "rb").read())
+    spec = json.loads(mmeta["partition-spec"].decode())
+    assert spec[0]["name"] == "cat"
+    assert spec[0]["transform"] == "identity"
+    assert spec[0]["field-id"] == 1000
+    # hidden-partition pruning still sees one file for cat='x'
+    plan = t.scan().filter("cat = 'x'").plan_files()
+    assert len(plan) == 1
+
+
+def test_mutations_under_avro(catalog, spark):
+    t = catalog.create_table(
+        "av6", schema={"k": "int", "v": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"k": i, "v": f"v{i}"} for i in range(8)])
+    assert t.delete_where("k >= 6") == 2
+    assert t.update_where({"v": "'X'"}, "k = 0") == 1
+    src = spark.createDataFrame([(1, "ONE"), (99, "NEW")], ["k", "v"])
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows == {0: "X", 1: "ONE", 2: "v2", 3: "v3", 4: "v4", 5: "v5", 99: "NEW"}
+
+
+def test_mor_deletes_under_avro(catalog, spark):
+    t = catalog.create_table(
+        "av7", schema={"k": "int", "v": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"k": i, "v": f"v{i}"} for i in range(10)])
+    # positional MoR delete → deletes manifest (content=1)
+    assert t.delete_where("k = 3", mode="merge-on-read-positional") == 1
+    # equality MoR delete → content=2 with equality ids
+    assert t.delete_by_keys([(5,)], on="k") == 1
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 4, 6, 7, 8, 9]
+    latest_list = max(_list_files(t), key=os.path.getmtime)
+    _, mfs = _jvm_read(spark, latest_list)
+    by_content = {m["content"]: m for m in mfs}
+    assert set(by_content) == {0, 1}
+    _, del_records = _jvm_read(spark, by_content[1]["manifest_path"])
+    contents = sorted(r["data_file"]["content"] for r in del_records)
+    assert contents == [1, 2]
+    eq = [r for r in del_records if r["data_file"]["content"] == 2][0]
+    k_id = t.current_schema().field_by_name("k").field_id
+    assert eq["data_file"]["equality_ids"] == [k_id]
+
+
+def test_predicate_mor_delete_carried_json_only(catalog):
+    t = catalog.create_table(
+        "av8", schema={"k": "int"}, properties=AVRO_PROPS
+    )
+    t.append([{"k": i} for i in range(6)])
+    assert t.delete_where("k >= 4", mode="merge-on-read") == 2
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 3]
+    # a second commit carries the predicate entry forward through avro
+    t.append([{"k": 100}])
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 3, 100]
+
+
+def test_schema_evolution_under_avro(catalog):
+    t = catalog.create_table("av9", schema={"a": "int"}, properties=AVRO_PROPS)
+    t.append([{"a": 1}])
+    with t.update_schema() as u:
+        u.add_column("b", "string")
+    t.append([{"a": 2, "b": "x"}])
+    rows = sorted(t.to_a(), key=lambda r: r["a"])
+    assert rows == [{"a": 1, "b": None}, {"a": 2, "b": "x"}]
+    # the old file's entry keeps its original schema-id through avro
+    sids = sorted(e["schema-id"] for e in t._current_entries())
+    assert len(set(sids)) == 2
+
+
+def test_time_travel_and_changelog_under_avro(catalog):
+    t = catalog.create_table("av10", schema={"a": "int"}, properties=AVRO_PROPS)
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"a": 2}])
+    assert sorted(r["a"] for r in t.scan(snapshot_id=s1).to_a()) == [1]
+    assert sorted(r["a"] for r in t.to_a()) == [1, 2]
+    changes = t.changelog_scan(from_snapshot_id=s1).collect()
+    assert [r["a"] for r in changes] == [2]
+
+
+def test_rename_survival_with_positional_deletes(catalog):
+    t = catalog.create_table("av11", schema={"k": "int"}, properties=AVRO_PROPS)
+    t.append([{"k": i} for i in range(6)])
+    t.delete_where("k = 2", mode="merge-on-read-positional")
+    catalog.rename_table("av11", "av11renamed")
+    t2 = catalog.load_table("av11renamed")
+    assert sorted(r["k"] for r in t2.to_a()) == [0, 1, 3, 4, 5]
+
+
+def test_compaction_under_avro(catalog):
+    t = catalog.create_table("av12", schema={"a": "int"}, properties=AVRO_PROPS)
+    for i in range(3):
+        t.append([{"a": i}])
+    assert len(t._entry_files(t._current_entries())) == 3
+    t.compact()
+    assert len(t._entry_files(t._current_entries())) == 1
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2]
+
+
+@pytest.mark.parametrize(
+    "t,value",
+    [
+        (ice_t.BooleanType(), True),
+        (ice_t.IntType(), -2147483648),
+        (ice_t.LongType(), 2**62),
+        (ice_t.FloatType(), 1.5),
+        (ice_t.DoubleType(), -2.5e300),
+        (ice_t.DateType(), "1969-07-20"),
+        (ice_t.TimestampType(), "2024-05-01T10:30:00.123456"),
+        (ice_t.DecimalType(10, 2), "123.45"),
+        (ice_t.DecimalType(10, 2), "-0.01"),
+        (ice_t.StringType(), "héllo"),
+    ],
+)
+def test_bound_binary_roundtrip(t, value):
+    b = bound_to_bytes(value, t)
+    assert isinstance(b, bytes)
+    assert bound_from_bytes(b, t) == value
