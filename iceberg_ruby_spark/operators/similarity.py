@@ -118,26 +118,69 @@ def lsh_ann_topk(
     n_planes: int = 8,
     dim: int = 64,
     seed: int = 42,
+    n_probe_bits: int = 1,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Approximate cosine top-k: random-hyperplane LSH bucketing + exact
-    re-rank within the query's bucket.
+    re-rank within the probed buckets.
 
     Scale path: the corpus is bucketed once (can be persisted /
-    hidden-partitioned by bucket); each query joins only its bucket —
-    a hash-equality join on a long key instead of a full scan per query.
-    Recall is tunable via ``n_planes`` (fewer planes → bigger buckets →
-    higher recall, more compute)."""
+    hidden-partitioned by bucket); each query joins only its probed
+    buckets — a hash-equality join on a long key instead of a full scan
+    per query.  Recall is tunable three ways, in increasing cost order:
+
+    - ``n_probe_bits`` (multi-probe): each query also probes every bucket
+      within that Hamming distance of its own signature.  Multiplies only
+      the QUERY-side row count (×(1+n_planes) at 1 bit); the corpus side
+      — the 100 TB side — is never expanded.
+    - ``n_planes``: fewer planes → bigger buckets → more candidates.
+    - ``n_tables``: L independent plane sets; a pair is a candidate if it
+      collides in ANY table — recall 1-(1-p^m)^L vs p^m for one table.
+      This is the knob that works when true neighbors sit at moderate
+      cosine (p per plane ≈ 0.6 at cos≈0.3, so any single table's recall
+      decays geometrically in m).  Cost: the corpus index holds L entries
+      per vector (linear, the standard LSH memory/recall trade) and
+      candidates need one dedup before re-rank.
+
+    The bucket key packs the table id into the high bits of the sign
+    signature, so multi-table remains ONE long-key equality join."""
+    if n_probe_bits > 2:
+        raise ValueError("n_probe_bits > 2 explodes the probe fan-out; use fewer planes instead")
     query_id_col = query_id_col or id_col
-    planes = _hyperplanes(dim, n_planes, seed)
+    table_planes = [
+        _hyperplanes(dim, n_planes, seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def probe_buckets(vec, want_probes: bool):
+        out = []
+        for t, planes in enumerate(table_planes):
+            b0 = lsh_bucket(vec, planes) + F.lit(t << n_planes).cast("long")
+            out.append(b0)
+            if want_probes and n_probe_bits >= 1:
+                out += [
+                    b0.bitwiseXOR(F.lit(1 << i).cast("long"))
+                    for i in range(n_planes)
+                ]
+            if want_probes and n_probe_bits >= 2:
+                out += [
+                    b0.bitwiseXOR(F.lit((1 << i) | (1 << j)).cast("long"))
+                    for i in range(n_planes)
+                    for j in range(i + 1, n_planes)
+                ]
+        return F.explode(F.array(*out))
+
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
-        "__bucket", lsh_bucket(F.col("__cv"), planes)
+        "__bucket", probe_buckets(F.col("__cv"), want_probes=False)
     )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__bucket", lsh_bucket(F.col("__qv"), planes))
+    ).withColumn("__bucket", probe_buckets(F.col("__qv"), want_probes=True))
+    # a pair can collide in several tables — dedup candidates before the
+    # exact re-rank so each (query, id) is scored once
     scored = (
         c.join(F.broadcast(q), "__bucket")
         .filter(F.col(id_col) != F.col("query_id"))
+        .dropDuplicates(["query_id", id_col])
         .withColumn(
             "cosine",
             F.round(

@@ -255,12 +255,17 @@ def embedding_cosine_topk(spark, sf_dir):
 
 @query("embedding_ann_lsh")  # bucketing is engine-specific — rows-only check
 def embedding_ann_lsh(spark, sf_dir):
-    """Random-hyperplane LSH ANN: bucket join + exact re-rank in bucket."""
+    """Random-hyperplane LSH ANN: multi-table bucket join + exact re-rank
+    in the probed buckets.  8 tables × 4 planes × 1-bit multi-probe —
+    measured recall@10 = 1.0 vs exact cosine on this corpus (the fixture
+    embeddings' true neighbors sit at cos≈0.3, where any single sign-LSH
+    table's recall decays geometrically); tests/test_ground_truth.py pins
+    the recall bound against the exact oracle."""
     from iceberg_ruby_spark.operators.similarity import lsh_ann_topk
 
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(emb, q, k=10, n_planes=6)
+    return lsh_ann_topk(emb, q, k=10, n_planes=4, n_tables=8, n_probe_bits=1)
 
 
 @query(
@@ -313,12 +318,30 @@ def embedding_centroids(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("multimodal_features")  # decoder is a deterministic stub — rows-only
+_HEXB = (
+    "((strpos('0123456789abcdef', substr(sha256(text), 2*i+1, 1)) - 1) * 16"
+    " + (strpos('0123456789abcdef', substr(sha256(text), 2*i+2, 1)) - 1))"
+)
+
+
+@query(
+    "multimodal_features",
+    oracle=f"""
+    SELECT doc_id AS media_id,
+           octet_length(encode(text)) AS size_bytes,
+           round(SUM(CAST({_HEXB} / 255.0 AS REAL)), 6) AS feature_sum
+    FROM documents, generate_series(0, 15) AS g(i)
+    GROUP BY doc_id, text
+    """,
+)
 def multimodal_features(spark, sf_dir):
     """Binary media columns + metadata + mapInPandas feature extraction.
     The codec is a deterministic sha256-based stand-in (real image/audio
     libs are not installed); schema/partitioning/batching are the real
-    pipeline (operators/multimodal.py)."""
+    pipeline (operators/multimodal.py).  Because the stub derives features
+    from sha256(payload), DuckDB can recompute them exactly: the oracle
+    parses the hex digest byte-by-byte and mirrors the float32 (REAL)
+    truncation of each b/255.0 feature before the double-accumulated sum."""
     from iceberg_ruby_spark.operators.multimodal import (
         attach_media_metadata,
         extract_features,
@@ -395,19 +418,33 @@ def pipeline_clean_corpus(spark, sf_dir):
     )
 
 
-@query("multimodal_resize_frames")  # stub codecs — rows-only check
+@query(
+    "multimodal_resize_frames",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(g.i AS INTEGER) AS frame_index,
+           32 AS frame_bytes
+    FROM documents, generate_series(0, 6) AS g(i)
+    WHERE doc_id < 200 AND g.i <= doc_id % 5 + 1
+    """,
+)
 def multimodal_resize_frames(spark, sf_dir):
     """Media pipeline plumbing end-to-end: synthesize binary payloads from
     the documents table, tag metadata, resize, and frame-sample — the
     mapInPandas batch shapes and schemas are what's under test (codecs are
-    deterministic fakes; real ones register via register_resizer)."""
+    deterministic fakes; real ones register via register_resizer).  The
+    fakes are fully determined by (payload, metadata): frame count is
+    duration_ms//every_ms + 1 and every fake frame is a 32-byte sha256
+    digest, so DuckDB can enumerate the exact output.  The 200-doc slice
+    is a doc_id predicate, not LIMIT — LIMIT picks arbitrary rows and has
+    no oracle twin."""
     from iceberg_ruby_spark.operators.multimodal import (
         attach_media_metadata,
         resize_media,
         sample_frames,
     )
 
-    d = load(spark, sf_dir, "documents").limit(200)
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
     media = d.select(
         F.col("doc_id").alias("media_id"),
         F.encode(F.col("text"), "utf-8").alias("payload"),
