@@ -204,22 +204,26 @@ def minhash_lsh_pairs(
 
     1. signatures (one shuffle, map-side partial aggregation — only the
        compact k-long sketch per doc reaches the exchange);
-    2. explode ``bands`` band-hashes WITH the signature carried alongside,
-       self-join on the band hash → candidate pairs — the only pair
-       enumeration, and it is bucket-local.  Carrying the sketch through
-       the band join costs bands×|sig| per doc in that one exchange but
-       removes the alternative: joining candidates back to a broadcast of
-       the full signature table, which is corpus-sized and therefore NOT
-       broadcastable at 100 TB (the round-3 form did exactly that — fine
-       at sf0.1, a driver OOM at scale);
+    2. explode ``bands`` band-hashes WITH a byte-packed copy of the
+       signature carried alongside (the 64 min-hash low bytes in 8 longs
+       — 8× less exchange payload than the full sketch), self-join on
+       the band hash → candidate pairs — the only pair enumeration, and
+       it is bucket-local.  Carrying the packed sketch through the band
+       join removes the alternative: joining candidates back to a
+       broadcast of the full signature table, which is corpus-sized and
+       therefore NOT broadcastable at 100 TB (the round-3 form did
+       exactly that — fine at sf0.1, a driver OOM at scale);
     3. funnel: estimate Jaccard from signature agreement as a pipelined
        filter on the band-join output — no extra joins, no extra shuffle.
-       The agreement sum is ONE ``aggregate(zip_with(...))`` walk over the
-       two in-row arrays: measured 6× faster than the unrolled 64-term
-       ``IF(sa[i]=sb[i],...)`` sum it replaces (687k-row multiset, sf0.1 —
-       the unrolled form's 128 GetArrayItem calls per row defeat codegen;
-       the round-2 measurement that rejected higher-order here predates
-       the current funnel shape and no longer holds);
+       Each min-hash LOW BYTE is the same Bernoulli agreement sample as
+       the full 64-bit min (unequal mins collide on a byte with prob
+       ~1/256 — a small optimistic bias in the safe direction, since the
+       exact verification kills false positives), so the agreement count
+       is 8 XOR + SWAR zero-byte counts over the packed longs — pure
+       bitwise whole-stage codegen, replacing the round-3 interpreted
+       ``aggregate(zip_with(...))`` walk (expression-tree evaluation per
+       64-element row pair over the 687k-row collision multiset at
+       sf0.1);
     4. exact Jaccard verification **of candidates only**, via a
        candidate-filtered corpus re-scan (shingle sets compared with one
        JVM array_intersect per pair).
@@ -236,6 +240,27 @@ def minhash_lsh_pairs(
         .groupBy(id_col)
         .agg(F.expr(_sig_agg_expr(num_hashes)))
     )
+    # The agreement estimate doesn't need full 64-bit mins — the LOW BYTE
+    # of each min is an equally valid Bernoulli sample (byte-collision of
+    # unequal mins adds ~1/256 upward bias, absorbed by the margin and in
+    # the safe direction: extra candidates die in exact verification).
+    # Packing 8 low-bytes per long does two things at once:
+    #   * the band exchange carries 8 longs instead of the 64-long
+    #     signature — 8× less shuffle payload per doc per band;
+    #   * per-pair agreement becomes pure bitwise codegen (SWAR
+    #     zero-byte count) instead of an interpreted 64-element
+    #     aggregate(zip_with(...)) walk — the round-3 funnel's dominant
+    #     cost at 687k collision rows (measured below).
+    n_packs = (num_hashes + 7) // 8
+    pack_exprs = [
+        "("
+        + " + ".join(
+            f"shiftleft(sig[{p * 8 + k}] & 255L, {8 * k})"
+            for k in range(min(8, num_hashes - p * 8))
+        )
+        + f") AS __p{p}"
+        for p in range(n_packs)
+    ]
     # band index folded into ONE 64-bit key — the bucket join shuffles and
     # compares a single long instead of (int, long).  No persist: the self-
     # join's two sides are the identical subtree, so the exchange is built
@@ -246,17 +271,25 @@ def minhash_lsh_pairs(
         + ")"
         for b in range(bands)
     )
-    bands_df = sig.select(
-        F.col(id_col), F.col("sig"), F.expr(f"explode(array({band_exprs})) AS __bh")
+    bands_df = sig.selectExpr(
+        id_col, *pack_exprs, f"explode(array({band_exprs})) AS __bh"
     )
     a = bands_df.alias("a")
     b_ = bands_df.alias("b")
+    # SWAR zero-byte count per packed long: z has bit7 set in every byte
+    # where a.__pi and b.__pi DISAGREE, so agreeing bytes across all packs
+    # = num_hashes - Σ bit_count(z & 0x8080…).  ~6 bitwise ops per pack,
+    # all inside whole-stage codegen.
+    _LO7 = 0x7F7F7F7F7F7F7F7F
+    _HI = -9187201950435737472  # 0x8080808080808080 as signed long
+    def _swar(p: int) -> str:
+        x = f"(a.__p{p} ^ b.__p{p})"
+        return f"bit_count(((({x} & {_LO7}L) + {_LO7}L) | {x} | {_LO7}L) & {_HI}L)"
+
+    disagree = " + ".join(_swar(p) for p in range(n_packs))
+    est = f"({num_hashes} - ({disagree})) / CAST({num_hashes} AS DOUBLE)"
     # ~2σ of the k-sample Bernoulli estimate at j≈threshold
     margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    est = (
-        "aggregate(zip_with(a.sig, b.sig, (x, y) -> IF(x = y, 1, 0)), 0, "
-        f"(acc, v) -> acc + v) / CAST({num_hashes} AS DOUBLE)"
-    )
     # NO distinct before the funnel: a pair colliding in several bands is
     # estimated once per collision, but the estimate is a pipelined filter
     # (dup-insensitive) and deduping its small output beats shuffling the
