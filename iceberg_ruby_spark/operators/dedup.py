@@ -312,10 +312,10 @@ def minhash_lsh_pairs(
     # multi-million-row shingle×pair shuffle join.  One extra corpus scan
     # (IO only — columns pruned to id+text) buys never materializing the
     # 8×-corpus exploded shingle table.
+    # one explode pass over the cached pairs (not a 2-branch union — half
+    # the cache reads, same distinct)
     cand_ids = (
-        cand.select(F.col("id_a").alias(id_col))
-        .union(cand.select(F.col("id_b").alias(id_col)))
-        .distinct()
+        cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     )
     # broadcast the id set — a shuffled semi-join would move every doc row;
     # the id list is 8 bytes per candidate doc
