@@ -5,17 +5,23 @@ REST backend surface (``lib/iceberg/rest_catalog.rb:2-11``: uri,
 warehouse, properties, default_namespace; option passthrough
 ``ext/iceberg/src/catalog.rs:130-152``).
 
-**Protocol honesty:** the *commit* exchange is a simplified stub protocol,
-not the spec's. Spec commits send granular metadata updates
-(``add-snapshot`` / ``set-snapshot-ref``) with requirements like
-``assert-ref-snapshot-id``; this backend sends the whole metadata document
-with an invented ``assert-table-version`` CAS requirement that only the
-in-repo stub server (tests/support/rest_server.py) understands. It will
-NOT interoperate with real REST catalogs (iceberg-rest-fixture, Polaris)
-— that additionally requires spec Avro manifests and spec table-metadata
-JSON, tracked as the Avro-interop work item. The registry split below
-(identities + current-metadata pointer on the server, data/manifests on
-storage via FileIO) does mirror how iceberg-rust's RestCatalog works.
+The *commit* exchange speaks the spec's CommitTableRequest: the client
+diffs the base metadata against the engine's new document into granular
+spec update actions (``add-snapshot``, ``set-snapshot-ref``,
+``add-schema``, ``set-properties``, …) guarded by spec requirements
+(``assert-table-uuid``, ``assert-ref-snapshot-id``,
+``assert-current-schema-id``, …); the server — authoritative for the
+metadata document, as in the real protocol — validates requirements and
+applies the updates, deriving the derived fields (``last-updated-ms``,
+``snapshot-log``, ``metadata-log``, ``last-sequence-number``,
+``next-row-id``) itself, and the client adopts the server's resulting
+document.  Creates send a spec CreateTableRequest (server assigns the
+UUID); ``register_table`` sends the spec's ``metadata-location`` form.
+Remaining interop caveat: the metadata *documents* exchanged are the
+engine's (internal JSON manifests unless the table opts into
+``write.metadata.manifest-format=avro``), so a real REST catalog would
+accept the protocol but other engines still need the Avro manifest mode
+to read the data.
 
 Split of responsibilities, mirroring how iceberg-rust's RestCatalog works:
 
@@ -43,6 +49,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import urllib.error
 import urllib.parse
 import urllib.request
@@ -149,6 +156,223 @@ class RestClient:
         return self.ns_path(parts[:-1], "tables", urllib.parse.quote(parts[-1], safe=""))
 
 
+_VERSION_RE = re.compile(r"v(\d+)(?:\.metadata)?\.json$")
+
+
+def _location_version(metadata_location: Optional[str]) -> int:
+    """The conventional version hint real engines parse out of the
+    metadata-location filename (``v{N}.metadata.json``)."""
+    if metadata_location:
+        m = _VERSION_RE.search(metadata_location)
+        if m:
+            return int(m.group(1))
+    return 0
+
+
+def _max_field_id(type_json: Any) -> int:
+    """Highest field id in an Iceberg schema JSON (recursive)."""
+    best = 0
+    if isinstance(type_json, dict):
+        for f in type_json.get("fields", []):
+            best = max(best, int(f.get("id", 0)), _max_field_id(f.get("type")))
+        for key in ("element-id", "key-id", "value-id"):
+            if key in type_json:
+                best = max(best, int(type_json[key]))
+        for key in ("element", "key", "value"):
+            if key in type_json:
+                best = max(best, _max_field_id(type_json[key]))
+    return best
+
+
+def _last_partition_id(meta: dict[str, Any]) -> int:
+    return max(
+        (
+            int(f.get("field-id", 999))
+            for s in meta.get("partition-specs", [])
+            for f in s.get("fields", [])
+        ),
+        default=999,
+    )
+
+
+def metadata_updates(base: dict[str, Any], new: dict[str, Any]) -> tuple[list, list]:
+    """Diff two metadata documents into spec CommitTableRequest
+    ``updates`` + ``requirements`` (the granular actions a real Iceberg
+    REST server applies; ``rest-catalog-open-api.yaml`` TableUpdate /
+    TableRequirement unions).  Derived fields — ``last-updated-ms``,
+    ``snapshot-log``, ``metadata-log``, ``last-sequence-number``,
+    ``next-row-id``, ``last-column-id``, ``last-partition-id`` — are NOT
+    diffed: the server derives them from the actions, as the spec
+    intends."""
+    ups: list[dict] = []
+    reqs: list[dict] = [{"type": "assert-table-uuid", "uuid": base["table-uuid"]}]
+    if new.get("format-version") != base.get("format-version"):
+        ups.append(
+            {"action": "upgrade-format-version", "format-version": new["format-version"]}
+        )
+    if new.get("location") != base.get("location"):
+        ups.append({"action": "set-location", "location": new["location"]})
+    # schemas
+    base_sids = {s["schema-id"] for s in base.get("schemas", [])}
+    added_schemas = [
+        s for s in new.get("schemas", []) if s["schema-id"] not in base_sids
+    ]
+    for s in added_schemas:
+        ups.append(
+            {
+                "action": "add-schema",
+                "schema": s,
+                "last-column-id": new.get("last-column-id"),
+            }
+        )
+    if added_schemas:
+        reqs.append(
+            {
+                "type": "assert-last-assigned-field-id",
+                "last-assigned-field-id": base.get("last-column-id", 0),
+            }
+        )
+    if new.get("current-schema-id") != base.get("current-schema-id"):
+        ups.append(
+            {"action": "set-current-schema", "schema-id": new["current-schema-id"]}
+        )
+        reqs.append(
+            {
+                "type": "assert-current-schema-id",
+                "current-schema-id": base.get("current-schema-id"),
+            }
+        )
+    # partition specs
+    base_pids = {s["spec-id"] for s in base.get("partition-specs", [])}
+    added_specs = [
+        s for s in new.get("partition-specs", []) if s["spec-id"] not in base_pids
+    ]
+    for s in added_specs:
+        ups.append({"action": "add-spec", "spec": s})
+    if added_specs:
+        reqs.append(
+            {
+                "type": "assert-last-assigned-partition-id",
+                "last-assigned-partition-id": _last_partition_id(base),
+            }
+        )
+    if new.get("default-spec-id") != base.get("default-spec-id"):
+        ups.append({"action": "set-default-spec", "spec-id": new["default-spec-id"]})
+        reqs.append(
+            {
+                "type": "assert-default-spec-id",
+                "default-spec-id": base.get("default-spec-id"),
+            }
+        )
+    # sort orders
+    base_oids = {o["order-id"] for o in base.get("sort-orders", [])}
+    for o in new.get("sort-orders", []):
+        if o["order-id"] not in base_oids:
+            ups.append({"action": "add-sort-order", "sort-order": o})
+    if new.get("default-sort-order-id") != base.get("default-sort-order-id"):
+        ups.append(
+            {
+                "action": "set-default-sort-order",
+                "sort-order-id": new["default-sort-order-id"],
+            }
+        )
+        reqs.append(
+            {
+                "type": "assert-default-sort-order-id",
+                "default-sort-order-id": base.get("default-sort-order-id"),
+            }
+        )
+    # properties
+    bp = base.get("properties", {})
+    np_ = new.get("properties", {})
+    prop_ups = {k: v for k, v in np_.items() if bp.get(k) != v}
+    prop_rms = [k for k in bp if k not in np_]
+    if prop_ups:
+        ups.append({"action": "set-properties", "updates": prop_ups})
+    if prop_rms:
+        ups.append({"action": "remove-properties", "removals": prop_rms})
+    # snapshots
+    base_snap_ids = {s["snapshot-id"] for s in base.get("snapshots", [])}
+    new_snap_ids = {s["snapshot-id"] for s in new.get("snapshots", [])}
+    for s in new.get("snapshots", []):
+        if s["snapshot-id"] not in base_snap_ids:
+            ups.append({"action": "add-snapshot", "snapshot": s})
+    removed_snaps = sorted(base_snap_ids - new_snap_ids)
+    if removed_snaps:
+        ups.append({"action": "remove-snapshots", "snapshot-ids": removed_snaps})
+    # refs (set-snapshot-ref on main also moves current-snapshot-id and
+    # appends the snapshot-log, server-side)
+    brefs = base.get("refs", {})
+    nrefs = new.get("refs", {})
+    for name, ref in nrefs.items():
+        if brefs.get(name) != ref:
+            ups.append({"action": "set-snapshot-ref", "ref-name": name, **ref})
+            reqs.append(
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": name,
+                    "snapshot-id": (brefs.get(name) or {}).get("snapshot-id"),
+                }
+            )
+    for name, ref in brefs.items():
+        if name not in nrefs:
+            ups.append({"action": "remove-snapshot-ref", "ref-name": name})
+            reqs.append(
+                {
+                    "type": "assert-ref-snapshot-id",
+                    "ref": name,
+                    "snapshot-id": ref.get("snapshot-id"),
+                }
+            )
+    # a current-snapshot move with no ref diff cannot arise from this
+    # engine (every main commit moves refs.main); guard anyway so the
+    # server never silently keeps a stale current pointer
+    if new.get("current-snapshot-id") != base.get("current-snapshot-id") and not any(
+        u.get("action") == "set-snapshot-ref" and u.get("ref-name") == "main"
+        for u in ups
+    ):
+        ups.append(
+            {
+                "action": "set-snapshot-ref",
+                "ref-name": "main",
+                "type": "branch",
+                "snapshot-id": new.get("current-snapshot-id"),
+            }
+        )
+    # statistics / partition statistics (upsert keyed by snapshot-id)
+    for field, set_action, rm_action in (
+        ("statistics", "set-statistics", "remove-statistics"),
+        (
+            "partition-statistics",
+            "set-partition-statistics",
+            "remove-partition-statistics",
+        ),
+    ):
+        b_by_id = {e["snapshot-id"]: e for e in base.get(field, [])}
+        n_by_id = {e["snapshot-id"]: e for e in new.get(field, [])}
+        for sid, e in n_by_id.items():
+            if b_by_id.get(sid) != e:
+                ups.append({"action": set_action, "snapshot-id": sid, field: e})
+        for sid in b_by_id:
+            if sid not in n_by_id:
+                ups.append({"action": rm_action, "snapshot-id": sid})
+    # encryption keys (v3)
+    bk = base.get("encryption-keys", {})
+    nk = new.get("encryption-keys", {})
+    for kid, v in nk.items():
+        if bk.get(kid) != v:
+            ups.append(
+                {
+                    "action": "add-encryption-key",
+                    "encryption-key": {"key-id": kid, "value": v},
+                }
+            )
+    for kid in bk:
+        if kid not in nk:
+            ups.append({"action": "remove-encryption-key", "key-id": kid})
+    return ups, reqs
+
+
 class RestTableOps:
     """FsTableOps-compatible metadata plane backed by the REST server.
 
@@ -186,14 +410,14 @@ class RestTableOps:
             raise
 
     def current_version(self) -> int:
-        return int(self._get()["metadata"]["__rest-version"])
+        return _location_version(self._get().get("metadata-location"))
 
     def load(self, version: Optional[int] = None):
         from iceberg_ruby_spark.table import TableMetadata
 
         doc = self._get()
         meta = doc["metadata"]
-        v = int(meta["__rest-version"])
+        v = _location_version(doc.get("metadata-location"))
         if version is not None and version != v:
             raise NoSuchTableError(
                 f"REST catalog serves only the current metadata version "
@@ -201,46 +425,94 @@ class RestTableOps:
             )
         return TableMetadata(meta, v, doc.get("metadata-location", self.location))
 
-    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]):
-        """CAS through the server: create on first commit, else an update
-        with an ``assert-table-version`` requirement (stub protocol — the
-        Iceberg REST spec uses ``assert-ref-snapshot-id`` + granular
-        updates; see the module docstring).  409 → FileExistsError so the
-        optimistic retry loops in table.py treat server conflicts exactly
-        like filesystem version-file races."""
+    def _doc_to_metadata(self, doc: dict[str, Any]):
         from iceberg_ruby_spark.table import TableMetadata
 
-        new_version = (base_version or 0) + 1
-        meta = dict(new_meta)
-        meta["__rest-version"] = new_version
+        return TableMetadata(
+            doc["metadata"],
+            _location_version(doc.get("metadata-location")),
+            doc.get("metadata-location", self.location),
+        )
+
+    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]):
+        """Spec CommitTableRequest round trip.
+
+        Create: POST a CreateTableRequest (name/schema/spec/order/props;
+        the server assigns the UUID and builds the initial document).
+        Update: fetch the base, diff into granular spec updates guarded by
+        spec requirements (:func:`metadata_updates`), POST, and adopt the
+        server's resulting document — the server is authoritative for the
+        metadata, exactly as in the real protocol.  409 (or a base that
+        moved between load and commit) → FileExistsError so the optimistic
+        retry loops in table.py treat server conflicts exactly like
+        filesystem version-file races."""
         if base_version in (None, 0) and not self.exists():
+            new_fv = new_meta.get("format-version", 2)
+            props = dict(new_meta.get("properties", {}))
+            props["format-version"] = str(new_fv)
+            schemas = new_meta.get("schemas", [])
+            cur_schema = next(
+                (
+                    s
+                    for s in schemas
+                    if s.get("schema-id") == new_meta.get("current-schema-id")
+                ),
+                schemas[0] if schemas else None,
+            )
+            specs = new_meta.get("partition-specs", [])
+            spec = next(
+                (
+                    s
+                    for s in specs
+                    if s.get("spec-id") == new_meta.get("default-spec-id")
+                ),
+                None,
+            )
+            orders = new_meta.get("sort-orders", [])
+            order = next(
+                (
+                    o
+                    for o in orders
+                    if o.get("order-id") == new_meta.get("default-sort-order-id")
+                ),
+                None,
+            )
             body = {
                 "name": self.parts[-1],
                 "location": self.location,
-                "metadata": meta,
+                "schema": cur_schema,
+                "partition-spec": spec,
+                "write-order": order,
+                "properties": props,
+                "stage-create": False,
             }
             try:
-                self.client.request(
+                doc = self.client.request(
                     "POST", self.client.ns_path(self.parts[:-1], "tables"), body
                 )
             except RestError as e:
                 if e.status == 409:
                     raise FileExistsError(str(e))
                 raise
-        else:
-            body = {
-                "requirements": [
-                    {"type": "assert-table-version", "version": base_version}
-                ],
-                "updates": [{"action": "set-metadata", "metadata": meta}],
-            }
-            try:
-                self.client.request("POST", self.client.table_path(self.parts), body)
-            except RestError as e:
-                if e.status == 409:
-                    raise FileExistsError(str(e))
-                raise
-        return TableMetadata(meta, new_version, self.location)
+            return self._doc_to_metadata(doc)
+        base_doc = self._get()
+        if _location_version(base_doc.get("metadata-location")) != base_version:
+            # the base this commit was planned against has moved on —
+            # surface the same conflict shape a stale version file would
+            raise FileExistsError(
+                f"metadata version moved past v{base_version}"
+            )
+        updates, requirements = metadata_updates(base_doc["metadata"], new_meta)
+        body = {"requirements": requirements, "updates": updates}
+        try:
+            doc = self.client.request(
+                "POST", self.client.table_path(self.parts), body
+            )
+        except RestError as e:
+            if e.status == 409:
+                raise FileExistsError(str(e))
+            raise
+        return self._doc_to_metadata(doc)
 
     # -- manifests: identical relative-path storage to FsTableOps ----------
     def _rel(self, p: str) -> str:
@@ -506,8 +778,9 @@ class RestCatalog(Catalog):
             raise
 
     def register_table(self, ident, metadata_location: str):
-        """Attach an existing FS table to the REST catalog by reference:
-        reads its current metadata once and registers the document."""
+        """Attach an existing FS table to the REST catalog by reference —
+        the spec's RegisterTableRequest: ``{name, metadata-location}``,
+        and the SERVER loads the metadata document from storage."""
         from iceberg_ruby_spark.table import FsTableOps
 
         parts = self._with_namespace(ident)
@@ -521,9 +794,7 @@ class RestCatalog(Catalog):
         if not fs_ops.exists():
             raise NoSuchTableError(f"no table metadata at {metadata_location}")
         meta = fs_ops.load()
-        doc = dict(meta.raw)
-        doc["__rest-version"] = meta.version
-        body = {"name": parts[-1], "location": src, "metadata": doc}
+        body = {"name": parts[-1], "metadata-location": meta.metadata_file}
         try:
             self.client.request(
                 "POST", self.client.ns_path(parts[:-1], "register"), body

@@ -46,7 +46,7 @@ import os
 import time
 import uuid as uuid_mod
 from dataclasses import dataclass
-from typing import Any, Iterable, Optional, Union
+from typing import Any, Iterable, Optional, Sequence, Union
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -706,6 +706,27 @@ class Table:
     @property
     def properties(self) -> dict[str, str]:
         return self.metadata.properties
+
+    def update_properties(
+        self,
+        updates: Optional[dict[str, str]] = None,
+        removals: Optional[Sequence[str]] = None,
+    ) -> "Table":
+        """Set/remove table properties (Iceberg's UpdateProperties op; the
+        reference exposes properties read-only — ``table.rb`` ``properties``
+        — so this exceeds it).  Metadata-only optimistic commit."""
+        ups = {str(k): str(v) for k, v in (updates or {}).items()}
+        rms = [str(k) for k in (removals or [])]
+
+        def mutate(raw: dict[str, Any]) -> None:
+            props = dict(raw.get("properties", {}))
+            props.update(ups)
+            for k in rms:
+                props.pop(k, None)
+            raw["properties"] = props
+
+        self._metadata_update(mutate)
+        return self
 
     # statistics (reference reads Puffin stats files,
     # ext/iceberg/src/statistics.rs:14-71; here the analog is a JSON stats
@@ -1884,6 +1905,7 @@ class Table:
             counters = {
                 # Iceberg snapshot-summary counters (metadata-only totals)
                 "added-data-files": str(added_files),
+                "added-rows": str(added_rows),
                 "total-data-files": str(len(data_entries)),
                 "total-records": str(self._entries_rowcount(data_entries)),
                 "total-delete-entries": str(len(all_entries) - len(data_entries)),
@@ -1897,8 +1919,12 @@ class Table:
                 schema_id=meta.current_schema_id,
                 summary={"operation": operation, **counters, **(summary_extra or {})},
             )
+            # v3 row-lineage: the snapshot records its assigned row-id range
+            # start, so a catalog that owns the metadata (REST) can derive
+            # next-row-id = first-row-id + added-rows without manifests
+            snap_json = {**snap.to_json(), "first-row-id": meta.next_row_id}
             raw = dict(meta.raw)
-            raw["snapshots"] = meta.raw.get("snapshots", []) + [snap.to_json()]
+            raw["snapshots"] = meta.raw.get("snapshots", []) + [snap_json]
             raw["last-sequence-number"] = snap.sequence_number
             raw["last-updated-ms"] = now
             raw["metadata-log"] = meta.metadata_log + [

@@ -5,6 +5,7 @@ runs on the FS backend, the way reference CI points its suite at
 
 from __future__ import annotations
 
+import json
 import shutil
 import tempfile
 
@@ -181,3 +182,85 @@ def test_oauth_client_credentials(spark):
             assert cat.namespace_exists("ns")
     finally:
         shutil.rmtree(wh, ignore_errors=True)
+
+
+_SPEC_ACTIONS = {
+    "assign-uuid", "upgrade-format-version", "add-schema", "set-current-schema",
+    "add-spec", "set-default-spec", "add-sort-order", "set-default-sort-order",
+    "set-properties", "remove-properties", "add-snapshot", "remove-snapshots",
+    "set-snapshot-ref", "remove-snapshot-ref", "set-location",
+    "set-statistics", "remove-statistics",
+    "set-partition-statistics", "remove-partition-statistics",
+    "add-encryption-key", "remove-encryption-key",
+}
+_SPEC_REQUIREMENTS = {
+    "assert-create", "assert-table-uuid", "assert-ref-snapshot-id",
+    "assert-current-schema-id", "assert-default-spec-id",
+    "assert-default-sort-order-id", "assert-last-assigned-field-id",
+    "assert-last-assigned-partition-id",
+}
+
+
+def test_commit_wire_protocol_is_spec_vocabulary(rest):
+    """Every commit body sent over the wire uses only Iceberg REST spec
+    TableUpdate actions and TableRequirement types — the round-3 advisory
+    flagged an invented set-metadata/assert-table-version stub protocol."""
+    captured = []
+    orig = rest.client.request
+
+    def spy(method, path, body=None, params=None):
+        if method == "POST" and body is not None and "updates" in body:
+            captured.append(body)
+        return orig(method, path, body=body, params=params)
+
+    rest.client.request = spy
+    try:
+        t = rest.create_table("wire", schema={"k": "int", "v": "string"})
+        t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+        t.delete_where("k = 2")
+        t.create_tag("v1")
+        t.update_properties({"owner": "x"})
+        with t.update_schema() as u:
+            u.add_column("extra", "string")
+        t.append([{"k": 3, "v": "c", "extra": "e"}])
+        t.expire_snapshots(keep_last=1)
+    finally:
+        rest.client.request = orig
+
+    assert captured, "no commit bodies captured"
+    seen_actions = set()
+    seen_reqs = set()
+    for body in captured:
+        for u in body["updates"]:
+            assert u["action"] in _SPEC_ACTIONS, u
+            seen_actions.add(u["action"])
+        for r in body.get("requirements", []):
+            assert r["type"] in _SPEC_REQUIREMENTS, r
+            seen_reqs.add(r["type"])
+        assert "metadata" not in json.dumps(body.get("requirements", []))
+    # the matrix above must exercise the core action families
+    assert {"add-snapshot", "set-snapshot-ref", "add-schema",
+            "set-properties", "remove-snapshots"} <= seen_actions
+    assert {"assert-table-uuid", "assert-ref-snapshot-id"} <= seen_reqs
+
+
+def test_server_owns_derived_metadata(rest):
+    """The server derives next-row-id / last-sequence-number / logs from
+    the granular updates; the engine adopts the server's document and the
+    derived state matches what the FS backend would compute."""
+    t = rest.create_table("derived", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}, {"k": 3}])
+    t.append([{"k": 4}])
+    meta = t.metadata.raw
+    assert meta["next-row-id"] == 4
+    assert meta["last-sequence-number"] == 2
+    assert len(meta["snapshot-log"]) == 2
+    assert len(meta["snapshots"]) == 2
+    # snapshot-log timestamps equal the snapshots' own commit timestamps
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    for e in meta["snapshot-log"]:
+        assert e["timestamp-ms"] == by_id[e["snapshot-id"]]["timestamp-ms"]
+    # server-assigned uuid is stable across commits
+    u0 = meta["table-uuid"]
+    t.append([{"k": 5}])
+    assert t.metadata.raw["table-uuid"] == u0
