@@ -757,30 +757,36 @@ class Table:
                 for c in cols
             },
         }
-        path = os.path.join(self.ops.metadata_dir, f"stats-{snap.snapshot_id}.json")
-        self.ops.io.write_atomic(path, json.dumps(stats, indent=1), overwrite=True)
+        from iceberg_ruby_spark.puffin import footer_size, stats_to_puffin
+
         schema = self.current_schema()
-        # StatisticsFile surface matches the reference's Puffin fields
-        # (``ext/iceberg/src/statistics.rs:14-47``: snapshot_id,
-        # statistics_path, file_size_in_bytes, file_footer_size_in_bytes,
-        # key_metadata) and one NDV blob per column using the Puffin blob
-        # type name; NDV rides blob properties as in Iceberg's spec.
+        field_ids = {
+            c: (schema.field_by_name(c).field_id if schema.field_by_name(c) else None)
+            for c in cols
+        }
+        # real binary Puffin container (spec magic/blobs/footer structure;
+        # puffin.py) — the reference surfaces the same StatisticsFile +
+        # blob-metadata fields from iceberg-rust
+        # (``ext/iceberg/src/statistics.rs:14-71``)
+        data = stats_to_puffin(stats, field_ids, snap.sequence_number)
+        path = os.path.join(
+            self.ops.metadata_dir, f"stats-{snap.snapshot_id}.puffin"
+        )
+        self.ops.io.write_bytes_atomic(path, data, overwrite=True)
+        from iceberg_ruby_spark.puffin import NDV_BLOB_TYPE
+
         entry = {
             "snapshot-id": snap.snapshot_id,
             "statistics-path": self.ops._rel(path),
-            "file-size-in-bytes": self.ops.io.size(path),
-            "file-footer-size-in-bytes": 0,  # JSON container: no footer
+            "file-size-in-bytes": len(data),
+            "file-footer-size-in-bytes": footer_size(data),
             "key-metadata": None,
             "blob-metadata": [
                 {
-                    "type": "apache-datasketches-theta-v1",
+                    "type": NDV_BLOB_TYPE,
                     "snapshot-id": snap.snapshot_id,
                     "sequence-number": snap.sequence_number,
-                    "fields": [
-                        schema.field_by_name(c).field_id
-                        if schema.field_by_name(c)
-                        else None
-                    ],
+                    "fields": [field_ids[c]],
                     "properties": {"ndv": str(row[f"__ndv_{c}"])},
                 }
                 for c in cols
@@ -857,11 +863,19 @@ class Table:
         return None
 
     def read_statistics(self, snapshot_id: Optional[int] = None) -> Optional[dict[str, Any]]:
-        """Load the stats file registered for a snapshot (default current)."""
+        """Load the stats file registered for a snapshot (default current).
+        Sniffs the container: binary Puffin (current writer) or the legacy
+        JSON file earlier versions wrote."""
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         for s in self.statistics:
             if s.get("snapshot-id") == sid:
-                return json.loads(self.ops.io.read(self.ops._abs(s["statistics-path"])))
+                path = self.ops._abs(s["statistics-path"])
+                data = self.ops.io.read_bytes(path)
+                if data[:4] == b"PFA1":
+                    from iceberg_ruby_spark.puffin import stats_from_puffin
+
+                    return stats_from_puffin(data)
+                return json.loads(data.decode("utf-8"))
         return None
 
     @property

@@ -87,18 +87,20 @@ def test_statistics_empty_without_compute(catalog):
 
 def test_statistics_puffin_surface(catalog):
     """StatisticsFile entries carry the reference's Puffin field surface
-    (statistics.rs:14-47): footer size, key metadata, and one
-    apache-datasketches-theta-v1 blob per column with NDV in properties
-    and the column's field id in fields."""
+    (statistics.rs:14-47): a real binary footer size, key metadata, and
+    one NDV blob per column with the Iceberg-conventional ``ndv``
+    property and the column's field id in fields."""
+    from iceberg_ruby_spark.puffin import NDV_BLOB_TYPE
+
     t = catalog.create_table("s3", schema={"a": "int", "b": "string"})
     t.append([{"a": i % 4, "b": f"x{i}"} for i in range(40)])
     t.compute_statistics()
     t = t.refresh()
     entry = t.statistics[0]
-    assert entry["file-footer-size-in-bytes"] == 0
+    assert entry["file-footer-size-in-bytes"] > 0
     assert entry["key-metadata"] is None
     blobs = entry["blob-metadata"]
-    assert [b["type"] for b in blobs] == ["apache-datasketches-theta-v1"] * 2
+    assert [b["type"] for b in blobs] == [NDV_BLOB_TYPE] * 2
     by_field = {b["fields"][0]: b for b in blobs}
     schema = t.current_schema()
     a_id = schema.field_by_name("a").field_id
@@ -297,3 +299,50 @@ def test_write_audit_publish(catalog):
     # incremental consumers see the published rows as appends
     inc = t.incremental_scan(from_snapshot_id=main_before)
     assert sorted(r["a"] for r in inc.collect()) == [2, 3]
+
+
+def test_statistics_file_is_spec_puffin(catalog):
+    """The stats file on disk is a structurally valid Puffin container:
+    magic at both ends, parseable footer, blob offsets resolving to the
+    recorded payloads, and the metadata entry's footer size correct."""
+    import os
+    import struct
+
+    from iceberg_ruby_spark.puffin import (
+        NDV_BLOB_TYPE,
+        STATS_JSON_BLOB_TYPE,
+        footer_size,
+        read_puffin,
+    )
+
+    t = catalog.create_table("pf", schema={"a": "int", "b": "string"})
+    t.append([{"a": i % 5, "b": f"x{i}"} for i in range(50)])
+    stats = t.compute_statistics()
+    [entry] = t.statistics
+    path = t.ops._abs(entry["statistics-path"])
+    assert path.endswith(".puffin")
+    data = open(path, "rb").read()
+    assert data[:4] == b"PFA1" and data[-4:] == b"PFA1"
+    assert entry["file-size-in-bytes"] == len(data) == os.path.getsize(path)
+    assert entry["file-footer-size-in-bytes"] == footer_size(data)
+    blobs, props = read_puffin(data)
+    by_type = {}
+    for b in blobs:
+        by_type.setdefault(b["type"], []).append(b)
+    # one NDV blob per column, int64 LE payload matching the blob property
+    ndv_blobs = by_type[NDV_BLOB_TYPE]
+    assert len(ndv_blobs) == 2
+    for b in ndv_blobs:
+        assert struct.unpack("<q", b["payload"])[0] == int(b["properties"]["ndv"])
+        assert b["snapshot-id"] == t.current_snapshot_id
+    # the JSON document blob round-trips through the public reader
+    [doc_blob] = by_type[STATS_JSON_BLOB_TYPE]
+    import json as json_mod
+
+    assert json_mod.loads(doc_blob["payload"].decode()) == stats
+    assert t.read_statistics() == stats
+    # blob-metadata in table metadata mirrors the reference's surface
+    # (statistics.rs:14-71): type/fields/snapshot-id/sequence-number/props
+    for bm in entry["blob-metadata"]:
+        assert bm["type"] == NDV_BLOB_TYPE
+        assert bm["properties"]["ndv"].isdigit()
