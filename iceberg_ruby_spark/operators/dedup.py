@@ -474,6 +474,7 @@ def embedding_cosine_pairs(
     threshold: float = 0.95,
     n_planes: int = 8,
     allow_all_pairs: bool = False,
+    n_tables: int = 1,
 ) -> DataFrame:
     """Embedding-based near-duplicate pairs: (id_a < id_b, cosine ≥
     threshold).
@@ -481,10 +482,14 @@ def embedding_cosine_pairs(
     The default is the scale path: sign-LSH bucketing (reused from
     operators/similarity.py) bounds pair enumeration to same-bucket
     candidates before the exact cosine check; at high thresholds near-dups
-    land in the same bucket with high probability.  Exact all-pairs
-    (``n_planes=0``) is a crossJoin — quadratic, only sane on a bounded
-    slice — so it additionally requires ``allow_all_pairs=True`` (round-2
-    advisory: a 100 TB-facing API must not default to O(n²))."""
+    land in the same bucket with high probability.  ``n_tables > 1``
+    unions candidates over L independent plane sets — recall
+    1-(1-p^m)^L instead of p^m, the same trade lsh_ann_topk documents —
+    at the cost of an L-fold index explode and one candidate dedup.
+    Exact all-pairs (``n_planes=0``) is a crossJoin — quadratic, only
+    sane on a bounded slice — so it additionally requires
+    ``allow_all_pairs=True`` (round-2 advisory: a 100 TB-facing API must
+    not default to O(n²))."""
     from iceberg_ruby_spark.operators.similarity import (
         _dot,
         _hyperplanes,
@@ -502,10 +507,25 @@ def embedding_cosine_pairs(
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     if n_planes > 0:
         dim = len(df.select(vec_col).first()[0])
-        planes = _hyperplanes(dim, n_planes)
-        a = a.withColumn("__bkt", lsh_bucket(F.col("__va"), planes))
-        b = b.withColumn("__bkt", lsh_bucket(F.col("__vb"), planes))
+        # table id packed into the bucket key's high bits → one long-key
+        # equality join regardless of n_tables
+        def buckets(vec):
+            return F.explode(
+                F.array(
+                    *[
+                        lsh_bucket(vec, _hyperplanes(dim, n_planes, 42 + 1000 * t))
+                        + F.lit(t << n_planes).cast("long")
+                        for t in range(n_tables)
+                    ]
+                )
+            )
+
+        a = a.withColumn("__bkt", buckets(F.col("__va")))
+        b = b.withColumn("__bkt", buckets(F.col("__vb")))
         cand = a.join(b, "__bkt").filter(F.col("id_a") < F.col("id_b"))
+        if n_tables > 1:
+            # a pair colliding in several tables is scored once
+            cand = cand.dropDuplicates(["id_a", "id_b"])
     else:
         cand = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
     return (

@@ -10,12 +10,17 @@ from pyspark.sql import types as T
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a bounded stream (schema taken from a batch probe;
-    ns timestamps arrive as long — converted to µs like the batch loader)."""
-    # events.parquet stores INT64 TIMESTAMP(NANOS); pin the runtime conf so
-    # this reads under any SparkSession, not just our factory's (the
-    # correctness driver builds a bare one)
+    """events.parquet as a bounded stream (schema taken from a batch probe),
+    with ``ts`` normalized to the session-timezone TIMESTAMP type whatever
+    the file's physical encoding — the driver has shipped both
+    INT64 TIMESTAMP(NANOS) (arrives as long under nanosAsLong) and
+    TIMESTAMP(MICROS, isAdjustedToUTC=false) (arrives as TIMESTAMP_NTZ,
+    which ``withWatermark`` rejects).  Confs are pinned at runtime so this
+    works on any SparkSession, not just our factory's (the correctness
+    driver builds a bare one); the UTC pin makes the NTZ→LTZ cast
+    value-stable against the naive-timestamp DuckDB oracle."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")
     # file-stream sources take a directory; select the events file by glob
     stream = (
@@ -24,8 +29,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    if dict(batch.dtypes).get("ts") == "bigint":
+    ts_type = dict(batch.dtypes).get("ts")
+    if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif ts_type == "timestamp_ntz":
+        stream = stream.withColumn("ts", F.col("ts").cast("timestamp"))
     return stream
 
 

@@ -313,3 +313,26 @@ def test_bound_binary_roundtrip(t, value):
     b = bound_to_bytes(value, t)
     assert isinstance(b, bytes)
     assert bound_from_bytes(b, t) == value
+
+
+def test_switch_format_mid_life(catalog):
+    """A table can opt into Avro manifests after it already has JSON
+    history: the read path sniffs each manifest list's extension, so
+    mixed-format snapshot chains scan, time-travel, and mutate."""
+    t = catalog.create_table("avmix", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}])
+    s1 = t.current_snapshot().snapshot_id
+    assert not t.current_snapshot().manifest_list.endswith(".avro")
+    t.update_properties({"write.metadata.manifest-format": "avro"})
+    t.append([{"k": 3}])
+    assert t.current_snapshot().manifest_list.endswith(".avro")
+    assert sorted(r["k"] for r in t.to_a()) == [1, 2, 3]
+    # JSON-era snapshot still time-travels; mutations span both formats
+    assert sorted(r["k"] for r in t.scan(snapshot_id=s1).to_a()) == [1, 2]
+    assert t.delete_where("k = 1") == 1
+    assert sorted(r["k"] for r in t.to_a()) == [2, 3]
+    # and back to JSON
+    t.update_properties({"write.metadata.manifest-format": "json"})
+    t.append([{"k": 4}])
+    assert not t.current_snapshot().manifest_list.endswith(".avro")
+    assert sorted(r["k"] for r in t.to_a()) == [2, 3, 4]

@@ -259,6 +259,15 @@ def test_embedding_cosine_pairs_lsh_vs_exact(spark):
            ops.embedding_cosine_pairs(df, threshold=0.99, n_planes=4).collect()}
     assert lsh <= exact  # no false positives (exact verify after bucketing)
     assert len(lsh) >= 0.7 * len(exact)  # high recall at 4 planes
+    # multi-table closes the recall gap: candidates union over 4
+    # independent plane sets (1-(1-p^m)^L vs p^m)
+    multi = {(r["id_a"], r["id_b"]) for r in
+             ops.embedding_cosine_pairs(
+                 df, threshold=0.99, n_planes=4, n_tables=4
+             ).collect()}
+    assert multi <= exact
+    assert len(multi) >= len(lsh)
+    assert len(multi) >= 0.95 * len(exact)
 
 
 def test_embedding_cosine_pairs_all_pairs_needs_opt_in(spark):
