@@ -643,6 +643,26 @@ class Catalog:
                 tbl.update_schema().rename_column(mm.group(1), mm.group(2)).commit()
             elif (mm := re.match(r"RENAME\s+TO\s+([\w.]+)\s*$", action, re.IGNORECASE)):
                 self.rename_table(self._sql_table_ident(name), self._sql_table_ident(mm.group(1)))
+            elif (mm := re.match(
+                r"SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$", action,
+                re.IGNORECASE | re.DOTALL,
+            )):
+                kvs = re.findall(
+                    r"'([^']+)'\s*=\s*'([^']*)'", mm.group(1)
+                )
+                if not kvs:
+                    raise InvalidDataError(
+                        "SET TBLPROPERTIES expects 'key'='value' pairs"
+                    )
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_properties(dict(kvs))
+            elif (mm := re.match(
+                r"UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$", action,
+                re.IGNORECASE | re.DOTALL,
+            )):
+                keys = re.findall(r"'([^']+)'", mm.group(1))
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_properties(removals=keys)
             else:
                 raise UnsupportedFeatureError(
                     f"unsupported ALTER TABLE action: {action[:60]!r}"

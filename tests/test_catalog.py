@@ -182,7 +182,7 @@ def test_sql_unsupported_write_raises(catalog):
     with pytest.raises(UnsupportedFeatureError):
         catalog.sql("TRUNCATE TABLE x")
     with pytest.raises(UnsupportedFeatureError):
-        catalog.sql("ALTER TABLE x SET TBLPROPERTIES ('a'='b')")
+        catalog.sql("ALTER TABLE x SET LOCATION '/elsewhere'")
 
 
 def test_sql_alter_table_ddl(catalog):
@@ -195,6 +195,11 @@ def test_sql_alter_table_ddl(catalog):
     assert t.to_a() == [{"total": 1, "b": None}]
     catalog.sql("ALTER TABLE alt DROP COLUMN b")
     assert catalog.load_table("alt").to_a() == [{"total": 1}]
+    catalog.sql("ALTER TABLE alt SET TBLPROPERTIES ('owner'='me', 'note'='x')")
+    assert catalog.load_table("alt").properties["owner"] == "me"
+    catalog.sql("ALTER TABLE alt UNSET TBLPROPERTIES ('note')")
+    props = catalog.load_table("alt").properties
+    assert props["owner"] == "me" and "note" not in props
     catalog.sql("ALTER TABLE alt RENAME TO alt2")
     assert catalog.table_exists("alt2") and not catalog.table_exists("alt")
     assert catalog.sql("SELECT total FROM alt2").rows == [[1]]
