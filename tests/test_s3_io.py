@@ -107,3 +107,39 @@ def test_concurrent_commit_single_winner(io):
     with pytest.raises(FileExistsError):
         ops_b.commit(1, {"location": "s3://b/wh/ns/race", "w": "b"})
     assert ops_a.load().raw["w"] == "a"
+
+
+def test_binary_bridge_roundtrips_avro_and_puffin(io):
+    """The FileIO base class bridges binary reads/writes through the text
+    methods via latin-1 for str-based backends; real Avro OCF and Puffin
+    payloads (arbitrary bytes incl. NUL and >0x7F) must survive it."""
+    from iceberg_ruby_spark.avro_file import read_ocf, write_ocf
+    from iceberg_ruby_spark.puffin import read_puffin, write_puffin
+
+    schema = {
+        "type": "record",
+        "name": "r",
+        "fields": [{"name": "a", "type": "long"}],
+    }
+    ocf = write_ocf(schema, [{"a": -1}, {"a": 2**62}], codec="deflate")
+    io.write_bytes_atomic("s3://b/t/metadata/m0.avro", ocf, overwrite=True)
+    back = io.read_bytes("s3://b/t/metadata/m0.avro")
+    assert back == ocf
+    _, records, _ = read_ocf(back)
+    assert records == [{"a": -1}, {"a": 2**62}]
+
+    pf = write_puffin(
+        [
+            {
+                "type": "t",
+                "fields": [1],
+                "snapshot-id": 7,
+                "sequence-number": 1,
+                "payload": bytes(range(256)),
+                "properties": {},
+            }
+        ]
+    )
+    io.write_bytes_atomic("s3://b/t/metadata/s.puffin", pf, overwrite=True)
+    blobs, _ = read_puffin(io.read_bytes("s3://b/t/metadata/s.puffin"))
+    assert blobs[0]["payload"] == bytes(range(256))
