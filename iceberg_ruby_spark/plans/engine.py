@@ -504,3 +504,32 @@ def engine_wap_publish(spark, sf_dir):
     assert audit_count > t.scan().count()
     t.fast_forward("main", "audit")
     return t.to_df()
+
+
+@query(
+    "engine_avro_manifests",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_avro_manifests(spark, sf_dir):
+    """The full commit/read cycle with Iceberg-SPEC Avro manifests and
+    manifest lists (``write.metadata.manifest-format=avro``,
+    iceberg_ruby_spark/manifests.py) instead of the internal JSON format:
+    append, merge-on-read positional delete, time travel, and the final
+    scan all plan from Avro metadata — the interop surface the reference
+    gets from iceberg-rust's writers (``ext/iceberg/src/table.rs:62-125``,
+    scan path ``scan.rs:36-51``)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_avro",
+        schema=_orders_schema(),
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    s1 = t.current_snapshot()
+    assert s1.manifest_list.endswith(".avro")  # spec metadata, not JSON
+    t.delete_where("o_totalprice > 200000", mode="merge-on-read-positional")
+    assert t.scan(snapshot_id=s1.snapshot_id).count() > t.scan().count()
+    return t.to_df()
