@@ -139,7 +139,7 @@ def test_ivf_recall_at_driver_params(emb, exact_topk):
         for r in ivf_topk(emb, q, k=10, n_cells=32, n_probe=8).collect()
     }
     recall = len(exact_topk & ivf) / len(exact_topk)
-    assert recall >= 0.5, recall
+    assert recall >= 0.6, recall  # measured 0.64 with kmeans++ seeding
 
 
 def test_ivf_full_probe_equals_exact(emb):
