@@ -173,3 +173,20 @@ def test_s3tables_namespace_properties_rejected(spark):
     with pytest.raises(InvalidDataError):
         cat.update_namespace("ns", {"x": "y"})
     shutil.rmtree(wh, ignore_errors=True)
+
+
+def test_avro_manifests_over_pointer_backend(awscat):
+    """The write.metadata.manifest-format=avro property routes through the
+    pointer backends' delegating table ops (write_manifest ctx
+    pass-through): append, MoR delete, and time travel plan from spec
+    Avro metadata under Glue/S3Tables exactly as on the FS catalog."""
+    t = awscat.create_table(
+        "av", schema={"k": "int"},
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    t.append([{"k": i} for i in range(6)])
+    s1 = t.current_snapshot()
+    assert s1.manifest_list.endswith(".avro")
+    t.delete_where("k >= 5", mode="merge-on-read-positional")
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 3, 4]
+    assert t.scan(snapshot_id=s1.snapshot_id).count() == 6
