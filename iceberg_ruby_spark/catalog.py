@@ -647,15 +647,18 @@ class Catalog:
                 r"SET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$", action,
                 re.IGNORECASE | re.DOTALL,
             )):
+                # SQL '' escapes inside quoted strings ('it''s fine')
                 kvs = re.findall(
-                    r"'([^']+)'\s*=\s*'([^']*)'", mm.group(1)
+                    r"'((?:[^']|'')+)'\s*=\s*'((?:[^']|'')*)'", mm.group(1)
                 )
                 if not kvs:
                     raise InvalidDataError(
                         "SET TBLPROPERTIES expects 'key'='value' pairs"
                     )
                 tbl = self.load_table(self._sql_table_ident(name))
-                tbl.update_properties(dict(kvs))
+                tbl.update_properties(
+                    {k.replace("''", "'"): v.replace("''", "'") for k, v in kvs}
+                )
             elif (mm := re.match(
                 r"UNSET\s+TBLPROPERTIES\s*\(\s*(.+?)\s*\)\s*$", action,
                 re.IGNORECASE | re.DOTALL,

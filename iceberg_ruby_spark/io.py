@@ -202,6 +202,13 @@ class S3FileIO(FileIO):
         )
 
     def read(self, path: str) -> str:
+        data = self.read_bytes(path)
+        return data.decode() if isinstance(data, bytes) else data
+
+    def read_bytes(self, path: str) -> bytes:
+        """Native binary read: the S3 object's true bytes (no text-bridge
+        round trip — Avro/Puffin metadata on S3 must be byte-exact for
+        external readers)."""
         bucket, key = self._parse(path)
         try:
             body = self.client.get_object(Bucket=bucket, Key=key)["Body"]
@@ -211,16 +218,21 @@ class S3FileIO(FileIO):
                 raise FileNotFoundError(path)
             raise
         data = body.read()
-        return data.decode() if isinstance(data, bytes) else data
+        return data.encode() if isinstance(data, str) else data
 
     def write_atomic(self, path: str, text: str, overwrite: bool = False) -> None:
+        self.write_bytes_atomic(path, text.encode(), overwrite=overwrite)
+
+    def write_bytes_atomic(
+        self, path: str, data: bytes, overwrite: bool = False
+    ) -> None:
         bucket, key = self._parse(path)
         if overwrite:
-            self.client.put_object(Bucket=bucket, Key=key, Body=text.encode())
+            self.client.put_object(Bucket=bucket, Key=key, Body=data)
             return
         try:
             self.client.put_object(
-                Bucket=bucket, Key=key, Body=text.encode(), IfNoneMatch="*"
+                Bucket=bucket, Key=key, Body=data, IfNoneMatch="*"
             )
         except Exception as e:
             if self._is_precondition_failure(e):
@@ -267,9 +279,23 @@ class S3FileIO(FileIO):
 
     def list(self, prefix: str) -> Iterator[str]:
         bucket, key = self._parse(prefix)
-        # a bare key is itself a "file"; a prefix lists its subtree
-        exact = key in self._list_keys(bucket, key)
-        for k in sorted(self._list_keys(bucket, key.rstrip("/") + "/") or ([key] if exact else [])):
+        if not key:
+            # bucket root: every key (rstrip would otherwise produce a
+            # '/' prefix no S3 key starts with → silent empty listing)
+            for k in sorted(self._list_keys(bucket, "")):
+                yield f"s3://{bucket}/{k}"
+            return
+        # one subtree listing; a bare key is itself a "file" — probe it
+        # with head_object only when the subtree is empty (the old exact-
+        # key check listed the whole subtree a second time)
+        subtree = self._list_keys(bucket, key.rstrip("/") + "/")
+        if not subtree:
+            try:
+                self.client.head_object(Bucket=bucket, Key=key)
+                subtree = [key]
+            except Exception:
+                subtree = []
+        for k in sorted(subtree):
             yield f"s3://{bucket}/{k}"
 
     def size(self, path: str) -> int | None:

@@ -195,8 +195,12 @@ def _kv_map(record_name: str, key_id: int, value_id: int, value_type: Any) -> li
 
 
 def _result_type(transform: Any, source: ice_t.Type) -> ice_t.Type:
+    if isinstance(transform, DayTransform):
+        # spec: day() results are dates (int days since epoch, Avro
+        # logical date) — the engine's directories hold ISO date strings
+        return ice_t.DateType()
     if isinstance(transform, (BucketTransform, YearTransform, MonthTransform,
-                              DayTransform, HourTransform)):
+                              HourTransform)):
         return ice_t.IntType()
     if isinstance(transform, (IdentityTransform, TruncateTransform, VoidTransform)):
         return source
@@ -396,6 +400,21 @@ def _parse_partition_value(raw: str, t: ice_t.Type) -> Any:
     return raw
 
 
+def _spec_partition_value(raw: str, p: dict[str, Any]) -> Any:
+    """Directory value → Iceberg-SPEC partition value.  The engine's
+    temporal directories use calendar-friendly encodings (year=2020,
+    month=year*12+month-1, day=ISO date) that prune identically
+    internally; the spec defines year/month as offsets FROM 1970 and day
+    as a date — convert at this interop boundary so external engines
+    evaluating ``year(ts)=50``-style residuals prune correctly."""
+    tr = p.get("transform", "")
+    if tr == "year":
+        return int(raw) - 1970
+    if tr == "month":
+        return int(raw) - 1970 * 12
+    return _parse_partition_value(raw, p["type"])
+
+
 def partition_values_from_path(
     path: str, pfields: list[dict[str, Any]]
 ) -> dict[str, Any]:
@@ -414,7 +433,7 @@ def partition_values_from_path(
             out[p["avro_name"]] = None
         else:
             try:
-                out[p["avro_name"]] = _parse_partition_value(raw, p["type"])
+                out[p["avro_name"]] = _spec_partition_value(raw, p)
             except (ValueError, ArithmeticError):
                 out[p["avro_name"]] = None
     return out
@@ -516,17 +535,61 @@ def write_avro_manifests(
     list_records: list[dict[str, Any]] = []
     seq = ctx.sequence_number
 
+    def _list_entry(path: str, length: int, content: int, records, dseqs):
+        """Manifest-file record with spec status-split counters:
+        added_* counts status=ADDED entries (this commit's sequence),
+        existing_* the carried ones keeping their original data sequence
+        — the split equality-delete application depends on (a delete at
+        seq N applies only to data files with data seq < N)."""
+        added = [r for r in records if r["status"] == 1]
+        existing = [r for r in records if r["status"] == 0]
+        return {
+            "manifest_path": path,
+            "manifest_length": length,
+            "partition_spec_id": ctx.spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": min(dseqs, default=seq),
+            "added_snapshot_id": snapshot_id,
+            "added_files_count": len(added),
+            "existing_files_count": len(existing),
+            "deleted_files_count": 0,
+            "added_rows_count": sum(r["data_file"]["record_count"] for r in added),
+            "existing_rows_count": sum(
+                r["data_file"]["record_count"] for r in existing
+            ),
+            "deleted_rows_count": 0,
+            "partitions": None,
+            "key_metadata": None,
+        }
+
+    def _entry_seq(e: dict[str, Any]) -> tuple[int, int, Optional[int]]:
+        """(data sequence, status, explicit-field value) for an entry.
+        Entries first committed under an earlier Avro snapshot carry
+        ``data-sequence-number`` (restored from extras on read) and write
+        as EXISTING with their original sequence; entries without it —
+        new files, or carried from JSON-era commits, which re-baseline at
+        the first Avro commit — write as ADDED inheriting this commit's
+        sequence."""
+        dseq = e.get("data-sequence-number") or ctx.sequence_number
+        if dseq >= ctx.sequence_number:
+            return ctx.sequence_number, 1, None
+        return dseq, 0, dseq
+
     if data_entries:
         records, extras = [], []
+        dseqs = []
         for e in data_entries:
             sid = e.get("schema-id", ctx.current_schema_id)
             eschema = ctx.schemas_by_id.get(sid)
             abs_path = ops._abs(e["path"])
+            dseq, status, seq_field = _entry_seq(e)
+            dseqs.append(dseq)
             records.append(
                 {
-                    "status": 1,
+                    "status": status,
                     "snapshot_id": snapshot_id,
-                    "sequence_number": None,
+                    "sequence_number": seq_field,
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 0,
@@ -542,39 +605,34 @@ def write_avro_manifests(
                     },
                 }
             )
-            extras.append({"rel": ops._rel(abs_path), "schema-id": sid})
+            extras.append(
+                {
+                    "rel": ops._rel(abs_path),
+                    "schema-id": sid,
+                    "dseq": dseq,
+                    # preserve None-vs-0 exactly: the spec slot is a
+                    # required long, but Scan.count()'s metadata fast-path
+                    # must not mistake "unknown" for a real zero
+                    "record-count": e.get("record-count"),
+                }
+            )
         m0 = os.path.join(ops.metadata_dir, f"{uid}-m0.avro")
         length = _write_manifest_file(m0, records, extras, "data")
-        list_records.append(
-            {
-                "manifest_path": ops._abs(m0),
-                "manifest_length": length,
-                "partition_spec_id": ctx.spec_id,
-                "content": 0,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(records),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": sum(r["data_file"]["record_count"] for r in records),
-                "existing_rows_count": 0,
-                "deleted_rows_count": 0,
-                "partitions": None,
-                "key_metadata": None,
-            }
-        )
+        list_records.append(_list_entry(ops._abs(m0), length, 0, records, dseqs))
 
     if delete_entries:
         records, extras = [], []
+        dseqs = []
         for e in delete_entries:
             abs_path = ops._abs(e["delete-file"])
             is_eq = e.get("content") == "equality-deletes"
+            dseq, status, seq_field = _entry_seq(e)
+            dseqs.append(dseq)
             records.append(
                 {
-                    "status": 1,
+                    "status": status,
                     "snapshot_id": snapshot_id,
-                    "sequence_number": None,
+                    "sequence_number": seq_field,
                     "file_sequence_number": None,
                     "data_file": {
                         "content": 2 if is_eq else 1,
@@ -593,6 +651,7 @@ def write_avro_manifests(
                 "rel": ops._rel(abs_path),
                 "content": e.get("content"),
                 "deleted-records": e.get("deleted-records"),
+                "dseq": dseq,
             }
             if e.get("applies-to") is not None:
                 ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
@@ -602,27 +661,7 @@ def write_avro_manifests(
             extras.append(ext)
         m1 = os.path.join(ops.metadata_dir, f"{uid}-m1.avro")
         length = _write_manifest_file(m1, records, extras, "deletes")
-        list_records.append(
-            {
-                "manifest_path": ops._abs(m1),
-                "manifest_length": length,
-                "partition_spec_id": ctx.spec_id,
-                "content": 1,
-                "sequence_number": seq,
-                "min_sequence_number": seq,
-                "added_snapshot_id": snapshot_id,
-                "added_files_count": len(records),
-                "existing_files_count": 0,
-                "deleted_files_count": 0,
-                "added_rows_count": 0,
-                "existing_rows_count": 0,
-                "deleted_rows_count": sum(
-                    r["data_file"]["record_count"] for r in records
-                ),
-                "partitions": None,
-                "key_metadata": None,
-            }
-        )
+        list_records.append(_list_entry(ops._abs(m1), length, 1, records, dseqs))
 
     carried_rel = [
         {
@@ -712,16 +751,24 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
             if df["content"] == 0:
                 sid = ext.get("schema-id", fallback_sid)
                 schema = schemas.get(sid)
-                entries.append(
-                    {
-                        "path": path,
-                        "record-count": df["record_count"],
-                        "schema-id": sid,
-                        "file-size-bytes": df["file_size_in_bytes"],
-                        "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
-                        "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
-                    }
-                )
+                entry = {
+                    "path": path,
+                    # "record-count" in extras preserves None-vs-0 exactly
+                    # (the spec slot is a required long); fall back to the
+                    # spec value for files written before the extras key
+                    "record-count": (
+                        ext["record-count"]
+                        if "record-count" in ext
+                        else df["record_count"]
+                    ),
+                    "schema-id": sid,
+                    "file-size-bytes": df["file_size_in_bytes"],
+                    "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
+                    "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
+                }
+                if ext.get("dseq") is not None:
+                    entry["data-sequence-number"] = ext["dseq"]
+                entries.append(entry)
             else:
                 e: dict[str, Any] = {
                     "delete-file": path,
@@ -738,6 +785,8 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                     e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
                     if ext.get("equality-cols") is not None:
                         e["equality-cols"] = ext["equality-cols"]
+                if ext.get("dseq") is not None:
+                    e["data-sequence-number"] = ext["dseq"]
                 entries.append(e)
 
     for e in list_extras.get("carried", []):

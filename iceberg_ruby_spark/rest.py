@@ -156,16 +156,21 @@ class RestClient:
         return self.ns_path(parts[:-1], "tables", urllib.parse.quote(parts[-1], safe=""))
 
 
-_VERSION_RE = re.compile(r"v(\d+)(?:\.metadata)?\.json$")
+_VERSION_RE = re.compile(
+    # both filename conventions real catalogs use:
+    #   v{N}.metadata.json / v{N}.json        (version-hint style)
+    #   {NNNNN}-{uuid}.metadata.json          (objectstore style)
+    r"(?:^|/)(?:v(\d+)(?:\.metadata)?|(\d+)-[0-9a-fA-F-]+\.metadata)\.json$"
+)
 
 
 def _location_version(metadata_location: Optional[str]) -> int:
     """The conventional version hint real engines parse out of the
-    metadata-location filename (``v{N}.metadata.json``)."""
+    metadata-location filename."""
     if metadata_location:
         m = _VERSION_RE.search(metadata_location)
         if m:
-            return int(m.group(1))
+            return int(m.group(1) or m.group(2))
     return 0
 
 

@@ -1655,11 +1655,18 @@ class Table:
             # distributed analog of Iceberg readers merging sorted position
             # lists per file
             # stored file_path is relative to the table location (rename-
-            # safe); pre-fix delete files hold absolute paths — keep those
-            loc = os.path.abspath(self.ops.location)
+            # safe); pre-fix delete files hold absolute paths — keep those.
+            # "Absolute" means a leading slash OR a URI scheme: an s3a://
+            # path must not be mistaken for relative and prefixed.  (On a
+            # real cluster the remaining step is s3↔s3a scheme
+            # normalization against _metadata.file_path — part of the
+            # documented fs.s3a data-plane work.)
+            loc = self.ops.location
+            base = loc if "://" in loc else os.path.abspath(loc)
             fp = F.col("file_path")
-            abs_fp = F.when(fp.startswith(os.sep), fp).otherwise(
-                F.concat(F.lit(loc + os.sep), fp)
+            is_abs = fp.rlike("^(/|[A-Za-z][A-Za-z0-9+.-]*:)")
+            abs_fp = F.when(is_abs, fp).otherwise(
+                F.concat(F.lit(base.rstrip("/") + "/"), fp)
             )
             del_df = (
                 self.spark.read.parquet(
@@ -2069,12 +2076,19 @@ class Table:
             # store file_path RELATIVE to the table location (like every
             # manifest path) so positional deletes survive rename_table /
             # register_table moving the table tree; absolutized on read
-            loc_prefix = os.path.abspath(self.ops.location) + os.sep
-            fp = F.col("__f")
-            rel_fp = F.when(
-                fp.startswith(loc_prefix),
-                fp.substr(F.lit(len(loc_prefix) + 1), F.length(fp)),
-            ).otherwise(fp)
+            # strip whichever location form the scan surfaced — the posix
+            # abspath (local file scheme) or the raw location (URI schemes
+            # like s3://, where os.path.abspath would mangle the prefix)
+            loc_prefixes = sorted(
+                {
+                    os.path.abspath(self.ops.location) + os.sep,
+                    self.ops.location.rstrip("/") + "/",
+                },
+                key=len,
+                reverse=True,
+            )
+            pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
+            rel_fp = F.regexp_replace(F.col("__f"), pat, "")
             hits = live.filter(cond).select(
                 rel_fp.alias("file_path"), F.col("__p").alias("pos")
             )

@@ -336,3 +336,76 @@ def test_switch_format_mid_life(catalog):
     t.append([{"k": 4}])
     assert not t.current_snapshot().manifest_list.endswith(".avro")
     assert sorted(r["k"] for r in t.to_a()) == [2, 3, 4]
+
+
+def test_temporal_partition_values_are_spec_epoch_relative(catalog, spark):
+    """The engine's directories use calendar encodings (year=2020,
+    day=ISO date); the SPEC tuple must be epoch-relative so external
+    engines evaluating year(ts)=50-style residuals prune correctly."""
+    t = catalog.create_table(
+        "avtemporal",
+        schema={"ts": "timestamp", "v": "int"},
+        partition_spec=[("ts", "year")],
+        properties=AVRO_PROPS,
+    )
+    t.append([{"ts": datetime.datetime(2020, 5, 5, 10), "v": 1}])
+    latest = max(_list_files(t), key=os.path.getmtime)
+    _, [mf] = _jvm_read(spark, latest)
+    _, recs = _jvm_read(spark, mf["manifest_path"])
+    assert recs[0]["data_file"]["partition"]["ts_year"] == 2020 - 1970
+
+    t2 = catalog.create_table(
+        "avtemporal_d",
+        schema={"ts": "timestamp", "v": "int"},
+        partition_spec=[("ts", "day")],
+        properties=AVRO_PROPS,
+    )
+    t2.append([{"ts": datetime.datetime(1970, 1, 3, 1), "v": 1}])
+    latest = max(_list_files(t2), key=os.path.getmtime)
+    _, [mf] = _jvm_read(spark, latest)
+    mschema, recs = _jvm_read(spark, mf["manifest_path"])
+    # day() results are dates: int days since epoch with the Avro date
+    # logical type (1970-01-03 -> 2)
+    assert recs[0]["data_file"]["partition"]["ts_day"] == 2
+    part_fields = next(
+        f for f in mschema["fields"][-1]["type"]["fields"] if f["name"] == "partition"
+    )
+    day_field = part_fields["type"]["fields"][0]
+    assert day_field["type"][1] == {"type": "int", "logicalType": "date"}
+
+
+def test_carried_entries_keep_sequence_and_status(catalog, spark):
+    """Spec sequence semantics: a commit rewrites the live manifest, but
+    files from earlier snapshots must appear as EXISTING with their
+    original data sequence number — equality deletes apply only to data
+    files with data seq strictly below the delete's, so re-stamping
+    carried files at the current sequence would disable every equality
+    delete for external readers."""
+    t = catalog.create_table("avseq", schema={"k": "int"}, properties=AVRO_PROPS)
+    t.append([{"k": 1}])                       # seq 1
+    t.append([{"k": 2}])                       # seq 2 (append mode carries seq-1 files)
+    t.delete_by_keys([(1,)], on="k")           # seq 3: equality delete file
+    assert sorted(r["k"] for r in t.to_a()) == [2]
+    latest = max(_list_files(t), key=os.path.getmtime)
+    _, mfs = _jvm_read(spark, latest)
+    by_content = {m["content"]: m for m in mfs}
+    data_mf, del_mf = by_content[0], by_content[1]
+    assert data_mf["sequence_number"] == 3
+    assert data_mf["min_sequence_number"] == 1
+    assert data_mf["added_files_count"] == 0  # nothing new in the delete commit
+    assert data_mf["existing_files_count"] >= 2
+    _, data_recs = _jvm_read(spark, data_mf["manifest_path"])
+    # carried data keeps original sequence (1 and 2), status EXISTING (0)
+    seqs = sorted(r["sequence_number"] for r in data_recs)
+    assert seqs == [1, 2]
+    assert {r["status"] for r in data_recs} == {0}
+    _, del_recs = _jvm_read(spark, del_mf["manifest_path"])
+    [eq] = [r for r in del_recs if r["data_file"]["content"] == 2]
+    assert eq["status"] == 1  # added THIS commit -> inherits seq 3
+    assert eq["sequence_number"] is None
+    # spec application: every data file's seq (1,2) < the delete's (3)
+    assert del_mf["sequence_number"] == 3
+    # delete rows counted in added_rows_count (they are ADDED entries),
+    # not the deleted_rows_count slot (which counts status=DELETED files)
+    assert del_mf["added_rows_count"] >= 1
+    assert del_mf["deleted_rows_count"] == 0
