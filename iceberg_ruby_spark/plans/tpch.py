@@ -609,3 +609,136 @@ def q22_idle_rich_customers(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
         .orderBy("c_nationkey")
     )
+
+
+@query(
+    "q11_important_parts",
+    oracle=f"""
+    WITH v AS (
+      SELECT l.l_partkey,
+             {_dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_7'
+      GROUP BY l.l_partkey
+    )
+    SELECT l_partkey, value FROM v
+    WHERE value > (SELECT SUM(value) * 0.002 FROM v)
+    """,
+)
+def q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (important stock): per-part value within one
+    nation's suppliers, kept where the part exceeds a fraction of the
+    national total.  lineitem stands in for the absent partsupp.  Plan:
+    dims broadcast into ONE fact aggregate; the national total is a
+    scalar aggregate of that same result, broadcast back as a cross-join
+    scalar — no correlated per-part subquery, no second fact scan."""
+    li = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+    v = (
+        li.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("value"))
+    )
+    total = v.agg((F.sum(F.col("value").cast("decimal(18,6)")).cast("double") * F.lit(0.002)).alias("__t"))
+    return (
+        v.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("__t"))
+        .select("l_partkey", "value")
+    )
+
+
+@query(
+    "q12_late_priority_lines",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+    GROUP BY l_returnflag
+    """,
+)
+def q12_late_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (priority split over late shipments): the absent
+    shipmode/commit/receipt columns become returnflag grouping and a
+    ship-vs-order-date lateness predicate; the conditional-count pair
+    over one fact join is the query's defining pattern.  Orders broadcast
+    is wrong at scale (orders is a fact); the equality join shuffles both
+    sides once and the counts partial-aggregate map-side."""
+    li = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+@query(
+    "q21_waiting_suppliers",
+    oracle="""
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name LIMIT 100
+    """,
+)
+def q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (suppliers who kept orders waiting): multi-supplier
+    orders where exactly this supplier shipped late.  The EXISTS / NOT
+    EXISTS pair — the original's defining feature — decorrelates into two
+    orderkey aggregates: distinct-supplier count ≥ 2 (EXISTS another
+    supplier) and distinct LATE-supplier count = 1 (NOT EXISTS another
+    late one; the late line's own supplier is that one by construction).
+    Two semi-joins on the compact aggregates replace per-row subqueries —
+    the only scale-safe decorrelation."""
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    li = load(spark, sf_dir, "lineitem")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+    late = lo.filter(
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY")
+    )
+    multi = (
+        lo.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__ns"))
+        .filter(F.col("__ns") >= 2)
+        .select("l_orderkey")
+    )
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("__nl"))
+        .filter(F.col("__nl") == 1)
+        .select("l_orderkey")
+    )
+    s = load(spark, sf_dir, "supplier")
+    return (
+        late.join(multi, "l_orderkey", "left_semi")
+        .join(sole_late, "l_orderkey", "left_semi")
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(100)
+    )
