@@ -409,3 +409,19 @@ def test_carried_entries_keep_sequence_and_status(catalog, spark):
     # not the deleted_rows_count slot (which counts status=DELETED files)
     assert del_mf["added_rows_count"] >= 1
     assert del_mf["deleted_rows_count"] == 0
+
+
+def test_maintenance_cycle_under_avro(catalog):
+    """expire_snapshots + remove_orphan_files plan entirely from Avro
+    metadata: expiry trims history, orphan removal drops the dirs only
+    dead snapshots referenced, and the live data still reads."""
+    t = catalog.create_table("avmaint", schema={"a": "int"}, properties=AVRO_PROPS)
+    for i in range(3):
+        t.append([{"a": i}])
+    t.compact()
+    assert t.expire_snapshots(keep_last=1) == 3
+    removed = t.remove_orphan_files()
+    assert removed  # the pre-compaction commit dirs are orphaned
+    assert sorted(r["a"] for r in t.to_a()) == [0, 1, 2]
+    # metadata still spec Avro after the maintenance cycle
+    assert t.current_snapshot().manifest_list.endswith(".avro")
