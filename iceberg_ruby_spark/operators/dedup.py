@@ -353,17 +353,31 @@ def simhash(
     text_col: str,
     id_col: str,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash: long) — 64-bit SimHash over word tokens.
+    """(id, simhash: long) — SimHash over word tokens.
 
     Per-bit majority vote, expressed as ``bits`` conditional sums in ONE
     groupBy (single shuffle, all JVM-side): token hash h contributes +1 to
     bit b if h's bit b is set, else −1; the signature sets bit b where the
-    sum is positive."""
+    sum is positive.
+
+    ``hash_fn``: ``xxhash64`` (default, fastest) or ``md5`` — the first
+    15 hex digits of md5 as a 60-bit int.  md5 exists with identical
+    semantics in other engines (DuckDB: ``CAST('0x'||substr(md5(t),1,15)
+    AS BIGINT)``), making the whole signature cross-engine verifiable;
+    ``bits`` is capped at 60 in that mode."""
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+        h = F.conv(F.substring(F.md5("__t"), 1, 15), 16, 10).cast("long")
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64("__t")
+    else:
+        raise InvalidDataError(f"unknown simhash hash_fn: {hash_fn!r}")
     toks = df.select(
         F.col(id_col),
         F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("__t"),
-    ).withColumn("__h", F.xxhash64("__t"))
+    ).withColumn("__h", h)
     aggs = []
     for b in range(bits):
         bit_set = F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) == 1
@@ -419,9 +433,10 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     bits: int = 64,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, hamming ≤ ``max_hamming``) from
-    SimHash signatures.
+    SimHash signatures (``hash_fn`` as in :func:`simhash`).
 
     Pigeonhole banding: split the signature into ``max_hamming + 1``
     chunks — any pair within the Hamming budget must agree EXACTLY on at
@@ -430,7 +445,9 @@ def simhash_pairs(
     ``bit_count(xor)`` per candidate.  Everything JVM-side."""
     n_chunks = max_hamming + 1
     chunk_bits = bits // n_chunks
-    sig = simhash(df, text_col, id_col, bits=bits)
+    if hash_fn == "md5":
+        bits = min(bits, 60)
+    sig = simhash(df, text_col, id_col, bits=bits, hash_fn=hash_fn)
     chunk_cols = []
     for c in range(n_chunks):
         lo = c * chunk_bits

@@ -69,12 +69,40 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@query("dedup_simhash")  # xxhash64-based — rows-only check
+# SimHash over the md5-derived 60-bit token hash so DuckDB can recompute
+# the ENTIRE signature: same tokens, same hash, same per-bit majority
+# vote, same bit assembly.  The operator's default stays xxhash64 (the
+# fast path); the md5 form exists exactly so a cross-engine oracle is
+# possible.
+_SIMHASH_SIG_SQL = f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CAST(concat('0x', substr(md5(t.tok), 1, 15)) AS BIGINT) AS h
+      FROM documents,
+           unnest(string_split_regex(lower(trim(text)), '\\s+')) AS t(tok)
+    ), votes AS (
+      SELECT doc_id,
+             {', '.join(f"SUM(CASE WHEN ((h >> {b}) & 1) = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(60))}
+      FROM toks GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {' + '.join(f"CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END" for b in range(60))}
+           AS simhash
+    FROM votes
+"""
+
+
+@query("dedup_simhash", oracle=_SIMHASH_SIG_SQL)
 def dedup_simhash(spark, sf_dir):
-    """64-bit SimHash signatures (single shuffle, 64 conditional sums)."""
+    """SimHash signatures (single shuffle, 60 conditional sums) over the
+    md5-derived hash — cross-engine verifiable bit-for-bit (the DuckDB
+    oracle rebuilds every signature); xxhash64 remains the operator's
+    fast-path default."""
     from iceberg_ruby_spark.operators.dedup import simhash
 
-    return simhash(load(spark, sf_dir, "documents"), "text", "doc_id")
+    return simhash(
+        load(spark, sf_dir, "documents"), "text", "doc_id", hash_fn="md5"
+    )
 
 
 _NGRAM_JACCARD_SQL = """
@@ -479,14 +507,27 @@ def embedding_quantize_roundtrip(spark, sf_dir):
     )
 
 
-@query("dedup_simhash_pairs")  # xxhash64-based — rows-only check
+@query(
+    "dedup_simhash_pairs",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SIG_SQL})
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
     """SimHash near-dup pairs via pigeonhole banding on signature chunks +
-    one bit_count(xor) verification per candidate (operators/dedup.py)."""
+    one bit_count(xor) verification per candidate (operators/dedup.py).
+    The banding is LOSSLESS within the Hamming budget (any pair with ≤3
+    differing bits agrees exactly on ≥1 of the 4 chunks), so the DuckDB
+    oracle can be the brute-force all-pairs Hamming scan over the same
+    md5-derived signatures — an exact-equality check, not a recall bound."""
     from iceberg_ruby_spark.operators.dedup import simhash_pairs
 
     d = load(spark, sf_dir, "documents")
-    return simhash_pairs(d, "text", "doc_id", max_hamming=3)
+    return simhash_pairs(d, "text", "doc_id", max_hamming=3, hash_fn="md5")
 
 
 @query(
