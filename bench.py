@@ -51,22 +51,37 @@ def main() -> None:
     # execution of a heavy generated pipeline can pay 10-30x in one-time
     # JIT compilation that varies with host CPU contention (measured: the
     # same minhash plan 2.2s-77s across runs on a contended host); min-of-2
-    # reports the throughput the plan actually sustains.  Both raw runs are
+    # reports the throughput the plan actually sustains.  All raw runs are
     # recorded under "runs" so the noise is visible, not hidden.
-    timings: dict[str, float] = {}
-    raw_runs: dict[str, list[float]] = {}
-    for name in BENCH_SET:
-        fn = QUERIES[name]
-        per_run = []
-        for _ in range(2):
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            per_run.append(round(time.perf_counter() - t0, 3))
+    #
+    # The two passes are INTERLEAVED across the whole query set (pass 1 of
+    # everything, then pass 2) rather than back-to-back per query: a
+    # host-contention burst then poisons at most one pass per query instead
+    # of both, so the min survives it (r4 post-mortem: back-to-back runs of
+    # dedup_minhash_lsh both landed in one contended minute and recorded 2×
+    # the quiet-host cost).  If the two passes still disagree by >1.5× the
+    # query gets a third tie-break run — the spread itself is evidence one
+    # pass was contended.
+    def _timed(name: str) -> float:
+        t0 = time.perf_counter()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        sec = round(time.perf_counter() - t0, 3)
         spark.catalog.clearCache()
-        raw_runs[name] = per_run
-        timings[name] = min(per_run)
-        print(f"# {name}: {timings[name]}s {per_run}", file=sys.stderr, flush=True)
+        return sec
+
+    raw_runs: dict[str, list[float]] = {name: [] for name in BENCH_SET}
+    for _pass in range(2):
+        for name in BENCH_SET:
+            raw_runs[name].append(_timed(name))
+    for name in BENCH_SET:
+        lo, hi = min(raw_runs[name]), max(raw_runs[name])
+        if lo > 0 and hi / lo > 1.5:
+            raw_runs[name].append(_timed(name))
+
+    timings: dict[str, float] = {}
+    for name in BENCH_SET:
+        timings[name] = min(raw_runs[name])
+        print(f"# {name}: {timings[name]}s {raw_runs[name]}", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
     warmup_total = round(sum(warmup.values()), 3)
@@ -84,7 +99,7 @@ def main() -> None:
                 # a no-warmup run (compile cost + steady-state throughput)
                 "warmup_sec": warmup_total,
                 "cold_total": round(total + warmup_total, 3),
-                "timing": "min-of-2",
+                "timing": "min-of-2-interleaved (+1 tie-break if spread >1.5x)",
                 "runs": raw_runs,
             }
         ),

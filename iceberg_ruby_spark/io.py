@@ -38,7 +38,15 @@ class FileIO:
         """Binary read (Avro manifests).  Default bridges through the text
         methods via latin-1 — a lossless bytes↔str bijection — so str-based
         backends (the injected-client S3 fake) inherit binary support;
-        filesystem backends override with real binary I/O."""
+        filesystem backends override with real binary I/O.
+
+        INVARIANT for subclasses relying on this default: ``read()`` must
+        return the exact ``str`` previously passed to ``write_atomic()``
+        (store the bridged string verbatim).  A backend whose ``read()``
+        decodes utf-8 from real byte storage would silently corrupt
+        Avro/Puffin payloads through this bridge — such backends MUST
+        override ``read_bytes``/``write_bytes_atomic`` with real binary
+        I/O (as LocalFileIO and S3FileIO do)."""
         return self.read(path).encode("latin-1")
 
     def write_bytes_atomic(self, path: str, data: bytes, overwrite: bool = False) -> None:
@@ -285,16 +293,19 @@ class S3FileIO(FileIO):
             for k in sorted(self._list_keys(bucket, "")):
                 yield f"s3://{bucket}/{k}"
             return
-        # one subtree listing; a bare key is itself a "file" — probe it
-        # with head_object only when the subtree is empty (the old exact-
-        # key check listed the whole subtree a second time)
+        # one subtree listing PLUS an exact-key probe: an object can exist
+        # at the bare key AND other objects under key + '/' (legal S3
+        # layout) — both must be yielded, so the head_object probe always
+        # runs (one cheap request; the old only-when-empty probe dropped
+        # the exact-key object whenever the subtree was non-empty)
         subtree = self._list_keys(bucket, key.rstrip("/") + "/")
-        if not subtree:
+        if not key.endswith("/"):
             try:
                 self.client.head_object(Bucket=bucket, Key=key)
-                subtree = [key]
+                if key not in subtree:
+                    subtree.append(key)
             except Exception:
-                subtree = []
+                pass
         for k in sorted(subtree):
             yield f"s3://{bucket}/{k}"
 

@@ -10,9 +10,13 @@ engine the same surface behind a table property::
 
 With it set, every commit writes
 
-- ``metadata/<uuid>-m0.avro``            — data manifest (content=0)
-- ``metadata/<uuid>-m1.avro``            — deletes manifest (content=1,
-  only when merge-on-read delete files exist)
+- ``metadata/<uuid>-m<N>.avro``          — one data manifest (content=0)
+  and, when merge-on-read delete files exist, one deletes manifest
+  (content=1) **per partition spec the entries were written under**:
+  each entry records its ``spec-id`` at write time, its hive path parses
+  against that spec's field names, and partition field-ids are allocated
+  uniquely across spec evolution (table.py ``update_spec``) — so external
+  readers prune correctly after the spec changes
 - ``metadata/snap-<snapshot-id>-<uuid>.avro`` — manifest list
 
 as Avro object-container files matching the Iceberg table-spec v2
@@ -31,14 +35,23 @@ against something this repo didn't write.
 Documented deviations from a fully-interoperable Iceberg table (the
 engine is honest about what stays internal):
 
-- Data "files" written by distributed Spark jobs are per-file spec
-  entries, but merge-on-read delete artifacts are parquet *directories*
-  (one per commit); their ``file_path`` points at the directory prefix.
+- POSITIONAL deletes are spec-shaped since round 5: individual parquet
+  files with the reserved field ids (2147483546/2147483545), full
+  data-file paths, (file_path, pos) sort, one ``content=1`` entry per
+  file (tests/test_avro_manifests.py::
+  test_positional_delete_files_are_spec_shaped).  EQUALITY delete
+  artifacts are still parquet *directories* (one per commit) whose
+  ``file_path`` is the directory prefix — their key columns do carry
+  spec field ids in the footers, but the per-file entry split remains
+  a deviation.
 - Engine-internal state a spec reader has no slot for — per-entry
-  schema-id (our parquet carries no embedded field ids), location-
-  relative paths (tables survive ``rename_table``), applies-to file
-  scoping, equality column names — rides in one app metadata key
-  (``x-irs``) per file, which spec readers ignore by contract.
+  schema-id and spec-id, location-relative paths (tables survive
+  ``rename_table``), applies-to file scoping, equality column names —
+  rides in one app metadata key (``x-irs``) per file, which spec readers
+  ignore by contract.  (Data-file parquet footers DO carry Iceberg
+  field-ids — ``parquet.field.id`` written via Spark's fieldId support,
+  tests/test_parquet_field_ids.py — so spec readers column-map renamed
+  tables without the extras.)
 - Predicate-style merge-on-read deletes (``delete-predicate`` entries)
   have no spec representation at all; they are carried only in the
   manifest list's ``x-irs`` metadata.
@@ -90,6 +103,14 @@ class ManifestContext:
     spec_id: int
     sequence_number: int
     parent_snapshot_id: Optional[int]
+    # every spec the table has had (spec-id → partition-field json list):
+    # entries are grouped into one manifest per spec they were written
+    # under, so partition tuples parse against the right field names
+    specs_by_id: dict[int, list] = None  # type: ignore[assignment]
+
+    def __post_init__(self) -> None:
+        if self.specs_by_id is None:
+            self.specs_by_id = {self.spec_id: self.spec_fields}
 
 
 # --------------------------------------------------------------------------
@@ -239,11 +260,20 @@ def _sanitize(name: str) -> str:
     return out if out and not out[0].isdigit() else f"_{out}"
 
 
-def _partition_fields(ctx: ManifestContext) -> list[dict[str, Any]]:
-    """Resolved partition fields: (avro name, result type, source field)."""
+def _partition_fields(
+    ctx: ManifestContext, spec_id: Optional[int] = None
+) -> list[dict[str, Any]]:
+    """Resolved partition fields for one spec: (avro name, result type,
+    source field).  Field ids honor the per-field ``field-id`` the table
+    metadata allocates uniquely across spec evolution (table.py
+    ``update_spec``); specs predating that allocation fall back to the
+    spec's initial ``1000 + i`` numbering."""
     schema = ctx.schemas_by_id.get(ctx.current_schema_id)
+    fields = ctx.specs_by_id.get(
+        ctx.spec_id if spec_id is None else spec_id, ctx.spec_fields
+    )
     out = []
-    for i, pf in enumerate(ctx.spec_fields):
+    for i, pf in enumerate(fields):
         tr = parse_transform(pf.get("transform", "identity"))
         src = schema.field_by_name(pf["source"]) if schema else None
         name = pf.get("name") or tr.result_name(pf["source"])
@@ -255,7 +285,7 @@ def _partition_fields(ctx: ManifestContext) -> list[dict[str, Any]]:
                 "type": rt,
                 "source_id": src.field_id if src else -1,
                 "transform": tr.spec_string(),
-                "field_id": 1000 + i,
+                "field_id": pf.get("field-id", 1000 + i),
             }
         )
     return out
@@ -478,9 +508,17 @@ def write_avro_manifests(
     ops: Any, snapshot_id: int, entries: list[dict[str, Any]], ctx: ManifestContext
 ) -> str:
     """Write spec manifests + manifest list; returns the manifest-list path
-    relative to the table location (what the snapshot stores)."""
-    pfields = _partition_fields(ctx)
-    entry_schema = manifest_entry_schema(pfields)
+    relative to the table location (what the snapshot stores).
+
+    Entries are grouped into ONE MANIFEST PER PARTITION SPEC they were
+    written under (each entry records ``spec-id`` at write time): a file's
+    hive path parses against its own spec's field names, the manifest's
+    ``partition-spec``/``partition-spec-id`` metadata and the list entry's
+    ``partition_spec_id`` describe that same spec, and partition field-ids
+    stay unique across evolution — so external readers prune correctly on
+    tables whose spec has changed (round-4 ADVICE fix: previously every
+    entry was parsed against the CURRENT spec, nulling out partition
+    values for files written under earlier specs)."""
     cur_schema = ctx.schemas_by_id.get(ctx.current_schema_id)
 
     data_entries = [e for e in entries if "path" in e]
@@ -499,32 +537,34 @@ def write_avro_manifests(
         for sid in used_schema_ids
         if sid in ctx.schemas_by_id
     }
-    spec_json = [
-        {
-            "name": p["name"],
-            "transform": p["transform"],
-            "source-id": p["source_id"],
-            "field-id": p["field_id"],
+
+    def _spec_meta(spec_id: int, pfields: list[dict[str, Any]]) -> dict[str, str]:
+        spec_json = [
+            {
+                "name": p["name"],
+                "transform": p["transform"],
+                "source-id": p["source_id"],
+                "field-id": p["field_id"],
+            }
+            for p in pfields
+        ]
+        return {
+            "schema": json.dumps(_spec_schema_json(cur_schema) if cur_schema else {}),
+            "schema-id": str(ctx.current_schema_id),
+            "partition-spec": json.dumps(spec_json),
+            "partition-spec-id": str(spec_id),
+            "format-version": "2",
         }
-        for p in pfields
-    ]
-    base_meta = {
-        "schema": json.dumps(_spec_schema_json(cur_schema) if cur_schema else {}),
-        "schema-id": str(ctx.current_schema_id),
-        "partition-spec": json.dumps(spec_json),
-        "partition-spec-id": str(ctx.spec_id),
-        "format-version": "2",
-    }
 
     def _write_manifest_file(
         path: str, records: list[dict[str, Any]], extras: list[dict[str, Any]],
-        content: str,
+        content: str, spec_id: int, pfields: list[dict[str, Any]],
     ) -> int:
         data = write_ocf(
-            entry_schema,
+            manifest_entry_schema(pfields),
             records,
             metadata={
-                **base_meta,
+                **_spec_meta(spec_id, pfields),
                 "content": content,
                 _EXTRAS_KEY: json.dumps({"entries": extras, "schemas": schemas_json}),
             },
@@ -535,7 +575,7 @@ def write_avro_manifests(
     list_records: list[dict[str, Any]] = []
     seq = ctx.sequence_number
 
-    def _list_entry(path: str, length: int, content: int, records, dseqs):
+    def _list_entry(path: str, length: int, content: int, records, dseqs, spec_id):
         """Manifest-file record with spec status-split counters:
         added_* counts status=ADDED entries (this commit's sequence),
         existing_* the carried ones keeping their original data sequence
@@ -546,7 +586,7 @@ def write_avro_manifests(
         return {
             "manifest_path": path,
             "manifest_length": length,
-            "partition_spec_id": ctx.spec_id,
+            "partition_spec_id": spec_id,
             "content": content,
             "sequence_number": seq,
             "min_sequence_number": min(dseqs, default=seq),
@@ -576,10 +616,24 @@ def write_avro_manifests(
             return ctx.sequence_number, 1, None
         return dseq, 0, dseq
 
-    if data_entries:
+    def _group_by_spec(es: list[dict[str, Any]]) -> dict[int, list[dict[str, Any]]]:
+        groups: dict[int, list[dict[str, Any]]] = {}
+        for e in es:
+            sid = e.get("spec-id", ctx.spec_id)
+            groups.setdefault(
+                sid if sid in ctx.specs_by_id else ctx.spec_id, []
+            ).append(e)
+        return groups
+
+    m_idx = 0
+    data_groups = _group_by_spec(data_entries)
+    delete_groups = _group_by_spec(delete_entries)
+    for spec_id in sorted(data_groups):
+        group = data_groups[spec_id]
+        pfields = _partition_fields(ctx, spec_id)
         records, extras = [], []
         dseqs = []
-        for e in data_entries:
+        for e in group:
             sid = e.get("schema-id", ctx.current_schema_id)
             eschema = ctx.schemas_by_id.get(sid)
             abs_path = ops._abs(e["path"])
@@ -609,6 +663,7 @@ def write_avro_manifests(
                 {
                     "rel": ops._rel(abs_path),
                     "schema-id": sid,
+                    "spec-id": spec_id,
                     "dseq": dseq,
                     # preserve None-vs-0 exactly: the spec slot is a
                     # required long, but Scan.count()'s metadata fast-path
@@ -616,14 +671,19 @@ def write_avro_manifests(
                     "record-count": e.get("record-count"),
                 }
             )
-        m0 = os.path.join(ops.metadata_dir, f"{uid}-m0.avro")
-        length = _write_manifest_file(m0, records, extras, "data")
-        list_records.append(_list_entry(ops._abs(m0), length, 0, records, dseqs))
+        mpath = os.path.join(ops.metadata_dir, f"{uid}-m{m_idx}.avro")
+        m_idx += 1
+        length = _write_manifest_file(mpath, records, extras, "data", spec_id, pfields)
+        list_records.append(
+            _list_entry(ops._abs(mpath), length, 0, records, dseqs, spec_id)
+        )
 
-    if delete_entries:
+    for spec_id in sorted(delete_groups):
+        group = delete_groups[spec_id]
+        pfields = _partition_fields(ctx, spec_id)
         records, extras = [], []
         dseqs = []
-        for e in delete_entries:
+        for e in group:
             abs_path = ops._abs(e["delete-file"])
             is_eq = e.get("content") == "equality-deletes"
             dseq, status, seq_field = _entry_seq(e)
@@ -651,17 +711,26 @@ def write_avro_manifests(
                 "rel": ops._rel(abs_path),
                 "content": e.get("content"),
                 "deleted-records": e.get("deleted-records"),
+                "spec-id": spec_id,
                 "dseq": dseq,
             }
+            if e.get("base-location") is not None:
+                # the table location when the delete file was written —
+                # the read path rebases its spec-absolute file_path
+                # content after rename_table
+                ext["base-location"] = e["base-location"]
             if e.get("applies-to") is not None:
                 ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
             if is_eq:
                 ext["equality-ids"] = e.get("equality-ids")
                 ext["equality-cols"] = e.get("equality-cols")
             extras.append(ext)
-        m1 = os.path.join(ops.metadata_dir, f"{uid}-m1.avro")
-        length = _write_manifest_file(m1, records, extras, "deletes")
-        list_records.append(_list_entry(ops._abs(m1), length, 1, records, dseqs))
+        mpath = os.path.join(ops.metadata_dir, f"{uid}-m{m_idx}.avro")
+        m_idx += 1
+        length = _write_manifest_file(mpath, records, extras, "deletes", spec_id, pfields)
+        list_records.append(
+            _list_entry(ops._abs(mpath), length, 1, records, dseqs, spec_id)
+        )
 
     carried_rel = [
         {
@@ -744,6 +813,7 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
             for sid, sj in extras_doc.get("schemas", {}).items()
         }
         fallback_sid = int(mmeta.get("schema-id", b"0").decode() or 0)
+        manifest_spec_id = int(mmeta.get("partition-spec-id", b"0").decode() or 0)
         for j, rec in enumerate(records):
             ext = extras[j] if j < len(extras) else {}
             df = rec["data_file"]
@@ -752,6 +822,7 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                 sid = ext.get("schema-id", fallback_sid)
                 schema = schemas.get(sid)
                 entry = {
+                    "spec-id": ext.get("spec-id", manifest_spec_id),
                     "path": path,
                     # "record-count" in extras preserves None-vs-0 exactly
                     # (the spec slot is a required long); fall back to the
@@ -772,6 +843,7 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
             else:
                 e: dict[str, Any] = {
                     "delete-file": path,
+                    "spec-id": ext.get("spec-id", manifest_spec_id),
                     "content": ext.get(
                         "content",
                         "equality-deletes" if df["content"] == 2 else "position-deletes",
@@ -781,6 +853,8 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                     e["applies-to"] = [ops._abs(p) for p in ext["applies-to"]]
                 if ext.get("deleted-records") is not None:
                     e["deleted-records"] = ext["deleted-records"]
+                if ext.get("base-location") is not None:
+                    e["base-location"] = ext["base-location"]
                 if df["content"] == 2:
                     e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
                     if ext.get("equality-cols") is not None:

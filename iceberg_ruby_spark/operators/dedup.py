@@ -89,8 +89,14 @@ def shingle_array(text_col: str, size: int = 5):
     )
 
 
-def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, size: int) -> DataFrame:
-    """(id, __h): one xxhash64 per character shingle, via explode.  The
+def _shingle_hashes(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    size: int,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """(id, __h): one hash per character shingle, via explode.  The
     normalized text is a projection boundary so the regex runs once per
     row.  Explode + codegen beats a per-row ``transform`` array by ~5× here:
     higher-order lambdas are interpreted expression-tree walks per element,
@@ -105,17 +111,29 @@ def _shingle_hashes(df: DataFrame, text_col: str, id_col: str, size: int) -> Dat
     binary is an O(1) byte slice — measured 6× on this stage at sf0.1.
     For ASCII text the hashes are identical (xxhash64 of a string hashes
     its UTF-8 bytes); multi-byte text only shifts shingle boundaries,
-    which a hash sketch tolerates by construction."""
+    which a hash sketch tolerates by construction.
+
+    ``hash_fn``: ``xxhash64`` (default, fastest) or ``md5`` — the first
+    15 hex digits of md5 as a 60-bit int, the same engine-neutral
+    derivation :func:`simhash` uses.  md5 exists with identical semantics
+    in other engines (DuckDB: ``CAST('0x'||substr(md5(s),1,15) AS
+    BIGINT)``), making every downstream signature — and therefore the
+    whole MinHash+LSH pipeline — cross-engine verifiable."""
     norm = df.select(
         F.col(id_col), F.encode(normalize_text(text_col), "UTF-8").alias("__t")
     )
     n = F.greatest(F.length(F.col("__t")) - F.lit(size - 1), F.lit(1))
+    if hash_fn == "md5":
+        h = F.expr(
+            f"cast(conv(substring(md5(substr(__t, __i, {size})), 1, 15), 16, 10) as bigint)"
+        )
+    elif hash_fn == "xxhash64":
+        h = F.xxhash64(F.expr(f"substr(__t, __i, {size})"))
+    else:
+        raise InvalidDataError(f"unknown shingle hash_fn: {hash_fn!r}")
     return norm.select(
         F.col(id_col), F.col("__t"), F.explode(F.sequence(F.lit(1), n)).alias("__i")
-    ).select(
-        F.col(id_col),
-        F.xxhash64(F.expr(f"substr(__t, __i, {size})")).alias("__h"),
-    )
+    ).select(F.col(id_col), h.alias("__h"))
 
 
 def token_shingle_array(text_col: str, size: int = 3):
@@ -172,6 +190,7 @@ def minhash_signatures(
     id_col: str,
     num_hashes: int = 64,
     shingle_size: int = 5,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """(id, sig: array<long>) — MinHash signature per document.
 
@@ -185,8 +204,11 @@ def minhash_signatures(
     ordering near the minimum, correlating all k mins and collapsing LSH
     into near-all-pairs (measured: 3.2M candidate pairs on 5k docs).
     No Python per row; wrapping long arithmetic requires ANSI off (pinned
-    by plans.tables.load)."""
-    hashed = _shingle_hashes(df, text_col, id_col, shingle_size)
+    by plans.tables.load).  ``hash_fn='md5'`` swaps the base shingle hash
+    for the engine-neutral md5 derivation (see :func:`_shingle_hashes`) —
+    the affine mins, and so the signatures, then reproduce bit-for-bit in
+    any engine with md5 + 64-bit wrapping arithmetic."""
+    hashed = _shingle_hashes(df, text_col, id_col, shingle_size, hash_fn=hash_fn)
     return hashed.groupBy(id_col).agg(F.expr(_sig_agg_expr(num_hashes)))
 
 
@@ -198,6 +220,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_size: int = 5,
     threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard ≥ threshold) via
     MinHash + banded LSH.
@@ -236,7 +259,7 @@ def minhash_lsh_pairs(
 
     rows_per_band = max(1, num_hashes // bands)
     sig = (
-        _shingle_hashes(df, text_col, id_col, shingle_size)
+        _shingle_hashes(df, text_col, id_col, shingle_size, hash_fn=hash_fn)
         .groupBy(id_col)
         .agg(F.expr(_sig_agg_expr(num_hashes)))
     )
@@ -325,6 +348,7 @@ def minhash_lsh_pairs(
             text_col,
             id_col,
             shingle_size,
+            hash_fn=hash_fn,
         )
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))

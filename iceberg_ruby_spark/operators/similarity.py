@@ -207,6 +207,7 @@ def _train_centroids(
     sample_size: int = 4096,
     iters: int = 10,
     seed: int = 42,
+    id_col: Optional[str] = None,
 ):
     """Coarse quantizer: kmeans++-seeded numpy Lloyd iterations on a
     deterministic sample.
@@ -217,10 +218,31 @@ def _train_centroids(
     spreads the initial centroids instead of clumping them where the
     sample happens to be dense — measured +6–8 points of recall@10 at the
     driver parameters on the fixture corpora vs uniform-random init
-    (0.56→0.64 at sf0.001, 0.62→0.68 at sf0.01)."""
+    (0.56→0.64 at sf0.001, 0.62→0.68 at sf0.01).
+
+    Sampling is deterministic under ANY partitioning: with ``id_col`` the
+    sample is the ``sample_size`` smallest ids of a seeded xxhash64 of the
+    id — a uniform pseudo-random draw whose members don't depend on
+    partition enumeration order (a bare ``limit`` takes whichever tasks
+    answer first: stable on one local file, arbitrary on a multi-file
+    100 TB table).  The TakeOrderedAndProject this compiles to holds only
+    ``sample_size`` rows per partition, then merges — no full sort, no
+    full shuffle.  Without ``id_col`` (no stable key available) it falls
+    back to the order-dependent ``limit``."""
     import numpy as np
 
-    rows = corpus.select(vec_col).limit(sample_size).collect()
+    if id_col is not None:
+        sample = corpus.select(F.col(vec_col), F.col(id_col).alias("__id"))
+        sample = (
+            sample.orderBy(
+                F.xxhash64(F.col("__id"), F.lit(seed)).asc(), F.col("__id").asc()
+            )
+            .limit(sample_size)
+            .select(vec_col)
+        )
+        rows = sample.collect()
+    else:
+        rows = corpus.select(vec_col).limit(sample_size).collect()
     x = np.asarray([r[0] for r in rows], dtype=np.float64)
     if len(x) == 0:
         raise ValueError("cannot train IVF on an empty corpus")
@@ -290,7 +312,7 @@ def ivf_topk(
     import numpy as np
 
     query_id_col = query_id_col or id_col
-    centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed)
+    centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed, id_col=id_col)
     assign = _cell_assigner(centroids)
 
     c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(

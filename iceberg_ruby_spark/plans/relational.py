@@ -458,10 +458,35 @@ def count_distinct_by_group(spark, sf_dir):
     )
 
 
-@query("approx_count_distinct")  # HLL sketch — engine-specific, rows-only check
+@query(
+    "approx_count_distinct",
+    # The raw HLL++ estimate is engine-specific (DuckDB's HLL lands on a
+    # different value), so the hash-checkable contract is the accuracy
+    # envelope: the exact cardinality plus a boolean pinning the sketch
+    # estimate within 3× the requested relative standard deviation (the
+    # estimate itself is deterministic — HLL has no RNG — so the boolean
+    # is stable; 3σ at rsd=0.05 makes flakiness astronomically unlikely).
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS exact_orders,
+           TRUE AS approx_within_3rsd
+    FROM lineitem
+    """,
+)
 def approx_count_distinct(spark, sf_dir):
-    return load(spark, sf_dir, "lineitem").agg(
-        F.approx_count_distinct("l_orderkey").alias("approx_orders")
+    rsd = 0.05
+    return (
+        load(spark, sf_dir, "lineitem")
+        .agg(
+            F.approx_count_distinct("l_orderkey", rsd).alias("approx_orders"),
+            F.count_distinct("l_orderkey").alias("exact_orders"),
+        )
+        .select(
+            "exact_orders",
+            (
+                F.abs(F.col("approx_orders") - F.col("exact_orders"))
+                <= 3 * rsd * F.col("exact_orders")
+            ).alias("approx_within_3rsd"),
+        )
     )
 
 

@@ -452,6 +452,22 @@ class RestTableOps:
         retry loops in table.py treat server conflicts exactly like
         filesystem version-file races."""
         if base_version in (None, 0) and not self.exists():
+            # The CreateTableRequest carries only schema/spec/order/props —
+            # a first commit bearing snapshots, refs, or statistics (a
+            # future stage-create/CTAS shape) would silently lose them, so
+            # refuse loudly instead; such a commit must be a create
+            # followed by an update commit applying the remaining diff.
+            dropped = [
+                k
+                for k in ("snapshots", "refs", "statistics")
+                if new_meta.get(k)
+            ]
+            if dropped:
+                raise InvalidDataError(
+                    "REST create path cannot carry "
+                    + "/".join(dropped)
+                    + "; create the table first, then commit them as an update"
+                )
             new_fv = new_meta.get("format-version", 2)
             props = dict(new_meta.get("properties", {}))
             props["format-version"] = str(new_fv)

@@ -18,7 +18,15 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     which ``withWatermark`` rejects).  Confs are pinned at runtime so this
     works on any SparkSession, not just our factory's (the correctness
     driver builds a bare one); the UTC pin makes the NTZ→LTZ cast
-    value-stable against the naive-timestamp DuckDB oracle."""
+    value-stable against the naive-timestamp DuckDB oracle.
+
+    SESSION-WIDE SIDE EFFECT: the two confs below stay set on the caller's
+    SparkSession after this returns — they CANNOT be save/restored here
+    because the returned stream is lazy: both confs are read when the
+    streaming query (and its downstream casts) actually executes, long
+    after this function exits.  Callers sharing the session with
+    timezone-sensitive batch work should run those queries on a separate
+    session (``spark.newSession()``) or re-pin the confs afterwards."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     batch = spark.read.parquet(f"{sf_dir}/events.parquet")

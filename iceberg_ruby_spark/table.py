@@ -529,8 +529,31 @@ class Table:
         def mutate(raw: dict[str, Any]) -> None:
             specs = raw.get("partition-specs", [])
             new_id = max((s.get("spec-id", 0) for s in specs), default=-1) + 1
-            raw["partition-specs"] = specs + [{"spec-id": new_id, "fields": spec_json}]
+            # Spec rule: partition field ids are UNIQUE across all specs of
+            # a table (v2), and the same (source, transform) keeps its id
+            # when it reappears in a later spec.  Allocate monotonically
+            # from ``last-partition-id`` (1000+i per the spec's initial
+            # numbering for spec 0), reusing ids for identical fields —
+            # without this, external readers see field-id collisions
+            # between specs and mis-bind partition predicates.
+            existing: dict[tuple, int] = {}
+            last_pid = raw.get("last-partition-id", 999)
+            for s in specs:
+                for i, f in enumerate(s.get("fields", [])):
+                    fid = f.get("field-id", 1000 + i)
+                    last_pid = max(last_pid, fid)
+                    existing.setdefault((f.get("source"), f.get("transform")), fid)
+            new_fields = []
+            for f in spec_json:
+                key = (f["source"], f["transform"])
+                fid = existing.get(key)
+                if fid is None:
+                    last_pid += 1
+                    fid = last_pid
+                new_fields.append({**f, "field-id": fid})
+            raw["partition-specs"] = specs + [{"spec-id": new_id, "fields": new_fields}]
             raw["default-spec-id"] = new_id
+            raw["last-partition-id"] = last_pid
 
         self._metadata_update(mutate)
         return self
@@ -1282,21 +1305,18 @@ class Table:
         if fmt != "avro":
             raise InvalidDataError(f"unknown {MANIFEST_FORMAT_PROPERTY}: {fmt!r}")
         spec_id = meta.raw.get("default-spec-id", 0)
-        spec = next(
-            (
-                s
-                for s in meta.raw.get("partition-specs", [])
-                if s.get("spec-id") == spec_id
-            ),
-            None,
-        ) or {}
+        specs_by_id = {
+            s.get("spec-id", 0): s.get("fields", [])
+            for s in meta.raw.get("partition-specs", [])
+        }
         return ManifestContext(
             schemas_by_id={s.schema_id: s for s in meta.schemas},
             current_schema_id=meta.current_schema_id,
-            spec_fields=spec.get("fields", []),
+            spec_fields=specs_by_id.get(spec_id, []),
             spec_id=spec_id,
             sequence_number=meta.last_sequence_number + 1,
             parent_snapshot_id=parent,
+            specs_by_id=specs_by_id,
         )
 
     def _normalize_input(self, data: Any) -> DataFrame:
@@ -1414,9 +1434,19 @@ class Table:
         schema = self.current_schema()
         # every data file must carry exactly the table schema's physical types
         # — a caller-shaped LongType column in an int table would write INT64
-        # parquet that later scans reject (round-2 test finding via merge)
+        # parquet that later scans reject (round-2 test finding via merge).
+        # The alias re-attaches the schema metadata the cast would drop:
+        # "parquet.field.id" makes the writer stamp Iceberg field ids into
+        # the parquet footer (fieldId.write.enabled is on by default in
+        # Spark 3.4+; pinned here so bare sessions behave identically)
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         df = df.select(
-            *[F.col(f.name).cast(f.to_spark().dataType).alias(f.name) for f in schema.fields]
+            *[
+                F.col(f.name)
+                .cast(f.to_spark().dataType)
+                .alias(f.name, metadata=f.to_spark().metadata)
+                for f in schema.fields
+            ]
         )
 
         def _source_type(name: str) -> Optional[ice_t.Type]:
@@ -1522,6 +1552,11 @@ class Table:
                     "path": path,
                     "record-count": d["__rc"],
                     "schema-id": self.metadata.current_schema_id,
+                    # the spec this file's directory layout was written
+                    # under — Avro manifests group entries per spec so
+                    # external readers parse partition tuples against the
+                    # right field names after spec evolution
+                    "spec-id": self.default_spec_id,
                     "file-size-bytes": self.ops.io.size(path),
                     "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
                     "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
@@ -1654,19 +1689,38 @@ class Table:
             # next to the data they delete from, so broadcast them — the
             # distributed analog of Iceberg readers merging sorted position
             # lists per file
-            # stored file_path is relative to the table location (rename-
-            # safe); pre-fix delete files hold absolute paths — keep those.
+            # Spec-shaped delete files (current write path) store the FULL
+            # data-file path under the table location at write time, which
+            # each entry records as ``base-location``; older files stored
+            # location-relative paths, and pre-r4 files absolute paths with
+            # no recorded base.  Normalize all three: strip any known base
+            # prefix (recorded bases + the current location), then
+            # re-absolutize relative remainders against the current
+            # location — so spec content stays correct after rename_table.
             # "Absolute" means a leading slash OR a URI scheme: an s3a://
             # path must not be mistaken for relative and prefixed.  (On a
             # real cluster the remaining step is s3↔s3a scheme
             # normalization against _metadata.file_path — part of the
             # documented fs.s3a data-plane work.)
             loc = self.ops.location
-            base = loc if "://" in loc else os.path.abspath(loc)
-            fp = F.col("file_path")
+            base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+            bases = {base} | {
+                e["base-location"].rstrip("/")
+                for e in pos_files
+                if e.get("base-location")
+            }
+            strip_pat = (
+                "^("
+                + "|".join(
+                    re.escape(b + "/")
+                    for b in sorted(bases, key=len, reverse=True)
+                )
+                + ")"
+            )
+            fp = F.regexp_replace(F.col("file_path"), strip_pat, "")
             is_abs = fp.rlike("^(/|[A-Za-z][A-Za-z0-9+.-]*:)")
             abs_fp = F.when(is_abs, fp).otherwise(
-                F.concat(F.lit(base.rstrip("/") + "/"), fp)
+                F.concat(F.lit(base + "/"), fp)
             )
             del_df = (
                 self.spark.read.parquet(
@@ -2089,32 +2143,71 @@ class Table:
             )
             pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
             rel_fp = F.regexp_replace(F.col("__f"), pat, "")
+            # Spec-shaped position delete files (format spec "Position
+            # Delete Files"): column names file_path/pos with the reserved
+            # field ids 2147483546/2147483545 stamped in the parquet
+            # footer, file_path as the full data-file path (the same form
+            # the Avro manifests publish), rows clustered per target file
+            # and sorted by (file_path, pos).  Rename-survival moves to the
+            # entry's ``base-location`` (the table location at write time):
+            # the read path strips any recorded base and re-absolutizes
+            # against the current location, so the file CONTENT stays
+            # spec-readable while the engine still survives rename_table.
+            loc = self.ops.location
+            base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
             hits = live.filter(cond).select(
-                rel_fp.alias("file_path"), F.col("__p").alias("pos")
+                F.concat(F.lit(base + "/"), rel_fp).alias(
+                    "file_path", metadata={"parquet.field.id": 2147483546}
+                ),
+                F.col("__p")
+                .cast("long")
+                .alias("pos", metadata={"parquet.field.id": 2147483545}),
             )
             del_dir = os.path.join(
                 self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
             )
-            hits.write.parquet(del_dir)
+            # one delete file per target data file (hash distribution on
+            # file_path), positions sorted within — the layout Iceberg
+            # readers merge most cheaply
+            hits.repartition(F.col("file_path")).sortWithinPartitions(
+                "file_path", "pos"
+            ).write.parquet(del_dir)
             written = self.spark.read.parquet(del_dir)
-            deleted = written.count()  # footer-count, no second scan
+            # per-part-file counts + target scope in ONE footer-cheap job
+            per_file = (
+                written.groupBy(F.col("_metadata.file_path").alias("__part"))
+                .agg(
+                    F.count(F.lit(1)).alias("__n"),
+                    F.collect_set("file_path").alias("__targets"),
+                )
+                .collect()
+            )
+            deleted = sum(r["__n"] for r in per_file)
             if not deleted:
                 self.ops.io.delete_prefix(del_dir)
                 return 0
-            applies = sorted(
-                r["file_path"] for r in written.select("file_path").distinct().collect()
-            )
+            strip = base + "/"
+            del_entries = []
+            for r in sorted(per_file, key=lambda r: r["__part"]):
+                part = r["__part"]
+                if part.startswith("file:"):
+                    part = part[len("file:"):]
+                del_entries.append(
+                    {
+                        "delete-file": part,
+                        "applies-to": sorted(
+                            t[len(strip):] if t.startswith(strip) else t
+                            for t in r["__targets"]
+                        ),
+                        "deleted-records": r["__n"],
+                        "content": "position-deletes",
+                        "base-location": base,
+                    }
+                )
             self._commit_snapshot(
                 "delete",
-                entries
-                + [
-                    {
-                        "delete-file": del_dir,
-                        "applies-to": applies,
-                        "deleted-records": deleted,
-                        "content": "position-deletes",
-                    }
-                ],
+                entries + del_entries,
                 {"deleted-records": deleted, "mode": "merge-on-read-positional"},
                 base_snapshot_id=self.current_snapshot_id,
             )
@@ -2190,9 +2283,14 @@ class Table:
                 ).to_spark(),
             )
         )
+        # spec equality delete files carry the key columns with their
+        # Iceberg field ids stamped in the parquet footer
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
         keys_df = keys_df.select(
             *[
-                F.col(c).cast(schema.field_by_name(c).to_spark().dataType).alias(c)
+                F.col(c)
+                .cast(schema.field_by_name(c).to_spark().dataType)
+                .alias(c, metadata={"parquet.field.id": schema.field_by_name(c).field_id})
                 for c in cols
             ]
         ).distinct()
@@ -2381,8 +2479,19 @@ class Table:
             )
             matched_n = sum(r["n"] for r in hit_rows)
             if matched_n:
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
                 matched_keys = joined.select(
-                    *[F.col(f"t.{k}").alias(k) for k in keys]
+                    *[
+                        F.col(f"t.{k}").alias(
+                            k,
+                            metadata={
+                                "parquet.field.id": schema.field_by_name(k).field_id
+                            },
+                        )
+                        for k in keys
+                    ]
                 ).distinct()
                 del_dir = os.path.join(
                     self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"

@@ -197,7 +197,15 @@ class NestedField:
     write_default: Any = None
 
     def to_spark(self) -> T.StructField:
-        metadata: dict[str, Any] = {"iceberg.field-id": self.field_id}
+        # "parquet.field.id" is Spark's ParquetUtils.FIELD_ID_METADATA_KEY:
+        # with spark.sql.parquet.fieldId.write.enabled the parquet writer
+        # stamps it as the column's field_id, making data files column-
+        # mappable by external Iceberg readers after renames (the reference
+        # inherits this from iceberg-rust's writers, schema.rs:100-181)
+        metadata: dict[str, Any] = {
+            "iceberg.field-id": self.field_id,
+            "parquet.field.id": self.field_id,
+        }
         if self.doc is not None:
             metadata["comment"] = self.doc
         if self.write_default is not None:

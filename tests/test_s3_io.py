@@ -57,6 +57,20 @@ def test_list_paginates_and_list_children(io):
     assert list(io.list("s3://b/t/data")) == []
 
 
+def test_list_yields_exact_key_alongside_subtree(io):
+    """Round-4 ADVICE regression: an object at the exact key must be
+    listed even when other objects exist under key + '/' (legal S3
+    layout) — the probe must not be skipped just because the subtree
+    listing is non-empty."""
+    io.replace("s3://b/t/a", "exact")
+    io.replace("s3://b/t/a/child", "nested")
+    got = sorted(io.list("s3://b/t/a"))
+    assert got == ["s3://b/t/a", "s3://b/t/a/child"]
+    # bare file with empty subtree still lists itself
+    io.replace("s3://b/t/solo.json", "x")
+    assert list(io.list("s3://b/t/solo.json")) == ["s3://b/t/solo.json"]
+
+
 def test_move_prefix(io):
     io.replace("s3://b/t1/metadata/v1.json", "m")
     io.replace("s3://b/t1/data/f.parquet", "d")
