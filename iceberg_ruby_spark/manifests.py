@@ -35,15 +35,13 @@ against something this repo didn't write.
 Documented deviations from a fully-interoperable Iceberg table (the
 engine is honest about what stays internal):
 
-- POSITIONAL deletes are spec-shaped since round 5: individual parquet
-  files with the reserved field ids (2147483546/2147483545), full
-  data-file paths, (file_path, pos) sort, one ``content=1`` entry per
-  file (tests/test_avro_manifests.py::
-  test_positional_delete_files_are_spec_shaped).  EQUALITY delete
-  artifacts are still parquet *directories* (one per commit) whose
-  ``file_path`` is the directory prefix — their key columns do carry
-  spec field ids in the footers, but the per-file entry split remains
-  a deviation.
+- Merge-on-read delete artifacts are spec-shaped since round 5:
+  positional deletes are individual parquet files with the reserved
+  field ids (2147483546/2147483545), full data-file paths, and
+  (file_path, pos) sort, one ``content=1`` entry per file; equality
+  deletes are per-file ``content=2`` entries whose key columns carry
+  their Iceberg field ids in the footers and whose ``record_count`` is
+  the delete file's own row count (tests/test_avro_manifests.py).
 - Engine-internal state a spec reader has no slot for — per-entry
   schema-id and spec-id, location-relative paths (tables survive
   ``rename_table``), applies-to file scoping, equality column names —

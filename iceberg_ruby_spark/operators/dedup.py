@@ -341,7 +341,13 @@ def minhash_lsh_pairs(
         cand.select(F.explode(F.array("id_a", "id_b")).alias(id_col)).distinct()
     )
     # broadcast the id set — a shuffled semi-join would move every doc row;
-    # the id list is 8 bytes per candidate doc
+    # the id list is 8 bytes per candidate doc.  The sets relation is
+    # PERSISTED because both join sides below reference it: unpersisted,
+    # Spark evaluates the whole subtree twice — two extra full corpus
+    # scans (the semi-join filters rows, not IO) and two shingle explodes.
+    # The cache is candidate-doc-sized (output-scale), so trading two
+    # corpus-sized scans for one small cache is the right call at 100 TB
+    # (round-5 plan audit: minhash scans 4 → 3).
     sets = (
         _shingle_hashes(
             df.join(F.broadcast(cand_ids), id_col, "left_semi"),
@@ -352,6 +358,7 @@ def minhash_lsh_pairs(
         )
         .groupBy(id_col)
         .agg(F.collect_set("__h").alias("__set"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # plain shuffle joins: candidate shingle sets are doc-sized, so unlike
     # the pair list they are not safely broadcastable at scale

@@ -42,7 +42,15 @@ client-credentials (``credential=client_id:client_secret``) exchanged at
 
 Tested against a local stub server (tests/support/rest_server.py) the way
 reference CI runs ``apache/iceberg-rest-fixture``
-(``.github/workflows/build.yml:6-31``).
+(``.github/workflows/build.yml:6-31``).  That stub speaks the spec wire
+vocabulary (TableUpdate/TableRequirement names, CreateTableRequest,
+metadata-location registration) and derives server-side state the way the
+fixture does; it is also the honest CEILING of what this sandbox can
+verify — no network egress, so the matrix cannot run against the real
+``apache/iceberg-rest-fixture`` container here.  When an environment with
+network exists, point ``RestCatalog(uri=...)`` at the fixture and run
+tests/test_rest_catalog.py unchanged; nothing in the client is
+stub-specific.
 """
 
 from __future__ import annotations

@@ -2309,24 +2309,53 @@ class Table:
         if not deleted:
             return 0
         del_dir = os.path.join(self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}")
-        keys_df.write.parquet(del_dir)
+        keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
         self._commit_snapshot(
             "delete",
             entries
-            + [
-                {
-                    "delete-file": del_dir,
-                    "applies-to": sorted(r["__f"] for r in hit_rows),
-                    "deleted-records": deleted,
-                    "content": "equality-deletes",
-                    "equality-ids": field_ids,
-                    "equality-cols": cols,
-                }
-            ],
+            + self._equality_delete_entries(
+                del_dir, sorted(r["__f"] for r in hit_rows), field_ids, cols
+            ),
             {"deleted-records": deleted, "mode": "merge-on-read-equality"},
             base_snapshot_id=self.current_snapshot_id,
         )
         return deleted
+
+    def _equality_delete_entries(
+        self,
+        del_dir: str,
+        applies: list[str],
+        field_ids: list[int],
+        cols: list[str],
+    ) -> list[dict[str, Any]]:
+        """Per-FILE spec entries for a freshly written equality-delete
+        directory: one ``content=2`` entry per parquet part file (the spec
+        shape — a manifest entry names a file, not a directory), with
+        ``deleted-records`` = key rows in THAT file, which is what the
+        spec's delete-file ``record_count`` means for equality deletes.
+        The matched-data-row total goes in the commit summary instead."""
+        written = self.spark.read.parquet(del_dir)
+        per_file = (
+            written.groupBy(F.col("_metadata.file_path").alias("__part"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        out = []
+        for r in sorted(per_file, key=lambda r: r["__part"]):
+            part = r["__part"]
+            if part.startswith("file:"):
+                part = part[len("file:"):]
+            out.append(
+                {
+                    "delete-file": part,
+                    "applies-to": list(applies),
+                    "deleted-records": r["__n"],
+                    "content": "equality-deletes",
+                    "equality-ids": list(field_ids),
+                    "equality-cols": list(cols),
+                }
+            )
+        return out
 
     def update_where(self, assignments: dict[str, Any], condition: Union[str, Any]) -> int:
         """File-pruned copy-on-write UPDATE: rewrite only files containing
@@ -2470,7 +2499,7 @@ class Table:
         marked = source.withColumn("__s_matched", F.lit(True))
         joined = live.alias("t").join(marked.alias("s"), keys, "inner")
         new_parts: list[DataFrame] = []
-        eq_entry = None
+        eq_entries: list[dict[str, Any]] = []
         if when_matched_update:
             # matched rows: which files they live in (delete scope) and
             # their distinct key tuples (the equality delete content)
@@ -2496,15 +2525,13 @@ class Table:
                 del_dir = os.path.join(
                     self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
                 )
-                matched_keys.write.parquet(del_dir)
-                eq_entry = {
-                    "delete-file": del_dir,
-                    "applies-to": sorted(r["__f"] for r in hit_rows),
-                    "deleted-records": matched_n,
-                    "content": "equality-deletes",
-                    "equality-ids": [schema.field_by_name(k).field_id for k in keys],
-                    "equality-cols": keys,
-                }
+                matched_keys.sortWithinPartitions(*keys).write.parquet(del_dir)
+                eq_entries = self._equality_delete_entries(
+                    del_dir,
+                    sorted(r["__f"] for r in hit_rows),
+                    [schema.field_by_name(k).field_id for k in keys],
+                    keys,
+                )
                 out_cols = []
                 for c in cols:
                     if c in when_matched_update:
@@ -2518,15 +2545,15 @@ class Table:
                 if c not in inserts.columns:
                     inserts = inserts.withColumn(c, F.lit(None))
             new_parts.append(inserts.select(*cols))
-        if not new_parts and eq_entry is None:
+        if not new_parts and not eq_entries:
             return self
         merged = new_parts[0] if new_parts else None
         for p in new_parts[1:]:
             merged = merged.unionByName(p)
         new_entries = self._write_data_dir(merged) if merged is not None else []
-        if not new_entries and eq_entry is None:
+        if not new_entries and not eq_entries:
             return self
-        all_new = entries + ([eq_entry] if eq_entry else []) + new_entries
+        all_new = entries + eq_entries + new_entries
         self._commit_snapshot(
             "overwrite",
             all_new,

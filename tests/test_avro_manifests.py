@@ -531,3 +531,34 @@ def test_positional_delete_files_are_spec_shaped(catalog, spark):
     assert total == 3
     # the engine still reads the survivors
     assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 3, 4]
+
+
+def test_equality_delete_files_are_spec_shaped(catalog, spark):
+    """Equality deletes: per-FILE content=2 entries whose parquet carries
+    the key columns with their Iceberg field ids, record_count = the
+    delete file's own row count (spec semantics, not matched data rows)."""
+    import pyarrow.parquet as pq
+
+    t = catalog.create_table("av_eqdel", schema={"k": "int", "v": "string"},
+                             properties=AVRO_PROPS)
+    t.append([{"k": i, "v": f"v{i}"} for i in range(8)])
+    assert t.delete_by_keys([(2,), (5,), (99,)], on="k") == 2
+
+    list_path = t.ops._abs(t.current_snapshot().manifest_list)
+    _, mfs = _jvm_read(spark, list_path)
+    del_mfs = [m for m in mfs if m["content"] == 1]
+    recs = [r for m in del_mfs for r in _jvm_read(spark, m["manifest_path"])[1]]
+    assert recs and all(r["data_file"]["content"] == 2 for r in recs)
+    key_rows = 0
+    for r in recs:
+        path = r["data_file"]["file_path"]
+        assert path.endswith(".parquet") and os.path.isfile(path)
+        sch = pq.read_schema(path)
+        assert sch.names == ["k"]
+        assert int(sch.field("k").metadata[b"PARQUET:field_id"]) == 1
+        n = pq.read_metadata(path).num_rows
+        assert r["data_file"]["record_count"] == n
+        assert r["data_file"]["equality_ids"] == [1]
+        key_rows += n
+    assert key_rows == 3  # the 3 distinct key tuples, incl. the no-match 99
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 3, 4, 6, 7]
