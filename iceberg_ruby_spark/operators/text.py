@@ -154,3 +154,98 @@ def chunk_documents(
             F.size(win).alias("chunk_tokens"),
         )
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: dict,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 1.0,
+) -> DataFrame:
+    """Deterministic hash-based stratified sampling — the training-data
+    mixer's downsampling primitive (keep 10% of crawl, 100% of books…).
+
+    A row survives when its md5-derived uniform in [0, 1) falls under its
+    stratum's rate.  The draw is a pure function of (seed, id): no RNG
+    state, so the SAME rows survive on every run, on any partitioning, on
+    any cluster size — resumable pipelines and exact cross-engine oracles
+    (DuckDB reproduces the md5 arithmetic bit-for-bit).  Map-only: no
+    shuffle at any corpus size; the filter pipelines into the scan."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), F.col(id_col).cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    rate = F.lit(float(default_rate))
+    for stratum, r in sorted(rates.items()):
+        rate = F.when(F.col(stratum_col) == stratum, F.lit(float(r))).otherwise(rate)
+    return df.withColumn("__u", u).filter(F.col("__u") < rate).drop("__u")
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    partition_col: str = None,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences (packs).
+
+    The scalable offset-packing scheme: within each partition, documents
+    are ordered by id, and a document's pack is ``floor(cum_tokens_before
+    / budget)`` — one window prefix-sum, deterministic, and expressible in
+    any engine (the greedy never-straddle variant needs sequential state;
+    this form is what large pipelines actually run, with boundary docs
+    split downstream by the chunker).  ``partition_col`` keys the window
+    so the sort is per-group, not global — REQUIRED at scale (a global
+    window is a single-task sort at 100 TB; packing within lang/source
+    shards is both parallel and what mixers want anyway).  Output adds
+    (pack_id, pack_offset, n_tokens)."""
+    from pyspark.sql import Window
+
+    if partition_col:
+        w = Window.partitionBy(partition_col).orderBy(F.col(id_col).asc())
+    else:
+        w = Window.orderBy(F.col(id_col).asc())
+    n = token_count(F.col(text_col))
+    cum_before = F.coalesce(
+        F.sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("pack_offset", cum_before)
+        .withColumn(
+            "pack_id", F.floor(F.col("pack_offset") / F.lit(int(budget))).cast("long")
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?[0-9][0-9()\-\s]{7,}[0-9]"
+
+
+def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact emails and phone-shaped numbers from a text column — the
+    minimum-viable PII pass every public-corpus pipeline runs before
+    training.  Pure regexp_replace (JVM codegen, map-only); adds
+    ``n_emails`` / ``n_phones`` counts so the scrub is auditable.  The
+    patterns are deliberately simple, shared verbatim with the DuckDB
+    oracle; a production pass would chain domain-specific patterns the
+    same way."""
+    c = F.col(text_col)
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(_EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(_PHONE_RE), F.lit(0)))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(c, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_emails", n_emails)
+        .withColumn("n_phones", n_phones)
+        .withColumn(text_col, scrubbed)
+    )

@@ -689,3 +689,163 @@ def text_chunk_documents(spark, sf_dir):
         "chunk_text",
         F.col("chunk_tokens").cast("bigint").alias("chunk_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# round 5: training-data pipeline additions
+# ---------------------------------------------------------------------------
+
+_SAMPLE_U_SQL = (
+    "CAST(concat('0x', substr(md5(concat('42:', CAST(doc_id AS VARCHAR))), 1, 15)) AS BIGINT)"
+    " / 1152921504606846976.0"
+)
+
+
+@query(
+    "text_stratified_sample",
+    oracle=f"""
+    SELECT doc_id, source FROM documents
+    WHERE {_SAMPLE_U_SQL} < CASE source WHEN 'src0' THEN 0.25
+                                        WHEN 'src1' THEN 0.5 ELSE 1.0 END
+    """,
+)
+def text_stratified_sample(spark, sf_dir):
+    """Deterministic hash-based stratified downsampling (25% of src0, 50%
+    of src1, everything else kept) — the training-mixer primitive.  The
+    draw is a pure function of (seed, doc_id): same survivors on any
+    partitioning or cluster size, and DuckDB reproduces it exactly.
+    Map-only — zero shuffles at any corpus size."""
+    from iceberg_ruby_spark.operators.text import stratified_sample
+
+    d = load(spark, sf_dir, "documents")
+    out = stratified_sample(d, "source", {"src0": 0.25, "src1": 0.5}, seed=42)
+    return out.select("doc_id", "source")
+
+
+@query(
+    "text_pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKEN_COUNT_SQL} AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, lang, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS pack_offset
+      FROM t
+    )
+    SELECT doc_id, lang, n_tokens, pack_offset,
+           CAST(FLOOR(pack_offset / 256.0) AS BIGINT) AS pack_id
+    FROM c
+    """,
+)
+def text_pack_sequences(spark, sf_dir):
+    """Offset-packing of documents into 256-token training sequences,
+    keyed per language shard (one window prefix-sum per shard — the
+    per-group window is what keeps this parallel at 100 TB; a global
+    window would be a single-task sort)."""
+    from iceberg_ruby_spark.operators.text import pack_sequences
+    from pyspark.sql import functions as F
+
+    d = load(spark, sf_dir, "documents")
+    out = pack_sequences(d, budget=256, partition_col="lang")
+    return out.select(
+        "doc_id", "lang", "n_tokens",
+        F.col("pack_offset").cast("bigint").alias("pack_offset"),
+        "pack_id",
+    )
+
+
+# deterministic synthetic PII planted on a doc_id residue — the fixture
+# corpus has none, and both engines must build IDENTICAL input text for
+# the scrub to be hash-comparable
+_PII_AUG_SQL = """
+    CASE WHEN doc_id % 5 = 0
+           THEN text || ' reach me at user' || CAST(doc_id AS VARCHAR) || '@example.org'
+         WHEN doc_id % 5 = 1
+           THEN text || ' call +1 555-010-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+         ELSE text END
+"""
+_EMAIL_SQL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PHONE_SQL = "\\+?[0-9][0-9()\\-\\s]{7,}[0-9]"
+
+
+@query(
+    "text_scrub_pii",
+    oracle=f"""
+    WITH aug AS (SELECT doc_id, {_PII_AUG_SQL} AS t FROM documents)
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_SQL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_SQL}')) AS INTEGER) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_SQL}', '<EMAIL>', 'g'),
+                              '{_PHONE_SQL}', '<PHONE>', 'g')) AS scrub_fp
+    FROM aug
+    """,
+)
+def text_scrub_pii(spark, sf_dir):
+    """Email/phone redaction with audit counts (operators/text.py
+    scrub_pii) over deterministically planted PII; the output carries an
+    md5 of the scrubbed text so the whole redaction is hash-verified
+    cross-engine.  Map-only regexp work, no shuffle."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.text import scrub_pii
+
+    d = load(spark, sf_dir, "documents")
+    aug = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.lit(" reach me at user"),
+                     F.col("doc_id").cast("string"), F.lit("@example.org")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 1,
+            F.concat(F.col("text"), F.lit(" call +1 555-010-"),
+                     F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    out = scrub_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5(F.col("text")).alias("scrub_fp")
+    )
+
+
+@query(
+    "events_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT event_id, user_id, ts,
+             epoch(ts) - epoch(lag(ts) OVER w) AS gap_s,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1
+                  ELSE 0 END AS is_session_start
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, is_session_start,
+           CAST(SUM(is_session_start) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS session_seq
+    FROM g
+    """,
+)
+def events_sessionize(spark, sf_dir):
+    """Batch gap-based sessionization (30-min gap): ONE hash-partitioned
+    window per user carries both the lag and the running session count —
+    Catalyst plans a single exchange + sort (operators/sessions.py).  The
+    batch twin of stream_session_window."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.sessions import sessionize
+
+    e = load(spark, sf_dir, "events")
+    out = sessionize(e, gap_minutes=30, tie_col="event_id")
+    return out.select(
+        "event_id", "user_id", "is_session_start",
+        F.col("session_seq").cast("bigint").alias("session_seq"),
+    )

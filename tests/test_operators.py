@@ -303,3 +303,82 @@ def test_chunk_documents(spark):
     assert len(d2) == 1 and d2[0]["chunk_tokens"] == 3
     with _pytest.raises(InvalidDataError):
         chunk_documents(df, chunk_size=10, overlap=10)
+
+
+def test_stratified_sample_deterministic_and_rate_bounded(spark):
+    from iceberg_ruby_spark.operators.text import stratified_sample
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    a = {r["doc_id"] for r in stratified_sample(docs, "source", {"src0": 0.25}).collect()}
+    b = {r["doc_id"] for r in stratified_sample(docs.repartition(7), "source", {"src0": 0.25}).collect()}
+    assert a == b  # survivors independent of partitioning
+    src0 = docs.filter("source = 'src0'")
+    n0 = src0.count()
+    kept0 = len({r["doc_id"] for r in stratified_sample(src0, "source", {"src0": 0.25}).collect()})
+    assert 0 < kept0 < n0
+    assert abs(kept0 / n0 - 0.25) < 0.15  # uniform draw near the rate
+    # a different seed draws a different sample
+    c = {r["doc_id"] for r in stratified_sample(docs, "source", {"src0": 0.25}, seed=7).collect()}
+    assert a != c
+
+
+def test_pack_sequences_offsets_and_budget(spark):
+    from iceberg_ruby_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, "en", " ".join(["w"] * 100)) for i in range(6)],
+        ["doc_id", "lang", "text"],
+    )
+    rows = sorted(
+        pack_sequences(df, budget=256, partition_col="lang").collect(),
+        key=lambda r: r["doc_id"],
+    )
+    # 100-token docs: cumulative offsets 0,100,...,500 → packs 0,0,0,1,1,1
+    assert [r["pack_offset"] for r in rows] == [0, 100, 200, 300, 400, 500]
+    assert [r["pack_id"] for r in rows] == [0, 0, 0, 1, 1, 1]
+    assert all(r["n_tokens"] == 100 for r in rows)
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from iceberg_ruby_spark.operators.text import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@ex-ample.org thanks"),
+            (2, "call +1 (555) 010-1234 today"),
+            (3, "nothing sensitive here"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and "<EMAIL>" in rows[1]["text"]
+    assert "a.b+c@" not in rows[1]["text"]
+    assert rows[2]["n_phones"] == 1 and "<PHONE>" in rows[2]["text"]
+    assert "555" not in rows[2]["text"]
+    assert rows[3]["n_emails"] == 0 and rows[3]["n_phones"] == 0
+    assert rows[3]["text"] == "nothing sensitive here"
+
+
+def test_sessionize_gap_logic(spark):
+    import datetime as dt
+
+    from iceberg_ruby_spark.operators.sessions import sessionize
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows_in = [
+        (1, 100, t0),
+        (2, 100, t0 + dt.timedelta(minutes=10)),   # same session
+        (3, 100, t0 + dt.timedelta(minutes=50)),   # 40-min gap → new session
+        (4, 200, t0),                               # other user: own session
+        (5, 100, t0 + dt.timedelta(minutes=75)),   # 25-min gap → same session
+    ]
+    df = spark.createDataFrame(rows_in, ["event_id", "user_id", "ts"])
+    out = {
+        r["event_id"]: (r["is_session_start"], r["session_seq"])
+        for r in sessionize(df, gap_minutes=30, tie_col="event_id").collect()
+    }
+    assert out[1] == (1, 1)
+    assert out[2] == (0, 1)
+    assert out[3] == (1, 2)
+    assert out[5] == (0, 2)
+    assert out[4] == (1, 1)

@@ -1,0 +1,73 @@
+"""End-to-end interop proof: a from-scratch spec reader
+(tests/support/spec_reader.py) that uses ONLY Iceberg-spec artifacts —
+JVM-decoded Avro manifests, field-id-bound parquet, spec delete files,
+manifest partition tuples — must reconstruct exactly the rows the engine
+reads.  This is the strongest available stand-in for pointing a real
+external engine at the table: every spec surface this repo writes
+(manifests, field ids, per-file deletes, per-spec partition tuples) is
+exercised together, with the engine's internal ``x-irs`` extras ignored."""
+
+from __future__ import annotations
+
+from tests.support.spec_reader import read_spec_rows
+
+AVRO_PROPS = {"write.metadata.manifest-format": "avro"}
+
+
+def _spec_rows(t, spark):
+    return read_spec_rows(spark, t.ops._abs(t.current_snapshot().manifest_list))
+
+
+def _as_sets(rows):
+    return sorted(tuple(sorted(r.items())) for r in rows)
+
+
+def test_spec_reader_matches_engine_after_mutations(catalog, spark):
+    t = catalog.create_table(
+        "spec_rd1", schema={"k": "int", "v": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"k": i, "v": f"v{i}"} for i in range(10)])
+    t.append([{"k": i, "v": f"w{i}"} for i in range(10, 14)])
+    assert t.delete_where("k in (2, 11)", mode="merge-on-read-positional") == 2
+    assert t.delete_by_keys([(5,), (12,)], on="k") == 2
+    assert _as_sets(_spec_rows(t, spark)) == _as_sets(t.to_a())
+
+
+def test_spec_reader_binds_renamed_columns_by_field_id(catalog, spark):
+    t = catalog.create_table(
+        "spec_rd2", schema={"k": "int", "v": "string"}, properties=AVRO_PROPS
+    )
+    t.append([{"k": 1, "v": "old"}])
+    t.update_schema().rename_column("v", "label").commit()
+    t.append([{"k": 2, "label": "new"}])
+    rows = _spec_rows(t, spark)
+    # the pre-rename file's column surfaces under the NEW name via field-id
+    assert _as_sets(rows) == _as_sets(t.to_a())
+    assert all("label" in r and "v" not in r for r in rows)
+
+
+def test_spec_reader_reconstructs_partition_columns_across_specs(catalog, spark):
+    t = catalog.create_table(
+        "spec_rd3",
+        schema={"a": "int", "cat": "string", "reg": "string"},
+        partition_spec=[("cat", "identity")],
+        properties=AVRO_PROPS,
+    )
+    t.append([{"a": 1, "cat": "x", "reg": "e"}, {"a": 2, "cat": "y", "reg": "w"}])
+    t.update_spec([("reg", "identity")])
+    t.append([{"a": 3, "cat": "z", "reg": "n"}])
+    # identity partition values live in manifest tuples, per spec — the
+    # spec reader must recover cat for the old files and reg for the new
+    assert _as_sets(_spec_rows(t, spark)) == _as_sets(t.to_a())
+
+
+def test_spec_reader_eq_delete_sequence_scoping(catalog, spark):
+    # a row matching a delete key but written AFTER the delete (higher
+    # data sequence) must survive in both readers
+    t = catalog.create_table("spec_rd4", schema={"k": "int"}, properties=AVRO_PROPS)
+    t.append([{"k": 1}, {"k": 2}])
+    t.delete_by_keys([(2,)], on="k")
+    t.append([{"k": 2}])  # re-insert after the delete
+    rows = _spec_rows(t, spark)
+    assert sorted(r["k"] for r in rows) == [1, 2]
+    assert _as_sets(rows) == _as_sets(t.to_a())
