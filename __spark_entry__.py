@@ -31,8 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle twins; keys without one get the driver's rows-only
-    check (hash-based operators: MinHash/SimHash/LSH/HLL, stubbed decode)."""
+    """DuckDB oracle twins — since round 5, EVERY registered query has
+    one: hash-based operators run engine-neutral md5 derivations the
+    oracle rebuilds bit-for-bit, ANN queries run at configurations whose
+    candidate sets provably cover the exact top-k, and the HLL sketch is
+    checked through its accuracy envelope."""
     from iceberg_ruby_spark.plans import ORACLES
 
     return dict(ORACLES)
