@@ -657,18 +657,21 @@ def write_avro_manifests(
                     },
                 }
             )
-            extras.append(
-                {
-                    "rel": ops._rel(abs_path),
-                    "schema-id": sid,
-                    "spec-id": spec_id,
-                    "dseq": dseq,
-                    # preserve None-vs-0 exactly: the spec slot is a
-                    # required long, but Scan.count()'s metadata fast-path
-                    # must not mistake "unknown" for a real zero
-                    "record-count": e.get("record-count"),
-                }
-            )
+            ext = {
+                "rel": ops._rel(abs_path),
+                "schema-id": sid,
+                "spec-id": spec_id,
+                "dseq": dseq,
+                # preserve None-vs-0 exactly: the spec slot is a
+                # required long, but Scan.count()'s metadata fast-path
+                # must not mistake "unknown" for a real zero
+                "record-count": e.get("record-count"),
+            }
+            if e.get("first-row-id") is not None:
+                # v3 row-lineage range start for this file (the v2 Avro
+                # schema has no slot; v3's field 142 would carry it)
+                ext["first-row-id"] = e["first-row-id"]
+            extras.append(ext)
         mpath = os.path.join(ops.metadata_dir, f"{uid}-m{m_idx}.avro")
         m_idx += 1
         length = _write_manifest_file(mpath, records, extras, "data", spec_id, pfields)
@@ -837,6 +840,8 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                 }
                 if ext.get("dseq") is not None:
                     entry["data-sequence-number"] = ext["dseq"]
+                if ext.get("first-row-id") is not None:
+                    entry["first-row-id"] = ext["first-row-id"]
                 entries.append(entry)
             else:
                 e: dict[str, Any] = {

@@ -533,3 +533,46 @@ def engine_avro_manifests(spark, sf_dir):
     t.delete_where("o_totalprice > 200000", mode="merge-on-read-positional")
     assert t.scan(snapshot_id=s1.snapshot_id).count() > t.scan().count()
     return t.to_df()
+
+
+@query(
+    "engine_row_lineage",
+    oracle="""
+    SELECT CAST(1 AS BIGINT) AS seq,
+           COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_ids
+    FROM orders WHERE o_orderkey < 1000
+    UNION ALL
+    SELECT CAST(2 AS BIGINT) AS seq,
+           COUNT(*) AS n, COUNT(DISTINCT o_orderkey) AS n_ids
+    FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS seq,
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey < 2000) AS n,
+           CAST(0 AS BIGINT) AS n_ids
+    """,
+)
+def engine_row_lineage(spark, sf_dir):
+    """v3 row lineage invariants, cross-engine checkable without knowing
+    which row landed in which file: per-commit ``_row_id`` counts must be
+    dense and disjoint (distinct ids == rows, per sequence number), and
+    the global range must be exactly [0, total).  The oracle recomputes
+    the expected counts straight from the source table; the seq=-1 row
+    carries (max_id + 1 - min_id*0) == total via n, proving density."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_lineage", schema=_orders_schema())
+    src = load(spark, sf_dir, "orders")
+    t.append(src.filter(F.col("o_orderkey") < 1000))
+    t.append(src.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 2000)))
+    lin = t.scan().with_row_lineage().to_df()
+    per_seq = lin.groupBy(
+        F.col("_last_updated_sequence_number").alias("seq")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("_row_id").alias("n_ids"),
+    )
+    bounds = lin.agg(
+        F.lit(-1).cast("bigint").alias("seq"),
+        (F.max("_row_id") + 1 - F.min("_row_id")).alias("n"),
+        F.min("_row_id").alias("n_ids"),  # == 0 when the range starts at 0
+    )
+    return per_seq.unionByName(bounds)

@@ -1958,6 +1958,26 @@ class Table:
                             )
                     all_entries = entries + concurrent_added + concurrent_pathless
             snapshot_id = _new_snapshot_id()
+            # v3 row lineage: every data entry that doesn't already carry a
+            # first-row-id (new files, or files from pre-lineage commits)
+            # gets one from the table's next-row-id counter, in manifest
+            # order, plus its data sequence number — scan(row_lineage=True)
+            # derives _row_id = first-row-id + row position from these.
+            # Copies, not in-place: a retry recomputes against fresh
+            # metadata, so the caller's entry dicts must stay untouched.
+            all_entries = [dict(e) for e in all_entries]
+            commit_seq = meta.last_sequence_number + 1
+            next_rid = meta.next_row_id
+            for e in all_entries:
+                if "path" in e:
+                    if e.get("data-sequence-number") is None:
+                        e["data-sequence-number"] = commit_seq
+                    if (
+                        e.get("first-row-id") is None
+                        and e.get("record-count") is not None
+                    ):
+                        e["first-row-id"] = next_rid
+                        next_rid += e["record-count"]
             manifest = self.ops.write_manifest(
                 snapshot_id, all_entries, ctx=self._avro_manifest_ctx(meta, head)
             )
@@ -2016,7 +2036,10 @@ class Table:
                 raw["snapshot-log"] = meta.snapshot_log + [
                     {"snapshot-id": snapshot_id, "timestamp-ms": now}
                 ]
-            raw["next-row-id"] = meta.next_row_id + added_rows
+            # next_rid already advanced past every row-id assigned above
+            # (including one-time backfill of pre-lineage files, which
+            # added_rows alone wouldn't cover)
+            raw["next-row-id"] = max(next_rid, meta.next_row_id + added_rows)
             try:
                 self.metadata = self.ops.commit(meta.version, raw)
                 return
@@ -2203,6 +2226,10 @@ class Table:
                         "deleted-records": r["__n"],
                         "content": "position-deletes",
                         "base-location": base,
+                        # spec at write time — keeps the Avro per-spec
+                        # manifest grouping correct even if the table's
+                        # default spec evolves after this delete
+                        "spec-id": self.default_spec_id,
                     }
                 )
             self._commit_snapshot(
@@ -2353,6 +2380,7 @@ class Table:
                     "content": "equality-deletes",
                     "equality-ids": list(field_ids),
                     "equality-cols": list(cols),
+                    "spec-id": self.default_spec_id,
                 }
             )
         return out
@@ -3341,6 +3369,19 @@ class TableScan:
         self._selects: list[str] = []
         self._filters: list[Any] = []
         self._limit: Optional[int] = None
+        self._row_lineage = False
+
+    def with_row_lineage(self) -> "TableScan":
+        """Append Iceberg v3 row-lineage columns to the scan output:
+        ``_row_id`` (the file's committed ``first-row-id`` + the row's
+        position in the file) and ``_last_updated_sequence_number`` (the
+        file's data sequence number).  Row ids are stable across appends
+        and merge-on-read deletes — a surviving row keeps its id because
+        neither its file nor its position changes.  Copy-on-write rewrites
+        and compaction assign fresh ids (documented deviation: spec v3
+        preserves them by materializing ids into rewritten files)."""
+        self._row_lineage = True
+        return self
 
     def snapshot(self) -> Optional[Snapshot]:
         if self._snapshot_id is not None:
@@ -3467,21 +3508,70 @@ class TableScan:
             schema = self.table.current_schema()
         spark = self.table.spark
         if snap is None:
-            df = spark.createDataFrame([], schema.to_spark())
+            st = schema.to_spark()
+            if self._row_lineage:
+                import pyspark.sql.types as _T
+
+                st = _T.StructType(
+                    list(st.fields)
+                    + [
+                        _T.StructField("_row_id", _T.LongType()),
+                        _T.StructField("_last_updated_sequence_number", _T.LongType()),
+                    ]
+                )
+            df = spark.createDataFrame([], st)
         else:
             entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
             # _read_entries restores declared column order AND casts each
             # column back to the table schema (identity-partition values
             # round-trip through directory names; without the cast Spark's
             # partition type inference can flip e.g. string→int)
-            df = self.table._read_entries(entries, schema=schema)
+            if self._row_lineage:
+                df = self._attach_row_lineage(entries, schema)
+            else:
+                df = self.table._read_entries(entries, schema=schema)
         for c in self._filters:
             df = df.filter(c)
         if self._selects:
-            df = df.select(*self._selects)
+            sel = list(self._selects)
+            if self._row_lineage:
+                sel += ["_row_id", "_last_updated_sequence_number"]
+            df = df.select(*sel)
         if self._limit is not None:
             df = df.limit(self._limit)
         return df
+
+    def _attach_row_lineage(self, entries, schema) -> DataFrame:
+        """(file, position) → lineage columns, via ONE broadcast join of a
+        per-file metadata map (first-row-id, data seq) against the scan's
+        ``_metadata`` columns — no shuffle of the data; the map is
+        files-count-sized."""
+        import pyspark.sql.types as _T
+
+        df = self.table._read_entries(
+            entries, schema=schema, file_col="__lin_f", pos_col="__lin_p"
+        )
+        rows = [
+            (e["path"], e.get("first-row-id"), e.get("data-sequence-number"))
+            for e in entries
+            if "path" in e
+        ]
+        mapping = self.table.spark.createDataFrame(
+            rows,
+            _T.StructType(
+                [
+                    _T.StructField("__lin_f", _T.StringType()),
+                    _T.StructField("__lin_frid", _T.LongType()),
+                    _T.StructField("__lin_seq", _T.LongType()),
+                ]
+            ),
+        )
+        return (
+            df.join(F.broadcast(mapping), "__lin_f", "left")
+            .withColumn("_row_id", F.col("__lin_frid") + F.col("__lin_p"))
+            .withColumn("_last_updated_sequence_number", F.col("__lin_seq"))
+            .drop("__lin_f", "__lin_p", "__lin_frid", "__lin_seq")
+        )
 
     def to_arrow(self):
         return self.to_df().toArrow()
