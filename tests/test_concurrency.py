@@ -133,3 +133,38 @@ def test_concurrent_mor_delete_conflicts_with_overlapping_rewrite(catalog):
     assert h_del.delete_where("a = 2", mode="merge-on-read") == 1
     with pytest.raises(InvalidDataError, match="conflict"):
         h_upd.update_where({"b": "'y'"}, "a = 1")  # rewrites the same file
+
+
+def test_concurrent_appends_assign_disjoint_row_id_ranges(catalog):
+    """Row-lineage under the optimistic race: losers retry against fresh
+    metadata, so first-row-id ranges must come out dense and disjoint no
+    matter how the commits interleave."""
+    t = catalog.create_table("cc_lineage", schema={"w": "int", "i": "int"})
+    n_writers, rows_each = 5, 4
+    errors = []
+
+    def writer(w):
+        try:
+            handle = catalog.load_table("cc_lineage")
+            handle.append([{"w": w, "i": i} for i in range(rows_each)])
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    threads = [threading.Thread(target=writer, args=(w,)) for w in range(n_writers)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = t.refresh()
+    rows = t.scan().with_row_lineage().to_df().collect()
+    ids = sorted(r["_row_id"] for r in rows)
+    assert ids == list(range(n_writers * rows_each))  # dense + disjoint
+    assert t.next_row_id == n_writers * rows_each
+    # each commit's rows share one contiguous range
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r["w"], []).append(r["_row_id"])
+    for w, got in by_w.items():
+        got = sorted(got)
+        assert got == list(range(got[0], got[0] + rows_each)), (w, got)
