@@ -671,6 +671,8 @@ def write_avro_manifests(
                 # v3 row-lineage range start for this file (the v2 Avro
                 # schema has no slot; v3's field 142 would carry it)
                 ext["first-row-id"] = e["first-row-id"]
+            if e.get("materialized-lineage"):
+                ext["materialized-lineage"] = True
             extras.append(ext)
         mpath = os.path.join(ops.metadata_dir, f"{uid}-m{m_idx}.avro")
         m_idx += 1
@@ -842,6 +844,8 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                     entry["data-sequence-number"] = ext["dseq"]
                 if ext.get("first-row-id") is not None:
                     entry["first-row-id"] = ext["first-row-id"]
+                if ext.get("materialized-lineage"):
+                    entry["materialized-lineage"] = True
                 entries.append(entry)
             else:
                 e: dict[str, Any] = {

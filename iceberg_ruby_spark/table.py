@@ -1421,12 +1421,77 @@ class Table:
             return str(v)
         return v
 
-    def _write_data_dir(self, df: DataFrame) -> list[dict[str, Any]]:
+    # v3 reserved field ids for the row-lineage columns a rewriting
+    # operation materializes into data files (Iceberg spec "Row Lineage")
+    _ROW_ID_FIELD_ID = 2147483540
+    _LAST_UPDATED_SEQ_FIELD_ID = 2147483539
+
+    def _read_entries_with_lineage(
+        self, entries: list[dict[str, Any]], schema: Optional[ice_t.Schema] = None
+    ) -> DataFrame:
+        """:meth:`_read_entries` plus the v3 lineage columns ``_row_id`` /
+        ``_last_updated_sequence_number``: ONE broadcast join of a per-file
+        metadata map (first-row-id, data seq) against the scan's
+        ``_metadata`` columns — no shuffle of the data; the map is
+        files-count-sized.  Files with MATERIALIZED lineage (rewrites carry
+        the reserved columns physically) take their non-null cells straight
+        from the file; null cells and inheritance-based files derive
+        ``first-row-id + position`` / the file's data sequence number."""
+        import pyspark.sql.types as _T
+
+        df = self._read_entries(
+            entries,
+            schema=schema,
+            file_col="__lin_f",
+            pos_col="__lin_p",
+            extra_cols={
+                "_row_id": "__mat_rid",
+                "_last_updated_sequence_number": "__mat_seq",
+            },
+        )
+        rows = [
+            (e["path"], e.get("first-row-id"), e.get("data-sequence-number"))
+            for e in entries
+            if "path" in e
+        ]
+        mapping = self.spark.createDataFrame(
+            rows,
+            _T.StructType(
+                [
+                    _T.StructField("__lin_f", _T.StringType()),
+                    _T.StructField("__lin_frid", _T.LongType()),
+                    _T.StructField("__lin_seq", _T.LongType()),
+                ]
+            ),
+        )
+        return (
+            df.join(F.broadcast(mapping), "__lin_f", "left")
+            .withColumn(
+                "_row_id",
+                F.coalesce(F.col("__mat_rid"), F.col("__lin_frid") + F.col("__lin_p")),
+            )
+            .withColumn(
+                "_last_updated_sequence_number",
+                F.coalesce(F.col("__mat_seq"), F.col("__lin_seq")),
+            )
+            .drop("__lin_f", "__lin_p", "__lin_frid", "__lin_seq",
+                  "__mat_rid", "__mat_seq")
+        )
+
+    def _write_data_dir(
+        self, df: DataFrame, lineage_cols: bool = False
+    ) -> list[dict[str, Any]]:
         """Distributed write of one commit's data files.  Returns the new
         file-level manifest entries (path, record-count, per-column
         lower/upper bounds).  Stats come from one
         aggregation over ``_metadata.file_path`` on the freshly written
-        files — the write itself stays a single distributed job."""
+        files — the write itself stays a single distributed job.
+
+        ``lineage_cols=True`` (compaction) carries ``_row_id`` /
+        ``_last_updated_sequence_number`` through as physical columns with
+        their v3 reserved field ids — how the spec preserves row lineage
+        across rewrites (inheritance can't: a rewritten file's positions no
+        longer map to the original id range)."""
         commit_id = uuid_mod.uuid4().hex
         out = os.path.join(self.ops.data_dir, commit_id)
         spec = self.default_partition_spec()
@@ -1440,14 +1505,27 @@ class Table:
         # the parquet footer (fieldId.write.enabled is on by default in
         # Spark 3.4+; pinned here so bare sessions behave identically)
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-        df = df.select(
-            *[
-                F.col(f.name)
-                .cast(f.to_spark().dataType)
-                .alias(f.name, metadata=f.to_spark().metadata)
-                for f in schema.fields
-            ]
-        )
+        out_cols = [
+            F.col(f.name)
+            .cast(f.to_spark().dataType)
+            .alias(f.name, metadata=f.to_spark().metadata)
+            for f in schema.fields
+        ]
+        if lineage_cols:
+            out_cols.append(
+                F.col("_row_id")
+                .cast("long")
+                .alias("_row_id", metadata={"parquet.field.id": self._ROW_ID_FIELD_ID})
+            )
+            out_cols.append(
+                F.col("_last_updated_sequence_number")
+                .cast("long")
+                .alias(
+                    "_last_updated_sequence_number",
+                    metadata={"parquet.field.id": self._LAST_UPDATED_SEQ_FIELD_ID},
+                )
+            )
+        df = df.select(*out_cols)
 
         def _source_type(name: str) -> Optional[ice_t.Type]:
             f = schema.field_by_name(name)
@@ -1588,6 +1666,7 @@ class Table:
         schema: Optional[ice_t.Schema] = None,
         file_col: Optional[str] = None,
         pos_col: Optional[str] = None,
+        extra_cols: Optional[dict[str, str]] = None,
     ) -> DataFrame:
         """Read manifest entries back as a DataFrame, restoring declared
         column order and types (identity-partition values round-trip through
@@ -1647,13 +1726,22 @@ class Table:
                 extra.append(_T.StructField(file_col, _T.StringType()))
             if pos_col:
                 extra.append(_T.StructField(pos_col, _T.LongType()))
+            for alias in (extra_cols or {}).values():
+                extra.append(_T.StructField(alias, _T.LongType()))
             if extra:
                 empty_schema = _T.StructType(extra + list(empty_schema.fields))
             return self.spark.createDataFrame([], empty_schema)
         parts = []
         for sid, cdir in sorted(groups):
             written = self.schema_by_id(sid) or schema
-            df = self.spark.read.option("basePath", cdir).parquet(*groups[(sid, cdir)])
+            reader = self.spark.read.option("basePath", cdir)
+            if extra_cols:
+                # reserved columns (materialized lineage) exist only in
+                # SOME files of a group (compaction outputs share the flat
+                # unpartitioned group with later appends); mergeSchema
+                # surfaces them everywhere, null where absent
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*groups[(sid, cdir)])
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
@@ -1662,6 +1750,11 @@ class Table:
                     cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
                 else:
                     cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
+            for phys, alias in (extra_cols or {}).items():
+                if phys in df.columns:
+                    cols.append(F.col(phys).cast("long").alias(alias))
+                else:
+                    cols.append(F.lit(None).cast("long").alias(alias))
             if need_pos:
                 # physical row position within the parquet file — the spec's
                 # positional-delete coordinate; Spark's _metadata.row_index
@@ -1976,6 +2069,11 @@ class Table:
                         e.get("first-row-id") is None
                         and e.get("record-count") is not None
                     ):
+                        # assigned even for materialized-lineage rewrites:
+                        # rows whose materialized _row_id cell is null
+                        # (e.g. freshly inserted by a rewriting merge)
+                        # inherit first-row-id + position, spec v3 style;
+                        # preserved rows' non-null cells win via coalesce
                         e["first-row-id"] = next_rid
                         next_rid += e["record-count"]
             manifest = self.ops.write_manifest(
@@ -2269,9 +2367,15 @@ class Table:
         hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
         keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
         # outstanding MoR predicates apply while reading hit files so their
-        # deleted rows are not resurrected into the rewrite
-        survivors = self._read_entries(hit_entries + preds).filter(~cond | cond.isNull())
-        new_entries = self._write_data_dir(survivors)
+        # deleted rows are not resurrected into the rewrite; survivors keep
+        # their row lineage (id AND sequence — a delete doesn't update them)
+        # via materialized reserved columns in the rewritten files
+        survivors = self._read_entries_with_lineage(hit_entries + preds).filter(
+            ~cond | cond.isNull()
+        )
+        new_entries = self._write_data_dir(survivors, lineage_cols=True)
+        for e in new_entries:
+            e["materialized-lineage"] = True
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "delete",
@@ -2399,13 +2503,31 @@ class Table:
             return 0
         hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
         keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
-        out = self._read_entries(hit_entries + preds)
+        # v3 row lineage through the rewrite: every row keeps its _row_id;
+        # rows the UPDATE touches get a NULL materialized sequence cell,
+        # which the read path inherits as the rewrite commit's sequence —
+        # exactly the spec's "updated rows bump _last_updated_sequence_
+        # number, untouched rows keep theirs" semantics
+        out = self._read_entries_with_lineage(hit_entries + preds)
         for col, val in assignments.items():
             expr = F.expr(val) if isinstance(val, str) else F.lit(val)
             out = out.withColumn(col, F.when(cond, expr).otherwise(F.col(col)))
-        new_entries = self._write_data_dir(
-            out.select(*[f.name for f in self.current_schema().fields])
+        out = out.withColumn(
+            "_last_updated_sequence_number",
+            F.when(cond, F.lit(None).cast("long")).otherwise(
+                F.col("_last_updated_sequence_number")
+            ),
         )
+        new_entries = self._write_data_dir(
+            out.select(
+                *[f.name for f in self.current_schema().fields],
+                "_row_id",
+                "_last_updated_sequence_number",
+            ),
+            lineage_cols=True,
+        )
+        for e in new_entries:
+            e["materialized-lineage"] = True
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "overwrite",
@@ -2480,7 +2602,12 @@ class Table:
             hits = {}
         hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
         keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
-        target = self._read_entries(hit_entries + preds)
+        # lineage through the rewrite: existing rows keep _row_id; rows the
+        # UPDATE clause touches write a NULL sequence cell (inherit the
+        # commit's sequence); inserted rows write NULL id AND seq cells,
+        # inheriting first-row-id + position / commit sequence — all three
+        # cases are exactly spec v3's materialization rules
+        target = self._read_entries_with_lineage(hit_entries + preds)
         marked = source.withColumn("__s_matched", F.lit(True))
         matched = target.alias("t").join(marked.alias("s"), keys, "left")
         is_matched = F.col("__s_matched").isNotNull()
@@ -2491,6 +2618,11 @@ class Table:
                 out_cols.append(F.when(is_matched, upd).otherwise(F.col(f"t.{c}")).alias(c))
             else:
                 out_cols.append(F.col(f"t.{c}").alias(c))
+        out_cols.append(F.col("t._row_id").alias("_row_id"))
+        seq_col = F.col("t._last_updated_sequence_number")
+        if when_matched_update:
+            seq_col = F.when(is_matched, F.lit(None).cast("long")).otherwise(seq_col)
+        out_cols.append(seq_col.alias("_last_updated_sequence_number"))
         merged = matched.select(*out_cols)
         if when_not_matched_insert:
             full_target = self._read_entries(entries)
@@ -2498,8 +2630,15 @@ class Table:
             for c in cols:
                 if c not in inserts.columns:
                     inserts = inserts.withColumn(c, F.lit(None))
-            merged = merged.unionByName(inserts.select(*cols))
-        new_entries = self._write_data_dir(merged)
+            inserts = inserts.withColumn(
+                "_row_id", F.lit(None).cast("long")
+            ).withColumn("_last_updated_sequence_number", F.lit(None).cast("long"))
+            merged = merged.unionByName(
+                inserts.select(*cols, "_row_id", "_last_updated_sequence_number")
+            )
+        new_entries = self._write_data_dir(merged, lineage_cols=True)
+        for e in new_entries:
+            e["materialized-lineage"] = True
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "overwrite",
@@ -2670,7 +2809,11 @@ class Table:
         entries = self._current_entries()
         n_rows = self._entries_rowcount(entries)
         n_files = max(1, n_rows // max(1, target_file_rows))
-        df = self._read_entries(entries)
+        # read WITH row lineage so the rewrite preserves every surviving
+        # row's _row_id / _last_updated_sequence_number: the rewritten
+        # files carry them as physical reserved-id columns (v3 semantics —
+        # inheritance can't survive a rewrite, materialization does)
+        df = TableScan(self).with_row_lineage().to_df()
         sort = self.default_sort_order()
         if zorder:
             z = self._zorder_column(df, list(zorder))
@@ -2695,7 +2838,11 @@ class Table:
             df = df.repartitionByRange(n_files, *sort_cols)
         else:
             df = df.repartition(n_files)
-        new_entries = self._write_data_dir(df)
+        new_entries = self._write_data_dir(df, lineage_cols=True)
+        for e in new_entries:
+            # lineage lives IN the file — the commit must not assign these
+            # entries a fresh first-row-id range
+            e["materialized-lineage"] = True
         self._commit_snapshot(
             "replace",
             new_entries,
@@ -3374,12 +3521,15 @@ class TableScan:
     def with_row_lineage(self) -> "TableScan":
         """Append Iceberg v3 row-lineage columns to the scan output:
         ``_row_id`` (the file's committed ``first-row-id`` + the row's
-        position in the file) and ``_last_updated_sequence_number`` (the
-        file's data sequence number).  Row ids are stable across appends
-        and merge-on-read deletes — a surviving row keeps its id because
-        neither its file nor its position changes.  Copy-on-write rewrites
-        and compaction assign fresh ids (documented deviation: spec v3
-        preserves them by materializing ids into rewritten files)."""
+        position in the file, or the file's materialized reserved column
+        when a rewrite embedded it) and ``_last_updated_sequence_number``
+        (the file's data sequence number, ditto).  Row ids are stable
+        across appends, merge-on-read deletes, compaction, AND
+        copy-on-write DELETE/UPDATE — every rewriting operation
+        materializes the lineage columns into its output files exactly as
+        spec v3 prescribes.  UPDATE writes a NULL sequence cell for the
+        rows it changes, so they inherit the rewrite commit's sequence
+        number (v3's "updated rows bump, untouched rows keep")."""
         self._row_lineage = True
         return self
 
@@ -3542,36 +3692,7 @@ class TableScan:
         return df
 
     def _attach_row_lineage(self, entries, schema) -> DataFrame:
-        """(file, position) → lineage columns, via ONE broadcast join of a
-        per-file metadata map (first-row-id, data seq) against the scan's
-        ``_metadata`` columns — no shuffle of the data; the map is
-        files-count-sized."""
-        import pyspark.sql.types as _T
-
-        df = self.table._read_entries(
-            entries, schema=schema, file_col="__lin_f", pos_col="__lin_p"
-        )
-        rows = [
-            (e["path"], e.get("first-row-id"), e.get("data-sequence-number"))
-            for e in entries
-            if "path" in e
-        ]
-        mapping = self.table.spark.createDataFrame(
-            rows,
-            _T.StructType(
-                [
-                    _T.StructField("__lin_f", _T.StringType()),
-                    _T.StructField("__lin_frid", _T.LongType()),
-                    _T.StructField("__lin_seq", _T.LongType()),
-                ]
-            ),
-        )
-        return (
-            df.join(F.broadcast(mapping), "__lin_f", "left")
-            .withColumn("_row_id", F.col("__lin_frid") + F.col("__lin_p"))
-            .withColumn("_last_updated_sequence_number", F.col("__lin_seq"))
-            .drop("__lin_f", "__lin_p", "__lin_frid", "__lin_seq")
-        )
+        return self.table._read_entries_with_lineage(entries, schema=schema)
 
     def to_arrow(self):
         return self.to_df().toArrow()
