@@ -116,7 +116,14 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
         for idx in range(t.num_rows):
             if idx in dead.get(path, set()):
                 continue
-            vals = {fid: col[idx] for fid, col in col_by_fid.items()}
+            # project the TABLE SCHEMA's fields only — files may carry
+            # reserved columns (materialized row lineage in rewritten
+            # files) that a plain read must not surface
+            vals = {
+                fid: col[idx]
+                for fid, col in col_by_fid.items()
+                if fid in name_by_fid
+            }
             vals.update(part_by_fid)
             if any(
                 del_seq > dseq and all(vals.get(fid) == v for fid, v in key.items())

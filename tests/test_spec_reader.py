@@ -71,3 +71,16 @@ def test_spec_reader_eq_delete_sequence_scoping(catalog, spark):
     rows = _spec_rows(t, spark)
     assert sorted(r["k"] for r in rows) == [1, 2]
     assert _as_sets(rows) == _as_sets(t.to_a())
+
+
+def test_spec_reader_after_compaction(catalog, spark):
+    # compaction outputs carry materialized reserved lineage columns; a
+    # spec reader projecting the table schema must not surface them
+    t = catalog.create_table("spec_rd5", schema={"k": "int"}, properties=AVRO_PROPS)
+    for i in range(3):
+        t.append([{"k": i}])
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    t.compact()
+    rows = _spec_rows(t, spark)
+    assert _as_sets(rows) == _as_sets(t.to_a())
+    assert all(set(r) == {"k"} for r in rows)
