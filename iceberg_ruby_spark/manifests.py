@@ -42,6 +42,14 @@ engine is honest about what stays internal):
   deletes are per-file ``content=2`` entries whose key columns carry
   their Iceberg field ids in the footers and whose ``record_count`` is
   the delete file's own row count (tests/test_avro_manifests.py).
+  V3 DELETION VECTORS (``mode="merge-on-read-dv"``) store spec-exact
+  Puffin ``deletion-vector-v1`` blobs (portable 64-bit roaring,
+  byte-identical to the JVM codec; ``deletion_vectors.py``) with
+  ``file_format=PUFFIN`` entries — but the v3 manifest fields 143-145
+  (``referenced_data_file``/``content_offset``/``content_size_in_bytes``)
+  have no slot in this v2 Avro schema, so those coordinates ride
+  ``x-irs``; a reader can instead discover them from the Puffin footer
+  itself, which is how tests/support/spec_reader.py applies them.
 - Engine-internal state a spec reader has no slot for — per-entry
   schema-id and spec-id, location-relative paths (tables survive
   ``rename_table``), applies-to file scoping, equality column names —
@@ -689,6 +697,7 @@ def write_avro_manifests(
         for e in group:
             abs_path = ops._abs(e["delete-file"])
             is_eq = e.get("content") == "equality-deletes"
+            is_dv = e.get("content") == "deletion-vector"
             dseq, status, seq_field = _entry_seq(e)
             dseqs.append(dseq)
             records.append(
@@ -700,7 +709,7 @@ def write_avro_manifests(
                     "data_file": {
                         "content": 2 if is_eq else 1,
                         "file_path": abs_path,
-                        "file_format": "PARQUET",
+                        "file_format": "PUFFIN" if is_dv else "PARQUET",
                         "partition": {p["avro_name"]: None for p in pfields},
                         "record_count": e.get("deleted-records") or 0,
                         "file_size_in_bytes": _dir_size(ops, abs_path),
@@ -722,6 +731,12 @@ def write_avro_manifests(
                 # the read path rebases its spec-absolute file_path
                 # content after rename_table
                 ext["base-location"] = e["base-location"]
+            # v3 deletion-vector coordinates (the v2 Avro schema has no
+            # slots for the v3 fields 143-145; a v3 writer would emit
+            # referenced_data_file / content_offset / content_size_in_bytes)
+            for k in ("referenced-data-file", "content-offset", "content-size"):
+                if e.get(k) is not None:
+                    ext[k] = e[k]
             if e.get("applies-to") is not None:
                 ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
             if is_eq:
@@ -862,6 +877,9 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                     e["deleted-records"] = ext["deleted-records"]
                 if ext.get("base-location") is not None:
                     e["base-location"] = ext["base-location"]
+                for k in ("referenced-data-file", "content-offset", "content-size"):
+                    if ext.get(k) is not None:
+                        e[k] = ext[k]
                 if df["content"] == 2:
                     e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
                     if ext.get("equality-cols") is not None:

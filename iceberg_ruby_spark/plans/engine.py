@@ -576,3 +576,25 @@ def engine_row_lineage(spark, sf_dir):
         F.min("_row_id").alias("n_ids"),  # == 0 when the range starts at 0
     )
     return per_seq.unionByName(bounds)
+
+
+@query(
+    "engine_delete_mor_dv",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_delete_mor_dv(spark, sf_dir):
+    """Merge-on-read DELETE via Iceberg v3 DELETION VECTORS: one portable
+    64-bit roaring bitmap of deleted positions per referenced data file,
+    all vectors in one Puffin file per commit, offset-addressed manifest
+    entries (deletion_vectors.py — serialization byte-identical to the
+    JVM's Roaring64NavigableMap portable codec).  Zero data files
+    rewritten; the read path decodes the vectors into the same
+    (file_path, pos) anti-join the positional mode uses."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_mordv", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    t.delete_where("o_totalprice > 200000", mode="merge-on-read-dv")
+    return t.to_df()

@@ -1685,9 +1685,14 @@ class Table:
         # spec's positional (file_path, pos) pairs
         preds = [e for e in entries if "delete-predicate" in e]
         dfiles = [e for e in entries if "delete-file" in e]
-        pos_files = [e for e in dfiles if e.get("content") != "equality-deletes"]
+        dv_files = [e for e in dfiles if e.get("content") == "deletion-vector"]
+        pos_files = [
+            e
+            for e in dfiles
+            if e.get("content") not in ("equality-deletes", "deletion-vector")
+        ]
         eq_files = [e for e in dfiles if e.get("content") == "equality-deletes"]
-        need_pos = bool(pos_files) or pos_col is not None
+        need_pos = bool(pos_files) or bool(dv_files) or pos_col is not None
 
         def commit_dir(path: str) -> str:
             """The per-commit directory the file was written into — each is
@@ -1777,7 +1782,7 @@ class Table:
             if applies is not None:
                 dead = dead & F.col(path_name).isin(list(applies))
             out = out.filter(~dead)
-        if pos_files:
+        if pos_files or dv_files:
             # anti-join the (file_path, pos) pairs; delete sets are small
             # next to the data they delete from, so broadcast them — the
             # distributed analog of Iceberg readers merging sorted position
@@ -1799,7 +1804,7 @@ class Table:
             base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
             bases = {base} | {
                 e["base-location"].rstrip("/")
-                for e in pos_files
+                for e in pos_files + dv_files
                 if e.get("base-location")
             }
             strip_pat = (
@@ -1815,14 +1820,50 @@ class Table:
             abs_fp = F.when(is_abs, fp).otherwise(
                 F.concat(F.lit(base + "/"), fp)
             )
-            del_df = (
-                self.spark.read.parquet(
-                    *[self.ops._abs(e["delete-file"]) for e in pos_files]
+            del_parts = []
+            if pos_files:
+                del_parts.append(
+                    self.spark.read.parquet(
+                        *[self.ops._abs(e["delete-file"]) for e in pos_files]
+                    ).select("file_path", F.col("pos").cast("long").alias("pos"))
                 )
-                .select(
-                    abs_fp.alias(path_name),
-                    F.col("pos").alias(pos_name),
+            if dv_files:
+                # v3 deletion vectors: decode each referenced file's roaring
+                # bitmap (blob sliced by the entry's offset/length — one
+                # ranged read per vector, never the whole Puffin file's
+                # payload set) into the same (file_path, pos) relation.
+                # The decoded set is deleted-rows-sized — the same driver
+                # posture as broadcasting the positional delete sets.
+                from iceberg_ruby_spark.deletion_vectors import decode_dv_blob
+                import pyspark.sql.types as _T
+
+                dv_rows = []
+                blob_cache: dict[str, bytes] = {}
+                for e in dv_files:
+                    p = self.ops._abs(e["delete-file"])
+                    if p not in blob_cache:
+                        blob_cache[p] = self.ops.io.read_bytes(p)
+                    payload = blob_cache[p][
+                        e["content-offset"] : e["content-offset"] + e["content-size"]
+                    ]
+                    ref = self.ops._abs(e["referenced-data-file"])
+                    dv_rows.extend((ref, pos) for pos in decode_dv_blob(payload))
+                del_parts.append(
+                    self.spark.createDataFrame(
+                        dv_rows,
+                        _T.StructType(
+                            [
+                                _T.StructField("file_path", _T.StringType()),
+                                _T.StructField("pos", _T.LongType()),
+                            ]
+                        ),
+                    )
                 )
+            del_src = del_parts[0]
+            for p_ in del_parts[1:]:
+                del_src = del_src.unionByName(p_)
+            del_df = del_src.select(
+                abs_fp.alias(path_name), F.col("pos").alias(pos_name)
             )
             out = out.join(F.broadcast(del_df), [path_name, pos_name], "left_anti")
         for i, e in enumerate(eq_files):
@@ -2334,6 +2375,83 @@ class Table:
                 "delete",
                 entries + del_entries,
                 {"deleted-records": deleted, "mode": "merge-on-read-positional"},
+                base_snapshot_id=self.current_snapshot_id,
+            )
+            return deleted
+        if mode == "merge-on-read-dv":
+            # Iceberg v3 deletion vectors: ONE roaring bitmap of deleted
+            # positions per referenced data file, all vectors in one Puffin
+            # file per commit, one manifest entry per vector recording the
+            # blob's offset/length (deletion_vectors.py implements the
+            # portable roaring + blob formats, JVM-cross-verified).
+            from iceberg_ruby_spark.deletion_vectors import encode_dv_blob
+            from iceberg_ruby_spark.puffin import read_puffin, write_puffin
+
+            live = self._read_entries(entries, file_col="__f", pos_col="__p")
+            loc_prefixes = sorted(
+                {
+                    os.path.abspath(self.ops.location) + os.sep,
+                    self.ops.location.rstrip("/") + "/",
+                },
+                key=len,
+                reverse=True,
+            )
+            pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
+            rel_fp = F.regexp_replace(F.col("__f"), pat, "")
+            per_file = (
+                live.filter(cond)
+                .select(rel_fp.alias("__rf"), F.col("__p").alias("__pos"))
+                .groupBy("__rf")
+                .agg(F.collect_list("__pos").alias("__ps"))
+                .collect()
+            )
+            deleted = sum(len(r["__ps"]) for r in per_file)
+            if not deleted:
+                return 0
+            loc = self.ops.location
+            base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+            blobs = []
+            for r in sorted(per_file, key=lambda r: r["__rf"]):
+                blobs.append(
+                    {
+                        "type": "deletion-vector-v1",
+                        # snapshot-id/sequence-number are unknown until the
+                        # optimistic commit lands; the spec reserves -1 for
+                        # exactly this (the manifest entry is authoritative)
+                        "snapshot-id": -1,
+                        "sequence-number": -1,
+                        "payload": encode_dv_blob(r["__ps"]),
+                        "properties": {
+                            "referenced-data-file": f"{base}/{r['__rf']}",
+                            "cardinality": str(len(r["__ps"])),
+                        },
+                    }
+                )
+            puffin_bytes = write_puffin(blobs)
+            dv_path = os.path.join(
+                self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}.puffin"
+            )
+            self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
+            metas, _props = read_puffin(puffin_bytes)
+            del_entries = []
+            for r, m in zip(sorted(per_file, key=lambda r: r["__rf"]), metas):
+                del_entries.append(
+                    {
+                        "delete-file": dv_path,
+                        "content": "deletion-vector",
+                        "referenced-data-file": r["__rf"],
+                        "content-offset": m["offset"],
+                        "content-size": m["length"],
+                        "deleted-records": len(r["__ps"]),
+                        "applies-to": [r["__rf"]],
+                        "base-location": base,
+                        "spec-id": self.default_spec_id,
+                    }
+                )
+            self._commit_snapshot(
+                "delete",
+                entries + del_entries,
+                {"deleted-records": deleted, "mode": "merge-on-read-dv"},
                 base_snapshot_id=self.current_snapshot_id,
             )
             return deleted
@@ -2910,7 +3028,9 @@ class Table:
             rel = os.path.relpath(f, self.ops.data_dir)
             top = os.path.join(self.ops.data_dir, rel.split(os.sep)[0])
             commit_dirs.setdefault(top, False)
-            if f.endswith(".parquet") and os.path.abspath(f) in live:
+            if (
+                f.endswith(".parquet") or f.endswith(".puffin")
+            ) and os.path.abspath(f) in live:
                 commit_dirs[top] = True
         removed = []
         for d in sorted(commit_dirs):
@@ -3600,10 +3720,14 @@ class TableScan:
         preds = [e for e in entries if "delete-predicate" in e]
         dfile_entries = [e for e in entries if "delete-file" in e]
         io = self.table.ops.io
-        # expand each positional delete entry (a parquet dir) to its files
-        # once, not per task
+        # expand each delete entry to its files once, not per task
+        # (positional/equality parquet; v3 deletion vectors are .puffin)
         dfile_paths = {
-            id(e): [f for f in io.list(e["delete-file"]) if f.endswith(".parquet")]
+            id(e): [
+                f
+                for f in io.list(e["delete-file"])
+                if f.endswith(".parquet") or f.endswith(".puffin")
+            ]
             for e in dfile_entries
         }
 

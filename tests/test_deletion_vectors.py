@@ -1,0 +1,145 @@
+"""Iceberg v3 deletion vectors (deletion_vectors.py + table DV mode).
+
+The portable 64-bit roaring codec is held to BYTE EQUALITY with the
+JVM's own ``Roaring64NavigableMap`` portable serialization (an
+independent implementation of the RoaringFormatSpec, from Spark's
+classpath) in both directions, then the DV delete mode is exercised
+end-to-end: one bitmap per referenced data file in one Puffin file per
+commit, offset-addressed manifest entries, reads, rename survival,
+maintenance, compaction, and Avro manifest round trips."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from iceberg_ruby_spark.deletion_vectors import (
+    DV_MAGIC,
+    decode_dv_blob,
+    encode_dv_blob,
+    deserialize_portable_r64,
+    serialize_portable_r64,
+)
+from iceberg_ruby_spark.errors import InvalidDataError
+
+AVRO_PROPS = {"write.metadata.manifest-format": "avro"}
+
+
+def _jvm_serialize(spark, vals):
+    jvm = spark._jvm
+    nm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    for v in vals:
+        nm.addLong(v)
+    baos = jvm.java.io.ByteArrayOutputStream()
+    nm.serializePortable(jvm.java.io.DataOutputStream(baos))
+    return bytes(baos.toByteArray())
+
+
+def _jvm_deserialize(spark, b):
+    jvm = spark._jvm
+    nm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+    nm.deserializePortable(
+        jvm.java.io.DataInputStream(jvm.java.io.ByteArrayInputStream(bytearray(b)))
+    )
+    it = nm.iterator()
+    out = []
+    while it.hasNext():
+        out.append(it.next())
+    return out
+
+
+CASES = [
+    [],
+    [0],
+    [5, 100, 70000, (5 << 32) + 9],
+    list(range(5000)),               # bitmap container
+    list(range(0, 200000, 2)),       # dense even positions, multi-container
+]
+random.seed(11)
+CASES.append([random.getrandbits(44) for _ in range(2500)])
+
+
+@pytest.mark.parametrize("vals", CASES, ids=[f"case{i}" for i in range(len(CASES))])
+def test_portable_roaring_matches_jvm_bytes_both_ways(spark, vals):
+    want = sorted(set(vals))
+    ours = serialize_portable_r64(vals)
+    theirs = _jvm_serialize(spark, vals)
+    assert ours == theirs                       # byte-identical serialization
+    assert _jvm_deserialize(spark, ours) == want  # JVM reads ours
+    assert deserialize_portable_r64(theirs) == want  # we read JVM's
+
+
+def test_dv_blob_layout_and_crc():
+    blob = encode_dv_blob([3, 9, 1 << 40])
+    length = int.from_bytes(blob[:4], "big")
+    assert blob[4:8] == DV_MAGIC
+    assert len(blob) == 4 + length + 4
+    assert decode_dv_blob(blob) == [3, 9, 1 << 40]
+    corrupted = blob[:10] + bytes([blob[10] ^ 0xFF]) + blob[11:]
+    with pytest.raises(InvalidDataError):
+        decode_dv_blob(corrupted)
+
+
+def test_dv_delete_end_to_end(catalog):
+    t = catalog.create_table("dv1", schema={"k": "int"})
+    t.append([{"k": i} for i in range(10)])
+    assert t.delete_where("k >= 7", mode="merge-on-read-dv") == 3
+    assert sorted(r["k"] for r in t.to_a()) == list(range(7))
+    # delta semantics: already-dead rows are not re-deleted
+    assert t.delete_where("k >= 6", mode="merge-on-read-dv") == 1
+    assert sorted(r["k"] for r in t.to_a()) == list(range(6))
+    # one puffin delete file per commit, listed by plan_files
+    plan = t.scan().plan_files()
+    dv_lists = [d for task in plan for d in task["delete_files"] if d.endswith(".puffin")]
+    assert dv_lists
+
+
+def test_dv_entries_are_offset_addressed_per_referenced_file(catalog):
+    t = catalog.create_table("dv2", schema={"k": "int"})
+    # several appends → several data files → several vectors in one commit
+    for lo in (0, 10, 20):
+        t.append([{"k": lo + i} for i in range(10)])
+    assert t.delete_where("k % 10 = 3", mode="merge-on-read-dv") == 3
+    entries = [e for e in t._current_entries() if e.get("content") == "deletion-vector"]
+    assert len(entries) == 3  # one per referenced data file
+    assert len({e["delete-file"] for e in entries}) == 1  # one puffin file
+    for e in entries:
+        assert e["deleted-records"] == 1
+        assert e["content-offset"] >= 4 and e["content-size"] > 0
+        assert e["referenced-data-file"]
+    assert sorted(r["k"] for r in t.to_a()) == [
+        k for k in range(30) if k % 10 != 3
+    ]
+
+
+def test_dv_survives_rename_and_avro_manifests(catalog):
+    t = catalog.create_table("dv3", schema={"k": "int"}, properties=AVRO_PROPS)
+    t.append([{"k": i} for i in range(8)])
+    assert t.delete_where("k = 2", mode="merge-on-read-dv") == 1
+    t.append([{"k": 8}])  # extra commit: DV entry carried through Avro
+    catalog.rename_table("dv3", "dv3r")
+    t2 = catalog.load_table("dv3r")
+    assert sorted(r["k"] for r in t2.to_a()) == [0, 1, 3, 4, 5, 6, 7, 8]
+    e = [x for x in t2._current_entries() if x.get("content") == "deletion-vector"]
+    assert e and e[0]["content-offset"] is not None
+
+
+def test_dv_maintenance_and_compaction(catalog):
+    t = catalog.create_table("dv4", schema={"k": "int"})
+    t.append([{"k": i} for i in range(9)])
+    assert t.delete_where("k in (1, 5)", mode="merge-on-read-dv") == 2
+    before = {r["k"]: r["_row_id"]
+              for r in t.scan().with_row_lineage().to_df().collect()}
+    # orphan removal must keep the live puffin file
+    assert t.remove_orphan_files() == []
+    assert sorted(r["k"] for r in t.to_a()) == [0, 2, 3, 4, 6, 7, 8]
+    t.compact()  # materializes the DV, drops the entry, preserves lineage
+    assert not [e for e in t._current_entries() if "delete-file" in e]
+    after = {r["k"]: r["_row_id"]
+             for r in t.scan().with_row_lineage().to_df().collect()}
+    assert after == before
+    t.expire_snapshots(keep_last=1)
+    removed = t.remove_orphan_files()
+    assert any(p.endswith(".puffin") for p in removed)  # now truly orphaned
+    assert sorted(r["k"] for r in t.to_a()) == [0, 2, 3, 4, 6, 7, 8]

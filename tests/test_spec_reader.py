@@ -84,3 +84,15 @@ def test_spec_reader_after_compaction(catalog, spark):
     rows = _spec_rows(t, spark)
     assert _as_sets(rows) == _as_sets(t.to_a())
     assert all(set(r) == {"k"} for r in rows)
+
+
+def test_spec_reader_applies_deletion_vectors(catalog, spark):
+    # v3 DV path: the reader discovers vectors from the Puffin FOOTER
+    # (offsets, referenced-data-file property) and decodes the bitmaps
+    # with the JVM's own roaring codec — engine encoder never consulted
+    t = catalog.create_table("spec_rd6", schema={"k": "int"}, properties=AVRO_PROPS)
+    t.append([{"k": i} for i in range(12)])
+    assert t.delete_where("k % 4 = 1", mode="merge-on-read-dv") == 3
+    rows = _spec_rows(t, spark)
+    assert _as_sets(rows) == _as_sets(t.to_a())
+    assert sorted(r["k"] for r in rows) == [k for k in range(12) if k % 4 != 1]
