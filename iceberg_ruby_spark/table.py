@@ -2384,7 +2384,10 @@ class Table:
             # file per commit, one manifest entry per vector recording the
             # blob's offset/length (deletion_vectors.py implements the
             # portable roaring + blob formats, JVM-cross-verified).
-            from iceberg_ruby_spark.deletion_vectors import encode_dv_blob
+            from iceberg_ruby_spark.deletion_vectors import (
+                decode_dv_blob,
+                encode_dv_blob,
+            )
             from iceberg_ruby_spark.puffin import read_puffin, write_puffin
 
             live = self._read_entries(entries, file_col="__f", pos_col="__p")
@@ -2410,8 +2413,27 @@ class Table:
                 return 0
             loc = self.ops.location
             base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+            # v3 invariant: AT MOST ONE deletion vector per data file — a
+            # new vector REPLACES the previous one and must contain all of
+            # its positions.  Merge the prior vector's bitmap in and drop
+            # the replaced entry from the commit.
+            positions = {r["__rf"]: set(r["__ps"]) for r in per_file}
+            replaced = []
+            for e in entries:
+                if (
+                    e.get("content") == "deletion-vector"
+                    and e.get("referenced-data-file") in positions
+                ):
+                    data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
+                    payload = data[
+                        e["content-offset"] : e["content-offset"] + e["content-size"]
+                    ]
+                    positions[e["referenced-data-file"]].update(decode_dv_blob(payload))
+                    replaced.append(e)
+            entries = [e for e in entries if e not in replaced]
             blobs = []
-            for r in sorted(per_file, key=lambda r: r["__rf"]):
+            for rf in sorted(positions):
+                ps = sorted(positions[rf])
                 blobs.append(
                     {
                         "type": "deletion-vector-v1",
@@ -2420,10 +2442,10 @@ class Table:
                         # exactly this (the manifest entry is authoritative)
                         "snapshot-id": -1,
                         "sequence-number": -1,
-                        "payload": encode_dv_blob(r["__ps"]),
+                        "payload": encode_dv_blob(ps),
                         "properties": {
-                            "referenced-data-file": f"{base}/{r['__rf']}",
-                            "cardinality": str(len(r["__ps"])),
+                            "referenced-data-file": f"{base}/{rf}",
+                            "cardinality": str(len(ps)),
                         },
                     }
                 )
@@ -2434,16 +2456,18 @@ class Table:
             self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
             metas, _props = read_puffin(puffin_bytes)
             del_entries = []
-            for r, m in zip(sorted(per_file, key=lambda r: r["__rf"]), metas):
+            for rf, m in zip(sorted(positions), metas):
                 del_entries.append(
                     {
                         "delete-file": dv_path,
                         "content": "deletion-vector",
-                        "referenced-data-file": r["__rf"],
+                        "referenced-data-file": rf,
                         "content-offset": m["offset"],
                         "content-size": m["length"],
-                        "deleted-records": len(r["__ps"]),
-                        "applies-to": [r["__rf"]],
+                        # the vector's cardinality (spec record_count) —
+                        # includes positions merged from the replaced DV
+                        "deleted-records": len(positions[rf]),
+                        "applies-to": [rf],
                         "base-location": base,
                         "spec-id": self.default_spec_id,
                     }

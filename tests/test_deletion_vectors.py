@@ -143,3 +143,21 @@ def test_dv_maintenance_and_compaction(catalog):
     removed = t.remove_orphan_files()
     assert any(p.endswith(".puffin") for p in removed)  # now truly orphaned
     assert sorted(r["k"] for r in t.to_a()) == [0, 2, 3, 4, 6, 7, 8]
+
+
+def test_second_dv_replaces_and_subsumes_the_first(catalog):
+    """v3 invariant: at most ONE deletion vector per data file — a new
+    vector replaces the previous one and carries all its positions."""
+    t = catalog.create_table("dv5", schema={"k": "int"})
+    t.append([{"k": i} for i in range(10)])  # may span several files
+    assert t.delete_where("k in (1, 2)", mode="merge-on-read-dv") == 2
+    assert t.delete_where("k in (2, 5)", mode="merge-on-read-dv") == 1  # delta
+    dv_entries = [
+        e for e in t._current_entries() if e.get("content") == "deletion-vector"
+    ]
+    # one vector per referenced data file, never two
+    refs = [e["referenced-data-file"] for e in dv_entries]
+    assert len(refs) == len(set(refs))
+    # merged cardinalities cover all 3 dead rows
+    assert sum(e["deleted-records"] for e in dv_entries) == 3
+    assert sorted(r["k"] for r in t.to_a()) == [0, 3, 4, 6, 7, 8, 9]
