@@ -1427,7 +1427,10 @@ class Table:
     _LAST_UPDATED_SEQ_FIELD_ID = 2147483539
 
     def _read_entries_with_lineage(
-        self, entries: list[dict[str, Any]], schema: Optional[ice_t.Schema] = None
+        self,
+        entries: list[dict[str, Any]],
+        schema: Optional[ice_t.Schema] = None,
+        keep_coords: bool = False,
     ) -> DataFrame:
         """:meth:`_read_entries` plus the v3 lineage columns ``_row_id`` /
         ``_last_updated_sequence_number``: ONE broadcast join of a per-file
@@ -1464,7 +1467,7 @@ class Table:
                 ]
             ),
         )
-        return (
+        out = (
             df.join(F.broadcast(mapping), "__lin_f", "left")
             .withColumn(
                 "_row_id",
@@ -1474,8 +1477,13 @@ class Table:
                 "_last_updated_sequence_number",
                 F.coalesce(F.col("__mat_seq"), F.col("__lin_seq")),
             )
-            .drop("__lin_f", "__lin_p", "__lin_frid", "__lin_seq",
-                  "__mat_rid", "__mat_seq")
+        )
+        if keep_coords:
+            out = out.withColumn("_file", F.col("__lin_f")).withColumn(
+                "_pos", F.col("__lin_p")
+            )
+        return out.drop(
+            "__lin_f", "__lin_p", "__lin_frid", "__lin_seq", "__mat_rid", "__mat_seq"
         )
 
     def _write_data_dir(
@@ -3661,6 +3669,15 @@ class TableScan:
         self._filters: list[Any] = []
         self._limit: Optional[int] = None
         self._row_lineage = False
+        self._metadata_columns = False
+
+    def with_metadata_columns(self) -> "TableScan":
+        """Append Iceberg's reserved metadata columns ``_file`` (data file
+        path) and ``_pos`` (row position in the file) to the scan output —
+        the coordinates positional deletes / deletion vectors address, so
+        external tooling can build delete artifacts from a query."""
+        self._metadata_columns = True
+        return self
 
     def with_row_lineage(self) -> "TableScan":
         """Append Iceberg v3 row-lineage columns to the scan output:
@@ -3807,16 +3824,21 @@ class TableScan:
         spark = self.table.spark
         if snap is None:
             st = schema.to_spark()
-            if self._row_lineage:
-                import pyspark.sql.types as _T
+            import pyspark.sql.types as _T
 
-                st = _T.StructType(
-                    list(st.fields)
-                    + [
-                        _T.StructField("_row_id", _T.LongType()),
-                        _T.StructField("_last_updated_sequence_number", _T.LongType()),
-                    ]
-                )
+            extra_fields = []
+            if self._metadata_columns:
+                extra_fields += [
+                    _T.StructField("_file", _T.StringType()),
+                    _T.StructField("_pos", _T.LongType()),
+                ]
+            if self._row_lineage:
+                extra_fields += [
+                    _T.StructField("_row_id", _T.LongType()),
+                    _T.StructField("_last_updated_sequence_number", _T.LongType()),
+                ]
+            if extra_fields:
+                st = _T.StructType(list(st.fields) + extra_fields)
             df = spark.createDataFrame([], st)
         else:
             entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
@@ -3825,13 +3847,21 @@ class TableScan:
             # round-trip through directory names; without the cast Spark's
             # partition type inference can flip e.g. string→int)
             if self._row_lineage:
-                df = self._attach_row_lineage(entries, schema)
+                df = self.table._read_entries_with_lineage(
+                    entries, schema=schema, keep_coords=self._metadata_columns
+                )
+            elif self._metadata_columns:
+                df = self.table._read_entries(
+                    entries, schema=schema, file_col="_file", pos_col="_pos"
+                )
             else:
                 df = self.table._read_entries(entries, schema=schema)
         for c in self._filters:
             df = df.filter(c)
         if self._selects:
             sel = list(self._selects)
+            if self._metadata_columns:
+                sel += ["_file", "_pos"]
             if self._row_lineage:
                 sel += ["_row_id", "_last_updated_sequence_number"]
             df = df.select(*sel)
@@ -3839,8 +3869,6 @@ class TableScan:
             df = df.limit(self._limit)
         return df
 
-    def _attach_row_lineage(self, entries, schema) -> DataFrame:
-        return self.table._read_entries_with_lineage(entries, schema=schema)
 
     def to_arrow(self):
         return self.to_df().toArrow()

@@ -351,3 +351,34 @@ def test_partition_pruning_never_drops_rows(catalog):
         got = sorted(r["v"] for r in t_day.scan().filter(pred).to_df().collect())
         want = sorted(r["v"] for r in t_day.to_df().filter(pred).collect())
         assert got == want, pred
+
+
+def test_metadata_columns_expose_delete_coordinates(catalog):
+    t = catalog.create_table("metacols", schema={"k": "int"})
+    t.append([{"k": i} for i in range(6)])
+    rows = t.scan().with_metadata_columns().to_df().collect()
+    assert all(r["_file"].endswith(".parquet") and r["_pos"] >= 0 for r in rows)
+    # the coordinates are exactly what positional deletes address: delete
+    # one row by its (_file, _pos) via the DV path and watch it vanish
+    victim = next(r for r in rows if r["k"] == 3)
+    assert t.delete_where("k = 3", mode="merge-on-read-positional") == 1
+    survivors = t.scan().with_metadata_columns().to_df().collect()
+    assert (victim["_file"], victim["_pos"]) not in {
+        (r["_file"], r["_pos"]) for r in survivors
+    }
+    assert sorted(r["k"] for r in survivors) == [0, 1, 2, 4, 5]
+
+
+def test_metadata_columns_combine_with_row_lineage(catalog):
+    t = catalog.create_table("metacols2", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}])
+    rows = (
+        t.scan().with_metadata_columns().with_row_lineage().to_df().collect()
+    )
+    for r in rows:
+        assert r["_file"] and r["_pos"] is not None
+        assert r["_row_id"] is not None and r["_last_updated_sequence_number"] == 1
+    rows2 = (
+        t.scan().with_metadata_columns().filter("k = 2").select("k").to_df().collect()
+    )
+    assert len(rows2) == 1 and rows2[0]["_pos"] is not None
