@@ -161,3 +161,27 @@ def test_second_dv_replaces_and_subsumes_the_first(catalog):
     # merged cardinalities cover all 3 dead rows
     assert sum(e["deleted-records"] for e in dv_entries) == 3
     assert sorted(r["k"] for r in t.to_a()) == [0, 3, 4, 6, 7, 8, 9]
+
+
+def test_portable_roaring_property_vs_jvm(spark):
+    """Property test: arbitrary position sets — mixed sparse/dense across
+    buckets and container types — serialize byte-identically to the JVM
+    codec and decode back exactly."""
+    from hypothesis import given, settings, strategies as st
+
+    position = st.one_of(
+        st.integers(min_value=0, max_value=1 << 16),          # one container
+        st.integers(min_value=0, max_value=1 << 33),          # bucket crossing
+        st.integers(min_value=0, max_value=(1 << 62) - 1),    # high buckets
+    )
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(position, max_size=400))
+    def check(vals):
+        want = sorted(set(vals))
+        ours = serialize_portable_r64(vals)
+        assert ours == _jvm_serialize(spark, vals)
+        assert deserialize_portable_r64(ours) == want
+        assert _jvm_deserialize(spark, ours) == want
+
+    check()
