@@ -2098,6 +2098,26 @@ class Table:
                                 "delete applies to files this operation "
                                 "rewrote; retry the operation on fresh state"
                             )
+                    # v3 invariant guard: carrying a concurrent DELETION
+                    # VECTOR for a data file THIS commit also wrote a
+                    # vector for would leave two DVs on one file — the
+                    # racing vectors must be re-merged from fresh state
+                    # (the DV writer retries the whole operation on this)
+                    my_dv_refs = {
+                        e.get("referenced-data-file")
+                        for e in entries
+                        if e.get("content") == "deletion-vector"
+                    }
+                    if my_dv_refs and any(
+                        e.get("content") == "deletion-vector"
+                        and e.get("referenced-data-file") in my_dv_refs
+                        for e in concurrent_pathless
+                    ):
+                        raise InvalidDataError(
+                            "commit conflict: a concurrent deletion vector "
+                            "references the same data file; retry the "
+                            "operation on fresh state"
+                        )
                     all_entries = entries + concurrent_added + concurrent_pathless
             snapshot_id = _new_snapshot_id()
             # v3 row lineage: every data entry that doesn't already carry a
@@ -2398,95 +2418,118 @@ class Table:
             )
             from iceberg_ruby_spark.puffin import read_puffin, write_puffin
 
-            live = self._read_entries(entries, file_col="__f", pos_col="__p")
-            loc_prefixes = sorted(
-                {
-                    os.path.abspath(self.ops.location) + os.sep,
-                    self.ops.location.rstrip("/") + "/",
-                },
-                key=len,
-                reverse=True,
-            )
-            pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
-            rel_fp = F.regexp_replace(F.col("__f"), pat, "")
-            per_file = (
-                live.filter(cond)
-                .select(rel_fp.alias("__rf"), F.col("__p").alias("__pos"))
-                .groupBy("__rf")
-                .agg(F.collect_list("__pos").alias("__ps"))
-                .collect()
-            )
-            deleted = sum(len(r["__ps"]) for r in per_file)
-            if not deleted:
-                return 0
-            loc = self.ops.location
-            base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
-            # v3 invariant: AT MOST ONE deletion vector per data file — a
-            # new vector REPLACES the previous one and must contain all of
-            # its positions.  Merge the prior vector's bitmap in and drop
-            # the replaced entry from the commit.
-            positions = {r["__rf"]: set(r["__ps"]) for r in per_file}
-            replaced = []
-            for e in entries:
-                if (
-                    e.get("content") == "deletion-vector"
-                    and e.get("referenced-data-file") in positions
-                ):
-                    data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
-                    payload = data[
-                        e["content-offset"] : e["content-offset"] + e["content-size"]
-                    ]
-                    positions[e["referenced-data-file"]].update(decode_dv_blob(payload))
-                    replaced.append(e)
-            entries = [e for e in entries if e not in replaced]
-            blobs = []
-            for rf in sorted(positions):
-                ps = sorted(positions[rf])
-                blobs.append(
+            # Operation-level optimistic retry: two DV writers racing on
+            # the same data file cannot both commit (the rebase would leave
+            # two vectors on one file, violating the v3 one-DV-per-file
+            # invariant) — _commit_snapshot detects the collision and the
+            # loser recomputes everything from fresh state, re-merging the
+            # winner's vector.
+            for attempt in range(self._commit_retries() + 1):
+                cur_entries = entries if attempt == 0 else self._current_entries()
+                live = self._read_entries(cur_entries, file_col="__f", pos_col="__p")
+                loc_prefixes = sorted(
                     {
-                        "type": "deletion-vector-v1",
-                        # snapshot-id/sequence-number are unknown until the
-                        # optimistic commit lands; the spec reserves -1 for
-                        # exactly this (the manifest entry is authoritative)
-                        "snapshot-id": -1,
-                        "sequence-number": -1,
-                        "payload": encode_dv_blob(ps),
-                        "properties": {
-                            "referenced-data-file": f"{base}/{rf}",
-                            "cardinality": str(len(ps)),
-                        },
-                    }
+                        os.path.abspath(self.ops.location) + os.sep,
+                        self.ops.location.rstrip("/") + "/",
+                    },
+                    key=len,
+                    reverse=True,
                 )
-            puffin_bytes = write_puffin(blobs)
-            dv_path = os.path.join(
-                self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}.puffin"
-            )
-            self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
-            metas, _props = read_puffin(puffin_bytes)
-            del_entries = []
-            for rf, m in zip(sorted(positions), metas):
-                del_entries.append(
-                    {
-                        "delete-file": dv_path,
-                        "content": "deletion-vector",
-                        "referenced-data-file": rf,
-                        "content-offset": m["offset"],
-                        "content-size": m["length"],
-                        # the vector's cardinality (spec record_count) —
-                        # includes positions merged from the replaced DV
-                        "deleted-records": len(positions[rf]),
-                        "applies-to": [rf],
-                        "base-location": base,
-                        "spec-id": self.default_spec_id,
-                    }
+                pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
+                rel_fp = F.regexp_replace(F.col("__f"), pat, "")
+                per_file = (
+                    live.filter(cond)
+                    .select(rel_fp.alias("__rf"), F.col("__p").alias("__pos"))
+                    .groupBy("__rf")
+                    .agg(F.collect_list("__pos").alias("__ps"))
+                    .collect()
                 )
-            self._commit_snapshot(
-                "delete",
-                entries + del_entries,
-                {"deleted-records": deleted, "mode": "merge-on-read-dv"},
-                base_snapshot_id=self.current_snapshot_id,
+                deleted = sum(len(r["__ps"]) for r in per_file)
+                if not deleted:
+                    return 0
+                loc = self.ops.location
+                base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+                # v3 invariant: AT MOST ONE deletion vector per data file —
+                # a new vector REPLACES the previous one and must contain
+                # all of its positions.  Merge the prior vector's bitmap in
+                # and drop the replaced entry from the commit.
+                positions = {r["__rf"]: set(r["__ps"]) for r in per_file}
+                replaced = []
+                for e in cur_entries:
+                    if (
+                        e.get("content") == "deletion-vector"
+                        and e.get("referenced-data-file") in positions
+                    ):
+                        data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
+                        payload = data[
+                            e["content-offset"] : e["content-offset"] + e["content-size"]
+                        ]
+                        positions[e["referenced-data-file"]].update(
+                            decode_dv_blob(payload)
+                        )
+                        replaced.append(e)
+                carried = [e for e in cur_entries if e not in replaced]
+                blobs = []
+                for rf in sorted(positions):
+                    ps = sorted(positions[rf])
+                    blobs.append(
+                        {
+                            "type": "deletion-vector-v1",
+                            # snapshot-id/sequence-number are unknown until
+                            # the optimistic commit lands; the spec reserves
+                            # -1 for exactly this (the manifest entry is
+                            # authoritative)
+                            "snapshot-id": -1,
+                            "sequence-number": -1,
+                            "payload": encode_dv_blob(ps),
+                            "properties": {
+                                "referenced-data-file": f"{base}/{rf}",
+                                "cardinality": str(len(ps)),
+                            },
+                        }
+                    )
+                puffin_bytes = write_puffin(blobs)
+                dv_path = os.path.join(
+                    self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}.puffin"
+                )
+                self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
+                metas, _props = read_puffin(puffin_bytes)
+                del_entries = []
+                for rf, m in zip(sorted(positions), metas):
+                    del_entries.append(
+                        {
+                            "delete-file": dv_path,
+                            "content": "deletion-vector",
+                            "referenced-data-file": rf,
+                            "content-offset": m["offset"],
+                            "content-size": m["length"],
+                            # the vector's cardinality (spec record_count) —
+                            # includes positions merged from the replaced DV
+                            "deleted-records": len(positions[rf]),
+                            "applies-to": [rf],
+                            "base-location": base,
+                            "spec-id": self.default_spec_id,
+                        }
+                    )
+                try:
+                    self._commit_snapshot(
+                        "delete",
+                        carried + del_entries,
+                        {"deleted-records": deleted, "mode": "merge-on-read-dv"},
+                        base_snapshot_id=self.current_snapshot_id,
+                    )
+                    return deleted
+                except InvalidDataError as exc:
+                    if "deletion vector" not in str(exc):
+                        raise
+                    # lost the race to another DV writer: drop this
+                    # attempt's puffin and rebuild against fresh state
+                    self.ops.io.delete(dv_path)
+                    self.refresh()
+                    _commit_backoff(attempt)
+            raise InvalidDataError(
+                "deletion-vector commit conflict: too many retries"
             )
-            return deleted
         if mode == "merge-on-read":
             if not isinstance(condition, str):
                 raise InvalidDataError(

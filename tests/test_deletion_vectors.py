@@ -185,3 +185,36 @@ def test_portable_roaring_property_vs_jvm(spark):
         assert _jvm_deserialize(spark, ours) == want
 
     check()
+
+
+def test_concurrent_dv_writers_keep_one_vector_per_file(catalog):
+    """Racing DV commits must not stack two vectors on one data file: the
+    rebase detects the collision and the loser re-merges the winner's
+    bitmap from fresh state (v3 one-DV-per-file invariant under races)."""
+    import threading
+
+    t = catalog.create_table("dv_race", schema={"k": "int"})
+    t.append([{"k": i} for i in range(20)])
+    errors = []
+
+    def deleter(cond):
+        try:
+            catalog.load_table("dv_race").delete_where(cond, mode="merge-on-read-dv")
+        except Exception as exc:  # pragma: no cover
+            errors.append(exc)
+
+    conds = ["k in (1, 5)", "k in (5, 9)", "k = 12"]
+    threads = [threading.Thread(target=deleter, args=(c,)) for c in conds]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = t.refresh()
+    assert sorted(r["k"] for r in t.to_a()) == [
+        k for k in range(20) if k not in (1, 5, 9, 12)
+    ]
+    dv = [e for e in t._current_entries() if e.get("content") == "deletion-vector"]
+    refs = [e["referenced-data-file"] for e in dv]
+    assert len(refs) == len(set(refs)), refs  # never two DVs on one file
+    assert sum(e["deleted-records"] for e in dv) == 4
