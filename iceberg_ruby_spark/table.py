@@ -924,6 +924,7 @@ class Table:
         self,
         from_snapshot_id: Optional[int] = None,
         to_snapshot_id: Optional[int] = None,
+        row_lineage: bool = False,
     ) -> DataFrame:
         """Rows APPENDED between two snapshots (exclusive from, inclusive
         to; ``from=None`` means since table creation, ``to=None`` means up
@@ -953,13 +954,18 @@ class Table:
             cur = to_snap
             while cur is not None and cur.snapshot_id != from_snap.snapshot_id:
                 incremental_safe = cur.operation == "append" or (
-                    # merge-on-read deletes (predicate or positional file)
-                    # add no data files; copy-on-write deletes REWRITE
-                    # survivors into new files a manifest diff would
-                    # misreport as appends
+                    # merge-on-read deletes (predicate, positional file,
+                    # equality file, or deletion vector) add no data
+                    # files; copy-on-write deletes REWRITE survivors into
+                    # new files a manifest diff would misreport as appends
                     cur.operation == "delete"
                     and cur.summary.get("mode")
-                    in ("merge-on-read", "merge-on-read-positional")
+                    in (
+                        "merge-on-read",
+                        "merge-on-read-positional",
+                        "merge-on-read-equality",
+                        "merge-on-read-dv",
+                    )
                 )
                 if not incremental_safe:
                     raise InvalidDataError(
@@ -990,6 +996,10 @@ class Table:
         ]
         preds = [e for e in to_entries if "delete-predicate" in e]
         schema = self.schema_by_id(to_snap.schema_id) or self.current_schema()
+        if row_lineage:
+            # consumers keying downstream state on rows want the stable
+            # _row_id / _last_updated_sequence_number alongside the data
+            return self._read_entries_with_lineage(new_entries + preds, schema=schema)
         return self._read_entries(new_entries + preds, schema=schema)
 
     def changelog_scan(

@@ -163,3 +163,19 @@ def test_cow_merge_lineage_update_and_insert_inheritance(catalog, spark):
     assert after[9][0] is not None
     assert after[9][0] not in {rid for rid, _ in before.values()}
     assert after[9][1] == 2
+
+
+def test_incremental_scan_with_lineage_and_dv_window(catalog):
+    t = catalog.create_table("lin11", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"k": 3}, {"k": 4}])
+    t.delete_where("k = 3", mode="merge-on-read-dv")  # DV commit is window-safe
+    rows = t.incremental_scan(from_snapshot_id=s1, row_lineage=True).collect()
+    # net-effect semantics (consistent with the positional MoR behavior):
+    # a row appended AND deleted inside the window is not surfaced
+    assert sorted(r["k"] for r in rows) == [4]
+    all_ids = {r["k"]: r["_row_id"]
+               for r in t.scan().with_row_lineage().to_df().collect()}
+    assert rows[0]["_row_id"] == all_ids[4]
+    assert rows[0]["_last_updated_sequence_number"] == 2
