@@ -2447,41 +2447,89 @@ class Table:
                 )
                 pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
                 rel_fp = F.regexp_replace(F.col("__f"), pat, "")
-                per_file = (
-                    live.filter(cond)
-                    .select(rel_fp.alias("__rf"), F.col("__p").alias("__pos"))
-                    .groupBy("__rf")
-                    .agg(F.collect_list("__pos").alias("__ps"))
-                    .collect()
-                )
-                deleted = sum(len(r["__ps"]) for r in per_file)
-                if not deleted:
-                    return 0
-                loc = self.ops.location
-                base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+                # EXECUTOR-SIDE bitmap build: positions never reach the
+                # driver.  Matching (file, pos) pairs are grouped by data
+                # file and a grouped pandas UDF builds each file's roaring
+                # bitmap (the same JVM-verified codec) executor-side,
+                # emitting ONE (file, blob-bytes, cardinality) row per data
+                # file.  The driver collects only those file-count-sized
+                # rows and frames the already-encoded blobs into the Puffin
+                # file — a 1%-DELETE on a 100 TB table collects one row per
+                # touched data file, not 10^9 positions.
+                #
                 # v3 invariant: AT MOST ONE deletion vector per data file —
                 # a new vector REPLACES the previous one and must contain
-                # all of its positions.  Merge the prior vector's bitmap in
-                # and drop the replaced entry from the commit.
-                positions = {r["__rf"]: set(r["__ps"]) for r in per_file}
-                replaced = []
+                # all of its positions.  Prior vectors ride into the build
+                # as COMPRESSED payload bytes on a broadcast file-keyed
+                # join; the union with the new positions happens inside the
+                # grouped build, also executor-side.
+                import pyspark.sql.types as _T
+
+                loc = self.ops.location
+                base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+                prior_rows = []
+                prior_by_rf = {}
                 for e in cur_entries:
-                    if (
-                        e.get("content") == "deletion-vector"
-                        and e.get("referenced-data-file") in positions
-                    ):
+                    if e.get("content") == "deletion-vector":
                         data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
                         payload = data[
                             e["content-offset"] : e["content-offset"] + e["content-size"]
                         ]
-                        positions[e["referenced-data-file"]].update(
-                            decode_dv_blob(payload)
-                        )
-                        replaced.append(e)
+                        rf = e["referenced-data-file"]
+                        prior_rows.append((rf, bytearray(payload)))
+                        prior_by_rf[rf] = e
+                prior_schema = _T.StructType(
+                    [
+                        _T.StructField("__rf", _T.StringType()),
+                        _T.StructField("__prior", _T.BinaryType()),
+                    ]
+                )
+                prior_df = self.spark.createDataFrame(prior_rows, prior_schema)
+                hits = live.filter(cond).select(
+                    rel_fp.alias("__rf"), F.col("__p").cast("long").alias("__pos")
+                )
+                built_schema = _T.StructType(
+                    [
+                        _T.StructField("__rf", _T.StringType()),
+                        _T.StructField("__blob", _T.BinaryType()),
+                        _T.StructField("__card", _T.LongType()),
+                        _T.StructField("__hits", _T.LongType()),
+                    ]
+                )
+
+                def _build_vector(pdf):
+                    import pandas as pd
+
+                    ps = set(int(p) for p in pdf["__pos"])
+                    n_hits = len(pdf)
+                    prior = pdf["__prior"].iloc[0]
+                    if prior is not None:
+                        ps.update(decode_dv_blob(bytes(prior)))
+                    return pd.DataFrame(
+                        {
+                            "__rf": [pdf["__rf"].iloc[0]],
+                            "__blob": [encode_dv_blob(ps)],
+                            "__card": [len(ps)],
+                            "__hits": [n_hits],
+                        }
+                    )
+
+                built = sorted(
+                    hits.join(F.broadcast(prior_df), "__rf", "left")
+                    .groupBy("__rf")
+                    .applyInPandas(_build_vector, built_schema)
+                    .collect(),
+                    key=lambda r: r["__rf"],
+                )
+                deleted = sum(r["__hits"] for r in built)
+                if not deleted:
+                    return 0
+                replaced = [
+                    prior_by_rf[r["__rf"]] for r in built if r["__rf"] in prior_by_rf
+                ]
                 carried = [e for e in cur_entries if e not in replaced]
                 blobs = []
-                for rf in sorted(positions):
-                    ps = sorted(positions[rf])
+                for r in built:
                     blobs.append(
                         {
                             "type": "deletion-vector-v1",
@@ -2491,10 +2539,10 @@ class Table:
                             # authoritative)
                             "snapshot-id": -1,
                             "sequence-number": -1,
-                            "payload": encode_dv_blob(ps),
+                            "payload": bytes(r["__blob"]),
                             "properties": {
-                                "referenced-data-file": f"{base}/{rf}",
-                                "cardinality": str(len(ps)),
+                                "referenced-data-file": f"{base}/{r['__rf']}",
+                                "cardinality": str(r["__card"]),
                             },
                         }
                     )
@@ -2505,18 +2553,18 @@ class Table:
                 self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
                 metas, _props = read_puffin(puffin_bytes)
                 del_entries = []
-                for rf, m in zip(sorted(positions), metas):
+                for r, m in zip(built, metas):
                     del_entries.append(
                         {
                             "delete-file": dv_path,
                             "content": "deletion-vector",
-                            "referenced-data-file": rf,
+                            "referenced-data-file": r["__rf"],
                             "content-offset": m["offset"],
                             "content-size": m["length"],
                             # the vector's cardinality (spec record_count) —
                             # includes positions merged from the replaced DV
-                            "deleted-records": len(positions[rf]),
-                            "applies-to": [rf],
+                            "deleted-records": r["__card"],
+                            "applies-to": [r["__rf"]],
                             "base-location": base,
                             "spec-id": self.default_spec_id,
                         }

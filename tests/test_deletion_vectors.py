@@ -218,3 +218,55 @@ def test_concurrent_dv_writers_keep_one_vector_per_file(catalog):
     refs = [e["referenced-data-file"] for e in dv]
     assert len(refs) == len(set(refs)), refs  # never two DVs on one file
     assert sum(e["deleted-records"] for e in dv) == 4
+
+
+def test_dv_build_is_distributed_driver_collect_is_file_count_bounded(
+    catalog, monkeypatch
+):
+    """The DV write path must build bitmaps executor-side: a delete touching
+    thousands of positions across many data files may only collect
+    file-count-sized rows (one already-encoded blob per file) on the driver
+    — never the positions themselves (the 100 TB scale invariant)."""
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    t = catalog.create_table("dv_dist", schema={"k": "int", "v": "int"})
+    for lo in range(8):  # 8 single-file appends -> exactly 8 data files
+        t.append(
+            t.spark.createDataFrame(
+                [(lo * 1000 + i, i % 2) for i in range(400)], "k int, v int"
+            ).repartition(1)
+        )
+    n_files = len([e for e in t._current_entries() if e.get("content") != "deletion-vector"])
+    assert n_files == 8
+
+    orig_collect = DataFrame.collect
+    collected_sizes = []
+
+    def counting_collect(self):
+        rows = orig_collect(self)
+        collected_sizes.append(len(rows))
+        return rows
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    deleted = t.delete_where("v = 0", mode="merge-on-read-dv")  # 1600 positions
+    monkeypatch.setattr(DataFrame, "collect", orig_collect)
+    assert deleted == 1600
+    assert collected_sizes, "expected the build to collect per-file blob rows"
+    # every driver-side collect is bounded by the data-file count, with
+    # slack for part-file splits — far below the 1600 deleted positions
+    assert max(collected_sizes) <= 2 * n_files, collected_sizes
+
+    dv = [e for e in t._current_entries() if e.get("content") == "deletion-vector"]
+    assert len(dv) == 8 and sum(e["deleted-records"] for e in dv) == 1600
+    assert sorted(r["k"] for r in t.to_a()) == sorted(
+        lo * 1000 + i for lo in range(8) for i in range(400) if i % 2 == 1
+    )
+    # executor-built blobs still match the JVM portable codec byte-for-byte
+    data = t.ops.io.read_bytes(t.ops._abs(dv[0]["delete-file"]))
+    for e in dv:
+        payload = data[e["content-offset"] : e["content-offset"] + e["content-size"]]
+        ps = decode_dv_blob(payload)
+        assert len(ps) == e["deleted-records"]
+        assert serialize_portable_r64(ps) == _jvm_serialize(
+            t.spark, ps
+        )
