@@ -598,3 +598,58 @@ def engine_delete_mor_dv(spark, sf_dir):
     t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
     t.delete_where("o_totalprice > 200000", mode="merge-on-read-dv")
     return t.to_df()
+
+
+_WM_COLS = ", ".join(
+    c
+    if c != "o_orderstatus"
+    else (
+        "CASE WHEN o_orderpriority = '1-URGENT' THEN 'U' "
+        "ELSE o_orderstatus END AS o_orderstatus"
+    )
+    for c in _ORDER_COLS
+)
+
+
+@query(
+    "engine_write_mode_properties",
+    oracle=f"""
+    SELECT {_WM_COLS} FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_totalprice > 200000)
+    """,
+)
+def engine_write_mode_properties(spark, sf_dir):
+    """``write.delete.mode`` / ``write.update.mode`` TBLPROPERTIES route
+    SQL DML to merge-on-read — Iceberg's TableProperties engine contract
+    (iceberg-spark honors these; the property value ``merge-on-read``
+    resolves to deletion vectors on a v3 table).  The SQL DELETE must
+    produce deletion-vector entries with zero data files rewritten, and
+    the SQL UPDATE must produce DV entries plus new row-version files
+    while every pre-existing data file survives by reference.  The DuckDB
+    twin replays both statements relationally (filter + CASE)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_wm",
+        schema=_orders_schema(),
+        properties={"format-version": "3"},
+    )
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000))
+    data_before = {
+        e["path"] for e in t._current_entries() if "path" in e and not e.get("content")
+    }
+    cat.sql(
+        "ALTER TABLE orders_wm SET TBLPROPERTIES ("
+        "'write.delete.mode'='merge-on-read', 'write.update.mode'='merge-on-read')"
+    )
+    cat.sql("DELETE FROM orders_wm WHERE o_totalprice > 200000")
+    cat.sql(
+        "UPDATE orders_wm SET o_orderstatus = 'U' WHERE o_orderpriority = '1-URGENT'"
+    )
+    t = cat.load_table("orders_wm")
+    entries = t._current_entries()
+    if not [e for e in entries if e.get("content") == "deletion-vector"]:
+        raise AssertionError("write modes not honored: no deletion vectors")
+    still = {e["path"] for e in entries if "path" in e and not e.get("content")}
+    if not data_before <= still:
+        raise AssertionError("merge-on-read DML rewrote existing data files")
+    return t.to_df()

@@ -2302,10 +2302,284 @@ class Table:
         self._commit_snapshot("overwrite", new_entries, {"added-records": n})
         return self
 
-    def delete_where(self, condition: Union[str, Any], mode: str = "copy-on-write") -> int:
-        """DELETE in one of three modes (Iceberg's write.delete.mode choice):
+    def _resolve_write_mode(self, prop: str) -> str:
+        """Map a ``write.*.mode`` table property to an internal mode name
+        (Iceberg's TableProperties contract: engines pick CoW vs MoR per
+        these properties; default ``copy-on-write`` per spec).
 
-        - ``copy-on-write`` (default): rewrite only the files that contain
+        The spec value ``merge-on-read`` resolves by format version for
+        row-level position deletes: deletion vectors on v3 (the spec makes
+        position delete *files* illegal there), positional delete files on
+        v2.  The extended values ``merge-on-read-positional`` /
+        ``merge-on-read-dv`` / ``merge-on-read-predicate`` select a
+        specific flavor explicitly."""
+        val = self.properties.get(prop, "copy-on-write")
+        if val == "merge-on-read" and prop in ("write.delete.mode", "write.update.mode"):
+            return (
+                "merge-on-read-dv"
+                if self.format_version >= 3
+                else "merge-on-read-positional"
+            )
+        if val == "merge-on-read-predicate":
+            return "merge-on-read"
+        return val
+
+    def _positional_delete_build(
+        self, cur_entries: list[dict[str, Any]], cond
+    ) -> tuple[list[dict[str, Any]], int]:
+        """Write spec-shaped positional delete files for live rows matching
+        ``cond`` and return ``(delete_entries, deleted_count)`` WITHOUT
+        committing — delete_where commits them alone, MoR UPDATE commits
+        them together with the new row versions."""
+        # positions of rows matching NOW, with all prior MoR deletes
+        # applied so already-dead rows are not re-deleted (keeps the
+        # returned count an honest delta)
+        live = self._read_entries(cur_entries, file_col="__f", pos_col="__p")
+        # store file_path RELATIVE to the table location (like every
+        # manifest path) so positional deletes survive rename_table /
+        # register_table moving the table tree; absolutized on read
+        # strip whichever location form the scan surfaced — the posix
+        # abspath (local file scheme) or the raw location (URI schemes
+        # like s3://, where os.path.abspath would mangle the prefix)
+        loc_prefixes = sorted(
+            {
+                os.path.abspath(self.ops.location) + os.sep,
+                self.ops.location.rstrip("/") + "/",
+            },
+            key=len,
+            reverse=True,
+        )
+        pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
+        rel_fp = F.regexp_replace(F.col("__f"), pat, "")
+        # Spec-shaped position delete files (format spec "Position
+        # Delete Files"): column names file_path/pos with the reserved
+        # field ids 2147483546/2147483545 stamped in the parquet
+        # footer, file_path as the full data-file path (the same form
+        # the Avro manifests publish), rows clustered per target file
+        # and sorted by (file_path, pos).  Rename-survival moves to the
+        # entry's ``base-location`` (the table location at write time):
+        # the read path strips any recorded base and re-absolutizes
+        # against the current location, so the file CONTENT stays
+        # spec-readable while the engine still survives rename_table.
+        loc = self.ops.location
+        base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        hits = live.filter(cond).select(
+            F.concat(F.lit(base + "/"), rel_fp).alias(
+                "file_path", metadata={"parquet.field.id": 2147483546}
+            ),
+            F.col("__p")
+            .cast("long")
+            .alias("pos", metadata={"parquet.field.id": 2147483545}),
+        )
+        del_dir = os.path.join(
+            self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+        )
+        # one delete file per target data file (hash distribution on
+        # file_path), positions sorted within — the layout Iceberg
+        # readers merge most cheaply
+        hits.repartition(F.col("file_path")).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.parquet(del_dir)
+        written = self.spark.read.parquet(del_dir)
+        # per-part-file counts + target scope in ONE footer-cheap job
+        per_file = (
+            written.groupBy(F.col("_metadata.file_path").alias("__part"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.collect_set("file_path").alias("__targets"),
+            )
+            .collect()
+        )
+        deleted = sum(r["__n"] for r in per_file)
+        if not deleted:
+            self.ops.io.delete_prefix(del_dir)
+            return [], 0
+        strip = base + "/"
+        del_entries = []
+        for r in sorted(per_file, key=lambda r: r["__part"]):
+            part = r["__part"]
+            if part.startswith("file:"):
+                part = part[len("file:"):]
+            del_entries.append(
+                {
+                    "delete-file": part,
+                    "applies-to": sorted(
+                        t[len(strip):] if t.startswith(strip) else t
+                        for t in r["__targets"]
+                    ),
+                    "deleted-records": r["__n"],
+                    "content": "position-deletes",
+                    "base-location": base,
+                    # spec at write time — keeps the Avro per-spec
+                    # manifest grouping correct even if the table's
+                    # default spec evolves after this delete
+                    "spec-id": self.default_spec_id,
+                }
+            )
+        return del_entries, deleted
+
+    def _dv_delete_build(
+        self, cur_entries: list[dict[str, Any]], cond
+    ) -> tuple[list[dict[str, Any]], list[dict[str, Any]], int, Optional[str]]:
+        """Build Iceberg v3 deletion vectors for live rows matching
+        ``cond``: ONE roaring bitmap of deleted positions per referenced
+        data file, all vectors in one Puffin file, one manifest entry per
+        vector recording the blob's offset/length (deletion_vectors.py
+        implements the portable roaring + blob formats, JVM-cross-
+        verified).  Returns ``(carried_entries, delete_entries,
+        deleted_count, puffin_path)`` WITHOUT committing — delete_where
+        commits the vectors alone, MoR UPDATE commits them together with
+        the new row versions; callers drop ``puffin_path`` and rebuild
+        from fresh state if the optimistic commit loses a race."""
+        from iceberg_ruby_spark.deletion_vectors import (
+            decode_dv_blob,
+            encode_dv_blob,
+        )
+        from iceberg_ruby_spark.puffin import read_puffin, write_puffin
+
+        live = self._read_entries(cur_entries, file_col="__f", pos_col="__p")
+        loc_prefixes = sorted(
+            {
+                os.path.abspath(self.ops.location) + os.sep,
+                self.ops.location.rstrip("/") + "/",
+            },
+            key=len,
+            reverse=True,
+        )
+        pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
+        rel_fp = F.regexp_replace(F.col("__f"), pat, "")
+        # EXECUTOR-SIDE bitmap build: positions never reach the
+        # driver.  Matching (file, pos) pairs are grouped by data
+        # file and a grouped pandas UDF builds each file's roaring
+        # bitmap (the same JVM-verified codec) executor-side,
+        # emitting ONE (file, blob-bytes, cardinality) row per data
+        # file.  The driver collects only those file-count-sized
+        # rows and frames the already-encoded blobs into the Puffin
+        # file — a 1%-DELETE on a 100 TB table collects one row per
+        # touched data file, not 10^9 positions.
+        #
+        # v3 invariant: AT MOST ONE deletion vector per data file —
+        # a new vector REPLACES the previous one and must contain
+        # all of its positions.  Prior vectors ride into the build
+        # as COMPRESSED payload bytes on a broadcast file-keyed
+        # join; the union with the new positions happens inside the
+        # grouped build, also executor-side.
+        import pyspark.sql.types as _T
+
+        loc = self.ops.location
+        base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+        prior_rows = []
+        prior_by_rf = {}
+        for e in cur_entries:
+            if e.get("content") == "deletion-vector":
+                data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
+                payload = data[
+                    e["content-offset"] : e["content-offset"] + e["content-size"]
+                ]
+                rf = e["referenced-data-file"]
+                prior_rows.append((rf, bytearray(payload)))
+                prior_by_rf[rf] = e
+        prior_schema = _T.StructType(
+            [
+                _T.StructField("__rf", _T.StringType()),
+                _T.StructField("__prior", _T.BinaryType()),
+            ]
+        )
+        prior_df = self.spark.createDataFrame(prior_rows, prior_schema)
+        hits = live.filter(cond).select(
+            rel_fp.alias("__rf"), F.col("__p").cast("long").alias("__pos")
+        )
+        built_schema = _T.StructType(
+            [
+                _T.StructField("__rf", _T.StringType()),
+                _T.StructField("__blob", _T.BinaryType()),
+                _T.StructField("__card", _T.LongType()),
+                _T.StructField("__hits", _T.LongType()),
+            ]
+        )
+
+        def _build_vector(pdf):
+            import pandas as pd
+
+            ps = set(int(p) for p in pdf["__pos"])
+            n_hits = len(pdf)
+            prior = pdf["__prior"].iloc[0]
+            if prior is not None:
+                ps.update(decode_dv_blob(bytes(prior)))
+            return pd.DataFrame(
+                {
+                    "__rf": [pdf["__rf"].iloc[0]],
+                    "__blob": [encode_dv_blob(ps)],
+                    "__card": [len(ps)],
+                    "__hits": [n_hits],
+                }
+            )
+
+        built = sorted(
+            hits.join(F.broadcast(prior_df), "__rf", "left")
+            .groupBy("__rf")
+            .applyInPandas(_build_vector, built_schema)
+            .collect(),
+            key=lambda r: r["__rf"],
+        )
+        deleted = sum(r["__hits"] for r in built)
+        if not deleted:
+            return cur_entries, [], 0, None
+        replaced = [
+            prior_by_rf[r["__rf"]] for r in built if r["__rf"] in prior_by_rf
+        ]
+        carried = [e for e in cur_entries if e not in replaced]
+        blobs = []
+        for r in built:
+            blobs.append(
+                {
+                    "type": "deletion-vector-v1",
+                    # snapshot-id/sequence-number are unknown until
+                    # the optimistic commit lands; the spec reserves
+                    # -1 for exactly this (the manifest entry is
+                    # authoritative)
+                    "snapshot-id": -1,
+                    "sequence-number": -1,
+                    "payload": bytes(r["__blob"]),
+                    "properties": {
+                        "referenced-data-file": f"{base}/{r['__rf']}",
+                        "cardinality": str(r["__card"]),
+                    },
+                }
+            )
+        puffin_bytes = write_puffin(blobs)
+        dv_path = os.path.join(
+            self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}.puffin"
+        )
+        self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
+        metas, _props = read_puffin(puffin_bytes)
+        del_entries = []
+        for r, m in zip(built, metas):
+            del_entries.append(
+                {
+                    "delete-file": dv_path,
+                    "content": "deletion-vector",
+                    "referenced-data-file": r["__rf"],
+                    "content-offset": m["offset"],
+                    "content-size": m["length"],
+                    # the vector's cardinality (spec record_count) —
+                    # includes positions merged from the replaced DV
+                    "deleted-records": r["__card"],
+                    "applies-to": [r["__rf"]],
+                    "base-location": base,
+                    "spec-id": self.default_spec_id,
+                }
+            )
+        return carried, del_entries, deleted, dv_path
+
+    def delete_where(self, condition: Union[str, Any], mode: Optional[str] = None) -> int:
+        """DELETE in one of four modes.  ``mode=None`` (default) resolves
+        the table's ``write.delete.mode`` property — ``copy-on-write``
+        unless set; ``merge-on-read`` picks deletion vectors on v3 tables
+        and positional delete files on v2 (the spec's engine contract).
+
+        - ``copy-on-write``: rewrite only the files that contain
           matching rows; carry all other files forward by reference.
           Returns the deleted row count.
         - ``merge-on-read``: commit a predicate delete entry — O(metadata)
@@ -2318,97 +2592,18 @@ class Table:
           delete files per task (reference ``FileScanTask#delete_files``,
           ``ext/iceberg/src/scan.rs:92-99``).  O(matched rows) write,
           no data-file rewrite.
+        - ``merge-on-read-dv``: Iceberg v3 deletion vectors — one roaring
+          bitmap per referenced data file in one Puffin file per commit.
         """
         self._check_writable()
+        if mode is None:
+            mode = self._resolve_write_mode("write.delete.mode")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
         if mode == "merge-on-read-positional":
-            # positions of rows matching NOW, with all prior MoR deletes
-            # applied so already-dead rows are not re-deleted (keeps the
-            # returned count an honest delta)
-            live = self._read_entries(entries, file_col="__f", pos_col="__p")
-            # store file_path RELATIVE to the table location (like every
-            # manifest path) so positional deletes survive rename_table /
-            # register_table moving the table tree; absolutized on read
-            # strip whichever location form the scan surfaced — the posix
-            # abspath (local file scheme) or the raw location (URI schemes
-            # like s3://, where os.path.abspath would mangle the prefix)
-            loc_prefixes = sorted(
-                {
-                    os.path.abspath(self.ops.location) + os.sep,
-                    self.ops.location.rstrip("/") + "/",
-                },
-                key=len,
-                reverse=True,
-            )
-            pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
-            rel_fp = F.regexp_replace(F.col("__f"), pat, "")
-            # Spec-shaped position delete files (format spec "Position
-            # Delete Files"): column names file_path/pos with the reserved
-            # field ids 2147483546/2147483545 stamped in the parquet
-            # footer, file_path as the full data-file path (the same form
-            # the Avro manifests publish), rows clustered per target file
-            # and sorted by (file_path, pos).  Rename-survival moves to the
-            # entry's ``base-location`` (the table location at write time):
-            # the read path strips any recorded base and re-absolutizes
-            # against the current location, so the file CONTENT stays
-            # spec-readable while the engine still survives rename_table.
-            loc = self.ops.location
-            base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
-            self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-            hits = live.filter(cond).select(
-                F.concat(F.lit(base + "/"), rel_fp).alias(
-                    "file_path", metadata={"parquet.field.id": 2147483546}
-                ),
-                F.col("__p")
-                .cast("long")
-                .alias("pos", metadata={"parquet.field.id": 2147483545}),
-            )
-            del_dir = os.path.join(
-                self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
-            )
-            # one delete file per target data file (hash distribution on
-            # file_path), positions sorted within — the layout Iceberg
-            # readers merge most cheaply
-            hits.repartition(F.col("file_path")).sortWithinPartitions(
-                "file_path", "pos"
-            ).write.parquet(del_dir)
-            written = self.spark.read.parquet(del_dir)
-            # per-part-file counts + target scope in ONE footer-cheap job
-            per_file = (
-                written.groupBy(F.col("_metadata.file_path").alias("__part"))
-                .agg(
-                    F.count(F.lit(1)).alias("__n"),
-                    F.collect_set("file_path").alias("__targets"),
-                )
-                .collect()
-            )
-            deleted = sum(r["__n"] for r in per_file)
+            del_entries, deleted = self._positional_delete_build(entries, cond)
             if not deleted:
-                self.ops.io.delete_prefix(del_dir)
                 return 0
-            strip = base + "/"
-            del_entries = []
-            for r in sorted(per_file, key=lambda r: r["__part"]):
-                part = r["__part"]
-                if part.startswith("file:"):
-                    part = part[len("file:"):]
-                del_entries.append(
-                    {
-                        "delete-file": part,
-                        "applies-to": sorted(
-                            t[len(strip):] if t.startswith(strip) else t
-                            for t in r["__targets"]
-                        ),
-                        "deleted-records": r["__n"],
-                        "content": "position-deletes",
-                        "base-location": base,
-                        # spec at write time — keeps the Avro per-spec
-                        # manifest grouping correct even if the table's
-                        # default spec evolves after this delete
-                        "spec-id": self.default_spec_id,
-                    }
-                )
             self._commit_snapshot(
                 "delete",
                 entries + del_entries,
@@ -2417,17 +2612,6 @@ class Table:
             )
             return deleted
         if mode == "merge-on-read-dv":
-            # Iceberg v3 deletion vectors: ONE roaring bitmap of deleted
-            # positions per referenced data file, all vectors in one Puffin
-            # file per commit, one manifest entry per vector recording the
-            # blob's offset/length (deletion_vectors.py implements the
-            # portable roaring + blob formats, JVM-cross-verified).
-            from iceberg_ruby_spark.deletion_vectors import (
-                decode_dv_blob,
-                encode_dv_blob,
-            )
-            from iceberg_ruby_spark.puffin import read_puffin, write_puffin
-
             # Operation-level optimistic retry: two DV writers racing on
             # the same data file cannot both commit (the rebase would leave
             # two vectors on one file, violating the v3 one-DV-per-file
@@ -2436,139 +2620,11 @@ class Table:
             # winner's vector.
             for attempt in range(self._commit_retries() + 1):
                 cur_entries = entries if attempt == 0 else self._current_entries()
-                live = self._read_entries(cur_entries, file_col="__f", pos_col="__p")
-                loc_prefixes = sorted(
-                    {
-                        os.path.abspath(self.ops.location) + os.sep,
-                        self.ops.location.rstrip("/") + "/",
-                    },
-                    key=len,
-                    reverse=True,
+                carried, del_entries, deleted, dv_path = self._dv_delete_build(
+                    cur_entries, cond
                 )
-                pat = "^(" + "|".join(re.escape(p) for p in loc_prefixes) + ")"
-                rel_fp = F.regexp_replace(F.col("__f"), pat, "")
-                # EXECUTOR-SIDE bitmap build: positions never reach the
-                # driver.  Matching (file, pos) pairs are grouped by data
-                # file and a grouped pandas UDF builds each file's roaring
-                # bitmap (the same JVM-verified codec) executor-side,
-                # emitting ONE (file, blob-bytes, cardinality) row per data
-                # file.  The driver collects only those file-count-sized
-                # rows and frames the already-encoded blobs into the Puffin
-                # file — a 1%-DELETE on a 100 TB table collects one row per
-                # touched data file, not 10^9 positions.
-                #
-                # v3 invariant: AT MOST ONE deletion vector per data file —
-                # a new vector REPLACES the previous one and must contain
-                # all of its positions.  Prior vectors ride into the build
-                # as COMPRESSED payload bytes on a broadcast file-keyed
-                # join; the union with the new positions happens inside the
-                # grouped build, also executor-side.
-                import pyspark.sql.types as _T
-
-                loc = self.ops.location
-                base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
-                prior_rows = []
-                prior_by_rf = {}
-                for e in cur_entries:
-                    if e.get("content") == "deletion-vector":
-                        data = self.ops.io.read_bytes(self.ops._abs(e["delete-file"]))
-                        payload = data[
-                            e["content-offset"] : e["content-offset"] + e["content-size"]
-                        ]
-                        rf = e["referenced-data-file"]
-                        prior_rows.append((rf, bytearray(payload)))
-                        prior_by_rf[rf] = e
-                prior_schema = _T.StructType(
-                    [
-                        _T.StructField("__rf", _T.StringType()),
-                        _T.StructField("__prior", _T.BinaryType()),
-                    ]
-                )
-                prior_df = self.spark.createDataFrame(prior_rows, prior_schema)
-                hits = live.filter(cond).select(
-                    rel_fp.alias("__rf"), F.col("__p").cast("long").alias("__pos")
-                )
-                built_schema = _T.StructType(
-                    [
-                        _T.StructField("__rf", _T.StringType()),
-                        _T.StructField("__blob", _T.BinaryType()),
-                        _T.StructField("__card", _T.LongType()),
-                        _T.StructField("__hits", _T.LongType()),
-                    ]
-                )
-
-                def _build_vector(pdf):
-                    import pandas as pd
-
-                    ps = set(int(p) for p in pdf["__pos"])
-                    n_hits = len(pdf)
-                    prior = pdf["__prior"].iloc[0]
-                    if prior is not None:
-                        ps.update(decode_dv_blob(bytes(prior)))
-                    return pd.DataFrame(
-                        {
-                            "__rf": [pdf["__rf"].iloc[0]],
-                            "__blob": [encode_dv_blob(ps)],
-                            "__card": [len(ps)],
-                            "__hits": [n_hits],
-                        }
-                    )
-
-                built = sorted(
-                    hits.join(F.broadcast(prior_df), "__rf", "left")
-                    .groupBy("__rf")
-                    .applyInPandas(_build_vector, built_schema)
-                    .collect(),
-                    key=lambda r: r["__rf"],
-                )
-                deleted = sum(r["__hits"] for r in built)
                 if not deleted:
                     return 0
-                replaced = [
-                    prior_by_rf[r["__rf"]] for r in built if r["__rf"] in prior_by_rf
-                ]
-                carried = [e for e in cur_entries if e not in replaced]
-                blobs = []
-                for r in built:
-                    blobs.append(
-                        {
-                            "type": "deletion-vector-v1",
-                            # snapshot-id/sequence-number are unknown until
-                            # the optimistic commit lands; the spec reserves
-                            # -1 for exactly this (the manifest entry is
-                            # authoritative)
-                            "snapshot-id": -1,
-                            "sequence-number": -1,
-                            "payload": bytes(r["__blob"]),
-                            "properties": {
-                                "referenced-data-file": f"{base}/{r['__rf']}",
-                                "cardinality": str(r["__card"]),
-                            },
-                        }
-                    )
-                puffin_bytes = write_puffin(blobs)
-                dv_path = os.path.join(
-                    self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}.puffin"
-                )
-                self.ops.io.write_bytes_atomic(dv_path, puffin_bytes)
-                metas, _props = read_puffin(puffin_bytes)
-                del_entries = []
-                for r, m in zip(built, metas):
-                    del_entries.append(
-                        {
-                            "delete-file": dv_path,
-                            "content": "deletion-vector",
-                            "referenced-data-file": r["__rf"],
-                            "content-offset": m["offset"],
-                            "content-size": m["length"],
-                            # the vector's cardinality (spec record_count) —
-                            # includes positions merged from the replaced DV
-                            "deleted-records": r["__card"],
-                            "applies-to": [r["__rf"]],
-                            "base-location": base,
-                            "spec-id": self.default_spec_id,
-                        }
-                    )
                 try:
                     self._commit_snapshot(
                         "delete",
@@ -2740,11 +2796,83 @@ class Table:
             )
         return out
 
-    def update_where(self, assignments: dict[str, Any], condition: Union[str, Any]) -> int:
-        """File-pruned copy-on-write UPDATE: rewrite only files containing
+    def _update_where_mor(self, assignments: dict[str, Any], cond, mode: str) -> int:
+        """Merge-on-read UPDATE: ONE commit that (a) marks the current
+        versions of matching rows dead — deletion vectors on v3, positional
+        delete files on v2 — and (b) appends their updated versions as new
+        data files.  Write cost is O(matched rows) regardless of table
+        size (no data-file rewrite), the shape iceberg-spark produces for
+        ``write.update.mode=merge-on-read``.  Row lineage follows the
+        spec's update rules: carried ``_row_id``, NULL'd sequence cell
+        (rows inherit the commit's sequence on read)."""
+        for attempt in range(self._commit_retries() + 1):
+            cur_entries = self._current_entries()
+            if mode == "merge-on-read-dv":
+                carried, del_entries, deleted, dv_path = self._dv_delete_build(
+                    cur_entries, cond
+                )
+                base_entries = carried
+            else:
+                del_entries, deleted = self._positional_delete_build(
+                    cur_entries, cond
+                )
+                base_entries, dv_path = cur_entries, None
+            if not deleted:
+                return 0
+            out = self._read_entries_with_lineage(cur_entries).filter(cond)
+            for col, val in assignments.items():
+                expr = F.expr(val) if isinstance(val, str) else F.lit(val)
+                out = out.withColumn(col, expr)
+            out = out.withColumn(
+                "_last_updated_sequence_number", F.lit(None).cast("long")
+            )
+            new_entries = self._write_data_dir(
+                out.select(
+                    *[f.name for f in self.current_schema().fields],
+                    "_row_id",
+                    "_last_updated_sequence_number",
+                ),
+                lineage_cols=True,
+            )
+            for e in new_entries:
+                e["materialized-lineage"] = True
+            try:
+                self._commit_snapshot(
+                    "overwrite",
+                    base_entries + del_entries + new_entries,
+                    {"updated-records": deleted, "mode": mode},
+                    base_snapshot_id=self.current_snapshot_id,
+                )
+                return deleted
+            except InvalidDataError as exc:
+                if mode != "merge-on-read-dv" or "deletion vector" not in str(exc):
+                    raise
+                # lost a DV race: drop this attempt's puffin, rebuild fresh
+                self.ops.io.delete(dv_path)
+                self.refresh()
+                _commit_backoff(attempt)
+        raise InvalidDataError("deletion-vector commit conflict: too many retries")
+
+    def update_where(
+        self,
+        assignments: dict[str, Any],
+        condition: Union[str, Any],
+        mode: Optional[str] = None,
+    ) -> int:
+        """UPDATE.  ``mode=None`` (default) resolves the table's
+        ``write.update.mode`` property — ``copy-on-write`` unless set;
+        ``merge-on-read`` resolves to deletion vectors on v3 tables and
+        positional delete files on v2 (see ``_update_where_mor``).
+        Copy-on-write is file-pruned: rewrite only files containing
         matching rows."""
         self._check_writable()
+        if mode is None:
+            mode = self._resolve_write_mode("write.update.mode")
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode in ("merge-on-read-positional", "merge-on-read-dv"):
+            return self._update_where_mor(assignments, cond, mode)
+        if mode != "copy-on-write":
+            raise InvalidDataError(f"unknown update mode: {mode}")
         data, preds = self._split_entries(self._current_entries())
         hits = self._matching_files(
             data, cond, cond_str=condition if isinstance(condition, str) else None
@@ -2794,15 +2922,16 @@ class Table:
         on: Union[str, list[str]],
         when_matched_update: Optional[dict[str, str]] = None,
         when_not_matched_insert: bool = True,
-        mode: str = "copy-on-write",
+        mode: Optional[str] = None,
         summary_extra: Optional[dict] = None,
     ) -> "Table":
         """MERGE INTO emulation, one commit either way.  ``summary_extra``
         rides the snapshot summary (streaming sinks stamp their batch id
-        there for exactly-once replay detection).
+        there for exactly-once replay detection).  ``mode=None`` (default)
+        resolves the table's ``write.merge.mode`` property.
 
-        - ``copy-on-write`` (default): rewrite only files containing
-          matched keys; carry the rest by reference.
+        - ``copy-on-write`` (the property default): rewrite only files
+          containing matched keys; carry the rest by reference.
         - ``merge-on-read``: the CDC-upsert shape — matched keys become an
           EQUALITY delete file and the new row versions (+ inserts) are
           appended; NO data file is rewritten.  Write cost is O(changed
@@ -2814,6 +2943,8 @@ class Table:
         duplicate source keys are rejected up front, matching ANSI MERGE
         cardinality semantics (round-1 review items)."""
         self._check_writable()
+        if mode is None:
+            mode = self._resolve_write_mode("write.merge.mode")
         keys = [on] if isinstance(on, str) else list(on)
         cols = [f.name for f in self.current_schema().fields]
         dup = (

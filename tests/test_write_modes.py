@@ -1,0 +1,208 @@
+"""``write.delete.mode`` / ``write.update.mode`` / ``write.merge.mode``
+table properties route SQL DML and default API calls to CoW or MoR —
+Iceberg's TableProperties engine contract (iceberg-spark honors these; a
+user setting ``merge-on-read`` must not silently get full file rewrites).
+
+The spec value ``merge-on-read`` resolves by format version for row-level
+deletes: deletion vectors on v3 (position delete *files* are illegal
+there), positional delete files on v2."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+
+def _entries(t, content):
+    return [e for e in t._current_entries() if e.get("content") == content]
+
+
+def _data_paths(t):
+    return sorted(
+        e["path"] for e in t._current_entries() if "path" in e and not e.get("content")
+    )
+
+
+# -- write.delete.mode -------------------------------------------------------
+
+
+def test_delete_mode_default_is_copy_on_write(catalog):
+    t = catalog.create_table("d0", schema={"k": "int"})
+    t.append([{"k": i} for i in range(10)])
+    before = _data_paths(t)
+    assert t.delete_where("k >= 8") == 2
+    assert _data_paths(t) != before  # file rewritten
+    assert not _entries(t, "position-deletes") and not _entries(t, "deletion-vector")
+
+
+def test_delete_mode_merge_on_read_resolves_positional_on_v2(catalog):
+    t = catalog.create_table(
+        "d2", schema={"k": "int"}, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append([{"k": i} for i in range(10)])
+    before = _data_paths(t)
+    assert t.delete_where("k >= 8") == 2
+    assert _data_paths(t) == before  # no rewrite
+    assert _entries(t, "position-deletes")
+    assert not _entries(t, "deletion-vector")
+    assert sorted(r["k"] for r in t.to_a()) == list(range(8))
+
+
+def test_delete_mode_merge_on_read_resolves_dv_on_v3(catalog):
+    t = catalog.create_table(
+        "d3",
+        schema={"k": "int"},
+        properties={"format-version": "3", "write.delete.mode": "merge-on-read"},
+    )
+    t.append([{"k": i} for i in range(10)])
+    before = _data_paths(t)
+    assert t.delete_where("k >= 8") == 2
+    assert _data_paths(t) == before
+    assert _entries(t, "deletion-vector")
+    assert not _entries(t, "position-deletes")
+    assert sorted(r["k"] for r in t.to_a()) == list(range(8))
+
+
+def test_delete_mode_predicate_flavor(catalog):
+    t = catalog.create_table(
+        "d4",
+        schema={"k": "int"},
+        properties={"write.delete.mode": "merge-on-read-predicate"},
+    )
+    t.append([{"k": i} for i in range(10)])
+    assert t.delete_where("k >= 8") == 2
+    assert any("delete-predicate" in e for e in t._current_entries())
+    assert sorted(r["k"] for r in t.to_a()) == list(range(8))
+
+
+def test_delete_mode_explicit_arg_overrides_property(catalog):
+    t = catalog.create_table(
+        "d5", schema={"k": "int"}, properties={"write.delete.mode": "merge-on-read"}
+    )
+    t.append([{"k": i} for i in range(10)])
+    before = _data_paths(t)
+    assert t.delete_where("k >= 8", mode="copy-on-write") == 2
+    assert _data_paths(t) != before
+    assert not _entries(t, "position-deletes")
+
+
+def test_sql_delete_honors_property_dv(catalog):
+    t = catalog.create_table(
+        "sqldv",
+        schema={"k": "int"},
+        properties={"format-version": "3", "write.delete.mode": "merge-on-read"},
+    )
+    t.append([{"k": i} for i in range(10)])
+    res = catalog.sql("DELETE FROM sqldv WHERE k % 3 = 0")
+    assert res.rows == [[4]]
+    t = catalog.load_table("sqldv")
+    assert _entries(t, "deletion-vector")
+    assert sorted(r["k"] for r in t.to_a()) == [k for k in range(10) if k % 3]
+
+
+def test_sql_delete_honors_property_positional(catalog):
+    t = catalog.create_table(
+        "sqlpos",
+        schema={"k": "int"},
+        properties={"write.delete.mode": "merge-on-read"},
+    )
+    t.append([{"k": i} for i in range(10)])
+    catalog.sql("DELETE FROM sqlpos WHERE k < 2")
+    t = catalog.load_table("sqlpos")
+    assert _entries(t, "position-deletes")
+    assert sorted(r["k"] for r in t.to_a()) == list(range(2, 10))
+
+
+# -- write.update.mode -------------------------------------------------------
+
+
+def test_update_mode_merge_on_read_positional_v2(catalog):
+    t = catalog.create_table(
+        "u2",
+        schema={"k": "int", "v": "string"},
+        properties={"write.update.mode": "merge-on-read"},
+    )
+    t.append([{"k": i, "v": "old"} for i in range(10)])
+    before = _data_paths(t)
+    assert t.update_where({"v": "'new'"}, "k >= 7") == 3
+    # old files untouched; updated versions are NEW files; old versions
+    # dead via positional deletes
+    assert set(before) <= set(_data_paths(t))
+    assert len(_data_paths(t)) > len(before)
+    assert _entries(t, "position-deletes")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert len(rows) == 10
+    assert all(v == ("new" if k >= 7 else "old") for k, v in rows.items())
+
+
+def test_update_mode_merge_on_read_dv_v3_with_lineage(catalog):
+    t = catalog.create_table(
+        "u3",
+        schema={"k": "int", "v": "string"},
+        properties={"format-version": "3", "write.update.mode": "merge-on-read"},
+    )
+    t.append([{"k": i, "v": "old"} for i in range(10)])
+    ids_before = {
+        r["k"]: r["_row_id"] for r in t.scan().with_row_lineage().to_a()
+    }
+    before = _data_paths(t)
+    assert t.update_where({"v": "'new'"}, "k >= 7") == 3
+    assert set(before) <= set(_data_paths(t))
+    assert _entries(t, "deletion-vector")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert len(rows) == 10
+    assert all(v == ("new" if k >= 7 else "old") for k, v in rows.items())
+    # v3 row lineage: updated rows KEEP their _row_id through the MoR update
+    ids_after = {r["k"]: r["_row_id"] for r in t.scan().with_row_lineage().to_a()}
+    assert ids_after == ids_before
+
+
+def test_sql_update_honors_property(catalog):
+    t = catalog.create_table(
+        "squ",
+        schema={"k": "int", "v": "string"},
+        properties={"format-version": "3", "write.update.mode": "merge-on-read"},
+    )
+    t.append([{"k": i, "v": "a"} for i in range(6)])
+    res = catalog.sql("UPDATE squ SET v = 'b' WHERE k >= 4")
+    assert res.rows == [[2]]
+    t = catalog.load_table("squ")
+    assert _entries(t, "deletion-vector")
+    assert sorted(r["k"] for r in t.to_a() if r["v"] == "b") == [4, 5]
+
+
+def test_update_mode_unknown_raises(catalog):
+    t = catalog.create_table("ubad", schema={"k": "int"})
+    t.append([{"k": 1}])
+    with pytest.raises(InvalidDataError):
+        t.update_where({"k": "2"}, "k = 1", mode="nope")
+
+
+# -- write.merge.mode --------------------------------------------------------
+
+
+def test_merge_mode_merge_on_read_property(catalog, spark):
+    t = catalog.create_table(
+        "m1",
+        schema={"k": "int", "v": "string"},
+        properties={"write.merge.mode": "merge-on-read"},
+    )
+    t.append([{"k": i, "v": "old"} for i in range(6)])
+    before = _data_paths(t)
+    src = spark.createDataFrame([(4, "upd"), (9, "ins")], "k int, v string")
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
+    # MoR merge: equality delete + appended files, no rewrite of old files
+    assert set(before) <= set(_data_paths(t))
+    assert _entries(t, "equality-deletes")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows[4] == "upd" and rows[9] == "ins" and rows[0] == "old"
+
+
+def test_merge_mode_default_cow(catalog, spark):
+    t = catalog.create_table("m0", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": "old"} for i in range(6)])
+    src = spark.createDataFrame([(4, "upd")], "k int, v string")
+    t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
+    assert not _entries(t, "equality-deletes")
+    assert {r["k"]: r["v"] for r in t.to_a()}[4] == "upd"
