@@ -45,11 +45,16 @@ engine is honest about what stays internal):
   V3 DELETION VECTORS (``mode="merge-on-read-dv"``) store spec-exact
   Puffin ``deletion-vector-v1`` blobs (portable 64-bit roaring,
   byte-identical to the JVM codec; ``deletion_vectors.py``) with
-  ``file_format=PUFFIN`` entries — but the v3 manifest fields 143-145
-  (``referenced_data_file``/``content_offset``/``content_size_in_bytes``)
-  have no slot in this v2 Avro schema, so those coordinates ride
-  ``x-irs``; a reader can instead discover them from the Puffin footer
-  itself, which is how tests/support/spec_reader.py applies them.
+  ``file_format=PUFFIN`` entries.  On format-version 3 tables the
+  manifests are v3-shaped: the spec fields 142-145 (``first_row_id``,
+  ``referenced_data_file``/``content_offset``/``content_size_in_bytes``)
+  carry row-lineage range starts and DV blob coordinates in real slots
+  — an external v3 reader fetches one vector straight from the manifest
+  (tests/support/spec_reader.py does, cross-checking the Puffin footer),
+  and ``x-irs`` keeps only the location-RELATIVE referenced path (the
+  rename-survival twin of ``rel``).  On v2 tables those fields have no
+  slot, so the coordinates ride ``x-irs`` and readers fall back to
+  Puffin-footer discovery.
 - Engine-internal state a spec reader has no slot for — per-entry
   schema-id and spec-id, location-relative paths (tables survive
   ``rename_table``), applies-to file scoping, equality column names —
@@ -113,6 +118,11 @@ class ManifestContext:
     # entries are grouped into one manifest per spec they were written
     # under, so partition tuples parse against the right field names
     specs_by_id: dict[int, list] = None  # type: ignore[assignment]
+    # table format-version: v3 manifests carry the spec's v3 fields
+    # (first_row_id 142, referenced_data_file 143, content_offset 144,
+    # content_size_in_bytes 145) so row lineage and deletion-vector
+    # coordinates live in real spec slots instead of ``x-irs``
+    format_version: int = 2
 
     def __post_init__(self) -> None:
         if self.specs_by_id is None:
@@ -313,7 +323,9 @@ def _partition_record_schema(pfields: list[dict[str, Any]]) -> dict[str, Any]:
     }
 
 
-def manifest_entry_schema(pfields: list[dict[str, Any]]) -> dict[str, Any]:
+def manifest_entry_schema(
+    pfields: list[dict[str, Any]], format_version: int = 2
+) -> dict[str, Any]:
     data_file = {
         "type": "record",
         "name": "r2",
@@ -346,6 +358,21 @@ def manifest_entry_schema(pfields: list[dict[str, Any]]) -> dict[str, Any]:
             {"name": "sort_order_id", "type": _opt("int"), "default": None, "field-id": 140},
         ],
     }
+    if format_version >= 3:
+        # v3 spec fields: row-lineage range start for data files and
+        # deletion-vector blob coordinates for Puffin delete entries
+        data_file["fields"].extend(
+            [
+                {"name": "first_row_id", "type": _opt("long"), "default": None,
+                 "field-id": 142},
+                {"name": "referenced_data_file", "type": _opt("string"),
+                 "default": None, "field-id": 143},
+                {"name": "content_offset", "type": _opt("long"), "default": None,
+                 "field-id": 144},
+                {"name": "content_size_in_bytes", "type": _opt("long"),
+                 "default": None, "field-id": 145},
+            ]
+        )
     return {
         "type": "record",
         "name": "manifest_entry",
@@ -559,7 +586,7 @@ def write_avro_manifests(
             "schema-id": str(ctx.current_schema_id),
             "partition-spec": json.dumps(spec_json),
             "partition-spec-id": str(spec_id),
-            "format-version": "2",
+            "format-version": str(ctx.format_version),
         }
 
     def _write_manifest_file(
@@ -567,7 +594,7 @@ def write_avro_manifests(
         content: str, spec_id: int, pfields: list[dict[str, Any]],
     ) -> int:
         data = write_ocf(
-            manifest_entry_schema(pfields),
+            manifest_entry_schema(pfields, ctx.format_version),
             records,
             metadata={
                 **_spec_meta(spec_id, pfields),
@@ -645,24 +672,29 @@ def write_avro_manifests(
             abs_path = ops._abs(e["path"])
             dseq, status, seq_field = _entry_seq(e)
             dseqs.append(dseq)
+            data_file = {
+                "content": 0,
+                "file_path": abs_path,
+                "file_format": "PARQUET",
+                "partition": partition_values_from_path(abs_path, pfields),
+                "record_count": e.get("record-count") or 0,
+                "file_size_in_bytes": e.get("file-size-bytes")
+                or ops.io.size(abs_path)
+                or 0,
+                "lower_bounds": _bounds_to_spec(e.get("lower-bounds", {}), eschema),
+                "upper_bounds": _bounds_to_spec(e.get("upper-bounds", {}), eschema),
+            }
+            if ctx.format_version >= 3:
+                # v3: row-lineage range start lives in its spec slot
+                # (field 142), not in extras
+                data_file["first_row_id"] = e.get("first-row-id")
             records.append(
                 {
                     "status": status,
                     "snapshot_id": snapshot_id,
                     "sequence_number": seq_field,
                     "file_sequence_number": None,
-                    "data_file": {
-                        "content": 0,
-                        "file_path": abs_path,
-                        "file_format": "PARQUET",
-                        "partition": partition_values_from_path(abs_path, pfields),
-                        "record_count": e.get("record-count") or 0,
-                        "file_size_in_bytes": e.get("file-size-bytes")
-                        or ops.io.size(abs_path)
-                        or 0,
-                        "lower_bounds": _bounds_to_spec(e.get("lower-bounds", {}), eschema),
-                        "upper_bounds": _bounds_to_spec(e.get("upper-bounds", {}), eschema),
-                    },
+                    "data_file": data_file,
                 }
             )
             ext = {
@@ -675,9 +707,9 @@ def write_avro_manifests(
                 # must not mistake "unknown" for a real zero
                 "record-count": e.get("record-count"),
             }
-            if e.get("first-row-id") is not None:
-                # v3 row-lineage range start for this file (the v2 Avro
-                # schema has no slot; v3's field 142 would carry it)
+            if e.get("first-row-id") is not None and ctx.format_version < 3:
+                # v2: no spec slot for the row-lineage range start — the
+                # engine extension carries it (v3 writes field 142 above)
                 ext["first-row-id"] = e["first-row-id"]
             if e.get("materialized-lineage"):
                 ext["materialized-lineage"] = True
@@ -700,23 +732,33 @@ def write_avro_manifests(
             is_dv = e.get("content") == "deletion-vector"
             dseq, status, seq_field = _entry_seq(e)
             dseqs.append(dseq)
+            delete_file = {
+                "content": 2 if is_eq else 1,
+                "file_path": abs_path,
+                "file_format": "PUFFIN" if is_dv else "PARQUET",
+                "partition": {p["avro_name"]: None for p in pfields},
+                "record_count": e.get("deleted-records") or 0,
+                "file_size_in_bytes": _dir_size(ops, abs_path),
+                "lower_bounds": None,
+                "upper_bounds": None,
+                "equality_ids": e.get("equality-ids") if is_eq else None,
+            }
+            if ctx.format_version >= 3 and is_dv:
+                # v3 spec fields 143-145: the DV blob's coordinates live in
+                # real manifest slots — an external v3 reader fetches one
+                # vector without parsing the Puffin footer
+                delete_file["referenced_data_file"] = ops._abs(
+                    e["referenced-data-file"]
+                )
+                delete_file["content_offset"] = e.get("content-offset")
+                delete_file["content_size_in_bytes"] = e.get("content-size")
             records.append(
                 {
                     "status": status,
                     "snapshot_id": snapshot_id,
                     "sequence_number": seq_field,
                     "file_sequence_number": None,
-                    "data_file": {
-                        "content": 2 if is_eq else 1,
-                        "file_path": abs_path,
-                        "file_format": "PUFFIN" if is_dv else "PARQUET",
-                        "partition": {p["avro_name"]: None for p in pfields},
-                        "record_count": e.get("deleted-records") or 0,
-                        "file_size_in_bytes": _dir_size(ops, abs_path),
-                        "lower_bounds": None,
-                        "upper_bounds": None,
-                        "equality_ids": e.get("equality-ids") if is_eq else None,
-                    },
+                    "data_file": delete_file,
                 }
             )
             ext = {
@@ -731,12 +773,17 @@ def write_avro_manifests(
                 # the read path rebases its spec-absolute file_path
                 # content after rename_table
                 ext["base-location"] = e["base-location"]
-            # v3 deletion-vector coordinates (the v2 Avro schema has no
-            # slots for the v3 fields 143-145; a v3 writer would emit
-            # referenced_data_file / content_offset / content_size_in_bytes)
-            for k in ("referenced-data-file", "content-offset", "content-size"):
-                if e.get(k) is not None:
-                    ext[k] = e[k]
+            if ctx.format_version >= 3 and is_dv:
+                # v3: offsets/sizes come from the spec slots above; only
+                # the location-RELATIVE referenced path rides extras (the
+                # rename-survival twin of ``rel``, same as file_path)
+                ext["referenced-data-file"] = e["referenced-data-file"]
+            else:
+                # v2: no spec slots for the v3 fields 143-145 — the
+                # engine extension carries the DV coordinates
+                for k in ("referenced-data-file", "content-offset", "content-size"):
+                    if e.get(k) is not None:
+                        ext[k] = e[k]
             if e.get("applies-to") is not None:
                 ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
             if is_eq:
@@ -764,7 +811,7 @@ def write_avro_manifests(
     list_meta = {
         "snapshot-id": str(snapshot_id),
         "sequence-number": str(seq),
-        "format-version": "2",
+        "format-version": str(ctx.format_version),
         _EXTRAS_KEY: json.dumps(
             {
                 "manifests": [ops._rel(r["manifest_path"]) for r in list_records],
@@ -857,8 +904,13 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                 }
                 if ext.get("dseq") is not None:
                     entry["data-sequence-number"] = ext["dseq"]
-                if ext.get("first-row-id") is not None:
-                    entry["first-row-id"] = ext["first-row-id"]
+                # v3 manifests carry the lineage range start in spec field
+                # 142; v2 manifests in the engine extension
+                first_row_id = ext.get("first-row-id")
+                if first_row_id is None:
+                    first_row_id = df.get("first_row_id")
+                if first_row_id is not None:
+                    entry["first-row-id"] = first_row_id
                 if ext.get("materialized-lineage"):
                     entry["materialized-lineage"] = True
                 entries.append(entry)
@@ -877,9 +929,22 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
                     e["deleted-records"] = ext["deleted-records"]
                 if ext.get("base-location") is not None:
                     e["base-location"] = ext["base-location"]
-                for k in ("referenced-data-file", "content-offset", "content-size"):
+                # DV coordinates: the engine extension first (v2 form /
+                # rename-safe relative path), then the v3 spec slots
+                # (fields 143-145)
+                for k, spec_k in (
+                    ("referenced-data-file", None),
+                    ("content-offset", "content_offset"),
+                    ("content-size", "content_size_in_bytes"),
+                ):
                     if ext.get(k) is not None:
                         e[k] = ext[k]
+                    elif spec_k is not None and df.get(spec_k) is not None:
+                        e[k] = df[spec_k]
+                if e.get("referenced-data-file") is None and df.get(
+                    "referenced_data_file"
+                ):
+                    e["referenced-data-file"] = ops._rel(df["referenced_data_file"])
                 if df["content"] == 2:
                     e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
                     if ext.get("equality-cols") is not None:

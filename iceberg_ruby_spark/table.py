@@ -1327,6 +1327,7 @@ class Table:
             sequence_number=meta.last_sequence_number + 1,
             parent_snapshot_id=parent,
             specs_by_id=specs_by_id,
+            format_version=meta.format_version,
         )
 
     def _normalize_input(self, data: Any) -> DataFrame:

@@ -77,41 +77,75 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
             if d["content"] == 0:
                 data_files.append((d["file_path"], seq, d.get("partition") or {}, identity_fields))
             elif d["content"] == 1:
-                pos_deletes.append(d["file_path"])
+                # v3 manifests carry the deletion-vector blob coordinates
+                # in spec fields 143-145; v2 positional entries have none
+                coords = None
+                if d.get("referenced_data_file") is not None:
+                    coords = (
+                        d["referenced_data_file"],
+                        d["content_offset"],
+                        d["content_size_in_bytes"],
+                    )
+                pos_deletes.append((d["file_path"], coords))
             else:
                 eq_deletes.append((d["file_path"], seq, d.get("equality_ids") or []))
 
+    def _decode_dv_blob(spark, data, offset, length):
+        """Decode one deletion-vector-v1 blob (len BE + magic D1D33964 +
+        portable roaring + crc) with the JVM's own Roaring64NavigableMap —
+        independent of the engine's encoder."""
+        b = data[offset : offset + length]
+        vec_len = int.from_bytes(b[:4], "big")
+        assert b[4:8] == b"\xd1\xd39d"
+        jvm = spark._jvm
+        nm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
+        nm.deserializePortable(
+            jvm.java.io.DataInputStream(
+                jvm.java.io.ByteArrayInputStream(bytearray(b[8 : 4 + vec_len]))
+            )
+        )
+        out = []
+        it = nm.iterator()
+        while it.hasNext():
+            out.append(it.next())
+        return out
+
     dead: dict[str, set[int]] = {}
-    for path in pos_deletes:
+    for path, coords in pos_deletes:
         if path.endswith(".puffin"):
-            # v3 deletion vectors: discover the blobs from the PUFFIN
-            # FOOTER (spec artifact — Magic + JSON FileMetadata + size +
-            # flags + Magic), then decode each deletion-vector-v1 blob
-            # (len BE + magic D1D33964 + portable roaring + crc) with the
-            # JVM's own Roaring64NavigableMap — independent of the
-            # engine's encoder
             with open(path, "rb") as f:
                 data = f.read()
+            # the PUFFIN FOOTER is a spec artifact too (Magic + JSON
+            # FileMetadata + size + flags + Magic) — parsed either as the
+            # v2 discovery path or as a cross-check of the v3 coordinates
             assert data[-4:] == b"PFA1" and data[:4] == b"PFA1"
             payload_size = int.from_bytes(data[-12:-8], "little")
             footer = json.loads(data[-12 - payload_size : -12])
-            jvm = spark._jvm
+            if coords is not None:
+                # v3: fetch EXACTLY the one vector the manifest entry's
+                # fields 143-145 address — no footer parse needed to read;
+                # the footer must agree (cross-check) on both the blob
+                # coordinates and the referenced file
+                ref, offset, length = coords
+                twin = [
+                    blob
+                    for blob in footer["blobs"]
+                    if blob["offset"] == offset and blob["length"] == length
+                ]
+                assert len(twin) == 1, "manifest DV coordinates not in footer"
+                assert twin[0]["type"] == "deletion-vector-v1"
+                assert twin[0]["properties"]["referenced-data-file"] == ref
+                for v in _decode_dv_blob(spark, data, offset, length):
+                    dead.setdefault(ref, set()).add(v)
+                continue
+            # v2 metadata (no coordinate slots): discover every blob from
+            # the footer
             for blob in footer["blobs"]:
                 if blob["type"] != "deletion-vector-v1":
                     continue
-                b = data[blob["offset"] : blob["offset"] + blob["length"]]
-                vec_len = int.from_bytes(b[:4], "big")
-                assert b[4:8] == b"\xd1\xd39d"
-                nm = jvm.org.roaringbitmap.longlong.Roaring64NavigableMap()
-                nm.deserializePortable(
-                    jvm.java.io.DataInputStream(
-                        jvm.java.io.ByteArrayInputStream(bytearray(b[8 : 4 + vec_len]))
-                    )
-                )
                 ref = blob["properties"]["referenced-data-file"]
-                it = nm.iterator()
-                while it.hasNext():
-                    dead.setdefault(ref, set()).add(it.next())
+                for v in _decode_dv_blob(spark, data, blob["offset"], blob["length"]):
+                    dead.setdefault(ref, set()).add(v)
             continue
         t = pq.read_table(path)
         for fp, pos in zip(t.column("file_path").to_pylist(), t.column("pos").to_pylist()):
