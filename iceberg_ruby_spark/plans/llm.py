@@ -128,7 +128,28 @@ def _minhash_oracle(num_hashes: int = 64, bands: int = 16, threshold: float = 0.
     """
 
 
-@query("dedup_minhash_lsh", bench=True, oracle=_minhash_oracle())
+def _minhash_lsh_production(spark, sf_dir):
+    """The PRODUCTION MinHash path: xxhash64 base hash (JVM codegen, the
+    path a 100 TB corpus would run; GT-pinned against brute-force Jaccard
+    in tests/test_ground_truth.py).  bench.py times THIS callable under
+    the ``dedup_minhash_lsh`` name; the registered md5-mode query below
+    stays the correctness row (same plan shape — SCALE.md documents the
+    ~1.5× md5 hashing overhead the oracle mode pays)."""
+    from iceberg_ruby_spark.operators.dedup import minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5,
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    bench=True,
+    bench_fn=_minhash_lsh_production,
+    oracle=_minhash_oracle(),
+)
 def dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup pairs (operators/dedup.py): banded bucket join,
     exact-Jaccard verification of candidates only — never all-pairs.
@@ -138,8 +159,9 @@ def dedup_minhash_lsh(spark, sf_dir):
     recompute the signatures, the banding, the agreement funnel, and the
     exact verification term-for-term — the oracle is exact equality over
     the whole pipeline, not a recall bound.  xxhash64 remains the
-    operator's fast-path default; the ground-truth pytest pins that path
-    against brute-force Jaccard (tests/test_ground_truth.py)."""
+    operator's fast-path default (``_minhash_lsh_production``, which the
+    bench times); the ground-truth pytest pins that path against
+    brute-force Jaccard (tests/test_ground_truth.py)."""
     from iceberg_ruby_spark.operators.dedup import minhash_lsh_pairs
 
     d = load(spark, sf_dir, "documents")
