@@ -27,74 +27,72 @@ from iceberg_ruby_spark.plans import streaming  # noqa: E402,F401
 from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 
 # The correctness driver checks queries in registration order and has a
-# bounded budget (50 per round).  Round-5 rotation (VERDICT r4 item 2):
-# (0) the three queries that were `no_oracle` through r4 and carry real
-# oracle twins this round (md5-mode MinHash; exact-top-k twins for the
-# ANN queries) — their flip to hash-green is the round's headline;
-# (1) the core relational family, whose newest driver rows are r2 — the
-# oldest on the scoreboard; exactly 47 queries, so (0)+(1) fill the
-# 50-query budget; (2) r3-checked engine/streaming families; (3) r4-checked
-# TPC-H/llm queries at the back (the judge's local mirror covers whatever
-# falls past the driver's budget).
-_R02_DRIVER_GREEN = {
-    "q01_pricing_summary", "scan_filter_project", "projection_rename",
-    "topk_orders", "sort_limit_offset", "distinct_pairs", "join_inner_agg",
-    "join_left_zero_counts", "join_right", "join_full_outer", "join_semi",
-    "join_anti", "join_cross", "join_broadcast_dim", "join_range_theta",
-    "q3_shipping_priority", "q5_nation_revenue", "agg_global", "agg_having",
-    "count_distinct_by_group", "grouping_sets", "rollup_counts",
-    "cube_counts", "window_ranking", "window_lag_lead", "window_running_sum",
-    "window_range_frame", "window_ntile", "union_all_counts",
-    "union_distinct", "intersect_keys", "except_keys", "string_functions",
-    "date_functions", "math_functions", "case_cast_coalesce", "cast_nullif",
-    "array_functions", "cte_join_agg", "scalar_subquery", "in_subquery",
-    "correlated_exists", "pivot_order_status", "unpivot_lineitem_metrics",
-    "regexp_functions", "explode_unnest", "percentile_aggs",
-    "approx_count_distinct",  # rows-only by design — already recorded
-}
+# bounded budget (50 per round).  Round-6 rotation (VERDICT r5 item 5 —
+# "after r6, no query's newest driver check is older than 2 rounds"):
+# (0) queries the driver has NEVER checked (first driver row): the
+#     round-5 additions plus this round's engine_write_mode_properties;
+# (1) percentile_aggs — the r5 off-by-one victim (its newest row is r2:
+#     the r5 rotation narrated "exactly 47" relational queries but the
+#     set held 48, and it silently fell past the budget);
+# (2) the engine/streaming families whose newest driver row is r3;
+# (3) the r4-checked llm/engine/function queries (2 rounds old — the
+#     budget reaches ~22 of these 26; the remainder plus the 21-query
+#     TPC-H pack and everything r5-checked stay mirror-covered and
+#     rotate in next round).
+# The arithmetic is ASSERTED below, not narrated: every name must be a
+# registered query, and tiers (0)-(2) must fit the budget entirely.
+_DRIVER_BUDGET = 50
 
-# `no_oracle` on every scoreboard through r4; this round they carry real
-# oracle twins (plans/llm.py) — re-check first.
-_R05_NEWLY_ORACLED = {
-    "dedup_minhash_lsh", "embedding_ann_lsh", "embedding_ann_ivf",
-}
+_NEVER_DRIVER_CHECKED = [
+    "engine_delete_mor_dv", "engine_row_lineage", "engine_write_mode_properties",
+    "text_stratified_sample", "text_pack_sequences", "text_scrub_pii",
+    "events_sessionize",
+]
 
-# Newest driver check is r3 (engine/streaming families + the llm queries
-# r4 didn't reach).
-_R03_DRIVER_GREEN = {
-    "json_functions", "asof_join_events", "stat_aggs", "map_struct_functions",
-    "dedup_exact_text", "dedup_fingerprint",
-    "dedup_simhash", "dedup_ngram_jaccard", "text_token_stats",
-    "text_language_id", "text_quality_score", "text_fingerprint",
-    "embedding_cosine_topk", "embedding_norms",
-    "embedding_centroids", "multimodal_features",
-    "pipeline_clean_corpus", "multimodal_resize_frames",
-    "embedding_quantize_roundtrip", "dedup_simhash_pairs",
-    "dedup_embedding_cosine", "engine_append_roundtrip", "engine_delete_cow",
-    "engine_update_cow", "engine_merge", "engine_merge_mor",
-    "engine_time_travel", "engine_partitioned_write", "engine_sql_roundtrip",
-    "engine_schema_evolution", "engine_branch_tag", "engine_delete_mor",
-    "engine_delete_mor_positional", "engine_delete_mor_equality",
-    "engine_compact", "engine_incremental_scan", "engine_maintenance_cycle",
-    "engine_changelog_scan", "engine_inspect_partitions",
-    "engine_bucket_point_lookup", "engine_wap_publish",
-    "stream_tumbling_window", "stream_session_window",
-    "stream_dedup_watermark", "stream_stateful_user_activity",
-    "text_chunk_documents",
-}
+_LAST_CHECKED_R2 = ["percentile_aggs"]
 
+_LAST_CHECKED_R3 = [
+    "engine_branch_tag", "engine_bucket_point_lookup", "engine_changelog_scan",
+    "engine_compact", "engine_delete_mor", "engine_delete_mor_equality",
+    "engine_delete_mor_positional", "engine_incremental_scan",
+    "engine_inspect_partitions", "engine_maintenance_cycle", "engine_merge_mor",
+    "engine_partitioned_write", "engine_schema_evolution", "engine_sql_roundtrip",
+    "engine_time_travel", "engine_wap_publish", "stream_dedup_watermark",
+    "stream_session_window", "stream_stateful_user_activity",
+    "stream_tumbling_window",
+]
 
-def _priority(name):
-    if name in _R05_NEWLY_ORACLED:
-        return 0
-    if name in _R02_DRIVER_GREEN:
-        return 1  # oldest driver rows (r2) — rotate back in this round
-    if name in _R03_DRIVER_GREEN:
-        return 2
-    return 3  # checked in r4 (TPC-H pack + the r4 llm/engine window)
+# r4-checked, non-TPC-H — fill the remaining budget in this order
+_LAST_CHECKED_R4 = [
+    "asof_join_events", "dedup_embedding_cosine", "dedup_exact_text",
+    "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "embedding_centroids", "embedding_cosine_topk",
+    "embedding_norms", "embedding_quantize_roundtrip",
+    "engine_append_roundtrip", "engine_avro_manifests", "engine_delete_cow",
+    "engine_merge", "engine_update_cow", "higher_order_array",
+    "json_functions", "map_struct_functions", "multimodal_features",
+    "multimodal_resize_frames", "pipeline_clean_corpus", "stat_aggs",
+    "text_chunk_documents", "text_fingerprint", "text_language_id",
+    "text_quality_score", "text_token_stats",
+]
 
+_TIER = {}
+for _tier, _names in enumerate(
+    (_NEVER_DRIVER_CHECKED, _LAST_CHECKED_R2, _LAST_CHECKED_R3, _LAST_CHECKED_R4)
+):
+    for _n in _names:
+        assert _n in QUERIES, f"rotation names unregistered query: {_n}"
+        assert _n not in _TIER, f"rotation lists {_n} twice"
+        _TIER[_n] = _tier
+# tiers 0-2 must land inside the driver budget COMPLETELY — the r5
+# off-by-one (percentile_aggs silently dropped) is now a hard error
+_must_fit = len(_NEVER_DRIVER_CHECKED) + len(_LAST_CHECKED_R2) + len(_LAST_CHECKED_R3)
+assert _must_fit <= _DRIVER_BUDGET, (
+    f"rotation tiers 0-2 hold {_must_fit} queries but the driver budget is "
+    f"{_DRIVER_BUDGET}; a must-check query would fall out silently"
+)
 
-_ordered = sorted(QUERIES, key=_priority)
+_ordered = sorted(QUERIES, key=lambda n: (_TIER.get(n, 4), n))
 _q = {n: QUERIES[n] for n in _ordered}
 QUERIES.clear()
 QUERIES.update(_q)
