@@ -14,13 +14,18 @@ Implements the Apache Iceberg Puffin spec structure (``puffin-spec.md``):
 
 The reference surfaces exactly these fields through iceberg-rust
 (``ext/iceberg/src/statistics.rs:14-71``: blob type / fields / snapshot
-id / sequence number / properties).  This engine writes two honest blob
-kinds (no datasketches library exists in this environment, so no
-pretend theta sketches):
+id / sequence number / properties).  Blob kinds written:
 
-- ``iceberg-ruby-spark-ndv-v1`` — one per column, payload = the NDV as
-  an int64 LE, with the Iceberg-conventional ``"ndv"`` blob property
-  (the property is how engines consume NDV even for theta blobs);
+- ``apache-datasketches-theta-v1`` — one per column whose type has an
+  Iceberg single-value serialization: a REAL compact theta sketch
+  (``theta_sketch.py``, built from scratch off the public DataSketches
+  formats and held byte-identical to datasketches-java 6.2.0 in
+  tests/test_theta_sketch.py), so external engines can deserialize and
+  UNION these with their own; the Iceberg-conventional ``"ndv"`` blob
+  property carries the estimate.
+- ``iceberg-ruby-spark-ndv-v1`` — fallback for columns without a
+  single-value serialization (arrays, maps, binary): payload = the NDV
+  as an int64 LE with the same ``"ndv"`` property.
 - ``iceberg-ruby-spark-stats-json-v1`` — the engine's full stats
   document as JSON, so ``read_statistics`` round-trips.
 """
@@ -101,6 +106,7 @@ def read_puffin(data: bytes) -> tuple[list[dict[str, Any]], dict[str, str]]:
 
 
 NDV_BLOB_TYPE = "iceberg-ruby-spark-ndv-v1"
+THETA_BLOB_TYPE = "apache-datasketches-theta-v1"
 STATS_JSON_BLOB_TYPE = "iceberg-ruby-spark-stats-json-v1"
 
 
@@ -108,17 +114,21 @@ def stats_to_puffin(
     stats: dict[str, Any],
     field_ids: dict[str, Optional[int]],
     sequence_number: int,
+    sketches: Optional[dict[str, bytes]] = None,
 ) -> bytes:
     """The engine's stats document as a Puffin file: one NDV blob per
-    column plus the full JSON document blob (see module docstring)."""
+    column (a compact theta sketch where ``sketches`` provides one, the
+    int64 fallback otherwise) plus the full JSON document blob (see
+    module docstring)."""
     sid = stats["snapshot-id"]
+    sketches = sketches or {}
     blobs = [
         {
-            "type": NDV_BLOB_TYPE,
+            "type": THETA_BLOB_TYPE if c in sketches else NDV_BLOB_TYPE,
             "fields": [field_ids.get(c)],
             "snapshot-id": sid,
             "sequence-number": sequence_number,
-            "payload": struct.pack("<q", int(col["ndv"])),
+            "payload": sketches.get(c) or struct.pack("<q", int(col["ndv"])),
             "properties": {"ndv": str(col["ndv"])},
         }
         for c, col in stats["columns"].items()

@@ -48,6 +48,8 @@ import uuid as uuid_mod
 from dataclasses import dataclass
 from typing import Any, Iterable, Optional, Sequence, Union
 
+import pandas
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -410,6 +412,40 @@ def _new_snapshot_id() -> int:
     return uuid_mod.uuid4().int >> 65  # 63-bit positive
 
 
+_THETA_TYPES = (
+    ice_t.BooleanType, ice_t.IntType, ice_t.LongType, ice_t.FloatType,
+    ice_t.DoubleType, ice_t.DateType, ice_t.TimestampType, ice_t.TimestampTzType,
+    ice_t.TimestampNanoType, ice_t.TimestampTzNanoType, ice_t.DecimalType,
+    ice_t.StringType,
+)
+
+
+def _theta_supported(t: ice_t.Type) -> bool:
+    """Types with an Iceberg single-value serialization — the input the
+    spec defines for theta-sketch updates."""
+    return isinstance(t, _THETA_TYPES)
+
+
+def _theta_hash_udf(ice_type: ice_t.Type):
+    """Arrow-batched pandas UDF: value → 63-bit theta-sketch hash of its
+    Iceberg single-value serialization (theta_sketch.hash63, the
+    DataSketches murmur).  Nulls stay null and never enter the sketch."""
+    from iceberg_ruby_spark.manifests import bound_to_bytes
+    from iceberg_ruby_spark.theta_sketch import hash63
+
+    @F.pandas_udf("long")
+    def _hash(s: pandas.Series) -> pandas.Series:
+        out = []
+        for v in s:
+            if v is None or (isinstance(v, float) and v != v):
+                out.append(None)
+                continue
+            out.append(hash63(bound_to_bytes(v, ice_type)))
+        return pandas.Series(pandas.array(out, dtype="Int64"))
+
+    return _hash
+
+
 def _entry_key(e: dict[str, Any]) -> str:
     """Stable identity for pathless manifest entries (delete predicates,
     legacy data-dir entries) so replace-mode rebases can diff them by value."""
@@ -755,18 +791,30 @@ class Table:
     # ext/iceberg/src/statistics.rs:14-71; here the analog is a JSON stats
     # file per snapshot written by compute_statistics)
     def compute_statistics(self) -> dict[str, Any]:
-        """One distributed aggregation over the current snapshot → a stats
-        file (row count, per-column NDV / null count) registered in table
+        """Distributed stats over the current snapshot → a stats file
+        (row count, per-column NDV / null count) registered in table
         metadata, so ``statistics`` / ``statistics_for_snapshot`` return
-        real entries.  NDV uses HyperLogLog (approx_count_distinct) — the
-        same sketch family Iceberg's Puffin 'apache-datasketches-theta-v1'
-        blobs serve, and the only kind that scales to 100 TB."""
+        real entries.
+
+        NDV per column comes from a REAL ``apache-datasketches-theta-v1``
+        compact sketch (theta_sketch.py, byte-compatible with
+        datasketches-java — external engines deserialize AND union these):
+        values hash executor-side (Arrow-batched pandas UDF over the
+        Iceberg single-value serialization) and only the k+1 smallest
+        DISTINCT hashes reach the driver (TakeOrdered, k=4096) — a
+        deterministic k-minimum-values sketch whose estimate is EXACT for
+        columns under 4096 distinct values.  Columns without a
+        single-value serialization (arrays/maps/binary) fall back to
+        HyperLogLog (approx_count_distinct) with the legacy int64 blob."""
         self._check_writable()
         snap = self.current_snapshot()
         if snap is None:
             raise InvalidDataError("table has no snapshot to analyze")
+        from iceberg_ruby_spark import theta_sketch as _ts
+
         df = self.to_df()
-        cols = [f.name for f in self.current_schema().fields]
+        schema = self.current_schema()
+        cols = [f.name for f in schema.fields]
         aggs = [F.count(F.lit(1)).alias("__rc")]
         for c in cols:
             aggs.append(F.approx_count_distinct(c).alias(f"__ndv_{c}"))
@@ -780,9 +828,24 @@ class Table:
                 for c in cols
             },
         }
+        sketches: dict[str, bytes] = {}
+        for c in cols:
+            f = schema.field_by_name(c)
+            if f is None or not _theta_supported(f.field_type):
+                continue
+            hs = (
+                df.select(_theta_hash_udf(f.field_type)(F.col(c)).alias("__h"))
+                .where(F.col("__h").isNotNull())
+                .distinct()
+                .orderBy("__h")
+                .limit(_ts.DEFAULT_NOMINAL_ENTRIES + 1)
+                .collect()
+            )
+            sketches[c] = _ts.sketch_from_hashes([r["__h"] for r in hs])
+            # the sketch's estimate IS the published ndv (exact ≤ 4096)
+            stats["columns"][c]["ndv"] = int(round(_ts.estimate(sketches[c])))
         from iceberg_ruby_spark.puffin import footer_size, stats_to_puffin
 
-        schema = self.current_schema()
         field_ids = {
             c: (schema.field_by_name(c).field_id if schema.field_by_name(c) else None)
             for c in cols
@@ -791,12 +854,12 @@ class Table:
         # puffin.py) — the reference surfaces the same StatisticsFile +
         # blob-metadata fields from iceberg-rust
         # (``ext/iceberg/src/statistics.rs:14-71``)
-        data = stats_to_puffin(stats, field_ids, snap.sequence_number)
+        data = stats_to_puffin(stats, field_ids, snap.sequence_number, sketches)
         path = os.path.join(
             self.ops.metadata_dir, f"stats-{snap.snapshot_id}.puffin"
         )
         self.ops.io.write_bytes_atomic(path, data, overwrite=True)
-        from iceberg_ruby_spark.puffin import NDV_BLOB_TYPE
+        from iceberg_ruby_spark.puffin import NDV_BLOB_TYPE, THETA_BLOB_TYPE
 
         entry = {
             "snapshot-id": snap.snapshot_id,
@@ -806,11 +869,11 @@ class Table:
             "key-metadata": None,
             "blob-metadata": [
                 {
-                    "type": NDV_BLOB_TYPE,
+                    "type": THETA_BLOB_TYPE if c in sketches else NDV_BLOB_TYPE,
                     "snapshot-id": snap.snapshot_id,
                     "sequence-number": snap.sequence_number,
                     "fields": [field_ids[c]],
-                    "properties": {"ndv": str(row[f"__ndv_{c}"])},
+                    "properties": {"ndv": str(stats["columns"][c]["ndv"])},
                 }
                 for c in cols
             ],

@@ -89,8 +89,10 @@ def test_statistics_puffin_surface(catalog):
     """StatisticsFile entries carry the reference's Puffin field surface
     (statistics.rs:14-47): a real binary footer size, key metadata, and
     one NDV blob per column with the Iceberg-conventional ``ndv``
-    property and the column's field id in fields."""
-    from iceberg_ruby_spark.puffin import NDV_BLOB_TYPE
+    property and the column's field id in fields.  int/string columns
+    have a single-value serialization, so their blobs are REAL
+    ``apache-datasketches-theta-v1`` sketches."""
+    from iceberg_ruby_spark.puffin import THETA_BLOB_TYPE
 
     t = catalog.create_table("s3", schema={"a": "int", "b": "string"})
     t.append([{"a": i % 4, "b": f"x{i}"} for i in range(40)])
@@ -100,7 +102,7 @@ def test_statistics_puffin_surface(catalog):
     assert entry["file-footer-size-in-bytes"] > 0
     assert entry["key-metadata"] is None
     blobs = entry["blob-metadata"]
-    assert [b["type"] for b in blobs] == [NDV_BLOB_TYPE] * 2
+    assert [b["type"] for b in blobs] == [THETA_BLOB_TYPE] * 2
     by_field = {b["fields"][0]: b for b in blobs}
     schema = t.current_schema()
     a_id = schema.field_by_name("a").field_id
@@ -309,8 +311,8 @@ def test_statistics_file_is_spec_puffin(catalog):
     import struct
 
     from iceberg_ruby_spark.puffin import (
-        NDV_BLOB_TYPE,
         STATS_JSON_BLOB_TYPE,
+        THETA_BLOB_TYPE,
         footer_size,
         read_puffin,
     )
@@ -329,11 +331,14 @@ def test_statistics_file_is_spec_puffin(catalog):
     by_type = {}
     for b in blobs:
         by_type.setdefault(b["type"], []).append(b)
-    # one NDV blob per column, int64 LE payload matching the blob property
-    ndv_blobs = by_type[NDV_BLOB_TYPE]
+    # one theta-sketch NDV blob per column; the compact-sketch payload's
+    # own estimate must equal the published ndv property (exact ≤ 4096)
+    from iceberg_ruby_spark.theta_sketch import estimate
+
+    ndv_blobs = by_type[THETA_BLOB_TYPE]
     assert len(ndv_blobs) == 2
     for b in ndv_blobs:
-        assert struct.unpack("<q", b["payload"])[0] == int(b["properties"]["ndv"])
+        assert int(round(estimate(b["payload"]))) == int(b["properties"]["ndv"])
         assert b["snapshot-id"] == t.current_snapshot_id
     # the JSON document blob round-trips through the public reader
     [doc_blob] = by_type[STATS_JSON_BLOB_TYPE]
@@ -344,5 +349,5 @@ def test_statistics_file_is_spec_puffin(catalog):
     # blob-metadata in table metadata mirrors the reference's surface
     # (statistics.rs:14-71): type/fields/snapshot-id/sequence-number/props
     for bm in entry["blob-metadata"]:
-        assert bm["type"] == NDV_BLOB_TYPE
+        assert bm["type"] == THETA_BLOB_TYPE
         assert bm["properties"]["ndv"].isdigit()
