@@ -211,6 +211,19 @@ def pack_sequences(
     if partition_col:
         w = Window.partitionBy(partition_col).orderBy(F.col(id_col).asc())
     else:
+        # mechanical guard for the documented hazard above: a global
+        # window collapses the whole input into ONE task.  Fine for a
+        # unit test or a single shard; a silent scale-killer on a real
+        # corpus, so it warns every time it is taken.
+        import warnings
+
+        warnings.warn(
+            "pack_sequences(partition_col=None) uses a GLOBAL window — "
+            "one task sorts the entire input. Pass partition_col (e.g. a "
+            "lang/source shard column) for any input larger than one shard.",
+            ResourceWarning,
+            stacklevel=2,
+        )
         w = Window.orderBy(F.col(id_col).asc())
     n = token_count(F.col(text_col))
     cum_before = F.coalesce(

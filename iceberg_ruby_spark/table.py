@@ -2662,6 +2662,20 @@ class Table:
         self._check_writable()
         if mode is None:
             mode = self._resolve_write_mode("write.delete.mode")
+        if (
+            mode == "merge-on-read"
+            and self.format_version >= 3
+            and self.properties.get(
+                "write.delete.materialize-predicates", "false"
+            ).lower() == "true"
+        ):
+            # Opt-in: predicate delete entries have no spec representation
+            # (they ride only the x-irs manifest-list extension).  On v3
+            # tables this property materializes the predicate as DELETION
+            # VECTORS at commit time instead — O(matched rows) rather than
+            # O(metadata), but the table's delete surface becomes 100%
+            # spec-readable (tests/test_spec_reader.py round-trips it).
+            mode = "merge-on-read-dv"
         cond = F.expr(condition) if isinstance(condition, str) else condition
         entries = self._current_entries()
         if mode == "merge-on-read-positional":

@@ -382,3 +382,26 @@ def test_sessionize_gap_logic(spark):
     assert out[3] == (1, 2)
     assert out[5] == (0, 2)
     assert out[4] == (1, 1)
+
+
+def test_pack_sequences_global_window_warns(spark):
+    import warnings
+
+    from iceberg_ruby_spark.operators.text import pack_sequences
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")], "doc_id int, text string"
+    )
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        pack_sequences(df, budget=4).collect()
+    assert any(
+        issubclass(w.category, ResourceWarning) and "GLOBAL window" in str(w.message)
+        for w in caught
+    )
+    # partitioned form stays silent
+    df2 = df.withColumn("lang", df.doc_id % 2)
+    with warnings.catch_warnings(record=True) as caught2:
+        warnings.simplefilter("always")
+        pack_sequences(df2, budget=4, partition_col="lang").collect()
+    assert not [w for w in caught2 if "GLOBAL window" in str(w.message)]
