@@ -588,3 +588,48 @@ def embedding_cosine_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    keep_contaminated: bool = False,
+) -> DataFrame:
+    """Benchmark decontamination — the train/test-overlap scrub every
+    serious training corpus runs (the GPT-3 paper's 13-gram rule): drop
+    (or with ``keep_contaminated=True``, annotate) corpus documents that
+    share ANY word ``ngram``-gram with a benchmark/eval set.
+
+    100 TB shape: the benchmark's distinct grams BROADCAST (eval sets are
+    tiny next to the corpus); the corpus explodes its distinct grams
+    map-side and inner-joins the broadcast — the corpus is never
+    shuffled, and the only aggregated relation is contaminated-hit-sized.
+    Annotated output adds ``n_contaminated_grams`` / ``contaminated``.
+    """
+    bench_grams = benchmark.select(
+        F.explode(token_shingle_array(text_col, ngram)).alias("__g")
+    ).distinct()
+    grams = corpus.select(
+        F.col(id_col), F.explode(token_shingle_array(text_col, ngram)).alias("__g")
+    )
+    hits = (
+        grams.join(F.broadcast(bench_grams), "__g", "inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_contaminated_grams"))
+    )
+    out = (
+        corpus.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_grams",
+            F.coalesce(F.col("n_contaminated_grams"), F.lit(0)).cast("long"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_grams") > 0)
+    )
+    if keep_contaminated:
+        return out
+    return out.filter(~F.col("contaminated")).drop(
+        "contaminated", "n_contaminated_grams"
+    )

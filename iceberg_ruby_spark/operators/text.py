@@ -262,3 +262,40 @@ def scrub_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
         .withColumn("n_phones", n_phones)
         .withColumn(text_col, scrubbed)
     )
+
+
+def repetition_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals — the standard "repetitious
+    document" filters a pretraining pipeline applies before mixing.  Adds
+    per-document ``dup_{1,2,3}gram_frac`` (fraction of word n-grams that
+    are repeats: ``1 - distinct/total``) and ``dup_line_frac``.
+
+    Pure Column expressions over in-row arrays: map-only, ZERO shuffles,
+    whole-stage codegen — the cheapest possible shape at 100 TB (the
+    Gopher thresholds, e.g. drop when dup_2gram_frac > 0.2, are then
+    plain WHERE clauses downstream)."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+
+    # NOTE: the gram lambda must stay single-argument — F.transform treats
+    # a two-parameter lambda as (element, index), so a `_n=n` default
+    # would silently receive the array INDEX
+    def _gram_fn(size):
+        return lambda i: F.array_join(F.slice(toks, i + 1, size), " ")
+
+    out = df
+    for n in (1, 2, 3):
+        if n == 1:
+            grams = toks
+        else:
+            cnt = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(1))
+            grams = F.transform(F.sequence(F.lit(0), cnt - 1), _gram_fn(n))
+        frac = F.lit(1.0) - F.size(F.array_distinct(grams)) / F.size(grams)
+        out = out.withColumn(f"dup_{n}gram_frac", frac.cast("double"))
+    lines = F.split(F.col(text_col), "\n")
+    out = out.withColumn(
+        "dup_line_frac",
+        (F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)).cast("double"),
+    )
+    return out

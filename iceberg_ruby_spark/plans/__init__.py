@@ -46,7 +46,7 @@ _DRIVER_BUDGET = 50
 _NEVER_DRIVER_CHECKED = [
     "engine_delete_mor_dv", "engine_row_lineage", "engine_write_mode_properties",
     "text_stratified_sample", "text_pack_sequences", "text_scrub_pii",
-    "events_sessionize",
+    "events_sessionize", "dedup_decontaminate", "text_repetition_stats",
 ]
 
 _LAST_CHECKED_R2 = ["percentile_aggs"]

@@ -871,3 +871,81 @@ def events_sessionize(spark, sf_dir):
         "event_id", "user_id", "is_session_start",
         F.col("session_seq").cast("bigint").alias("session_seq"),
     )
+
+
+@query(
+    "dedup_decontaminate",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 12, 1)),
+               i -> array_to_string(t[i:i+12], ' ')))) AS g
+      FROM toks
+    ), b AS (SELECT DISTINCT g FROM grams WHERE doc_id % 29 = 0)
+    SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_contaminated_grams
+    FROM grams JOIN b USING (g)
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/dedup.py ``decontaminate``):
+    corpus documents sharing any word 13-gram (the GPT-3 rule) with a
+    benchmark subset, with per-doc matched-gram counts.  The benchmark's
+    distinct grams broadcast; the corpus is never shuffled.  The DuckDB
+    twin re-derives the same normalization, 13-gram windows, and overlap
+    counts term-for-term."""
+    from iceberg_ruby_spark.operators.dedup import decontaminate
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") % 29 == 0)
+    out = decontaminate(d, bench, ngram=13, keep_contaminated=True)
+    return (
+        out.filter(F.col("contaminated"))
+        .select("doc_id", "n_contaminated_grams")
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "text_repetition_stats",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    )
+    SELECT doc_id,
+      CAST(1.0 - len(list_distinct(t)) / len(t) AS DOUBLE) AS dup_1gram_frac,
+      CAST(1.0 - len(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 1, 1)),
+            i -> array_to_string(t[i:i+1], ' '))))
+          / greatest(len(t) - 1, 1) AS DOUBLE) AS dup_2gram_frac,
+      CAST(1.0 - len(list_distinct(list_transform(
+            generate_series(1, greatest(len(t) - 2, 1)),
+            i -> array_to_string(t[i:i+2], ' '))))
+          / greatest(len(t) - 2, 1) AS DOUBLE) AS dup_3gram_frac,
+      CAST(1.0 - len(list_distinct(lines)) / len(lines) AS DOUBLE)
+          AS dup_line_frac
+    FROM toks
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals (operators/text.py
+    ``repetition_stats``): per-document duplicate word-{1,2,3}-gram and
+    duplicate-line fractions, computed as pure Column expressions over
+    in-row arrays — map-only, zero shuffles at any corpus size.  The
+    DuckDB twin recomputes every fraction with the same tokenization and
+    window arithmetic."""
+    from iceberg_ruby_spark.operators.text import repetition_stats
+
+    d = load(spark, sf_dir, "documents")
+    return repetition_stats(d).select(
+        "doc_id", "dup_1gram_frac", "dup_2gram_frac", "dup_3gram_frac",
+        "dup_line_frac",
+    ).orderBy("doc_id")

@@ -405,3 +405,50 @@ def test_pack_sequences_global_window_warns(spark):
         warnings.simplefilter("always")
         pack_sequences(df2, budget=4, partition_col="lang").collect()
     assert not [w for w in caught2 if "GLOBAL window" in str(w.message)]
+
+
+def test_decontaminate_flags_and_scrubs_overlap(spark):
+    from iceberg_ruby_spark.operators.dedup import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta DIFFERENT"),   # shares the 4-gram
+            (3, "zeta eta theta iota kappa"),
+        ],
+        "doc_id int, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "ALPHA beta gamma delta unrelated tail")], "doc_id int, text string"
+    )
+    annotated = decontaminate(
+        corpus, bench, ngram=4, keep_contaminated=True
+    ).collect()
+    by_id = {r["doc_id"]: r for r in annotated}
+    assert by_id[1]["contaminated"] and by_id[1]["n_contaminated_grams"] == 1
+    assert by_id[2]["contaminated"]
+    assert not by_id[3]["contaminated"]
+    # scrub mode drops contaminated docs and the audit columns
+    clean = decontaminate(corpus, bench, ngram=4)
+    assert sorted(r["doc_id"] for r in clean.collect()) == [3]
+    assert "contaminated" not in clean.columns
+
+
+def test_repetition_stats_known_fractions(spark):
+    from iceberg_ruby_spark.operators.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),            # 1grams: 4 total 2 distinct; 2grams: [a a, a a, a b] -> 3 total 2 distinct
+            (2, "x y z"),              # no repeats
+            (3, "l1\nl1\nl2"),         # duplicate line
+        ],
+        "doc_id int, text string",
+    )
+    r = {x["doc_id"]: x for x in repetition_stats(df).collect()}
+    assert r[1]["dup_1gram_frac"] == pytest.approx(0.5)
+    assert r[1]["dup_2gram_frac"] == pytest.approx(1 / 3)
+    assert r[2]["dup_1gram_frac"] == 0.0
+    assert r[2]["dup_2gram_frac"] == 0.0
+    assert r[3]["dup_line_frac"] == pytest.approx(1 / 3)
+    assert r[2]["dup_line_frac"] == 0.0
