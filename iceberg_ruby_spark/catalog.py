@@ -628,11 +628,23 @@ class Catalog:
         if m:
             name, action = m.group(1), m.group(2).strip().rstrip(";").strip()
             if (mm := re.match(
-                r"ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+([\w()\s,]+?)\s*\)?\s*$",
+                r"ADD\s+COLUMNS?\s+\(?\s*(\w+)\s+([\w()\s,]+?)"
+                r"(?:\s+DEFAULT\s+('(?:[^']|'')*'|[-\w.]+))?\s*\)?\s*$",
                 action, re.IGNORECASE,
             )):
                 tbl = self.load_table(self._sql_table_ident(name))
-                tbl.update_schema().add_column(mm.group(1), mm.group(2).strip()).commit()
+                default = mm.group(3)
+                if default is not None:
+                    if default.startswith("'"):
+                        default = default[1:-1].replace("''", "'")
+                    else:
+                        try:
+                            default = json.loads(default.lower())
+                        except ValueError:
+                            pass
+                tbl.update_schema().add_column(
+                    mm.group(1), mm.group(2).strip(), default=default
+                ).commit()
             elif (mm := re.match(r"DROP\s+COLUMNS?\s+\(?\s*(\w+)\s*\)?\s*$", action, re.IGNORECASE)):
                 tbl = self.load_table(self._sql_table_ident(name))
                 tbl.update_schema().drop_column(mm.group(1)).commit()

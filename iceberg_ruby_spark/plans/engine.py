@@ -653,3 +653,44 @@ def engine_write_mode_properties(spark, sf_dir):
     if not data_before <= still:
         raise AssertionError("merge-on-read DML rewrote existing data files")
     return t.to_df()
+
+
+@query(
+    "engine_statistics_ndv",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS record_count,
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS ndv_priority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS ndv_custkey,
+           CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS nulls_custkey
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def engine_statistics_ndv(spark, sf_dir):
+    """compute_statistics() end-to-end: the theta-sketch NDV blobs
+    (theta_sketch.py, ``apache-datasketches-theta-v1``) are EXACT for
+    columns under the sketch's k=4096 distinct values, so the DuckDB twin
+    is plain COUNT(DISTINCT …) — a hash-checked oracle over the whole
+    ANALYZE path (write sketch blobs → register stats entry → read back)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_stats", schema=_orders_schema())
+    t.append(load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000))
+    stats = t.compute_statistics()
+    again = t.refresh().read_statistics()
+    if again != stats:
+        raise AssertionError("stats round-trip mismatch")
+    cols = stats["columns"]
+    return spark.createDataFrame(
+        [
+            (
+                stats["record-count"],
+                cols["o_orderstatus"]["ndv"],
+                cols["o_orderpriority"]["ndv"],
+                cols["o_custkey"]["ndv"],
+                cols["o_custkey"]["null-count"],
+            )
+        ],
+        "record_count long, ndv_status long, ndv_priority long, "
+        "ndv_custkey long, nulls_custkey long",
+    )

@@ -3820,8 +3820,18 @@ class UpdateSchema:
         self.table = table
         self._ops: list[tuple] = []
 
-    def add_column(self, name: str, field_type: Any, doc: Optional[str] = None) -> "UpdateSchema":
-        self._ops.append(("add", name, field_type, doc))
+    def add_column(
+        self,
+        name: str,
+        field_type: Any,
+        doc: Optional[str] = None,
+        default: Any = None,
+    ) -> "UpdateSchema":
+        """Add an optional column.  ``default`` (Iceberg v3 default values)
+        sets BOTH ``initial-default`` (what pre-existing rows read back —
+        no file rewrite) and ``write-default`` (what writers fill when the
+        column is omitted), the spec's add-column-with-default semantics."""
+        self._ops.append(("add", name, field_type, doc, default))
         return self
 
     def drop_column(self, name: str) -> "UpdateSchema":
@@ -3898,13 +3908,16 @@ class UpdateSchema:
 
             for op in self._ops:
                 if op[0] == "add":
-                    _, name, ftype, doc = op
+                    _, name, ftype, doc, default = op
                     if any(f.name == name for f in fields):
                         raise InvalidDataError(f"column already exists: {name}")
                     next_id += 1
                     t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
                     fields.append(
-                        ice_t.NestedField(next_id, name, t, required=False, doc=doc)
+                        ice_t.NestedField(
+                            next_id, name, t, required=False, doc=doc,
+                            initial_default=default, write_default=default,
+                        )
                     )
                 elif op[0] == "drop":
                     _, name = op

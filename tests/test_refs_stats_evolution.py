@@ -351,3 +351,46 @@ def test_statistics_file_is_spec_puffin(catalog):
     for bm in entry["blob-metadata"]:
         assert bm["type"] == THETA_BLOB_TYPE
         assert bm["properties"]["ndv"].isdigit()
+
+
+# -- v3 default values --------------------------------------------------------
+
+
+def test_add_column_with_default_values(catalog):
+    """Iceberg v3 default values: add_column(default=...) sets BOTH
+    initial-default (pre-existing rows read it back — no rewrite) and
+    write-default (writers omitting the column fill it)."""
+    t = catalog.create_table("dflt", schema={"a": "int"})
+    t.append([{"a": 1}])
+    files_before = sorted(
+        e["path"] for e in t._current_entries() if "path" in e
+    )
+    with t.update_schema() as u:
+        u.add_column("tag", "string", default="none")
+    t = t.refresh()
+    # metadata-only: no data file rewritten
+    assert sorted(e["path"] for e in t._current_entries() if "path" in e) == files_before
+    assert t.to_a() == [{"a": 1, "tag": "none"}]
+    t.append([{"a": 2}])                 # omitted -> write-default
+    t.append([{"a": 3, "tag": "x"}])     # explicit wins
+    assert sorted((r["a"], r["tag"]) for r in t.to_a()) == [
+        (1, "none"), (2, "none"), (3, "x")
+    ]
+    f = t.current_schema().field_by_name("tag")
+    assert f.initial_default == "none" and f.write_default == "none"
+
+
+def test_sql_add_column_default(catalog):
+    t = catalog.create_table("dflt2", schema={"a": "int"})
+    t.append([{"a": 1}])
+    catalog.sql("ALTER TABLE dflt2 ADD COLUMN tag string DEFAULT 'n/a'")
+    catalog.sql("ALTER TABLE dflt2 ADD COLUMN n int DEFAULT 7")
+    t = t.refresh()
+    assert t.to_a() == [{"a": 1, "tag": "n/a", "n": 7}]
+    t.append([{"a": 2}])
+    assert sorted((r["a"], r["tag"], r["n"]) for r in t.to_a()) == [
+        (1, "n/a", 7), (2, "n/a", 7)
+    ]
+    # quoted '' escape
+    catalog.sql("ALTER TABLE dflt2 ADD COLUMN q string DEFAULT 'it''s'")
+    assert t.refresh().current_schema().field_by_name("q").write_default == "it's"
