@@ -694,3 +694,31 @@ def engine_statistics_ndv(spark, sf_dir):
         "record_count long, ndv_status long, ndv_priority long, "
         "ndv_custkey long, nulls_custkey long",
     )
+
+
+@query(
+    "engine_schema_defaults",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)},
+           CASE WHEN o_orderkey < 2000 THEN 'legacy' ELSE 'fresh' END AS src
+    FROM orders WHERE o_orderkey < 3000
+    """,
+)
+def engine_schema_defaults(spark, sf_dir):
+    """Iceberg v3 default values end-to-end: rows written BEFORE the
+    column existed read back the initial-default with zero file rewrites,
+    rows appended after carry their explicit values.  The DuckDB twin
+    replays the timeline relationally (CASE on the key range)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table("orders_dflt", schema=_orders_schema())
+    src = load(spark, sf_dir, "orders")
+    t.append(src.filter(F.col("o_orderkey") < 2000))
+    with t.update_schema() as u:
+        u.add_column("src", "string", default="legacy")
+    t = cat.load_table("orders_dflt")
+    t.append(
+        src.filter(
+            (F.col("o_orderkey") >= 2000) & (F.col("o_orderkey") < 3000)
+        ).withColumn("src", F.lit("fresh"))
+    )
+    return t.to_df()

@@ -270,3 +270,18 @@ def test_dv_build_is_distributed_driver_collect_is_file_count_bounded(
         assert serialize_portable_r64(ps) == _jvm_serialize(
             t.spark, ps
         )
+
+
+def test_changelog_scan_emits_dv_deleted_rows(catalog):
+    """A merge-on-read-dv commit must surface its dead rows as 'delete'
+    changelog entries, same as every other delete flavor."""
+    t = catalog.create_table(
+        "dv_cl", schema={"k": "int"}, properties={"format-version": "3"}
+    )
+    t.append([{"k": i} for i in range(10)])
+    s1 = t.current_snapshot_id
+    t.delete_where("k >= 7", mode="merge-on-read-dv")
+    rows = t.changelog_scan(from_snapshot_id=s1).collect()
+    assert sorted((r["k"], r["_change_type"]) for r in rows) == [
+        (7, "delete"), (8, "delete"), (9, "delete")
+    ]
