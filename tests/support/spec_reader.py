@@ -49,8 +49,21 @@ def _jvm_read(spark, path):
         reader.close()
 
 
-def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
-    """All live rows of the snapshot the manifest list describes."""
+# reserved field ids of the materialized v3 row-lineage columns
+_ROW_ID_FID = 2147483540
+_LAST_SEQ_FID = 2147483539
+
+
+def read_spec_rows(
+    spark, manifest_list_path: str, with_lineage: bool = False
+) -> list[dict]:
+    """All live rows of the snapshot the manifest list describes.
+
+    ``with_lineage=True`` adds ``_row_id`` per the v3 spec rules using
+    ONLY spec artifacts: a row's id is the file's ``first_row_id``
+    (manifest field 142) plus its position, unless the file carries a
+    materialized ``_row_id`` column (reserved field id 2147483540, from a
+    lineage-preserving rewrite) with a non-null cell."""
     list_records, _ = _jvm_read(spark, manifest_list_path)
 
     data_files = []   # (path, data_seq, partition_tuple, identity_fields)
@@ -75,7 +88,15 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
                 seq = mf["sequence_number"]  # ADDED entries inherit
             d = r["data_file"]
             if d["content"] == 0:
-                data_files.append((d["file_path"], seq, d.get("partition") or {}, identity_fields))
+                data_files.append(
+                    (
+                        d["file_path"],
+                        seq,
+                        d.get("partition") or {},
+                        identity_fields,
+                        d.get("first_row_id"),
+                    )
+                )
             elif d["content"] == 1:
                 # v3 manifests carry the deletion-vector blob coordinates
                 # in spec fields 143-145; v2 positional entries have none
@@ -163,7 +184,7 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
             eq_tuples.append((dseq, {fid: cols[fid][i] for fid in fids}))
 
     rows = []
-    for path, dseq, partition, identity_fields in data_files:
+    for path, dseq, partition, identity_fields, first_row_id in data_files:
         sch = pq.read_schema(path)
         t = pq.read_table(path)
         col_by_fid = {
@@ -177,6 +198,7 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
         for pname, source_id in identity_fields:
             if pname in partition:
                 part_by_fid[source_id] = partition[pname]
+        materialized_ids = col_by_fid.get(_ROW_ID_FID)
         for idx in range(t.num_rows):
             if idx in dead.get(path, set()):
                 continue
@@ -194,5 +216,13 @@ def read_spec_rows(spark, manifest_list_path: str) -> list[dict]:
                 for del_seq, key in eq_tuples
             ):
                 continue
-            rows.append({name_by_fid.get(fid, str(fid)): v for fid, v in vals.items()})
+            out = {name_by_fid.get(fid, str(fid)): v for fid, v in vals.items()}
+            if with_lineage:
+                # spec v3 rule: a non-null materialized cell wins; a null
+                # cell (or no column) inherits first_row_id + position
+                rid = materialized_ids[idx] if materialized_ids else None
+                if rid is None and first_row_id is not None:
+                    rid = first_row_id + idx
+                out["_row_id"] = rid
+            rows.append(out)
     return rows

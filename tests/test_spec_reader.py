@@ -170,3 +170,29 @@ def test_predicate_deletes_materialize_as_dvs_on_v3_opt_in(catalog, spark):
     t2.append([{"k": i} for i in range(8)])
     assert t2.delete_where("k >= 6", mode="merge-on-read") == 2
     assert [e for e in t2._current_entries() if "delete-predicate" in e]
+
+
+def test_spec_reader_reconstructs_row_lineage_from_v3_manifests(catalog, spark):
+    # v3 row lineage through spec artifacts ONLY: first_row_id from
+    # manifest field 142 plus position, with materialized reserved
+    # columns (rewrites) taking precedence — must match the engine's
+    # with_row_lineage() scan exactly, including through a CoW UPDATE
+    # (keeps ids) and a DV delete
+    t = catalog.create_table(
+        "spec_lin",
+        schema={"k": "int", "v": "string"},
+        properties={**AVRO_PROPS, "format-version": "3"},
+    )
+    t.append([{"k": i, "v": "a"} for i in range(8)])
+    t.append([{"k": 8 + i, "v": "a"} for i in range(8)])
+    assert t.delete_where("k in (3, 11)", mode="merge-on-read-dv") == 2
+    assert t.update_where({"v": "'b'"}, "k >= 12", mode="copy-on-write") == 4
+    engine = {
+        r["k"]: r["_row_id"] for r in t.scan().with_row_lineage().to_a()
+    }
+    rows = read_spec_rows(
+        spark, t.ops._abs(t.current_snapshot().manifest_list), with_lineage=True
+    )
+    spec = {r["k"]: r["_row_id"] for r in rows}
+    assert spec == engine
+    assert len(spec) == 14 and None not in spec.values()

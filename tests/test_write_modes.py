@@ -206,3 +206,29 @@ def test_merge_mode_default_cow(catalog, spark):
     t.merge_into(src, on="k", when_matched_update={"v": "s.v"})
     assert not _entries(t, "equality-deletes")
     assert {r["k"]: r["v"] for r in t.to_a()}[4] == "upd"
+
+
+def test_mor_modes_on_partitioned_v3_table(catalog):
+    """Property-routed MoR DELETE and UPDATE must hold on hidden-partitioned
+    tables: vectors attach to partitioned data files, updated row versions
+    land in the right partitions, partition pruning still applies."""
+    t = catalog.create_table(
+        "part_mor",
+        schema={"k": "int", "grp": "string"},
+        partition_spec=[("grp", "identity")],
+        properties={
+            "format-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    t.append([{"k": i, "grp": "ab"[i % 2]} for i in range(20)])
+    assert t.delete_where("k >= 14") == 6
+    assert _entries(t, "deletion-vector")
+    assert sorted(r["k"] for r in t.to_a()) == list(range(14))
+    assert t.update_where({"grp": "'z'"}, "k < 2") == 2
+    rows = {r["k"]: r["grp"] for r in t.to_a()}
+    assert rows[0] == "z" and rows[1] == "z" and rows[2] == "a"
+    # updated versions are readable through the partition filter
+    assert sorted(r["k"] for r in t.scan().filter("grp = 'z'").to_a()) == [0, 1]
+    assert len(rows) == 14
