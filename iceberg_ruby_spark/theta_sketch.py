@@ -229,3 +229,45 @@ def sketch_from_values(
         if h is not None:
             hashes.add(h)
     return sketch_from_hashes(sorted(hashes)[: k + 1], k)
+
+
+# ---------------------------------------------------------------------------
+# vectorized fixed-width hashing (numpy) — the hot path for numeric columns
+# ---------------------------------------------------------------------------
+
+
+def hash63_fixed_batch(values, width: int, seed: int = DEFAULT_UPDATE_SEED):
+    """Vectorized :func:`hash63` for FIXED-``width`` single-value
+    serializations (4 or 8 bytes): ``values`` is a numpy uint64 array
+    holding each serialization's little-endian bytes zero-extended to 64
+    bits.  For inputs ≤ 8 bytes MurmurHash3 x64 128 reduces to the tail
+    block + finalization — a dozen uint64 ops, all numpy-vectorizable.
+    Returns an int64 array of 63-bit hashes (0 → the caller must drop,
+    matching the scalar path's rejection)."""
+    import numpy as np
+
+    if width not in (4, 8):
+        raise InvalidDataError(f"unsupported fixed width: {width}")
+    with np.errstate(over="ignore"):
+        v = values.astype(np.uint64)
+        k1 = v * np.uint64(_C1)
+        k1 = (k1 << np.uint64(31)) | (k1 >> np.uint64(33))
+        k1 = k1 * np.uint64(_C2)
+        h1 = np.uint64(seed) ^ k1
+        h2 = np.uint64(seed)
+        h1 = h1 ^ np.uint64(width)
+        h2 = h2 ^ np.uint64(width)
+        h1 = h1 + h2
+        h2 = h2 + h1
+
+        def fmix(k):
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xFF51AFD7ED558CCD)
+            k = k ^ (k >> np.uint64(33))
+            k = k * np.uint64(0xC4CEB9FE1A85EC53)
+            return k ^ (k >> np.uint64(33))
+
+        h1 = fmix(h1)
+        h2 = fmix(h2)
+        h1 = h1 + h2
+        return (h1 >> np.uint64(1)).astype(np.int64)

@@ -129,3 +129,55 @@ def test_compute_statistics_writes_theta_blobs(catalog, spark):
         # the JAVA library reads each blob and lands on the published ndv
         sk = _jvm_heapify(spark, bytes(b["payload"]))
         assert int(round(sk.getEstimate())) == int(b["properties"]["ndv"])
+
+
+def test_vectorized_fixed_width_hash_matches_scalar():
+    """hash63_fixed_batch (numpy, the ANALYZE hot path for numeric
+    columns) must agree value-for-value with the scalar reference over
+    the same single-value serializations."""
+    import struct
+
+    import numpy as np
+
+    vals8 = [0, 1, 12345, 2**63 - 1, 2**64 - 1, 999999999999, 2**53 + 7]
+    fast8 = ts.hash63_fixed_batch(np.array(vals8, dtype=np.uint64), 8)
+    for f, v in zip(fast8, vals8):
+        assert int(f) == ts.hash63(struct.pack("<Q", v))
+    vals4 = [0, 1, 77, 2**31 - 1, 2**32 - 1, 123456]
+    fast4 = ts.hash63_fixed_batch(np.array(vals4, dtype=np.uint64), 4)
+    for f, v in zip(fast4, vals4):
+        assert int(f) == ts.hash63(struct.pack("<I", v))
+    # signed + float bit patterns route through the same fixed widths
+    for x in (-1, -(2**40), 42):
+        u = np.array([x], dtype=np.int64).astype(np.uint64)
+        assert int(ts.hash63_fixed_batch(u, 8)[0]) == ts.hash63(struct.pack("<q", x))
+    for d in (0.0, -0.0, 3.14159, -1e300):
+        u = np.array([d], dtype=np.float64).view(np.uint64)
+        assert int(ts.hash63_fixed_batch(u, 8)[0]) == ts.hash63(struct.pack("<d", d))
+
+
+def test_compute_statistics_vectorized_path_agrees_with_scalar_types(catalog, spark):
+    """A table mixing vectorized (long/double/timestamp) and scalar-path
+    (string/date) columns: every published ndv must equal the true
+    distinct count (all under k)."""
+    import datetime
+
+    rows = [
+        {
+            "i": k % 13,
+            "d": float(k % 29) / 7,
+            "s": f"s{k % 17}",
+            "ts": datetime.datetime(2024, 1, 1) + datetime.timedelta(hours=k % 31),
+            "day": datetime.date(2024, 1, 1) + datetime.timedelta(days=k % 11),
+        }
+        for k in range(500)
+    ]
+    t = catalog.create_table(
+        "theta_mixed",
+        schema={"i": "int", "d": "double", "s": "string", "ts": "timestamp",
+                "day": "date"},
+    )
+    t.append(rows)
+    stats = t.compute_statistics()
+    got = {c: v["ndv"] for c, v in stats["columns"].items()}
+    assert got == {"i": 13, "d": 29, "s": 17, "ts": 31, "day": 11}
