@@ -425,8 +425,12 @@ class Catalog:
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_RE = re.compile(
-        r"^\s*INSERT\s+INTO\s+([\w.]+)\s*(?:\(([^)]*)\))?\s+(.*)$",
+        r"^\s*INSERT\s+(INTO|OVERWRITE)\s+(?:TABLE\s+)?([\w.]+)\s*"
+        r"(?:\(([^)]*)\))?\s+(.*)$",
         re.IGNORECASE | re.DOTALL,
+    )
+    _TRUNCATE_RE = re.compile(
+        r"^\s*TRUNCATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
     _UPDATE_RE = re.compile(
         r"^\s*UPDATE\s+([\w.]+)\s+SET\s+(.*?)\s+WHERE\s+(.*?)\s*;?\s*$",
@@ -601,9 +605,21 @@ class Catalog:
             if_not_exists = bool(re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE))
             self.create_table(self._sql_table_ident(name), schema=cols, if_not_exists=if_not_exists)
             return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._TRUNCATE_RE.match(query)
+        if m:
+            tbl = self.load_table(self._sql_table_ident(m.group(1)))
+            n = tbl.scan().count()
+            tbl.overwrite([])
+            self._invalidate_views()
+            return Result(self.spark.createDataFrame([(n,)], "deleted long"))
         m = self._INSERT_RE.match(query)
         if m:
-            name, col_list, rest = m.group(1), m.group(2), m.group(3).rstrip().rstrip(";")
+            verb, name, col_list, rest = (
+                m.group(1).upper(),
+                m.group(2),
+                m.group(3),
+                m.group(4).rstrip().rstrip(";"),
+            )
             tbl = self.load_table(self._sql_table_ident(name))
             self._register_views()
             # Spark SQL evaluates both `VALUES (...), (...)` and `SELECT ...`
@@ -621,7 +637,11 @@ class Catalog:
             elif all(c.startswith("col") for c in df.columns):
                 # positional VALUES come back as col1..colN — align by position
                 df = df.toDF(*[f.name for f in tbl.current_schema().fields][: len(df.columns)])
-            tbl.append(df)
+            if verb == "OVERWRITE":
+                # INSERT OVERWRITE: full-table replace in one snapshot
+                tbl.overwrite(df)
+            else:
+                tbl.append(df)
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._ALTER_RE.match(query)

@@ -180,9 +180,15 @@ def test_expire_snapshots_noop_keeps_version(catalog):
 
 def test_sql_unsupported_write_raises(catalog):
     with pytest.raises(UnsupportedFeatureError):
-        catalog.sql("TRUNCATE TABLE x")
+        catalog.sql("REPLACE TABLE x USING parquet AS SELECT 1")
     with pytest.raises(UnsupportedFeatureError):
         catalog.sql("ALTER TABLE x SET LOCATION '/elsewhere'")
+    # TRUNCATE is supported since round 6; a missing table is a
+    # catalog error, not an unsupported statement
+    from iceberg_ruby_spark.errors import NoSuchTableError
+
+    with pytest.raises(NoSuchTableError):
+        catalog.sql("TRUNCATE TABLE nope")
 
 
 def test_sql_alter_table_ddl(catalog):

@@ -148,3 +148,29 @@ def test_purge_removes_files(sqlcat):
 def test_uri_parsing_rejects_other_engines(spark):
     with pytest.raises(InvalidDataError):
         ice.SqlCatalog(uri="postgres://host/db", spark=spark)
+
+
+def test_sql_insert_overwrite_and_truncate(spark):
+    import iceberg_ruby_spark as ice
+
+    cat = ice.MemoryCatalog(namespace="ns")
+    cat.create_namespace("ns")
+    try:
+        cat.create_table("ns.iot", schema={"a": "int", "b": "string"})
+        cat.sql("INSERT INTO iot VALUES (1, 'x'), (2, 'y')")
+        assert cat.sql("SELECT * FROM iot ORDER BY a").rows == [[1, "x"], [2, "y"]]
+        # INSERT OVERWRITE replaces the whole table in one snapshot
+        cat.sql("INSERT OVERWRITE iot VALUES (9, 'z')")
+        assert cat.sql("SELECT * FROM iot").rows == [[9, "z"]]
+        # TRUNCATE returns the removed count, table stays queryable and
+        # writable, history (snapshots) is preserved for time travel
+        assert cat.sql("TRUNCATE TABLE iot").rows == [[1]]
+        assert cat.sql("SELECT * FROM iot").rows == []
+        cat.sql("INSERT INTO iot VALUES (5, 'w')")
+        assert cat.sql("SELECT * FROM iot").rows == [[5, "w"]]
+        t = cat.load_table("iot")
+        assert len(t.snapshots) >= 4
+    finally:
+        import shutil
+
+        shutil.rmtree(cat.warehouse, ignore_errors=True)
