@@ -38,6 +38,7 @@ from iceberg_ruby_spark.errors import (
     NoSuchNamespaceError,
     NoSuchTableError,
     TableAlreadyExistsError,
+    UnsupportedFeatureError,
 )
 from iceberg_ruby_spark.result import Result
 from iceberg_ruby_spark import types as ice_t
@@ -65,6 +66,25 @@ def _norm_ident(ident: Ident) -> list[str]:
     if not parts or any(not p for p in parts):
         raise InvalidDataError(f"invalid identifier: {ident!r}")
     return parts
+
+
+def _parse_call_literal(src: str):
+    """A CALL argument literal: quoted string ('' escape), integer, float,
+    true/false, or a bare word (kept as string)."""
+    if src.startswith("'") and src.endswith("'"):
+        return src[1:-1].replace("''", "'")
+    low = src.lower()
+    if low in ("true", "false"):
+        return low == "true"
+    try:
+        return int(src)
+    except ValueError:
+        pass
+    try:
+        return float(src)
+    except ValueError:
+        pass
+    return src
 
 
 def _split_top_level(src: str, sep: str = ",") -> list[str]:
@@ -469,6 +489,16 @@ class Catalog:
     _DROP_VIEW_RE = re.compile(
         r"^\s*DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
+    _SHOW_TABLES_RE = re.compile(
+        r"^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE
+    )
+    _DESCRIBE_RE = re.compile(
+        r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+    )
+    _CALL_RE = re.compile(
+        r"^\s*CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
 
     def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
         """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
@@ -488,6 +518,30 @@ class Catalog:
             raise InvalidDataError("only a single SQL statement is supported")
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
+        m = self._SHOW_TABLES_RE.match(query)
+        if m:
+            ns = m.group(1)
+            ns_parts = ns.split(".") if ns else None
+            rows = [(".".join(p),) for p in self.list_tables(ns_parts)]
+            return Result(
+                self.spark.createDataFrame(rows, "table_name string")
+            )
+        m = self._DESCRIBE_RE.match(query)
+        if m:
+            t = self.load_table(self._sql_table_ident(m.group(1)))
+            rows = [
+                (f.name, f.field_type.name, not f.required, f.doc)
+                for f in t.current_schema().fields
+            ]
+            return Result(
+                self.spark.createDataFrame(
+                    rows, "col_name string, data_type string, nullable boolean, "
+                    "comment string"
+                )
+            )
+        m = self._CALL_RE.match(query)
+        if m:
+            return self._sql_call(m.group(1), m.group(2))
         self._register_views()
         query = self._rewrite_time_travel(query)
         args: dict[str, Any] = {}
@@ -782,6 +836,68 @@ class Catalog:
         raise UnsupportedFeatureError(
             f"unsupported write statement (use the catalog/table API): {query[:80]!r}"
         )
+
+    def _sql_call(self, proc: str, args_src: str) -> Result:
+        """``CALL <cat>.system.<procedure>(...)`` — the iceberg-spark
+        stored-procedure surface for maintenance operations.  Arguments
+        are positional or named (``name => value``); the first is always
+        the table identifier."""
+        pos: list[Any] = []
+        named: dict[str, Any] = {}
+        for part in _split_top_level(args_src):
+            part = part.strip()
+            if not part:
+                continue
+            k, arrow, v = part.partition("=>")
+            if arrow:
+                named[k.strip().lower()] = _parse_call_literal(v.strip())
+            else:
+                pos.append(_parse_call_literal(part))
+
+        def arg(name: str, idx: int, default: Any = None) -> Any:
+            if name in named:
+                return named[name]
+            if idx < len(pos):
+                return pos[idx]
+            return default
+
+        table_ident = arg("table", 0)
+        if table_ident is None:
+            raise InvalidDataError(f"CALL system.{proc}: table argument required")
+        tbl = self.load_table(self._sql_table_ident(str(table_ident)))
+        proc = proc.lower()
+        if proc == "expire_snapshots":
+            n = tbl.expire_snapshots(keep_last=int(arg("retain_last", 1, 1)))
+            out = [(n,)], "expired long"
+        elif proc == "remove_orphan_files":
+            removed = tbl.remove_orphan_files()
+            out = [(len(removed),)], "removed long"
+        elif proc == "rewrite_data_files":
+            zorder = arg("zorder", 1)
+            tbl.compact(
+                zorder=[c.strip() for c in str(zorder).split(",")] if zorder else None
+            )
+            out = [("ok",)], "status string"
+        elif proc == "rollback_to_snapshot":
+            tbl.rollback_to_snapshot(int(arg("snapshot_id", 1)))
+            out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
+        elif proc == "rollback_to_timestamp":
+            tbl.rollback_to_timestamp(arg("timestamp", 1))
+            out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
+        elif proc == "set_current_snapshot":
+            tbl.rollback_to_snapshot(int(arg("snapshot_id", 1)))
+            out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
+        elif proc == "fast_forward":
+            tbl.fast_forward(str(arg("branch", 1)), arg("to", 2))
+            out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
+        elif proc == "compute_table_stats":
+            stats = tbl.compute_statistics()
+            out = [(stats["record-count"],)], "record_count long"
+        else:
+            raise UnsupportedFeatureError(f"unknown procedure: system.{proc}")
+        self._invalidate_views()
+        rows, schema = out
+        return Result(self.spark.createDataFrame(rows, schema))
 
     def _invalidate_views(self) -> None:
         self._view_cache: dict[str, int] = {}

@@ -324,3 +324,35 @@ def test_sql_version_as_of_quoted_ref(catalog):
     # inside a string literal: no rewrite, the literal comes back verbatim
     lit = catalog.sql("SELECT 'ttr VERSION AS OF 99' AS s").rows
     assert lit == [["ttr VERSION AS OF 99"]]
+
+
+def test_sql_show_tables_and_describe(catalog):
+    catalog.create_table("st1", schema={"a": "int", "b": "string"})
+    catalog.create_table("st2", schema={"a": "int"})
+    names = {r[0] for r in catalog.sql("SHOW TABLES").rows}
+    assert {"default.st1", "default.st2"} <= names
+    desc = catalog.sql("DESCRIBE st1").rows
+    assert [d[0] for d in desc] == ["a", "b"]
+    assert [d[1] for d in desc] == ["int", "string"]
+
+
+def test_sql_call_system_procedures(catalog):
+    t = catalog.create_table("proc", schema={"a": "int"})
+    for i in range(3):
+        t.append([{"a": i}])
+    # iceberg-spark stored-procedure surface: named and positional args
+    assert catalog.sql(
+        "CALL system.expire_snapshots(table => 'proc', retain_last => 1)"
+    ).rows == [[2]]
+    assert catalog.sql("CALL system.rewrite_data_files('proc')").rows == [["ok"]]
+    t = catalog.load_table("proc")
+    assert len([e for e in t._current_entries() if "path" in e]) == 1  # compacted
+    sid = t.current_snapshot_id
+    assert catalog.sql(
+        f"CALL system.rollback_to_snapshot('proc', {sid})"
+    ).rows == [[sid]]
+    assert catalog.sql("CALL system.compute_table_stats('proc')").rows == [[3]]
+    assert catalog.sql("CALL system.remove_orphan_files('proc')").rows[0][0] >= 0
+    assert sorted(r["a"] for r in catalog.load_table("proc").to_a()) == [0, 1, 2]
+    with pytest.raises(UnsupportedFeatureError):
+        catalog.sql("CALL system.nope('proc')")
