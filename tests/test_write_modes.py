@@ -232,3 +232,45 @@ def test_mor_modes_on_partitioned_v3_table(catalog):
     # updated versions are readable through the partition filter
     assert sorted(r["k"] for r in t.scan().filter("grp = 'z'").to_a()) == [0, 1]
     assert len(rows) == 14
+
+
+def test_mor_update_never_resurrects_dead_rows(catalog):
+    """A MoR UPDATE whose predicate overlaps already-dead rows must skip
+    them for every prior delete flavor: DV, equality, and predicate —
+    both the returned count (an honest delta) and the new row versions."""
+    t = catalog.create_table(
+        "nores1",
+        schema={"k": "int", "v": "string"},
+        properties={
+            "format-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    t.append([{"k": i, "v": "old"} for i in range(10)])
+    assert t.delete_where("k in (7, 8)") == 2        # DV
+    assert t.update_where({"v": "'new'"}, "k >= 6") == 2  # 6 and 9 only
+    rows = sorted((r["k"], r["v"]) for r in t.to_a())
+    assert (7, "new") not in rows and (8, "new") not in rows
+    assert len(rows) == 8 and (6, "new") in rows and (9, "new") in rows
+
+    t2 = catalog.create_table(
+        "nores2",
+        schema={"k": "int", "v": "string"},
+        properties={"format-version": "3", "write.update.mode": "merge-on-read"},
+    )
+    t2.append([{"k": i, "v": "old"} for i in range(6)])
+    t2.delete_by_keys([{"k": 2}], on="k")            # equality delete
+    assert t2.update_where({"v": "'x'"}, "k >= 2") == 3
+    rows2 = sorted((r["k"], r["v"]) for r in t2.to_a())
+    assert (2, "x") not in rows2 and len(rows2) == 5
+
+    t3 = catalog.create_table(
+        "nores3",
+        schema={"k": "int"},
+        properties={"format-version": "3", "write.update.mode": "merge-on-read"},
+    )
+    t3.append([{"k": i} for i in range(6)])
+    t3.delete_where("k = 5", mode="merge-on-read")   # predicate delete
+    assert t3.update_where({"k": "k + 100"}, "k >= 4") == 1
+    assert sorted(r["k"] for r in t3.to_a()) == [0, 1, 2, 3, 104]
