@@ -633,3 +633,59 @@ def decontaminate(
     return out.filter(~F.col("contaminated")).drop(
         "contaminated", "n_contaminated_grams"
     )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over a near-duplicate pair list → one
+    ``(doc_id, cluster_id)`` row per document appearing in any pair, with
+    ``cluster_id`` = the smallest doc id in its component.  This is the
+    step every dedup pipeline runs AFTER pair generation: transitive
+    closure groups {A~B, B~C} into one cluster so exactly one canonical
+    document survives per near-dup family.
+
+    Label propagation with alternating minimum: each round every node
+    takes ``min(own label, neighbors' labels)``; converges in
+    O(diameter) rounds — near-dup clusters are small and dense, so
+    usually 2-4.  Each round is ONE join + ONE aggregation on the
+    (output-sized, never corpus-sized) edge list, with an eager
+    ``localCheckpoint`` truncating the plan so iteration N doesn't
+    re-execute rounds 1..N-1.  The round loop is driver-side control flow
+    only — per-round data never leaves the executors except the single
+    convergence counter."""
+    sym = pairs.select(
+        F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
+    )
+    edges = (
+        sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
+    labels = edges.select("src").distinct().withColumn("lbl", F.col("src"))
+    for _ in range(max_iterations):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("src").alias("dst"), F.col("lbl").alias("nlbl")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("nlbl").alias("nbr"))
+        )
+        new = labels.join(nbr_min, "src", "left").select(
+            "src", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl")
+        ).localCheckpoint()
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "src")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .limit(1)
+            .count()
+        )
+        labels = new
+        if not changed:
+            break
+    return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))

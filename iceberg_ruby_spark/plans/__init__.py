@@ -47,7 +47,7 @@ _NEVER_DRIVER_CHECKED = [
     "engine_delete_mor_dv", "engine_row_lineage", "engine_write_mode_properties",
     "text_stratified_sample", "text_pack_sequences", "text_scrub_pii",
     "events_sessionize", "dedup_decontaminate", "text_repetition_stats",
-    "engine_statistics_ndv", "engine_schema_defaults",
+    "engine_statistics_ndv", "engine_schema_defaults", "dedup_cluster_components",
 ]
 
 _LAST_CHECKED_R2 = ["percentile_aggs"]

@@ -949,3 +949,46 @@ def text_repetition_stats(spark, sf_dir):
         "doc_id", "dup_1gram_frac", "dup_2gram_frac", "dup_3gram_frac",
         "dup_line_frac",
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE mh AS (
+      {_minhash_oracle()}
+    ), nodes AS (
+      SELECT DISTINCT id_a AS n FROM mh
+      UNION
+      SELECT DISTINCT id_b FROM mh
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM mh
+      UNION
+      SELECT id_b, id_a FROM mh
+    ), reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    )
+    SELECT src AS doc_id, MIN(node) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_cluster_components(spark, sf_dir):
+    """The dedup pipeline's final step: transitive closure over the
+    MinHash near-dup pairs (operators/dedup.py ``connected_components``,
+    min-label propagation — O(diameter) rounds of one output-sized join
+    each), assigning every near-dup family one canonical cluster id.  The
+    DuckDB twin re-derives the SAME pairs (the bit-for-bit md5 MinHash
+    oracle) and computes exact components with a recursive CTE — the
+    iterative Spark algorithm is held to a closed-form ground truth."""
+    from iceberg_ruby_spark.operators.dedup import (
+        connected_components,
+        minhash_lsh_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5, hash_fn="md5",
+    )
+    return connected_components(pairs).orderBy("doc_id")

@@ -452,3 +452,21 @@ def test_repetition_stats_known_fractions(spark):
     assert r[2]["dup_2gram_frac"] == 0.0
     assert r[3]["dup_line_frac"] == pytest.approx(1 / 3)
     assert r[2]["dup_line_frac"] == 0.0
+
+
+def test_connected_components_transitive_closure(spark):
+    from iceberg_ruby_spark.operators.dedup import connected_components
+
+    # components: {1,2,3,4} via chain, {10,11}, {20,21,22} via star
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+    # a long chain needs several propagation rounds — still converges
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30, 40)], "id_a long, id_b long"
+    )
+    got2 = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
+    assert set(got2.values()) == {30} and len(got2) == 11
