@@ -314,7 +314,36 @@ class FsTableOps:
         self.io.replace(
             os.path.join(self.metadata_dir, "version-hint.text"), str(new_version)
         )
+        self._trim_old_versions(new_meta, new_version)
         return TableMetadata(new_meta, new_version, path)
+
+    def _trim_old_versions(self, meta: dict[str, Any], new_version: int) -> None:
+        """Iceberg's ``write.metadata.delete-after-commit.enabled`` +
+        ``write.metadata.previous-versions-max`` (default 100): after a
+        successful commit, drop metadata version FILES older than the
+        retained window so a long-lived table's metadata/ dir doesn't grow
+        one JSON per commit forever.  Metadata files only — snapshots,
+        manifests, and data are untouched (their lifecycle belongs to
+        expire_snapshots / remove_orphan_files).  Deletes are best-effort:
+        a reader pinned to an ancient version losing the race is exactly
+        the spec's documented behavior for this property."""
+        props = meta.get("properties", {})
+        if props.get(
+            "write.metadata.delete-after-commit.enabled", "false"
+        ).lower() != "true":
+            return
+        keep = int(props.get("write.metadata.previous-versions-max", 100))
+        cutoff = new_version - 1 - keep  # newest retained old version
+        v = cutoff
+        while v >= 1:
+            path = os.path.join(self.metadata_dir, f"v{v}.json")
+            if not self.io.exists(path):
+                break  # already trimmed below this point
+            try:
+                self.io.delete(path)
+            except OSError:  # pragma: no cover — best-effort
+                break
+            v -= 1
 
     def _rel(self, p: str) -> str:
         """Path as stored: relative to the table location, so the table tree

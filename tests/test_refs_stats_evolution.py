@@ -394,3 +394,46 @@ def test_sql_add_column_default(catalog):
     # quoted '' escape
     catalog.sql("ALTER TABLE dflt2 ADD COLUMN q string DEFAULT 'it''s'")
     assert t.refresh().current_schema().field_by_name("q").write_default == "it's"
+
+
+# -- metadata version trimming ------------------------------------------------
+
+
+def test_metadata_delete_after_commit(catalog):
+    """write.metadata.delete-after-commit.enabled +
+    write.metadata.previous-versions-max: old vN.json files are trimmed
+    after each commit; the retained window plus the current version stay
+    readable (time travel through snapshots is unaffected — trimming
+    touches only metadata pointer files)."""
+    import os
+
+    t = catalog.create_table(
+        "trim",
+        schema={"a": "int"},
+        properties={
+            "write.metadata.delete-after-commit.enabled": "true",
+            "write.metadata.previous-versions-max": "2",
+        },
+    )
+    for i in range(8):
+        t.append([{"a": i}])
+    versions = sorted(
+        int(f[1:-5])
+        for f in os.listdir(t.ops.metadata_dir)
+        if f.startswith("v") and f.endswith(".json")
+    )
+    cur = t.ops.current_version()
+    assert versions == [cur - 2, cur - 1, cur]  # window of 2 + current
+    # the table stays fully readable and writable
+    assert sorted(r["a"] for r in t.to_a()) == list(range(8))
+    t.append([{"a": 99}])
+    assert len(t.refresh().snapshots) == 9
+    # without the property, every version is retained
+    t2 = catalog.create_table("notrim", schema={"a": "int"})
+    for i in range(4):
+        t2.append([{"a": i}])
+    versions2 = [
+        f for f in os.listdir(t2.ops.metadata_dir)
+        if f.startswith("v") and f.endswith(".json")
+    ]
+    assert len(versions2) == 5  # create + 4 appends
