@@ -168,3 +168,57 @@ def test_concurrent_appends_assign_disjoint_row_id_ranges(catalog):
     for w, got in by_w.items():
         got = sorted(got)
         assert got == list(range(got[0], got[0] + rows_each)), (w, got)
+
+
+def test_mixed_append_dv_delete_mor_update_race(catalog):
+    """Three workers race append + property-routed DV delete + MoR update
+    on disjoint key bands of ONE v3 table: every operation must land (the
+    optimistic commit loop absorbs physical races), no update may be
+    lost, no row resurrected, and the one-DV-per-file invariant must
+    hold across the interleaved vectors."""
+    import threading
+
+    t = catalog.create_table(
+        "mixed_race",
+        schema={"k": "int", "v": "string"},
+        properties={
+            "format-version": "3",
+            "write.delete.mode": "merge-on-read",
+            "write.update.mode": "merge-on-read",
+        },
+    )
+    for band in range(3):
+        t.append([{"k": band * 100 + i, "v": "old"} for i in range(20)])
+
+    errors = []
+
+    def worker(band):
+        try:
+            tb = catalog.load_table("mixed_race")
+            lo = band * 100
+            tb.append([{"k": lo + 50 + i, "v": "new"} for i in range(5)])
+            tb.refresh()
+            assert tb.delete_where(f"k >= {lo + 15} and k < {lo + 20}") == 5
+            tb.refresh()
+            assert tb.update_where({"v": "'upd'"}, f"k >= {lo} and k < {lo + 5}") == 5
+        except Exception as exc:  # pragma: no cover
+            errors.append((band, exc))
+
+    threads = [threading.Thread(target=worker, args=(b,)) for b in range(3)]
+    for th in threads:
+        th.start()
+    for th in threads:
+        th.join()
+    assert not errors, errors
+    t = catalog.load_table("mixed_race")
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert len(rows) == 60
+    for band in range(3):
+        lo = band * 100
+        assert all(rows.get(lo + i) == "upd" for i in range(5))
+        assert all(lo + 15 + i not in rows for i in range(5))
+        assert all(rows.get(lo + 50 + i) == "new" for i in range(5))
+        assert all(rows.get(lo + i) == "old" for i in range(5, 15))
+    dv = [e for e in t._current_entries() if e.get("content") == "deletion-vector"]
+    refs = [e["referenced-data-file"] for e in dv]
+    assert len(refs) == len(set(refs)), refs
