@@ -2836,8 +2836,12 @@ class Table:
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown delete mode: {mode}")
         data, preds = self._split_entries(entries)
+        # match against the FULL entry list so prior MoR deletes apply:
+        # the returned count stays an honest delta (rows already dead via
+        # a DV/positional/equality/predicate entry are not re-counted) and
+        # files whose matches are all dead are not needlessly rewritten
         hits = self._matching_files(
-            data, cond, cond_str=condition if isinstance(condition, str) else None
+            entries, cond, cond_str=condition if isinstance(condition, str) else None
         )
         deleted = sum(hits.values())
         if not hits:
@@ -3044,9 +3048,12 @@ class Table:
             return self._update_where_mor(assignments, cond, mode)
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown update mode: {mode}")
-        data, preds = self._split_entries(self._current_entries())
+        entries = self._current_entries()
+        data, preds = self._split_entries(entries)
+        # full entry list: prior MoR deletes apply, so the count is an
+        # honest delta and all-dead files skip the rewrite (see delete_where)
         hits = self._matching_files(
-            data, cond, cond_str=condition if isinstance(condition, str) else None
+            entries, cond, cond_str=condition if isinstance(condition, str) else None
         )
         updated = sum(hits.values())
         if not hits:
@@ -3143,7 +3150,9 @@ class Table:
         # against distinct source keys; AQE broadcasts when small);
         # schema-evolution-aware read with the file path carried alongside
         if self._entry_files(data):
-            t_meta = self._read_entries(data, file_col="__file")
+            # full entry list: rows dead via prior MoR deletes neither
+            # count as matches nor force their file into the rewrite
+            t_meta = self._read_entries(entries, file_col="__file")
             hit_rows = (
                 t_meta.join(source.select(*keys).distinct(), keys, "left_semi")
                 .groupBy("__file")
