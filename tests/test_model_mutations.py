@@ -50,8 +50,30 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
 
     for step in range(steps):
         op = rnd.choice(["append", "delete", "delete", "update", "update",
-                         "compact", "expire"])
-        if op == "append":
+                         "merge", "delete_by_keys", "compact", "expire"])
+        if op == "merge":
+            mode = rnd.choice(["copy-on-write", "merge-on-read"])
+            live = sorted(model)
+            upd_keys = rnd.sample(live, min(3, len(live))) if live else []
+            ins_keys = [next_key + i for i in range(2)]
+            next_key += 2
+            val = f"m{step}"
+            src = t.spark.createDataFrame(
+                [(k, val) for k in upd_keys + ins_keys], "k int, v string"
+            )
+            t.merge_into(src, on="k", when_matched_update={"v": "s.v"}, mode=mode)
+            for k in upd_keys + ins_keys:
+                model[k] = val
+            op = f"merge[{mode}] upd={upd_keys} ins={ins_keys}"
+        elif op == "delete_by_keys":
+            live = sorted(model)
+            keys = rnd.sample(live, min(2, len(live))) if live else []
+            if keys:
+                t.delete_by_keys([{"k": k} for k in keys], on="k")
+                for k in keys:
+                    del model[k]
+            op = f"delete_by_keys {keys}"
+        elif op == "append":
             n = rnd.randrange(1, 8)
             batch = [{"k": next_key + i, "v": f"a{step}"} for i in range(n)]
             next_key += n
