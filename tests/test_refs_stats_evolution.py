@@ -437,3 +437,57 @@ def test_metadata_delete_after_commit(catalog):
         if f.startswith("v") and f.endswith(".json")
     ]
     assert len(versions2) == 5  # create + 4 appends
+
+
+def test_schema_evolution_interleaved_with_dv_mutations(catalog):
+    """Schema evolution between MoR mutations: renamed columns drive DV
+    deletes/updates by their NEW names, added-with-default columns update
+    correctly on pre-existing rows and survive compaction, type widening
+    coexists with outstanding vectors, and DV deletes span partition-spec
+    evolution."""
+    t = catalog.create_table(
+        "sev1", schema={"k": "int", "val": "string"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"k": i, "val": "x"} for i in range(10)])
+    t.update_schema().rename_column("val", "v2").commit()
+    t = catalog.load_table("sev1")
+    assert t.delete_where("k >= 8", mode="merge-on-read-dv") == 2
+    assert t.update_where({"v2": "'y'"}, "k < 2", mode="merge-on-read-dv") == 2
+    assert sorted((r["k"], r["v2"]) for r in t.to_a()) == (
+        [(0, "y"), (1, "y")] + [(i, "x") for i in range(2, 8)]
+    )
+
+    t2 = catalog.create_table(
+        "sev2", schema={"k": "int"}, properties={"format-version": "3"}
+    )
+    t2.append([{"k": i} for i in range(6)])
+    t2.update_schema().add_column("tag", "string", default="d").commit()
+    t2 = catalog.load_table("sev2")
+    assert t2.update_where({"tag": "'u'"}, "k >= 4", mode="merge-on-read-dv") == 2
+    t2.append([{"k": 6}])
+    want = [(0, "d"), (1, "d"), (2, "d"), (3, "d"), (4, "u"), (5, "u"), (6, "d")]
+    assert sorted((r["k"], r["tag"]) for r in t2.to_a()) == want
+    t2.compact()
+    assert sorted((r["k"], r["tag"]) for r in t2.to_a()) == want
+
+    t3 = catalog.create_table(
+        "sev3", schema={"k": "int"}, properties={"format-version": "3"}
+    )
+    t3.append([{"k": i} for i in range(8)])
+    assert t3.delete_where("k = 1", mode="merge-on-read-dv") == 1
+    t3.update_schema().update_column("k", "long").commit()
+    t3 = catalog.load_table("sev3")
+    assert t3.delete_where("k = 2", mode="merge-on-read-dv") == 1
+    assert sorted(r["k"] for r in t3.to_a()) == [0, 3, 4, 5, 6, 7]
+
+    t4 = catalog.create_table(
+        "sev4", schema={"k": "int", "g": "string"},
+        properties={"format-version": "3"},
+    )
+    t4.append([{"k": i, "g": "a"} for i in range(5)])
+    t4.update_spec([("g", "identity")])
+    t4 = catalog.load_table("sev4")
+    t4.append([{"k": 5 + i, "g": "b"} for i in range(5)])
+    assert t4.delete_where("k in (0, 7)", mode="merge-on-read-dv") == 2
+    assert sorted(r["k"] for r in t4.to_a()) == [1, 2, 3, 4, 5, 6, 8, 9]
