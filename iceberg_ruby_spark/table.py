@@ -2382,11 +2382,29 @@ class Table:
                 continue  # lost the optimistic race; retry on fresh metadata
         raise InvalidDataError("commit conflict: too many retries")
 
-    def _current_entries(self) -> list[dict[str, Any]]:
-        snap = self.current_snapshot()
+    def _current_entries(
+        self, branch: Optional[str] = None
+    ) -> list[dict[str, Any]]:
+        """Live manifest entries at main's head, or at a branch head when
+        ``branch`` names one (branch-scoped DML; a missing branch reads
+        main, mirroring append's implicit fork)."""
+        snap = None
+        if branch and branch != MAIN_BRANCH:
+            snap = self.snapshot_for_ref(branch)
+        if snap is None:
+            snap = self.current_snapshot()
         if snap is None:
             return []
         return self.ops.read_manifest(snap.manifest_list)
+
+    def _branch_head_id(self, branch: Optional[str]) -> Optional[int]:
+        """The optimistic-commit base for a mutation: main's head, or the
+        branch head for branch-scoped DML."""
+        if branch and branch != MAIN_BRANCH:
+            snap = self.snapshot_for_ref(branch)
+            if snap is not None:
+                return snap.snapshot_id
+        return self.current_snapshot_id
 
     def append(self, data: Any, branch: Optional[str] = None) -> "Table":
         """Fast-append: write new files, commit a child snapshot (reference
@@ -2730,11 +2748,19 @@ class Table:
             )
         return carried, del_entries, deleted, dv_path
 
-    def delete_where(self, condition: Union[str, Any], mode: Optional[str] = None) -> int:
+    def delete_where(
+        self,
+        condition: Union[str, Any],
+        mode: Optional[str] = None,
+        branch: Optional[str] = None,
+    ) -> int:
         """DELETE in one of four modes.  ``mode=None`` (default) resolves
         the table's ``write.delete.mode`` property — ``copy-on-write``
         unless set; ``merge-on-read`` picks deletion vectors on v3 tables
         and positional delete files on v2 (the spec's engine contract).
+        ``branch`` scopes the delete to a branch head (write-audit-publish:
+        audit deletes are visible via ``scan(ref=branch)`` and move main
+        only when ``fast_forward`` publishes them).
 
         - ``copy-on-write``: rewrite only the files that contain
           matching rows; carry all other files forward by reference.
@@ -2770,7 +2796,8 @@ class Table:
             # spec-readable (tests/test_spec_reader.py round-trips it).
             mode = "merge-on-read-dv"
         cond = F.expr(condition) if isinstance(condition, str) else condition
-        entries = self._current_entries()
+        target = branch or MAIN_BRANCH
+        entries = self._current_entries(branch)
         if mode == "merge-on-read-positional":
             del_entries, deleted = self._positional_delete_build(entries, cond)
             if not deleted:
@@ -2779,7 +2806,8 @@ class Table:
                 "delete",
                 entries + del_entries,
                 {"deleted-records": deleted, "mode": "merge-on-read-positional"},
-                base_snapshot_id=self.current_snapshot_id,
+                base_snapshot_id=self._branch_head_id(branch),
+                branch=target,
             )
             return deleted
         if mode == "merge-on-read-dv":
@@ -2790,7 +2818,9 @@ class Table:
             # loser recomputes everything from fresh state, re-merging the
             # winner's vector.
             for attempt in range(self._commit_retries() + 1):
-                cur_entries = entries if attempt == 0 else self._current_entries()
+                cur_entries = (
+                    entries if attempt == 0 else self._current_entries(branch)
+                )
                 carried, del_entries, deleted, dv_path = self._dv_delete_build(
                     cur_entries, cond
                 )
@@ -2801,7 +2831,8 @@ class Table:
                         "delete",
                         carried + del_entries,
                         {"deleted-records": deleted, "mode": "merge-on-read-dv"},
-                        base_snapshot_id=self.current_snapshot_id,
+                        base_snapshot_id=self._branch_head_id(branch),
+                        branch=target,
                     )
                     return deleted
                 except InvalidDataError as exc:
@@ -2830,7 +2861,8 @@ class Table:
                 "delete",
                 entries + [{"delete-predicate": condition, "applies-to": sorted(hits)}],
                 {"deleted-records": deleted, "mode": "merge-on-read"},
-                base_snapshot_id=self.current_snapshot_id,
+                base_snapshot_id=self._branch_head_id(branch),
+                branch=target,
             )
             return deleted
         if mode != "copy-on-write":
@@ -2863,7 +2895,8 @@ class Table:
             "delete",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"deleted-records": deleted},
-            base_snapshot_id=self.current_snapshot_id,
+            base_snapshot_id=self._branch_head_id(branch),
+            branch=target,
         )
         return deleted
 
@@ -2971,7 +3004,10 @@ class Table:
             )
         return out
 
-    def _update_where_mor(self, assignments: dict[str, Any], cond, mode: str) -> int:
+    def _update_where_mor(
+        self, assignments: dict[str, Any], cond, mode: str,
+        branch: Optional[str] = None,
+    ) -> int:
         """Merge-on-read UPDATE: ONE commit that (a) marks the current
         versions of matching rows dead — deletion vectors on v3, positional
         delete files on v2 — and (b) appends their updated versions as new
@@ -2980,8 +3016,9 @@ class Table:
         ``write.update.mode=merge-on-read``.  Row lineage follows the
         spec's update rules: carried ``_row_id``, NULL'd sequence cell
         (rows inherit the commit's sequence on read)."""
+        target = branch or MAIN_BRANCH
         for attempt in range(self._commit_retries() + 1):
-            cur_entries = self._current_entries()
+            cur_entries = self._current_entries(branch)
             if mode == "merge-on-read-dv":
                 carried, del_entries, deleted, dv_path = self._dv_delete_build(
                     cur_entries, cond
@@ -3016,7 +3053,8 @@ class Table:
                     "overwrite",
                     base_entries + del_entries + new_entries,
                     {"updated-records": deleted, "mode": mode},
-                    base_snapshot_id=self.current_snapshot_id,
+                    base_snapshot_id=self._branch_head_id(branch),
+                    branch=target,
                 )
                 return deleted
             except InvalidDataError as exc:
@@ -3033,6 +3071,7 @@ class Table:
         assignments: dict[str, Any],
         condition: Union[str, Any],
         mode: Optional[str] = None,
+        branch: Optional[str] = None,
     ) -> int:
         """UPDATE.  ``mode=None`` (default) resolves the table's
         ``write.update.mode`` property — ``copy-on-write`` unless set;
@@ -3045,10 +3084,10 @@ class Table:
             mode = self._resolve_write_mode("write.update.mode")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode in ("merge-on-read-positional", "merge-on-read-dv"):
-            return self._update_where_mor(assignments, cond, mode)
+            return self._update_where_mor(assignments, cond, mode, branch=branch)
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown update mode: {mode}")
-        entries = self._current_entries()
+        entries = self._current_entries(branch)
         data, preds = self._split_entries(entries)
         # full entry list: prior MoR deletes apply, so the count is an
         # honest delta and all-dead files skip the rewrite (see delete_where)
@@ -3090,7 +3129,8 @@ class Table:
             "overwrite",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"updated-records": updated},
-            base_snapshot_id=self.current_snapshot_id,
+            base_snapshot_id=self._branch_head_id(branch),
+            branch=branch or MAIN_BRANCH,
         )
         return updated
 

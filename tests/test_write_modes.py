@@ -274,3 +274,32 @@ def test_mor_update_never_resurrects_dead_rows(catalog):
     t3.delete_where("k = 5", mode="merge-on-read")   # predicate delete
     assert t3.update_where({"k": "k + 100"}, "k >= 4") == 1
     assert sorted(r["k"] for r in t3.to_a()) == [0, 1, 2, 3, 104]
+
+
+def test_branch_scoped_delete_and_update_wap(catalog):
+    """Branch-scoped DML (write-audit-publish for mutations, not just
+    appends): deletes and updates against a branch are invisible on main
+    until fast_forward publishes the branch head."""
+    t = catalog.create_table(
+        "wap_dml",
+        schema={"k": "int", "v": "string"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"k": i, "v": "old"} for i in range(10)])
+    t.create_branch("audit")
+    assert t.delete_where("k >= 8", mode="merge-on-read-dv", branch="audit") == 2
+    assert (
+        t.update_where({"v": "'fixed'"}, "k = 0", mode="merge-on-read-dv",
+                       branch="audit")
+        == 1
+    )
+    # CoW flavors scope to the branch too
+    assert t.delete_where("k = 7", mode="copy-on-write", branch="audit") == 1
+    t = t.refresh()
+    assert sorted((r["k"], r["v"]) for r in t.to_a()) == [
+        (i, "old") for i in range(10)
+    ]  # main untouched
+    audit = sorted((r["k"], r["v"]) for r in t.to_a(ref="audit"))
+    assert audit == [(0, "fixed")] + [(i, "old") for i in range(1, 7)]
+    t.fast_forward("main", "audit")
+    assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == audit
