@@ -299,3 +299,38 @@ def repetition_stats(
         (F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)).cast("double"),
     )
     return out
+
+
+def mix_corpus(
+    df: DataFrame,
+    token_budgets: dict,
+    stratum_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Token-budget corpus MIXING — the step that turns per-source token
+    targets ("200M tokens of crawl, all of books") into sampling rates:
+    one tiny aggregation computes each source's total tokens (the driver
+    collects one row per source), the rate is ``min(1, budget/total)``,
+    and the deterministic md5 stratified filter applies it map-only.
+    Sources without a budget are kept whole.  Adds ``mix_rate`` so the
+    sample is auditable; survivors are a pure function of (seed, id) —
+    identical on any partitioning or cluster size, resumable, and
+    reproducible by external engines."""
+    totals = {
+        r[stratum_col]: r["__tok"]
+        for r in df.groupBy(stratum_col)
+        .agg(F.sum(token_count(F.col(text_col))).alias("__tok"))
+        .collect()
+    }
+    rates = {
+        s: min(1.0, float(token_budgets[s]) / t) if s in token_budgets else 1.0
+        for s, t in totals.items()
+        if t
+    }
+    out = stratified_sample(df, stratum_col, rates, id_col=id_col, seed=seed)
+    rate_expr = F.lit(1.0)
+    for s, r in sorted(rates.items()):
+        rate_expr = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate_expr)
+    return out.withColumn("mix_rate", rate_expr.cast("double"))

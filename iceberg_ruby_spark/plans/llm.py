@@ -992,3 +992,35 @@ def dedup_cluster_components(spark, sf_dir):
         threshold=0.5, hash_fn="md5",
     )
     return connected_components(pairs).orderBy("doc_id")
+
+
+@query(
+    "text_mix_corpus",
+    oracle=f"""
+    WITH tot AS (
+      SELECT source, SUM({_TOKEN_COUNT_SQL}) AS t FROM documents GROUP BY source
+    ), rates AS (
+      SELECT source,
+             CASE WHEN source = 'src0' THEN LEAST(1.0, 5000.0 / t)
+                  WHEN source = 'src1' THEN LEAST(1.0, 8000.0 / t)
+                  ELSE 1.0 END AS r
+      FROM tot
+    )
+    SELECT d.doc_id, d.source, CAST(r.r AS DOUBLE) AS mix_rate
+    FROM documents d JOIN rates r USING (source)
+    WHERE {_SAMPLE_U_SQL} < r.r
+    ORDER BY d.doc_id
+    """,
+)
+def text_mix_corpus(spark, sf_dir):
+    """Token-budget corpus mixing (operators/text.py ``mix_corpus``):
+    per-source token targets (5k tokens of src0, 8k of src1, everything
+    else whole) become sampling rates from ONE tiny aggregation, applied
+    by the deterministic md5 stratified filter — map-only after the agg,
+    survivors identical on any partitioning.  The DuckDB twin recomputes
+    totals, rates, and the md5 draw bit-for-bit."""
+    from iceberg_ruby_spark.operators.text import mix_corpus
+
+    d = load(spark, sf_dir, "documents")
+    out = mix_corpus(d, {"src0": 5000, "src1": 8000})
+    return out.select("doc_id", "source", "mix_rate").orderBy("doc_id")

@@ -470,3 +470,28 @@ def test_connected_components_transitive_closure(spark):
     )
     got2 = {r["doc_id"]: r["cluster_id"] for r in connected_components(chain).collect()}
     assert set(got2.values()) == {30} and len(got2) == 11
+
+
+def test_mix_corpus_token_budgets(spark):
+    from iceberg_ruby_spark.operators.text import mix_corpus, token_count
+
+    df = spark.createDataFrame(
+        [(i, "w " * 10, "crawl") for i in range(100)]
+        + [(1000 + i, "w " * 10, "books") for i in range(10)],
+        "doc_id int, text string, source string",
+    )
+    # crawl: 100 docs x 10 tokens = 1000 tokens, budget 250 -> rate .25
+    # books: no budget -> kept whole
+    out = mix_corpus(df, {"crawl": 250}).cache()
+    rows = out.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src["books"]) == 10            # unbudgeted: all kept
+    assert all(r["mix_rate"] == 1.0 for r in by_src["books"])
+    n_crawl = len(by_src["crawl"])
+    assert 10 <= n_crawl <= 45                   # ~25 of 100, md5-binomial
+    assert all(r["mix_rate"] == 0.25 for r in by_src["crawl"])
+    # deterministic: identical survivors on re-run
+    again = {r["doc_id"] for r in mix_corpus(df, {"crawl": 250}).collect()}
+    assert again == {r["doc_id"] for r in rows}
