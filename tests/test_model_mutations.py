@@ -110,3 +110,62 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
 def test_model_random_mutation_interleavings(catalog):
     for seed in (7, 23, 91):
         _run_model(catalog, seed)
+
+
+def test_model_wap_branch_epochs(catalog):
+    """Write-audit-publish epochs against per-branch models: each epoch
+    forks an audit branch, applies random branch-scoped mutations
+    (append/delete/update in random modes) checking the BRANCH view
+    against the audit model and MAIN against the unchanged main model
+    after every op, then publishes via fast_forward and verifies main
+    adopted the audit state exactly."""
+    rnd = random.Random(47)
+    t = catalog.create_table(
+        "wap_model", schema={"k": "int", "v": "string"},
+        properties={"format-version": "3"},
+    )
+    main_model: dict[int, str] = {}
+    batch = [{"k": i, "v": "v0"} for i in range(15)]
+    t.append(batch)
+    main_model.update({r["k"]: r["v"] for r in batch})
+    next_key = 15
+
+    for epoch in range(3):
+        branch = f"audit{epoch}"
+        t.create_branch(branch)
+        audit_model = dict(main_model)
+        for step in range(4):
+            op = rnd.choice(["append", "delete", "update"])
+            if op == "append":
+                n = rnd.randrange(1, 4)
+                rows = [{"k": next_key + i, "v": f"e{epoch}s{step}"} for i in range(n)]
+                next_key += n
+                t.append(rows, branch=branch)
+                audit_model.update({r["k"]: r["v"] for r in rows})
+            elif op == "delete":
+                mode = rnd.choice(DELETE_MODES)
+                m, r = rnd.randrange(3, 6), rnd.randrange(0, 3)
+                deleted = t.delete_where(f"k % {m} = {r}", mode=mode, branch=branch)
+                dead = [k for k in audit_model if k % m == r]
+                assert deleted == len(dead), (epoch, step, mode)
+                for k in dead:
+                    del audit_model[k]
+            else:
+                mode = rnd.choice(UPDATE_MODES)
+                m, r = rnd.randrange(3, 6), rnd.randrange(0, 3)
+                val = f"u{epoch}s{step}"
+                updated = t.update_where(
+                    {"v": f"'{val}'"}, f"k % {m} = {r}", mode=mode, branch=branch
+                )
+                hit = [k for k in audit_model if k % m == r]
+                assert updated == len(hit), (epoch, step, mode)
+                for k in hit:
+                    audit_model[k] = val
+            got_branch = {r["k"]: r["v"] for r in t.to_a(ref=branch)}
+            got_main = {r["k"]: r["v"] for r in t.to_a()}
+            assert got_branch == audit_model, (epoch, step, op)
+            assert got_main == main_model, (epoch, step, op, "main leaked")
+        t.fast_forward("main", branch)
+        t = t.refresh()
+        main_model = audit_model
+        assert {r["k"]: r["v"] for r in t.to_a()} == main_model, ("publish", epoch)
