@@ -2900,7 +2900,9 @@ class Table:
         )
         return deleted
 
-    def delete_by_keys(self, keys: Any, on: Union[str, list[str]]) -> int:
+    def delete_by_keys(
+        self, keys: Any, on: Union[str, list[str]], branch: Optional[str] = None
+    ) -> int:
         """Merge-on-read DELETE by key set — an EQUALITY delete file
         (reference ``FileScanTask#delete_files`` exposes ``equality_ids``,
         ``ext/iceberg/src/scan.rs:92-99``): the distinct key tuples are
@@ -2940,7 +2942,7 @@ class Table:
                 for c in cols
             ]
         ).distinct()
-        entries = self._current_entries()
+        entries = self._current_entries(branch)
         # count the live rows that will die (delta semantics, like the
         # other MoR modes) and find which files they live in
         live = self._read_entries(entries, file_col="__f")
@@ -2963,7 +2965,8 @@ class Table:
                 del_dir, sorted(r["__f"] for r in hit_rows), field_ids, cols
             ),
             {"deleted-records": deleted, "mode": "merge-on-read-equality"},
-            base_snapshot_id=self.current_snapshot_id,
+            base_snapshot_id=self._branch_head_id(branch),
+            branch=branch or MAIN_BRANCH,
         )
         return deleted
 
@@ -3142,6 +3145,7 @@ class Table:
         when_not_matched_insert: bool = True,
         mode: Optional[str] = None,
         summary_extra: Optional[dict] = None,
+        branch: Optional[str] = None,
     ) -> "Table":
         """MERGE INTO emulation, one commit either way.  ``summary_extra``
         rides the snapshot summary (streaming sinks stamp their batch id
@@ -3180,11 +3184,11 @@ class Table:
         if mode == "merge-on-read":
             return self._merge_into_mor(
                 source, keys, cols, when_matched_update, when_not_matched_insert,
-                summary_extra,
+                summary_extra, branch=branch,
             )
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown merge mode: {mode}")
-        entries = self._current_entries()
+        entries = self._current_entries(branch)
         data, preds = self._split_entries(entries)
         # files containing rows whose keys appear in the source (semi-join
         # against distinct source keys; AQE broadcasts when small);
@@ -3246,7 +3250,8 @@ class Table:
             "overwrite",
             keep_entries + new_entries + self._live_preds(preds, kept_paths),
             {"operation-detail": "merge", **(summary_extra or {})},
-            base_snapshot_id=self.current_snapshot_id,
+            base_snapshot_id=self._branch_head_id(branch),
+            branch=branch or MAIN_BRANCH,
         )
         return self
 
@@ -3258,12 +3263,13 @@ class Table:
         when_matched_update: Optional[dict[str, str]],
         when_not_matched_insert: bool,
         summary_extra: Optional[dict] = None,
+        branch: Optional[str] = None,
     ) -> "Table":
         """merge_into(mode='merge-on-read'): equality-delete the matched
         keys, append their updated versions plus inserts — single commit,
         zero rewrites of existing files."""
         schema = self.current_schema()
-        entries = self._current_entries()
+        entries = self._current_entries(branch)
         live = self._read_entries(entries, file_col="__f")
         marked = source.withColumn("__s_matched", F.lit(True))
         joined = live.alias("t").join(marked.alias("s"), keys, "inner")
@@ -3331,7 +3337,8 @@ class Table:
                 "mode": "merge-on-read",
                 **(summary_extra or {}),
             },
-            base_snapshot_id=self.current_snapshot_id,
+            base_snapshot_id=self._branch_head_id(branch),
+            branch=branch or MAIN_BRANCH,
         )
         return self
 

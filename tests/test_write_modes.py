@@ -303,3 +303,28 @@ def test_branch_scoped_delete_and_update_wap(catalog):
     assert audit == [(0, "fixed")] + [(i, "old") for i in range(1, 7)]
     t.fast_forward("main", "audit")
     assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == audit
+
+
+def test_branch_scoped_merge_and_delete_by_keys(catalog, spark):
+    t = catalog.create_table(
+        "wap_merge",
+        schema={"k": "int", "v": "string"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"k": i, "v": "old"} for i in range(6)])
+    t.create_branch("stage")
+    src = spark.createDataFrame([(2, "upd"), (9, "ins")], "k int, v string")
+    t.merge_into(
+        src, on="k", when_matched_update={"v": "s.v"}, mode="merge-on-read",
+        branch="stage",
+    )
+    t.delete_by_keys([{"k": 0}], on="k", branch="stage")
+    t = t.refresh()
+    assert sorted((r["k"], r["v"]) for r in t.to_a()) == [
+        (i, "old") for i in range(6)
+    ]
+    stage = sorted((r["k"], r["v"]) for r in t.to_a(ref="stage"))
+    assert stage == [(1, "old"), (2, "upd"), (3, "old"), (4, "old"),
+                     (5, "old"), (9, "ins")]
+    t.fast_forward("main", "stage")
+    assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == stage
