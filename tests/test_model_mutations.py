@@ -169,3 +169,53 @@ def test_model_wap_branch_epochs(catalog):
         t = t.refresh()
         main_model = audit_model
         assert {r["k"]: r["v"] for r in t.to_a()} == main_model, ("publish", epoch)
+
+
+def test_model_partitioned_with_partition_migrations(catalog):
+    """Model test on a hidden-partitioned table where updates may change
+    the PARTITION column (rows migrate partitions through CoW and MoR
+    updates alike): full-state and per-partition-filtered reads must both
+    match the model after every step."""
+    rnd = random.Random(5)
+    t = catalog.create_table(
+        "pmodel", schema={"k": "int", "g": "string"},
+        partition_spec=[("g", "identity")],
+        properties={"format-version": "3"},
+    )
+    model: dict[int, str] = {}
+    batch = [{"k": i, "g": "abc"[i % 3]} for i in range(24)]
+    t.append(batch)
+    model.update({r["k"]: r["g"] for r in batch})
+    nk = 24
+    for step in range(8):
+        op = rnd.choice(["append", "delete", "update_part", "compact"])
+        if op == "append":
+            n = rnd.randrange(1, 5)
+            rows = [{"k": nk + i, "g": "abc"[(nk + i) % 3]} for i in range(n)]
+            nk += n
+            t.append(rows)
+            model.update({r["k"]: r["g"] for r in rows})
+        elif op == "delete":
+            mode = rnd.choice(DELETE_MODES)
+            m, r = rnd.randrange(3, 6), rnd.randrange(0, 3)
+            d = t.delete_where(f"k % {m} = {r}", mode=mode)
+            dead = [k for k in model if k % m == r]
+            assert d == len(dead), (step, mode)
+            for k in dead:
+                del model[k]
+        elif op == "update_part":
+            mode = rnd.choice(UPDATE_MODES)
+            m, r = rnd.randrange(4, 7), rnd.randrange(0, 3)
+            g = rnd.choice("xyz")
+            u = t.update_where({"g": f"'{g}'"}, f"k % {m} = {r}", mode=mode)
+            hit = [k for k in model if k % m == r]
+            assert u == len(hit), (step, mode)
+            for k in hit:
+                model[k] = g
+        else:
+            t.compact()
+        assert {r["k"]: r["g"] for r in t.to_a()} == model, (step, op)
+        for g in ("a", "x"):
+            want = sorted(k for k, v in model.items() if v == g)
+            have = sorted(r["k"] for r in t.scan().filter(f"g = '{g}'").to_a())
+            assert want == have, (step, op, g)
