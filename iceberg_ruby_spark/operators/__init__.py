@@ -19,6 +19,8 @@ where Spark lacks the primitive.
 """
 
 from iceberg_ruby_spark.operators.dedup import (
+    connected_components,
+    decontaminate,
     embedding_cosine_pairs,
     exact_dedup,
     exact_dedup_by_hash,
@@ -41,10 +43,16 @@ from iceberg_ruby_spark.operators.text import (
     chunk_documents,
     fingerprint,
     language_id,
+    mix_corpus,
+    pack_sequences,
     quality_score,
+    repetition_stats,
+    scrub_pii,
+    stratified_sample,
     token_count,
 )
 from iceberg_ruby_spark.operators.asof import asof_join
+from iceberg_ruby_spark.operators.sessions import sessionize
 from iceberg_ruby_spark.operators.multimodal import (
     FRAME_SCHEMA,
     MEDIA_SCHEMA,
@@ -56,6 +64,8 @@ from iceberg_ruby_spark.operators.multimodal import (
 )
 
 __all__ = [
+    "connected_components",
+    "decontaminate",
     "embedding_cosine_pairs",
     "exact_dedup",
     "exact_dedup_by_hash",
@@ -74,7 +84,13 @@ __all__ = [
     "chunk_documents",
     "fingerprint",
     "language_id",
+    "mix_corpus",
+    "pack_sequences",
     "quality_score",
+    "repetition_stats",
+    "scrub_pii",
+    "sessionize",
+    "stratified_sample",
     "token_count",
     "asof_join",
     "FRAME_SCHEMA",
