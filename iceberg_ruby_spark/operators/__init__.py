@@ -21,6 +21,7 @@ where Spark lacks the primitive.
 from iceberg_ruby_spark.operators.dedup import (
     connected_components,
     decontaminate,
+    shared_span_stats,
     embedding_cosine_pairs,
     exact_dedup,
     exact_dedup_by_hash,
@@ -66,6 +67,7 @@ from iceberg_ruby_spark.operators.multimodal import (
 __all__ = [
     "connected_components",
     "decontaminate",
+    "shared_span_stats",
     "embedding_cosine_pairs",
     "exact_dedup",
     "exact_dedup_by_hash",

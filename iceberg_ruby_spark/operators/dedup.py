@@ -689,3 +689,53 @@ def connected_components(
         if not changed:
             break
     return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
+
+
+def shared_span_stats(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 20,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document SHARED-SPAN statistics — the C4/RefinedWeb-style
+    signal for boilerplate and mass-duplicated passages: for each document,
+    how many of its word ``ngram``-grams also appear in at least
+    ``min_docs - 1`` OTHER documents, and what fraction of the document
+    that is.  Filtering/trimming on ``shared_frac`` removes templated
+    pages and licence blocks that per-document dedup can't see.
+
+    100 TB shape: one explode of distinct per-doc grams, ONE count-by-gram
+    shuffle (gram cardinality, not corpus bytes — grams hash-group
+    map-side first), and a semi-join back; never all-pairs.  Adds
+    ``n_grams``, ``n_shared_grams``, ``shared_frac``."""
+    grams = corpus.select(
+        F.col(id_col), F.explode(token_shingle_array(text_col, ngram)).alias("__g")
+    )
+    shared = (
+        grams.groupBy("__g")
+        .agg(F.count_distinct(id_col).alias("__nd"))
+        .filter(F.col("__nd") >= min_docs)
+        .select("__g")
+    )
+    per_doc = (
+        grams.join(shared, "__g", "left_semi")
+        .groupBy(id_col)
+        .agg(F.count_distinct("__g").alias("n_shared_grams"))
+    )
+    totals = grams.groupBy(id_col).agg(F.count_distinct("__g").alias("n_grams"))
+    return (
+        corpus.join(totals, id_col, "left")
+        .join(per_doc, id_col, "left")
+        .withColumn("n_grams", F.coalesce(F.col("n_grams"), F.lit(0)).cast("long"))
+        .withColumn(
+            "n_shared_grams",
+            F.coalesce(F.col("n_shared_grams"), F.lit(0)).cast("long"),
+        )
+        .withColumn(
+            "shared_frac",
+            F.when(F.col("n_grams") > 0, F.col("n_shared_grams") / F.col("n_grams"))
+            .otherwise(F.lit(0.0))
+            .cast("double"),
+        )
+    )

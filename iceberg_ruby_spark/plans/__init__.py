@@ -48,7 +48,7 @@ _NEVER_DRIVER_CHECKED = [
     "text_stratified_sample", "text_pack_sequences", "text_scrub_pii",
     "events_sessionize", "dedup_decontaminate", "text_repetition_stats",
     "engine_statistics_ndv", "engine_schema_defaults", "dedup_cluster_components",
-    "text_mix_corpus",
+    "text_mix_corpus", "dedup_shared_spans",
 ]
 
 _LAST_CHECKED_R2 = ["percentile_aggs"]

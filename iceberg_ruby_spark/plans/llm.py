@@ -1024,3 +1024,49 @@ def text_mix_corpus(spark, sf_dir):
     d = load(spark, sf_dir, "documents")
     out = mix_corpus(d, {"src0": 5000, "src1": 8000})
     return out.select("doc_id", "source", "mix_rate").orderBy("doc_id")
+
+
+@query(
+    "dedup_shared_spans",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, unnest(list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 19, 1)),
+               i -> array_to_string(t[i:i+19], ' ')))) AS g
+      FROM toks
+    ), shared AS (
+      SELECT g FROM grams GROUP BY g HAVING COUNT(DISTINCT doc_id) >= 2
+    ), per_doc AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_shared_grams
+      FROM grams WHERE g IN (SELECT g FROM shared) GROUP BY doc_id
+    ), totals AS (
+      SELECT doc_id, CAST(COUNT(DISTINCT g) AS BIGINT) AS n_grams
+      FROM grams GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(t.n_grams, 0) AS n_grams,
+           COALESCE(p.n_shared_grams, 0) AS n_shared_grams,
+           CAST(CASE WHEN COALESCE(t.n_grams, 0) > 0
+                THEN COALESCE(p.n_shared_grams, 0) / t.n_grams
+                ELSE 0.0 END AS DOUBLE) AS shared_frac
+    FROM documents d
+    LEFT JOIN totals t USING (doc_id)
+    LEFT JOIN per_doc p USING (doc_id)
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_shared_spans(spark, sf_dir):
+    """Cross-document shared-span statistics (operators/dedup.py
+    ``shared_span_stats``): per-doc count and fraction of word 20-grams
+    appearing in ≥2 documents — the C4/RefinedWeb boilerplate signal.
+    ONE count-by-gram shuffle, never all-pairs.  The DuckDB twin
+    re-derives the same tokenization, windows, and span counts."""
+    from iceberg_ruby_spark.operators.dedup import shared_span_stats
+
+    d = load(spark, sf_dir, "documents")
+    return shared_span_stats(d, ngram=20, min_docs=2).select(
+        "doc_id", "n_grams", "n_shared_grams", "shared_frac"
+    ).orderBy("doc_id")

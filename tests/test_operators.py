@@ -495,3 +495,22 @@ def test_mix_corpus_token_budgets(spark):
     # deterministic: identical survivors on re-run
     again = {r["doc_id"] for r in mix_corpus(df, {"crawl": 250}).collect()}
     assert again == {r["doc_id"] for r in rows}
+
+
+def test_shared_span_stats(spark):
+    from iceberg_ruby_spark.operators.dedup import shared_span_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the same licence block here plus unique tail one"),
+            (2, "the same licence block here plus unique tail two"),
+            (3, "completely different words in this document entirely"),
+        ],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in shared_span_stats(df, ngram=4, min_docs=2).collect()}
+    # docs 1 and 2 share the 4-grams of their common prefix; doc 3 shares none
+    assert out[1]["n_shared_grams"] > 0 and out[2]["n_shared_grams"] > 0
+    assert out[1]["n_shared_grams"] == out[2]["n_shared_grams"]
+    assert out[3]["n_shared_grams"] == 0 and out[3]["shared_frac"] == 0.0
+    assert 0 < out[1]["shared_frac"] < 1
