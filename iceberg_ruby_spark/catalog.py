@@ -315,8 +315,20 @@ class Catalog:
             "last-column-id": ice_schema.highest_field_id,
             "schemas": [_schema_to_json(ice_schema)],
             "current-schema-id": ice_schema.schema_id,
-            "partition-specs": [{"spec-id": 0, "fields": spec_json}],
+            # Spec numbering: partition field ids start at 1000 for spec 0;
+            # top-level last-partition-id tracks the high-water mark so
+            # external readers (and our own StaticTableOps) see spec-complete
+            # metadata (iceberg spec "Table Metadata Fields").
+            "partition-specs": [
+                {
+                    "spec-id": 0,
+                    "fields": [
+                        {**f, "field-id": 1000 + i} for i, f in enumerate(spec_json)
+                    ],
+                }
+            ],
             "default-spec-id": 0,
+            "last-partition-id": 999 + len(spec_json),
             "sort-orders": [{"order-id": 1 if order_json else 0, "fields": order_json}],
             "default-sort-order-id": 1 if order_json else 0,
             "properties": props,

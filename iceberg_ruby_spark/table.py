@@ -276,6 +276,17 @@ class TableMetadata:
 # --------------------------------------------------------------------------
 
 
+def _local_path(p: str) -> str:
+    """``file:``-scheme URI → local filesystem path (other schemes pass
+    through untouched).  Spec metadata commonly writes ``file:///…``
+    locations; POSIX ``open`` does not speak URIs."""
+    if p.startswith("file://"):
+        return p[len("file://"):] or "/"
+    if p.startswith("file:"):
+        return p[len("file:"):]
+    return p
+
+
 class FsTableOps:
     """Table metadata operations over a :class:`~iceberg_ruby_spark.io.FileIO`
     (POSIX by default; the interface contract — conditional put for commits,
@@ -367,6 +378,10 @@ class FsTableOps:
             if "://" in p:
                 return p
             return self.location.rstrip("/") + "/" + p
+        if "://" in p:
+            # Externally-authored metadata stores absolute URIs; a ``file://``
+            # URI maps onto this local ops, anything else stays as written.
+            return _local_path(p)
         return p if os.path.isabs(p) else os.path.join(self.location, p)
 
     def _map_entry_paths(self, e: dict[str, Any], fn) -> dict[str, Any]:
@@ -403,6 +418,52 @@ class FsTableOps:
             return read_avro_manifest_list(self, manifest_list)
         entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
         return [self._map_entry_paths(e, self._abs) for e in entries]
+
+
+class StaticTableOps(FsTableOps):
+    """Read-only ops over ONE externally-authored spec ``metadata.json`` —
+    the reference's StaticTable contract (``lib/iceberg/static_table.rb:2-8``,
+    ``ext/iceberg/src/table.rs:133-146``): load THE file the caller named, no
+    catalog, no version-hint protocol, no layout assumptions.  The table
+    location (for resolving relative manifest/data paths) comes from the
+    metadata's own ``location`` field; commits are rejected."""
+
+    def __init__(self, metadata_file: str, io: Optional["FileIO"] = None):
+        from iceberg_ruby_spark.io import LocalFileIO
+
+        _io = io or LocalFileIO()
+        self._metadata_file = metadata_file
+        raw = json.loads(_io.read(_local_path(metadata_file)))
+        if not isinstance(raw, dict) or "location" not in raw:
+            raise InvalidDataError(
+                f"not a table metadata file: {metadata_file}"
+            )
+        # Spec serializations sometimes encode "no current snapshot" as -1.
+        if raw.get("current-snapshot-id") == -1:
+            raw["current-snapshot-id"] = None
+        super().__init__(_local_path(raw["location"]), io=_io)
+        self._raw = raw
+        self._version = self._parse_version(metadata_file)
+
+    @staticmethod
+    def _parse_version(path: str) -> int:
+        """Best-effort version from the filename: ``v3.json`` → 3,
+        ``00003-<uuid>.metadata.json`` → 3, else 0."""
+        name = os.path.basename(path)
+        m = re.match(r"v(\d+)\.json$", name) or re.match(r"(\d+)-", name)
+        return int(m.group(1)) if m else 0
+
+    def exists(self) -> bool:
+        return True
+
+    def current_version(self) -> int:
+        return self._version
+
+    def load(self, version: Optional[int] = None) -> TableMetadata:
+        return TableMetadata(self._raw, self._version, self._metadata_file)
+
+    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]) -> TableMetadata:
+        raise UnsupportedFeatureError("table is read-only")
 
 
 def _as_epoch_ms(v: Any) -> int:
