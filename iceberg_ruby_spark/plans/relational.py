@@ -731,13 +731,68 @@ def window_range_frame(spark, sf_dir):
     """,
 )
 def window_ntile(spark, sf_dir):
-    w = Window.orderBy("c_acctbal", "c_custkey")
-    return (
-        load(spark, sf_dir, "customer")
-        .select(F.ntile(4).over(w).alias("tile"), "c_acctbal")
-        .groupBy("tile")
-        .agg(F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("bal_sum"))
+    df = load(spark, sf_dir, "customer").select("c_acctbal", "c_custkey")
+    tiled = distributed_ntile(df, 4, ["c_acctbal", "c_custkey"])
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n"), dsum("c_acctbal").alias("bal_sum")
     )
+
+
+def distributed_ntile(df: DataFrame, n_tiles: int, order_cols: list) -> DataFrame:
+    """Exact ``ntile(n) OVER (ORDER BY ...)`` without a global single-task
+    WindowExec (the one plan Spark warns "No Partition Defined ... serious
+    performance degradation" about — at 100 TB it moves the whole table into
+    ONE task).
+
+    Scale-safe shape (the distributed zip-with-index-over-sort pattern):
+
+    1. ``repartitionByRange`` on the sort key — Spark's range partitioner
+       samples boundaries, so partitions hold disjoint, ordered key ranges.
+    2. per-partition counts (ONE tiny agg: ≤ shuffle-partitions rows to the
+       driver) → cumulative start offsets per partition.
+    3. global position = partition offset + per-PARTITION row_number (a
+       window partitioned by ``spark_partition_id`` — every task windows its
+       own slice in parallel).
+    4. the ntile bucket from its arithmetic definition: with ``q, r =
+       divmod(N, n)``, the first ``r`` tiles take ``q+1`` rows, the rest
+       ``q`` — a pure Column expression, no second pass.
+
+    Cost: the counts agg is a separate job, so the 2-column projected input
+    is scanned and range-shuffled twice (Spark reuses exchanges within a
+    plan, not across actions).  Two parallel sort-shuffles of a pruned
+    projection beat ONE task holding the whole table at any scale; callers
+    tiling an expensive upstream should persist it first.  Adds ``tile``
+    (1-based INT, exact ntile semantics)."""
+    q_parts = max(int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")), 1)
+    ranged = (
+        df.repartitionByRange(q_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    sizes = {r["_pid"]: r["cnt"] for r in ranged.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("cnt")).collect()}
+    total = sum(sizes.values())
+    offsets, acc = {}, 0
+    for pid in sorted(sizes):
+        offsets[pid] = acc
+        acc += sizes[pid]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items()) for x in kv]),
+        F.col("_pid"),
+    ) if offsets else F.lit(0)
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    pos = (off_expr + F.row_number().over(w) - F.lit(1)).cast("long")
+    q, r = divmod(total, n_tiles)
+    if q == 0:
+        tile = pos + F.lit(1)  # fewer rows than tiles: one row per tile
+    else:
+        big = r * (q + 1)  # rows covered by the r larger tiles
+        tile = (
+            F.when(pos < F.lit(big), F.floor(pos / F.lit(q + 1)))
+            .otherwise(F.lit(r) + F.floor((pos - F.lit(big)) / F.lit(q)))
+            + F.lit(1)
+        )
+    return ranged.withColumn("tile", tile.cast("int")).drop("_pid")
 
 
 # ---------------------------------------------------------------------------

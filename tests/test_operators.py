@@ -514,3 +514,28 @@ def test_shared_span_stats(spark):
     assert out[1]["n_shared_grams"] == out[2]["n_shared_grams"]
     assert out[3]["n_shared_grams"] == 0 and out[3]["shared_frac"] == 0.0
     assert 0 < out[1]["shared_frac"] < 1
+
+
+def test_distributed_ntile_matches_spark_ntile(spark):
+    """distributed_ntile (range-partitioned, no global WindowExec) must
+    reproduce exact ntile semantics: first N%n tiles get ceil(N/n) rows."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.plans.relational import distributed_ntile
+
+    for n_rows, n_tiles in [(103, 4), (100, 4), (7, 3), (2, 4), (1, 4)]:
+        df = spark.range(n_rows).select(
+            (F.col("id") * 37 % 101).alias("k"), F.col("id").alias("u")
+        )
+        got = {
+            (r["k"], r["u"]): r["tile"]
+            for r in distributed_ntile(df, n_tiles, ["k", "u"]).collect()
+        }
+        want = {
+            (r["k"], r["u"]): r["tile"]
+            for r in df.select(
+                "k", "u", F.ntile(n_tiles).over(Window.orderBy("k", "u")).alias("tile")
+            ).collect()
+        }
+        assert got == want, (n_rows, n_tiles)
