@@ -502,6 +502,12 @@ def _new_snapshot_id() -> int:
     return uuid_mod.uuid4().int >> 65  # 63-bit positive
 
 
+# Broadcast budget for delete_by_keys' key frame (Catalyst size estimate).
+# Matches the spirit of spark.sql.autoBroadcastJoinThreshold but applies to
+# the explicit hint, which would otherwise override Spark's own guard.
+_BROADCAST_KEYS_MAX_BYTES = 64 << 20
+
+
 _THETA_TYPES = (
     ice_t.BooleanType, ice_t.IntType, ice_t.LongType, ice_t.FloatType,
     ice_t.DoubleType, ice_t.DateType, ice_t.TimestampType, ice_t.TimestampTzType,
@@ -3008,8 +3014,18 @@ class Table:
         # other MoR modes) and find which files they live in
         live = self._read_entries(entries, file_col="__f")
         match_cond = [live[c].eqNullSafe(keys_df[c]) for c in cols]
+        # Broadcast only when the key frame's Catalyst size estimate fits
+        # the budget — a CDC batch broadcasts (no fact shuffle); a 10^8-key
+        # backfill would OOM the driver, so it falls back to a shuffle
+        # semi-join instead (r6 review item).
+        est_bytes = int(
+            keys_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        keys_side = (
+            F.broadcast(keys_df) if est_bytes <= _BROADCAST_KEYS_MAX_BYTES else keys_df
+        )
         hit_rows = (
-            live.join(F.broadcast(keys_df), match_cond, "left_semi")
+            live.join(keys_side, match_cond, "left_semi")
             .groupBy("__f")
             .agg(F.count(F.lit(1)).alias("n"))
             .collect()

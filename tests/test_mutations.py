@@ -282,6 +282,21 @@ def test_equality_delete_by_keys(catalog, spark):
     assert sorted(r["k"] for r in t.to_a()) == [0, 1, 4, 6, 7, 8, 9]
 
 
+def test_equality_delete_broadcast_threshold_paths(catalog, monkeypatch):
+    """delete_by_keys broadcasts CDC-sized key frames but falls back to a
+    shuffle semi-join past the size budget — both paths, identical results."""
+    from iceberg_ruby_spark import table as table_mod
+
+    for name, max_bytes in [("eqbc_small", table_mod._BROADCAST_KEYS_MAX_BYTES), ("eqbc_big", 0)]:
+        monkeypatch.setattr(table_mod, "_BROADCAST_KEYS_MAX_BYTES", max_bytes)
+        t = catalog.create_table(name, schema={"k": "int", "v": "string"})
+        t.append([{"k": i, "v": f"v{i}"} for i in range(20)])
+        assert t.delete_by_keys([(3,), (7,), (11,), (99,)], on="k") == 3
+        assert sorted(r["k"] for r in t.to_a()) == sorted(
+            set(range(20)) - {3, 7, 11}
+        )
+
+
 def test_equality_delete_null_safe_and_df_keys(catalog, spark):
     t = catalog.create_table("eqd2", schema={"k": "int", "g": "string", "v": "int"})
     t.append(
