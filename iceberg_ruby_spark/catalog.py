@@ -879,8 +879,22 @@ class Catalog:
         tbl = self.load_table(self._sql_table_ident(str(table_ident)))
         proc = proc.lower()
         if proc == "expire_snapshots":
+            # iceberg-spark's procedure deletes unreachable files too; ours
+            # composes expire (metadata) + orphan cleanup and reports the
+            # same counts vocabulary.
             n = tbl.expire_snapshots(keep_last=int(arg("retain_last", 1, 1)))
-            out = [(n,)], "expired long"
+            files = tbl.remove_orphan_files(return_files=True) if n else []
+            data = sum(
+                1 for f in files if f.endswith(".parquet") and "/deletes-" not in f
+            )
+            dels = sum(
+                1 for f in files if f.endswith(".parquet") and "/deletes-" in f
+            )
+            out = (
+                [(n, data, dels)],
+                "deleted_snapshots_count long, deleted_data_files_count long,"
+                " deleted_delete_files_count long",
+            )
         elif proc == "remove_orphan_files":
             removed = tbl.remove_orphan_files()
             out = [(len(removed),)], "removed long"
@@ -889,7 +903,14 @@ class Catalog:
             tbl.compact(
                 zorder=[c.strip() for c in str(zorder).split(",")] if zorder else None
             )
-            out = [("ok",)], "status string"
+            s = tbl.refresh().current_snapshot().summary
+            out = (
+                [(
+                    int(s.get("rewritten-data-files-count", 0)),
+                    int(s.get("added-data-files-count", 0)),
+                )],
+                "rewritten_data_files_count long, added_data_files_count long",
+            )
         elif proc == "rollback_to_snapshot":
             tbl.rollback_to_snapshot(int(arg("snapshot_id", 1)))
             out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"

@@ -3532,7 +3532,15 @@ class Table:
         self._commit_snapshot(
             "replace",
             new_entries,
-            {"compacted": True},
+            {
+                "compacted": True,
+                # iceberg-spark rewrite_data_files result vocabulary — CALL
+                # system.rewrite_data_files surfaces these from the summary
+                "rewritten-data-files-count": len(
+                    [e for e in entries if "path" in e]
+                ),
+                "added-data-files-count": len(new_entries),
+            },
             base_snapshot_id=self.current_snapshot_id,
         )
         return self
@@ -3578,8 +3586,10 @@ class Table:
         self._metadata_update(mutate)
         return expired[0]
 
-    def remove_orphan_files(self) -> list[str]:
-        """Delete commit dirs whose files are referenced by no live snapshot."""
+    def remove_orphan_files(self, return_files: bool = False) -> list[str]:
+        """Delete commit dirs whose files are referenced by no live snapshot.
+        Returns the removed dirs, or with ``return_files=True`` every file
+        path removed (the iceberg-spark procedure's result granularity)."""
         self._check_writable()
         live: set[str] = set()
         for snap in self.snapshots:
@@ -3600,12 +3610,15 @@ class Table:
                 f.endswith(".parquet") or f.endswith(".puffin")
             ) and os.path.abspath(f) in live:
                 commit_dirs[top] = True
-        removed = []
+        removed: list[str] = []
+        removed_files: list[str] = []
         for d in sorted(commit_dirs):
             if not commit_dirs[d]:
+                if return_files:
+                    removed_files.extend(self.ops.io.list(d))
                 self.ops.io.delete_prefix(d)
                 removed.append(d)
-        return removed
+        return removed_files if return_files else removed
 
 
 # --------------------------------------------------------------------------

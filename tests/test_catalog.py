@@ -341,12 +341,25 @@ def test_sql_call_system_procedures(catalog):
     for i in range(3):
         t.append([{"a": i}])
     # iceberg-spark stored-procedure surface: named and positional args
+    n_files_before = len([e for e in t._current_entries() if "path" in e])
     assert catalog.sql(
         "CALL system.expire_snapshots(table => 'proc', retain_last => 1)"
-    ).rows == [[2]]
-    assert catalog.sql("CALL system.rewrite_data_files('proc')").rows == [["ok"]]
+    ).rows == [[2, 0, 0]]  # all files still referenced by the head snapshot
+    rw = catalog.sql("CALL system.rewrite_data_files('proc')")
+    assert rw.columns == ["rewritten_data_files_count", "added_data_files_count"]
     t = catalog.load_table("proc")
-    assert len([e for e in t._current_entries() if "path" in e]) == 1  # compacted
+    n_files_after = len([e for e in t._current_entries() if "path" in e])
+    assert rw.rows == [[n_files_before, n_files_after]]
+    assert n_files_after == 1  # compacted
+    # counts come straight from the commit summary
+    s = t.current_snapshot().summary
+    assert s["rewritten-data-files-count"] == n_files_before
+    assert s["added-data-files-count"] == 1
+    # expiring the pre-compaction history now deletes the rewritten files
+    expired = catalog.sql(
+        "CALL system.expire_snapshots(table => 'proc', retain_last => 1)"
+    ).rows[0]
+    assert expired[0] >= 1 and expired[1] >= n_files_before
     sid = t.current_snapshot_id
     assert catalog.sql(
         f"CALL system.rollback_to_snapshot('proc', {sid})"
