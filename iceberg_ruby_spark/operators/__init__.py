@@ -27,6 +27,7 @@ from iceberg_ruby_spark.operators.dedup import (
     exact_dedup_by_hash,
     minhash_signatures,
     minhash_lsh_pairs,
+    minhash_incremental_pairs,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -73,6 +74,7 @@ __all__ = [
     "exact_dedup_by_hash",
     "minhash_signatures",
     "minhash_lsh_pairs",
+    "minhash_incremental_pairs",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",

@@ -257,23 +257,52 @@ def minhash_lsh_pairs(
     (surviving pairs, candidate ids), never corpus-sized."""
     from pyspark import StorageLevel
 
-    rows_per_band = max(1, num_hashes // bands)
     sig = (
         _shingle_hashes(df, text_col, id_col, shingle_size, hash_fn=hash_fn)
         .groupBy(id_col)
         .agg(F.expr(_sig_agg_expr(num_hashes)))
     )
-    # The agreement estimate doesn't need full 64-bit mins — the LOW BYTE
-    # of each min is an equally valid Bernoulli sample (byte-collision of
-    # unequal mins adds ~1/256 upward bias, absorbed by the margin and in
-    # the safe direction: extra candidates die in exact verification).
-    # Packing 8 low-bytes per long does two things at once:
-    #   * the band exchange carries 8 longs instead of the 64-long
-    #     signature — 8× less shuffle payload per doc per band;
-    #   * per-pair agreement becomes pure bitwise codegen (SWAR
-    #     zero-byte count) instead of an interpreted 64-element
-    #     aggregate(zip_with(...)) walk — the round-3 funnel's dominant
-    #     cost at 687k collision rows (measured below).
+    bands_df = _packed_band_frame(sig, id_col, num_hashes, bands)
+    a = bands_df.alias("a")
+    b_ = bands_df.alias("b")
+    # NO distinct before the funnel: a pair colliding in several bands is
+    # estimated once per collision, but the estimate is a pipelined filter
+    # (dup-insensitive) and deduping its small output beats shuffling the
+    # full candidate multiset.  The distinct AFTER the funnel is the cheap
+    # place to pay that shuffle (sf0.1: 687k collisions → 23k survivors).
+    cand = (
+        a.join(b_, F.col("a.__bh") == F.col("b.__bh"))
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(_funnel_predicate(num_hashes, threshold))
+        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    return _verify_exact_jaccard(
+        cand, df, text_col, id_col, shingle_size, threshold, hash_fn
+    )
+
+
+def _packed_band_frame(
+    sig: DataFrame, id_col: str, num_hashes: int, bands: int
+) -> DataFrame:
+    """(id, __p0..__pN, __bh) — one row per (doc, band).
+
+    The agreement estimate doesn't need full 64-bit mins — the LOW BYTE
+    of each min is an equally valid Bernoulli sample (byte-collision of
+    unequal mins adds ~1/256 upward bias, absorbed by the funnel margin
+    and in the safe direction: extra candidates die in exact
+    verification).  Packing 8 low-bytes per long does two things at once:
+
+    * the band exchange carries 8 longs instead of the 64-long
+      signature — 8× less shuffle payload per doc per band;
+    * per-pair agreement becomes pure bitwise codegen (SWAR zero-byte
+      count) instead of an interpreted 64-element aggregate(zip_with(...))
+      walk — the round-3 funnel's dominant cost at 687k collision rows.
+
+    The band index is folded into ONE 64-bit key — the bucket join
+    shuffles and compares a single long instead of (int, long)."""
+    rows_per_band = max(1, num_hashes // bands)
     n_packs = (num_hashes + 7) // 8
     pack_exprs = [
         "("
@@ -284,27 +313,27 @@ def minhash_lsh_pairs(
         + f") AS __p{p}"
         for p in range(n_packs)
     ]
-    # band index folded into ONE 64-bit key — the bucket join shuffles and
-    # compares a single long instead of (int, long).  No persist: the self-
-    # join's two sides are the identical subtree, so the exchange is built
-    # once and served to the probe side via ReusedExchange.
     band_exprs = ",".join(
         "xxhash64("
         + ",".join([str(b)] + [f"sig[{i}]" for i in range(b * rows_per_band, (b + 1) * rows_per_band)])
         + ")"
         for b in range(bands)
     )
-    bands_df = sig.selectExpr(
-        id_col, *pack_exprs, f"explode(array({band_exprs})) AS __bh"
-    )
-    a = bands_df.alias("a")
-    b_ = bands_df.alias("b")
-    # SWAR zero-byte count per packed long: z has bit7 set in every byte
-    # where a.__pi and b.__pi DISAGREE, so agreeing bytes across all packs
-    # = num_hashes - Σ bit_count(z & 0x8080…).  ~6 bitwise ops per pack,
-    # all inside whole-stage codegen.
+    return sig.selectExpr(id_col, *pack_exprs, f"explode(array({band_exprs})) AS __bh")
+
+
+def _funnel_predicate(num_hashes: int, threshold: float):
+    """Column predicate: byte-packed agreement estimate ≥ threshold − 2σ,
+    over the ``a``/``b`` aliases of two :func:`_packed_band_frame` sides.
+
+    SWAR zero-byte count per packed long: z has bit7 set in every byte
+    where a.__pi and b.__pi DISAGREE, so agreeing bytes across all packs
+    = num_hashes − Σ bit_count(z & 0x8080…).  ~6 bitwise ops per pack,
+    all inside whole-stage codegen."""
+    n_packs = (num_hashes + 7) // 8
     _LO7 = 0x7F7F7F7F7F7F7F7F
     _HI = -9187201950435737472  # 0x8080808080808080 as signed long
+
     def _swar(p: int) -> str:
         x = f"(a.__p{p} ^ b.__p{p})"
         return f"bit_count(((({x} & {_LO7}L) + {_LO7}L) | {x} | {_LO7}L) & {_HI}L)"
@@ -313,28 +342,32 @@ def minhash_lsh_pairs(
     est = f"({num_hashes} - ({disagree})) / CAST({num_hashes} AS DOUBLE)"
     # ~2σ of the k-sample Bernoulli estimate at j≈threshold
     margin = 2.0 * (threshold * (1.0 - threshold) / num_hashes) ** 0.5
-    # NO distinct before the funnel: a pair colliding in several bands is
-    # estimated once per collision, but the estimate is a pipelined filter
-    # (dup-insensitive) and deduping its small output beats shuffling the
-    # full candidate multiset.  The distinct AFTER the funnel is the cheap
-    # place to pay that shuffle (sf0.1: 687k collisions → 23k survivors).
-    cand = (
-        a.join(b_, F.col("a.__bh") == F.col("b.__bh"))
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(F.expr(est) >= F.lit(max(0.0, threshold - margin)))
-        .select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
-        .distinct()
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    # exact verification compares 64-bit shingle-hash SETS, not strings —
-    # identical set algebra modulo 2^-64 collisions.  Only docs that appear
-    # in a surviving pair are re-shingled: the broadcast semi-join filters
-    # the corpus scan BEFORE the shingle explode runs, so the blow-up
-    # happens for the candidate docs, not the corpus.  Each pair then costs
-    # one JVM array_intersect over two in-row arrays instead of a
-    # multi-million-row shingle×pair shuffle join.  One extra corpus scan
-    # (IO only — columns pruned to id+text) buys never materializing the
-    # 8×-corpus exploded shingle table.
+    return F.expr(est) >= F.lit(max(0.0, threshold - margin))
+
+
+def _verify_exact_jaccard(
+    cand: DataFrame,
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_size: int,
+    threshold: float,
+    hash_fn: str,
+) -> DataFrame:
+    """Exact-Jaccard verification of (persisted) candidate pairs against
+    ``docs`` (id, text).
+
+    Compares 64-bit shingle-hash SETS, not strings — identical set algebra
+    modulo 2^-64 collisions.  Only docs that appear in a surviving pair
+    are re-shingled: the broadcast semi-join filters the corpus scan
+    BEFORE the shingle explode runs, so the blow-up happens for the
+    candidate docs, not the corpus.  Each pair then costs one JVM
+    array_intersect over two in-row arrays instead of a multi-million-row
+    shingle×pair shuffle join.  One extra corpus scan (IO only — columns
+    pruned to id+text) buys never materializing the 8×-corpus exploded
+    shingle table."""
+    from pyspark import StorageLevel
+
     # one explode pass over the cached pairs (not a 2-branch union — half
     # the cache reads, same distinct)
     cand_ids = (
@@ -350,7 +383,7 @@ def minhash_lsh_pairs(
     # (round-5 plan audit: minhash scans 4 → 3).
     sets = (
         _shingle_hashes(
-            df.join(F.broadcast(cand_ids), id_col, "left_semi"),
+            docs.join(F.broadcast(cand_ids), id_col, "left_semi"),
             text_col,
             id_col,
             shingle_size,
@@ -364,7 +397,7 @@ def minhash_lsh_pairs(
     # the pair list they are not safely broadcastable at scale
     sa = sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__seta"))
     sb = sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__setb"))
-    out = (
+    return (
         cand.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("__inter", F.size(F.array_intersect("__seta", "__setb")))
@@ -376,7 +409,91 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
-    return out
+
+
+def minhash_incremental_pairs(
+    corpus_df: DataFrame,
+    batch_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    corpus_sigs: Optional[DataFrame] = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_size: int = 5,
+    threshold: float = 0.6,
+    hash_fn: str = "xxhash64",
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental near-dup mining: dedup a NEW batch against an existing
+    corpus WITHOUT re-mining the corpus — the operational shape a 100 TB
+    ingest pipeline actually runs per arrival.
+
+    Returns ``(pairs, batch_sigs)``:
+
+    * ``pairs`` — every verified near-dup pair touching ≥1 batch doc:
+      batch×corpus AND batch×batch.  EXACTLY equal to
+      :func:`minhash_lsh_pairs` over ``corpus ∪ batch`` restricted to
+      pairs with a batch member (same signatures, same banding, same
+      funnel, same exact verification — proven by the ``dedup_incremental``
+      oracle and the multi-ingest pytest).
+    * ``batch_sigs`` — (id, sig) for the batch, to append to the persisted
+      signature table (``corpus_sigs``) so the NEXT ingest joins against
+      stored state instead of re-hashing history.
+
+    ``corpus_sigs``: the persisted (id, sig array<long>) state from prior
+    ingests (e.g. an engine table fed by this function's second output).
+    When None, corpus signatures are computed from ``corpus_df`` — the
+    bootstrap ingest.  ``corpus_df`` supplies only id+text for the exact
+    verification of candidate pairs (a candidate-filtered scan — the
+    corpus is never re-shingled wholesale, never shuffled).
+
+    Scale shape: the band join probes stored corpus bands with the
+    (small) batch bands — the only shuffle proportional to corpus size is
+    the band-key exchange of the signature table, which is ~1/10 the text
+    payload; candidates, pairs, and the verification scan are all
+    batch-output-sized."""
+    from pyspark import StorageLevel
+
+    batch_sigs = (
+        _shingle_hashes(batch_df, text_col, id_col, shingle_size, hash_fn=hash_fn)
+        .groupBy(id_col)
+        .agg(F.expr(_sig_agg_expr(num_hashes)))
+    )
+    if corpus_sigs is None:
+        corpus_sigs = (
+            _shingle_hashes(corpus_df, text_col, id_col, shingle_size, hash_fn=hash_fn)
+            .groupBy(id_col)
+            .agg(F.expr(_sig_agg_expr(num_hashes)))
+        )
+    batch_bands = _packed_band_frame(batch_sigs, id_col, num_hashes, bands)
+    # build side = stored corpus bands ∪ batch bands (a batch doc can pair
+    # with another batch doc); probe side = batch bands only, so every
+    # collision touches the batch by construction.
+    all_bands = _packed_band_frame(corpus_sigs, id_col, num_hashes, bands).unionByName(
+        batch_bands
+    )
+    a = all_bands.alias("a")
+    b_ = batch_bands.alias("b")
+    cand = (
+        a.join(b_, F.col("a.__bh") == F.col("b.__bh"))
+        .filter(F.col(f"a.{id_col}") != F.col(f"b.{id_col}"))
+        .filter(_funnel_predicate(num_hashes, threshold))
+        # canonicalize: batch×batch collisions appear mirrored, corpus×batch
+        # only with the corpus doc on the build side — least/greatest +
+        # distinct folds both into the full-run's (id_a < id_b) vocabulary
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_b"),
+        )
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    docs = corpus_df.select(F.col(id_col), F.col(text_col)).unionByName(
+        batch_df.select(F.col(id_col), F.col(text_col))
+    )
+    pairs = _verify_exact_jaccard(
+        cand, docs, text_col, id_col, shingle_size, threshold, hash_fn
+    )
+    return pairs, batch_sigs
 
 
 def simhash(

@@ -171,6 +171,34 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
+@query(
+    "dedup_incremental",
+    oracle=f"""
+    SELECT * FROM ({_minhash_oracle()})
+    WHERE id_a % 5 = 0 OR id_b % 5 = 0
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental dedup (operators/dedup.py minhash_incremental_pairs):
+    treat ``doc_id % 5 = 0`` as the newly-ingested batch and the rest as
+    the already-mined corpus whose signatures are persisted state; mine
+    ONLY batch-touching pairs by probing stored bands with the batch.
+
+    The oracle is the FULL-corpus md5-mode pipeline restricted to pairs
+    touching the batch — hash-equality proves the incremental path finds
+    exactly the pairs a full re-mine would, without re-mining."""
+    from iceberg_ruby_spark.operators.dedup import minhash_incremental_pairs
+
+    d = load(spark, sf_dir, "documents")
+    corpus = d.filter("doc_id % 5 != 0")
+    batch = d.filter("doc_id % 5 = 0")
+    pairs, _batch_sigs = minhash_incremental_pairs(
+        corpus, batch, "text", "doc_id",
+        num_hashes=64, bands=16, shingle_size=5, threshold=0.5, hash_fn="md5",
+    )
+    return pairs
+
+
 # SimHash over the md5-derived 60-bit token hash so DuckDB can recompute
 # the ENTIRE signature: same tokens, same hash, same per-bit majority
 # vote, same bit assembly.  The operator's default stays xxhash64 (the

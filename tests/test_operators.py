@@ -539,3 +539,58 @@ def test_distributed_ntile_matches_spark_ntile(spark):
             ).collect()
         }
         assert got == want, (n_rows, n_tiles)
+
+
+def test_minhash_incremental_multi_ingest(catalog, spark):
+    """The operational loop a 100 TB pipeline runs: docs land in an engine
+    table, incremental_scan feeds each NEW batch to
+    minhash_incremental_pairs against a PERSISTED signature table, and the
+    union of per-ingest pairs equals a full-corpus re-mine."""
+    import pyspark.sql.types as T
+
+    from iceberg_ruby_spark.operators.dedup import (
+        minhash_incremental_pairs,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    mk = lambda i, text: {"doc_id": i, "text": text}
+    batches = [
+        # ingest 1: 0/1 near-dups of each other, 2 unique
+        [mk(0, base), mk(1, base + " ok"), mk(2, "completely unrelated words appear in this one document")],
+        # ingest 2: 3 near-dups 0 (cross-ingest), 4 near-dups 5 (within-ingest)
+        [mk(3, base + " !!"), mk(4, "shared phrase block alpha beta gamma delta epsilon zeta eta theta"),
+         mk(5, "shared phrase block alpha beta gamma delta epsilon zeta eta iota")],
+        # ingest 3: 6 near-dups 4 (cross-ingest)
+        [mk(6, "shared phrase block alpha beta gamma delta epsilon zeta eta kappa")],
+    ]
+    kw = dict(num_hashes=64, bands=16, shingle_size=5, threshold=0.5)
+
+    docs = catalog.create_table("incdocs", schema={"doc_id": "long", "text": "string"})
+    sig_schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("sig", T.ArrayType(T.LongType())),
+        ]
+    )
+    sigs = catalog.create_table("incsigs", schema=sig_schema)
+
+    all_pairs = set()
+    last_snapshot = None
+    for batch_rows in batches:
+        docs.append(batch_rows)
+        batch = docs.incremental_scan(from_snapshot_id=last_snapshot)
+        last_snapshot = docs.current_snapshot_id
+        corpus = docs.to_df().join(batch.select("doc_id"), "doc_id", "left_anti")
+        stored = sigs.to_df() if sigs.to_df().count() else None
+        pairs, batch_sigs = minhash_incremental_pairs(
+            corpus, batch, "text", "doc_id", corpus_sigs=stored, **kw
+        )
+        all_pairs |= {(r["id_a"], r["id_b"], r["jaccard"]) for r in pairs.collect()}
+        sigs.append(batch_sigs)  # persist the new state
+
+    full = minhash_lsh_pairs(docs.to_df(), "text", "doc_id", **kw)
+    want = {(r["id_a"], r["id_b"], r["jaccard"]) for r in full.collect()}
+    assert all_pairs == want and len(want) >= 3
+    # every doc's signature is persisted exactly once
+    assert sigs.to_df().count() == 7
