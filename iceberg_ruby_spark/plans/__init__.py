@@ -27,70 +27,71 @@ from iceberg_ruby_spark.plans import streaming  # noqa: E402,F401
 from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 
 # The correctness driver checks queries in registration order and has a
-# bounded budget (50 per round).  Round-6 rotation (VERDICT r5 item 5 —
-# "after r6, no query's newest driver check is older than 2 rounds"):
-# (0) queries the driver has NEVER checked (first driver row): the
-#     round-5 additions plus this round's engine_write_mode_properties;
-# (1) percentile_aggs — the r5 off-by-one victim (its newest row is r2:
-#     the r5 rotation narrated "exactly 47" relational queries but the
-#     set held 48, and it silently fell past the budget);
-# (2) the engine/streaming families whose newest driver row is r3;
-# (3) the r4-checked llm/engine/function queries (2 rounds old — the
-#     budget reaches ~22 of these 26; the remainder plus the 21-query
-#     TPC-H pack and everything r5-checked stay mirror-covered and
-#     rotate in next round).
+# bounded budget (50 per round).  Round-7 rotation (VERDICT r6 item 3 —
+# "after r7, no query's newest driver check is older than r5"):
+# (0) queries the driver has NEVER checked: this round's
+#     dedup_incremental;
+# (1) the 32 queries whose newest driver row is r4 (the TPC-H pack +
+#     llm/function/engine stragglers — computed from CORRECTNESS_r0{1..6});
+# (2) the 50 r5-checked core relational/join/window/set-op queries — the
+#     remaining ~17 budget slots reach the alphabetical head; the
+#     overflow stays at newest=r5 (2 rounds old at r7, within target)
+#     and rotates in next round.  Everything r6-checked waits.
 # The arithmetic is ASSERTED below, not narrated: every name must be a
-# registered query, and tiers (0)-(2) must fit the budget entirely.
+# registered query, and tiers (0)-(1) must fit the budget entirely.
 _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
-    "engine_delete_mor_dv", "engine_row_lineage", "engine_write_mode_properties",
-    "text_stratified_sample", "text_pack_sequences", "text_scrub_pii",
-    "events_sessionize", "dedup_decontaminate", "text_repetition_stats",
-    "engine_statistics_ndv", "engine_schema_defaults", "dedup_cluster_components",
-    "text_mix_corpus", "dedup_shared_spans",
+    "dedup_incremental",
 ]
 
-_LAST_CHECKED_R2 = ["percentile_aggs"]
-
-_LAST_CHECKED_R3 = [
-    "engine_branch_tag", "engine_bucket_point_lookup", "engine_changelog_scan",
-    "engine_compact", "engine_delete_mor", "engine_delete_mor_equality",
-    "engine_delete_mor_positional", "engine_incremental_scan",
-    "engine_inspect_partitions", "engine_maintenance_cycle", "engine_merge_mor",
-    "engine_partitioned_write", "engine_schema_evolution", "engine_sql_roundtrip",
-    "engine_time_travel", "engine_wap_publish", "stream_dedup_watermark",
-    "stream_session_window", "stream_stateful_user_activity",
-    "stream_tumbling_window",
-]
-
-# r4-checked, non-TPC-H — fill the remaining budget in this order
 _LAST_CHECKED_R4 = [
-    "asof_join_events", "dedup_embedding_cosine", "dedup_exact_text",
-    "dedup_fingerprint", "dedup_ngram_jaccard", "dedup_simhash",
-    "dedup_simhash_pairs", "embedding_centroids", "embedding_cosine_topk",
-    "embedding_norms", "embedding_quantize_roundtrip",
-    "engine_append_roundtrip", "engine_avro_manifests", "engine_delete_cow",
-    "engine_merge", "engine_update_cow", "higher_order_array",
-    "json_functions", "map_struct_functions", "multimodal_features",
-    "multimodal_resize_frames", "pipeline_clean_corpus", "stat_aggs",
-    "text_chunk_documents", "text_fingerprint", "text_language_id",
-    "text_quality_score", "text_token_stats",
+    "engine_update_cow", "higher_order_array", "json_functions",
+    "map_struct_functions", "multimodal_features", "multimodal_resize_frames",
+    "pipeline_clean_corpus", "q02_min_acctbal_supplier", "q04_order_priority",
+    "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
+    "q09_product_profit", "q10_returned_items", "q11_important_parts",
+    "q12_late_priority_lines", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_part_supplier_counts", "q17_small_quantity_revenue",
+    "q18_large_volume_customers", "q19_bracketed_revenue",
+    "q20_forest_part_suppliers", "q21_waiting_suppliers",
+    "q22_idle_rich_customers", "stat_aggs", "text_chunk_documents",
+    "text_fingerprint", "text_language_id", "text_quality_score",
+    "text_token_stats",
+]
+
+# r5-checked relational family — fills the remaining budget in this order
+_LAST_CHECKED_R5 = [
+    "agg_global", "agg_having", "approx_count_distinct", "array_functions",
+    "case_cast_coalesce", "cast_nullif", "correlated_exists",
+    "count_distinct_by_group", "cte_join_agg", "cube_counts", "date_functions",
+    "dedup_minhash_lsh", "distinct_pairs", "embedding_ann_ivf",
+    "embedding_ann_lsh", "except_keys", "explode_unnest", "grouping_sets",
+    "in_subquery", "intersect_keys", "join_anti", "join_broadcast_dim",
+    "join_cross", "join_full_outer", "join_inner_agg", "join_left_zero_counts",
+    "join_range_theta", "join_right", "join_semi", "math_functions",
+    "pivot_order_status", "projection_rename", "q01_pricing_summary",
+    "q3_shipping_priority", "q5_nation_revenue", "regexp_functions",
+    "rollup_counts", "scalar_subquery", "scan_filter_project",
+    "sort_limit_offset", "string_functions", "topk_orders", "union_all_counts",
+    "union_distinct", "unpivot_lineitem_metrics", "window_lag_lead",
+    "window_ntile", "window_range_frame", "window_ranking",
+    "window_running_sum",
 ]
 
 _TIER = {}
 for _tier, _names in enumerate(
-    (_NEVER_DRIVER_CHECKED, _LAST_CHECKED_R2, _LAST_CHECKED_R3, _LAST_CHECKED_R4)
+    (_NEVER_DRIVER_CHECKED, _LAST_CHECKED_R4, _LAST_CHECKED_R5)
 ):
     for _n in _names:
         assert _n in QUERIES, f"rotation names unregistered query: {_n}"
         assert _n not in _TIER, f"rotation lists {_n} twice"
         _TIER[_n] = _tier
-# tiers 0-2 must land inside the driver budget COMPLETELY — the r5
-# off-by-one (percentile_aggs silently dropped) is now a hard error
-_must_fit = len(_NEVER_DRIVER_CHECKED) + len(_LAST_CHECKED_R2) + len(_LAST_CHECKED_R3)
+# tiers 0-1 must land inside the driver budget COMPLETELY — the r5
+# off-by-one (percentile_aggs silently dropped) stays a hard error
+_must_fit = len(_NEVER_DRIVER_CHECKED) + len(_LAST_CHECKED_R4)
 assert _must_fit <= _DRIVER_BUDGET, (
-    f"rotation tiers 0-2 hold {_must_fit} queries but the driver budget is "
+    f"rotation tiers 0-1 hold {_must_fit} queries but the driver budget is "
     f"{_DRIVER_BUDGET}; a must-check query would fall out silently"
 )
 
