@@ -976,34 +976,97 @@ class Table:
                 for c in cols
             },
         }
-        # One job per supported column.  DISTINCT-first: the map-side
-        # partial distinct collapses duplicates before the exchange, so
-        # the hash UDF (Python for strings) runs over DISTINCT values
-        # only — 3 hash calls for a 3-value flag column instead of N
-        # rows.  Jobs run sequentially on purpose: each already saturates
-        # the executor pool (scan + distinct parallelize fully), and a
-        # measured concurrent-submission variant was 1.5-3× SLOWER at the
-        # 10× tier (memory pressure + scheduler thrash); on a real
-        # multi-tenant cluster, concurrency across ANALYZE jobs belongs
-        # to the scheduler pool config, not this loop.
+        # Two tiers (r7, measured at the 10× tier):
+        #
+        # FIXED-WIDTH columns (numpy-vectorized hashing) run as ONE job:
+        # hash every column in-row, explode to (cid, hash), distinct,
+        # per-cid k-smallest.  One table scan replaces N; 13.2 s → 6.0 s
+        # for lineitem's 9 fixed-width columns at 10× (probe:
+        # scripts/analyze_singlejob_probe.py).  The per-cid window would
+        # put a column's whole distinct hash set in one task, so a
+        # CUTOFF derived from the first agg job's HLL estimate
+        # (4(k+1)/ndv_est of the 63-bit hash space) pre-filters to ~4(k+1)
+        # expected survivors per column — the window input is
+        # constant-bounded regardless of table size.  Exactness: the
+        # (k+1)-th smallest hash sits at ≈(k+1)/ndv_true of the space,
+        # under the cutoff unless HLL overestimates by >4× (far outside
+        # its ±2% envelope); if a cutoff column still comes back short,
+        # it redoes the exact per-column job — fallback, never silent.
+        #
+        # STRING/DECIMAL/DATE columns keep one job per column,
+        # DISTINCT-first: the map-side partial distinct collapses
+        # duplicates before the exchange, so the per-value Python hash
+        # runs over DISTINCT values only — 3 hash calls for a 3-value
+        # flag column instead of N rows.  (A measured
+        # concurrent-submission variant was 1.5-3× SLOWER at the 10×
+        # tier; cross-job concurrency belongs to the scheduler pool, not
+        # this loop.)
+        from pyspark.sql import Window as _W
+
         sketches: dict[str, bytes] = {}
-        for c in cols:
-            f = schema.field_by_name(c)
-            if f is None or not _theta_supported(f.field_type):
-                continue
+        k = _ts.DEFAULT_NOMINAL_ENTRIES
+
+        def _column_kmins(f: ice_t.NestedField) -> list[int]:
             hs = (
-                df.select(F.col(c).alias("__v"))
+                df.select(F.col(f.name).alias("__v"))
                 .where(F.col("__v").isNotNull())
                 .distinct()
                 .select(_theta_hash_udf(f.field_type)(F.col("__v")).alias("__h"))
                 .where(F.col("__h").isNotNull())
                 .orderBy("__h")
-                .limit(_ts.DEFAULT_NOMINAL_ENTRIES + 1)
+                .limit(k + 1)
                 .collect()
             )
-            sketches[c] = _ts.sketch_from_hashes([r["__h"] for r in hs])
+            return [r["__h"] for r in hs]
+
+        _FIXED = (
+            ice_t.IntType, ice_t.LongType, ice_t.FloatType, ice_t.DoubleType,
+            ice_t.TimestampType, ice_t.TimestampTzType,
+            ice_t.TimestampNanoType, ice_t.TimestampTzNanoType,
+        )
+        theta_fields = [
+            schema.field_by_name(c)
+            for c in cols
+            if schema.field_by_name(c) is not None
+            and _theta_supported(schema.field_by_name(c).field_type)
+        ]
+        fixed_fields = [f for f in theta_fields if isinstance(f.field_type, _FIXED)]
+        kmins: dict[str, list[int]] = {}
+        if fixed_fields:
+            structs, cutoffs = [], []
+            for i, f in enumerate(fixed_fields):
+                h = _theta_hash_udf(f.field_type)(F.col(f.name))
+                ndv_est = max(1, int(row[f"__ndv_{f.name}"]))
+                cutoff = None
+                if ndv_est > 4 * (k + 1):
+                    cutoff = ((k + 1) << 63) * 4 // ndv_est
+                    h = F.when(h <= F.lit(cutoff), h)
+                cutoffs.append(cutoff)
+                structs.append(F.struct(F.lit(i).alias("cid"), h.alias("h")))
+            w = _W.partitionBy("cid").orderBy("h")
+            per_cid: dict[int, list[int]] = {}
+            for r in (
+                df.select(F.explode(F.array(*structs)).alias("x"))
+                .select(F.col("x.cid").alias("cid"), F.col("x.h").alias("h"))
+                .where(F.col("h").isNotNull())
+                .distinct()
+                .withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") <= k + 1)
+                .select("cid", "h")
+                .collect()
+            ):
+                per_cid.setdefault(r["cid"], []).append(r["h"])
+            for i, f in enumerate(fixed_fields):
+                hs = sorted(per_cid.get(i, []))
+                if cutoffs[i] is not None and len(hs) < k + 1:
+                    hs = _column_kmins(f)  # cutoff clipped (HLL >4× off) — exact redo
+                kmins[f.name] = hs
+        for f in theta_fields:
+            if f.name not in kmins:
+                kmins[f.name] = _column_kmins(f)
+            sketches[f.name] = _ts.sketch_from_hashes(kmins[f.name])
             # the sketch's estimate IS the published ndv (exact ≤ 4096)
-            stats["columns"][c]["ndv"] = int(round(_ts.estimate(sketches[c])))
+            stats["columns"][f.name]["ndv"] = int(round(_ts.estimate(sketches[f.name])))
         from iceberg_ruby_spark.puffin import footer_size, stats_to_puffin
 
         field_ids = {
