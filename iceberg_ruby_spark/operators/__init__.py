@@ -28,6 +28,8 @@ from iceberg_ruby_spark.operators.dedup import (
     minhash_signatures,
     minhash_lsh_pairs,
     minhash_incremental_pairs,
+    apply_dedup,
+    leakage_safe_split,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -46,6 +48,7 @@ from iceberg_ruby_spark.operators.text import (
     fingerprint,
     language_id,
     mix_corpus,
+    domain_cap,
     pack_sequences,
     quality_score,
     repetition_stats,
@@ -75,6 +78,8 @@ __all__ = [
     "minhash_signatures",
     "minhash_lsh_pairs",
     "minhash_incremental_pairs",
+    "apply_dedup",
+    "leakage_safe_split",
     "ngram_jaccard_pairs",
     "simhash",
     "simhash_pairs",
@@ -89,6 +94,7 @@ __all__ = [
     "fingerprint",
     "language_id",
     "mix_corpus",
+    "domain_cap",
     "pack_sequences",
     "quality_score",
     "repetition_stats",

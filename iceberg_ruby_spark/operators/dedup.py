@@ -808,6 +808,77 @@ def connected_components(
     return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 
 
+def apply_dedup(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    quality_col: Optional[str] = None,
+) -> DataFrame:
+    """The dedup pipeline's APPLY step: given the corpus and its verified
+    near-dup pairs, return the corpus with every near-dup family reduced
+    to ONE canonical survivor (highest ``quality_col``, ties and the
+    no-quality default broken by smallest id).  Docs in no pair pass
+    through untouched.
+
+    Scale shape: components (:func:`connected_components`) and the
+    ranked loser list are pair-output-sized, never corpus-sized; the
+    canonical choice is a per-cluster window (clusters are small by
+    construction); the final step is one anti-join of the corpus against
+    the loser ids."""
+    comp = connected_components(pairs, max_iterations=20).withColumnRenamed(
+        "doc_id", "__cc_id"
+    )
+    qual_cols = [F.col(quality_col).alias("__q")] if quality_col else []
+    ranked = comp.join(
+        corpus.select(F.col(id_col).cast("long").alias("__cc_id"), *qual_cols),
+        "__cc_id",
+    )
+    order = ([F.col("__q").desc()] if quality_col else []) + [F.col("__cc_id").asc()]
+    w = Window.partitionBy("cluster_id").orderBy(*order)
+    losers = (
+        ranked.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") > 1)
+        .select(F.col("__cc_id").alias(id_col))
+    )
+    return corpus.join(losers, id_col, "left_anti")
+
+
+def leakage_safe_split(
+    corpus: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    valid_frac: float = 0.1,
+    seed: int = 42,
+) -> DataFrame:
+    """Train/validation split that never separates near-duplicates: the
+    split key is the doc's near-dup CLUSTER id (its own id when it has no
+    near-dups), so an eval doc can never have a training-set twin — the
+    contamination a plain row-level split bakes in.
+
+    The draw is the same md5-derived deterministic uniform the stratified
+    sampler uses (pure function of seed + cluster id: identical output on
+    any partitioning/cluster size, bit-reproducible by external engines).
+    Adds ``cluster_id`` and ``split`` ('train' | 'valid')."""
+    comp = connected_components(pairs, max_iterations=20).withColumnRenamed(
+        "doc_id", "__cc_id"
+    )
+    out = corpus.join(
+        comp, corpus[id_col].cast("long") == comp["__cc_id"], "left"
+    ).drop("__cc_id")
+    cid = F.coalesce(F.col("cluster_id"), F.col(id_col).cast("long"))
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}:"), cid.cast("string"))), 1, 15),
+            16,
+            10,
+        ).cast("double")
+        / F.lit(float(1 << 60))
+    )
+    return out.withColumn("cluster_id", cid).withColumn(
+        "split", F.when(u < F.lit(float(valid_frac)), "valid").otherwise("train")
+    )
+
+
 def shared_span_stats(
     corpus: DataFrame,
     text_col: str = "text",

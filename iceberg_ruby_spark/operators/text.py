@@ -8,6 +8,8 @@ exact ANSI-SQL twin used by the DuckDB oracle (see plans/llm.py).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -299,6 +301,36 @@ def repetition_stats(
         (F.lit(1.0) - F.size(F.array_distinct(lines)) / F.size(lines)).cast("double"),
     )
     return out
+
+
+def domain_cap(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    quality_col: Optional[str] = None,
+    cap: int = 100,
+) -> DataFrame:
+    """Per-domain document cap (the RefinedWeb/C4 anti-spam primitive):
+    keep at most ``cap`` docs per ``group_col``, preferring the highest
+    ``quality_col`` (ties, and the no-quality default, broken by smallest
+    id for a deterministic, engine-reproducible selection).
+
+    Scale shape: ``row_number() <= cap`` over a per-domain window is
+    planned by Spark as WindowGroupLimit — each map task keeps only its
+    local top-``cap`` per domain BEFORE the exchange, so the shuffle
+    carries at most ``cap × tasks`` rows per domain, and one giant domain
+    cannot flood a single reducer with its full corpus slice."""
+    order = ([F.col(quality_col).desc()] if quality_col else []) + [
+        F.col(id_col).asc()
+    ]
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
 
 
 def mix_corpus(

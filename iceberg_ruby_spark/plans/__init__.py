@@ -42,7 +42,8 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
-    "dedup_incremental",
+    "dedup_incremental", "dedup_apply_canonical", "dedup_split_leakage_safe",
+    "text_domain_cap",
 ]
 
 _LAST_CHECKED_R4 = [

@@ -1023,6 +1023,129 @@ def dedup_cluster_components(spark, sf_dir):
 
 
 @query(
+    "dedup_apply_canonical",
+    oracle=f"""
+    WITH RECURSIVE mh AS (
+      {_minhash_oracle()}
+    ), nodes AS (
+      SELECT DISTINCT id_a AS n FROM mh
+      UNION
+      SELECT DISTINCT id_b FROM mh
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM mh
+      UNION
+      SELECT id_b, id_a FROM mh
+    ), reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+      SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    ), ranked AS (
+      SELECT c.doc_id,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+      FROM comp c JOIN documents d USING (doc_id)
+    )
+    SELECT d.doc_id, d.source, d.n_chars
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM ranked WHERE rn > 1)
+    """,
+)
+def dedup_apply_canonical(spark, sf_dir):
+    """The dedup APPLY step (operators/dedup.py ``apply_dedup``): corpus
+    minus all non-canonical members of each near-dup family (canonical =
+    longest doc, ties to smallest id).  The DuckDB twin re-derives the
+    bit-for-bit md5 pairs, exact recursive-CTE components, the same
+    window choice, and the same anti-join — full-pipeline hash
+    equality."""
+    from iceberg_ruby_spark.operators.dedup import apply_dedup, minhash_lsh_pairs
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5, hash_fn="md5",
+    )
+    return apply_dedup(d, pairs, "doc_id", quality_col="n_chars").select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
+    "dedup_split_leakage_safe",
+    oracle=f"""
+    WITH RECURSIVE mh AS (
+      {_minhash_oracle()}
+    ), nodes AS (
+      SELECT DISTINCT id_a AS n FROM mh
+      UNION
+      SELECT DISTINCT id_b FROM mh
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM mh
+      UNION
+      SELECT id_b, id_a FROM mh
+    ), reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+      SELECT src AS doc_id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    )
+    SELECT d.doc_id,
+           COALESCE(c.cluster_id, d.doc_id) AS cluster_id,
+           CASE WHEN CAST(concat('0x', substr(md5(concat('42:',
+                      CAST(COALESCE(c.cluster_id, d.doc_id) AS VARCHAR))), 1, 15))
+                      AS BIGINT) / 1152921504606846976.0 < 0.1
+                THEN 'valid' ELSE 'train' END AS split
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+)
+def dedup_split_leakage_safe(spark, sf_dir):
+    """Leakage-safe train/valid split (operators/dedup.py
+    ``leakage_safe_split``): the split key is the near-dup CLUSTER id, so
+    eval docs can never have training-set twins.  The DuckDB twin
+    re-derives pairs → exact components → the identical md5 uniform draw
+    per cluster."""
+    from iceberg_ruby_spark.operators.dedup import (
+        leakage_safe_split,
+        minhash_lsh_pairs,
+    )
+
+    d = load(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(
+        d, "text", "doc_id", num_hashes=64, bands=16, shingle_size=5,
+        threshold=0.5, hash_fn="md5",
+    )
+    return leakage_safe_split(d, pairs, "doc_id", valid_frac=0.1, seed=42).select(
+        "doc_id", "cluster_id", "split"
+    )
+
+
+@query(
+    "text_domain_cap",
+    oracle="""
+    SELECT doc_id, source, n_chars FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ) WHERE rn <= 10
+    """,
+)
+def text_domain_cap(spark, sf_dir):
+    """Per-domain cap (operators/text.py ``domain_cap``): top-10 docs per
+    source by length, deterministic tie-break — planned as
+    WindowGroupLimit (map-side partial top-k per domain before the
+    exchange), so a mega-domain can't flood one reducer."""
+    from iceberg_ruby_spark.operators.text import domain_cap
+
+    d = load(spark, sf_dir, "documents")
+    return domain_cap(d, "source", "doc_id", quality_col="n_chars", cap=10).select(
+        "doc_id", "source", "n_chars"
+    )
+
+
+@query(
     "text_mix_corpus",
     oracle=f"""
     WITH tot AS (

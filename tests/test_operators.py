@@ -594,3 +594,71 @@ def test_minhash_incremental_multi_ingest(catalog, spark):
     assert all_pairs == want and len(want) >= 3
     # every doc's signature is persisted exactly once
     assert sigs.to_df().count() == 7
+
+
+def test_apply_dedup_keeps_canonical(spark):
+    from iceberg_ruby_spark.operators.dedup import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 60), (4, 10), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    # chain 1-2, 2-3 → one family {1,2,3}; 4 pairs with nothing in corpus scope
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    kept = sorted(
+        r["doc_id"] for r in apply_dedup(corpus, pairs, quality_col="n_chars").collect()
+    )
+    assert kept == [2, 4, 9]  # 2 wins its family (longest); untouched docs survive
+    # no quality column → smallest id wins
+    kept_min = sorted(r["doc_id"] for r in apply_dedup(corpus, pairs).collect())
+    assert kept_min == [1, 4, 9]
+
+
+def test_leakage_safe_split_never_splits_neardups(spark):
+    from iceberg_ruby_spark.operators.dedup import leakage_safe_split
+
+    corpus = spark.createDataFrame(
+        [(i,) for i in range(40)], "doc_id long"
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11), (20, 21)], "id_a long, id_b long"
+    )
+    out = leakage_safe_split(corpus, pairs, valid_frac=0.5, seed=7).collect()
+    assert len(out) == 40
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    # every near-dup family lands wholly on one side
+    for cid in (0, 10, 20):
+        assert len(by_cluster[cid]) == 1
+    # singleton cluster ids are the docs' own ids
+    assert all(r["cluster_id"] == r["doc_id"] for r in out
+               if r["doc_id"] not in (0, 1, 2, 10, 11, 20, 21))
+    splits = {r["split"] for r in out}
+    assert splits == {"train", "valid"}  # both sides populated at 50%
+
+
+def test_domain_cap_values_and_plan(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.text import domain_cap
+
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b", i * 7 % 31) for i in range(40)],
+        "doc_id long, source string, n_chars long",
+    )
+    out = domain_cap(df, "source", "doc_id", quality_col="n_chars", cap=3)
+    rows = out.collect()
+    assert len(rows) == 6  # 3 per domain
+    got_a = sorted(
+        (r["n_chars"], r["doc_id"]) for r in rows if r["source"] == "a"
+    )
+    want_a = sorted(
+        sorted([((i * 7 % 31), i) for i in range(30)], key=lambda t: (-t[0], t[1]))[:3]
+    )
+    assert got_a == want_a
+    # the rank filter must push down as WindowGroupLimit (map-side partial
+    # top-k per domain) — the property that keeps one giant domain from
+    # flooding a single reducer at 100 TB
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
