@@ -38,6 +38,9 @@ from iceberg_ruby_spark.operators.similarity import (
     cosine_topk,
     dequantize_int8,
     ivf_topk,
+    ivf_index,
+    ivf_assign,
+    ivf_search,
     lsh_ann_topk,
     quantize_int8,
     vector_norms,
@@ -86,6 +89,9 @@ __all__ = [
     "cosine_topk",
     "dequantize_int8",
     "ivf_topk",
+    "ivf_index",
+    "ivf_assign",
+    "ivf_search",
     "quantize_int8",
     "lsh_ann_topk",
     "vector_norms",

@@ -309,15 +309,71 @@ def ivf_topk(
     corpus can be hidden-partitioned by cell); each query touches
     ``n_probe/n_cells`` of the data through a hash join on the cell id.
     Recall is tunable via ``n_probe``."""
+    centroids, c = ivf_index(
+        corpus, id_col=id_col, vec_col=vec_col, n_cells=n_cells, seed=seed
+    )
+    return ivf_search(
+        centroids, c, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, n_probe=n_probe,
+    )
+
+
+def ivf_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 64,
+    seed: int = 42,
+):
+    """Build an IVF index: ``(centroids, assigned)`` where ``centroids``
+    is the trained coarse quantizer (a small Python list — persist it as
+    JSON alongside the table) and ``assigned`` is the corpus as
+    ``(id, cell: int, __cv: vector)`` — the INDEX STATE a pipeline
+    persists (e.g. an engine table hidden-partitioned by ``cell``, so
+    probed scans prune cell directories).
+
+    Incremental ingest: assign a NEW batch with :func:`ivf_assign` against
+    the SAME centroids and append — no retraining, no re-assignment of
+    history; searches over old ∪ new rows are identical to a one-shot
+    build with these centroids (pinned by test + the
+    ``embedding_ann_ivf_incremental`` oracle)."""
+    centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed, id_col=id_col)
+    return centroids, ivf_assign(centroids, corpus, id_col=id_col, vec_col=vec_col)
+
+
+def ivf_assign(
+    centroids,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell, __cv) for a batch against FIXED centroids — one
+    Arrow-batched distributed pass; the incremental-ingest half of
+    :func:`ivf_index`."""
+    assign = _cell_assigner(centroids)
+    return (
+        batch.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .withColumn("cell", assign(F.col("__cv")))
+    )
+
+
+def ivf_search(
+    centroids,
+    assigned: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    n_probe: int = 8,
+) -> DataFrame:
+    """Top-k over a prebuilt IVF index (:func:`ivf_index` /
+    :func:`ivf_assign` output): probe the ``n_probe`` nearest cells per
+    query, exact cosine re-rank inside the probed cells."""
     import numpy as np
 
     query_id_col = query_id_col or id_col
-    centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed, id_col=id_col)
-    assign = _cell_assigner(centroids)
-
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
-        "__cell", assign(F.col("__cv"))
-    )
+    c = assigned.withColumnRenamed("cell", "__cell")
 
     cents = np.asarray(centroids, dtype=np.float64)
     sq = (cents**2).sum(axis=1)

@@ -29,12 +29,12 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 # The correctness driver checks queries in registration order and has a
 # bounded budget (50 per round).  Round-7 rotation (VERDICT r6 item 3 —
 # "after r7, no query's newest driver check is older than r5"):
-# (0) queries the driver has NEVER checked: this round's
-#     dedup_incremental;
+# (0) queries the driver has NEVER checked: this round's five additions
+#     (incremental dedup/ANN, dedup apply/split, domain cap);
 # (1) the 32 queries whose newest driver row is r4 (the TPC-H pack +
 #     llm/function/engine stragglers — computed from CORRECTNESS_r0{1..6});
 # (2) the 50 r5-checked core relational/join/window/set-op queries — the
-#     remaining ~17 budget slots reach the alphabetical head; the
+#     remaining ~13 budget slots reach the alphabetical head; the
 #     overflow stays at newest=r5 (2 rounds old at r7, within target)
 #     and rotates in next round.  Everything r6-checked waits.
 # The arithmetic is ASSERTED below, not narrated: every name must be a
@@ -43,7 +43,7 @@ _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
     "dedup_incremental", "dedup_apply_canonical", "dedup_split_leakage_safe",
-    "text_domain_cap",
+    "text_domain_cap", "embedding_ann_ivf_incremental",
 ]
 
 _LAST_CHECKED_R4 = [

@@ -558,6 +558,31 @@ def embedding_ann_ivf(spark, sf_dir):
     return ivf_topk(emb, queries, k=10, n_cells=32, n_probe=32)
 
 
+@query("embedding_ann_ivf_incremental", oracle=_EXACT_TOPK_SQL)
+def embedding_ann_ivf_incremental(spark, sf_dir):
+    """Incremental IVF ingest (operators/similarity.py ivf_index /
+    ivf_assign / ivf_search): train the coarse quantizer on the existing
+    corpus (``vec_id % 5 != 0``), assign the NEW batch (``% 5 = 0``)
+    against the FIXED centroids — no retraining, no re-assignment of
+    history — and search the union.  Full probe over the partitioning
+    cells degenerates to the exact scan, so the exact top-k SQL stays a
+    row-for-row oracle while the whole persisted-index + append machinery
+    is exercised."""
+    from iceberg_ruby_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+
+    emb = load(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") % 5 != 0)
+    batch = emb.filter(F.col("vec_id") % 5 == 0)
+    centroids, assigned = ivf_index(corpus, n_cells=32)
+    index = assigned.unionByName(ivf_assign(centroids, batch))
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_search(centroids, index, queries, k=10, n_probe=32)
+
+
 @query(
     "pipeline_clean_corpus",
     bench=True,

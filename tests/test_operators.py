@@ -662,3 +662,34 @@ def test_domain_cap_values_and_plan(spark):
     # flooding a single reducer at 100 TB
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "WindowGroupLimit" in plan
+
+
+def test_ivf_incremental_assign_equals_one_shot(spark):
+    """Appending a batch via ivf_assign against fixed centroids must give
+    the same index (and the same search results) as assigning everything
+    in one shot — the no-retraining incremental-ingest contract."""
+    from iceberg_ruby_spark.operators.similarity import (
+        ivf_assign,
+        ivf_index,
+        ivf_search,
+    )
+    from iceberg_ruby_spark.plans.tables import load
+
+    emb = load(spark, "/root/testdata/sf0.001", "embeddings")
+    corpus = emb.filter("vec_id % 4 != 0")
+    batch = emb.filter("vec_id % 4 = 0")
+    centroids, assigned_corpus = ivf_index(corpus, n_cells=16)
+    incremental = assigned_corpus.unionByName(ivf_assign(centroids, batch))
+    one_shot = ivf_assign(centroids, emb)
+    got = {(r["vec_id"], r["cell"]) for r in incremental.collect()}
+    want = {(r["vec_id"], r["cell"]) for r in one_shot.collect()}
+    assert got == want
+    q = emb.filter("vec_id < 3")
+    s_inc = {
+        tuple(r)
+        for r in ivf_search(centroids, incremental, q, k=5, n_probe=16).collect()
+    }
+    s_one = {
+        tuple(r) for r in ivf_search(centroids, one_shot, q, k=5, n_probe=16).collect()
+    }
+    assert s_inc == s_one and len(s_inc) == 15
