@@ -62,7 +62,10 @@ def _norm_ident(ident: Ident) -> list[str]:
         parts = list(ident)
         for p in parts:
             if "." in p:
-                raise InvalidDataError(f"identifier level cannot contain '.': {p!r}")
+                # reference message: ``catalog.rb`` raises ArgumentError
+                # "Unsupported namespace" for a dotted level
+                # (test/namespace_test.rb:52-56)
+                raise InvalidDataError(f"Unsupported namespace: level contains '.': {p!r}")
     if not parts or any(not p for p in parts):
         raise InvalidDataError(f"invalid identifier: {ident!r}")
     return parts
@@ -281,9 +284,10 @@ class Catalog:
             if if_not_exists:
                 return self.load_table(parts)
             raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
-        if schema is None:
-            raise InvalidDataError("schema is required")
-        ice_schema = schema_from_any(schema)
+        # no schema → EMPTY-schema table, the reference's behavior
+        # (test/create_table_test.rb:108-111: ``create_table("events")``
+        # yields a table whose schema has zero fields)
+        ice_schema = schema_from_any(schema if schema is not None else {})
         if location is not None:
             loc = location
 
@@ -527,7 +531,10 @@ class Catalog:
         # semicolons inside string literals
         stripped = re.sub(r"'(?:[^']|'')*'", "''", query)
         if re.search(r";\s*\S", stripped):
-            raise InvalidDataError("only a single SQL statement is supported")
+            raise InvalidDataError(
+                "This feature is not implemented: The context currently"
+                " only supports a single SQL statement"
+            )  # exact reference message (test/sql_test.rb:95-100)
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
         m = self._SHOW_TABLES_RE.match(query)
@@ -569,7 +576,7 @@ class Catalog:
             # reference test/sql_test.rb:103-107 (DataFusion: "Projections
             # require unique expression names")
             raise InvalidDataError(
-                f"projections require unique expression names: duplicate {sorted(dup)}"
+                f"Projections require unique expression names: duplicate {sorted(dup)}"
             )
         return Result(df)
 

@@ -463,7 +463,7 @@ class StaticTableOps(FsTableOps):
         return TableMetadata(self._raw, self._version, self._metadata_file)
 
     def commit(self, base_version: Optional[int], new_meta: dict[str, Any]) -> TableMetadata:
-        raise UnsupportedFeatureError("table is read-only")
+        raise UnsupportedFeatureError("Read-only table")
 
 
 def _as_epoch_ms(v: Any) -> int:
@@ -1576,7 +1576,7 @@ class Table:
     # -- write path ----------------------------------------------------------
     def _check_writable(self) -> None:
         if self.read_only:
-            raise UnsupportedFeatureError("table is read-only")
+            raise UnsupportedFeatureError("Read-only table")
 
     def _commit_retries(self) -> int:
         """Optimistic-commit retry budget (Iceberg's commit.retry.num-retries

@@ -35,9 +35,11 @@ def test_create_duplicate_raises(catalog):
     assert t is not None
 
 
-def test_create_table_requires_schema(catalog):
-    with pytest.raises(InvalidDataError):
-        catalog.create_table("t1")
+def test_create_table_without_schema_is_empty(catalog):
+    # reference behavior (test/create_table_test.rb:108-111): no schema →
+    # an empty-schema table, not an error
+    t = catalog.create_table("t1")
+    assert t.schema.fields == []
 
 
 def test_create_table_from_struct_type(catalog):
