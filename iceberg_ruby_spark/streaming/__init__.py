@@ -18,8 +18,10 @@ from iceberg_ruby_spark.streaming.events import (
     user_activity_stateful,
     windowed_counts,
 )
+from iceberg_ruby_spark.streaming.dedup import stream_dedup_ingest
 
 __all__ = [
+    "stream_dedup_ingest",
     "read_events_stream",
     "windowed_counts",
     "session_windows",

@@ -101,3 +101,54 @@ def test_stream_upsert_to_table(catalog, spark, tmp_path):
     q.awaitTermination()
     t = t.refresh()
     assert {r["k"]: r["v"] for r in t.to_a()} == {1: "new1", 2: "old2", 3: "new3"}
+
+
+def test_stream_dedup_ingest_filters_near_dups(catalog, spark, tmp_path):
+    """Online near-dup-free ingestion: two micro-batches; batch-2 docs that
+    near-dup the already-ingested corpus (via the persisted signature
+    table) or each other are dropped; signature state carries forward."""
+    import pyspark.sql.types as T
+
+    from iceberg_ruby_spark.streaming import stream_dedup_ingest
+
+    base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    other = "shared phrase block alpha beta gamma delta epsilon zeta eta theta now"
+    b1 = [(1, base), (2, base + " ok")]                      # 2 dups 1 → keep 1
+    b2 = [
+        (3, base + " !!"),                                    # dups corpus 1 → drop
+        (4, "completely unrelated words appear in this single document body"),
+        (5, other), (6, other + " x"),                        # intra-batch → keep 5
+    ]
+    src = tmp_path / "src"
+    src.mkdir()
+    doc_schema = "doc_id long, text string"
+    spark.createDataFrame(b1, doc_schema).coalesce(1).write.parquet(str(src / "f1"))
+    spark.createDataFrame(b2, doc_schema).coalesce(1).write.parquet(str(src / "f2"))
+
+    docs = catalog.create_table("sd_docs", schema={"doc_id": "long", "text": "string"})
+    sigs = catalog.create_table(
+        "sd_sigs",
+        schema=T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("sig", T.ArrayType(T.LongType())),
+            ]
+        ),
+    )
+    stream = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = stream_dedup_ingest(
+        stream, docs, sigs, checkpoint_dir=str(tmp_path / "ckpt"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    kept = sorted(r["doc_id"] for r in docs.refresh().to_a())
+    assert kept == [1, 4, 5]
+    assert sorted(r["doc_id"] for r in sigs.refresh().to_a()) == [1, 4, 5]
+    # both tables carry per-epoch batch ids (exactly-once guard material)
+    assert {s.summary.get("streaming-batch-id") for s in docs.snapshots} >= {"0", "1"}
+    assert {s.summary.get("streaming-batch-id") for s in sigs.snapshots} >= {"0", "1"}
