@@ -71,6 +71,35 @@ def _norm_ident(ident: Ident) -> list[str]:
     return parts
 
 
+def _parse_partition_transform_sql(txt: str) -> tuple[str, str]:
+    """iceberg-spark partition-transform DDL → (source_col, transform spec
+    string): ``bucket(16, col)`` → ``bucket[16]``, ``truncate(col, 4)`` /
+    ``truncate(4, col)`` → ``truncate[4]``, ``years(col)``/``year(col)`` →
+    ``year`` (likewise months/days/hours), bare ``col`` → identity."""
+    txt = txt.strip()
+    m = re.match(r"(\w+)\s*\(\s*([^()]+?)\s*\)\s*$", txt)
+    if not m:
+        if not re.match(r"^\w+$", txt):
+            raise InvalidDataError(f"bad partition transform: {txt!r}")
+        return txt, "identity"
+    fn = m.group(1).lower()
+    args = [a.strip() for a in m.group(2).split(",")]
+    unit = {"years": "year", "months": "month", "days": "day", "hours": "hour"}
+    if fn in ("year", "month", "day", "hour") or fn in unit:
+        if len(args) != 1:
+            raise InvalidDataError(f"{fn} takes one column: {txt!r}")
+        return args[0], unit.get(fn, fn)
+    if fn in ("bucket", "truncate"):
+        if len(args) != 2:
+            raise InvalidDataError(f"{fn} takes (N, col): {txt!r}")
+        nums = [a for a in args if a.isdigit()]
+        cols = [a for a in args if not a.isdigit()]
+        if len(nums) != 1 or len(cols) != 1:
+            raise InvalidDataError(f"{fn} takes one width and one column: {txt!r}")
+        return cols[0], f"{fn}[{nums[0]}]"
+    raise InvalidDataError(f"unknown partition transform: {fn!r}")
+
+
 def _parse_call_literal(src: str):
     """A CALL argument literal: quoted string ('' escape), integer, float,
     true/false, or a bare word (kept as string)."""
@@ -771,6 +800,70 @@ class Catalog:
                 keys = re.findall(r"'([^']+)'", mm.group(1))
                 tbl = self.load_table(self._sql_table_ident(name))
                 tbl.update_properties(removals=keys)
+            elif (mm := re.match(
+                r"ADD\s+PARTITION\s+FIELD\s+(.+?)(?:\s+AS\s+(\w+))?\s*$",
+                action, re.IGNORECASE,
+            )):
+                # iceberg-spark DDL extension: evolve the default spec by
+                # appending one field (existing fields keep their ids)
+                tbl = self.load_table(self._sql_table_ident(name))
+                src, tr = _parse_partition_transform_sql(mm.group(1))
+                cur = tbl.partition_spec_by_id(tbl.default_spec_id) or {"fields": []}
+                fields = [
+                    {"source": f["source"], "transform": f["transform"],
+                     "name": f.get("name")}
+                    for f in cur["fields"]
+                ]
+                fields.append({"source": src, "transform": tr, "name": mm.group(2)})
+                tbl.update_spec(fields)
+            elif (mm := re.match(
+                r"DROP\s+PARTITION\s+FIELD\s+(.+?)\s*$", action, re.IGNORECASE
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                src, tr = _parse_partition_transform_sql(mm.group(1))
+                cur = tbl.partition_spec_by_id(tbl.default_spec_id) or {"fields": []}
+                keep = [
+                    {"source": f["source"], "transform": f["transform"],
+                     "name": f.get("name")}
+                    for f in cur["fields"]
+                    if not (f["source"] == src and f["transform"] == tr)
+                ]
+                if len(keep) == len(cur["fields"]):
+                    raise InvalidDataError(
+                        f"partition field not found: {mm.group(1).strip()}"
+                    )
+                tbl.update_spec(keep)
+            elif (mm := re.match(
+                r"WRITE\s+ORDERED\s+BY\s+(.+)$", action, re.IGNORECASE
+            )):
+                from iceberg_ruby_spark.transforms import SortField
+
+                tbl = self.load_table(self._sql_table_ident(name))
+                sort_fields = []
+                for part in _split_top_level(mm.group(1)):
+                    sm = re.match(
+                        r"\s*(\w+)(?:\s+(ASC|DESC))?"
+                        r"(?:\s+NULLS\s+(FIRST|LAST))?\s*$",
+                        part, re.IGNORECASE,
+                    )
+                    if not sm:
+                        raise InvalidDataError(f"bad sort field: {part.strip()!r}")
+                    sort_fields.append(
+                        SortField(
+                            sm.group(1),
+                            direction=(sm.group(2) or "asc").lower(),
+                            null_order=(sm.group(3) or "").lower() or None,
+                        )
+                    )
+                tbl.replace_sort_order(sort_fields)
+            elif (mm := re.match(
+                r"ALTER\s+COLUMN\s+(\w+)\s+TYPE\s+([\w()\s,]+?)\s*$",
+                action, re.IGNORECASE,
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_schema().update_column(
+                    mm.group(1), mm.group(2).strip()
+                ).commit()
             else:
                 raise UnsupportedFeatureError(
                     f"unsupported ALTER TABLE action: {action[:60]!r}"

@@ -371,3 +371,40 @@ def test_sql_call_system_procedures(catalog):
     assert sorted(r["a"] for r in catalog.load_table("proc").to_a()) == [0, 1, 2]
     with pytest.raises(UnsupportedFeatureError):
         catalog.sql("CALL system.nope('proc')")
+
+
+def test_sql_alter_partition_sort_and_column_type(catalog):
+    """iceberg-spark DDL extensions: ADD/DROP PARTITION FIELD, WRITE
+    ORDERED BY, ALTER COLUMN ... TYPE (widening)."""
+    t = catalog.create_table(
+        "alt3", schema={"id": "long", "ts": "timestamp", "v": "int"}
+    )
+    catalog.sql("ALTER TABLE alt3 ADD PARTITION FIELD bucket(8, id)")
+    catalog.sql("ALTER TABLE alt3 ADD PARTITION FIELD days(ts) AS ts_day")
+    t = catalog.load_table("alt3")
+    spec = t.partition_spec_by_id(t.default_spec_id)
+    assert [(f["source"], f["transform"]) for f in spec["fields"]] == [
+        ("id", "bucket[8]"), ("ts", "day"),
+    ]
+    assert spec["fields"][1]["name"] == "ts_day"
+    catalog.sql("ALTER TABLE alt3 DROP PARTITION FIELD bucket(8, id)")
+    t = catalog.load_table("alt3")
+    spec = t.partition_spec_by_id(t.default_spec_id)
+    assert [(f["source"], f["transform"]) for f in spec["fields"]] == [("ts", "day")]
+    # dropped-then-readded fields keep their spec-wide unique field id
+    assert spec["fields"][0]["field-id"] == 1001
+    with pytest.raises(InvalidDataError):
+        catalog.sql("ALTER TABLE alt3 DROP PARTITION FIELD bucket(8, id)")
+    catalog.sql("ALTER TABLE alt3 WRITE ORDERED BY v DESC NULLS LAST, id")
+    t = catalog.load_table("alt3")
+    so = t.default_sort_order()
+    assert [(f["source"], f["direction"], f["null_order"]) for f in so["fields"]] == [
+        ("v", "desc", "last"), ("id", "asc", "first"),
+    ]
+    catalog.sql("ALTER TABLE alt3 ALTER COLUMN v TYPE long")
+    t = catalog.load_table("alt3")
+    assert type(t.schema.field_by_name("v").field_type).__name__ == "LongType"
+    import datetime
+
+    t.append([{"id": 1, "ts": datetime.datetime(2026, 1, 2, 3, 4, 5), "v": 9}])
+    assert t.to_a()[0]["v"] == 9
