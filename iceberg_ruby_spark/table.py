@@ -866,7 +866,13 @@ class Table:
                 continue
         raise InvalidDataError("metadata commit conflict: too many retries")
 
-    def _set_ref(self, name: str, ref_type: str, snapshot_id: Optional[int]) -> None:
+    def _set_ref(
+        self,
+        name: str,
+        ref_type: str,
+        snapshot_id: Optional[int],
+        retention: Optional[dict[str, int]] = None,
+    ) -> None:
         sid = snapshot_id if snapshot_id is not None else self.current_snapshot_id
         if sid is None:
             raise InvalidDataError("table has no snapshot to reference")
@@ -875,19 +881,52 @@ class Table:
 
         def mutate(raw: dict[str, Any]) -> None:
             refs = dict(raw.get("refs", {}))
-            refs[name] = {"snapshot-id": sid, "type": ref_type}
+            ref: dict[str, Any] = {"snapshot-id": sid, "type": ref_type}
+            for k, v in (retention or {}).items():
+                if v is not None:
+                    ref[k] = int(v)
+            refs[name] = ref
             raw["refs"] = refs
 
         self._metadata_update(mutate)
 
-    def create_tag(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
-        """Tag a snapshot (defaults to the current one)."""
-        self._set_ref(name, "tag", snapshot_id)
+    def create_tag(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        max_ref_age_ms: Optional[int] = None,
+    ) -> "Table":
+        """Tag a snapshot (defaults to the current one).  ``max_ref_age_ms``
+        is the spec's ref-retention field: expire_snapshots drops the tag
+        once its snapshot is older than this."""
+        self._set_ref(
+            name, "tag", snapshot_id, retention={"max-ref-age-ms": max_ref_age_ms}
+        )
         return self
 
-    def create_branch(self, name: str, snapshot_id: Optional[int] = None) -> "Table":
-        """Create a named branch pointing at a snapshot (defaults current)."""
-        self._set_ref(name, "branch", snapshot_id)
+    def create_branch(
+        self,
+        name: str,
+        snapshot_id: Optional[int] = None,
+        max_ref_age_ms: Optional[int] = None,
+        min_snapshots_to_keep: Optional[int] = None,
+        max_snapshot_age_ms: Optional[int] = None,
+    ) -> "Table":
+        """Create a named branch pointing at a snapshot (defaults current).
+
+        Spec ref-retention fields (honored by expire_snapshots):
+        ``max_ref_age_ms`` drops the branch itself once aged out;
+        ``min_snapshots_to_keep`` / ``max_snapshot_age_ms`` protect the
+        branch's ANCESTRY — at least N newest ancestors, plus every
+        ancestor younger than the age bound."""
+        self._set_ref(
+            name, "branch", snapshot_id,
+            retention={
+                "max-ref-age-ms": max_ref_age_ms,
+                "min-snapshots-to-keep": min_snapshots_to_keep,
+                "max-snapshot-age-ms": max_snapshot_age_ms,
+            },
+        )
         return self
 
     def drop_ref(self, name: str) -> "Table":
@@ -3608,16 +3647,74 @@ class Table:
         )
         return self
 
+    @staticmethod
+    def _expire_plan(
+        raw: dict[str, Any], keep_last: int, now: int
+    ) -> tuple[dict[str, Any], set[int], list[str]]:
+        """(surviving refs, protected snapshot ids, aged-out ref names) —
+        the spec's ref-retention rules (per-ref ``max-ref-age-ms``,
+        ``min-snapshots-to-keep``, ``max-snapshot-age-ms``):
+
+        * a ref whose referenced snapshot is older than its
+          ``max-ref-age-ms`` is dropped by expiration (never main);
+        * every surviving ref protects its snapshot;
+        * a BRANCH carrying retention fields additionally protects its
+          ancestry: the newest ``min-snapshots-to-keep`` ancestors plus
+          all ancestors younger than ``max-snapshot-age-ms``.  Refs
+          without retention fields keep the historical head-only
+          behavior."""
+        snaps = raw.get("snapshots", [])
+        by_id = {s["snapshot-id"]: s for s in snaps}
+        refs = dict(raw.get("refs", {}))
+        dropped_refs: list[str] = []
+        for name, r in list(refs.items()):
+            age_cap = r.get("max-ref-age-ms")
+            snap = by_id.get(r["snapshot-id"])
+            if (
+                name != MAIN_BRANCH
+                and age_cap is not None
+                and snap is not None
+                and now - snap["timestamp-ms"] > int(age_cap)
+            ):
+                refs.pop(name)
+                dropped_refs.append(name)
+        protected: set[int] = set()
+        for r in refs.values():
+            protected.add(r["snapshot-id"])
+            if r.get("type") != "branch" or not (
+                "min-snapshots-to-keep" in r or "max-snapshot-age-ms" in r
+            ):
+                continue
+            min_keep = int(r.get("min-snapshots-to-keep", 1))
+            age_cap = r.get("max-snapshot-age-ms")
+            sid, idx = r["snapshot-id"], 0
+            while sid in by_id:
+                s = by_id[sid]
+                if idx >= min_keep and not (
+                    age_cap is not None and now - s["timestamp-ms"] <= int(age_cap)
+                ):
+                    break
+                protected.add(sid)
+                idx += 1
+                sid = s.get("parent-snapshot-id")
+        return refs, protected, dropped_refs
+
     def expire_snapshots(self, keep_last: int = 1) -> int:
         """Drop history beyond the newest ``keep_last`` snapshots, always
-        retaining snapshots referenced by branches/tags (metadata only;
-        orphan data dirs removable via remove_orphan_files)."""
+        retaining snapshots referenced by branches/tags — honoring the
+        spec's per-ref retention fields (see :meth:`_expire_plan`):
+        aged-out refs are removed, and branches with retention settings
+        protect their recent ancestry, not just their head.  Metadata
+        only; orphan data dirs removable via remove_orphan_files."""
         self._check_writable()
         expired = [0]
+        now = _now_ms()
 
         def nothing_to_expire(raw: dict[str, Any]) -> bool:
             snaps = raw.get("snapshots", [])
-            protected = {r["snapshot-id"] for r in raw.get("refs", {}).values()}
+            refs, protected, dropped_refs = self._expire_plan(raw, keep_last, now)
+            if dropped_refs:
+                return False
             keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
             return all(
                 s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
@@ -3631,8 +3728,7 @@ class Table:
             # recomputed from fresh metadata on every retry so a concurrent
             # commit's snapshot is never expired by a stale view
             snaps = raw.get("snapshots", [])
-            refs = raw.get("refs", {})
-            protected = {r["snapshot-id"] for r in refs.values()}
+            refs, protected, _dropped = self._expire_plan(raw, keep_last, now)
             keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
             kept = [
                 s for s in snaps
@@ -3640,6 +3736,7 @@ class Table:
             ]
             expired[0] = len(snaps) - len(kept)
             kept_ids = {s["snapshot-id"] for s in kept}
+            raw["refs"] = refs
             raw["snapshots"] = kept
             raw["snapshot-log"] = [
                 e for e in raw.get("snapshot-log", [])

@@ -491,3 +491,46 @@ def test_schema_evolution_interleaved_with_dv_mutations(catalog):
     t4.append([{"k": 5 + i, "g": "b"} for i in range(5)])
     assert t4.delete_where("k in (0, 7)", mode="merge-on-read-dv") == 2
     assert sorted(r["k"] for r in t4.to_a()) == [1, 2, 3, 4, 5, 6, 8, 9]
+
+
+def test_expire_honors_branch_ancestry_retention(catalog):
+    """Spec per-ref retention: a branch with min-snapshots-to-keep
+    protects its recent ancestry, not just its head."""
+    t = catalog.create_table("ret1", schema={"a": "int"})
+    for i in range(4):
+        t.append([{"a": i}])
+    t.create_branch("b", min_snapshots_to_keep=3)
+    assert t.expire_snapshots(keep_last=1) == 1  # only the oldest goes
+    assert len(t.snapshots) == 3
+    # without retention fields, only the branch head is protected
+    t2 = catalog.create_table("ret2", schema={"a": "int"})
+    for i in range(4):
+        t2.append([{"a": i}])
+    t2.create_branch("b")
+    assert t2.expire_snapshots(keep_last=1) == 3
+
+
+def test_expire_honors_max_snapshot_age(catalog):
+    t = catalog.create_table("ret3", schema={"a": "int"})
+    for i in range(3):
+        t.append([{"a": i}])
+    # every ancestor is younger than an hour → all protected
+    t.create_branch("young", max_snapshot_age_ms=3_600_000)
+    assert t.expire_snapshots(keep_last=1) == 0
+    # age bound of 0 protects the head only (min-snapshots-to-keep default 1)
+    t.drop_ref("young")
+    t.create_branch("old", max_snapshot_age_ms=0)
+    assert t.expire_snapshots(keep_last=1) == 2
+
+
+def test_expire_drops_aged_out_refs(catalog):
+    t = catalog.create_table("ret4", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    sid1 = t.snapshots[0].snapshot_id
+    t.create_tag("ephemeral", snapshot_id=sid1, max_ref_age_ms=0)
+    t.create_tag("durable", snapshot_id=sid1)
+    assert t.expire_snapshots(keep_last=1) == 0  # durable still protects sid1
+    assert "ephemeral" not in t.refs and "durable" in t.refs
+    t.drop_ref("durable")
+    assert t.expire_snapshots(keep_last=1) == 1
