@@ -592,6 +592,7 @@ class Catalog:
             return self._sql_call(m.group(1), m.group(2))
         self._register_views()
         query = self._rewrite_time_travel(query)
+        query = self._rewrite_metadata_tables(query)
         args: dict[str, Any] = {}
         if params:
             used = {int(m) for m in self._PARAM_RE.findall(query)}
@@ -643,6 +644,27 @@ class Catalog:
             return view
 
         return self._TRAVEL_RE.sub(sub, query)
+
+    _META_TABLE_RE = re.compile(
+        r"\b([\w.]+)\$(snapshots|history|refs|files|manifests|partitions|"
+        r"delete_entries)\b"
+    )
+
+    def _rewrite_metadata_tables(self, query: str) -> str:
+        """``SELECT * FROM t$snapshots`` — Iceberg's metadata-table SQL
+        syntax, routed through :class:`TableInspect` (same columns as
+        iceberg-spark's ``tbl.snapshots``/``refs``/… tables).  Each match
+        materializes the metadata view fresh, so the query always sees the
+        table's current state."""
+        def sub(m: re.Match) -> str:
+            name, kind = m.group(1), m.group(2)
+            tbl = self.load_table(self._sql_table_ident(name))
+            df = getattr(tbl.inspect, kind)()
+            view = f"{name.replace('.', '_')}__meta_{kind}"
+            df.createOrReplaceTempView(view)
+            return view
+
+        return self._META_TABLE_RE.sub(sub, query)
 
     def _sql_table_ident(self, name: str) -> list[str]:
         parts = name.split(".")
@@ -982,7 +1004,11 @@ class Catalog:
             # iceberg-spark's procedure deletes unreachable files too; ours
             # composes expire (metadata) + orphan cleanup and reports the
             # same counts vocabulary.
-            n = tbl.expire_snapshots(keep_last=int(arg("retain_last", 1, 1)))
+            # iceberg-spark positional order: (table, older_than, retain_last)
+            n = tbl.expire_snapshots(
+                keep_last=int(arg("retain_last", 2, 1)),
+                older_than=arg("older_than", 1),
+            )
             files = tbl.remove_orphan_files(return_files=True) if n else []
             data = sum(
                 1 for f in files if f.endswith(".parquet") and "/deletes-" not in f

@@ -2566,6 +2566,35 @@ class Table:
             return []
         return self.ops.read_manifest(snap.manifest_list)
 
+    def _current_manifest_descriptors(self) -> list[dict[str, Any]]:
+        """Manifest-list rows for the current snapshot — the manifest
+        list alone is read, never the manifests (backs
+        ``inspect.manifests()``).  Avro tables yield the spec's
+        manifest_file records; JSON-manifest tables yield one synthetic
+        descriptor for their single flattened manifest document."""
+        snap = self.current_snapshot()
+        if snap is None:
+            return []
+        ml = snap.manifest_list
+        if ml.endswith(".avro"):
+            from iceberg_ruby_spark.manifests import read_ocf
+
+            _, records, _ = read_ocf(self.ops.io.read_bytes(self.ops._abs(ml)))
+            return records
+        raw = self.ops.io.read(self.ops._abs(ml))
+        entries = json.loads(raw).get("entries", [])
+        n_data = sum(1 for e in entries if "path" in e)
+        return [
+            {
+                "manifest_path": self.ops._abs(ml),
+                "manifest_length": len(raw.encode() if isinstance(raw, str) else raw),
+                "partition_spec_id": 0,
+                "content": 0,
+                "existing_files_count": n_data,
+                "deleted_files_count": len(entries) - n_data,
+            }
+        ]
+
     def _branch_head_id(self, branch: Optional[str]) -> Optional[int]:
         """The optimistic-commit base for a mutation: main's head, or the
         branch head for branch-scoped DML."""
@@ -3699,16 +3728,34 @@ class Table:
                 sid = s.get("parent-snapshot-id")
         return refs, protected, dropped_refs
 
-    def expire_snapshots(self, keep_last: int = 1) -> int:
+    def expire_snapshots(
+        self, keep_last: int = 1, older_than: Optional[Any] = None
+    ) -> int:
         """Drop history beyond the newest ``keep_last`` snapshots, always
         retaining snapshots referenced by branches/tags — honoring the
         spec's per-ref retention fields (see :meth:`_expire_plan`):
         aged-out refs are removed, and branches with retention settings
-        protect their recent ancestry, not just their head.  Metadata
-        only; orphan data dirs removable via remove_orphan_files."""
+        protect their recent ancestry, not just their head.
+
+        ``older_than`` (epoch-millis, datetime, or ISO string — the
+        iceberg-spark ``expire_snapshots(older_than => ts)`` contract)
+        additionally protects every snapshot committed at-or-after the
+        cutoff: only snapshots strictly older than it may expire.
+
+        Metadata only; orphan data dirs removable via
+        remove_orphan_files."""
         self._check_writable()
         expired = [0]
         now = _now_ms()
+        cutoff = None if older_than is None else _as_epoch_ms(older_than)
+
+        def keeps(snaps: list, keep_tail: set, protected: set):
+            return [
+                s for s in snaps
+                if s["snapshot-id"] in keep_tail
+                or s["snapshot-id"] in protected
+                or (cutoff is not None and s["timestamp-ms"] >= cutoff)
+            ]
 
         def nothing_to_expire(raw: dict[str, Any]) -> bool:
             snaps = raw.get("snapshots", [])
@@ -3716,10 +3763,7 @@ class Table:
             if dropped_refs:
                 return False
             keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
-            return all(
-                s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
-                for s in snaps
-            )
+            return len(keeps(snaps, keep_tail, protected)) == len(snaps)
 
         if nothing_to_expire(self.ops.load().raw):
             return 0  # skip the metadata version bump entirely
@@ -3730,10 +3774,7 @@ class Table:
             snaps = raw.get("snapshots", [])
             refs, protected, _dropped = self._expire_plan(raw, keep_last, now)
             keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
-            kept = [
-                s for s in snaps
-                if s["snapshot-id"] in keep_tail or s["snapshot-id"] in protected
-            ]
+            kept = keeps(snaps, keep_tail, protected)
             expired[0] = len(snaps) - len(kept)
             kept_ids = {s["snapshot-id"] for s in kept}
             raw["refs"] = refs
@@ -4135,11 +4176,54 @@ class TableInspect:
         )
 
     def refs(self) -> DataFrame:
+        # column vocabulary matches iceberg-spark's `refs` metadata table,
+        # including the per-ref retention fields
         rows = [
-            {"name": name, "type": r.get("type"), "snapshot_id": r.get("snapshot-id")}
+            {
+                "name": name,
+                "type": r.get("type"),
+                "snapshot_id": r.get("snapshot-id"),
+                "max_reference_age_in_ms": r.get("max-ref-age-ms"),
+                "min_snapshots_to_keep": r.get("min-snapshots-to-keep"),
+                "max_snapshot_age_in_ms": r.get("max-snapshot-age-ms"),
+            }
             for name, r in self.table.refs.items()
         ]
-        return self._df(rows, "name string, type string, snapshot_id long")
+        return self._df(
+            rows,
+            "name string, type string, snapshot_id long, "
+            "max_reference_age_in_ms long, min_snapshots_to_keep int, "
+            "max_snapshot_age_in_ms long",
+        )
+
+    def manifests(self) -> DataFrame:
+        """One row per manifest of the current snapshot (path, length,
+        entry counts, partition-spec id) — read from the manifest list
+        only, like iceberg-spark's `manifests` metadata table."""
+        def pick(m: dict, *keys: str) -> Any:
+            for k in keys:
+                if m.get(k) is not None:
+                    return m[k]
+            return None
+
+        rows = [
+            {
+                "path": pick(m, "manifest_path", "path"),
+                "length": pick(m, "manifest_length", "length"),
+                "partition_spec_id": m.get("partition_spec_id", 0),
+                "content": int(m.get("content", 0)),
+                "added_data_files_count": pick(m, "added_files_count"),
+                "existing_data_files_count": pick(m, "existing_files_count"),
+                "deleted_data_files_count": pick(m, "deleted_files_count"),
+            }
+            for m in self.table._current_manifest_descriptors()
+        ]
+        return self._df(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "added_data_files_count int, existing_data_files_count int, "
+            "deleted_data_files_count int",
+        )
 
     def files(self) -> DataFrame:
         entries = self.table._current_entries()

@@ -534,3 +534,32 @@ def test_expire_drops_aged_out_refs(catalog):
     assert "ephemeral" not in t.refs and "durable" in t.refs
     t.drop_ref("durable")
     assert t.expire_snapshots(keep_last=1) == 1
+
+
+def test_expire_older_than(catalog):
+    """iceberg-spark's older_than contract: only snapshots strictly older
+    than the cutoff may expire, keep_last still floors retention."""
+    t = catalog.create_table("ret5", schema={"a": "int"})
+    for i in range(4):
+        t.append([{"a": i}])
+    mid = t.snapshots[1].timestamp_ms + 1  # snapshots 0,1 are older
+    assert t.expire_snapshots(keep_last=1, older_than=mid) == 2
+    assert len(t.snapshots) == 2
+    # future cutoff expires everything outside keep_last
+    assert t.expire_snapshots(keep_last=1, older_than=t.snapshots[-1].timestamp_ms + 10_000) == 1
+    # past cutoff (epoch 0) protects every snapshot
+    t.append([{"a": 9}])
+    assert t.expire_snapshots(keep_last=1, older_than=0) == 0
+    assert len(t.snapshots) == 2
+
+
+def test_call_expire_older_than(catalog):
+    t = catalog.create_table("ret6", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    cutoff = t.snapshots[-1].timestamp_ms + 1000
+    res = catalog.sql(
+        f"CALL system.expire_snapshots(table => 'ret6', older_than => {cutoff}, retain_last => 1)"
+    )
+    assert res.rows[0][0] == 1
+    assert len(catalog.load_table("ret6").snapshots) == 1

@@ -372,6 +372,45 @@ def test_inspect_metadata_tables(catalog):
     assert parts == {"0": 11, "1": 10, "2": 10}
 
 
+def test_inspect_manifests_and_ref_retention(catalog):
+    t = catalog.create_table(
+        "insp2",
+        schema={"a": "int"},
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    t.append([{"a": i} for i in range(5)])
+    t.create_branch("dev", min_snapshots_to_keep=2, max_snapshot_age_ms=60_000)
+    refs = {r["name"]: r for r in t.inspect.refs().collect()}
+    assert refs["dev"]["min_snapshots_to_keep"] == 2
+    assert refs["dev"]["max_snapshot_age_in_ms"] == 60_000
+    assert refs["main"]["min_snapshots_to_keep"] is None
+    mans = t.inspect.manifests().collect()
+    assert len(mans) >= 1
+    assert all(m["path"].endswith(".avro") and m["length"] > 0 for m in mans)
+    # JSON-manifest tables expose their single flattened manifest document
+    tj = catalog.create_table("insp3", schema={"a": "int"})
+    tj.append([{"a": 1}])
+    mj = tj.inspect.manifests().collect()
+    assert len(mj) == 1 and mj[0]["existing_data_files_count"] == 1
+
+
+def test_sql_metadata_tables(catalog):
+    t = catalog.create_table("insp4", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    t.create_tag("v1", snapshot_id=t.snapshots[0].snapshot_id)
+    ops = catalog.sql(
+        "SELECT operation FROM insp4$snapshots ORDER BY committed_at"
+    ).rows
+    assert ops == [["append"], ["append"]]
+    joined = catalog.sql(
+        "SELECT s.operation FROM insp4$snapshots s JOIN insp4$refs r"
+        " ON s.snapshot_id = r.snapshot_id WHERE r.name = 'v1'"
+    ).rows
+    assert joined == [["append"]]
+    assert catalog.sql("SELECT count(*) AS n FROM insp4$files").rows == [[2]]
+
+
 def test_scan_count_metadata_only(catalog):
     t = catalog.create_table("cnt", schema={"a": "int"})
     t.append([{"a": i} for i in range(500)])
