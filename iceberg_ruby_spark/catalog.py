@@ -1052,6 +1052,21 @@ class Catalog:
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"
+        elif proc == "create_changelog_view":
+            # iceberg-spark: registers a queryable changelog view and
+            # returns its name.  Window bounds come as named args
+            # (start_snapshot_id exclusive, end_snapshot_id inclusive)
+            # instead of iceberg-spark's options map.
+            view = str(
+                arg("changelog_view", 1, f"{str(table_ident).replace('.', '_')}_changes")
+            )
+            start = arg("start_snapshot_id", 2)
+            end = arg("end_snapshot_id", 3)
+            tbl.changelog_scan(
+                from_snapshot_id=None if start is None else int(start),
+                to_snapshot_id=None if end is None else int(end),
+            ).createOrReplaceTempView(view)
+            out = [(view,)], "changelog_view string"
         else:
             raise UnsupportedFeatureError(f"unknown procedure: system.{proc}")
         self._invalidate_views()

@@ -48,6 +48,9 @@ from iceberg_ruby_spark.operators.similarity import (
 from iceberg_ruby_spark.operators.text import (
     add_text_stats,
     chunk_documents,
+    classifier_score,
+    classifier_tokens,
+    fit_quality_classifier,
     fingerprint,
     language_id,
     mix_corpus,
@@ -103,6 +106,9 @@ __all__ = [
     "domain_cap",
     "pack_sequences",
     "quality_score",
+    "classifier_score",
+    "classifier_tokens",
+    "fit_quality_classifier",
     "repetition_stats",
     "scrub_pii",
     "sessionize",

@@ -366,3 +366,104 @@ def mix_corpus(
     for s, r in sorted(rates.items()):
         rate_expr = F.when(F.col(stratum_col) == s, F.lit(r)).otherwise(rate_expr)
     return out.withColumn("mix_rate", rate_expr.cast("double"))
+
+
+# ---------------------------------------------------------------------------
+# hashed-n-gram linear quality classifier (fastText/CCNet-style scoring)
+# ---------------------------------------------------------------------------
+
+
+def classifier_tokens(col) -> Column:
+    """Casefolded alphanumeric unigrams — the classifier's tokenizer.
+    Pure array expression; the DuckDB twin is
+    ``list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+    t -> t <> '')``."""
+    c = col if isinstance(col, Column) else F.col(col)
+    return F.filter(
+        F.split(F.lower(F.trim(c)), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def _classifier_bucket(tok: Column, dim: int, hash_fn: str) -> Column:
+    """token → feature bucket in [0, dim).  ``xxhash64`` is the production
+    hash (JVM codegen); ``md5`` is the engine-neutral twin (first 15 hex
+    digits as a 60-bit non-negative int, the same derivation the MinHash /
+    SimHash oracles use — DuckDB:
+    ``CAST('0x'||substr(md5(t),1,15) AS BIGINT) % dim``)."""
+    if hash_fn == "md5":
+        h = F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long")
+        return (h % dim).cast("int")
+    return F.pmod(F.xxhash64(tok), F.lit(dim)).cast("int")
+
+
+def classifier_score(
+    col, weights: list, bias: float = 0.0, hash_fn: str = "xxhash64"
+) -> Column:
+    """Hashed-bag-of-words linear score: each token hashes to one of
+    ``len(weights)`` buckets and contributes that bucket's weight — the
+    scoring half of a fastText-style quality classifier, as ONE in-row
+    array fold (zero shuffles, zero UDFs, 100 TB-safe: cost is O(tokens)
+    inside whole-stage codegen).
+
+    Integer weights make the score an exact BIGINT fixed-point sum (the
+    cross-engine-hashable form); float weights give the usual double
+    score."""
+    dim = len(weights)
+    exact = all(isinstance(w, int) for w in weights)
+    cast = "long" if exact else "double"
+    warr = F.array(*[F.lit(w).cast(cast) for w in weights])
+    acc0 = F.lit(bias).cast(cast)
+    return F.aggregate(
+        classifier_tokens(col),
+        acc0,
+        lambda acc, t: acc + F.element_at(warr, _classifier_bucket(t, dim, hash_fn) + 1),
+    )
+
+
+def fit_quality_classifier(
+    df: DataFrame,
+    text_col: str = "text",
+    label_col: str = "label",
+    dim: int = 256,
+    hash_fn: str = "xxhash64",
+    smoothing: float = 1.0,
+) -> tuple[list, float]:
+    """Train hashed-unigram Naive-Bayes log-odds weights — the classic
+    one-pass quality-classifier baseline (label 1 = good, 0 = bad).
+
+    Distributed shape: explode tokens → bucket → ONE groupBy over at most
+    ``dim`` keys (partial aggregation makes the shuffle dim-bounded however
+    large the corpus); the driver sees exactly ``dim`` count rows plus one
+    prior row.  Returns ``(weights, bias)`` for :func:`classifier_score`.
+    """
+    import math
+
+    toks = df.select(
+        F.col(label_col).cast("int").alias("__y"),
+        F.explode(classifier_tokens(F.col(text_col))).alias("__t"),
+    )
+    counts = (
+        toks.select("__y", _classifier_bucket(F.col("__t"), dim, hash_fn).alias("__b"))
+        .groupBy("__b")
+        .agg(
+            F.sum("__y").alias("pos"),
+            F.sum(1 - F.col("__y")).alias("neg"),
+        )
+        .collect()
+    )
+    pos_tot = sum(r["pos"] for r in counts) + smoothing * dim
+    neg_tot = sum(r["neg"] for r in counts) + smoothing * dim
+    by_bucket = {r["__b"]: (r["pos"], r["neg"]) for r in counts}
+    weights = [
+        math.log((by_bucket.get(b, (0, 0))[0] + smoothing) / pos_tot)
+        - math.log((by_bucket.get(b, (0, 0))[1] + smoothing) / neg_tot)
+        for b in range(dim)
+    ]
+    npos, nneg = (
+        df.agg(
+            F.sum(F.col(label_col).cast("int")),
+            F.sum(1 - F.col(label_col).cast("int")),
+        ).first()
+    )
+    bias = math.log((npos + smoothing) / (nneg + smoothing))
+    return weights, float(bias)

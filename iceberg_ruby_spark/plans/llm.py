@@ -369,6 +369,45 @@ def text_quality_score(spark, sf_dir):
     return d.select("doc_id", quality_score(F.col("text")).alias("quality"))
 
 
+# deterministic fixed-point demo weights for the registered classifier query
+# (a real deployment feeds fit_quality_classifier's trained floats instead);
+# integer weights make every score an exact BIGINT — cross-engine hashable
+_CLS_DIM = 64
+_CLS_W = [((i * 37 + 11) % _CLS_DIM) - _CLS_DIM // 2 for i in range(_CLS_DIM)]
+
+
+@query(
+    "text_quality_classifier",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(coalesce(list_sum(list_transform(
+                  list_filter(string_split_regex(lower(trim(text)), '[^a-z0-9]+'),
+                              t -> t <> ''),
+                  t -> list_extract({_CLS_W},
+                         CAST(CAST(concat('0x', substr(md5(t), 1, 15)) AS BIGINT)
+                              % {_CLS_DIM} AS INTEGER) + 1))), 0) AS BIGINT)
+             AS score_k
+    FROM documents
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """fastText-style hashed-bag-of-words scoring (operators/text.py
+    classifier_score): one in-row array fold, zero shuffles.  md5 bucket
+    mode so the DuckDB oracle rebuilds every score bit-for-bit; production
+    runs the identical plan with xxhash64 buckets and trained float
+    weights from fit_quality_classifier."""
+    from iceberg_ruby_spark.operators.text import classifier_score
+
+    d = load(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.coalesce(
+            classifier_score(F.col("text"), _CLS_W, bias=0, hash_fn="md5"),
+            F.lit(0),
+        ).cast("long").alias("score_k"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle=f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",

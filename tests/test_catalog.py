@@ -408,3 +408,22 @@ def test_sql_alter_partition_sort_and_column_type(catalog):
 
     t.append([{"id": 1, "ts": datetime.datetime(2026, 1, 2, 3, 4, 5), "v": 9}])
     assert t.to_a()[0]["v"] == 9
+
+
+def test_sql_call_create_changelog_view(catalog):
+    t = catalog.create_table("clv", schema={"a": "int"})
+    t.append([{"a": 1}])
+    s1 = t.current_snapshot_id
+    t.append([{"a": 2}])
+    t.delete_where("a = 1")
+    res = catalog.sql(
+        f"CALL system.create_changelog_view(table => 'clv',"
+        f" start_snapshot_id => {s1})"
+    )
+    assert res.rows == [["clv_changes"]]
+    rows = catalog.sql(
+        "SELECT a, _change_type FROM clv_changes ORDER BY _change_ordinal, a"
+    ).rows
+    assert sorted((r[0], r[1]) for r in rows) == [
+        (1, "delete"), (2, "insert")
+    ]

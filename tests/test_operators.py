@@ -693,3 +693,41 @@ def test_ivf_incremental_assign_equals_one_shot(spark):
         tuple(r) for r in ivf_search(centroids, one_shot, q, k=5, n_probe=16).collect()
     }
     assert s_inc == s_one and len(s_inc) == 15
+
+
+def test_quality_classifier_fit_and_score(spark):
+    from iceberg_ruby_spark.operators.text import (
+        classifier_score,
+        fit_quality_classifier,
+    )
+
+    good = [(i, "a well formed sentence with useful words and meaning", 1)
+            for i in range(20)]
+    bad = [(100 + i, "buy buy buy spam spam click click zzzz", 0)
+           for i in range(20)]
+    df = spark.createDataFrame(good + bad, ["doc_id", "text", "label"])
+    w, b = fit_quality_classifier(df, dim=64)
+    assert len(w) == 64
+    scored = df.select(
+        "label", classifier_score(F.col("text"), w, bias=b).alias("s")
+    ).collect()
+    # NB log-odds must separate the two vocabularies completely
+    assert all(r["s"] > 0 for r in scored if r["label"] == 1)
+    assert all(r["s"] < 0 for r in scored if r["label"] == 0)
+
+
+def test_classifier_score_integer_weights_exact(spark):
+    from iceberg_ruby_spark.operators.text import classifier_score
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, ""), (3, None)], ["doc_id", "text"]
+    )
+    w = [1] * 64  # every token adds exactly 1 → score == token count
+    out = {
+        r["doc_id"]: r["s"]
+        for r in df.select(
+            "doc_id",
+            F.coalesce(classifier_score(F.col("text"), w, bias=0), F.lit(0)).alias("s"),
+        ).collect()
+    }
+    assert out == {1: 3, 2: 0, 3: 0}
