@@ -1052,6 +1052,17 @@ class Catalog:
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"
+        elif proc == "add_files":
+            # iceberg-spark: add_files(table, source_table) with
+            # source_table like parquet.`/path/*.parquet`
+            src = str(arg("source_table", 1))
+            m_src = re.match(r"^parquet\.`(.+)`$", src)
+            path = m_src.group(1) if m_src else src
+            import glob as _glob
+
+            expanded = sorted(_glob.glob(path)) or [path]
+            n = tbl.add_files(expanded)
+            out = [(n,)], "added_files_count long"
         elif proc == "create_changelog_view":
             # iceberg-spark: registers a queryable changelog view and
             # returns its name.  Window bounds come as named args

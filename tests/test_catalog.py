@@ -427,3 +427,15 @@ def test_sql_call_create_changelog_view(catalog):
     assert sorted((r[0], r[1]) for r in rows) == [
         (1, "delete"), (2, "insert")
     ]
+
+
+def test_sql_call_add_files(catalog, spark, tmp_path):
+    ext = str(tmp_path / "ext")
+    spark.range(5).selectExpr("CAST(id AS INT) AS a").coalesce(1).write.parquet(ext)
+    catalog.create_table("addf", schema={"a": "int"})
+    res = catalog.sql(
+        f"CALL system.add_files(table => 'addf',"
+        f" source_table => 'parquet.`{ext}/*.parquet`')"
+    )
+    assert res.rows == [[1]]
+    assert catalog.sql("SELECT count(*) AS n FROM addf").rows == [[5]]
