@@ -1052,6 +1052,13 @@ class Catalog:
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"
+        elif proc == "rewrite_position_delete_files":
+            res = tbl.rewrite_position_deletes()
+            out = (
+                [(res["rewritten_delete_files_count"],
+                  res["added_delete_files_count"])],
+                "rewritten_delete_files_count long, added_delete_files_count long",
+            )
         elif proc == "add_files":
             # iceberg-spark: add_files(table, source_table) with
             # source_table like parquet.`/path/*.parquet`

@@ -3676,6 +3676,104 @@ class Table:
         )
         return self
 
+    def rewrite_position_deletes(self) -> dict[str, int]:
+        """iceberg-spark's ``rewrite_position_delete_files`` maintenance
+        procedure: consolidate the positional delete FILES that N separate
+        merge-on-read delete commits accumulated into the canonical layout
+        ONE delete commit writes (one part per target-file hash bucket,
+        positions sorted) — fewer files for every subsequent scan to
+        broadcast-merge.
+
+        Rows never change: deleted positions are unioned and deduped (a
+        position deleted twice collapses), equality deletes and deletion
+        vectors are untouched, and DATA files are never opened — cost is
+        one read of the delete files themselves.  Returns iceberg-spark's
+        result vocabulary."""
+        self._check_writable()
+        import uuid as uuid_mod
+
+        entries = self._current_entries()
+        pos = [e for e in entries if e.get("content") == "position-deletes"]
+        if len(pos) <= 1:
+            return {
+                "rewritten_delete_files_count": 0,
+                "added_delete_files_count": 0,
+            }
+        others = [e for e in entries if e.get("content") != "position-deletes"]
+        loc = self.ops.location
+        base = (loc if "://" in loc else os.path.abspath(loc)).rstrip("/")
+        # strip each entry's write-time base, union, dedup, re-absolutize
+        # against the CURRENT location (same normalization the read path
+        # applies, so consolidation survives prior rename_table moves)
+        parts = []
+        for e in pos:
+            df_e = self.spark.read.parquet(
+                self.ops._abs(e["delete-file"])
+            ).select("file_path", F.col("pos").cast("long").alias("pos"))
+            ebase = (e.get("base-location") or base).rstrip("/")
+            rel = F.regexp_replace(
+                F.col("file_path"), "^" + re.escape(ebase + "/"), ""
+            )
+            parts.append(df_e.select(rel.alias("file_path"), "pos"))
+        merged = parts[0]
+        for p_ in parts[1:]:
+            merged = merged.unionByName(p_)
+        is_abs = F.col("file_path").rlike("^(/|[A-Za-z][A-Za-z0-9+.-]*:)")
+        merged = merged.distinct().select(
+            F.when(is_abs, F.col("file_path"))
+            .otherwise(F.concat(F.lit(base + "/"), F.col("file_path")))
+            .alias("file_path", metadata={"parquet.field.id": 2147483546}),
+            F.col("pos").alias("pos", metadata={"parquet.field.id": 2147483545}),
+        )
+        del_dir = os.path.join(
+            self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+        )
+        self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        merged.repartition(F.col("file_path")).sortWithinPartitions(
+            "file_path", "pos"
+        ).write.parquet(del_dir)
+        written = self.spark.read.parquet(del_dir)
+        per_file = (
+            written.groupBy(F.col("_metadata.file_path").alias("__part"))
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.collect_set("file_path").alias("__targets"),
+            )
+            .collect()
+        )
+        strip = base + "/"
+        new_entries = []
+        for r in sorted(per_file, key=lambda r: r["__part"]):
+            part = r["__part"]
+            if part.startswith("file:"):
+                part = part[len("file:"):]
+            new_entries.append(
+                {
+                    "delete-file": part,
+                    "applies-to": sorted(
+                        t[len(strip):] if t.startswith(strip) else t
+                        for t in r["__targets"]
+                    ),
+                    "deleted-records": r["__n"],
+                    "content": "position-deletes",
+                    "base-location": base,
+                    "spec-id": self.default_spec_id,
+                }
+            )
+        self._commit_snapshot(
+            "replace",
+            others + new_entries,
+            {
+                "rewritten-delete-files-count": len(pos),
+                "added-delete-files-count": len(new_entries),
+            },
+            base_snapshot_id=self.current_snapshot_id,
+        )
+        return {
+            "rewritten_delete_files_count": len(pos),
+            "added_delete_files_count": len(new_entries),
+        }
+
     @staticmethod
     def _expire_plan(
         raw: dict[str, Any], keep_last: int, now: int

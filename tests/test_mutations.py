@@ -451,3 +451,44 @@ def test_cow_delete_counts_only_new_files_as_added(catalog):
     # added = files NEW relative to the parent, not the carried-forward set
     assert int(summary["added-data-files"]) == len(after - before)
     assert len(after - before) < len(after)  # some files were carried
+
+
+def test_rewrite_position_deletes_consolidates(catalog):
+    """N merge-on-read positional delete commits → one consolidated
+    layout; scan parity is the contract, data files never rewritten."""
+    t = catalog.create_table("rpd", schema={"a": "int"})
+    t.append([{"a": i} for i in range(20)])
+    data_before = sorted(
+        e["path"] for e in t._current_entries() if "path" in e
+    )
+    for lo in (0, 5, 10):
+        assert t.delete_where(
+            f"a >= {lo} AND a < {lo + 3}", mode="merge-on-read-positional"
+        ) == 3
+    pos_before = [
+        e for e in t._current_entries() if e.get("content") == "position-deletes"
+    ]
+    assert len(pos_before) >= 3
+    res = t.rewrite_position_deletes()
+    assert res["rewritten_delete_files_count"] == len(pos_before)
+    assert res["added_delete_files_count"] >= 1
+    after = t._current_entries()
+    pos_after = [e for e in after if e.get("content") == "position-deletes"]
+    assert len(pos_after) == res["added_delete_files_count"]
+    assert len(pos_after) < len(pos_before)
+    # data files untouched; surviving rows identical
+    assert sorted(e["path"] for e in after if "path" in e) == data_before
+    assert sorted(r["a"] for r in t.to_a()) == [3, 4, 8, 9] + list(range(13, 20))
+    # idempotent once consolidated (single delete file → no-op)
+    if len(pos_after) == 1:
+        assert t.rewrite_position_deletes() == {
+            "rewritten_delete_files_count": 0,
+            "added_delete_files_count": 0,
+        }
+    # CALL procedure surface
+    t.delete_where("a = 19", mode="merge-on-read-positional")
+    rows = catalog.sql(
+        "CALL system.rewrite_position_delete_files(table => 'rpd')"
+    ).rows
+    assert rows[0][0] >= 2 and rows[0][1] >= 1
+    assert sorted(r["a"] for r in catalog.load_table("rpd").to_a()) == [3, 4, 8, 9] + list(range(13, 19))
