@@ -998,8 +998,65 @@ class Catalog:
         table_ident = arg("table", 0)
         if table_ident is None:
             raise InvalidDataError(f"CALL system.{proc}: table argument required")
-        tbl = self.load_table(self._sql_table_ident(str(table_ident)))
         proc = proc.lower()
+        # procedures whose target table does not exist yet
+        if proc == "register_table":
+            t = self.register_table(
+                self._sql_table_ident(str(table_ident)),
+                str(arg("metadata_file", 1)),
+            )
+            self._invalidate_views()
+            return Result(
+                self.spark.createDataFrame(
+                    [(t.current_snapshot_id,
+                      len(t.snapshots),
+                      len([e for e in t._current_entries() if "path" in e]))],
+                    "current_snapshot_id long, total_snapshot_count long, "
+                    "total_data_files_count long",
+                )
+            )
+        if proc == "snapshot":
+            # our flavor of iceberg-spark's snapshot migration procedure:
+            # source is a parquet path (or parquet.`path`); creates the
+            # table with the files' schema and imports them by reference
+            src = str(arg("source_table", 1))
+            m_src = re.match(r"^parquet\.`(.+)`$", src)
+            path = m_src.group(1) if m_src else src
+            import glob as _glob
+
+            expanded = sorted(_glob.glob(path)) or [path]
+            df = self.spark.read.parquet(*expanded)
+            t = self.create_table(
+                self._sql_table_ident(str(table_ident)), schema=df.schema
+            )
+            n = t.add_files(expanded)
+            self._invalidate_views()
+            return Result(
+                self.spark.createDataFrame(
+                    [(n,)], "imported_files_count long"
+                )
+            )
+        tbl = self.load_table(self._sql_table_ident(str(table_ident)))
+        if proc == "ancestors_of":
+            rows = []
+            start = arg("snapshot_id", 1)
+            cur = (
+                tbl.snapshot_by_id(int(start))
+                if start is not None
+                else tbl.current_snapshot()
+            )
+            while cur is not None:
+                rows.append((cur.snapshot_id, cur.timestamp_ms))
+                cur = (
+                    tbl.snapshot_by_id(cur.parent_snapshot_id)
+                    if cur.parent_snapshot_id is not None
+                    else None
+                )
+            return Result(
+                self.spark.createDataFrame(
+                    rows, "snapshot_id long, timestamp long"
+                )
+            )
         if proc == "expire_snapshots":
             # iceberg-spark's procedure deletes unreachable files too; ours
             # composes expire (metadata) + orphan cleanup and reports the

@@ -439,3 +439,34 @@ def test_sql_call_add_files(catalog, spark, tmp_path):
     )
     assert res.rows == [[1]]
     assert catalog.sql("SELECT count(*) AS n FROM addf").rows == [[5]]
+
+
+def test_sql_call_register_snapshot_ancestors(catalog, spark, tmp_path):
+    # ancestors_of
+    t = catalog.create_table("anc", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    sids = [s.snapshot_id for s in t.snapshots]
+    rows = catalog.sql("CALL system.ancestors_of(table => 'anc')").rows
+    assert [r[0] for r in rows] == [sids[1], sids[0]]  # head-first walk
+    rows = catalog.sql(
+        f"CALL system.ancestors_of('anc', {sids[0]})"
+    ).rows
+    assert [r[0] for r in rows] == [sids[0]]
+    # snapshot: create-from-parquet migration
+    ext = str(tmp_path / "src")
+    spark.range(4).selectExpr("CAST(id AS INT) AS a").coalesce(1).write.parquet(ext)
+    res = catalog.sql(
+        f"CALL system.snapshot(table => 'snapped',"
+        f" source_table => 'parquet.`{ext}/*.parquet`')"
+    )
+    assert res.rows == [[1]]
+    assert catalog.sql("SELECT count(*) AS n FROM snapped").rows == [[4]]
+    # register_table: attach the snapped table under a second name
+    loc = catalog.load_table("snapped").location
+    res = catalog.sql(
+        f"CALL system.register_table(table => 'attached2',"
+        f" metadata_file => '{loc}')"
+    )
+    assert res.rows[0][1] == 1 and res.rows[0][2] == 1
+    assert catalog.sql("SELECT count(*) AS n FROM attached2").rows == [[4]]
