@@ -50,7 +50,8 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
 
     for step in range(steps):
         op = rnd.choice(["append", "delete", "delete", "update", "update",
-                         "merge", "delete_by_keys", "compact", "expire"])
+                         "merge", "delete_by_keys", "compact", "expire",
+                         "rewrite_pos_deletes"])
         if op == "merge":
             mode = rnd.choice(["copy-on-write", "merge-on-read"])
             live = sorted(model)
@@ -102,6 +103,9 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
             op = f"update[{mode}] {cond}"
         elif op == "compact":
             t.compact()
+        elif op == "rewrite_pos_deletes":
+            # maintenance: must NEVER change visible rows
+            t.rewrite_position_deletes()
         else:
             t.expire_snapshots(keep_last=2)
         check(step, op)
