@@ -886,6 +886,51 @@ class Catalog:
                 tbl.update_schema().update_column(
                     mm.group(1), mm.group(2).strip()
                 ).commit()
+            elif (mm := re.match(
+                # iceberg-spark branch/tag DDL: CREATE BRANCH|TAG
+                # [IF NOT EXISTS] name [AS OF VERSION v] [RETAIN n DAYS]
+                # [WITH SNAPSHOT RETENTION n SNAPSHOTS [m DAYS] | m DAYS]
+                r"CREATE\s+(BRANCH|TAG)\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)"
+                r"(?:\s+AS\s+OF\s+VERSION\s+(\d+))?"
+                r"(?:\s+RETAIN\s+(\d+)\s+DAYS)?"
+                r"(?:\s+WITH\s+SNAPSHOT\s+RETENTION\s+"
+                r"(?:(\d+)\s+SNAPSHOTS)?\s*(?:(\d+)\s+DAYS)?)?\s*$",
+                action, re.IGNORECASE,
+            )):
+                kind, ref, ver, retain_d, keep_n, keep_d = mm.groups()
+                tbl = self.load_table(self._sql_table_ident(name))
+                if_not_exists = bool(
+                    re.search(r"IF\s+NOT\s+EXISTS", action, re.IGNORECASE)
+                )
+                if ref in tbl.refs and not if_not_exists:
+                    raise InvalidDataError(f"ref already exists: {ref}")
+                if if_not_exists and ref in tbl.refs:
+                    pass
+                else:
+                    day_ms = 86_400_000
+                    sid = int(ver) if ver else None
+                    age = int(retain_d) * day_ms if retain_d else None
+                    if kind.upper() == "TAG":
+                        tbl.create_tag(ref, snapshot_id=sid, max_ref_age_ms=age)
+                    else:
+                        tbl.create_branch(
+                            ref,
+                            snapshot_id=sid,
+                            max_ref_age_ms=age,
+                            min_snapshots_to_keep=int(keep_n) if keep_n else None,
+                            max_snapshot_age_ms=int(keep_d) * day_ms
+                            if keep_d
+                            else None,
+                        )
+            elif (mm := re.match(
+                r"DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
+                action, re.IGNORECASE,
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                if mm.group(2) in tbl.refs:
+                    tbl.drop_ref(mm.group(2))
+                elif "IF EXISTS" not in action.upper():
+                    raise InvalidDataError(f"no such ref: {mm.group(2)}")
             else:
                 raise UnsupportedFeatureError(
                     f"unsupported ALTER TABLE action: {action[:60]!r}"

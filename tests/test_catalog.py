@@ -470,3 +470,33 @@ def test_sql_call_register_snapshot_ancestors(catalog, spark, tmp_path):
     )
     assert res.rows[0][1] == 1 and res.rows[0][2] == 1
     assert catalog.sql("SELECT count(*) AS n FROM attached2").rows == [[4]]
+
+
+def test_sql_branch_tag_ddl(catalog):
+    t = catalog.create_table("refddl", schema={"a": "int"})
+    t.append([{"a": 1}])
+    sid1 = t.current_snapshot_id
+    t.append([{"a": 2}])
+    catalog.sql(
+        "ALTER TABLE refddl CREATE BRANCH dev RETAIN 30 DAYS"
+        " WITH SNAPSHOT RETENTION 5 SNAPSHOTS 2 DAYS"
+    )
+    catalog.sql(f"ALTER TABLE refddl CREATE TAG v1 AS OF VERSION {sid1}")
+    t = catalog.load_table("refddl")
+    assert t.refs["dev"]["min-snapshots-to-keep"] == 5
+    assert t.refs["dev"]["max-snapshot-age-ms"] == 2 * 86_400_000
+    assert t.refs["dev"]["max-ref-age-ms"] == 30 * 86_400_000
+    assert t.refs["v1"]["snapshot-id"] == sid1
+    # idempotent with IF NOT EXISTS; bare CREATE on an existing ref errors
+    catalog.sql("ALTER TABLE refddl CREATE TAG IF NOT EXISTS v1")
+    assert catalog.load_table("refddl").refs["v1"]["snapshot-id"] == sid1
+    with pytest.raises(InvalidDataError):
+        catalog.sql("ALTER TABLE refddl CREATE TAG v1")
+    catalog.sql("ALTER TABLE refddl DROP TAG v1")
+    assert "v1" not in catalog.load_table("refddl").refs
+    catalog.sql("ALTER TABLE refddl DROP BRANCH IF EXISTS nope")  # no raise
+    with pytest.raises(InvalidDataError):
+        catalog.sql("ALTER TABLE refddl DROP BRANCH nope")
+    # the branch DDL composes with VERSION AS OF reads
+    rows = catalog.sql("SELECT count(*) AS n FROM refddl VERSION AS OF 'dev'").rows
+    assert rows == [[2]]
