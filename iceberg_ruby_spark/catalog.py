@@ -611,22 +611,28 @@ class Catalog:
         return Result(df)
 
     _TRAVEL_RE = re.compile(
-        r"\b([\w.]+)\s+(VERSION|TIMESTAMP)\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)",
+        r"\b([\w.]+)\s+(?:FOR\s+)?(SYSTEM_VERSION|VERSION|SYSTEM_TIME|TIMESTAMP)"
+        r"\s+AS\s+OF\s+('(?:[^']|'')*'|\d+)",
         re.IGNORECASE,
     )
 
     def _rewrite_time_travel(self, query: str) -> str:
-        """``t VERSION AS OF <id|'ref'>`` / ``t TIMESTAMP AS OF '<ts>'`` → a
-        dedicated temp view pinned to that snapshot (Spark's own syntax
-        only works for DSv2 tables, not temp views).  A quoted VERSION
-        literal names a branch/tag (Iceberg SQL allows both).  Matches that
-        start inside a string literal are left untouched."""
+        """``t VERSION AS OF <id|'ref'>`` / ``t TIMESTAMP AS OF '<ts>'`` —
+        plus Spark's ``FOR SYSTEM_VERSION AS OF`` / ``FOR SYSTEM_TIME AS
+        OF`` spellings — → a dedicated temp view pinned to that snapshot
+        (Spark's own syntax only works for DSv2 tables, not temp views).
+        A quoted VERSION literal names a branch/tag (Iceberg SQL allows
+        both).  Matches that start inside a string literal are left
+        untouched."""
         lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", query)]
 
         def sub(m: re.Match) -> str:
             if any(a <= m.start() < b for a, b in lit_spans):
                 return m.group(0)
             name, kind, lit = m.group(1), m.group(2).upper(), m.group(3)
+            kind = {"SYSTEM_VERSION": "VERSION", "SYSTEM_TIME": "TIMESTAMP"}.get(
+                kind, kind
+            )
             tbl = self.load_table(self._sql_table_ident(name))
             if kind == "VERSION":
                 if lit.startswith("'"):

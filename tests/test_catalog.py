@@ -306,6 +306,13 @@ def test_sql_time_travel(catalog):
     assert sorted(r[0] for r in catalog.sql("SELECT a FROM tt").rows) == [1, 2]
     assert catalog.sql(f"SELECT a FROM tt VERSION AS OF {s1}").rows == [[1]]
     assert catalog.sql(f"SELECT a FROM tt TIMESTAMP AS OF '{iso}'").rows == [[1]]
+    # Spark's FOR SYSTEM_VERSION / FOR SYSTEM_TIME spellings
+    assert catalog.sql(
+        f"SELECT a FROM tt FOR SYSTEM_VERSION AS OF {s1}"
+    ).rows == [[1]]
+    assert catalog.sql(
+        f"SELECT a FROM tt FOR SYSTEM_TIME AS OF '{iso}'"
+    ).rows == [[1]]
     # composes inside a larger query
     n = catalog.sql(
         f"SELECT COUNT(*) AS n FROM tt x JOIN tt VERSION AS OF {s1} y ON x.a = y.a"
