@@ -1130,7 +1130,7 @@ class Catalog:
                 " deleted_delete_files_count long",
             )
         elif proc == "remove_orphan_files":
-            removed = tbl.remove_orphan_files()
+            removed = tbl.remove_orphan_files(older_than=arg("older_than", 1))
             out = [(len(removed),)], "removed long"
         elif proc == "rewrite_data_files":
             zorder = arg("zorder", 1)

@@ -71,6 +71,12 @@ class FileIO:
     def size(self, path: str) -> int | None:
         raise NotImplementedError
 
+    def mtime_ms(self, path: str) -> int | None:
+        """Last-modified epoch-millis, or None if unknown — callers using
+        this for safety windows (orphan cleanup) must treat None as
+        'recent'."""
+        raise NotImplementedError
+
     def list_children(self, prefix: str) -> list[str]:
         """Immediate child names under ``prefix`` (object stores: delimiter
         listing)."""
@@ -151,6 +157,9 @@ class LocalFileIO(FileIO):
 
     def size(self, path: str) -> int | None:
         return os.path.getsize(path) if os.path.exists(path) else None
+
+    def mtime_ms(self, path: str) -> int | None:
+        return int(os.path.getmtime(path) * 1000) if os.path.exists(path) else None
 
     def list_children(self, prefix: str) -> list[str]:
         if not os.path.isdir(prefix):
@@ -313,6 +322,14 @@ class S3FileIO(FileIO):
         bucket, key = self._parse(path)
         try:
             return int(self.client.head_object(Bucket=bucket, Key=key)["ContentLength"])
+        except Exception:
+            return None
+
+    def mtime_ms(self, path: str) -> int | None:
+        bucket, key = self._parse(path)
+        try:
+            lm = self.client.head_object(Bucket=bucket, Key=key)["LastModified"]
+            return int(lm.timestamp() * 1000)
         except Exception:
             return None
 

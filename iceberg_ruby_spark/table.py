@@ -3885,11 +3885,21 @@ class Table:
         self._metadata_update(mutate)
         return expired[0]
 
-    def remove_orphan_files(self, return_files: bool = False) -> list[str]:
+    def remove_orphan_files(
+        self, return_files: bool = False, older_than: Optional[Any] = None
+    ) -> list[str]:
         """Delete commit dirs whose files are referenced by no live snapshot.
         Returns the removed dirs, or with ``return_files=True`` every file
-        path removed (the iceberg-spark procedure's result granularity)."""
+        path removed (the iceberg-spark procedure's result granularity).
+
+        ``older_than`` (epoch-millis, datetime, or ISO string) is the
+        procedure's safety window: only dirs whose files were ALL last
+        modified before the cutoff are deleted — at scale an in-flight
+        writer's files look orphaned until its commit lands, so production
+        cleanup always passes a cutoff (iceberg-spark defaults to 3 days
+        ago)."""
         self._check_writable()
+        cutoff = None if older_than is None else _as_epoch_ms(older_than)
         live: set[str] = set()
         for snap in self.snapshots:
             manifest = self.ops.read_manifest(snap.manifest_list)
@@ -3913,6 +3923,11 @@ class Table:
         removed_files: list[str] = []
         for d in sorted(commit_dirs):
             if not commit_dirs[d]:
+                if cutoff is not None and any(
+                    (self.ops.io.mtime_ms(f) or cutoff) >= cutoff
+                    for f in self.ops.io.list(d)
+                ):
+                    continue  # inside the safety window — maybe in-flight
                 if return_files:
                     removed_files.extend(self.ops.io.list(d))
                 self.ops.io.delete_prefix(d)

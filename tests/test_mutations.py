@@ -492,3 +492,21 @@ def test_rewrite_position_deletes_consolidates(catalog):
     ).rows
     assert rows[0][0] >= 2 and rows[0][1] >= 1
     assert sorted(r["a"] for r in catalog.load_table("rpd").to_a()) == [3, 4, 8, 9] + list(range(13, 19))
+
+
+def test_remove_orphans_safety_window(catalog):
+    """older_than: freshly-written orphans survive cleanup (an in-flight
+    writer's files look orphaned until its commit lands)."""
+    import time
+
+    t = catalog.create_table("orph", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.overwrite([{"a": 2}])
+    t.expire_snapshots(keep_last=1)
+    # everything was written "now": a past cutoff deletes nothing
+    assert t.remove_orphan_files(older_than=0) == []
+    # a future cutoff collects the dead commit dir
+    future = int(time.time() * 1000) + 60_000
+    removed = t.remove_orphan_files(older_than=future)
+    assert len(removed) == 1
+    assert t.to_a() == [{"a": 2}]
