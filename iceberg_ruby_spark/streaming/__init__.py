@@ -20,8 +20,15 @@ from iceberg_ruby_spark.streaming.events import (
 )
 from iceberg_ruby_spark.streaming.dedup import stream_dedup_ingest
 
+from iceberg_ruby_spark.streaming.source import (
+    EngineTableStreamDataSource,
+    register_stream_source,
+)
+
 __all__ = [
     "stream_dedup_ingest",
+    "EngineTableStreamDataSource",
+    "register_stream_source",
     "read_events_stream",
     "windowed_counts",
     "session_windows",
