@@ -130,3 +130,47 @@ def stream_stateful_user_activity(spark, sf_dir):
             "last_ts",
         )
     )
+
+
+@query(
+    "stream_table_source_tail",
+    oracle="""
+    SELECT doc_id, length(text) AS char_len
+    FROM documents WHERE doc_id < 120
+    """,
+)
+def stream_table_source_tail(spark, sf_dir):
+    """The engine-table STREAMING SOURCE (streaming/source.py): two append
+    commits land in an engine table, a readStream over it consumes both
+    micro-batches (offsets = snapshot ids), and the drained sink equals a
+    batch read of the same rows — so the oracle is plain SQL over the
+    slice that was appended."""
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = cat.create_table(
+        "stream_src_tail", schema={"doc_id": "long", "text": "string"}
+    )
+    t.append(docs.filter("doc_id < 60"))
+    t.append(docs.filter("doc_id >= 60 AND doc_id < 120"))
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", t.ops.location)
+        .load()
+        .writeStream.format("memory")
+        .queryName("stream_src_tail_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT doc_id, length(text) AS char_len FROM stream_src_tail_sink"
+    )
