@@ -100,3 +100,43 @@ def test_stream_source_rewrite_guard(catalog, spark):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_stream_table_to_table_pipeline(catalog, spark, tmp_path):
+    """Source + sink compose into a table→table streaming pipeline
+    (bronze appends flow into a transformed silver table, exactly-once
+    on both ends)."""
+    import pyspark.sql.functions as F
+
+    from iceberg_ruby_spark.streaming import register_stream_source, stream_to_table
+
+    bronze = catalog.create_table("bronze", schema={"k": "int", "v": "string"})
+    silver = catalog.create_table("silver", schema={"k": "int", "vlen": "int"})
+    bronze.append([{"k": 1, "v": "aa"}, {"k": 2, "v": "bbb"}])
+    register_stream_source(spark)
+
+    def run():
+        stream = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .select("k", F.length("v").cast("int").alias("vlen"))
+        )
+        q = stream_to_table(
+            stream,
+            silver,
+            checkpoint_dir=str(tmp_path / "ckpt"),
+            trigger_available_now=False,
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert sorted((r["k"], r["vlen"]) for r in silver.refresh().to_a()) == [
+        (1, 2), (2, 3)
+    ]
+    bronze.append([{"k": 3, "v": "c"}])
+    run()
+    assert sorted((r["k"], r["vlen"]) for r in silver.refresh().to_a()) == [
+        (1, 2), (2, 3), (3, 1)
+    ]
