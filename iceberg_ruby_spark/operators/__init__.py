@@ -51,6 +51,8 @@ from iceberg_ruby_spark.operators.text import (
     classifier_score,
     classifier_tokens,
     fit_quality_classifier,
+    fit_char_lm,
+    char_lm_score,
     fingerprint,
     language_id,
     mix_corpus,
@@ -109,6 +111,8 @@ __all__ = [
     "classifier_score",
     "classifier_tokens",
     "fit_quality_classifier",
+    "fit_char_lm",
+    "char_lm_score",
     "repetition_stats",
     "scrub_pii",
     "sessionize",

@@ -467,3 +467,82 @@ def fit_quality_classifier(
     )
     bias = math.log((npos + smoothing) / (nneg + smoothing))
     return weights, float(bias)
+
+
+# ---------------------------------------------------------------------------
+# character-bigram language model (CCNet-style LM quality signal)
+# ---------------------------------------------------------------------------
+
+_LM_ALPHABET = "abcdefghijklmnopqrstuvwxyz #"
+_LM_DIM = len(_LM_ALPHABET)  # 28 symbols → 784 bigrams
+_LM_SCALE = 1_048_576  # 2^20 fixed-point
+
+
+def _lm_normalize(col) -> Column:
+    """ASCII-printable → lower → [a-z ]∪'#'.  Non-ASCII is collapsed to
+    '#' BEFORE lowercasing so engine-specific Unicode case rules can never
+    leak into the model (the DuckDB twin applies the identical chain)."""
+    c = col if isinstance(col, Column) else F.col(col)
+    ascii_only = F.regexp_replace(c, r"[^ -~]", "#")
+    return F.regexp_replace(F.lower(ascii_only), r"[^a-z ]", "#")
+
+
+def _lm_bigram_index(txt: Column, i: Column) -> Column:
+    """0-based bigram bucket for position ``i`` (1-based) of normalized
+    text: (idx(char_i) * 28) + idx(char_i+1)."""
+    # instr(alphabet, ch) is 1-based and never 0 after normalization
+    first = F.instr(F.lit(_LM_ALPHABET), F.substring(txt, i, 1)) - 1
+    nxt = F.instr(F.lit(_LM_ALPHABET), F.substring(txt, i + 1, 1)) - 1
+    return first * _LM_DIM + nxt
+
+
+def _lm_positions(txt: Column) -> Column:
+    """[1..len-1] or [] — Spark's sequence(1, 0) steps BACKWARDS to
+    [1, 0], so short/empty/null docs need the explicit empty array."""
+    n = F.coalesce(F.greatest(F.length(txt) - 1, F.lit(0)), F.lit(0))
+    return F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+
+
+def fit_char_lm(df: DataFrame, text_col: str = "text") -> list:
+    """Train the bigram model: ONE groupBy over at most 784 bucket keys
+    (partial aggregation makes the shuffle constant-bounded at any corpus
+    size; the driver collects ≤784 count rows).  Returns 784 fixed-point
+    conditional probabilities ``scaled[b] = (count[b] << 20) //
+    count[prefix(b)]`` — integers, so every downstream score is exact and
+    engine-neutral."""
+    txt = _lm_normalize(F.col(text_col))
+    seq = _lm_positions(txt)
+    buckets = df.select(
+        F.explode(
+            F.transform(seq, lambda i: _lm_bigram_index(txt, i))
+        ).alias("__b")
+    )
+    counts = {r["__b"]: r["n"] for r in
+              buckets.groupBy("__b").agg(F.count(F.lit(1)).alias("n")).collect()}
+    prefix_tot = [0] * _LM_DIM
+    for b, n in counts.items():
+        prefix_tot[b // _LM_DIM] += n
+    return [
+        (counts.get(b, 0) * _LM_SCALE) // max(prefix_tot[b // _LM_DIM], 1)
+        for b in range(_LM_DIM * _LM_DIM)
+    ]
+
+
+def char_lm_score(col, scaled: list) -> tuple[Column, Column]:
+    """(sum of fixed-point bigram probabilities, bigram count) — the
+    higher the mean, the more the document looks like the training
+    corpus (the CCNet 'wikipedia-like' LM filter, with probabilities in
+    place of log-probs so integer arithmetic stays exact).  One in-row
+    fold per document: zero shuffles, zero UDFs."""
+    txt = _lm_normalize(col)
+    n = F.coalesce(F.greatest(F.length(txt) - 1, F.lit(0)), F.lit(0))
+    warr = F.array(*[F.lit(int(w)).cast("long") for w in scaled])
+    seq = _lm_positions(txt)
+    total = F.aggregate(
+        seq,
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + F.element_at(warr, _lm_bigram_index(txt, i) + 1),
+    )
+    return total, n.cast("long")

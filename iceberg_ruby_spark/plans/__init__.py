@@ -45,6 +45,7 @@ _NEVER_DRIVER_CHECKED = [
     "dedup_incremental", "dedup_apply_canonical", "dedup_split_leakage_safe",
     "text_domain_cap", "embedding_ann_ivf_incremental",
     "text_quality_classifier", "stream_table_source_tail",
+    "text_char_lm_likelihood",
 ]
 
 _LAST_CHECKED_R4 = [

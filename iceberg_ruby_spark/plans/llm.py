@@ -408,6 +408,59 @@ def text_quality_classifier(spark, sf_dir):
     )
 
 
+_LM_AL = "abcdefghijklmnopqrstuvwxyz #"
+_LM_NORM_SQL = (
+    "regexp_replace(lower(regexp_replace(text, '[^ -~]', '#', 'g')), "
+    "'[^a-z ]', '#', 'g')"
+)
+
+
+@query(
+    "text_char_lm_likelihood",
+    oracle=f"""
+    WITH norm AS (
+      SELECT doc_id, {_LM_NORM_SQL} AS t FROM documents
+    ), big AS (
+      SELECT doc_id,
+             (strpos('{_LM_AL}', substr(t, CAST(g.i AS INTEGER), 1)) - 1) * 28
+             + (strpos('{_LM_AL}', substr(t, CAST(g.i AS INTEGER) + 1, 1)) - 1) AS b
+      FROM norm,
+           LATERAL (SELECT unnest(generate_series(1, greatest(length(t) - 1, 0))) AS i) g
+    ), cnt AS (
+      SELECT b, COUNT(*) AS n FROM big GROUP BY b
+    ), tot AS (
+      SELECT b // 28 AS p, SUM(n) AS ptot FROM cnt GROUP BY 1
+    ), w AS (
+      SELECT c.b, (c.n * 1048576) // greatest(t.ptot, 1) AS w
+      FROM cnt c JOIN tot t ON c.b // 28 = t.p
+    ), scored AS (
+      SELECT big.doc_id, SUM(w.w) AS s FROM big JOIN w ON big.b = w.b
+      GROUP BY big.doc_id
+    )
+    SELECT norm.doc_id,
+           CAST(coalesce(scored.s, 0) AS BIGINT) AS score_k,
+           CAST(greatest(length(norm.t) - 1, 0) AS BIGINT) AS n_bigrams
+    FROM norm LEFT JOIN scored USING (doc_id)
+    """,
+)
+def text_char_lm_likelihood(spark, sf_dir):
+    """CCNet-style LM quality signal: train a character-bigram model on
+    the corpus (ONE 784-key groupBy), score every document map-only
+    (operators/text.py fit_char_lm / char_lm_score).  Fixed-point integer
+    probabilities make the score exact, so the DuckDB oracle re-trains and
+    re-scores bit-for-bit."""
+    from iceberg_ruby_spark.operators.text import char_lm_score, fit_char_lm
+
+    d = load(spark, sf_dir, "documents")
+    scaled = fit_char_lm(d)
+    s, n = char_lm_score(F.col("text"), scaled)
+    return d.select(
+        "doc_id",
+        F.coalesce(s, F.lit(0)).cast("long").alias("score_k"),
+        n.alias("n_bigrams"),
+    )
+
+
 @query(
     "text_fingerprint",
     oracle=f"SELECT doc_id, {_FP_SQL} AS fp FROM documents",

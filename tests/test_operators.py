@@ -731,3 +731,29 @@ def test_classifier_score_integer_weights_exact(spark):
         ).collect()
     }
     assert out == {1: 3, 2: 0, 3: 0}
+
+
+def test_char_lm_likelihood_prefers_corpus_like_text(spark):
+    from iceberg_ruby_spark.operators.text import char_lm_score, fit_char_lm
+
+    corpus = spark.createDataFrame(
+        [(i, "the quick brown fox jumps over the lazy dog") for i in range(10)],
+        ["doc_id", "text"],
+    )
+    w = fit_char_lm(corpus)
+    probe = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, "zzz qqq xxx vvv"), (3, ""), (4, None)],
+        ["doc_id", "text"],
+    )
+    s, n = char_lm_score(F.col("text"), w)
+    got = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in probe.select(
+            "doc_id", F.coalesce(s, F.lit(0)).alias("s"), n.alias("n")
+        ).collect()
+    }
+    # per-bigram mean: corpus-like text scores near the 2^20 ceiling,
+    # out-of-distribution junk scores near zero
+    assert got[1][0] / got[1][1] > 500_000
+    assert got[2][0] / max(got[2][1], 1) < 100_000
+    assert got[3] == (0, 0) and got[4] == (0, 0)
