@@ -661,8 +661,13 @@ class Catalog:
         syntax, routed through :class:`TableInspect` (same columns as
         iceberg-spark's ``tbl.snapshots``/``refs``/… tables).  Each match
         materializes the metadata view fresh, so the query always sees the
-        table's current state."""
+        table's current state.  Matches inside string literals are left
+        untouched."""
+        lit_spans = [m.span() for m in re.finditer(r"'(?:[^']|'')*'", query)]
+
         def sub(m: re.Match) -> str:
+            if any(a <= m.start() < b for a, b in lit_spans):
+                return m.group(0)
             name, kind = m.group(1), m.group(2)
             tbl = self.load_table(self._sql_table_ident(name))
             df = getattr(tbl.inspect, kind)()
