@@ -128,12 +128,19 @@ class _PointerTableOps:
         return self._fs._abs(p)
 
     def write_manifest(
-        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+        self,
+        snapshot_id: int,
+        entries: list[dict[str, Any]],
+        ctx: Any = None,
+        base_list: Optional[str] = None,
     ) -> str:
-        return self._fs.write_manifest(snapshot_id, entries, ctx=ctx)
+        return self._fs.write_manifest(snapshot_id, entries, ctx=ctx, base_list=base_list)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         return self._fs.read_manifest(manifest_list)
+
+    def read_manifest_delta(self, end_list: str, start_list: str):
+        return self._fs.read_manifest_delta(end_list, start_list)
 
 
 class _AwsCatalogBase(Catalog):

@@ -100,6 +100,17 @@ from iceberg_ruby_spark.transforms import (
 MANIFEST_FORMAT_PROPERTY = "write.metadata.manifest-format"
 
 _EXTRAS_KEY = "x-irs"
+
+# Fast-append list-length bound: an append commit REUSES the parent
+# snapshot's manifest files and adds one delta manifest (commit metadata
+# cost O(new files), not O(table files)); once the manifest list holds
+# this many manifests the smallest are merged into the new commit's
+# manifest — size-tiered, like Iceberg's commit.manifest.min-count-to-merge
+# behavior, so scan planning opens a bounded number of metadata files while
+# large manifests are almost never rewritten.  Shared by the internal JSON
+# manifest format (segment chains, table.FsTableOps) and the Avro spec
+# format below.
+MANIFEST_SEGMENT_CAP = 32
 _EPOCH_DT = _dt.datetime(1970, 1, 1)
 _EPOCH_DATE = _dt.date(1970, 1, 1)
 
@@ -538,7 +549,11 @@ def _dir_size(ops: Any, path: str) -> int:
 
 
 def write_avro_manifests(
-    ops: Any, snapshot_id: int, entries: list[dict[str, Any]], ctx: ManifestContext
+    ops: Any,
+    snapshot_id: int,
+    entries: list[dict[str, Any]],
+    ctx: ManifestContext,
+    base_list: Optional[str] = None,
 ) -> str:
     """Write spec manifests + manifest list; returns the manifest-list path
     relative to the table location (what the snapshot stores).
@@ -551,12 +566,50 @@ def write_avro_manifests(
     stay unique across evolution — so external readers prune correctly on
     tables whose spec has changed (round-4 ADVICE fix: previously every
     entry was parsed against the CURRENT spec, nulling out partition
-    values for files written under earlier specs)."""
+    values for files written under earlier specs).
+
+    ``base_list`` switches on FAST APPEND: ``entries`` is this commit's
+    delta only, and the base snapshot's manifest-file records are carried
+    into the new manifest list VERBATIM (their files are never re-read or
+    rewritten) — commit metadata cost is O(new files).  When the list
+    would exceed :data:`MANIFEST_SEGMENT_CAP` manifests, the smallest
+    manifests by on-disk length are folded back into ``entries`` and
+    rewritten fresh (their rows keep their original data sequence numbers
+    and re-enter as status=EXISTING), Iceberg's merge-manifests behavior:
+    large manifests are almost never rewritten, so write amplification
+    stays size-tiered instead of O(table) per commit."""
     cur_schema = ctx.schemas_by_id.get(ctx.current_schema_id)
+
+    carried_records: list[dict[str, Any]] = []
+    carried_rel_paths: list[Optional[str]] = []
+    base_carried: list[dict[str, Any]] = []
+    if base_list is not None:
+        _, base_records, base_meta = read_ocf(ops.io.read_bytes(ops._abs(base_list)))
+        base_extras = json.loads(base_meta.get(_EXTRAS_KEY, b"{}").decode())
+        base_rels = base_extras.get("manifests")
+        base_carried = [_carried_abs(ops, e) for e in base_extras.get("carried", [])]
+        keep = list(range(len(base_records)))
+        if len(base_records) >= MANIFEST_SEGMENT_CAP:
+            order = sorted(keep, key=lambda i: base_records[i]["manifest_length"])
+            n_merge = len(base_records) - MANIFEST_SEGMENT_CAP // 2 + 1
+            victims = set(order[:n_merge])
+            merged: list[dict[str, Any]] = []
+            for i in sorted(victims):
+                merged.extend(
+                    read_one_avro_manifest(
+                        ops, _manifest_abs_path(ops, base_rels, i, base_records[i])
+                    )
+                )
+            entries = merged + entries
+            keep = [i for i in keep if i not in victims]
+        carried_records = [base_records[i] for i in keep]
+        carried_rel_paths = [
+            base_rels[i] if base_rels and i < len(base_rels) else None for i in keep
+        ]
 
     data_entries = [e for e in entries if "path" in e]
     delete_entries = [e for e in entries if "delete-file" in e]
-    carried = [
+    carried = base_carried + [
         e for e in entries if "path" not in e and "delete-file" not in e
     ]  # delete-predicate + legacy data-dir entries: JSON-only, list extras
 
@@ -658,6 +711,14 @@ def write_avro_manifests(
             ).append(e)
         return groups
 
+    # fast-append: the base snapshot's surviving manifests lead the list,
+    # byte-identical records, original added_snapshot_id/sequence intact
+    list_records.extend(carried_records)
+    list_rels: list[str] = [
+        rel if rel is not None else ops._rel(r["manifest_path"])
+        for r, rel in zip(carried_records, carried_rel_paths)
+    ]
+
     m_idx = 0
     data_groups = _group_by_spec(data_entries)
     delete_groups = _group_by_spec(delete_entries)
@@ -720,6 +781,7 @@ def write_avro_manifests(
         list_records.append(
             _list_entry(ops._abs(mpath), length, 0, records, dseqs, spec_id)
         )
+        list_rels.append(ops._rel(ops._abs(mpath)))
 
     for spec_id in sorted(delete_groups):
         group = delete_groups[spec_id]
@@ -796,6 +858,7 @@ def write_avro_manifests(
         list_records.append(
             _list_entry(ops._abs(mpath), length, 1, records, dseqs, spec_id)
         )
+        list_rels.append(ops._rel(ops._abs(mpath)))
 
     carried_rel = [
         {
@@ -814,7 +877,7 @@ def write_avro_manifests(
         "format-version": str(ctx.format_version),
         _EXTRAS_KEY: json.dumps(
             {
-                "manifests": [ops._rel(r["manifest_path"]) for r in list_records],
+                "manifests": list_rels,
                 "carried": carried_rel,
             }
         ),
@@ -851,111 +914,178 @@ def _bounds_from_spec(
     return out
 
 
+def _manifest_abs_path(ops: Any, rel_manifests, i: int, mf: dict[str, Any]) -> str:
+    """A manifest-file record's readable path: the ``x-irs``
+    location-relative form when present (rename-survival), else the spec's
+    absolute ``manifest_path``."""
+    return (
+        ops._abs(rel_manifests[i])
+        if rel_manifests and i < len(rel_manifests)
+        else mf["manifest_path"]
+    )
+
+
 def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
     """Manifest list + manifests → the engine's internal entry dicts.
 
     Paths resolve through the ``x-irs`` location-relative forms so the
     table tree survives :meth:`Catalog.rename_table`'s physical move, like
     the JSON manifest format."""
-    from iceberg_ruby_spark.table import _schema_from_json
-
     _, list_records, list_meta = read_ocf(ops.io.read_bytes(ops._abs(list_path)))
     list_extras = json.loads(list_meta.get(_EXTRAS_KEY, b"{}").decode())
     rel_manifests = list_extras.get("manifests")
 
     entries: list[dict[str, Any]] = []
     for i, mf in enumerate(list_records):
-        mpath = (
-            ops._abs(rel_manifests[i])
-            if rel_manifests and i < len(rel_manifests)
-            else mf["manifest_path"]
+        entries.extend(
+            read_one_avro_manifest(ops, _manifest_abs_path(ops, rel_manifests, i, mf))
         )
-        _, records, mmeta = read_ocf(ops.io.read_bytes(mpath))
-        extras_doc = json.loads(mmeta.get(_EXTRAS_KEY, b"{}").decode())
-        extras = extras_doc.get("entries", [])
-        schemas = {
-            int(sid): _schema_from_json(sj)
-            for sid, sj in extras_doc.get("schemas", {}).items()
-        }
-        fallback_sid = int(mmeta.get("schema-id", b"0").decode() or 0)
-        manifest_spec_id = int(mmeta.get("partition-spec-id", b"0").decode() or 0)
-        for j, rec in enumerate(records):
-            ext = extras[j] if j < len(extras) else {}
-            df = rec["data_file"]
-            path = ops._abs(ext["rel"]) if "rel" in ext else df["file_path"]
-            if df["content"] == 0:
-                sid = ext.get("schema-id", fallback_sid)
-                schema = schemas.get(sid)
-                entry = {
-                    "spec-id": ext.get("spec-id", manifest_spec_id),
-                    "path": path,
-                    # "record-count" in extras preserves None-vs-0 exactly
-                    # (the spec slot is a required long); fall back to the
-                    # spec value for files written before the extras key
-                    "record-count": (
-                        ext["record-count"]
-                        if "record-count" in ext
-                        else df["record_count"]
-                    ),
-                    "schema-id": sid,
-                    "file-size-bytes": df["file_size_in_bytes"],
-                    "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
-                    "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
-                }
-                if ext.get("dseq") is not None:
-                    entry["data-sequence-number"] = ext["dseq"]
-                # v3 manifests carry the lineage range start in spec field
-                # 142; v2 manifests in the engine extension
-                first_row_id = ext.get("first-row-id")
-                if first_row_id is None:
-                    first_row_id = df.get("first_row_id")
-                if first_row_id is not None:
-                    entry["first-row-id"] = first_row_id
-                if ext.get("materialized-lineage"):
-                    entry["materialized-lineage"] = True
-                entries.append(entry)
-            else:
-                e: dict[str, Any] = {
-                    "delete-file": path,
-                    "spec-id": ext.get("spec-id", manifest_spec_id),
-                    "content": ext.get(
-                        "content",
-                        "equality-deletes" if df["content"] == 2 else "position-deletes",
-                    ),
-                }
-                if ext.get("applies-to") is not None:
-                    e["applies-to"] = [ops._abs(p) for p in ext["applies-to"]]
-                if ext.get("deleted-records") is not None:
-                    e["deleted-records"] = ext["deleted-records"]
-                if ext.get("base-location") is not None:
-                    e["base-location"] = ext["base-location"]
-                # DV coordinates: the engine extension first (v2 form /
-                # rename-safe relative path), then the v3 spec slots
-                # (fields 143-145)
-                for k, spec_k in (
-                    ("referenced-data-file", None),
-                    ("content-offset", "content_offset"),
-                    ("content-size", "content_size_in_bytes"),
-                ):
-                    if ext.get(k) is not None:
-                        e[k] = ext[k]
-                    elif spec_k is not None and df.get(spec_k) is not None:
-                        e[k] = df[spec_k]
-                if e.get("referenced-data-file") is None and df.get(
-                    "referenced_data_file"
-                ):
-                    e["referenced-data-file"] = ops._rel(df["referenced_data_file"])
-                if df["content"] == 2:
-                    e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
-                    if ext.get("equality-cols") is not None:
-                        e["equality-cols"] = ext["equality-cols"]
-                if ext.get("dseq") is not None:
-                    e["data-sequence-number"] = ext["dseq"]
-                entries.append(e)
-
     for e in list_extras.get("carried", []):
-        out = dict(e)
-        if out.get("applies-to") is not None:
-            out["applies-to"] = [ops._abs(p) for p in out["applies-to"]]
-        entries.append(out)
+        entries.append(_carried_abs(ops, e))
+    return entries
+
+
+def _carried_abs(ops: Any, e: dict[str, Any]) -> dict[str, Any]:
+    """A pathless carried entry (delete predicate / legacy data-dir) from
+    its stored location-relative form to the engine's absolute form."""
+    out = dict(e)
+    if out.get("applies-to") is not None:
+        out["applies-to"] = [ops._abs(p) for p in out["applies-to"]]
+    return out
+
+
+def read_one_avro_manifest(ops: Any, mpath: str) -> list[dict[str, Any]]:
+    """ONE manifest file → internal entry dicts (shared by the full list
+    read above and the structural delta read below)."""
+    from iceberg_ruby_spark.table import _schema_from_json
+
+    entries: list[dict[str, Any]] = []
+    _, records, mmeta = read_ocf(ops.io.read_bytes(mpath))
+    extras_doc = json.loads(mmeta.get(_EXTRAS_KEY, b"{}").decode())
+    extras = extras_doc.get("entries", [])
+    schemas = {
+        int(sid): _schema_from_json(sj)
+        for sid, sj in extras_doc.get("schemas", {}).items()
+    }
+    fallback_sid = int(mmeta.get("schema-id", b"0").decode() or 0)
+    manifest_spec_id = int(mmeta.get("partition-spec-id", b"0").decode() or 0)
+    for j, rec in enumerate(records):
+        ext = extras[j] if j < len(extras) else {}
+        df = rec["data_file"]
+        path = ops._abs(ext["rel"]) if "rel" in ext else df["file_path"]
+        if df["content"] == 0:
+            sid = ext.get("schema-id", fallback_sid)
+            schema = schemas.get(sid)
+            entry = {
+                "spec-id": ext.get("spec-id", manifest_spec_id),
+                "path": path,
+                # "record-count" in extras preserves None-vs-0 exactly
+                # (the spec slot is a required long); fall back to the
+                # spec value for files written before the extras key
+                "record-count": (
+                    ext["record-count"]
+                    if "record-count" in ext
+                    else df["record_count"]
+                ),
+                "schema-id": sid,
+                "file-size-bytes": df["file_size_in_bytes"],
+                "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
+                "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
+            }
+            if ext.get("dseq") is not None:
+                entry["data-sequence-number"] = ext["dseq"]
+            # v3 manifests carry the lineage range start in spec field
+            # 142; v2 manifests in the engine extension
+            first_row_id = ext.get("first-row-id")
+            if first_row_id is None:
+                first_row_id = df.get("first_row_id")
+            if first_row_id is not None:
+                entry["first-row-id"] = first_row_id
+            if ext.get("materialized-lineage"):
+                entry["materialized-lineage"] = True
+            entries.append(entry)
+        else:
+            e: dict[str, Any] = {
+                "delete-file": path,
+                "spec-id": ext.get("spec-id", manifest_spec_id),
+                "content": ext.get(
+                    "content",
+                    "equality-deletes" if df["content"] == 2 else "position-deletes",
+                ),
+            }
+            if ext.get("applies-to") is not None:
+                e["applies-to"] = [ops._abs(p) for p in ext["applies-to"]]
+            if ext.get("deleted-records") is not None:
+                e["deleted-records"] = ext["deleted-records"]
+            if ext.get("base-location") is not None:
+                e["base-location"] = ext["base-location"]
+            # DV coordinates: the engine extension first (v2 form /
+            # rename-safe relative path), then the v3 spec slots
+            # (fields 143-145)
+            for k, spec_k in (
+                ("referenced-data-file", None),
+                ("content-offset", "content_offset"),
+                ("content-size", "content_size_in_bytes"),
+            ):
+                if ext.get(k) is not None:
+                    e[k] = ext[k]
+                elif spec_k is not None and df.get(spec_k) is not None:
+                    e[k] = df[spec_k]
+            if e.get("referenced-data-file") is None and df.get(
+                "referenced_data_file"
+            ):
+                e["referenced-data-file"] = ops._rel(df["referenced_data_file"])
+            if df["content"] == 2:
+                e["equality-ids"] = ext.get("equality-ids") or df.get("equality_ids")
+                if ext.get("equality-cols") is not None:
+                    e["equality-cols"] = ext["equality-cols"]
+            if ext.get("dseq") is not None:
+                e["data-sequence-number"] = ext["dseq"]
+            entries.append(e)
+    return entries
+
+
+def read_avro_manifest_delta(
+    ops: Any, end_list: str, start_list: str
+) -> Optional[list[dict[str, Any]]]:
+    """Entries in ``end_list``'s snapshot not in ``start_list``'s, derived
+    STRUCTURALLY from manifest reuse: fast-append carries the parent's
+    manifest-file records verbatim, so the delta is exactly the manifests
+    present in end but not start — only those are opened.  Returns ``None``
+    when start's manifests aren't a subset of end's (a replace commit or a
+    manifest merge inside the window) — the caller falls back to a full
+    set diff.  O(new files) incremental/streaming planning at scale."""
+    _, end_records, end_meta = read_ocf(ops.io.read_bytes(ops._abs(end_list)))
+    _, start_records, start_meta = read_ocf(ops.io.read_bytes(ops._abs(start_list)))
+    end_extras = json.loads(end_meta.get(_EXTRAS_KEY, b"{}").decode())
+    start_extras = json.loads(start_meta.get(_EXTRAS_KEY, b"{}").decode())
+    end_rels = end_extras.get("manifests")
+    start_rels = start_extras.get("manifests")
+
+    def _key(rels, i, mf):
+        return rels[i] if rels and i < len(rels) else mf["manifest_path"]
+
+    end_keys = [_key(end_rels, i, mf) for i, mf in enumerate(end_records)]
+    start_keys = {_key(start_rels, i, mf) for i, mf in enumerate(start_records)}
+    if not start_keys <= set(end_keys):
+        return None
+    # carried (pathless) entries must also be append-only across the window
+    start_carried = [
+        json.dumps(e, sort_keys=True) for e in start_extras.get("carried", [])
+    ]
+    end_carried = [
+        json.dumps(e, sort_keys=True) for e in end_extras.get("carried", [])
+    ]
+    if any(s not in end_carried for s in start_carried):
+        return None
+    entries: list[dict[str, Any]] = []
+    for i, mf in enumerate(end_records):
+        if end_keys[i] in start_keys:
+            continue
+        entries.extend(
+            read_one_avro_manifest(ops, _manifest_abs_path(ops, end_rels, i, mf))
+        )
+    for s, e in zip(end_carried, end_extras.get("carried", [])):
+        if s not in start_carried:
+            entries.append(_carried_abs(ops, e))
     return entries

@@ -722,3 +722,43 @@ def engine_schema_defaults(spark, sf_dir):
         ).withColumn("src", F.lit("fresh"))
     )
     return t.to_df()
+
+
+@query(
+    "engine_fast_append_chain",
+    oracle=f"""
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey % 500 <> 3
+    """,
+)
+def engine_fast_append_chain(spark, sf_dir):
+    """TRUE FAST APPEND end-to-end (iceberg-rust snapshot production,
+    ``ext/iceberg/src/table.rs:62-125``): six appends each write ONLY a
+    delta manifest — the parent snapshot's Avro ``manifest_file`` records
+    are carried into the new manifest list verbatim — then a
+    merge-on-read delete and a final read cross the whole chain.  The
+    query hard-fails unless the chain actually engaged (6 list records
+    with 6 distinct added_snapshot_ids), so the oracle row guards the
+    mechanism, not just the values."""
+    from iceberg_ruby_spark.avro_file import read_ocf
+
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_fac",
+        schema=_orders_schema(),
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    src = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    for i in range(6):
+        t.append(src.filter(F.col("o_orderkey") % 6 == i))
+    _, recs, _ = read_ocf(
+        t.ops.io.read_bytes(t.ops._abs(t.current_snapshot().manifest_list))
+    )
+    if len(recs) != 6 or len({r["added_snapshot_id"] for r in recs}) != 6:
+        raise RuntimeError(
+            "fast-append chain not engaged: "
+            f"{len(recs)} manifests / "
+            f"{len({r['added_snapshot_id'] for r in recs})} snapshot ids"
+        )
+    t.delete_where("o_orderkey % 500 = 3", mode="merge-on-read")
+    return t.to_df()

@@ -565,28 +565,32 @@ class RestTableOps:
         return out
 
     def write_manifest(
-        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+        self,
+        snapshot_id: int,
+        entries: list[dict[str, Any]],
+        ctx: Any = None,
+        base_list: Optional[str] = None,
     ) -> str:
-        if ctx is not None:
-            from iceberg_ruby_spark.manifests import write_avro_manifests
+        from iceberg_ruby_spark.table import FsTableOps
 
-            return write_avro_manifests(self, snapshot_id, entries, ctx)
-        path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
-        stored = [self._map_entry_paths(e, self._rel) for e in entries]
-        self.io.write_atomic(
-            path,
-            json.dumps({"snapshot-id": snapshot_id, "entries": stored}),
-            overwrite=True,
-        )
-        return self._rel(path)
+        # same manifest plane as FsTableOps (fast-append chaining included);
+        # only the metadata-document pointer lives on the REST server
+        return FsTableOps.write_manifest(self, snapshot_id, entries, ctx, base_list)
+
+    def _chain_segments(self, snapshot_id: int, base_list: str):
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps._chain_segments(self, snapshot_id, base_list)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
-        if manifest_list.endswith(".avro"):
-            from iceberg_ruby_spark.manifests import read_avro_manifest_list
+        from iceberg_ruby_spark.table import FsTableOps
 
-            return read_avro_manifest_list(self, manifest_list)
-        entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
-        return [self._map_entry_paths(e, self._abs) for e in entries]
+        return FsTableOps.read_manifest(self, manifest_list)
+
+    def read_manifest_delta(self, end_list: str, start_list: str):
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps.read_manifest_delta(self, end_list, start_list)
 
 
 class RestCatalog(Catalog):

@@ -123,6 +123,20 @@ class EngineTableStreamReader(DataSourceStreamReader):
             raise ValueError(
                 f"offset snapshot {start_id} is not an ancestor of {end_id}"
             )
+        if cur is not None and not self.skip_rewrites:
+            # fast-append structural delta: micro-batch planning opens only
+            # the manifests ADDED in the window — O(new files), independent
+            # of table history (the 100 TB tail-read property).  None ⇒ a
+            # replace commit or segment merge inside the window; fall back
+            # to the full set diff below.
+            delta = ops.read_manifest_delta(
+                end_snap.manifest_list, cur.manifest_list
+            )
+            if delta is not None:
+                return [
+                    _FileSlice(p, self._columns)
+                    for p in sorted(_entry_paths(delta))
+                ]
         base_paths: set[str] = set()
         if cur is not None:
             base_paths = set(_entry_paths(ops.read_manifest(cur.manifest_list)))

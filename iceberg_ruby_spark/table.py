@@ -395,29 +395,141 @@ class FsTableOps:
         return out
 
     def write_manifest(
-        self, snapshot_id: int, entries: list[dict[str, Any]], ctx: Any = None
+        self,
+        snapshot_id: int,
+        entries: list[dict[str, Any]],
+        ctx: Any = None,
+        base_list: Optional[str] = None,
     ) -> str:
         """``ctx`` (a :class:`manifests.ManifestContext`) switches the commit
-        to Iceberg-spec Avro manifests + manifest list; without it the
-        internal JSON manifest is written."""
+        to Iceberg-spec Avro manifests + manifest lists; without it the
+        internal JSON manifest is written.
+
+        ``base_list`` enables FAST APPEND: ``entries`` is this commit's
+        delta only, and the new manifest list reuses the base snapshot's
+        manifest files instead of rewriting the table's full entry set —
+        commit metadata cost is O(new files), not O(table files) (Iceberg's
+        fast-append snapshot semantics).  Small manifests are merged once
+        the list exceeds :data:`manifests.MANIFEST_SEGMENT_CAP` entries, so
+        scan planning never opens an unbounded number of metadata files.
+        If the base list's format doesn't match the target format (table
+        switched ``write.metadata.manifest-format`` mid-history), the base
+        is read back and the commit falls back to a full rewrite."""
         if ctx is not None:
             from iceberg_ruby_spark.manifests import write_avro_manifests
 
-            return write_avro_manifests(self, snapshot_id, entries, ctx)
+            if base_list is not None and not base_list.endswith(".avro"):
+                entries = self.read_manifest(base_list) + entries
+                base_list = None
+            return write_avro_manifests(
+                self, snapshot_id, entries, ctx, base_list=base_list
+            )
+        if base_list is not None and base_list.endswith(".avro"):
+            entries = self.read_manifest(base_list) + entries
+            base_list = None
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
         stored = [self._map_entry_paths(e, self._rel) for e in entries]
-        self.io.write_atomic(
-            path, json.dumps({"snapshot-id": snapshot_id, "entries": stored}), overwrite=True
-        )
+        doc: dict[str, Any] = {"snapshot-id": snapshot_id, "entries": stored}
+        if base_list is not None:
+            doc["segments"] = self._chain_segments(snapshot_id, base_list)
+        self.io.write_atomic(path, json.dumps(doc), overwrite=True)
         return self._rel(path)
+
+    def _chain_segments(
+        self, snapshot_id: int, base_list: str
+    ) -> list[dict[str, Any]]:
+        """The new manifest document's ``segments``: the base document's
+        segments plus the base document itself (its own ``entries`` become
+        one more segment).  When the count exceeds the cap, the smallest
+        segments merge into one consolidation file — size-tiered, so large
+        segments are almost never rewritten and per-commit metadata write
+        cost stays proportional to recent deltas, not table size."""
+        from iceberg_ruby_spark import manifests as _m
+
+        base_doc = json.loads(self.io.read(self._abs(base_list)))
+        segs = list(base_doc.get("segments", []))
+        segs.append(
+            {
+                "path": self._rel(self._abs(base_list)),
+                "n": len(base_doc.get("entries", [])),
+            }
+        )
+        cap = _m.MANIFEST_SEGMENT_CAP
+        if len(segs) <= cap:
+            return segs
+        keep_n = max(cap // 2, 1)
+        order = sorted(range(len(segs)), key=lambda i: segs[i]["n"])
+        victims = set(order[: len(segs) - keep_n + 1])
+        merged: list[dict[str, Any]] = []
+        for i in sorted(victims):
+            sdoc = json.loads(self.io.read(self._abs(segs[i]["path"])))
+            # stored (location-relative) forms copy verbatim — no abs/rel
+            # round trip, so a merge never perturbs path mapping
+            merged.extend(sdoc.get("entries", []))
+        mpath = os.path.join(
+            self.metadata_dir, f"seg-{snapshot_id}-{uuid_mod.uuid4().hex}.json"
+        )
+        self.io.write_atomic(
+            mpath, json.dumps({"entries": merged}), overwrite=True
+        )
+        out: list[dict[str, Any]] = []
+        first_victim = min(victims)
+        for i, s in enumerate(segs):
+            if i == first_victim:
+                out.append({"path": self._rel(mpath), "n": len(merged)})
+            if i not in victims:
+                out.append(s)
+        return out
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         if manifest_list.endswith(".avro"):
             from iceberg_ruby_spark.manifests import read_avro_manifest_list
 
             return read_avro_manifest_list(self, manifest_list)
-        entries = json.loads(self.io.read(self._abs(manifest_list)))["entries"]
-        return [self._map_entry_paths(e, self._abs) for e in entries]
+        doc = json.loads(self.io.read(self._abs(manifest_list)))
+        stored: list[dict[str, Any]] = []
+        for seg in doc.get("segments", []):
+            sdoc = json.loads(self.io.read(self._abs(seg["path"])))
+            stored.extend(sdoc.get("entries", []))
+        stored.extend(doc.get("entries", []))
+        return [self._map_entry_paths(e, self._abs) for e in stored]
+
+    def read_manifest_delta(
+        self, end_list: str, start_list: str
+    ) -> Optional[list[dict[str, Any]]]:
+        """Entries in ``end_list``'s manifest tree that are NOT in
+        ``start_list``'s, derived STRUCTURALLY — only the two list
+        documents plus the delta segments are read, never the full table's
+        metadata.  Returns ``None`` when the delta isn't structurally
+        derivable (a replace commit or a segment merge inside the window);
+        callers fall back to a full set diff.  This is what makes
+        incremental / streaming planning O(new files) at 100 TB."""
+        if self._rel(self._abs(end_list)) == self._rel(self._abs(start_list)):
+            return []
+        if end_list.endswith(".avro") != start_list.endswith(".avro"):
+            return None
+        if end_list.endswith(".avro"):
+            from iceberg_ruby_spark.manifests import read_avro_manifest_delta
+
+            return read_avro_manifest_delta(self, end_list, start_list)
+        end_doc = json.loads(self.io.read(self._abs(end_list)))
+        start_doc = json.loads(self.io.read(self._abs(start_list)))
+        start_key = self._rel(self._abs(start_list))
+        end_segs = [s["path"] for s in end_doc.get("segments", [])]
+        start_set = {s["path"] for s in start_doc.get("segments", [])}
+        start_set.add(start_key)
+        # append-only + un-merged window ⇔ start's whole tree survives as
+        # segments of end; anything else (replace reset, merge rewrote a
+        # segment) breaks containment and we refuse rather than guess
+        if start_key not in end_segs or not start_set <= set(end_segs):
+            return None
+        stored: list[dict[str, Any]] = []
+        for p in end_segs:
+            if p not in start_set:
+                sdoc = json.loads(self.io.read(self._abs(p)))
+                stored.extend(sdoc.get("entries", []))
+        stored.extend(end_doc.get("entries", []))
+        return [self._map_entry_paths(e, self._abs) for e in stored]
 
 
 class StaticTableOps(FsTableOps):
@@ -1309,6 +1421,24 @@ class Table:
                     f"snapshot {from_snapshot_id} is not an ancestor of "
                     f"{to_snap.snapshot_id}"
                 )
+            # fast-append structural delta: O(new files) planning — only
+            # the window's own manifests are opened.  (Pre-window MoR
+            # predicate entries are scoped by ``applies-to`` to files that
+            # existed at their commit, so excluding them can't change the
+            # window's rows.)  Falls back to the full set diff when the
+            # window crosses a segment merge.
+            delta = self.ops.read_manifest_delta(
+                to_snap.manifest_list, from_snap.manifest_list
+            )
+            if delta is not None:
+                new_entries = [e for e in delta if "delete-predicate" not in e]
+                preds = [e for e in delta if "delete-predicate" in e]
+                schema = self.schema_by_id(to_snap.schema_id) or self.current_schema()
+                if row_lineage:
+                    return self._read_entries_with_lineage(
+                        new_entries + preds, schema=schema
+                    )
+                return self._read_entries(new_entries + preds, schema=schema)
             base_paths = set(
                 self._entry_files(self.ops.read_manifest(from_snap.manifest_list))
             )
@@ -1368,20 +1498,44 @@ class Table:
             )
         chain.reverse()
         schema = self.current_schema()
+        cols = [f.name for f in schema.fields]
         parts = []
-        prev_entries = (
-            self.ops.read_manifest(cur.manifest_list) if cur is not None else []
-        )
+        prev_list = cur.manifest_list if cur is not None else None
+        # full entry view loaded lazily — a window of fast-append commits
+        # never reads ANY full manifest (O(new files) per commit)
+        prev_entries = [] if cur is None else None
         for ordinal, snap in enumerate(chain):
+            delta = (
+                self.ops.read_manifest_delta(snap.manifest_list, prev_list)
+                if prev_list is not None
+                else None
+            )
+            if delta is not None and all("path" in e for e in delta):
+                # structurally-proven append-only commit: the changelog IS
+                # the delta files' rows, no before/after row comparison
+                if delta:
+                    parts.append(
+                        self._read_entries(delta, schema=schema)
+                        .select(*cols)
+                        .withColumn("_change_type", F.lit("insert"))
+                        .withColumn("_commit_snapshot_id", F.lit(snap.snapshot_id))
+                        .withColumn("_change_ordinal", F.lit(ordinal))
+                    )
+                prev_list = snap.manifest_list
+                prev_entries = None
+                continue
+            if prev_entries is None:
+                prev_entries = self.ops.read_manifest(prev_list)
             cur_entries = self.ops.read_manifest(snap.manifest_list)
-            delta = self._changelog_commit_diff(prev_entries, cur_entries, schema)
-            if delta is not None:
+            diff = self._changelog_commit_diff(prev_entries, cur_entries, schema)
+            if diff is not None:
                 parts.append(
-                    delta.withColumn(
+                    diff.withColumn(
                         "_commit_snapshot_id", F.lit(snap.snapshot_id)
                     ).withColumn("_change_ordinal", F.lit(ordinal))
                 )
             prev_entries = cur_entries
+            prev_list = snap.manifest_list
         if not parts:
             return self._changelog_empty()
         out = parts[0]
@@ -2362,16 +2516,42 @@ class Table:
                 if r is not None and r.get("type") != "branch":
                     raise InvalidDataError(f"not a branch: {branch}")
                 head = r["snapshot-id"] if r else meta.current_snapshot_id
+            fast_append = False
+            parent_snap = None
             if mode == "append":
                 cur = head
-                base_entries: list[dict[str, Any]] = []
                 if cur is not None:
                     for s in meta.snapshots:
                         if s.snapshot_id == cur:
-                            base_entries = self.ops.read_manifest(s.manifest_list)
+                            parent_snap = s
                             break
-                all_entries = base_entries + entries
                 added_rows = self._entries_rowcount(entries)  # delta only
+                # FAST APPEND: when the parent snapshot carries the running
+                # totals (every engine-written snapshot does), the commit
+                # never reads or rewrites the table's existing manifests —
+                # entries stays the delta, write_manifest chains it onto
+                # the parent's manifest list, and totals roll forward
+                # arithmetically.  O(new files) commit metadata at 100 TB;
+                # the legacy read-back path survives only as a fallback
+                # for snapshots without totals (externally-authored or
+                # hand-edited metadata).
+                fast_append = parent_snap is not None and all(
+                    k in parent_snap.summary
+                    for k in (
+                        "total-data-files",
+                        "total-records",
+                        "total-delete-entries",
+                    )
+                )
+                if fast_append or cur is None:
+                    all_entries = entries
+                else:
+                    base_entries = (
+                        self.ops.read_manifest(parent_snap.manifest_list)
+                        if parent_snap is not None
+                        else []
+                    )
+                    all_entries = base_entries + entries
             else:
                 all_entries = entries
                 cur = head
@@ -2482,7 +2662,10 @@ class Table:
                         e["first-row-id"] = next_rid
                         next_rid += e["record-count"]
             manifest = self.ops.write_manifest(
-                snapshot_id, all_entries, ctx=self._avro_manifest_ctx(meta, head)
+                snapshot_id,
+                all_entries,
+                ctx=self._avro_manifest_ctx(meta, head),
+                base_list=(parent_snap.manifest_list if fast_append else None),
             )
             now = _now_ms()
             parent = head
@@ -2500,14 +2683,34 @@ class Table:
                         if "path" in e and e["path"] not in parent_paths
                     ]
                 )
-            counters = {
-                # Iceberg snapshot-summary counters (metadata-only totals)
-                "added-data-files": str(added_files),
-                "added-rows": str(added_rows),
-                "total-data-files": str(len(data_entries)),
-                "total-records": str(self._entries_rowcount(data_entries)),
-                "total-delete-entries": str(len(all_entries) - len(data_entries)),
-            }
+            if fast_append:
+                # totals roll forward from the parent summary — the whole
+                # point of fast append is never enumerating the full table
+                psum = parent_snap.summary
+                counters = {
+                    "added-data-files": str(added_files),
+                    "added-rows": str(added_rows),
+                    "total-data-files": str(
+                        int(psum["total-data-files"]) + len(data_entries)
+                    ),
+                    "total-records": str(
+                        int(psum["total-records"])
+                        + self._entries_rowcount(data_entries)
+                    ),
+                    "total-delete-entries": str(
+                        int(psum["total-delete-entries"])
+                        + (len(all_entries) - len(data_entries))
+                    ),
+                }
+            else:
+                counters = {
+                    # Iceberg snapshot-summary counters (metadata-only totals)
+                    "added-data-files": str(added_files),
+                    "added-rows": str(added_rows),
+                    "total-data-files": str(len(data_entries)),
+                    "total-records": str(self._entries_rowcount(data_entries)),
+                    "total-delete-entries": str(len(all_entries) - len(data_entries)),
+                }
             snap = Snapshot(
                 snapshot_id=snapshot_id,
                 parent_snapshot_id=parent,
@@ -2582,9 +2785,29 @@ class Table:
             _, records, _ = read_ocf(self.ops.io.read_bytes(self.ops._abs(ml)))
             return records
         raw = self.ops.io.read(self.ops._abs(ml))
-        entries = json.loads(raw).get("entries", [])
+        doc = json.loads(raw)
+        out = []
+        # fast-append segment chain: one descriptor per reused segment,
+        # then the head document's own delta entries
+        for seg in doc.get("segments", []):
+            sraw = self.ops.io.read(self.ops._abs(seg["path"]))
+            sentries = json.loads(sraw).get("entries", [])
+            n_data = sum(1 for e in sentries if "path" in e)
+            out.append(
+                {
+                    "manifest_path": self.ops._abs(seg["path"]),
+                    "manifest_length": len(
+                        sraw.encode() if isinstance(sraw, str) else sraw
+                    ),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "existing_files_count": n_data,
+                    "deleted_files_count": len(sentries) - n_data,
+                }
+            )
+        entries = doc.get("entries", [])
         n_data = sum(1 for e in entries if "path" in e)
-        return [
+        out.append(
             {
                 "manifest_path": self.ops._abs(ml),
                 "manifest_length": len(raw.encode() if isinstance(raw, str) else raw),
@@ -2593,7 +2816,8 @@ class Table:
                 "existing_files_count": n_data,
                 "deleted_files_count": len(entries) - n_data,
             }
-        ]
+        )
+        return out
 
     def _branch_head_id(self, branch: Optional[str]) -> Optional[int]:
         """The optimistic-commit base for a mutation: main's head, or the
