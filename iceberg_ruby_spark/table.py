@@ -4051,7 +4051,10 @@ class Table:
         return refs, protected, dropped_refs
 
     def expire_snapshots(
-        self, keep_last: int = 1, older_than: Optional[Any] = None
+        self,
+        keep_last: int = 1,
+        older_than: Optional[Any] = None,
+        clean_metadata: bool = True,
     ) -> int:
         """Drop history beyond the newest ``keep_last`` snapshots, always
         retaining snapshots referenced by branches/tags — honoring the
@@ -4064,10 +4067,20 @@ class Table:
         additionally protects every snapshot committed at-or-after the
         cutoff: only snapshots strictly older than it may expire.
 
-        Metadata only; orphan data dirs removable via
-        remove_orphan_files."""
+        ``clean_metadata`` (default on, Iceberg's ``cleanExpiredFiles``
+        behavior) also deletes the expired snapshots' metadata files —
+        manifest lists, manifests/segments, and their statistics files —
+        but ONLY those not referenced by any retained snapshot.  With
+        fast-append manifest sharing this is reference-counted by
+        construction: candidates come from the EXPIRED snapshots' own
+        reference sets (never a directory listing, so an in-flight
+        concurrent commit's freshly-written files can't be collected),
+        minus everything the live snapshots still reference.  Orphan DATA
+        dirs remain the job of remove_orphan_files."""
         self._check_writable()
         expired = [0]
+        expired_snaps: list[dict[str, Any]] = []
+        dropped_stats: list[str] = []
         now = _now_ms()
         cutoff = None if older_than is None else _as_epoch_ms(older_than)
 
@@ -4099,6 +4112,19 @@ class Table:
             kept = keeps(snaps, keep_tail, protected)
             expired[0] = len(snaps) - len(kept)
             kept_ids = {s["snapshot-id"] for s in kept}
+            # recomputed per retry (a lost race re-plans on fresh state)
+            expired_snaps[:] = [s for s in snaps if s["snapshot-id"] not in kept_ids]
+            dropped_stats[:] = []
+            for key in ("statistics", "partition-statistics"):
+                entries = raw.get(key, [])
+                keep_entries = [s for s in entries if s["snapshot-id"] in kept_ids]
+                if len(keep_entries) != len(entries):
+                    dropped_stats.extend(
+                        s["statistics-path"]
+                        for s in entries
+                        if s["snapshot-id"] not in kept_ids
+                    )
+                    raw[key] = keep_entries
             raw["refs"] = refs
             raw["snapshots"] = kept
             raw["snapshot-log"] = [
@@ -4107,7 +4133,50 @@ class Table:
             ]
 
         self._metadata_update(mutate)
+        if clean_metadata and (expired_snaps or dropped_stats):
+            live: set[str] = set()
+            for s in self.snapshots:
+                live |= self._manifest_metadata_files(s.manifest_list)
+            dead: set[str] = set()
+            for sd in expired_snaps:
+                dead |= self._manifest_metadata_files(sd["manifest-list"])
+            for p in dropped_stats:
+                dead.add(self.ops._abs(p))
+            for f in sorted(dead - live):
+                try:
+                    self.ops.io.delete(f)
+                except (OSError, FileNotFoundError):
+                    pass  # already gone (e.g. shared with a purged table)
         return expired[0]
+
+    def _manifest_metadata_files(self, manifest_list: str) -> set[str]:
+        """Every metadata file a snapshot's manifest list references: the
+        list document itself plus its manifests (Avro) or chained segments
+        (JSON).  Metadata-sized reads only — no data files touched."""
+        out: set[str] = set()
+        try:
+            abs_list = self.ops._abs(manifest_list)
+            out.add(abs_list)
+            if manifest_list.endswith(".avro"):
+                from iceberg_ruby_spark.manifests import (
+                    _EXTRAS_KEY,
+                    _manifest_abs_path,
+                    read_ocf,
+                )
+
+                _, recs, meta = read_ocf(self.ops.io.read_bytes(abs_list))
+                rels = json.loads(meta.get(_EXTRAS_KEY, b"{}").decode()).get(
+                    "manifests"
+                )
+                for i, mf in enumerate(recs):
+                    out.add(_manifest_abs_path(self.ops, rels, i, mf))
+            else:
+                doc = json.loads(self.ops.io.read(abs_list))
+                for seg in doc.get("segments", []):
+                    out.add(self.ops._abs(seg["path"]))
+        except (OSError, FileNotFoundError, ValueError, KeyError):
+            pass  # unreadable list: reference nothing rather than guess
+        return out
 
     def remove_orphan_files(
         self, return_files: bool = False, older_than: Optional[Any] = None

@@ -1,0 +1,132 @@
+"""expire_snapshots metadata cleanup (Iceberg's cleanExpiredFiles).
+
+With fast-append manifest sharing, deletion must be reference-counted:
+a manifest/segment referenced by BOTH an expired and a retained snapshot
+must survive.  Candidates come from the expired snapshots' own reference
+sets (never a directory listing), so an in-flight concurrent commit's
+freshly-written files can never be collected."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _mk(catalog, name, fmt):
+    props = (
+        {"write.metadata.manifest-format": "avro"} if fmt == "avro" else None
+    )
+    return catalog.create_table(
+        name, schema={"k": "int", "v": "string"}, properties=props
+    )
+
+
+def _rows(t):
+    return sorted(r[0] for r in t.scan().select("k").collect().rows)
+
+
+def _list_files(t, snap):
+    return t._manifest_metadata_files(snap.manifest_list)
+
+
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_append_chain_shares_metadata_nothing_deleted(catalog, fmt):
+    """On a pure append chain the expired snapshots' list documents ARE
+    the head's segments/manifests — all shared, so expire deletes none."""
+    t = _mk(catalog, f"gc_share_{fmt}", fmt)
+    for i in range(4):
+        t.append([{"k": i, "v": "a"}])
+    old_files = set()
+    for s in t.snapshots[:-1]:
+        old_files |= _list_files(t, s)
+    assert t.expire_snapshots(keep_last=1) == 3
+    survivors = [f for f in old_files if t.ops.io.exists(f)]
+    # every expired snapshot's own delta manifest is shared with the head
+    head_files = _list_files(t, t.current_snapshot())
+    assert set(survivors) >= (old_files & head_files)
+    assert _rows(t) == [0, 1, 2, 3]
+
+
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_replace_orphans_old_chain_files(catalog, fmt):
+    """append×3 → compact (replace) → append: expiring everything but the
+    head deletes the pre-compact chain's metadata files, keeps the
+    compacted foot the head still chains onto."""
+    t = _mk(catalog, f"gc_rp_{fmt}", fmt)
+    for i in range(3):
+        t.append([{"k": i, "v": "a"}])
+    pre_compact = set()
+    for s in t.snapshots:
+        pre_compact |= _list_files(t, s)
+    t.compact()
+    t.append([{"k": 50, "v": "b"}])
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == 4
+    head_files = _list_files(t, t.current_snapshot())
+    for f in pre_compact - head_files:
+        assert not t.ops.io.exists(f), f"orphaned metadata survived: {f}"
+    for f in head_files:
+        assert t.ops.io.exists(f)
+    assert _rows(t) == [0, 1, 2, 50]
+
+
+def test_clean_metadata_off_keeps_files(catalog):
+    t = _mk(catalog, "gc_off", "json")
+    for i in range(3):
+        t.append([{"k": i, "v": "a"}])
+    t.compact()
+    old = set()
+    for s in t.snapshots[:-1]:
+        old |= _list_files(t, s)
+    t.expire_snapshots(keep_last=1, clean_metadata=False)
+    assert all(t.ops.io.exists(f) for f in old)
+
+
+def test_statistics_of_expired_snapshot_dropped_and_deleted(catalog):
+    t = _mk(catalog, "gc_stats", "json")
+    t.append([{"k": 1, "v": "a"}])
+    t.compute_statistics()
+    stats_path = t.ops._abs(t.statistics[0]["statistics-path"])
+    assert t.ops.io.exists(stats_path)
+    t.append([{"k": 2, "v": "b"}])
+    t.expire_snapshots(keep_last=1)
+    t.refresh()
+    assert t.statistics == []
+    assert not t.ops.io.exists(stats_path)
+    assert _rows(t) == [1, 2]
+
+
+def test_branch_protected_snapshot_files_survive(catalog):
+    t = _mk(catalog, "gc_branch", "json")
+    t.append([{"k": 1, "v": "a"}])
+    t.create_branch("keepme")
+    keep_files = _list_files(t, t.current_snapshot())
+    t.delete_where("k = 1")  # replace — breaks sharing with the branch head
+    t.append([{"k": 9, "v": "z"}])
+    t.expire_snapshots(keep_last=1)
+    ids = {s.snapshot_id for s in t.snapshots}
+    assert t.snapshot_for_ref("keepme").snapshot_id in ids
+    assert all(t.ops.io.exists(f) for f in keep_files)
+    assert sorted(
+        r[0] for r in t.scan(ref="keepme").select("k").collect().rows
+    ) == [1]
+
+
+def test_expired_avro_manifests_unreferenced_after_merge(catalog, monkeypatch):
+    """Manifests merged away (cap) and then expired really do get
+    collected once no live snapshot references them."""
+    from iceberg_ruby_spark import manifests as man
+
+    monkeypatch.setattr(man, "MANIFEST_SEGMENT_CAP", 4)
+    t = _mk(catalog, "gc_merge", "avro")
+    for i in range(10):
+        t.append([{"k": i, "v": str(i)}])
+    all_files = set()
+    for s in t.snapshots:
+        all_files |= _list_files(t, s)
+    t.expire_snapshots(keep_last=1)
+    head_files = _list_files(t, t.current_snapshot())
+    gone = [f for f in all_files - head_files if not t.ops.io.exists(f)]
+    assert gone, "merge should have orphaned at least one victim manifest"
+    for f in head_files:
+        assert t.ops.io.exists(f)
+    assert _rows(t) == list(range(10))
