@@ -25,7 +25,15 @@ are passed over silently; any commit that REWRITES files (copy-on-write
 delete/update, compaction) would misreport rewrites as appends, so the
 reader raises unless ``skip_rewrite_commits=true`` is set (then the whole
 commit's file churn is skipped: new files introduced by the rewrite are
-NOT emitted, matching Iceberg's streaming ``skip-overwrite-snapshots``)."""
+NOT emitted, matching Iceberg's streaming ``skip-overwrite-snapshots``).
+
+``max_files_per_trigger`` (Iceberg's streaming-max-files-per-micro-batch)
+bounds each micro-batch to N files: a backfill over months of history
+becomes a sequence of right-sized batches instead of one giant one.  The
+reader brackets its own offsets (the Python API exposes no ReadLimit),
+landing mid-commit as partial offsets ``{"snapshot_id": S, "pos": k}``;
+with bounding on, consumption is strictly per-commit (Iceberg's streaming
+iterator semantics)."""
 
 from __future__ import annotations
 
@@ -79,6 +87,20 @@ class EngineTableStreamReader(DataSourceStreamReader):
         )
         start = options.get("starting_snapshot_id")
         self._starting = int(start) if start is not None else None
+        mft = options.get("max_files_per_trigger")
+        # admission control (Iceberg's streaming-max-files-per-micro-batch):
+        # bound each micro-batch to N files so a backfill over months of
+        # history becomes a sequence of right-sized batches instead of one
+        # giant one.  The Python Data Source API exposes no ReadLimit, so
+        # the reader brackets its own offsets: latestOffset advances at
+        # most N files past the last offset it saw, using PARTIAL offsets
+        # ``{"snapshot_id": S, "pos": k}`` (= first k files, sorted order,
+        # of S's delta consumed).  After a checkpoint restart the replayed
+        # batch re-synchronizes the bracket via partitions()/commit().
+        self._max_files = int(mft) if mft is not None else None
+        if self._max_files is not None and self._max_files <= 0:
+            raise ValueError("max_files_per_trigger must be positive")
+        self._last: Optional[dict] = None
         meta = _ops(self.location).load()
         self._columns = [f.name for f in _current_schema(meta).fields]
 
@@ -86,23 +108,116 @@ class EngineTableStreamReader(DataSourceStreamReader):
     def initialOffset(self) -> dict:
         # None = from table creation (consume all existing data first);
         # starting_snapshot_id = start AFTER that snapshot
-        return {"snapshot_id": self._starting}
+        off = {"snapshot_id": self._starting}
+        self._last = off
+        return off
 
     def latestOffset(self) -> dict:
         meta = _ops(self.location).load()
-        return {"snapshot_id": meta.current_snapshot_id}
+        head = meta.current_snapshot_id
+        if self._max_files is None or head is None:
+            off = {"snapshot_id": head}
+        else:
+            off = self._bounded_offset(meta, self._last, head)
+        self._last = off
+        return off
+
+    def _delta_paths(self, ops, by_id, snap) -> list[str]:
+        """One commit's appended data files, sorted (the per-snapshot unit
+        partial offsets index into).  O(new files) via the structural
+        delta; rewrite commits contribute nothing when skip_rewrites."""
+        safe = snap.operation == "append" or (
+            snap.operation == "delete"
+            and snap.summary.get("mode") in _MOR_DELETE_MODES
+        )
+        if not safe and self.skip_rewrites:
+            return []
+        parent = (
+            by_id.get(snap.parent_snapshot_id)
+            if snap.parent_snapshot_id is not None
+            else None
+        )
+        if parent is None:
+            return sorted(_entry_paths(ops.read_manifest(snap.manifest_list)))
+        delta = ops.read_manifest_delta(snap.manifest_list, parent.manifest_list)
+        if delta is not None:
+            return sorted(_entry_paths(delta))
+        prev = set(_entry_paths(ops.read_manifest(parent.manifest_list)))
+        return sorted(
+            p
+            for p in _entry_paths(ops.read_manifest(snap.manifest_list))
+            if p not in prev
+        )
+
+    def _bounded_offset(self, meta, last: Optional[dict], head: int) -> dict:
+        """The furthest offset within ``max_files_per_trigger`` files of
+        ``last``.  Walks head→last collecting the in-between commits, then
+        spends the file budget forward; lands mid-commit as a partial
+        offset.  With bounding, consumption is strictly per-commit
+        (Iceberg's streaming iterator semantics): an append's files are
+        emitted even if a later in-window rewrite replaced them."""
+        ops = _ops(self.location)
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        base = last if last is not None else {"snapshot_id": self._starting}
+        base_id = base.get("snapshot_id")
+        base_pos = base.get("pos")
+        chain = []
+        cur = by_id.get(head)
+        while cur is not None and cur.snapshot_id != base_id:
+            chain.append(cur)
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if base_id is not None and cur is None:
+            # base expired / not an ancestor: let partitions() surface the
+            # error on the unbounded window rather than planning blind
+            return {"snapshot_id": head}
+        budget = self._max_files
+        if base_pos is not None:
+            # finish the partially-consumed commit first (offsets stay
+            # canonical: a fully-consumed commit is always the pos-less
+            # form, so equal positions compare equal as dicts)
+            snap = by_id.get(base_id)
+            files = self._delta_paths(ops, by_id, snap) if snap else []
+            remaining = len(files) - base_pos
+            if remaining >= budget:
+                pos = base_pos + budget
+                if pos < len(files):
+                    return {"snapshot_id": base_id, "pos": pos}
+                return {"snapshot_id": base_id}
+            budget -= remaining
+        out = {"snapshot_id": base_id}
+        for snap in reversed(chain):
+            n = len(self._delta_paths(ops, by_id, snap))
+            if n > budget:
+                return {"snapshot_id": snap.snapshot_id, "pos": budget}
+            budget -= n
+            out = {"snapshot_id": snap.snapshot_id}
+            if budget == 0:
+                return out
+        return out
 
     # -- planning ---------------------------------------------------------
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         start_id, end_id = start.get("snapshot_id"), end.get("snapshot_id")
-        if end_id is None or start_id == end_id:
+        start_pos, end_pos = start.get("pos"), end.get("pos")
+        if end_id is None or (start_id == end_id and start_pos == end_pos):
             return []
+        # re-sync the admission bracket: after a checkpoint restart the
+        # replayed batch's end offset is the next latestOffset's base
+        self._last = dict(end)
         ops = _ops(self.location)
         meta = ops.load()
         by_id = {s.snapshot_id: s for s in meta.snapshots}
         end_snap = by_id.get(end_id)
         if end_snap is None:
             raise ValueError(f"offset snapshot {end_id} no longer exists")
+        if start_pos is not None or end_pos is not None:
+            return self._partial_window(
+                ops, by_id, start_id, start_pos, end_snap, end_pos
+            )
         # walk end → start validating every commit in the window
         cur = end_snap
         while cur is not None and cur.snapshot_id != start_id:
@@ -163,6 +278,54 @@ class EngineTableStreamReader(DataSourceStreamReader):
             if p not in base_paths
         ]
         return [_FileSlice(p, self._columns) for p in sorted(new)]
+
+    def _partial_window(
+        self, ops, by_id, start_id, start_pos, end_snap, end_pos
+    ) -> list[InputPartition]:
+        """Window planning when either offset is PARTIAL (admission
+        control landed mid-commit).  Strictly per-commit consumption:
+        each commit's sorted delta files, sliced by the offsets'
+        positions.  Same safety rules as the set-diff path."""
+        if start_id == end_snap.snapshot_id:
+            # same-commit window: slice inside one delta
+            sfiles = self._delta_paths(ops, by_id, end_snap)
+            lo = start_pos or 0
+            hi = end_pos if end_pos is not None else len(sfiles)
+            return [_FileSlice(p, self._columns) for p in sfiles[lo:hi]]
+        cur = end_snap
+        chain = []
+        while cur is not None and cur.snapshot_id != start_id:
+            safe = cur.operation == "append" or (
+                cur.operation == "delete"
+                and cur.summary.get("mode") in _MOR_DELETE_MODES
+            )
+            if not safe and not self.skip_rewrites:
+                raise ValueError(
+                    f"streaming read crossed a {cur.operation!r} commit "
+                    f"({cur.snapshot_id}); rewrites cannot be consumed as "
+                    "appends — set skip_rewrite_commits=true to pass over "
+                    "them"
+                )
+            chain.append(cur)
+            parent = cur.parent_snapshot_id
+            cur = by_id.get(parent) if parent is not None else None
+        if start_id is not None and cur is None:
+            raise ValueError(
+                f"offset snapshot {start_id} is not an ancestor of "
+                f"{end_snap.snapshot_id}"
+            )
+        files: list[str] = []
+        if start_pos is not None:
+            ssnap = by_id.get(start_id)
+            if ssnap is None:
+                raise ValueError(f"offset snapshot {start_id} no longer exists")
+            files += self._delta_paths(ops, by_id, ssnap)[start_pos:]
+        for snap in reversed(chain):
+            f = self._delta_paths(ops, by_id, snap)
+            if snap.snapshot_id == end_snap.snapshot_id and end_pos is not None:
+                f = f[:end_pos]
+            files += f
+        return [_FileSlice(p, self._columns) for p in files]
 
     # -- execution (runs in executor python workers) ----------------------
     def read(self, partition: InputPartition) -> Iterator[tuple]:
