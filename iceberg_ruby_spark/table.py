@@ -2063,12 +2063,31 @@ class Table:
         mode = props.get(
             "write.distribution-mode", "hash" if part_cols else "none"
         )
+        # write.spark.rebalance-enabled: swap the static exchange for an
+        # AQE REBALANCE hint.  Plain repartition(col) routes each partition
+        # VALUE to exactly one task — a skewed value (one hot day, one hot
+        # tenant) becomes one giant task and one giant file; rebalance
+        # coalesces small partitions toward the advisory size AND splits
+        # skewed ones (the shape iceberg-spark requests for its write
+        # distribution under AQE).  Opt-in so small local test writes keep
+        # their deterministic file counts.
+        rebalance = (
+            str(props.get("write.spark.rebalance-enabled", "false")).lower()
+            == "true"
+        )
         if mode == "hash" and part_cols:
-            df = df.repartition(*[F.col(c) for c in part_cols])
+            if rebalance:
+                df = df.hint("rebalance", *part_cols)
+            else:
+                df = df.repartition(*[F.col(c) for c in part_cols])
         elif mode == "range" and (part_cols or sort_cols):
             df = df.repartitionByRange(
                 *([F.col(c) for c in part_cols] + sort_cols)
             )
+        elif mode == "none" and rebalance:
+            # unpartitioned appends from a many-partition input otherwise
+            # write one tiny file per input partition
+            df = df.hint("rebalance")
         elif mode not in ("none", "hash", "range"):
             raise InvalidDataError(f"unknown write.distribution-mode: {mode!r}")
         if sort_cols:

@@ -275,6 +275,39 @@ def test_write_distribution_modes(catalog):
     assert len(t3.to_a()) == 400
 
 
+def test_write_rebalance_enabled(catalog, spark):
+    """write.spark.rebalance-enabled swaps the static exchange for AQE
+    REBALANCE: a 32-partition unpartitioned input coalesces to a few
+    right-sized files instead of one tiny file per input partition, and a
+    partitioned write still lands one file per (small) partition value.
+    (The skew-splitting half of rebalance needs partitions past the
+    advisory size — exercised implicitly by AQE, not reproducible at
+    test scale.)"""
+    t = catalog.create_table(
+        "reb_none",
+        schema={"k": "int", "v": "string"},
+        properties={"write.spark.rebalance-enabled": "true"},
+    )
+    src = spark.range(0, 1000, 1, 32).selectExpr(
+        "cast(id as int) k", "repeat('x', 8) v"
+    )
+    t.append(src)
+    assert len(t.scan().plan_files()) < 8  # 32 without rebalance
+    assert t.scan().count() == 1000
+
+    t2 = catalog.create_table(
+        "reb_hash",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[{"source": "k", "transform": "identity"}],
+        properties={"write.spark.rebalance-enabled": "true"},
+    )
+    t2.append(spark.range(0, 400, 1, 16).selectExpr(
+        "cast(id % 4 as int) k", "'y' v"
+    ))
+    assert len(t2.scan().plan_files()) == 4
+    assert t2.scan().count() == 400
+
+
 def test_parquet_bloom_filter_property(catalog, spark):
     """write.parquet.bloom-filter-enabled.column.<col> reaches the parquet
     writer — verified in the file footer (bloom offset present only for
