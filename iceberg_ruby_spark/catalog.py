@@ -1165,6 +1165,13 @@ class Catalog:
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"
+        elif proc == "rewrite_manifests":
+            res = tbl.rewrite_manifests()
+            out = (
+                [(res["rewritten_manifests_count"],
+                  res["added_manifests_count"])],
+                "rewritten_manifests_count long, added_manifests_count long",
+            )
         elif proc == "rewrite_position_delete_files":
             res = tbl.rewrite_position_deletes()
             out = (

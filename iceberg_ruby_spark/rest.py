@@ -577,10 +577,15 @@ class RestTableOps:
         # only the metadata-document pointer lives on the REST server
         return FsTableOps.write_manifest(self, snapshot_id, entries, ctx, base_list)
 
-    def _chain_segments(self, snapshot_id: int, base_list: str):
+    def _base_segments(self, base_list: str):
         from iceberg_ruby_spark.table import FsTableOps
 
-        return FsTableOps._chain_segments(self, snapshot_id, base_list)
+        return FsTableOps._base_segments(self, base_list)
+
+    def _maybe_merge_segments(self, snapshot_id: int, segs):
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps._maybe_merge_segments(self, snapshot_id, segs)
 
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         from iceberg_ruby_spark.table import FsTableOps

@@ -427,33 +427,54 @@ class FsTableOps:
         if base_list is not None and base_list.endswith(".avro"):
             entries = self.read_manifest(base_list) + entries
             base_list = None
+        # entries live OUT-OF-LINE in a segment file; the list document
+        # itself holds only the segment pointer table, so chaining the
+        # next append reads a tiny document no matter how large the table
+        # is — the JSON twin of an Avro manifest list.  (Docs written by
+        # earlier versions carry inline ``entries``; readers treat those
+        # as one implicit trailing segment.)
         path = os.path.join(self.metadata_dir, f"snap-{snapshot_id}.json")
         stored = [self._map_entry_paths(e, self._rel) for e in entries]
-        doc: dict[str, Any] = {"snapshot-id": snapshot_id, "entries": stored}
-        if base_list is not None:
-            doc["segments"] = self._chain_segments(snapshot_id, base_list)
+        seg_path = os.path.join(
+            self.metadata_dir, f"seg-{snapshot_id}-{uuid_mod.uuid4().hex}.json"
+        )
+        self.io.write_atomic(
+            seg_path, json.dumps({"entries": stored}), overwrite=True
+        )
+        segs = (
+            self._base_segments(base_list) if base_list is not None else []
+        )
+        segs.append({"path": self._rel(seg_path), "n": len(stored)})
+        segs = self._maybe_merge_segments(snapshot_id, segs)
+        doc: dict[str, Any] = {"snapshot-id": snapshot_id, "segments": segs}
         self.io.write_atomic(path, json.dumps(doc), overwrite=True)
         return self._rel(path)
 
-    def _chain_segments(
-        self, snapshot_id: int, base_list: str
-    ) -> list[dict[str, Any]]:
-        """The new manifest document's ``segments``: the base document's
-        segments plus the base document itself (its own ``entries`` become
-        one more segment).  When the count exceeds the cap, the smallest
-        segments merge into one consolidation file — size-tiered, so large
-        segments are almost never rewritten and per-commit metadata write
-        cost stays proportional to recent deltas, not table size."""
-        from iceberg_ruby_spark import manifests as _m
-
+    def _base_segments(self, base_list: str) -> list[dict[str, Any]]:
+        """The parent list's segments, carried forward.  A legacy document
+        with inline entries becomes one more segment (pointing at the
+        document itself — its ``entries`` key is what segment reads
+        take)."""
         base_doc = json.loads(self.io.read(self._abs(base_list)))
         segs = list(base_doc.get("segments", []))
-        segs.append(
-            {
-                "path": self._rel(self._abs(base_list)),
-                "n": len(base_doc.get("entries", [])),
-            }
-        )
+        if base_doc.get("entries"):
+            segs.append(
+                {
+                    "path": self._rel(self._abs(base_list)),
+                    "n": len(base_doc["entries"]),
+                }
+            )
+        return segs
+
+    def _maybe_merge_segments(
+        self, snapshot_id: int, segs: list[dict[str, Any]]
+    ) -> list[dict[str, Any]]:
+        """When the segment count exceeds the cap, the smallest segments
+        merge into one consolidation file — size-tiered, so large segments
+        are almost never rewritten and per-commit metadata write cost
+        stays proportional to recent deltas, not table size."""
+        from iceberg_ruby_spark import manifests as _m
+
         cap = _m.MANIFEST_SEGMENT_CAP
         if len(segs) <= cap:
             return segs
@@ -514,14 +535,16 @@ class FsTableOps:
             return read_avro_manifest_delta(self, end_list, start_list)
         end_doc = json.loads(self.io.read(self._abs(end_list)))
         start_doc = json.loads(self.io.read(self._abs(start_list)))
-        start_key = self._rel(self._abs(start_list))
         end_segs = [s["path"] for s in end_doc.get("segments", [])]
         start_set = {s["path"] for s in start_doc.get("segments", [])}
-        start_set.add(start_key)
+        if start_doc.get("entries"):
+            # legacy inline document: its own entries ride as the implicit
+            # trailing segment, keyed by the document's path
+            start_set.add(self._rel(self._abs(start_list)))
         # append-only + un-merged window ⇔ start's whole tree survives as
         # segments of end; anything else (replace reset, merge rewrote a
         # segment) breaks containment and we refuse rather than guess
-        if start_key not in end_segs or not start_set <= set(end_segs):
+        if not start_set or not start_set <= set(end_segs):
             return None
         stored: list[dict[str, Any]] = []
         for p in end_segs:
@@ -2825,17 +2848,22 @@ class Table:
                 }
             )
         entries = doc.get("entries", [])
-        n_data = sum(1 for e in entries if "path" in e)
-        out.append(
-            {
-                "manifest_path": self.ops._abs(ml),
-                "manifest_length": len(raw.encode() if isinstance(raw, str) else raw),
-                "partition_spec_id": 0,
-                "content": 0,
-                "existing_files_count": n_data,
-                "deleted_files_count": len(entries) - n_data,
-            }
-        )
+        if entries or not out:
+            # legacy inline documents carry their own entries; current
+            # documents are pure pointer tables and add no descriptor
+            n_data = sum(1 for e in entries if "path" in e)
+            out.append(
+                {
+                    "manifest_path": self.ops._abs(ml),
+                    "manifest_length": len(
+                        raw.encode() if isinstance(raw, str) else raw
+                    ),
+                    "partition_spec_id": 0,
+                    "content": 0,
+                    "existing_files_count": n_data,
+                    "deleted_files_count": len(entries) - n_data,
+                }
+            )
         return out
 
     def _branch_head_id(self, branch: Optional[str]) -> Optional[int]:
@@ -3918,6 +3946,33 @@ class Table:
             base_snapshot_id=self.current_snapshot_id,
         )
         return self
+
+    def rewrite_manifests(self) -> dict[str, int]:
+        """iceberg-spark's ``rewrite_manifests`` maintenance procedure:
+        consolidate the current snapshot's manifest METADATA into the
+        minimal fresh set without touching a single data file.  After a
+        long run of fast appends the manifest list holds one
+        segment/manifest per commit (bounded by the cap); this folds them
+        into one consolidated set in a metadata-only replace commit, so
+        subsequent scan planning opens the minimum number of metadata
+        files.  The entry set is committed byte-identical — rows, deletes,
+        lineage, and statistics are untouched."""
+        self._check_writable()
+        if self.current_snapshot() is None:
+            return {"rewritten_manifests_count": 0, "added_manifests_count": 0}
+        before = len(self._current_manifest_descriptors())
+        entries = self._current_entries()
+        self._commit_snapshot(
+            "replace",
+            entries,
+            {"rewritten-manifests-count": str(before)},
+            base_snapshot_id=self.current_snapshot_id,
+        )
+        after = len(self._current_manifest_descriptors())
+        return {
+            "rewritten_manifests_count": before,
+            "added_manifests_count": after,
+        }
 
     def rewrite_position_deletes(self) -> dict[str, int]:
         """iceberg-spark's ``rewrite_position_delete_files`` maintenance

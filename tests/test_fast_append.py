@@ -50,9 +50,10 @@ def test_append_chains_delta_only(catalog, fmt):
     ml = t.ops._abs(s.manifest_list)
     if fmt == "json":
         doc = json.loads(t.ops.io.read(ml))
-        # head document holds ONLY this commit's delta; history is segments
-        assert len(doc["entries"]) == 3
-        assert len(doc["segments"]) == 3
+        # the list document is a pure pointer table: one segment per
+        # commit, entries out-of-line (tiny doc at any table size)
+        assert not doc.get("entries")
+        assert [s["n"] for s in doc["segments"]] == [3, 3, 3, 3]
     else:
         _, recs, _ = read_ocf(t.ops.io.read_bytes(ml))
         assert len(recs) == 4  # one manifest per append, carried verbatim
@@ -144,16 +145,16 @@ def test_replace_resets_then_chain_resumes(catalog, fmt):
     t = _mk(catalog, f"fa_reset_{fmt}", fmt)
     for i in range(3):
         t.append([{"k": i, "v": "a"}])
-    t.compact()  # replace commit: full fresh manifest, no segments
+    t.compact()  # replace commit: ONE fresh consolidated segment
     ml = t.ops._abs(t.current_snapshot().manifest_list)
     if fmt == "json":
-        assert "segments" not in json.loads(t.ops.io.read(ml))
+        assert len(json.loads(t.ops.io.read(ml))["segments"]) == 1
     t.append([{"k": 50, "v": "b"}])
     t.append([{"k": 51, "v": "b"}])
     assert _rows(t) == [0, 1, 2, 50, 51]
     if fmt == "json":
         doc = json.loads(t.ops.io.read(t.ops._abs(t.current_snapshot().manifest_list)))
-        assert len(doc.get("segments", [])) == 2  # compacted foot + 1 delta
+        assert len(doc["segments"]) == 3  # compacted foot + 2 deltas
 
 
 def test_mor_delete_interplay_json(catalog):
@@ -224,3 +225,46 @@ def test_inspect_manifests_shows_segments(catalog):
     t.append([{"k": 2, "v": "b"}])
     mans = t.inspect.manifests().collect()
     assert len(mans) == 2  # one per chained segment + head delta
+
+
+@pytest.mark.parametrize("fmt", ["json", "avro"])
+def test_rewrite_manifests_consolidates(catalog, fmt):
+    t = _mk(catalog, f"rwm_{fmt}", fmt)
+    for i in range(6):
+        t.append([{"k": i, "v": str(i)}])
+    files_before = sorted(
+        e["path"] for e in t.ops.read_manifest(t.current_snapshot().manifest_list)
+    )
+    res = t.rewrite_manifests()
+    assert res["rewritten_manifests_count"] == 6
+    assert res["added_manifests_count"] == 1
+    files_after = sorted(
+        e["path"] for e in t.ops.read_manifest(t.current_snapshot().manifest_list)
+    )
+    assert files_after == files_before  # data files untouched
+    assert _rows(t) == list(range(6))
+    ml = t.ops._abs(t.current_snapshot().manifest_list)
+    if fmt == "json":
+        assert len(json.loads(t.ops.io.read(ml))["segments"]) == 1
+    else:
+        _, recs, _ = read_ocf(t.ops.io.read_bytes(ml))
+        assert len(recs) == 1
+
+
+def test_rewrite_manifests_preserves_mor_deletes(catalog):
+    t = _mk(catalog, "rwm_mor", "json")
+    t.append([{"k": i, "v": "a"} for i in range(10)])
+    t.delete_where("k < 3", mode="merge-on-read")
+    t.append([{"k": 100, "v": "b"}])
+    assert t.rewrite_manifests()["added_manifests_count"] == 1
+    assert _rows(t) == [3, 4, 5, 6, 7, 8, 9, 100]
+
+
+def test_rewrite_manifests_call_procedure(catalog):
+    t = _mk(catalog, "rwm_call", "json")
+    for i in range(4):
+        t.append([{"k": i, "v": "x"}])
+    rows = catalog.sql(
+        "CALL system.rewrite_manifests(table => 'rwm_call')"
+    ).rows
+    assert rows == [[4, 1]]

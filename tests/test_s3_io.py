@@ -105,7 +105,9 @@ def test_fs_table_ops_metadata_protocol_on_s3(io):
         {"path": "s3://elsewhere/external.parquet", "rows": 1},
     ]
     mpath = ops.write_manifest(123, entries)
-    stored = json.loads(io.read("s3://b/wh/ns/t/" + mpath))["entries"]
+    doc = json.loads(io.read("s3://b/wh/ns/t/" + mpath))
+    [seg] = doc["segments"]  # entries live out-of-line (fast-append layout)
+    stored = json.loads(io.read("s3://b/wh/ns/t/" + seg["path"]))["entries"]
     assert stored[0]["path"] == "data/c1/f.parquet"
     assert stored[1]["path"] == "s3://elsewhere/external.parquet"
     assert ops.read_manifest(mpath) == entries
