@@ -30,6 +30,7 @@ from iceberg_ruby_spark.operators.dedup import (
     minhash_incremental_pairs,
     apply_dedup,
     leakage_safe_split,
+    line_dedup,
     ngram_jaccard_pairs,
     simhash,
     simhash_pairs,
@@ -80,6 +81,7 @@ __all__ = [
     "connected_components",
     "decontaminate",
     "shared_span_stats",
+    "line_dedup",
     "embedding_cosine_pairs",
     "exact_dedup",
     "exact_dedup_by_hash",

@@ -927,3 +927,79 @@ def shared_span_stats(
             .cast("double"),
         )
     )
+
+
+def line_dedup(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Corpus-wide exact LINE deduplication — the RefinedWeb/C4-family
+    boilerplate scrub: any line whose trimmed form appears in the corpus
+    at least ``min_count`` times is removed from EVERY document, and each
+    document's surviving lines are re-joined in their original order.
+    Per-document dedup can't see this: navigation menus, cookie banners,
+    and licence lines repeat across millions of pages while appearing
+    once per page.  Whitespace-only lines never count and are never
+    removed (they carry paragraph structure).  Adds ``n_removed_lines``;
+    ``text_col`` is rewritten in place.
+
+    100 TB shape: lines explode map-side; the duplicated-line set comes
+    from ONE count-by-line shuffle (heavy boilerplate keys collapse in
+    the map-side partial aggregate, so a billion-occurrence cookie
+    banner is safe); membership is a line-keyed join (shuffle join both
+    sides — the dup-line set is corpus-scale, NOT broadcastable; the key
+    is the trimmed line itself, which Spark hash-partitions, so matching
+    is exact rather than hash-lossy); reassembly is one groupBy(doc).
+    Nothing is ever all-pairs and no driver-side state exists.
+    """
+    lines = corpus.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")).alias(
+            "__pos", "__line"
+        ),
+    ).withColumn("__k", F.trim(F.col("__line")))
+    dup = (
+        lines.filter(F.col("__k") != "")
+        .groupBy("__k")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") >= min_count)
+        .select("__k")
+    )
+    kept = lines.join(
+        dup.withColumn("__dup", F.lit(True)), "__k", "left"
+    ).withColumn(
+        "__keep", F.col("__dup").isNull() | (F.trim(F.col("__line")) == "")
+    )
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("__keep"), F.struct("__pos", "__line")
+                        )
+                    )
+                ),
+                lambda s: s["__line"],
+            ),
+        ).alias("__new_text"),
+        F.sum(F.when(~F.col("__keep"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_removed_lines"),
+    )
+    out = (
+        corpus.join(rebuilt, id_col, "left")
+        .withColumn(text_col, F.coalesce(F.col("__new_text"), F.col(text_col)))
+        .drop("__new_text")
+        .withColumn(
+            "n_removed_lines",
+            F.coalesce(F.col("n_removed_lines"), F.lit(0)).cast("long"),
+        )
+    )
+    if drop_empty_docs:
+        out = out.filter(F.trim(F.col(text_col)) != "")
+    return out

@@ -1338,3 +1338,44 @@ def dedup_shared_spans(spark, sf_dir):
     return shared_span_stats(d, ngram=20, min_docs=2).select(
         "doc_id", "n_grams", "n_shared_grams", "shared_frac"
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_line_corpus",
+    oracle="""
+    WITH l AS (
+      SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
+    ), lines AS (
+      SELECT doc_id,
+             unnest(generate_series(1, len(ls))) AS pos,
+             unnest(ls) AS line
+      FROM l
+    ), dup AS (
+      SELECT trim(line) AS k FROM lines WHERE trim(line) <> ''
+      GROUP BY 1 HAVING COUNT(*) >= 2
+    ), kept AS (
+      SELECT li.doc_id, li.pos, li.line,
+             (trim(li.line) = '' OR d.k IS NULL) AS keep
+      FROM lines li LEFT JOIN dup d ON trim(li.line) = d.k
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN keep THEN line END, chr(10)
+                               ORDER BY pos), '') AS text,
+           CAST(SUM(CASE WHEN keep THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_removed_lines
+    FROM kept GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def dedup_line_corpus(spark, sf_dir):
+    """Corpus-wide exact line dedup (operators/dedup.py ``line_dedup``):
+    every line whose trimmed form repeats across the corpus is removed
+    from every document — the RefinedWeb/C4 boilerplate scrub that
+    per-document dedup can't see.  ONE count-by-line shuffle plus a
+    line-keyed join; never all-pairs.  The DuckDB twin re-splits,
+    re-counts, and re-assembles every document in original line order."""
+    from iceberg_ruby_spark.operators.dedup import line_dedup
+
+    d = load(spark, sf_dir, "documents")
+    return line_dedup(d, min_count=2).select(
+        "doc_id", "text", "n_removed_lines"
+    ).orderBy("doc_id")

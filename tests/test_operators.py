@@ -757,3 +757,38 @@ def test_char_lm_likelihood_prefers_corpus_like_text(spark):
     assert got[1][0] / got[1][1] > 500_000
     assert got[2][0] / max(got[2][1], 1) < 100_000
     assert got[3] == (0, 0) and got[4] == (0, 0)
+
+
+def test_line_dedup_removes_corpus_duplicated_lines(spark):
+    rows = [
+        (1, "Home | About\nunique one\n\nCopyright 2020"),
+        (2, "Home | About\nsecond doc body\nCopyright 2020"),
+        (3, "only unique text here\n   \ntail line"),
+        (4, "Home | About"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.line_dedup(df).collect()}
+    # duplicated lines removed everywhere; order + blank structure kept
+    assert out[1].text == "unique one\n" and out[1].n_removed_lines == 2
+    assert out[2].text == "second doc body" and out[2].n_removed_lines == 2
+    # untouched doc passes through verbatim (whitespace-only line kept)
+    assert out[3].text == rows[2][1] and out[3].n_removed_lines == 0
+    # a doc that was ONLY boilerplate becomes empty but survives
+    assert out[4].text == "" and out[4].n_removed_lines == 1
+    assert out[5].text == "" and out[5].n_removed_lines == 0
+
+
+def test_line_dedup_min_count_and_drop_empty(spark):
+    rows = [
+        (1, "dup line\nkeep a"),
+        (2, "dup line\nkeep b"),
+        (3, "dup line"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    # min_count above the corpus frequency: nothing removed
+    untouched = ops.line_dedup(df, min_count=4).collect()
+    assert all(r.n_removed_lines == 0 for r in untouched)
+    # drop_empty_docs removes the all-boilerplate doc entirely
+    kept = ops.line_dedup(df, min_count=2, drop_empty_docs=True)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
