@@ -653,7 +653,7 @@ class Catalog:
 
     _META_TABLE_RE = re.compile(
         r"\b([\w.]+)\$(snapshots|history|refs|files|manifests|partitions|"
-        r"delete_entries)\b"
+        r"delete_entries|entries|metadata_log_entries|position_deletes)\b"
     )
 
     def _rewrite_metadata_tables(self, query: str) -> str:

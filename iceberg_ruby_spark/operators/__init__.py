@@ -47,6 +47,7 @@ from iceberg_ruby_spark.operators.similarity import (
     vector_norms,
 )
 from iceberg_ruby_spark.operators.text import (
+    tfidf_top_terms,
     add_text_stats,
     chunk_documents,
     classifier_score,
@@ -82,6 +83,7 @@ __all__ = [
     "decontaminate",
     "shared_span_stats",
     "line_dedup",
+    "tfidf_top_terms",
     "embedding_cosine_pairs",
     "exact_dedup",
     "exact_dedup_by_hash",

@@ -546,3 +546,62 @@ def char_lm_score(col, scaled: list) -> tuple[Column, Column]:
         lambda acc, i: acc + F.element_at(warr, _lm_bigram_index(txt, i) + 1),
     )
     return total, n.cast("long")
+
+
+def tfidf_top_terms(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` TF-IDF terms per document — the classic keyword/topic
+    signal (sklearn's smooth-idf formula:
+    ``tf * (ln((N + 1) / (df + 1)) + 1)`` over raw whitespace-token
+    counts).  Returns ``(id_col, term, tf, df, tfidf, rank)`` with ranks
+    1..k per document, ties broken by term ascending so the output is
+    deterministic on any partitioning.
+
+    100 TB shape: term frequencies are ONE (doc, term) hash aggregate
+    (map-side partial); document frequencies reuse that result with one
+    term-keyed aggregate; the corpus size N is a single scalar aggregate
+    broadcast into the score; top-k is a per-doc rank window Spark plans
+    as WindowGroupLimit — the partial top-k runs map-side, so a
+    million-term document never floods a reducer.  No all-pairs, no
+    driver-side state beyond the one scalar.
+    """
+    toks = corpus.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.trim(F.lower(F.coalesce(F.col(text_col), F.lit("")))), r"\s+")
+        ).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = corpus.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "tfidf",
+            F.col("tf")
+            * (
+                F.log((F.col("__n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0)))
+                + F.lit(1.0)
+            ),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(F.col("tfidf").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            id_col,
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("df").cast("long").alias("df"),
+            F.col("tfidf").cast("double").alias("tfidf"),
+            F.col("rank").cast("int").alias("rank"),
+        )
+    )

@@ -1379,3 +1379,42 @@ def dedup_line_corpus(spark, sf_dir):
     return line_dedup(d, min_count=2).select(
         "doc_id", "text", "n_removed_lines"
     ).orderBy("doc_id")
+
+
+@query(
+    "text_tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term <> '' GROUP BY 1, 2
+    ), df AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+    ), n AS (SELECT COUNT(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             tf.tf * (ln((n.n + 1.0) / (df.df + 1.0)) + 1.0) AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    ), ranked AS (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rk
+      FROM scored
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           CAST(tfidf AS DOUBLE) AS tfidf, CAST(rk AS INT) AS rank
+    FROM ranked WHERE rk <= 5 ORDER BY doc_id, rank
+    """,
+)
+def text_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF keywords (operators/text.py
+    ``tfidf_top_terms``, sklearn smooth-idf formula): one (doc, term)
+    aggregate, one term-keyed df aggregate, a broadcast scalar N, and a
+    WindowGroupLimit per-doc top-k — map-side partial top-k, no global
+    window.  The DuckDB twin re-tokenizes and re-scores term for term."""
+    from iceberg_ruby_spark.operators.text import tfidf_top_terms
+
+    d = load(spark, sf_dir, "documents")
+    return tfidf_top_terms(d, k=5).orderBy("doc_id", "rank")

@@ -2689,20 +2689,23 @@ class Table:
             commit_seq = meta.last_sequence_number + 1
             next_rid = meta.next_row_id
             for e in all_entries:
-                if "path" in e:
-                    if e.get("data-sequence-number") is None:
-                        e["data-sequence-number"] = commit_seq
-                    if (
-                        e.get("first-row-id") is None
-                        and e.get("record-count") is not None
-                    ):
-                        # assigned even for materialized-lineage rewrites:
-                        # rows whose materialized _row_id cell is null
-                        # (e.g. freshly inserted by a rewriting merge)
-                        # inherit first-row-id + position, spec v3 style;
-                        # preserved rows' non-null cells win via coalesce
-                        e["first-row-id"] = next_rid
-                        next_rid += e["record-count"]
+                # every entry — data AND delete (positional/equality/DV/
+                # predicate) — gets its committing sequence; the entries
+                # metadata table reconstructs adder snapshots from it
+                if e.get("data-sequence-number") is None:
+                    e["data-sequence-number"] = commit_seq
+                if (
+                    "path" in e
+                    and e.get("first-row-id") is None
+                    and e.get("record-count") is not None
+                ):
+                    # assigned even for materialized-lineage rewrites:
+                    # rows whose materialized _row_id cell is null
+                    # (e.g. freshly inserted by a rewriting merge)
+                    # inherit first-row-id + position, spec v3 style;
+                    # preserved rows' non-null cells win via coalesce
+                    e["first-row-id"] = next_rid
+                    next_rid += e["record-count"]
             manifest = self.ops.write_manifest(
                 snapshot_id,
                 all_entries,
@@ -4771,6 +4774,148 @@ class TableInspect:
         return self._df(
             rows, "partition map<string,string>, record_count long, file_count long"
         )
+
+    def entries(self) -> DataFrame:
+        """One row per manifest entry of the current snapshot, like
+        iceberg-spark's ``entries`` metadata table: ``status`` (1 = added
+        by the current commit, 0 = carried forward), the snapshot that
+        added the entry (reconstructed from the entry's data sequence
+        number — fast appends carry entries verbatim, so the sequence
+        identifies the committing ancestor), content code (0 data,
+        1 position deletes / deletion vectors, 2 equality deletes) and
+        file-level stats.  Metadata-only — no data file is opened."""
+        snap = self.table.current_snapshot()
+        cur_seq = snap.sequence_number if snap else 0
+        seq_to_snap = {
+            s.sequence_number: s.snapshot_id for s in self.table.snapshots
+        }
+        rows = []
+        for e in self.table._current_entries():
+            seq = e.get("data-sequence-number")
+            if "path" in e:
+                content, fpath = 0, e["path"]
+                rec, size = e.get("record-count"), e.get("file-size-bytes")
+            elif "delete-file" in e:
+                content = 2 if e.get("content") == "equality-deletes" else 1
+                fpath = e["delete-file"]
+                rec, size = e.get("deleted-records"), None
+            else:  # predicate delete (engine extension): no backing file
+                content, fpath, rec, size = 1, None, e.get("deleted-records"), None
+            seq = cur_seq if seq is None else seq
+            rows.append(
+                {
+                    "status": 1 if seq == cur_seq else 0,
+                    "snapshot_id": seq_to_snap.get(
+                        seq, snap.snapshot_id if snap else None
+                    ),
+                    "sequence_number": seq,
+                    "content": content,
+                    "file_path": fpath,
+                    "record_count": rec,
+                    "file_size_in_bytes": size,
+                }
+            )
+        return self._df(
+            rows,
+            "status int, snapshot_id long, sequence_number long, content int, "
+            "file_path string, record_count long, file_size_in_bytes long",
+        )
+
+    def metadata_log_entries(self) -> DataFrame:
+        """The table's metadata-file lineage (iceberg-spark's
+        ``metadata_log_entries``): every previous metadata document plus
+        the current one, each annotated with the snapshot/schema/sequence
+        state it recorded.  Documents trimmed by
+        ``write.metadata.delete-after-commit.enabled`` keep their log row
+        with null state columns (the pointer outlives the file)."""
+        meta = self.table.metadata
+        log = list(meta.metadata_log) + [
+            {
+                "metadata-file": meta.metadata_file,
+                "timestamp-ms": meta.raw.get("last-updated-ms"),
+            }
+        ]
+        rows = []
+        for ent in log:
+            row = {
+                "timestamp": ent.get("timestamp-ms"),
+                "file": ent.get("metadata-file"),
+                "latest_snapshot_id": None,
+                "latest_schema_id": None,
+                "latest_sequence_number": None,
+            }
+            try:
+                raw = json.loads(self.table.ops.io.read(ent["metadata-file"]))
+                row["latest_snapshot_id"] = raw.get("current-snapshot-id")
+                row["latest_schema_id"] = raw.get("current-schema-id")
+                row["latest_sequence_number"] = raw.get("last-sequence-number")
+            except Exception:
+                pass  # trimmed or remote-only document: pointer row survives
+            rows.append(row)
+        return self._df(
+            rows,
+            "timestamp long, file string, latest_snapshot_id long, "
+            "latest_schema_id int, latest_sequence_number long",
+        )
+
+    def position_deletes(self) -> DataFrame:
+        """The current snapshot's positional deletes as rows — Iceberg's
+        ``position_deletes`` metadata table: (file_path, pos,
+        delete_file_path) from spec positional delete FILES (read
+        distributed, tagged by input file) and v3 deletion vectors
+        (each blob decoded from its ranged Puffin slice — deleted-rows-
+        sized, the same posture as the scan path).  Predicate delete
+        entries have no positions until materialized and do not appear."""
+        import pyspark.sql.types as T
+
+        t = self.table
+        schema = T.StructType(
+            [
+                T.StructField("file_path", T.StringType()),
+                T.StructField("pos", T.LongType()),
+                T.StructField("delete_file_path", T.StringType()),
+            ]
+        )
+        dfiles = [e for e in t._current_entries() if "delete-file" in e]
+        pos_files = [
+            e
+            for e in dfiles
+            if e.get("content") not in ("equality-deletes", "deletion-vector")
+        ]
+        dv_files = [e for e in dfiles if e.get("content") == "deletion-vector"]
+        parts = []
+        if pos_files:
+            parts.append(
+                t.spark.read.parquet(
+                    *[t.ops._abs(e["delete-file"]) for e in pos_files]
+                )
+                .select(
+                    "file_path",
+                    F.col("pos").cast("long").alias("pos"),
+                    F.input_file_name().alias("delete_file_path"),
+                )
+            )
+        if dv_files:
+            from iceberg_ruby_spark.deletion_vectors import decode_dv_blob
+
+            blob_cache: dict[str, bytes] = {}
+            dv_rows = []
+            for e in dv_files:
+                p = t.ops._abs(e["delete-file"])
+                if p not in blob_cache:
+                    blob_cache[p] = t.ops.io.read_bytes(p)
+                payload = blob_cache[p][
+                    e["content-offset"] : e["content-offset"] + e["content-size"]
+                ]
+                ref = t.ops._abs(e["referenced-data-file"])
+                dv_rows.extend((ref, pos, p) for pos in decode_dv_blob(payload))
+            parts.append(t.spark.createDataFrame(dv_rows, schema))
+        if not parts:
+            return t.spark.createDataFrame([], schema)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
 
 
 class UpdateSchema:

@@ -792,3 +792,28 @@ def test_line_dedup_min_count_and_drop_empty(spark):
     # drop_empty_docs removes the all-boilerplate doc entirely
     kept = ops.line_dedup(df, min_count=2, drop_empty_docs=True)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_tfidf_top_terms(spark):
+    rows = [
+        (1, "apple banana apple cherry"),
+        (2, "banana banana durian"),
+        (3, "apple epsilon"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = ops.tfidf_top_terms(df, k=2)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: apple tf=2 df=2 beats cherry tf=1 df=1 beats banana tf=1 df=2
+    d1 = sorted(by_doc[1], key=lambda r: r.rank)
+    assert [r.term for r in d1] == ["apple", "cherry"]
+    assert (d1[0].tf, d1[0].df) == (2, 2)
+    import math
+    assert abs(d1[0].tfidf - 2 * (math.log(5 / 3) + 1)) < 1e-12
+    # ranks are dense 1..k and ties break by term ascending
+    d3 = sorted(by_doc[3], key=lambda r: r.rank)
+    assert [r.term for r in d3] == ["epsilon", "apple"]
+    # null text yields no rows, not a crash
+    assert 4 not in by_doc

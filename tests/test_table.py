@@ -496,3 +496,55 @@ def test_snapshot_summary_counters(catalog):
     s = t.current_snapshot().summary
     assert s["total-delete-entries"] == "1"
     assert s["total-records"] == "11"  # data-file records; MoR entry separate
+
+
+def test_inspect_entries_and_metadata_log(catalog):
+    t = catalog.create_table("insp_ent", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"k": 3, "v": "c"}])
+    s2 = t.current_snapshot().snapshot_id
+
+    ents = t.inspect.entries().collect()
+    assert len(ents) == 3 and all(e["content"] == 0 for e in ents)
+    # adder snapshots reconstructed from carried sequence numbers
+    by_snap = {}
+    for e in ents:
+        by_snap.setdefault(e["snapshot_id"], []).append(e)
+    assert len(by_snap[s1]) == 2 and all(e["status"] == 0 for e in by_snap[s1])
+    assert len(by_snap[s2]) == 1 and by_snap[s2][0]["status"] == 1
+
+    # a MoR positional delete is an added content=1 entry; after the NEXT
+    # commit it reads as carried-forward (status 0), not re-added
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    dent = [e for e in t.inspect.entries().collect() if e["content"] == 1]
+    assert len(dent) == 1 and dent[0]["status"] == 1
+    t.append([{"k": 9, "v": "z"}])
+    dent = [e for e in t.inspect.entries().collect() if e["content"] == 1]
+    assert dent[0]["status"] == 0 and dent[0]["record_count"] == 1
+
+    log = t.inspect.metadata_log_entries().collect()
+    assert len(log) == 5  # create + 4 commits
+    assert [r["latest_sequence_number"] for r in log] == [None, 1, 2, 3, 4]
+    assert log[2]["latest_snapshot_id"] == s2
+    assert all(r["file"] for r in log)
+
+
+def test_inspect_position_deletes(catalog):
+    t = catalog.create_table("insp_pd", schema={"k": "int"})
+    t.append([{"k": i} for i in range(8)])
+    t.delete_where("k in (2, 5)", mode="merge-on-read-positional")
+    pd = t.inspect.position_deletes().collect()
+    assert len(pd) == 2
+    assert all(r["delete_file_path"].endswith(".parquet") for r in pd)
+    assert all(r["pos"] == 0 for r in pd)  # single-row local files
+    # SQL metadata-table syntax routes all three new tables
+    assert t.to_a(snapshot_id=None) is not None  # table loads fine
+    c = catalog
+    assert c.sql("SELECT count(*) AS n FROM insp_pd$position_deletes").rows == [[2]]
+    assert c.sql(
+        "SELECT count(*) AS n FROM insp_pd$entries WHERE status = 1"
+    ).rows == [[1]]
+    assert c.sql(
+        "SELECT count(*) AS n FROM insp_pd$metadata_log_entries"
+    ).rows == [[3]]
