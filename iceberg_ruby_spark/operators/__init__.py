@@ -32,6 +32,8 @@ from iceberg_ruby_spark.operators.dedup import (
     leakage_safe_split,
     line_dedup,
     ngram_jaccard_pairs,
+    semantic_dedup,
+    semantic_dedup_pairs,
     simhash,
     simhash_pairs,
 )
@@ -83,6 +85,8 @@ __all__ = [
     "decontaminate",
     "shared_span_stats",
     "line_dedup",
+    "semantic_dedup",
+    "semantic_dedup_pairs",
     "tfidf_top_terms",
     "embedding_cosine_pairs",
     "exact_dedup",

@@ -1003,3 +1003,139 @@ def line_dedup(
     if drop_empty_docs:
         out = out.filter(F.trim(F.col(text_col)) != "")
     return out
+
+
+def _semantic_cells(
+    corpus: DataFrame, vec_col: str, id_col: str, n_cells: int, seed: int
+):
+    """Train coarse k-means centroids (similarity.py's bounded-sample,
+    partition-independent trainer) and assign every row to its nearest
+    cell — the clustering half of SemDeDup.  Returns ``(centroids,
+    assigned)`` where assigned is ``(id_col, __cv, cell)``."""
+    from iceberg_ruby_spark.operators.similarity import (
+        _train_centroids,
+        ivf_assign,
+    )
+
+    centroids = _train_centroids(
+        corpus, vec_col, max(n_cells, 1), seed=seed, id_col=id_col
+    )
+    return centroids, ivf_assign(centroids, corpus, id_col=id_col, vec_col=vec_col)
+
+
+def _within_cell_pairs(
+    assigned: DataFrame, id_col: str, threshold: float
+) -> DataFrame:
+    from iceberg_ruby_spark.operators.similarity import _dot, _norm
+
+    a = assigned.select(
+        "cell", F.col(id_col).alias("id_a"), F.col("__cv").alias("__va")
+    )
+    b = assigned.select(
+        "cell", F.col(id_col).alias("id_b"), F.col("__cv").alias("__vb")
+    )
+    return (
+        a.join(b, "cell")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__va"), F.col("__vb"))
+                / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine", F.col("cell").cast("int").alias("cell"))
+    )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 42,
+    allow_single_cell: bool = False,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space into ``n_cells``
+    Voronoi cells, then enumerate pairs with cosine ≥ ``threshold``
+    WITHIN each cell only.  Returns ``(id_a < id_b, cosine, cell)``.
+
+    100 TB shape: pair enumeration is one equality join on the cell id —
+    quadratic only in per-cell population, which the operator controls
+    via ``n_cells`` (pick ~N/5000 cells so cells stay re-rankable); the
+    centroid table is trained on a ≤4096-row partition-independent sample
+    and rides the assignment UDF's closure.  Cross-cell near-dups are
+    the approximation SemDeDup accepts; ``n_cells=1`` is the exact
+    all-pairs path and, being quadratic, requires
+    ``allow_single_cell=True`` (same opt-in posture as
+    ``embedding_cosine_pairs``)."""
+    if n_cells <= 1 and not allow_single_cell:
+        raise InvalidDataError(
+            "semantic_dedup with n_cells<=1 enumerates ALL pairs "
+            "(quadratic); pass allow_single_cell=True to opt in on a "
+            "bounded slice, or keep n_cells>1 for the celled scale path"
+        )
+    _, assigned = _semantic_cells(corpus, vec_col, id_col, n_cells, seed)
+    return _within_cell_pairs(assigned, id_col, threshold)
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    seed: int = 42,
+    keep: str = "min_id",
+    allow_single_cell: bool = False,
+) -> DataFrame:
+    """SemDeDup applied: reduce every semantic near-dup family (the
+    transitive closure of :func:`semantic_dedup_pairs`) to ONE surviving
+    document.  ``keep='min_id'`` keeps the smallest id (deterministic,
+    oracle-checkable); ``keep='far_from_centroid'`` keeps the member
+    LEAST similar to its cell centroid — the SemDeDup paper's policy
+    (peripheral examples preserve diversity), ties by smallest id.
+
+    Components and loser lists are pair-output-sized
+    (:func:`connected_components` / :func:`apply_dedup`); the
+    centroid-similarity quality column is one map-side expression against
+    the broadcast centroid literal — no extra shuffle beyond apply_dedup's
+    own."""
+    from iceberg_ruby_spark.operators.similarity import _dot, _norm
+
+    if keep not in ("min_id", "far_from_centroid"):
+        raise InvalidDataError(
+            f"semantic_dedup keep={keep!r}: expected 'min_id' or "
+            "'far_from_centroid'"
+        )
+    if n_cells <= 1 and not allow_single_cell:
+        raise InvalidDataError(
+            "semantic_dedup with n_cells<=1 enumerates ALL pairs "
+            "(quadratic); pass allow_single_cell=True to opt in on a "
+            "bounded slice, or keep n_cells>1 for the celled scale path"
+        )
+    centroids, assigned = _semantic_cells(corpus, vec_col, id_col, n_cells, seed)
+    pairs = _within_cell_pairs(assigned, id_col, threshold)
+    if keep == "min_id":
+        return apply_dedup(corpus, pairs, id_col=id_col)
+    cent_lit = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    cvec = F.element_at(cent_lit, F.col("cell") + 1)
+    centroid_cos = _dot(F.col("__cv"), cvec) / (
+        _norm(F.col("__cv")) * _norm(cvec)
+    )
+    qual = assigned.select(
+        F.col(id_col), (-centroid_cos).alias("__centroid_far")
+    )
+    out = apply_dedup(
+        corpus.join(qual, id_col, "left"),
+        pairs,
+        id_col=id_col,
+        quality_col="__centroid_far",
+    )
+    return out.drop("__centroid_far")

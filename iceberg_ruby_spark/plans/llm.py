@@ -1418,3 +1418,56 @@ def text_tfidf_top_terms(spark, sf_dir):
 
     d = load(spark, sf_dir, "documents")
     return tfidf_top_terms(d, k=5).orderBy("doc_id", "rank")
+
+
+@query(
+    "dedup_semantic",
+    oracle="""
+    WITH RECURSIVE p AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+      WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                         CAST(b.embedding AS DOUBLE[])), 6)
+            >= 0.45
+    ), nodes AS (
+      SELECT DISTINCT id_a AS n FROM p
+      UNION
+      SELECT DISTINCT id_b FROM p
+    ), edges AS (
+      SELECT id_a AS s, id_b AS d FROM p
+      UNION
+      SELECT id_b, id_a FROM p
+    ), reach(src, node) AS (
+      SELECT n, n FROM nodes
+      UNION
+      SELECT r.src, e.d FROM reach r JOIN edges e ON e.s = r.node
+    ), comp AS (
+      SELECT src AS id, MIN(node) AS cluster_id FROM reach GROUP BY src
+    ), losers AS (
+      SELECT id FROM comp WHERE id <> cluster_id
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e LEFT JOIN losers l ON e.vec_id = l.id
+    WHERE l.id IS NULL ORDER BY e.vec_id
+    """,
+)
+def dedup_semantic(spark, sf_dir):
+    """SemDeDup (operators/dedup.py ``semantic_dedup``): semantic
+    near-dup families — transitive closure over within-cell cosine pairs
+    — reduced to one surviving document each.  Run here on the exact
+    single-cell path (``n_cells=1``) so the DuckDB twin can recompute it
+    in closed form: all-pairs cosine ≥ 0.45 → recursive-CTE connected
+    components → drop every non-minimum member.  The celled scale path
+    (within-cell joins against trained centroids) is pinned by pytest
+    subset/equality properties against this exact path."""
+    from iceberg_ruby_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return (
+        semantic_dedup(
+            emb, id_col="vec_id", threshold=0.45, n_cells=1,
+            allow_single_cell=True,
+        )
+        .select("vec_id", "label")
+        .orderBy("vec_id")
+    )

@@ -817,3 +817,44 @@ def test_tfidf_top_terms(spark):
     assert [r.term for r in d3] == ["epsilon", "apple"]
     # null text yields no rows, not a crash
     assert 4 not in by_doc
+
+
+def test_semantic_dedup(spark):
+    # three well-separated direction clusters + a singleton
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [1.0, 0.01, 0.0]),
+        (3, [1.0, 0.05, 0.0]),
+        (10, [0.0, 1.0, 0.0]),
+        (11, [0.0, 1.0, 0.02]),
+        (20, [0.0, 0.0, 1.0]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    exact = ops.semantic_dedup_pairs(
+        df, threshold=0.99, n_cells=1, allow_single_cell=True
+    )
+    exact_set = {(r.id_a, r.id_b) for r in exact.collect()}
+    assert exact_set == {(1, 2), (1, 3), (2, 3), (10, 11)}
+    # celled path on separated clusters finds the same pairs (and is
+    # always a subset of the exact path by construction)
+    celled = ops.semantic_dedup_pairs(df, threshold=0.99, n_cells=3)
+    assert {(r.id_a, r.id_b) for r in celled.collect()} == exact_set
+    # min_id keep: smallest member of each family survives
+    out = ops.semantic_dedup(df, threshold=0.99, n_cells=3)
+    assert sorted(r.vec_id for r in out.collect()) == [1, 10, 20]
+    # SemDeDup paper policy: keep the member least similar to its
+    # centroid — id 3 deviates most within {1,2,3}
+    far = ops.semantic_dedup(
+        df, threshold=0.99, n_cells=3, keep="far_from_centroid"
+    )
+    ids = sorted(r.vec_id for r in far.collect())
+    assert 3 in ids and 1 not in ids and 2 not in ids and len(ids) == 3
+    assert far.columns == df.columns  # quality column dropped
+    # quadratic path requires explicit opt-in
+    import pytest as _pytest
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with _pytest.raises(InvalidDataError):
+        ops.semantic_dedup_pairs(df, n_cells=1)
+    with _pytest.raises(InvalidDataError):
+        ops.semantic_dedup(df, keep="bogus", n_cells=2)
