@@ -653,7 +653,9 @@ class Catalog:
 
     _META_TABLE_RE = re.compile(
         r"\b([\w.]+)\$(snapshots|history|refs|files|manifests|partitions|"
-        r"delete_entries|entries|metadata_log_entries|position_deletes)\b"
+        r"delete_entries|entries|metadata_log_entries|position_deletes|"
+        r"data_files|delete_files|all_entries|all_files|all_data_files|"
+        r"all_delete_files|all_manifests)\b"
     )
 
     def _rewrite_metadata_tables(self, query: str) -> str:

@@ -2814,13 +2814,17 @@ class Table:
             return []
         return self.ops.read_manifest(snap.manifest_list)
 
-    def _current_manifest_descriptors(self) -> list[dict[str, Any]]:
-        """Manifest-list rows for the current snapshot — the manifest
+    def _current_manifest_descriptors(
+        self, snap: Optional["Snapshot"] = None
+    ) -> list[dict[str, Any]]:
+        """Manifest-list rows for the current snapshot (or ``snap`` when
+        given — backs ``inspect.all_manifests()`` too) — the manifest
         list alone is read, never the manifests (backs
         ``inspect.manifests()``).  Avro tables yield the spec's
         manifest_file records; JSON-manifest tables yield one synthetic
         descriptor for their single flattened manifest document."""
-        snap = self.current_snapshot()
+        if snap is None:
+            snap = self.current_snapshot()
         if snap is None:
             return []
         ml = snap.manifest_list
@@ -4784,13 +4788,23 @@ class TableInspect:
         identifies the committing ancestor), content code (0 data,
         1 position deletes / deletion vectors, 2 equality deletes) and
         file-level stats.  Metadata-only — no data file is opened."""
-        snap = self.table.current_snapshot()
+        return self._df(
+            self._entries_rows(self.table.current_snapshot()),
+            "status int, snapshot_id long, sequence_number long, content int, "
+            "file_path string, record_count long, file_size_in_bytes long",
+        )
+
+    def _entries_rows(self, snap) -> list:
+        """entries() rows evaluated AT a given snapshot (status / adder
+        relative to it) — shared by ``entries`` and ``all_entries``."""
         cur_seq = snap.sequence_number if snap else 0
         seq_to_snap = {
             s.sequence_number: s.snapshot_id for s in self.table.snapshots
         }
         rows = []
-        for e in self.table._current_entries():
+        if snap is None:
+            return rows
+        for e in self.table.ops.read_manifest(snap.manifest_list):
             seq = e.get("data-sequence-number")
             if "path" in e:
                 content, fpath = 0, e["path"]
@@ -4815,10 +4829,97 @@ class TableInspect:
                     "file_size_in_bytes": size,
                 }
             )
+        return rows
+
+    _ENTRY_SCHEMA = (
+        "status int, snapshot_id long, sequence_number long, content int, "
+        "file_path string, record_count long, file_size_in_bytes long"
+    )
+
+    def all_entries(self) -> DataFrame:
+        """``entries`` evaluated at EVERY valid snapshot, each row tagged
+        with ``ref_snapshot_id`` (the snapshot whose manifest list
+        produced it) — iceberg-spark's ``all_entries``.  An entry carried
+        across N snapshots appears N times, once per referencing
+        snapshot, with status/adder relative to that snapshot.
+        Metadata-only."""
+        rows = []
+        for s in self.table.snapshots:
+            for r in self._entries_rows(s):
+                rows.append({**r, "ref_snapshot_id": s.snapshot_id})
+        return self._df(rows, self._ENTRY_SCHEMA + ", ref_snapshot_id long")
+
+    def data_files(self) -> DataFrame:
+        """Current snapshot's data files only (``content = 0``) — the
+        iceberg-spark ``data_files`` split of ``entries``."""
+        return self.entries().filter("content = 0")
+
+    def delete_files(self) -> DataFrame:
+        """Current snapshot's delete entries (positional / DV / equality,
+        ``content != 0``) — the iceberg-spark ``delete_files`` split."""
+        return self.entries().filter("content != 0")
+
+    def all_files(self) -> DataFrame:
+        """Every file referenced by ANY valid snapshot, one row per
+        distinct (content, file_path) — iceberg-spark's ``all_files``
+        (here deduplicated: reachability, not per-snapshot repetition,
+        which ``all_entries`` provides).  The file census maintenance
+        jobs diff against the object store."""
+        seen = set()
+        rows = []
+        for s in self.table.snapshots:
+            for r in self._entries_rows(s):
+                key = (r["content"], r["file_path"])
+                if r["file_path"] is None or key in seen:
+                    continue
+                seen.add(key)
+                rows.append(
+                    {
+                        "content": r["content"],
+                        "file_path": r["file_path"],
+                        "record_count": r["record_count"],
+                        "file_size_in_bytes": r["file_size_in_bytes"],
+                    }
+                )
         return self._df(
             rows,
-            "status int, snapshot_id long, sequence_number long, content int, "
-            "file_path string, record_count long, file_size_in_bytes long",
+            "content int, file_path string, record_count long, "
+            "file_size_in_bytes long",
+        )
+
+    def all_data_files(self) -> DataFrame:
+        return self.all_files().filter("content = 0")
+
+    def all_delete_files(self) -> DataFrame:
+        return self.all_files().filter("content != 0")
+
+    def all_manifests(self) -> DataFrame:
+        """Manifest-list descriptors of every valid snapshot, tagged with
+        ``reference_snapshot_id`` — iceberg-spark's ``all_manifests``.
+        Only manifest LISTS are read (one small file per snapshot)."""
+        rows = []
+        for s in self.table.snapshots:
+            for m in self.table._current_manifest_descriptors(s):
+                rows.append(
+                    {
+                        "path": m.get("manifest_path"),
+                        "length": m.get("manifest_length"),
+                        "partition_spec_id": m.get("partition_spec_id"),
+                        "content": m.get("content"),
+                        "existing_data_files_count": m.get(
+                            "existing_files_count"
+                        ),
+                        "deleted_data_files_count": m.get(
+                            "deleted_files_count"
+                        ),
+                        "reference_snapshot_id": s.snapshot_id,
+                    }
+                )
+        return self._df(
+            rows,
+            "path string, length long, partition_spec_id int, content int, "
+            "existing_data_files_count int, deleted_data_files_count int, "
+            "reference_snapshot_id long",
         )
 
     def metadata_log_entries(self) -> DataFrame:

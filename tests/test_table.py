@@ -548,3 +548,54 @@ def test_inspect_position_deletes(catalog):
     assert c.sql(
         "SELECT count(*) AS n FROM insp_pd$metadata_log_entries"
     ).rows == [[3]]
+
+
+def test_inspect_all_tables(catalog):
+    t = catalog.create_table("insp_all", schema={"k": "int"})
+    t.append([{"k": 1}, {"k": 2}])
+    s1 = t.current_snapshot().snapshot_id
+    t.append([{"k": 3}])
+    s2 = t.current_snapshot().snapshot_id
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+
+    # all_entries: each snapshot re-lists what it references
+    ae = t.inspect.all_entries().collect()
+    per_ref = {}
+    for r in ae:
+        per_ref.setdefault(r["ref_snapshot_id"], []).append(r)
+    n1 = len(per_ref[s1])  # files written by the first append (≥1)
+    assert all(r["status"] == 1 for r in per_ref[s1])
+    # at s2, the s1 files read as carried-forward, adder still s1
+    carried = [r for r in per_ref[s2] if r["snapshot_id"] == s1]
+    assert len(carried) == n1 and all(r["status"] == 0 for r in carried)
+    added2 = [r for r in per_ref[s2] if r["snapshot_id"] == s2]
+    assert added2 and all(r["status"] == 1 for r in added2)
+    assert len(per_ref) == 3
+
+    # splits of the current snapshot
+    n_data = n1 + len(added2)
+    assert t.inspect.data_files().count() == n_data
+    dels = t.inspect.delete_files().collect()
+    assert len(dels) == 1 and dels[0]["content"] in (1, 2)
+
+    # all_files: reachable census, deduped by (content, path)
+    af = t.inspect.all_files().collect()
+    assert len(af) == n_data + 1  # data files + 1 delete, no repetition
+    assert t.inspect.all_data_files().count() == n_data
+    assert t.inspect.all_delete_files().count() == 1
+
+    am = t.inspect.all_manifests().collect()
+    assert {r["reference_snapshot_id"] for r in am} == {
+        s.snapshot_id for s in t.snapshots
+    }
+    assert all(r["path"] for r in am)
+
+    # SQL $-routing for the new names
+    c = catalog
+    assert c.sql("SELECT count(*) AS n FROM insp_all$all_data_files").rows == [
+        [n_data]
+    ]
+    assert c.sql(
+        "SELECT count(*) AS n FROM insp_all$all_manifests"
+    ).rows[0][0] >= 3
+    assert c.sql("SELECT count(*) AS n FROM insp_all$delete_files").rows == [[1]]
