@@ -32,6 +32,7 @@ from iceberg_ruby_spark.operators.dedup import (
     leakage_safe_split,
     line_dedup,
     ngram_jaccard_pairs,
+    remove_shared_spans,
     semantic_dedup,
     semantic_dedup_pairs,
     simhash,
@@ -85,6 +86,7 @@ __all__ = [
     "decontaminate",
     "shared_span_stats",
     "line_dedup",
+    "remove_shared_spans",
     "semantic_dedup",
     "semantic_dedup_pairs",
     "tfidf_top_terms",

@@ -1139,3 +1139,128 @@ def semantic_dedup(
         quality_col="__centroid_far",
     )
     return out.drop("__centroid_far")
+
+
+def remove_shared_spans(
+    corpus: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 50,
+    min_count: int = 2,
+    keep_first: bool = True,
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """ExactSubstr-style duplicated-SPAN removal (Lee et al. 2021,
+    arXiv:2107.06499 — "Deduplicating Training Data Makes Language Models
+    Better"): every token position covered by a word ``ngram``-gram that
+    occurs ≥ ``min_count`` times corpus-wide is cut, and each document is
+    re-assembled from its surviving tokens in order.  With ``keep_first``
+    (the paper's keep-one-copy posture) the lexicographically first
+    occurrence of each duplicated gram — min (doc id, position) — is
+    exempt from coverage, so one copy of the span survives; a position in
+    that copy can still fall to a DIFFERENT duplicated gram whose first
+    occurrence lies elsewhere (well-defined, documented).  Removal
+    counterpart to :func:`shared_span_stats`; tokens are whitespace-split
+    and re-joined with single spaces in rewritten documents (untouched
+    documents keep their text verbatim).
+
+    100 TB shape: the paper's suffix array is replaced by ONE
+    count-by-gram-hash shuffle — the group key is a 128-bit xxhash64 pair
+    (8+8 bytes instead of ~ngram×6-byte strings; two independently
+    seeded 64-bit halves make collisions negligible at trillion-gram
+    scale), with map-side partial aggregation collapsing boilerplate
+    grams.  Coverage expansion is an output-sized explode of duplicated
+    windows only; reassembly is one per-doc aggregate over surviving
+    (pos, token) rows.  Never all-pairs, nothing driver-side."""
+    toks_arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
+    )
+    # one gram per start position (positional, NOT distinct — occurrence
+    # counts and first-occurrence identity both need every window)
+    starts = F.when(
+        F.size("__toks") >= ngram,
+        F.sequence(F.lit(0), F.size("__toks") - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        base.select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("pos"))
+        .select(
+            F.col(id_col),
+            "pos",
+            F.concat_ws(
+                " ", F.slice(F.col("__toks"), F.col("pos") + 1, F.lit(ngram))
+            ).alias("__g"),
+        )
+    ).select(
+        F.col(id_col),
+        "pos",
+        F.xxhash64("__g").alias("__h1"),
+        F.xxhash64(F.concat(F.lit("s2\x00"), F.col("__g"))).alias("__h2"),
+    )
+    dup = (
+        grams.groupBy("__h1", "__h2")
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.min(F.struct(F.col(id_col).alias("i"), F.col("pos").alias("p"))).alias(
+                "__first"
+            ),
+        )
+        .filter(F.col("__n") >= min_count)
+    )
+    hit = grams.join(dup, ["__h1", "__h2"])
+    if keep_first:
+        hit = hit.filter(
+            ~(
+                (F.col(id_col) == F.col("__first.i"))
+                & (F.col("pos") == F.col("__first.p"))
+            )
+        )
+    covered = (
+        hit.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    n_removed = covered.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_removed")
+    )
+    kept = (
+        tok_rows.join(n_removed.select(id_col), id_col, "left_semi")
+        .join(covered, [id_col, "pos"], "left_anti")
+    )
+    reassembled = (
+        kept.groupBy(id_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("__a"))
+        .select(
+            F.col(id_col),
+            F.concat_ws(
+                " ", F.transform("__a", lambda x: x["tok"])
+            ).alias("__new_text"),
+        )
+    )
+    out = (
+        corpus.join(n_removed, id_col, "left")
+        .join(reassembled, id_col, "left")
+        .withColumn(
+            text_col,
+            F.when(
+                F.col("__n_removed") > 0,
+                F.coalesce(F.col("__new_text"), F.lit("")),
+            ).otherwise(F.col(text_col)),
+        )
+        .withColumn(
+            "n_removed_tokens",
+            F.coalesce(F.col("__n_removed"), F.lit(0)).cast("long"),
+        )
+        .drop("__n_removed", "__new_text")
+    )
+    if drop_empty_docs:
+        out = out.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
+    return out

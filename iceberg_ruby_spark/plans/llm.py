@@ -1471,3 +1471,67 @@ def dedup_semantic(spark, sf_dir):
         .select("vec_id", "label")
         .orderBy("vec_id")
     )
+
+
+@query(
+    "dedup_remove_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), g AS (
+      SELECT doc_id, i AS pos, array_to_string(a[i+1:i+20], ' ') AS gram
+      FROM t, UNNEST(range(len(a) - 19)) AS r(i)
+      WHERE len(a) >= 20
+    ), ranked AS (
+      SELECT doc_id, pos,
+             count(*) OVER (PARTITION BY gram) AS n,
+             row_number() OVER (PARTITION BY gram ORDER BY doc_id, pos) AS rk
+      FROM g
+    ), hit AS (
+      SELECT doc_id, pos FROM ranked WHERE n >= 2 AND rk > 1
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM hit, UNNEST(range(20)) AS u(j)
+    ), nrem AS (
+      SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY 1
+    ), toks AS (
+      SELECT t.doc_id, i AS pos, a[i+1] AS tok
+      FROM t JOIN nrem ON nrem.doc_id = t.doc_id, UNNEST(range(len(a))) AS r(i)
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM toks k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.cpos = k.pos
+      WHERE c.doc_id IS NULL
+    ), re AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN nrem.n_removed > 0 THEN coalesce(re.new_text, '')
+                ELSE d.text END AS text,
+           CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed_tokens
+    FROM documents d
+    LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+    LEFT JOIN re ON re.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_remove_spans(spark, sf_dir):
+    """ExactSubstr duplicated-span removal (operators/dedup.py
+    ``remove_shared_spans``, Lee et al. 2021): token positions covered by
+    a corpus-duplicated word 20-gram are cut (first occurrence exempt —
+    one copy survives) and documents re-assembled.  One
+    count-by-gram-hash shuffle + output-sized coverage explode; the
+    DuckDB twin re-derives windows, first-occurrence ranks, coverage,
+    and reassembly token for token."""
+    from iceberg_ruby_spark.operators.dedup import remove_shared_spans
+
+    d = load(spark, sf_dir, "documents")
+    return (
+        remove_shared_spans(d, ngram=20, keep_first=True)
+        .select("doc_id", "text", "n_removed_tokens")
+        .orderBy("doc_id")
+    )

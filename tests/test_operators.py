@@ -858,3 +858,33 @@ def test_semantic_dedup(spark):
         ops.semantic_dedup_pairs(df, n_cells=1)
     with _pytest.raises(InvalidDataError):
         ops.semantic_dedup(df, keep="bogus", n_cells=2)
+
+
+def test_remove_shared_spans(spark):
+    rows = [
+        (1, "a b c d e x y z"),
+        (2, "q r a b c d e s t"),
+        (3, "unique words only here"),
+        (4, "a b c d e"),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.remove_shared_spans(df, ngram=5).collect()}
+    # first occurrence (doc 1, pos 0) keeps its copy; later copies cut
+    assert out[1].text == "a b c d e x y z" and out[1].n_removed_tokens == 0
+    assert out[2].text == "q r s t" and out[2].n_removed_tokens == 5
+    assert out[3].text == "unique words only here"
+    assert out[4].text == "" and out[4].n_removed_tokens == 5
+    assert out[5].n_removed_tokens == 0
+    # keep_first=False removes every copy
+    all_cut = {
+        r.doc_id: r
+        for r in ops.remove_shared_spans(df, ngram=5, keep_first=False).collect()
+    }
+    assert all_cut[1].text == "x y z" and all_cut[1].n_removed_tokens == 5
+    # drop_empty_docs removes fully-deduplicated documents (and keeps
+    # the null-text doc out too, since its text is empty)
+    kept = ops.remove_shared_spans(
+        df, ngram=5, keep_first=False, drop_empty_docs=True
+    )
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
