@@ -1,0 +1,215 @@
+"""Structured Streaming SINK into an engine table — the write half of the
+``iceberg_table`` streaming format (the read half is streaming/source.py;
+the reference has no streaming surface at all, SURVEY.md §2 Tier C).
+
+Built on PySpark 4's Python Data Source API: each micro-batch's partitions
+write parquet files executor-side (pyarrow, the same data plane the source
+reads with), the driver collects one commit message per task and commits
+ONE append snapshot per micro-batch through the table's optimistic commit
+loop.  Exactly-once across restarts comes from Spark's checkpointed,
+monotonic ``batchId`` plus an idempotence marker in each snapshot summary:
+a replayed batch (failure after commit, before checkpoint advance) is
+detected driver-side and its freshly-written files are deleted instead of
+double-committed — the standard idempotent-sink contract Iceberg's own
+Spark sink implements via snapshot properties.
+
+Usage::
+
+    register_stream_source(spark)            # registers read AND write
+    (df.writeStream.format("iceberg_table")
+       .option("location", table.ops.location)
+       .option("checkpointLocation", ckpt)
+       .start())
+
+At 100 TB the shape is right by construction: rows never move to the
+driver (executors write their own partitions' files; the driver sees only
+per-file paths + counts), each micro-batch is one manifest-delta commit
+(O(new files), the fast-append path), and concurrent batch writers to
+OTHER tables never interact.  Partitioned tables are refused — the sink
+writes unpartitioned data files; route through ``foreachBatch`` +
+``Table.append`` when spec-aware layout is needed (honest scope, not a
+silent wrong layout).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from dataclasses import dataclass
+from typing import Iterator, List, Optional
+
+from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+SINK_ID_KEY = "streaming-sink-id"
+BATCH_ID_KEY = "streaming-batch-id"
+
+
+@dataclass
+class _FileMsg(WriterCommitMessage):
+    path: Optional[str]
+    count: int
+    size: int = 0
+    lower: Optional[dict] = None
+    upper: Optional[dict] = None
+
+
+class EngineTableStreamWriter(DataSourceStreamWriter):
+    def __init__(self, options: dict, schema, overwrite: bool):
+        self.location = options.get("location") or options.get("path")
+        if not self.location:
+            raise ValueError(
+                "iceberg_table stream sink requires option 'location'"
+            )
+        if overwrite:
+            raise InvalidDataError(
+                "iceberg_table stream sink is append-only; complete/update "
+                "output modes are not supported"
+            )
+        # one logical sink per checkpoint: the idempotence scope.  Distinct
+        # queries appending to the same table should set distinct sink_id
+        # options (their batchId sequences are independent).
+        self.sink_id = str(options.get("sink_id", "default"))
+        from iceberg_ruby_spark.streaming.source import _current_schema, _ops
+
+        meta = _ops(self.location).load()
+        default_spec_id = meta.raw.get("default-spec-id", 0)
+        default_spec = next(
+            (
+                s
+                for s in meta.raw.get("partition-specs", [])
+                if s.get("spec-id") == default_spec_id
+            ),
+            None,
+        )
+        if default_spec and default_spec.get("fields"):
+            raise InvalidDataError(
+                "iceberg_table stream sink writes unpartitioned data files; "
+                "this table has a partition spec — use foreachBatch with "
+                "Table.append for spec-aware layout"
+            )
+        table_schema = _current_schema(meta).to_spark()
+        want = [(f.name, f.dataType) for f in table_schema.fields]
+        got = [(f.name, f.dataType) for f in schema.fields]
+        if want != got:
+            raise InvalidDataError(
+                f"stream schema {got} does not match table schema {want}; "
+                "align column names, order, and types before writeStream"
+            )
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        self._names = [f.name for f in schema.fields]
+        self._arrow_schema = to_arrow_schema(schema)
+        # commit() runs in a session-less Python worker on the driver —
+        # everything a manifest entry needs is computed executor-side
+        # (pyarrow) and shipped in the commit messages; only these two
+        # metadata ids cross over from plan time
+        self._schema_id = meta.current_schema_id
+        self._spec_id = default_spec_id
+        from iceberg_ruby_spark.table import Table as _T
+
+        eng_schema = _current_schema(meta)
+        self._stats_cols = [
+            f.name
+            for f in eng_schema.fields
+            if isinstance(f.field_type, _T._STATS_TYPES)
+        ]
+
+    # -- executor side -----------------------------------------------------
+    def write(self, iterator: Iterator) -> _FileMsg:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rows = list(iterator)
+        if not rows:
+            return _FileMsg(None, 0)
+        cols = {
+            name: [row[j] for row in rows]
+            for j, name in enumerate(self._names)
+        }
+        tbl = pa.Table.from_pydict(cols, schema=self._arrow_schema)
+        data_dir = os.path.join(self.location, "data")
+        os.makedirs(data_dir, exist_ok=True)
+        path = os.path.join(data_dir, f"stream-{uuid.uuid4().hex}.parquet")
+        pq.write_table(tbl, path)
+        import pyarrow.compute as pc
+
+        lower, upper = {}, {}
+        for c in self._stats_cols:
+            if c not in tbl.column_names:
+                continue
+            mm = pc.min_max(tbl.column(c))
+            lo, hi = mm["min"].as_py(), mm["max"].as_py()
+            if lo is not None:
+                lower[c], upper[c] = lo, hi
+        return _FileMsg(path, len(rows), os.path.getsize(path), lower, upper)
+
+    # -- driver side -------------------------------------------------------
+    def _last_committed_batch(self, table) -> int:
+        last = -1
+        for s in table.snapshots:
+            summ = s.summary or {}
+            if summ.get(SINK_ID_KEY) == self.sink_id:
+                try:
+                    last = max(last, int(summ.get(BATCH_ID_KEY, -1)))
+                except (TypeError, ValueError):
+                    pass
+        return last
+
+    def commit(self, messages: List[Optional[_FileMsg]], batchId: int) -> None:
+        # session-less driver worker: the commit is pure metadata — build
+        # manifest entries from the executor-computed stats and run the
+        # table's optimistic commit loop directly (no Spark involved)
+        from iceberg_ruby_spark.table import Table
+
+        msgs = [m for m in messages if m is not None and m.path]
+        table = Table(None, self.location)
+        if batchId <= self._last_committed_batch(table):
+            # replayed micro-batch (restart between commit and checkpoint
+            # advance): the data is already in the table — drop the
+            # duplicate files instead of double-committing
+            for m in msgs:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+            return
+        if not msgs:
+            return  # empty batch: nothing to commit, nothing to track
+        entries = [
+            {
+                "path": m.path,
+                "record-count": m.count,
+                "schema-id": self._schema_id,
+                "spec-id": self._spec_id,
+                "file-size-bytes": m.size,
+                "lower-bounds": {
+                    c: Table._json_stat(v) for c, v in (m.lower or {}).items()
+                },
+                "upper-bounds": {
+                    c: Table._json_stat(v) for c, v in (m.upper or {}).items()
+                },
+            }
+            for m in msgs
+        ]
+        entries.sort(key=lambda e: e["path"])
+        table._commit_snapshot(
+            "append",
+            entries,
+            {
+                "added-records": sum(m.count for m in msgs),
+                "added-data-files": len(entries),
+                SINK_ID_KEY: self.sink_id,
+                BATCH_ID_KEY: str(batchId),
+            },
+            mode="append",
+        )
+
+    def abort(self, messages: List[Optional[_FileMsg]], batchId: int) -> None:
+        for m in messages:
+            if m is not None and m.path:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass

@@ -360,7 +360,14 @@ class EngineTableStreamDataSource(DataSource):
     def streamReader(self, schema) -> EngineTableStreamReader:
         return EngineTableStreamReader(dict(self.options))
 
+    def streamWriter(self, schema, overwrite: bool):
+        from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+        return EngineTableStreamWriter(dict(self.options), schema, overwrite)
+
 
 def register_stream_source(spark) -> None:
-    """Register the ``iceberg_table`` streaming format on a session."""
+    """Register the ``iceberg_table`` streaming format on a session —
+    both halves: ``readStream`` (source.py) and ``writeStream``
+    (sink.py)."""
     spark.dataSource.register(EngineTableStreamDataSource)

@@ -2905,7 +2905,11 @@ class Table:
         )
         return self
 
-    def add_files(self, source: Union[str, list[str]]) -> int:
+    def add_files(
+        self,
+        source: Union[str, list[str]],
+        summary_extra: Optional[dict] = None,
+    ) -> int:
         """Register existing parquet files as table data BY REFERENCE — the
         Iceberg ``add_files`` migration procedure: no rewrite, no copy, one
         stats-collection scan to capture per-file record counts and column
@@ -2938,7 +2942,11 @@ class Table:
         self._commit_snapshot(
             "append",
             new_entries,
-            {"added-records": n, "added-files-by-reference": len(new_entries)},
+            {
+                "added-records": n,
+                "added-files-by-reference": len(new_entries),
+                **(summary_extra or {}),
+            },
             mode="append",
         )
         return len(new_entries)

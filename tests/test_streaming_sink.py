@@ -152,3 +152,83 @@ def test_stream_dedup_ingest_filters_near_dups(catalog, spark, tmp_path):
     # both tables carry per-epoch batch ids (exactly-once guard material)
     assert {s.summary.get("streaming-batch-id") for s in docs.snapshots} >= {"0", "1"}
     assert {s.summary.get("streaming-batch-id") for s in sigs.snapshots} >= {"0", "1"}
+
+
+def test_native_stream_writer_end_to_end(catalog, spark, tmp_path):
+    """writeStream.format("iceberg_table"): executor-written files,
+    session-free metadata commit, exactly-once across restarts."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("nw_bronze", schema={"k": "int", "v": "string"})
+    gold = catalog.create_table("nw_gold", schema={"k": "int", "v": "string"})
+    bronze.append([{"k": 1, "v": "aa"}, {"k": 2, "v": "bbb"}])
+    register_stream_source(spark)
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    assert sorted((r["k"], r["v"]) for r in gold.refresh().to_a()) == [
+        (1, "aa"), (2, "bbb")
+    ]
+    # restart with the same checkpoint: nothing re-ingested, new appends flow
+    bronze.append([{"k": 3, "v": "c"}])
+    run()
+    assert sorted((r["k"], r["v"]) for r in gold.refresh().to_a()) == [
+        (1, "aa"), (2, "bbb"), (3, "c")
+    ]
+    # each micro-batch is one tracked snapshot with file stats for pruning
+    marks = [
+        (s.summary.get("streaming-sink-id"), s.summary.get("streaming-batch-id"))
+        for s in gold.snapshots
+    ]
+    assert marks == [("default", "0"), ("default", "1")]
+    assert all(
+        e.get("lower-bounds", {}).get("k") is not None
+        for e in gold._current_entries()
+    )
+    assert gold.scan().filter("k = 3").to_a() == [{"k": 3, "v": "c"}]
+
+
+def test_native_stream_writer_guards(catalog, spark, tmp_path):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.streaming import register_stream_source
+    from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+    register_stream_source(spark)
+    part = catalog.create_table(
+        "nw_part",
+        schema={"k": "int", "v": "string"},
+        partition_spec={"k": "identity"},
+    )
+    plain = catalog.create_table("nw_plain", schema={"k": "int", "v": "string"})
+    schema = plain.spark_schema()
+    # partitioned tables refused (the sink writes unpartitioned files)
+    with pytest.raises(InvalidDataError, match="partition spec"):
+        EngineTableStreamWriter(
+            {"location": part.ops.location}, schema, overwrite=False
+        )
+    # schema mismatch refused at plan time
+    wrong = spark.createDataFrame([(1,)], "k int").schema
+    with pytest.raises(InvalidDataError, match="does not match table schema"):
+        EngineTableStreamWriter(
+            {"location": plain.ops.location}, wrong, overwrite=False
+        )
+    # append-only: complete/update modes refused
+    with pytest.raises(InvalidDataError, match="append-only"):
+        EngineTableStreamWriter(
+            {"location": plain.ops.location}, schema, overwrite=True
+        )
