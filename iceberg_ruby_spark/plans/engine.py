@@ -762,3 +762,43 @@ def engine_fast_append_chain(spark, sf_dir):
         )
     t.delete_where("o_orderkey % 500 = 3", mode="merge-on-read")
     return t.to_df()
+
+
+@query(
+    "engine_cdc_apply",
+    oracle=f"""
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey < 50 THEN 'R' ELSE o_orderstatus END
+             AS o_orderstatus,
+           o_totalprice, o_orderdate, o_orderpriority
+    FROM orders
+    WHERE o_orderkey < 500 AND o_totalprice <= 200000
+    UNION ALL
+    SELECT {', '.join(_ORDER_COLS)} FROM orders
+    WHERE o_orderkey >= 1000 AND o_orderkey < 1250
+    """,
+)
+def engine_cdc_apply(spark, sf_dir):
+    """CDC consumption (``Table.apply_changelog``): a replica synced via
+    changelog windows must equal the source after a delete + update +
+    append window — the replication loop's consume half.  Per key the
+    last change wins (an update's delete+insert resolves to the insert);
+    final deletes apply as ONE equality-delete commit, final upserts as
+    ONE merge — both O(changed rows).  The oracle recomputes the source's
+    final state in closed form."""
+    cat = _temp_catalog(spark)
+    src = cat.create_table("cdc_src", schema=_orders_schema())
+    rep = cat.create_table("cdc_rep", schema=_orders_schema())
+    orders = load(spark, sf_dir, "orders")
+    src.append(orders.filter(F.col("o_orderkey") < 500))
+    rep.apply_changelog(src.changelog_scan(), on="o_orderkey")
+    mark = src.current_snapshot_id
+    src.delete_where("o_totalprice > 200000")
+    src.update_where({"o_orderstatus": "'R'"}, "o_orderkey < 50")
+    src.append(
+        orders.filter((F.col("o_orderkey") >= 1000) & (F.col("o_orderkey") < 1250))
+    )
+    rep.apply_changelog(
+        src.changelog_scan(from_snapshot_id=mark), on="o_orderkey"
+    )
+    return rep.refresh().to_df().select(*_ORDER_COLS)

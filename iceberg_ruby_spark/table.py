@@ -3384,6 +3384,70 @@ class Table:
         )
         return deleted
 
+    def apply_changelog(
+        self,
+        changes: DataFrame,
+        on: Union[str, list[str]],
+        mode: Optional[str] = None,
+        branch: Optional[str] = None,
+    ) -> "Table":
+        """Consume a CDC feed: apply a changelog frame (the
+        :meth:`changelog_scan` contract — table columns plus
+        ``_change_type`` 'insert'|'delete', ``_change_ordinal``) to THIS
+        table keyed by ``on``.  The replication loop's other half:
+        ``replica.apply_changelog(source.changelog_scan(from), keys)``
+        keeps a replica in sync commit-window by commit-window.
+
+        Net-effect semantics: per key, the LAST change in ordinal order
+        wins (an update's delete+insert at the same ordinal resolves to
+        the insert).  Keys whose final op is delete are removed via one
+        equality-delete commit (:meth:`delete_by_keys` — O(|keys|), no
+        rewrite); final inserts upsert via one :meth:`merge_into`
+        (``write.merge.mode``-routed; ``mode`` overrides).  Two commits
+        worst case, each idempotent under replay — re-applying the same
+        window converges to the same state, the CDC-consumer contract.
+
+        100 TB shape: the final-op reduction is one window over the
+        CDC-batch-sized change frame (never the table); both applies are
+        the O(changed rows) key-based paths."""
+        keys = [on] if isinstance(on, str) else list(on)
+        data_cols = [
+            c
+            for c in changes.columns
+            if c not in ("_change_type", "_commit_snapshot_id", "_change_ordinal")
+        ]
+        for k in keys:
+            if k not in data_cols:
+                raise InvalidDataError(f"changelog frame lacks key column {k!r}")
+        from pyspark.sql import Window as _W
+
+        w = _W.partitionBy(*keys).orderBy(
+            F.col("_change_ordinal").desc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
+        )
+        final = (
+            changes.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+            .localCheckpoint()  # both branches reuse it; don't recompute
+        )
+        dels = final.filter(F.col("_change_type") == "delete").select(*keys)
+        ups = final.filter(F.col("_change_type") == "insert").select(*data_cols)
+        if not dels.isEmpty():
+            self.delete_by_keys(dels, keys, branch=branch)
+        if not ups.isEmpty():
+            # full-row upsert: every non-key column takes the CDC row's value
+            self.merge_into(
+                ups,
+                keys,
+                when_matched_update={
+                    c: f"s.{c}" for c in data_cols if c not in keys
+                },
+                mode=mode,
+                branch=branch,
+            )
+        return self
+
     def delete_by_keys(
         self, keys: Any, on: Union[str, list[str]], branch: Optional[str] = None
     ) -> int:

@@ -599,3 +599,39 @@ def test_inspect_all_tables(catalog):
         "SELECT count(*) AS n FROM insp_all$all_manifests"
     ).rows[0][0] >= 3
     assert c.sql("SELECT count(*) AS n FROM insp_all$delete_files").rows == [[1]]
+
+
+def test_apply_changelog_replication(catalog):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    src = catalog.create_table("cdc_src_t", schema={"k": "int", "v": "string"})
+    rep = catalog.create_table("cdc_rep_t", schema={"k": "int", "v": "string"})
+    src.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    rep.apply_changelog(src.changelog_scan(), on="k")
+    assert sorted((r["k"], r["v"]) for r in rep.refresh().to_a()) == [
+        (1, "a"), (2, "b")
+    ]
+    mark = src.current_snapshot_id
+    src.update_where({"v": "'a2'"}, "k = 1")
+    src.delete_where("k = 2")
+    src.append([{"k": 3, "v": "c"}])
+    window = src.changelog_scan(from_snapshot_id=mark)
+    rep.apply_changelog(window, on="k")
+    expect = sorted((r["k"], r["v"]) for r in src.refresh().to_a())
+    assert sorted((r["k"], r["v"]) for r in rep.refresh().to_a()) == expect
+    # replaying the same window converges (idempotent consumer)
+    rep.apply_changelog(src.changelog_scan(from_snapshot_id=mark), on="k")
+    assert sorted((r["k"], r["v"]) for r in rep.refresh().to_a()) == expect
+    # merge-on-read apply reaches the same state
+    rep2 = catalog.create_table("cdc_rep2_t", schema={"k": "int", "v": "string"})
+    rep2.apply_changelog(
+        src.changelog_scan(to_snapshot_id=mark), on="k", mode="merge-on-read"
+    )
+    rep2.apply_changelog(
+        src.changelog_scan(from_snapshot_id=mark), on="k", mode="merge-on-read"
+    )
+    assert sorted((r["k"], r["v"]) for r in rep2.refresh().to_a()) == expect
+    with pytest.raises(InvalidDataError, match="lacks key column"):
+        rep.apply_changelog(src.changelog_scan(), on="nope")
