@@ -301,15 +301,24 @@ class Catalog:
         sort_order: Optional[Union[SortOrder, list]] = None,
         properties: Optional[dict[str, str]] = None,
         if_not_exists: bool = False,
+        or_replace: bool = False,
     ) -> Table:
         """Create a table (reference ``lib/iceberg/catalog.rb:46-70``).
         ``schema`` accepts a Schema / TableDefinition / {name: type} hash /
-        Spark StructType / DSL callable."""
+        Spark StructType / DSL callable.  ``or_replace`` applies Iceberg's
+        CREATE OR REPLACE semantics to an existing table: same UUID,
+        snapshot history retained (time travel to pre-replace state still
+        works, reading the old schema), data cleared, schema/spec/order/
+        properties swapped for the new definition under fresh ids."""
         parts, loc = self._table_location(ident)
         ns = parts[:-1]
         if not self.namespace_exists(ns):
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(ns)}")
         if self.table_exists(parts):
+            if or_replace:
+                return self._replace_table(
+                    parts, schema, partition_spec, sort_order, properties
+                )
             if if_not_exists:
                 return self.load_table(parts)
             raise TableAlreadyExistsError(f"table already exists: {'.'.join(parts)}")
@@ -381,6 +390,108 @@ class Catalog:
         if location is not None:
             self._write_pointer(parts, loc)
         return Table(self.spark, loc, identifier=parts, catalog=self, io=self.io, ops=ops)
+
+    def _replace_table(
+        self,
+        parts: list[str],
+        schema: Any,
+        partition_spec: Optional[Union[PartitionSpec, list]],
+        sort_order: Optional[Union[SortOrder, list]],
+        properties: Optional[dict[str, str]],
+    ) -> Table:
+        """CREATE OR REPLACE on an existing table: clear the data (one
+        ``replace`` snapshot — history and UUID survive, so time travel to
+        the pre-replace state still reads the OLD schema), then swap in
+        the new schema / partition spec / sort order / properties under
+        fresh never-reused ids (Iceberg's id-assignment rule)."""
+        t = self.load_table(parts)
+        new_schema = schema_from_any(schema if schema is not None else {})
+        spec_fields: list[dict] = []
+        if partition_spec is not None:
+            ps = (
+                partition_spec
+                if isinstance(partition_spec, PartitionSpec)
+                else PartitionSpec(fields=list(partition_spec))
+            )
+            ps.validate(new_schema)
+            spec_fields = ps.to_json()
+        order_fields: list[dict] = []
+        if sort_order is not None:
+            so = (
+                sort_order
+                if isinstance(sort_order, SortOrder)
+                else SortOrder(fields=list(sort_order))
+            )
+            order_fields = so.to_json()
+        t.overwrite([])
+
+        def mutate(raw: dict) -> None:
+            base = raw.get("last-column-id", 0)
+            fields = [
+                ice_t.NestedField(
+                    base + i + 1, f.name, f.field_type, f.required, f.doc,
+                    f.initial_default, f.write_default,
+                )
+                for i, f in enumerate(new_schema.fields)
+            ]
+            sid = (
+                max((s.get("schema-id", 0) for s in raw.get("schemas", [])), default=0)
+                + 1
+            )
+            raw["schemas"] = list(raw.get("schemas", [])) + [
+                _schema_to_json(
+                    ice_t.Schema(fields=fields, schema_id=sid)
+                )
+            ]
+            raw["current-schema-id"] = sid
+            raw["last-column-id"] = base + len(fields)
+            # partition spec: CREATE OR REPLACE without PARTITIONED BY
+            # resets to unpartitioned — a NEW (possibly empty) spec either
+            # way, with partition-field ids continuing the high-water mark
+            new_spec_id = (
+                max(
+                    (s.get("spec-id", 0) for s in raw.get("partition-specs", [])),
+                    default=0,
+                )
+                + 1
+            )
+            last_pid = raw.get("last-partition-id", 999)
+            raw["partition-specs"] = list(raw.get("partition-specs", [])) + [
+                {
+                    "spec-id": new_spec_id,
+                    "fields": [
+                        {**f, "field-id": last_pid + 1 + i}
+                        for i, f in enumerate(spec_fields)
+                    ],
+                }
+            ]
+            raw["default-spec-id"] = new_spec_id
+            raw["last-partition-id"] = last_pid + len(spec_fields)
+            new_order_id = (
+                max(
+                    (o.get("order-id", 0) for o in raw.get("sort-orders", [])),
+                    default=0,
+                )
+                + 1
+            ) if order_fields else 0
+            if order_fields:
+                raw["sort-orders"] = list(raw.get("sort-orders", [])) + [
+                    {"order-id": new_order_id, "fields": order_fields}
+                ]
+            elif not any(
+                o.get("order-id") == 0 for o in raw.get("sort-orders", [])
+            ):
+                # replace back to unsorted on a table created WITH a sort
+                # order: make sure the unsorted order exists to point at
+                raw["sort-orders"] = list(raw.get("sort-orders", [])) + [
+                    {"order-id": 0, "fields": []}
+                ]
+            raw["default-sort-order-id"] = new_order_id
+            raw["properties"] = dict(properties or {})
+
+        t._metadata_update(mutate)
+        self._invalidate_views()
+        return self.load_table(parts)
 
     def load_table(self, ident: Ident) -> Table:
         parts, loc = self._table_location(ident)
@@ -486,7 +597,8 @@ class Catalog:
     # -------------------------------------------------------------------- sql
     _PARAM_RE = re.compile(r"\$(\d+)")
     _DDL_RE = re.compile(
-        r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\((.*)\)\s*;?\s*$",
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"([\w.]+)\s*\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_RE = re.compile(
@@ -540,6 +652,9 @@ class Catalog:
     _DESCRIBE_RE = re.compile(
         r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
+    _SHOW_CREATE_RE = re.compile(
+        r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+    )
     _CALL_RE = re.compile(
         r"^\s*CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
@@ -573,6 +688,15 @@ class Catalog:
             rows = [(".".join(p),) for p in self.list_tables(ns_parts)]
             return Result(
                 self.spark.createDataFrame(rows, "table_name string")
+            )
+        m = self._SHOW_CREATE_RE.match(query)
+        if m:
+            t = self.load_table(self._sql_table_ident(m.group(1)))
+            return Result(
+                self.spark.createDataFrame(
+                    [(self._show_create_ddl(t, m.group(1)),)],
+                    "createtab_stmt string",
+                )
             )
         m = self._DESCRIBE_RE.match(query)
         if m:
@@ -683,6 +807,47 @@ class Catalog:
         parts = name.split(".")
         return self._with_namespace(parts)
 
+    @staticmethod
+    def _show_create_ddl(t: Table, name: str) -> str:
+        """Reconstruct iceberg-spark-style DDL from table metadata (SHOW
+        CREATE TABLE)."""
+        cols = ",\n".join(
+            f"  {f.name} {f.field_type.name}"
+            + ("" if not f.required else " NOT NULL")
+            for f in t.current_schema().fields
+        )
+        out = f"CREATE TABLE {name} (\n{cols})\nUSING iceberg"
+        spec = t.default_partition_spec() or {}
+        if spec.get("fields"):
+            parts = []
+            for pf in spec["fields"]:
+                tr, src = pf.get("transform", "identity"), pf["source"]
+                if tr == "identity":
+                    parts.append(src)
+                else:
+                    m = re.match(r"^(bucket|truncate)\[(\d+)\]$", tr)
+                    if m:
+                        parts.append(f"{m.group(1)}({m.group(2)}, {src})")
+                    else:
+                        parts.append(f"{tr}s({src})" if tr in (
+                            "year", "month", "day", "hour") else f"{tr}({src})")
+            out += f"\nPARTITIONED BY ({', '.join(parts)})"
+        order = t.default_sort_order() or {}
+        if order.get("fields"):
+            parts = [
+                f"{sf['source']} {sf.get('direction', 'asc').upper()}"
+                for sf in order["fields"]
+            ]
+            out += f"\nSORTED BY ({', '.join(parts)})"
+        out += f"\nLOCATION '{t.location}'"
+        props = t.properties
+        if props:
+            kv = ",\n  ".join(
+                f"'{k}' = '{v}'" for k, v in sorted(props.items())
+            )
+            out += f"\nTBLPROPERTIES (\n  {kv})"
+        return out
+
     def create_view(self, ident: Ident, select_sql: str, replace: bool = False) -> None:
         """Persist a named view definition in the warehouse (the reference's
         ``CREATE VIEW`` is half-broken — returns empty results and cannot
@@ -740,7 +905,15 @@ class Catalog:
                     raise UnsupportedFeatureError(f"cannot parse column definition: {p!r}")
                 cols[toks[0]] = toks[1].strip()
             if_not_exists = bool(re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE))
-            self.create_table(self._sql_table_ident(name), schema=cols, if_not_exists=if_not_exists)
+            or_replace = bool(
+                re.match(r"^\s*CREATE\s+OR\s+REPLACE\b", query, re.IGNORECASE)
+            )
+            self.create_table(
+                self._sql_table_ident(name),
+                schema=cols,
+                if_not_exists=if_not_exists,
+                or_replace=or_replace,
+            )
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._TRUNCATE_RE.match(query)
         if m:

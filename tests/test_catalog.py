@@ -507,3 +507,59 @@ def test_sql_branch_tag_ddl(catalog):
     # the branch DDL composes with VERSION AS OF reads
     rows = catalog.sql("SELECT count(*) AS n FROM refddl VERSION AS OF 'dev'").rows
     assert rows == [[2]]
+
+
+def test_create_or_replace_table(catalog):
+    t = catalog.create_table(
+        "cor",
+        schema={"a": "int", "b": "string"},
+        partition_spec=[("a", "identity")],
+        properties={"k": "v"},
+    )
+    t.append([{"a": 1, "b": "x"}])
+    s_old = t.current_snapshot_id
+    t2 = catalog.create_table("cor", schema={"c": "long"}, or_replace=True)
+    # same table, new definition: UUID and history survive, data cleared
+    assert t2.uuid == t.uuid
+    assert t2.to_a() == []
+    assert len(t2.snapshots) >= 2
+    # column ids are fresh (never reused), schema id bumped
+    assert [f.field_id for f in t2.current_schema().fields] == [3]
+    assert t2.current_schema_id > 0
+    # time travel to the pre-replace snapshot reads the OLD schema
+    assert t2.to_a(snapshot_id=s_old) == [{"a": 1, "b": "x"}]
+    # spec reset to unpartitioned (new spec id), properties replaced
+    assert t2.default_partition_spec()["fields"] == []
+    assert t2.properties == {}
+    t2.append([{"c": 7}])
+    assert t2.to_a() == [{"c": 7}]
+    # SQL spelling
+    catalog.sql("CREATE OR REPLACE TABLE cor (z double)")
+    t3 = catalog.load_table("cor")
+    assert [(f.name, f.field_type.name) for f in t3.current_schema().fields] == [
+        ("z", "double")
+    ]
+    # plain CREATE TABLE on an existing table still errors
+    import pytest
+
+    from iceberg_ruby_spark.errors import TableAlreadyExistsError
+
+    with pytest.raises(TableAlreadyExistsError):
+        catalog.create_table("cor", schema={"q": "int"})
+
+
+def test_show_create_table(catalog):
+    catalog.create_table(
+        "sct",
+        schema={"a": "int", "ts": "timestamp", "s": "string"},
+        partition_spec=[("a", "bucket[4]"), ("ts", "day")],
+        sort_order=[("s", "asc")],
+        properties={"x": "1"},
+    )
+    ddl = catalog.sql("SHOW CREATE TABLE sct").rows[0][0]
+    assert "CREATE TABLE sct (" in ddl
+    assert "a int" in ddl and "ts timestamp" in ddl
+    assert "USING iceberg" in ddl
+    assert "PARTITIONED BY (bucket(4, a), days(ts))" in ddl
+    assert "SORTED BY (s ASC)" in ddl
+    assert "TBLPROPERTIES" in ddl and "'x' = '1'" in ddl
