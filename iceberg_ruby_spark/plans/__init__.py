@@ -46,6 +46,9 @@ _NEVER_DRIVER_CHECKED = [
     "text_domain_cap", "embedding_ann_ivf_incremental",
     "text_quality_classifier", "stream_table_source_tail",
     "text_char_lm_likelihood",
+    # late round-7 additions (this session)
+    "dedup_line_corpus", "text_tfidf_top_terms", "dedup_semantic",
+    "dedup_remove_spans", "engine_cdc_apply",
 ]
 
 _LAST_CHECKED_R4 = [
