@@ -25,10 +25,12 @@ At 100 TB the shape is right by construction: rows never move to the
 driver (executors write their own partitions' files; the driver sees only
 per-file paths + counts), each micro-batch is one manifest-delta commit
 (O(new files), the fast-append path), and concurrent batch writers to
-OTHER tables never interact.  Partitioned tables are refused — the sink
-writes unpartitioned data files; route through ``foreachBatch`` +
-``Table.append`` when spec-aware layout is needed (honest scope, not a
-silent wrong layout).
+OTHER tables never interact.  Identity partition specs are honored —
+each task groups its rows by partition value and writes Spark's
+``name=value`` directory layout, so partition pruning works on streamed
+data exactly as on batch appends.  Transformed specs (bucket/day/...)
+are refused; route those through ``foreachBatch`` + ``Table.append``
+(honest scope, not a silent wrong layout).
 """
 
 from __future__ import annotations
@@ -48,11 +50,8 @@ BATCH_ID_KEY = "streaming-batch-id"
 
 @dataclass
 class _FileMsg(WriterCommitMessage):
-    path: Optional[str]
-    count: int
-    size: int = 0
-    lower: Optional[dict] = None
-    upper: Optional[dict] = None
+    # one task may write several files (one per partition value it holds)
+    files: list  # of {path, count, size, lower, upper}
 
 
 class EngineTableStreamWriter(DataSourceStreamWriter):
@@ -83,12 +82,22 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             ),
             None,
         )
-        if default_spec and default_spec.get("fields"):
-            raise InvalidDataError(
-                "iceberg_table stream sink writes unpartitioned data files; "
-                "this table has a partition spec — use foreachBatch with "
-                "Table.append for spec-aware layout"
-            )
+        self._part_cols: list = []
+        spec_fields = (default_spec or {}).get("fields", [])
+        if spec_fields:
+            # identity partitioning is supported (executor groups rows by
+            # value and lays out name=value directories); transformed
+            # specs need the engine's typed transform pipeline — refuse
+            if any(
+                f.get("transform", "identity") != "identity"
+                for f in spec_fields
+            ):
+                raise InvalidDataError(
+                    "iceberg_table stream sink supports identity partition "
+                    "specs only; this table uses transforms — use "
+                    "foreachBatch with Table.append for spec-aware layout"
+                )
+            self._part_cols = [f["source"] for f in spec_fields]
         table_schema = _current_schema(meta).to_spark()
         want = [(f.name, f.dataType) for f in table_schema.fields]
         got = [(f.name, f.dataType) for f in schema.fields]
@@ -117,24 +126,36 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         ]
 
     # -- executor side -----------------------------------------------------
-    def write(self, iterator: Iterator) -> _FileMsg:
+    @staticmethod
+    def _dir_value(v) -> str:
+        import datetime
+        import urllib.parse
+
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, datetime.datetime):
+            raise InvalidDataError(
+                "identity-partitioning on timestamp columns is not supported "
+                "by the stream sink; partition on a derived date/string"
+            )
+        if isinstance(v, datetime.date):
+            return v.isoformat()
+        return urllib.parse.quote(str(v), safe="")
+
+    def _write_file(self, rows: list, dir_path: str, file_cols: list) -> dict:
         import pyarrow as pa
+        import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        rows = list(iterator)
-        if not rows:
-            return _FileMsg(None, 0)
-        cols = {
-            name: [row[j] for row in rows]
-            for j, name in enumerate(self._names)
-        }
-        tbl = pa.Table.from_pydict(cols, schema=self._arrow_schema)
-        data_dir = os.path.join(self.location, "data")
-        os.makedirs(data_dir, exist_ok=True)
-        path = os.path.join(data_dir, f"stream-{uuid.uuid4().hex}.parquet")
+        idx = {n: j for j, n in enumerate(self._names)}
+        cols = {name: [row[idx[name]] for row in rows] for name in file_cols}
+        schema = pa.schema(
+            [self._arrow_schema.field(n) for n in file_cols]
+        )
+        tbl = pa.Table.from_pydict(cols, schema=schema)
+        os.makedirs(dir_path, exist_ok=True)
+        path = os.path.join(dir_path, f"stream-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, path)
-        import pyarrow.compute as pc
-
         lower, upper = {}, {}
         for c in self._stats_cols:
             if c not in tbl.column_names:
@@ -143,7 +164,52 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is not None:
                 lower[c], upper[c] = lo, hi
-        return _FileMsg(path, len(rows), os.path.getsize(path), lower, upper)
+        return {
+            "path": path,
+            "count": len(rows),
+            "size": os.path.getsize(path),
+            "lower": lower,
+            "upper": upper,
+        }
+
+    def write(self, iterator: Iterator) -> _FileMsg:
+        rows = list(iterator)
+        if not rows:
+            return _FileMsg([])
+        data_dir = os.path.join(self.location, "data")
+        if not self._part_cols:
+            return _FileMsg([self._write_file(rows, data_dir, self._names)])
+        # identity-partitioned: group this task's rows by partition value,
+        # one file per value under Spark's name=value directory layout
+        # (partition columns live in the path, not the file — the same
+        # layout the batch writer produces)
+        idx = {n: j for j, n in enumerate(self._names)}
+        groups: dict = {}
+        for row in rows:
+            key = tuple(row[idx[c]] for c in self._part_cols)
+            if any(v is None for v in key):
+                raise InvalidDataError(
+                    "stream sink got a NULL partition value for "
+                    f"{self._part_cols}; filter or default nulls upstream"
+                )
+            groups.setdefault(key, []).append(row)
+        file_cols = [n for n in self._names if n not in self._part_cols]
+        out = []
+        for key, grp in groups.items():
+            seg = os.path.join(
+                *[
+                    f"{c}={self._dir_value(v)}"
+                    for c, v in zip(self._part_cols, key)
+                ]
+            )
+            rec = self._write_file(grp, os.path.join(data_dir, seg), file_cols)
+            # partition columns: min = max = the group value
+            for c, v in zip(self._part_cols, key):
+                if c in self._stats_cols:
+                    rec["lower"][c] = v
+                    rec["upper"][c] = v
+            out.append(rec)
+        return _FileMsg(out)
 
     # -- driver side -------------------------------------------------------
     def _last_committed_batch(self, table) -> int:
@@ -163,42 +229,42 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         # table's optimistic commit loop directly (no Spark involved)
         from iceberg_ruby_spark.table import Table
 
-        msgs = [m for m in messages if m is not None and m.path]
+        files = [f for m in messages if m is not None for f in m.files]
         table = Table(None, self.location)
         if batchId <= self._last_committed_batch(table):
             # replayed micro-batch (restart between commit and checkpoint
             # advance): the data is already in the table — drop the
             # duplicate files instead of double-committing
-            for m in msgs:
+            for f in files:
                 try:
-                    os.remove(m.path)
+                    os.remove(f["path"])
                 except OSError:
                     pass
             return
-        if not msgs:
+        if not files:
             return  # empty batch: nothing to commit, nothing to track
         entries = [
             {
-                "path": m.path,
-                "record-count": m.count,
+                "path": f["path"],
+                "record-count": f["count"],
                 "schema-id": self._schema_id,
                 "spec-id": self._spec_id,
-                "file-size-bytes": m.size,
+                "file-size-bytes": f["size"],
                 "lower-bounds": {
-                    c: Table._json_stat(v) for c, v in (m.lower or {}).items()
+                    c: Table._json_stat(v) for c, v in (f["lower"] or {}).items()
                 },
                 "upper-bounds": {
-                    c: Table._json_stat(v) for c, v in (m.upper or {}).items()
+                    c: Table._json_stat(v) for c, v in (f["upper"] or {}).items()
                 },
             }
-            for m in msgs
+            for f in files
         ]
         entries.sort(key=lambda e: e["path"])
         table._commit_snapshot(
             "append",
             entries,
             {
-                "added-records": sum(m.count for m in msgs),
+                "added-records": sum(f["count"] for f in files),
                 "added-data-files": len(entries),
                 SINK_ID_KEY: self.sink_id,
                 BATCH_ID_KEY: str(batchId),
@@ -208,8 +274,8 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
 
     def abort(self, messages: List[Optional[_FileMsg]], batchId: int) -> None:
         for m in messages:
-            if m is not None and m.path:
+            for f in (m.files if m is not None else []):
                 try:
-                    os.remove(m.path)
+                    os.remove(f["path"])
                 except OSError:
                     pass

@@ -212,12 +212,12 @@ def test_native_stream_writer_guards(catalog, spark, tmp_path):
     part = catalog.create_table(
         "nw_part",
         schema={"k": "int", "v": "string"},
-        partition_spec={"k": "identity"},
+        partition_spec=[("k", "bucket[4]")],
     )
     plain = catalog.create_table("nw_plain", schema={"k": "int", "v": "string"})
     schema = plain.spark_schema()
-    # partitioned tables refused (the sink writes unpartitioned files)
-    with pytest.raises(InvalidDataError, match="partition spec"):
+    # transformed partition specs refused (identity is supported)
+    with pytest.raises(InvalidDataError, match="identity partition"):
         EngineTableStreamWriter(
             {"location": part.ops.location}, schema, overwrite=False
         )
@@ -232,3 +232,41 @@ def test_native_stream_writer_guards(catalog, spark, tmp_path):
         EngineTableStreamWriter(
             {"location": plain.ops.location}, schema, overwrite=True
         )
+
+
+def test_native_stream_writer_identity_partitions(catalog, spark, tmp_path):
+    """Identity-partitioned sink: executors group rows by value and lay
+    out name=value dirs — streamed data partition-prunes like batch."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("nwp_bronze", schema={"k": "int", "v": "string"})
+    gold = catalog.create_table(
+        "nwp_gold",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[("k", "identity")],
+    )
+    bronze.append([{"k": 1, "v": "aa"}, {"k": 2, "v": "bbb"}, {"k": 1, "v": "cc"}])
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted((r["k"], r["v"]) for r in gold.refresh().to_a()) == [
+        (1, "aa"), (1, "cc"), (2, "bbb")
+    ]
+    ents = gold._current_entries()
+    assert all("/k=" in e["path"] for e in ents)
+    # partition value bounds ride the manifest (min = max = the value)
+    assert all(
+        e["lower-bounds"]["k"] == e["upper-bounds"]["k"] for e in ents
+    )
+    assert sorted(r["v"] for r in gold.scan().filter("k = 1").to_a()) == [
+        "aa", "cc"
+    ]
