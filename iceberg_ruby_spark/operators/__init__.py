@@ -46,6 +46,10 @@ from iceberg_ruby_spark.operators.similarity import (
     ivf_assign,
     ivf_search,
     lsh_ann_topk,
+    pq_encode,
+    pq_index,
+    pq_search,
+    pq_topk,
     quantize_int8,
     vector_norms,
 )
@@ -109,6 +113,10 @@ __all__ = [
     "ivf_search",
     "quantize_int8",
     "lsh_ann_topk",
+    "pq_encode",
+    "pq_index",
+    "pq_search",
+    "pq_topk",
     "vector_norms",
     "add_text_stats",
     "chunk_documents",

@@ -22,6 +22,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_ruby_spark.errors import InvalidDataError
+
 
 def _dot(a, b):
     """JVM-side dot product of two array columns (double accumulation)."""
@@ -229,6 +231,16 @@ def _train_centroids(
     ``sample_size`` rows per partition, then merges — no full sort, no
     full shuffle.  Without ``id_col`` (no stable key available) it falls
     back to the order-dependent ``limit``."""
+    x = _bounded_sample(corpus, vec_col, sample_size, seed, id_col)
+    if len(x) == 0:
+        raise ValueError("cannot train IVF on an empty corpus")
+    return _kmeans_np(x, n_cells, seed=seed, iters=iters)
+
+
+def _bounded_sample(corpus, vec_col, sample_size, seed, id_col):
+    """Deterministic ≤``sample_size`` vector sample as a numpy array —
+    partition-order-independent when ``id_col`` is given (seeded-xxhash64
+    smallest ids via TakeOrderedAndProject; see _train_centroids doc)."""
     import numpy as np
 
     if id_col is not None:
@@ -243,19 +255,25 @@ def _train_centroids(
         rows = sample.collect()
     else:
         rows = corpus.select(vec_col).limit(sample_size).collect()
-    x = np.asarray([r[0] for r in rows], dtype=np.float64)
-    if len(x) == 0:
-        raise ValueError("cannot train IVF on an empty corpus")
-    n_cells = min(n_cells, len(x))
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+def _kmeans_np(x, k: int, seed: int = 42, iters: int = 10):
+    """kmeans++-seeded Lloyd iterations on an in-memory sample — the
+    training core shared by the IVF coarse quantizer and the PQ
+    sub-quantizers."""
+    import numpy as np
+
+    k = min(k, len(x))
     rng = np.random.RandomState(seed)
     # kmeans++ seeding
-    centroids = np.empty((n_cells, x.shape[1]), dtype=np.float64)
+    centroids = np.empty((k, x.shape[1]), dtype=np.float64)
     centroids[0] = x[rng.randint(len(x))]
     d2 = ((x - centroids[0]) ** 2).sum(axis=1)
-    for c in range(1, n_cells):
+    for c in range(1, k):
         total = d2.sum()
         if total <= 0:
-            centroids[c:] = x[rng.choice(len(x), size=n_cells - c)]
+            centroids[c:] = x[rng.choice(len(x), size=k - c)]
             break
         probs = d2 / total
         centroids[c] = x[rng.choice(len(x), p=probs)]
@@ -263,7 +281,7 @@ def _train_centroids(
     for _ in range(iters):
         d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
         assign = d.argmin(axis=1)
-        for c in range(n_cells):
+        for c in range(k):
             members = x[assign == c]
             if len(members):
                 centroids[c] = members.mean(axis=0)
@@ -436,4 +454,186 @@ def dequantize_int8(
     scale = F.col(f"{q_col}_scale")
     return df.withColumn(
         out_col, F.transform(F.col(q_col), lambda x: (x.cast("float") * scale))
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+    seed: int = 42,
+):
+    """Product-quantization index (Jégou et al. 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the vector into
+    ``m`` contiguous subspaces, k-means each on a bounded
+    partition-independent sample (``n_codes`` entries per sub-codebook),
+    and encode every corpus vector as ``m`` small codes.  Returns
+    ``(codebooks, encoded)`` where ``codebooks`` is the trained
+    quantizer (a small Python list — persist as JSON beside the table)
+    and ``encoded`` is ``(id, __cv, codes: array<int>)``.
+
+    The payload win is the point: m=8 × 1 byte ≈ 32× smaller than a
+    64-dim float32 vector — at 100 TB the difference between an ANN scan
+    that reads 3 TB of codes and one that reads 100 TB of floats.
+    Training cost is sample-bounded; encoding is one Arrow-batched
+    distributed pass (a numpy matmul per subspace per batch)."""
+    import numpy as np
+
+    dim = len(corpus.select(vec_col).first()[0])
+    if dim % m != 0:
+        raise InvalidDataError(
+            f"pq_index: vector dim {dim} is not divisible by m={m}"
+        )
+    x = _bounded_sample(corpus, vec_col, sample_size, seed, id_col)
+    if len(x) == 0:
+        raise ValueError("cannot train PQ on an empty corpus")
+    dsub = dim // m
+    codebooks = [
+        _kmeans_np(x[:, j * dsub : (j + 1) * dsub], n_codes, seed=seed + j)
+        .tolist()
+        for j in range(m)
+    ]
+    return codebooks, pq_encode(codebooks, corpus, id_col=id_col, vec_col=vec_col)
+
+
+def pq_encode(
+    codebooks,
+    batch: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode a batch against FIXED codebooks → ``(id, __cv, codes)`` —
+    the incremental-ingest half of :func:`pq_index` (new arrivals encode
+    without retraining, exactly like :func:`ivf_assign`)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+
+    @F.pandas_udf("array<int>")
+    def _encode(vecs: pd.Series) -> pd.Series:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.Series([], dtype=object)
+        codes = np.empty((len(x), m), dtype=np.int64)
+        for j in range(m):
+            sub = x[:, j * dsub : (j + 1) * dsub]
+            cb = cbs[j]
+            d = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
+            codes[:, j] = d.argmin(axis=1)
+        return pd.Series([row.tolist() for row in codes])
+
+    return batch.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    ).withColumn("codes", _encode(F.col("__cv")))
+
+
+def pq_search(
+    codebooks,
+    encoded: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    refine: int = 4,
+) -> DataFrame:
+    """Top-k over a PQ index via asymmetric distance computation: per
+    query a ``m × n_codes`` inner-product lookup table is built once
+    driver-side (tiny — queries are the broadcast side by assumption,
+    same as cosine_topk), each corpus vector's approximate cosine is
+    ``m`` table lookups over its codes (the reconstruction norm comes
+    from a second per-entry norm table — subspaces are orthogonal), the
+    per-query top ``refine × k`` ADC candidates are then EXACTLY
+    re-ranked on the true vectors riding the encoded frame.  Output
+    matches the other ANN searches: (query_id, id, cosine, rank)."""
+    import numpy as np
+    import pandas as pd
+
+    query_id_col = query_id_col or id_col
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    sqn = np.stack([(cb**2).sum(axis=1) for cb in cbs])  # m × n_codes
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col)
+    ).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = float(np.sqrt((qv**2).sum())) or 1.0
+        luts[r[0]] = np.stack(
+            [cbs[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        ) / qn  # m × n_codes, already query-norm-scaled
+
+    @F.pandas_udf("double")
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qids))
+        rng = np.arange(m)
+        for i, (qid, cs) in enumerate(zip(qids, codes)):
+            cs = np.asarray(cs, dtype=np.int64)
+            lut = luts[qid]
+            dot = lut[rng, cs].sum()
+            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
+            out[i] = dot / rnorm
+        return pd.Series(out)
+
+    qids = queries.select(F.col(query_id_col).alias("query_id"))
+    cand = (
+        encoded.crossJoin(F.broadcast(qids))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__adc", _adc(F.col("query_id"), F.col("codes")))
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col(id_col).asc()
+    )
+    cand = cand.withColumn("__r0", F.row_number().over(w0)).filter(
+        F.col("__r0") <= refine * k
+    )
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = cand.join(F.broadcast(qvecs), "query_id").withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qv"), F.col("__cv"))
+            / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+            6,
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
+def pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+    m: int = 8,
+    n_codes: int = 256,
+    refine: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """PQ approximate cosine top-k: train + encode + ADC search with
+    exact re-rank (:func:`pq_index` → :func:`pq_search`)."""
+    codebooks, enc = pq_index(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes, seed=seed
+    )
+    return pq_search(
+        codebooks, enc, queries, k=k, id_col=id_col, vec_col=vec_col,
+        query_id_col=query_id_col, refine=refine,
     )

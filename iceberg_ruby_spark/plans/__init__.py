@@ -48,7 +48,7 @@ _NEVER_DRIVER_CHECKED = [
     "text_char_lm_likelihood",
     # late round-7 additions (this session)
     "dedup_line_corpus", "text_tfidf_top_terms", "dedup_semantic",
-    "dedup_remove_spans", "engine_cdc_apply",
+    "dedup_remove_spans", "engine_cdc_apply", "embedding_ann_pq",
 ]
 
 _LAST_CHECKED_R4 = [

@@ -1535,3 +1535,20 @@ def dedup_remove_spans(spark, sf_dir):
         .select("doc_id", "text", "n_removed_tokens")
         .orderBy("doc_id")
     )
+
+
+@query("embedding_ann_pq", oracle=_EXACT_TOPK_SQL)
+def embedding_ann_pq(spark, sf_dir):
+    """Product-quantization ANN (operators/similarity.py ``pq_topk``,
+    Jégou et al. 2011): m=8 sub-codebooks, ADC lookup-table scoring,
+    exact re-rank of the candidate pool.  Run here in the EXACT
+    quantization regime — ``n_codes=512`` ≥ corpus size means kmeans++
+    places every distinct subvector as its own centroid, reconstruction
+    is lossless, and ADC ordering equals exact cosine ordering — so the
+    exact top-k SQL is a row-for-row twin (the lossy-regime recall floor
+    is pinned separately in pytest)."""
+    from iceberg_ruby_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, q, k=10, m=8, n_codes=512, refine=4)

@@ -176,3 +176,61 @@ def test_ivf_full_probe_equals_exact(emb):
         for r in cosine_topk(emb, q, k=10).collect()
     }
     assert full == exact
+
+
+def test_pq_topk_recall_and_exact_regime(spark):
+    import numpy as np
+
+    from iceberg_ruby_spark.operators.similarity import (
+        cosine_topk,
+        pq_encode,
+        pq_index,
+        pq_search,
+        pq_topk,
+    )
+
+    rng = np.random.RandomState(0)
+    cents = rng.randn(5, 32) * 5
+    rows = [
+        (i, (cents[i % 5] + rng.randn(32) * 0.3).tolist()) for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = spark.createDataFrame(rows[:5], "vec_id long, embedding array<double>")
+    exact = {(r.query_id, r.vec_id) for r in cosine_topk(df, q, k=10).collect()}
+    # lossy regime: small codebooks still recover the true neighbors on
+    # clustered data (ADC candidates cover the top-k; exact re-rank)
+    lossy = {
+        (r.query_id, r.vec_id)
+        for r in pq_topk(df, q, k=10, m=8, n_codes=32, refine=4).collect()
+    }
+    assert len(exact & lossy) / len(exact) >= 0.9
+    # exact regime: n_codes >= corpus -> lossless reconstruction -> PQ
+    # output is IDENTICAL to the exact scan, ranks and cosines included
+    pq_rows = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in pq_topk(df, q, k=10, m=8, n_codes=256, refine=4).collect()
+    )
+    ex_rows = sorted(
+        (r.query_id, r.vec_id, r.cosine, r.rank)
+        for r in cosine_topk(df, q, k=10).collect()
+    )
+    assert pq_rows == ex_rows
+    # incremental encode: new batch against fixed codebooks == one-shot
+    cbs, enc_all = pq_index(df, m=8, n_codes=32)
+    half = df.filter("vec_id < 100")
+    rest = df.filter("vec_id >= 100")
+    _, enc_half = pq_index(half, m=8, n_codes=32), None
+    enc_inc = pq_encode(cbs, half).unionByName(pq_encode(cbs, rest))
+    a = {(r.vec_id, tuple(r.codes)) for r in enc_all.collect()}
+    b = {(r.vec_id, tuple(r.codes)) for r in enc_inc.collect()}
+    assert a == b
+    # dim-divisibility guard
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    bad = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(InvalidDataError, match="not divisible"):
+        pq_index(bad, m=2)
