@@ -629,11 +629,16 @@ class Catalog:
         re.IGNORECASE | re.DOTALL,
     )
     _MERGE_MATCHED_RE = re.compile(
-        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)(?=\s+WHEN\s+NOT\s+MATCHED|\s*$)",
+        r"WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+(.+?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
         re.IGNORECASE | re.DOTALL,
     )
     _MERGE_INSERT_RE = re.compile(
         r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
+    )
+    _MERGE_DELETE_RE = re.compile(
+        r"WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
+        re.IGNORECASE | re.DOTALL,
     )
     _WRITE_KEYWORDS = re.compile(
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
@@ -802,6 +807,17 @@ class Catalog:
             return view
 
         return self._META_TABLE_RE.sub(sub, query)
+
+    @staticmethod
+    def _merge_canonical_aliases(expr, talias, salias, tname, sname):
+        """merge_into evaluates expressions against aliases t/s — rewrite
+        the user's explicit aliases AND bare table names to those."""
+        for user, canon in (
+            (talias, "t"), (salias, "s"), (tname, "t"), (sname, "s")
+        ):
+            if user:
+                expr = re.sub(rf"\b{re.escape(user)}\.", f"{canon}.", expr)
+        return expr
 
     def _sql_table_ident(self, name: str) -> list[str]:
         parts = name.split(".")
@@ -1154,25 +1170,34 @@ class Catalog:
                             f"cannot parse MERGE SET assignment: {p.strip()!r}"
                         )
                     # merge_into evaluates expressions against aliases t/s —
-                    # rewrite the user's aliases to those
-                    expr = v.strip()
-                    for user, canon in ((talias, "t"), (salias, "s")):
-                        if user:
-                            expr = re.sub(rf"\b{re.escape(user)}\.", f"{canon}.", expr)
-                    assignments[k] = expr
+                    # rewrite the user's aliases (or bare table names) to those
+                    assignments[k] = self._merge_canonical_aliases(
+                        v.strip(), talias, salias, name, src_name
+                    )
             insert = bool(self._MERGE_INSERT_RE.search(when_src))
+            delete = None
+            dm = self._MERGE_DELETE_RE.search(when_src)
+            if dm:
+                delete = True
+                if dm.group(1):
+                    delete = self._merge_canonical_aliases(
+                        dm.group(1).strip(), talias, salias, name, src_name
+                    )
             covered = (self._MERGE_MATCHED_RE.sub("", when_src))
-            covered = self._MERGE_INSERT_RE.sub("", covered).strip()
+            covered = self._MERGE_INSERT_RE.sub("", covered)
+            covered = self._MERGE_DELETE_RE.sub("", covered).strip()
             if covered.upper().startswith("WHEN"):
                 raise UnsupportedFeatureError(
-                    "MERGE supports WHEN MATCHED THEN UPDATE SET ... and WHEN "
-                    f"NOT MATCHED THEN INSERT *; unsupported clause: {covered[:60]!r}"
+                    "MERGE supports WHEN MATCHED [AND cond] THEN DELETE, WHEN "
+                    "MATCHED THEN UPDATE SET ... and WHEN NOT MATCHED THEN "
+                    f"INSERT *; unsupported clause: {covered[:60]!r}"
                 )
             tbl.merge_into(
                 source,
                 on=keys,
                 when_matched_update=assignments,
                 when_not_matched_insert=insert,
+                when_matched_delete=delete,
             )
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))

@@ -802,3 +802,53 @@ def engine_cdc_apply(spark, sf_dir):
         src.changelog_scan(from_snapshot_id=mark), on="o_orderkey"
     )
     return rep.refresh().to_df().select(*_ORDER_COLS)
+
+
+@query(
+    "engine_merge_delete_clause",
+    oracle="""
+    WITH target AS (SELECT o_orderkey, o_totalprice FROM orders WHERE o_orderkey < 1000),
+         source AS (SELECT o_orderkey, o_totalprice * 2 AS new_price FROM orders
+                    WHERE o_orderkey >= 500 AND o_orderkey < 1500)
+    SELECT t.o_orderkey, COALESCE(s.new_price, t.o_totalprice) AS o_totalprice
+    FROM target t LEFT JOIN source s ON t.o_orderkey = s.o_orderkey
+    WHERE s.o_orderkey IS NULL OR s.new_price <= 200000
+    UNION ALL
+    SELECT s.o_orderkey, s.new_price AS o_totalprice FROM source s
+    WHERE s.o_orderkey NOT IN (SELECT o_orderkey FROM target)
+    """,
+)
+def engine_merge_delete_clause(spark, sf_dir):
+    """MERGE with WHEN MATCHED AND cond THEN DELETE (ANSI's third clause;
+    delete evaluated before update): matched rows whose doubled price
+    exceeds 200000 are deleted, the rest update, unmatched insert.  Runs
+    the copy-on-write path via SQL and asserts the merge-on-read path
+    reaches the same rows (equality-delete + survivor re-insert)."""
+    cat = _temp_catalog(spark)
+    orders = load(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") < 1000).select(
+        "o_orderkey", "o_totalprice"
+    )
+    source = (
+        orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    results = []
+    for nm, mode in (("orders_mdc", None), ("orders_mdcm", "merge-on-read")):
+        t = cat.create_table(
+            nm, schema={"o_orderkey": "long", "o_totalprice": "double"}
+        )
+        t.append(target)
+        t.merge_into(
+            source,
+            on="o_orderkey",
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_matched_delete="s.o_totalprice > 200000",
+            when_not_matched_insert=True,
+            mode=mode,
+        )
+        results.append(t.to_df())
+    cow, mor = results
+    if cow.exceptAll(mor).count() or mor.exceptAll(cow).count():
+        raise RuntimeError("CoW and MoR merge-delete paths disagree")
+    return cow

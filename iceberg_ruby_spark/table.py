@@ -3701,6 +3701,7 @@ class Table:
         on: Union[str, list[str]],
         when_matched_update: Optional[dict[str, str]] = None,
         when_not_matched_insert: bool = True,
+        when_matched_delete: Union[bool, str, None] = None,
         mode: Optional[str] = None,
         summary_extra: Optional[dict] = None,
         branch: Optional[str] = None,
@@ -3743,6 +3744,7 @@ class Table:
             return self._merge_into_mor(
                 source, keys, cols, when_matched_update, when_not_matched_insert,
                 summary_extra, branch=branch,
+                when_matched_delete=when_matched_delete,
             )
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown merge mode: {mode}")
@@ -3775,6 +3777,17 @@ class Table:
         marked = source.withColumn("__s_matched", F.lit(True))
         matched = target.alias("t").join(marked.alias("s"), keys, "left")
         is_matched = F.col("__s_matched").isNotNull()
+        if when_matched_delete is not None:
+            # WHEN MATCHED [AND cond] THEN DELETE — evaluated before the
+            # update clause (delete takes precedence for rows both hit)
+            dcond = (
+                F.lit(True)
+                if when_matched_delete is True
+                else F.expr(str(when_matched_delete))
+            )
+            matched = matched.filter(
+                ~(is_matched & F.coalesce(dcond, F.lit(False)))
+            )
         out_cols = []
         for c in cols:
             if when_matched_update and c in when_matched_update:
@@ -3822,6 +3835,7 @@ class Table:
         when_not_matched_insert: bool,
         summary_extra: Optional[dict] = None,
         branch: Optional[str] = None,
+        when_matched_delete: Union[bool, str, None] = None,
     ) -> "Table":
         """merge_into(mode='merge-on-read'): equality-delete the matched
         keys, append their updated versions plus inserts — single commit,
@@ -3833,7 +3847,7 @@ class Table:
         joined = live.alias("t").join(marked.alias("s"), keys, "inner")
         new_parts: list[DataFrame] = []
         eq_entries: list[dict[str, Any]] = []
-        if when_matched_update:
+        if when_matched_update or when_matched_delete is not None:
             # matched rows: which files they live in (delete scope) and
             # their distinct key tuples (the equality delete content)
             hit_rows = (
@@ -3865,13 +3879,25 @@ class Table:
                     [schema.field_by_name(k).field_id for k in keys],
                     keys,
                 )
+                survivors = joined
+                if when_matched_delete is not None:
+                    # delete-matched rows fall to the equality delete and
+                    # are NOT re-inserted; others re-insert (updated)
+                    dcond = (
+                        F.lit(True)
+                        if when_matched_delete is True
+                        else F.expr(str(when_matched_delete))
+                    )
+                    survivors = joined.filter(
+                        ~F.coalesce(dcond, F.lit(False))
+                    )
                 out_cols = []
                 for c in cols:
-                    if c in when_matched_update:
+                    if when_matched_update and c in when_matched_update:
                         out_cols.append(F.expr(when_matched_update[c]).alias(c))
                     else:
                         out_cols.append(F.col(f"t.{c}").alias(c))
-                new_parts.append(joined.select(*out_cols))
+                new_parts.append(survivors.select(*out_cols))
         if when_not_matched_insert:
             inserts = source.join(live.select(*keys), keys, "left_anti")
             for c in cols:

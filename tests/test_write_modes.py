@@ -328,3 +328,54 @@ def test_branch_scoped_merge_and_delete_by_keys(catalog, spark):
                      (5, "old"), (9, "ins")]
     t.fast_forward("main", "stage")
     assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == stage
+
+
+def test_merge_when_matched_delete(catalog, spark):
+    """WHEN MATCHED [AND cond] THEN DELETE, both modes + SQL route."""
+    src_rows = [
+        {"k": 1, "v": "a2", "op": "upsert"},
+        {"k": 2, "v": None, "op": "delete"},
+        {"k": 4, "v": "d", "op": "upsert"},
+    ]
+    expect = [(1, "a2"), (3, "c"), (4, "d")]
+    for nm, mode in (("md_cow", None), ("md_mor", "merge-on-read")):
+        t = catalog.create_table(nm, schema={"k": "int", "v": "string"})
+        t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+        src = spark.createDataFrame(
+            [(r["k"], r["v"], r["op"]) for r in src_rows],
+            "k int, v string, op string",
+        )
+        t.merge_into(
+            src,
+            on="k",
+            when_matched_update={"v": "s.v"},
+            when_matched_delete="s.op = 'delete'",
+            mode=mode,
+        )
+        assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == expect
+    # SQL spelling, delete clause ahead of update (evaluation order)
+    t = catalog.create_table("md_sql", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    s = catalog.create_table(
+        "md_src", schema={"k": "int", "v": "string", "op": "string"}
+    )
+    s.append(src_rows)
+    catalog.sql(
+        """MERGE INTO md_sql USING md_src ON md_sql.k = md_src.k
+           WHEN MATCHED AND md_src.op = 'delete' THEN DELETE
+           WHEN MATCHED THEN UPDATE SET v = md_src.v
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in catalog.load_table("md_sql").to_a()
+    ) == expect
+    # unconditional delete-only merge
+    t2 = catalog.create_table("md_only", schema={"k": "int", "v": "string"})
+    t2.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    t2.merge_into(
+        spark.createDataFrame([(1,)], "k int"),
+        on="k",
+        when_matched_delete=True,
+        when_not_matched_insert=False,
+    )
+    assert t2.refresh().to_a() == [{"k": 2, "v": "b"}]
