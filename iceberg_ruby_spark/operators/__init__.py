@@ -54,6 +54,7 @@ from iceberg_ruby_spark.operators.similarity import (
     vector_norms,
 )
 from iceberg_ruby_spark.operators.text import (
+    strip_html,
     tfidf_top_terms,
     add_text_stats,
     chunk_documents,
@@ -93,6 +94,7 @@ __all__ = [
     "remove_shared_spans",
     "semantic_dedup",
     "semantic_dedup_pairs",
+    "strip_html",
     "tfidf_top_terms",
     "embedding_cosine_pairs",
     "exact_dedup",

@@ -605,3 +605,31 @@ def tfidf_top_terms(
             F.col("rank").cast("int").alias("rank"),
         )
     )
+
+
+def strip_html(col) -> Column:
+    """Plain text from raw HTML — the first step of every web-corpus
+    pipeline (the CCNet/RefinedWeb extraction stage, minus the boilerplate
+    classifier which :func:`line_dedup` / quality scoring cover):
+    script/style/comment blocks dropped, block-level closers become
+    newlines (paragraph structure survives), remaining tags strip to
+    spaces, the common entities decode, whitespace collapses.
+
+    Pure ``regexp_replace`` chain — map-only, zero shuffles, in
+    whole-stage codegen; patterns stay in the RE2-compatible subset so
+    external engines (the DuckDB oracle) run the identical rules."""
+    c = F.coalesce(col, F.lit(""))
+    c = F.regexp_replace(c, r"(?is)<script[^>]*>.*?</script>", " ")
+    c = F.regexp_replace(c, r"(?is)<style[^>]*>.*?</style>", " ")
+    c = F.regexp_replace(c, r"(?s)<!--.*?-->", " ")
+    c = F.regexp_replace(c, r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n")
+    c = F.regexp_replace(c, r"<[^>]+>", " ")
+    for ent, ch in (
+        ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+        ("&quot;", "\""), ("&#39;", "'"), ("&apos;", "'"),
+    ):
+        c = F.replace(c, F.lit(ent), F.lit(ch))
+    c = F.regexp_replace(c, r"[ \t]+", " ")
+    c = F.regexp_replace(c, r" ?\n ?", "\n")
+    c = F.regexp_replace(c, r"\n{3,}", "\n\n")
+    return F.regexp_replace(c, r"^\s+|\s+$", "")

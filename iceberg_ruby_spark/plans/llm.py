@@ -1552,3 +1552,55 @@ def embedding_ann_pq(spark, sf_dir):
     emb = load(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
     return pq_topk(emb, q, k=10, m=8, n_codes=512, refine=4)
+
+
+@query(
+    "text_strip_html",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id,
+             '<html><head><style>.x{color:red}</style></head><body>' ||
+             '<!-- nav --><h1>Doc</h1><p>' || coalesce(text, '') ||
+             '</p><script type=text/js>var x = 1;</script>' ||
+             '<ul><li>one &amp; two</li></ul></body></html>' AS c
+      FROM documents
+    ),
+    s1 AS (SELECT doc_id, regexp_replace(c, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS c FROM w),
+    s2 AS (SELECT doc_id, regexp_replace(c, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS c FROM s1),
+    s3 AS (SELECT doc_id, regexp_replace(c, '(?s)<!--.*?-->', ' ', 'g') AS c FROM s2),
+    s4 AS (SELECT doc_id, regexp_replace(c, '(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>', chr(10), 'g') AS c FROM s3),
+    s5 AS (SELECT doc_id, regexp_replace(c, '<[^>]+>', ' ', 'g') AS c FROM s4),
+    s6 AS (
+      SELECT doc_id,
+             replace(replace(replace(replace(replace(replace(replace(c,
+               '&nbsp;', ' '), '&amp;', '&'), '&lt;', '<'), '&gt;', '>'),
+               '&quot;', '"'), '&#39;', ''''), '&apos;', '''') AS c
+      FROM s5
+    ),
+    s7 AS (SELECT doc_id, regexp_replace(c, '[ \\t]+', ' ', 'g') AS c FROM s6),
+    s8 AS (SELECT doc_id, regexp_replace(c, ' ?\\n ?', chr(10), 'g') AS c FROM s7),
+    s9 AS (SELECT doc_id, regexp_replace(c, '\\n{3,}', chr(10) || chr(10), 'g') AS c FROM s8)
+    SELECT doc_id, regexp_replace(c, '^\\s+|\\s+$', '', 'g') AS text
+    FROM s9 ORDER BY doc_id
+    """,
+)
+def text_strip_html(spark, sf_dir):
+    """HTML → text extraction (operators/text.py ``strip_html``): each
+    document is wrapped in a deterministic HTML page (script/style/
+    comment blocks, entities, list markup) and stripped back — the DuckDB
+    twin wraps identically and runs the IDENTICAL RE2-compatible rule
+    chain, so the whole extraction is hash-checked character for
+    character.  Map-only, zero shuffles, whole-stage codegen."""
+    from iceberg_ruby_spark.operators.text import strip_html
+
+    d = load(spark, sf_dir, "documents")
+    wrapped = F.concat(
+        F.lit("<html><head><style>.x{color:red}</style></head><body>"),
+        F.lit("<!-- nav --><h1>Doc</h1><p>"),
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("</p><script type=text/js>var x = 1;</script>"),
+        F.lit("<ul><li>one &amp; two</li></ul></body></html>"),
+    )
+    return d.select(
+        "doc_id", strip_html(wrapped).alias("text")
+    ).orderBy("doc_id")

@@ -888,3 +888,30 @@ def test_remove_shared_spans(spark):
         df, ngram=5, keep_first=False, drop_empty_docs=True
     )
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
+
+
+def test_strip_html(spark):
+    import pyspark.sql.functions as F
+
+    html = (
+        '<html><head><style>.x{color:red}</style></head>\n'
+        '<body><!-- nav --><h1>Title</h1>\n'
+        '<p>Hello &amp; welcome to <b>our</b> site.</p>\n'
+        '<script type="text/js">var x = "<p>not text</p>";</script>\n'
+        '<ul><li>one</li><li>two</li></ul>\n'
+        '<div>End &lt;tag&gt; &nbsp;here</div></body></html>'
+    )
+    df = spark.createDataFrame(
+        [(1, html), (2, None), (3, "plain text")], "id long, t string"
+    )
+    out = {
+        r.id: r.txt
+        for r in df.select(
+            "id", ops.strip_html(F.col("t")).alias("txt")
+        ).collect()
+    }
+    assert out[1] == (
+        "Title\n\nHello & welcome to our site.\n\none\ntwo\n\nEnd <tag> here"
+    )
+    assert out[2] == ""  # null-safe
+    assert out[3] == "plain text"  # idempotent on plain text
