@@ -640,6 +640,10 @@ class Catalog:
         r"WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
         re.IGNORECASE | re.DOTALL,
     )
+    _MERGE_NMBS_DELETE_RE = re.compile(
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
+        re.IGNORECASE | re.DOTALL,
+    )
     _WRITE_KEYWORDS = re.compile(
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
         re.IGNORECASE,
@@ -1175,6 +1179,16 @@ class Catalog:
                         v.strip(), talias, salias, name, src_name
                     )
             insert = bool(self._MERGE_INSERT_RE.search(when_src))
+            nmbs_delete = None
+            nm_ = self._MERGE_NMBS_DELETE_RE.search(when_src)
+            if nm_:
+                nmbs_delete = True
+                if nm_.group(1):
+                    nmbs_delete = self._merge_canonical_aliases(
+                        nm_.group(1).strip(), talias, salias, name, src_name
+                    )
+                # strip before the plain MATCHED-DELETE regex sees it
+                when_src = self._MERGE_NMBS_DELETE_RE.sub("", when_src)
             delete = None
             dm = self._MERGE_DELETE_RE.search(when_src)
             if dm:
@@ -1198,6 +1212,7 @@ class Catalog:
                 when_matched_update=assignments,
                 when_not_matched_insert=insert,
                 when_matched_delete=delete,
+                when_not_matched_by_source_delete=nmbs_delete,
             )
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))

@@ -852,3 +852,47 @@ def engine_merge_delete_clause(spark, sf_dir):
     if cow.exceptAll(mor).count() or mor.exceptAll(cow).count():
         raise RuntimeError("CoW and MoR merge-delete paths disagree")
     return cow
+
+
+@query(
+    "engine_merge_full_sync",
+    oracle="""
+    SELECT o_orderkey, o_totalprice * 2 AS o_totalprice FROM orders
+    WHERE o_orderkey >= 500 AND o_orderkey < 1500
+    """,
+)
+def engine_merge_full_sync(spark, sf_dir):
+    """One-shot full-table mirror via MERGE with all three clauses:
+    matched updates, unmatched inserts, and WHEN NOT MATCHED BY SOURCE
+    THEN DELETE pruning stale rows — after the merge the target IS the
+    source snapshot.  CoW run hash-checked; MoR run (loser keys as a
+    second equality-delete file, zero rewrites) asserted identical."""
+    cat = _temp_catalog(spark)
+    orders = load(spark, sf_dir, "orders")
+    source = (
+        orders.filter((F.col("o_orderkey") >= 500) & (F.col("o_orderkey") < 1500))
+        .select("o_orderkey", (F.col("o_totalprice") * 2).alias("o_totalprice"))
+    )
+    results = []
+    for nm, mode in (("orders_fs", None), ("orders_fsm", "merge-on-read")):
+        t = cat.create_table(
+            nm, schema={"o_orderkey": "long", "o_totalprice": "double"}
+        )
+        t.append(
+            orders.filter(F.col("o_orderkey") < 1000).select(
+                "o_orderkey", "o_totalprice"
+            )
+        )
+        t.merge_into(
+            source,
+            on="o_orderkey",
+            when_matched_update={"o_totalprice": "s.o_totalprice"},
+            when_not_matched_by_source_delete=True,
+            when_not_matched_insert=True,
+            mode=mode,
+        )
+        results.append(t.to_df())
+    cow, mor = results
+    if cow.exceptAll(mor).count() or mor.exceptAll(cow).count():
+        raise RuntimeError("CoW and MoR full-sync paths disagree")
+    return cow

@@ -3362,8 +3362,17 @@ class Table:
         deleted = sum(hits.values())
         if not hits:
             return 0
-        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        if when_not_matched_by_source_delete is not None:
+            # the clause can delete rows in ANY file (every target row
+            # whose key is absent from the source) — every file rewrites
+            hit_entries, keep_entries = list(data), []
+        else:
+            hit_entries = [
+                e for e in data if e.get("path") in hits or "data-dir" in e
+            ]
+            keep_entries = [
+                e for e in data if e.get("path") not in hits and "data-dir" not in e
+            ]
         # outstanding MoR predicates apply while reading hit files so their
         # deleted rows are not resurrected into the rewrite; survivors keep
         # their row lineage (id AND sequence — a delete doesn't update them)
@@ -3658,8 +3667,17 @@ class Table:
         updated = sum(hits.values())
         if not hits:
             return 0
-        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        if when_not_matched_by_source_delete is not None:
+            # the clause can delete rows in ANY file (every target row
+            # whose key is absent from the source) — every file rewrites
+            hit_entries, keep_entries = list(data), []
+        else:
+            hit_entries = [
+                e for e in data if e.get("path") in hits or "data-dir" in e
+            ]
+            keep_entries = [
+                e for e in data if e.get("path") not in hits and "data-dir" not in e
+            ]
         # v3 row lineage through the rewrite: every row keeps its _row_id;
         # rows the UPDATE touches get a NULL materialized sequence cell,
         # which the read path inherits as the rewrite commit's sequence —
@@ -3702,6 +3720,7 @@ class Table:
         when_matched_update: Optional[dict[str, str]] = None,
         when_not_matched_insert: bool = True,
         when_matched_delete: Union[bool, str, None] = None,
+        when_not_matched_by_source_delete: Union[bool, str, None] = None,
         mode: Optional[str] = None,
         summary_extra: Optional[dict] = None,
         branch: Optional[str] = None,
@@ -3745,6 +3764,7 @@ class Table:
                 source, keys, cols, when_matched_update, when_not_matched_insert,
                 summary_extra, branch=branch,
                 when_matched_delete=when_matched_delete,
+                when_not_matched_by_source_delete=when_not_matched_by_source_delete,
             )
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown merge mode: {mode}")
@@ -3766,8 +3786,17 @@ class Table:
             hits = {r["__file"]: r["n"] for r in hit_rows}
         else:
             hits = {}
-        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
-        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
+        if when_not_matched_by_source_delete is not None:
+            # the clause can delete rows in ANY file (every target row
+            # whose key is absent from the source) — every file rewrites
+            hit_entries, keep_entries = list(data), []
+        else:
+            hit_entries = [
+                e for e in data if e.get("path") in hits or "data-dir" in e
+            ]
+            keep_entries = [
+                e for e in data if e.get("path") not in hits and "data-dir" not in e
+            ]
         # lineage through the rewrite: existing rows keep _row_id; rows the
         # UPDATE clause touches write a NULL sequence cell (inherit the
         # commit's sequence); inserted rows write NULL id AND seq cells,
@@ -3787,6 +3816,18 @@ class Table:
             )
             matched = matched.filter(
                 ~(is_matched & F.coalesce(dcond, F.lit(False)))
+            )
+        if when_not_matched_by_source_delete is not None:
+            # WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE — prunes
+            # target rows whose key the source no longer carries (the
+            # full-sync mirror clause); cond sees t.* only
+            ncond = (
+                F.lit(True)
+                if when_not_matched_by_source_delete is True
+                else F.expr(str(when_not_matched_by_source_delete))
+            )
+            matched = matched.filter(
+                ~(~is_matched & F.coalesce(ncond, F.lit(False)))
             )
         out_cols = []
         for c in cols:
@@ -3836,6 +3877,7 @@ class Table:
         summary_extra: Optional[dict] = None,
         branch: Optional[str] = None,
         when_matched_delete: Union[bool, str, None] = None,
+        when_not_matched_by_source_delete: Union[bool, str, None] = None,
     ) -> "Table":
         """merge_into(mode='merge-on-read'): equality-delete the matched
         keys, append their updated versions plus inserts — single commit,
@@ -3898,6 +3940,46 @@ class Table:
                     else:
                         out_cols.append(F.col(f"t.{c}").alias(c))
                 new_parts.append(survivors.select(*out_cols))
+        if when_not_matched_by_source_delete is not None:
+            # WHEN NOT MATCHED BY SOURCE [AND cond] THEN DELETE, MoR form:
+            # the loser keys (target keys the source no longer carries)
+            # become a second equality-delete file — O(losers), no rewrite
+            ncond = (
+                F.lit(True)
+                if when_not_matched_by_source_delete is True
+                else F.expr(str(when_not_matched_by_source_delete))
+            )
+            losers = live.alias("t").join(marked.alias("s"), keys, "left_anti")
+            if when_not_matched_by_source_delete is not True:
+                losers = losers.filter(F.coalesce(ncond, F.lit(False)))
+            lose_rows = (
+                losers.groupBy("__f").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            if lose_rows:
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
+                loser_keys = losers.select(
+                    *[
+                        F.col(f"t.{k}").alias(
+                            k,
+                            metadata={
+                                "parquet.field.id": schema.field_by_name(k).field_id
+                            },
+                        )
+                        for k in keys
+                    ]
+                ).distinct()
+                lose_dir = os.path.join(
+                    self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+                )
+                loser_keys.sortWithinPartitions(*keys).write.parquet(lose_dir)
+                eq_entries += self._equality_delete_entries(
+                    lose_dir,
+                    sorted(r["__f"] for r in lose_rows),
+                    [schema.field_by_name(k).field_id for k in keys],
+                    keys,
+                )
         if when_not_matched_insert:
             inserts = source.join(live.select(*keys), keys, "left_anti")
             for c in cols:

@@ -379,3 +379,38 @@ def test_merge_when_matched_delete(catalog, spark):
         when_not_matched_insert=False,
     )
     assert t2.refresh().to_a() == [{"k": 2, "v": "b"}]
+
+
+def test_merge_not_matched_by_source_delete(catalog, spark):
+    for nm, mode in (("fs_cow", None), ("fs_mor", "merge-on-read")):
+        t = catalog.create_table(nm, schema={"k": "int", "v": "string"})
+        t.append(
+            [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"},
+             {"k": 9, "v": "keep"}]
+        )
+        src = spark.createDataFrame([(1, "a2"), (4, "d")], "k int, v string")
+        # conditional: only keys < 5 are eligible for pruning
+        t.merge_into(
+            src,
+            on="k",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_delete="t.k < 5",
+            mode=mode,
+        )
+        assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == [
+            (1, "a2"), (4, "d"), (9, "keep")
+        ]
+    # SQL full sync: target becomes exactly the source snapshot
+    t = catalog.create_table("fs_sql", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    s = catalog.create_table("fs_snap", schema={"k": "int", "v": "string"})
+    s.append([{"k": 1, "v": "a2"}, {"k": 3, "v": "c"}])
+    catalog.sql(
+        """MERGE INTO fs_sql USING fs_snap ON fs_sql.k = fs_snap.k
+           WHEN MATCHED THEN UPDATE SET v = fs_snap.v
+           WHEN NOT MATCHED BY SOURCE THEN DELETE
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in catalog.load_table("fs_sql").to_a()
+    ) == [(1, "a2"), (3, "c")]
