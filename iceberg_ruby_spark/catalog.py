@@ -1354,8 +1354,10 @@ class Catalog:
             out = [(len(removed),)], "removed long"
         elif proc == "rewrite_data_files":
             zorder = arg("zorder", 1)
+            where = arg("where", 2)
             tbl.compact(
-                zorder=[c.strip() for c in str(zorder).split(",")] if zorder else None
+                zorder=[c.strip() for c in str(zorder).split(",")] if zorder else None,
+                where=str(where) if where is not None else None,
             )
             s = tbl.refresh().current_snapshot().summary
             out = (

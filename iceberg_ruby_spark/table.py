@@ -2116,6 +2116,13 @@ class Table:
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("error")
+        # write.parquet.compression-codec (Iceberg property; snappy is the
+        # engine default like Spark's) — zstd is the at-scale choice:
+        # ~30% smaller files for similar CPU, and 100 TB of scans are
+        # IO-bound
+        codec = props.get("write.parquet.compression-codec")
+        if codec:
+            writer = writer.option("compression", codec)
         max_per_file = props.get("write.spark.max-records-per-file")
         if max_per_file:
             writer = writer.option("maxRecordsPerFile", int(max_per_file))
@@ -4067,6 +4074,7 @@ class Table:
         self,
         target_file_rows: int = 1_000_000,
         zorder: Optional[list[str]] = None,
+        where: Optional[str] = None,
     ) -> "Table":
         """rewrite_data_files analog: coalesce all live files into one commit
         (reference exposes none; north-star 'compaction').  Row count comes
@@ -4079,16 +4087,42 @@ class Table:
         clusters on a Morton code over up to 4 columns (Iceberg's
         rewrite_data_files Z-order strategy) so pruning works for
         predicates on any of them.  Outstanding merge-on-read deletes are
-        materialized and dropped."""
+        materialized and dropped.
+
+        ``where`` (iceberg-spark rewrite_data_files' ``where`` arg)
+        scopes the rewrite to files whose manifest BOUNDS overlap the
+        predicate — at 100 TB you compact the hot partition's small
+        files, not the whole table.  Untouched files carry by reference;
+        delete entries re-scope to the surviving files (rewritten files'
+        deletes materialize into the rewrite, the CoW-delete pattern)."""
         self._check_writable()
         entries = self._current_entries()
+        keep_entries: list[dict[str, Any]] = []
+        preds: list[dict[str, Any]] = []
+        if where is not None:
+            data, preds = self._split_entries(entries)
+            tree = _parse_predicate(where)
+            if tree is None:
+                raise InvalidDataError(
+                    "compact(where=...) needs a parseable predicate "
+                    "(col op literal joined by AND/OR); got: " + repr(where)
+                )
+            hit = self._prune_by_stats(data, tree)
+            hit_paths = {e.get("path") for e in hit if "path" in e}
+            keep_entries = [e for e in data if e.get("path") not in hit_paths]
+            if not hit:
+                return self
+            entries = hit
         n_rows = self._entries_rowcount(entries)
         n_files = max(1, n_rows // max(1, target_file_rows))
         # read WITH row lineage so the rewrite preserves every surviving
         # row's _row_id / _last_updated_sequence_number: the rewritten
         # files carry them as physical reserved-id columns (v3 semantics —
         # inheritance can't survive a rewrite, materialization does)
-        df = TableScan(self).with_row_lineage().to_df()
+        if where is not None:
+            df = self._read_entries_with_lineage(entries + preds)
+        else:
+            df = TableScan(self).with_row_lineage().to_df()
         sort = self.default_sort_order()
         if zorder:
             z = self._zorder_column(df, list(zorder))
@@ -4118,9 +4152,15 @@ class Table:
             # lineage lives IN the file — the commit must not assign these
             # entries a fresh first-row-id range
             e["materialized-lineage"] = True
+        commit_entries = new_entries
+        if where is not None:
+            kept_paths = {e["path"] for e in keep_entries if "path" in e}
+            commit_entries = (
+                keep_entries + new_entries + self._live_preds(preds, kept_paths)
+            )
         self._commit_snapshot(
             "replace",
-            new_entries,
+            commit_entries,
             {
                 "compacted": True,
                 # iceberg-spark rewrite_data_files result vocabulary — CALL
