@@ -1034,8 +1034,10 @@ def _within_cell_pairs(
     b = assigned.select(
         "cell", F.col(id_col).alias("id_b"), F.col("__cv").alias("__vb")
     )
+    # shuffle-hash, not sort-merge: sorting both sides by cell buys
+    # nothing when every same-cell pair is enumerated anyway
     return (
-        a.join(b, "cell")
+        a.join(b.hint("shuffle_hash"), "cell")
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cosine",
