@@ -658,6 +658,22 @@ class Catalog:
     _SHOW_TABLES_RE = re.compile(
         r"^\s*SHOW\s+TABLES(?:\s+(?:IN|FROM)\s+([\w.]+))?\s*;?\s*$", re.IGNORECASE
     )
+    _SHOW_NS_RE = re.compile(
+        r"^\s*SHOW\s+(?:NAMESPACES|DATABASES|SCHEMAS)"
+        r"(?:\s+(?:IN|FROM)\s+([\w.]+))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+    _CREATE_NS_RE = re.compile(
+        r"^\s*CREATE\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+        r"(IF\s+NOT\s+EXISTS\s+)?([\w.]+)"
+        r"(?:\s+WITH\s+(?:DB)?PROPERTIES\s*\((.*)\))?\s*;?\s*$",
+        re.IGNORECASE | re.DOTALL,
+    )
+    _DROP_NS_RE = re.compile(
+        r"^\s*DROP\s+(?:NAMESPACE|DATABASE|SCHEMA)\s+"
+        r"(IF\s+EXISTS\s+)?([\w.]+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _DESCRIBE_RE = re.compile(
         r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
@@ -690,6 +706,13 @@ class Catalog:
             )  # exact reference message (test/sql_test.rb:95-100)
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
+        m = self._SHOW_NS_RE.match(query)
+        if m:
+            parent = m.group(1).split(".") if m.group(1) else None
+            rows = [(".".join(p),) for p in self.list_namespaces(parent)]
+            return Result(
+                self.spark.createDataFrame(rows, "namespace string")
+            )
         m = self._SHOW_TABLES_RE.match(query)
         if m:
             ns = m.group(1)
@@ -914,6 +937,24 @@ class Catalog:
         if m:
             if_exists = bool(re.search(r"IF\s+EXISTS", query, re.IGNORECASE))
             self.drop_view(self._sql_table_ident(m.group(1)), if_exists=if_exists)
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._CREATE_NS_RE.match(query)
+        if m:
+            props = None
+            if m.group(3):
+                props = {}
+                for p in _split_top_level(m.group(3)):
+                    k, _, v = p.partition("=")
+                    props[k.strip().strip("'")] = v.strip().strip("'")
+            self.create_namespace(
+                m.group(2).split("."),
+                properties=props,
+                if_not_exists=bool(m.group(1)),
+            )
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = self._DROP_NS_RE.match(query)
+        if m:
+            self.drop_namespace(m.group(2).split("."), if_exists=bool(m.group(1)))
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._DDL_RE.match(query)
         if m:

@@ -3369,17 +3369,8 @@ class Table:
         deleted = sum(hits.values())
         if not hits:
             return 0
-        if when_not_matched_by_source_delete is not None:
-            # the clause can delete rows in ANY file (every target row
-            # whose key is absent from the source) — every file rewrites
-            hit_entries, keep_entries = list(data), []
-        else:
-            hit_entries = [
-                e for e in data if e.get("path") in hits or "data-dir" in e
-            ]
-            keep_entries = [
-                e for e in data if e.get("path") not in hits and "data-dir" not in e
-            ]
+        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
         # outstanding MoR predicates apply while reading hit files so their
         # deleted rows are not resurrected into the rewrite; survivors keep
         # their row lineage (id AND sequence — a delete doesn't update them)
@@ -3674,17 +3665,8 @@ class Table:
         updated = sum(hits.values())
         if not hits:
             return 0
-        if when_not_matched_by_source_delete is not None:
-            # the clause can delete rows in ANY file (every target row
-            # whose key is absent from the source) — every file rewrites
-            hit_entries, keep_entries = list(data), []
-        else:
-            hit_entries = [
-                e for e in data if e.get("path") in hits or "data-dir" in e
-            ]
-            keep_entries = [
-                e for e in data if e.get("path") not in hits and "data-dir" not in e
-            ]
+        hit_entries = [e for e in data if e.get("path") in hits or "data-dir" in e]
+        keep_entries = [e for e in data if e.get("path") not in hits and "data-dir" not in e]
         # v3 row lineage through the rewrite: every row keeps its _row_id;
         # rows the UPDATE touches get a NULL materialized sequence cell,
         # which the read path inherits as the rewrite commit's sequence —

@@ -174,3 +174,27 @@ def test_sql_insert_overwrite_and_truncate(spark):
         import shutil
 
         shutil.rmtree(cat.warehouse, ignore_errors=True)
+
+
+def test_namespace_sql_ddl(catalog):
+    catalog.sql(
+        "CREATE NAMESPACE IF NOT EXISTS analytics WITH PROPERTIES ('owner' = 'data')"
+    )
+    catalog.sql("CREATE SCHEMA analytics.raw")  # DATABASE/SCHEMA synonyms
+    names = {r[0] for r in catalog.sql("SHOW NAMESPACES").rows}
+    assert "analytics" in names
+    assert [r[0] for r in catalog.sql("SHOW NAMESPACES IN analytics").rows] == [
+        "analytics.raw"
+    ]
+    assert catalog.namespace_properties("analytics") == {"owner": "data"}
+    # idempotent spellings
+    catalog.sql("CREATE NAMESPACE IF NOT EXISTS analytics")
+    catalog.sql("DROP NAMESPACE analytics.raw")
+    catalog.sql("DROP NAMESPACE IF EXISTS nothere")
+    assert [r[0] for r in catalog.sql("SHOW NAMESPACES IN analytics").rows] == []
+    import pytest
+
+    from iceberg_ruby_spark.errors import NoSuchNamespaceError
+
+    with pytest.raises(NoSuchNamespaceError):
+        catalog.sql("DROP NAMESPACE nothere")
