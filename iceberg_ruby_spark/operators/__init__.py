@@ -21,6 +21,7 @@ where Spark lacks the primitive.
 from iceberg_ruby_spark.operators.dedup import (
     connected_components,
     decontaminate,
+    decontaminate_spans,
     shared_span_stats,
     embedding_cosine_pairs,
     exact_dedup,
@@ -89,6 +90,7 @@ from iceberg_ruby_spark.operators.multimodal import (
 __all__ = [
     "connected_components",
     "decontaminate",
+    "decontaminate_spans",
     "shared_span_stats",
     "line_dedup",
     "remove_shared_spans",

@@ -1230,6 +1230,23 @@ def remove_shared_spans(
         )
         .distinct()
     )
+    return _remove_covered(
+        corpus, tok_rows, covered, text_col, id_col, drop_empty_docs
+    )
+
+
+def _remove_covered(
+    corpus: DataFrame,
+    tok_rows: DataFrame,
+    covered: DataFrame,
+    text_col: str,
+    id_col: str,
+    drop_empty_docs: bool,
+) -> DataFrame:
+    """Cut the ``covered`` (id, pos) token positions out of the corpus and
+    re-assemble touched documents in order — the shared tail of
+    :func:`remove_shared_spans` and :func:`decontaminate_spans`.
+    Untouched documents keep their text verbatim."""
     n_removed = covered.groupBy(id_col).agg(
         F.count(F.lit(1)).alias("__n_removed")
     )
@@ -1266,3 +1283,66 @@ def remove_shared_spans(
     if drop_empty_docs:
         out = out.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
     return out
+
+
+def decontaminate_spans(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 13,
+    drop_empty_docs: bool = False,
+) -> DataFrame:
+    """Span-level benchmark decontamination: instead of dropping whole
+    contaminated documents (:func:`decontaminate`), CUT the token spans
+    that overlap a benchmark ``ngram``-gram and keep the rest of the
+    document — the surgical variant production pipelines prefer when a
+    long document contains one quoted eval question.  Matching is
+    case-folded (the GPT-3 13-gram rule); removal operates on the
+    original tokens, re-joined with single spaces in touched documents.
+    Adds ``n_removed_tokens``.
+
+    100 TB shape: the benchmark's distinct grams BROADCAST; the corpus's
+    positional grams probe them map-side — the corpus is NEVER shuffled
+    to find contamination; only contaminated docs' (pos, token) rows
+    reach the reassembly aggregate."""
+    bench_grams = benchmark.select(
+        F.explode(token_shingle_array(text_col, ngram)).alias("__g")
+    ).distinct()
+    toks_arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
+    tok_rows = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
+    )
+    starts = F.when(
+        F.size("__toks") >= ngram,
+        F.sequence(F.lit(0), F.size("__toks") - ngram),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = (
+        base.select(F.col(id_col), F.col("__toks"), F.explode(starts).alias("pos"))
+        .select(
+            F.col(id_col),
+            "pos",
+            F.lower(
+                F.concat_ws(
+                    " ", F.slice(F.col("__toks"), F.col("pos") + 1, F.lit(ngram))
+                )
+            ).alias("__g"),
+        )
+    )
+    hit = grams.join(F.broadcast(bench_grams), "__g")
+    covered = (
+        hit.select(
+            F.col(id_col),
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    return _remove_covered(
+        corpus, tok_rows, covered, text_col, id_col, drop_empty_docs
+    )

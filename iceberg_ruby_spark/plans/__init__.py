@@ -50,7 +50,7 @@ _NEVER_DRIVER_CHECKED = [
     "dedup_line_corpus", "text_tfidf_top_terms", "dedup_semantic",
     "dedup_remove_spans", "engine_cdc_apply", "embedding_ann_pq",
     "engine_merge_delete_clause", "text_strip_html",
-    "engine_merge_full_sync",
+    "engine_merge_full_sync", "dedup_decontaminate_spans",
 ]
 
 _LAST_CHECKED_R4 = [

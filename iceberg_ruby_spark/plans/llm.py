@@ -1604,3 +1604,69 @@ def text_strip_html(spark, sf_dir):
     return d.select(
         "doc_id", strip_html(wrapped).alias("text")
     ).orderBy("doc_id")
+
+
+@query(
+    "dedup_decontaminate_spans",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, text,
+             list_filter(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                         x -> x <> '') AS a
+      FROM documents
+    ), bt AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS a
+      FROM documents WHERE doc_id < 10
+    ), b AS (
+      SELECT DISTINCT array_to_string(a[i:i+12], ' ') AS g
+      FROM bt, UNNEST(range(1, greatest(len(a) - 12, 1) + 1)) AS r(i)
+    ), g AS (
+      SELECT doc_id, i AS pos, lower(array_to_string(a[i+1:i+13], ' ')) AS g
+      FROM t, UNNEST(range(len(a) - 12)) AS r(i)
+      WHERE len(a) >= 13
+    ), hit AS (
+      SELECT g.doc_id, g.pos FROM g JOIN b USING (g)
+    ), covered AS (
+      SELECT DISTINCT doc_id, pos + j AS cpos
+      FROM hit, UNNEST(range(13)) AS u(j)
+    ), nrem AS (
+      SELECT doc_id, count(*) AS n_removed FROM covered GROUP BY 1
+    ), toks AS (
+      SELECT t.doc_id, i AS pos, a[i+1] AS tok
+      FROM t JOIN nrem ON nrem.doc_id = t.doc_id, UNNEST(range(len(a))) AS r(i)
+    ), kept AS (
+      SELECT k.doc_id, k.pos, k.tok
+      FROM toks k LEFT JOIN covered c
+        ON c.doc_id = k.doc_id AND c.cpos = k.pos
+      WHERE c.doc_id IS NULL
+    ), re AS (
+      SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM kept GROUP BY 1
+    )
+    SELECT d.doc_id,
+           CASE WHEN nrem.n_removed > 0 THEN coalesce(re.new_text, '')
+                ELSE d.text END AS text,
+           CAST(coalesce(nrem.n_removed, 0) AS BIGINT) AS n_removed_tokens
+    FROM documents d
+    LEFT JOIN nrem ON nrem.doc_id = d.doc_id
+    LEFT JOIN re ON re.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+)
+def dedup_decontaminate_spans(spark, sf_dir):
+    """Span-level decontamination (operators/dedup.py
+    ``decontaminate_spans``): token spans overlapping a benchmark
+    13-gram (here: the first 10 documents stand in as the eval set) are
+    cut and documents re-assembled — the surgical variant of the GPT-3
+    13-gram rule.  Benchmark grams broadcast; the corpus is never
+    shuffled to find contamination.  The DuckDB twin re-derives bench
+    grams, positional matches, coverage, and reassembly."""
+    from iceberg_ruby_spark.operators.dedup import decontaminate_spans
+
+    d = load(spark, sf_dir, "documents")
+    bench = d.filter(F.col("doc_id") < 10)
+    return (
+        decontaminate_spans(d, bench, ngram=13)
+        .select("doc_id", "text", "n_removed_tokens")
+        .orderBy("doc_id")
+    )

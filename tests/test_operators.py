@@ -915,3 +915,30 @@ def test_strip_html(spark):
     )
     assert out[2] == ""  # null-safe
     assert out[3] == "plain text"  # idempotent on plain text
+
+
+def test_decontaminate_spans(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, "intro words What is the capital of France answer Paris end"),
+            (2, "totally clean document with original content"),
+            (3, "What is the capital of France"),
+            (4, None),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(1, "what is the capital of france")], "q long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in ops.decontaminate_spans(corpus, bench, ngram=6).collect()
+    }
+    # the quoted eval question is cut (case-folded match), rest survives
+    assert out[1].text == "intro words answer Paris end"
+    assert out[1].n_removed_tokens == 6
+    assert out[2].text == "totally clean document with original content"
+    assert out[3].text == "" and out[3].n_removed_tokens == 6
+    assert out[4].text is None and out[4].n_removed_tokens == 0
+    kept = ops.decontaminate_spans(corpus, bench, ngram=6, drop_empty_docs=True)
+    assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
