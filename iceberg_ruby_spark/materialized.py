@@ -1,0 +1,152 @@
+"""Incrementally-maintained materialized aggregates — the continuous-
+aggregate / hypertable-rollup pattern (TimescaleDB continuous aggregates,
+Materialize-style incremental view maintenance) expressed over engine
+tables (the reference has no materialization surface; SURVEY.md §2
+Tier C north star "hypertable rollup").
+
+A :class:`MaterializedAggregate` is a normal engine table holding one row
+per group with decomposable aggregate state, plus a watermark — the
+source snapshot id the state reflects — carried IN the rollup table's
+snapshot summaries.  ``refresh()`` reads ONLY the source rows appended
+since the watermark (``Table.incremental_scan``: O(new files), nothing
+else opened), partially aggregates them, and folds them into the rollup
+with ONE ``MERGE`` whose matched-update expressions are the aggregate
+combine functions (sum+sum, count+count, least/greatest).  The watermark
+rides the merge commit's summary, so refresh is atomic — either the
+merge landed with its watermark or it didn't, and a re-run folds exactly
+the missed window (the same exactly-once shape the streaming sink uses
+for batch ids).
+
+At 100 TB this is the difference between re-scanning the fact table per
+dashboard refresh and touching only the appended files: refresh cost
+tracks ingest volume, never table size.  Supported aggregates are the
+decomposable ones — ``sum``, ``count``, ``min``, ``max`` (``avg`` =
+materialize sum + count, divide at query time).  Sources must be
+append-only between refreshes (the incremental scan REFUSES windows
+containing rewrites — honest failure, not silent double counting);
+after a source compaction, ``refresh(full=True)`` rebuilds the state.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+_WATERMARK_KEY = "mv-source-snapshot-id"
+
+_COMBINE = {
+    "sum": lambda c: f"t.{c} + s.{c}",
+    "count": lambda c: f"t.{c} + s.{c}",
+    "min": lambda c: f"least(t.{c}, s.{c})",
+    "max": lambda c: f"greatest(t.{c}, s.{c})",
+}
+
+
+class MaterializedAggregate:
+    """``aggs`` maps output column → (fn, source column); fn in
+    sum/count/min/max; count accepts "*".  The rollup table is created on
+    first refresh (group columns typed from the source schema, aggregate
+    columns from a partial aggregation's types)."""
+
+    def __init__(
+        self,
+        catalog,
+        name: str,
+        source,
+        group_by: list[str],
+        aggs: dict[str, tuple],
+    ):
+        for out, (fn, _col) in aggs.items():
+            if fn not in _COMBINE:
+                raise InvalidDataError(
+                    f"aggregate {fn!r} for {out!r} is not decomposable; "
+                    "supported: sum, count, min, max (avg = sum + count)"
+                )
+            if out in group_by:
+                raise InvalidDataError(f"aggregate column {out!r} shadows a key")
+        self.catalog = catalog
+        self.name = name
+        self.source = source
+        self.group_by = list(group_by)
+        self.aggs = dict(aggs)
+
+    # -- aggregation pieces --------------------------------------------------
+    def _partial(self, rows: DataFrame) -> DataFrame:
+        exprs = []
+        for out, (fn, col) in self.aggs.items():
+            if fn == "count":
+                target = F.lit(1) if col in ("*", None) else F.col(col)
+                exprs.append(F.count(target).alias(out))
+            else:
+                exprs.append(getattr(F, fn)(F.col(col)).alias(out))
+        return rows.groupBy(*self.group_by).agg(*exprs)
+
+    def _rollup_table(self):
+        if not self.catalog.table_exists(self.name):
+            return None
+        return self.catalog.load_table(self.name)
+
+    def _watermark(self, rollup) -> Optional[int]:
+        """Newest source snapshot folded in — read from the rollup's
+        snapshot summaries (atomic with the merges that moved it)."""
+        for s in reversed(rollup.snapshots):
+            v = (s.summary or {}).get(_WATERMARK_KEY)
+            if v is not None:
+                return int(v)
+        return None
+
+    # -- public --------------------------------------------------------------
+    def refresh(self, full: bool = False):
+        """Fold source rows appended since the watermark into the rollup
+        (ONE merge).  ``full=True`` recomputes from scratch (one overwrite
+        commit) — required after the source was compacted/rewritten."""
+        src = self.source.refresh()
+        head = src.current_snapshot_id
+        rollup = self._rollup_table()
+        if rollup is None:
+            schema = {}
+            src_fields = {f.name: f.field_type.name for f in src.current_schema().fields}
+            for k in self.group_by:
+                if k not in src_fields:
+                    raise InvalidDataError(f"group column {k!r} not in source")
+                schema[k] = src_fields[k]
+            probe = self._partial(src.to_df().limit(0))
+            for f in probe.schema.fields:
+                if f.name not in schema:
+                    schema[f.name] = f.dataType.simpleString()
+            rollup = self.catalog.create_table(self.name, schema=schema)
+        since = None if full else self._watermark(rollup)
+        if head is None or since == head:
+            return rollup  # nothing new
+        if full or since is None:
+            state = self._partial(src.to_df())
+            # watermark rides the overwrite commit — atomic with the state
+            rollup.overwrite(state, summary_extra={_WATERMARK_KEY: str(head)})
+            return rollup.refresh()
+        delta = src.incremental_scan(from_snapshot_id=since, to_snapshot_id=head)
+        part = self._partial(delta)
+        if part.isEmpty():
+            # empty window (metadata-only source commits): leave the
+            # watermark where it is — re-deriving the same empty window
+            # next refresh folds nothing, so this is already idempotent
+            return rollup
+        rollup.merge_into(
+            part,
+            on=self.group_by,
+            when_matched_update={
+                out: _COMBINE[fn](out) for out, (fn, _c) in self.aggs.items()
+            },
+            when_not_matched_insert=True,
+            summary_extra={_WATERMARK_KEY: str(head)},
+        )
+        return rollup.refresh()
+
+    def to_df(self) -> DataFrame:
+        rollup = self._rollup_table()
+        if rollup is None:
+            raise InvalidDataError(f"materialized aggregate {self.name!r} not yet refreshed")
+        return rollup.to_df()

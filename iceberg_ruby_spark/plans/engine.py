@@ -896,3 +896,58 @@ def engine_merge_full_sync(spark, sf_dir):
     if cow.exceptAll(mor).count() or mor.exceptAll(cow).count():
         raise RuntimeError("CoW and MoR full-sync paths disagree")
     return cow
+
+
+@query(
+    "engine_materialized_agg",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+    FROM orders WHERE o_orderkey < 3000
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def engine_materialized_agg(spark, sf_dir):
+    """Incrementally-maintained materialized aggregate
+    (materialized.py MaterializedAggregate — the continuous-aggregate /
+    hypertable-rollup pattern): three source appends with a refresh after
+    each, each refresh reading ONLY the appended window (incremental
+    scan) and folding it in with one combine-merge; the final state must
+    equal a from-scratch GROUP BY over everything (the DuckDB twin).
+    Sum folded through DECIMAL(18,6) so the three-batch accumulation
+    order is engine-neutral."""
+    from iceberg_ruby_spark.materialized import MaterializedAggregate
+
+    cat = _temp_catalog(spark)
+    src = cat.create_table(
+        "mv_src", schema={"o_orderkey": "long", "o_orderpriority": "string",
+                          "o_totalprice": "double",
+                          "dec_price": "decimal(18, 6)"}
+    )
+    # sums fold through DECIMAL so per-batch accumulation and the
+    # combine-merge are EXACT — engine-neutral regardless of batch order
+    mv = MaterializedAggregate(
+        cat, "mv_rollup", src, group_by=["o_orderpriority"],
+        aggs={"total": ("sum", "dec_price"), "n": ("count", "*"),
+              "lo": ("min", "o_totalprice"), "hi": ("max", "o_totalprice")},
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    for lo, hi in ((0, 1000), (1000, 2000), (2000, 3000)):
+        src.append(
+            orders.filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            ).select(
+                "o_orderkey", "o_orderpriority", "o_totalprice",
+                F.col("o_totalprice").cast("decimal(18, 6)").alias("dec_price"),
+            )
+        )
+        mv.refresh()
+    out = mv.to_df()
+    return out.select(
+        "o_orderpriority",
+        F.col("total").cast("double").alias("total"),
+        F.col("n").cast("long").alias("n"),
+        "lo", "hi",
+    ).orderBy("o_orderpriority")

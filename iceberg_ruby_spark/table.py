@@ -2958,14 +2958,18 @@ class Table:
         )
         return len(new_entries)
 
-    def overwrite(self, data: Any) -> "Table":
+    def overwrite(self, data: Any, summary_extra: Optional[dict] = None) -> "Table":
         """Full-table replace — beyond the reference's surface (its UPDATE /
-        DELETE error out, ``test/sql_test.rb:55-69``)."""
+        DELETE error out, ``test/sql_test.rb:55-69``).  ``summary_extra``
+        rides the snapshot summary (materialized-aggregate rebuilds stamp
+        their source watermark there, atomic with the state)."""
         self._check_writable()
         df = self._normalize_input(data)
         new_entries = self._write_data_dir(df)
         n = self._entries_rowcount(new_entries)
-        self._commit_snapshot("overwrite", new_entries, {"added-records": n})
+        self._commit_snapshot(
+            "overwrite", new_entries, {"added-records": n, **(summary_extra or {})}
+        )
         return self
 
     def _resolve_write_mode(self, prop: str) -> str:

@@ -1,0 +1,70 @@
+"""Incrementally-maintained materialized aggregates (materialized.py):
+refresh folds only the appended window; state equals a from-scratch
+aggregate; rewrites are refused until full=True."""
+
+import pytest
+
+from iceberg_ruby_spark.errors import InvalidDataError
+from iceberg_ruby_spark.materialized import MaterializedAggregate
+
+
+def test_materialized_agg_incremental(catalog):
+    t = catalog.create_table("mv_facts", schema={"grp": "string", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_facts_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x"), "n": ("count", "*"),
+              "lo": ("min", "x"), "hi": ("max", "x")},
+    )
+    t.append([{"grp": "a", "x": 1.0}, {"grp": "b", "x": 2.0}])
+    mv.refresh()
+    t.append([{"grp": "a", "x": 3.0}, {"grp": "c", "x": 5.0}])
+    mv.refresh()
+    t.append([{"grp": "b", "x": -1.0}])
+    r = mv.refresh()
+    assert sorted(
+        (x["grp"], x["total"], x["n"], x["lo"], x["hi"]) for x in r.to_a()
+    ) == [
+        ("a", 4.0, 2, 1.0, 3.0),
+        ("b", 1.0, 2, -1.0, 2.0),
+        ("c", 5.0, 1, 5.0, 5.0),
+    ]
+    # nothing new -> no commit (idempotent refresh)
+    snap = r.current_snapshot_id
+    mv.refresh()
+    assert catalog.load_table("mv_facts_agg").current_snapshot_id == snap
+    # source rewrite: incremental refresh refuses, full rebuild recovers
+    t.compact()
+    t.append([{"grp": "a", "x": 10.0}])
+    with pytest.raises(InvalidDataError):
+        mv.refresh()
+    r = mv.refresh(full=True)
+    assert sorted((x["grp"], x["total"]) for x in r.to_a()) == [
+        ("a", 14.0), ("b", 1.0), ("c", 5.0)
+    ]
+    # incremental maintenance resumes from the rebuilt watermark
+    t.append([{"grp": "c", "x": 1.0}])
+    r = mv.refresh()
+    assert sorted((x["grp"], x["total"]) for x in r.to_a()) == [
+        ("a", 14.0), ("b", 1.0), ("c", 6.0)
+    ]
+
+
+def test_materialized_agg_guards(catalog):
+    t = catalog.create_table("mv_g", schema={"grp": "string", "x": "double"})
+    with pytest.raises(InvalidDataError, match="not decomposable"):
+        MaterializedAggregate(
+            catalog, "mv_g_a", t, group_by=["grp"], aggs={"m": ("median", "x")}
+        )
+    with pytest.raises(InvalidDataError, match="shadows a key"):
+        MaterializedAggregate(
+            catalog, "mv_g_b", t, group_by=["grp"], aggs={"grp": ("sum", "x")}
+        )
+    mv = MaterializedAggregate(
+        catalog, "mv_g_c", t, group_by=["nope"], aggs={"s": ("sum", "x")}
+    )
+    with pytest.raises(InvalidDataError, match="not in source"):
+        mv.refresh()
+    with pytest.raises(InvalidDataError, match="not yet refreshed"):
+        MaterializedAggregate(
+            catalog, "mv_never", t, group_by=["grp"], aggs={"s": ("sum", "x")}
+        ).to_df()
