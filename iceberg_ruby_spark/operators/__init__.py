@@ -46,6 +46,8 @@ from iceberg_ruby_spark.operators.similarity import (
     ivf_index,
     ivf_assign,
     ivf_search,
+    ivf_table_index,
+    ivf_table_search,
     lsh_ann_topk,
     pq_encode,
     pq_index,
@@ -117,6 +119,8 @@ __all__ = [
     "ivf_search",
     "quantize_int8",
     "lsh_ann_topk",
+    "ivf_table_index",
+    "ivf_table_search",
     "pq_encode",
     "pq_index",
     "pq_search",

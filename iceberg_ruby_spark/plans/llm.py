@@ -1670,3 +1670,26 @@ def dedup_decontaminate_spans(spark, sf_dir):
         .select("doc_id", "text", "n_removed_tokens")
         .orderBy("doc_id")
     )
+
+
+@query("embedding_ann_ivf_table", oracle=_EXACT_TOPK_SQL)
+def embedding_ann_ivf_table(spark, sf_dir):
+    """IVF index persisted AS AN ENGINE TABLE (operators/similarity.py
+    ``ivf_table_index``): corpus written cell-partitioned, centroids in
+    table properties, search scans ONLY the probed cells' files
+    (partition/bounds pruning — plan-asserted in pytest).  Run at full
+    probe so every candidate is covered and the exact top-k SQL is a
+    row-for-row twin; partial-probe recall and the 2-of-16-files plan
+    are pinned by pytest."""
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.operators.similarity import (
+        ivf_table_index,
+        ivf_table_search,
+    )
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    emb = load(spark, sf_dir, "embeddings")
+    t = ivf_table_index(cat, "emb_ivf_q", emb, n_cells=16, seed=42)
+    q = emb.filter(F.col("vec_id") < 5)
+    return ivf_table_search(t, q, k=10, n_probe=16)

@@ -234,3 +234,41 @@ def test_pq_topk_recall_and_exact_regime(spark):
     )
     with pytest.raises(InvalidDataError, match="not divisible"):
         pq_index(bad, m=2)
+
+
+def test_ivf_table_index_pruning_and_recall(catalog, spark):
+    from iceberg_ruby_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_table_index,
+        ivf_table_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    t = ivf_table_index(catalog, "emb_ivf_t", emb, n_cells=8, seed=42)
+    # the index is self-contained table state
+    import json
+
+    cents = json.loads(t.properties["ivf.centroids"])
+    assert len(cents) == 8
+    # probing 2 cells plans exactly the 2 cells' files, not the table
+    all_files = len([e for e in t._current_entries() if "path" in e])
+    pruned = len(t.scan().filter("cell = 1 OR cell = 5").plan_files())
+    assert all_files == 8 and pruned == 2
+    # full probe == exact top-k, row for row
+    q = emb.filter("vec_id < 3")
+    full = sorted(
+        tuple(r) for r in ivf_table_search(t, q, k=5, n_probe=8).collect()
+    )
+    exact = sorted(tuple(r) for r in cosine_topk(emb, q, k=5).collect())
+    assert full == exact
+    # incremental ingest: assign against the SAVED centroids and append;
+    # searches see old ∪ new through the same pruned layout
+    new = emb.selectExpr("vec_id + 100000 AS vec_id", "embedding", "label")
+    t.append(
+        ivf_assign(cents, new).selectExpr(
+            "vec_id", "cell", "CAST(__cv AS array<float>) AS embedding"
+        )
+    )
+    grown = ivf_table_search(t.refresh(), q, k=5, n_probe=8)
+    assert grown.count() == q.count() * 5
