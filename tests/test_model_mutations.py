@@ -55,17 +55,35 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
         if op == "merge":
             mode = rnd.choice(["copy-on-write", "merge-on-read"])
             live = sorted(model)
-            upd_keys = rnd.sample(live, min(3, len(live))) if live else []
+            picked = rnd.sample(live, min(5, len(live))) if live else []
+            del_keys = picked[:2] if rnd.random() < 0.5 else []
+            upd_keys = [k for k in picked if k not in del_keys]
             ins_keys = [next_key + i for i in range(2)]
             next_key += 2
             val = f"m{step}"
-            src = t.spark.createDataFrame(
-                [(k, val) for k in upd_keys + ins_keys], "k int, v string"
+            rows = [(k, val, "del" if k in del_keys else "keep")
+                    for k in picked + ins_keys]
+            src = t.spark.createDataFrame(rows, "k int, v string, op string")
+            nmbs = None
+            if rnd.random() < 0.3:
+                m = rnd.randrange(5, 9)
+                nmbs = f"t.k % {m} = 0"
+            t.merge_into(
+                src, on="k", when_matched_update={"v": "s.v"},
+                when_matched_delete="s.op = 'del'",
+                when_not_matched_by_source_delete=nmbs,
+                mode=mode,
             )
-            t.merge_into(src, on="k", when_matched_update={"v": "s.v"}, mode=mode)
+            src_keys = set(picked + ins_keys)
+            for k in del_keys:
+                del model[k]
+            if nmbs is not None:
+                for k in [k for k in model if k not in src_keys and k % m == 0]:
+                    del model[k]
             for k in upd_keys + ins_keys:
                 model[k] = val
-            op = f"merge[{mode}] upd={upd_keys} ins={ins_keys}"
+            op = (f"merge[{mode}] upd={upd_keys} del={del_keys} "
+                  f"ins={ins_keys} nmbs={nmbs}")
         elif op == "delete_by_keys":
             live = sorted(model)
             keys = rnd.sample(live, min(2, len(live))) if live else []
@@ -102,7 +120,10 @@ def _run_model(catalog, seed: int, steps: int = 12) -> None:
                 model[k] = val
             op = f"update[{mode}] {cond}"
         elif op == "compact":
-            t.compact()
+            if rnd.random() < 0.5:
+                t.compact(where=f"k < {rnd.randrange(5, 40)}")
+            else:
+                t.compact()
         elif op == "rewrite_pos_deletes":
             # maintenance: must NEVER change visible rows
             t.rewrite_position_deletes()
