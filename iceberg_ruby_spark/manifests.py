@@ -541,6 +541,34 @@ def _bounds_to_spec(
     return sorted(out, key=lambda kv: kv["key"]) or None
 
 
+def _counts_to_spec(
+    counts: Optional[dict[str, Any]], schema: Optional[ice_t.Schema]
+) -> Optional[list[dict[str, Any]]]:
+    """name→count → the spec's field-id-keyed k/v list (null_value_counts
+    et al.)."""
+    if not counts or schema is None:
+        return None
+    out = []
+    for name, v in counts.items():
+        f = schema.field_by_name(name)
+        if f is not None and v is not None:
+            out.append({"key": f.field_id, "value": int(v)})
+    return sorted(out, key=lambda kv: kv["key"]) or None
+
+
+def _counts_from_spec(
+    kvs: Optional[list[dict[str, Any]]], schema: Optional[ice_t.Schema]
+) -> dict[str, int]:
+    out: dict[str, int] = {}
+    if not kvs or schema is None:
+        return out
+    for kv in kvs:
+        f = schema.field_by_id(kv["key"])
+        if f is not None:
+            out[f.name] = int(kv["value"])
+    return out
+
+
 def _dir_size(ops: Any, path: str) -> int:
     total = 0
     for f in ops.io.list(path):
@@ -744,6 +772,9 @@ def write_avro_manifests(
                 or 0,
                 "lower_bounds": _bounds_to_spec(e.get("lower-bounds", {}), eschema),
                 "upper_bounds": _bounds_to_spec(e.get("upper-bounds", {}), eschema),
+                "null_value_counts": _counts_to_spec(
+                    e.get("null-counts"), eschema
+                ),
             }
             if ctx.format_version >= 3:
                 # v3: row-lineage range start lives in its spec slot
@@ -992,6 +1023,9 @@ def read_one_avro_manifest(ops: Any, mpath: str) -> list[dict[str, Any]]:
                 "lower-bounds": _bounds_from_spec(df.get("lower_bounds"), schema),
                 "upper-bounds": _bounds_from_spec(df.get("upper_bounds"), schema),
             }
+            ncounts = _counts_from_spec(df.get("null_value_counts"), schema)
+            if ncounts:
+                entry["null-counts"] = ncounts
             if ext.get("dseq") is not None:
                 entry["data-sequence-number"] = ext["dseq"]
             # v3 manifests carry the lineage range start in spec field

@@ -156,10 +156,11 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         os.makedirs(dir_path, exist_ok=True)
         path = os.path.join(dir_path, f"stream-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, path)
-        lower, upper = {}, {}
+        lower, upper, nulls = {}, {}, {}
         for c in self._stats_cols:
             if c not in tbl.column_names:
                 continue
+            nulls[c] = int(tbl.column(c).null_count)
             mm = pc.min_max(tbl.column(c))
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is not None:
@@ -170,6 +171,7 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             "size": os.path.getsize(path),
             "lower": lower,
             "upper": upper,
+            "nulls": nulls,
         }
 
     def write(self, iterator: Iterator) -> _FileMsg:
@@ -256,6 +258,7 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
                 "upper-bounds": {
                     c: Table._json_stat(v) for c, v in (f["upper"] or {}).items()
                 },
+                "null-counts": dict(f.get("nulls") or {}),
             }
             for f in files
         ]

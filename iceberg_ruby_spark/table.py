@@ -2161,6 +2161,12 @@ class Table:
         for c in stat_cols:
             aggs.append(F.min(c).alias(f"__min_{c}"))
             aggs.append(F.max(c).alias(f"__max_{c}"))
+            # per-file null counts (spec null_value_counts, field 110):
+            # IS NULL prunes files with zero nulls, IS NOT NULL prunes
+            # all-null files — bounds can't see either
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nc_{c}")
+            )
         rows = (
             written.groupBy(F.col("_metadata.file_path").alias("__path"))
             .agg(*aggs)
@@ -2185,6 +2191,7 @@ class Table:
                     "file-size-bytes": self.ops.io.size(path),
                     "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
                     "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
+                    "null-counts": {c: int(d[f"__nc_{c}"] or 0) for c in stat_cols},
                 }
             )
         entries.sort(key=lambda e: e["path"])
@@ -4594,6 +4601,13 @@ def _parse_predicate(s: str):
         if col is None or not re.match(r"^[A-Za-z_]", col):
             return None
         op = take()
+        if op is not None and op.upper() == "IS":
+            neg = peek() is not None and peek().upper() == "NOT"
+            if neg:
+                take()
+            if peek() is None or take().upper() != "NULL":
+                return None
+            return ("cmp", col, "notnull" if neg else "isnull", None)
         if op not in ("=", "<", "<=", ">", ">=", "!=", "<>"):
             return None
         lit = take()
@@ -4702,6 +4716,8 @@ def _partition_may_match(
             _partition_may_match(pvals, node[2], pfields, schema)
         )
     _, col, op, val = node
+    if op in ("isnull", "notnull"):
+        return True  # identity-null layouts aside, dirs can't prove this
     for name, (tr, src) in pfields.items():
         if src != col or name not in pvals:
             continue
@@ -4770,6 +4786,14 @@ def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     if kind == "or":
         return _bounds_may_match(entry, node[1]) or _bounds_may_match(entry, node[2])
     _, col, op, val = node
+    if op in ("isnull", "notnull"):
+        nc = (entry.get("null-counts") or {}).get(col)
+        rc = entry.get("record-count")
+        if nc is None:
+            return True  # no null stats recorded — keep the file
+        if op == "isnull":
+            return nc > 0
+        return rc is None or nc < rc
     lo = (entry.get("lower-bounds") or {}).get(col)
     hi = (entry.get("upper-bounds") or {}).get(col)
     if lo is None or hi is None:

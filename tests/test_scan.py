@@ -382,3 +382,37 @@ def test_metadata_columns_combine_with_row_lineage(catalog):
         t.scan().with_metadata_columns().filter("k = 2").select("k").to_df().collect()
     )
     assert len(rows2) == 1 and rows2[0]["_pos"] is not None
+
+
+def test_is_null_pruning_and_scan(catalog):
+    t = catalog.create_table("nulls", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])   # no nulls
+    t.append([{"k": 3, "v": None}, {"k": 4, "v": None}])  # all-null v
+    t.append([{"k": 5, "v": "c"}, {"k": 6, "v": None}])   # mixed
+    ents = [e for e in t._current_entries() if "path" in e]
+    assert all("null-counts" in e for e in ents)
+    n_files = len(ents)
+    # IS NULL skips zero-null files; IS NOT NULL skips all-null files
+    planned_null = len(t.scan().filter("v IS NULL").plan_files())
+    planned_notnull = len(t.scan().filter("v IS NOT NULL").plan_files())
+    assert planned_null < n_files and planned_notnull < n_files
+    assert sorted(r["k"] for r in t.scan().filter("v IS NULL").to_a()) == [3, 4, 6]
+    assert sorted(
+        r["k"] for r in t.scan().filter("v IS NOT NULL").to_a()
+    ) == [1, 2, 5]
+    # composes with other predicates
+    assert sorted(
+        r["k"] for r in t.scan().filter("v IS NULL AND k > 3").to_a()
+    ) == [4, 6]
+    # avro manifests carry spec null_value_counts (field 110) round trip
+    t2 = catalog.create_table(
+        "nulls_avro",
+        schema={"k": "int", "v": "string"},
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    t2.append([{"k": 1, "v": None}, {"k": 2, "v": "x"}])
+    assert any(
+        e.get("null-counts", {}).get("v") == 1
+        for e in t2._current_entries()
+        if "path" in e
+    )
