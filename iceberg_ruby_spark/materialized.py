@@ -59,6 +59,7 @@ class MaterializedAggregate:
         source,
         group_by: list[str],
         aggs: dict[str, tuple],
+        derived: Optional[dict[str, str]] = None,
     ):
         for out, (fn, _col) in aggs.items():
             if fn not in _COMBINE:
@@ -73,9 +74,14 @@ class MaterializedAggregate:
         self.source = source
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        # derived group keys (the hypertable time_bucket: group on a SQL
+        # expression of source columns, e.g. day = date_trunc('DAY', ts))
+        self.derived = dict(derived or {})
 
     # -- aggregation pieces --------------------------------------------------
     def _partial(self, rows: DataFrame) -> DataFrame:
+        for k, expr in self.derived.items():
+            rows = rows.withColumn(k, F.expr(expr))
         exprs = []
         for out, (fn, col) in self.aggs.items():
             if fn == "count":
@@ -111,6 +117,8 @@ class MaterializedAggregate:
             schema = {}
             src_fields = {f.name: f.field_type.name for f in src.current_schema().fields}
             for k in self.group_by:
+                if k in self.derived:
+                    continue  # typed from the probe below
                 if k not in src_fields:
                     raise InvalidDataError(f"group column {k!r} not in source")
                 schema[k] = src_fields[k]
@@ -118,7 +126,10 @@ class MaterializedAggregate:
             for f in probe.schema.fields:
                 if f.name not in schema:
                     schema[f.name] = f.dataType.simpleString()
-            rollup = self.catalog.create_table(self.name, schema=schema)
+            # keep key-first column order whatever the probe returned
+            ordered = {k: schema[k] for k in self.group_by}
+            ordered.update({k: v for k, v in schema.items() if k not in ordered})
+            rollup = self.catalog.create_table(self.name, schema=ordered)
         since = None if full else self._watermark(rollup)
         if head is None or since == head:
             return rollup  # nothing new

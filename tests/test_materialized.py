@@ -68,3 +68,26 @@ def test_materialized_agg_guards(catalog):
         MaterializedAggregate(
             catalog, "mv_never", t, group_by=["grp"], aggs={"s": ("sum", "x")}
         ).to_df()
+
+
+def test_materialized_agg_time_bucket(catalog):
+    """Hypertable-style time-bucketed rollup: group on a derived
+    date_trunc expression, incrementally folded across appends."""
+    import datetime
+
+    t = catalog.create_table("mv_ev", schema={"ts": "timestamp", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_ev_daily", t, group_by=["day"],
+        aggs={"total": ("sum", "x"), "n": ("count", "*")},
+        derived={"day": "date_trunc('DAY', ts)"},
+    )
+    d1 = datetime.datetime(2026, 8, 1, 3)
+    d2 = datetime.datetime(2026, 8, 2, 5)
+    t.append([{"ts": d1, "x": 1.0}, {"ts": d1.replace(hour=9), "x": 2.0}])
+    mv.refresh()
+    t.append([{"ts": d2, "x": 5.0}, {"ts": d1.replace(hour=23), "x": 4.0}])
+    r = mv.refresh()
+    assert sorted((str(x["day"]), x["total"], x["n"]) for x in r.to_a()) == [
+        ("2026-08-01 00:00:00", 7.0, 3),
+        ("2026-08-02 00:00:00", 5.0, 1),
+    ]
