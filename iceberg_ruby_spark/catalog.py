@@ -675,7 +675,9 @@ class Catalog:
         re.IGNORECASE,
     )
     _DESCRIBE_RE = re.compile(
-        r"^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?([\w.]+)\s*;?\s*$", re.IGNORECASE
+        r"^\s*(?:DESCRIBE|DESC)\s+(EXTENDED\s+|FORMATTED\s+)?(?:TABLE\s+)?"
+        r"([\w.]+)\s*;?\s*$",
+        re.IGNORECASE,
     )
     _SHOW_CREATE_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
@@ -732,11 +734,27 @@ class Catalog:
             )
         m = self._DESCRIBE_RE.match(query)
         if m:
-            t = self.load_table(self._sql_table_ident(m.group(1)))
+            t = self.load_table(self._sql_table_ident(m.group(2)))
             rows = [
                 (f.name, f.field_type.name, not f.required, f.doc)
                 for f in t.current_schema().fields
             ]
+            if m.group(1):  # DESCRIBE EXTENDED/FORMATTED: detail rows
+                spec = t.default_partition_spec() or {}
+                parts = ", ".join(
+                    f"{pf.get('transform', 'identity')}({pf['source']})"
+                    for pf in spec.get("fields", [])
+                ) or "(unpartitioned)"
+                rows += [
+                    ("", "", None, None),
+                    ("# Partitioning", parts, None, None),
+                    ("# Location", t.location, None, None),
+                    ("# Format version", str(t.format_version), None, None),
+                    ("# Current snapshot", str(t.current_snapshot_id), None, None),
+                ] + [
+                    (f"# prop:{k}", v, None, None)
+                    for k, v in sorted(t.properties.items())
+                ]
             return Result(
                 self.spark.createDataFrame(
                     rows, "col_name string, data_type string, nullable boolean, "

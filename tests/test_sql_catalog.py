@@ -198,3 +198,20 @@ def test_namespace_sql_ddl(catalog):
 
     with pytest.raises(NoSuchNamespaceError):
         catalog.sql("DROP NAMESPACE nothere")
+
+
+def test_describe_extended(catalog):
+    t = catalog.create_table(
+        "dx",
+        schema={"a": "int"},
+        partition_spec=[("a", "bucket[4]")],
+        properties={"k": "v"},
+    )
+    t.append([{"a": 1}])
+    plain = catalog.sql("DESC dx").rows
+    assert plain == [["a", "int", True, None]]
+    ext = {r[0]: r[1] for r in catalog.sql("DESCRIBE EXTENDED dx").rows}
+    assert ext["# Partitioning"] == "bucket[4](a)"
+    assert ext["# Location"] == t.location
+    assert ext["# prop:k"] == "v"
+    assert int(ext["# Current snapshot"]) == t.current_snapshot_id
