@@ -682,6 +682,11 @@ class Catalog:
     _SHOW_CREATE_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
+    _SHOW_PROPS_RE = re.compile(
+        r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)"
+        r"(?:\s*\(\s*'((?:[^']|'')*)'\s*\))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
     _CALL_RE = re.compile(
         r"^\s*CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
@@ -722,6 +727,18 @@ class Catalog:
             rows = [(".".join(p),) for p in self.list_tables(ns_parts)]
             return Result(
                 self.spark.createDataFrame(rows, "table_name string")
+            )
+        m = self._SHOW_PROPS_RE.match(query)
+        if m:
+            t = self.load_table(self._sql_table_ident(m.group(1)))
+            props = t.properties
+            if m.group(2) is not None:
+                key = m.group(2).replace("''", "'")
+                rows = [(key, props.get(key))]
+            else:
+                rows = sorted(props.items())
+            return Result(
+                self.spark.createDataFrame(rows, "key string, value string")
             )
         m = self._SHOW_CREATE_RE.match(query)
         if m:

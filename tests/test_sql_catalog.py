@@ -215,3 +215,10 @@ def test_describe_extended(catalog):
     assert ext["# Location"] == t.location
     assert ext["# prop:k"] == "v"
     assert int(ext["# Current snapshot"]) == t.current_snapshot_id
+
+
+def test_show_tblproperties(catalog):
+    catalog.create_table("props", schema={"a": "int"}, properties={"k": "v", "x": "1"})
+    assert catalog.sql("SHOW TBLPROPERTIES props").rows == [["k", "v"], ["x", "1"]]
+    assert catalog.sql("SHOW TBLPROPERTIES props ('k')").rows == [["k", "v"]]
+    assert catalog.sql("SHOW TBLPROPERTIES props ('nope')").rows == [["nope", None]]
