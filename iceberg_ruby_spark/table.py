@@ -1664,6 +1664,40 @@ class Table:
             raise InvalidDataError(f"no snapshot exists as of {as_of!r}")
         return self.rollback_to_snapshot(snap.snapshot_id)
 
+    def wap(self, branch: Optional[str] = None):
+        """Write-audit-publish as a context manager — the pattern's whole
+        lifecycle in one block::
+
+            with t.wap() as branch:
+                t.append(staged_rows, branch=branch)
+                t.delete_where("bad = true", branch=branch)
+                audit(t.to_df(ref=branch))        # main is untouched
+            # success → main fast-forwards to the audited head,
+            # branch dropped; an exception → branch dropped, main
+            # never moved (nothing to roll back — staged commits were
+            # branch-scoped)
+
+        ``branch`` names the staging branch (default: a fresh
+        ``wap-<hex>``)."""
+        import contextlib
+
+        table = self
+
+        @contextlib.contextmanager
+        def _wap():
+            name = branch or f"wap-{uuid_mod.uuid4().hex[:8]}"
+            table.create_branch(name)
+            try:
+                yield name
+            except BaseException:
+                table.refresh().drop_ref(name)
+                raise
+            table.refresh().fast_forward(MAIN_BRANCH, name)
+            table.refresh().drop_ref(name)
+            table.refresh()
+
+        return _wap()
+
     def fast_forward(self, branch: str, to: Union[str, int]) -> "Table":
         """Fast-forward ``branch`` to ``to`` (a ref name or snapshot id).
         The target must be a DESCENDANT of the branch's current head —

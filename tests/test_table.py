@@ -682,3 +682,25 @@ def test_compact_where_and_compression(catalog):
 
     with pytest.raises(InvalidDataError, match="parseable predicate"):
         t.compact(where="k LIKE 'x%'")
+
+
+def test_wap_context_manager(catalog):
+    t = catalog.create_table("wap_cm", schema={"k": "int"})
+    t.append([{"k": 1}])
+    with t.wap() as b:
+        t.append([{"k": 2}], branch=b)
+        # main untouched during the audit window; the branch sees staged
+        assert sorted(r["k"] for r in t.to_a()) == [1]
+        assert sorted(r["k"] for r in t.to_a(ref=b)) == [1, 2]
+    # success: main fast-forwarded, staging branch gone
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2]
+    assert list(t.refs) == ["main"]
+    # failure: branch dropped, main never moved
+    import pytest
+
+    with pytest.raises(RuntimeError, match="audit failed"):
+        with t.wap("audit2") as b:
+            t.append([{"k": 99}], branch=b)
+            raise RuntimeError("audit failed")
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2]
+    assert list(t.refs) == ["main"]
