@@ -704,3 +704,23 @@ def test_wap_context_manager(catalog):
             raise RuntimeError("audit failed")
     assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2]
     assert list(t.refs) == ["main"]
+
+
+def test_apply_changelog_composite_keys(catalog):
+    src = catalog.create_table(
+        "cdc_ck_src", schema={"a": "int", "b": "string", "v": "double"}
+    )
+    rep = catalog.create_table(
+        "cdc_ck_rep", schema={"a": "int", "b": "string", "v": "double"}
+    )
+    src.append([{"a": 1, "b": "x", "v": 1.0}, {"a": 1, "b": "y", "v": 2.0}])
+    rep.apply_changelog(src.changelog_scan(), on=["a", "b"])
+    mark = src.current_snapshot_id
+    src.update_where({"v": "9.0"}, "a = 1 AND b = 'x'")
+    src.append([{"a": 2, "b": "x", "v": 3.0}])
+    src.delete_where("b = 'y'")
+    rep.apply_changelog(src.changelog_scan(from_snapshot_id=mark), on=["a", "b"])
+    expect = sorted(
+        (r["a"], r["b"], r["v"]) for r in src.refresh().to_a()
+    )
+    assert sorted((r["a"], r["b"], r["v"]) for r in rep.refresh().to_a()) == expect
