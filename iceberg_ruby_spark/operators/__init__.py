@@ -87,12 +87,14 @@ from iceberg_ruby_spark.operators.multimodal import (
     extract_features,
     resize_media,
     sample_frames,
+    dedup_frames,
 )
 
 __all__ = [
     "connected_components",
     "decontaminate",
     "decontaminate_spans",
+    "dedup_frames",
     "shared_span_stats",
     "line_dedup",
     "remove_shared_spans",

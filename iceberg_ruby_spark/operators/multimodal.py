@@ -221,3 +221,45 @@ def sample_frames(
             )
 
     return df.select("media_id", "payload", "meta").mapInPandas(_frames, FRAME_SCHEMA)
+
+
+def dedup_frames(frames: DataFrame, mode: str = "consecutive") -> DataFrame:
+    """Frame-level dedup over a :data:`FRAME_SCHEMA` frame table — the
+    video-corpus step after :func:`sample_frames`:
+
+    - ``consecutive``: drop frames identical to the PREVIOUS frame of the
+      same media (static scenes sample into runs of identical frames; one
+      lag window per media keeps scene boundaries only).
+    - ``global``: corpus-wide exact frame dedup — one survivor per
+      distinct frame payload, smallest (media_id, frame_index) wins (the
+      cross-video intro/outro/logo-card collapse).
+
+    Both key on an md5 of the frame BYTES, so the shuffle moves 16-byte
+    digests, not frames; null frames (undecodable media) pass through
+    untouched.  No Python in the path — windows over digests only."""
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from pyspark.sql import Window
+
+    nulls = frames.filter(F.col("frame").isNull())
+    body = frames.filter(F.col("frame").isNotNull()).withColumn(
+        "__h", F.md5(F.col("frame"))
+    )
+    if mode == "consecutive":
+        w = Window.partitionBy("media_id").orderBy("frame_index")
+        kept = (
+            body.withColumn("__p", F.lag("__h").over(w))
+            .filter(F.col("__p").isNull() | (F.col("__h") != F.col("__p")))
+            .drop("__h", "__p")
+        )
+    elif mode == "global":
+        w = Window.partitionBy("__h").orderBy("media_id", "frame_index")
+        kept = (
+            body.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__h", "__rn")
+        )
+    else:
+        raise InvalidDataError(
+            f"dedup_frames mode={mode!r}: expected 'consecutive' or 'global'"
+        )
+    return kept.unionByName(nulls)

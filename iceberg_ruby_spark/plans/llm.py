@@ -1693,3 +1693,49 @@ def embedding_ann_ivf_table(spark, sf_dir):
     t = ivf_table_index(cat, "emb_ivf_q", emb, n_cells=16, seed=42)
     q = emb.filter(F.col("vec_id") < 5)
     return ivf_table_search(t, q, k=10, n_probe=16)
+
+
+@query(
+    "multimodal_dedup_frames",
+    oracle="""
+    SELECT doc_id AS media_id, CAST(g.i AS INTEGER) AS frame_index
+    FROM documents, generate_series(0, 6) AS g(i)
+    WHERE doc_id < 200 AND g.i <= doc_id % 5 + 1
+    ORDER BY media_id, frame_index
+    """,
+)
+def multimodal_dedup_frames(spark, sf_dir):
+    """Corpus-global frame dedup (operators/multimodal.py
+    ``dedup_frames``): the 200-doc media slice is duplicated at
+    media_id+1000 with identical payloads, frame-sampled, and deduped —
+    every duplicated frame must collapse to its smallest
+    (media_id, frame_index) owner, i.e. exactly the original slice's
+    frame enumeration (the DuckDB twin).  Digest-keyed windows only; the
+    shuffle moves 16-byte md5s, never frame bytes."""
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        dedup_frames,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "utf-8").alias("payload"),
+    )
+    media = media.unionByName(
+        media.select((F.col("media_id") + 1000).alias("media_id"), "payload")
+    )
+    tagged = attach_media_metadata(media, "payload", fmt="bin").withColumn(
+        "meta",
+        F.col("meta").withField(
+            "duration_ms", (F.col("media_id") % 1000 % 5 + 1) * 1000
+        ),
+    )
+    frames = sample_frames(resize_media(tagged, width=32, height=32), every_ms=1000)
+    return (
+        dedup_frames(frames, mode="global")
+        .select("media_id", "frame_index")
+        .orderBy("media_id", "frame_index")
+    )

@@ -942,3 +942,34 @@ def test_decontaminate_spans(spark):
     assert out[4].text is None and out[4].n_removed_tokens == 0
     kept = ops.decontaminate_spans(corpus, bench, ngram=6, drop_empty_docs=True)
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2]
+
+
+def test_dedup_frames(spark):
+    rows = [
+        # media 1: static scene (frames 0-2 identical), then a change
+        (1, 0, b"A"), (1, 1, b"A"), (1, 2, b"A"), (1, 3, b"B"),
+        # media 2: alternating — nothing consecutive to drop
+        (2, 0, b"A"), (2, 1, b"B"), (2, 2, b"A"),
+        # undecodable frame passes through
+        (3, 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, frame_index int, frame binary"
+    )
+    cons = sorted(
+        (r.media_id, r.frame_index)
+        for r in ops.dedup_frames(df, mode="consecutive").collect()
+    )
+    assert cons == [(1, 0), (1, 3), (2, 0), (2, 1), (2, 2), (3, 0)]
+    glob = sorted(
+        (r.media_id, r.frame_index)
+        for r in ops.dedup_frames(df, mode="global").collect()
+    )
+    # one survivor per distinct payload: A->(1,0), B->(1,3); null passes
+    assert glob == [(1, 0), (1, 3), (3, 0)]
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with pytest.raises(InvalidDataError):
+        ops.dedup_frames(df, mode="bogus")
