@@ -124,6 +124,26 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             for f in eng_schema.fields
             if isinstance(f.field_type, _T._STATS_TYPES)
         ]
+        # identity sort-order fields: each written file is sorted like the
+        # batch writer's sortWithinPartitions, so manifest bounds stay
+        # tight for range predicates on the sort key.  Transformed sort
+        # fields are skipped (best-effort clustering, not a correctness
+        # surface).
+        orders = meta.raw.get("sort-orders", [])
+        default_order = next(
+            (
+                o
+                for o in orders
+                if o.get("order-id") == meta.raw.get("default-sort-order-id", 0)
+            ),
+            None,
+        )
+        self._sort_fields = [
+            (sf["source"], sf.get("direction", "asc") == "desc")
+            for sf in (default_order or {}).get("fields", [])
+            if sf.get("transform", "identity") == "identity"
+            and sf["source"] in self._names
+        ]
 
     # -- executor side -----------------------------------------------------
     @staticmethod
@@ -148,6 +168,16 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         import pyarrow.parquet as pq
 
         idx = {n: j for j, n in enumerate(self._names)}
+        for col, desc in reversed(self._sort_fields):
+            j = idx[col]
+            # None-safe: nulls first on asc, last on desc (stable sorts
+            # compose across the reversed multi-key passes)
+            rows = sorted(
+                rows,
+                key=lambda r: (r[j] is not None, r[j]) if r[j] is not None
+                else (False, 0),
+                reverse=desc,
+            )
         cols = {name: [row[idx[name]] for row in rows] for name in file_cols}
         schema = pa.schema(
             [self._arrow_schema.field(n) for n in file_cols]

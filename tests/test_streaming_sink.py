@@ -270,3 +270,35 @@ def test_native_stream_writer_identity_partitions(catalog, spark, tmp_path):
     assert sorted(r["v"] for r in gold.scan().filter("k = 1").to_a()) == [
         "aa", "cc"
     ]
+
+
+def test_native_stream_writer_sort_order(catalog, spark, tmp_path):
+    """Files written by the sink are sorted by the table's identity
+    sort order, keeping manifest bounds tight for range predicates."""
+    import pyarrow.parquet as pq
+
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("so_bronze", schema={"k": "int", "v": "string"})
+    gold = catalog.create_table(
+        "so_gold",
+        schema={"k": "int", "v": "string"},
+        sort_order=[("k", "desc")],
+    )
+    bronze.append([{"k": i, "v": f"r{i}"} for i in (5, 1, 9, 3, 7)])
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["k"] for r in gold.refresh().to_a()) == [1, 3, 5, 7, 9]
+    for e in gold._current_entries():
+        ks = pq.read_table(e["path"]).column("k").to_pylist()
+        assert ks == sorted(ks, reverse=True), ks
