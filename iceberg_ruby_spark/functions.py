@@ -88,6 +88,33 @@ def register_functions(spark: SparkSession) -> list[str]:
     def icb_simhash(s: pd.Series) -> pd.Series:
         return s.map(_simhash64_py).astype("Int64")
 
+    @F.pandas_udf("string")
+    def icb_strip_html(s: pd.Series) -> pd.Series:
+        import re as _re
+
+        def strip(x):
+            if x is None:
+                return ""
+            # the same RE2-compatible rule chain operators/text.strip_html
+            # runs JVM-side (that Column form is the hot path; this UDF is
+            # the SQL-callable convenience)
+            x = _re.sub(r"(?is)<script[^>]*>.*?</script>", " ", x)
+            x = _re.sub(r"(?is)<style[^>]*>.*?</style>", " ", x)
+            x = _re.sub(r"(?s)<!--.*?-->", " ", x)
+            x = _re.sub(r"(?i)<(?:br|/p|/div|/li|/h[1-6]|/tr)[^>]*>", "\n", x)
+            x = _re.sub(r"<[^>]+>", " ", x)
+            for ent, ch in (
+                ("&nbsp;", " "), ("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                ("&quot;", '"'), ("&#39;", "'"), ("&apos;", "'"),
+            ):
+                x = x.replace(ent, ch)
+            x = _re.sub(r"[ \t]+", " ", x)
+            x = _re.sub(r" ?\n ?", "\n", x)
+            x = _re.sub(r"\n{3,}", "\n\n", x)
+            return _re.sub(r"^\s+|\s+$", "", x)
+
+        return s.map(strip)
+
     @F.pandas_udf("double")
     def icb_cosine(a: pd.Series, b: pd.Series) -> pd.Series:
         def cos(x, y):
@@ -106,6 +133,7 @@ def register_functions(spark: SparkSession) -> list[str]:
         ("icb_fingerprint", icb_fingerprint),
         ("icb_simhash", icb_simhash),
         ("icb_cosine", icb_cosine),
+        ("icb_strip_html", icb_strip_html),
     ]:
         spark.udf.register(name, fn)
         registered.append(name)

@@ -86,3 +86,17 @@ def test_simhash_similar_texts_close(spark, registered):
     a, b = [r[0] for r in df.select(F.expr("icb_simhash(text)")).collect()]
     hamming = bin((a ^ b) & ((1 << 64) - 1)).count("1")
     assert hamming <= 16  # near-dup texts land close in Hamming space
+
+
+def test_icb_strip_html_matches_column_form(catalog, spark):
+    import pyspark.sql.functions as F
+
+    from iceberg_ruby_spark.functions import register_functions
+    from iceberg_ruby_spark.operators.text import strip_html
+
+    register_functions(spark)
+    html = '<p>Hello &amp; <b>world</b></p><script>var x;</script>'
+    df = spark.createDataFrame([(html,), (None,)], "h string")
+    udf_out = [r[0] for r in df.selectExpr("icb_strip_html(h)").collect()]
+    col_out = [r[0] for r in df.select(strip_html(F.col("h"))).collect()]
+    assert udf_out == col_out == ["Hello & world", ""]
