@@ -1124,15 +1124,19 @@ def semantic_dedup(
     pairs = _within_cell_pairs(assigned, id_col, threshold)
     if keep == "min_id":
         return apply_dedup(corpus, pairs, id_col=id_col)
-    cent_lit = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    # centroid-similarity quality via a BROADCAST join against the (tiny)
+    # centroid table — a literal array-of-arrays expression would bloat
+    # the plan at large n_cells (4096 cells × dim literals per evaluation)
+    cent_df = corpus.sparkSession.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, __cent array<double>",
     )
-    cvec = F.element_at(cent_lit, F.col("cell") + 1)
-    centroid_cos = _dot(F.col("__cv"), cvec) / (
-        _norm(F.col("__cv")) * _norm(cvec)
+    centroid_cos = _dot(F.col("__cv"), F.col("__cent")) / (
+        _norm(F.col("__cv")) * _norm(F.col("__cent"))
     )
-    qual = assigned.select(
-        F.col(id_col), (-centroid_cos).alias("__centroid_far")
+    qual = (
+        assigned.join(F.broadcast(cent_df), "cell")
+        .select(F.col(id_col), (-centroid_cos).alias("__centroid_far"))
     )
     out = apply_dedup(
         corpus.join(qual, id_col, "left"),
