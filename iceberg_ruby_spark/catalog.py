@@ -713,6 +713,20 @@ class Catalog:
             )  # exact reference message (test/sql_test.rb:95-100)
         if self._WRITE_KEYWORDS.match(query):
             return self._sql_write(query, params)
+        m = re.match(
+            r"^\s*ANALYZE\s+TABLE\s+([\w.]+)\s+COMPUTE\s+STATISTICS\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m:
+            t = self.load_table(self._sql_table_ident(m.group(1)))
+            st = t.compute_statistics()
+            return Result(
+                self.spark.createDataFrame(
+                    [(st.get("record-count"), len(st.get("columns", {})))],
+                    "row_count long, columns_analyzed int",
+                )
+            )
         m = self._SHOW_NS_RE.match(query)
         if m:
             parent = m.group(1).split(".") if m.group(1) else None
@@ -972,6 +986,29 @@ class Catalog:
         if m:
             if_exists = bool(re.search(r"IF\s+EXISTS", query, re.IGNORECASE))
             self.drop_view(self._sql_table_ident(m.group(1)), if_exists=if_exists)
+            return Result(self.spark.createDataFrame([], "ok string"))
+        m = re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
+            r"LIKE\s+([\w.]+)\s*;?\s*$",
+            query,
+            re.IGNORECASE,
+        )
+        if m:
+            srct = self.load_table(self._sql_table_ident(m.group(2)))
+            spec = srct.default_partition_spec() or {}
+            self.create_table(
+                self._sql_table_ident(m.group(1)),
+                schema=srct.current_schema(),
+                partition_spec=[
+                    (pf["source"], pf.get("transform", "identity"))
+                    for pf in spec.get("fields", [])
+                ]
+                or None,
+                properties=dict(srct.properties),
+                if_not_exists=bool(
+                    re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE)
+                ),
+            )
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._CREATE_NS_RE.match(query)
         if m:

@@ -222,3 +222,25 @@ def test_show_tblproperties(catalog):
     assert catalog.sql("SHOW TBLPROPERTIES props").rows == [["k", "v"], ["x", "1"]]
     assert catalog.sql("SHOW TBLPROPERTIES props ('k')").rows == [["k", "v"]]
     assert catalog.sql("SHOW TBLPROPERTIES props ('nope')").rows == [["nope", None]]
+
+
+def test_analyze_table_and_create_like(catalog):
+    t = catalog.create_table(
+        "an_src",
+        schema={"a": "int", "b": "string"},
+        partition_spec=[("a", "identity")],
+        properties={"k": "v"},
+    )
+    t.append([{"a": 1, "b": "x"}, {"a": 2, "b": "y"}])
+    r = catalog.sql("ANALYZE TABLE an_src COMPUTE STATISTICS").rows
+    assert r[0][0] == 2 and r[0][1] >= 2
+    assert t.refresh().statistics  # stats file registered
+    catalog.sql("CREATE TABLE an_clone LIKE an_src")
+    c = catalog.load_table("an_clone")
+    assert [(f.name, f.field_type.name) for f in c.current_schema().fields] == [
+        ("a", "int"), ("b", "string")
+    ]
+    assert c.default_partition_spec()["fields"][0]["source"] == "a"
+    assert c.properties == {"k": "v"} and c.to_a() == []
+    # idempotent spelling
+    catalog.sql("CREATE TABLE IF NOT EXISTS an_clone LIKE an_src")
