@@ -1492,6 +1492,16 @@ class Catalog:
         elif proc == "fast_forward":
             tbl.fast_forward(str(arg("branch", 1)), arg("to", 2))
             out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
+        elif proc == "cherrypick_snapshot":
+            src_id = int(arg("snapshot_id", 1))
+            tbl.cherrypick_snapshot(src_id)
+            out = (
+                [(src_id, tbl.refresh().current_snapshot_id)],
+                "source_snapshot_id long, current_snapshot_id long",
+            )
+        elif proc == "publish_changes":
+            tbl.publish_changes(str(arg("wap_id", 1)))
+            out = [(tbl.current_snapshot_id,)], "current_snapshot_id long"
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"

@@ -1698,6 +1698,89 @@ class Table:
 
         return _wap()
 
+    def cherrypick_snapshot(self, snapshot_id: int) -> "Table":
+        """Apply a (possibly unpublished / divergent) APPEND snapshot's
+        delta onto the current head as a fresh commit — Iceberg's
+        ``cherrypick_snapshot`` procedure.  Only append snapshots are
+        cherry-pickable (same restriction as Iceberg: replaces/deletes
+        don't transplant).  The picked files re-enter the commit loop
+        with sequence/lineage fields cleared, so the new commit assigns
+        its own data-sequence-number and first-row-id range."""
+        snap = self.snapshot_by_id(snapshot_id)
+        if snap is None:
+            raise InvalidDataError(f"no snapshot with id {snapshot_id}")
+        if snap.operation != "append":
+            raise InvalidDataError(
+                f"cherrypick_snapshot: snapshot {snapshot_id} is a "
+                f"{snap.operation!r} commit; only appends transplant"
+            )
+        have = set()
+        if snap.parent_snapshot_id is not None:
+            parent = self.snapshot_by_id(snap.parent_snapshot_id)
+            if parent is not None:
+                have = {
+                    e.get("path")
+                    for e in self.ops.read_manifest(parent.manifest_list)
+                    if "path" in e
+                }
+        added = [
+            {
+                k: v
+                for k, v in e.items()
+                if k not in ("data-sequence-number", "first-row-id")
+            }
+            for e in self.ops.read_manifest(snap.manifest_list)
+            if "path" in e and e["path"] not in have
+        ]
+        if not added:
+            return self
+        self._commit_snapshot(
+            "append",
+            added,
+            {
+                "added-records": self._entries_rowcount(added),
+                "cherry-picked-snapshot-id": str(snapshot_id),
+            },
+            mode="append",
+        )
+        return self.refresh()
+
+    def stage_append(self, data: Any, wap_id: str) -> int:
+        """Stage an append WITHOUT publishing it — iceberg-spark's
+        ``spark.wap.id`` flow: the snapshot lands on an anonymous
+        ``wap-<id>`` branch with ``wap.id`` stamped in its summary; main
+        never moves until :meth:`publish_changes`.  Returns the staged
+        snapshot id."""
+        branch = f"wap-{wap_id}"
+        self.append(data, branch=branch)
+        self.refresh()
+        staged = self.snapshot_for_ref(branch)
+        # stamp wap.id onto the staged snapshot's summary (metadata-only)
+        def mutate(raw: dict[str, Any]) -> None:
+            for s in raw.get("snapshots", []):
+                if s["snapshot-id"] == staged.snapshot_id:
+                    s.setdefault("summary", {})["wap.id"] = str(wap_id)
+
+        self._metadata_update(mutate)
+        return staged.snapshot_id
+
+    def publish_changes(self, wap_id: str) -> "Table":
+        """Publish a staged WAP append: find the snapshot stamped with
+        ``wap.id == wap_id``, cherry-pick its delta onto main, and drop
+        the staging branch — Iceberg's ``publish_changes`` procedure."""
+        self.refresh()
+        staged = None
+        for s in self.snapshots:
+            if (s.summary or {}).get("wap.id") == str(wap_id):
+                staged = s
+        if staged is None:
+            raise InvalidDataError(f"no staged snapshot with wap.id {wap_id!r}")
+        self.cherrypick_snapshot(staged.snapshot_id)
+        branch = f"wap-{wap_id}"
+        if branch in self.refresh().refs:
+            self.drop_ref(branch)
+        return self.refresh()
+
     def fast_forward(self, branch: str, to: Union[str, int]) -> "Table":
         """Fast-forward ``branch`` to ``to`` (a ref name or snapshot id).
         The target must be a DESCENDANT of the branch's current head —

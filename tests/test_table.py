@@ -724,3 +724,36 @@ def test_apply_changelog_composite_keys(catalog):
         (r["a"], r["b"], r["v"]) for r in src.refresh().to_a()
     )
     assert sorted((r["a"], r["b"], r["v"]) for r in rep.refresh().to_a()) == expect
+
+
+def test_wap_id_stage_and_publish(catalog):
+    """iceberg-spark's spark.wap.id flow: staged appends never move main
+    until publish_changes cherry-picks them."""
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("wapid", schema={"k": "int"})
+    t.append([{"k": 1}])
+    sid = t.stage_append([{"k": 2}, {"k": 3}], wap_id="job42")
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [1]  # main untouched
+    assert t.snapshot_by_id(sid).summary["wap.id"] == "job42"
+    # publish via CALL (procedure parity), staging branch cleaned up
+    catalog.sql("CALL system.publish_changes('wapid', 'job42')")
+    t = t.refresh()
+    assert sorted(r["k"] for r in t.to_a()) == [1, 2, 3]
+    assert list(t.refs) == ["main"]
+    with pytest.raises(InvalidDataError, match="no staged snapshot"):
+        t.publish_changes("nope")
+    # cherrypick: append-only commits transplant, others refuse
+    t.delete_where("k = 1")
+    with pytest.raises(InvalidDataError, match="only appends"):
+        t.cherrypick_snapshot(t.current_snapshot_id)
+    # concurrent-ish cherry-pick of a branch append onto a moved main
+    t.create_branch("side")
+    t.append([{"k": 9}], branch="side")
+    t.append([{"k": 4}])  # main moves independently
+    side_head = t.refresh().snapshot_for_ref("side").snapshot_id
+    r = catalog.sql(f"CALL system.cherrypick_snapshot('wapid', {side_head})")
+    assert r.rows[0][0] == side_head
+    assert sorted(x["k"] for x in t.refresh().to_a()) == [2, 3, 4, 9]
