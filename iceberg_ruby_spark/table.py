@@ -3022,8 +3022,25 @@ class Table:
         publish): the append is visible via ``scan(ref=branch)`` but does
         NOT move the table's current state until ``fast_forward("main",
         branch)`` publishes it.  A missing branch forks implicitly from
-        main's head."""
+        main's head.
+
+        With the table property ``write.wap.enabled=true`` and a
+        ``spark.wap.id`` session conf set (iceberg-spark's audit flow),
+        a plain append STAGES instead of publishing —
+        :meth:`publish_changes` later moves main."""
         self._check_writable()
+        if branch is None and str(
+            self.properties.get("write.wap.enabled", "")
+        ).lower() == "true":
+            wap_id = None
+            if self.spark is not None:
+                try:
+                    wap_id = self.spark.conf.get("spark.wap.id", None)
+                except Exception:
+                    wap_id = None
+            if wap_id:
+                self.stage_append(data, wap_id)
+                return self
         df = self._normalize_input(data)
         new_entries = self._write_data_dir(df)
         n = self._entries_rowcount(new_entries)

@@ -757,3 +757,20 @@ def test_wap_id_stage_and_publish(catalog):
     r = catalog.sql(f"CALL system.cherrypick_snapshot('wapid', {side_head})")
     assert r.rows[0][0] == side_head
     assert sorted(x["k"] for x in t.refresh().to_a()) == [2, 3, 4, 9]
+
+
+def test_wap_enabled_property_stages_plain_appends(catalog, spark):
+    t = catalog.create_table(
+        "wapprop", schema={"k": "int"},
+        properties={"write.wap.enabled": "true"},
+    )
+    t.append([{"k": 1}])  # no wap.id conf -> publishes normally
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [1]
+    spark.conf.set("spark.wap.id", "audit7")
+    try:
+        t.append([{"k": 2}])  # staged, main untouched
+        assert sorted(r["k"] for r in t.refresh().to_a()) == [1]
+        t.publish_changes("audit7")
+        assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2]
+    finally:
+        spark.conf.unset("spark.wap.id")
