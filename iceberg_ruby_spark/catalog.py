@@ -1505,6 +1505,12 @@ class Catalog:
         elif proc == "compute_table_stats":
             stats = tbl.compute_statistics()
             out = [(stats["record-count"],)], "record_count long"
+        elif proc == "compute_partition_stats":
+            pstats = tbl.compute_partition_statistics()
+            out = (
+                [(len(pstats.get("partitions", pstats)),)],
+                "partitions_analyzed long",
+            )
         elif proc == "rewrite_manifests":
             res = tbl.rewrite_manifests()
             out = (

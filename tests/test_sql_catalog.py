@@ -244,3 +244,13 @@ def test_analyze_table_and_create_like(catalog):
     assert c.properties == {"k": "v"} and c.to_a() == []
     # idempotent spelling
     catalog.sql("CREATE TABLE IF NOT EXISTS an_clone LIKE an_src")
+
+
+def test_call_compute_partition_stats(catalog):
+    t = catalog.create_table(
+        "cps", schema={"k": "int", "g": "string"},
+        partition_spec=[("g", "identity")],
+    )
+    t.append([{"k": 1, "g": "a"}, {"k": 2, "g": "b"}])
+    assert catalog.sql("CALL system.compute_partition_stats('cps')").rows == [[2]]
+    assert t.refresh().partition_statistics
