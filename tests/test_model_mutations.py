@@ -244,3 +244,77 @@ def test_model_partitioned_with_partition_migrations(catalog):
             want = sorted(k for k, v in model.items() if v == g)
             have = sorted(r["k"] for r in t.scan().filter(f"g = '{g}'").to_a())
             assert want == have, (step, op, g)
+
+
+def test_model_cdc_replica_tracks_random_mutations(catalog):
+    """A replica synced purely through changelog windows must equal the
+    source after ANY mutation interleaving — appends, CoW and MoR
+    deletes/updates, merges (all three clauses), compaction (which must
+    cancel to nothing in the changelog).  This composes the changelog
+    producer and the apply_changelog consumer against the dict model."""
+    rnd = random.Random(61)
+    t = catalog.create_table(
+        "cdc_model_src", schema={"k": "int", "v": "string"},
+        properties={"format-version": "3"},
+    )
+    rep = catalog.create_table("cdc_model_rep", schema={"k": "int", "v": "string"})
+    model: dict[int, str] = {}
+    batch = [{"k": i, "v": "v0"} for i in range(16)]
+    t.append(batch)
+    model.update({r["k"]: r["v"] for r in batch})
+    next_key = 16
+    mark = None  # replica watermark (source snapshot id)
+
+    def sync_and_check(step):
+        nonlocal mark
+        rep.apply_changelog(
+            t.changelog_scan(from_snapshot_id=mark), on="k"
+        )
+        mark = t.refresh().current_snapshot_id
+        got = {r["k"]: r["v"] for r in rep.refresh().to_a()}
+        assert got == model, (
+            f"step={step}: replica != model "
+            f"(missing={sorted(set(model) - set(got))[:5]}, "
+            f"extra={sorted(set(got) - set(model))[:5]})"
+        )
+
+    sync_and_check(-1)
+    for step in range(8):
+        op = rnd.choice(["append", "delete", "update", "merge", "compact"])
+        if op == "append":
+            n = rnd.randrange(1, 5)
+            rows = [{"k": next_key + i, "v": f"a{step}"} for i in range(n)]
+            next_key += n
+            t.append(rows)
+            model.update({r["k"]: r["v"] for r in rows})
+        elif op == "delete":
+            mode = rnd.choice(DELETE_MODES)
+            m, r = rnd.randrange(3, 6), rnd.randrange(0, 3)
+            t.delete_where(f"k % {m} = {r}", mode=mode)
+            for k in [k for k in model if k % m == r]:
+                del model[k]
+        elif op == "update":
+            mode = rnd.choice(UPDATE_MODES)
+            m, r = rnd.randrange(3, 6), rnd.randrange(0, 3)
+            val = f"u{step}"
+            t.update_where({"v": f"'{val}'"}, f"k % {m} = {r}", mode=mode)
+            for k in [k for k in model if k % m == r]:
+                model[k] = val
+        elif op == "merge":
+            live = sorted(model)
+            picked = rnd.sample(live, min(3, len(live))) if live else []
+            ins = [next_key, next_key + 1]
+            next_key += 2
+            val = f"m{step}"
+            src = t.spark.createDataFrame(
+                [(k, val) for k in picked + ins], "k int, v string"
+            )
+            t.merge_into(
+                src, on="k", when_matched_update={"v": "s.v"},
+                mode=rnd.choice(["copy-on-write", "merge-on-read"]),
+            )
+            for k in picked + ins:
+                model[k] = val
+        else:
+            t.compact()  # physical churn: must cancel in the changelog
+        sync_and_check(step)
