@@ -1769,13 +1769,23 @@ class Table:
         ``wap.id == wap_id``, cherry-pick its delta onto main, and drop
         the staging branch — Iceberg's ``publish_changes`` procedure."""
         self.refresh()
-        staged = None
-        for s in self.snapshots:
-            if (s.summary or {}).get("wap.id") == str(wap_id):
-                staged = s
-        if staged is None:
+        matches = [
+            s
+            for s in self.snapshots
+            if (s.summary or {}).get("wap.id") == str(wap_id)
+        ]
+        if not matches:
             raise InvalidDataError(f"no staged snapshot with wap.id {wap_id!r}")
-        self.cherrypick_snapshot(staged.snapshot_id)
+        if len(matches) > 1:
+            # Iceberg's publish_changes refuses too: a cherry-pick applies
+            # ONE snapshot's delta; multiple staged commits under one id
+            # would silently publish only the newest
+            raise InvalidDataError(
+                f"{len(matches)} staged snapshots carry wap.id {wap_id!r}; "
+                "publish each under its own id (or fast_forward the wap "
+                "branch to publish the whole chain)"
+            )
+        self.cherrypick_snapshot(matches[0].snapshot_id)
         branch = f"wap-{wap_id}"
         if branch in self.refresh().refs:
             self.drop_ref(branch)

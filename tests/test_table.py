@@ -774,3 +774,17 @@ def test_wap_enabled_property_stages_plain_appends(catalog, spark):
         assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2]
     finally:
         spark.conf.unset("spark.wap.id")
+
+
+def test_publish_changes_refuses_ambiguous_wap_id(catalog):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("wapdup", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t.stage_append([{"k": 2}], wap_id="j1")
+    t.stage_append([{"k": 3}], wap_id="j1")  # second commit, same id
+    with pytest.raises(InvalidDataError, match="staged snapshots carry"):
+        t.publish_changes("j1")
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [1]  # main safe
