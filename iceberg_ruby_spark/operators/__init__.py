@@ -78,7 +78,7 @@ from iceberg_ruby_spark.operators.text import (
     token_count,
 )
 from iceberg_ruby_spark.operators.asof import asof_join
-from iceberg_ruby_spark.operators.sessions import sessionize
+from iceberg_ruby_spark.operators.sessions import funnel, sessionize
 from iceberg_ruby_spark.operators.multimodal import (
     FRAME_SCHEMA,
     MEDIA_SCHEMA,
@@ -143,6 +143,7 @@ __all__ = [
     "char_lm_score",
     "repetition_stats",
     "scrub_pii",
+    "funnel",
     "sessionize",
     "stratified_sample",
     "token_count",

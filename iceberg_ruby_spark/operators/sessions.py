@@ -53,3 +53,88 @@ def sessionize(
             w.rowsBetween(Window.unboundedPreceding, 0)
         ),
     )
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    within_seconds: float | None = None,
+) -> DataFrame:
+    """Funnel analysis: how many users complete each prefix of an ordered
+    step sequence — the product-analytics staple.  Matching is the
+    standard chained-minimum semantics: step *i* matches the EARLIEST
+    qualifying event at-or-after step *i−1*'s match; ``within_seconds``
+    bounds the whole conversion window from the FIRST step's match.
+    Returns one row per step: (step, step_index, users).
+
+    100 TB shape: irrelevant event types are filtered in the scan, then
+    ONE groupBy(user) builds each user's ordered (ts, step) array
+    (bounded by per-user activity, never corpus-sized) and a single
+    in-row ``aggregate`` fold computes the user's funnel depth — no
+    self-joins, no N-pass chaining, one shuffle total.  The final counts
+    are one global aggregation of depth flags."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    n = len(steps)
+    step_idx = F.create_map(
+        *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
+    )
+    evs = events.filter(F.col(type_col).isin(list(set(steps)))).select(
+        F.col(user_col).alias("__u"),
+        F.struct(
+            F.col(ts_col).alias("ts"),
+            step_idx[F.col(type_col)].cast("int").alias("idx"),
+        ).alias("__e"),
+    )
+    per_user = evs.groupBy("__u").agg(
+        F.array_sort(F.collect_list("__e")).alias("__seq")
+    )
+    init = F.struct(
+        F.lit(0).alias("d"), F.lit(None).cast("timestamp").alias("t1")
+    )
+
+    def fold(acc, e):
+        in_window = F.lit(True)
+        if within_seconds is not None:
+            in_window = (acc["d"] == 0) | (
+                F.unix_micros(e["ts"]) - F.unix_micros(acc["t1"])
+                <= F.lit(int(within_seconds * 1_000_000))
+            )
+        matches = (acc["d"] < n) & (e["idx"] == acc["d"]) & in_window
+        return F.when(
+            matches,
+            F.struct(
+                (acc["d"] + 1).alias("d"),
+                F.when(acc["d"] == 0, e["ts"]).otherwise(acc["t1"]).alias("t1"),
+            ),
+        ).otherwise(acc)
+
+    depths = per_user.select(
+        F.aggregate("__seq", init, fold)["d"].alias("__depth")
+    )
+    counts = depths.agg(
+        *[
+            F.sum(F.when(F.col("__depth") > i, 1).otherwise(0))
+            .cast("long")
+            .alias(f"__c{i}")
+            for i in range(n)
+        ]
+    )
+    rows = counts.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(s).alias("step"),
+                        F.lit(i).cast("int").alias("step_index"),
+                        F.col(f"__c{i}").alias("users"),
+                    )
+                    for i, s in enumerate(steps)
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select("r.step", "r.step_index", "r.users")

@@ -1739,3 +1739,39 @@ def multimodal_dedup_frames(spark, sf_dir):
         .select("media_id", "frame_index")
         .orderBy("media_id", "frame_index")
     )
+
+
+@query(
+    "events_funnel",
+    oracle="""
+    WITH u1 AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ), u2 AS (
+      SELECT e.user_id, min(e.ts) AS t2 FROM events e JOIN u1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= u1.t1 GROUP BY 1
+    ), u3 AS (
+      SELECT e.user_id, min(e.ts) AS t3 FROM events e JOIN u2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= u2.t2 GROUP BY 1
+    )
+    SELECT step, CAST(step_index AS INTEGER) AS step_index,
+           CAST(users AS BIGINT) AS users
+    FROM (VALUES
+      ('view', 0, (SELECT count(*) FROM u1)),
+      ('click', 1, (SELECT count(*) FROM u2)),
+      ('purchase', 2, (SELECT count(*) FROM u3))
+    ) AS v(step, step_index, users)
+    ORDER BY step_index
+    """,
+)
+def events_funnel(spark, sf_dir):
+    """Funnel analysis (operators/sessions.py ``funnel``): users
+    completing each prefix of view → click → purchase under chained-min
+    matching (step i matches the earliest qualifying event at-or-after
+    step i−1's match).  One groupBy(user) + an in-row fold — no
+    self-joins; the DuckDB twin recomputes the same semantics as the
+    classic chained-minimum SQL."""
+    from iceberg_ruby_spark.operators.sessions import funnel
+
+    e = load(spark, sf_dir, "events")
+    return funnel(e, ["view", "click", "purchase"]).orderBy("step_index")

@@ -973,3 +973,36 @@ def test_dedup_frames(spark):
 
     with pytest.raises(InvalidDataError):
         ops.dedup_frames(df, mode="bogus")
+
+
+def test_funnel(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, secs):
+        return (u, typ, t0 + dt.timedelta(seconds=secs))
+
+    rows = [
+        # u1 completes all three in order
+        ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+        # u2: click BEFORE the view doesn't count; no purchase
+        ev(2, "click", 0), ev(2, "view", 5), ev(2, "click", 9),
+        # u3: view only
+        ev(3, "view", 0),
+        # u4: purchase without prior steps counts for nothing
+        ev(4, "purchase", 0),
+        # u5 completes but slowly (fails the windowed variant)
+        ev(5, "view", 0), ev(5, "click", 100), ev(5, "purchase", 200),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+    out = {r.step: r.users for r in ops.funnel(df, ["view", "click", "purchase"]).collect()}
+    assert out == {"view": 4, "click": 3, "purchase": 2}
+    # conversion window from the first step's match
+    win = {
+        r.step: r.users
+        for r in ops.funnel(
+            df, ["view", "click", "purchase"], within_seconds=60
+        ).collect()
+    }
+    assert win == {"view": 4, "click": 2, "purchase": 1}
