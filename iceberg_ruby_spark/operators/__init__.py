@@ -78,7 +78,7 @@ from iceberg_ruby_spark.operators.text import (
     token_count,
 )
 from iceberg_ruby_spark.operators.asof import asof_join
-from iceberg_ruby_spark.operators.sessions import funnel, sessionize
+from iceberg_ruby_spark.operators.sessions import funnel, retention_cohorts, sessionize
 from iceberg_ruby_spark.operators.multimodal import (
     FRAME_SCHEMA,
     MEDIA_SCHEMA,
@@ -144,6 +144,7 @@ __all__ = [
     "repetition_stats",
     "scrub_pii",
     "funnel",
+    "retention_cohorts",
     "sessionize",
     "stratified_sample",
     "token_count",

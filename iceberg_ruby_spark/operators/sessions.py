@@ -138,3 +138,41 @@ def funnel(
         ).alias("r")
     )
     return rows.select("r.step", "r.step_index", "r.users")
+
+
+def retention_cohorts(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    period: str = "week",
+) -> DataFrame:
+    """Cohort retention — the other product-analytics staple: users are
+    cohorted by the period of their FIRST activity, and each
+    (cohort, period_offset) cell counts how many of them were active
+    that many periods later.  Returns (cohort, period_offset, users).
+
+    100 TB shape: one distinct over (user, period) — map-side partial —
+    one min-aggregate for the cohort, one user-keyed join, one counting
+    aggregate.  Nothing is ever user×period dense; cells materialize
+    only where activity exists."""
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"retention period {period!r}: expected day/week/month")
+    p = F.date_trunc(period, F.col(ts_col))
+    active = events.select(
+        F.col(user_col).alias("__u"), p.alias("__p")
+    ).distinct()
+    cohort = active.groupBy("__u").agg(F.min("__p").alias("__c"))
+    days = F.datediff(F.col("__p"), F.col("__c"))
+    offset = {
+        "day": days,
+        "week": (days / 7).cast("int"),
+        "month": (
+            (F.year("__p") - F.year("__c")) * 12
+            + (F.month("__p") - F.month("__c"))
+        ),
+    }[period]
+    return (
+        active.join(cohort, "__u")
+        .groupBy(F.col("__c").alias("cohort"), offset.cast("int").alias("period_offset"))
+        .agg(F.count_distinct("__u").alias("users"))
+    )

@@ -1775,3 +1775,38 @@ def events_funnel(spark, sf_dir):
 
     e = load(spark, sf_dir, "events")
     return funnel(e, ["view", "click", "purchase"]).orderBy("step_index")
+
+
+@query(
+    "events_retention",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS p FROM events
+    ), cohort AS (
+      SELECT user_id, min(p) AS c FROM active GROUP BY 1
+    )
+    SELECT c AS cohort,
+           CAST(date_diff('day', c, p) / 7 AS INTEGER) AS period_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS users
+    FROM active a JOIN cohort USING (user_id)
+    GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def events_retention(spark, sf_dir):
+    """Weekly cohort retention (operators/sessions.py
+    ``retention_cohorts``): users cohorted by first-activity week, cells
+    count distinct active users per (cohort, offset).  One distinct +
+    one min-agg + one join + one count — the DuckDB twin recomputes the
+    same cells."""
+    from iceberg_ruby_spark.operators.sessions import retention_cohorts
+
+    e = load(spark, sf_dir, "events")
+    return (
+        retention_cohorts(e, period="week")
+        .select(
+            F.col("cohort").cast("date").alias("cohort"),
+            "period_offset",
+            "users",
+        )
+        .orderBy("cohort", "period_offset")
+    )

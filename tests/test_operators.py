@@ -1006,3 +1006,28 @@ def test_funnel(spark):
         ).collect()
     }
     assert win == {"view": 4, "click": 2, "purchase": 1}
+
+
+def test_retention_cohorts(spark):
+    import datetime as dt
+
+    w = dt.timedelta(days=7)
+    t0 = dt.datetime(2026, 1, 5)  # a Monday
+    rows = [
+        (1, t0), (1, t0 + w), (1, t0 + 2 * w),     # cohort w0, 3 weeks
+        (2, t0 + dt.timedelta(days=2)), (2, t0 + w),  # cohort w0, weeks 0+1
+        (3, t0 + w),                                 # cohort w1, week 0 only
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    out = {
+        (r.cohort.date().isoformat(), r.period_offset): r.users
+        for r in ops.retention_cohorts(df, period="week").collect()
+    }
+    assert out == {
+        ("2026-01-05", 0): 2, ("2026-01-05", 1): 2, ("2026-01-05", 2): 1,
+        ("2026-01-12", 0): 1,
+    }
+    import pytest
+
+    with pytest.raises(ValueError):
+        ops.retention_cohorts(df, period="fortnight")
