@@ -87,6 +87,9 @@ class EngineTableStreamReader(DataSourceStreamReader):
         )
         start = options.get("starting_snapshot_id")
         self._starting = int(start) if start is not None else None
+        # follow a branch/tag head instead of main (stream the audit
+        # branch, or a pinned tag for a frozen replay)
+        self._ref = options.get("ref") or options.get("branch")
         mft = options.get("max_files_per_trigger")
         # admission control (Iceberg's streaming-max-files-per-micro-batch):
         # bound each micro-batch to N files so a backfill over months of
@@ -112,9 +115,19 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self._last = off
         return off
 
+    def _head(self, meta) -> object:
+        if self._ref:
+            r = meta.raw.get("refs", {}).get(self._ref)
+            if r is None:
+                raise ValueError(
+                    f"iceberg_table stream source: no such ref {self._ref!r}"
+                )
+            return r.get("snapshot-id")
+        return meta.current_snapshot_id
+
     def latestOffset(self) -> dict:
         meta = _ops(self.location).load()
-        head = meta.current_snapshot_id
+        head = self._head(meta)
         if self._max_files is None or head is None:
             off = {"snapshot_id": head}
         else:

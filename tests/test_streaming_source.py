@@ -219,3 +219,38 @@ def test_max_files_per_trigger_end_to_end(catalog, spark):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def test_stream_source_follows_branch(catalog, spark, tmp_path):
+    """option('ref', branch): the source tails the BRANCH head — staged
+    WAP appends stream before they're published to main."""
+    import pyspark.sql.functions as F
+
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    t = catalog.create_table("br_src", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t.create_branch("audit")
+    t.append([{"k": 2}], branch="audit")  # main does NOT see this
+    register_stream_source(spark)
+    got = []
+
+    def run(ref):
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", t.ops.location)
+            .option("ref", ref)
+            .load()
+            .writeStream.format("memory")
+            .queryName(f"brq_{ref}")
+            .option("checkpointLocation", str(tmp_path / f"ck_{ref}"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        return sorted(
+            r["k"] for r in spark.sql(f"SELECT * FROM brq_{ref}").collect()
+        )
+
+    assert run("audit") == [1, 2]
+    assert run("main") == [1]
