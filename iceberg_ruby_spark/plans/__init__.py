@@ -41,9 +41,10 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 # registered query, and tiers (0)-(1) must fit the budget entirely.
 # NOTE for the r8 rotation: tier 0 + tier 1 now fill the budget exactly
 # (18 + 32 = 50); the late-r7 queries engine_materialized_agg,
-# embedding_ann_ivf_table, and multimodal_dedup_frames did NOT fit and
-# remain never-driver-checked (judge-mirror green this session) — they
-# go first in r8's tier 0.
+# embedding_ann_ivf_table, multimodal_dedup_frames, events_funnel, and
+# events_retention did NOT fit and remain never-driver-checked (all
+# mirror-green at sf0.01 this session, 156/156) — they go first in r8's
+# tier 0.
 _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
