@@ -1380,10 +1380,20 @@ class Table:
         return self.encryption_keys.get(key_id)
 
     # -- scan path ----------------------------------------------------------
+    def _resolve_snapshot_arg(self, value) -> Optional[int]:
+        """Snapshot id from an id OR a ref name (branch/tag) — the
+        incremental/changelog windows accept either."""
+        if value is None or isinstance(value, int):
+            return value
+        snap = self.snapshot_for_ref(str(value))
+        if snap is None:
+            raise InvalidDataError(f"no such ref: {value!r}")
+        return snap.snapshot_id
+
     def incremental_scan(
         self,
-        from_snapshot_id: Optional[int] = None,
-        to_snapshot_id: Optional[int] = None,
+        from_snapshot_id: Optional[Union[int, str]] = None,
+        to_snapshot_id: Optional[Union[int, str]] = None,
         row_lineage: bool = False,
     ) -> DataFrame:
         """Rows APPENDED between two snapshots (exclusive from, inclusive
@@ -1395,7 +1405,11 @@ class Table:
         Only append-introduced files are returned (Iceberg's incremental
         append scan semantics); rewrites from delete/update/merge commits
         introduce files too — callers consuming strictly-append tables (the
-        common log/event case) see exactly the new rows."""
+        common log/event case) see exactly the new rows.  Both window
+        ends accept a snapshot id OR a branch/tag name (tag the last
+        consumed position, scan from the tag)."""
+        from_snapshot_id = self._resolve_snapshot_arg(from_snapshot_id)
+        to_snapshot_id = self._resolve_snapshot_arg(to_snapshot_id)
         to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
         if to_id is None:
             return self.spark.createDataFrame([], self.current_schema().to_spark())
@@ -1482,8 +1496,8 @@ class Table:
 
     def changelog_scan(
         self,
-        from_snapshot_id: Optional[int] = None,
-        to_snapshot_id: Optional[int] = None,
+        from_snapshot_id: Optional[Union[int, str]] = None,
+        to_snapshot_id: Optional[Union[int, str]] = None,
     ) -> DataFrame:
         """Row-level changes between two snapshots: the table columns plus
         ``_change_type`` ('insert' | 'delete'), ``_commit_snapshot_id``,
@@ -1498,7 +1512,10 @@ class Table:
         delete emits just the dead rows, and a pure rewrite (compaction /
         Z-order) emits NOTHING, because physical file churn without
         logical change cancels exactly.  Cost per commit is O(changed
-        files); unchanged files are never opened."""
+        files); unchanged files are never opened.  Window ends accept a
+        snapshot id OR a branch/tag name."""
+        from_snapshot_id = self._resolve_snapshot_arg(from_snapshot_id)
+        to_snapshot_id = self._resolve_snapshot_arg(to_snapshot_id)
         to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
         if to_id is None:
             return self._changelog_empty()

@@ -788,3 +788,34 @@ def test_publish_changes_refuses_ambiguous_wap_id(catalog):
     with pytest.raises(InvalidDataError, match="staged snapshots carry"):
         t.publish_changes("j1")
     assert sorted(r["k"] for r in t.refresh().to_a()) == [1]  # main safe
+
+
+def test_scan_windows_accept_ref_names(catalog):
+    """incremental_scan / changelog_scan window ends take a branch/tag
+    name — tag the consumed position, scan from the tag."""
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("refwin", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t.create_tag("consumed")
+    t.append([{"k": 2}])
+    t.append([{"k": 3}])
+    assert sorted(
+        r[0] for r in t.incremental_scan(from_snapshot_id="consumed").collect()
+    ) == [2, 3]
+    assert sorted(
+        (r["k"], r["_change_type"])
+        for r in t.changelog_scan(from_snapshot_id="consumed").collect()
+    ) == [(2, "insert"), (3, "insert")]
+    # to= end accepts a ref too
+    t.create_tag("upto2", snapshot_id=t.snapshots[-2].snapshot_id)
+    assert sorted(
+        r[0]
+        for r in t.incremental_scan(
+            from_snapshot_id="consumed", to_snapshot_id="upto2"
+        ).collect()
+    ) == [2]
+    with pytest.raises(InvalidDataError, match="no such ref"):
+        t.incremental_scan(from_snapshot_id="nope")
