@@ -2418,7 +2418,8 @@ class Table:
                 continue
             sid = e.get("schema-id", schema.schema_id)
             for p in self._entry_files([e]):
-                groups.setdefault((sid, commit_dir(p)), []).append(p)
+                fmt = "orc" if p.endswith(".orc") else "parquet"
+                groups.setdefault((sid, commit_dir(p), fmt), []).append(p)
         groups = {k: fs for k, fs in groups.items() if fs}
         if not groups:
             import pyspark.sql.types as _T
@@ -2435,7 +2436,7 @@ class Table:
                 empty_schema = _T.StructType(extra + list(empty_schema.fields))
             return self.spark.createDataFrame([], empty_schema)
         parts = []
-        for sid, cdir in sorted(groups):
+        for sid, cdir, fmt in sorted(groups):
             written = self.schema_by_id(sid) or schema
             reader = self.spark.read.option("basePath", cdir)
             if extra_cols:
@@ -2444,7 +2445,12 @@ class Table:
                 # unpartitioned group with later appends); mergeSchema
                 # surfaces them everywhere, null where absent
                 reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*groups[(sid, cdir)])
+            paths = groups[(sid, cdir, fmt)]
+            df = (
+                reader.format("orc").load(paths)
+                if fmt == "orc"
+                else reader.parquet(*paths)
+            )
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
@@ -2461,8 +2467,18 @@ class Table:
             if need_pos:
                 # physical row position within the parquet file — the spec's
                 # positional-delete coordinate; Spark's _metadata.row_index
-                # is stable across scans of the same file
-                cols = [F.col("_metadata.row_index").alias(pos_col or "__mor_pos")] + cols
+                # is stable across scans of the same file.  ORC files have
+                # no stable row_index: their rows carry NULL positions,
+                # which is SAFE because positional/DV delete creation
+                # refuses ORC hits (write-time guard), so no delete
+                # coordinate can ever reference an ORC row — and NULL
+                # never equals a delete's (file, pos) pair in the anti-join
+                pos_expr = (
+                    F.lit(None).cast("long")
+                    if fmt == "orc"
+                    else F.col("_metadata.row_index")
+                )
+                cols = [pos_expr.alias(pos_col or "__mor_pos")] + cols
             if preds or dfiles or file_col:
                 path_col = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
                 cols = [path_col.alias(file_col or "__mor_file")] + cols
@@ -3084,6 +3100,7 @@ class Table:
         self,
         source: Union[str, list[str]],
         summary_extra: Optional[dict] = None,
+        format: str = "parquet",
     ) -> int:
         """Register existing parquet files as table data BY REFERENCE — the
         Iceberg ``add_files`` migration procedure: no rewrite, no copy, one
@@ -3092,8 +3109,12 @@ class Table:
         physically (name and type) since nothing rewrites them; use
         ``append`` when a cast is needed.  Returns the file count."""
         self._check_writable()
+        if format not in ("parquet", "orc"):
+            raise InvalidDataError(
+                f"add_files format {format!r}: expected parquet or orc"
+            )
         paths = [source] if isinstance(source, str) else list(source)
-        df = self.spark.read.parquet(*paths)
+        df = self.spark.read.format(format).load(paths)
         schema = self.current_schema()
         names = {f.name for f in schema.fields}
         extra = set(df.columns) - names
@@ -3162,6 +3183,21 @@ class Table:
             return "merge-on-read"
         return val
 
+    @staticmethod
+    def _refuse_positional_over_orc(entries: list[dict[str, Any]]) -> None:
+        """Positional deletes / DVs address rows by parquet row_index;
+        ORC data files (add_files imports) have no stable position —
+        refuse before writing coordinates that could not be applied.
+        Copy-on-write and equality-delete modes remain available, and
+        compact() rewrites ORC imports into parquet."""
+        if any(e.get("path", "").endswith(".orc") for e in entries):
+            raise InvalidDataError(
+                "merge-on-read positional/DV deletes are not supported on "
+                "tables containing ORC data files (no stable row_index); "
+                "use copy-on-write or equality-delete modes, or compact() "
+                "to rewrite the ORC imports as parquet first"
+            )
+
     def _positional_delete_build(
         self, cur_entries: list[dict[str, Any]], cond
     ) -> tuple[list[dict[str, Any]], int]:
@@ -3169,6 +3205,7 @@ class Table:
         ``cond`` and return ``(delete_entries, deleted_count)`` WITHOUT
         committing — delete_where commits them alone, MoR UPDATE commits
         them together with the new row versions."""
+        self._refuse_positional_over_orc(cur_entries)
         # positions of rows matching NOW, with all prior MoR deletes
         # applied so already-dead rows are not re-deleted (keeps the
         # returned count an honest delta)
@@ -3276,6 +3313,7 @@ class Table:
         )
         from iceberg_ruby_spark.puffin import read_puffin, write_puffin
 
+        self._refuse_positional_over_orc(cur_entries)
         live = self._read_entries(cur_entries, file_col="__f", pos_col="__p")
         loc_prefixes = sorted(
             {

@@ -819,3 +819,44 @@ def test_scan_windows_accept_ref_names(catalog):
     ) == [2]
     with pytest.raises(InvalidDataError, match="no such ref"):
         t.incremental_scan(from_snapshot_id="nope")
+
+
+def test_orc_data_files(catalog, spark, tmp_path):
+    """ORC data files as first-class read-side citizens: add_files
+    registers them by reference, scans/bounds-pruning/CoW/equality
+    deletes work, positional/DV deletes refuse (no stable row_index),
+    compact() converts to parquet and unlocks them."""
+    import glob
+
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    ext = str(tmp_path / "orcdata")
+    spark.createDataFrame(
+        [(i, f"r{i}") for i in range(50)], "a int, b string"
+    ).repartition(2).write.orc(ext)
+    files = sorted(glob.glob(f"{ext}/*.orc"))
+    t = catalog.create_table("orct", schema={"a": "int", "b": "string"})
+    t.append([{"a": 1000, "b": "own"}])
+    assert t.add_files(files, format="orc") == len(files)
+    assert len(t.to_a()) == 51
+    assert t.scan().filter("a = 7").to_a() == [{"a": 7, "b": "r7"}]
+    # positional/DV modes refuse while ORC files are present
+    with pytest.raises(InvalidDataError, match="ORC data files"):
+        t.delete_where("a = 9", mode="merge-on-read-positional")
+    with pytest.raises(InvalidDataError, match="ORC data files"):
+        t.delete_where("a = 9", mode="merge-on-read-dv")
+    # value-based modes work: equality delete and CoW
+    t.delete_by_keys([{"a": 7}], on="a")
+    t.delete_where("a < 5")
+    assert len(t.refresh().to_a()) == 45
+    # compact converts the remainder to parquet; positional unlocks
+    t.compact()
+    assert not any(
+        e.get("path", "").endswith(".orc") for e in t._current_entries()
+    )
+    t.delete_where("a = 9", mode="merge-on-read-positional")
+    assert len(t.refresh().to_a()) == 44
+    with pytest.raises(InvalidDataError, match="expected parquet or orc"):
+        t.add_files(files, format="csv")
