@@ -1463,7 +1463,10 @@ class Catalog:
                 " deleted_delete_files_count long",
             )
         elif proc == "remove_orphan_files":
-            removed = tbl.remove_orphan_files(older_than=arg("older_than", 1))
+            removed = tbl.remove_orphan_files(
+                older_than=arg("older_than", 1),
+                dry_run=str(arg("dry_run", 2) or "false").lower() == "true",
+            )
             out = [(len(removed),)], "removed long"
         elif proc == "rewrite_data_files":
             zorder = arg("zorder", 1)

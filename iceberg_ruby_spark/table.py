@@ -4672,7 +4672,10 @@ class Table:
         return out
 
     def remove_orphan_files(
-        self, return_files: bool = False, older_than: Optional[Any] = None
+        self,
+        return_files: bool = False,
+        older_than: Optional[Any] = None,
+        dry_run: bool = False,
     ) -> list[str]:
         """Delete commit dirs whose files are referenced by no live snapshot.
         Returns the removed dirs, or with ``return_files=True`` every file
@@ -4683,7 +4686,9 @@ class Table:
         modified before the cutoff are deleted — at scale an in-flight
         writer's files look orphaned until its commit lands, so production
         cleanup always passes a cutoff (iceberg-spark defaults to 3 days
-        ago)."""
+        ago).  ``dry_run=True`` reports what WOULD be deleted without
+        touching anything — audit the candidate list before the
+        irreversible pass."""
         self._check_writable()
         cutoff = None if older_than is None else _as_epoch_ms(older_than)
         live: set[str] = set()
@@ -4716,7 +4721,8 @@ class Table:
                     continue  # inside the safety window — maybe in-flight
                 if return_files:
                     removed_files.extend(self.ops.io.list(d))
-                self.ops.io.delete_prefix(d)
+                if not dry_run:
+                    self.ops.io.delete_prefix(d)
                 removed.append(d)
         return removed_files if return_files else removed
 

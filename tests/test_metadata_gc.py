@@ -130,3 +130,26 @@ def test_expired_avro_manifests_unreferenced_after_merge(catalog, monkeypatch):
     for f in head_files:
         assert t.ops.io.exists(f)
     assert _rows(t) == list(range(10))
+
+
+def test_remove_orphan_files_dry_run(catalog):
+    t = catalog.create_table("orph_dry", schema={"a": "int"})
+    t.append([{"a": 1}])
+    t.append([{"a": 2}])
+    t.compact()  # previous commit dirs become orphaned after expiry
+    t.expire_snapshots(keep_last=1)
+    candidates = t.remove_orphan_files(dry_run=True)
+    assert candidates  # something to clean
+    # nothing was touched: rows intact, a second dry run sees the same
+    assert sorted(r["a"] for r in t.refresh().to_a()) == [1, 2]
+    assert t.remove_orphan_files(dry_run=True) == candidates
+    # the real pass removes exactly the audited candidates
+    removed = t.remove_orphan_files()
+    assert removed == candidates
+    assert t.remove_orphan_files(dry_run=True) == []
+    assert sorted(r["a"] for r in t.refresh().to_a()) == [1, 2]
+    # CALL spelling
+    r = catalog.sql(
+        "CALL system.remove_orphan_files('orph_dry', dry_run => 'true')"
+    )
+    assert r.rows == [] or r.rows is not None  # no orphans left, no crash
