@@ -4548,6 +4548,7 @@ class Table:
         keep_last: int = 1,
         older_than: Optional[Any] = None,
         clean_metadata: bool = True,
+        dry_run: bool = False,
     ) -> int:
         """Drop history beyond the newest ``keep_last`` snapshots, always
         retaining snapshots referenced by branches/tags — honoring the
@@ -4595,6 +4596,14 @@ class Table:
 
         if nothing_to_expire(self.ops.load().raw):
             return 0  # skip the metadata version bump entirely
+        if dry_run:
+            # report what WOULD expire against current metadata, commit
+            # nothing — audit before the irreversible cleanup
+            raw = self.ops.load().raw
+            snaps = raw.get("snapshots", [])
+            _refs, protected, _dropped = self._expire_plan(raw, keep_last, now)
+            keep_tail = {s["snapshot-id"] for s in snaps[-keep_last:]}
+            return len(snaps) - len(keeps(snaps, keep_tail, protected))
 
         def mutate(raw: dict[str, Any]) -> None:
             # recomputed from fresh metadata on every retry so a concurrent

@@ -153,3 +153,17 @@ def test_remove_orphan_files_dry_run(catalog):
         "CALL system.remove_orphan_files('orph_dry', dry_run => 'true')"
     )
     assert r.rows == [] or r.rows is not None  # no orphans left, no crash
+
+
+def test_expire_snapshots_dry_run(catalog):
+    t = catalog.create_table("exp_dry", schema={"a": "int"})
+    for i in range(4):
+        t.append([{"a": i}])
+    n_before = len(t.refresh().snapshots)
+    would = t.expire_snapshots(keep_last=2, dry_run=True)
+    assert would == n_before - 2
+    # nothing expired, metadata untouched
+    assert len(t.refresh().snapshots) == n_before
+    # the real pass matches the audit
+    assert t.expire_snapshots(keep_last=2) == would
+    assert len(t.refresh().snapshots) == 2
