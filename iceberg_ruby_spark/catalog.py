@@ -1442,15 +1442,18 @@ class Catalog:
                 )
             )
         if proc == "expire_snapshots":
-            # iceberg-spark's procedure deletes unreachable files too; ours
-            # composes expire (metadata) + orphan cleanup and reports the
-            # same counts vocabulary.
+            # iceberg-spark's procedure deletes files reachable ONLY from
+            # the expired snapshots — reference-counted, never an
+            # mtime-unbounded orphan sweep (which would race a concurrent
+            # writer's not-yet-committed files; that sweep stays behind the
+            # explicit remove_orphan_files procedure + its safety window).
             # iceberg-spark positional order: (table, older_than, retain_last)
             n = tbl.expire_snapshots(
                 keep_last=int(arg("retain_last", 2, 1)),
                 older_than=arg("older_than", 1),
+                clean_data_files=True,
             )
-            files = tbl.remove_orphan_files(return_files=True) if n else []
+            files = tbl.last_expire_cleaned_files
             data = sum(
                 1 for f in files if f.endswith(".parquet") and "/deletes-" not in f
             )

@@ -4548,6 +4548,7 @@ class Table:
         keep_last: int = 1,
         older_than: Optional[Any] = None,
         clean_metadata: bool = True,
+        clean_data_files: bool = False,
         dry_run: bool = False,
     ) -> int:
         """Drop history beyond the newest ``keep_last`` snapshots, always
@@ -4569,9 +4570,20 @@ class Table:
         construction: candidates come from the EXPIRED snapshots' own
         reference sets (never a directory listing, so an in-flight
         concurrent commit's freshly-written files can't be collected),
-        minus everything the live snapshots still reference.  Orphan DATA
-        dirs remain the job of remove_orphan_files."""
+        minus everything the live snapshots still reference.
+
+        ``clean_data_files`` (default off; iceberg-spark's expire procedure
+        behavior) additionally deletes DATA-layer files — data files,
+        positional/equality delete files, DV puffins — that were reachable
+        from the EXPIRED snapshots but from no retained snapshot.  Like
+        clean_metadata this is reference-counted from the expired
+        snapshots' own manifests, never a directory listing, so a
+        concurrent writer's freshly written but not-yet-committed files
+        can NEVER be collected (the unbounded sweep belongs to
+        remove_orphan_files, which takes an explicit mtime safety window).
+        The deleted paths land in :attr:`last_expire_cleaned_files`."""
         self._check_writable()
+        self.last_expire_cleaned_files: list[str] = []
         expired = [0]
         expired_snaps: list[dict[str, Any]] = []
         dropped_stats: list[str] = []
@@ -4635,6 +4647,22 @@ class Table:
             ]
 
         self._metadata_update(mutate)
+        if clean_data_files and expired_snaps:
+            # reference-counted: candidates come from the expired snapshots'
+            # manifests only, minus every file a retained snapshot still
+            # reaches — runs BEFORE clean_metadata deletes those manifests
+            live_data: set[str] = set()
+            for s in self.snapshots:
+                live_data |= self._snapshot_data_files(s.manifest_list)
+            dead_data: set[str] = set()
+            for sd in expired_snaps:
+                dead_data |= self._snapshot_data_files(sd["manifest-list"])
+            for f in sorted(dead_data - live_data):
+                try:
+                    self.ops.io.delete(f)
+                    self.last_expire_cleaned_files.append(f)
+                except (OSError, FileNotFoundError):
+                    pass  # already gone (e.g. shared with a purged table)
         if clean_metadata and (expired_snaps or dropped_stats):
             live: set[str] = set()
             for s in self.snapshots:
@@ -4678,6 +4706,23 @@ class Table:
                     out.add(self.ops._abs(seg["path"]))
         except (OSError, FileNotFoundError, ValueError, KeyError):
             pass  # unreadable list: reference nothing rather than guess
+        return out
+
+    def _snapshot_data_files(self, manifest_list: str) -> set[str]:
+        """Every DATA-layer file a snapshot references, as absolute paths:
+        data files (including legacy dir-level entries), positional /
+        equality delete files, and DV puffins.  Metadata-sized reads only."""
+        out: set[str] = set()
+        try:
+            manifest = self.ops.read_manifest(manifest_list)
+        except (OSError, FileNotFoundError, ValueError):
+            return out  # unreadable list: reference nothing rather than guess
+        for f in self._entry_files(manifest):
+            out.add(os.path.abspath(f))
+        for e in manifest:
+            if "delete-file" in e:
+                for f in self.ops.io.list(self.ops._abs(e["delete-file"])):
+                    out.add(os.path.abspath(f))
         return out
 
     def remove_orphan_files(

@@ -167,3 +167,53 @@ def test_expire_snapshots_dry_run(catalog):
     # the real pass matches the audit
     assert t.expire_snapshots(keep_last=2) == would
     assert len(t.refresh().snapshots) == 2
+
+
+def test_expire_clean_data_files_reference_counted(catalog):
+    """clean_data_files=True deletes files reachable ONLY from expired
+    snapshots (post-compaction originals), keeps everything the head
+    references, and NEVER touches unreferenced files in the data dir —
+    the concurrent-writer race the orphan sweep could lose."""
+    import os
+
+    t = catalog.create_table("exp_data", schema={"a": "int"})
+    for i in range(3):
+        t.append([{"a": i}])
+    originals = {os.path.abspath(f) for f in t._entry_files(t._current_entries())}
+    t.compact()
+    # a concurrent writer's freshly-written, not-yet-committed file
+    inflight = os.path.join(t.ops.data_dir, "commit-inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(inflight), exist_ok=True)
+    with open(inflight, "wb") as f:
+        f.write(b"not yet committed")
+    n = t.expire_snapshots(keep_last=1, clean_data_files=True)
+    assert n >= 1
+    cleaned = set(t.last_expire_cleaned_files)
+    assert originals <= cleaned  # pre-compaction files collected
+    assert os.path.exists(inflight)  # in-flight write untouched
+    head_files = {os.path.abspath(f) for f in t._entry_files(t._current_entries())}
+    assert not (head_files & cleaned)
+    assert sorted(r["a"] for r in t.refresh().to_a()) == [0, 1, 2]
+
+
+def test_expire_proc_spares_inflight_files(catalog):
+    """CALL system.expire_snapshots must not sweep unreferenced files —
+    it reports reference-counted deletions only (ADVICE r7 high)."""
+    import os
+
+    t = catalog.create_table("exp_proc_safe", schema={"a": "int"})
+    for i in range(3):
+        t.append([{"a": i}])
+    t.compact()
+    inflight = os.path.join(t.ops.data_dir, "commit-inflight", "part-0.parquet")
+    os.makedirs(os.path.dirname(inflight), exist_ok=True)
+    with open(inflight, "wb") as f:
+        f.write(b"not yet committed")
+    rows = catalog.sql(
+        "CALL system.expire_snapshots(table => 'exp_proc_safe', retain_last => 1)"
+    ).rows
+    assert rows[0][0] >= 1 and rows[0][1] >= 3  # snapshots + data files
+    assert os.path.exists(inflight)
+    assert sorted(
+        r["a"] for r in catalog.load_table("exp_proc_safe").to_a()
+    ) == [0, 1, 2]
