@@ -104,6 +104,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         if self._max_files is not None and self._max_files <= 0:
             raise ValueError("max_files_per_trigger must be positive")
         self._last: Optional[dict] = None
+        self._floor: Optional[dict] = None
         meta = _ops(self.location).load()
         self._columns = [f.name for f in _current_schema(meta).fields]
 
@@ -213,17 +214,61 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return out
 
     # -- planning ---------------------------------------------------------
+    @staticmethod
+    def _offset_le(by_id, a: dict, b: dict) -> bool:
+        """True iff offset ``a`` is at-or-before offset ``b`` along the
+        snapshot ancestry.  Within one commit a partial offset (``pos``)
+        precedes the pos-less fully-consumed form.  Unprovable (e.g. an
+        expired ancestor) returns False."""
+        a_id, b_id = a.get("snapshot_id"), b.get("snapshot_id")
+        if a_id is None:
+            return True  # table-creation base precedes everything
+        if a_id == b_id:
+            a_pos, b_pos = a.get("pos"), b.get("pos")
+            if a_pos is None:
+                return b_pos is None  # full == full; full > any partial
+            return b_pos is None or a_pos <= b_pos
+        cur = by_id.get(b_id)
+        while cur is not None:
+            if cur.snapshot_id == a_id:
+                return True
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        return False
+
     def partitions(self, start: dict, end: dict) -> list[InputPartition]:
         start_id, end_id = start.get("snapshot_id"), end.get("snapshot_id")
         start_pos, end_pos = start.get("pos"), end.get("pos")
         if end_id is None or (start_id == end_id and start_pos == end_pos):
             return []
-        # re-sync the admission bracket: after a checkpoint restart the
-        # replayed batch's end offset is the next latestOffset's base
-        self._last = dict(end)
         ops = _ops(self.location)
         meta = ops.load()
         by_id = {s.snapshot_id: s for s in meta.snapshots}
+        if self._offset_le(by_id, end, start):
+            # stale end: after a CLEAN checkpoint restart Spark calls
+            # latestOffset() before any partitions(), so the fresh reader's
+            # bracket (re-based from starting_snapshot_id) can land BEHIND
+            # the checkpointed start.  The window is entirely pre-consumed
+            # data: emit nothing, re-seed the bracket from the committed
+            # start, and remember it as a floor so the next window (whose
+            # Spark-side start is this stale end) clamps forward instead of
+            # replaying (ADVICE r7 medium).
+            self._last = dict(start)
+            self._floor = dict(start)
+            return []
+        if self._floor is not None and self._offset_le(by_id, start, self._floor):
+            # everything up to the floor was committed before the restart
+            start = dict(self._floor)
+            start_id, start_pos = start.get("snapshot_id"), start.get("pos")
+            if start_id == end_id and start_pos == end_pos:
+                self._last = dict(end)
+                return []
+        # re-sync the admission bracket: after a checkpoint restart the
+        # replayed batch's end offset is the next latestOffset's base
+        self._last = dict(end)
         end_snap = by_id.get(end_id)
         if end_snap is None:
             raise ValueError(f"offset snapshot {end_id} no longer exists")
@@ -342,9 +387,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
     # -- execution (runs in executor python workers) ----------------------
     def read(self, partition: InputPartition) -> Iterator[tuple]:
-        import pyarrow.parquet as pq
+        if partition.path.endswith(".orc"):
+            # add_files(format='orc') commits ORC imports as ordinary
+            # append entries; read them with the matching pyarrow reader
+            # instead of failing with an opaque parquet error
+            import pyarrow.orc as orc
 
-        tbl = pq.read_table(partition.path)
+            tbl = orc.ORCFile(partition.path).read()
+        else:
+            import pyarrow.parquet as pq
+
+            tbl = pq.read_table(partition.path)
         cols = []
         n = tbl.num_rows
         for name in partition.columns:
