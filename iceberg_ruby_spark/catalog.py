@@ -399,11 +399,14 @@ class Catalog:
         sort_order: Optional[Union[SortOrder, list]],
         properties: Optional[dict[str, str]],
     ) -> Table:
-        """CREATE OR REPLACE on an existing table: clear the data (one
-        ``replace`` snapshot — history and UUID survive, so time travel to
-        the pre-replace state still reads the OLD schema), then swap in
-        the new schema / partition spec / sort order / properties under
-        fresh never-reused ids (Iceberg's id-assignment rule)."""
+        """CREATE OR REPLACE on an existing table: ONE atomic commit
+        (Iceberg's replace transaction) that both clears the data — an
+        ``overwrite`` snapshot; history and UUID survive, so time travel
+        to the pre-replace state still reads the OLD schema — and swaps
+        in the new schema / partition spec / sort order / properties
+        under fresh never-reused ids (Iceberg's id-assignment rule).
+        A crash or concurrent reader can never observe the truncated
+        table still carrying the old definition (ADVICE r7 low)."""
         t = self.load_table(parts)
         new_schema = schema_from_any(schema if schema is not None else {})
         spec_fields: list[dict] = []
@@ -423,7 +426,6 @@ class Catalog:
                 else SortOrder(fields=list(sort_order))
             )
             order_fields = so.to_json()
-        t.overwrite([])
 
         def mutate(raw: dict) -> None:
             base = raw.get("last-column-id", 0)
@@ -489,7 +491,10 @@ class Catalog:
             raw["default-sort-order-id"] = new_order_id
             raw["properties"] = dict(properties or {})
 
-        t._metadata_update(mutate)
+        t._check_writable()
+        t._commit_snapshot(
+            "overwrite", [], {"added-records": 0}, mode="replace", raw_extra=mutate
+        )
         self._invalidate_views()
         return self.load_table(parts)
 

@@ -2710,6 +2710,7 @@ class Table:
         mode: str = "replace",
         base_snapshot_id: Optional[int] = None,
         branch: str = MAIN_BRANCH,
+        raw_extra=None,
     ) -> None:
         """Optimistic commit.  ``mode='append'`` treats ``entries`` as a
         *delta* merged with the live manifest **re-read on every retry** —
@@ -2720,7 +2721,14 @@ class Table:
         planned against): files a concurrent APPEND added are carried into
         the new manifest; a concurrent commit that removed files this
         mutation depends on aborts with a conflict error instead of
-        silently resurrecting or dropping rows."""
+        silently resurrecting or dropping rows.
+
+        ``raw_extra(raw)`` applies a metadata-definition mutation (schema /
+        spec / sort-order / properties swap) inside the SAME commit as the
+        snapshot — CREATE OR REPLACE atomicity: a crash or concurrent
+        reader never observes the truncated table still carrying the old
+        definition.  Re-applied on every optimistic retry against fresh
+        metadata."""
         for attempt in range(self._commit_retries() + 1):
             meta = self.ops.load()
             if branch == MAIN_BRANCH:
@@ -2944,7 +2952,14 @@ class Table:
             # next-row-id = first-row-id + added-rows without manifests
             snap_json = {**snap.to_json(), "first-row-id": meta.next_row_id}
             raw = dict(meta.raw)
-            raw["snapshots"] = meta.raw.get("snapshots", []) + [snap_json]
+            if raw_extra is not None:
+                raw_extra(raw)
+                # the snapshot is written under the definition this commit
+                # installs, not the one it replaces
+                snap_json["schema-id"] = raw.get(
+                    "current-schema-id", meta.current_schema_id
+                )
+            raw["snapshots"] = raw.get("snapshots", []) + [snap_json]
             raw["last-sequence-number"] = snap.sequence_number
             raw["last-updated-ms"] = now
             raw["metadata-log"] = meta.metadata_log + [

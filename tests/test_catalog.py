@@ -518,11 +518,17 @@ def test_create_or_replace_table(catalog):
     )
     t.append([{"a": 1, "b": "x"}])
     s_old = t.current_snapshot_id
+    v_before = t.ops.load().version
     t2 = catalog.create_table("cor", schema={"c": "long"}, or_replace=True)
     # same table, new definition: UUID and history survive, data cleared
     assert t2.uuid == t.uuid
     assert t2.to_a() == []
     assert len(t2.snapshots) >= 2
+    # ATOMIC: data clear + definition swap land in ONE metadata commit —
+    # no intermediate version shows a truncated table under the old schema
+    assert t2.ops.load().version == v_before + 1
+    # the replace snapshot is stamped with the NEW schema id
+    assert t2.current_snapshot().schema_id == t2.current_schema_id
     # column ids are fresh (never reused), schema id bumped
     assert [f.field_id for f in t2.current_schema().fields] == [3]
     assert t2.current_schema_id > 0
