@@ -1342,6 +1342,7 @@ def dedup_shared_spans(spark, sf_dir):
 
 @query(
     "dedup_line_corpus",
+    bench=True,
     oracle="""
     WITH l AS (
       SELECT doc_id, string_split(text, chr(10)) AS ls FROM documents
@@ -1420,8 +1421,25 @@ def text_tfidf_top_terms(spark, sf_dir):
     return tfidf_top_terms(d, k=5).orderBy("doc_id", "rank")
 
 
+def _semantic_dedup_production(spark, sf_dir):
+    """The PRODUCTION SemDeDup path bench.py times: celled (n_cells=16)
+    within-cell pair mining against trained centroids with the paper's
+    far-from-centroid survivor policy — the 100 TB shape, where the
+    quadratic term is bounded per cell.  The registered query below stays
+    the exact single-cell oracle form."""
+    from iceberg_ruby_spark.operators.dedup import semantic_dedup
+
+    emb = load(spark, sf_dir, "embeddings")
+    return semantic_dedup(
+        emb, id_col="vec_id", threshold=0.45, n_cells=16,
+        keep="far_from_centroid",
+    ).select("vec_id", "label")
+
+
 @query(
     "dedup_semantic",
+    bench=True,
+    bench_fn=_semantic_dedup_production,
     oracle="""
     WITH RECURSIVE p AS (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b
@@ -1475,6 +1493,7 @@ def dedup_semantic(spark, sf_dir):
 
 @query(
     "dedup_remove_spans",
+    bench=True,
     oracle="""
     WITH t AS (
       SELECT doc_id, text,
@@ -1537,7 +1556,26 @@ def dedup_remove_spans(spark, sf_dir):
     )
 
 
-@query("embedding_ann_pq", oracle=_EXACT_TOPK_SQL)
+def _pq_topk_production(spark, sf_dir):
+    """The PRODUCTION PQ path bench.py times: the LOSSY quantization
+    regime (n_codes=256 < corpus size — 32× read shrink vs raw float32
+    vectors, the 100 TB lever) with exact re-rank of a 4× candidate pool.
+    The registered query below stays the exact-regime oracle form
+    (n_codes ≥ corpus ⇒ ADC ordering equals exact cosine ordering);
+    lossy-regime recall is pinned separately in pytest."""
+    from iceberg_ruby_spark.operators.similarity import pq_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(emb, q, k=10, m=8, n_codes=256, refine=4)
+
+
+@query(
+    "embedding_ann_pq",
+    bench=True,
+    bench_fn=_pq_topk_production,
+    oracle=_EXACT_TOPK_SQL,
+)
 def embedding_ann_pq(spark, sf_dir):
     """Product-quantization ANN (operators/similarity.py ``pq_topk``,
     Jégou et al. 2011): m=8 sub-codebooks, ADC lookup-table scoring,
