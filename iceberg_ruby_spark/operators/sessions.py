@@ -62,6 +62,7 @@ def funnel(
     type_col: str = "event_type",
     ts_col: str = "ts",
     within_seconds: float | None = None,
+    max_events_per_user: int | None = None,
 ) -> DataFrame:
     """Funnel analysis: how many users complete each prefix of an ordered
     step sequence — the product-analytics staple.  Matching is the
@@ -75,9 +76,22 @@ def funnel(
     (bounded by per-user activity, never corpus-sized) and a single
     in-row ``aggregate`` fold computes the user's funnel depth — no
     self-joins, no N-pass chaining, one shuffle total.  The final counts
-    are one global aggregation of depth flags."""
+    are one global aggregation of depth flags.
+
+    ``max_events_per_user`` is the hot-key guard: the per-user array is
+    bounded by per-user activity, so ONE pathological user (a bot with
+    10⁸ events) makes one giant row.  With the cap set, only each user's
+    EARLIEST ``max_events_per_user`` qualifying events enter the fold
+    (deterministic keep-earliest via row_number over the same (user, ts)
+    ordering the fold uses — the window shares the groupBy's hash
+    partitioning, so no extra shuffle).  Earliest-match funnel semantics
+    are unchanged for every user at-or-under the cap.  Uncapped calls
+    warn, mirroring :func:`iceberg_ruby_spark.operators.text.pack_sequences`'s
+    global-window guard."""
     if not steps:
         raise ValueError("funnel needs at least one step")
+    if max_events_per_user is not None and max_events_per_user <= 0:
+        raise ValueError("max_events_per_user must be positive")
     n = len(steps)
     step_idx = F.create_map(
         *[x for i, s in enumerate(steps) for x in (F.lit(s), F.lit(i))]
@@ -89,6 +103,26 @@ def funnel(
             step_idx[F.col(type_col)].cast("int").alias("idx"),
         ).alias("__e"),
     )
+    if max_events_per_user is None:
+        import warnings
+
+        warnings.warn(
+            "funnel(max_events_per_user=None) builds an UNBOUNDED per-user "
+            "event array — one pathological user (a bot) makes one giant "
+            "row. Pass max_events_per_user for any input where per-user "
+            "activity is not known to be bounded.",
+            ResourceWarning,
+            stacklevel=2,
+        )
+    else:
+        w = Window.partitionBy("__u").orderBy(
+            F.col("__e.ts").asc(), F.col("__e.idx").asc()
+        )
+        evs = (
+            evs.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= max_events_per_user)
+            .drop("__rn")
+        )
     per_user = evs.groupBy("__u").agg(
         F.array_sort(F.collect_list("__e")).alias("__seq")
     )

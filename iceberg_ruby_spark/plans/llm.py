@@ -1808,11 +1808,15 @@ def events_funnel(spark, sf_dir):
     matching (step i matches the earliest qualifying event at-or-after
     step i−1's match).  One groupBy(user) + an in-row fold — no
     self-joins; the DuckDB twin recomputes the same semantics as the
-    classic chained-minimum SQL."""
+    classic chained-minimum SQL.  Runs with the production hot-key guard
+    (max_events_per_user): far above any real per-user activity in the
+    testdata, so it never binds and the oracle stays an exact twin."""
     from iceberg_ruby_spark.operators.sessions import funnel
 
     e = load(spark, sf_dir, "events")
-    return funnel(e, ["view", "click", "purchase"]).orderBy("step_index")
+    return funnel(
+        e, ["view", "click", "purchase"], max_events_per_user=1_000_000
+    ).orderBy("step_index")
 
 
 @query(

@@ -1031,3 +1031,55 @@ def test_retention_cohorts(spark):
 
     with pytest.raises(ValueError):
         ops.retention_cohorts(df, period="fortnight")
+
+
+def test_funnel_hot_user_guard(spark):
+    """max_events_per_user: deterministic keep-earliest cap on the
+    per-user fold array (the hot-bot guard), plus the mechanical
+    ResourceWarning on the unguarded path (VERDICT r7 #5)."""
+    import datetime as dt
+    import warnings
+
+    t0 = dt.datetime(2026, 1, 1)
+
+    def ev(u, typ, secs):
+        return (u, typ, t0 + dt.timedelta(seconds=secs))
+
+    # u1 is a 'bot': 50 views, then click+purchase LATE (beyond the cap)
+    rows = [ev(1, "view", s) for s in range(50)]
+    rows += [ev(1, "click", 100), ev(1, "purchase", 200)]
+    # u2 completes inside the first 5 events
+    rows += [ev(2, "view", 0), ev(2, "click", 1), ev(2, "purchase", 2)]
+    df = spark.createDataFrame(rows, "user_id long, event_type string, ts timestamp")
+
+    # uncapped path warns (and still computes the full-depth answer)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        full = {
+            r.step: r.users
+            for r in ops.funnel(df, ["view", "click", "purchase"]).collect()
+        }
+    assert any(
+        issubclass(x.category, ResourceWarning) and "funnel" in str(x.message)
+        for x in w
+    )
+    assert full == {"view": 2, "click": 2, "purchase": 2}
+
+    # capped: u1's click/purchase fall outside the earliest-10 window;
+    # u2 is unaffected — earliest-match semantics preserved under the cap
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = {
+            r.step: r.users
+            for r in ops.funnel(
+                df, ["view", "click", "purchase"], max_events_per_user=10
+            ).collect()
+        }
+    assert not any(
+        issubclass(x.category, ResourceWarning) and "funnel" in str(x.message)
+        for x in w
+    )
+    assert capped == {"view": 2, "click": 1, "purchase": 1}
+
+    with pytest.raises(Exception, match="positive"):
+        ops.funnel(df, ["view"], max_events_per_user=0)
