@@ -174,3 +174,61 @@ def stream_table_source_tail(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, length(text) AS char_len FROM stream_src_tail_sink"
     )
+
+
+@query(
+    "stream_changelog_tail",
+    oracle="""
+    SELECT doc_id, length(text) AS char_len,
+           'insert' AS _change_type, CAST(0 AS INTEGER) AS _change_ordinal
+    FROM documents WHERE doc_id < 60
+    UNION ALL
+    SELECT doc_id, length(text), 'insert', CAST(1 AS INTEGER)
+    FROM documents WHERE doc_id >= 60 AND doc_id < 120
+    UNION ALL
+    SELECT doc_id, length(text), 'delete', CAST(2 AS INTEGER)
+    FROM documents WHERE doc_id < 20
+    """,
+)
+def stream_changelog_tail(spark, sf_dir):
+    """Changelog-mode STREAMING SOURCE (streaming/source.py, r8): two
+    append commits and one merge-on-read equality delete land in an
+    engine table; a ``mode=changelog`` readStream drains them into
+    row-level change events — inserts for each append's rows at its
+    commit ordinal, deletes carrying the dead rows' full content for the
+    equality-delete commit.  The oracle reconstructs the exact expected
+    event set in closed form (appended slices as inserts, the deleted
+    slice as deletes), so hash equality proves both the event rows and
+    their commit ordinals."""
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = cat.create_table(
+        "stream_cl_tail", schema={"doc_id": "long", "text": "string"}
+    )
+    t.append(docs.filter("doc_id < 60"))
+    t.append(docs.filter("doc_id >= 60 AND doc_id < 120"))
+    t.delete_by_keys(docs.filter("doc_id < 20").select("doc_id"), "doc_id")
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", t.ops.location)
+        .option("mode", "changelog")
+        .load()
+        .writeStream.format("memory")
+        .queryName("stream_cl_tail_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT doc_id, length(text) AS char_len, _change_type,"
+        " _change_ordinal FROM stream_cl_tail_sink"
+    )

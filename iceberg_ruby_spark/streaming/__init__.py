@@ -19,6 +19,7 @@ from iceberg_ruby_spark.streaming.events import (
     windowed_counts,
 )
 from iceberg_ruby_spark.streaming.dedup import stream_dedup_ingest
+from iceberg_ruby_spark.streaming.cdc import stream_changelog_apply
 
 from iceberg_ruby_spark.streaming.source import (
     EngineTableStreamDataSource,
@@ -27,6 +28,7 @@ from iceberg_ruby_spark.streaming.source import (
 
 __all__ = [
     "stream_dedup_ingest",
+    "stream_changelog_apply",
     "EngineTableStreamDataSource",
     "register_stream_source",
     "read_events_stream",

@@ -1,0 +1,65 @@
+"""Continuous CDC replication: changelog STREAM → ``apply_changelog``.
+
+Wires the two halves the engine already has — the ``mode=changelog``
+streaming source (streaming/source.py) and the idempotent CDC consumer
+``Table.apply_changelog`` (table.py) — into a running replication loop:
+every micro-batch of row-level changes from the source table is applied
+net-effect to the replica, keyed on the primary key.
+
+Exactly-once composition: offsets are snapshot ids in Spark's checkpoint,
+and ``apply_changelog`` is idempotent under replay (re-applying a window
+converges to the same replica state), so a crash between a batch's apply
+and its checkpoint commit is repaired by the replayed batch.
+
+100 TB shape: each micro-batch is O(changed rows) on both sides — the
+source side plans from per-commit manifest diffs scoped by the delete
+entries' ``applies-to`` lists (never a table scan), and the apply side
+routes through equality deletes + keyed merge (never a replica rewrite
+when the replica's write modes are merge-on-read).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+
+def stream_changelog_apply(
+    spark,
+    source_table,
+    replica,
+    on: Union[str, list[str]],
+    checkpoint_dir: str,
+    mode: str | None = None,
+    trigger_available_now: bool = True,
+):
+    """Start (and return) a streaming query replicating ``source_table``
+    into ``replica`` keyed on ``on``.  ``mode`` forwards to
+    :meth:`Table.apply_changelog` (merge-mode override).  With
+    ``trigger_available_now`` (default) the query drains the current
+    backlog and stops — call again to catch up; pass False for a
+    continuously-running trigger."""
+    from iceberg_ruby_spark.streaming.source import register_stream_source
+
+    register_stream_source(spark)
+    stream = (
+        spark.readStream.format("iceberg_table")
+        .option("location", source_table.ops.location)
+        .option("mode", "changelog")
+        .load()
+    )
+
+    def _apply(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        replica.refresh().apply_changelog(batch_df, on, mode=mode)
+
+    writer = (
+        stream.writeStream.foreachBatch(_apply)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    writer = (
+        writer.trigger(availableNow=True)
+        if trigger_available_now
+        else writer.trigger(processingTime="0 seconds")
+    )
+    return writer.start()

@@ -33,7 +33,26 @@ becomes a sequence of right-sized batches instead of one giant one.  The
 reader brackets its own offsets (the Python API exposes no ReadLimit),
 landing mid-commit as partial offsets ``{"snapshot_id": S, "pos": k}``;
 with bounding on, consumption is strictly per-commit (Iceberg's streaming
-iterator semantics)."""
+iterator semantics).
+
+``mode=changelog`` (r8) emits ROW-LEVEL CHANGES instead of plain appended
+rows: the table columns plus ``_change_type`` ('insert' | 'delete'),
+``_commit_snapshot_id`` and ``_change_ordinal`` — the streaming half of
+the CDC loop whose batch half is ``Table.changelog_scan`` →
+``Table.apply_changelog`` (``stream_changelog_apply`` wires the two into
+continuous replication).  Scope is the structurally-derivable commit
+kinds, which are exactly what a CDC landing table produces: append
+commits emit inserts; merge-on-read EQUALITY-delete commits emit the
+dead rows (candidates from the delete entry's own ``applies-to`` scope —
+never a table scan — masked against prior equality deletes so
+already-dead rows are not re-emitted); ``replace`` commits (compaction)
+emit nothing, since physical churn cancels logically.  Copy-on-write
+rewrites and positional/DV deletes are refused with guidance — their row
+diffs need the batch ``changelog_scan``'s content comparison — unless
+``skip_rewrite_commits=true`` passes over them.  Iceberg itself has no
+changelog STREAMING read (its changelog is batch-only
+``create_changelog_view``; its streaming read skips or refuses
+non-append commits), so this exceeds the upstream surface."""
 
 from __future__ import annotations
 
@@ -77,6 +96,34 @@ class _FileSlice(InputPartition):
         self.columns = columns
 
 
+class _ChangeSlice(InputPartition):
+    """One changelog-mode work unit: either a newly-appended data file
+    (``kind='insert'``) or one (data file × new equality-delete file)
+    pair (``kind='delete'``).  ``prior_deletes`` carries the equality
+    deletes already applied to the data file BEFORE this commit, so
+    already-dead rows are not re-emitted as deleted."""
+
+    def __init__(
+        self,
+        kind: str,
+        path: str,
+        columns: list[str],
+        snapshot_id: int,
+        ordinal: int,
+        delete_path: Optional[str] = None,
+        key_cols: Optional[list[str]] = None,
+        prior_deletes: Optional[list[tuple[str, tuple[str, ...]]]] = None,
+    ):
+        self.kind = kind
+        self.path = path
+        self.columns = columns
+        self.snapshot_id = snapshot_id
+        self.ordinal = ordinal
+        self.delete_path = delete_path
+        self.key_cols = key_cols or []
+        self.prior_deletes = prior_deletes or []
+
+
 class EngineTableStreamReader(DataSourceStreamReader):
     def __init__(self, options: dict):
         self.location = options.get("location") or options.get("path")
@@ -85,6 +132,16 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self.skip_rewrites = (
             str(options.get("skip_rewrite_commits", "false")).lower() == "true"
         )
+        # mode=changelog: emit row-level changes (_change_type /
+        # _commit_snapshot_id / _change_ordinal) instead of plain appended
+        # rows — the streaming half of the CDC story (batch side:
+        # Table.changelog_scan → Table.apply_changelog)
+        self.mode = str(options.get("mode", "append")).lower()
+        if self.mode not in ("append", "changelog"):
+            raise ValueError(
+                f"iceberg_table stream source mode {self.mode!r}: expected "
+                "'append' or 'changelog'"
+            )
         start = options.get("starting_snapshot_id")
         self._starting = int(start) if start is not None else None
         # follow a branch/tag head instead of main (stream the audit
@@ -103,6 +160,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self._max_files = int(mft) if mft is not None else None
         if self._max_files is not None and self._max_files <= 0:
             raise ValueError("max_files_per_trigger must be positive")
+        if self.mode == "changelog" and self._max_files is not None:
+            # changelog windows are per-commit units (a delete's slices
+            # cannot split mid-commit); file-granular admission would need
+            # partial offsets inside a diff — refuse rather than mis-bound
+            raise ValueError(
+                "max_files_per_trigger is not supported with mode=changelog"
+            )
         self._last: Optional[dict] = None
         self._floor: Optional[dict] = None
         meta = _ops(self.location).load()
@@ -272,6 +336,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         end_snap = by_id.get(end_id)
         if end_snap is None:
             raise ValueError(f"offset snapshot {end_id} no longer exists")
+        if self.mode == "changelog":
+            return self._changelog_partitions(ops, by_id, start_id, end_snap)
         if start_pos is not None or end_pos is not None:
             return self._partial_window(
                 ops, by_id, start_id, start_pos, end_snap, end_pos
@@ -337,6 +403,141 @@ class EngineTableStreamReader(DataSourceStreamReader):
         ]
         return [_FileSlice(p, self._columns) for p in sorted(new)]
 
+    # -- changelog-mode planning ------------------------------------------
+    def _changelog_partitions(
+        self, ops, by_id, start_id, end_snap
+    ) -> list[InputPartition]:
+        """Per-commit structural change slices over the window — metadata
+        reads only.  Scope (documented in the module docstring): append
+        commits emit inserts; merge-on-read EQUALITY-delete commits emit
+        the dead rows (candidates come from the entry's own ``applies-to``
+        scope, masked against prior equality deletes so already-dead rows
+        are not re-emitted); ``replace`` commits (compaction) emit nothing
+        — physical churn without logical change; copy-on-write rewrites
+        and positional/DV deletes are refused with guidance (their row
+        diffs need the batch ``changelog_scan``, which compares row
+        content) unless ``skip_rewrite_commits=true`` skips them."""
+        chain = []
+        cur = end_snap
+        while cur is not None and cur.snapshot_id != start_id:
+            chain.append(cur)
+            cur = (
+                by_id.get(cur.parent_snapshot_id)
+                if cur.parent_snapshot_id is not None
+                else None
+            )
+        if start_id is not None and cur is None:
+            raise ValueError(
+                f"offset snapshot {start_id} is not an ancestor of "
+                f"{end_snap.snapshot_id}"
+            )
+        chain.reverse()
+        prev = cur  # None ⇒ window starts at table creation
+        slices: list[InputPartition] = []
+        for ordinal, snap in enumerate(chain):
+            slices += self._commit_change_slices(ops, prev, snap, ordinal)
+            prev = snap
+        return slices
+
+    def _commit_change_slices(
+        self, ops, prev, snap, ordinal: int
+    ) -> list[InputPartition]:
+        sid = snap.snapshot_id
+        cur_entries = ops.read_manifest(snap.manifest_list)
+        prev_entries = ops.read_manifest(prev.manifest_list) if prev else []
+        prev_paths = {e["path"] for e in prev_entries if "path" in e}
+        cur_paths = {e["path"] for e in cur_entries if "path" in e}
+        removed = prev_paths - cur_paths
+        if removed:
+            if snap.operation == "replace":
+                return []  # pure rewrite: no logical change to emit
+            if self.skip_rewrites:
+                return []
+            raise ValueError(
+                f"changelog streaming crossed a {snap.operation!r} commit "
+                f"({sid}) that rewrote data files; row-level diffs of "
+                "copy-on-write rewrites need the batch changelog_scan — "
+                "write with merge-on-read modes, or set "
+                "skip_rewrite_commits=true to pass over them"
+            )
+
+        def _del_id(e):
+            return e.get("delete-file") or repr(e.get("delete-predicate"))
+
+        prev_del_ids = {
+            _del_id(e)
+            for e in prev_entries
+            if "delete-file" in e or "delete-predicate" in e
+        }
+        added_deletes = [
+            e
+            for e in cur_entries
+            if ("delete-file" in e or "delete-predicate" in e)
+            and _del_id(e) not in prev_del_ids
+        ]
+        slices: list[InputPartition] = [
+            _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
+            for e in cur_entries
+            if "path" in e and e["path"] not in prev_paths
+        ]
+        for e in added_deletes:
+            if e.get("content") != "equality-deletes":
+                kind = e.get("content") or (
+                    "delete-predicate" if "delete-predicate" in e else "delete"
+                )
+                if self.skip_rewrites:
+                    return [s for s in slices if s.kind == "insert"]
+                raise ValueError(
+                    f"changelog streaming crossed a {kind!r} delete in "
+                    f"commit {sid}; only equality deletes are streamable "
+                    "(positional/DV coordinates need the batch "
+                    "changelog_scan) — set skip_rewrite_commits=true to "
+                    "pass over them"
+                )
+            key_cols = list(e.get("equality-cols") or [])
+            if not key_cols:
+                raise ValueError(
+                    f"equality delete in commit {sid} records no key "
+                    "columns; cannot stream its changelog"
+                )
+            for data_path in e.get("applies-to") or []:
+                abs_path = ops._abs(data_path)
+                prior: list[tuple[str, tuple[str, ...]]] = []
+                for pe in prev_entries:
+                    if "delete-file" not in pe and "delete-predicate" not in pe:
+                        continue
+                    applies = pe.get("applies-to") or []
+                    refs = pe.get("referenced-data-file")
+                    touches = data_path in applies or refs == data_path
+                    if not touches:
+                        continue
+                    if pe.get("content") != "equality-deletes":
+                        raise ValueError(
+                            f"data file {data_path} carries a prior "
+                            f"{pe.get('content') or 'predicate'} delete; "
+                            "its already-dead rows cannot be masked "
+                            "structurally — use the batch changelog_scan"
+                        )
+                    prior.append(
+                        (
+                            ops._abs(pe["delete-file"]),
+                            tuple(pe.get("equality-cols") or []),
+                        )
+                    )
+                slices.append(
+                    _ChangeSlice(
+                        "delete",
+                        abs_path,
+                        self._columns,
+                        sid,
+                        ordinal,
+                        delete_path=ops._abs(e["delete-file"]),
+                        key_cols=key_cols,
+                        prior_deletes=prior,
+                    )
+                )
+        return slices
+
     def _partial_window(
         self, ops, by_id, start_id, start_pos, end_snap, end_pos
     ) -> list[InputPartition]:
@@ -386,26 +587,68 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return [_FileSlice(p, self._columns) for p in files]
 
     # -- execution (runs in executor python workers) ----------------------
-    def read(self, partition: InputPartition) -> Iterator[tuple]:
-        if partition.path.endswith(".orc"):
+    @staticmethod
+    def _load_cols(path: str, columns: list[str]) -> list[list]:
+        """Column lists for ``columns`` from a parquet/ORC data file;
+        columns missing in the file (schema evolved since it was written)
+        backfill None."""
+        if path.endswith(".orc"):
             # add_files(format='orc') commits ORC imports as ordinary
             # append entries; read them with the matching pyarrow reader
             # instead of failing with an opaque parquet error
             import pyarrow.orc as orc
 
-            tbl = orc.ORCFile(partition.path).read()
+            tbl = orc.ORCFile(path).read()
         else:
             import pyarrow.parquet as pq
 
-            tbl = pq.read_table(partition.path)
-        cols = []
+            tbl = pq.read_table(path)
         n = tbl.num_rows
-        for name in partition.columns:
-            if name in tbl.column_names:
-                cols.append(tbl.column(name).to_pylist())
-            else:  # schema evolved since the file was written
-                cols.append([None] * n)
-        return iter(zip(*cols)) if n else iter([])
+        return [
+            tbl.column(name).to_pylist() if name in tbl.column_names else [None] * n
+            for name in columns
+        ]
+
+    def read(self, partition: InputPartition) -> Iterator[tuple]:
+        if getattr(partition, "kind", None) is not None:
+            return self._read_change(partition)
+        cols = self._load_cols(partition.path, partition.columns)
+        return iter(zip(*cols)) if cols and cols[0] else iter([])
+
+    def _read_change(self, partition: "_ChangeSlice") -> Iterator[tuple]:
+        """Changelog-mode executor read: emit (row…, _change_type,
+        _commit_snapshot_id, _change_ordinal).  Insert slices stream the
+        new file's rows; delete slices stream the data file's rows that
+        match the NEW equality-delete keys and were alive before this
+        commit (rows matching a PRIOR delete on the same file are already
+        dead and are not re-emitted)."""
+        import pyarrow.parquet as pq
+
+        cols = self._load_cols(partition.path, partition.columns)
+        sid, ordinal = partition.snapshot_id, partition.ordinal
+        rows = zip(*cols) if cols and cols[0] else iter([])
+        if partition.kind == "insert":
+            return iter([(*r, "insert", sid, ordinal) for r in rows])
+
+        def key_set(path: str, kcols) -> set:
+            kt = pq.read_table(path, columns=list(kcols))
+            return set(zip(*[kt.column(c).to_pylist() for c in kcols]))
+
+        col_idx = {name: i for i, name in enumerate(partition.columns)}
+        new_keys = key_set(partition.delete_path, partition.key_cols)
+        kidx = [col_idx[c] for c in partition.key_cols]
+        prior = [
+            (key_set(dp, kc), [col_idx[c] for c in kc])
+            for dp, kc in partition.prior_deletes
+        ]
+        out = []
+        for r in rows:
+            if tuple(r[i] for i in kidx) not in new_keys:
+                continue
+            if any(tuple(r[i] for i in pidx) in pks for pks, pidx in prior):
+                continue  # already dead before this commit
+            out.append((*r, "delete", sid, ordinal))
+        return iter(out)
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing engine-side
@@ -421,7 +664,25 @@ class EngineTableStreamDataSource(DataSource):
     def schema(self):
         location = self.options.get("location") or self.options.get("path")
         meta = _ops(location).load()
-        return _current_schema(meta).to_spark()
+        st = _current_schema(meta).to_spark()
+        if str(self.options.get("mode", "append")).lower() == "changelog":
+            from pyspark.sql.types import (
+                IntegerType,
+                LongType,
+                StringType,
+                StructField,
+                StructType,
+            )
+
+            st = StructType(
+                list(st.fields)
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_snapshot_id", LongType()),
+                    StructField("_change_ordinal", IntegerType()),
+                ]
+            )
+        return st
 
     def streamReader(self, schema) -> EngineTableStreamReader:
         return EngineTableStreamReader(dict(self.options))

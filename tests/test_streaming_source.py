@@ -330,3 +330,119 @@ def test_stream_source_reads_orc_imports(catalog, spark, tmp_path):
         assert q.exception() is None
     finally:
         q.stop()
+
+
+def _changelog_events(spark, t, name):
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", t.ops.location)
+        .option("mode", "changelog")
+        .load()
+        .writeStream.format("memory")
+        .queryName(name)
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    return sorted(
+        (r["k"], r["v"], r["_change_type"], r["_change_ordinal"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    )
+
+
+def test_changelog_stream_events(catalog, spark):
+    """mode=changelog emits inserts per append and full-content delete
+    rows for merge-on-read equality deletes, at per-commit ordinals;
+    compaction (replace) emits nothing."""
+    t = catalog.create_table("clsrc", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    t.append([{"k": 3, "v": "c"}])
+    t.delete_by_keys([{"k": 2}], "k")
+    ev = _changelog_events(spark, t, "clsrc_sink")
+    assert ev == [
+        (1, "a", "insert", 0),
+        (2, "b", "delete", 2),
+        (2, "b", "insert", 0),
+        (3, "c", "insert", 1),
+    ]
+    # a pure rewrite emits nothing: compact + one more append → only the
+    # append's insert arrives
+    t.compact()
+    t.append([{"k": 4, "v": "d"}])
+    ev2 = _changelog_events(spark, t, "clsrc_sink2")
+    # fresh stream replays everything; compaction contributed zero events
+    kinds = [(k, ty) for k, _v, ty, _o in ev2]
+    assert kinds.count((4, "insert")) == 1
+    assert len(ev2) == len(ev) + 1
+
+
+def test_changelog_stream_prior_delete_masking(catalog, spark):
+    """A row already dead under an earlier equality delete is NOT
+    re-emitted when a later delete matches it again."""
+    t = catalog.create_table("clmask", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    t.delete_by_keys([{"k": 2}], "k")
+    t.delete_by_keys([{"k": 2}, {"k": 3}], "k")  # 2 is already dead
+    ev = _changelog_events(spark, t, "clmask_sink")
+    deletes = [(k, o) for k, _v, ty, o in ev if ty == "delete"]
+    assert deletes == [(2, 1), (3, 2)]
+
+
+def test_changelog_stream_refusals(catalog, spark):
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("clref", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}])
+    with pytest.raises(ValueError, match="max_files_per_trigger"):
+        EngineTableStreamReader(
+            {"location": t.ops.location, "mode": "changelog",
+             "max_files_per_trigger": "2"}
+        )
+    with pytest.raises(ValueError, match="expected 'append' or 'changelog'"):
+        EngineTableStreamReader({"location": t.ops.location, "mode": "bogus"})
+    # copy-on-write rewrite: planning refuses with guidance
+    t.delete_where("k = 1")  # CoW
+    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
+    with pytest.raises(ValueError, match="changelog_scan"):
+        r.partitions(
+            {"snapshot_id": None},
+            {"snapshot_id": t.refresh().current_snapshot_id},
+        )
+
+
+def test_changelog_stream_apply_replication(catalog, spark, tmp_path):
+    """stream_changelog_apply keeps a replica ≡ source across mutation
+    waves, restart-safe (same checkpoint, including a no-new-data run)."""
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+
+    src = catalog.create_table("clrep_src", schema={"k": "int", "v": "string"})
+    rep = catalog.create_table("clrep_dst", schema={"k": "int", "v": "string"})
+    ckpt = str(tmp_path / "ckpt")
+
+    def sync():
+        q = stream_changelog_apply(spark, src.refresh(), rep, "k", ckpt)
+        q.awaitTermination()
+
+    def state(t):
+        return sorted((r["k"], r["v"]) for r in t.refresh().to_a())
+
+    src.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    src.append([{"k": 3, "v": "c"}])
+    src.delete_by_keys([{"k": 2}], "k")
+    sync()
+    assert state(rep) == state(src) == [(1, "a"), (3, "c")]
+    # update = CDC delete+insert; plus a fresh append
+    src.delete_by_keys([{"k": 1}], "k")
+    src.append([{"k": 1, "v": "a2"}, {"k": 4, "v": "d"}])
+    sync()
+    assert state(rep) == state(src) == [(1, "a2"), (3, "c"), (4, "d")]
+    # restart with no new data: idempotent, replica unchanged
+    sync()
+    assert state(rep) == [(1, "a2"), (3, "c"), (4, "d")]
