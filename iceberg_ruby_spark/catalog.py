@@ -1547,6 +1547,27 @@ class Catalog:
             expanded = sorted(_glob.glob(path)) or [path]
             n = tbl.add_files(expanded)
             out = [(n,)], "added_files_count long"
+        elif proc == "ivf_index_drift":
+            # staleness metric for an ivf_table_index table (r8): cell
+            # skew + assign-distance drift vs the stamped build stats
+            from iceberg_ruby_spark.operators.similarity import ivf_table_drift
+
+            d = ivf_table_drift(tbl)
+            out = (
+                [(
+                    d["n_vectors"], d["n_cells"], d["n_cells_used"],
+                    float(d["cell_skew"]), float(d["mean_dist_ratio"]),
+                    bool(d["stale"]),
+                )],
+                "n_vectors long, n_cells long, n_cells_used long, "
+                "cell_skew double, mean_dist_ratio double, stale boolean",
+            )
+        elif proc == "ivf_retrain":
+            from iceberg_ruby_spark.operators.similarity import ivf_table_retrain
+
+            t2 = ivf_table_retrain(tbl)
+            n_rows = int(t2.current_snapshot().summary.get("total-records", 0))
+            out = [(n_rows,)], "reassigned_vectors long"
         elif proc == "create_changelog_view":
             # iceberg-spark: registers a queryable changelog view and
             # returns its name.  Window bounds come as named args

@@ -666,6 +666,11 @@ def ivf_table_index(
 
     centroids = _train_centroids(corpus, vec_col, n_cells, seed=seed, id_col=id_col)
     assigned = ivf_assign(centroids, corpus, id_col=id_col, vec_col=vec_col)
+    # build-time assignment quality, stamped for ivf_table_drift's
+    # staleness ratio (one extra aggregation pass at build only)
+    build_stats = _ivf_assign_stats(
+        assigned.select("cell", F.col("__cv").alias(vec_col)), vec_col, centroids
+    )
     src_fields = {f.name: f.dataType for f in corpus.schema.fields}
     src_type = src_fields[vec_col].simpleString()
     t = catalog.create_table(
@@ -684,6 +689,7 @@ def ivf_table_index(
             ),
             "ivf.vec-col": vec_col,
             "ivf.id-col": id_col,
+            "ivf.build-mean-dist": repr(build_stats["mean_dist"]),
         },
     )
     t.append(
@@ -693,6 +699,127 @@ def ivf_table_index(
         )
     )
     return t.refresh()
+
+
+def _ivf_assign_stats(df: DataFrame, vec_col: str, centroids) -> dict:
+    """Assignment-quality statistics in ONE aggregation pass over an
+    assigned frame (``cell`` + vectors): per-cell counts and summed
+    assign distances (shuffle on cell, map-side partials), then a
+    singleton roll-up.  Centroids ride a broadcast — nothing corpus-sized
+    moves."""
+    spark = df.sparkSession
+    cent_df = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "cell int, __c array<double>",
+    )
+    dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col(vec_col),
+                F.col("__c"),
+                lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    per_cell = (
+        df.join(F.broadcast(cent_df), "cell")
+        .withColumn("__d", dist)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("__d").alias("sd"))
+    )
+    r = per_cell.agg(
+        F.sum("n").alias("n_vectors"),
+        F.count(F.lit(1)).alias("n_cells_used"),
+        F.max("n").alias("max_cell"),
+        (F.sum("sd") / F.sum("n")).alias("mean_dist"),
+    ).collect()[0]
+    return {
+        "n_vectors": int(r["n_vectors"] or 0),
+        "n_cells_used": int(r["n_cells_used"] or 0),
+        "max_cell": int(r["max_cell"] or 0),
+        "mean_dist": float(r["mean_dist"] or 0.0),
+    }
+
+
+def ivf_table_drift(
+    index_table,
+    skew_threshold: float = 4.0,
+    dist_ratio_threshold: float = 1.5,
+) -> dict:
+    """Index-staleness metric for an :func:`ivf_table_index` table —
+    persisted centroids never retrain on their own, so after enough
+    incremental ingest the cell balance degrades silently.  ONE
+    aggregation over the index table computes:
+
+    * ``cell_skew``: hottest cell's population over the mean — ingest
+      that lands mostly in a few cells destroys the probe-pruning win;
+    * ``mean_dist_ratio``: current mean assign-distance over the
+      build-time value stamped in the table properties — drifted data
+      sits far from every centroid, so probes miss true neighbors.
+
+    ``stale`` is True when either exceeds its threshold — the signal to
+    CALL :func:`ivf_table_retrain`."""
+    import json as _json
+
+    props = index_table.properties
+    centroids = _json.loads(props["ivf.centroids"])
+    vec_col = props.get("ivf.vec-col", "embedding")
+    df = index_table.scan().to_df()
+    s = _ivf_assign_stats(df, vec_col, centroids)
+    n_cells = len(centroids)
+    mean_cell = s["n_vectors"] / n_cells if n_cells else 0.0
+    skew = s["max_cell"] / mean_cell if mean_cell else 0.0
+    build_dist = float(props.get("ivf.build-mean-dist", 0.0) or 0.0)
+    ratio = s["mean_dist"] / build_dist if build_dist else 1.0
+    return {
+        "n_vectors": s["n_vectors"],
+        "n_cells": n_cells,
+        "n_cells_used": s["n_cells_used"],
+        "cell_skew": round(skew, 4),
+        "mean_dist": round(s["mean_dist"], 6),
+        "build_mean_dist": round(build_dist, 6),
+        "mean_dist_ratio": round(ratio, 4),
+        "stale": bool(skew > skew_threshold or ratio > dist_ratio_threshold),
+    }
+
+
+def ivf_table_retrain(index_table, seed: int = 42):
+    """Rebuild an :func:`ivf_table_index` table's coarse quantizer from
+    its CURRENT vectors and reassign every row — the repair for a stale
+    index (:func:`ivf_table_drift`).  ONE atomic overwrite commit carries
+    both the reassigned rows and the new centroids + build statistics
+    (``Table.overwrite(set_properties=...)``), so a reader never sees
+    new cells under old centroids or vice versa.  Training stays
+    sample-bounded (driver sees ≤4096 vectors); reassignment is the
+    distributed :func:`ivf_assign` pass."""
+    import json as _json
+
+    props = index_table.properties
+    vec_col = props.get("ivf.vec-col", "embedding")
+    id_col = props.get("ivf.id-col", "vec_id")
+    n_cells = len(_json.loads(props["ivf.centroids"]))
+    corpus = index_table.scan().to_df().select(id_col, vec_col)
+    src_type = dict(corpus.dtypes)[vec_col]
+    centroids = _train_centroids(
+        corpus, vec_col, n_cells, seed=seed, id_col=id_col
+    )
+    assigned = ivf_assign(centroids, corpus, id_col=id_col, vec_col=vec_col)
+    rows = assigned.select(
+        F.col(id_col), F.col("cell"), F.col("__cv").cast(src_type).alias(vec_col)
+    )
+    stats = _ivf_assign_stats(
+        assigned.select("cell", F.col("__cv").alias(vec_col)), vec_col, centroids
+    )
+    index_table.overwrite(
+        rows,
+        set_properties={
+            "ivf.centroids": _json.dumps([[float(x) for x in c] for c in centroids]),
+            "ivf.build-mean-dist": repr(stats["mean_dist"]),
+        },
+    )
+    return index_table.refresh()
 
 
 def ivf_table_search(

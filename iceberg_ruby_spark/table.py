@@ -3162,17 +3162,35 @@ class Table:
         )
         return len(new_entries)
 
-    def overwrite(self, data: Any, summary_extra: Optional[dict] = None) -> "Table":
+    def overwrite(
+        self,
+        data: Any,
+        summary_extra: Optional[dict] = None,
+        set_properties: Optional[dict] = None,
+    ) -> "Table":
         """Full-table replace — beyond the reference's surface (its UPDATE /
         DELETE error out, ``test/sql_test.rb:55-69``).  ``summary_extra``
         rides the snapshot summary (materialized-aggregate rebuilds stamp
-        their source watermark there, atomic with the state)."""
+        their source watermark there, atomic with the state).
+        ``set_properties`` merges property updates into the SAME commit —
+        state that must stay consistent with the data (e.g. an IVF
+        index's retrained centroids) can never be observed half-swapped."""
         self._check_writable()
         df = self._normalize_input(data)
         new_entries = self._write_data_dir(df)
         n = self._entries_rowcount(new_entries)
+        raw_extra = None
+        if set_properties is not None:
+            updates = {str(k): str(v) for k, v in set_properties.items()}
+
+            def raw_extra(raw: dict) -> None:
+                raw["properties"] = {**raw.get("properties", {}), **updates}
+
         self._commit_snapshot(
-            "overwrite", new_entries, {"added-records": n, **(summary_extra or {})}
+            "overwrite",
+            new_entries,
+            {"added-records": n, **(summary_extra or {})},
+            raw_extra=raw_extra,
         )
         return self
 

@@ -272,3 +272,77 @@ def test_ivf_table_index_pruning_and_recall(catalog, spark):
     )
     grown = ivf_table_search(t.refresh(), q, k=5, n_probe=8)
     assert grown.count() == q.count() * 5
+
+
+def test_ivf_table_drift_and_retrain(catalog, spark):
+    """Staleness loop (VERDICT r7 #6): a fresh index reports healthy;
+    skewed incremental ingest (far from every build-time centroid, all
+    landing in few cells) trips the drift metric; retrain restores cell
+    balance and full-probe recall, atomically with the reassigned rows."""
+    import json
+
+    from iceberg_ruby_spark.operators.similarity import (
+        cosine_topk,
+        ivf_assign,
+        ivf_table_drift,
+        ivf_table_index,
+        ivf_table_retrain,
+        ivf_table_search,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    dim = len(emb.select("embedding").first()[0])
+    t = ivf_table_index(catalog, "emb_ivf_drift", emb, n_cells=8, seed=42)
+    d0 = ivf_table_drift(t)
+    assert not d0["stale"]
+    assert float(t.properties["ivf.build-mean-dist"]) > 0
+    # skewed ingest: a tight far-away cluster, 4x the corpus size — lands
+    # in one or two cells and far from every build centroid
+    import pyspark.sql.functions as F
+
+    n0 = emb.count()
+    # 8 well-separated far sub-clusters so the RETRAINED quantizer can
+    # balance them (one cell each); under the BUILD centroids they all
+    # land far away in few cells
+    far = spark.range(4 * n0).select(
+        (F.col("id") + 1_000_000).alias("vec_id"),
+        F.array(
+            *[
+                (F.lit(50.0) + (F.col("id") % 8) * 10.0).cast("float")
+                for _ in range(dim)
+            ]
+        ).alias("embedding"),
+    )
+    cents = json.loads(t.properties["ivf.centroids"])
+    t.append(
+        ivf_assign(cents, far).selectExpr(
+            "vec_id", "cell", "CAST(__cv AS array<float>) AS embedding"
+        )
+    )
+    d1 = ivf_table_drift(t.refresh())
+    assert d1["stale"], d1
+    assert d1["cell_skew"] > d0["cell_skew"]
+    # retrain: one atomic overwrite — centroids + rows swap together
+    v_before = t.ops.load().version
+    t2 = ivf_table_retrain(t)
+    assert t2.ops.load().version == v_before + 1
+    d2 = ivf_table_drift(t2)
+    assert not d2["stale"], d2
+    new_cents = json.loads(t2.properties["ivf.centroids"])
+    assert new_cents != cents and len(new_cents) == 8
+    # full-probe search over the retrained index equals exact top-k over
+    # the grown corpus
+    grown = emb.unionByName(
+        far.withColumn("label", F.lit(None).cast("int")), allowMissingColumns=True
+    ).select("vec_id", "embedding")
+    q = emb.filter("vec_id < 3")
+    got = sorted(
+        tuple(r) for r in ivf_table_search(t2, q, k=5, n_probe=8).collect()
+    )
+    exact = sorted(tuple(r) for r in cosine_topk(grown, q, k=5).collect())
+    assert got == exact
+    # CALL spellings
+    r = catalog.sql("CALL system.ivf_index_drift('emb_ivf_drift')")
+    assert r.columns[-1] == "stale" and r.rows[0][-1] is False
+    r2 = catalog.sql("CALL system.ivf_retrain('emb_ivf_drift')")
+    assert r2.rows[0][0] == n0 + 4 * n0
