@@ -2260,11 +2260,21 @@ class Table:
         if sort_cols:
             df = df.sortWithinPartitions(*sort_cols)
         writer = df.write.mode("error")
-        # write.parquet.compression-codec (Iceberg property; snappy is the
+        # write.format.default (Iceberg property): the data-file format new
+        # writes produce.  parquet is the engine default; orc composes with
+        # the same stats collection, bounds pruning, CoW and equality-delete
+        # paths (positional/DV coordinates stay refused over ORC —
+        # _refuse_positional_over_orc)
+        fmt = props.get("write.format.default", "parquet")
+        if fmt not in ("parquet", "orc"):
+            raise InvalidDataError(
+                f"write.format.default {fmt!r}: expected parquet or orc"
+            )
+        # write.<fmt>.compression-codec (Iceberg property; snappy is the
         # engine default like Spark's) — zstd is the at-scale choice:
         # ~30% smaller files for similar CPU, and 100 TB of scans are
         # IO-bound
-        codec = props.get("write.parquet.compression-codec")
+        codec = props.get(f"write.{fmt}.compression-codec")
         if codec:
             writer = writer.option("compression", codec)
         max_per_file = props.get("write.spark.max-records-per-file")
@@ -2274,29 +2284,38 @@ class Table:
         # options: point lookups on high-cardinality non-sort columns then
         # skip row groups the min/max bounds can't (bounds only help on
         # clustered columns; blooms work on any).
-        for k, v in props.items():
-            if k.startswith("write.parquet.bloom-filter-enabled.column."):
-                col = k.rsplit(".", 1)[-1]
-                writer = writer.option(f"parquet.bloom.filter.enabled#{col}", v)
-            elif k.startswith("write.parquet.bloom-filter-expected-ndv.column."):
-                col = k.rsplit(".", 1)[-1]
-                writer = writer.option(f"parquet.bloom.filter.expected.ndv#{col}", v)
-        if props.get("write.parquet.bloom-filter-max-bytes"):
-            writer = writer.option(
-                "parquet.bloom.filter.max.bytes",
-                int(props["write.parquet.bloom-filter-max-bytes"]),
-            )
+        if fmt == "parquet":
+            for k, v in props.items():
+                if k.startswith("write.parquet.bloom-filter-enabled.column."):
+                    col = k.rsplit(".", 1)[-1]
+                    writer = writer.option(f"parquet.bloom.filter.enabled#{col}", v)
+                elif k.startswith("write.parquet.bloom-filter-expected-ndv.column."):
+                    col = k.rsplit(".", 1)[-1]
+                    writer = writer.option(
+                        f"parquet.bloom.filter.expected.ndv#{col}", v
+                    )
+            if props.get("write.parquet.bloom-filter-max-bytes"):
+                writer = writer.option(
+                    "parquet.bloom.filter.max.bytes",
+                    int(props["write.parquet.bloom-filter-max-bytes"]),
+                )
         if part_cols:
             writer = writer.partitionBy(*part_cols)
-        writer.parquet(out)
+        if fmt == "orc":
+            writer.orc(out)
+        else:
+            writer.parquet(out)
         return self._collect_file_stats(out)
 
     def _collect_file_stats(self, out_dir: str) -> list[dict[str, Any]]:
         """One Spark aggregation over the written files → per-file manifest
         entries with record counts and min/max column bounds."""
-        if not any(f.endswith(".parquet") for f in self.ops.io.list(out_dir)):
+        files = list(self.ops.io.list(out_dir))
+        has_orc = any(f.endswith(".orc") for f in files)
+        if not has_orc and not any(f.endswith(".parquet") for f in files):
             return []  # zero-row write (e.g. a delete emptied every hit file)
-        written = self.spark.read.option("basePath", out_dir).parquet(out_dir)
+        reader = self.spark.read.option("basePath", out_dir)
+        written = reader.orc(out_dir) if has_orc else reader.parquet(out_dir)
         return self._file_stat_entries(written)
 
     def _file_stat_entries(self, written: DataFrame) -> list[dict[str, Any]]:
@@ -4794,7 +4813,7 @@ class Table:
             top = os.path.join(self.ops.data_dir, rel.split(os.sep)[0])
             commit_dirs.setdefault(top, False)
             if (
-                f.endswith(".parquet") or f.endswith(".puffin")
+                f.endswith(".parquet") or f.endswith(".puffin") or f.endswith(".orc")
             ) and os.path.abspath(f) in live:
                 commit_dirs[top] = True
         removed: list[str] = []

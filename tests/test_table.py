@@ -860,3 +860,54 @@ def test_orc_data_files(catalog, spark, tmp_path):
     assert len(t.refresh().to_a()) == 44
     with pytest.raises(InvalidDataError, match="expected parquet or orc"):
         t.add_files(files, format="csv")
+
+
+def test_orc_native_writes(catalog, spark):
+    """write.format.default=orc (r8): the engine WRITES ORC data files
+    natively — append/scan/bounds-pruning/CoW/equality-delete/time-travel
+    compose; positional/DV stay refused; compact keeps the table's
+    declared format."""
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table(
+        "orcw",
+        schema={"a": "int", "b": "string"},
+        properties={"write.format.default": "orc"},
+    )
+    t.append([{"a": i, "b": f"r{i}"} for i in range(20)])
+    t.append([{"a": 100 + i, "b": f"s{i}"} for i in range(5)])
+    entries = [e for e in t._current_entries() if "path" in e]
+    assert entries and all(e["path"].endswith(".orc") for e in entries)
+    assert len(t.to_a()) == 25
+    assert t.scan().filter("a = 7").to_a() == [{"a": 7, "b": "r7"}]
+    # per-file bounds were collected → file pruning works on ORC writes:
+    # only the second append's files (all a >= 100) are planned
+    planned = t.scan().filter("a >= 100").plan_files()
+    assert planned and len(planned) < len(entries)
+    assert all(f["lower_bounds"]["a"] >= 100 for f in planned)
+    sid = t.current_snapshot_id
+    # equality delete (MoR) and CoW delete both compose
+    t.delete_by_keys([{"a": 7}], on="a")
+    t.delete_where("a < 5")
+    assert len(t.refresh().to_a()) == 19
+    assert len(t.to_a(snapshot_id=sid)) == 25  # time travel
+    with pytest.raises(InvalidDataError, match="ORC data files"):
+        t.delete_where("a = 9", mode="merge-on-read-positional")
+    # compaction honors the declared format: output stays ORC
+    t.compact()
+    entries = [e for e in t._current_entries() if "path" in e]
+    assert entries and all(e["path"].endswith(".orc") for e in entries)
+    assert len(t.refresh().to_a()) == 19
+    # orphan sweep treats live ORC dirs as live
+    assert t.remove_orphan_files(dry_run=True) is not None
+    t.expire_snapshots(keep_last=1)
+    t.remove_orphan_files()
+    assert len(t.refresh().to_a()) == 19
+    with pytest.raises(InvalidDataError, match="expected parquet or orc"):
+        catalog.create_table(
+            "orcbad",
+            schema={"a": "int"},
+            properties={"write.format.default": "avro"},
+        ).append([{"a": 1}])
