@@ -41,14 +41,18 @@ rows: the table columns plus ``_change_type`` ('insert' | 'delete'),
 the CDC loop whose batch half is ``Table.changelog_scan`` →
 ``Table.apply_changelog`` (``stream_changelog_apply`` wires the two into
 continuous replication).  Scope is the structurally-derivable commit
-kinds, which are exactly what a CDC landing table produces: append
-commits emit inserts; merge-on-read EQUALITY-delete commits emit the
-dead rows (candidates from the delete entry's own ``applies-to`` scope —
-never a table scan — masked against prior equality deletes so
-already-dead rows are not re-emitted); ``replace`` commits (compaction)
-emit nothing, since physical churn cancels logically.  Copy-on-write
-rewrites and positional/DV deletes are refused with guidance — their row
-diffs need the batch ``changelog_scan``'s content comparison — unless
+kinds — every merge-on-read mutation flavor: append commits emit
+inserts; EQUALITY-delete commits emit the dead rows by key match;
+POSITIONAL-delete and DELETION-VECTOR commits emit the rows at the
+recorded coordinates (DV replacement emits only new−old positions).
+Delete candidates come from each delete entry's own ``applies-to`` /
+``referenced-data-file`` scope — never a table scan — and every slice is
+masked against ALL prior deletes on its file (prior key sets, prior
+positions, the replaced DV), so a row dies in the changelog exactly
+once.  ``replace`` commits (compaction) emit nothing — physical churn
+cancels logically.  Copy-on-write rewrites and predicate deletes are
+refused with guidance (their row diffs need the batch
+``changelog_scan``'s content comparison) unless
 ``skip_rewrite_commits=true`` passes over them.  Iceberg itself has no
 changelog STREAMING read (its changelog is batch-only
 ``create_changelog_view``; its streaming read skips or refuses
@@ -97,11 +101,13 @@ class _FileSlice(InputPartition):
 
 
 class _ChangeSlice(InputPartition):
-    """One changelog-mode work unit: either a newly-appended data file
-    (``kind='insert'``) or one (data file × new equality-delete file)
-    pair (``kind='delete'``).  ``prior_deletes`` carries the equality
-    deletes already applied to the data file BEFORE this commit, so
-    already-dead rows are not re-emitted as deleted."""
+    """One changelog-mode work unit: a newly-appended data file
+    (``kind='insert'``) or one (data file × new delete source) pair —
+    ``kind`` 'delete-eq' (equality keys), 'delete-pos' (positional
+    parquet), or 'delete-dv' (puffin deletion-vector slice).  The
+    ``prior_*`` fields carry every delete already applied to the data
+    file BEFORE this commit (equality key files, positional files, the
+    replaced DV), so already-dead rows are never re-emitted."""
 
     def __init__(
         self,
@@ -112,7 +118,10 @@ class _ChangeSlice(InputPartition):
         ordinal: int,
         delete_path: Optional[str] = None,
         key_cols: Optional[list[str]] = None,
-        prior_deletes: Optional[list[tuple[str, tuple[str, ...]]]] = None,
+        dv: Optional[tuple[int, int]] = None,
+        prior_eq: Optional[list[tuple[str, tuple[str, ...]]]] = None,
+        prior_pos: Optional[list[str]] = None,
+        prior_dv: Optional[tuple[str, int, int]] = None,
     ):
         self.kind = kind
         self.path = path
@@ -121,7 +130,10 @@ class _ChangeSlice(InputPartition):
         self.ordinal = ordinal
         self.delete_path = delete_path
         self.key_cols = key_cols or []
-        self.prior_deletes = prior_deletes or []
+        self.dv = dv
+        self.prior_eq = prior_eq or []
+        self.prior_pos = prior_pos or []
+        self.prior_dv = prior_dv
 
 
 class EngineTableStreamReader(DataSourceStreamReader):
@@ -462,7 +474,10 @@ class EngineTableStreamReader(DataSourceStreamReader):
             )
 
         def _del_id(e):
-            return e.get("delete-file") or repr(e.get("delete-predicate"))
+            if "delete-predicate" in e:
+                return repr(e.get("delete-predicate"))
+            # two DVs can share one puffin file at different offsets
+            return (e.get("delete-file"), e.get("content-offset"))
 
         prev_del_ids = {
             _del_id(e)
@@ -480,62 +495,110 @@ class EngineTableStreamReader(DataSourceStreamReader):
             for e in cur_entries
             if "path" in e and e["path"] not in prev_paths
         ]
+
+        def _touched_files(e) -> list[str]:
+            if e.get("content") == "deletion-vector":
+                return [e["referenced-data-file"]]
+            return list(e.get("applies-to") or [])
+
+        def _priors_for(data_abs: str):
+            """Deletes already applied to ``data_abs`` in the PARENT
+            state — the mask that keeps already-dead rows out of this
+            commit's delete events.  Predicate deletes cannot be
+            evaluated executor-side → refuse with guidance."""
+            eq: list[tuple[str, tuple[str, ...]]] = []
+            pos: list[str] = []
+            dv: Optional[tuple[str, int, int]] = None
+            for pe in prev_entries:
+                if "delete-predicate" in pe:
+                    ap = pe.get("applies-to")
+                    if ap is None or data_abs in (ops._abs(p) for p in ap):
+                        raise ValueError(
+                            f"data file {data_abs} carries a prior "
+                            "predicate delete; its already-dead rows "
+                            "cannot be masked structurally — use the "
+                            "batch changelog_scan"
+                        )
+                    continue
+                if "delete-file" not in pe:
+                    continue
+                if data_abs not in (ops._abs(p) for p in _touched_files(pe)):
+                    continue
+                content = pe.get("content")
+                if content == "equality-deletes":
+                    eq.append(
+                        (
+                            ops._abs(pe["delete-file"]),
+                            tuple(pe.get("equality-cols") or []),
+                        )
+                    )
+                elif content == "position-deletes":
+                    pos.append(ops._abs(pe["delete-file"]))
+                elif content == "deletion-vector":
+                    dv = (
+                        ops._abs(pe["delete-file"]),
+                        int(pe["content-offset"]),
+                        int(pe["content-size"]),
+                    )
+            return eq, pos, dv
+
         for e in added_deletes:
-            if e.get("content") != "equality-deletes":
-                kind = e.get("content") or (
+            content = e.get("content")
+            if content not in (
+                "equality-deletes",
+                "position-deletes",
+                "deletion-vector",
+            ):
+                kind = content or (
                     "delete-predicate" if "delete-predicate" in e else "delete"
                 )
                 if self.skip_rewrites:
                     return [s for s in slices if s.kind == "insert"]
                 raise ValueError(
                     f"changelog streaming crossed a {kind!r} delete in "
-                    f"commit {sid}; only equality deletes are streamable "
-                    "(positional/DV coordinates need the batch "
-                    "changelog_scan) — set skip_rewrite_commits=true to "
+                    f"commit {sid}; equality/positional/DV deletes are "
+                    "streamable, predicate deletes need the batch "
+                    "changelog_scan — set skip_rewrite_commits=true to "
                     "pass over them"
                 )
             key_cols = list(e.get("equality-cols") or [])
-            if not key_cols:
+            if content == "equality-deletes" and not key_cols:
                 raise ValueError(
                     f"equality delete in commit {sid} records no key "
                     "columns; cannot stream its changelog"
                 )
-            for data_path in e.get("applies-to") or []:
+            for data_path in _touched_files(e):
                 abs_path = ops._abs(data_path)
-                prior: list[tuple[str, tuple[str, ...]]] = []
-                for pe in prev_entries:
-                    if "delete-file" not in pe and "delete-predicate" not in pe:
-                        continue
-                    applies = pe.get("applies-to") or []
-                    refs = pe.get("referenced-data-file")
-                    touches = data_path in applies or refs == data_path
-                    if not touches:
-                        continue
-                    if pe.get("content") != "equality-deletes":
-                        raise ValueError(
-                            f"data file {data_path} carries a prior "
-                            f"{pe.get('content') or 'predicate'} delete; "
-                            "its already-dead rows cannot be masked "
-                            "structurally — use the batch changelog_scan"
-                        )
-                    prior.append(
-                        (
-                            ops._abs(pe["delete-file"]),
-                            tuple(pe.get("equality-cols") or []),
-                        )
-                    )
-                slices.append(
-                    _ChangeSlice(
-                        "delete",
-                        abs_path,
-                        self._columns,
-                        sid,
-                        ordinal,
-                        delete_path=ops._abs(e["delete-file"]),
-                        key_cols=key_cols,
-                        prior_deletes=prior,
-                    )
+                prior_eq, prior_pos, prior_dv = _priors_for(abs_path)
+                common = dict(
+                    columns=self._columns,
+                    snapshot_id=sid,
+                    ordinal=ordinal,
+                    delete_path=ops._abs(e["delete-file"]),
+                    prior_eq=prior_eq,
+                    prior_pos=prior_pos,
+                    prior_dv=prior_dv,
                 )
+                if content == "equality-deletes":
+                    slices.append(
+                        _ChangeSlice(
+                            "delete-eq", abs_path, key_cols=key_cols, **common
+                        )
+                    )
+                elif content == "position-deletes":
+                    slices.append(_ChangeSlice("delete-pos", abs_path, **common))
+                else:
+                    slices.append(
+                        _ChangeSlice(
+                            "delete-dv",
+                            abs_path,
+                            dv=(
+                                int(e["content-offset"]),
+                                int(e["content-size"]),
+                            ),
+                            **common,
+                        )
+                    )
         return slices
 
     def _partial_window(
@@ -615,13 +678,49 @@ class EngineTableStreamReader(DataSourceStreamReader):
         cols = self._load_cols(partition.path, partition.columns)
         return iter(zip(*cols)) if cols and cols[0] else iter([])
 
+    @staticmethod
+    def _norm_path(p: str) -> str:
+        import os as _os
+
+        if p.startswith("file:"):
+            p = p[len("file:"):]
+        return _os.path.abspath(p)
+
+    @classmethod
+    def _positions_from_pos_file(cls, del_path: str, data_path: str) -> set:
+        """Dead positions for ``data_path`` from a positional-delete
+        parquet of (file_path, pos) rows."""
+        import pyarrow.parquet as pq
+
+        kt = pq.read_table(del_path, columns=["file_path", "pos"])
+        target = cls._norm_path(data_path)
+        return {
+            int(pos)
+            for fp, pos in zip(
+                kt.column("file_path").to_pylist(), kt.column("pos").to_pylist()
+            )
+            if cls._norm_path(fp) == target
+        }
+
+    @staticmethod
+    def _positions_from_dv(path: str, offset: int, size: int) -> set:
+        """Dead positions from one deletion-vector blob slice of a Puffin
+        file (ranged read, pure-python roaring decode)."""
+        from iceberg_ruby_spark.deletion_vectors import decode_dv_blob
+
+        with open(path, "rb") as f:
+            f.seek(offset)
+            payload = f.read(size)
+        return set(decode_dv_blob(payload))
+
     def _read_change(self, partition: "_ChangeSlice") -> Iterator[tuple]:
         """Changelog-mode executor read: emit (row…, _change_type,
         _commit_snapshot_id, _change_ordinal).  Insert slices stream the
-        new file's rows; delete slices stream the data file's rows that
-        match the NEW equality-delete keys and were alive before this
-        commit (rows matching a PRIOR delete on the same file are already
-        dead and are not re-emitted)."""
+        new file's rows.  Delete slices stream the data file's rows newly
+        dead under THIS commit's delete source — equality keys, positional
+        coordinates, or a DV bitmap — masked against every PRIOR delete on
+        the same file (prior equality key sets, prior positional files,
+        the replaced DV), so a row dies in the changelog exactly once."""
         import pyarrow.parquet as pq
 
         cols = self._load_cols(partition.path, partition.columns)
@@ -635,18 +734,44 @@ class EngineTableStreamReader(DataSourceStreamReader):
             return set(zip(*[kt.column(c).to_pylist() for c in kcols]))
 
         col_idx = {name: i for i, name in enumerate(partition.columns)}
-        new_keys = key_set(partition.delete_path, partition.key_cols)
-        kidx = [col_idx[c] for c in partition.key_cols]
-        prior = [
+        # what THIS commit kills
+        new_keys: Optional[set] = None
+        kidx: list[int] = []
+        new_positions: Optional[set] = None
+        if partition.kind == "delete-eq":
+            new_keys = key_set(partition.delete_path, partition.key_cols)
+            kidx = [col_idx[c] for c in partition.key_cols]
+        elif partition.kind == "delete-pos":
+            new_positions = self._positions_from_pos_file(
+                partition.delete_path, partition.path
+            )
+        else:  # delete-dv
+            off, size = partition.dv
+            new_positions = self._positions_from_dv(
+                partition.delete_path, off, size
+            )
+        # what was ALREADY dead before this commit
+        prior_keys = [
             (key_set(dp, kc), [col_idx[c] for c in kc])
-            for dp, kc in partition.prior_deletes
+            for dp, kc in partition.prior_eq
         ]
+        prior_positions: set = set()
+        for dp in partition.prior_pos:
+            prior_positions |= self._positions_from_pos_file(dp, partition.path)
+        if partition.prior_dv is not None:
+            p, off, size = partition.prior_dv
+            prior_positions |= self._positions_from_dv(p, off, size)
         out = []
-        for r in rows:
-            if tuple(r[i] for i in kidx) not in new_keys:
+        for pos, r in enumerate(rows):
+            if new_keys is not None:
+                if tuple(r[i] for i in kidx) not in new_keys:
+                    continue
+            elif pos not in new_positions:
                 continue
-            if any(tuple(r[i] for i in pidx) in pks for pks, pidx in prior):
+            if pos in prior_positions:
                 continue  # already dead before this commit
+            if any(tuple(r[i] for i in pidx) in pks for pks, pidx in prior_keys):
+                continue
             out.append((*r, "delete", sid, ordinal))
         return iter(out)
 

@@ -446,3 +446,50 @@ def test_changelog_stream_apply_replication(catalog, spark, tmp_path):
     # restart with no new data: idempotent, replica unchanged
     sync()
     assert state(rep) == [(1, "a2"), (3, "c"), (4, "d")]
+
+
+def test_changelog_stream_mor_update_dv(catalog, spark):
+    """A merge-on-read UPDATE commit (new data files + deletion vectors,
+    ONE commit) streams as delete(old row) + insert(new row); a later DV
+    REPLACEMENT on the same file emits only the newly-dead positions."""
+    t = catalog.create_table(
+        "cldv", schema={"k": "int", "v": "string"},
+        properties={"write.update.mode": "merge-on-read-dv",
+                    "write.delete.mode": "merge-on-read-dv"},
+    )
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    t.update_where({"v": "'B'"}, "k = 2")        # DV + new file, one commit
+    t.delete_where("k = 3", mode="merge-on-read-dv")  # DV replacement path
+    ev = _changelog_events(spark, t, "cldv_sink")
+    deletes = sorted((k, v, o) for k, v, ty, o in ev if ty == "delete")
+    inserts = sorted((k, v, o) for k, v, ty, o in ev if ty == "insert")
+    assert deletes == [(2, "b", 1), (3, "c", 2)]
+    assert (2, "B", 1) in inserts
+    assert [(k, o) for k, _v, o in inserts if o == 0] == [(1, 0), (2, 0), (3, 0)]
+
+
+def test_changelog_stream_mor_positional(catalog, spark):
+    """Positional-delete (v2) merge-on-read commits stream their
+    coordinates as delete events, masked against prior positional
+    deletes on the same file."""
+    t = catalog.create_table(
+        "clpos", schema={"k": "int", "v": "string"},
+        properties={
+            "format-version": "2",
+            "write.delete.mode": "merge-on-read-positional",
+        },
+    )
+    t.append([{"k": i, "v": f"x{i}"} for i in range(6)])
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    t.delete_where("k <= 2", mode="merge-on-read-positional")  # k=1 already dead
+    ev = _changelog_events(spark, t, "clpos_sink")
+    deletes = sorted((k, o) for k, _v, ty, o in ev if ty == "delete")
+    assert deletes == [(0, 2), (1, 1), (2, 2)]
+    # replica replication over the positional feed converges
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+    import tempfile
+
+    rep = catalog.create_table("clpos_rep", schema={"k": "int", "v": "string"})
+    q = stream_changelog_apply(spark, t, rep, "k", tempfile.mkdtemp())
+    q.awaitTermination()
+    assert sorted(r["k"] for r in rep.refresh().to_a()) == [3, 4, 5]
