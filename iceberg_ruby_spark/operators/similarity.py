@@ -639,6 +639,100 @@ def pq_topk(
     )
 
 
+def truncate_embeddings(
+    df: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    renormalize: bool = True,
+    out_col: Optional[str] = None,
+) -> DataFrame:
+    """Matryoshka-style prefix truncation (Kusupati et al. 2022, MRL):
+    keep the first ``dim`` dimensions and L2-renormalize — MRL-trained
+    embeddings pack coarse semantics into prefixes, so the truncated
+    vector is a usable cheap representation (dim/D of the storage and
+    dot-product cost).  Map-only JVM ``slice`` + arithmetic — no shuffle,
+    no UDF; at 100 TB this is a pure scan-side projection.  Zero-norm
+    prefixes pass through unnormalized (guarded division)."""
+    if dim <= 0:
+        raise InvalidDataError(f"truncate_embeddings dim must be positive: {dim}")
+    out_col = out_col or vec_col
+    sliced = F.slice(F.col(vec_col).cast("array<double>"), 1, dim)
+    if renormalize:
+        nrm = F.sqrt(
+            F.aggregate(
+                F.transform(sliced, lambda x: x * x),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+        )
+        expr = F.when(
+            nrm > 0, F.transform(sliced, lambda x: x / nrm)
+        ).otherwise(sliced)
+    else:
+        expr = sliced
+    return df.withColumn(out_col, expr)
+
+
+def matryoshka_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    prefix_dim: int = 8,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Adaptive retrieval: coarse ranking on ``prefix_dim``-dimensional
+    truncated vectors shortlists ``shortlist`` candidates per query
+    (dot products at prefix_dim/D of full cost), then the shortlist is
+    re-ranked with EXACT full-dimension cosine — the same two-stage
+    funnel shape as PQ's ADC + refine, with prefix truncation as the
+    compressor.  ``shortlist ≥ |corpus|`` degenerates to exact top-k
+    (the oracle-checkable regime); lossy-regime recall is pinned in
+    pytest.  Both stages are per-query WindowGroupLimit top-k — partial
+    top-k map-side, never a global sort."""
+    query_id_col = query_id_col or id_col
+    c_t = truncate_embeddings(
+        corpus.select(F.col(id_col), F.col(vec_col)),
+        prefix_dim, vec_col=vec_col, out_col="__ct",
+    ).select(id_col, vec_col, "__ct")
+    q_t = truncate_embeddings(
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        ),
+        prefix_dim, vec_col="__qv", out_col="__qt",
+    )
+    coarse = (
+        c_t.crossJoin(F.broadcast(q_t))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__cs", _dot(F.col("__qt"), F.col("__ct")))
+    )
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("__cs").desc(), F.col(id_col).asc()
+    )
+    short = (
+        coarse.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= shortlist)
+    )
+    rescored = short.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qv"), F.col(vec_col))
+            / (_norm(F.col("__qv")) * _norm(F.col(vec_col))),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def ivf_table_index(
     catalog,
     table_name: str,

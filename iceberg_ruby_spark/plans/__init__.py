@@ -51,7 +51,8 @@ _NEVER_DRIVER_CHECKED = [
     "multimodal_dedup_frames",
     # round-8 additions appended here as they land (never driver-checked
     # by definition)
-    "stream_changelog_tail",
+    "stream_changelog_tail", "embedding_truncate_norm",
+    "embedding_matryoshka_topk",
 ]
 
 # r5-checked cohort — fills the remaining budget in this priority order:

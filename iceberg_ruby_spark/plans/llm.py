@@ -1556,6 +1556,71 @@ def dedup_remove_spans(spark, sf_dir):
     )
 
 
+@query(
+    "embedding_truncate_norm",
+    oracle="""
+    WITH b AS (
+      SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:8] AS p FROM embeddings
+    ), n AS (
+      SELECT vec_id, p, sqrt(list_sum(list_transform(p, x -> x*x))) AS nrm
+      FROM b
+    )
+    SELECT vec_id,
+           CAST(i - 1 AS INTEGER) AS pos,
+           round(CASE WHEN nrm > 0 THEN p[i] / nrm ELSE p[i] END, 6) AS val
+    FROM n, UNNEST(generate_series(1, len(p))) AS g(i)
+    """,
+)
+def embedding_truncate_norm(spark, sf_dir):
+    """Matryoshka prefix truncation (operators/similarity.py
+    ``truncate_embeddings``): first-8-dims slice + L2 renormalization,
+    map-only JVM arithmetic.  Emitted exploded as (vec_id, pos, val) so
+    the hash compare is over scalars; both engines widen float→double
+    then run the identical IEEE sqrt/divide, so round-6 values match
+    bit-for-bit."""
+    from iceberg_ruby_spark.operators.similarity import truncate_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    t = truncate_embeddings(emb, 8)
+    return t.select(
+        "vec_id",
+        F.posexplode(
+            F.transform(F.col("embedding"), lambda x: F.round(x, 6))
+        ).alias("pos", "val"),
+    )
+
+
+def _matryoshka_topk_production(spark, sf_dir):
+    """The PRODUCTION adaptive-retrieval path bench-style callers use:
+    lossy shortlist (prefix_dim=8, shortlist=50) + exact full-dim
+    re-rank; recall pinned in pytest."""
+    from iceberg_ruby_spark.operators.similarity import matryoshka_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return matryoshka_topk(emb, q, k=10, prefix_dim=8, shortlist=50)
+
+
+@query(
+    "embedding_matryoshka_topk",
+    bench_fn=_matryoshka_topk_production,
+    oracle=_EXACT_TOPK_SQL,
+)
+def embedding_matryoshka_topk(spark, sf_dir):
+    """Adaptive retrieval / matryoshka coarse-to-fine ANN
+    (operators/similarity.py ``matryoshka_topk``, Kusupati et al. 2022):
+    rank by truncated-prefix dot products, exact-cosine re-rank of the
+    shortlist.  Run here with ``shortlist`` ≥ corpus so the re-rank
+    provably covers the exact top-k — the oracle is the exact-cosine SQL
+    row for row; the lossy-regime recall floor is pinned separately in
+    pytest."""
+    from iceberg_ruby_spark.operators.similarity import matryoshka_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return matryoshka_topk(emb, q, k=10, prefix_dim=8, shortlist=100_000)
+
+
 def _pq_topk_production(spark, sf_dir):
     """The PRODUCTION PQ path bench.py times: the LOSSY quantization
     regime (n_codes=256 < corpus size — 32× read shrink vs raw float32

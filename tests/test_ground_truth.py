@@ -346,3 +346,47 @@ def test_ivf_table_drift_and_retrain(catalog, spark):
     assert r.columns[-1] == "stale" and r.rows[0][-1] is False
     r2 = catalog.sql("CALL system.ivf_retrain('emb_ivf_drift')")
     assert r2.rows[0][0] == n0 + 4 * n0
+
+
+def test_matryoshka_topk_recall_and_exact_regime(spark):
+    """Coarse-to-fine matryoshka retrieval: shortlist ≥ corpus is exactly
+    the exact top-k (covering re-rank); the lossy regime (prefix_dim=8,
+    shortlist=50) holds a recall@10 floor vs exact cosine."""
+    from iceberg_ruby_spark.operators.similarity import (
+        cosine_topk,
+        matryoshka_topk,
+        truncate_embeddings,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    covering = {
+        (r["query_id"], r["vec_id"])
+        for r in matryoshka_topk(emb, q, k=10, shortlist=100_000).collect()
+    }
+    assert covering == exact
+    lossy = {
+        (r["query_id"], r["vec_id"])
+        for r in matryoshka_topk(
+            emb, q, k=10, prefix_dim=8, shortlist=50
+        ).collect()
+    }
+    recall = len(lossy & exact) / len(exact)
+    assert recall >= 0.6, f"matryoshka recall@10 dropped to {recall}"
+    # truncation semantics: unit norm after renormalize, prefix preserved
+    t = truncate_embeddings(emb, 8).select("vec_id", "embedding").first()
+    assert len(t["embedding"]) == 8
+    import math
+
+    assert math.isclose(
+        sum(x * x for x in t["embedding"]), 1.0, rel_tol=1e-9
+    )
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with pytest.raises(InvalidDataError, match="positive"):
+        truncate_embeddings(emb, 0)
