@@ -455,6 +455,21 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self, ops, prev, snap, ordinal: int
     ) -> list[InputPartition]:
         sid = snap.snapshot_id
+        if prev is not None:
+            # fast-append structural delta: a pure-append commit plans from
+            # the manifests ADDED by this commit alone — O(new files),
+            # independent of table size (same property as append-mode
+            # micro-batches).  Full manifests are read only for commits
+            # that carry deletes/rewrites, which need the prior-delete mask
+            # anyway.
+            delta = ops.read_manifest_delta(
+                snap.manifest_list, prev.manifest_list
+            )
+            if delta is not None and all("path" in e for e in delta):
+                return [
+                    _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
+                    for e in sorted(delta, key=lambda e: e["path"])
+                ]
         cur_entries = ops.read_manifest(snap.manifest_list)
         prev_entries = ops.read_manifest(prev.manifest_list) if prev else []
         prev_paths = {e["path"] for e in prev_entries if "path" in e}
