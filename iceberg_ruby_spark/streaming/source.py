@@ -33,7 +33,16 @@ becomes a sequence of right-sized batches instead of one giant one.  The
 reader brackets its own offsets (the Python API exposes no ReadLimit),
 landing mid-commit as partial offsets ``{"snapshot_id": S, "pos": k}``;
 with bounding on, consumption is strictly per-commit (Iceberg's streaming
-iterator semantics).
+iterator semantics).  ``max_rows_per_trigger`` (Iceberg's
+streaming-max-rows-per-micro-batch) and ``max_bytes_per_trigger`` spend
+the same budget walk against each file's manifest-recorded row count /
+byte size instead of a flat 1 — bytes is the admission unit that actually
+sizes executor memory at 100 TB, where file sizes vary 1000×.  The three
+compose (a batch closes when ANY budget is exhausted) and admission stays
+file-granular: the first file of a batch is always admitted even if it
+alone overflows the budget, so an oversized file can never stall the
+stream.  All weights come from manifest entries — admission planning
+never opens a data file.
 
 ``mode=changelog`` (r8) emits ROW-LEVEL CHANGES instead of plain appended
 rows: the table columns plus ``_change_type`` ('insert' | 'delete'),
@@ -159,30 +168,50 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # follow a branch/tag head instead of main (stream the audit
         # branch, or a pinned tag for a frozen replay)
         self._ref = options.get("ref") or options.get("branch")
-        mft = options.get("max_files_per_trigger")
-        # admission control (Iceberg's streaming-max-files-per-micro-batch):
-        # bound each micro-batch to N files so a backfill over months of
-        # history becomes a sequence of right-sized batches instead of one
-        # giant one.  The Python Data Source API exposes no ReadLimit, so
-        # the reader brackets its own offsets: latestOffset advances at
-        # most N files past the last offset it saw, using PARTIAL offsets
-        # ``{"snapshot_id": S, "pos": k}`` (= first k files, sorted order,
-        # of S's delta consumed).  After a checkpoint restart the replayed
-        # batch re-synchronizes the bracket via partitions()/commit().
-        self._max_files = int(mft) if mft is not None else None
-        if self._max_files is not None and self._max_files <= 0:
-            raise ValueError("max_files_per_trigger must be positive")
-        if self.mode == "changelog" and self._max_files is not None:
+        # admission control (Iceberg's streaming-max-files/rows-per-micro-
+        # batch, plus a bytes bound): bound each micro-batch so a backfill
+        # over months of history becomes a sequence of right-sized batches
+        # instead of one giant one.  The Python Data Source API exposes no
+        # ReadLimit, so the reader brackets its own offsets: latestOffset
+        # advances at most one budget's worth of files past the last offset
+        # it saw, using PARTIAL offsets ``{"snapshot_id": S, "pos": k}``
+        # (= first k files, sorted order, of S's delta consumed).  After a
+        # checkpoint restart the replayed batch re-synchronizes the bracket
+        # via partitions()/commit().  Rows/bytes budgets are spent from the
+        # manifest-recorded per-file weights — planning never opens data.
+        self._max_files = self._admission_opt(options, "max_files_per_trigger")
+        self._max_rows = self._admission_opt(options, "max_rows_per_trigger")
+        self._max_bytes = self._admission_opt(options, "max_bytes_per_trigger")
+        if self.mode == "changelog" and self._bounded:
             # changelog windows are per-commit units (a delete's slices
             # cannot split mid-commit); file-granular admission would need
             # partial offsets inside a diff — refuse rather than mis-bound
             raise ValueError(
-                "max_files_per_trigger is not supported with mode=changelog"
+                "max_files_per_trigger / max_rows_per_trigger / "
+                "max_bytes_per_trigger are not supported with mode=changelog"
             )
         self._last: Optional[dict] = None
         self._floor: Optional[dict] = None
         meta = _ops(self.location).load()
         self._columns = [f.name for f in _current_schema(meta).fields]
+
+    @staticmethod
+    def _admission_opt(options: dict, name: str) -> Optional[int]:
+        v = options.get(name)
+        if v is None:
+            return None
+        v = int(v)
+        if v <= 0:
+            raise ValueError(f"{name} must be positive")
+        return v
+
+    @property
+    def _bounded(self) -> bool:
+        return (
+            self._max_files is not None
+            or self._max_rows is not None
+            or self._max_bytes is not None
+        )
 
     # -- offsets ----------------------------------------------------------
     def initialOffset(self) -> dict:
@@ -205,17 +234,18 @@ class EngineTableStreamReader(DataSourceStreamReader):
     def latestOffset(self) -> dict:
         meta = _ops(self.location).load()
         head = self._head(meta)
-        if self._max_files is None or head is None:
+        if not self._bounded or head is None:
             off = {"snapshot_id": head}
         else:
             off = self._bounded_offset(meta, self._last, head)
         self._last = off
         return off
 
-    def _delta_paths(self, ops, by_id, snap) -> list[str]:
-        """One commit's appended data files, sorted (the per-snapshot unit
-        partial offsets index into).  O(new files) via the structural
-        delta; rewrite commits contribute nothing when skip_rewrites."""
+    def _delta_entries(self, ops, by_id, snap) -> list[dict]:
+        """One commit's appended data-file entries, sorted by path (the
+        per-snapshot unit partial offsets index into).  O(new files) via
+        the structural delta; rewrite commits contribute nothing when
+        skip_rewrites."""
         safe = snap.operation == "append" or (
             snap.operation == "delete"
             and snap.summary.get("mode") in _MOR_DELETE_MODES
@@ -228,24 +258,37 @@ class EngineTableStreamReader(DataSourceStreamReader):
             else None
         )
         if parent is None:
-            return sorted(_entry_paths(ops.read_manifest(snap.manifest_list)))
-        delta = ops.read_manifest_delta(snap.manifest_list, parent.manifest_list)
-        if delta is not None:
-            return sorted(_entry_paths(delta))
-        prev = set(_entry_paths(ops.read_manifest(parent.manifest_list)))
+            entries = ops.read_manifest(snap.manifest_list)
+        else:
+            entries = ops.read_manifest_delta(
+                snap.manifest_list, parent.manifest_list
+            )
+            if entries is None:
+                prev = set(_entry_paths(ops.read_manifest(parent.manifest_list)))
+                entries = [
+                    e
+                    for e in ops.read_manifest(snap.manifest_list)
+                    if e.get("path") not in prev
+                ]
         return sorted(
-            p
-            for p in _entry_paths(ops.read_manifest(snap.manifest_list))
-            if p not in prev
+            (e for e in entries if "path" in e), key=lambda e: e["path"]
         )
 
+    def _delta_paths(self, ops, by_id, snap) -> list[str]:
+        return [e["path"] for e in self._delta_entries(ops, by_id, snap)]
+
     def _bounded_offset(self, meta, last: Optional[dict], head: int) -> dict:
-        """The furthest offset within ``max_files_per_trigger`` files of
+        """The furthest offset within the files/rows/bytes budgets of
         ``last``.  Walks head→last collecting the in-between commits, then
-        spends the file budget forward; lands mid-commit as a partial
-        offset.  With bounding, consumption is strictly per-commit
-        (Iceberg's streaming iterator semantics): an append's files are
-        emitted even if a later in-window rewrite replaced them."""
+        spends the budgets forward file-by-file; lands mid-commit as a
+        partial offset.  A file is admitted only if its FULL manifest
+        weight fits every remaining budget — except the batch's first
+        file, which always admits (an oversized file can never stall the
+        stream).  Offsets stay canonical: a fully-consumed commit is
+        always the pos-less form, and a partial pos is never 0.  With
+        bounding, consumption is strictly per-commit (Iceberg's streaming
+        iterator semantics): an append's files are emitted even if a later
+        in-window rewrite replaced them."""
         ops = _ops(self.location)
         by_id = {s.snapshot_id: s for s in meta.snapshots}
         base = last if last is not None else {"snapshot_id": self._starting}
@@ -264,29 +307,60 @@ class EngineTableStreamReader(DataSourceStreamReader):
             # base expired / not an ancestor: let partitions() surface the
             # error on the unbounded window rather than planning blind
             return {"snapshot_id": head}
-        budget = self._max_files
+        inf = float("inf")
+        budget = {
+            "files": self._max_files if self._max_files is not None else inf,
+            "rows": self._max_rows if self._max_rows is not None else inf,
+            "bytes": self._max_bytes if self._max_bytes is not None else inf,
+        }
+        admitted = 0
+
+        def _exhausted() -> bool:
+            return min(budget.values()) <= 0
+
+        def _admit(entries: list[dict], i: int) -> int:
+            nonlocal admitted
+            while i < len(entries):
+                e = entries[i]
+                rc = e.get("record-count") or 0
+                fb = e.get("file-size-bytes") or e.get("file-size-in-bytes") or 0
+                if admitted > 0 and (
+                    budget["files"] < 1
+                    or budget["rows"] < rc
+                    or budget["bytes"] < fb
+                ):
+                    break
+                budget["files"] -= 1
+                budget["rows"] -= rc
+                budget["bytes"] -= fb
+                admitted += 1
+                i += 1
+                if _exhausted():
+                    break
+            return i
+
         if base_pos is not None:
-            # finish the partially-consumed commit first (offsets stay
-            # canonical: a fully-consumed commit is always the pos-less
-            # form, so equal positions compare equal as dicts)
+            # finish the partially-consumed commit first
             snap = by_id.get(base_id)
-            files = self._delta_paths(ops, by_id, snap) if snap else []
-            remaining = len(files) - base_pos
-            if remaining >= budget:
-                pos = base_pos + budget
-                if pos < len(files):
-                    return {"snapshot_id": base_id, "pos": pos}
-                return {"snapshot_id": base_id}
-            budget -= remaining
+            entries = self._delta_entries(ops, by_id, snap) if snap else []
+            stop = _admit(entries, base_pos)
+            if stop < len(entries):
+                return {"snapshot_id": base_id, "pos": stop}
         out = {"snapshot_id": base_id}
         for snap in reversed(chain):
-            n = len(self._delta_paths(ops, by_id, snap))
-            if n > budget:
-                return {"snapshot_id": snap.snapshot_id, "pos": budget}
-            budget -= n
-            out = {"snapshot_id": snap.snapshot_id}
-            if budget == 0:
+            if _exhausted():
+                break
+            entries = self._delta_entries(ops, by_id, snap)
+            stop = _admit(entries, 0)
+            if 0 < stop < len(entries):
+                return {"snapshot_id": snap.snapshot_id, "pos": stop}
+            if stop == 0 and entries:
+                # budget can't fit this commit's first file: the batch
+                # closes at the previous commit boundary (empty commits —
+                # MoR deletes, property changes — fall through and the
+                # offset advances past them)
                 return out
+            out = {"snapshot_id": snap.snapshot_id}
         return out
 
     # -- planning ---------------------------------------------------------

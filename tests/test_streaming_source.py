@@ -493,3 +493,124 @@ def test_changelog_stream_mor_positional(catalog, spark):
     q = stream_changelog_apply(spark, t, rep, "k", tempfile.mkdtemp())
     q.awaitTermination()
     assert sorted(r["k"] for r in rep.refresh().to_a()) == [3, 4, 5]
+
+
+def _file_rows(paths):
+    import pyarrow.parquet as pq
+
+    return {p: pq.ParquetFile(p).metadata.num_rows for p in paths}
+
+
+def test_max_rows_per_trigger_offset_walk(catalog):
+    """Rows-budget admission: every batch's manifest-weighted row total
+    stays within the budget (except a first-file-oversized batch), every
+    file is emitted exactly once, and offsets stay canonical."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("srcmr", schema={"k": "int", "v": "string"})
+    for rows in (3, 1, 7, 2):
+        t.append([{"k": i, "v": "x"} for i in range(rows)])
+    reader = EngineTableStreamReader(
+        {"location": t.ops.location, "max_rows_per_trigger": "4"}
+    )
+    full = EngineTableStreamReader({"location": t.ops.location})
+    all_parts = full.partitions(
+        {"snapshot_id": None}, {"snapshot_id": t.current_snapshot().snapshot_id}
+    )
+    rows_by_file = _file_rows([p.path for p in all_parts])
+    off = reader.initialOffset()
+    seen: list[str] = []
+    batches = 0
+    while True:
+        new = reader.latestOffset()
+        if new == off:
+            break
+        parts = reader.partitions(off, new)
+        assert parts, "bounded walk emitted an empty non-terminal batch"
+        total = sum(rows_by_file[p.path] for p in parts)
+        # within budget, or a single oversized file admitted for progress
+        assert total <= 4 or len(parts) == 1, (total, len(parts))
+        if "pos" in new:
+            assert new["pos"] > 0
+        seen += [p.path for p in parts]
+        off = new
+        batches += 1
+        assert batches < 50
+    assert sorted(seen) == sorted(p.path for p in all_parts)
+    assert len(seen) == len(set(seen)), "a file was emitted twice"
+    assert batches >= 3  # 13 rows / 4-row budget can't fit in 2 batches
+
+
+def test_max_bytes_per_trigger_one_file_batches(catalog):
+    """A bytes budget smaller than any file degenerates to one file per
+    batch via the first-file progress guarantee — the stream never
+    stalls on an oversized file."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("srcmb", schema={"k": "int"})
+    for i in range(3):
+        t.append([{"k": i}])
+    reader = EngineTableStreamReader(
+        {"location": t.ops.location, "max_bytes_per_trigger": "1"}
+    )
+    off = reader.initialOffset()
+    sizes = []
+    for _ in range(10):
+        new = reader.latestOffset()
+        if new == off:
+            break
+        sizes.append(len(reader.partitions(off, new)))
+        off = new
+    assert sizes == [1] * len(sizes) and sum(sizes) >= 3
+
+
+def test_admission_budgets_compose(catalog):
+    """files+rows together: the batch closes when EITHER budget is
+    exhausted (min semantics)."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("srcmx", schema={"k": "int"})
+    for i in range(4):
+        t.append([{"k": j} for j in range(2)])  # ~2 rows per commit
+    reader = EngineTableStreamReader(
+        {
+            "location": t.ops.location,
+            "max_files_per_trigger": "10",
+            "max_rows_per_trigger": "2",
+        }
+    )
+    full = EngineTableStreamReader({"location": t.ops.location})
+    all_parts = full.partitions(
+        {"snapshot_id": None}, {"snapshot_id": t.current_snapshot().snapshot_id}
+    )
+    rows_by_file = _file_rows([p.path for p in all_parts])
+    off = reader.initialOffset()
+    seen = []
+    for _ in range(30):
+        new = reader.latestOffset()
+        if new == off:
+            break
+        parts = reader.partitions(off, new)
+        total = sum(rows_by_file[p.path] for p in parts)
+        assert total <= 2 or len(parts) == 1
+        seen += [p.path for p in parts]
+        off = new
+    assert sorted(seen) == sorted(p.path for p in all_parts)
+
+
+def test_admission_option_validation(catalog):
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("srcmv", schema={"k": "int"})
+    with pytest.raises(ValueError, match="max_rows_per_trigger"):
+        EngineTableStreamReader(
+            {"location": t.ops.location, "max_rows_per_trigger": "0"}
+        )
+    with pytest.raises(ValueError, match="not supported with"):
+        EngineTableStreamReader(
+            {
+                "location": t.ops.location,
+                "mode": "changelog",
+                "max_bytes_per_trigger": "100",
+            }
+        )
