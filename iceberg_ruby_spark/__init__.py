@@ -75,7 +75,7 @@ from iceberg_ruby_spark.aws import GlueCatalog, S3TablesCatalog
 from iceberg_ruby_spark.rest import RestCatalog
 from iceberg_ruby_spark.sql_catalog import SqlCatalog
 from iceberg_ruby_spark.materialized import MaterializedAggregate
-from iceberg_ruby_spark.table import Table, TableScan, UpdateSchema
+from iceberg_ruby_spark.table import Table, TableScan, Transaction, UpdateSchema
 from iceberg_ruby_spark.static_table import StaticTable
 from iceberg_ruby_spark.functions import register_functions
 
@@ -90,6 +90,7 @@ __all__ = [
     "SqlCatalog",
     "Table",
     "TableScan",
+    "Transaction",
     "UpdateSchema",
     "StaticTable",
     "register_functions",

@@ -768,6 +768,29 @@ class Table:
         self.metadata = self.ops.load()
         return self
 
+    def transaction(self) -> "Transaction":
+        """Multi-operation single-commit transaction (Iceberg's
+        ``Table.newTransaction`` / PyIceberg's ``table.transaction()``)::
+
+            with t.transaction() as tx:
+                tx.append(rows)
+                tx.delete_where("k < 0", mode="merge-on-read")
+                tx.update_schema().add_column("note", "string").commit()
+
+        Every operation inside the block stages against an in-memory
+        metadata chain (data and manifest FILES are written to storage
+        immediately — on abort they become orphans for
+        ``remove_orphan_files``, exactly Iceberg's behavior); readers of
+        the table never see intermediate states.  Exiting the block
+        cleanly publishes ALL staged snapshots and metadata changes in ONE
+        atomic optimistic commit against the version observed at
+        transaction start — a concurrent commit in between raises a
+        conflict instead of silently interleaving.  An exception inside
+        the block discards the staged state.  Catalog-level operations
+        (rename/drop) are not table metadata and cannot be staged."""
+        self._check_writable()
+        return Transaction(self)
+
     @property
     def format_version(self) -> int:
         return self.metadata.format_version
@@ -4837,6 +4860,112 @@ class Table:
 # manifest-level file pruning from column bounds
 # --------------------------------------------------------------------------
 #
+class _StagedOps:
+    """Metadata-plane shim backing :class:`Transaction`: file writes
+    (data, manifests, puffin) pass through to the real ops untouched, but
+    ``load``/``commit`` operate on an in-memory staged metadata chain, so
+    a sequence of table operations composes without ever publishing an
+    intermediate version.  ``publish()`` performs the ONE real optimistic
+    commit, against the version captured at construction — at 100 TB this
+    is also a commit-throughput lever: N staged operations cost one
+    catalog round-trip instead of N contended ones."""
+
+    def __init__(self, real: "FsTableOps"):
+        self._real = real
+        self._base = real.load()
+        self._staged: Optional[TableMetadata] = None
+
+    def __getattr__(self, name: str):
+        # io / write_manifest / read_manifest(_delta) / _abs / _rel /
+        # data_dir / metadata_dir / location … — the storage plane is real
+        if name in ("_real", "_base", "_staged"):
+            raise AttributeError(name)
+        return getattr(self._real, name)
+
+    def load(self, version: Optional[int] = None) -> TableMetadata:
+        if version is not None:
+            # explicit version time-travel addresses only PUBLISHED files
+            return self._real.load(version)
+        return self._staged if self._staged is not None else self._base
+
+    def current_version(self) -> int:
+        return (self._staged if self._staged is not None else self._base).version
+
+    def commit(self, base_version: Optional[int], new_meta: dict[str, Any]) -> TableMetadata:
+        v = (base_version or 0) + 1
+        self._staged = TableMetadata(new_meta, v, f"staged://v{v}")
+        return self._staged
+
+    def publish(self) -> TableMetadata:
+        if self._staged is None:
+            return self._base
+        raw = dict(self._staged.raw)
+        # the single real commit records only real metadata files in the
+        # lineage log: staged intermediates never existed on storage (the
+        # base file's entry was appended by the first staged commit)
+        log = raw.get("metadata-log")
+        if log is not None:
+            raw["metadata-log"] = [
+                e
+                for e in log
+                if not str(e.get("metadata-file", "")).startswith("staged://")
+            ]
+        try:
+            return self._real.commit(self._base.version, raw)
+        except FileExistsError:
+            raise InvalidDataError(
+                "transaction commit conflict: the table was committed to "
+                "after this transaction started; re-run the transaction on "
+                "fresh state"
+            )
+
+
+class Transaction:
+    """Handle returned by :meth:`Table.transaction`.  Delegates the whole
+    Table surface to a shadow table whose ops are staged, so
+    ``tx.append`` / ``tx.delete_where`` / ``tx.update_schema()`` /
+    ``tx.set_properties`` … all work unchanged; reads inside the block
+    (``tx.to_a()``, ``tx.scan()``) see the staged state."""
+
+    def __init__(self, table: "Table"):
+        self._origin = table
+        self._staged_ops = _StagedOps(table.ops)
+        self.table = Table(
+            table.spark,
+            table.ops.location,
+            identifier=table.identifier,
+            catalog=table.catalog,
+            ops=self._staged_ops,
+        )
+        self._done = False
+
+    def __getattr__(self, name: str):
+        if name.startswith("_") or name == "table":
+            raise AttributeError(name)
+        return getattr(self.table, name)
+
+    def __enter__(self) -> "Transaction":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None and not self._done:
+            self.commit()
+
+    def commit(self) -> "Table":
+        """Publish every staged operation as one atomic commit and refresh
+        the originating table handle to the published state."""
+        if self._done:
+            raise InvalidDataError("transaction already committed or aborted")
+        self._done = True
+        self._origin.metadata = self._staged_ops.publish()
+        return self._origin
+
+    def abort(self) -> None:
+        """Discard the staged state (already-written data/manifest files
+        become orphans; ``remove_orphan_files`` collects them)."""
+        self._done = True
+
+
 # A conservative evaluator over the per-file lower/upper bounds captured at
 # commit time: a file is skipped only when the predicate PROVABLY matches no
 # row in it.  Handles the planner-relevant shape `col op literal` combined
