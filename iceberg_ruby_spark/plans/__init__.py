@@ -52,7 +52,8 @@ _NEVER_DRIVER_CHECKED = [
     # round-8 additions appended here as they land (never driver-checked
     # by definition)
     "stream_changelog_tail", "embedding_truncate_norm",
-    "embedding_matryoshka_topk",
+    "embedding_matryoshka_topk", "embedding_binarize_pack",
+    "embedding_hamming_topk",
 ]
 
 # r5-checked cohort — fills the remaining budget in this priority order:

@@ -1621,6 +1621,66 @@ def embedding_matryoshka_topk(spark, sf_dir):
     return matryoshka_topk(emb, q, k=10, prefix_dim=8, shortlist=100_000)
 
 
+@query(
+    "embedding_binarize_pack",
+    oracle="""
+    SELECT vec_id,
+           CAST((i - 1) // 32 AS INTEGER) AS pack,
+           SUM(CASE WHEN embedding[i] > 0
+                    THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END) AS packed
+    FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
+    GROUP BY vec_id, (i - 1) // 32
+    """,
+)
+def embedding_binarize_pack(spark, sf_dir):
+    """1-bit sign quantization packed 32 dims per BIGINT
+    (operators/similarity.py ``binarize_embeddings``) — the 32×-smaller
+    representation binary ANN scans at 100 TB.  Emitted unpivoted as
+    (vec_id, pack, packed) so the hash compare covers every packed word;
+    the packing is pure integer shift/CASE arithmetic, bit-identical
+    across engines."""
+    from iceberg_ruby_spark.operators.similarity import binarize_embeddings
+
+    emb = load(spark, sf_dir, "embeddings")
+    b = binarize_embeddings(emb, 64)
+    return b.select(
+        "vec_id",
+        F.expr(
+            "stack(2, 0, __bp0, 1, __bp1) AS (pack, packed)"
+        ),
+    )
+
+
+def _hamming_topk_production(spark, sf_dir):
+    """The PRODUCTION binary-ANN path bench-style callers use: lossy
+    Hamming shortlist (shortlist=50) + exact cosine re-rank; recall
+    pinned in pytest."""
+    from iceberg_ruby_spark.operators.similarity import hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return hamming_topk(emb, q, k=10, dim=64, shortlist=50)
+
+
+@query(
+    "embedding_hamming_topk",
+    bench_fn=_hamming_topk_production,
+    oracle=_EXACT_TOPK_SQL,
+)
+def embedding_hamming_topk(spark, sf_dir):
+    """Binary ANN (operators/similarity.py ``hamming_topk``, the faiss
+    IndexBinaryFlat shape): sign-bit Hamming coarse ranking + exact
+    cosine re-rank.  Run here with ``shortlist`` ≥ corpus so the re-rank
+    provably covers the exact top-k — the oracle is the exact-cosine SQL
+    row for row; the lossy-regime recall floor is pinned separately in
+    pytest."""
+    from iceberg_ruby_spark.operators.similarity import hamming_topk
+
+    emb = load(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    return hamming_topk(emb, q, k=10, dim=64, shortlist=100_000)
+
+
 def _pq_topk_production(spark, sf_dir):
     """The PRODUCTION PQ path bench.py times: the LOSSY quantization
     regime (n_codes=256 < corpus size — 32× read shrink vs raw float32

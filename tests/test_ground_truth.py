@@ -390,3 +390,43 @@ def test_matryoshka_topk_recall_and_exact_regime(spark):
 
     with pytest.raises(InvalidDataError, match="positive"):
         truncate_embeddings(emb, 0)
+
+
+def test_hamming_topk_recall_and_exact_regime(spark):
+    """Binary ANN: shortlist ≥ corpus is exactly the exact top-k
+    (covering re-rank); the lossy regime (shortlist=50) holds a
+    recall@10 floor vs exact cosine.  Packing semantics are pinned:
+    32 bits per long, bit k set iff dim (32p+k) > 0."""
+    from iceberg_ruby_spark.operators.similarity import (
+        binarize_embeddings,
+        cosine_topk,
+        hamming_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter("vec_id < 10")
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in cosine_topk(emb, q, k=10).collect()
+    }
+    covering = {
+        (r["query_id"], r["vec_id"])
+        for r in hamming_topk(emb, q, k=10, dim=64, shortlist=100_000).collect()
+    }
+    assert covering == exact
+    lossy = {
+        (r["query_id"], r["vec_id"])
+        for r in hamming_topk(emb, q, k=10, dim=64, shortlist=50).collect()
+    }
+    recall = len(lossy & exact) / len(exact)
+    assert recall >= 0.5, f"hamming recall@10 dropped to {recall}"
+    # packing semantics against a hand-computed row
+    row = binarize_embeddings(emb, 64).select("embedding", "__bp0", "__bp1").first()
+    want0 = sum(1 << k for k in range(32) if row["embedding"][k] > 0)
+    want1 = sum(1 << k for k in range(32) if row["embedding"][32 + k] > 0)
+    assert (row["__bp0"], row["__bp1"]) == (want0, want1)
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with pytest.raises(InvalidDataError, match="positive"):
+        binarize_embeddings(emb, 0)
