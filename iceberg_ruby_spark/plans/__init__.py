@@ -53,7 +53,8 @@ _NEVER_DRIVER_CHECKED = [
     # by definition)
     "stream_changelog_tail", "embedding_truncate_norm",
     "embedding_matryoshka_topk", "embedding_binarize_pack",
-    "embedding_hamming_topk",
+    "embedding_hamming_topk", "join_salted_skew",
+    "agg_salted_count_distinct",
 ]
 
 # r5-checked cohort — fills the remaining budget in this priority order:

@@ -337,6 +337,56 @@ def join_broadcast_dim(spark, sf_dir):
 
 
 @query(
+    "join_salted_skew",
+    oracle=f"""
+    SELECT o.o_orderpriority,
+           COUNT(*) AS n,
+           {_dsum_sql('l.l_quantity')} AS sum_qty
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_salted_skew(spark, sf_dir):
+    """Skew-salted fact⨝fact (operators/skew.py ``salted_join``): the
+    probe side spreads each hot join key over 8 deterministic sub-keys;
+    the build side replicates 8× by an in-row explode (no shuffle for
+    the replication itself), and the join hash-partitions on
+    (key, salt) so one hot key lands on 8 reducers instead of one
+    straggler.  Row-identical to the plain join by construction — the
+    oracle IS the plain join."""
+    from iceberg_ruby_spark.operators.skew import salted_join
+
+    li = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    j = salted_join(li, o, on="l_orderkey", salt=8)
+    return j.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"), dsum("l_quantity").alias("sum_qty")
+    )
+
+
+@query(
+    "agg_salted_count_distinct",
+    oracle="""
+    SELECT user_id, COUNT(DISTINCT event_type) AS n_distinct
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_salted_count_distinct(spark, sf_dir):
+    """Hot-key COUNT(DISTINCT) (operators/skew.py
+    ``salted_count_distinct``): the distinct set is bucketed by
+    hash(value) % 16 so a dominant key's set is built on 16 reducers;
+    value-disjoint buckets make the final integer sum exact — the oracle
+    is the plain COUNT(DISTINCT)."""
+    from iceberg_ruby_spark.operators.skew import salted_count_distinct
+
+    ev = load(spark, sf_dir, "events")
+    return salted_count_distinct(ev, "user_id", "event_type", salt=16)
+
+
+@query(
     "join_range_theta",
     oracle="""
     SELECT s.s_suppkey, COUNT(*) AS n_close
