@@ -70,6 +70,12 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         # queries appending to the same table should set distinct sink_id
         # options (their batchId sequences are independent).
         self.sink_id = str(options.get("sink_id", "default"))
+        # branch-targeted streaming (streaming write-audit-publish): every
+        # micro-batch commits to this ref instead of main — main's readers
+        # never see unaudited streamed data; publish with fast_forward.
+        # A missing branch forks implicitly from main's head on the first
+        # commit (the engine's WAP branch semantics).
+        self.branch = str(options.get("branch", "main"))
         from iceberg_ruby_spark.streaming.source import _current_schema, _ops
 
         meta = _ops(self.location).load()
@@ -109,7 +115,22 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         from pyspark.sql.pandas.types import to_arrow_schema
 
         self._names = [f.name for f in schema.fields]
-        self._arrow_schema = to_arrow_schema(schema)
+        # stamp Iceberg field ids into the arrow schema (pyarrow writes
+        # them as parquet field ids), so streamed files project by field
+        # id exactly like engine-written ones — mixed scans and
+        # schema-evolved reads work over streamed data
+        arrow = to_arrow_schema(schema)
+        ids = {f.name: f.field_id for f in _current_schema(meta).fields}
+        import pyarrow as pa
+
+        self._arrow_schema = pa.schema(
+            [
+                f.with_metadata({b"PARQUET:field_id": str(ids[f.name]).encode()})
+                if f.name in ids
+                else f
+                for f in arrow
+            ]
+        )
         # commit() runs in a session-less Python worker on the driver —
         # everything a manifest entry needs is computed executor-side
         # (pyarrow) and shipped in the commit messages; only these two
@@ -303,6 +324,7 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
                 BATCH_ID_KEY: str(batchId),
             },
             mode="append",
+            branch=self.branch,
         )
 
     def abort(self, messages: List[Optional[_FileMsg]], batchId: int) -> None:

@@ -302,3 +302,45 @@ def test_native_stream_writer_sort_order(catalog, spark, tmp_path):
     for e in gold._current_entries():
         ks = pq.read_table(e["path"]).column("k").to_pylist()
         assert ks == sorted(ks, reverse=True), ks
+
+
+def test_native_stream_writer_branch_wap(catalog, spark, tmp_path):
+    """Streaming write-audit-publish: branch-targeted micro-batch commits
+    leave main untouched until fast_forward publishes, restart-safe."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("nwb_bronze", schema={"k": "int"})
+    gold = catalog.create_table("nwb_gold", schema={"k": "int"})
+    gold.append([{"k": 0}])  # pre-existing published data
+    bronze.append([{"k": 1}, {"k": 2}])
+    register_stream_source(spark)
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("branch", "audit")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run()
+    gold = gold.refresh()
+    # main readers see only the published row; the branch has the stream
+    assert sorted(r["k"] for r in gold.to_a()) == [0]
+    assert sorted(r["k"] for r in gold.to_a(ref="audit")) == [0, 1, 2]
+    # restart replays nothing; new appends land on the branch
+    bronze.append([{"k": 3}])
+    run()
+    gold = gold.refresh()
+    assert sorted(r["k"] for r in gold.to_a(ref="audit")) == [0, 1, 2, 3]
+    assert sorted(r["k"] for r in gold.to_a()) == [0]
+    # audit passed: publish the branch to main
+    gold.fast_forward("main", "audit")
+    assert sorted(r["k"] for r in gold.refresh().to_a()) == [0, 1, 2, 3]
