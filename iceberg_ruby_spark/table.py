@@ -3679,7 +3679,7 @@ class Table:
     def apply_changelog(
         self,
         changes: DataFrame,
-        on: Union[str, list[str]],
+        on: Union[str, list[str], None] = None,
         mode: Optional[str] = None,
         branch: Optional[str] = None,
     ) -> "Table":
@@ -3701,7 +3701,17 @@ class Table:
 
         100 TB shape: the final-op reduction is one window over the
         CDC-batch-sized change frame (never the table); both applies are
-        the O(changed rows) key-based paths."""
+        the O(changed rows) key-based paths.
+
+        ``on=None`` defaults to the schema's identifier fields."""
+        if on is None:
+            on = self.identifier_field_names()
+            if not on:
+                raise InvalidDataError(
+                    "apply_changelog needs keys: pass on=... or declare "
+                    "identifier fields via "
+                    "update_schema().set_identifier_fields(...)"
+                )
         keys = [on] if isinstance(on, str) else list(on)
         data_cols = [
             c
@@ -3986,6 +3996,48 @@ class Table:
             branch=branch or MAIN_BRANCH,
         )
         return updated
+
+    def identifier_field_names(self) -> list[str]:
+        """Names of the schema's row-identifier (logical primary key)
+        fields — Iceberg's ``identifier-field-ids`` resolved by id, so
+        renames don't break them.  Empty when none are declared."""
+        schema = self.current_schema()
+        by_id = {f.field_id: f.name for f in schema.fields}
+        return [by_id[i] for i in schema.identifier_field_ids if i in by_id]
+
+    def upsert(
+        self,
+        data: Any,
+        on: Union[str, list[str], None] = None,
+        mode: Optional[str] = None,
+        branch: Optional[str] = None,
+    ) -> "Table":
+        """PyIceberg-style upsert: update rows whose key matches, insert
+        the rest — one MERGE commit.  ``on`` defaults to the schema's
+        identifier fields (:meth:`UpdateSchema.set_identifier_fields`);
+        with ``write.merge.mode=merge-on-read`` the write cost is
+        O(changed rows) regardless of table size — the streaming-upsert
+        shape at 100 TB.  Accepts the same inputs as :meth:`append`
+        (dict rows or a DataFrame)."""
+        keys = [on] if isinstance(on, str) else (list(on) if on else None)
+        if not keys:
+            keys = self.identifier_field_names()
+            if not keys:
+                raise InvalidDataError(
+                    "upsert needs keys: pass on=... or declare identifier "
+                    "fields via update_schema().set_identifier_fields(...)"
+                )
+        source = self._normalize_input(data)
+        cols = [f.name for f in self.current_schema().fields]
+        updates = {c: f"s.{c}" for c in cols if c not in keys}
+        return self.merge_into(
+            source,
+            on=keys,
+            when_matched_update=updates or None,
+            when_not_matched_insert=True,
+            mode=mode,
+            branch=branch,
+        )
 
     def merge_into(
         self,
@@ -5726,6 +5778,19 @@ class UpdateSchema:
         self._ops.append(("widen", name, field_type))
         return self
 
+    def set_identifier_fields(self, *names: str) -> "UpdateSchema":
+        """Declare the schema's row-identifier (logical primary key)
+        fields — Iceberg's ``identifier-field-ids``.  Downstream,
+        :meth:`Table.upsert` and ``apply_changelog`` default their keys
+        from this.  Iceberg's rules are enforced: identifier fields must
+        be primitive and non-floating-point; optional fields are promoted
+        to required ONLY after the manifest null-counts (or, where a file
+        lacks the stat, a real scan) prove no existing nulls — the spec
+        forbids nullable identifiers, and a blind flip would lie about
+        existing data.  Pass no names to clear."""
+        self._ops.append(("identify", list(names)))
+        return self
+
     def __enter__(self) -> "UpdateSchema":
         return self
 
@@ -5733,9 +5798,36 @@ class UpdateSchema:
         if exc_type is None:
             self.commit()
 
+    def _prove_no_nulls(self, name: str) -> None:
+        """Promoting optional→required for an identifier field is legal
+        only if no existing row is null.  Manifest null-counts prove it
+        without touching data when every file carries the stat; otherwise
+        one exact scan (MoR-delete-aware) decides."""
+        entries = [e for e in self.table._current_entries() if "path" in e]
+        if not entries:
+            return
+        counts = [e.get("null-counts", {}).get(name) for e in entries]
+        if all(c is not None for c in counts) and sum(counts) == 0:
+            return
+        df = self.table.scan().select(name).to_df()
+        if df.filter(F.col(name).isNull()).limit(1).count():
+            raise InvalidDataError(
+                f"cannot use {name} as an identifier field: existing rows "
+                "contain nulls and identifier fields must be required"
+            )
+
     def commit(self) -> Table:
         if not self._ops:
             return self.table
+        # identifier promotion needs a data-level null proof — run it once
+        # before the optimistic loop (metadata-only retries must not rescan)
+        for op in self._ops:
+            if op[0] == "identify":
+                cur_fields = {f.name: f for f in self.table.current_schema().fields}
+                for n in op[1]:
+                    f = cur_fields.get(n)
+                    if f is not None and not f.required:
+                        self._prove_no_nulls(n)
         from iceberg_ruby_spark.table_definition import parse_type
 
         # partition/sort sources cannot be dropped or renamed out from under
@@ -5806,6 +5898,14 @@ class UpdateSchema:
                             "outstanding merge-on-read delete predicate; evolve "
                             "the spec or compact() first"
                         )
+                    f = fields[idx(name)]
+                    if f.field_id in cur.identifier_field_ids and not any(
+                        o[0] == "identify" for o in self._ops
+                    ):
+                        raise InvalidDataError(
+                            f"column {name} is an identifier field; "
+                            "set_identifier_fields() to a new key first"
+                        )
                     fields.pop(idx(name))
                 elif op[0] == "rename":
                     _, name, new_name = op
@@ -5837,11 +5937,43 @@ class UpdateSchema:
                         f.field_id, f.name, t, f.required, f.doc,
                         f.initial_default, f.write_default,
                     )
+                elif op[0] == "identify":
+                    _, names = op
+                    new_ids = []
+                    for n in names:
+                        f = fields[idx(n)]
+                        if isinstance(
+                            f.field_type,
+                            (ice_t.StructType, ice_t.ListType, ice_t.MapType),
+                        ):
+                            raise InvalidDataError(
+                                f"identifier field {n} must be a primitive type"
+                            )
+                        if isinstance(
+                            f.field_type, (ice_t.FloatType, ice_t.DoubleType)
+                        ):
+                            raise InvalidDataError(
+                                f"identifier field {n} cannot be float/double "
+                                "(Iceberg forbids approximate-equality keys)"
+                            )
+                        if not f.required:
+                            # null-proved before the commit loop
+                            i = idx(n)
+                            fields[i] = ice_t.NestedField(
+                                f.field_id, f.name, f.field_type, True, f.doc,
+                                f.initial_default, f.write_default,
+                            )
+                        new_ids.append(f.field_id)
+                    identifier_ids = new_ids
+            if not any(op[0] == "identify" for op in self._ops):
+                # identifiers carry forward by ID (rename-stable); a drop
+                # of an identifier field was refused above
+                identifier_ids = cur.identifier_field_ids
             new_schema_id = max((sj.get("schema-id", 0) for sj in schemas_json), default=0) + 1
             new_schema = ice_t.Schema(
                 fields=fields,
                 schema_id=new_schema_id,
-                identifier_field_ids=cur.identifier_field_ids,
+                identifier_field_ids=identifier_ids,
             )
             raw["schemas"] = schemas_json + [_schema_to_json(new_schema)]
             raw["current-schema-id"] = new_schema_id
