@@ -1,4 +1,5 @@
-"""As-of join — nearest-preceding-event join on a time axis.
+"""As-of join — nearest-event join on a time axis (pandas ``merge_asof``
+surface: backward / forward / nearest + tolerance).
 
 SURVEY.md §2 Tier B names this the one join Spark lacks a primitive for.
 Implementation is the single-shuffle union+window plan, not a join:
@@ -6,12 +7,15 @@ Implementation is the single-shuffle union+window plan, not a join:
 1. tag left (probe) and right (reference) rows, union them;
 2. one window partitioned by the ``by`` keys ordered by (time, tag) with
    ``last(value, ignorenulls=True)`` carrying the most recent right-side
-   values forward;
-3. keep the left rows.
+   values forward (and, for forward/nearest, a mirror window ordered
+   descending carrying the next right-side values backward);
+3. keep the left rows; ``nearest`` picks per row whichever matched
+   timestamp is closer (tie → backward, deterministically).
 
-Cost at scale: ONE shuffle on the ``by`` keys (the union is shuffle-free),
-versus a range-join's pair explosion.  Skewed keys go through AQE skew
-handling like any other window shuffle.
+Cost at scale: ONE shuffle on the ``by`` keys (the union is shuffle-free).
+``nearest`` adds a second window SORT over the same hash partitioning —
+same single exchange, two in-partition sorts, never a second shuffle.
+Skewed keys go through AQE skew handling like any other window shuffle.
 """
 
 from __future__ import annotations
@@ -20,6 +24,8 @@ from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+
+from iceberg_ruby_spark.errors import InvalidDataError
 
 
 def asof_join(
@@ -30,50 +36,118 @@ def asof_join(
     right_cols: Optional[Sequence[str]] = None,
     suffix: str = "_right",
     strict: bool = False,
+    direction: str = "backward",
+    tolerance: Optional[float] = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right.on <= left.on`` (``<`` when ``strict``), matching on ``by`` keys.
+    """For each left row, attach the nearest right row matching on ``by``:
 
-    ``right_cols`` defaults to every non-key right column; attached columns
-    get ``suffix`` when the name collides with a left column."""
+    - ``direction='backward'`` (default): latest right with
+      ``right.on <= left.on`` (``<`` when ``strict``);
+    - ``'forward'``: earliest right with ``right.on >= left.on``
+      (``>`` when ``strict``);
+    - ``'nearest'``: whichever of the two is closer in time
+      (tie → backward, deterministically).
+
+    ``tolerance`` (same units as ``on``; timestamps compare as epoch
+    seconds) nulls the attached columns when the matched row is further
+    away — pandas ``merge_asof(tolerance=...)``.  ``right_cols`` defaults
+    to every non-key right column; attached columns get ``suffix`` when
+    the name collides with a left column."""
+    if direction not in ("backward", "forward", "nearest"):
+        raise InvalidDataError(f"asof_join direction must be backward/forward/nearest: {direction}")
+    if tolerance is not None and tolerance < 0:
+        raise InvalidDataError(f"asof_join tolerance must be >= 0: {tolerance}")
     by = list(by or [])
     if right_cols is None:
         right_cols = [c for c in right.columns if c != on and c not in by]
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
+    # the matched right timestamp rides along: nearest arbitrates on it,
+    # tolerance masks on it
+    fill_cols = list(right_cols) + ["__on"]
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
         *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        F.lit(None).cast(right.schema[on].dataType).alias("__r___on"),
     )
     r_tag = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__is_left"),
         *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        F.col(on).alias("__r___on"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
 
-    # Non-strict (<=): right rows sort BEFORE left rows at equal timestamps,
-    # so a same-instant right row is visible in the frame.  Strict (<):
-    # left rows sort first, pushing same-instant right rows out of the frame.
-    tag_order = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
-    w = (
+    # Non-strict: right rows sort BEFORE left rows at equal timestamps, so
+    # a same-instant right row is visible in the frame.  Strict: left rows
+    # sort first, pushing same-instant right rows out of the frame.  The
+    # forward window mirrors the ordering (descending time), same rule.
+    back_tag = F.col("__is_left").asc() if not strict else F.col("__is_left").desc()
+    w_back = (
         Window.partitionBy(*by)
-        .orderBy(F.col(on).asc(), tag_order)
+        .orderBy(F.col(on).asc(), back_tag)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_fwd = (
+        Window.partitionBy(*by)
+        .orderBy(F.col(on).desc(), back_tag)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     filled = unioned
-    for c in right_cols:
-        filled = filled.withColumn(
-            f"__r_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w)
+    want_back = direction in ("backward", "nearest")
+    want_fwd = direction in ("forward", "nearest")
+    for c in fill_cols:
+        if want_back:
+            filled = filled.withColumn(
+                f"__b_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back)
+            )
+        if want_fwd:
+            filled = filled.withColumn(
+                f"__f_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd)
+            )
+    out = filled.filter(F.col("__is_left") == 1)
+
+    # timestamps (incl. NTZ, which Spark won't cast straight to double)
+    # compare as epoch seconds; the NTZ→LTZ hop is a constant shift that
+    # cancels in every difference the arbitration/tolerance computes
+    on_is_ts = left.schema[on].dataType.typeName().startswith("timestamp")
+
+    def _secs(col):
+        if on_is_ts:
+            return col.cast("timestamp_ltz").cast("double")
+        return col.cast("double")
+
+    if direction == "nearest":
+        back_d = _secs(F.col(on)) - _secs(F.col("__b___on"))
+        fwd_d = _secs(F.col("__f___on")) - _secs(F.col(on))
+        use_back = F.col("__f___on").isNull() | (
+            F.col("__b___on").isNotNull() & (back_d <= fwd_d)
         )
-    return filled.filter(F.col("__is_left") == 1).select(
+        picked = {
+            c: F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
+            for c in fill_cols
+        }
+    elif direction == "backward":
+        picked = {c: F.col(f"__b_{c}") for c in fill_cols}
+    else:
+        picked = {c: F.col(f"__f_{c}") for c in fill_cols}
+
+    if tolerance is not None:
+        in_tol = (
+            picked["__on"].isNotNull()
+            & (F.abs(_secs(F.col(on)) - _secs(picked["__on"])) <= F.lit(float(tolerance)))
+        )
+        picked = {
+            c: F.when(in_tol, picked[c]) for c in fill_cols
+        }
+    return out.select(
         *[F.col(c) for c in left.columns],
-        *[F.col(f"__r_{c}").alias(out_names[c]) for c in right_cols],
+        *[picked[c].alias(out_names[c]) for c in right_cols],
     )

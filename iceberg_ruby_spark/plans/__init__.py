@@ -54,7 +54,8 @@ _NEVER_DRIVER_CHECKED = [
     "stream_changelog_tail", "embedding_truncate_norm",
     "embedding_matryoshka_topk", "embedding_binarize_pack",
     "embedding_hamming_topk", "join_salted_skew",
-    "agg_salted_count_distinct",
+    "agg_salted_count_distinct", "asof_join_forward",
+    "asof_join_nearest_tolerance",
 ]
 
 # r5-checked cohort — fills the remaining budget in this priority order:

@@ -1190,6 +1190,88 @@ def asof_join_events(spark, sf_dir):
 
 
 @query(
+    "asof_join_forward",
+    oracle="""
+    SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS next_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+      ON p.user_id = v.user_id AND v.ts >= p.ts
+    """,
+)
+def asof_join_forward(spark, sf_dir):
+    """Forward as-of join (operators/asof.py direction='forward'): each
+    purchase gets the EARLIEST following view per user — the mirror
+    window of the backward plan, same single shuffle."""
+    from iceberg_ruby_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("next_view_value")
+    )
+    return asof_join(purchases, views, on="ts", by=["user_id"], direction="forward")
+
+
+@query(
+    "asof_join_nearest_tolerance",
+    oracle="""
+    WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         b AS (
+           SELECT p.event_id, v.ts AS mts, v.value AS mval
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND v.ts <= p.ts
+         ),
+         f AS (
+           SELECT p.event_id, v.ts AS mts, v.value AS mval
+           FROM p ASOF LEFT JOIN v
+             ON p.user_id = v.user_id AND v.ts >= p.ts
+         )
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           CASE WHEN pk.mts IS NOT NULL
+                     AND abs(epoch(p.ts) - epoch(pk.mts)) <= 600
+                THEN pk.mval END AS near_view_value
+    FROM p
+    LEFT JOIN b ON b.event_id = p.event_id
+    LEFT JOIN f ON f.event_id = p.event_id
+    CROSS JOIN LATERAL (
+      SELECT CASE WHEN f.mts IS NULL
+                       OR (b.mts IS NOT NULL
+                           AND epoch(p.ts) - epoch(b.mts)
+                               <= epoch(f.mts) - epoch(p.ts))
+                  THEN b.mts ELSE f.mts END AS mts,
+             CASE WHEN f.mts IS NULL
+                       OR (b.mts IS NOT NULL
+                           AND epoch(p.ts) - epoch(b.mts)
+                               <= epoch(f.mts) - epoch(p.ts))
+                  THEN b.mval ELSE f.mval END AS mval
+    ) pk
+    """,
+)
+def asof_join_nearest_tolerance(spark, sf_dir):
+    """Nearest as-of join with a 600 s tolerance (operators/asof.py
+    direction='nearest', the pandas merge_asof surface): per purchase the
+    closer of the preceding/following view (tie → backward), nulled when
+    further than the tolerance.  Both directions fill inside ONE shuffle
+    (two in-partition sorts over the same hash partitioning)."""
+    from iceberg_ruby_spark.operators.asof import asof_join
+
+    e = load(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id", "ts", F.col("value").alias("near_view_value")
+    )
+    return asof_join(
+        purchases, views, on="ts", by=["user_id"],
+        direction="nearest", tolerance=600,
+    )
+
+
+@query(
     "pivot_order_status",
     oracle="""
     SELECT o_orderpriority,

@@ -129,6 +129,64 @@ def test_asof_join_strict_excludes_equal(spark):
     assert strict["v"] == "at4"
 
 
+def test_asof_join_forward_and_nearest(spark):
+    trades = spark.createDataFrame(
+        [("A", 3, 100.0), ("A", 7, 101.0), ("B", 5, 50.0)],
+        ["sym", "ts", "price"],
+    )
+    quotes = spark.createDataFrame(
+        [("A", 1, 99.0), ("A", 5, 100.5), ("B", 6, 49.0)],
+        ["sym", "ts", "bid"],
+    )
+    fwd = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in ops.asof_join(
+            trades, quotes, on="ts", by=["sym"], direction="forward"
+        ).collect()
+    }
+    assert fwd[("A", 3)] == 100.5  # next quote at ts=5
+    assert fwd[("A", 7)] is None  # nothing after ts=7
+    assert fwd[("B", 5)] == 49.0
+    near = {
+        (r["sym"], r["ts"]): r["bid"]
+        for r in ops.asof_join(
+            trades, quotes, on="ts", by=["sym"], direction="nearest"
+        ).collect()
+    }
+    # distances: back=|3-1|=2, fwd=|5-3|=2 -> tie -> backward
+    assert near[("A", 3)] == 99.0
+    assert near[("A", 7)] == 100.5
+    assert near[("B", 5)] == 49.0
+
+
+def test_asof_join_nearest_tie_is_backward(spark):
+    left = spark.createDataFrame([(1, 5)], ["id", "ts"])
+    right = spark.createDataFrame([(3, "back"), (7, "fwd")], ["ts", "v"])
+    row = ops.asof_join(left, right, on="ts", direction="nearest").collect()[0]
+    assert row["v"] == "back"  # equal distance 2 -> backward wins
+    closer_fwd = spark.createDataFrame([(2, "back"), (6, "fwd")], ["ts", "v"])
+    row = ops.asof_join(left, closer_fwd, on="ts", direction="nearest").collect()[0]
+    assert row["v"] == "fwd"
+
+
+def test_asof_join_tolerance(spark):
+    left = spark.createDataFrame([(1, 10), (2, 100)], ["id", "ts"])
+    right = spark.createDataFrame([(7, "a"), (50, "b")], ["ts", "v"])
+    got = {
+        r["id"]: r["v"]
+        for r in ops.asof_join(left, right, on="ts", tolerance=5).collect()
+    }
+    assert got == {1: "a", 2: None}  # 10-7=3 <= 5; 100-50=50 > 5
+    import pytest as _pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with _pytest.raises(InvalidDataError, match="direction"):
+        ops.asof_join(left, right, on="ts", direction="sideways")
+    with _pytest.raises(InvalidDataError, match="tolerance"):
+        ops.asof_join(left, right, on="ts", tolerance=-1)
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, b"\x00\x01\x02\x03" * 10), (2, b"\xff" * 16)], ["media_id", "payload"]
