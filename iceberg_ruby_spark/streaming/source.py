@@ -182,14 +182,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self._max_files = self._admission_opt(options, "max_files_per_trigger")
         self._max_rows = self._admission_opt(options, "max_rows_per_trigger")
         self._max_bytes = self._admission_opt(options, "max_bytes_per_trigger")
-        if self.mode == "changelog" and self._bounded:
-            # changelog windows are per-commit units (a delete's slices
-            # cannot split mid-commit); file-granular admission would need
-            # partial offsets inside a diff — refuse rather than mis-bound
-            raise ValueError(
-                "max_files_per_trigger / max_rows_per_trigger / "
-                "max_bytes_per_trigger are not supported with mode=changelog"
-            )
+        # changelog windows are per-commit units (a delete's slices cannot
+        # split mid-commit), so admission there is COMMIT-granular: whole
+        # commits are admitted while the budgets last (first commit of a
+        # batch always admits), and offsets never carry a partial pos.
+        # Delete-only commits weigh what their added data files weigh
+        # (usually nothing) — the budgets bound ingest volume, which is
+        # what sizes a CDC backfill's batches.
         self._last: Optional[dict] = None
         self._floor: Optional[dict] = None
         meta = _ops(self.location).load()
@@ -351,6 +350,25 @@ class EngineTableStreamReader(DataSourceStreamReader):
             if _exhausted():
                 break
             entries = self._delta_entries(ops, by_id, snap)
+            if self.mode == "changelog":
+                # commit-granular: admit the whole commit or close the batch
+                rc = sum(e.get("record-count") or 0 for e in entries)
+                fb = sum(
+                    e.get("file-size-bytes") or e.get("file-size-in-bytes") or 0
+                    for e in entries
+                )
+                if admitted > 0 and (
+                    budget["files"] < len(entries)
+                    or budget["rows"] < rc
+                    or budget["bytes"] < fb
+                ):
+                    return out
+                budget["files"] -= len(entries)
+                budget["rows"] -= rc
+                budget["bytes"] -= fb
+                admitted += 1
+                out = {"snapshot_id": snap.snapshot_id}
+                continue
             stop = _admit(entries, 0)
             if 0 < stop < len(entries):
                 return {"snapshot_id": snap.snapshot_id, "pos": stop}

@@ -400,11 +400,6 @@ def test_changelog_stream_refusals(catalog, spark):
 
     t = catalog.create_table("clref", schema={"k": "int", "v": "string"})
     t.append([{"k": 1, "v": "a"}])
-    with pytest.raises(ValueError, match="max_files_per_trigger"):
-        EngineTableStreamReader(
-            {"location": t.ops.location, "mode": "changelog",
-             "max_files_per_trigger": "2"}
-        )
     with pytest.raises(ValueError, match="expected 'append' or 'changelog'"):
         EngineTableStreamReader({"location": t.ops.location, "mode": "bogus"})
     # copy-on-write rewrite: planning refuses with guidance
@@ -606,11 +601,57 @@ def test_admission_option_validation(catalog):
         EngineTableStreamReader(
             {"location": t.ops.location, "max_rows_per_trigger": "0"}
         )
-    with pytest.raises(ValueError, match="not supported with"):
-        EngineTableStreamReader(
-            {
-                "location": t.ops.location,
-                "mode": "changelog",
-                "max_bytes_per_trigger": "100",
-            }
-        )
+    # changelog mode accepts admission budgets (commit-granular)
+    EngineTableStreamReader(
+        {
+            "location": t.ops.location,
+            "mode": "changelog",
+            "max_bytes_per_trigger": "100",
+        }
+    )
+
+
+def test_changelog_commit_granular_admission(catalog):
+    """mode=changelog + admission budgets: whole commits are admitted
+    while budgets last (never a partial pos); every change event is
+    emitted exactly once across the bounded walk, including deletes."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("cladm", schema={"k": "int", "v": "string"})
+    for i in range(3):
+        t.append([{"k": 10 * i + j, "v": "x"} for j in range(2)])
+    t.delete_where("k = 0", mode="merge-on-read-positional")
+    t.append([{"k": 99, "v": "z"}])
+    reader = EngineTableStreamReader(
+        {
+            "location": t.ops.location,
+            "mode": "changelog",
+            "max_files_per_trigger": "2",
+        }
+    )
+    full = EngineTableStreamReader(
+        {"location": t.ops.location, "mode": "changelog"}
+    )
+    want = full.partitions(
+        {"snapshot_id": None}, {"snapshot_id": t.refresh().current_snapshot_id}
+    )
+    off = reader.initialOffset()
+    got = []
+    batches = 0
+    while True:
+        new = reader.latestOffset()
+        if new == off:
+            break
+        assert "pos" not in new, "changelog offsets must stay commit-granular"
+        got += reader.partitions(off, new)
+        off = new
+        batches += 1
+        assert batches < 20
+    # ordinal is the commit position WITHIN a window by contract, so the
+    # bounded walk renumbers per batch — compare everything else
+    def key(p):
+        d = {k: v for k, v in vars(p).items() if k != "ordinal"}
+        return (p.snapshot_id, getattr(p, "kind", ""), str(sorted(d.items())))
+
+    assert sorted(map(key, got)) == sorted(map(key, want))
+    assert batches >= 2
