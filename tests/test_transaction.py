@@ -113,3 +113,27 @@ def test_transaction_scan_and_time_travel_inside(catalog):
         assert sorted(r["k"] for r in tx.to_a(snapshot_id=mid)) == [1, 2]
         assert sorted(r["k"] for r in tx.to_a()) == [1, 2, 3]
     assert sorted(r["k"] for r in t.refresh().to_a()) == [1, 2, 3]
+
+
+def test_transaction_over_sql_catalog(spark, tmp_path):
+    """Transactions work over any ops backend with the load/commit/CAS
+    contract — here the SQL registry (CAS via UPDATE ... WHERE version)."""
+    import iceberg_ruby_spark as ice
+
+    wh = str(tmp_path / "wh")
+    cat = ice.SqlCatalog(
+        uri=f"sqlite:///{tmp_path}/catalog.db",
+        warehouse=wh,
+        namespace="default",
+        spark=spark,
+    )
+    cat.create_namespace("default")
+    t = cat.create_table("txsql", schema={"k": "int"})
+    t.append([{"k": 1}])
+    v0 = t.ops.current_version()
+    with t.transaction() as tx:
+        tx.append([{"k": 2}])
+        tx.delete_where("k = 1", mode="merge-on-read")
+        assert sorted(r["k"] for r in t.refresh().to_a()) == [1]
+    assert t.ops.current_version() == v0 + 1
+    assert sorted(r["k"] for r in t.refresh().to_a()) == [2]
