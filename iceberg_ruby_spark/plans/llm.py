@@ -1664,6 +1664,7 @@ def _hamming_topk_production(spark, sf_dir):
 
 @query(
     "embedding_hamming_topk",
+    bench=True,
     bench_fn=_hamming_topk_production,
     oracle=_EXACT_TOPK_SQL,
 )

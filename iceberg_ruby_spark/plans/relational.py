@@ -338,6 +338,7 @@ def join_broadcast_dim(spark, sf_dir):
 
 @query(
     "join_salted_skew",
+    bench=True,
     oracle=f"""
     SELECT o.o_orderpriority,
            COUNT(*) AS n,
