@@ -29,8 +29,10 @@ OTHER tables never interact.  Identity partition specs are honored —
 each task groups its rows by partition value and writes Spark's
 ``name=value`` directory layout, so partition pruning works on streamed
 data exactly as on batch appends.  Transformed specs (bucket/day/...)
-are refused; route those through ``foreachBatch`` + ``Table.append``
-(honest scope, not a silent wrong layout).
+group by ``transform.scalar`` per row — value-identical to the batch
+writer's ``apply_typed`` columns (parity pinned in pytest), so a
+bucketed or daily-partitioned table streams into the same layout it
+batch-writes.
 """
 
 from __future__ import annotations
@@ -88,23 +90,37 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             ),
             None,
         )
-        self._part_cols: list = []
+        # partition layout: the executor groups its rows by the spec's
+        # TRANSFORMED values (transform.scalar ≡ the batch writer's
+        # apply_typed column, parity pinned in pytest) and lays out
+        # Spark's name=value directories.  Identity sources live in the
+        # path only (dropped from the file, like the batch writer);
+        # transformed sources stay IN the file and the derived value
+        # exists only as the directory segment.
+        eng_schema = _current_schema(meta)
+        self._part_fields: list = []  # (source, out_name, transform, src_type)
         spec_fields = (default_spec or {}).get("fields", [])
         if spec_fields:
-            # identity partitioning is supported (executor groups rows by
-            # value and lays out name=value directories); transformed
-            # specs need the engine's typed transform pipeline — refuse
-            if any(
-                f.get("transform", "identity") != "identity"
-                for f in spec_fields
-            ):
-                raise InvalidDataError(
-                    "iceberg_table stream sink supports identity partition "
-                    "specs only; this table uses transforms — use "
-                    "foreachBatch with Table.append for spec-aware layout"
+            from iceberg_ruby_spark.transforms import parse_transform
+
+            for f in spec_fields:
+                tr = parse_transform(f.get("transform", "identity"))
+                src = f["source"]
+                sf = eng_schema.field_by_name(src)
+                self._part_fields.append(
+                    (
+                        src,
+                        f.get("name") or tr.result_name(src),
+                        tr,
+                        sf.field_type if sf else None,
+                    )
                 )
-            self._part_cols = [f["source"] for f in spec_fields]
-        table_schema = _current_schema(meta).to_spark()
+        self._part_cols = [
+            src
+            for src, name, tr, _t in self._part_fields
+            if type(tr).__name__ == "IdentityTransform"
+        ]
+        table_schema = eng_schema.to_spark()
         want = [(f.name, f.dataType) for f in table_schema.fields]
         got = [(f.name, f.dataType) for f in schema.fields]
         if want != got:
@@ -139,7 +155,6 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         self._spec_id = default_spec_id
         from iceberg_ruby_spark.table import Table as _T
 
-        eng_schema = _current_schema(meta)
         self._stats_cols = [
             f.name
             for f in eng_schema.fields
@@ -230,20 +245,25 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         if not rows:
             return _FileMsg([])
         data_dir = os.path.join(self.location, "data")
-        if not self._part_cols:
+        if not self._part_fields:
             return _FileMsg([self._write_file(rows, data_dir, self._names)])
-        # identity-partitioned: group this task's rows by partition value,
-        # one file per value under Spark's name=value directory layout
-        # (partition columns live in the path, not the file — the same
-        # layout the batch writer produces)
+        # partitioned: group this task's rows by the spec's (transformed)
+        # partition values, one file per value under Spark's name=value
+        # directory layout — the same layout the batch writer produces.
+        # Identity sources live in the path only; transformed sources
+        # stay in the file (the derived value is path-only).
         idx = {n: j for j, n in enumerate(self._names)}
         groups: dict = {}
         for row in rows:
-            key = tuple(row[idx[c]] for c in self._part_cols)
+            key = tuple(
+                tr.scalar(row[idx[src]], st)
+                for src, _name, tr, st in self._part_fields
+            )
             if any(v is None for v in key):
                 raise InvalidDataError(
                     "stream sink got a NULL partition value for "
-                    f"{self._part_cols}; filter or default nulls upstream"
+                    f"{[f[1] for f in self._part_fields]}; filter or "
+                    "default nulls upstream"
                 )
             groups.setdefault(key, []).append(row)
         file_cols = [n for n in self._names if n not in self._part_cols]
@@ -251,16 +271,16 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         for key, grp in groups.items():
             seg = os.path.join(
                 *[
-                    f"{c}={self._dir_value(v)}"
-                    for c, v in zip(self._part_cols, key)
+                    f"{name}={self._dir_value(v)}"
+                    for (_src, name, _tr, _st), v in zip(self._part_fields, key)
                 ]
             )
             rec = self._write_file(grp, os.path.join(data_dir, seg), file_cols)
-            # partition columns: min = max = the group value
-            for c, v in zip(self._part_cols, key):
-                if c in self._stats_cols:
-                    rec["lower"][c] = v
-                    rec["upper"][c] = v
+            # identity partition columns: min = max = the group value
+            for (src, _name, tr, _st), v in zip(self._part_fields, key):
+                if src in self._part_cols and src in self._stats_cols:
+                    rec["lower"][src] = v
+                    rec["upper"][src] = v
             out.append(rec)
         return _FileMsg(out)
 

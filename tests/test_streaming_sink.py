@@ -216,11 +216,11 @@ def test_native_stream_writer_guards(catalog, spark, tmp_path):
     )
     plain = catalog.create_table("nw_plain", schema={"k": "int", "v": "string"})
     schema = plain.spark_schema()
-    # transformed partition specs refused (identity is supported)
-    with pytest.raises(InvalidDataError, match="identity partition"):
-        EngineTableStreamWriter(
-            {"location": part.ops.location}, schema, overwrite=False
-        )
+    # transformed partition specs are accepted (bucket layout, see
+    # test_native_stream_writer_transformed_partitions)
+    EngineTableStreamWriter(
+        {"location": part.ops.location}, schema, overwrite=False
+    )
     # schema mismatch refused at plan time
     wrong = spark.createDataFrame([(1,)], "k int").schema
     with pytest.raises(InvalidDataError, match="does not match table schema"):
@@ -344,3 +344,61 @@ def test_native_stream_writer_branch_wap(catalog, spark, tmp_path):
     # audit passed: publish the branch to main
     gold.fast_forward("main", "audit")
     assert sorted(r["k"] for r in gold.refresh().to_a()) == [0, 1, 2, 3]
+
+
+def test_native_stream_writer_transformed_partitions(catalog, spark, tmp_path):
+    """bucket/day-partitioned sink: executors group rows by the spec's
+    TRANSFORMED values (transform.scalar ≡ batch apply_typed), identity
+    sources live in the path, transformed sources stay in the file —
+    streamed files land in the same layout a batch append produces and
+    bucket point-lookups prune them."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("nwt_bronze", schema={"k": "int", "v": "string"})
+    gold = catalog.create_table(
+        "nwt_gold",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[("k", "bucket[4]")],
+    )
+    bronze.append([{"k": i, "v": f"v{i}"} for i in range(8)])
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    gold = gold.refresh()
+    assert sorted((r["k"], r["v"]) for r in gold.to_a()) == [
+        (i, f"v{i}") for i in range(8)
+    ]
+    # streamed layout == batch layout for the same spec: same bucket dir
+    # for the same key, transformed source kept inside the file
+    import os
+
+    from iceberg_ruby_spark.transforms import parse_transform
+    from iceberg_ruby_spark import types as ice_t
+
+    tr = parse_transform("bucket[4]")
+    entries = [e for e in gold._current_entries() if "path" in e]
+    assert entries
+    for e in entries:
+        seg = [p for p in e["path"].split(os.sep) if p.startswith("k_bucket")]
+        assert seg, e["path"]
+        bucket = int(seg[0].split("=", 1)[1])
+        import pyarrow.parquet as pq
+
+        tbl = pq.read_table(gold.ops._abs(e["path"]))
+        assert "k" in tbl.column_names  # transformed source stays in-file
+        for kv in tbl.column("k").to_pylist():
+            assert tr.scalar(kv, ice_t.IntType()) == bucket
+    # batch append lands in the same directories
+    gold.append([{"k": 0, "v": "again"}])
+    assert sorted(r["v"] for r in gold.refresh().scan().filter("k = 0").to_a()) == [
+        "again", "v0"
+    ]
