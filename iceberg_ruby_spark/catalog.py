@@ -1460,10 +1460,15 @@ class Catalog:
             )
             files = tbl.last_expire_cleaned_files
             data = sum(
-                1 for f in files if f.endswith(".parquet") and "/deletes-" not in f
+                1
+                for f in files
+                if f.endswith((".parquet", ".orc")) and "/deletes-" not in f
             )
             dels = sum(
-                1 for f in files if f.endswith(".parquet") and "/deletes-" in f
+                1
+                for f in files
+                if (f.endswith(".parquet") or f.endswith(".puffin"))
+                and "/deletes-" in f
             )
             out = (
                 [(n, data, dels)],

@@ -115,9 +115,10 @@ def asof_join(
     out = filled.filter(F.col("__is_left") == 1)
 
     # timestamps (incl. NTZ, which Spark won't cast straight to double)
-    # compare as epoch seconds; the NTZ→LTZ hop is a constant shift that
-    # cancels in every difference the arbitration/tolerance computes
-    on_is_ts = left.schema[on].dataType.typeName().startswith("timestamp")
+    # and dates compare as epoch seconds; the NTZ→LTZ hop is a constant
+    # shift that cancels in every difference the arbitration/tolerance
+    # computes
+    on_is_ts = left.schema[on].dataType.typeName().startswith(("timestamp", "date"))
 
     def _secs(col):
         if on_is_ts:

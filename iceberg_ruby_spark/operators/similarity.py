@@ -673,6 +673,46 @@ def truncate_embeddings(
     return df.withColumn(out_col, expr)
 
 
+def _shortlist_exact_topk(
+    coarse: DataFrame,
+    coarse_col: str,
+    coarse_ascending: bool,
+    k: int,
+    shortlist: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Shared tail of the two-stage ANN funnels (matryoshka, hamming):
+    per-query top-``shortlist`` by the coarse score (ties break by id),
+    EXACT full-dimension cosine over the survivors (corpus vector in
+    ``vec_col``, query vector in ``__qv``), per-query top-``k``.  Both
+    stages are WindowGroupLimit partial top-k — never a global sort."""
+    order = (
+        F.col(coarse_col).asc() if coarse_ascending else F.col(coarse_col).desc()
+    )
+    w1 = Window.partitionBy("query_id").orderBy(order, F.col(id_col).asc())
+    short = (
+        coarse.withColumn("__r1", F.row_number().over(w1))
+        .filter(F.col("__r1") <= shortlist)
+    )
+    rescored = short.withColumn(
+        "cosine",
+        F.round(
+            _dot(F.col("__qv"), F.col(vec_col))
+            / (_norm(F.col("__qv")) * _norm(F.col(vec_col))),
+            6,
+        ),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def matryoshka_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -708,28 +748,8 @@ def matryoshka_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__cs", _dot(F.col("__qt"), F.col("__ct")))
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("__cs").desc(), F.col(id_col).asc()
-    )
-    short = (
-        coarse.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= shortlist)
-    )
-    rescored = short.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("__qv"), F.col(vec_col))
-            / (_norm(F.col("__qv")) * _norm(F.col(vec_col))),
-            6,
-        ),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    return _shortlist_exact_topk(
+        coarse, "__cs", False, k, shortlist, id_col, vec_col
     )
 
 
@@ -803,28 +823,8 @@ def hamming_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .withColumn("__hd", hamming)
     )
-    w1 = Window.partitionBy("query_id").orderBy(
-        F.col("__hd").asc(), F.col(id_col).asc()
-    )
-    short = (
-        coarse.withColumn("__r1", F.row_number().over(w1))
-        .filter(F.col("__r1") <= shortlist)
-    )
-    rescored = short.withColumn(
-        "cosine",
-        F.round(
-            _dot(F.col("__qv"), F.col(vec_col))
-            / (_norm(F.col("__qv")) * _norm(F.col(vec_col))),
-            6,
-        ),
-    )
-    w2 = Window.partitionBy("query_id").orderBy(
-        F.col("cosine").desc(), F.col(id_col).asc()
-    )
-    return (
-        rescored.withColumn("rank", F.row_number().over(w2))
-        .filter(F.col("rank") <= k)
-        .select("query_id", id_col, "cosine", "rank")
+    return _shortlist_exact_topk(
+        coarse, "__hd", True, k, shortlist, id_col, vec_col
     )
 
 

@@ -253,18 +253,31 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         # Identity sources live in the path only; transformed sources
         # stay in the file (the derived value is path-only).
         idx = {n: j for j, n in enumerate(self._names)}
+        # void transforms legitimately produce None (spec-evolution
+        # placeholder fields): they land in Spark's default-partition
+        # directory exactly like the batch writer's F.lit(None); a None
+        # from any OTHER transform is a null partition value and refuses.
+        _HIVE_DEFAULT = "__HIVE_DEFAULT_PARTITION__"
+        void = [
+            type(tr).__name__ == "VoidTransform"
+            for _src, _name, tr, _st in self._part_fields
+        ]
         groups: dict = {}
         for row in rows:
             key = tuple(
                 tr.scalar(row[idx[src]], st)
                 for src, _name, tr, st in self._part_fields
             )
-            if any(v is None for v in key):
+            if any(v is None and not is_void for v, is_void in zip(key, void)):
                 raise InvalidDataError(
                     "stream sink got a NULL partition value for "
                     f"{[f[1] for f in self._part_fields]}; filter or "
                     "default nulls upstream"
                 )
+            key = tuple(
+                _HIVE_DEFAULT if (v is None and is_void) else v
+                for v, is_void in zip(key, void)
+            )
             groups.setdefault(key, []).append(row)
         file_cols = [n for n in self._names if n not in self._part_cols]
         out = []

@@ -131,6 +131,7 @@ class _ChangeSlice(InputPartition):
         prior_eq: Optional[list[tuple[str, tuple[str, ...]]]] = None,
         prior_pos: Optional[list[str]] = None,
         prior_dv: Optional[tuple[str, int, int]] = None,
+        bases: Optional[list[str]] = None,
     ):
         self.kind = kind
         self.path = path
@@ -143,6 +144,13 @@ class _ChangeSlice(InputPartition):
         self.prior_eq = prior_eq or []
         self.prior_pos = prior_pos or []
         self.prior_dv = prior_dv
+        # base prefixes for positional file_path rebasing (write-time
+        # base-locations + the current table location): spec-shaped
+        # positional deletes store the FULL data path under the table
+        # location AT WRITE TIME, so a renamed/registered table must
+        # compare location-relative remainders, exactly like the batch
+        # reader (table.py MoR path-normalization block)
+        self.bases = bases or []
 
 
 class EngineTableStreamReader(DataSourceStreamReader):
@@ -441,6 +449,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
         if end_snap is None:
             raise ValueError(f"offset snapshot {end_id} no longer exists")
         if self.mode == "changelog":
+            if start_pos is not None or end_pos is not None:
+                # a partial (mid-commit) offset can only come from an
+                # append-mode checkpoint with file-granular admission —
+                # silently dropping the pos would skip (or re-emit) the
+                # commit's unconsumed tail
+                raise ValueError(
+                    "changelog-mode cannot resume from a partial "
+                    "(mid-commit) offset; this checkpoint was written by "
+                    "an append-mode stream — use a fresh checkpoint for "
+                    "mode=changelog"
+                )
             return self._changelog_partitions(ops, by_id, start_id, end_snap)
         if start_pos is not None or end_pos is not None:
             return self._partial_window(
@@ -674,6 +693,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     f"equality delete in commit {sid} records no key "
                     "columns; cannot stream its changelog"
                 )
+            entry_bases = sorted(
+                {ops._abs(".").rstrip("/."), ops.location}
+                | {
+                    pe["base-location"]
+                    for pe in list(prev_entries) + list(added_deletes)
+                    if pe.get("base-location")
+                }
+            )
             for data_path in _touched_files(e):
                 abs_path = ops._abs(data_path)
                 prior_eq, prior_pos, prior_dv = _priors_for(abs_path)
@@ -685,6 +712,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     prior_eq=prior_eq,
                     prior_pos=prior_pos,
                     prior_dv=prior_dv,
+                    bases=entry_bases,
                 )
                 if content == "equality-deletes":
                     slices.append(
@@ -794,19 +822,36 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return _os.path.abspath(p)
 
     @classmethod
-    def _positions_from_pos_file(cls, del_path: str, data_path: str) -> set:
+    def _rebase(cls, p: str, bases: list[str]) -> str:
+        """Location-relative remainder of ``p`` under the longest
+        matching base prefix; normalized-absolute when none matches.
+        Stored positional paths are absolute under the WRITE-TIME table
+        location — after rename_table only the remainder is stable."""
+        n = cls._norm_path(p)
+        for b in sorted(bases, key=len, reverse=True):
+            nb = cls._norm_path(b).rstrip("/") + "/"
+            if n.startswith(nb):
+                return n[len(nb):]
+        return n
+
+    @classmethod
+    def _positions_from_pos_file(
+        cls, del_path: str, data_path: str, bases: Optional[list[str]] = None
+    ) -> set:
         """Dead positions for ``data_path`` from a positional-delete
-        parquet of (file_path, pos) rows."""
+        parquet of (file_path, pos) rows; paths compare by their
+        base-stripped remainder so renamed tables still match."""
         import pyarrow.parquet as pq
 
+        bases = bases or []
         kt = pq.read_table(del_path, columns=["file_path", "pos"])
-        target = cls._norm_path(data_path)
+        target = cls._rebase(data_path, bases)
         return {
             int(pos)
             for fp, pos in zip(
                 kt.column("file_path").to_pylist(), kt.column("pos").to_pylist()
             )
-            if cls._norm_path(fp) == target
+            if cls._rebase(fp, bases) == target
         }
 
     @staticmethod
@@ -850,7 +895,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             kidx = [col_idx[c] for c in partition.key_cols]
         elif partition.kind == "delete-pos":
             new_positions = self._positions_from_pos_file(
-                partition.delete_path, partition.path
+                partition.delete_path, partition.path, partition.bases
             )
         else:  # delete-dv
             off, size = partition.dv
@@ -864,7 +909,9 @@ class EngineTableStreamReader(DataSourceStreamReader):
         ]
         prior_positions: set = set()
         for dp in partition.prior_pos:
-            prior_positions |= self._positions_from_pos_file(dp, partition.path)
+            prior_positions |= self._positions_from_pos_file(
+                dp, partition.path, partition.bases
+            )
         if partition.prior_dv is not None:
             p, off, size = partition.prior_dv
             prior_positions |= self._positions_from_dv(p, off, size)

@@ -5820,14 +5820,43 @@ class UpdateSchema:
         if not self._ops:
             return self.table
         # identifier promotion needs a data-level null proof — run it once
-        # before the optimistic loop (metadata-only retries must not rescan)
-        for op in self._ops:
-            if op[0] == "identify":
-                cur_fields = {f.name: f for f in self.table.current_schema().fields}
-                for n in op[1]:
-                    f = cur_fields.get(n)
-                    if f is not None and not f.required:
-                        self._prove_no_nulls(n)
+        # before the optimistic loop (metadata-only retries must not
+        # rescan).  Names resolve THROUGH the batch's earlier ops: a
+        # renamed column proves against its current-schema name (that's
+        # where today's data lives), and a column ADDED in this batch has
+        # no stored values at all — with rows in the table it may only
+        # become an identifier if its add carries a non-null default
+        # (initial-default backfills the existing rows).
+        for i, op in enumerate(self._ops):
+            if op[0] != "identify":
+                continue
+            origin: dict[str, tuple] = {
+                f.name: ("existing", f)
+                for f in self.table.current_schema().fields
+            }
+            for prior in self._ops[:i]:
+                if prior[0] == "add":
+                    origin[prior[1]] = ("added", prior[4])
+                elif prior[0] == "rename" and prior[1] in origin:
+                    origin[prior[2]] = origin.pop(prior[1])
+                elif prior[0] == "drop":
+                    origin.pop(prior[1], None)
+            has_rows = any(
+                (e.get("record-count") or 0) > 0
+                for e in self.table._current_entries()
+                if "path" in e
+            )
+            for n in op[1]:
+                kind, info = origin.get(n, (None, None))
+                if kind == "existing" and not info.required:
+                    self._prove_no_nulls(info.name)
+                elif kind == "added" and has_rows and info is None:
+                    raise InvalidDataError(
+                        f"cannot use {n} as an identifier field: the column "
+                        "is added in this change without a default, so every "
+                        "existing row would hold null — give the add_column "
+                        "a non-null default"
+                    )
         from iceberg_ruby_spark.table_definition import parse_type
 
         # partition/sort sources cannot be dropped or renamed out from under

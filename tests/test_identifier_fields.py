@@ -90,3 +90,32 @@ def test_apply_changelog_defaults_to_identifier_fields(catalog, spark):
     assert sorted((r["k"], r["v"]) for r in rep.refresh().to_a()) == [
         (2, "b"), (3, "c")
     ]
+
+
+def test_identifier_same_batch_add_and_rename_proofs(catalog):
+    """The null proof resolves names THROUGH the batch's earlier ops: a
+    column added in the same change over existing rows needs a non-null
+    default; a renamed column proves against its stored (old-name) data."""
+    t = catalog.create_table("idf5", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": None}])
+    with pytest.raises(InvalidDataError, match="without a default"):
+        t.update_schema().add_column("pk", "long").set_identifier_fields(
+            "pk"
+        ).commit()
+    # with a default, existing rows read the backfill — promotion is legal
+    t.update_schema().add_column("pk", "long", default=0).set_identifier_fields(
+        "pk"
+    ).commit()
+    assert t.refresh().identifier_field_names() == ["pk"]
+    # rename + identify in one batch: the proof must hit the OLD column's
+    # stored nulls, not skip because the new name isn't in current schema
+    t2 = catalog.create_table("idf6", schema={"a": "string", "b": "int"})
+    t2.append([{"a": None, "b": 1}])
+    with pytest.raises(InvalidDataError, match="contain nulls"):
+        t2.update_schema().rename_column("a", "key").set_identifier_fields(
+            "key"
+        ).commit()
+    # adding to an EMPTY table needs no default
+    t3 = catalog.create_table("idf7", schema={"x": "int"})
+    t3.update_schema().add_column("pk", "long").set_identifier_fields("pk").commit()
+    assert t3.refresh().identifier_field_names() == ["pk"]

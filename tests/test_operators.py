@@ -187,6 +187,27 @@ def test_asof_join_tolerance(spark):
         ops.asof_join(left, right, on="ts", tolerance=-1)
 
 
+def test_asof_join_date_axis(spark):
+    """nearest/tolerance on a DATE axis (dates can't cast straight to
+    double; they hop through timestamp like NTZ)."""
+    import datetime as _dt
+
+    left = spark.createDataFrame([(1, _dt.date(2020, 1, 10))], ["id", "d"])
+    right = spark.createDataFrame(
+        [(_dt.date(2020, 1, 8), "back"), (_dt.date(2020, 1, 11), "fwd")],
+        ["d", "v"],
+    )
+    row = ops.asof_join(left, right, on="d", direction="nearest").collect()[0]
+    assert row["v"] == "fwd"  # 1 day forward beats 2 back
+    day = 86400.0
+    got = ops.asof_join(
+        left, right, on="d", direction="nearest", tolerance=day
+    ).collect()[0]
+    assert got["v"] == "fwd"  # nearest match is 1 day away, inside tolerance
+    got = ops.asof_join(left, right, on="d", tolerance=day).collect()[0]
+    assert got["v"] is None  # backward match is 2 days back > 1-day tolerance
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, b"\x00\x01\x02\x03" * 10), (2, b"\xff" * 16)], ["media_id", "payload"]

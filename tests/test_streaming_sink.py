@@ -402,3 +402,31 @@ def test_native_stream_writer_transformed_partitions(catalog, spark, tmp_path):
     assert sorted(r["v"] for r in gold.refresh().scan().filter("k = 0").to_a()) == [
         "again", "v0"
     ]
+
+
+def test_native_stream_writer_void_partition_field(catalog, spark, tmp_path):
+    """A void transform in the spec (spec-evolution placeholder) lands in
+    the default-partition directory like the batch writer — not a per-row
+    NULL-partition refusal."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("nwv_bronze", schema={"k": "int"})
+    gold = catalog.create_table(
+        "nwv_gold", schema={"k": "int"}, partition_spec=[("k", "void")]
+    )
+    bronze.append([{"k": 1}, {"k": 2}])
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert sorted(r["k"] for r in gold.refresh().to_a()) == [1, 2]
+    entries = [e for e in gold._current_entries() if "path" in e]
+    assert all("__HIVE_DEFAULT_PARTITION__" in e["path"] for e in entries)

@@ -655,3 +655,42 @@ def test_changelog_commit_granular_admission(catalog):
 
     assert sorted(map(key, got)) == sorted(map(key, want))
     assert batches >= 2
+
+
+def test_changelog_stream_survives_rename(catalog, spark):
+    """Positional delete file_paths are absolute under the WRITE-TIME
+    location; after rename_table the changelog stream must still match
+    them via base-location rebasing (the batch reader's contract)."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table(
+        "clren", schema={"k": "int", "v": "string"},
+        properties={"write.delete.mode": "merge-on-read-positional"},
+    )
+    t.append([{"k": i, "v": f"x{i}"} for i in range(4)])
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    catalog.rename_table("clren", "clren2")
+    t2 = catalog.load_table("clren2")
+    r = EngineTableStreamReader({"location": t2.ops.location, "mode": "changelog"})
+    parts = r.partitions(
+        {"snapshot_id": None}, {"snapshot_id": t2.current_snapshot().snapshot_id}
+    )
+    events = []
+    for p in parts:
+        events += list(r.read(p))
+    deletes = [(e[0], e[-3]) for e in events if e[-3] == "delete"]
+    assert deletes == [(1, "delete")], events
+
+
+def test_changelog_refuses_partial_offsets(catalog):
+    """Reusing an append-mode (file-granular) checkpoint with
+    mode=changelog must refuse, not silently drop the mid-commit pos."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("clpart", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t.append([{"k": 2}])
+    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
+    head = t.current_snapshot().snapshot_id
+    with pytest.raises(ValueError, match="partial"):
+        r.partitions({"snapshot_id": None}, {"snapshot_id": head, "pos": 1})
