@@ -1247,6 +1247,18 @@ class Catalog:
                             else None,
                         )
             elif (mm := re.match(
+                # iceberg-spark: ALTER TABLE t SET IDENTIFIER FIELDS a, b
+                r"SET\s+IDENTIFIER\s+FIELDS\s+(.+)$", action, re.IGNORECASE
+            )):
+                tbl = self.load_table(self._sql_table_ident(name))
+                cols = [c.strip() for c in mm.group(1).split(",") if c.strip()]
+                tbl.update_schema().set_identifier_fields(*cols).commit()
+            elif re.match(
+                r"DROP\s+IDENTIFIER\s+FIELDS?\s*$", action, re.IGNORECASE
+            ):
+                tbl = self.load_table(self._sql_table_ident(name))
+                tbl.update_schema().set_identifier_fields().commit()
+            elif (mm := re.match(
                 r"DROP\s+(BRANCH|TAG)\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$",
                 action, re.IGNORECASE,
             )):

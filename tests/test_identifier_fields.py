@@ -119,3 +119,20 @@ def test_identifier_same_batch_add_and_rename_proofs(catalog):
     t3 = catalog.create_table("idf7", schema={"x": "int"})
     t3.update_schema().add_column("pk", "long").set_identifier_fields("pk").commit()
     assert t3.refresh().identifier_field_names() == ["pk"]
+
+
+def test_sql_alter_set_identifier_fields(catalog):
+    """iceberg-spark DDL: ALTER TABLE t SET IDENTIFIER FIELDS a[, b] and
+    DROP IDENTIFIER FIELDS route to set_identifier_fields."""
+    t = catalog.create_table("idfsql", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}])
+    catalog.sql("ALTER TABLE idfsql SET IDENTIFIER FIELDS k")
+    assert t.refresh().identifier_field_names() == ["k"]
+    t.upsert([{"k": 1, "v": "A"}, {"k": 2, "v": "b"}])
+    assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == [
+        (1, "A"), (2, "b")
+    ]
+    catalog.sql("ALTER TABLE idfsql DROP IDENTIFIER FIELDS")
+    assert t.refresh().identifier_field_names() == []
+    with pytest.raises(InvalidDataError, match="contain nulls|no such column"):
+        catalog.sql("ALTER TABLE idfsql SET IDENTIFIER FIELDS nope")
