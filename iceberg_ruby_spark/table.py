@@ -302,10 +302,41 @@ class FsTableOps:
         self.data_dir = os.path.join(location, "data")
 
     def exists(self) -> bool:
-        return self.io.exists(os.path.join(self.metadata_dir, "version-hint.text"))
+        if self.io.exists(os.path.join(self.metadata_dir, "version-hint.text")):
+            return True
+        return self._scan_latest_version() is not None
+
+    def _scan_latest_version(self) -> Optional[int]:
+        """Highest ``v{N}.json`` under metadata/ — Iceberg
+        HadoopTableOperations' hint-recovery listing.  The hint file is a
+        last-writer-wins convenience; losing it (partial copy, crashed
+        replace, aggressive sync tool) must not brick the table, because
+        every committed version file is still there."""
+        best = None
+        try:
+            for p in self.io.list(self.metadata_dir):
+                m = re.match(r"^v(\d+)\.json$", os.path.basename(p))
+                if m:
+                    v = int(m.group(1))
+                    best = v if best is None or v > best else best
+        except (OSError, NoSuchTableError):
+            return None
+        return best
 
     def current_version(self) -> int:
-        return int(self.io.read(os.path.join(self.metadata_dir, "version-hint.text")).strip())
+        hint = os.path.join(self.metadata_dir, "version-hint.text")
+        try:
+            return int(self.io.read(hint).strip())
+        except (OSError, ValueError):
+            v = self._scan_latest_version()
+            if v is None:
+                raise NoSuchTableError(f"no table at {self.location}")
+            # heal the hint for subsequent readers (best-effort)
+            try:
+                self.io.replace(hint, str(v))
+            except OSError:
+                pass
+            return v
 
     def load(self, version: Optional[int] = None) -> TableMetadata:
         if not self.exists():

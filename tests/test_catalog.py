@@ -569,3 +569,26 @@ def test_show_create_table(catalog):
     assert "PARTITIONED BY (bucket(4, a), days(ts))" in ddl
     assert "SORTED BY (s ASC)" in ddl
     assert "TBLPROPERTIES" in ddl and "'x' = '1'" in ddl
+
+
+def test_version_hint_recovery(catalog):
+    """Losing or corrupting version-hint.text must not brick the table:
+    the reader recovers the highest committed v{N}.json (Iceberg
+    HadoopTableOperations' listing fallback) and heals the hint."""
+    import os
+
+    t = catalog.create_table("hintless", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t.append([{"k": 2}])
+    hint = os.path.join(t.ops.metadata_dir, "version-hint.text")
+    v = int(open(hint).read().strip())
+    os.remove(hint)
+    t2 = catalog.load_table("hintless")
+    assert sorted(r["k"] for r in t2.to_a()) == [1, 2]
+    assert int(open(hint).read().strip()) == v  # healed
+    # corrupt hint recovers too, and commits continue from the real head
+    with open(hint, "w") as f:
+        f.write("garbage")
+    t3 = catalog.load_table("hintless")
+    t3.append([{"k": 3}])
+    assert sorted(r["k"] for r in t3.refresh().to_a()) == [1, 2, 3]
