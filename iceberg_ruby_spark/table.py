@@ -311,11 +311,16 @@ class FsTableOps:
         HadoopTableOperations' hint-recovery listing.  The hint file is a
         last-writer-wins convenience; losing it (partial copy, crashed
         replace, aggressive sync tool) must not brick the table, because
-        every committed version file is still there."""
+        every committed version file is still there.  A ``.dropped-*``
+        tombstone means the hint was removed ON PURPOSE (drop_table
+        without purge keeps the files) — no recovery then."""
         best = None
         try:
             for p in self.io.list(self.metadata_dir):
-                m = re.match(r"^v(\d+)\.json$", os.path.basename(p))
+                base = os.path.basename(p)
+                if base.startswith(".dropped-"):
+                    return None
+                m = re.match(r"^v(\d+)\.json$", base)
                 if m:
                     v = int(m.group(1))
                     best = v if best is None or v > best else best
