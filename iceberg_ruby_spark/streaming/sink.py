@@ -160,6 +160,21 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             for f in eng_schema.fields
             if isinstance(f.field_type, _T._STATS_TYPES)
         ]
+        # string-bound truncation lengths (Iceberg
+        # write.metadata.metrics.*, default truncate(16)) — long text
+        # columns must not ship whole documents into every manifest entry
+        import re as _re
+
+        props = meta.raw.get("properties", {})
+        self._str_bound_len: dict = {}
+        for f in eng_schema.fields:
+            mode = props.get(
+                f"write.metadata.metrics.column.{f.name}",
+                props.get("write.metadata.metrics.default", "truncate(16)"),
+            )
+            m = _re.match(r"truncate\((\d+)\)$", str(mode).strip())
+            if m:
+                self._str_bound_len[f.name] = int(m.group(1))
         # identity sort-order fields: each written file is sorted like the
         # batch writer's sortWithinPartitions, so manifest bounds stay
         # tight for range predicates on the sort key.  Transformed sort
@@ -230,7 +245,15 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             mm = pc.min_max(tbl.column(c))
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is not None:
-                lower[c], upper[c] = lo, hi
+                if isinstance(lo, str) and c in self._str_bound_len:
+                    from iceberg_ruby_spark.table import Table as _T
+
+                    n = self._str_bound_len[c]
+                    lo = _T._truncate_lower(lo, n)
+                    hi = _T._truncate_upper(hi, n)
+                lower[c] = lo
+                if hi is not None:
+                    upper[c] = hi
         return {
             "path": path,
             "count": len(rows),

@@ -2126,6 +2126,54 @@ class Table:
             if isinstance(f.field_type, self._STATS_TYPES)
         ]
 
+    def _string_bound_len(self, col: str) -> Optional[int]:
+        """Truncation length for STRING column bounds — Iceberg's
+        ``write.metadata.metrics.column.X`` / ``.default`` properties
+        (default ``truncate(16)``).  A full min/max of a long text column
+        would store entire documents in every manifest entry — at 100 TB
+        that bloats metadata by orders of magnitude and every planning
+        read pays it.  ``full`` / ``none`` return None (no truncation /
+        handled by caller); truncated bounds stay VALID bounds (prefix ≤
+        value for lower; incremented prefix ≥ value for upper), so
+        pruning is merely less precise, never wrong."""
+        props = self.metadata.raw.get("properties", {})
+        mode = props.get(
+            f"write.metadata.metrics.column.{col}",
+            props.get("write.metadata.metrics.default", "truncate(16)"),
+        )
+        m = re.match(r"truncate\((\d+)\)$", str(mode).strip())
+        if m:
+            return int(m.group(1))
+        return None  # full/none/counts: caller keeps the exact value
+
+    @staticmethod
+    def _truncate_lower(v: str, n: int) -> str:
+        return v[:n]
+
+    @staticmethod
+    def _truncate_upper(v: str, n: int) -> Optional[str]:
+        """Iceberg UnicodeUtil.truncateStringMax: prefix of ``n`` chars
+        with the last incrementable code point bumped, so the result
+        still upper-bounds the original.  All-U+10FFFF prefixes can't be
+        incremented → None (no upper bound recorded)."""
+        if len(v) <= n:
+            return v
+        chars = list(v[:n])
+        for i in range(len(chars) - 1, -1, -1):
+            cp = ord(chars[i])
+            if cp < 0x10FFFF:
+                chars[i] = chr(cp + 1)
+                return "".join(chars[: i + 1])
+        return None
+
+    def _bound_pair(self, col: str, lo: Any, hi: Any) -> tuple:
+        if not isinstance(lo, str) or not isinstance(hi, str):
+            return lo, hi
+        n = self._string_bound_len(col)
+        if n is None:
+            return lo, hi
+        return self._truncate_lower(lo, n), self._truncate_upper(hi, n)
+
     @staticmethod
     def _json_stat(v: Any) -> Any:
         import datetime
@@ -2400,6 +2448,12 @@ class Table:
             path = d["__path"]
             if path.startswith("file:"):
                 path = path[len("file:"):]
+            lowers, uppers = {}, {}
+            for c in stat_cols:
+                lo, hi = self._bound_pair(c, d[f"__min_{c}"], d[f"__max_{c}"])
+                lowers[c] = self._json_stat(lo)
+                if hi is not None or d[f"__max_{c}"] is None:
+                    uppers[c] = self._json_stat(hi)
             entries.append(
                 {
                     "path": path,
@@ -2411,8 +2465,8 @@ class Table:
                     # right field names after spec evolution
                     "spec-id": self.default_spec_id,
                     "file-size-bytes": self.ops.io.size(path),
-                    "lower-bounds": {c: self._json_stat(d[f"__min_{c}"]) for c in stat_cols},
-                    "upper-bounds": {c: self._json_stat(d[f"__max_{c}"]) for c in stat_cols},
+                    "lower-bounds": lowers,
+                    "upper-bounds": uppers,
                     "null-counts": {c: int(d[f"__nc_{c}"] or 0) for c in stat_cols},
                 }
             )

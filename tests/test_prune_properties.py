@@ -169,3 +169,68 @@ def test_quoted_numeric_literal_pruning_sound(a_lo, a_len, v, op):
         return
     for a in range(a_lo, a_hi + 1):
         assert not _cmp(a, op, v), (op, v, entry, a)
+
+
+def test_string_bounds_truncation_default(catalog):
+    """write.metadata.metrics default truncate(16): long string bounds
+    store a 16-char prefix (lower) and an incremented prefix (upper) —
+    manifests never carry whole documents — and pruning stays correct."""
+    t = catalog.create_table("btrunc", schema={"k": "int", "txt": "string"})
+    long_a = "a" * 100 + "LOW"
+    long_z = "z" * 100 + "HIGH"
+    t.append([{"k": 1, "txt": long_a}, {"k": 2, "txt": long_z}])
+    entries = [x for x in t._current_entries() if "path" in x]
+    lo = min(x["lower-bounds"]["txt"] for x in entries)
+    hi = max(x["upper-bounds"]["txt"] for x in entries)
+    assert lo == "a" * 16
+    assert hi == "z" * 15 + "{"  # last char bumped: still >= every value
+    assert lo <= long_a and hi >= long_z
+    assert all(
+        len(x["lower-bounds"]["txt"]) <= 16 and len(x["upper-bounds"]["txt"]) <= 16
+        for x in entries
+    )
+    # exact-match scans still find their rows (conservative pruning)
+    assert [r["k"] for r in t.scan().filter(f"txt = '{long_z}'").to_a()] == [2]
+    # a filter provably outside the truncated range still prunes
+    assert t.scan().filter("txt < 'Z'").to_a() == []
+
+
+def test_string_bounds_metrics_properties(catalog):
+    """full mode keeps exact bounds; per-column override beats default."""
+    t = catalog.create_table(
+        "bfull",
+        schema={"a": "string", "b": "string"},
+        properties={
+            "write.metadata.metrics.default": "full",
+            "write.metadata.metrics.column.b": "truncate(4)",
+        },
+    )
+    long = "x" * 50
+    t.append([{"a": long, "b": long}])
+    e = [x for x in t._current_entries() if "path" in x][0]
+    assert e["lower-bounds"]["a"] == long  # full
+    assert e["lower-bounds"]["b"] == "xxxx"  # column override
+    assert e["upper-bounds"]["b"] == "xxxy"
+
+
+def test_string_bounds_truncation_streaming_sink(catalog, spark, tmp_path):
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    bronze = catalog.create_table("btr_bronze", schema={"txt": "string"})
+    gold = catalog.create_table("btr_gold", schema={"txt": "string"})
+    bronze.append([{"txt": "m" * 80}])
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    e = [x for x in gold.refresh()._current_entries() if "path" in x][0]
+    assert e["lower-bounds"]["txt"] == "m" * 16
+    assert e["upper-bounds"]["txt"] == "m" * 15 + "n"
