@@ -166,13 +166,17 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         import re as _re
 
         props = meta.raw.get("properties", {})
+        self._metrics_modes: dict = {}
         self._str_bound_len: dict = {}
         for f in eng_schema.fields:
-            mode = props.get(
-                f"write.metadata.metrics.column.{f.name}",
-                props.get("write.metadata.metrics.default", "truncate(16)"),
-            )
-            m = _re.match(r"truncate\((\d+)\)$", str(mode).strip())
+            mode = str(
+                props.get(
+                    f"write.metadata.metrics.column.{f.name}",
+                    props.get("write.metadata.metrics.default", "truncate(16)"),
+                )
+            ).strip()
+            self._metrics_modes[f.name] = mode
+            m = _re.match(r"truncate\((\d+)\)$", mode)
             if m:
                 self._str_bound_len[f.name] = int(m.group(1))
         # identity sort-order fields: each written file is sorted like the
@@ -241,7 +245,12 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         for c in self._stats_cols:
             if c not in tbl.column_names:
                 continue
+            mode = self._metrics_modes.get(c, "truncate(16)")
+            if mode == "none":
+                continue
             nulls[c] = int(tbl.column(c).null_count)
+            if mode == "counts":
+                continue
             mm = pc.min_max(tbl.column(c))
             lo, hi = mm["min"].as_py(), mm["max"].as_py()
             if lo is not None:

@@ -2126,25 +2126,30 @@ class Table:
             if isinstance(f.field_type, self._STATS_TYPES)
         ]
 
-    def _string_bound_len(self, col: str) -> Optional[int]:
-        """Truncation length for STRING column bounds — Iceberg's
-        ``write.metadata.metrics.column.X`` / ``.default`` properties
-        (default ``truncate(16)``).  A full min/max of a long text column
-        would store entire documents in every manifest entry — at 100 TB
-        that bloats metadata by orders of magnitude and every planning
-        read pays it.  ``full`` / ``none`` return None (no truncation /
-        handled by caller); truncated bounds stay VALID bounds (prefix ≤
-        value for lower; incremented prefix ≥ value for upper), so
-        pruning is merely less precise, never wrong."""
+    def _metrics_mode(self, col: str) -> str:
+        """Iceberg's ``write.metadata.metrics.column.X`` / ``.default``
+        metrics mode for a column: ``none`` (no stats), ``counts`` (null
+        counts only), ``truncate(N)`` (the default, N=16), ``full``."""
         props = self.metadata.raw.get("properties", {})
-        mode = props.get(
-            f"write.metadata.metrics.column.{col}",
-            props.get("write.metadata.metrics.default", "truncate(16)"),
-        )
-        m = re.match(r"truncate\((\d+)\)$", str(mode).strip())
+        return str(
+            props.get(
+                f"write.metadata.metrics.column.{col}",
+                props.get("write.metadata.metrics.default", "truncate(16)"),
+            )
+        ).strip()
+
+    def _string_bound_len(self, col: str) -> Optional[int]:
+        """Truncation length for STRING column bounds.  A full min/max of
+        a long text column would store entire documents in every manifest
+        entry — at 100 TB that bloats metadata by orders of magnitude and
+        every planning read pays it.  ``full`` returns None (exact);
+        truncated bounds stay VALID bounds (prefix ≤ value for lower;
+        incremented prefix ≥ value for upper), so pruning is merely less
+        precise, never wrong."""
+        m = re.match(r"truncate\((\d+)\)$", self._metrics_mode(col))
         if m:
             return int(m.group(1))
-        return None  # full/none/counts: caller keeps the exact value
+        return None
 
     @staticmethod
     def _truncate_lower(v: str, n: int) -> str:
@@ -2448,8 +2453,14 @@ class Table:
             path = d["__path"]
             if path.startswith("file:"):
                 path = path[len("file:"):]
-            lowers, uppers = {}, {}
+            lowers, uppers, nulls = {}, {}, {}
             for c in stat_cols:
+                mode = self._metrics_mode(c)
+                if mode == "none":
+                    continue  # no stats at all for this column
+                nulls[c] = int(d[f"__nc_{c}"] or 0)
+                if mode == "counts":
+                    continue  # null counts only, no bounds
                 lo, hi = self._bound_pair(c, d[f"__min_{c}"], d[f"__max_{c}"])
                 lowers[c] = self._json_stat(lo)
                 if hi is not None or d[f"__max_{c}"] is None:
@@ -2467,7 +2478,7 @@ class Table:
                     "file-size-bytes": self.ops.io.size(path),
                     "lower-bounds": lowers,
                     "upper-bounds": uppers,
-                    "null-counts": {c: int(d[f"__nc_{c}"] or 0) for c in stat_cols},
+                    "null-counts": nulls,
                 }
             )
         entries.sort(key=lambda e: e["path"])

@@ -234,3 +234,23 @@ def test_string_bounds_truncation_streaming_sink(catalog, spark, tmp_path):
     e = [x for x in gold.refresh()._current_entries() if "path" in x][0]
     assert e["lower-bounds"]["txt"] == "m" * 16
     assert e["upper-bounds"]["txt"] == "m" * 15 + "n"
+
+
+def test_metrics_modes_none_and_counts(catalog):
+    """none: no stats for the column; counts: null counts only (no
+    bounds) — bound-less columns are conservatively unprunable."""
+    t = catalog.create_table(
+        "bmodes",
+        schema={"a": "int", "b": "int", "c": "int"},
+        properties={
+            "write.metadata.metrics.column.a": "none",
+            "write.metadata.metrics.column.b": "counts",
+        },
+    )
+    t.append([{"a": 1, "b": None, "c": 3}])
+    e = [x for x in t._current_entries() if "path" in x][0]
+    assert "a" not in e["lower-bounds"] and "a" not in e["null-counts"]
+    assert "b" not in e["lower-bounds"] and e["null-counts"]["b"] == 1
+    assert e["lower-bounds"]["c"] == 3 and e["null-counts"]["c"] == 0
+    # stat-less columns still scan correctly (pruning keeps the file)
+    assert [r["a"] for r in t.scan().filter("a = 1").to_a()] == [1]
