@@ -633,3 +633,61 @@ def strip_html(col) -> Column:
     c = F.regexp_replace(c, r" ?\n ?", "\n")
     c = F.regexp_replace(c, r"\n{3,}", "\n\n")
     return F.regexp_replace(c, r"^\s+|\s+$", "")
+
+
+def canonicalize_url(col) -> Column:
+    """Canonical form of a URL — the key web-corpus pipelines dedupe crawl
+    records on (a page fetched as ``HTTP://Site.com/a/?utm_source=x&b=2``
+    and ``http://site.com/a?b=2`` is ONE page):
+
+    - scheme and host lowercase; default ports (``:80`` http, ``:443``
+      https) stripped;
+    - fragment dropped (never sent to the server);
+    - tracking query params dropped (``utm_*``, ``gclid``, ``fbclid``),
+      the rest SORTED (param order is not semantic);
+    - trailing path slash stripped.
+
+    Pure JVM regexp/array expressions — map-only, whole-stage codegen,
+    no UDF; at 100 TB this is a scan-side projection feeding an exact
+    groupBy-dedup on the canonical key."""
+    c = col if isinstance(col, Column) else F.col(col)
+    u = F.trim(c)
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    host = F.lower(
+        F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1)
+    )
+    # strip default ports (conditional on scheme)
+    host = F.when(
+        (scheme == "http"), F.regexp_replace(host, ":80$", "")
+    ).otherwise(host)
+    host = F.when(
+        (scheme == "https"), F.regexp_replace(host, ":443$", "")
+    ).otherwise(host)
+    path = F.regexp_extract(u, r"^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    path = F.regexp_replace(path, r"/+$", "")
+    q = F.regexp_extract(u, r"\?([^#]*)", 1)
+    params = F.filter(
+        F.split(q, "&"),
+        lambda x: (x != "") & ~x.rlike(r"^(utm_[^=]*|gclid|fbclid)="),
+    )
+    qs = F.array_join(F.array_sort(params), "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
+    )
+
+
+def dedup_by_url(
+    df: DataFrame, url_col: str, id_col: str, out_col: str = "canonical_url"
+) -> DataFrame:
+    """Exact dedup on the canonical URL: one survivor per canonical form
+    (deterministic: the minimum ``id_col``).  One hash-partition shuffle
+    on the canonical key — the crawl-dedup stage that runs before any
+    content-based near-dup pass."""
+    canon = df.withColumn(out_col, canonicalize_url(url_col))
+    w_min = F.min(id_col).alias(id_col)
+    keep = canon.groupBy(out_col).agg(w_min)
+    return canon.join(keep, [out_col, id_col], "left_semi")

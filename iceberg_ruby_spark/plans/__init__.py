@@ -55,7 +55,7 @@ _NEVER_DRIVER_CHECKED = [
     "embedding_matryoshka_topk", "embedding_binarize_pack",
     "embedding_hamming_topk", "join_salted_skew",
     "agg_salted_count_distinct", "asof_join_forward",
-    "asof_join_nearest_tolerance",
+    "asof_join_nearest_tolerance", "text_url_canonicalize_dedup",
 ]
 
 # r5-checked cohort — fills the remaining budget in this priority order:

@@ -1718,6 +1718,107 @@ def embedding_ann_pq(spark, sf_dir):
     return pq_topk(emb, q, k=10, m=8, n_codes=512, refine=4)
 
 
+_URL_BUILD_SQL = """
+      CASE CAST(doc_id % 4 AS INTEGER)
+        WHEN 0 THEN 'HTTP://' || upper(source) || '.COM:80/Page/' ||
+                    CAST(doc_id // 4 AS VARCHAR) ||
+                    '/?utm_source=x&b=2&a=1#frag'
+        WHEN 1 THEN 'http://' || lower(source) || '.com/Page/' ||
+                    CAST(doc_id // 4 AS VARCHAR) || '?a=1&b=2'
+        WHEN 2 THEN 'HTTPS://' || upper(source) || '.COM:443/img/' ||
+                    CAST(doc_id // 4 AS VARCHAR) || '?gclid=zz#x'
+        ELSE 'https://' || lower(source) || '.com/img/' ||
+             CAST(doc_id // 4 AS VARCHAR)
+      END
+"""
+
+
+@query(
+    "text_url_canonicalize_dedup",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, {_URL_BUILD_SQL} AS u FROM documents),
+    parts AS (
+      SELECT doc_id, u,
+        lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS host0,
+        regexp_replace(
+          regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+          '/+$', ''
+        ) AS path,
+        regexp_extract(u, '\\?([^#]*)', 1) AS q
+      FROM w
+    ),
+    canon AS (
+      SELECT doc_id,
+        scheme || '://' ||
+        CASE WHEN scheme = 'http' THEN regexp_replace(host0, ':80$', '')
+             WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+             ELSE host0 END ||
+        path ||
+        CASE WHEN qs <> '' THEN '?' || qs ELSE '' END AS canonical_url
+      FROM parts,
+      LATERAL (
+        SELECT array_to_string(
+          list_sort(
+            list_filter(
+              string_split(q, '&'),
+              x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|gclid|fbclid)=')
+            )
+          ), '&'
+        ) AS qs
+      )
+    )
+    SELECT canonical_url, MIN(doc_id) AS doc_id
+    FROM canon GROUP BY canonical_url
+    """,
+)
+def text_url_canonicalize_dedup(spark, sf_dir):
+    """Crawl-record URL dedup (operators/text.py ``canonicalize_url`` /
+    ``dedup_by_url``): four deterministic URL spellings per page — case
+    games, default ports, tracking params, param order, fragments,
+    trailing slashes — collapse to one canonical survivor (min doc_id).
+    The DuckDB twin rebuilds the same URLs and runs the identical
+    RE2-compatible canonicalization, so the whole normalization is
+    hash-checked.  Canonicalization is map-only JVM regexp/array work;
+    the dedup is ONE hash shuffle on the canonical key."""
+    from iceberg_ruby_spark.operators.text import dedup_by_url
+
+    d = load(spark, sf_dir, "documents")
+    k = F.floor(F.col("doc_id") / 4).cast("string")
+    variant = (F.col("doc_id") % 4).cast("int")
+    url = (
+        F.when(
+            variant == 0,
+            F.concat(
+                F.lit("HTTP://"), F.upper("source"), F.lit(".COM:80/Page/"),
+                k, F.lit("/?utm_source=x&b=2&a=1#frag"),
+            ),
+        )
+        .when(
+            variant == 1,
+            F.concat(
+                F.lit("http://"), F.lower("source"), F.lit(".com/Page/"),
+                k, F.lit("?a=1&b=2"),
+            ),
+        )
+        .when(
+            variant == 2,
+            F.concat(
+                F.lit("HTTPS://"), F.upper("source"), F.lit(".COM:443/img/"),
+                k, F.lit("?gclid=zz#x"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://"), F.lower("source"), F.lit(".com/img/"), k
+            )
+        )
+    )
+    with_url = d.select("doc_id", url.alias("u"))
+    out = dedup_by_url(with_url, "u", "doc_id")
+    return out.select("canonical_url", "doc_id")
+
+
 @query(
     "text_strip_html",
     oracle="""

@@ -55,3 +55,21 @@ def test_strip_html_leaves_no_tags(spark, texts):
         assert not re.search(r"<[^>]+>", x)
         assert not re.search(r"[ \t]{2,}", x)
         assert x == x.strip()
+
+
+def test_canonicalize_url_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.text import canonicalize_url
+
+    cases = [
+        ("HTTP://Ex.COM:80/A/?utm_source=x&b=2&a=1#f", "http://ex.com/A?a=1&b=2"),
+        ("http://ex.com/A?a=1&b=2", "http://ex.com/A?a=1&b=2"),
+        ("HTTPS://EX.com:443/p/", "https://ex.com/p"),
+        ("https://ex.com:8443/p", "https://ex.com:8443/p"),  # non-default port kept
+        ("https://ex.com/?gclid=1&fbclid=2", "https://ex.com"),
+        ("http://ex.com:80", "http://ex.com"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
+    got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
+    assert got == [want for _, want in cases]
