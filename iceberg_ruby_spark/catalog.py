@@ -523,9 +523,14 @@ class Catalog:
             raise NoSuchNamespaceError(f"namespace does not exist: {'.'.join(parts)}")
         root = self._ns_dir(parts)
         out = []
+        from iceberg_ruby_spark.table import FsTableOps
+
         for d in self.io.list_children(root):
             candidate = os.path.join(root, d)
-            if self.io.exists(os.path.join(candidate, "metadata", "version-hint.text")) or (
+            # FsTableOps.exists covers the hint file AND hint-lost tables
+            # recoverable from committed v{N}.json files (tombstones stay
+            # authoritative) — a loadable table must also be listable
+            if FsTableOps(candidate, io=self.io).exists() or (
                 self.io.exists(os.path.join(candidate, _POINTER_FILE))
                 and self.table_exists([*parts, d])
             ):
@@ -545,15 +550,22 @@ class Catalog:
             self.io.delete_prefix(warehouse_loc)
             return
         # drop from catalog without purging data (reference semantics:
-        # drop_table leaves files; purge_table deletes them)
+        # drop_table leaves files; purge_table deletes them).  The
+        # tombstone records the version via current_version() so a
+        # hint-lost-but-recoverable table (FsTableOps hint recovery)
+        # drops cleanly too.
+        from iceberg_ruby_spark.table import FsTableOps
+
         meta_dir = os.path.join(loc, "metadata")
         hint = os.path.join(meta_dir, "version-hint.text")
+        version = FsTableOps(loc, io=self.io).current_version()
         self.io.write_atomic(
             os.path.join(meta_dir, f".dropped-{uuid_mod.uuid4().hex}"),
-            self.io.read(hint),
+            str(version),
             overwrite=True,
         )
-        self.io.delete(hint)
+        if self.io.exists(hint):
+            self.io.delete(hint)
 
     def purge_table(self, ident: Ident) -> None:
         parts, loc = self._table_location(ident)

@@ -671,23 +671,34 @@ def canonicalize_url(col) -> Column:
         lambda x: (x != "") & ~x.rlike(r"^(utm_[^=]*|gclid|fbclid)="),
     )
     qs = F.array_join(F.array_sort(params), "&")
-    return F.concat(
+    built = F.concat(
         scheme,
         F.lit("://"),
         host,
         path,
         F.when(qs != "", F.concat(F.lit("?"), qs)).otherwise(F.lit("")),
     )
+    # scheme-less / malformed inputs (protocol-relative, bare hosts,
+    # relative paths) would all degenerate to "://…" and falsely merge —
+    # pass them through verbatim instead (no canonicalization, no loss)
+    return F.when(u.rlike(r"^[A-Za-z][A-Za-z0-9+.-]*://"), built).otherwise(u)
 
 
 def dedup_by_url(
     df: DataFrame, url_col: str, id_col: str, out_col: str = "canonical_url"
 ) -> DataFrame:
     """Exact dedup on the canonical URL: one survivor per canonical form
-    (deterministic: the minimum ``id_col``).  One hash-partition shuffle
-    on the canonical key — the crawl-dedup stage that runs before any
-    content-based near-dup pass."""
+    (deterministic: the minimum ``id_col``).  ONE hash shuffle on the
+    canonical key (window top-1 — the canonicalization projection runs
+    once, never on both sides of a self-join) — the crawl-dedup stage
+    that runs before any content-based near-dup pass.  NULL URLs have no
+    key to dedup on and are kept verbatim."""
+    from pyspark.sql import Window
+
     canon = df.withColumn(out_col, canonicalize_url(url_col))
-    w_min = F.min(id_col).alias(id_col)
-    keep = canon.groupBy(out_col).agg(w_min)
-    return canon.join(keep, [out_col, id_col], "left_semi")
+    w = Window.partitionBy(out_col).orderBy(F.col(id_col).asc_nulls_last())
+    return (
+        canon.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") == 1) | F.col(out_col).isNull())
+        .drop("__rn")
+    )

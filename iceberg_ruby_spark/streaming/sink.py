@@ -162,23 +162,19 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         ]
         # string-bound truncation lengths (Iceberg
         # write.metadata.metrics.*, default truncate(16)) — long text
-        # columns must not ship whole documents into every manifest entry
-        import re as _re
+        # columns must not ship whole documents into every manifest entry;
+        # ONE parser shared with the batch stat collector
+        from iceberg_ruby_spark.table import metrics_mode, metrics_truncate_len
 
         props = meta.raw.get("properties", {})
         self._metrics_modes: dict = {}
         self._str_bound_len: dict = {}
         for f in eng_schema.fields:
-            mode = str(
-                props.get(
-                    f"write.metadata.metrics.column.{f.name}",
-                    props.get("write.metadata.metrics.default", "truncate(16)"),
-                )
-            ).strip()
+            mode = metrics_mode(props, f.name)
             self._metrics_modes[f.name] = mode
-            m = _re.match(r"truncate\((\d+)\)$", mode)
-            if m:
-                self._str_bound_len[f.name] = int(m.group(1))
+            n = metrics_truncate_len(mode)
+            if n is not None:
+                self._str_bound_len[f.name] = n
         # identity sort-order fields: each written file is sorted like the
         # batch writer's sortWithinPartitions, so manifest bounds stay
         # tight for range predicates on the sort key.  Transformed sort

@@ -656,6 +656,22 @@ def _as_epoch_ms(v: Any) -> int:
     raise InvalidDataError(f"not a timestamp: {v!r}")
 
 
+def metrics_mode(props: dict, col: str) -> str:
+    """Iceberg ``write.metadata.metrics.column.X`` / ``.default`` lookup —
+    ONE parser for the batch stat collector and the streaming sink."""
+    return str(
+        props.get(
+            f"write.metadata.metrics.column.{col}",
+            props.get("write.metadata.metrics.default", "truncate(16)"),
+        )
+    ).strip()
+
+
+def metrics_truncate_len(mode: str) -> Optional[int]:
+    m = re.match(r"truncate\((\d+)\)$", mode)
+    return int(m.group(1)) if m else None
+
+
 def _now_ms() -> int:
     return int(time.time() * 1000)
 
@@ -2130,13 +2146,7 @@ class Table:
         """Iceberg's ``write.metadata.metrics.column.X`` / ``.default``
         metrics mode for a column: ``none`` (no stats), ``counts`` (null
         counts only), ``truncate(N)`` (the default, N=16), ``full``."""
-        props = self.metadata.raw.get("properties", {})
-        return str(
-            props.get(
-                f"write.metadata.metrics.column.{col}",
-                props.get("write.metadata.metrics.default", "truncate(16)"),
-            )
-        ).strip()
+        return metrics_mode(self.metadata.raw.get("properties", {}), col)
 
     def _string_bound_len(self, col: str) -> Optional[int]:
         """Truncation length for STRING column bounds.  A full min/max of
@@ -2146,10 +2156,7 @@ class Table:
         truncated bounds stay VALID bounds (prefix ≤ value for lower;
         incremented prefix ≥ value for upper), so pruning is merely less
         precise, never wrong."""
-        m = re.match(r"truncate\((\d+)\)$", self._metrics_mode(col))
-        if m:
-            return int(m.group(1))
-        return None
+        return metrics_truncate_len(self._metrics_mode(col))
 
     @staticmethod
     def _truncate_lower(v: str, n: int) -> str:
@@ -2166,9 +2173,17 @@ class Table:
         chars = list(v[:n])
         for i in range(len(chars) - 1, -1, -1):
             cp = ord(chars[i])
-            if cp < 0x10FFFF:
-                chars[i] = chr(cp + 1)
-                return "".join(chars[: i + 1])
+            if cp >= 0x10FFFF:
+                continue
+            nxt = cp + 1
+            if 0xD800 <= nxt <= 0xDFFF:
+                # never bump into the surrogate range: a lone surrogate
+                # is unencodable (Avro manifest export UTF-8-encodes
+                # bounds); jump past it (0xE000 > every surrogate, so
+                # the result still upper-bounds the original)
+                nxt = 0xE000
+            chars[i] = chr(nxt)
+            return "".join(chars[: i + 1])
         return None
 
     def _bound_pair(self, col: str, lo: Any, hi: Any) -> tuple:
@@ -2432,16 +2447,40 @@ class Table:
 
     def _file_stat_entries(self, written: DataFrame) -> list[dict[str, Any]]:
         stat_cols = [c for c in self._stats_columns() if c in written.columns]
+        modes = {c: self._metrics_mode(c) for c in stat_cols}
+        str_cols = {
+            f.name
+            for f in self.current_schema().fields
+            if isinstance(f.field_type, ice_t.StringType)
+        }
+        # prefix-aggregated string columns: min/max run over the N-char
+        # SUBSTRING so whole documents never cross to the driver (prefix
+        # min ≤ every value; the bumped prefix max ≥ every value — the
+        # bound validity argument is per-value, so it survives the agg)
+        prefix_len = {
+            c: n
+            for c in stat_cols
+            if c in str_cols and (n := metrics_truncate_len(modes[c])) is not None
+        }
         aggs = [F.count(F.lit(1)).alias("__rc")]
         for c in stat_cols:
-            aggs.append(F.min(c).alias(f"__min_{c}"))
-            aggs.append(F.max(c).alias(f"__max_{c}"))
+            if modes[c] == "none":
+                continue  # no stats at all for this column
             # per-file null counts (spec null_value_counts, field 110):
             # IS NULL prunes files with zero nulls, IS NOT NULL prunes
             # all-null files — bounds can't see either
             aggs.append(
                 F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nc_{c}")
             )
+            if modes[c] == "counts":
+                continue  # null counts only, no bounds
+            expr = (
+                F.substring(F.col(c), 1, prefix_len[c])
+                if c in prefix_len
+                else F.col(c)
+            )
+            aggs.append(F.min(expr).alias(f"__min_{c}"))
+            aggs.append(F.max(expr).alias(f"__max_{c}"))
         rows = (
             written.groupBy(F.col("_metadata.file_path").alias("__path"))
             .agg(*aggs)
@@ -2455,13 +2494,23 @@ class Table:
                 path = path[len("file:"):]
             lowers, uppers, nulls = {}, {}, {}
             for c in stat_cols:
-                mode = self._metrics_mode(c)
+                mode = modes[c]
                 if mode == "none":
-                    continue  # no stats at all for this column
+                    continue
                 nulls[c] = int(d[f"__nc_{c}"] or 0)
                 if mode == "counts":
-                    continue  # null counts only, no bounds
-                lo, hi = self._bound_pair(c, d[f"__min_{c}"], d[f"__max_{c}"])
+                    continue
+                lo, hi = d[f"__min_{c}"], d[f"__max_{c}"]
+                if c in prefix_len and isinstance(hi, str):
+                    n = prefix_len[c]
+                    if len(hi) >= n:
+                        # an n-char prefix may have been truncated from a
+                        # longer value — force the bump (padding past n
+                        # routes _truncate_upper into its increment path;
+                        # bumping an exact-length value is merely looser)
+                        hi = self._truncate_upper(hi + "\x00", n)
+                else:
+                    lo, hi = self._bound_pair(c, lo, hi)
                 lowers[c] = self._json_stat(lo)
                 if hi is not None or d[f"__max_{c}"] is None:
                     uppers[c] = self._json_stat(hi)
@@ -5355,6 +5404,12 @@ def _normalize_bounds_literal(lo: Any, hi: Any, val: Any):
     # (SQL compares an int column to '9' numerically — so must pruning).
     # Decimal keeps >2^53 integers exact where float would misprune.
     if any(isinstance(x, (int, float)) for x in sides):
+        if isinstance(lo, str) or isinstance(hi, str):
+            # STRING-typed bounds are LEXICOGRAPHIC extrema ("10" < "9"),
+            # and may be prefix-truncated besides — numeric comparison
+            # against them is unsound in both directions; keep the file
+            # and let Spark's cast do the comparison
+            return None
         try:
             return tuple(Decimal(str(x).strip()) for x in sides)
         except (InvalidOperation, ValueError, TypeError):

@@ -592,3 +592,16 @@ def test_version_hint_recovery(catalog):
     t3 = catalog.load_table("hintless")
     t3.append([{"k": 3}])
     assert sorted(r["k"] for r in t3.refresh().to_a()) == [1, 2, 3]
+
+
+def test_hint_recovery_list_and_drop(catalog):
+    """A hint-lost table stays listable and droppable, not just loadable."""
+    import os
+
+    t = catalog.create_table("hintless2", schema={"k": "int"})
+    t.append([{"k": 1}])
+    os.remove(os.path.join(t.ops.metadata_dir, "version-hint.text"))
+    assert ["hintless2"] in [i[-1:] for i in catalog.list_tables()]
+    catalog.drop_table("hintless2")
+    assert not catalog.table_exists("hintless2")
+    assert ["hintless2"] not in [i[-1:] for i in catalog.list_tables()]

@@ -254,3 +254,24 @@ def test_metrics_modes_none_and_counts(catalog):
     assert e["lower-bounds"]["c"] == 3 and e["null-counts"]["c"] == 0
     # stat-less columns still scan correctly (pruning keeps the file)
     assert [r["a"] for r in t.scan().filter("a = 1").to_a()] == [1]
+
+
+def test_numeric_literal_never_prunes_on_string_bounds(catalog):
+    """String bounds are lexicographic extrema ("10" < "9"); numeric
+    coercion against them falsely pruned matching rows — the pruner now
+    keeps the file and lets Spark's cast decide."""
+    t = catalog.create_table("slex", schema={"txt": "string"})
+    t.append([{"txt": "9"}, {"txt": "10"}])
+    # lex bounds are lo="10", hi="9": a numeric-coerced check would call
+    # 9 outside [10, 9] and prune the only file
+    assert [r["txt"] for r in t.scan().filter("txt = 9").to_a()] == ["9"]
+
+
+def test_truncate_upper_skips_surrogates():
+    from iceberg_ruby_spark.table import Table
+
+    v = "ab" + chr(0xD7FF) + "tail-beyond"
+    hi = Table._truncate_upper(v, 3)
+    assert hi == "ab" + chr(0xE000)  # never a lone surrogate
+    hi.encode("utf-8")  # must stay encodable (Avro manifest export)
+    assert hi >= v

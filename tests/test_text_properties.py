@@ -73,3 +73,24 @@ def test_canonicalize_url_semantics(spark):
     df = spark.createDataFrame([(u,) for u, _ in cases], ["u"])
     got = [r["c"] for r in df.select(canonicalize_url("u").alias("c")).collect()]
     assert got == [want for _, want in cases]
+
+
+def test_canonicalize_url_malformed_and_null(spark):
+    """Scheme-less inputs pass through verbatim (no false merging);
+    NULL URLs survive dedup_by_url unharmed."""
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.text import canonicalize_url, dedup_by_url
+
+    df = spark.createDataFrame(
+        [(1, "example.com/p1"), (2, "other.org/p2"), (3, None),
+         (4, "//proto.rel/x"), (5, "http://a.com/x"), (6, "HTTP://A.com/x/")],
+        ["id", "u"],
+    )
+    canon = {r["id"]: r["c"] for r in df.select("id", canonicalize_url("u").alias("c")).collect()}
+    assert canon[1] == "example.com/p1" and canon[2] == "other.org/p2"
+    assert canon[4] == "//proto.rel/x" and canon[3] is None
+    out = dedup_by_url(df, "u", "id")
+    kept = sorted(r["id"] for r in out.collect())
+    # 5 and 6 merge (canonical http://a.com/x, min id 5); all others kept
+    assert kept == [1, 2, 3, 4, 5]
