@@ -1626,8 +1626,14 @@ def embedding_matryoshka_topk(spark, sf_dir):
     oracle="""
     SELECT vec_id,
            CAST((i - 1) // 32 AS INTEGER) AS pack,
-           SUM(CASE WHEN embedding[i] > 0
-                    THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END) AS packed
+           -- CAST: bare SUM over BIGINT is HUGEINT in DuckDB, which crosses
+           -- Arrow as decimal128(38,0) and hash-diverges from Spark's BIGINT
+           -- on the driver (CORRECTNESS_r08's only red row) even though every
+           -- value is identical.  Keep every oracle's Arrow schema
+           -- decimal-free unless the Spark side is decimal too.
+           CAST(SUM(CASE WHEN embedding[i] > 0
+                    THEN (1::BIGINT << ((i - 1) % 32)) ELSE 0 END) AS BIGINT)
+               AS packed
     FROM embeddings, UNNEST(generate_series(1, len(embedding))) AS g(i)
     GROUP BY vec_id, (i - 1) // 32
     """,

@@ -5,6 +5,17 @@ Runs every ``queries()`` entry at the given scale factor, runs its
 row count, column names, and an order-insensitive value hash (values
 stringified per cell; floats via repr of round(x, 9); rows sorted).
 
+Oracle results are fetched VIA ARROW (``cur.arrow().to_pylist()``), not
+``fetchall()``: the driver hashes the Arrow representation, and the two
+diverge exactly where DuckDB widens types across the Arrow boundary —
+r8's ``embedding_binarize_pack`` red row was a bare ``SUM(BIGINT)``
+returning HUGEINT, which ``fetchall()`` hands back as a plain int (mirror
+green) while Arrow renders decimal128(38,0) (driver red).  The mirror must
+reproduce the driver's failure mode, so it hashes what Arrow hands over
+and additionally FAILS any oracle whose Arrow schema contains a decimal
+column where the Spark side isn't decimal — the typing bug is then caught
+by name instead of surfacing as an opaque hash mismatch.
+
 Usage: python scripts/check_correctness.py [sf_dir] [query ...]
 """
 
@@ -58,6 +69,7 @@ def main() -> None:
     only = set(sys.argv[2:])
 
     import duckdb
+    from pyarrow import types as pa_types
 
     import __spark_entry__ as entrymod
     from iceberg_ruby_spark.session import get_spark
@@ -92,15 +104,34 @@ def main() -> None:
             n_rows_only += 1
             continue
         try:
-            cur = con.execute(oracles[name])
-            oracle_cols = [d[0] for d in cur.description]
-            oracle_rows = cur.fetchall()
+            # Arrow path on purpose — see module docstring.  fetchall()
+            # masks DuckDB→Arrow type widening the driver's hasher sees.
+            tbl = con.execute(oracles[name]).arrow()
+            oracle_cols = tbl.column_names
+            oracle_rows = [
+                [rec[c] for c in oracle_cols] for rec in tbl.to_pylist()
+            ]
         except Exception as exc:
             print(f"FAIL {name}: oracle error: {exc}")
             n_fail += 1
             failures.append(name)
             continue
         problems = []
+        spark_decimal_cols = {
+            f.name for f in df.schema.fields
+            if f.dataType.typeName().startswith("decimal")
+        }
+        bad_decimal = [
+            fld.name for fld in tbl.schema
+            if pa_types.is_decimal(fld.type)
+            and fld.name not in spark_decimal_cols
+        ]
+        if bad_decimal:
+            problems.append(
+                f"oracle Arrow schema has decimal column(s) {bad_decimal} "
+                f"where Spark is not decimal — add an explicit CAST in the "
+                f"oracle (driver hash-red class, see r8 binarize)"
+            )
         if len(spark_rows) != len(oracle_rows):
             problems.append(f"rows {len(spark_rows)} vs {len(oracle_rows)}")
         if sorted(spark_cols) != sorted(oracle_cols):
