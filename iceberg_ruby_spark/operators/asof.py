@@ -6,9 +6,14 @@ Implementation is the single-shuffle union+window plan, not a join:
 
 1. tag left (probe) and right (reference) rows, union them;
 2. one window partitioned by the ``by`` keys ordered by (time, tag) with
-   ``last(value, ignorenulls=True)`` carrying the most recent right-side
-   values forward (and, for forward/nearest, a mirror window ordered
-   descending carrying the next right-side values backward);
+   ``last(row_struct, ignorenulls=True)`` carrying the most recent right
+   ROW forward (and, for forward/nearest, a mirror window ordered
+   descending carrying the next right row backward) — the right row's
+   columns are packed into ONE struct so the match attaches wholesale,
+   NULLs included, exactly like pandas ``merge_asof`` / DuckDB ASOF; a
+   per-column fill would stitch a NULL field from an OLDER right row
+   onto the nearest row's timestamp (a row no single right record
+   contains — VERDICT r8 finding #2);
 3. keep the left rows; ``nearest`` picks per row whichever matched
    timestamp is closer (tie → backward, deterministically).
 
@@ -63,22 +68,26 @@ def asof_join(
     out_names = {
         c: (c + suffix if c in left.columns else c) for c in right_cols
     }
-    # the matched right timestamp rides along: nearest arbitrates on it,
-    # tolerance masks on it
-    fill_cols = list(right_cols) + ["__on"]
+    # the whole right row packs into ONE struct: the matched timestamp
+    # (field __on) rides along for nearest-arbitration and tolerance
+    # masking, and the struct is non-null iff a right row matched — so a
+    # matched row's NULL fields attach as NULLs instead of back-filling
+    # from an older row
+    row_struct = F.struct(
+        *[F.col(c) for c in right_cols], F.col(on).alias("__on")
+    )
+    struct_type = right.select(row_struct.alias("__r")).schema["__r"].dataType
 
     l_tag = left.select(
         *[F.col(c) for c in left.columns],
         F.lit(1).alias("__is_left"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
-        F.lit(None).cast(right.schema[on].dataType).alias("__r___on"),
+        F.lit(None).cast(struct_type).alias("__r"),
     )
     r_tag = right.select(
         *[F.col(c) for c in by],
         F.col(on),
         F.lit(0).alias("__is_left"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
-        F.col(on).alias("__r___on"),
+        row_struct.alias("__r"),
     )
     for c in left.columns:
         if c not in r_tag.columns:
@@ -103,15 +112,14 @@ def asof_join(
     filled = unioned
     want_back = direction in ("backward", "nearest")
     want_fwd = direction in ("forward", "nearest")
-    for c in fill_cols:
-        if want_back:
-            filled = filled.withColumn(
-                f"__b_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_back)
-            )
-        if want_fwd:
-            filled = filled.withColumn(
-                f"__f_{c}", F.last(F.col(f"__r_{c}"), ignorenulls=True).over(w_fwd)
-            )
+    if want_back:
+        filled = filled.withColumn(
+            "__b", F.last(F.col("__r"), ignorenulls=True).over(w_back)
+        )
+    if want_fwd:
+        filled = filled.withColumn(
+            "__f", F.last(F.col("__r"), ignorenulls=True).over(w_fwd)
+        )
     out = filled.filter(F.col("__is_left") == 1)
 
     # timestamps (incl. NTZ, which Spark won't cast straight to double)
@@ -125,30 +133,35 @@ def asof_join(
             return col.cast("timestamp_ltz").cast("double")
         return col.cast("double")
 
+    # arbitration and masking act on the STRUCT, so the matched row stays
+    # atomic: either the whole nearest/in-tolerance row attaches, or NULL
     if direction == "nearest":
-        back_d = _secs(F.col(on)) - _secs(F.col("__b___on"))
-        fwd_d = _secs(F.col("__f___on")) - _secs(F.col(on))
-        use_back = F.col("__f___on").isNull() | (
-            F.col("__b___on").isNotNull() & (back_d <= fwd_d)
+        b_on = F.col("__b").getField("__on")
+        f_on = F.col("__f").getField("__on")
+        back_d = _secs(F.col(on)) - _secs(b_on)
+        fwd_d = _secs(f_on) - _secs(F.col(on))
+        use_back = F.col("__f").isNull() | (
+            F.col("__b").isNotNull() & (back_d <= fwd_d)
         )
-        picked = {
-            c: F.when(use_back, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}"))
-            for c in fill_cols
-        }
+        picked = F.when(use_back, F.col("__b")).otherwise(F.col("__f"))
     elif direction == "backward":
-        picked = {c: F.col(f"__b_{c}") for c in fill_cols}
+        picked = F.col("__b")
     else:
-        picked = {c: F.col(f"__f_{c}") for c in fill_cols}
+        picked = F.col("__f")
 
     if tolerance is not None:
-        in_tol = (
-            picked["__on"].isNotNull()
-            & (F.abs(_secs(F.col(on)) - _secs(picked["__on"])) <= F.lit(float(tolerance)))
+        in_tol = picked.isNotNull() & (
+            F.abs(_secs(F.col(on)) - _secs(picked.getField("__on")))
+            <= F.lit(float(tolerance))
         )
-        picked = {
-            c: F.when(in_tol, picked[c]) for c in fill_cols
-        }
+        picked = F.when(in_tol, picked)
     return out.select(
         *[F.col(c) for c in left.columns],
-        *[picked[c].alias(out_names[c]) for c in right_cols],
+        picked.alias("__m"),
+    ).select(
+        *[F.col(c) for c in left.columns],
+        *[
+            F.col("__m").getField(c).alias(out_names[c])
+            for c in right_cols
+        ],
     )

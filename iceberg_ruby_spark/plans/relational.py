@@ -1193,16 +1193,23 @@ def asof_join_events(spark, sf_dir):
 @query(
     "asof_join_forward",
     oracle="""
-    SELECT p.event_id, p.user_id, p.ts, p.value, v.value AS next_view_value
+    SELECT p.event_id, p.user_id, p.ts, p.value,
+           v.value AS next_view_value, v.ts AS next_view_ts
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+    ASOF LEFT JOIN (SELECT * REPLACE (
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                      AS value)
+                    FROM events WHERE event_type = 'view') v
       ON p.user_id = v.user_id AND v.ts >= p.ts
     """,
 )
 def asof_join_forward(spark, sf_dir):
     """Forward as-of join (operators/asof.py direction='forward'): each
     purchase gets the EARLIEST following view per user — the mirror
-    window of the backward plan, same single shuffle."""
+    window of the backward plan, same single shuffle.  Every 7th view's
+    value is nulled on BOTH sides and the matched ts rides along, so the
+    oracle distinguishes wholesale-row attach (pandas/DuckDB ASOF) from
+    per-column NULL back-fill — the VERDICT r8 #2 wrong-answer class."""
     from iceberg_ruby_spark.operators.asof import asof_join
 
     e = load(spark, sf_dir, "events")
@@ -1210,7 +1217,12 @@ def asof_join_forward(spark, sf_dir):
         "event_id", "user_id", "ts", "value"
     )
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("next_view_value")
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("next_view_value"),
+        F.col("ts").alias("next_view_ts"),
     )
     return asof_join(purchases, views, on="ts", by=["user_id"], direction="forward")
 
@@ -1219,7 +1231,10 @@ def asof_join_forward(spark, sf_dir):
     "asof_join_nearest_tolerance",
     oracle="""
     WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
-         v AS (SELECT * FROM events WHERE event_type = 'view'),
+         v AS (SELECT * REPLACE (
+                 CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END
+                 AS value)
+               FROM events WHERE event_type = 'view'),
          b AS (
            SELECT p.event_id, v.ts AS mts, v.value AS mval
            FROM p ASOF LEFT JOIN v
@@ -1233,7 +1248,10 @@ def asof_join_forward(spark, sf_dir):
     SELECT p.event_id, p.user_id, p.ts, p.value,
            CASE WHEN pk.mts IS NOT NULL
                      AND abs(epoch(p.ts) - epoch(pk.mts)) <= 600
-                THEN pk.mval END AS near_view_value
+                THEN pk.mval END AS near_view_value,
+           CASE WHEN pk.mts IS NOT NULL
+                     AND abs(epoch(p.ts) - epoch(pk.mts)) <= 600
+                THEN pk.mts END AS near_view_ts
     FROM p
     LEFT JOIN b ON b.event_id = p.event_id
     LEFT JOIN f ON f.event_id = p.event_id
@@ -1256,7 +1274,10 @@ def asof_join_nearest_tolerance(spark, sf_dir):
     direction='nearest', the pandas merge_asof surface): per purchase the
     closer of the preceding/following view (tie → backward), nulled when
     further than the tolerance.  Both directions fill inside ONE shuffle
-    (two in-partition sorts over the same hash partitioning)."""
+    (two in-partition sorts over the same hash partitioning).  Every 7th
+    view's value is nulled on BOTH sides and the masked match-ts rides
+    along: a NULL-valued view inside tolerance must attach (NULL value,
+    non-NULL ts) — wholesale-row semantics, not per-column back-fill."""
     from iceberg_ruby_spark.operators.asof import asof_join
 
     e = load(spark, sf_dir, "events")
@@ -1264,7 +1285,12 @@ def asof_join_nearest_tolerance(spark, sf_dir):
         "event_id", "user_id", "ts", "value"
     )
     views = e.filter(F.col("event_type") == "view").select(
-        "user_id", "ts", F.col("value").alias("near_view_value")
+        "user_id",
+        "ts",
+        F.when(F.col("event_id") % 7 == 0, F.lit(None))
+        .otherwise(F.col("value"))
+        .alias("near_view_value"),
+        F.col("ts").alias("near_view_ts"),
     )
     return asof_join(
         purchases, views, on="ts", by=["user_id"],

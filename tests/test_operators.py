@@ -208,6 +208,63 @@ def test_asof_join_date_axis(spark):
     assert got["v"] is None  # backward match is 2 days back > 1-day tolerance
 
 
+def test_asof_join_attaches_matched_row_wholesale(spark):
+    """A NULL field in the MATCHED right row must attach as NULL — never
+    back-fill from an older/newer right row (pandas merge_asof / DuckDB
+    ASOF attach the row wholesale).  VERDICT r8 finding #2: the old
+    per-column ignorenulls fill stitched rows no single right record
+    contains."""
+    from pyspark.sql.types import (
+        DoubleType, LongType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("ts", LongType()),
+        StructField("bid", DoubleType()),
+        StructField("venue", StringType()),
+    ])
+    # nearest-to-everything row ts=10 has bid=NULL; older ts=2 and newer
+    # ts=20 both carry non-NULL bids the buggy fill would leak in
+    right = spark.createDataFrame(
+        [(2, 99.0, "old"), (10, None, "mid"), (20, 101.0, "new")], schema
+    )
+    left = spark.createDataFrame([(1, 11), (2, 19)], ["id", "ts"])
+
+    for direction, expect in [
+        # id=1 ts=11: backward match = ts=10 row; id=2 ts=19: same
+        ("backward", {1: (None, "mid"), 2: (None, "mid")}),
+        # forward match = ts=20 row for both
+        ("forward", {1: (101.0, "new"), 2: (101.0, "new")}),
+        # id=1: back d=1 < fwd d=9 -> ts=10 row; id=2: fwd d=1 < back d=9
+        ("nearest", {1: (None, "mid"), 2: (101.0, "new")}),
+    ]:
+        got = {
+            r["id"]: (r["bid"], r["venue"])
+            for r in ops.asof_join(
+                left, right, on="ts", direction=direction
+            ).collect()
+        }
+        assert got == expect, f"direction={direction}: {got}"
+
+    # strict at an exact-timestamp probe: ts=10 left row must skip the
+    # ts=10 right row and take ts=2 wholesale (bid present, venue 'old')
+    exact = spark.createDataFrame([(1, 10)], ["id", "ts"])
+    row = ops.asof_join(exact, right, on="ts", strict=True).collect()[0]
+    assert (row["bid"], row["venue"]) == (99.0, "old")
+    row = ops.asof_join(exact, right, on="ts", strict=False).collect()[0]
+    assert (row["bid"], row["venue"]) == (None, "mid")
+
+    # tolerance masks the WHOLE row: ts=11 within 2 of ts=10 -> NULL bid
+    # attaches (not leaked 99.0); ts=19 not within 2 of anything backward
+    got = {
+        r["id"]: (r["bid"], r["venue"])
+        for r in ops.asof_join(
+            left, right, on="ts", tolerance=2
+        ).collect()
+    }
+    assert got == {1: (None, "mid"), 2: (None, None)}
+
+
 def test_multimodal_plumbing(spark):
     df = spark.createDataFrame(
         [(1, b"\x00\x01\x02\x03" * 10), (2, b"\xff" * 16)], ["media_id", "payload"]
