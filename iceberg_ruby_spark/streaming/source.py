@@ -59,10 +59,16 @@ Delete candidates come from each delete entry's own ``applies-to`` /
 masked against ALL prior deletes on its file (prior key sets, prior
 positions, the replaced DV), so a row dies in the changelog exactly
 once.  ``replace`` commits (compaction) emit nothing — physical churn
-cancels logically.  Copy-on-write rewrites and predicate deletes are
-refused with guidance (their row diffs need the batch
-``changelog_scan``'s content comparison) unless
-``skip_rewrite_commits=true`` passes over them.  Iceberg itself has no
+cancels logically.  Copy-on-write rewrites, predicate deletes, and
+prior-predicate masking — the commit kinds with no structural row form —
+fall back PER COMMIT to a content-diff slice (r9): the executor reads
+the commit's before/after file states under their delete views and
+emits the multiset difference, the same comparison the batch
+``changelog_scan`` makes.  Correct-if-slower: one task per such commit,
+O(changed files' rows); merge-on-read pipelines never hit it.
+``skip_rewrite_commits=true`` still passes over rewrite commits
+entirely for consumers that only want the streamable kinds.  Iceberg
+itself has no
 changelog STREAMING read (its changelog is batch-only
 ``create_changelog_view``; its streaming read skips or refuses
 non-append commits), so this exceeds the upstream surface."""
@@ -151,6 +157,44 @@ class _ChangeSlice(InputPartition):
         # compare location-relative remainders, exactly like the batch
         # reader (table.py MoR path-normalization block)
         self.bases = bases or []
+
+
+class _ContentDiffSlice(InputPartition):
+    """Whole-commit CONTENT-DIFF work unit — the correct-if-slower
+    fallback for commits whose row changes are not structurally
+    derivable (copy-on-write rewrites, predicate deletes, prior
+    predicate-delete masking).  Carries per-file read specs for the
+    commit's BEFORE and AFTER states (quiet common files already
+    excluded at planning); the executor reads both sides under their
+    delete views and emits the multiset difference, mirroring the batch
+    ``Table.changelog_scan`` content comparison (table.py
+    ``_changelog_commit_diff``).  One task per such commit: the work is
+    O(changed files' rows), the same bound as the batch diff, but not
+    spread across executors — merge-on-read commits stay on the
+    structural O(changed) slices and never pay this."""
+
+    kind = "content-diff"
+
+    def __init__(
+        self,
+        prev_specs: list[dict],
+        cur_specs: list[dict],
+        columns: list[str],
+        snapshot_id: int,
+        ordinal: int,
+        bases: Optional[list[str]] = None,
+    ):
+        self.prev_specs = prev_specs
+        self.cur_specs = cur_specs
+        self.columns = columns
+        self.snapshot_id = snapshot_id
+        self.ordinal = ordinal
+        self.bases = bases or []
+
+
+class _NeedsContentDiff(Exception):
+    """Internal planning signal: this commit's changes cannot be derived
+    structurally — rebuild the whole commit as one _ContentDiffSlice."""
 
 
 class EngineTableStreamReader(DataSourceStreamReader):
@@ -536,10 +580,10 @@ class EngineTableStreamReader(DataSourceStreamReader):
         the dead rows (candidates come from the entry's own ``applies-to``
         scope, masked against prior equality deletes so already-dead rows
         are not re-emitted); ``replace`` commits (compaction) emit nothing
-        — physical churn without logical change; copy-on-write rewrites
-        and positional/DV deletes are refused with guidance (their row
-        diffs need the batch ``changelog_scan``, which compares row
-        content) unless ``skip_rewrite_commits=true`` skips them."""
+        — physical churn without logical change; copy-on-write rewrites,
+        predicate deletes, and prior-predicate masking fall back to one
+        content-diff slice per commit (``_content_diff_slices``) unless
+        ``skip_rewrite_commits=true`` skips them."""
         chain = []
         cur = end_snap
         while cur is not None and cur.snapshot_id != start_id:
@@ -591,12 +635,11 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 return []  # pure rewrite: no logical change to emit
             if self.skip_rewrites:
                 return []
-            raise ValueError(
-                f"changelog streaming crossed a {snap.operation!r} commit "
-                f"({sid}) that rewrote data files; row-level diffs of "
-                "copy-on-write rewrites need the batch changelog_scan — "
-                "write with merge-on-read modes, or set "
-                "skip_rewrite_commits=true to pass over them"
+            # copy-on-write rewrite: row-level changes need a content
+            # comparison — fall back to the per-commit batch-diff slice
+            # (correct-if-slower; MoR commits never take this path)
+            return self._content_diff_slices(
+                ops, prev_entries, cur_entries, sid, ordinal
             )
 
         def _del_id(e):
@@ -616,6 +659,20 @@ class EngineTableStreamReader(DataSourceStreamReader):
             if ("delete-file" in e or "delete-predicate" in e)
             and _del_id(e) not in prev_del_ids
         ]
+        if any("delete-predicate" in e for e in added_deletes):
+            if self.skip_rewrites:
+                # documented skip semantics: pass over the unstreamable
+                # delete, keep the commit's inserts
+                return [
+                    _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
+                    for e in cur_entries
+                    if "path" in e and e["path"] not in prev_paths
+                ]
+            # predicate deletes have no executor-evaluable structural form
+            # in the slice model — whole-commit content diff instead
+            return self._content_diff_slices(
+                ops, prev_entries, cur_entries, sid, ordinal
+            )
         slices: list[InputPartition] = [
             _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
             for e in cur_entries
@@ -639,12 +696,10 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 if "delete-predicate" in pe:
                     ap = pe.get("applies-to")
                     if ap is None or data_abs in (ops._abs(p) for p in ap):
-                        raise ValueError(
-                            f"data file {data_abs} carries a prior "
-                            "predicate delete; its already-dead rows "
-                            "cannot be masked structurally — use the "
-                            "batch changelog_scan"
-                        )
+                        # already-dead rows under a PRIOR predicate delete
+                        # cannot be masked structurally — route the whole
+                        # commit through the content-diff fallback
+                        raise _NeedsContentDiff(data_abs)
                     continue
                 if "delete-file" not in pe:
                     continue
@@ -668,6 +723,23 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     )
             return eq, pos, dv
 
+        try:
+            return self._delete_slices(
+                ops, added_deletes, prev_entries, slices, sid, ordinal,
+                _touched_files, _priors_for,
+            )
+        except _NeedsContentDiff:
+            # a prior predicate delete masks a touched file — the partial
+            # structural slices are discarded and the whole commit diffs
+            # by content instead
+            return self._content_diff_slices(
+                ops, prev_entries, cur_entries, sid, ordinal
+            )
+
+    def _delete_slices(
+        self, ops, added_deletes, prev_entries, slices, sid, ordinal,
+        _touched_files, _priors_for,
+    ) -> list[InputPartition]:
         for e in added_deletes:
             content = e.get("content")
             if content not in (
@@ -675,17 +747,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 "position-deletes",
                 "deletion-vector",
             ):
-                kind = content or (
-                    "delete-predicate" if "delete-predicate" in e else "delete"
-                )
                 if self.skip_rewrites:
                     return [s for s in slices if s.kind == "insert"]
                 raise ValueError(
-                    f"changelog streaming crossed a {kind!r} delete in "
-                    f"commit {sid}; equality/positional/DV deletes are "
-                    "streamable, predicate deletes need the batch "
-                    "changelog_scan — set skip_rewrite_commits=true to "
-                    "pass over them"
+                    f"changelog streaming crossed an unknown delete kind "
+                    f"{content!r} in commit {sid}; equality/positional/DV "
+                    "deletes stream structurally, predicate deletes and "
+                    "rewrites fall back to the content diff — set "
+                    "skip_rewrite_commits=true to pass over this commit"
                 )
             key_cols = list(e.get("equality-cols") or [])
             if content == "equality-deletes" and not key_cols:
@@ -735,6 +804,113 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         )
                     )
         return slices
+
+    def _content_diff_slices(
+        self, ops, prev_entries, cur_entries, sid: int, ordinal: int
+    ) -> list[InputPartition]:
+        """One whole-commit content-diff slice — planning half of the
+        correct-if-slower fallback for commits the structural paths can't
+        derive (CoW rewrites, predicate deletes, prior predicate masks).
+
+        Mirrors the batch ``Table._changelog_commit_diff`` exclusion: a
+        data file common to both states whose delete scope didn't change
+        contributes identical rows to both sides, so it's dropped from
+        BOTH reads up front; the executor diffs only the rest.  Each
+        side's spec carries the file plus every delete of that state
+        scoped to it, so rows are compared under their correct visibility."""
+        import json as _json
+
+        def mor_key(e):
+            return _json.dumps(
+                {k: sorted(v) if isinstance(v, (list, set)) else v
+                 for k, v in e.items() if k != "schema-id"},
+                sort_keys=True, default=str,
+            )
+
+        def split(entries):
+            data = {ops._abs(e["path"]): e for e in entries if "path" in e}
+            mor = {mor_key(e): e for e in entries if "path" not in e}
+            return data, mor
+
+        prev_data, prev_mor = split(prev_entries)
+        cur_data, cur_mor = split(cur_entries)
+        all_paths = set(prev_data) | set(cur_data)
+        touched: set = set()
+        for k in set(prev_mor) ^ set(cur_mor):
+            e = prev_mor.get(k) or cur_mor[k]
+            if e.get("content") == "deletion-vector":
+                touched.add(ops._abs(e["referenced-data-file"]))
+                continue
+            ap = e.get("applies-to")
+            touched |= (
+                {ops._abs(p) for p in ap} if ap is not None else all_paths
+            )
+        quiet = {
+            p for p in set(prev_data) & set(cur_data) if p not in touched
+        }
+        bases = sorted(
+            {ops._abs(".").rstrip("/."), ops.location}
+            | {
+                e["base-location"]
+                for e in list(prev_entries) + list(cur_entries)
+                if e.get("base-location")
+            }
+        )
+
+        def side_specs(data, mor) -> list[dict]:
+            specs = []
+            for path_abs in sorted(set(data) - quiet):
+                eq, pos, dvs, preds = [], [], [], []
+                for e in mor.values():
+                    if "delete-predicate" in e:
+                        ap = e.get("applies-to")
+                        if ap is None or path_abs in {
+                            ops._abs(p) for p in ap
+                        }:
+                            preds.append(e["delete-predicate"])
+                        continue
+                    content = e.get("content")
+                    if content == "deletion-vector":
+                        if ops._abs(e["referenced-data-file"]) == path_abs:
+                            dvs.append(
+                                (
+                                    ops._abs(e["delete-file"]),
+                                    int(e["content-offset"]),
+                                    int(e["content-size"]),
+                                )
+                            )
+                        continue
+                    ap = e.get("applies-to")
+                    if ap is not None and path_abs not in {
+                        ops._abs(p) for p in ap
+                    }:
+                        continue
+                    if content == "equality-deletes":
+                        eq.append(
+                            (
+                                ops._abs(e["delete-file"]),
+                                list(e.get("equality-cols") or []),
+                            )
+                        )
+                    elif content == "position-deletes":
+                        pos.append(ops._abs(e["delete-file"]))
+                specs.append(
+                    {
+                        "path": path_abs, "eq": eq, "pos": pos,
+                        "dvs": dvs, "preds": preds,
+                    }
+                )
+            return specs
+
+        prev_specs = side_specs(prev_data, prev_mor)
+        cur_specs = side_specs(cur_data, cur_mor)
+        if not prev_specs and not cur_specs:
+            return []
+        return [
+            _ContentDiffSlice(
+                prev_specs, cur_specs, self._columns, sid, ordinal, bases
+            )
+        ]
 
     def _partial_window(
         self, ops, by_id, start_id, start_pos, end_snap, end_pos
@@ -875,6 +1051,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         the replaced DV), so a row dies in the changelog exactly once."""
         import pyarrow.parquet as pq
 
+        if partition.kind == "content-diff":
+            return self._read_content_diff(partition)
         cols = self._load_cols(partition.path, partition.columns)
         sid, ordinal = partition.snapshot_id, partition.ordinal
         rows = zip(*cols) if cols and cols[0] else iter([])
@@ -927,6 +1105,119 @@ class EngineTableStreamReader(DataSourceStreamReader):
             if any(tuple(r[i] for i in pidx) in pks for pks, pidx in prior_keys):
                 continue
             out.append((*r, "delete", sid, ordinal))
+        return iter(out)
+
+    @classmethod
+    def _canon(cls, v):
+        """Hashable canonical form for multiset row comparison — the
+        executor-side analog of ``exceptAll``'s equality: NaN equals NaN,
+        nested arrays/maps/structs compare by value."""
+        if isinstance(v, float):
+            import math as _math
+
+            return ("__nan__",) if _math.isnan(v) else v
+        if isinstance(v, dict):
+            return tuple(sorted((k, cls._canon(x)) for k, x in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(cls._canon(x) for x in v)
+        if isinstance(v, bytearray):
+            return bytes(v)
+        return v
+
+    def _side_rows(self, specs: list[dict], columns: list[str], bases):
+        """Live rows of ONE commit state (a list of per-file specs) as a
+        multiset: (Counter of canonical row keys, key → original row).
+        Each file reads under its spec's delete view — positional/DV
+        positions, null-safe equality key tuples, and predicate deletes
+        evaluated per batch in DuckDB over the file's Arrow columns (the
+        executor has no SQL engine of its own; predicates are plain ANSI
+        comparisons both engines parse identically)."""
+        from collections import Counter
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        col_idx = {c: i for i, c in enumerate(columns)}
+        cnt: Counter = Counter()
+        orig: dict = {}
+        for spec in specs:
+            cols = self._load_cols(spec["path"], columns)
+            rows = list(zip(*cols)) if cols and cols[0] else []
+            if not rows:
+                continue
+            dead_pos: set = set()
+            for dp in spec["pos"]:
+                dead_pos |= self._positions_from_pos_file(
+                    dp, spec["path"], bases
+                )
+            for p, off, size in spec["dvs"]:
+                dead_pos |= self._positions_from_dv(p, off, size)
+            eq_sets = []
+            for dp, kcols in spec["eq"]:
+                kt = pq.read_table(dp, columns=list(kcols))
+                keys = {
+                    tuple(self._canon(v) for v in row)
+                    for row in zip(
+                        *[kt.column(c).to_pylist() for c in kcols]
+                    )
+                }
+                eq_sets.append((keys, [col_idx[c] for c in kcols]))
+            if spec["preds"]:
+                import duckdb
+
+                rel = pa.table(
+                    {name: c for name, c in zip(columns, cols)}
+                ).append_column("__pos", pa.array(range(len(rows))))
+                con = duckdb.connect()
+                con.register("__cd", rel)
+                for pred in spec["preds"]:
+                    # DELETE semantics: a row dies only when the predicate
+                    # is TRUE (matches table.py's COALESCE(pred, FALSE))
+                    dead_pos |= {
+                        r[0]
+                        for r in con.execute(
+                            f"SELECT __pos FROM __cd "
+                            f"WHERE COALESCE(({pred}), FALSE)"
+                        ).fetchall()
+                    }
+            for pos, r in enumerate(rows):
+                if pos in dead_pos:
+                    continue
+                if any(
+                    tuple(self._canon(r[i]) for i in kidx) in ks
+                    for ks, kidx in eq_sets
+                ):
+                    continue
+                k = tuple(self._canon(v) for v in r)
+                if k not in orig:
+                    orig[k] = r
+                cnt[k] += 1
+        return cnt, orig
+
+    def _read_content_diff(self, partition: "_ContentDiffSlice") -> Iterator[tuple]:
+        """Executor half of the content-diff fallback: read the commit's
+        before/after states under their delete views and emit the
+        multiset difference — insert rows that appear only after, delete
+        rows that appear only before — exactly the batch
+        ``changelog_scan``'s ``exceptAll`` semantics.  A CoW UPDATE thus
+        emits delete+insert for touched rows and nothing for rows the
+        rewrite merely copied."""
+        before, orig_b = self._side_rows(
+            partition.prev_specs, partition.columns, partition.bases
+        )
+        after, orig_a = self._side_rows(
+            partition.cur_specs, partition.columns, partition.bases
+        )
+        sid, ordinal = partition.snapshot_id, partition.ordinal
+        out = []
+        for k, n in after.items():
+            extra = n - before.get(k, 0)
+            if extra > 0:
+                out.extend([(*orig_a[k], "insert", sid, ordinal)] * extra)
+        for k, n in before.items():
+            extra = n - after.get(k, 0)
+            if extra > 0:
+                out.extend([(*orig_b[k], "delete", sid, ordinal)] * extra)
         return iter(out)
 
     def commit(self, end: dict) -> None:

@@ -395,21 +395,46 @@ def test_changelog_stream_prior_delete_masking(catalog, spark):
     assert deletes == [(2, 1), (3, 2)]
 
 
-def test_changelog_stream_refusals(catalog, spark):
+def test_changelog_stream_mode_validation(catalog, spark):
     from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
 
     t = catalog.create_table("clref", schema={"k": "int", "v": "string"})
     t.append([{"k": 1, "v": "a"}])
     with pytest.raises(ValueError, match="expected 'append' or 'changelog'"):
         EngineTableStreamReader({"location": t.ops.location, "mode": "bogus"})
-    # copy-on-write rewrite: planning refuses with guidance
-    t.delete_where("k = 1")  # CoW
-    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
-    with pytest.raises(ValueError, match="changelog_scan"):
-        r.partitions(
-            {"snapshot_id": None},
-            {"snapshot_id": t.refresh().current_snapshot_id},
-        )
+
+
+def test_changelog_stream_cow_and_predicate_fallback(catalog, spark):
+    """CoW rewrites, predicate deletes, and prior-predicate masking
+    stream through mode=changelog via the per-commit content-diff
+    fallback (r9) — correct events, no refusal.  A CoW UPDATE emits
+    delete+insert for the touched row and NOTHING for rows the rewrite
+    merely copied."""
+    t = catalog.create_table("clcow", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    t.update_where({"v": "'B'"}, "k = 2")             # CoW UPDATE rewrite
+    t.delete_where("k = 3", mode="merge-on-read")     # predicate delete
+    t.delete_where("k = 1")                           # CoW DELETE rewrite
+    ev = _changelog_events(spark, t, "clcow_sink")
+    assert ev == [
+        (1, "a", "delete", 3),
+        (1, "a", "insert", 0),
+        (2, "B", "insert", 1),
+        (2, "b", "delete", 1),
+        (2, "b", "insert", 0),
+        (3, "c", "delete", 2),
+        (3, "c", "insert", 0),
+    ]
+    # prior-predicate masking: an equality delete AFTER the predicate
+    # delete must not re-emit rows the predicate already killed — the
+    # commit routes through the content diff and emits only newly-dead
+    t2 = catalog.create_table("clprior", schema={"k": "int", "v": "string"})
+    t2.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    t2.delete_where("k = 2", mode="merge-on-read")    # predicate delete
+    t2.delete_by_keys([{"k": 2}, {"k": 3}], "k")      # 2 already dead
+    ev2 = _changelog_events(spark, t2, "clprior_sink")
+    deletes = sorted((k, o) for k, _v, ty, o in ev2 if ty == "delete")
+    assert deletes == [(2, 1), (3, 2)]
 
 
 def test_changelog_stream_apply_replication(catalog, spark, tmp_path):
@@ -441,6 +466,39 @@ def test_changelog_stream_apply_replication(catalog, spark, tmp_path):
     # restart with no new data: idempotent, replica unchanged
     sync()
     assert state(rep) == [(1, "a2"), (3, "c"), (4, "d")]
+
+
+def test_changelog_stream_cow_replication_converges(catalog, spark, tmp_path):
+    """Continuous CDC replication over a source mutated with CoW
+    rewrites AND predicate deletes: the replica converges to the source
+    through the content-diff fallback, restart-safe on one checkpoint."""
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+
+    src = catalog.create_table("clcowrep_src", schema={"k": "int", "v": "string"})
+    rep = catalog.create_table("clcowrep_dst", schema={"k": "int", "v": "string"})
+    ckpt = str(tmp_path / "ckpt")
+
+    def sync():
+        q = stream_changelog_apply(spark, src.refresh(), rep, "k", ckpt)
+        q.awaitTermination()
+
+    def state(t):
+        return sorted((r["k"], r["v"]) for r in t.refresh().to_a())
+
+    src.append([{"k": i, "v": f"v{i}"} for i in range(1, 5)])
+    src.update_where({"v": "'V2'"}, "k = 2")              # CoW UPDATE
+    sync()
+    assert state(rep) == state(src) == [
+        (1, "v1"), (2, "V2"), (3, "v3"), (4, "v4"),
+    ]
+    src.delete_where("k = 3", mode="merge-on-read")       # predicate delete
+    src.delete_where("k = 1")                             # CoW DELETE
+    src.append([{"k": 5, "v": "v5"}])
+    sync()
+    assert state(rep) == state(src) == [(2, "V2"), (4, "v4"), (5, "v5")]
+    # restart with no new data: idempotent
+    sync()
+    assert state(rep) == [(2, "V2"), (4, "v4"), (5, "v5")]
 
 
 def test_changelog_stream_mor_update_dv(catalog, spark):
