@@ -1597,6 +1597,27 @@ class Catalog:
             t2 = ivf_table_retrain(tbl)
             n_rows = int(t2.current_snapshot().summary.get("total-records", 0))
             out = [(n_rows,)], "reassigned_vectors long"
+        elif proc == "pq_index_drift":
+            # staleness metric for a pq_table_index table (r9):
+            # reconstruction-error drift vs the stamped build value
+            from iceberg_ruby_spark.operators.similarity import pq_table_drift
+
+            d = pq_table_drift(tbl)
+            out = (
+                [(
+                    d["n_vectors"], float(d["recon_err"]),
+                    float(d["build_recon_err"]),
+                    float(d["recon_err_ratio"]), bool(d["stale"]),
+                )],
+                "n_vectors long, recon_err double, build_recon_err double, "
+                "recon_err_ratio double, stale boolean",
+            )
+        elif proc == "pq_retrain":
+            from iceberg_ruby_spark.operators.similarity import pq_table_retrain
+
+            t2 = pq_table_retrain(tbl)
+            n_rows = int(t2.current_snapshot().summary.get("total-records", 0))
+            out = [(n_rows,)], "reencoded_vectors long"
         elif proc == "create_changelog_view":
             # iceberg-spark: registers a queryable changelog view and
             # returns its name.  Window bounds come as named args

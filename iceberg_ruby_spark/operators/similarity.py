@@ -1011,6 +1011,309 @@ def ivf_table_retrain(index_table, seed: int = 42):
     return index_table.refresh()
 
 
+def pq_table_index(
+    catalog,
+    table_name: str,
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    m: int = 8,
+    n_codes: int = 256,
+    sample_size: int = 4096,
+    seed: int = 42,
+):
+    """Persist a PQ index AS AN ENGINE TABLE — the standing-index design
+    :func:`ivf_table_index` established, applied to product quantization:
+    the trained codebooks ride the table's properties as JSON (m × n_codes
+    × dsub floats — a few hundred KB, metadata-sized), and every corpus
+    row is stored as ``(id, codes: array<int>, vector)``.  The index is
+    fully self-contained table state, no side files, no per-call retrain
+    (:func:`pq_topk` trains per call — fine for a query, wrong for a
+    standing 100 TB index).
+
+    The 100 TB posture: an ADC search scans ONLY ``(id, codes)`` —
+    columnar projection makes the hot scan ~32× smaller than the float32
+    vectors (m bytes of codes vs dim × 4) — and the true vectors are
+    fetched just for the refine-pool candidates by id.  Incremental
+    ingest: :func:`pq_table_encode` encodes new batches against the
+    frozen codebooks and appends — same codes, no retrain; staleness is
+    measurable (:func:`pq_table_drift`) and repairable in one atomic
+    commit (:func:`pq_table_retrain`)."""
+    import json as _json
+
+    import pyspark.sql.types as T
+
+    codebooks, enc = pq_index(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        sample_size=sample_size, seed=seed,
+    )
+    src_fields = {f.name: f.dataType for f in corpus.schema.fields}
+    src_type = src_fields[vec_col].simpleString()
+    rows = enc.select(
+        F.col(id_col), F.col("codes"), F.col("__cv").cast(src_type).alias(vec_col)
+    )
+    build_err, _n = _pq_recon_err(
+        enc.select(F.col("__cv").alias(vec_col), "codes"), vec_col, codebooks
+    )
+    t = catalog.create_table(
+        table_name,
+        schema=T.StructType(
+            [
+                T.StructField(id_col, src_fields[id_col]),
+                T.StructField(
+                    "codes", T.ArrayType(T.IntegerType()), nullable=False
+                ),
+                T.StructField(vec_col, src_fields[vec_col]),
+            ]
+        ),
+        properties={
+            "pq.codebooks": _json.dumps(
+                [[[float(x) for x in c] for c in cb] for cb in codebooks]
+            ),
+            "pq.vec-col": vec_col,
+            "pq.id-col": id_col,
+            "pq.build-recon-err": repr(build_err),
+        },
+    )
+    t.append(rows)
+    return t.refresh()
+
+
+def _pq_recon_err(df: DataFrame, vec_col: str, codebooks) -> tuple:
+    """(Mean squared reconstruction error of ``codes`` against their
+    vectors, row count) — ONE Arrow-batched pass + a singleton aggregate.  The
+    build-time value is stamped in the index properties; its growth is
+    the PQ staleness signal (drifted vectors sit far from every centroid
+    in every subspace, so ADC rankings degrade silently)."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+
+    @F.pandas_udf("double")
+    def _err(vecs: pd.Series, codes: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=float)
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        cs = np.asarray([np.asarray(c, dtype=np.int64) for c in codes])
+        rec = np.concatenate([cbs[j][cs[:, j]] for j in range(m)], axis=1)
+        return pd.Series(((x - rec) ** 2).sum(axis=1))
+
+    r = (
+        df.withColumn("__e", _err(F.col(vec_col), F.col("codes")))
+        .agg(F.avg("__e").alias("e"), F.count(F.lit(1)).alias("n"))
+        .collect()[0]
+    )
+    return float(r["e"] or 0.0), int(r["n"] or 0)
+
+
+def pq_table_encode(index_table, batch: DataFrame):
+    """Incremental ingest into a :func:`pq_table_index` table: encode the
+    batch against the FROZEN codebooks from the table properties and
+    append — one distributed Arrow-batched pass, no retrain, codes
+    identical to what a full rebuild with the same codebooks would
+    produce (parity pinned in pytest)."""
+    import json as _json
+
+    props = index_table.properties
+    codebooks = _json.loads(props["pq.codebooks"])
+    vec_col = props.get("pq.vec-col", "embedding")
+    id_col = props.get("pq.id-col", "vec_id")
+    src_type = {
+        f.name: f.dataType for f in index_table.schema.to_spark().fields
+    }[vec_col].simpleString()
+    enc = pq_encode(codebooks, batch, id_col=id_col, vec_col=vec_col)
+    index_table.append(
+        enc.select(
+            F.col(id_col), F.col("codes"),
+            F.col("__cv").cast(src_type).alias(vec_col),
+        )
+    )
+    return index_table.refresh()
+
+
+def pq_table_drift(index_table, err_ratio_threshold: float = 1.5) -> dict:
+    """Index-staleness metric for a :func:`pq_table_index` table —
+    frozen codebooks never retrain on their own, so after enough
+    incremental ingest of shifted data the quantization error grows and
+    ADC rankings rot.  ``recon_err_ratio`` is the current mean squared
+    reconstruction error over the build-time value stamped in the
+    properties; ``stale`` trips past the threshold — the signal to CALL
+    :func:`pq_table_retrain`.  One scan of (vector, codes), one
+    aggregate."""
+    import json as _json
+
+    props = index_table.properties
+    codebooks = _json.loads(props["pq.codebooks"])
+    vec_col = props.get("pq.vec-col", "embedding")
+    df = index_table.scan().select(vec_col, "codes").to_df()
+    err, n = _pq_recon_err(df, vec_col, codebooks)
+    build = float(props.get("pq.build-recon-err", 0.0) or 0.0)
+    # symmetric epsilon keeps the ratio meaningful in the lossless regime
+    # (build error exactly 0 — n_codes >= corpus): any real error then
+    # reads as drift instead of dividing by zero into a false "healthy"
+    eps = 1e-9
+    ratio = (err + eps) / (build + eps)
+    return {
+        "n_vectors": int(n),
+        "recon_err": round(err, 6),
+        "build_recon_err": round(build, 6),
+        "recon_err_ratio": round(ratio, 4),
+        "stale": bool(ratio > err_ratio_threshold),
+    }
+
+
+def pq_table_retrain(index_table, seed: int = 42):
+    """Retrain a :func:`pq_table_index` table's codebooks from its
+    CURRENT vectors and re-encode every row — the repair for a stale
+    index (:func:`pq_table_drift`).  ONE atomic overwrite commit carries
+    the re-encoded rows AND the new codebooks + build error
+    (``Table.overwrite(set_properties=...)``), so a reader never sees
+    new codes under old codebooks or vice versa — the same
+    atomic-retrain shape as :func:`ivf_table_retrain`.  Training stays
+    sample-bounded; re-encoding is one distributed pass."""
+    import json as _json
+
+    props = index_table.properties
+    vec_col = props.get("pq.vec-col", "embedding")
+    id_col = props.get("pq.id-col", "vec_id")
+    old = _json.loads(props["pq.codebooks"])
+    m, n_codes = len(old), len(old[0])
+    corpus = index_table.scan().select(id_col, vec_col).to_df()
+    src_type = dict(corpus.dtypes)[vec_col]
+    codebooks, enc = pq_index(
+        corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
+        seed=seed,
+    )
+    err, _n = _pq_recon_err(
+        enc.select(F.col("__cv").alias(vec_col), "codes"), vec_col, codebooks
+    )
+    index_table.overwrite(
+        enc.select(
+            F.col(id_col), F.col("codes"),
+            F.col("__cv").cast(src_type).alias(vec_col),
+        ),
+        set_properties={
+            "pq.codebooks": _json.dumps(
+                [[[float(x) for x in c] for c in cb] for cb in codebooks]
+            ),
+            "pq.build-recon-err": repr(err),
+        },
+    )
+    return index_table.refresh()
+
+
+def pq_table_search(
+    index_table,
+    queries: DataFrame,
+    k: int = 10,
+    refine: int = 4,
+    query_id_col: Optional[str] = None,
+) -> DataFrame:
+    """Top-k over a :func:`pq_table_index` table: ADC scoring over a
+    scan of ONLY ``(id, codes)`` (columnar projection — the ~32×
+    read-shrink is the whole point of the standing index), then the
+    per-query top ``refine × k`` candidates fetch their TRUE vectors by
+    id from the same table and re-rank on exact cosine.  The candidate
+    pool is queries × refine×k rows — driver- and broadcast-sized by
+    construction, so the vector column is read only through an
+    id-IN-list scan the engine's stats pruning consumes."""
+    import json as _json
+
+    import numpy as np
+    import pandas as pd
+
+    props = index_table.properties
+    codebooks = _json.loads(props["pq.codebooks"])
+    vec_col = props.get("pq.vec-col", "embedding")
+    id_col = props.get("pq.id-col", "vec_id")
+    query_id_col = query_id_col or id_col
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    sqn = np.stack([(cb**2).sum(axis=1) for cb in cbs])
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col)
+    ).collect()
+    luts = {}
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = float(np.sqrt((qv**2).sum())) or 1.0
+        luts[r[0]] = np.stack(
+            [cbs[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        ) / qn
+
+    @F.pandas_udf("double")
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qids))
+        rng = np.arange(m)
+        for i, (qid, cs) in enumerate(zip(qids, codes)):
+            cs = np.asarray(cs, dtype=np.int64)
+            lut = luts[qid]
+            dot = lut[rng, cs].sum()
+            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
+            out[i] = dot / rnorm
+        return pd.Series(out)
+
+    spark = index_table.spark
+    enc = index_table.scan().select(id_col, "codes").to_df()
+    qids = spark.createDataFrame(
+        [(r[0],) for r in qrows], f"query_id {dict(queries.dtypes)[query_id_col]}"
+    )
+    w0 = Window.partitionBy("query_id").orderBy(
+        F.col("__adc").desc(), F.col(id_col).asc()
+    )
+    # ONE ADC job; the candidate pool (queries × refine×k rows) is
+    # driver-sized by construction, so it collects once and re-enters the
+    # plan as a literal frame — the big (id, codes) scan never re-runs
+    cand_rows = (
+        enc.crossJoin(F.broadcast(qids))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .withColumn("__adc", _adc(F.col("query_id"), F.col("codes")))
+        .withColumn("__r0", F.row_number().over(w0))
+        .filter(F.col("__r0") <= refine * k)
+        .select("query_id", id_col)
+        .collect()
+    )
+    cand = spark.createDataFrame(
+        [(r[0], r[1]) for r in cand_rows],
+        f"query_id {dict(queries.dtypes)[query_id_col]}, "
+        f"{id_col} {dict(enc.dtypes)[id_col]}",
+    )
+    cand_ids = sorted({r[1] for r in cand_rows})
+    id_list = ", ".join(repr(v) for v in cand_ids)
+    vecs = (
+        index_table.scan()
+        .filter(f"{id_col} IN ({id_list})")
+        .select(id_col, vec_col)
+        .to_df()
+    )
+    qvecs = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+    )
+    scored = (
+        cand.join(F.broadcast(vecs), id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("__qv"), F.col(vec_col))
+                / (_norm(F.col("__qv")) * _norm(F.col(vec_col))),
+                6,
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", id_col, "cosine", "rank")
+    )
+
+
 def ivf_table_search(
     index_table,
     queries: DataFrame,

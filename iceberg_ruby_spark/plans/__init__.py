@@ -27,61 +27,70 @@ from iceberg_ruby_spark.plans import streaming  # noqa: E402,F401
 from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 
 # The correctness driver checks queries in registration order and has a
-# bounded budget (50 per round).  Round-8 rotation (VERDICT r7 item 1 —
-# "CORRECTNESS_r08 contains all 6 never-driver-checked queries, then fill
-# from the r5-aged cohort"):
-# (0) queries the driver has NEVER checked: the six late-r7 additions that
-#     missed the r7 window (embedding_ann_ivf_table, engine_fast_append_chain,
-#     engine_materialized_agg, events_funnel, events_retention,
-#     multimodal_dedup_frames) plus any query first registered in r8 —
-#     append new r8 queries to _NEVER_DRIVER_CHECKED as they land;
-# (1) the 50 queries whose newest driver row is r5 (core relational/join/
-#     window/set-op/dedup/ann families), ordered so the touched-this-round
-#     and perf-watch queries (dedup_minhash_lsh first) fill before the
-#     low-change-risk scalar-function queries; the tail that misses the
-#     budget stays at newest=r5 (3 rounds old) and MUST lead r9's window.
-# Everything r6/r7-checked waits.  The arithmetic is ASSERTED below, not
+# bounded budget (50 per round).  Round-9 rotation (VERDICT r8 items 1+2 —
+# "CORRECTNESS_r09 contains all 16 r5-aged queries + binarize, fill the
+# rest from the r6-aged cohort"):
+# (0) MUST-CHECK: queries first registered in r9 (never driver-checked),
+#     queries whose code or oracle CHANGED this round (their prior green
+#     is stale — binarize's oracle typing fix, the asof wholesale-row
+#     rewrite + NULL-injected oracles, the changelog source's content-diff
+#     fallback), and the 16 queries whose newest driver row is r5 (4
+#     rounds old after this round — the rotation tail item 2 names).
+# (1) the 50 queries whose newest driver row is r6, ordered so the ones
+#     nearest this round's changed code (changelog/table scan paths,
+#     dedup/ANN) fill before low-change-risk text/scalar queries; the
+#     tail that misses the budget stays r6-aged and MUST lead r10.
+# Everything r7/r8-checked waits.  The arithmetic is ASSERTED below, not
 # narrated: every name must be a registered query, and tier (0) must fit
 # the budget entirely.
 _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
-    "embedding_ann_ivf_table", "engine_fast_append_chain",
-    "engine_materialized_agg", "events_funnel", "events_retention",
-    "multimodal_dedup_frames",
-    # round-8 additions appended here as they land (never driver-checked
-    # by definition)
-    "stream_changelog_tail", "embedding_truncate_norm",
-    "embedding_matryoshka_topk", "embedding_binarize_pack",
-    "embedding_hamming_topk", "join_salted_skew",
-    "agg_salted_count_distinct", "asof_join_forward",
-    "asof_join_nearest_tolerance", "text_url_canonicalize_dedup",
+    # new in r9 (never driver-checked by definition)
+    "embedding_ann_pq_table", "stream_changelog_cow",
+    # changed in r9: oracle or operator code — prior green is stale
+    "embedding_binarize_pack",            # oracle CAST fix (VERDICT #1)
+    "asof_join_forward",                  # struct-fill + NULL oracle
+    "asof_join_nearest_tolerance",        # struct-fill + NULL oracle
+    "asof_join_events",                   # asof operator rewritten
+    "stream_changelog_tail",              # source planning restructured
+    # r5-aged cohort (VERDICT r8 item 2 — all 16, verbatim)
+    "array_functions", "case_cast_coalesce", "cast_nullif",
+    "date_functions", "except_keys", "explode_unnest", "intersect_keys",
+    "math_functions", "pivot_order_status", "projection_rename",
+    "regexp_functions", "scan_filter_project", "sort_limit_offset",
+    "string_functions", "union_distinct", "unpivot_lineitem_metrics",
 ]
 
-# r5-checked cohort — fills the remaining budget in this priority order:
-# perf-watch + code-touched-this-round first, then joins/windows/aggs,
-# then the scalar-function queries (lowest change risk → first to defer).
-_LAST_CHECKED_R5 = [
-    "dedup_minhash_lsh", "embedding_ann_ivf", "embedding_ann_lsh",
-    "window_ntile", "window_range_frame", "window_ranking",
-    "window_running_sum", "window_lag_lead",
-    "join_range_theta", "join_broadcast_dim", "join_inner_agg", "join_anti",
-    "join_semi", "join_cross", "join_full_outer", "join_right",
-    "join_left_zero_counts", "q01_pricing_summary", "q3_shipping_priority",
-    "q5_nation_revenue", "topk_orders", "agg_global", "agg_having",
-    "approx_count_distinct", "count_distinct_by_group", "cube_counts",
-    "rollup_counts", "grouping_sets", "distinct_pairs", "cte_join_agg",
-    "correlated_exists", "in_subquery", "scalar_subquery",
-    "union_all_counts", "union_distinct", "intersect_keys", "except_keys",
-    "pivot_order_status", "unpivot_lineitem_metrics", "explode_unnest",
-    "sort_limit_offset", "scan_filter_project", "projection_rename",
-    "case_cast_coalesce", "cast_nullif", "array_functions", "date_functions",
-    "math_functions", "regexp_functions", "string_functions",
+# r6-checked cohort — fills the remaining budget in this priority order:
+# closest-to-changed-code first (changelog/incremental scan, MoR delete
+# flavors, dedup/ANN), engine lifecycle next, low-risk text/stat last.
+_LAST_CHECKED_R6 = [
+    "engine_changelog_scan", "engine_incremental_scan",
+    "engine_delete_mor", "engine_delete_mor_dv",
+    "engine_delete_mor_equality", "engine_delete_mor_positional",
+    "engine_delete_cow", "engine_merge", "engine_merge_mor",
+    "dedup_embedding_cosine", "dedup_exact_text", "dedup_fingerprint",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
+    "dedup_cluster_components", "dedup_decontaminate",
+    "dedup_shared_spans", "embedding_centroids", "embedding_cosine_topk",
+    "embedding_norms", "embedding_quantize_roundtrip",
+    "engine_append_roundtrip", "engine_avro_manifests",
+    "engine_branch_tag", "engine_bucket_point_lookup", "engine_compact",
+    "engine_inspect_partitions", "engine_maintenance_cycle",
+    "engine_partitioned_write", "engine_row_lineage",
+    "engine_schema_defaults", "engine_schema_evolution",
+    "engine_sql_roundtrip", "engine_statistics_ndv", "engine_time_travel",
+    "engine_wap_publish", "engine_write_mode_properties",
+    "events_sessionize", "percentile_aggs", "stream_dedup_watermark",
+    "stream_session_window", "stream_stateful_user_activity",
+    "stream_tumbling_window", "text_mix_corpus", "text_pack_sequences",
+    "text_repetition_stats", "text_scrub_pii", "text_stratified_sample",
 ]
 
 _TIER = {}
 _RANK = {}
-for _tier, _names in enumerate((_NEVER_DRIVER_CHECKED, _LAST_CHECKED_R5)):
+for _tier, _names in enumerate((_NEVER_DRIVER_CHECKED, _LAST_CHECKED_R6)):
     for _rank, _n in enumerate(_names):
         assert _n in QUERIES, f"rotation names unregistered query: {_n}"
         assert _n not in _TIER, f"rotation lists {_n} twice"

@@ -1966,6 +1966,32 @@ def embedding_ann_ivf_table(spark, sf_dir):
     return ivf_table_search(t, q, k=10, n_probe=16)
 
 
+@query("embedding_ann_pq_table", oracle=_EXACT_TOPK_SQL)
+def embedding_ann_pq_table(spark, sf_dir):
+    """PQ index persisted AS AN ENGINE TABLE (operators/similarity.py
+    ``pq_table_index``, r9 — the ivf_table design applied to product
+    quantization): codebooks in table properties, rows stored as
+    (id, codes, vector), ADC search scans ONLY (id, codes) — columnar
+    projection is the ~32× read shrink — and true vectors are fetched
+    just for the refine-pool candidates by id.  Run in the EXACT
+    quantization regime (n_codes ≥ corpus ⇒ lossless codes ⇒ ADC
+    ordering equals exact cosine ordering) so the exact top-k SQL is a
+    row-for-row twin; incremental-encode parity and the drift→retrain
+    staleness loop are pinned in pytest."""
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.operators.similarity import (
+        pq_table_index,
+        pq_table_search,
+    )
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    emb = load(spark, sf_dir, "embeddings")
+    t = pq_table_index(cat, "emb_pq_q", emb, m=8, n_codes=512, seed=42)
+    q = emb.filter(F.col("vec_id") < 5)
+    return pq_table_search(t, q, k=10, refine=4)
+
+
 @query(
     "multimodal_dedup_frames",
     oracle="""

@@ -232,3 +232,65 @@ def stream_changelog_tail(spark, sf_dir):
         "SELECT doc_id, length(text) AS char_len, _change_type,"
         " _change_ordinal FROM stream_cl_tail_sink"
     )
+
+
+@query(
+    "stream_changelog_cow",
+    oracle="""
+    SELECT doc_id, length(text) AS char_len,
+           'insert' AS _change_type, CAST(0 AS INTEGER) AS _change_ordinal
+    FROM documents WHERE doc_id < 80
+    UNION ALL
+    SELECT doc_id, length(text), 'delete', CAST(1 AS INTEGER)
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id, 1, 'insert', CAST(1 AS INTEGER)
+    FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id, length(text), 'delete', CAST(2 AS INTEGER)
+    FROM documents WHERE doc_id >= 70 AND doc_id < 80
+    """,
+)
+def stream_changelog_cow(spark, sf_dir):
+    """Changelog streaming over commits with NO structural row form (r9,
+    streaming/source.py ``_content_diff_slices``): a copy-on-write
+    UPDATE and a merge-on-read PREDICATE delete stream as row-level
+    change events through the per-commit content-diff fallback.  The
+    CoW rewrite emits delete(old)+insert(new) for exactly the updated
+    rows — rows the rewrite merely copied cancel in the multiset diff —
+    and the predicate delete emits exactly the rows it killed.  The
+    oracle reconstructs the full expected event set in closed form
+    (updated rows' new text is 'X', char_len 1), so hash equality proves
+    event rows AND commit ordinals."""
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    t = cat.create_table(
+        "stream_cl_cow", schema={"doc_id": "long", "text": "string"}
+    )
+    t.append(docs.filter("doc_id < 80"))
+    t.update_where({"text": "'X'"}, "doc_id < 10")              # CoW rewrite
+    t.delete_where("doc_id >= 70", mode="merge-on-read")        # predicate
+    register_stream_source(spark)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", t.ops.location)
+        .option("mode", "changelog")
+        .load()
+        .writeStream.format("memory")
+        .queryName("stream_cl_cow_sink")
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.sql(
+        "SELECT doc_id, length(text) AS char_len, _change_type,"
+        " _change_ordinal FROM stream_cl_cow_sink"
+    )
