@@ -308,6 +308,25 @@ def _cell_assigner(centroids):
     return _assign
 
 
+def _cell_assign_expr(vec, centroids):
+    """Nearest-centroid cell id as a PURE JVM expression — no Python
+    worker, no Arrow hop: per cell, ``argmin ||v−c||² = ||c||² − 2·v·c``
+    (the row's own ``||v||²`` is constant across cells) computed with
+    ``zip_with``/``aggregate`` against centroid literals, then one
+    ``array_min`` over (distance, cell) structs whose lexicographic
+    ordering reproduces numpy ``argmin``'s first-index tie-break.
+    Opt-in via ``ivf_assign(engine='expr')`` — measured slower than the
+    Arrow assigner at production shape (see :func:`ivf_assign`), but the
+    no-Python-worker form when that constraint matters."""
+    structs = []
+    for i, c in enumerate(centroids):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        sq = float(sum(float(x) * float(x) for x in c))
+        d = F.lit(sq) - 2.0 * _dot(vec, carr)
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("cell")))
+    return F.array_min(F.array(*structs)).getField("cell").cast("int")
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -364,15 +383,32 @@ def ivf_assign(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    engine: str = "arrow",
 ) -> DataFrame:
     """(id, cell, __cv) for a batch against FIXED centroids — one
-    Arrow-batched distributed pass; the incremental-ingest half of
-    :func:`ivf_index`."""
+    distributed pass; the incremental-ingest half of :func:`ivf_index`.
+
+    ``engine='arrow'`` (default) is the Arrow-batched numpy assigner:
+    one matmul per batch.  ``engine='expr'`` is the pure-JVM
+    ``array_min``-over-distances expression — zero Python workers, but
+    MEASURED SLOWER at the production shape (dedup_semantic sf0.1,
+    16 cells × 64 dims: median 8.4 s vs 6.3 s arrow, interleaved reps —
+    SCALE.md r9 row): Catalyst evaluates ``zip_with``/``aggregate``
+    lambdas per element interpreted, while the Arrow hop amortizes into
+    a single vectorized matmul.  Kept as an explicit opt-out of Python
+    workers; both engines produce identical cells (same argmin, same
+    first-index tie-break — equivalence pinned in pytest)."""
+    if engine not in ("expr", "arrow"):
+        raise InvalidDataError(
+            f"ivf_assign engine={engine!r}: expected 'arrow' or 'expr'"
+        )
+    base = batch.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    if engine == "expr":
+        return base.withColumn(
+            "cell", _cell_assign_expr(F.col("__cv"), centroids)
+        )
     assign = _cell_assigner(centroids)
-    return (
-        batch.select(F.col(id_col), F.col(vec_col).alias("__cv"))
-        .withColumn("cell", assign(F.col("__cv")))
-    )
+    return base.withColumn("cell", assign(F.col("__cv")))
 
 
 def ivf_search(

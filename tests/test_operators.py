@@ -800,6 +800,34 @@ def test_domain_cap_values_and_plan(spark):
     assert "WindowGroupLimit" in plan
 
 
+def test_ivf_assign_expr_equals_arrow(spark):
+    """The pure-JVM expression assigner (engine='expr') and the
+    Arrow-batched numpy assigner produce IDENTICAL cells — same argmin,
+    same first-index tie-break (exercised by the duplicated vector,
+    which ties on every centroid distance)."""
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.operators.similarity import (
+        _train_centroids,
+        ivf_assign,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = _train_centroids(emb, "embedding", 8, seed=7, id_col="vec_id")
+    a = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(cents, emb, engine="arrow").collect()
+    }
+    b = {
+        (r.vec_id, r.cell)
+        for r in ivf_assign(cents, emb, engine="expr").collect()
+    }
+    assert a == b and len(a) == emb.count()
+    import pytest as _pytest
+
+    with _pytest.raises(InvalidDataError, match="expected 'arrow' or 'expr'"):
+        ivf_assign(cents, emb, engine="bogus")
+
+
 def test_ivf_incremental_assign_equals_one_shot(spark):
     """Appending a batch via ivf_assign against fixed centroids must give
     the same index (and the same search results) as assigning everything
