@@ -1,0 +1,144 @@
+"""CDC-loop scale probe (VERDICT r8 #6): a LONG commit history with all
+mutation flavors, then the continuous-replication drain.
+
+Builds a source table from ``events`` with ``n_waves`` waves of FOUR
+commits each — append, equality delete, positional delete, DV delete —
+so a 50-wave run is a 200-commit history mixing every streamable commit
+kind.  Then measures:
+
+1. **Per-commit changelog PLANNING time vs commit index** — the
+   O(new-files) claim for pure-append commits: planning a late append's
+   micro-batch must cost the same as an early one no matter how many
+   files the table has accumulated (the structural manifest delta never
+   reads the full state).  Delete commits DO read the full manifest pair
+   (the prior-delete mask needs it), so their planning grows with table
+   file count — reported separately and honestly.
+2. **Replication drain wall vs changed-rows volume** — one
+   ``stream_changelog_apply`` drain of the whole history; at 10× the
+   events volume (tmp/sf1) the wall should scale with changed rows, not
+   worse.
+
+Usage: python scripts/cdc_scale_probe.py [sf_dir] [n_waves]
+Prints one JSON line; exits 1 if append-commit planning is NOT flat
+(last-fifth mean > 3× first-fifth mean).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_waves = int(sys.argv[2]) if len(sys.argv) > 2 else 50
+
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.session import get_spark
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    spark = get_spark("cdc_scale_probe")
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    ev = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select("event_id", "user_id", "value")
+        .withColumn("__w", F.pmod(F.col("event_id"), F.lit(n_waves)))
+    )
+    src = cat.create_table(
+        "cdc_probe_src",
+        schema={"event_id": "long", "user_id": "long", "value": "double"},
+    )
+    t_build0 = time.time()
+    # delete axes are independent of the wave slicing (user_id buckets vs
+    # event_id modulus) so EVERY wave lands all four commit kinds, each
+    # delete scoped to the wave's own rows
+    for w in range(n_waves):
+        chunk = ev.filter(F.col("__w") == w).drop("__w")
+        src.append(chunk)
+        src.delete_by_keys(
+            chunk.filter(F.col("user_id") % 7 == 0).select("event_id"),
+            "event_id",
+        )
+        src.delete_where(
+            f"event_id % {n_waves} = {w} AND user_id % 7 = 1",
+            mode="merge-on-read-positional",
+        )
+        src.delete_where(
+            f"event_id % {n_waves} = {w} AND user_id % 7 = 2",
+            mode="merge-on-read-dv",
+        )
+    build_wall = time.time() - t_build0
+    src = src.refresh()
+    meta = src.ops.load()
+    snaps = sorted(meta.snapshots, key=lambda s: s.sequence_number)
+    n_commits = len(snaps)
+
+    # -- planning-time walk: one changelog micro-batch per commit --------
+    reader = EngineTableStreamReader(
+        {"location": src.ops.location, "mode": "changelog"}
+    )
+    plan_ms_append: list[float] = []
+    plan_ms_delete: list[float] = []
+    prev_id = None
+    for s in snaps:
+        t0 = time.time()
+        reader.partitions(
+            {"snapshot_id": prev_id}, {"snapshot_id": s.snapshot_id}
+        )
+        ms = (time.time() - t0) * 1000.0
+        (plan_ms_append if s.operation == "append" else plan_ms_delete).append(ms)
+        prev_id = s.snapshot_id
+
+    def fifth_means(xs: list[float]):
+        k = max(1, len(xs) // 5)
+        return sum(xs[:k]) / k, sum(xs[-k:]) / k
+
+    a_first, a_last = fifth_means(plan_ms_append)
+    d_first, d_last = fifth_means(plan_ms_delete)
+    append_flat = a_last <= 3.0 * max(a_first, 1.0)
+
+    # -- replication drain: the continuous CDC loop over the full history
+    rep = cat.create_table(
+        "cdc_probe_rep",
+        schema={"event_id": "long", "user_id": "long", "value": "double"},
+    )
+    import tempfile
+
+    t0 = time.time()
+    q = stream_changelog_apply(spark, src, rep, "event_id", tempfile.mkdtemp())
+    q.awaitTermination()
+    drain_wall = time.time() - t0
+    n_src = src.scan().to_df().count()
+    n_rep = rep.refresh().scan().to_df().count()
+    changed = src.changelog_scan().count()
+
+    out = {
+        "metric": "cdc_scale_probe",
+        "sf_dir": sf_dir,
+        "n_commits": n_commits,
+        "n_rows_final": n_src,
+        "replica_matches": bool(n_rep == n_src),
+        "changed_rows": changed,
+        "build_wall_s": round(build_wall, 2),
+        "drain_wall_s": round(drain_wall, 2),
+        "plan_ms_append_first5th": round(a_first, 1),
+        "plan_ms_append_last5th": round(a_last, 1),
+        "plan_ms_delete_first5th": round(d_first, 1),
+        "plan_ms_delete_last5th": round(d_last, 1),
+        "append_planning_flat": bool(append_flat),
+    }
+    print(json.dumps(out))
+    if not append_flat or n_rep != n_src:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
