@@ -21,10 +21,24 @@ At 100 TB this is the difference between re-scanning the fact table per
 dashboard refresh and touching only the appended files: refresh cost
 tracks ingest volume, never table size.  Supported aggregates are the
 decomposable ones — ``sum``, ``count``, ``min``, ``max`` (``avg`` =
-materialize sum + count, divide at query time).  Sources must be
-append-only between refreshes (the incremental scan REFUSES windows
-containing rewrites — honest failure, not silent double counting);
-after a source compaction, ``refresh(full=True)`` rebuilds the state.
+materialize sum + count, divide at query time).
+
+Two maintenance modes (r9):
+
+- ``mode='append'`` (default): deltas come from ``incremental_scan`` —
+  O(new files), but sources must be append-only between refreshes (the
+  scan REFUSES windows containing rewrites; after a compaction,
+  ``refresh(full=True)`` rebuilds).
+- ``mode='changelog'``: deltas come from ``changelog_scan``, so DELETES
+  RETRACT — each delta row folds with sign +1 (insert) / −1 (delete),
+  an UPDATE's delete+insert pair nets to the value change, and a
+  compaction emits nothing (physical churn cancels) — the full-refresh
+  requirement disappears.  Classic IVM restriction applies: only
+  INVERTIBLE aggregates (``sum``, ``count``; ``avg`` = both) maintain
+  under retraction — ``min``/``max`` need the dropped value's group
+  recomputed and are refused with guidance.  A hidden ``__mv_n`` group
+  cardinality rides the state; groups retracted to zero stay as
+  tombstone rows the reader filters, so the fold remains ONE merge.
 """
 
 from __future__ import annotations
@@ -60,20 +74,42 @@ class MaterializedAggregate:
         group_by: list[str],
         aggs: dict[str, tuple],
         derived: Optional[dict[str, str]] = None,
+        mode: str = "append",
     ):
+        if mode not in ("append", "changelog"):
+            raise InvalidDataError(
+                f"materialized mode {mode!r}: expected 'append' or 'changelog'"
+            )
         for out, (fn, _col) in aggs.items():
             if fn not in _COMBINE:
                 raise InvalidDataError(
                     f"aggregate {fn!r} for {out!r} is not decomposable; "
                     "supported: sum, count, min, max (avg = sum + count)"
                 )
+            if mode == "changelog" and fn in ("min", "max"):
+                # classic IVM restriction: min/max cannot retract — when
+                # the current extremum is deleted the group needs a
+                # recompute.  Honest refusal beats silently-stale state.
+                raise InvalidDataError(
+                    f"aggregate {fn!r} for {out!r} is not invertible and "
+                    "cannot maintain under deletes; use mode='append' "
+                    "(with full refresh after rewrites) or materialize "
+                    "sum/count"
+                )
             if out in group_by:
                 raise InvalidDataError(f"aggregate column {out!r} shadows a key")
+            if out == "__mv_n":
+                raise InvalidDataError("__mv_n is reserved for the maintainer")
         self.catalog = catalog
         self.name = name
         self.source = source
         self.group_by = list(group_by)
         self.aggs = dict(aggs)
+        self.mode = mode
+        if mode == "changelog":
+            # hidden group cardinality: zero ⇒ the group was fully
+            # retracted and reads filter it (tombstone, GC'd by rebuild)
+            self.aggs["__mv_n"] = ("count", "*")
         # derived group keys (the hypertable time_bucket: group on a SQL
         # expression of source columns, e.g. day = date_trunc('DAY', ts))
         self.derived = dict(derived or {})
@@ -89,6 +125,36 @@ class MaterializedAggregate:
                 exprs.append(F.count(target).alias(out))
             else:
                 exprs.append(getattr(F, fn)(F.col(col)).alias(out))
+        return rows.groupBy(*self.group_by).agg(*exprs)
+
+    def _partial_signed(self, delta: DataFrame) -> DataFrame:
+        """Signed partial aggregation over CHANGELOG rows: each row folds
+        with +1 (insert) / −1 (delete), so ``sum`` becomes
+        ``sum(sign·col)`` and ``count`` becomes ``sum(sign)`` — the merge
+        combine (`t + s`) then subtracts retractions exactly.  An
+        UPDATE's delete+insert pair nets to the value delta; a row
+        inserted and deleted within one window cancels to nothing."""
+        sign = (
+            F.when(F.col("_change_type") == "insert", F.lit(1))
+            .otherwise(F.lit(-1))
+        )
+        rows = delta.withColumn("__sign", sign)
+        for k, expr in self.derived.items():
+            rows = rows.withColumn(k, F.expr(expr))
+        exprs = []
+        for out, (fn, col) in self.aggs.items():
+            if fn == "count":
+                if col in ("*", None):
+                    exprs.append(F.sum(F.col("__sign")).alias(out))
+                else:
+                    exprs.append(
+                        F.sum(
+                            F.when(F.col(col).isNotNull(), F.col("__sign"))
+                            .otherwise(F.lit(0))
+                        ).alias(out)
+                    )
+            else:  # sum — the only other fn changelog mode admits
+                exprs.append(F.sum(F.col("__sign") * F.col(col)).alias(out))
         return rows.groupBy(*self.group_by).agg(*exprs)
 
     def _rollup_table(self):
@@ -138,8 +204,16 @@ class MaterializedAggregate:
             # watermark rides the overwrite commit — atomic with the state
             rollup.overwrite(state, summary_extra={_WATERMARK_KEY: str(head)})
             return rollup.refresh()
-        delta = src.incremental_scan(from_snapshot_id=since, to_snapshot_id=head)
-        part = self._partial(delta)
+        if self.mode == "changelog":
+            delta = src.changelog_scan(
+                from_snapshot_id=since, to_snapshot_id=head
+            )
+            part = self._partial_signed(delta)
+        else:
+            delta = src.incremental_scan(
+                from_snapshot_id=since, to_snapshot_id=head
+            )
+            part = self._partial(delta)
         if part.isEmpty():
             # empty window (metadata-only source commits): leave the
             # watermark where it is — re-deriving the same empty window
@@ -160,4 +234,9 @@ class MaterializedAggregate:
         rollup = self._rollup_table()
         if rollup is None:
             raise InvalidDataError(f"materialized aggregate {self.name!r} not yet refreshed")
-        return rollup.to_df()
+        df = rollup.to_df()
+        if self.mode == "changelog":
+            # fully-retracted groups are zero-cardinality tombstones; the
+            # reader filters them (a full refresh rebuilds without them)
+            df = df.filter(F.col("__mv_n") > 0).drop("__mv_n")
+        return df

@@ -48,6 +48,7 @@ _DRIVER_BUDGET = 50
 _NEVER_DRIVER_CHECKED = [
     # new in r9 (never driver-checked by definition)
     "embedding_ann_pq_table", "stream_changelog_cow",
+    "engine_materialized_changelog",
     # changed in r9: oracle or operator code — prior green is stale
     "embedding_binarize_pack",            # oracle CAST fix (VERDICT #1)
     "asof_join_forward",                  # struct-fill + NULL oracle

@@ -951,3 +951,64 @@ def engine_materialized_agg(spark, sf_dir):
         F.col("n").cast("long").alias("n"),
         "lo", "hi",
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "engine_materialized_changelog",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6))) AS DOUBLE) AS total,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey < 3000 AND o_orderkey % 5 <> 1
+          AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def engine_materialized_changelog(spark, sf_dir):
+    """CHANGELOG-maintained materialized aggregate (materialized.py
+    mode='changelog', r9): source appends, a merge-on-read predicate
+    DELETE, a copy-on-write DELETE of a whole group, and a COMPACTION —
+    each followed by a refresh folding the changelog window's signed
+    deltas (insert +1 / delete −1) in one merge; deletes RETRACT, the
+    fully-deleted group vanishes from reads (tombstone filtered), the
+    compaction folds nothing, and full refresh is never called.  The
+    final state must equal a from-scratch GROUP BY over the surviving
+    rows (the DuckDB twin).  Sum folds through DECIMAL(18,6) so
+    accumulation order is engine-neutral."""
+    from iceberg_ruby_spark.materialized import MaterializedAggregate
+
+    cat = _temp_catalog(spark)
+    src = cat.create_table(
+        "mvcl_src", schema={"o_orderkey": "long", "o_orderpriority": "string",
+                            "dec_price": "decimal(18, 6)",
+                            "o_totalprice": "double"}
+    )
+    mv = MaterializedAggregate(
+        cat, "mvcl_rollup", src, group_by=["o_orderpriority"],
+        aggs={"total": ("sum", "dec_price"), "n": ("count", "*")},
+        mode="changelog",
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    rows = orders.select(
+        "o_orderkey", "o_orderpriority",
+        F.col("o_totalprice").cast("decimal(18, 6)").alias("dec_price"),
+        "o_totalprice",
+    )
+    for lo, hi in ((0, 1500), (1500, 3000)):
+        src.append(
+            rows.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        )
+        mv.refresh()
+    src.delete_where("o_orderkey % 5 = 1", mode="merge-on-read")
+    mv.refresh()
+    src.delete_where("o_orderpriority = '5-LOW'")   # CoW, whole group gone
+    mv.refresh()
+    src.compact()                                   # emits nothing
+    mv.refresh()
+    out = mv.to_df()
+    return out.select(
+        "o_orderpriority",
+        F.col("total").cast("double").alias("total"),
+        F.col("n").cast("long").alias("n"),
+    ).orderBy("o_orderpriority")

@@ -49,6 +49,74 @@ def test_materialized_agg_incremental(catalog):
     ]
 
 
+def test_materialized_agg_changelog_mode(catalog):
+    """mode='changelog' (r9): deletes RETRACT, updates net to the value
+    change, a fully-retracted group disappears from reads, and a source
+    compaction no longer forces full=True (physical churn cancels in the
+    changelog)."""
+    t = catalog.create_table("mv_cl", schema={"grp": "string", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_cl_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x"), "n": ("count", "*")},
+        mode="changelog",
+    )
+    t.append([
+        {"grp": "a", "x": 1.0}, {"grp": "a", "x": 3.0},
+        {"grp": "b", "x": 2.0}, {"grp": "c", "x": 5.0},
+    ])
+    mv.refresh()
+    assert sorted((x["grp"], x["total"], x["n"]) for x in mv.to_df().collect()) == [
+        ("a", 4.0, 2), ("b", 2.0, 1), ("c", 5.0, 1),
+    ]
+    # merge-on-read predicate delete retracts; CoW update nets
+    t.delete_where("grp = 'a' AND x = 3.0", mode="merge-on-read")
+    t.update_where({"x": "20.0"}, "grp = 'b'")        # CoW rewrite commit
+    mv.refresh()
+    assert sorted((x["grp"], x["total"], x["n"]) for x in mv.to_df().collect()) == [
+        ("a", 1.0, 1), ("b", 20.0, 1), ("c", 5.0, 1),
+    ]
+    # full-group retraction: 'c' vanishes from reads (tombstone filtered)
+    t.delete_where("grp = 'c'")
+    mv.refresh()
+    assert sorted((x["grp"], x["total"]) for x in mv.to_df().collect()) == [
+        ("a", 1.0), ("b", 20.0),
+    ]
+    # compaction + append: NO full refresh needed in changelog mode
+    t.compact()
+    t.append([{"grp": "a", "x": 9.0}])
+    mv.refresh()
+    assert sorted((x["grp"], x["total"], x["n"]) for x in mv.to_df().collect()) == [
+        ("a", 10.0, 2), ("b", 20.0, 1),
+    ]
+    # state equals a from-scratch aggregate of the source
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        (r["grp"], r["total"], r["n"])
+        for r in t.to_df().groupBy("grp")
+        .agg(F.sum("x").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    got = sorted((x["grp"], x["total"], x["n"]) for x in mv.to_df().collect())
+    assert got == want
+    # invertibility guard
+    with pytest.raises(InvalidDataError, match="not invertible"):
+        MaterializedAggregate(
+            catalog, "mv_cl_bad", t, group_by=["grp"],
+            aggs={"lo": ("min", "x")}, mode="changelog",
+        )
+    with pytest.raises(InvalidDataError, match="expected 'append' or 'changelog'"):
+        MaterializedAggregate(
+            catalog, "mv_cl_bad2", t, group_by=["grp"],
+            aggs={"total": ("sum", "x")}, mode="bogus",
+        )
+    with pytest.raises(InvalidDataError, match="reserved"):
+        MaterializedAggregate(
+            catalog, "mv_cl_bad3", t, group_by=["grp"],
+            aggs={"__mv_n": ("count", "*")}, mode="changelog",
+        )
+
+
 def test_materialized_agg_guards(catalog):
     t = catalog.create_table("mv_g", schema={"grp": "string", "x": "double"})
     with pytest.raises(InvalidDataError, match="not decomposable"):
