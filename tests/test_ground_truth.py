@@ -436,6 +436,17 @@ def test_pq_table_index_lifecycle(catalog, spark):
     farq = far.filter("vec_id = 1000000")
     top = pq_table_search(t2, farq, k=5, refine=4).collect()
     assert len(top) == 5 and min(r.cosine for r in top) >= 0.999
+    # the ADC scan is COLUMN-PRUNED: the hot (id, codes) projection never
+    # reads the 32x-bigger vector column — the read-shrink claim, pinned
+    # at the plan level like ivf_table's 2-of-16-files pin
+    plan = (
+        t2.scan().select("vec_id", "codes").to_df()
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    read_schemas = [
+        ln for ln in plan.splitlines() if "ReadSchema" in ln
+    ]
+    assert read_schemas and all("embedding" not in ln for ln in read_schemas)
     # CALL spellings
     r = catalog.sql("CALL system.pq_index_drift('emb_pq_t')")
     assert r.columns[-1] == "stale" and r.rows[0][-1] is False
