@@ -53,7 +53,19 @@ from iceberg_ruby_spark.errors import InvalidDataError
 _WATERMARK_KEY = "mv-source-snapshot-id"
 
 _COMBINE = {
-    "sum": lambda c: f"t.{c} + s.{c}",
+    # SQL SUM is null only when EVERY value is null — the combine must
+    # mirror that (null absorbs into the other side, never poisons it):
+    # a window whose values for a group are all NULL contributes a NULL
+    # partial, and `t + NULL` would otherwise corrupt the stored total
+    # forever (r9 review finding #2).  Known IVM deviation, documented:
+    # in changelog mode a group whose non-null values are ALL retracted
+    # reads 0 where a from-scratch SUM reads NULL; refresh(full=True)
+    # normalizes.
+    "sum": lambda c: (
+        f"CASE WHEN t.{c} IS NULL THEN s.{c} "
+        f"WHEN s.{c} IS NULL THEN t.{c} "
+        f"ELSE t.{c} + s.{c} END"
+    ),
     "count": lambda c: f"t.{c} + s.{c}",
     "min": lambda c: f"least(t.{c}, s.{c})",
     "max": lambda c: f"greatest(t.{c}, s.{c})",

@@ -569,6 +569,42 @@ def pq_encode(
     ).withColumn("codes", _encode(F.col("__cv")))
 
 
+def _adc_scorer(codebooks, qrows):
+    """Arrow-batched ASYMMETRIC-DISTANCE scorer shared by
+    :func:`pq_search` and :func:`pq_table_search`: per query a
+    ``m × n_codes`` inner-product lookup table built once driver-side
+    (query-norm-scaled), plus the reconstruction-norm table — the
+    numerically sensitive ADC core lives in ONE place."""
+    import numpy as np
+    import pandas as pd
+
+    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
+    m = len(cbs)
+    dsub = cbs[0].shape[1]
+    sqn = np.stack([(cb**2).sum(axis=1) for cb in cbs])
+    luts = {}
+    for r in qrows:
+        qv = np.asarray(r[1], dtype=np.float64)
+        qn = float(np.sqrt((qv**2).sum())) or 1.0
+        luts[r[0]] = np.stack(
+            [cbs[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
+        ) / qn
+
+    @F.pandas_udf("double")
+    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
+        out = np.empty(len(qids))
+        rng = np.arange(m)
+        for i, (qid, cs) in enumerate(zip(qids, codes)):
+            cs = np.asarray(cs, dtype=np.int64)
+            lut = luts[qid]
+            dot = lut[rng, cs].sum()
+            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
+            out[i] = dot / rnorm
+        return pd.Series(out)
+
+    return _adc
+
+
 def pq_search(
     codebooks,
     encoded: DataFrame,
@@ -588,37 +624,11 @@ def pq_search(
     per-query top ``refine × k`` ADC candidates are then EXACTLY
     re-ranked on the true vectors riding the encoded frame.  Output
     matches the other ANN searches: (query_id, id, cosine, rank)."""
-    import numpy as np
-    import pandas as pd
-
     query_id_col = query_id_col or id_col
-    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    m = len(cbs)
-    dsub = cbs[0].shape[1]
-    sqn = np.stack([(cb**2).sum(axis=1) for cb in cbs])  # m × n_codes
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col)
     ).collect()
-    luts = {}
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qn = float(np.sqrt((qv**2).sum())) or 1.0
-        luts[r[0]] = np.stack(
-            [cbs[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
-        ) / qn  # m × n_codes, already query-norm-scaled
-
-    @F.pandas_udf("double")
-    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.empty(len(qids))
-        rng = np.arange(m)
-        for i, (qid, cs) in enumerate(zip(qids, codes)):
-            cs = np.asarray(cs, dtype=np.int64)
-            lut = luts[qid]
-            dot = lut[rng, cs].sum()
-            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
-            out[i] = dot / rnorm
-        return pd.Series(out)
-
+    _adc = _adc_scorer(codebooks, qrows)
     qids = queries.select(F.col(query_id_col).alias("query_id"))
     cand = (
         encoded.crossJoin(F.broadcast(qids))
@@ -1083,6 +1093,9 @@ def pq_table_index(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
         sample_size=sample_size, seed=seed,
     )
+    # the encode pass is the expensive distributed step — persist so the
+    # build-error aggregate and the append materialize it ONCE
+    enc = enc.persist()
     src_fields = {f.name: f.dataType for f in corpus.schema.fields}
     src_type = src_fields[vec_col].simpleString()
     rows = enc.select(
@@ -1108,10 +1121,17 @@ def pq_table_index(
             ),
             "pq.vec-col": vec_col,
             "pq.id-col": id_col,
+            # build REQUEST parameters, not the kmeans-clamped shapes —
+            # retrain must re-run with what the user asked for (a small
+            # first corpus would otherwise cap n_codes forever)
+            "pq.m": str(m),
+            "pq.n-codes": str(n_codes),
+            "pq.sample-size": str(sample_size),
             "pq.build-recon-err": repr(build_err),
         },
     )
     t.append(rows)
+    enc.unpersist()
     return t.refresh()
 
 
@@ -1215,13 +1235,20 @@ def pq_table_retrain(index_table, seed: int = 42):
     vec_col = props.get("pq.vec-col", "embedding")
     id_col = props.get("pq.id-col", "vec_id")
     old = _json.loads(props["pq.codebooks"])
-    m, n_codes = len(old), len(old[0])
+    # the build REQUEST parameters, not the kmeans-clamped codebook
+    # shapes: a small first corpus clamps len(old[0]) below the asked-for
+    # n_codes, and a retrain from the clamped value would cap quantization
+    # fidelity forever (r9 review finding #4)
+    m = int(props.get("pq.m", len(old)))
+    n_codes = int(props.get("pq.n-codes", len(old[0])))
+    sample_size = int(props.get("pq.sample-size", 4096))
     corpus = index_table.scan().select(id_col, vec_col).to_df()
     src_type = dict(corpus.dtypes)[vec_col]
     codebooks, enc = pq_index(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
-        seed=seed,
+        sample_size=sample_size, seed=seed,
     )
+    enc = enc.persist()  # one materialization feeds both jobs below
     err, _n = _pq_recon_err(
         enc.select(F.col("__cv").alias(vec_col), "codes"), vec_col, codebooks
     )
@@ -1237,6 +1264,7 @@ def pq_table_retrain(index_table, seed: int = 42):
             "pq.build-recon-err": repr(err),
         },
     )
+    enc.unpersist()
     return index_table.refresh()
 
 
@@ -1257,41 +1285,15 @@ def pq_table_search(
     id-IN-list scan the engine's stats pruning consumes."""
     import json as _json
 
-    import numpy as np
-    import pandas as pd
-
     props = index_table.properties
     codebooks = _json.loads(props["pq.codebooks"])
     vec_col = props.get("pq.vec-col", "embedding")
     id_col = props.get("pq.id-col", "vec_id")
     query_id_col = query_id_col or id_col
-    cbs = [np.asarray(cb, dtype=np.float64) for cb in codebooks]
-    m = len(cbs)
-    dsub = cbs[0].shape[1]
-    sqn = np.stack([(cb**2).sum(axis=1) for cb in cbs])
     qrows = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col)
     ).collect()
-    luts = {}
-    for r in qrows:
-        qv = np.asarray(r[1], dtype=np.float64)
-        qn = float(np.sqrt((qv**2).sum())) or 1.0
-        luts[r[0]] = np.stack(
-            [cbs[j] @ qv[j * dsub : (j + 1) * dsub] for j in range(m)]
-        ) / qn
-
-    @F.pandas_udf("double")
-    def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.empty(len(qids))
-        rng = np.arange(m)
-        for i, (qid, cs) in enumerate(zip(qids, codes)):
-            cs = np.asarray(cs, dtype=np.int64)
-            lut = luts[qid]
-            dot = lut[rng, cs].sum()
-            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
-            out[i] = dot / rnorm
-        return pd.Series(out)
-
+    _adc = _adc_scorer(codebooks, qrows)
     spark = index_table.spark
     enc = index_table.scan().select(id_col, "codes").to_df()
     qids = spark.createDataFrame(
@@ -1312,13 +1314,27 @@ def pq_table_search(
         .select("query_id", id_col)
         .collect()
     )
+    qt = dict(queries.dtypes)[query_id_col]
+    it = dict(enc.dtypes)[id_col]
+    if not cand_rows:
+        # empty queries, or every corpus row was a self-match: a typed
+        # empty frame, never a crashing `IN ()`
+        return spark.createDataFrame(
+            [], f"query_id {qt}, {id_col} {it}, cosine double, rank int"
+        )
     cand = spark.createDataFrame(
-        [(r[0], r[1]) for r in cand_rows],
-        f"query_id {dict(queries.dtypes)[query_id_col]}, "
-        f"{id_col} {dict(enc.dtypes)[id_col]}",
+        [(r[0], r[1]) for r in cand_rows], f"query_id {qt}, {id_col} {it}"
     )
+
+    def _sql_lit(v):
+        # quote-safe literal: string ids may carry quotes; everything
+        # else the engine's predicate parser reads back as a number
+        if isinstance(v, str):
+            return "'" + v.replace("'", "''") + "'"
+        return repr(v)
+
     cand_ids = sorted({r[1] for r in cand_rows})
-    id_list = ", ".join(repr(v) for v in cand_ids)
+    id_list = ", ".join(_sql_lit(v) for v in cand_ids)
     vecs = (
         index_table.scan()
         .filter(f"{id_col} IN ({id_list})")

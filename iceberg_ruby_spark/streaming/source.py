@@ -75,6 +75,7 @@ non-append commits), so this exceeds the upstream surface."""
 
 from __future__ import annotations
 
+import json
 import os
 from typing import Any, Iterator, Optional
 
@@ -644,21 +645,38 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
         def _del_id(e):
             if "delete-predicate" in e:
-                return repr(e.get("delete-predicate"))
+                # the FULL canonical entry, not just the predicate text:
+                # the same predicate re-issued later carries a different
+                # applies-to scope and MUST read as a new delete (a
+                # text-only key made the second delete invisible to the
+                # stream — r9 review finding)
+                return "pred:" + json.dumps(
+                    {k: sorted(v) if isinstance(v, (list, set)) else v
+                     for k, v in e.items() if k != "schema-id"},
+                    sort_keys=True, default=str,
+                )
             # two DVs can share one puffin file at different offsets
             return (e.get("delete-file"), e.get("content-offset"))
 
-        prev_del_ids = {
+        from collections import Counter as _Counter
+
+        prev_del_counts = _Counter(
             _del_id(e)
             for e in prev_entries
             if "delete-file" in e or "delete-predicate" in e
-        }
-        added_deletes = [
-            e
-            for e in cur_entries
-            if ("delete-file" in e or "delete-predicate" in e)
-            and _del_id(e) not in prev_del_ids
-        ]
+        )
+        # multiset diff: an entry is ADDED when its occurrence index in
+        # the current manifest exceeds the parent's count of the same
+        # canonical key — a byte-identical re-issued delete still streams
+        seen: dict = {}
+        added_deletes = []
+        for e in cur_entries:
+            if "delete-file" not in e and "delete-predicate" not in e:
+                continue
+            k = _del_id(e)
+            seen[k] = seen.get(k, 0) + 1
+            if seen[k] > prev_del_counts.get(k, 0):
+                added_deletes.append(e)
         if any("delete-predicate" in e for e in added_deletes):
             if self.skip_rewrites:
                 # documented skip semantics: pass over the unstreamable

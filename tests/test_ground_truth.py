@@ -436,6 +436,10 @@ def test_pq_table_index_lifecycle(catalog, spark):
     farq = far.filter("vec_id = 1000000")
     top = pq_table_search(t2, farq, k=5, refine=4).collect()
     assert len(top) == 5 and min(r.cosine for r in top) >= 0.999
+    # empty query set: typed empty result, not a crashing IN ()
+    empty = pq_table_search(t2, farq.limit(0), k=5)
+    assert empty.count() == 0
+    assert empty.columns == ["query_id", "vec_id", "cosine", "rank"]
     # the ADC scan is COLUMN-PRUNED: the hot (id, codes) projection never
     # reads the 32x-bigger vector column — the read-shrink claim, pinned
     # at the plan level like ivf_table's 2-of-16-files pin

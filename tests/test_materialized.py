@@ -117,6 +117,30 @@ def test_materialized_agg_changelog_mode(catalog):
         )
 
 
+def test_materialized_agg_null_window_does_not_poison(catalog):
+    """A refresh window whose sum-column values are ALL NULL for a group
+    contributes a NULL partial; the combine must absorb it (SQL SUM
+    semantics: null only when every value is null) instead of poisoning
+    the stored total to NULL forever (r9 review finding #2)."""
+    t = catalog.create_table("mv_nul", schema={"grp": "string", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_nul_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x"), "n": ("count", "x")},
+    )
+    t.append([{"grp": "a", "x": 1.0}])
+    mv.refresh()
+    t.append([{"grp": "a", "x": None}, {"grp": "b", "x": None}])
+    mv.refresh()
+    # a: 1.0 survives the NULL window; b: all-null group reads NULL (SQL)
+    got = {x["grp"]: (x["total"], x["n"]) for x in mv.to_df().collect()}
+    assert got == {"a": (1.0, 1), "b": (None, 0)}
+    # and a later non-null window folds into BOTH (b recovers from NULL)
+    t.append([{"grp": "a", "x": 2.0}, {"grp": "b", "x": 5.0}])
+    mv.refresh()
+    got = {x["grp"]: (x["total"], x["n"]) for x in mv.to_df().collect()}
+    assert got == {"a": (3.0, 2), "b": (5.0, 1)}
+
+
 def test_materialized_agg_guards(catalog):
     t = catalog.create_table("mv_g", schema={"grp": "string", "x": "double"})
     with pytest.raises(InvalidDataError, match="not decomposable"):

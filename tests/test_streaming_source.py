@@ -468,6 +468,23 @@ def test_changelog_stream_apply_replication(catalog, spark, tmp_path):
     assert state(rep) == [(1, "a2"), (3, "c"), (4, "d")]
 
 
+def test_changelog_stream_reissued_predicate_delete(catalog, spark):
+    """A byte-identical predicate re-issued in a later commit is a NEW
+    delete (its applies-to scope covers the newer files) — the old
+    text-only _del_id made the second commit stream ZERO events while
+    the batch changelog_scan emitted them (r9 review finding #1)."""
+    t = catalog.create_table("clre", schema={"k": "int", "v": "int"})
+    t.append([{"k": 1, "v": 1}, {"k": 2, "v": 9}])
+    t.delete_where("v > 5", mode="merge-on-read")      # kills k=2
+    t.append([{"k": 3, "v": 3}, {"k": 4, "v": 9}])
+    t.delete_where("v > 5", mode="merge-on-read")      # same text: kills k=4
+    ev = _changelog_events(spark, t, "clre_sink")
+    deletes = sorted((k, o) for k, _v, ty, o in ev if ty == "delete")
+    assert deletes == [(2, 1), (4, 3)]
+    inserts = sorted((k, o) for k, _v, ty, o in ev if ty == "insert")
+    assert inserts == [(1, 0), (2, 0), (3, 2), (4, 2)]
+
+
 def test_changelog_stream_cow_replication_converges(catalog, spark, tmp_path):
     """Continuous CDC replication over a source mutated with CoW
     rewrites AND predicate deletes: the replica converges to the source
