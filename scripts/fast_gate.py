@@ -1,8 +1,8 @@
 """Sharded test gate — the pytest-xdist-shaped speedup without xdist.
 
-Runs the full suite as K concurrent pytest subprocesses (default 4), each
+Runs the full suite as K concurrent pytest subprocesses (default 5), each
 with its own JVM-backed SparkSession sized to a slice of the machine
-(``SPARK_GRAFT_CPUS=8`` → ``local[8]``), so the suite's dominant cost —
+(``SPARK_GRAFT_CPUS=6`` → ``local[6]``), so the suite's dominant cost —
 per-job JVM latency across hundreds of tiny Spark actions — is paid in
 parallel.  Warehouse isolation is free: every test's MemoryCatalog
 already lives in its own ``mkdtemp`` directory.
@@ -12,7 +12,7 @@ per-test durations cached in ``tmp/gate_timings.json`` — the first run
 self-tunes the balance for every later run.  Files never split across
 shards, so per-file fixtures and ordering assumptions hold.
 
-Usage: ``python scripts/fast_gate.py [-k EXPR]``  (env: GATE_SHARDS=4)
+Usage: ``python scripts/fast_gate.py [-k EXPR]``  (env: GATE_SHARDS=5)
 
 The single-process ``python -m pytest tests/ -x -q`` remains the
 canonical serial gate; this script runs the SAME tests with the SAME
@@ -55,12 +55,15 @@ def shard_files(files: list[str], k: int, timings: dict[str, float]) -> list[lis
 
 def main() -> None:
     extra = sys.argv[1:]
-    k = int(os.environ.get("GATE_SHARDS", "4"))
+    # r9: the suite grew past what 4×local[8] covers in 15 min (~3.7k
+    # serial test-seconds); 5 shards × local[6] = 30 of 32 cores keeps
+    # the LPT-balanced wall ≈ 12-13 min with headroom for another round
+    k = int(os.environ.get("GATE_SHARDS", "5"))
     files = sorted(glob.glob(os.path.join(REPO, "tests", "test_*.py")))
     timings = load_timings()
     shards = shard_files(files, k, timings)
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_CPUS", "8")
+    env.setdefault("SPARK_GRAFT_CPUS", "6")
     procs = []
     t0 = time.time()
     for i, shard in enumerate(shards):
