@@ -47,33 +47,40 @@ def main() -> None:
     spark = get_spark("cdc_scale_probe")
     cat = MemoryCatalog(namespace="main", spark=spark)
     cat.create_namespace("main", if_not_exists=True)
-    ev = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select("event_id", "user_id", "value")
-        .withColumn("__w", F.pmod(F.col("event_id"), F.lit(n_waves)))
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
     )
+    lo_id, hi_id = ev.agg(
+        F.min("event_id"), F.max("event_id")
+    ).collect()[0]
+    step = (int(hi_id) - int(lo_id)) // n_waves + 1
     src = cat.create_table(
         "cdc_probe_src",
         schema={"event_id": "long", "user_id": "long", "value": "double"},
     )
     t_build0 = time.time()
-    # delete axes are independent of the wave slicing (user_id buckets vs
-    # event_id modulus) so EVERY wave lands all four commit kinds, each
-    # delete scoped to the wave's own rows
+    # waves slice CONTIGUOUS event_id ranges, and every delete predicate
+    # carries the wave's range — manifest-bounds pruning then scopes each
+    # positional/DV delete's scan to the wave's own files (the honest
+    # 100 TB shape: mutations hit recent data, not the whole table; a
+    # modulus-sliced first cut made the build O(waves × table) and
+    # wedged at sf0.1).  The delete axes (user_id buckets) stay
+    # independent of the slicing so every wave lands all 4 commit kinds.
     for w in range(n_waves):
-        chunk = ev.filter(F.col("__w") == w).drop("__w")
+        lo = int(lo_id) + w * step
+        hi = lo + step
+        rng = f"event_id >= {lo} AND event_id < {hi}"
+        chunk = ev.filter(f"({rng})")
         src.append(chunk)
         src.delete_by_keys(
             chunk.filter(F.col("user_id") % 7 == 0).select("event_id"),
             "event_id",
         )
         src.delete_where(
-            f"event_id % {n_waves} = {w} AND user_id % 7 = 1",
-            mode="merge-on-read-positional",
+            f"{rng} AND user_id % 7 = 1", mode="merge-on-read-positional"
         )
         src.delete_where(
-            f"event_id % {n_waves} = {w} AND user_id % 7 = 2",
-            mode="merge-on-read-dv",
+            f"{rng} AND user_id % 7 = 2", mode="merge-on-read-dv"
         )
     build_wall = time.time() - t_build0
     src = src.refresh()
@@ -118,7 +125,17 @@ def main() -> None:
     drain_wall = time.time() - t0
     n_src = src.scan().to_df().count()
     n_rep = rep.refresh().scan().to_df().count()
-    changed = src.changelog_scan().count()
+    # changed-row volume from SNAPSHOT SUMMARIES (metadata-only): the
+    # batch changelog_scan().count() over a 200-commit window unions
+    # hundreds of per-commit diff plans into one job and OOMs the
+    # single-JVM driver — the streaming drain above handles the same
+    # window fine because it consumes per-commit SLICES, never one
+    # mega-plan (SCALE.md r9: the windowed-consumption design point)
+    changed = sum(
+        int((s.summary or {}).get("added-records", 0))
+        + int((s.summary or {}).get("deleted-records", 0))
+        for s in snaps
+    )
 
     out = {
         "metric": "cdc_scale_probe",
