@@ -3901,7 +3901,11 @@ class Table:
         return self
 
     def delete_by_keys(
-        self, keys: Any, on: Union[str, list[str]], branch: Optional[str] = None
+        self,
+        keys: Any,
+        on: Union[str, list[str]],
+        branch: Optional[str] = None,
+        scope: Optional[str] = None,
     ) -> int:
         """Merge-on-read DELETE by key set — an EQUALITY delete file
         (reference ``FileScanTask#delete_files`` exposes ``equality_ids``,
@@ -3911,7 +3915,17 @@ class Table:
         key values match null, Iceberg's IS NOT DISTINCT FROM semantics) is
         dead on read.  O(|keys|) write, no data-file rewrite — the
         streaming-upsert shape (a CDC feed deletes by primary key without
-        knowing file positions)."""
+        knowing file positions).
+
+        ``scope`` (optional predicate string, same grammar as
+        ``compact(where=...)``) is the caller's promise that every row
+        matching the keys lives in files whose stats bounds can satisfy
+        it — the hit-finding scan then reads ONLY those files (manifest
+        bounds pruning, conservative), and the delete entry's
+        ``applies-to`` shrinks with it.  At 100 TB a CDC feed deleting
+        keys from the last day's partitions scans the last day, not the
+        table.  A FALSE scope silently misses rows outside it — scope is
+        an optimization contract, not a filter."""
         self._check_writable()
         cols = [on] if isinstance(on, str) else list(on)
         schema = self.current_schema()
@@ -3944,8 +3958,21 @@ class Table:
         ).distinct()
         entries = self._current_entries(branch)
         # count the live rows that will die (delta semantics, like the
-        # other MoR modes) and find which files they live in
-        live = self._read_entries(entries, file_col="__f")
+        # other MoR modes) and find which files they live in; with a
+        # scope promise, bounds-prune the files the counting scan opens
+        # (MoR delete entries ride along so already-dead rows don't
+        # count as hits)
+        scan_entries = entries
+        if scope is not None:
+            tree = _parse_predicate(scope)
+            if tree is None:
+                raise InvalidDataError(
+                    "delete_by_keys(scope=...) needs a parseable predicate "
+                    "(col op literal joined by AND/OR); got: " + repr(scope)
+                )
+            data, mor = self._split_entries(entries)
+            scan_entries = self._prune_by_stats(data, tree) + mor
+        live = self._read_entries(scan_entries, file_col="__f")
         match_cond = [live[c].eqNullSafe(keys_df[c]) for c in cols]
         # Broadcast only when the key frame's Catalyst size estimate fits
         # the budget — a CDC batch broadcasts (no fact shuffle); a 10^8-key

@@ -50,31 +50,37 @@ def main() -> None:
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
         "event_id", "user_id", "value"
     )
-    lo_id, hi_id = ev.agg(
-        F.min("event_id"), F.max("event_id")
-    ).collect()[0]
-    step = (int(hi_id) - int(lo_id)) // n_waves + 1
+    # wave boundaries from QUANTILES, not the raw id range: contiguous
+    # ranges keep every delete predicate bounds-prunable, and quantile
+    # cuts keep waves row-balanced and NON-EMPTY for sparse/clustered id
+    # distributions too (a range/n_waves cut silently yields empty waves
+    # there, turning the flatness measurement into no-op appends)
+    cuts = ev.stat.approxQuantile(
+        "event_id", [i / n_waves for i in range(n_waves + 1)], 0.001
+    )
+    bounds = [int(c) for c in cuts]
+    bounds[-1] += 1  # make the last wave's half-open range cover max id
     src = cat.create_table(
         "cdc_probe_src",
         schema={"event_id": "long", "user_id": "long", "value": "double"},
     )
     t_build0 = time.time()
-    # waves slice CONTIGUOUS event_id ranges, and every delete predicate
-    # carries the wave's range — manifest-bounds pruning then scopes each
-    # positional/DV delete's scan to the wave's own files (the honest
-    # 100 TB shape: mutations hit recent data, not the whole table; a
-    # modulus-sliced first cut made the build O(waves × table) and
-    # wedged at sf0.1).  The delete axes (user_id buckets) stay
-    # independent of the slicing so every wave lands all 4 commit kinds.
+    # every wave lands all 4 commit kinds, each mutation scoped to the
+    # wave's own id range — deletes prune to the wave's files via bounds
+    # (the honest 100 TB shape: mutations hit recent data, not the whole
+    # table; a modulus-sliced first cut made the build O(waves × table)
+    # and wedged at sf0.1).  The equality delete passes the same range as
+    # its `scope` promise so its hit-counting scan prunes identically.
     for w in range(n_waves):
-        lo = int(lo_id) + w * step
-        hi = lo + step
+        lo, hi = bounds[w], bounds[w + 1]
+        assert hi > lo, f"wave {w} is empty: quantile cut [{lo},{hi})"
         rng = f"event_id >= {lo} AND event_id < {hi}"
         chunk = ev.filter(f"({rng})")
         src.append(chunk)
         src.delete_by_keys(
             chunk.filter(F.col("user_id") % 7 == 0).select("event_id"),
             "event_id",
+            scope=rng,
         )
         src.delete_where(
             f"{rng} AND user_id % 7 = 1", mode="merge-on-read-positional"
@@ -123,14 +129,22 @@ def main() -> None:
     q = stream_changelog_apply(spark, src, rep, "event_id", tempfile.mkdtemp())
     q.awaitTermination()
     drain_wall = time.time() - t0
-    n_src = src.scan().to_df().count()
-    n_rep = rep.refresh().scan().to_df().count()
-    # changed-row volume from SNAPSHOT SUMMARIES (metadata-only): the
-    # batch changelog_scan().count() over a 200-commit window unions
-    # hundreds of per-commit diff plans into one job and OOMs the
-    # single-JVM driver — the streaming drain above handles the same
-    # window fine because it consumes per-commit SLICES, never one
-    # mega-plan (SCALE.md r9: the windowed-consumption design point)
+    # replica equivalence by CONTENT (both-direction multiset diff), not
+    # just row count — a drain that deleted N wrong rows would keep
+    # counts equal
+    s_df = src.scan().to_df()
+    r_df = rep.refresh().scan().to_df().select(*s_df.columns)
+    n_src = s_df.count()
+    n_rep = r_df.count()
+    n_content_diff = s_df.exceptAll(r_df).union(r_df.exceptAll(s_df)).count()
+    # MUTATION volume from SNAPSHOT SUMMARIES (metadata-only, build-side
+    # stamps; the denominator for the drain-wall ratio, NOT a measure of
+    # what the stream emitted — content equivalence above is what proves
+    # the emission correct).  The batch changelog_scan().count() over a
+    # 200-commit window unions hundreds of per-commit diff plans into
+    # one job and OOMs the single-JVM driver — the streaming drain
+    # handles the same window fine because it consumes per-commit
+    # SLICES, never one mega-plan (SCALE.md r9 design point).
     changed = sum(
         int((s.summary or {}).get("added-records", 0))
         + int((s.summary or {}).get("deleted-records", 0))
@@ -142,7 +156,8 @@ def main() -> None:
         "sf_dir": sf_dir,
         "n_commits": n_commits,
         "n_rows_final": n_src,
-        "replica_matches": bool(n_rep == n_src),
+        "replica_matches": bool(n_rep == n_src and n_content_diff == 0),
+        "content_diff_rows": n_content_diff,
         "changed_rows": changed,
         "build_wall_s": round(build_wall, 2),
         "drain_wall_s": round(drain_wall, 2),
@@ -153,7 +168,7 @@ def main() -> None:
         "append_planning_flat": bool(append_flat),
     }
     print(json.dumps(out))
-    if not append_flat or n_rep != n_src:
+    if not append_flat or n_rep != n_src or n_content_diff:
         sys.exit(1)
 
 

@@ -64,6 +64,10 @@ def main() -> None:
     shards = shard_files(files, k, timings)
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_CPUS", "6")
+    # 5 JVMs × the 24g default driver heap would cap at 120 GB on a
+    # 125 GB host (no swap) — size the slice with the shard count so the
+    # aggregate ceiling stays under physical memory
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "19g")
     procs = []
     t0 = time.time()
     for i, shard in enumerate(shards):

@@ -282,6 +282,43 @@ def test_equality_delete_by_keys(catalog, spark):
     assert sorted(r["k"] for r in t.to_a()) == [0, 1, 4, 6, 7, 8, 9]
 
 
+def test_equality_delete_scoped_hit_scan(catalog, spark):
+    """delete_by_keys(scope=...) bounds-prunes the hit-finding scan AND
+    the delete entry's applies-to: a truthful scope gives identical
+    results to the unscoped call, and the equality-delete entry
+    references only in-scope files (r9: the ranged-CDC lever)."""
+    t = catalog.create_table("eqscope", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"a{i}"} for i in range(0, 100)])
+    t.append([{"k": i, "v": f"b{i}"} for i in range(100, 200)])
+    t.append([{"k": i, "v": f"c{i}"} for i in range(200, 300)])
+    n = t.delete_by_keys([(210,), (250,), (5000,)], on="k", scope="k >= 200")
+    assert n == 2
+    survivors = sorted(r["k"] for r in t.to_a())
+    assert survivors == sorted(set(range(300)) - {210, 250})
+    # the entry's applies-to covers only files whose bounds reach k>=200
+    eq_entries = [
+        e for e in t._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert len(eq_entries) == 1
+    applies = eq_entries[0].get("applies-to") or []
+    assert applies, "scoped delete must still record applies-to"
+    lo_files = {
+        e["path"] for e in t._current_entries()
+        if "path" in e
+        and int((e.get("upper-bounds") or {}).get("k", 10**9)) < 200
+    }
+    assert lo_files, "expected out-of-scope files with k upper bounds < 200"
+    assert not (set(applies) & lo_files)
+    # malformed scope is a typed error, not a silent full scan
+    import pytest as _pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with _pytest.raises(InvalidDataError, match="parseable predicate"):
+        t.delete_by_keys([(1,)], on="k", scope="k ~~ weird")
+
+
 def test_equality_delete_broadcast_threshold_paths(catalog, monkeypatch):
     """delete_by_keys broadcasts CDC-sized key frames but falls back to a
     shuffle semi-join past the size budget — both paths, identical results."""
