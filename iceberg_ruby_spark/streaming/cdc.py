@@ -31,35 +31,63 @@ def stream_changelog_apply(
     checkpoint_dir: str,
     mode: str | None = None,
     trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
 ):
     """Start (and return) a streaming query replicating ``source_table``
     into ``replica`` keyed on ``on``.  ``mode`` forwards to
     :meth:`Table.apply_changelog` (merge-mode override).  With
     ``trigger_available_now`` (default) the query drains the current
     backlog and stops — call again to catch up; pass False for a
-    continuously-running trigger."""
+    continuously-running trigger.
+
+    The ``max_*_per_trigger`` budgets forward to the source's admission
+    control (commit-granular in changelog mode, weights from manifest
+    entries only) — a month-long 100 TB backfill then replicates as a
+    sequence of right-sized micro-batches, each ONE apply-merge on the
+    replica, instead of one giant batch whose shuffle must hold the
+    whole backlog."""
     from iceberg_ruby_spark.streaming.source import register_stream_source
 
     register_stream_source(spark)
-    stream = (
+    reader = (
         spark.readStream.format("iceberg_table")
         .option("location", source_table.ops.location)
         .option("mode", "changelog")
-        .load()
     )
+    for opt, v in (
+        ("max_files_per_trigger", max_files_per_trigger),
+        ("max_rows_per_trigger", max_rows_per_trigger),
+        ("max_bytes_per_trigger", max_bytes_per_trigger),
+    ):
+        if v is not None:
+            reader = reader.option(opt, str(int(v)))
+    stream = reader.load()
 
     def _apply(batch_df, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
         replica.refresh().apply_changelog(batch_df, on, mode=mode)
 
+    bounded = any(
+        v is not None
+        for v in (max_files_per_trigger, max_rows_per_trigger, max_bytes_per_trigger)
+    )
     writer = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
     )
-    writer = (
-        writer.trigger(availableNow=True)
-        if trigger_available_now
-        else writer.trigger(processingTime="0 seconds")
-    )
-    return writer.start()
+    if trigger_available_now and not bounded:
+        return writer.trigger(availableNow=True).start()
+    q = writer.trigger(processingTime="0 seconds").start()
+    if trigger_available_now:
+        # bounded drain-and-stop: availableNow would stop after ONE
+        # admitted batch; walk the budgeted batches until the backlog is
+        # consumed, then stop — callers' awaitTermination() returns
+        # immediately, same contract as the unbounded drain
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return q

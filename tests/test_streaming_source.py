@@ -518,6 +518,32 @@ def test_changelog_stream_cow_replication_converges(catalog, spark, tmp_path):
     assert state(rep) == [(2, "V2"), (4, "v4"), (5, "v5")]
 
 
+def test_changelog_stream_apply_bounded_waves(catalog, spark, tmp_path):
+    """Replication with admission budgets (r9): max_rows_per_trigger
+    forwards to the source's commit-granular changelog admission, so the
+    backlog drains as SEVERAL right-sized micro-batches — each one
+    apply-merge on the replica — and converges to the same state as an
+    unbounded drain."""
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+
+    src = catalog.create_table("clbw_src", schema={"k": "int", "v": "string"})
+    rep = catalog.create_table("clbw_dst", schema={"k": "int", "v": "string"})
+    for i in range(4):  # 4 append commits of 5 rows each
+        src.append([{"k": 10 * i + j, "v": f"v{10 * i + j}"} for j in range(5)])
+    src.delete_by_keys([{"k": 0}, {"k": 10}], "k")
+    q = stream_changelog_apply(
+        spark, src, rep, "k", str(tmp_path / "ck"),
+        max_rows_per_trigger=5,   # one source commit per batch
+    )
+    q.awaitTermination()
+    want = sorted((r["k"], r["v"]) for r in src.to_a())
+    got = sorted((r["k"], r["v"]) for r in rep.refresh().to_a())
+    assert got == want and len(got) == 18
+    # several apply commits, not one giant batch: each non-empty batch
+    # lands >= 1 replica commit; 5 source commits -> > 2 replica commits
+    assert len(rep.refresh().snapshots) > 2
+
+
 def test_changelog_stream_mor_update_dv(catalog, spark):
     """A merge-on-read UPDATE commit (new data files + deletion vectors,
     ONE commit) streams as delete(old row) + insert(new row); a later DV
