@@ -661,6 +661,12 @@ class Catalog:
         r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
         re.IGNORECASE | re.DOTALL,
     )
+    _MERGE_NMBS_UPDATE_RE = re.compile(
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?"
+        r"THEN\s+UPDATE\s+SET\s+(.+?)"
+        r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
+        re.IGNORECASE | re.DOTALL,
+    )
     _WRITE_KEYWORDS = re.compile(
         r"^\s*(CREATE|INSERT|UPDATE|DELETE|DROP|ALTER|MERGE|TRUNCATE|REPLACE)\b",
         re.IGNORECASE,
@@ -1304,11 +1310,9 @@ class Catalog:
                         f"columns, got: {part.strip()!r}"
                     )
                 keys.append(em.group(1))
-            assignments = None
-            mm = self._MERGE_MATCHED_RE.search(when_src)
-            if mm:
-                assignments = {}
-                for p in _split_top_level(mm.group(1)):
+            def _parse_assignments(src: str) -> dict:
+                out = {}
+                for p in _split_top_level(src):
                     k, eq, v = p.partition("=")
                     k = re.sub(r"^\s*\w+\.", "", k).strip()  # drop target alias
                     if not eq or not re.match(r"^[A-Za-z_][A-Za-z_0-9]*$", k):
@@ -1317,9 +1321,29 @@ class Catalog:
                         )
                     # merge_into evaluates expressions against aliases t/s —
                     # rewrite the user's aliases (or bare table names) to those
-                    assignments[k] = self._merge_canonical_aliases(
+                    out[k] = self._merge_canonical_aliases(
                         v.strip(), talias, salias, name, src_name
                     )
+                return out
+
+            # by-source UPDATE parses (and strips) FIRST: its clause text
+            # shares the WHEN NOT MATCHED BY SOURCE prefix with the
+            # by-source DELETE regex, whose lazy AND-group would otherwise
+            # swallow the UPDATE clause
+            nmbs_update = None
+            nmbs_ucond = None
+            num_ = self._MERGE_NMBS_UPDATE_RE.search(when_src)
+            if num_:
+                if num_.group(1):
+                    nmbs_ucond = self._merge_canonical_aliases(
+                        num_.group(1).strip(), talias, salias, name, src_name
+                    )
+                nmbs_update = _parse_assignments(num_.group(2))
+                when_src = self._MERGE_NMBS_UPDATE_RE.sub("", when_src)
+            assignments = None
+            mm = self._MERGE_MATCHED_RE.search(when_src)
+            if mm:
+                assignments = _parse_assignments(mm.group(1))
             insert = bool(self._MERGE_INSERT_RE.search(when_src))
             nmbs_delete = None
             nm_ = self._MERGE_NMBS_DELETE_RE.search(when_src)
@@ -1345,8 +1369,9 @@ class Catalog:
             if covered.upper().startswith("WHEN"):
                 raise UnsupportedFeatureError(
                     "MERGE supports WHEN MATCHED [AND cond] THEN DELETE, WHEN "
-                    "MATCHED THEN UPDATE SET ... and WHEN NOT MATCHED THEN "
-                    f"INSERT *; unsupported clause: {covered[:60]!r}"
+                    "MATCHED THEN UPDATE SET ..., WHEN NOT MATCHED THEN "
+                    "INSERT *, and WHEN NOT MATCHED BY SOURCE [AND cond] "
+                    f"THEN DELETE | UPDATE SET ...; unsupported clause: {covered[:60]!r}"
                 )
             tbl.merge_into(
                 source,
@@ -1355,6 +1380,8 @@ class Catalog:
                 when_not_matched_insert=insert,
                 when_matched_delete=delete,
                 when_not_matched_by_source_delete=nmbs_delete,
+                when_not_matched_by_source_update=nmbs_update,
+                when_not_matched_by_source_condition=nmbs_ucond,
             )
             self._invalidate_views()
             return Result(self.spark.createDataFrame([], "ok string"))

@@ -85,6 +85,8 @@ from pyspark.sql.datasource import (
     InputPartition,
 )
 
+from iceberg_ruby_spark.errors import InvalidDataError
+
 _MOR_DELETE_MODES = {
     "merge-on-read",
     "merge-on-read-positional",
@@ -108,6 +110,62 @@ def _current_schema(meta):
 
 def _entry_paths(entries: list[dict[str, Any]]) -> list[str]:
     return [e["path"] for e in entries if "path" in e]
+
+
+def _touched_files(e: dict[str, Any]) -> list[str]:
+    """Data files a delete entry is scoped to (its ``applies-to`` list, or
+    the single ``referenced-data-file`` for a deletion vector)."""
+    if e.get("content") == "deletion-vector":
+        return [e["referenced-data-file"]]
+    return list(e.get("applies-to") or [])
+
+
+def _is_delete_entry(e: dict[str, Any]) -> bool:
+    return "delete-file" in e or "delete-predicate" in e
+
+
+def _overlap_groups(
+    entry_for: dict[str, dict], paths: list[str], col: str
+) -> Optional[list[list[str]]]:
+    """Group files by interval overlap of their manifest [lower, upper]
+    bounds on ``col`` — the planning primitive behind distributed content
+    diffs.  Soundness: bounds are CONSERVATIVE (string truncation only
+    widens them), so two files holding an equal row always land in one
+    group; files that may hold NULLs (positive or unrecorded null-count)
+    all merge together, since bounds never witness NULLs.  Returns None
+    when the column can't split (missing stats on any file, or
+    non-comparable bound types) — the caller tries the next column."""
+    ivs = []
+    for p in paths:
+        e = entry_for.get(p) or {}
+        lo = (e.get("lower-bounds") or {}).get(col)
+        hi = (e.get("upper-bounds") or {}).get(col)
+        if lo is None or hi is None:
+            return None
+        nc = (e.get("null-counts") or {}).get(col)
+        ivs.append((lo, hi, nc is None or nc > 0, p))
+    try:
+        ivs.sort(key=lambda t: (t[0], t[1]))
+        # sweep-merge: sorted by lower bound, a file joins the open group
+        # while its lower bound sits at-or-under the group's running max
+        # upper bound
+        groups: list[list] = []  # [paths, max_hi, has_nulls]
+        for lo, hi, hn, p in ivs:
+            if groups and not (groups[-1][1] < lo):
+                g = groups[-1]
+                g[0].append(p)
+                if g[1] < hi:
+                    g[1] = hi
+                g[2] = g[2] or hn
+            else:
+                groups.append([[p], hi, hn])
+    except TypeError:
+        return None  # mixed bound types — not provably comparable
+    out = [sorted(g[0]) for g in groups if not g[2]]
+    nullers = sorted(x for g in groups if g[2] for x in g[0])
+    if nullers:
+        out.append(nullers)
+    return sorted(out)
 
 
 class _FileSlice(InputPartition):
@@ -244,6 +302,18 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # what sizes a CDC backfill's batches.
         self._last: Optional[dict] = None
         self._floor: Optional[dict] = None
+        # content-diff distribution: split a CoW/predicate commit's diff
+        # into bounds-disjoint file groups so it plans >1 task (r9 VERDICT
+        # item 1).  Off-switch kept for A/B probes and as a safety valve.
+        self._split_diffs = (
+            str(options.get("content_diff_split", "true")).lower() != "false"
+        )
+        # incremental delete-view cache: the prior-delete mask for a
+        # structurally-derivable delete commit is served from here instead
+        # of a full manifest read (r9 VERDICT item 4 — the one planning
+        # term that grew with live file count).  Keyed by the manifest
+        # list it reflects; advanced per-commit from deltas.
+        self._dv_cache: Optional[dict] = None
         meta = _ops(self.location).load()
         self._columns = [f.name for f in _current_schema(meta).fields]
 
@@ -615,19 +685,32 @@ class EngineTableStreamReader(DataSourceStreamReader):
             # fast-append structural delta: a pure-append commit plans from
             # the manifests ADDED by this commit alone — O(new files),
             # independent of table size (same property as append-mode
-            # micro-batches).  Full manifests are read only for commits
-            # that carry deletes/rewrites, which need the prior-delete mask
-            # anyway.
+            # micro-batches).  Structurally-derivable DELETE commits also
+            # plan from the delta: added delete entries come from the new
+            # segments, and the prior-delete mask is served by the
+            # incremental delete-view cache — so an MoR delete commit's
+            # planning cost is O(changed entries + live deletes), flat in
+            # live FILE count.  Full manifests are read only for commits
+            # the delta can't describe (CoW rewrites, segment merges,
+            # predicate deletes, prior-predicate masks).
             delta = ops.read_manifest_delta(
                 snap.manifest_list, prev.manifest_list
             )
             if delta is not None and all("path" in e for e in delta):
+                self._advance_delete_cache(ops, prev, snap, delta)
                 return [
                     _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
                     for e in sorted(delta, key=lambda e: e["path"])
                 ]
+            if delta is not None:
+                out = self._delta_change_slices(ops, prev, snap, delta, ordinal)
+                if out is not None:
+                    return out
         cur_entries = ops.read_manifest(snap.manifest_list)
         prev_entries = ops.read_manifest(prev.manifest_list) if prev else []
+        # any full-entry read doubles as a free cache rebuild for the NEXT
+        # commit's structural planning
+        self._set_delete_cache(ops, snap, cur_entries)
         prev_paths = {e["path"] for e in prev_entries if "path" in e}
         cur_paths = {e["path"] for e in cur_entries if "path" in e}
         removed = prev_paths - cur_paths
@@ -677,40 +760,170 @@ class EngineTableStreamReader(DataSourceStreamReader):
             seen[k] = seen.get(k, 0) + 1
             if seen[k] > prev_del_counts.get(k, 0):
                 added_deletes.append(e)
+        inserts: list[InputPartition] = [
+            _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
+            for e in cur_entries
+            if "path" in e and e["path"] not in prev_paths
+        ]
+        prior_dels = [
+            e
+            for e in prev_entries
+            if "delete-file" in e or "delete-predicate" in e
+        ]
         if any("delete-predicate" in e for e in added_deletes):
             if self.skip_rewrites:
                 # documented skip semantics: pass over the unstreamable
-                # delete, keep the commit's inserts
-                return [
-                    _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
-                    for e in cur_entries
-                    if "path" in e and e["path"] not in prev_paths
+                # predicate delete — but still stream the commit's inserts
+                # AND any equality/positional/DV deletes added in the SAME
+                # commit (inserts-only under-emitted mixed-delete commits,
+                # r9 ADVICE)
+                non_pred = [
+                    e for e in added_deletes if "delete-predicate" not in e
                 ]
+                bases = self._entry_bases(ops, prev_entries, non_pred)
+                try:
+                    return self._delete_slices(
+                        ops, non_pred, prior_dels, inserts, sid, ordinal, bases
+                    )
+                except _NeedsContentDiff:
+                    # a prior predicate masks a touched file: the delete
+                    # side has no structural form either — the skip keeps
+                    # inserts only
+                    return [s for s in inserts if s.kind == "insert"]
             # predicate deletes have no executor-evaluable structural form
             # in the slice model — whole-commit content diff instead
             return self._content_diff_slices(
                 ops, prev_entries, cur_entries, sid, ordinal
             )
-        slices: list[InputPartition] = [
-            _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
-            for e in cur_entries
-            if "path" in e and e["path"] not in prev_paths
-        ]
+        bases = self._entry_bases(ops, prev_entries, added_deletes)
+        try:
+            return self._delete_slices(
+                ops, added_deletes, prior_dels, inserts, sid, ordinal, bases
+            )
+        except _NeedsContentDiff:
+            # a prior predicate delete masks a touched file — the partial
+            # structural slices are discarded and the whole commit diffs
+            # by content instead
+            return self._content_diff_slices(
+                ops, prev_entries, cur_entries, sid, ordinal
+            )
 
-        def _touched_files(e) -> list[str]:
-            if e.get("content") == "deletion-vector":
-                return [e["referenced-data-file"]]
-            return list(e.get("applies-to") or [])
+    # -- incremental delete-view cache --------------------------------------
+    #
+    # A structurally-derivable delete commit needs its PARENT's delete
+    # entries (the prior-delete mask) — but reading the parent's full
+    # manifest made delete-commit planning linear in live FILE count
+    # (SCALE.md r9: 1.9 → 7.0 ms across a 200-commit chain).  The cache
+    # holds exactly the mask inputs: the parent state's delete entries plus
+    # the base-location set for positional rebasing.  It's built by ONE
+    # full read (first delete commit of a drain, or after a segment merge)
+    # and then advanced per commit from the structural delta alone, so a
+    # long CDC drain's per-commit planning cost is O(changed entries +
+    # standing deletes), flat in table size.
+
+    def _delete_view_cache(self, ops, prev_snap) -> dict:
+        key = ops._rel(ops._abs(prev_snap.manifest_list))
+        c = self._dv_cache
+        if c is not None and c["list"] == key:
+            return c
+        entries = ops.read_manifest(prev_snap.manifest_list)
+        c = {
+            "list": key,
+            "deletes": [e for e in entries if _is_delete_entry(e)],
+            "bases": {
+                e["base-location"] for e in entries if e.get("base-location")
+            },
+        }
+        self._dv_cache = c
+        return c
+
+    def _advance_delete_cache(self, ops, prev_snap, snap, added) -> None:
+        """Roll the cache forward across one structurally-derivable commit
+        (its ``added`` delta entries are pure additions — containment is
+        what made the delta derivable, so nothing was removed)."""
+        c = self._dv_cache
+        if c is None or c["list"] != ops._rel(ops._abs(prev_snap.manifest_list)):
+            return
+        self._dv_cache = {
+            "list": ops._rel(ops._abs(snap.manifest_list)),
+            "deletes": c["deletes"] + [e for e in added if _is_delete_entry(e)],
+            "bases": c["bases"]
+            | {e["base-location"] for e in added if e.get("base-location")},
+        }
+
+    def _set_delete_cache(self, ops, snap, entries) -> None:
+        """Free rebuild from an already-loaded full entry list."""
+        self._dv_cache = {
+            "list": ops._rel(ops._abs(snap.manifest_list)),
+            "deletes": [e for e in entries if _is_delete_entry(e)],
+            "bases": {
+                e["base-location"] for e in entries if e.get("base-location")
+            },
+        }
+
+    def _delta_change_slices(
+        self, ops, prev, snap, delta, ordinal: int
+    ) -> Optional[list[InputPartition]]:
+        """Structural planning for a delete commit from its manifest DELTA
+        plus the delete-view cache — no full manifest read.  Returns None
+        when the commit needs the full path (predicate deletes, unknown
+        kinds under skip, prior-predicate masks): the caller re-plans with
+        full entries."""
+        sid = snap.snapshot_id
+        added_deletes = [e for e in delta if _is_delete_entry(e)]
+        if any("delete-predicate" in e for e in added_deletes):
+            return None  # content diff (or skip semantics) needs full entries
+        cache = self._delete_view_cache(ops, prev)
+        inserts: list[InputPartition] = [
+            _ChangeSlice("insert", e["path"], self._columns, sid, ordinal)
+            for e in sorted(
+                (e for e in delta if "path" in e), key=lambda e: e["path"]
+            )
+        ]
+        bases = sorted(
+            {ops._abs(".").rstrip("/."), ops.location}
+            | cache["bases"]
+            | {e["base-location"] for e in delta if e.get("base-location")}
+        )
+        try:
+            out = self._delete_slices(
+                ops, added_deletes, cache["deletes"], inserts, sid, ordinal,
+                bases,
+            )
+        except _NeedsContentDiff:
+            return None
+        self._advance_delete_cache(ops, prev, snap, delta)
+        return out
+
+    @staticmethod
+    def _entry_bases(ops, *entry_lists) -> list[str]:
+        """Base prefixes for positional file_path rebasing: write-time
+        base-locations carried on the entries plus the current table
+        location (see ``_ChangeSlice.bases``)."""
+        return sorted(
+            {ops._abs(".").rstrip("/."), ops.location}
+            | {
+                pe["base-location"]
+                for lst in entry_lists
+                for pe in lst
+                if pe.get("base-location")
+            }
+        )
+
+    def _make_priors_for(self, ops, prior_del_entries):
+        """Closure computing the deletes already applied to one data file
+        in the PARENT state — the mask that keeps already-dead rows out of
+        a commit's delete events.  Needs only the parent's DELETE entries
+        (prior data entries can't kill rows), which is what lets the
+        delta-planning path feed it from the incremental delete-view cache
+        instead of a full manifest read.  Prior PREDICATE deletes cannot
+        be masked structurally → :class:`_NeedsContentDiff`."""
 
         def _priors_for(data_abs: str):
-            """Deletes already applied to ``data_abs`` in the PARENT
-            state — the mask that keeps already-dead rows out of this
-            commit's delete events.  Predicate deletes cannot be
-            evaluated executor-side → refuse with guidance."""
             eq: list[tuple[str, tuple[str, ...]]] = []
             pos: list[str] = []
             dv: Optional[tuple[str, int, int]] = None
-            for pe in prev_entries:
+            for pe in prior_del_entries:
                 if "delete-predicate" in pe:
                     ap = pe.get("applies-to")
                     if ap is None or data_abs in (ops._abs(p) for p in ap):
@@ -741,23 +954,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     )
             return eq, pos, dv
 
-        try:
-            return self._delete_slices(
-                ops, added_deletes, prev_entries, slices, sid, ordinal,
-                _touched_files, _priors_for,
-            )
-        except _NeedsContentDiff:
-            # a prior predicate delete masks a touched file — the partial
-            # structural slices are discarded and the whole commit diffs
-            # by content instead
-            return self._content_diff_slices(
-                ops, prev_entries, cur_entries, sid, ordinal
-            )
+        return _priors_for
 
     def _delete_slices(
-        self, ops, added_deletes, prev_entries, slices, sid, ordinal,
-        _touched_files, _priors_for,
+        self, ops, added_deletes, prior_del_entries, slices, sid, ordinal,
+        entry_bases,
     ) -> list[InputPartition]:
+        _priors_for = self._make_priors_for(ops, prior_del_entries)
+        slices = list(slices)
         for e in added_deletes:
             content = e.get("content")
             if content not in (
@@ -780,14 +984,6 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     f"equality delete in commit {sid} records no key "
                     "columns; cannot stream its changelog"
                 )
-            entry_bases = sorted(
-                {ops._abs(".").rstrip("/."), ops.location}
-                | {
-                    pe["base-location"]
-                    for pe in list(prev_entries) + list(added_deletes)
-                    if pe.get("base-location")
-                }
-            )
             for data_path in _touched_files(e):
                 abs_path = ops._abs(data_path)
                 prior_eq, prior_pos, prior_dv = _priors_for(abs_path)
@@ -885,6 +1081,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         if ap is None or path_abs in {
                             ops._abs(p) for p in ap
                         }:
+                            self._check_diff_predicate(e["delete-predicate"])
                             preds.append(e["delete-predicate"])
                         continue
                     content = e.get("content")
@@ -924,11 +1121,76 @@ class EngineTableStreamReader(DataSourceStreamReader):
         cur_specs = side_specs(cur_data, cur_mor)
         if not prev_specs and not cur_specs:
             return []
-        return [
-            _ContentDiffSlice(
-                prev_specs, cur_specs, self._columns, sid, ordinal, bases
+        # distribute the diff: split the commit's files into groups whose
+        # column-bounds ranges are disjoint — equal rows carry equal values
+        # in EVERY column, so a row can only cancel against rows inside
+        # files whose range on ANY one column overlaps its own.  One slice
+        # per group ⇒ a wide CoW commit plans as many parallel tasks as its
+        # key ranges allow instead of one.  Pure metadata; no usable stats
+        # degrade to one group (r9's single-slice plan), never to a wrong
+        # answer.
+        entry_for = dict(prev_data)
+        entry_for.update(cur_data)
+        spec_paths = sorted(
+            {s["path"] for s in prev_specs} | {s["path"] for s in cur_specs}
+        )
+        groups = self._diff_groups(entry_for, spec_paths)
+        slices: list[InputPartition] = []
+        for grp in groups:
+            gs = set(grp)
+            ps = [s for s in prev_specs if s["path"] in gs]
+            cs = [s for s in cur_specs if s["path"] in gs]
+            if ps or cs:
+                slices.append(
+                    _ContentDiffSlice(
+                        ps, cs, self._columns, sid, ordinal, bases
+                    )
+                )
+        return slices
+
+    def _check_diff_predicate(self, pred: str) -> None:
+        """The content-diff executor evaluates stored merge-on-read delete
+        predicates in DuckDB over the file's Arrow columns, while the batch
+        read path evaluates the same text with Spark ``F.expr`` —
+        identical semantics ONLY within the shared ANSI subset (``col op
+        literal`` / AND / OR / parens / IS [NOT] NULL).  A predicate
+        outside that subset (rlike, <=>, backticks, Spark-only functions)
+        would either crash the stream or silently select different rows —
+        replica divergence with no error (r9 ADVICE, medium).  Refuse at
+        PLANNING time with a typed error instead."""
+        from iceberg_ruby_spark.table import _parse_predicate
+
+        if _parse_predicate(pred) is None:
+            raise InvalidDataError(
+                f"changelog streaming cannot evaluate stored delete "
+                f"predicate {pred!r}: only the shared-ANSI subset "
+                "(column op literal, AND/OR, IS [NOT] NULL) is portable "
+                "between the stream's executor and the table read path — "
+                "consume this window with the batch changelog_scan() "
+                "(Spark evaluates the predicate natively) or set "
+                "skip_rewrite_commits=true to pass over the commit"
             )
-        ]
+
+    def _diff_groups(
+        self, entry_for: dict[str, dict], paths: list[str]
+    ) -> list[list[str]]:
+        """Partition a content-diff commit's files into independently
+        diffable groups via manifest column bounds.  For each candidate
+        column, files become intervals [lower, upper]; overlapping
+        intervals merge (sweep over the sorted list), files that may hold
+        NULLs of the column merge with each other (a NULL row can only
+        equal another NULL row), and a file missing stats disqualifies the
+        column.  The column producing the most groups wins."""
+        if len(paths) <= 1 or not self._split_diffs:
+            return [list(paths)]
+        best: Optional[list[list[str]]] = None
+        for col in self._columns:
+            groups = _overlap_groups(entry_for, paths, col)
+            if groups is not None and (best is None or len(groups) > len(best)):
+                best = groups
+        if best is None or len(best) <= 1:
+            return [list(paths)]
+        return best
 
     def _partial_window(
         self, ops, by_id, start_id, start_pos, end_snap, end_pos

@@ -1573,6 +1573,7 @@ class Table:
         self,
         from_snapshot_id: Optional[Union[int, str]] = None,
         to_snapshot_id: Optional[Union[int, str]] = None,
+        chunk_commits: int = 16,
     ) -> DataFrame:
         """Row-level changes between two snapshots: the table columns plus
         ``_change_type`` ('insert' | 'delete'), ``_commit_snapshot_id``,
@@ -1588,7 +1589,16 @@ class Table:
         Z-order) emits NOTHING, because physical file churn without
         logical change cancels exactly.  Cost per commit is O(changed
         files); unchanged files are never opened.  Window ends accept a
-        snapshot id OR a branch/tag name."""
+        snapshot id OR a branch/tag name.
+
+        Long windows are CHUNKED: every ``chunk_commits`` content-diff
+        commits, the accumulated sub-plan is local-checkpointed (computed
+        and pinned to executor storage, truncating the logical plan), so a
+        200-commit window plans as ~13 bounded jobs instead of one union
+        of hundreds of exceptAll trees — which OOMed the driver JVM
+        (SCALE.md r9 probe).  Windows with at most ``chunk_commits``
+        diff-bearing commits stay fully lazy (no behavior change);
+        ``chunk_commits=0`` disables chunking."""
         from_snapshot_id = self._resolve_snapshot_arg(from_snapshot_id)
         to_snapshot_id = self._resolve_snapshot_arg(to_snapshot_id)
         to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
@@ -1615,6 +1625,23 @@ class Table:
         schema = self.current_schema()
         cols = [f.name for f in schema.fields]
         parts = []
+        # chunking state: parts[:sealed] are already checkpointed; diffs
+        # counts the exceptAll-bearing parts accumulated since the seal
+        sealed, diffs = 0, 0
+
+        def _seal_chunk() -> None:
+            nonlocal sealed, diffs
+            live = parts[sealed:]
+            out = live[0]
+            for p in live[1:]:
+                out = out.unionByName(p)
+            # localCheckpoint computes the chunk NOW and replaces its plan
+            # with a scan of the pinned result — the union of chunks stays
+            # a flat, bounded plan however long the window is
+            parts[sealed:] = [out.localCheckpoint(eager=True)]
+            sealed = len(parts)
+            diffs = 0
+
         prev_list = cur.manifest_list if cur is not None else None
         # full entry view loaded lazily — a window of fast-append commits
         # never reads ANY full manifest (O(new files) per commit)
@@ -1649,6 +1676,9 @@ class Table:
                         "_commit_snapshot_id", F.lit(snap.snapshot_id)
                     ).withColumn("_change_ordinal", F.lit(ordinal))
                 )
+                diffs += 1
+                if chunk_commits and diffs >= chunk_commits:
+                    _seal_chunk()
             prev_entries = cur_entries
             prev_list = snap.manifest_list
         if not parts:
@@ -2934,6 +2964,8 @@ class Table:
                 head = r["snapshot-id"] if r else meta.current_snapshot_id
             fast_append = False
             parent_snap = None
+            parent_entries: list[dict[str, Any]] = []
+            parent_list: Optional[str] = None
             if mode == "append":
                 cur = head
                 if cur is not None:
@@ -2975,10 +3007,10 @@ class Table:
                 # parent snapshot (Iceberg v3 row-lineage accounting) — not
                 # by the whole replacement manifest, which double-counts
                 # carried-forward files
-                parent_entries: list[dict[str, Any]] = []
                 for s in meta.snapshots:
                     if s.snapshot_id == cur:
                         parent_entries = self.ops.read_manifest(s.manifest_list)
+                        parent_list = s.manifest_list
                         break
                 parent_paths = {e["path"] for e in parent_entries if "path" in e}
                 added_rows = self._entries_rowcount(
@@ -3080,11 +3112,54 @@ class Table:
                     # preserved rows' non-null cells win via coalesce
                     e["first-row-id"] = next_rid
                     next_rid += e["record-count"]
+            # SUPERSET CHAINING: a replace-mode commit whose entry multiset
+            # CONTAINS the parent's (merge-on-read deletes/merges: nothing
+            # removed, only delete/data entries added) writes just the
+            # delta chained onto the parent's manifest segments — the same
+            # O(changed) commit metadata as fast append, instead of
+            # rewriting the table's full entry set.  This is also what
+            # makes the commit structurally delta-derivable for streaming/
+            # incremental planning (the r9 delete-commit planning term that
+            # grew with live file count).  Value-level containment is the
+            # guard: any carried entry the operation MUTATED (a replaced
+            # DV, rebased stats) breaks containment and the commit falls
+            # back to the full rewrite — chaining can narrow a manifest,
+            # never corrupt one.  ``replace`` operations (rewrite_manifests
+            # / compaction) are excluded: consolidation is their purpose.
+            chain_delta: Optional[list[dict[str, Any]]] = None
+            if (
+                mode != "append"
+                and operation != "replace"
+                and parent_list is not None
+                and parent_entries
+            ):
+                from collections import Counter as _Ctr
+
+                def _canon_entry(e: dict[str, Any]) -> str:
+                    return json.dumps(e, sort_keys=True, default=str)
+
+                parent_counts = _Ctr(_canon_entry(e) for e in parent_entries)
+                seen_counts: dict[str, int] = {}
+                delta_entries = []
+                for e in all_entries:
+                    k = _canon_entry(e)
+                    seen_counts[k] = seen_counts.get(k, 0) + 1
+                    if seen_counts[k] > parent_counts.get(k, 0):
+                        delta_entries.append(e)
+                if delta_entries and all(
+                    seen_counts.get(k, 0) >= n
+                    for k, n in parent_counts.items()
+                ):
+                    chain_delta = delta_entries
             manifest = self.ops.write_manifest(
                 snapshot_id,
-                all_entries,
+                chain_delta if chain_delta is not None else all_entries,
                 ctx=self._avro_manifest_ctx(meta, head),
-                base_list=(parent_snap.manifest_list if fast_append else None),
+                base_list=(
+                    parent_snap.manifest_list
+                    if fast_append
+                    else (parent_list if chain_delta is not None else None)
+                ),
             )
             now = _now_ms()
             parent = head
@@ -4224,6 +4299,8 @@ class Table:
         when_not_matched_insert: bool = True,
         when_matched_delete: Union[bool, str, None] = None,
         when_not_matched_by_source_delete: Union[bool, str, None] = None,
+        when_not_matched_by_source_update: Optional[dict[str, str]] = None,
+        when_not_matched_by_source_condition: Optional[str] = None,
         mode: Optional[str] = None,
         summary_extra: Optional[dict] = None,
         branch: Optional[str] = None,
@@ -4242,10 +4319,30 @@ class Table:
           upsert feed needs at 100 TB (Flink writes Iceberg upserts
           exactly this way).
 
+        ``when_not_matched_by_source_update`` is the remaining ANSI
+        by-source clause (``WHEN NOT MATCHED BY SOURCE [AND cond] THEN
+        UPDATE SET …``, iceberg-spark supports it): target rows whose key
+        the source does NOT carry get the assignments applied
+        (expressions see ``t.*`` only); the optional
+        ``when_not_matched_by_source_condition`` is the clause's AND
+        filter.  When BOTH by-source clauses are given, DELETE is
+        evaluated first (first-matching-clause-wins, delete listed
+        first): a row satisfying both conditions is deleted, the update
+        applies to the rest.
+
         Matching uses an explicit marker column (not key-null sniffing) and
         duplicate source keys are rejected up front, matching ANSI MERGE
         cardinality semantics (round-1 review items)."""
         self._check_writable()
+        if (
+            when_not_matched_by_source_condition is not None
+            and not when_not_matched_by_source_update
+        ):
+            raise InvalidDataError(
+                "when_not_matched_by_source_condition requires "
+                "when_not_matched_by_source_update (the DELETE clause "
+                "carries its condition as its value)"
+            )
         if mode is None:
             mode = self._resolve_write_mode("write.merge.mode")
         keys = [on] if isinstance(on, str) else list(on)
@@ -4268,6 +4365,8 @@ class Table:
                 summary_extra, branch=branch,
                 when_matched_delete=when_matched_delete,
                 when_not_matched_by_source_delete=when_not_matched_by_source_delete,
+                when_not_matched_by_source_update=when_not_matched_by_source_update,
+                when_not_matched_by_source_condition=when_not_matched_by_source_condition,
             )
         if mode != "copy-on-write":
             raise InvalidDataError(f"unknown merge mode: {mode}")
@@ -4289,9 +4388,12 @@ class Table:
             hits = {r["__file"]: r["n"] for r in hit_rows}
         else:
             hits = {}
-        if when_not_matched_by_source_delete is not None:
-            # the clause can delete rows in ANY file (every target row
-            # whose key is absent from the source) — every file rewrites
+        if (
+            when_not_matched_by_source_delete is not None
+            or when_not_matched_by_source_update
+        ):
+            # a by-source clause can touch rows in ANY file (every target
+            # row whose key is absent from the source) — every file rewrites
             hit_entries, keep_entries = list(data), []
         else:
             hit_entries = [
@@ -4332,17 +4434,40 @@ class Table:
             matched = matched.filter(
                 ~(~is_matched & F.coalesce(ncond, F.lit(False)))
             )
+        nm_hit = None
+        if when_not_matched_by_source_update:
+            # WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE — rows the
+            # by-source DELETE clause claimed were already filtered out
+            # above, so clause precedence (delete first) holds by
+            # construction
+            ucond = (
+                F.lit(True)
+                if when_not_matched_by_source_condition is None
+                else F.expr(str(when_not_matched_by_source_condition))
+            )
+            nm_hit = ~is_matched & F.coalesce(ucond, F.lit(False))
         out_cols = []
         for c in cols:
+            expr = F.col(f"t.{c}")
+            if (
+                when_not_matched_by_source_update
+                and c in when_not_matched_by_source_update
+            ):
+                expr = F.when(
+                    nm_hit, F.expr(when_not_matched_by_source_update[c])
+                ).otherwise(expr)
             if when_matched_update and c in when_matched_update:
-                upd = F.expr(when_matched_update[c])
-                out_cols.append(F.when(is_matched, upd).otherwise(F.col(f"t.{c}")).alias(c))
-            else:
-                out_cols.append(F.col(f"t.{c}").alias(c))
+                expr = F.when(
+                    is_matched, F.expr(when_matched_update[c])
+                ).otherwise(expr)
+            out_cols.append(expr.alias(c))
         out_cols.append(F.col("t._row_id").alias("_row_id"))
         seq_col = F.col("t._last_updated_sequence_number")
         if when_matched_update:
             seq_col = F.when(is_matched, F.lit(None).cast("long")).otherwise(seq_col)
+        if nm_hit is not None:
+            # by-source-updated rows inherit the commit's sequence too
+            seq_col = F.when(nm_hit, F.lit(None).cast("long")).otherwise(seq_col)
         out_cols.append(seq_col.alias("_last_updated_sequence_number"))
         merged = matched.select(*out_cols)
         if when_not_matched_insert:
@@ -4381,6 +4506,8 @@ class Table:
         branch: Optional[str] = None,
         when_matched_delete: Union[bool, str, None] = None,
         when_not_matched_by_source_delete: Union[bool, str, None] = None,
+        when_not_matched_by_source_update: Optional[dict[str, str]] = None,
+        when_not_matched_by_source_condition: Optional[str] = None,
     ) -> "Table":
         """merge_into(mode='merge-on-read'): equality-delete the matched
         keys, append their updated versions plus inserts — single commit,
@@ -4483,6 +4610,64 @@ class Table:
                     [schema.field_by_name(k).field_id for k in keys],
                     keys,
                 )
+        if when_not_matched_by_source_update:
+            # WHEN NOT MATCHED BY SOURCE [AND cond] THEN UPDATE, MoR form:
+            # the _update_where_mor shape — equality-delete the stale
+            # versions' keys, append the updated versions.  Rows the
+            # by-source DELETE clause claimed (delete listed first) are
+            # excluded up front.
+            upd_losers = live.alias("t").join(marked.alias("s"), keys, "left_anti")
+            if when_not_matched_by_source_delete is not None:
+                ndcond = (
+                    F.lit(True)
+                    if when_not_matched_by_source_delete is True
+                    else F.expr(str(when_not_matched_by_source_delete))
+                )
+                upd_losers = upd_losers.filter(~F.coalesce(ndcond, F.lit(False)))
+            if when_not_matched_by_source_condition is not None:
+                upd_losers = upd_losers.filter(
+                    F.coalesce(
+                        F.expr(str(when_not_matched_by_source_condition)),
+                        F.lit(False),
+                    )
+                )
+            upd_rows = (
+                upd_losers.groupBy("__f").agg(F.count(F.lit(1)).alias("n")).collect()
+            )
+            if upd_rows:
+                self.spark.conf.set(
+                    "spark.sql.parquet.fieldId.write.enabled", "true"
+                )
+                upd_keys = upd_losers.select(
+                    *[
+                        F.col(f"t.{k}").alias(
+                            k,
+                            metadata={
+                                "parquet.field.id": schema.field_by_name(k).field_id
+                            },
+                        )
+                        for k in keys
+                    ]
+                ).distinct()
+                upd_dir = os.path.join(
+                    self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+                )
+                upd_keys.sortWithinPartitions(*keys).write.parquet(upd_dir)
+                eq_entries += self._equality_delete_entries(
+                    upd_dir,
+                    sorted(r["__f"] for r in upd_rows),
+                    [schema.field_by_name(k).field_id for k in keys],
+                    keys,
+                )
+                out_cols = []
+                for c in cols:
+                    if c in when_not_matched_by_source_update:
+                        out_cols.append(
+                            F.expr(when_not_matched_by_source_update[c]).alias(c)
+                        )
+                    else:
+                        out_cols.append(F.col(f"t.{c}").alias(c))
+                new_parts.append(upd_losers.select(*out_cols))
         if when_not_matched_insert:
             inserts = source.join(live.select(*keys), keys, "left_anti")
             for c in cols:

@@ -795,3 +795,157 @@ def test_changelog_refuses_partial_offsets(catalog):
     head = t.current_snapshot().snapshot_id
     with pytest.raises(ValueError, match="partial"):
         r.partitions({"snapshot_id": None}, {"snapshot_id": head, "pos": 1})
+
+
+def test_changelog_cow_diff_distributes(catalog, spark):
+    """r10: a CoW UPDATE touching several bounds-disjoint files plans >1
+    content-diff slice (the r9 single-task-per-commit ceiling), and the
+    distributed plan's events equal both the single-slice plan's and the
+    batch changelog_scan's."""
+    from iceberg_ruby_spark.streaming.source import (
+        EngineTableStreamReader,
+        _ContentDiffSlice,
+    )
+
+    t = catalog.create_table(
+        "clsplit",
+        schema={"k": "int", "v": "string"},
+        partition_spec=[("k", "truncate[100]")],
+    )
+    rows = [
+        {"k": base + i, "v": f"v{base + i}"}
+        for base in (0, 100, 200)
+        for i in range(1, 6)
+    ]
+    t.append(rows)
+    # one CoW commit rewriting one row in each of the 3 partitions
+    t.update_where({"v": "'X'"}, "k = 2 OR k = 102 OR k = 202")
+    head = t.refresh().current_snapshot().snapshot_id
+    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
+    parts = r.partitions({"snapshot_id": None}, {"snapshot_id": head})
+    diffs = [p for p in parts if isinstance(p, _ContentDiffSlice)]
+    assert len(diffs) >= 3, [type(p).__name__ for p in parts]
+    # the groups partition the commit's files — no file diffed twice
+    seen_paths = [s["path"] for p in diffs for s in p.prev_specs]
+    assert len(seen_paths) == len(set(seen_paths))
+
+    def drain(name, **opts):
+        q = _start(spark, t, name, mode="changelog", **opts)
+        try:
+            q.processAllAvailable()
+            assert q.exception() is None
+        finally:
+            q.stop()
+        return sorted(
+            (row["k"], row["v"], row["_change_type"])
+            for row in spark.sql(f"SELECT * FROM {name}").collect()
+        )
+
+    split_ev = drain("clsplit_sink")
+    single_ev = drain("clsplit_sink1", content_diff_split="false")
+    batch = sorted(
+        (row["k"], row["v"], row["_change_type"])
+        for row in t.changelog_scan().collect()
+    )
+    assert split_ev == single_ev == batch
+    # the CoW UPDATE's events: delete+insert per touched key, nothing for
+    # the rows the rewrite merely copied
+    touched = [(k, v, ty) for k, v, ty in split_ev if ty == "delete"]
+    assert touched == [(2, "v2", "delete"), (102, "v102", "delete"), (202, "v202", "delete")]
+
+
+def test_changelog_refuses_nonansi_stored_predicate(catalog, spark):
+    """A stored MoR delete predicate outside the shared-ANSI subset (here
+    an IN list) must refuse at planning with a typed error instead of
+    silently handing Spark-dialect text to the executor's DuckDB
+    evaluation (r9 ADVICE medium).  The batch changelog, which evaluates
+    predicates with Spark natively, still consumes the window."""
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("clansi", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(1, 5)])
+    t.delete_where("k IN (2, 3)", mode="merge-on-read")
+    head = t.refresh().current_snapshot().snapshot_id
+    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
+    with pytest.raises(InvalidDataError, match="shared-ANSI"):
+        r.partitions({"snapshot_id": None}, {"snapshot_id": head})
+    batch = sorted(
+        (row["k"], row["_change_type"]) for row in t.changelog_scan().collect()
+    )
+    assert [(k, ty) for k, ty in batch if ty == "delete"] == [(2, "delete"), (3, "delete")]
+
+
+def test_changelog_skip_keeps_structural_deletes_in_mixed_commit(catalog, spark):
+    """skip_rewrite_commits=true over a commit window carrying BOTH a
+    predicate delete and an equality delete: the predicate is passed over
+    but the equality delete still streams (r9 ADVICE: the skip path
+    under-emitted mixed commits by returning inserts only)."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("clmixed", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(1, 5)])
+    t.delete_where("k = 3", mode="merge-on-read")      # predicate delete
+    t.delete_by_keys([{"k": 2}], "k")                   # equality delete
+    head = t.refresh().current_snapshot().snapshot_id
+    meta = t.ops.load()
+    first = next(s for s in meta.snapshots if s.parent_snapshot_id is None)
+    r = EngineTableStreamReader(
+        {
+            "location": t.ops.location,
+            "mode": "changelog",
+            "skip_rewrite_commits": "true",
+        }
+    )
+    # collapse the two delete commits into one planning window against the
+    # append state: added_deletes then carries the predicate AND the
+    # equality entry in a single _commit_change_slices call
+    snap = t.current_snapshot()
+    parts = r._commit_change_slices(
+        t.ops, first, snap, 0
+    )
+    kinds = sorted(p.kind for p in parts)
+    assert "delete-eq" in kinds, kinds
+    events = []
+    for p in parts:
+        events += list(r.read(p))
+    deletes = sorted(e[0] for e in events if e[-3] == "delete")
+    assert deletes == [2], events  # equality delete streamed, predicate skipped
+
+
+def test_changelog_delete_planning_is_delta_based(catalog, spark):
+    """r10: MoR delete commits chain their manifest segments (superset
+    commit) and plan from the structural delta + the incremental
+    delete-view cache — the whole multi-delete window costs ONE full
+    manifest read (the window start), however many delete commits follow."""
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+    from iceberg_ruby_spark.table import FsTableOps
+
+    t = catalog.create_table("cldelta", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(1, 9)])
+    t.append([{"k": i, "v": f"v{i}"} for i in range(9, 12)])
+    t.delete_by_keys([{"k": 2}], "k")
+    t.delete_by_keys([{"k": 9}], "k")
+    t.delete_by_keys([{"k": 4}, {"k": 10}], "k")
+    head = t.refresh().current_snapshot().snapshot_id
+    r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
+    calls = {"full": 0}
+    orig = FsTableOps.read_manifest
+
+    def counting(self, manifest_list):
+        calls["full"] += 1
+        return orig(self, manifest_list)
+
+    FsTableOps.read_manifest = counting
+    try:
+        parts = r.partitions({"snapshot_id": None}, {"snapshot_id": head})
+    finally:
+        FsTableOps.read_manifest = orig
+    assert calls["full"] == 1, calls  # only the window-start commit
+    events = []
+    for p in parts:
+        events += list(r.read(p))
+    deletes = sorted(e[0] for e in events if e[-3] == "delete")
+    assert deletes == [2, 4, 9, 10]
+    inserts = sorted(e[0] for e in events if e[-3] == "insert")
+    assert inserts == list(range(1, 12))

@@ -414,3 +414,67 @@ def test_merge_not_matched_by_source_delete(catalog, spark):
     assert sorted(
         (r["k"], r["v"]) for r in catalog.load_table("fs_sql").to_a()
     ) == [(1, "a2"), (3, "c")]
+
+
+def test_merge_not_matched_by_source_update(catalog, spark):
+    """r10: the remaining ANSI by-source clause — WHEN NOT MATCHED BY
+    SOURCE [AND cond] THEN UPDATE SET — CoW ≡ MoR, lineage intact, and
+    the clause composes with by-source DELETE (delete wins first)."""
+    results = {}
+    for nm, mode in (("nmu_cow", None), ("nmu_mor", "merge-on-read")):
+        t = catalog.create_table(nm, schema={"k": "int", "v": "string"})
+        t.append(
+            [{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"},
+             {"k": 9, "v": "keep"}]
+        )
+        src = spark.createDataFrame([(1, "a2"), (4, "d")], "k int, v string")
+        # rows absent from the source and k < 5 get stamped stale; k=9
+        # fails the clause condition and is untouched
+        t.merge_into(
+            src,
+            on="k",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_update={"v": "concat(t.v, '-stale')"},
+            when_not_matched_by_source_condition="t.k < 5",
+            mode=mode,
+        )
+        results[nm] = sorted((r["k"], r["v"]) for r in t.refresh().to_a())
+    assert results["nmu_cow"] == results["nmu_mor"] == [
+        (1, "a2"), (2, "b-stale"), (3, "c-stale"), (4, "d"), (9, "keep")
+    ]
+    # delete + update composed: delete claims k=2, update stamps k=3
+    for nm, mode in (("nmu2_cow", None), ("nmu2_mor", "merge-on-read")):
+        t = catalog.create_table(nm, schema={"k": "int", "v": "string"})
+        t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+        src = spark.createDataFrame([(1, "a2")], "k int, v string")
+        t.merge_into(
+            src,
+            on="k",
+            when_matched_update={"v": "s.v"},
+            when_not_matched_by_source_delete="t.k = 2",
+            when_not_matched_by_source_update={"v": "upper(t.v)"},
+            mode=mode,
+        )
+        assert sorted((r["k"], r["v"]) for r in t.refresh().to_a()) == [
+            (1, "a2"), (3, "C")
+        ], nm
+    # condition without the update clause is a typed error
+    t = catalog.load_table("nmu_cow")
+    src = spark.createDataFrame([(1, "x")], "k int, v string")
+    with pytest.raises(InvalidDataError, match="requires"):
+        t.merge_into(src, on="k", when_not_matched_by_source_condition="t.k < 5")
+    # SQL spelling
+    ts = catalog.create_table("nmu_sql", schema={"k": "int", "v": "string"})
+    ts.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    ss = catalog.create_table("nmu_src", schema={"k": "int", "v": "string"})
+    ss.append([{"k": 1, "v": "a2"}, {"k": 3, "v": "c"}])
+    catalog.sql(
+        """MERGE INTO nmu_sql USING nmu_src ON nmu_sql.k = nmu_src.k
+           WHEN MATCHED THEN UPDATE SET v = nmu_src.v
+           WHEN NOT MATCHED BY SOURCE AND nmu_sql.k = 2
+             THEN UPDATE SET v = concat(nmu_sql.v, '!')
+           WHEN NOT MATCHED THEN INSERT *"""
+    )
+    assert sorted(
+        (r["k"], r["v"]) for r in catalog.load_table("nmu_sql").to_a()
+    ) == [(1, "a2"), (2, "b!"), (3, "c")]
