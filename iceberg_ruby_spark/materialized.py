@@ -33,12 +33,25 @@ Two maintenance modes (r9):
   RETRACT — each delta row folds with sign +1 (insert) / −1 (delete),
   an UPDATE's delete+insert pair nets to the value change, and a
   compaction emits nothing (physical churn cancels) — the full-refresh
-  requirement disappears.  Classic IVM restriction applies: only
-  INVERTIBLE aggregates (``sum``, ``count``; ``avg`` = both) maintain
-  under retraction — ``min``/``max`` need the dropped value's group
-  recomputed and are refused with guidance.  A hidden ``__mv_n`` group
-  cardinality rides the state; groups retracted to zero stay as
-  tombstone rows the reader filters, so the fold remains ONE merge.
+  requirement disappears.  A hidden ``__mv_n`` group cardinality rides
+  the state; groups retracted to zero stay as tombstone rows the reader
+  filters, so the fold remains ONE merge.
+
+  ``min``/``max`` maintain via HYBRID IVM (r10; r9 refused them): the
+  classic workaround for non-invertible aggregates.  Insert-side
+  extremes fold through least/greatest as before; a group is RECOMPUTED
+  from the source only when a deleted value ties-or-beats the group's
+  STORED extremum (checked against the rollup state at plan time).  The
+  recompute scan is group-pruned by a broadcast semi join on the
+  endangered keys — its cost tracks deleted extremes, never table
+  size — and the recomputed values ride the SAME single merge, so
+  refresh atomicity is unchanged.
+
+The maintenance mode and aggregate spec are STAMPED in the rollup
+table's properties at create time and verified on reopen (r9 ADVICE): a
+changelog-maintained rollup reopened as ``mode='append'`` would
+otherwise expose ``__mv_n`` tombstones and fold unsigned partials into
+signed state with no error.
 """
 
 from __future__ import annotations
@@ -98,16 +111,6 @@ class MaterializedAggregate:
                     f"aggregate {fn!r} for {out!r} is not decomposable; "
                     "supported: sum, count, min, max (avg = sum + count)"
                 )
-            if mode == "changelog" and fn in ("min", "max"):
-                # classic IVM restriction: min/max cannot retract — when
-                # the current extremum is deleted the group needs a
-                # recompute.  Honest refusal beats silently-stale state.
-                raise InvalidDataError(
-                    f"aggregate {fn!r} for {out!r} is not invertible and "
-                    "cannot maintain under deletes; use mode='append' "
-                    "(with full refresh after rewrites) or materialize "
-                    "sum/count"
-                )
             if out in group_by:
                 raise InvalidDataError(f"aggregate column {out!r} shadows a key")
             if out == "__mv_n":
@@ -122,9 +125,26 @@ class MaterializedAggregate:
             # hidden group cardinality: zero ⇒ the group was fully
             # retracted and reads filter it (tombstone, GC'd by rebuild)
             self.aggs["__mv_n"] = ("count", "*")
+        # the non-invertible aggregates — changelog mode maintains them
+        # via the hybrid endangered-group recompute
+        self._minmax = {
+            out: fc for out, fc in self.aggs.items() if fc[0] in ("min", "max")
+        }
         # derived group keys (the hypertable time_bucket: group on a SQL
         # expression of source columns, e.g. day = date_trunc('DAY', ts))
         self.derived = dict(derived or {})
+
+    def _spec_json(self) -> str:
+        import json
+
+        return json.dumps(
+            {
+                "group_by": self.group_by,
+                "aggs": {k: list(v) for k, v in self.aggs.items()},
+                "derived": self.derived,
+            },
+            sort_keys=True,
+        )
 
     # -- aggregation pieces --------------------------------------------------
     def _partial(self, rows: DataFrame) -> DataFrame:
@@ -150,6 +170,7 @@ class MaterializedAggregate:
             F.when(F.col("_change_type") == "insert", F.lit(1))
             .otherwise(F.lit(-1))
         )
+        is_ins = F.col("_change_type") == "insert"
         rows = delta.withColumn("__sign", sign)
         for k, expr in self.derived.items():
             rows = rows.withColumn(k, F.expr(expr))
@@ -165,14 +186,102 @@ class MaterializedAggregate:
                             .otherwise(F.lit(0))
                         ).alias(out)
                     )
-            else:  # sum — the only other fn changelog mode admits
+            elif fn in ("min", "max"):
+                # insert-side candidate (folds via least/greatest) plus the
+                # delete-side extreme — the endangerment witness the hybrid
+                # recompute compares against the stored extremum
+                agg = getattr(F, fn)
+                exprs.append(agg(F.when(is_ins, F.col(col))).alias(out))
+                exprs.append(
+                    agg(F.when(~is_ins, F.col(col))).alias(f"__mv_del_{out}")
+                )
+            else:  # sum
                 exprs.append(F.sum(F.col("__sign") * F.col(col)).alias(out))
         return rows.groupBy(*self.group_by).agg(*exprs)
+
+    def _attach_recompute(self, part: DataFrame, rollup, head: int) -> DataFrame:
+        """Hybrid IVM for min/max under retraction: flag groups whose
+        delete-side extreme ties-or-beats the STORED extremum (or whose
+        stored state is missing/NULL — a group created and partially
+        deleted within the window), recompute JUST those groups' min/max
+        from the source at the window head (group-pruned via a broadcast
+        semi join), and substitute the recomputed values into the merge
+        source.  Groups that vanished entirely recompute to NULL and are
+        hidden by their ``__mv_n`` tombstone."""
+        mm = list(self._minmax)
+        state = rollup.to_df().select(
+            *self.group_by,
+            F.lit(True).alias("__mv_t_exists"),
+            *[F.col(o).alias(f"__mv_t_{o}") for o in mm],
+        )
+        j = part.join(F.broadcast(state), self.group_by, "left")
+        flag = F.lit(False)
+        for out in mm:
+            fn, _c = self.aggs[out]
+            dcol, tcol = F.col(f"__mv_del_{out}"), F.col(f"__mv_t_{out}")
+            hit = dcol <= tcol if fn == "min" else dcol >= tcol
+            flag = flag | (
+                dcol.isNotNull()
+                & (F.col("__mv_t_exists").isNull() | tcol.isNull() | hit)
+            )
+        j = j.withColumn("__mv_recompute", F.coalesce(flag, F.lit(False)))
+        endangered = j.filter(F.col("__mv_recompute")).select(*self.group_by)
+        rows = self.source.to_df(snapshot_id=head)
+        for k, expr in self.derived.items():
+            rows = rows.withColumn(k, F.expr(expr))
+        recomputed = (
+            rows.join(F.broadcast(endangered), self.group_by, "left_semi")
+            .groupBy(*self.group_by)
+            .agg(
+                *[
+                    getattr(F, self.aggs[o][0])(F.col(self.aggs[o][1])).alias(
+                        f"__mv_rc_{o}"
+                    )
+                    for o in mm
+                ]
+            )
+        )
+        j = j.join(F.broadcast(recomputed), self.group_by, "left")
+        out_cols = [F.col(k) for k in self.group_by]
+        for out in self.aggs:
+            if out in self._minmax:
+                out_cols.append(
+                    F.when(
+                        F.col("__mv_recompute"), F.col(f"__mv_rc_{out}")
+                    )
+                    .otherwise(F.col(out))
+                    .alias(out)
+                )
+            else:
+                out_cols.append(F.col(out))
+        return j.select(*out_cols, F.col("__mv_recompute"))
 
     def _rollup_table(self):
         if not self.catalog.table_exists(self.name):
             return None
-        return self.catalog.load_table(self.name)
+        t = self.catalog.load_table(self.name)
+        # the maintenance contract is persisted ON the rollup (r9 ADVICE):
+        # reopening under a different mode or agg spec would corrupt the
+        # state silently (unsigned folds into signed state, exposed
+        # tombstones) — refuse instead.  Rollups created before the stamp
+        # existed carry no properties and pass unchecked.
+        stored_mode = t.properties.get("mv.mode")
+        if stored_mode is not None and stored_mode != self.mode:
+            raise InvalidDataError(
+                f"materialized aggregate {self.name!r} was created with "
+                f"mode={stored_mode!r}; reopening it with mode={self.mode!r} "
+                "would corrupt its state — use the original mode or rebuild "
+                "under a new name"
+            )
+        stored_spec = t.properties.get("mv.spec")
+        if stored_spec is not None and stored_spec != self._spec_json():
+            raise InvalidDataError(
+                f"materialized aggregate {self.name!r} was created with a "
+                "different group-by/aggregate spec; folding a mismatched "
+                "spec would corrupt its state — rebuild under a new name "
+                f"(stored: {stored_spec})"
+            )
+        return t
 
     def _watermark(self, rollup) -> Optional[int]:
         """Newest source snapshot folded in — read from the rollup's
@@ -207,7 +316,11 @@ class MaterializedAggregate:
             # keep key-first column order whatever the probe returned
             ordered = {k: schema[k] for k in self.group_by}
             ordered.update({k: v for k, v in schema.items() if k not in ordered})
-            rollup = self.catalog.create_table(self.name, schema=ordered)
+            rollup = self.catalog.create_table(
+                self.name,
+                schema=ordered,
+                properties={"mv.mode": self.mode, "mv.spec": self._spec_json()},
+            )
         since = None if full else self._watermark(rollup)
         if head is None or since == head:
             return rollup  # nothing new
@@ -231,12 +344,25 @@ class MaterializedAggregate:
             # watermark where it is — re-deriving the same empty window
             # next refresh folds nothing, so this is already idempotent
             return rollup
+        hybrid = self.mode == "changelog" and bool(self._minmax)
+        if hybrid:
+            part = self._attach_recompute(part, rollup, head)
+        update_exprs = {}
+        for out, (fn, _c) in self.aggs.items():
+            combine = _COMBINE[fn](out)
+            if hybrid and out in self._minmax:
+                # recomputed groups REPLACE the stored extremum (the
+                # recompute already reflects the whole window at head);
+                # everything else folds insert-side candidates as usual
+                combine = (
+                    f"CASE WHEN s.__mv_recompute THEN s.{out} "
+                    f"ELSE {combine} END"
+                )
+            update_exprs[out] = combine
         rollup.merge_into(
             part,
             on=self.group_by,
-            when_matched_update={
-                out: _COMBINE[fn](out) for out, (fn, _c) in self.aggs.items()
-            },
+            when_matched_update=update_exprs,
             when_not_matched_insert=True,
             summary_extra={_WATERMARK_KEY: str(head)},
         )

@@ -82,10 +82,17 @@ from iceberg_ruby_spark.operators.sessions import funnel, retention_cohorts, ses
 from iceberg_ruby_spark.operators.multimodal import (
     FRAME_SCHEMA,
     MEDIA_SCHEMA,
+    _ppm_features,
+    _wav_features,
     attach_media_metadata,
     decode_media_batch,
+    decode_ppm,
+    decode_wav,
+    encode_ppm,
+    encode_wav,
     extract_features,
     resize_media,
+    resize_ppm_nearest,
     sample_frames,
     dedup_frames,
 )

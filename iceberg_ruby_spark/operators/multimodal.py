@@ -5,12 +5,15 @@ the pattern that scales: bytes stay columnar in Parquet, metadata prunes
 (format/size/duration predicates push down), and decode runs distributed in
 Arrow-batched ``mapInPandas``.
 
-The actual codecs are STUBBED — image/audio libraries are not in this
-container — behind :data:`_DECODERS`; everything Spark-side (schemas,
-batch iteration, partition behavior, feature shapes) is real and tested.
-A deterministic fake decoder stands in so pipelines are end-to-end
-verifiable: features are derived from sha256(payload), so they are stable
-across runs and machines.
+Two REAL pure-python codecs ship for the uncompressed formats (r10):
+``ppm`` (binary P6 netpbm images — header parse, raster decode,
+nearest-neighbor resize) and ``wav`` (RIFF PCM16 audio — chunk walk,
+sample decode).  Compressed formats (JPEG/PNG/MP3/MP4) remain an honest
+registration seam behind :data:`_DECODERS` /
+:func:`register_decoder` — those libraries are not in this container —
+and the deterministic ``fake`` decoder stays for plumbing tests:
+everything Spark-side (schemas, batch iteration, partition behavior,
+feature shapes) behaves identically whichever codec is plugged in.
 """
 
 from __future__ import annotations
@@ -73,7 +76,152 @@ def _fake_decode(payload: bytes) -> list[float]:
     return [b / 255.0 for b in h[:N_FEATURES]]
 
 
-_DECODERS = {"fake": _fake_decode}
+# -- real codecs: P6 PPM (image) and RIFF PCM16 WAV (audio) -----------------
+#
+# Pure python, no external libraries — parsing follows the published
+# formats (netpbm P6; RIFF/WAVE PCM): header/chunk walk, raster/sample
+# decode.  Feature vectors are EXACT small integers carried as float32
+# (all sums bounded far below 2^24), so oracles can derive them in
+# closed form.
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a binary P6 PPM: returns (width, height, maxval, rgb_raster).
+    Handles the netpbm header grammar — whitespace-separated tokens with
+    ``#`` comments — and validates raster length."""
+    if payload is None or not payload.startswith(b"P6"):
+        raise ValueError("not a P6 PPM payload")
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end-of-line
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace byte separating header from raster
+    width, height, maxval = tokens
+    raster = payload[pos : pos + 3 * width * height]
+    if len(raster) != 3 * width * height:
+        raise ValueError(
+            f"P6 raster truncated: expected {3 * width * height} bytes, "
+            f"got {len(raster)}"
+        )
+    return width, height, maxval, raster
+
+
+def encode_ppm(width: int, height: int, rgb: bytes, maxval: int = 255) -> bytes:
+    """Binary P6 PPM from a raw interleaved-RGB raster."""
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb raster length must be 3*width*height")
+    return b"P6\n%d %d\n%d\n" % (width, height, maxval) + bytes(rgb)
+
+
+def _ppm_features(payload: bytes) -> list[float]:
+    """Feature vector from a REAL P6 decode: [width, height, maxval,
+    sum_r, sum_g, sum_b, n_pixels] — exact integers, closed-form
+    derivable by an oracle that knows the pixel generator."""
+    if payload is None:
+        return []
+    w, h, maxval, raster = decode_ppm(payload)
+    return [
+        float(w),
+        float(h),
+        float(maxval),
+        float(sum(raster[0::3])),
+        float(sum(raster[1::3])),
+        float(sum(raster[2::3])),
+        float(w * h),
+    ]
+
+
+def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a P6 PPM: destination pixel
+    (x, y) copies source pixel (x*src_w // width, y*src_h // height) —
+    the standard floor mapping — and re-encodes as P6."""
+    if payload is None:
+        return None
+    sw, sh, maxval, raster = decode_ppm(payload)
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        for x in range(width):
+            sx = x * sw // width
+            p = 3 * (sy * sw + sx)
+            out += raster[p : p + 3]
+    return encode_ppm(width, height, bytes(out), maxval)
+
+
+def decode_wav(payload: bytes) -> dict:
+    """Parse a RIFF/WAVE PCM16 payload: chunk walk (fmt  + data, other
+    chunks skipped), little-endian int16 samples.  Returns
+    {sample_rate, n_channels, samples} with samples interleaved."""
+    import struct
+
+    if payload is None or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    fmt = None
+    samples = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, rate = struct.unpack("<HHI", body[:8])
+            (bits,) = struct.unpack("<H", body[14:16])
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 WAV is supported (fmt={audio_fmt}, bits={bits})"
+                )
+            fmt = (n_ch, rate)
+        elif cid == b"data":
+            samples = list(
+                struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
+            )
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or samples is None:
+        raise ValueError("WAV payload missing fmt/data chunk")
+    return {"sample_rate": fmt[1], "n_channels": fmt[0], "samples": samples}
+
+
+def encode_wav(sample_rate: int, n_channels: int, samples: list[int]) -> bytes:
+    """Minimal RIFF/WAVE PCM16 encoder (interleaved samples)."""
+    import struct
+
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _wav_features(payload: bytes) -> list[float]:
+    """Feature vector from a REAL WAV decode: [sample_rate, n_channels,
+    n_samples, sum_abs, max_abs, duration_ms] — exact integers."""
+    if payload is None:
+        return []
+    d = decode_wav(payload)
+    s = d["samples"]
+    frames = len(s) // d["n_channels"] if d["n_channels"] else 0
+    return [
+        float(d["sample_rate"]),
+        float(d["n_channels"]),
+        float(len(s)),
+        float(sum(abs(x) for x in s)),
+        float(max((abs(x) for x in s), default=0)),
+        float(frames * 1000 // d["sample_rate"]) if d["sample_rate"] else 0.0,
+    ]
+
+
+_DECODERS = {"fake": _fake_decode, "ppm": _ppm_features, "wav": _wav_features}
 
 
 def register_decoder(name: str, fn) -> None:
@@ -141,7 +289,7 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return bytes(out[:n])
 
 
-_RESIZERS = {"fake": _fake_resize}
+_RESIZERS = {"fake": _fake_resize, "ppm": resize_ppm_nearest}
 
 
 def register_resizer(name: str, fn) -> None:

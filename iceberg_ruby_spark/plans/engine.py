@@ -1012,3 +1012,62 @@ def engine_materialized_changelog(spark, sf_dir):
         F.col("total").cast("double").alias("total"),
         F.col("n").cast("long").alias("n"),
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "engine_materialized_minmax",
+    oracle="""
+    SELECT o_orderpriority,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi,
+           COUNT(*) AS n
+    FROM orders
+    WHERE o_orderkey < 3000
+      AND NOT (o_totalprice > 400000)
+      AND NOT (o_orderkey % 7 = 3)
+      AND o_orderpriority <> '5-LOW'
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+)
+def engine_materialized_minmax(spark, sf_dir):
+    """min/max under CHANGELOG maintenance via hybrid IVM (materialized.py,
+    r10 — r9 refused non-invertible aggregates).  The mutation sequence is
+    chosen to hit every recompute path: a merge-on-read predicate delete
+    of the price TOP TAIL (kills the stored MAX of every group →
+    endangered-group recompute), a delete of scattered mid-values (misses
+    most extremes → plain fold, recompute only where a group minimum
+    happened to die), a copy-on-write delete of a whole group (tombstone),
+    and a compaction (folds nothing).  Final state must equal a
+    from-scratch MIN/MAX/COUNT over the survivors — min/max of doubles
+    compare exactly (no accumulation order)."""
+    from iceberg_ruby_spark.materialized import MaterializedAggregate
+
+    cat = _temp_catalog(spark)
+    src = cat.create_table(
+        "mvmm_src", schema={"o_orderkey": "long", "o_orderpriority": "string",
+                            "o_totalprice": "double"}
+    )
+    mv = MaterializedAggregate(
+        cat, "mvmm_rollup", src, group_by=["o_orderpriority"],
+        aggs={"lo": ("min", "o_totalprice"), "hi": ("max", "o_totalprice"),
+              "n": ("count", "*")},
+        mode="changelog",
+    )
+    orders = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 3000)
+    rows = orders.select("o_orderkey", "o_orderpriority", "o_totalprice")
+    for lo, hi in ((0, 1500), (1500, 3000)):
+        src.append(
+            rows.filter((F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi))
+        )
+        mv.refresh()
+    src.delete_where("o_totalprice > 400000", mode="merge-on-read")
+    mv.refresh()                                     # max extremes die → recompute
+    src.delete_where("o_orderkey % 7 = 3", mode="merge-on-read")
+    mv.refresh()                                     # mostly non-extreme deletes
+    src.delete_where("o_orderpriority = '5-LOW'")    # CoW, whole group gone
+    mv.refresh()
+    src.compact()                                    # emits nothing
+    mv.refresh()
+    return mv.to_df().select(
+        "o_orderpriority", "lo", "hi", F.col("n").cast("long").alias("n")
+    ).orderBy("o_orderpriority")

@@ -763,6 +763,148 @@ def multimodal_resize_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_ppm_pipeline",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             3 + doc_id % 3 AS w,
+             2 + doc_id % 2 AS h
+      FROM documents
+    ), px AS (
+      SELECT g.doc_id,
+             ((y.g * g.h) // 2) * g.w + ((x.g * g.w) // 2) AS p
+      FROM g, generate_series(0, 1) AS x(g), generate_series(0, 1) AS y(g)
+    )
+    SELECT doc_id AS media_id,
+           2 AS width,
+           2 AS height,
+           CAST(SUM((7 * doc_id + 13 * (3 * p + 0)) % 251) AS BIGINT) AS sum_r,
+           CAST(SUM((7 * doc_id + 13 * (3 * p + 1)) % 251) AS BIGINT) AS sum_g,
+           CAST(SUM((7 * doc_id + 13 * (3 * p + 2)) % 251) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_ppm_pipeline(spark, sf_dir):
+    """REAL image codec end-to-end (r10): P6 PPM payloads are synthesized
+    per document (width 3–5, height 2–3, channel bytes from a closed-form
+    generator), then the REAL pure-python pipeline runs distributed —
+    nearest-neighbor resize to 2x2 (resize_ppm_nearest re-encodes actual
+    P6 bytes) and header+raster decode (decode_ppm) into per-channel
+    sums.  Every stage manipulates real image bytes; the oracle replays
+    the generator through the SAME floor mapping (dst (x,y) reads src
+    (x*w//2, y*h//2)) without ever touching bytes, so a header-parse or
+    resample bug breaks the hash.  Sums are exact small integers (≤ 1000)
+    — no float noise."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_batch,
+        encode_ppm,
+        resize_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def _build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                w, h = 3 + did % 3, 2 + did % 2
+                raster = bytes(
+                    (7 * did + 13 * i) % 251 for i in range(3 * w * h)
+                )
+                payloads.append(encode_ppm(w, h, raster))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(_build, "media_id long, payload binary")
+    tagged = attach_media_metadata(media, "payload", fmt="ppm")
+    resized = resize_media(tagged, width=2, height=2, resizer="ppm")
+    feats = decode_media_batch(resized, decoder="ppm")
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 4).cast("bigint").alias("sum_r"),
+        F.element_at("features", 5).cast("bigint").alias("sum_g"),
+        F.element_at("features", 6).cast("bigint").alias("sum_b"),
+    )
+
+
+@query(
+    "multimodal_wav_features",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             8000 + (doc_id % 5) * 1000 AS rate,
+             1 + doc_id % 2 AS ch,
+             (4 + doc_id % 4) * (1 + doc_id % 2) AS n
+      FROM documents
+    ), e AS (
+      SELECT doc_id, rate, ch, n,
+             UNNEST(generate_series(0, n - 1)) AS i
+      FROM g
+    )
+    SELECT doc_id AS media_id,
+           CAST(rate AS INTEGER) AS sample_rate,
+           CAST(ch AS INTEGER) AS n_channels,
+           CAST(n AS INTEGER) AS n_samples,
+           CAST(SUM(ABS(((11 * doc_id + 17 * i) % 401) - 200)) AS BIGINT) AS sum_abs,
+           CAST(MAX(ABS(((11 * doc_id + 17 * i) % 401) - 200)) AS INTEGER) AS max_abs
+    FROM e
+    GROUP BY doc_id, rate, ch, n
+    """,
+)
+def multimodal_wav_features(spark, sf_dir):
+    """REAL audio codec end-to-end (r10): RIFF/PCM16 WAV payloads are
+    synthesized per document (rate/channels/length and int16 samples from
+    a closed-form generator), encoded into actual RIFF bytes (encode_wav),
+    then the REAL pure-python chunk-walk decoder (decode_wav) runs in the
+    distributed decode_media_batch and emits exact integer features.  The
+    oracle replays the sample generator arithmetically — a chunk-offset or
+    endianness bug in the codec breaks the hash."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_batch,
+        encode_wav,
+    )
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def _build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                rate = 8000 + (did % 5) * 1000
+                ch = 1 + did % 2
+                n = (4 + did % 4) * ch
+                samples = [((11 * did + 17 * i) % 401) - 200 for i in range(n)]
+                payloads.append(encode_wav(rate, ch, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(_build, "media_id long, payload binary")
+    tagged = attach_media_metadata(media, "payload", fmt="wav")
+    feats = decode_media_batch(tagged, decoder="wav")
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("int").alias("sample_rate"),
+        F.element_at("features", 2).cast("int").alias("n_channels"),
+        F.element_at("features", 3).cast("int").alias("n_samples"),
+        F.element_at("features", 4).cast("bigint").alias("sum_abs"),
+        F.element_at("features", 5).cast("int").alias("max_abs"),
+    )
+
+
+@query(
     "embedding_quantize_roundtrip",
     oracle="""
     SELECT vec_id,

@@ -99,12 +99,6 @@ def test_materialized_agg_changelog_mode(catalog):
     )
     got = sorted((x["grp"], x["total"], x["n"]) for x in mv.to_df().collect())
     assert got == want
-    # invertibility guard
-    with pytest.raises(InvalidDataError, match="not invertible"):
-        MaterializedAggregate(
-            catalog, "mv_cl_bad", t, group_by=["grp"],
-            aggs={"lo": ("min", "x")}, mode="changelog",
-        )
     with pytest.raises(InvalidDataError, match="expected 'append' or 'changelog'"):
         MaterializedAggregate(
             catalog, "mv_cl_bad2", t, group_by=["grp"],
@@ -183,3 +177,107 @@ def test_materialized_agg_time_bucket(catalog):
         ("2026-08-01 00:00:00", 7.0, 3),
         ("2026-08-02 00:00:00", 5.0, 1),
     ]
+
+
+def test_materialized_agg_changelog_minmax_hybrid(catalog):
+    """r10: min/max maintain under changelog mode via the hybrid
+    endangered-group recompute (r9 refused them).  Deletes that hit the
+    stored extremum recompute just that group; deletes that miss it fold
+    without a recompute; duplicates, within-window create+delete, full
+    retraction, and NULL values all land on from-scratch semantics."""
+    t = catalog.create_table("mv_mm", schema={"grp": "string", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_mm_agg", t, group_by=["grp"],
+        aggs={"lo": ("min", "x"), "hi": ("max", "x"),
+              "total": ("sum", "x"), "n": ("count", "*")},
+        mode="changelog",
+    )
+    t.append([
+        {"grp": "a", "x": 1.0}, {"grp": "a", "x": 5.0}, {"grp": "a", "x": 5.0},
+        {"grp": "b", "x": 2.0}, {"grp": "b", "x": 9.0},
+        {"grp": "c", "x": 7.0},
+    ])
+    mv.refresh()
+
+    def state():
+        return sorted(
+            (r["grp"], r["lo"], r["hi"], r["total"], r["n"])
+            for r in mv.to_df().collect()
+        )
+
+    assert state() == [
+        ("a", 1.0, 5.0, 11.0, 3), ("b", 2.0, 9.0, 11.0, 2), ("c", 7.0, 7.0, 7.0, 1),
+    ]
+    # delete hits a's stored MIN → recompute; b's delete misses both
+    # extremes → pure fold; duplicate extreme: deleting ONE 5.0 keeps hi=5.0
+    t.delete_where("grp = 'a' AND x = 1.0", mode="merge-on-read")
+    t.delete_where("grp = 'a' AND x = 5.0")  # CoW: kills BOTH 5.0 rows
+    t.append([{"grp": "a", "x": 3.0}])
+    mv.refresh()
+    assert state() == [
+        ("a", 3.0, 3.0, 3.0, 1), ("b", 2.0, 9.0, 11.0, 2), ("c", 7.0, 7.0, 7.0, 1),
+    ]
+    # delete the stored MAX of b → recompute finds the runner-up
+    t.delete_where("grp = 'b' AND x = 9.0", mode="merge-on-read")
+    mv.refresh()
+    assert state() == [
+        ("a", 3.0, 3.0, 3.0, 1), ("b", 2.0, 2.0, 2.0, 1), ("c", 7.0, 7.0, 7.0, 1),
+    ]
+    # within-window create+partial-delete of a NEW group: insert-side
+    # candidate alone would be wrong (min over survivors only)
+    t.append([{"grp": "d", "x": 4.0}, {"grp": "d", "x": 8.0}])
+    t.delete_where("grp = 'd' AND x = 4.0")
+    mv.refresh()
+    got = {r["grp"]: (r["lo"], r["hi"]) for r in mv.to_df().collect()}
+    assert got["d"] == (8.0, 8.0)
+    # full retraction: group vanishes (tombstone), then re-inserts cleanly
+    t.delete_where("grp = 'c'")
+    mv.refresh()
+    assert "c" not in {r["grp"] for r in mv.to_df().collect()}
+    t.append([{"grp": "c", "x": 0.5}])
+    mv.refresh()
+    got = {r["grp"]: (r["lo"], r["hi"]) for r in mv.to_df().collect()}
+    assert got["c"] == (0.5, 0.5)
+    # final cross-check: state ≡ from-scratch aggregate of the source
+    from pyspark.sql import functions as F
+
+    want = sorted(
+        (r["grp"], r["lo"], r["hi"], r["total"], r["n"])
+        for r in t.to_df().groupBy("grp").agg(
+            F.min("x").alias("lo"), F.max("x").alias("hi"),
+            F.sum("x").alias("total"), F.count("*").alias("n"),
+        ).collect()
+    )
+    assert state() == want
+
+
+def test_materialized_agg_mode_persisted(catalog):
+    """r10 (r9 ADVICE): the maintenance mode and agg spec are stamped on
+    the rollup table; reopening under a different mode or spec refuses
+    instead of silently corrupting the state."""
+    t = catalog.create_table("mv_pp", schema={"grp": "string", "x": "double"})
+    mv = MaterializedAggregate(
+        catalog, "mv_pp_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x")}, mode="changelog",
+    )
+    t.append([{"grp": "a", "x": 1.0}])
+    mv.refresh()
+    props = catalog.load_table("mv_pp_agg").properties
+    assert props.get("mv.mode") == "changelog"
+    assert "total" in props.get("mv.spec", "")
+    wrong_mode = MaterializedAggregate(
+        catalog, "mv_pp_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x")}, mode="append",
+    )
+    with pytest.raises(InvalidDataError, match="mode"):
+        wrong_mode.refresh()
+    wrong_spec = MaterializedAggregate(
+        catalog, "mv_pp_agg", t, group_by=["grp"],
+        aggs={"total": ("sum", "x"), "n": ("count", "*")}, mode="changelog",
+    )
+    with pytest.raises(InvalidDataError, match="spec"):
+        wrong_spec.refresh()
+    # the matching handle keeps working
+    t.append([{"grp": "a", "x": 2.0}])
+    mv.refresh()
+    assert [(r["grp"], r["total"]) for r in mv.to_df().collect()] == [("a", 3.0)]
