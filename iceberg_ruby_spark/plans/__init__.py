@@ -27,66 +27,64 @@ from iceberg_ruby_spark.plans import streaming  # noqa: E402,F401
 from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 
 # The correctness driver checks queries in registration order and has a
-# bounded budget (50 per round).  Round-9 rotation (VERDICT r8 items 1+2 —
-# "CORRECTNESS_r09 contains all 16 r5-aged queries + binarize, fill the
-# rest from the r6-aged cohort"):
-# (0) MUST-CHECK: queries first registered in r9 (never driver-checked),
-#     queries whose code or oracle CHANGED this round (their prior green
-#     is stale — binarize's oracle typing fix, the asof wholesale-row
-#     rewrite + NULL-injected oracles, the changelog source's content-diff
-#     fallback), and the 16 queries whose newest driver row is r5 (4
-#     rounds old after this round — the rotation tail item 2 names).
-# (1) the 50 queries whose newest driver row is r6, ordered so the ones
-#     nearest this round's changed code (changelog/table scan paths,
-#     dedup/ANN) fill before low-change-risk text/scalar queries; the
-#     tail that misses the budget stays r6-aged and MUST lead r10.
-# Everything r7/r8-checked waits.  The arithmetic is ASSERTED below, not
-# narrated: every name must be a registered query, and tier (0) must fit
-# the budget entirely.
+# bounded budget (50 per round).  Round-10 rotation (VERDICT r9 item 2 —
+# "all 23 r6-aged queries in CORRECTNESS_r10, plus any query whose code
+# or oracle changes in r10"):
+# (0) MUST-CHECK: queries first registered in r10 (never driver-checked:
+#     the two real-codec multimodal queries, the hybrid min/max rollup,
+#     the CDC-drain bench pipeline), queries whose CODE changed in r10
+#     (the changelog planner was restructured — distributed content
+#     diffs, delta-based delete planning; superset chaining changed
+#     every MoR delete/merge COMMIT's metadata shape; changelog_scan
+#     chunks; materialized.py rewrote its changelog fold; merge_into
+#     grew the by-source UPDATE clause), and the 23 queries whose newest
+#     driver row is r6 (the r9 tail — after this round nothing is older
+#     than r7).
+# (1) r7-checked engine-lifecycle queries nearest the changed commit
+#     path fill any remaining budget.
+# The arithmetic is ASSERTED below, not narrated: every name must be a
+# registered query, and tier (0) must fit the budget entirely.
 _DRIVER_BUDGET = 50
 
 _NEVER_DRIVER_CHECKED = [
-    # new in r9 (never driver-checked by definition)
-    "embedding_ann_pq_table", "stream_changelog_cow",
-    "engine_materialized_changelog",
-    # changed in r9: oracle or operator code — prior green is stale
-    "embedding_binarize_pack",            # oracle CAST fix (VERDICT #1)
-    "asof_join_forward",                  # struct-fill + NULL oracle
-    "asof_join_nearest_tolerance",        # struct-fill + NULL oracle
-    "asof_join_events",                   # asof operator rewritten
-    "stream_changelog_tail",              # source planning restructured
-    # r5-aged cohort (VERDICT r8 item 2 — all 16, verbatim)
-    "array_functions", "case_cast_coalesce", "cast_nullif",
-    "date_functions", "except_keys", "explode_unnest", "intersect_keys",
-    "math_functions", "pivot_order_status", "projection_rename",
-    "regexp_functions", "scan_filter_project", "sort_limit_offset",
-    "string_functions", "union_distinct", "unpivot_lineitem_metrics",
+    # new in r10 (never driver-checked by definition)
+    "multimodal_ppm_pipeline", "multimodal_wav_features",
+    "engine_materialized_minmax", "stream_cdc_pipeline",
+    # changed in r10: operator code — prior green is stale
+    "engine_materialized_changelog",      # hybrid min/max fold rewrite
+    "stream_changelog_cow",               # distributed content diffs
+    "stream_changelog_tail",              # delta-based delete planning
+    "engine_changelog_scan",              # chunked long windows
+    "engine_incremental_scan",            # MoR deltas now derivable
+    "engine_delete_mor",                  # superset-chained commits
+    "engine_delete_mor_dv",
+    "engine_delete_mor_equality",
+    "engine_delete_mor_positional",
+    "engine_merge",                       # by-source UPDATE clause
+    "engine_merge_mor",
+    "engine_cdc_apply",                   # applies over chained commits
+    # r6-aged cohort (VERDICT r9 item 2 — all 23, verbatim)
+    "engine_compact", "engine_inspect_partitions",
+    "engine_maintenance_cycle", "engine_partitioned_write",
+    "engine_row_lineage", "engine_schema_defaults",
+    "engine_schema_evolution", "engine_sql_roundtrip",
+    "engine_statistics_ndv", "engine_time_travel", "engine_wap_publish",
+    "engine_write_mode_properties", "events_sessionize",
+    "percentile_aggs", "stream_dedup_watermark", "stream_session_window",
+    "stream_stateful_user_activity", "stream_tumbling_window",
+    "text_mix_corpus", "text_pack_sequences", "text_repetition_stats",
+    "text_scrub_pii", "text_stratified_sample",
 ]
 
-# r6-checked cohort — fills the remaining budget in this priority order:
-# closest-to-changed-code first (changelog/incremental scan, MoR delete
-# flavors, dedup/ANN), engine lifecycle next, low-risk text/stat last.
+# fills the remaining budget: engine lifecycle queries whose COMMIT
+# metadata shape the r10 superset chaining touched, then delete flavors
+# (r7-checked; everything dedup/ANN/text was re-checked in r9 and waits)
 _LAST_CHECKED_R6 = [
-    "engine_changelog_scan", "engine_incremental_scan",
-    "engine_delete_mor", "engine_delete_mor_dv",
-    "engine_delete_mor_equality", "engine_delete_mor_positional",
-    "engine_delete_cow", "engine_merge", "engine_merge_mor",
-    "dedup_embedding_cosine", "dedup_exact_text", "dedup_fingerprint",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_pairs",
-    "dedup_cluster_components", "dedup_decontaminate",
-    "dedup_shared_spans", "embedding_centroids", "embedding_cosine_topk",
-    "embedding_norms", "embedding_quantize_roundtrip",
     "engine_append_roundtrip", "engine_avro_manifests",
-    "engine_branch_tag", "engine_bucket_point_lookup", "engine_compact",
-    "engine_inspect_partitions", "engine_maintenance_cycle",
-    "engine_partitioned_write", "engine_row_lineage",
-    "engine_schema_defaults", "engine_schema_evolution",
-    "engine_sql_roundtrip", "engine_statistics_ndv", "engine_time_travel",
-    "engine_wap_publish", "engine_write_mode_properties",
-    "events_sessionize", "percentile_aggs", "stream_dedup_watermark",
-    "stream_session_window", "stream_stateful_user_activity",
-    "stream_tumbling_window", "text_mix_corpus", "text_pack_sequences",
-    "text_repetition_stats", "text_scrub_pii", "text_stratified_sample",
+    "engine_fast_append_chain", "engine_branch_tag",
+    "engine_bucket_point_lookup", "engine_delete_cow",
+    "dedup_exact_text", "dedup_fingerprint", "embedding_cosine_topk",
+    "embedding_centroids", "embedding_norms",
 ]
 
 _TIER = {}

@@ -2108,7 +2108,7 @@ def embedding_ann_ivf_table(spark, sf_dir):
     return ivf_table_search(t, q, k=10, n_probe=16)
 
 
-@query("embedding_ann_pq_table", oracle=_EXACT_TOPK_SQL)
+@query("embedding_ann_pq_table", oracle=_EXACT_TOPK_SQL, bench=True)
 def embedding_ann_pq_table(spark, sf_dir):
     """PQ index persisted AS AN ENGINE TABLE (operators/similarity.py
     ``pq_table_index``, r9 — the ivf_table design applied to product

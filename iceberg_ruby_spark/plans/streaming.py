@@ -294,3 +294,56 @@ def stream_changelog_cow(spark, sf_dir):
         "SELECT doc_id, length(text) AS char_len, _change_type,"
         " _change_ordinal FROM stream_cl_cow_sink"
     )
+
+
+@query(
+    "stream_cdc_pipeline",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN doc_id % 7 = 1 THEN 1
+                ELSE length(text) END AS char_len
+    FROM documents
+    WHERE doc_id % 10 <> 0
+    """,
+    bench=True,
+)
+def stream_cdc_pipeline(spark, sf_dir):
+    """The WHOLE CDC loop as one timed pipeline (streaming/cdc.py
+    ``stream_changelog_apply``, benched from r10): a source table takes
+    three append waves, a copy-on-write UPDATE (streams through the
+    DISTRIBUTED content-diff fallback — bounds-grouped slices), and an
+    equality delete; one changelog-stream drain replicates everything
+    into a second engine table via per-batch ``apply_changelog`` merges.
+    The returned frame is the REPLICA's content, so the oracle (the
+    surviving rows in closed form) proves end-to-end replication
+    fidelity, and the bench wall times source planning + changelog
+    reads + apply merges together — the number a 100 TB CDC feed lives
+    on."""
+    import tempfile
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import stream_changelog_apply
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").select("doc_id", "text")
+    src = cat.create_table(
+        "cdc_bench_src", schema={"doc_id": "long", "text": "string"}
+    )
+    for wave in range(3):
+        src.append(docs.filter(F.col("doc_id") % 3 == wave))
+    src.update_where({"text": "'U'"}, "doc_id % 7 = 1")          # CoW rewrite
+    src.delete_by_keys(
+        docs.filter(F.col("doc_id") % 10 == 0).select("doc_id"), "doc_id"
+    )
+    rep = cat.create_table(
+        "cdc_bench_rep", schema={"doc_id": "long", "text": "string"}
+    )
+    q = stream_changelog_apply(
+        spark, src, rep, "doc_id", tempfile.mkdtemp(prefix="cdcbench_ckpt_")
+    )
+    q.awaitTermination()
+    return rep.refresh().to_df().select(
+        "doc_id", F.length("text").cast("int").alias("char_len")
+    )

@@ -47,15 +47,33 @@ def stream_changelog_apply(
     entries only) — a month-long 100 TB backfill then replicates as a
     sequence of right-sized micro-batches, each ONE apply-merge on the
     replica, instead of one giant batch whose shuffle must hold the
-    whole backlog."""
+    whole backlog.
+
+    Budgeted drains pin the source HEAD at start (the reader's
+    ``ending_snapshot_id``): the drain consumes the backlog as it stood
+    when the call was made and stops, exactly like the unbounded
+    ``availableNow`` path — it never chases commits that land DURING the
+    drain, so it terminates under continuous concurrent writes (r9
+    ADVICE).  Call again to pick up what landed since."""
     from iceberg_ruby_spark.streaming.source import register_stream_source
 
     register_stream_source(spark)
+    bounded = any(
+        v is not None
+        for v in (max_files_per_trigger, max_rows_per_trigger, max_bytes_per_trigger)
+    )
     reader = (
         spark.readStream.format("iceberg_table")
         .option("location", source_table.ops.location)
         .option("mode", "changelog")
     )
+    if trigger_available_now and bounded:
+        # snapshot the backlog boundary NOW: without the pin,
+        # processAllAvailable chases commits landing during the drain and
+        # can never terminate under continuous writes
+        head = source_table.ops.load().current_snapshot_id
+        if head is not None:
+            reader = reader.option("ending_snapshot_id", str(head))
     for opt, v in (
         ("max_files_per_trigger", max_files_per_trigger),
         ("max_rows_per_trigger", max_rows_per_trigger),
@@ -70,10 +88,6 @@ def stream_changelog_apply(
             return
         replica.refresh().apply_changelog(batch_df, on, mode=mode)
 
-    bounded = any(
-        v is not None
-        for v in (max_files_per_trigger, max_rows_per_trigger, max_bytes_per_trigger)
-    )
     writer = (
         stream.writeStream.foreachBatch(_apply)
         .option("checkpointLocation", checkpoint_dir)
@@ -83,9 +97,10 @@ def stream_changelog_apply(
     q = writer.trigger(processingTime="0 seconds").start()
     if trigger_available_now:
         # bounded drain-and-stop: availableNow would stop after ONE
-        # admitted batch; walk the budgeted batches until the backlog is
-        # consumed, then stop — callers' awaitTermination() returns
-        # immediately, same contract as the unbounded drain
+        # admitted batch; walk the budgeted batches (bounded above by the
+        # start-time head pin) until the backlog is consumed, then stop —
+        # callers' awaitTermination() returns immediately, same contract
+        # as the unbounded drain
         try:
             q.processAllAvailable()
         finally:

@@ -276,6 +276,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
             )
         start = options.get("starting_snapshot_id")
         self._starting = int(start) if start is not None else None
+        # pin the stream's head: offsets never advance past this snapshot,
+        # so a drain loop terminates even under continuous concurrent
+        # writes (availableNow-equivalent semantics for budgeted drains —
+        # r9 ADVICE on stream_changelog_apply's bounded path)
+        end = options.get("ending_snapshot_id")
+        self._ending = int(end) if end is not None else None
         # follow a branch/tag head instead of main (stream the audit
         # branch, or a pinned tag for a frozen replay)
         self._ref = options.get("ref") or options.get("branch")
@@ -344,6 +350,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         return off
 
     def _head(self, meta) -> object:
+        if self._ending is not None:
+            return self._ending
         if self._ref:
             r = meta.raw.get("refs", {}).get(self._ref)
             if r is None:

@@ -3981,6 +3981,7 @@ class Table:
         on: Union[str, list[str]],
         branch: Optional[str] = None,
         scope: Optional[str] = None,
+        scope_is_hint: bool = False,
     ) -> int:
         """Merge-on-read DELETE by key set — an EQUALITY delete file
         (reference ``FileScanTask#delete_files`` exposes ``equality_ids``,
@@ -3999,8 +4000,17 @@ class Table:
         bounds pruning, conservative), and the delete entry's
         ``applies-to`` shrinks with it.  At 100 TB a CDC feed deleting
         keys from the last day's partitions scans the last day, not the
-        table.  A FALSE scope silently misses rows outside it — scope is
-        an optimization contract, not a filter."""
+        table.
+
+        A FALSE scope would silently miss rows outside it, so the call
+        POST-CHECKS the promise at stats level (r9 ADVICE): if any
+        scope-excluded file's bounds on the key columns overlap the key
+        set's value range, the promise is unverifiable and the call
+        raises rather than maybe-miss a delete.  ``scope_is_hint=True``
+        opts back into unchecked hint semantics (the caller knows the
+        overlap is physically vacuous — e.g. keys unique per partition).
+        The check is metadata-only: one tiny aggregate over the key frame
+        plus bounds arithmetic, no data files opened."""
         self._check_writable()
         cols = [on] if isinstance(on, str) else list(on)
         schema = self.current_schema()
@@ -4046,7 +4056,22 @@ class Table:
                     "(col op literal joined by AND/OR); got: " + repr(scope)
                 )
             data, mor = self._split_entries(entries)
-            scan_entries = self._prune_by_stats(data, tree) + mor
+            kept = self._prune_by_stats(data, tree)
+            if not scope_is_hint:
+                kept_ids = {id(e) for e in kept}
+                excluded = [e for e in data if id(e) not in kept_ids]
+                suspect = self._scope_overlap_files(excluded, keys_df, cols)
+                if suspect:
+                    raise InvalidDataError(
+                        "delete_by_keys(scope=...) promise is unverifiable: "
+                        f"{len(suspect)} scope-excluded file(s) have key-"
+                        "column bounds overlapping the key set (e.g. "
+                        f"{suspect[0]!r}) — matching rows there would be "
+                        "silently missed.  Widen the scope, or pass "
+                        "scope_is_hint=True if the overlap is known to be "
+                        "vacuous"
+                    )
+            scan_entries = kept + mor
         live = self._read_entries(scan_entries, file_col="__f")
         match_cond = [live[c].eqNullSafe(keys_df[c]) for c in cols]
         # Broadcast only when the key frame's Catalyst size estimate fits
@@ -4081,6 +4106,50 @@ class Table:
             branch=branch or MAIN_BRANCH,
         )
         return deleted
+
+    def _scope_overlap_files(
+        self, excluded: list[dict[str, Any]], keys_df: DataFrame, cols: list[str]
+    ) -> list[str]:
+        """Stats-level verification of a ``delete_by_keys`` scope promise:
+        paths of scope-EXCLUDED data files whose bounds on the key columns
+        overlap the key set's per-column [min, max] range — files where a
+        matching row COULD hide.  Conservative in both directions a check
+        must be: bounds are conservative, the per-column range is an
+        over-approximation of the key tuples, and anything unverifiable
+        (missing bounds, null keys, non-comparable types) counts as
+        overlap.  Metadata-only except one tiny aggregate over the keys."""
+        if not excluded:
+            return []
+        import datetime as _dt
+
+        aggs = []
+        for c in cols:
+            aggs.append(F.min(c).alias(f"__mn_{c}"))
+            aggs.append(F.max(c).alias(f"__mx_{c}"))
+            aggs.append(
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).alias(f"__nl_{c}")
+            )
+        row = keys_df.agg(*aggs).collect()[0]
+
+        def _lit(v):
+            if isinstance(v, (_dt.datetime, _dt.date)):
+                return v.isoformat(sep=" ") if isinstance(v, _dt.datetime) else str(v)
+            return v
+
+        node = None
+        for c in cols:
+            mn, mx, nl = row[f"__mn_{c}"], row[f"__mx_{c}"], row[f"__nl_{c}"]
+            if mn is None or mx is None or (nl or 0) > 0:
+                # null keys match null cells, which bounds never witness —
+                # nothing is provable; every excluded file is suspect
+                return sorted(e["path"] for e in excluded if "path" in e)
+            leaf = ("and", ("cmp", c, ">=", _lit(mn)), ("cmp", c, "<=", _lit(mx)))
+            node = leaf if node is None else ("and", node, leaf)
+        return sorted(
+            e["path"]
+            for e in excluded
+            if "path" in e and _bounds_may_match(e, node)
+        )
 
     def _equality_delete_entries(
         self,

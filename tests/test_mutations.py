@@ -547,3 +547,28 @@ def test_remove_orphans_safety_window(catalog):
     removed = t.remove_orphan_files(older_than=future)
     assert len(removed) == 1
     assert t.to_a() == [{"a": 2}]
+
+
+def test_equality_delete_scope_postcheck(catalog, spark):
+    """r10 (r9 ADVICE): a FALSE scope promise no longer silently misses
+    deletes — the stats-level post-check sees a scope-excluded file whose
+    key-column bounds overlap the key range and raises;
+    scope_is_hint=True opts back into unchecked hint semantics."""
+    import pytest as _pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    t = catalog.create_table("eqchk", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"a{i}"} for i in range(0, 100)])
+    t.append([{"k": i, "v": f"b{i}"} for i in range(100, 200)])
+    # key 50 lives in the first append; scope falsely excludes it
+    with _pytest.raises(InvalidDataError, match="unverifiable"):
+        t.delete_by_keys([(50,)], on="k", scope="k >= 100")
+    assert sorted(r["k"] for r in t.to_a()) == list(range(200))  # nothing died
+    # the explicit hint keeps the documented (miss-capable) fast path
+    n = t.delete_by_keys([(50,)], on="k", scope="k >= 100", scope_is_hint=True)
+    assert n == 0  # silently missed, as the hint contract says
+    # a truthful scope still passes the check and deletes
+    n = t.delete_by_keys([(150,)], on="k", scope="k >= 100")
+    assert n == 1
+    assert 150 not in {r["k"] for r in t.to_a()}

@@ -949,3 +949,25 @@ def test_changelog_delete_planning_is_delta_based(catalog, spark):
     assert deletes == [2, 4, 9, 10]
     inserts = sorted(e[0] for e in events if e[-3] == "insert")
     assert inserts == list(range(1, 12))
+
+
+def test_stream_ending_snapshot_pin(catalog, spark):
+    """r10 (r9 ADVICE): ending_snapshot_id pins the stream head — a drain
+    consumes the backlog as of the pin and never chases later commits
+    (what makes stream_changelog_apply's budgeted drain terminate under
+    concurrent writes)."""
+    t = catalog.create_table("clpin", schema={"k": "int"})
+    t.append([{"k": 1}])
+    pinned = t.current_snapshot().snapshot_id
+    t.append([{"k": 2}])  # lands AFTER the pin: must not stream
+    q = _start(
+        spark, t, "clpin_sink", mode="changelog",
+        ending_snapshot_id=str(pinned),
+    )
+    try:
+        q.processAllAvailable()
+        assert q.exception() is None
+    finally:
+        q.stop()
+    got = sorted(r["k"] for r in spark.sql("SELECT * FROM clpin_sink").collect())
+    assert got == [1]
