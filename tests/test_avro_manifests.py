@@ -229,9 +229,16 @@ def test_mor_deletes_under_avro(catalog, spark):
     assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 4, 6, 7, 8, 9]
     latest_list = max(_list_files(t), key=os.path.getmtime)
     _, mfs = _jvm_read(spark, latest_list)
-    by_content = {m["content"]: m for m in mfs}
-    assert set(by_content) == {0, 1}
-    _, del_records = _jvm_read(spark, by_content[1]["manifest_path"])
+    assert {m["content"] for m in mfs} == {0, 1}
+    # each MoR delete commit CHAINS the parent's manifests and adds its
+    # own delete manifest (r10 superset chaining), so the delete entries
+    # spread across the list's content=1 manifests — aggregate them
+    del_records = [
+        r
+        for m in mfs
+        if m["content"] == 1
+        for r in _jvm_read(spark, m["manifest_path"])[1]
+    ]
     contents = sorted(r["data_file"]["content"] for r in del_records)
     assert contents == [1, 2]
     eq = [r for r in del_records if r["data_file"]["content"] == 2][0]
@@ -375,12 +382,16 @@ def test_temporal_partition_values_are_spec_epoch_relative(catalog, spark):
 
 
 def test_carried_entries_keep_sequence_and_status(catalog, spark):
-    """Spec sequence semantics: a commit rewrites the live manifest, but
-    files from earlier snapshots must appear as EXISTING with their
-    original data sequence number — equality deletes apply only to data
-    files with data seq strictly below the delete's, so re-stamping
-    carried files at the current sequence would disable every equality
-    delete for external readers."""
+    """Spec sequence semantics: files from earlier snapshots must keep
+    their ORIGINAL data sequence number in the delete commit's manifest
+    list — equality deletes apply only to data files with data seq
+    strictly below the delete's, so re-stamping carried files at the
+    current sequence would disable every equality delete for external
+    readers.  Since r10 superset chaining, a MoR delete commit reuses
+    the parent's data manifests verbatim (their manifest-list rows keep
+    their own sequence_number, which null-seq ADDED entries inherit)
+    instead of rewriting carried entries as EXISTING — the same spec
+    guarantee through the fast-append shape."""
     t = catalog.create_table("avseq", schema={"k": "int"}, properties=AVRO_PROPS)
     t.append([{"k": 1}])                       # seq 1
     t.append([{"k": 2}])                       # seq 2 (append mode carries seq-1 files)
@@ -388,17 +399,23 @@ def test_carried_entries_keep_sequence_and_status(catalog, spark):
     assert sorted(r["k"] for r in t.to_a()) == [2]
     latest = max(_list_files(t), key=os.path.getmtime)
     _, mfs = _jvm_read(spark, latest)
-    by_content = {m["content"]: m for m in mfs}
-    data_mf, del_mf = by_content[0], by_content[1]
-    assert data_mf["sequence_number"] == 3
-    assert data_mf["min_sequence_number"] == 1
-    assert data_mf["added_files_count"] == 0  # nothing new in the delete commit
-    assert data_mf["existing_files_count"] >= 2
-    _, data_recs = _jvm_read(spark, data_mf["manifest_path"])
-    # carried data keeps original sequence (1 and 2), status EXISTING (0)
-    seqs = sorted(r["sequence_number"] for r in data_recs)
-    assert seqs == [1, 2]
-    assert {r["status"] for r in data_recs} == {0}
+    data_mfs = [m for m in mfs if m["content"] == 0]
+    [del_mf] = [m for m in mfs if m["content"] == 1]
+    # chained data manifests keep their original commit's sequence
+    assert sorted(m["sequence_number"] for m in data_mfs) == [1, 2]
+    # every data entry's EFFECTIVE sequence (explicit, or inherited from
+    # its manifest-list row when null + ADDED) stays the original 1 / 2
+    eff_seqs = []
+    for m in data_mfs:
+        assert m["min_sequence_number"] == m["sequence_number"]
+        _, data_recs = _jvm_read(spark, m["manifest_path"])
+        for r in data_recs:
+            if r["sequence_number"] is None:
+                assert r["status"] == 1  # null seq may only inherit on ADDED
+                eff_seqs.append(m["sequence_number"])
+            else:
+                eff_seqs.append(r["sequence_number"])
+    assert sorted(eff_seqs) == [1, 2]
     _, del_recs = _jvm_read(spark, del_mf["manifest_path"])
     [eq] = [r for r in del_recs if r["data_file"]["content"] == 2]
     assert eq["status"] == 1  # added THIS commit -> inherits seq 3
