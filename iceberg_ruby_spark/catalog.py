@@ -714,6 +714,14 @@ class Catalog:
         r"^\s*CALL\s+(?:\w+\.)?system\.(\w+)\s*\((.*)\)\s*;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
+    # the exact statement aggregate pushdown serves from metadata alone:
+    # COUNT(*) (or COUNT(1)), optional alias, one bare table, no WHERE /
+    # GROUP BY / time travel — anything else falls through to Spark SQL
+    _COUNT_STAR_RE = re.compile(
+        r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(?P<alias>\w+))?"
+        r"\s+FROM\s+(?P<tbl>[\w.]+)\s*;?\s*$",
+        re.IGNORECASE,
+    )
 
     def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
         """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
@@ -818,6 +826,23 @@ class Catalog:
         m = self._CALL_RE.match(query)
         if m:
             return self._sql_call(m.group(1), m.group(2))
+        m = self._COUNT_STAR_RE.match(query)
+        if m and m.group("tbl").lower() not in ("dual",):
+            # metadata-only COUNT(*) — Iceberg-Spark's aggregate pushdown:
+            # TableScan.count() answers from manifest record counts (DV
+            # cardinalities subtracted exactly), falling back to an
+            # executed scan itself when any other delete kind is live
+            try:
+                t = self.load_table(self._sql_table_ident(m.group("tbl")))
+            except Exception:
+                t = None  # Spark temp view / metadata table — generic path
+            if t is not None:
+                alias = m.group("alias") or "count(1)"
+                return Result(
+                    self.spark.createDataFrame(
+                        [(t.scan().count(),)], f"`{alias}` long"
+                    )
+                )
         self._register_views()
         query = self._rewrite_time_travel(query)
         query = self._rewrite_metadata_tables(query)

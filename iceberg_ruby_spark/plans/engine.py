@@ -1071,3 +1071,51 @@ def engine_materialized_minmax(spark, sf_dir):
     return mv.to_df().select(
         "o_orderpriority", "lo", "hi", F.col("n").cast("long").alias("n")
     ).orderBy("o_orderpriority")
+
+
+@query(
+    "engine_agg_pushdown",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS live_rows,
+           CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0 ELSE 1 END)
+                AS BIGINT) AS sql_live_rows
+    FROM orders WHERE o_orderkey < 4000
+    """,
+)
+def engine_agg_pushdown(spark, sf_dir):
+    """Metadata-only aggregate pushdown end-to-end (Iceberg-Spark parity):
+    COUNT(*)/MIN/MAX answered from manifest record counts and bounds —
+    zero data files opened (test_agg_pushdown.py proves it by deleting
+    the files from disk) — and a deletion-vector delete keeps COUNT
+    metadata-answerable because spec v3 guarantees one DV per data file
+    whose recorded cardinality subtracts exactly.  ``SELECT COUNT(*)``
+    SQL routes through the same path.  The DuckDB twin recomputes every
+    aggregate relationally (NULL o_custkey rows survive the modulus
+    delete in both engines)."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_aggpd",
+        schema={"o_orderkey": "long", "o_custkey": "long"},
+    )
+    rows = load(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 4000)
+    for lo, hi in ((0, 2000), (2000, 4000)):
+        t.append(
+            rows.select("o_orderkey", "o_custkey").filter(
+                (F.col("o_orderkey") >= lo) & (F.col("o_orderkey") < hi)
+            )
+        )
+    total = t.scan().count()
+    min_key = t.scan().min("o_orderkey")
+    max_key = t.scan().max("o_orderkey")
+    t.delete_where("o_custkey % 7 = 0", mode="merge-on-read-dv")
+    live = t.scan().count()
+    sql_live = cat.sql("SELECT COUNT(*) AS n FROM orders_aggpd").to_a()[0]["n"]
+    return spark.createDataFrame(
+        [(total, min_key, max_key, live, sql_live)],
+        "total_rows long, min_key long, max_key long, live_rows long, "
+        "sql_live_rows long",
+    )

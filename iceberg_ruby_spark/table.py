@@ -5707,6 +5707,32 @@ def _normalize_bounds_literal(lo: Any, hi: Any, val: Any):
     return lo, hi, val  # plain strings: lexicographic is the SQL semantic
 
 
+def _typed_bound(v: Any, t: ice_t.Type) -> Any:
+    """A stored manifest bound as the Python value the executed scan would
+    return for that column — ints pass through, temporal/decimal bounds
+    parse back from their serialized string form.  None = not parseable
+    (caller falls back to executing)."""
+    import datetime
+    import decimal
+
+    try:
+        if isinstance(t, (ice_t.IntType, ice_t.LongType)):
+            return int(v)
+        if isinstance(t, ice_t.DateType):
+            return v if isinstance(v, datetime.date) and not isinstance(
+                v, datetime.datetime
+            ) else datetime.date.fromisoformat(str(v))
+        if isinstance(t, ice_t.TimestampType):
+            return v if isinstance(v, datetime.datetime) else (
+                datetime.datetime.fromisoformat(str(v))
+            )
+        if isinstance(t, ice_t.DecimalType):
+            return decimal.Decimal(str(v))
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
 def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     """True unless the bounds prove no row of the file can satisfy node."""
     kind = node[0]
@@ -6515,23 +6541,105 @@ class TableScan:
         return self
 
     def count(self) -> int:
-        """Row count.  With no filters and no merge-on-read deletes in the
-        snapshot this is a pure metadata answer — the sum of manifest
-        record counts, zero data files opened (what a 100 TB ``SELECT
-        COUNT(*)`` should cost).  Any filter or outstanding delete entry
-        falls back to executing the scan."""
+        """Row count.  With no filters this is a pure metadata answer —
+        the sum of manifest record counts, zero data files opened (what a
+        100 TB ``SELECT COUNT(*)`` should cost).  Deletion-vector entries
+        SUBTRACT exactly: spec v3 allows at most one DV per data file
+        (replacement merges the prior positions), its recorded cardinality
+        is the file's dead-row count, and DV entries are dropped with
+        their file on rewrite — so ``sum(record-count) − sum(dv
+        cardinality)`` is exact, never an estimate.  Equality / positional
+        / predicate deletes have no such disjointness guarantee and fall
+        back to executing the scan, as does any filter."""
         snap = self.snapshot()
         if snap is None:
             return 0
         if not self._filters and self._limit is None:
             entries = self.table.ops.read_manifest(snap.manifest_list)
             data, mor = Table._split_entries(entries)
-            if not mor and all(
+            if all(
                 "path" in e and e.get("record-count") is not None for e in data
+            ) and all(
+                e.get("content") == "deletion-vector"
+                and e.get("deleted-records") is not None
+                for e in mor
             ):
-                return sum(e["record-count"] for e in data)
+                total = sum(e["record-count"] for e in data)
+                if not mor:
+                    return total
+                # soundness guard: every DV must reference a live data
+                # file, once (a stale or duplicated DV would over-subtract)
+                live = {self.table.ops._abs(e["path"]) for e in data}
+                refs = [
+                    self.table.ops._abs(
+                        os.path.join(e["base-location"], e["referenced-data-file"])
+                        if e.get("base-location")
+                        else e["referenced-data-file"]
+                    )
+                    for e in mor
+                ]
+                if len(refs) == len(set(refs)) and set(refs) <= live:
+                    return total - sum(e["deleted-records"] for e in mor)
         n = self.to_df().count()
         return min(n, self._limit) if self._limit is not None else n
+
+    # bound-exact types for metadata min/max: float/double excluded (NaN
+    # sorts above +inf in Iceberg bounds but is MAX in SQL — and bounds
+    # never witness NaN), strings excluded (truncate(16) metrics make the
+    # upper bound a bumped prefix, not a value from the file)
+    _BOUND_EXACT_TYPES = ("int", "long", "date", "timestamp", "decimal")
+
+    def min(self, col: str) -> Any:
+        """MIN(col), from manifest bounds when that is provably exact
+        (Iceberg-Spark's aggregate pushdown): no filters, no outstanding
+        merge-on-read deletes (a delete may kill the extreme row), an
+        int/long/date/timestamp/decimal column (float/double NaN and
+        truncated string bounds are unsound), and every data file either
+        records a bound or is provably all-NULL.  Falls back to the
+        scan otherwise.  SQL semantics: NULLs ignored; all-NULL → None."""
+        return self._bound_agg(col, lo=True)
+
+    def max(self, col: str) -> Any:
+        """MAX(col) — see :meth:`min` for the exactness conditions."""
+        return self._bound_agg(col, lo=False)
+
+    def _bound_agg(self, col: str, lo: bool) -> Any:
+        snap = self.snapshot()
+        if snap is None:
+            return None
+        field = self.table.current_schema().field_by_name(col)
+        if field is None:
+            raise InvalidDataError(f"no column {col!r}")
+        meta_ok = (
+            not self._filters
+            and self._limit is None
+            and type(field.field_type).__name__.lower().replace("type", "")
+            in self._BOUND_EXACT_TYPES
+        )
+        if meta_ok:
+            entries = self.table.ops.read_manifest(snap.manifest_list)
+            data, mor = Table._split_entries(entries)
+            vals = []
+            for e in data:
+                b = (e.get("lower-bounds" if lo else "upper-bounds") or {}).get(col)
+                if b is not None:
+                    vals.append(b)
+                    continue
+                # no bound: exact only if the file is provably all-NULL
+                nc = (e.get("null-counts") or {}).get(col)
+                if nc is None or nc != e.get("record-count"):
+                    meta_ok = False
+                    break
+            if meta_ok and not mor:
+                if not vals:
+                    return None  # every row NULL
+                typed = [_typed_bound(v, field.field_type) for v in vals]
+                if all(t is not None for t in typed):
+                    return min(typed) if lo else max(typed)
+        row = self.to_df().agg(
+            (F.min(col) if lo else F.max(col)).alias("v")
+        ).first()
+        return row["v"]
 
     def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Drop files whose commit-time column bounds prove the scan's

@@ -1,0 +1,134 @@
+"""Metadata-only aggregate pushdown (Iceberg-Spark parity: COUNT / MIN /
+MAX answered from manifest stats without opening data files).
+
+The "zero data files opened" claims are proven the hard way: the tests
+DELETE the data files from disk and the metadata answer must still come
+back right — any code path that touches a data file fails loudly.
+Soundness fallbacks (other delete kinds, floats, truncated strings,
+filters) are exercised with files present and checked against executed
+scans."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+
+def _drop_data_files(t, suffix=".parquet"):
+    n = 0
+    for p in glob.glob(os.path.join(t.ops.data_dir, "**", f"*{suffix}"), recursive=True):
+        os.remove(p)
+        n += 1
+    assert n > 0, "expected data files to delete"
+
+
+def test_count_metadata_only(catalog):
+    t = catalog.create_table("agg1", schema={"a": "int"})
+    t.append([{"a": i} for i in range(7)])
+    t.append([{"a": i} for i in range(5)])
+    _drop_data_files(t)
+    assert t.scan().count() == 12
+
+
+def test_count_subtracts_dv_cardinality_exactly(catalog):
+    """DV-only snapshots stay metadata-answerable: one DV per data file
+    (replacement merges), so record-counts minus DV cardinalities is
+    exact — proven with every data AND puffin byte gone from disk."""
+    t = catalog.create_table("agg2", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    assert t.delete_where("a >= 7", mode="merge-on-read-dv") == 3
+    # replacement DV: merges prior positions, entry count stays 1/file
+    assert t.delete_where("a = 0", mode="merge-on-read-dv") == 1
+    _drop_data_files(t)
+    _drop_data_files(t, suffix=".puffin")
+    assert t.scan().count() == 6
+
+
+def test_count_falls_back_for_other_delete_kinds(catalog):
+    t = catalog.create_table("agg3", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t.delete_by_keys([(3,)], on="a")                       # equality
+    assert t.scan().count() == 9
+    t.delete_where("a = 4", mode="merge-on-read-positional")
+    assert t.scan().count() == 8
+    t2 = catalog.create_table("agg3b", schema={"a": "int"})
+    t2.append([{"a": i} for i in range(10)])
+    t2.delete_where("a >= 8", mode="merge-on-read")        # predicate
+    assert t2.scan().count() == 8
+
+
+def test_count_metadata_after_cow_delete(catalog):
+    """CoW rewrites leave no MoR entries — still metadata-answerable."""
+    t = catalog.create_table("agg4", schema={"a": "int"})
+    t.append([{"a": i} for i in range(10)])
+    t.delete_where("a >= 6")  # copy-on-write
+    _drop_data_files(t)
+    assert t.scan().count() == 6
+
+
+def test_min_max_metadata_only(catalog):
+    t = catalog.create_table("agg5", schema={"a": "int", "ts": "timestamp", "d": "date"})
+    import datetime as dt
+
+    t.append(
+        [
+            {"a": 5, "ts": dt.datetime(2024, 5, 1, 10, 30), "d": dt.date(2024, 5, 2)},
+            {"a": -3, "ts": dt.datetime(2023, 1, 15, 8), "d": dt.date(2023, 1, 16)},
+        ]
+    )
+    t.append(
+        [{"a": 42, "ts": dt.datetime(2025, 12, 31, 23, 59, 59), "d": dt.date(2025, 12, 30)}]
+    )
+    _drop_data_files(t)
+    assert t.scan().min("a") == -3
+    assert t.scan().max("a") == 42
+    assert t.scan().min("ts").strftime("%Y-%m-%dT%H:%M:%S") == "2023-01-15T08:00:00"
+    assert t.scan().max("ts").strftime("%Y-%m-%dT%H:%M:%S") == "2025-12-31T23:59:59"
+    assert t.scan().min("d").isoformat() == "2023-01-16"
+    assert t.scan().max("d").isoformat() == "2025-12-30"
+
+
+def test_min_max_all_null_and_missing_column(catalog):
+    t = catalog.create_table("agg6", schema={"a": "int", "b": "int"})
+    t.append([{"a": 1, "b": None}, {"a": 2, "b": None}])
+    _drop_data_files(t)
+    assert t.scan().max("b") is None  # provably all-NULL from null-counts
+    with pytest.raises(InvalidDataError, match="no column"):
+        t.scan().min("nope")
+
+
+def test_min_max_falls_back_when_unsound(catalog, spark):
+    # strings: truncate(16) metrics bump the upper bound — never exact
+    t = catalog.create_table("agg7", schema={"s": "string", "f": "double", "a": "int"})
+    long_s = "z" * 40
+    t.append([{"s": "apple", "f": 1.5, "a": 1}, {"s": long_s, "f": -2.0, "a": 2}])
+    assert t.scan().max("s") == long_s          # executed, not the bumped bound
+    assert t.scan().min("f") == -2.0            # double: NaN-unsound -> executed
+    # an outstanding MoR delete may have killed the extreme row
+    t.delete_by_keys([(2,)], on="a")
+    assert t.scan().max("a") == 1
+    # filters execute too
+    assert t.scan().filter("a > 5").max("a") is None
+
+
+def test_sql_count_star_fast_path(catalog):
+    t = catalog.create_table("agg8", schema={"a": "int"})
+    t.append([{"a": i} for i in range(9)])
+    _drop_data_files(t)
+    res = catalog.sql("SELECT COUNT(*) FROM agg8").to_a()
+    assert res == [{"count(1)": 9}]
+    res = catalog.sql("SELECT COUNT(*) AS n FROM agg8").to_a()
+    assert res == [{"n": 9}]
+    res = catalog.sql("select count(1) from agg8").to_a()
+    assert res == [{"count(1)": 9}]
+
+
+def test_sql_count_star_with_where_uses_generic_path(catalog):
+    t = catalog.create_table("agg9", schema={"a": "int"})
+    t.append([{"a": i} for i in range(9)])
+    res = catalog.sql("SELECT COUNT(*) FROM agg9 WHERE a < 3").to_a()
+    assert res == [{"count(1)": 3}]
