@@ -1119,3 +1119,64 @@ def engine_agg_pushdown(spark, sf_dir):
         "total_rows long, min_key long, max_key long, live_rows long, "
         "sql_live_rows long",
     )
+
+
+@query(
+    "engine_cdc_scd2",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey AS k, o_totalprice AS price
+        FROM orders WHERE o_orderkey < 2000
+    )
+    SELECT CAST(k AS BIGINT) AS k, price,
+           CAST(0 AS BIGINT) AS from_pos,
+           CAST(CASE WHEN k % 10 = 3 THEN 1
+                     WHEN k % 10 = 7 THEN 2 END AS BIGINT) AS to_pos
+    FROM base
+    UNION ALL
+    SELECT CAST(k AS BIGINT), price + 1, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    FROM base WHERE k % 10 = 3
+    UNION ALL
+    SELECT CAST(o_orderkey AS BIGINT), o_totalprice, CAST(3 AS BIGINT),
+           CAST(NULL AS BIGINT)
+    FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
+    """,
+)
+def engine_cdc_scd2(spark, sf_dir):
+    """apply_changelog_scd2 end-to-end: a known commit sequence (bulk
+    append → CoW UPDATE → CoW DELETE → append) consumed into a type-2
+    history across TWO changelog windows, so the cross-window
+    close-the-open-version path runs.  Random snapshot ids map to their
+    commit-chain position for the oracle, which reconstructs every
+    version bracket relationally (update closes at 1, delete at 2,
+    survivors stay open)."""
+    cat = _temp_catalog(spark)
+    src = cat.create_table(
+        "orders_scd_src", schema={"k": "long", "price": "double"}
+    )
+    hist = cat.create_table(
+        "orders_scd_hist",
+        schema={"k": "long", "price": "double", "valid_from": "long", "valid_to": "long"},
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    src.append(orders.filter(F.col("k") < 2000))                 # pos 0
+    src.update_where({"price": "price + 1"}, "k % 10 = 3")       # pos 1
+    mark = src.refresh().current_snapshot().snapshot_id
+    hist.apply_changelog_scd2(src.changelog_scan(), on="k")      # window 1
+    src.delete_where("k % 10 = 7")                               # pos 2
+    src.append(orders.filter((F.col("k") >= 2000) & (F.col("k") < 3000)))  # pos 3
+    hist.apply_changelog_scd2(
+        src.changelog_scan(from_snapshot_id=mark), on="k"        # window 2
+    )
+    snaps = sorted(src.refresh().ops.load().snapshots, key=lambda s: s.sequence_number)
+    posmap = F.create_map(
+        *[F.lit(x) for i, s in enumerate(snaps) for x in (s.snapshot_id, i)]
+    )
+    return hist.refresh().to_df().select(
+        "k",
+        "price",
+        posmap[F.col("valid_from")].cast("long").alias("from_pos"),
+        posmap[F.col("valid_to")].cast("long").alias("to_pos"),
+    )

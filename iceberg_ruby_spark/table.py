@@ -3975,6 +3975,118 @@ class Table:
             )
         return self
 
+    def apply_changelog_scd2(
+        self,
+        changes: DataFrame,
+        on: Union[str, list[str], None] = None,
+        mode: Optional[str] = None,
+        branch: Optional[str] = None,
+    ) -> "Table":
+        """Consume a CDC feed into THIS table as a type-2 slowly-changing
+        dimension: instead of net-effect replication
+        (:meth:`apply_changelog`), every version of every key is KEPT as
+        its own row bracketed by ``valid_from`` / ``valid_to`` (the
+        snapshot ids of the opening and closing source commits;
+        ``valid_to IS NULL`` = the current version).  The table's schema
+        must be the changelog's data columns plus ``valid_from long`` and
+        ``valid_to long``.
+
+        Per key, the window's events fold in ``(_change_ordinal, deletes
+        before inserts)`` order: an insert OPENS a version, and any later
+        event — the delete half of an update, a plain delete, or a
+        superseding insert — CLOSES the version open before it.  A
+        version still open at the window's end, plus the version open in
+        HISTORY when the window's first event arrives, close the same
+        way.  Everything lands in ONE :meth:`merge_into` keyed by
+        ``(keys…, valid_from)``: new versions insert, closed versions
+        (including the prior open row, re-emitted with its ``valid_to``
+        stamped) update.  Replay-idempotent: version identity is the
+        opening commit's snapshot id, so re-applying the window upserts
+        byte-identical rows, and the prior-open join matches nothing the
+        second time (guarded against half-applied replays by excluding
+        open rows whose ``valid_from`` is one of the window's own
+        commits).
+
+        100 TB shape: one shuffle of the CDC-window-sized change frame
+        (two window functions over the same per-key partitioning), one
+        broadcast-sized join of the changed keys against the history's
+        open rows, one merge (O(changed rows) under merge-on-read).
+
+        ``on=None`` defaults to the schema's identifier fields."""
+        if on is None:
+            on = self.identifier_field_names()
+            if not on:
+                raise InvalidDataError(
+                    "apply_changelog_scd2 needs keys: pass on=... or "
+                    "declare identifier fields via "
+                    "update_schema().set_identifier_fields(...)"
+                )
+        keys = [on] if isinstance(on, str) else list(on)
+        data_cols = [
+            c
+            for c in changes.columns
+            if c not in ("_change_type", "_commit_snapshot_id", "_change_ordinal")
+        ]
+        for k in keys:
+            if k not in data_cols:
+                raise InvalidDataError(f"changelog frame lacks key column {k!r}")
+        have = {f.name for f in self.current_schema().fields}
+        missing = [c for c in [*data_cols, "valid_from", "valid_to"] if c not in have]
+        if missing:
+            raise InvalidDataError(
+                "SCD2 table schema must carry the changelog's data columns "
+                f"plus valid_from/valid_to (long); missing: {missing}"
+            )
+        from pyspark.sql import Window as _W
+
+        order = [
+            F.col("_change_ordinal").asc(),
+            F.when(F.col("_change_type") == "insert", 1).otherwise(0).asc(),
+        ]
+        seq = _W.partitionBy(*keys).orderBy(*order)
+        ev = (
+            changes.withColumn("__next_snap", F.lead("_commit_snapshot_id").over(seq))
+            .withColumn("__rk", F.row_number().over(seq))
+            .localCheckpoint()  # three branches below reuse it
+        )
+        # versions this window opens: valid_to = the NEXT event's commit
+        # (NULL = still open at window end)
+        new_versions = ev.filter(F.col("_change_type") == "insert").select(
+            *data_cols,
+            F.col("_commit_snapshot_id").alias("valid_from"),
+            F.col("__next_snap").alias("valid_to"),
+        )
+        # the version open in history closes at the key's FIRST event
+        first_ev = ev.filter(F.col("__rk") == 1).select(
+            *keys, F.col("_commit_snapshot_id").alias("__close_snap")
+        )
+        window_snaps = [
+            r[0] for r in changes.select("_commit_snapshot_id").distinct().collect()
+        ]
+        open_hist = self.to_df().filter(F.col("valid_to").isNull())
+        if window_snaps:
+            # a half-applied replay may have left THIS window's versions
+            # open in history — they re-close via new_versions, not here
+            open_hist = open_hist.filter(~F.col("valid_from").isin(window_snaps))
+        closed_prior = (
+            open_hist.join(F.broadcast(first_ev), on=keys, how="inner")
+            .drop("valid_to")
+            .withColumn("valid_to", F.col("__close_snap"))
+            .select(*data_cols, "valid_from", "valid_to")
+        )
+        upserts = new_versions.unionByName(closed_prior)
+        if not upserts.isEmpty():
+            self.merge_into(
+                upserts,
+                [*keys, "valid_from"],
+                when_matched_update={
+                    c: f"s.{c}" for c in [*data_cols, "valid_to"] if c not in keys
+                },
+                mode=mode,
+                branch=branch,
+            )
+        return self
+
     def delete_by_keys(
         self,
         keys: Any,
