@@ -1529,8 +1529,11 @@ class Catalog:
             # writer's not-yet-committed files; that sweep stays behind the
             # explicit remove_orphan_files procedure + its safety window).
             # iceberg-spark positional order: (table, older_than, retain_last)
+            retain = arg("retain_last", 2)
             n = tbl.expire_snapshots(
-                keep_last=int(arg("retain_last", 2, 1)),
+                # None lets the table's history.expire.* properties supply
+                # the retention defaults, exactly like the Python API
+                keep_last=None if retain is None else int(retain),
                 older_than=arg("older_than", 1),
                 clean_data_files=True,
             )

@@ -5215,7 +5215,7 @@ class Table:
 
     def expire_snapshots(
         self,
-        keep_last: int = 1,
+        keep_last: Optional[int] = None,
         older_than: Optional[Any] = None,
         clean_metadata: bool = True,
         clean_data_files: bool = False,
@@ -5226,6 +5226,13 @@ class Table:
         spec's per-ref retention fields (see :meth:`_expire_plan`):
         aged-out refs are removed, and branches with retention settings
         protect their recent ancestry, not just their head.
+
+        Defaults come from the table's retention PROPERTIES (Iceberg's
+        ExpireSnapshots contract): ``keep_last=None`` reads
+        ``history.expire.min-snapshots-to-keep`` (1 if unset), and
+        ``older_than=None`` reads ``history.expire.max-snapshot-age-ms``
+        as an age cutoff from now (no cutoff if unset) — so an
+        argument-less call enforces the policy the table declares.
 
         ``older_than`` (epoch-millis, datetime, or ISO string — the
         iceberg-spark ``expire_snapshots(older_than => ts)`` contract)
@@ -5253,11 +5260,21 @@ class Table:
         remove_orphan_files, which takes an explicit mtime safety window).
         The deleted paths land in :attr:`last_expire_cleaned_files`."""
         self._check_writable()
+        # Iceberg's table-level retention properties supply the defaults
+        # an argument-less call uses (ExpireSnapshots: history.expire.*);
+        # explicit arguments override them
+        props = self.properties
+        if keep_last is None:
+            keep_last = int(props.get("history.expire.min-snapshots-to-keep", 1))
+        now = _now_ms()
+        if older_than is None:
+            age = props.get("history.expire.max-snapshot-age-ms")
+            if age is not None:
+                older_than = now - int(age)
         self.last_expire_cleaned_files: list[str] = []
         expired = [0]
         expired_snaps: list[dict[str, Any]] = []
         dropped_stats: list[str] = []
-        now = _now_ms()
         cutoff = None if older_than is None else _as_epoch_ms(older_than)
 
         def keeps(snaps: list, keep_tail: set, protected: set):

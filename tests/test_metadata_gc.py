@@ -217,3 +217,29 @@ def test_expire_proc_spares_inflight_files(catalog):
     assert sorted(
         r["a"] for r in catalog.load_table("exp_proc_safe").to_a()
     ) == [0, 1, 2]
+
+
+def test_expire_retention_properties_supply_defaults(catalog):
+    """history.expire.min-snapshots-to-keep / max-snapshot-age-ms drive an
+    argument-less expire_snapshots() (Iceberg ExpireSnapshots defaults);
+    explicit arguments still override."""
+    t = catalog.create_table(
+        "exp_props",
+        schema={"a": "int"},
+        properties={"history.expire.min-snapshots-to-keep": "3"},
+    )
+    for i in range(5):
+        t.append([{"a": i}])
+    assert t.expire_snapshots() == 2          # property floor keeps 3
+    assert len(t.refresh().snapshots) == 3
+    # a generous age property protects everything regardless of the floor
+    t.update_properties({"history.expire.max-snapshot-age-ms": str(10**9)})
+    t.append([{"a": 99}])
+    assert t.expire_snapshots() == 0          # all snapshots younger than cutoff
+    assert len(t.refresh().snapshots) == 4
+    # explicit keep_last overrides the property floor; explicit older_than
+    # (epoch now) overrides the age property
+    import time
+
+    assert t.expire_snapshots(keep_last=1, older_than=int(time.time() * 1000) + 1000) == 3
+    assert len(t.refresh().snapshots) == 1
