@@ -19,7 +19,10 @@ from iceberg_ruby_spark.streaming.events import (
     windowed_counts,
 )
 from iceberg_ruby_spark.streaming.dedup import stream_dedup_ingest
-from iceberg_ruby_spark.streaming.cdc import stream_changelog_apply
+from iceberg_ruby_spark.streaming.cdc import (
+    stream_changelog_apply,
+    stream_changelog_scd2,
+)
 
 from iceberg_ruby_spark.streaming.source import (
     EngineTableStreamDataSource,
@@ -29,6 +32,7 @@ from iceberg_ruby_spark.streaming.source import (
 __all__ = [
     "stream_dedup_ingest",
     "stream_changelog_apply",
+    "stream_changelog_scd2",
     "EngineTableStreamDataSource",
     "register_stream_source",
     "read_events_stream",

@@ -55,6 +55,73 @@ def stream_changelog_apply(
     ``availableNow`` path — it never chases commits that land DURING the
     drain, so it terminates under continuous concurrent writes (r9
     ADVICE).  Call again to pick up what landed since."""
+
+    def _apply(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        replica.refresh().apply_changelog(batch_df, on, mode=mode)
+
+    return _changelog_stream(
+        spark,
+        source_table,
+        _apply,
+        checkpoint_dir,
+        trigger_available_now,
+        max_files_per_trigger,
+        max_rows_per_trigger,
+        max_bytes_per_trigger,
+    )
+
+
+def stream_changelog_scd2(
+    spark,
+    source_table,
+    history,
+    on: Union[str, list[str]],
+    checkpoint_dir: str,
+    mode: str | None = None,
+    trigger_available_now: bool = True,
+    max_files_per_trigger: int | None = None,
+    max_rows_per_trigger: int | None = None,
+    max_bytes_per_trigger: int | None = None,
+):
+    """Continuous type-2 history maintenance: the same changelog-stream
+    loop as :func:`stream_changelog_apply`, but each micro-batch folds
+    into ``history`` via :meth:`Table.apply_changelog_scd2` — versions
+    accumulate instead of netting out.  Exactly-once by the same
+    composition: snapshot-id offsets in the checkpoint + a
+    replay-idempotent apply (version identity is the opening commit's
+    snapshot id, so a crash-replayed batch upserts identical rows).  All
+    trigger/budget options behave exactly as in
+    :func:`stream_changelog_apply`."""
+
+    def _apply(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        history.refresh().apply_changelog_scd2(batch_df, on, mode=mode)
+
+    return _changelog_stream(
+        spark,
+        source_table,
+        _apply,
+        checkpoint_dir,
+        trigger_available_now,
+        max_files_per_trigger,
+        max_rows_per_trigger,
+        max_bytes_per_trigger,
+    )
+
+
+def _changelog_stream(
+    spark,
+    source_table,
+    apply_fn,
+    checkpoint_dir: str,
+    trigger_available_now: bool,
+    max_files_per_trigger: int | None,
+    max_rows_per_trigger: int | None,
+    max_bytes_per_trigger: int | None,
+):
     from iceberg_ruby_spark.streaming.source import register_stream_source
 
     register_stream_source(spark)
@@ -82,14 +149,8 @@ def stream_changelog_apply(
         if v is not None:
             reader = reader.option(opt, str(int(v)))
     stream = reader.load()
-
-    def _apply(batch_df, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
-        replica.refresh().apply_changelog(batch_df, on, mode=mode)
-
     writer = (
-        stream.writeStream.foreachBatch(_apply)
+        stream.writeStream.foreachBatch(apply_fn)
         .option("checkpointLocation", checkpoint_dir)
     )
     if trigger_available_now and not bounded:

@@ -110,3 +110,46 @@ def test_scd2_schema_validation(catalog):
         hist.apply_changelog_scd2(src.changelog_scan().drop("k"), on="k")
     with pytest.raises(InvalidDataError, match="needs keys"):
         hist.apply_changelog_scd2(src.changelog_scan())
+
+
+def test_stream_changelog_scd2_loop(catalog, spark, tmp_path):
+    """stream_changelog_scd2 accumulates version history across drains,
+    restart-safe (same checkpoint, no-new-data run is a no-op)."""
+    from iceberg_ruby_spark.streaming import stream_changelog_scd2
+
+    src = catalog.create_table("scds_src", schema={"k": "int", "v": "string"})
+    hist = catalog.create_table(
+        "scds_hist",
+        schema={"k": "int", "v": "string", "valid_from": "long", "valid_to": "long"},
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def sync():
+        q = stream_changelog_scd2(spark, src.refresh(), hist, "k", ckpt)
+        q.awaitTermination()
+
+    src.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])       # pos 0
+    src.update_where({"v": "'A'"}, "k = 1")                    # pos 1 (CoW pair)
+    sync()
+    pos = _snap_pos(src)
+    assert _hist_rows(hist, pos) == [
+        (1, "A", 1, None),
+        (1, "a", 0, 1),
+        (2, "b", 0, None),
+    ]
+    src.delete_by_keys([{"k": 2}], "k")                        # pos 2
+    src.append([{"k": 3, "v": "c"}])                           # pos 3
+    sync()
+    pos = _snap_pos(src)
+    expect = [
+        (1, "A", 1, None),
+        (1, "a", 0, 1),
+        (2, "b", 0, 2),      # open version closed ACROSS drains
+        (3, "c", 3, None),
+    ]
+    assert _hist_rows(hist.refresh(), pos) == expect
+    sync()                                                     # no new data
+    assert _hist_rows(hist.refresh(), pos) == expect
+    # current view tracks the source
+    cur = sorted((r["k"], r["v"]) for r in hist.to_a() if r["valid_to"] is None)
+    assert cur == sorted((r["k"], r["v"]) for r in src.refresh().to_a())
