@@ -6669,7 +6669,7 @@ class TableScan:
         self._limit = n
         return self
 
-    def count(self) -> int:
+    def count(self, col: Optional[str] = None) -> int:
         """Row count.  With no filters this is a pure metadata answer —
         the sum of manifest record counts, zero data files opened (what a
         100 TB ``SELECT COUNT(*)`` should cost).  Deletion-vector entries
@@ -6679,13 +6679,38 @@ class TableScan:
         their file on rewrite — so ``sum(record-count) − sum(dv
         cardinality)`` is exact, never an estimate.  Equality / positional
         / predicate deletes have no such disjointness guarantee and fall
-        back to executing the scan, as does any filter."""
+        back to executing the scan, as does any filter.
+
+        ``count(col)`` is SQL ``COUNT(col)`` — non-NULL rows only.  It
+        answers from metadata as ``Σ(record-count − null-count)`` when
+        every file records a null count for the column and NO deletes are
+        outstanding (a DV kills rows without saying whether they were
+        NULL, so even exact DV cardinalities can't adjust a per-column
+        count); otherwise the scan executes."""
         snap = self.snapshot()
         if snap is None:
             return 0
+        if col is not None and self.table.current_schema().field_by_name(col) is None:
+            raise InvalidDataError(f"no column {col!r}")
         if not self._filters and self._limit is None:
             entries = self.table.ops.read_manifest(snap.manifest_list)
             data, mor = Table._split_entries(entries)
+            if col is not None:
+                if not mor and all(
+                    "path" in e
+                    and e.get("record-count") is not None
+                    and (e.get("null-counts") or {}).get(col) is not None
+                    for e in data
+                ):
+                    return sum(
+                        e["record-count"] - e["null-counts"][col] for e in data
+                    )
+                n = (
+                    self.to_df()
+                    .agg(F.count(F.col(col)).alias("n"))
+                    .first()["n"]
+                )
+                return int(n)
             if all(
                 "path" in e and e.get("record-count") is not None for e in data
             ) and all(
@@ -6709,7 +6734,12 @@ class TableScan:
                 ]
                 if len(refs) == len(set(refs)) and set(refs) <= live:
                     return total - sum(e["deleted-records"] for e in mor)
-        n = self.to_df().count()
+        df = self.to_df()
+        n = (
+            df.count()
+            if col is None
+            else int(df.agg(F.count(F.col(col)).alias("n")).first()["n"])
+        )
         return min(n, self._limit) if self._limit is not None else n
 
     # bound-exact types for metadata min/max: float/double excluded (NaN

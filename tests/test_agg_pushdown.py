@@ -132,3 +132,25 @@ def test_sql_count_star_with_where_uses_generic_path(catalog):
     t.append([{"a": i} for i in range(9)])
     res = catalog.sql("SELECT COUNT(*) FROM agg9 WHERE a < 3").to_a()
     assert res == [{"count(1)": 3}]
+
+
+def test_count_col_from_null_counts(catalog):
+    """COUNT(col) = sum(record-count - null-count) — proven metadata-only
+    by deleting the files; any delete kind forces execution (a DV kills
+    rows without saying whether they were NULL)."""
+    t = catalog.create_table("agg10", schema={"a": "int", "b": "int"})
+    t.append([{"a": 1, "b": 10}, {"a": 2, "b": None}, {"a": 3, "b": None}])
+    t.append([{"a": 4, "b": 40}])
+    _drop_data_files(t)
+    assert t.scan().count("b") == 2
+    assert t.scan().count("a") == 4
+    with pytest.raises(InvalidDataError, match="no column"):
+        t.scan().count("zz")
+    # with a DV outstanding, COUNT(col) must execute (files must exist)
+    t2 = catalog.create_table("agg11", schema={"a": "int", "b": "int"})
+    t2.append([{"a": 1, "b": 10}, {"a": 2, "b": None}, {"a": 3, "b": 30}])
+    t2.delete_where("a = 3", mode="merge-on-read-dv")
+    assert t2.scan().count("b") == 1
+    assert t2.scan().count() == 2            # star path still metadata
+    # filters execute and respect the column
+    assert t2.scan().filter("a < 3").count("b") == 1
