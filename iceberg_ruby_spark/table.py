@@ -1574,31 +1574,44 @@ class Table:
         from_snapshot_id: Optional[Union[int, str]] = None,
         to_snapshot_id: Optional[Union[int, str]] = None,
         chunk_commits: int = 16,
+        engine: str = "slices",
     ) -> DataFrame:
         """Row-level changes between two snapshots: the table columns plus
         ``_change_type`` ('insert' | 'delete'), ``_commit_snapshot_id``,
         and ``_change_ordinal`` (commit position within the window) —
-        Iceberg's changelog-read surface, expressed as per-commit manifest
-        diffs.
+        Iceberg's changelog-read surface.
 
-        Unlike :meth:`incremental_scan`, EVERY commit kind is consumable:
-        for each adjacent snapshot pair only the files/delete-entries that
-        differ are read, and the two sides cancel through ``exceptAll`` —
-        so an UPDATE emits delete+insert for touched rows, a merge-on-read
-        delete emits just the dead rows, and a pure rewrite (compaction /
-        Z-order) emits NOTHING, because physical file churn without
-        logical change cancels exactly.  Cost per commit is O(changed
-        files); unchanged files are never opened.  Window ends accept a
-        snapshot id OR a branch/tag name.
+        EVERY commit kind is consumable: an UPDATE emits delete+insert for
+        touched rows, a merge-on-read delete emits just the dead rows, and
+        a pure rewrite (compaction / Z-order) emits NOTHING.  Window ends
+        accept a snapshot id OR a branch/tag name.
 
-        Long windows are CHUNKED: every ``chunk_commits`` content-diff
-        commits, the accumulated sub-plan is local-checkpointed (computed
-        and pinned to executor storage, truncating the logical plan), so a
-        200-commit window plans as ~13 bounded jobs instead of one union
-        of hundreds of exceptAll trees — which OOMed the driver JVM
-        (SCALE.md r9 probe).  Windows with at most ``chunk_commits``
-        diff-bearing commits stay fully lazy (no behavior change);
-        ``chunk_commits=0`` disables chunking."""
+        ``engine='slices'`` (default) executes the STREAM planner's
+        per-commit structural slices as one batch job — one task per
+        slice, the exact executor code the changelog stream runs: append
+        commits stream their new files, MoR delete commits emit dead rows
+        masked against prior deletes (never a before/after comparison),
+        CoW rewrites run the distributed content diff.  The r10 probe
+        measured the old per-commit ``exceptAll`` diff at 1136 s for a
+        200-commit sf0.1 window the slice plan covers in seconds — the
+        diff read every changed file twice and shuffled both sides per
+        commit.
+
+        ``engine='diff'`` keeps that relational before/after plan: each
+        adjacent snapshot pair reads only changed files under both delete
+        views and cancels through ``exceptAll``.  It remains the fallback
+        the slices planner drops to automatically when it refuses a
+        window (e.g. a stored MoR delete predicate outside the shared-ANSI
+        subset — the diff path evaluates predicates in Spark itself).
+        Long diff windows are CHUNKED: every ``chunk_commits`` diff-bearing
+        commits the accumulated sub-plan is local-checkpointed, so a
+        200-commit window plans as ~13 bounded jobs instead of the union
+        of hundreds of exceptAll trees that OOMed the driver (SCALE.md r9
+        probe); ``chunk_commits=0`` disables chunking."""
+        if engine not in ("slices", "diff"):
+            raise InvalidDataError(
+                f"changelog_scan engine must be 'slices' or 'diff', got {engine!r}"
+            )
         from_snapshot_id = self._resolve_snapshot_arg(from_snapshot_id)
         to_snapshot_id = self._resolve_snapshot_arg(to_snapshot_id)
         to_id = to_snapshot_id if to_snapshot_id is not None else self.current_snapshot_id
@@ -1607,6 +1620,10 @@ class Table:
         to_snap = self.snapshot_by_id(to_id)
         if to_snap is None:
             raise InvalidDataError(f"no snapshot with id {to_snapshot_id}")
+        if engine == "slices":
+            df = self._changelog_scan_slices(from_snapshot_id, to_id)
+            if df is not None:
+                return df
         # walk parents back to the window start; replay forward
         chain = []
         cur = to_snap
@@ -1687,6 +1704,55 @@ class Table:
         for p in parts[1:]:
             out = out.unionByName(p)
         return out
+
+    def _changelog_scan_slices(
+        self, from_id: Optional[int], to_id: int
+    ) -> Optional[DataFrame]:
+        """The batch changelog window as ONE job over the stream planner's
+        per-commit slices.  Planning happens driver-side exactly as a
+        stream drain would plan the same window (structural slices for
+        append/MoR commits, bounds-disjoint content-diff groups for CoW);
+        execution ships the pickled reader + slices to executors — the
+        same contract the Python DataSource runtime uses — and runs the
+        reader's own ``read()`` per slice, one task each.  The RDD hop is
+        deliberate: the work unit is "run this slice's imperative reader",
+        not a relational expression, and the result immediately becomes a
+        DataFrame with the changelog schema.  Returns None when the slices
+        planner refuses the window (caller falls back to the relational
+        diff, which can evaluate what the planner refused)."""
+        from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+        try:
+            reader = EngineTableStreamReader(
+                {"location": self.ops.location, "mode": "changelog"}
+            )
+            slices = reader.partitions(
+                {"snapshot_id": from_id}, {"snapshot_id": to_id}
+            )
+        except Exception:
+            return None
+        import pyspark.sql.types as _T
+
+        base = self.current_schema().to_spark()
+        st = _T.StructType(
+            list(base.fields)
+            + [
+                _T.StructField("_change_type", _T.StringType()),
+                _T.StructField("_commit_snapshot_id", _T.LongType()),
+                _T.StructField("_change_ordinal", _T.IntegerType()),
+            ]
+        )
+        if not slices:
+            return self.spark.createDataFrame([], st)
+
+        def run_slices(indexed) -> Iterable[tuple]:
+            for i in indexed:
+                yield from reader.read(slices[i])
+
+        rdd = self.spark.sparkContext.parallelize(
+            range(len(slices)), len(slices)
+        ).mapPartitions(run_slices)
+        return self.spark.createDataFrame(rdd, schema=st)
 
     def _changelog_empty(self) -> DataFrame:
         import pyspark.sql.types as _T

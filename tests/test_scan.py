@@ -416,3 +416,26 @@ def test_is_null_pruning_and_scan(catalog):
         for e in t2._current_entries()
         if "path" in e
     )
+
+
+def test_changelog_scan_slices_engine_matches_diff(catalog):
+    """The default slices engine (stream-planner execution) and the
+    relational exceptAll diff produce the same event multiset over a
+    window mixing every commit kind; the slices planner is actually in
+    use (returns a plan, not the fallback)."""
+    t = catalog.create_table("clsl", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(6)])
+    t.delete_by_keys([(1,)], on="k")                       # equality MoR
+    t.delete_where("k = 2", mode="merge-on-read-positional")
+    t.delete_where("k = 3", mode="merge-on-read-dv")
+    t.update_where({"v": "'X'"}, "k = 4")                  # CoW rewrite pair
+    t.compact()                                            # emits nothing
+    t.append([{"k": 9, "v": "z"}])
+    ev = lambda df: sorted(
+        (r["k"], r["v"], r["_change_type"], r["_change_ordinal"])
+        for r in df.collect()
+    )
+    assert t._changelog_scan_slices(None, t.current_snapshot().snapshot_id) is not None
+    assert ev(t.changelog_scan()) == ev(t.changelog_scan(engine="diff"))
+    dead = [(k, ty) for k, _v, ty, _o in ev(t.changelog_scan()) if ty == "delete"]
+    assert dead == [(1, "delete"), (2, "delete"), (3, "delete"), (4, "delete")]
