@@ -1077,6 +1077,7 @@ def engine_materialized_minmax(spark, sf_dir):
     "engine_agg_pushdown",
     oracle="""
     SELECT CAST(COUNT(*) AS BIGINT) AS total_rows,
+           CAST(COUNT(o_custkey) AS BIGINT) AS nonnull_cust,
            CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
            CAST(MAX(o_orderkey) AS BIGINT) AS max_key,
            CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0 ELSE 1 END)
@@ -1109,15 +1110,16 @@ def engine_agg_pushdown(spark, sf_dir):
             )
         )
     total = t.scan().count()
+    nonnull_cust = t.scan().count("o_custkey")   # from null counts
     min_key = t.scan().min("o_orderkey")
     max_key = t.scan().max("o_orderkey")
     t.delete_where("o_custkey % 7 = 0", mode="merge-on-read-dv")
     live = t.scan().count()
     sql_live = cat.sql("SELECT COUNT(*) AS n FROM orders_aggpd").to_a()[0]["n"]
     return spark.createDataFrame(
-        [(total, min_key, max_key, live, sql_live)],
-        "total_rows long, min_key long, max_key long, live_rows long, "
-        "sql_live_rows long",
+        [(total, nonnull_cust, min_key, max_key, live, sql_live)],
+        "total_rows long, nonnull_cust long, min_key long, max_key long, "
+        "live_rows long, sql_live_rows long",
     )
 
 
