@@ -4134,8 +4134,12 @@ class Table:
             # a half-applied replay may have left THIS window's versions
             # open in history — they re-close via new_versions, not here
             open_hist = open_hist.filter(~F.col("valid_from").isin(window_snaps))
+        # no forced broadcast: first_ev is changed-keys-sized for steady
+        # CDC but window-sized for an initial backfill — Spark's own
+        # threshold picks broadcast vs shuffle (forcing the hint would
+        # override that guard, the delete_by_keys lesson)
         closed_prior = (
-            open_hist.join(F.broadcast(first_ev), on=keys, how="inner")
+            open_hist.join(first_ev, on=keys, how="inner")
             .drop("valid_to")
             .withColumn("valid_to", F.col("__close_snap"))
             .select(*data_cols, "valid_from", "valid_to")
