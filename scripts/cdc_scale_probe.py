@@ -18,9 +18,16 @@ kind.  Then measures:
    events volume (tmp/sf1) the wall should scale with changed rows, not
    worse.
 
+3. **Stream-vs-batch changelog equivalence** — a foreachBatch counting
+   drain measures the stream's total event count, then the BATCH
+   ``changelog_scan().count()`` over the same window must complete
+   under default driver memory (the chunked plan; the unchunked union
+   OOMed, SCALE.md r9) and count exactly what the stream emitted.
+
 Usage: python scripts/cdc_scale_probe.py [sf_dir] [n_waves]
-Prints one JSON line; exits 1 if append-commit planning is NOT flat
-(last-fifth mean > 3× first-fifth mean).
+Prints one JSON line; exits 1 if append-commit planning is not flat
+(last-fifth mean > 3× first-fifth mean), delete-commit planning is not
+flat (> 1.5×), the replica diverges, or batch != stream event count.
 """
 
 from __future__ import annotations
@@ -117,6 +124,11 @@ def main() -> None:
     a_first, a_last = fifth_means(plan_ms_append)
     d_first, d_last = fifth_means(plan_ms_delete)
     append_flat = a_last <= 3.0 * max(a_first, 1.0)
+    # delete commits used to read the commit's FULL manifest pair for the
+    # prior-delete mask (linear growth, 1.9 -> 7.0 ms across 200 commits,
+    # SCALE.md r9); the incremental delete-view cache makes a drain pay
+    # one full read total, so the per-commit curve must now be flat too
+    delete_flat = d_last <= 1.5 * max(d_first, 1.0)
 
     # -- replication drain: the continuous CDC loop over the full history
     rep = cat.create_table(
@@ -137,14 +149,39 @@ def main() -> None:
     n_src = s_df.count()
     n_rep = r_df.count()
     n_content_diff = s_df.exceptAll(r_df).union(r_df.exceptAll(s_df)).count()
+    # -- stream event count: a second full drain through a foreachBatch
+    # counter (driver holds one int per micro-batch, never the rows) —
+    # the ground truth the BATCH changelog_scan must reproduce
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    register_stream_source(spark)
+    batch_counts: list[int] = []
+    t0 = time.time()
+    q2 = (
+        spark.readStream.format("iceberg_table")
+        .option("location", src.ops.location)
+        .option("mode", "changelog")
+        .load()
+        .writeStream.foreachBatch(lambda df, _i: batch_counts.append(df.count()))
+        .option("checkpointLocation", tempfile.mkdtemp())
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    stream_events_wall = time.time() - t0
+    stream_events = sum(batch_counts)
+    # -- BATCH changelog_scan over the same 200-commit window: r9's probe
+    # found the unchunked union of per-commit diff plans OOMs the driver;
+    # the chunked plan (localCheckpoint every chunk_commits diffs) must
+    # complete under default driver memory and count exactly what the
+    # stream emitted
+    t0 = time.time()
+    batch_events = src.changelog_scan().count()
+    batch_scan_wall = time.time() - t0
     # MUTATION volume from SNAPSHOT SUMMARIES (metadata-only, build-side
     # stamps; the denominator for the drain-wall ratio, NOT a measure of
     # what the stream emitted — content equivalence above is what proves
-    # the emission correct).  The batch changelog_scan().count() over a
-    # 200-commit window unions hundreds of per-commit diff plans into
-    # one job and OOMs the single-JVM driver — the streaming drain
-    # handles the same window fine because it consumes per-commit
-    # SLICES, never one mega-plan (SCALE.md r9 design point).
+    # the emission correct).
     changed = sum(
         int((s.summary or {}).get("added-records", 0))
         + int((s.summary or {}).get("deleted-records", 0))
@@ -166,9 +203,21 @@ def main() -> None:
         "plan_ms_delete_first5th": round(d_first, 1),
         "plan_ms_delete_last5th": round(d_last, 1),
         "append_planning_flat": bool(append_flat),
+        "delete_planning_flat": bool(delete_flat),
+        "stream_events": stream_events,
+        "stream_events_wall_s": round(stream_events_wall, 2),
+        "batch_changelog_events": batch_events,
+        "batch_changelog_wall_s": round(batch_scan_wall, 2),
+        "batch_matches_stream": bool(batch_events == stream_events),
     }
     print(json.dumps(out))
-    if not append_flat or n_rep != n_src or n_content_diff:
+    if (
+        not append_flat
+        or not delete_flat
+        or n_rep != n_src
+        or n_content_diff
+        or batch_events != stream_events
+    ):
         sys.exit(1)
 
 
