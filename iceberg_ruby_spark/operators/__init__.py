@@ -74,6 +74,7 @@ from iceberg_ruby_spark.operators.text import (
     quality_score,
     repetition_stats,
     scrub_pii,
+    shuffle_corpus,
     stratified_sample,
     token_count,
 )
@@ -153,6 +154,7 @@ __all__ = [
     "funnel",
     "retention_cohorts",
     "sessionize",
+    "shuffle_corpus",
     "stratified_sample",
     "token_count",
     "asof_join",

@@ -702,3 +702,34 @@ def dedup_by_url(
         .filter((F.col("__rn") == 1) | F.col(out_col).isNull())
         .drop("__rn")
     )
+
+
+def shuffle_corpus(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "doc_id",
+    engine: str = "xxhash",
+) -> DataFrame:
+    """Deterministic GLOBAL shuffle — the training-order primitive: the
+    same (seed, id) always lands a document at the same position, across
+    reruns, partition counts, and cluster sizes, so a training run is
+    reproducible and resumable without materializing a permutation.
+
+    The order key is a hash of (id, seed); ``orderBy`` over it is
+    Spark's sampled range-partition + per-partition sort — a total order
+    with NO single-reducer stage, the only shuffle shape that survives
+    100 TB.  The id itself tie-breaks hash collisions.  A different seed
+    is a fresh epoch permutation; iterate seeds for multi-epoch
+    training.
+
+    ``engine='xxhash'`` (default) keys on JVM ``xxhash64`` — fastest.
+    ``engine='md5'`` keys on ``md5(id || ':' || seed)``, bit-identical
+    in DuckDB/Spark, so cross-engine oracles can verify the exact order.
+    """
+    if engine == "xxhash":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    elif engine == "md5":
+        key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    else:
+        raise ValueError(f"shuffle_corpus engine must be 'xxhash' or 'md5', got {engine!r}")
+    return df.orderBy(key, F.col(id_col))

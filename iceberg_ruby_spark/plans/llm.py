@@ -2253,3 +2253,37 @@ def events_retention(spark, sf_dir):
         )
         .orderBy("cohort", "period_offset")
     )
+
+
+@query(
+    "corpus_shuffle_order",
+    oracle="""
+    SELECT doc_id, rank FROM (
+        SELECT doc_id,
+               CAST(ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'), doc_id
+               ) AS BIGINT) AS rank
+        FROM documents
+    ) WHERE rank <= 200
+    """,
+)
+def corpus_shuffle_order(spark, sf_dir):
+    """shuffle_corpus determinism pinned ORDER-exactly: the md5 engine's
+    hash is bit-identical in DuckDB, so the oracle recomputes the same
+    global permutation and the first 200 positions must match 1:1 (the
+    driver's hash compare is order-insensitive — the rank COLUMN is what
+    makes order errors visible).  Production uses engine='xxhash'
+    (JVM-side, no cross-engine twin); both are orderBy-over-hash — range
+    partition + local sort, no single-reducer stage."""
+    from pyspark.sql import Window as W
+
+    from iceberg_ruby_spark.operators import shuffle_corpus
+
+    docs = load(spark, sf_dir, "documents").select("doc_id")
+    head = shuffle_corpus(docs, seed=42, engine="md5").limit(200)
+    key = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":42")))
+    # window over the 200-row head only — never the corpus
+    return head.select(
+        "doc_id",
+        F.row_number().over(W.orderBy(key, F.col("doc_id"))).cast("long").alias("rank"),
+    )

@@ -1336,3 +1336,32 @@ def test_real_codecs_through_spark_pipeline(spark):
         ops.attach_media_metadata(wdf, "payload", fmt="wav"), decoder="wav"
     ).collect()[0]["features"]
     assert wfeats == [16000.0, 1.0, 4.0, 10.0, 5.0, 0.0]
+
+
+def test_shuffle_corpus_deterministic_and_partition_invariant(spark):
+    from iceberg_ruby_spark.operators import shuffle_corpus
+
+    df = spark.createDataFrame([(i, f"d{i}") for i in range(500)], ["doc_id", "text"])
+    base = [r["doc_id"] for r in shuffle_corpus(df, seed=7).collect()]
+    assert sorted(base) == list(range(500))
+    assert base != list(range(500))  # actually permuted
+    # same (seed, ids) -> same order regardless of input partitioning
+    again = [
+        r["doc_id"]
+        for r in shuffle_corpus(df.repartition(17), seed=7).collect()
+    ]
+    assert again == base
+    # a different seed is a different epoch permutation
+    other = [r["doc_id"] for r in shuffle_corpus(df, seed=8).collect()]
+    assert other != base and sorted(other) == sorted(base)
+    # md5 engine: same guarantees, different (cross-engine-checkable) order
+    md5_1 = [r["doc_id"] for r in shuffle_corpus(df, seed=7, engine="md5").collect()]
+    md5_2 = [
+        r["doc_id"]
+        for r in shuffle_corpus(df.repartition(5), seed=7, engine="md5").collect()
+    ]
+    assert md5_1 == md5_2 and sorted(md5_1) == sorted(base)
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="engine"):
+        shuffle_corpus(df, engine="bogus")
