@@ -1673,6 +1673,17 @@ class Catalog:
             t2 = pq_table_retrain(tbl)
             n_rows = int(t2.current_snapshot().summary.get("total-records", 0))
             out = [(n_rows,)], "reencoded_vectors long"
+        elif proc == "build_key_bloom":
+            r = tbl.build_key_bloom(
+                str(arg("col", 1)), fpp=float(arg("fpp", 2, 0.01))
+            )
+            out = (
+                [(r["column"], r["files"], r["bytes"])],
+                "column string, indexed_files long, index_bytes long",
+            )
+        elif proc == "drop_key_bloom":
+            tbl.drop_key_bloom(str(arg("col", 1)))
+            out = [(str(arg("col", 1)),)], "dropped_column string"
         elif proc == "create_changelog_view":
             # iceberg-spark: registers a queryable changelog view and
             # returns its name.  Window bounds come as named args

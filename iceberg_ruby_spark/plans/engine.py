@@ -1182,3 +1182,40 @@ def engine_cdc_scd2(spark, sf_dir):
         posmap[F.col("valid_from")].cast("long").alias("from_pos"),
         posmap[F.col("valid_to")].cast("long").alias("to_pos"),
     )
+
+
+@query(
+    "engine_bloom_lookup",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(o_custkey AS BIGINT) AS o_custkey
+    FROM orders
+    WHERE o_orderkey < 2000 AND o_orderkey IN (3, 998, 1501, 999999)
+    """,
+)
+def engine_bloom_lookup(spark, sf_dir):
+    """Per-file Bloom key index end-to-end: orders land as interleaved
+    single-file commits (every file's bounds span the key domain, so
+    bounds pruning is useless), build_key_bloom indexes them, and point
+    lookups — two hits, one bounds-invisible miss (999999) — answer
+    through the bloom-pruned plan.  The DuckDB twin recomputes the same
+    lookups relationally; test_bloom_index.py proves the file-skip
+    itself."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_bloom", schema={"o_orderkey": "long", "o_custkey": "long"}
+    )
+    rows = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_custkey")
+    )
+    for f in range(4):
+        t.append(rows.filter(F.col("o_orderkey") % 4 == f).coalesce(1))
+    t.build_key_bloom("o_orderkey")
+    t = t.refresh()
+    out = None
+    for k in (3, 998, 1501, 999999):
+        part = t.scan().filter(f"o_orderkey = {k}").to_df()
+        out = part if out is None else out.unionByName(part)
+    return out

@@ -689,6 +689,44 @@ def _new_snapshot_id() -> int:
     return uuid_mod.uuid4().int >> 65  # 63-bit positive
 
 
+# -- per-file Bloom key index (standing index state, like IVF/PQ) ---------
+# Not a Parquet row-group bloom: a MANIFEST-LEVEL file-pruning structure,
+# so a point lookup on a high-cardinality non-sort column skips whole
+# files at PLANNING time — bounds can't (every file's [min,max] spans the
+# domain when the column isn't clustered).
+_BLOOM_BLOB_TYPE = "iceberg-ruby-spark-bloom-v1"
+
+
+def _bloom_params(n: int, fpp: float) -> tuple[int, int]:
+    """(m bits, k hashes) for n distinct keys at the target false-positive
+    rate — the standard sizing, m rounded up to whole bytes."""
+    import math
+
+    n = max(1, n)
+    m = max(64, int(math.ceil(-n * math.log(fpp) / (math.log(2) ** 2))))
+    m = (m + 7) // 8 * 8
+    k = max(1, int(round(m / n * math.log(2))))
+    return m, k
+
+
+def _bloom_positions(val_str: str, m: int, k: int) -> list[int]:
+    """k bit positions via double hashing over one md5 (deterministic
+    across processes/runs — no PYTHONHASHSEED dependence)."""
+    import hashlib
+
+    d = hashlib.md5(val_str.encode("utf-8")).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:16], "little") | 1
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def _bloom_maybe_contains(blob: bytes, m: int, k: int, val_str: str) -> bool:
+    for p in _bloom_positions(val_str, m, k):
+        if not (blob[p >> 3] >> (p & 7)) & 1:
+            return False
+    return True
+
+
 # Broadcast budget for delete_by_keys' key frame (Catalyst size estimate).
 # Matches the spirit of spark.sql.autoBroadcastJoinThreshold but applies to
 # the explicit hint, which would otherwise override Spark's own guard.
@@ -814,6 +852,9 @@ class Table:
         # through the catalog server instead of the filesystem.
         self.ops = ops or FsTableOps(location, io=io)
         self.metadata = self.ops.load()
+        # per-instance lazy cache: col -> bloom index dict | None; False
+        # sentinel = not looked up yet (refresh() returns a new instance)
+        self._bloom_cache: dict[str, Any] = {}
 
     # -- metadata accessors (reference table.rb:12-141) ---------------------
     def refresh(self) -> "Table":
@@ -1187,6 +1228,160 @@ class Table:
     # statistics (reference reads Puffin stats files,
     # ext/iceberg/src/statistics.rs:14-71; here the analog is a JSON stats
     # file per snapshot written by compute_statistics)
+    def build_key_bloom(self, col: str, fpp: float = 0.01) -> dict[str, Any]:
+        """Build (or rebuild) a per-file Bloom key index for ``col`` —
+        standing index state like IVF/PQ: one bloom filter per data file,
+        all in ONE Puffin file under the metadata dir, registered in table
+        properties (``bloom.index.<col>.*``).
+
+        Point lookups (``col = literal`` conjuncts) then prune FILES at
+        planning time: bounds pruning is useless for a high-cardinality
+        column that isn't the sort key (every file's [min, max] spans the
+        domain), but a bloom answers "this file can't hold the key" with
+        ``fpp`` false-positive rate — at 10^5 files that's the difference
+        between opening 1 file and opening them all.
+
+        Soundness under table evolution is structural: blooms key data
+        files by PATH, files are immutable, and a rewritten/appended file
+        isn't in the index so it is conservatively kept until the next
+        build.  Distributed build: one scan of (file, col), one
+        Arrow-batched fold per file; the driver holds one blob per file.
+
+        Only int/long/string columns (the point-lookup types; float
+        equality is a smell and its string form is unstable)."""
+        self._check_writable()
+        field = self.current_schema().field_by_name(col)
+        if field is None:
+            raise InvalidDataError(f"no column {col!r}")
+        if not isinstance(
+            field.field_type, (ice_t.IntType, ice_t.LongType, ice_t.StringType)
+        ):
+            raise InvalidDataError(
+                f"bloom index supports int/long/string columns, not "
+                f"{field.field_type.name}"
+            )
+        snap = self.current_snapshot()
+        if snap is None:
+            raise InvalidDataError("table has no snapshot to index")
+        entries = self.ops.read_manifest(snap.manifest_list)
+        data, _mor = self._split_entries(entries)
+        is_int = not isinstance(field.field_type, ice_t.StringType)
+        df = self._read_entries(data, file_col="__file").select("__file", col)
+        import pandas as pd
+
+        def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
+            s = pdf[col].dropna()
+            if is_int:
+                # int columns with nulls arrive as float64 — restore the
+                # exact integer string form the lookup side will hash
+                s = s.astype("int64")
+            vals = s.astype(str).unique()
+            m, k = _bloom_params(len(vals), fpp)
+            bits = bytearray(m // 8)
+            for v in vals:
+                for p in _bloom_positions(v, m, k):
+                    bits[p >> 3] |= 1 << (p & 7)
+            return pd.DataFrame(
+                {
+                    "file": [pdf["__file"].iloc[0]],
+                    "m": [m],
+                    "k": [k],
+                    "n": [len(vals)],
+                    "blob": [bytes(bits)],
+                }
+            )
+
+        rows = (
+            df.groupBy("__file")
+            .applyInPandas(build, "file string, m long, k long, n long, blob binary")
+            .collect()
+        )
+        from iceberg_ruby_spark.puffin import write_puffin
+
+        blobs = []
+        for r in rows:
+            p = r["file"]
+            if p.startswith("file:"):
+                p = p[len("file:"):]
+            blobs.append(
+                {
+                    "type": _BLOOM_BLOB_TYPE,
+                    "snapshot-id": snap.snapshot_id,
+                    "sequence-number": snap.sequence_number,
+                    "payload": bytes(r["blob"]),
+                    "properties": {
+                        "referenced-data-file": self.ops._rel(p),
+                        "m": str(r["m"]),
+                        "k": str(r["k"]),
+                        "ndv": str(r["n"]),
+                    },
+                }
+            )
+        payload = write_puffin(blobs)
+        path = os.path.join(
+            self.ops.metadata_dir,
+            f"bloom-{col}-{uuid_mod.uuid4().hex[:12]}.puffin",
+        )
+        self.ops.io.write_bytes_atomic(path, payload)
+        old = self.properties.get(f"bloom.index.{col}.path")
+        self.update_properties(
+            {
+                f"bloom.index.{col}.path": self.ops._rel(path),
+                f"bloom.index.{col}.fpp": str(fpp),
+            }
+        )
+        if old:
+            try:  # superseded index file: no snapshot references it
+                self.ops.io.delete(self.ops._abs(old))
+            except OSError:
+                pass
+        self._bloom_cache.pop(col, None)
+        return {"column": col, "files": len(rows), "bytes": len(payload)}
+
+    def drop_key_bloom(self, col: str) -> "Table":
+        """Unregister and delete ``col``'s bloom index."""
+        self._check_writable()
+        old = self.properties.get(f"bloom.index.{col}.path")
+        self.update_properties(
+            removals=[f"bloom.index.{col}.path", f"bloom.index.{col}.fpp"]
+        )
+        if old:
+            try:
+                self.ops.io.delete(self.ops._abs(old))
+            except OSError:
+                pass
+        self._bloom_cache.pop(col, None)
+        return self
+
+    def _bloom_index(self, col: str) -> Optional[dict[str, tuple[int, int, bytes]]]:
+        """{rel data-file path: (m, k, bits)} for ``col``, or None when no
+        index is registered.  One driver read per (table instance, col)."""
+        cached = self._bloom_cache.get(col, False)
+        if cached is not False:
+            return cached
+        rel = self.properties.get(f"bloom.index.{col}.path")
+        out = None
+        if rel:
+            try:
+                from iceberg_ruby_spark.puffin import read_puffin
+
+                blobs, _props = read_puffin(
+                    self.ops.io.read_bytes(self.ops._abs(rel))
+                )
+                out = {
+                    b["properties"]["referenced-data-file"]: (
+                        int(b["properties"]["m"]),
+                        int(b["properties"]["k"]),
+                        b["payload"],
+                    )
+                    for b in blobs
+                    if b.get("type") == _BLOOM_BLOB_TYPE
+                }
+            except (OSError, KeyError, ValueError, InvalidDataError):
+                out = None  # unreadable index: never wrong, just unused
+        self._bloom_cache[col] = out
+        return out
+
     def compute_statistics(self) -> dict[str, Any]:
         """Distributed stats over the current snapshot → a stats file
         (row count, per-column NDV / null count) registered in table
@@ -6873,7 +7068,10 @@ class TableScan:
     def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Drop files whose commit-time column bounds prove the scan's
         string filters match nothing there (manifest-level pruning; Column
-        filters and unparseable expressions conservatively keep the file)."""
+        filters and unparseable expressions conservatively keep the file).
+        Top-level equality conjuncts additionally consult the column's
+        Bloom key index when one is registered (:meth:`Table.
+        build_key_bloom`) — the point-lookup pruning bounds can't do."""
         for f in self._filters:
             src = f
             if not isinstance(src, str):
@@ -6884,6 +7082,52 @@ class TableScan:
             tree = _parse_predicate(src)
             if tree is not None:
                 entries = self.table._prune_by_stats(entries, tree)
+                entries = self._prune_by_bloom(entries, tree)
+        return entries
+
+    def _prune_by_bloom(
+        self, entries: list[dict[str, Any]], tree
+    ) -> list[dict[str, Any]]:
+        """Bloom file pruning for every ``col = literal`` CONJUNCT of the
+        predicate (a disjunct may be satisfied elsewhere, so OR branches
+        never prune).  Sound by construction: a bloom 'absent' answer is
+        definitive for the immutable file it was built from, and files the
+        index doesn't know (appended/rewritten since the build) are kept."""
+
+        def conjuncts(node):
+            if node[0] == "and":
+                yield from conjuncts(node[1])
+                yield from conjuncts(node[2])
+            elif node[0] == "cmp":
+                yield node
+
+        for node in conjuncts(tree):
+            _, col, op, val = node
+            if op != "=" or isinstance(val, float):
+                continue
+            field = self.table.current_schema().field_by_name(col)
+            if field is None:
+                continue
+            # the literal's type family must match the column's: an int
+            # literal against a STRING column coerces SQL-side ('05' = 5
+            # is true) but '5' != '05' in the bloom — never prune there
+            if isinstance(val, int) != isinstance(
+                field.field_type, (ice_t.IntType, ice_t.LongType)
+            ):
+                continue
+            idx = self.table._bloom_index(col)
+            if not idx:
+                continue
+            val_str = str(val)
+            kept = []
+            for e in entries:
+                if "path" not in e:
+                    kept.append(e)
+                    continue
+                b = idx.get(self.table.ops._rel(e["path"]))
+                if b is None or _bloom_maybe_contains(b[2], b[0], b[1], val_str):
+                    kept.append(e)
+            entries = kept
         return entries
 
     def plan_files(self) -> list[dict[str, Any]]:

@@ -1,0 +1,121 @@
+"""Per-file Bloom key index: manifest-level point-lookup pruning beyond
+min/max bounds (standing index state in table properties + one Puffin
+file, like IVF/PQ)."""
+
+from __future__ import annotations
+
+import pytest
+
+from iceberg_ruby_spark.errors import InvalidDataError
+
+
+def _mk_interleaved(catalog, name, files=8, per=100, stride=None):
+    """One FILE per append (coalesce(1)), ids interleaved mod `files` so
+    every file's [min, max] spans the whole domain — bounds pruning is
+    provably useless here and only the bloom can skip files."""
+    t = catalog.create_table(name, schema={"id": "long", "v": "string"})
+    spark = t.spark
+    stride = stride or files
+    for f in range(files):
+        rows = [(i * stride + f, f"v{i * stride + f}") for i in range(per)]
+        t.append(spark.createDataFrame(rows, "id long, v string").coalesce(1))
+    return t
+
+
+def test_bloom_prunes_point_lookup_bounds_cannot(catalog):
+    t = _mk_interleaved(catalog, "bl1")
+    target = 3 * 8 + 5
+    n_files = len(t.scan().plan_files())
+    base = len(t.scan().filter(f"id = {target}").plan_files())
+    assert base >= 6  # interleaving defeats bounds on nearly every file
+    info = t.build_key_bloom("id", fpp=0.001)
+    assert info["files"] == n_files
+    t = t.refresh()
+    pruned = t.scan().filter(f"id = {target}").plan_files()
+    # the key lives in ONE file; md5 blooms are deterministic, so allow
+    # at most one false-positive keep without flaking across layouts
+    assert 1 <= len(pruned) <= 2 and len(pruned) < base
+    # and the answer is right
+    assert [r["v"] for r in t.scan().filter(f"id = {target}").to_a()] == [f"v{target}"]
+    # absent key: (almost) every file pruned, empty result regardless
+    assert len(t.scan().filter("id = 999999").plan_files()) <= 1
+    assert t.scan().filter("id = 999999").to_a() == []
+
+
+def test_bloom_conservative_for_new_and_rewritten_files(catalog):
+    t = _mk_interleaved(catalog, "bl2", files=4, per=50)
+    t.build_key_bloom("id")
+    t = t.refresh()
+    # a file appended AFTER the build isn't indexed: kept, found
+    t.append(t.spark.createDataFrame([(777777, "new")], "id long, v string").coalesce(1))
+    t = t.refresh()
+    assert [r["v"] for r in t.scan().filter("id = 777777").to_a()] == ["new"]
+    plan = t.scan().filter("id = 777777").plan_files()
+    # every indexed file pruned; the unindexed one (plus at most one
+    # deterministic false positive) kept
+    assert 1 <= len(plan) <= 2
+    # compaction rewrites every path -> nothing indexed, nothing pruned,
+    # still correct
+    t.compact()
+    t = t.refresh()
+    assert [r["v"] for r in t.scan().filter("id = 777777").to_a()] == ["new"]
+
+
+def test_bloom_only_safe_conjuncts_prune(catalog):
+    t = _mk_interleaved(catalog, "bl3", files=4, per=50)
+    t.build_key_bloom("id")
+    t = t.refresh()
+    # OR branches never prune
+    rows = t.scan().filter("id = 5 OR id = 6").to_a()
+    assert sorted(r["id"] for r in rows) == [5, 6]
+    # the bloom must NOT prune by one disjunct: the file holding id=5
+    # survives and the row comes back
+    assert [r["id"] for r in t.scan().filter("id = 999999 OR id = 5").to_a()] == [5]
+    # AND conjunct does
+    assert len(t.scan().filter("id = 999999 AND v = 'x'").plan_files()) <= 1
+    # string column with int literal (SQL coerces, bloom must not prune)
+    t2 = catalog.create_table("bl3s", schema={"s": "string"})
+    t2.append([{"s": "05"}])
+    t2.build_key_bloom("s")
+    t2 = t2.refresh()
+    assert len(t2.scan().filter("s = 5").plan_files()) == 1
+
+
+def test_bloom_lifecycle_and_guards(catalog):
+    # stride 8 with 4 files: id 4 is absent but INSIDE every file's
+    # bounds, so only the bloom can prune it — and after drop, nothing does
+    t = _mk_interleaved(catalog, "bl4", files=4, per=50, stride=8)
+    with pytest.raises(InvalidDataError, match="no column"):
+        t.build_key_bloom("zz")
+    t2 = catalog.create_table("bl4f", schema={"f": "double"})
+    t2.append([{"f": 1.0}])
+    with pytest.raises(InvalidDataError, match="int/long/string"):
+        t2.build_key_bloom("f")
+    # rebuild supersedes (old puffin deleted), drop unregisters
+    import glob
+    import os
+
+    t.build_key_bloom("id")
+    t = t.refresh()
+    t.build_key_bloom("id")
+    t = t.refresh()
+    pufs = glob.glob(os.path.join(t.ops.metadata_dir, "bloom-id-*.puffin"))
+    assert len(pufs) == 1
+    assert len(t.scan().filter("id = 4").plan_files()) <= 1  # bloom prunes
+    t.drop_key_bloom("id")
+    t = t.refresh()
+    assert glob.glob(os.path.join(t.ops.metadata_dir, "bloom-id-*.puffin")) == []
+    assert t._bloom_index("id") is None
+    n_files = len(t.scan().plan_files())
+    assert len(t.scan().filter("id = 4").plan_files()) == n_files  # no pruning
+
+
+def test_bloom_call_routes(catalog):
+    t = _mk_interleaved(catalog, "bl5", files=4, per=50)
+    n_files = len(t.scan().plan_files())
+    rows = catalog.sql("CALL system.build_key_bloom(table => 'bl5', col => 'id')").rows
+    assert rows == [["id", n_files, rows[0][2]]] and rows[0][2] > 0
+    t = t.refresh()
+    assert len(t.scan().filter("id = 999999").plan_files()) <= 1
+    catalog.sql("CALL system.drop_key_bloom(table => 'bl5', col => 'id')")
+    assert t.refresh().properties.get("bloom.index.id.path") is None
