@@ -1161,7 +1161,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         predicates in DuckDB over the file's Arrow columns, while the batch
         read path evaluates the same text with Spark ``F.expr`` —
         identical semantics ONLY within the shared ANSI subset (``col op
-        literal`` / AND / OR / parens / IS [NOT] NULL).  A predicate
+        literal`` / AND / OR / parens / IS [NOT] NULL / [NOT] IN).  A
+        predicate
         outside that subset (rlike, <=>, backticks, Spark-only functions)
         would either crash the stream or silently select different rows —
         replica divergence with no error (r9 ADVICE, medium).  Refuse at
@@ -1172,7 +1173,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             raise InvalidDataError(
                 f"changelog streaming cannot evaluate stored delete "
                 f"predicate {pred!r}: only the shared-ANSI subset "
-                "(column op literal, AND/OR, IS [NOT] NULL) is portable "
+                "(column op literal, AND/OR, IS [NOT] NULL, [NOT] IN) is portable "
                 "between the stream's executor and the table read path — "
                 "consume this window with the batch changelog_scan() "
                 "(Spark evaluates the predicate natively) or set "

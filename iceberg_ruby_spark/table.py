@@ -5851,7 +5851,7 @@ class Transaction:
 # turns a selective scan from open-every-file into open-few-files.
 
 _PRED_TOKEN = re.compile(
-    r"\s*(\(|\)|AND\b|OR\b|<=|>=|!=|<>|=|<|>|'(?:[^']|'')*'|[A-Za-z_][A-Za-z_0-9.]*|-?\d+\.?\d*)",
+    r"\s*(\(|\)|,|AND\b|OR\b|<=|>=|!=|<>|=|<|>|'(?:[^']|'')*'|[A-Za-z_][A-Za-z_0-9.]*|-?\d+\.?\d*)",
     re.IGNORECASE,
 )
 
@@ -5918,6 +5918,37 @@ def _parse_predicate(s: str):
         if col is None or not re.match(r"^[A-Za-z_]", col):
             return None
         op = take()
+        if op is not None and op.upper() in ("IN", "NOT"):
+            # col IN (a, b, …)  →  OR of equalities (bounds prune per
+            # disjunct; the bloom prunes files rejecting EVERY value);
+            # col NOT IN (…)    →  AND of inequalities
+            neg = op.upper() == "NOT"
+            if neg and (peek() is None or take().upper() != "IN"):
+                return None
+            if take() != "(":
+                return None
+            vals = []
+            while True:
+                lit = take()
+                if lit is None or lit in (",", "(", ")"):
+                    return None
+                if lit.startswith("'"):
+                    vals.append(lit[1:-1].replace("''", "'"))
+                else:
+                    try:
+                        vals.append(float(lit) if "." in lit else int(lit))
+                    except ValueError:
+                        return None
+                nxt = take()
+                if nxt == ")":
+                    break
+                if nxt != ",":
+                    return None
+            node = ("cmp", col, "!=" if neg else "=", vals[0])
+            for v in vals[1:]:
+                leaf = ("cmp", col, "!=" if neg else "=", v)
+                node = ("and", node, leaf) if neg else ("or", node, leaf)
+            return node
         if op is not None and op.upper() == "IS":
             neg = peek() is not None and peek().upper() == "NOT"
             if neg:
@@ -7088,44 +7119,67 @@ class TableScan:
     def _prune_by_bloom(
         self, entries: list[dict[str, Any]], tree
     ) -> list[dict[str, Any]]:
-        """Bloom file pruning for every ``col = literal`` CONJUNCT of the
-        predicate (a disjunct may be satisfied elsewhere, so OR branches
-        never prune).  Sound by construction: a bloom 'absent' answer is
-        definitive for the immutable file it was built from, and files the
-        index doesn't know (appended/rewritten since the build) are kept."""
+        """Bloom file pruning per top-level CONJUNCT: a bare
+        ``col = literal`` prunes files whose bloom rejects the value, and
+        an OR-tree whose leaves are ALL equalities on the SAME column
+        (the ``col IN (…)`` shape) prunes files rejecting EVERY value —
+        a mixed-column disjunct may be satisfied elsewhere and never
+        prunes.  Sound by construction: a bloom 'absent' answer is
+        definitive for the immutable file it was built from, and files
+        the index doesn't know (appended/rewritten since the build) are
+        kept."""
 
         def conjuncts(node):
             if node[0] == "and":
                 yield from conjuncts(node[1])
                 yield from conjuncts(node[2])
-            elif node[0] == "cmp":
+            else:
                 yield node
 
+        def eq_set(node):
+            """(col, values) when the node is equalities on ONE column
+            joined by OR (or a single equality); None otherwise."""
+            if node[0] == "cmp":
+                _, col, op, val = node
+                return (col, [val]) if op == "=" else None
+            if node[0] == "or":
+                l, r = eq_set(node[1]), eq_set(node[2])
+                if l and r and l[0] == r[0]:
+                    return (l[0], l[1] + r[1])
+            return None
+
         for node in conjuncts(tree):
-            _, col, op, val = node
-            if op != "=" or isinstance(val, float):
+            es = eq_set(node)
+            if es is None:
+                continue
+            col, vals = es
+            if any(isinstance(v, float) for v in vals):
                 continue
             field = self.table.current_schema().field_by_name(col)
             if field is None:
                 continue
-            # the literal's type family must match the column's: an int
+            # the literals' type family must match the column's: an int
             # literal against a STRING column coerces SQL-side ('05' = 5
             # is true) but '5' != '05' in the bloom — never prune there
-            if isinstance(val, int) != isinstance(
-                field.field_type, (ice_t.IntType, ice_t.LongType)
+            if any(
+                isinstance(v, int)
+                != isinstance(field.field_type, (ice_t.IntType, ice_t.LongType))
+                for v in vals
             ):
                 continue
             idx = self.table._bloom_index(col)
             if not idx:
                 continue
-            val_str = str(val)
+            val_strs = [str(v) for v in vals]
             kept = []
             for e in entries:
                 if "path" not in e:
                     kept.append(e)
                     continue
                 b = idx.get(self.table.ops._rel(e["path"]))
-                if b is None or _bloom_maybe_contains(b[2], b[0], b[1], val_str):
+                if b is None or any(
+                    _bloom_maybe_contains(b[2], b[0], b[1], v) for v in val_strs
+                ):
                     kept.append(e)
             entries = kept
         return entries

@@ -119,3 +119,26 @@ def test_bloom_call_routes(catalog):
     assert len(t.scan().filter("id = 999999").plan_files()) <= 1
     catalog.sql("CALL system.drop_key_bloom(table => 'bl5', col => 'id')")
     assert t.refresh().properties.get("bloom.index.id.path") is None
+
+
+def test_bloom_prunes_in_lists(catalog):
+    """col IN (…) parses to an OR-of-equalities; the bloom prunes files
+    rejecting EVERY value, bounds prune per disjunct, results exact."""
+    t = _mk_interleaved(catalog, "bl6", files=4, per=50, stride=8)
+    t.build_key_bloom("id", fpp=0.001)
+    t = t.refresh()
+    n_files = len(t.scan().plan_files())
+    assert n_files == 4
+    # ids 1 and 2 live in two distinct files; 4 is absent-but-in-bounds
+    plan = t.scan().filter("id IN (1, 2, 4)").plan_files()
+    assert 2 <= len(plan) <= 3
+    rows = sorted(r["id"] for r in t.scan().filter("id IN (1, 2, 4)").to_a())
+    assert rows == [1, 2]
+    # all-absent IN: everything pruned
+    assert len(t.scan().filter("id IN (4, 12, 20)").plan_files()) <= 1
+    # NOT IN parses to AND-of-inequalities: never bloom-pruned, correct
+    n = len(t.scan().filter("id NOT IN (1, 2)").to_a())
+    assert n == 4 * 50 - 2
+    # mixed-column OR never prunes a file that could satisfy either side
+    rows = sorted(r["id"] for r in t.scan().filter("id = 4 OR v = 'v1'").to_a())
+    assert rows == [1]

@@ -856,16 +856,18 @@ def test_changelog_cow_diff_distributes(catalog, spark):
 
 def test_changelog_refuses_nonansi_stored_predicate(catalog, spark):
     """A stored MoR delete predicate outside the shared-ANSI subset (here
-    an IN list) must refuse at planning with a typed error instead of
-    silently handing Spark-dialect text to the executor's DuckDB
-    evaluation (r9 ADVICE medium).  The batch changelog, which evaluates
-    predicates with Spark natively, still consumes the window."""
+    RLIKE, Spark-only) must refuse at planning with a typed error instead
+    of silently handing Spark-dialect text to the executor's DuckDB
+    evaluation (r9 ADVICE medium).  The batch changelog falls back to the
+    relational diff (Spark evaluates the predicate natively) and still
+    consumes the window.  IN lists are ANSI — bit-identical in DuckDB —
+    so they stream (r10: the predicate parser gained [NOT] IN)."""
     from iceberg_ruby_spark.errors import InvalidDataError
     from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
 
     t = catalog.create_table("clansi", schema={"k": "int", "v": "string"})
     t.append([{"k": i, "v": f"v{i}"} for i in range(1, 5)])
-    t.delete_where("k IN (2, 3)", mode="merge-on-read")
+    t.delete_where("v RLIKE 'v[23]'", mode="merge-on-read")
     head = t.refresh().current_snapshot().snapshot_id
     r = EngineTableStreamReader({"location": t.ops.location, "mode": "changelog"})
     with pytest.raises(InvalidDataError, match="shared-ANSI"):
@@ -874,6 +876,12 @@ def test_changelog_refuses_nonansi_stored_predicate(catalog, spark):
         (row["k"], row["_change_type"]) for row in t.changelog_scan().collect()
     )
     assert [(k, ty) for k, ty in batch if ty == "delete"] == [(2, "delete"), (3, "delete")]
+    # ANSI IN streams: planning accepts and the events are exact
+    t2 = catalog.create_table("clansi_in", schema={"k": "int", "v": "string"})
+    t2.append([{"k": i, "v": f"v{i}"} for i in range(1, 5)])
+    t2.delete_where("k IN (2, 3)", mode="merge-on-read")
+    ev = _changelog_events(spark, t2, "clansi_in_sink")
+    assert [(k, ty) for k, _v, ty, _o in ev if ty == "delete"] == [(2, "delete"), (3, "delete")]
 
 
 def test_changelog_skip_keeps_structural_deletes_in_mixed_commit(catalog, spark):
