@@ -1265,8 +1265,41 @@ class Table:
             raise InvalidDataError("table has no snapshot to index")
         entries = self.ops.read_manifest(snap.manifest_list)
         data, _mor = self._split_entries(entries)
+        from iceberg_ruby_spark.puffin import write_puffin
+
+        blobs = self._build_bloom_blobs(data, col, fpp, snap)
+        payload = write_puffin(blobs)
+        path = os.path.join(
+            self.ops.metadata_dir,
+            f"bloom-{col}-{uuid_mod.uuid4().hex[:12]}.puffin",
+        )
+        self.ops.io.write_bytes_atomic(path, payload)
+        old = self.properties.get(f"bloom.index.{col}.path")
+        self.update_properties(
+            {
+                f"bloom.index.{col}.path": self.ops._rel(path),
+                f"bloom.index.{col}.fpp": str(fpp),
+            }
+        )
+        if old:
+            try:  # superseded index file: no snapshot references it
+                self.ops.io.delete(self.ops._abs(old))
+            except OSError:
+                pass
+        self._bloom_cache.pop(col, None)
+        return {"column": col, "files": len(blobs), "bytes": len(payload)}
+
+    def _build_bloom_blobs(
+        self, data_entries: list[dict[str, Any]], col: str, fpp: float, snap
+    ) -> list[dict[str, Any]]:
+        """One distributed scan of (file, col) over ``data_entries`` →
+        per-file bloom Puffin blob dicts (the fold each build path
+        shares); Arrow-batched, the driver holds one blob per file."""
+        field = self.current_schema().field_by_name(col)
         is_int = not isinstance(field.field_type, ice_t.StringType)
-        df = self._read_entries(data, file_col="__file").select("__file", col)
+        if not data_entries:
+            return []
+        df = self._read_entries(data_entries, file_col="__file").select("__file", col)
         import pandas as pd
 
         def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
@@ -1296,8 +1329,6 @@ class Table:
             .applyInPandas(build, "file string, m long, k long, n long, blob binary")
             .collect()
         )
-        from iceberg_ruby_spark.puffin import write_puffin
-
         blobs = []
         for r in rows:
             p = r["file"]
@@ -1317,26 +1348,71 @@ class Table:
                     },
                 }
             )
-        payload = write_puffin(blobs)
+        return blobs
+
+    def refresh_key_bloom(self, col: str) -> dict[str, Any]:
+        """Incremental index maintenance: build blooms ONLY for data files
+        the index doesn't cover yet (appended or rewritten since the last
+        build), drop blobs for files no longer live, and keep everything
+        else verbatim — O(new files) reads instead of a full re-scan, the
+        same maintenance shape as the append fast path.  Falls back to a
+        full :meth:`build_key_bloom` when no index is registered."""
+        if self.properties.get(f"bloom.index.{col}.path") is None:
+            return self.build_key_bloom(col)
+        self._check_writable()
+        fpp = float(self.properties.get(f"bloom.index.{col}.fpp", 0.01))
+        from iceberg_ruby_spark.puffin import read_puffin, write_puffin
+
+        old_blobs, _props = read_puffin(
+            self.ops.io.read_bytes(
+                self.ops._abs(self.properties[f"bloom.index.{col}.path"])
+            )
+        )
+        by_rel = {
+            b["properties"]["referenced-data-file"]: b
+            for b in old_blobs
+            if b.get("type") == _BLOOM_BLOB_TYPE
+        }
+        snap = self.current_snapshot()
+        if snap is None:
+            raise InvalidDataError("table has no snapshot to index")
+        entries = self.ops.read_manifest(snap.manifest_list)
+        data, _mor = self._split_entries(entries)
+        live_rel = {self.ops._rel(e["path"]) for e in data if "path" in e}
+        fresh = [
+            e
+            for e in data
+            if "path" in e and self.ops._rel(e["path"]) not in by_rel
+        ]
+        kept = [b for rel, b in sorted(by_rel.items()) if rel in live_rel]
+        built = 0
+        if fresh:
+            # one bounded scan of just the new files through the same
+            # distributed fold the full build uses
+            sub = self._build_bloom_blobs(fresh, col, fpp, snap)
+            built = len(sub)
+            kept += sub
+        payload = write_puffin(kept)
         path = os.path.join(
             self.ops.metadata_dir,
             f"bloom-{col}-{uuid_mod.uuid4().hex[:12]}.puffin",
         )
         self.ops.io.write_bytes_atomic(path, payload)
         old = self.properties.get(f"bloom.index.{col}.path")
-        self.update_properties(
-            {
-                f"bloom.index.{col}.path": self.ops._rel(path),
-                f"bloom.index.{col}.fpp": str(fpp),
-            }
-        )
+        self.update_properties({f"bloom.index.{col}.path": self.ops._rel(path)})
         if old:
-            try:  # superseded index file: no snapshot references it
+            try:
                 self.ops.io.delete(self.ops._abs(old))
             except OSError:
                 pass
         self._bloom_cache.pop(col, None)
-        return {"column": col, "files": len(rows), "bytes": len(payload)}
+        return {
+            "column": col,
+            "files": len(kept),
+            "built": built,
+            "dropped": len(by_rel) - (len(kept) - built),
+            "bytes": len(payload),
+        }
 
     def drop_key_bloom(self, col: str) -> "Table":
         """Unregister and delete ``col``'s bloom index."""

@@ -142,3 +142,39 @@ def test_bloom_prunes_in_lists(catalog):
     # mixed-column OR never prunes a file that could satisfy either side
     rows = sorted(r["id"] for r in t.scan().filter("id = 4 OR v = 'v1'").to_a())
     assert rows == [1]
+
+
+def test_bloom_refresh_incremental(catalog):
+    """refresh_key_bloom reads ONLY unindexed files (O(new files)),
+    drops blobs for dead files, keeps the rest verbatim."""
+    t = _mk_interleaved(catalog, "bl7", files=3, per=50, stride=8)
+    t.build_key_bloom("id", fpp=0.001)
+    t = t.refresh()
+    # two new single-file appends
+    for f in (3, 4):
+        t.append(
+            t.spark.createDataFrame(
+                [(i * 8 + f, f"v{i * 8 + f}") for i in range(50)], "id long, v string"
+            ).coalesce(1)
+        )
+    t = t.refresh()
+    r = t.refresh_key_bloom("id")
+    assert r["built"] == 2 and r["files"] == 5 and r["dropped"] == 0
+    t = t.refresh()
+    # new keys now prunable: id 3 lives only in the f=3 file
+    assert 1 <= len(t.scan().filter("id = 3").plan_files()) <= 2
+    assert [r2["id"] for r2 in t.scan().filter("id = 3").to_a()] == [3]
+    # absent-in-bounds key pruned across old AND new files
+    assert len(t.scan().filter("id = 7").plan_files()) <= 1
+    # compaction rewrites everything; refresh rebuilds from scratch shape
+    t.compact()
+    t = t.refresh()
+    r2 = t.refresh_key_bloom("id")
+    assert r2["dropped"] == 5 and r2["built"] == r2["files"]
+    t = t.refresh()
+    assert len(t.scan().filter("id = 7").plan_files()) <= 1
+    assert [x["id"] for x in t.scan().filter("id = 3").to_a()] == [3]
+    # refresh with no registered index = full build
+    t2 = catalog.create_table("bl7b", schema={"id": "long"})
+    t2.append([{"id": 1}])
+    assert t2.refresh_key_bloom("id")["files"] >= 1
