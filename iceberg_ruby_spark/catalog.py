@@ -1681,6 +1681,16 @@ class Catalog:
                 [(r["column"], r["files"], r["bytes"])],
                 "column string, indexed_files long, index_bytes long",
             )
+        elif proc == "refresh_key_bloom":
+            r = tbl.refresh_key_bloom(str(arg("col", 1)))
+            out = (
+                [(
+                    r["column"], r["files"], r.get("built", r["files"]),
+                    r.get("dropped", 0), r["bytes"],
+                )],
+                "column string, indexed_files long, built long, "
+                "dropped long, index_bytes long",
+            )
         elif proc == "drop_key_bloom":
             tbl.drop_key_bloom(str(arg("col", 1)))
             out = [(str(arg("col", 1)),)], "dropped_column string"

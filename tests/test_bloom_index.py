@@ -178,3 +178,12 @@ def test_bloom_refresh_incremental(catalog):
     t2 = catalog.create_table("bl7b", schema={"id": "long"})
     t2.append([{"id": 1}])
     assert t2.refresh_key_bloom("id")["files"] >= 1
+
+
+def test_bloom_refresh_call_route(catalog):
+    t = _mk_interleaved(catalog, "bl8", files=3, per=30)
+    catalog.sql("CALL system.build_key_bloom(table => 'bl8', col => 'id')")
+    t = t.refresh()
+    t.append(t.spark.createDataFrame([(900, "x")], "id long, v string").coalesce(1))
+    rows = catalog.sql("CALL system.refresh_key_bloom(table => 'bl8', col => 'id')").rows
+    assert rows[0][0] == "id" and rows[0][2] == 1  # one new file built
