@@ -733,3 +733,42 @@ def shuffle_corpus(
     else:
         raise ValueError(f"shuffle_corpus engine must be 'xxhash' or 'md5', got {engine!r}")
     return df.orderBy(key, F.col(id_col))
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    group_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    seed: int = 42,
+    engine: str = "xxhash",
+) -> DataFrame:
+    """Deterministic k-per-group sampling — the eval-set construction
+    primitive ("200 docs per source/language/domain"): within each group,
+    the k survivors are the smallest hash(id, seed) values, so the draw
+    is a pure function of (seed, group membership) — stable across
+    reruns, partitionings, and appends that don't touch a group's
+    members.
+
+    ONE shuffle (the group window); the per-group sort is bounded by
+    group size, never the corpus.  ``engine='md5'`` makes the hash
+    bit-identical in DuckDB for cross-engine verification; ``'xxhash'``
+    (default) stays JVM-fastest."""
+    if k <= 0:
+        raise ValueError(f"k must be positive, got {k}")
+    if engine == "xxhash":
+        key = F.xxhash64(F.col(id_col), F.lit(seed))
+    elif engine == "md5":
+        key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    else:
+        raise ValueError(
+            f"sample_k_per_group engine must be 'xxhash' or 'md5', got {engine!r}"
+        )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(group_col).orderBy(key, F.col(id_col))
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -2287,3 +2287,26 @@ def corpus_shuffle_order(spark, sf_dir):
         "doc_id",
         F.row_number().over(W.orderBy(key, F.col("doc_id"))).cast("long").alias("rank"),
     )
+
+
+@query(
+    "corpus_sample_per_group",
+    oracle="""
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY md5(CAST(doc_id AS VARCHAR) || ':7'), doc_id
+               ) AS rk
+        FROM documents
+    ) WHERE rk <= 25
+    """,
+)
+def corpus_sample_per_group(spark, sf_dir):
+    """sample_k_per_group: 25 docs per source, survivors = the smallest
+    md5(id, seed) per group — the DuckDB twin recomputes the identical
+    draw, so membership (not just counts) is hash-verified."""
+    from iceberg_ruby_spark.operators import sample_k_per_group
+
+    docs = load(spark, sf_dir, "documents").select("doc_id", "source")
+    return sample_k_per_group(docs, "source", 25, seed=7, engine="md5")

@@ -1365,3 +1365,32 @@ def test_shuffle_corpus_deterministic_and_partition_invariant(spark):
 
     with _pt.raises(ValueError, match="engine"):
         shuffle_corpus(df, engine="bogus")
+
+
+def test_sample_k_per_group_semantics(spark):
+    from iceberg_ruby_spark.operators import sample_k_per_group
+
+    rows = [(i, "a" if i < 60 else "b") for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "g"])
+    out = sample_k_per_group(df, "g", 10, seed=3).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["doc_id"])
+    assert len(by_g["a"]) == 10 and len(by_g["b"]) == 10
+    # deterministic + partition-invariant
+    out2 = sample_k_per_group(df.repartition(13), "g", 10, seed=3).collect()
+    assert sorted((r["g"], r["doc_id"]) for r in out2) == sorted(
+        (r["g"], r["doc_id"]) for r in out
+    )
+    # a group smaller than k survives whole
+    small = spark.createDataFrame([(1, "x"), (2, "x")], ["doc_id", "g"])
+    assert len(sample_k_per_group(small, "g", 10).collect()) == 2
+    # appending docs to ANOTHER group never changes this group's draw
+    df2 = df.union(spark.createDataFrame([(1000 + i, "c") for i in range(50)], ["doc_id", "g"]))
+    out3 = sample_k_per_group(df2, "g", 10, seed=3).collect()
+    a3 = sorted(r["doc_id"] for r in out3 if r["g"] == "a")
+    assert a3 == sorted(by_g["a"])
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="positive"):
+        sample_k_per_group(df, "g", 0)
