@@ -715,10 +715,12 @@ class Catalog:
         re.IGNORECASE | re.DOTALL,
     )
     # the exact statement aggregate pushdown serves from metadata alone:
-    # COUNT(*) (or COUNT(1)), optional alias, one bare table, no WHERE /
-    # GROUP BY / time travel — anything else falls through to Spark SQL
+    # COUNT(*) / COUNT(1) / COUNT(col), optional alias, one bare table,
+    # no WHERE / GROUP BY / DISTINCT / time travel — anything else falls
+    # through to Spark SQL
     _COUNT_STAR_RE = re.compile(
-        r"^\s*SELECT\s+COUNT\s*\(\s*(?:\*|1)\s*\)(?:\s+AS\s+(?P<alias>\w+))?"
+        r"^\s*SELECT\s+COUNT\s*\(\s*(?P<expr>\*|1|[A-Za-z_]\w*)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>\w+))?"
         r"\s+FROM\s+(?P<tbl>[\w.]+)\s*;?\s*$",
         re.IGNORECASE,
     )
@@ -836,11 +838,18 @@ class Catalog:
                 t = self.load_table(self._sql_table_ident(m.group("tbl")))
             except Exception:
                 t = None  # Spark temp view / metadata table — generic path
-            if t is not None:
-                alias = m.group("alias") or "count(1)"
+            expr = m.group("expr")
+            col = None if expr in ("*", "1") else expr
+            if t is not None and (
+                col is None or t.current_schema().field_by_name(col) is not None
+            ):
+                # Spark names the bare aggregate count(1) / count(col)
+                alias = m.group("alias") or (
+                    "count(1)" if col is None else f"count({col})"
+                )
                 return Result(
                     self.spark.createDataFrame(
-                        [(t.scan().count(),)], f"`{alias}` long"
+                        [(t.scan().count(col),)], f"`{alias}` long"
                     )
                 )
         self._register_views()

@@ -154,3 +154,17 @@ def test_count_col_from_null_counts(catalog):
     assert t2.scan().count() == 2            # star path still metadata
     # filters execute and respect the column
     assert t2.scan().filter("a < 3").count("b") == 1
+
+
+def test_sql_count_col_fast_path(catalog):
+    # generic-path check first: view registration scans every table, so
+    # it must run before any table's files are deleted below
+    t2 = catalog.create_table("agg13", schema={"a": "int"})
+    t2.append([{"a": 1}, {"a": 1}, {"a": 2}])
+    assert catalog.sql("SELECT COUNT(DISTINCT a) FROM agg13").rows == [[2]]
+    t = catalog.create_table("agg12", schema={"a": "int", "b": "int"})
+    t.append([{"a": 1, "b": None}, {"a": 2, "b": 7}, {"a": 3, "b": None}])
+    _drop_data_files(t)
+    assert catalog.sql("SELECT COUNT(b) FROM agg12").to_a() == [{"count(b)": 1}]
+    assert catalog.sql("SELECT COUNT(a) AS n FROM agg12").to_a() == [{"n": 3}]
+    assert catalog.sql("SELECT COUNT(*) FROM agg12").to_a() == [{"count(1)": 3}]
