@@ -347,3 +347,69 @@ def stream_cdc_pipeline(spark, sf_dir):
     return rep.refresh().to_df().select(
         "doc_id", F.length("text").cast("int").alias("char_len")
     )
+
+
+@query(
+    "stream_cdc_scd2",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id FROM documents WHERE doc_id < 600
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(0 AS BIGINT) AS from_pos,
+           CAST(CASE WHEN doc_id % 5 = 2 THEN 1
+                     WHEN doc_id % 5 = 4 THEN 2 END AS BIGINT) AS to_pos,
+           CAST(0 AS BIGINT) AS ver
+    FROM base
+    UNION ALL
+    SELECT CAST(doc_id AS BIGINT), CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+           CAST(1 AS BIGINT)
+    FROM base WHERE doc_id % 5 = 2
+    """,
+)
+def stream_cdc_scd2(spark, sf_dir):
+    """The STREAMING type-2 history loop (streaming/cdc.py
+    ``stream_changelog_scd2``) across two drains: a bulk load + CoW
+    UPDATE drain, then a CoW DELETE drain that must close versions left
+    open by the FIRST drain.  Snapshot ids map to commit positions;
+    ``ver`` disambiguates the two versions an updated key holds.  The
+    oracle reconstructs every version bracket relationally."""
+    import tempfile
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import stream_changelog_scd2
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 600)
+    src = cat.create_table("scd2s_src", schema={"doc_id": "long", "ver": "long"})
+    hist = cat.create_table(
+        "scd2s_hist",
+        schema={
+            "doc_id": "long",
+            "ver": "long",
+            "valid_from": "long",
+            "valid_to": "long",
+        },
+    )
+    ckpt = tempfile.mkdtemp(prefix="scd2s_ckpt_")
+    src.append(docs.select("doc_id", F.lit(0).cast("long").alias("ver")))  # pos 0
+    src.update_where({"ver": "1"}, "doc_id % 5 = 2")                       # pos 1
+    q = stream_changelog_scd2(spark, src.refresh(), hist, "doc_id", ckpt)
+    q.awaitTermination()
+    src.delete_where("doc_id % 5 = 4")                                     # pos 2
+    q = stream_changelog_scd2(spark, src.refresh(), hist, "doc_id", ckpt)
+    q.awaitTermination()
+    snaps = sorted(
+        src.refresh().ops.load().snapshots, key=lambda s: s.sequence_number
+    )
+    posmap = F.create_map(
+        *[F.lit(x) for i, s in enumerate(snaps) for x in (s.snapshot_id, i)]
+    )
+    return hist.refresh().to_df().select(
+        "doc_id",
+        posmap[F.col("valid_from")].cast("long").alias("from_pos"),
+        posmap[F.col("valid_to")].cast("long").alias("to_pos"),
+        "ver",
+    )
