@@ -653,16 +653,21 @@ class Catalog:
     _MERGE_INSERT_RE = re.compile(
         r"WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*", re.IGNORECASE
     )
+    # the AND-condition groups exclude THEN/WHEN keywords: a lazy (.+?)
+    # would otherwise swallow a whole preceding clause of the same prefix
+    # ("WHEN MATCHED AND c THEN UPDATE ... WHEN MATCHED THEN DELETE")
     _MERGE_DELETE_RE = re.compile(
-        r"WHEN\s+MATCHED\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
+        r"WHEN\s+MATCHED\s+(?:AND\s+((?:(?!\bTHEN\b|\bWHEN\b).)+?)\s+)?THEN\s+DELETE",
         re.IGNORECASE | re.DOTALL,
     )
     _MERGE_NMBS_DELETE_RE = re.compile(
-        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?THEN\s+DELETE",
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
+        r"(?:AND\s+((?:(?!\bTHEN\b|\bWHEN\b).)+?)\s+)?THEN\s+DELETE",
         re.IGNORECASE | re.DOTALL,
     )
     _MERGE_NMBS_UPDATE_RE = re.compile(
-        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+(?:AND\s+(.+?)\s+)?"
+        r"WHEN\s+NOT\s+MATCHED\s+BY\s+SOURCE\s+"
+        r"(?:AND\s+((?:(?!\bTHEN\b|\bWHEN\b).)+?)\s+)?"
         r"THEN\s+UPDATE\s+SET\s+(.+?)"
         r"(?=\s+WHEN\s+(?:NOT\s+)?MATCHED|\s*$)",
         re.IGNORECASE | re.DOTALL,

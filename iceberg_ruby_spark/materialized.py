@@ -214,7 +214,13 @@ class MaterializedAggregate:
             F.lit(True).alias("__mv_t_exists"),
             *[F.col(o).alias(f"__mv_t_{o}") for o in mm],
         )
-        j = part.join(F.broadcast(state), self.group_by, "left")
+        # no forced broadcast: `state` is ROLLUP-sized (every group), and
+        # a left join can only broadcast its right side — forcing the
+        # hint would ship the whole rollup to the driver and every
+        # executor once it outgrows memory.  Spark broadcasts it on its
+        # own while it's small and shuffle-joins beyond that (the
+        # delete_by_keys lesson; r10 review finding).
+        j = part.join(state, self.group_by, "left")
         flag = F.lit(False)
         for out in mm:
             fn, _c = self.aggs[out]

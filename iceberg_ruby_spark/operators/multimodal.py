@@ -105,6 +105,13 @@ def decode_ppm(payload: bytes) -> tuple[int, int, int, bytes]:
         tokens.append(int(payload[start:pos]))
     pos += 1  # the single whitespace byte separating header from raster
     width, height, maxval = tokens
+    if not 0 < maxval < 256:
+        # maxval >= 256 means TWO bytes per sample (big-endian) — slicing
+        # 3*w*h single bytes would silently decode garbage features
+        raise ValueError(
+            f"P6 maxval {maxval} unsupported: only 1-byte-per-sample "
+            "(maxval < 256) rasters decode here"
+        )
     raster = payload[pos : pos + 3 * width * height]
     if len(raster) != 3 * width * height:
         raise ValueError(
@@ -180,9 +187,15 @@ def decode_wav(payload: bytes) -> dict:
                 )
             fmt = (n_ch, rate)
         elif cid == b"data":
-            samples = list(
-                struct.unpack(f"<{len(body) // 2}h", body[: len(body) // 2 * 2])
-            )
+            if len(body) != size:
+                # a payload cut off mid-chunk would otherwise "decode"
+                # with however many samples remain — wrong features with
+                # no error, unlike every other malformed-payload path
+                raise ValueError(
+                    f"WAV data chunk truncated: declared {size} bytes, "
+                    f"got {len(body)}"
+                )
+            samples = list(struct.unpack(f"<{size // 2}h", body[: size // 2 * 2]))
         pos += 8 + size + (size & 1)  # chunks are word-aligned
     if fmt is None or samples is None:
         raise ValueError("WAV payload missing fmt/data chunk")

@@ -704,6 +704,17 @@ def dedup_by_url(
     )
 
 
+def _hash_order_key(id_col: str, seed: int, engine: str, op: str) -> Column:
+    """The deterministic order/draw key shared by the sampling and
+    shuffle operators: JVM ``xxhash64`` (fastest) or ``md5`` of
+    ``"id:seed"`` (bit-identical in DuckDB for cross-engine oracles)."""
+    if engine == "xxhash":
+        return F.xxhash64(F.col(id_col), F.lit(seed))
+    if engine == "md5":
+        return F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
+    raise ValueError(f"{op} engine must be 'xxhash' or 'md5', got {engine!r}")
+
+
 def shuffle_corpus(
     df: DataFrame,
     seed: int = 42,
@@ -726,12 +737,7 @@ def shuffle_corpus(
     ``engine='md5'`` keys on ``md5(id || ':' || seed)``, bit-identical
     in DuckDB/Spark, so cross-engine oracles can verify the exact order.
     """
-    if engine == "xxhash":
-        key = F.xxhash64(F.col(id_col), F.lit(seed))
-    elif engine == "md5":
-        key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    else:
-        raise ValueError(f"shuffle_corpus engine must be 'xxhash' or 'md5', got {engine!r}")
+    key = _hash_order_key(id_col, seed, engine, "shuffle_corpus")
     return df.orderBy(key, F.col(id_col))
 
 
@@ -756,14 +762,7 @@ def sample_k_per_group(
     (default) stays JVM-fastest."""
     if k <= 0:
         raise ValueError(f"k must be positive, got {k}")
-    if engine == "xxhash":
-        key = F.xxhash64(F.col(id_col), F.lit(seed))
-    elif engine == "md5":
-        key = F.md5(F.concat(F.col(id_col).cast("string"), F.lit(f":{seed}")))
-    else:
-        raise ValueError(
-            f"sample_k_per_group engine must be 'xxhash' or 'md5', got {engine!r}"
-        )
+    key = _hash_order_key(id_col, seed, engine, "sample_k_per_group")
     from pyspark.sql import Window as W
 
     w = W.partitionBy(group_col).orderBy(key, F.col(id_col))

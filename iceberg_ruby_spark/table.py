@@ -1279,6 +1279,10 @@ class Table:
             {
                 f"bloom.index.{col}.path": self.ops._rel(path),
                 f"bloom.index.{col}.fpp": str(fpp),
+                # identity: the index belongs to THIS field, not whatever
+                # later reuses the name (drop + re-add under the same name
+                # would otherwise prune by the old column's values)
+                f"bloom.index.{col}.field-id": str(field.field_id),
             }
         )
         if old:
@@ -1295,20 +1299,21 @@ class Table:
         """One distributed scan of (file, col) over ``data_entries`` →
         per-file bloom Puffin blob dicts (the fold each build path
         shares); Arrow-batched, the driver holds one blob per file."""
-        field = self.current_schema().field_by_name(col)
-        is_int = not isinstance(field.field_type, ice_t.StringType)
         if not data_entries:
             return []
-        df = self._read_entries(data_entries, file_col="__file").select("__file", col)
+        # cast to STRING on the JVM before Arrow: a nullable int64 column
+        # crossing into pandas becomes float64, which rounds keys above
+        # 2^53 — the bloom would then store the wrong key string and a
+        # later lookup would silently prune the file holding the row
+        # (r10 review finding).  The JVM cast is exact at all magnitudes
+        # and matches the lookup side's str(literal) form.
+        df = self._read_entries(data_entries, file_col="__file").select(
+            "__file", F.col(col).cast("string").alias(col)
+        )
         import pandas as pd
 
         def build(pdf: "pd.DataFrame") -> "pd.DataFrame":
-            s = pdf[col].dropna()
-            if is_int:
-                # int columns with nulls arrive as float64 — restore the
-                # exact integer string form the lookup side will hash
-                s = s.astype("int64")
-            vals = s.astype(str).unique()
+            vals = pdf[col].dropna().unique()
             m, k = _bloom_params(len(vals), fpp)
             bits = bytearray(m // 8)
             for v in vals:
@@ -1360,6 +1365,15 @@ class Table:
         if self.properties.get(f"bloom.index.{col}.path") is None:
             return self.build_key_bloom(col)
         self._check_writable()
+        stamped = self.properties.get(f"bloom.index.{col}.field-id")
+        cur = self.current_schema().field_by_name(col)
+        if cur is not None and stamped is not None and str(cur.field_id) != stamped:
+            # the name now belongs to a DIFFERENT field — old blobs encode
+            # the old column's values, so incremental extension would mix
+            # two domains; rebuild from scratch under the new identity
+            return self.build_key_bloom(
+                col, fpp=float(self.properties.get(f"bloom.index.{col}.fpp", 0.01))
+            )
         fpp = float(self.properties.get(f"bloom.index.{col}.fpp", 0.01))
         from iceberg_ruby_spark.puffin import read_puffin, write_puffin
 
@@ -1419,7 +1433,11 @@ class Table:
         self._check_writable()
         old = self.properties.get(f"bloom.index.{col}.path")
         self.update_properties(
-            removals=[f"bloom.index.{col}.path", f"bloom.index.{col}.fpp"]
+            removals=[
+                f"bloom.index.{col}.path",
+                f"bloom.index.{col}.fpp",
+                f"bloom.index.{col}.field-id",
+            ]
         )
         if old:
             try:
@@ -1436,6 +1454,13 @@ class Table:
         if cached is not False:
             return cached
         rel = self.properties.get(f"bloom.index.{col}.path")
+        stamped = self.properties.get(f"bloom.index.{col}.field-id")
+        field = self.current_schema().field_by_name(col)
+        if rel and (
+            field is None
+            or (stamped is not None and str(field.field_id) != stamped)
+        ):
+            rel = None  # column dropped or name reused — index is stale
         out = None
         if rel:
             try:
@@ -2000,21 +2025,17 @@ class Table:
             slices = reader.partitions(
                 {"snapshot_id": from_id}, {"snapshot_id": to_id}
             )
-        except Exception:
+        except (ValueError, InvalidDataError, OSError):
+            # the planner's REFUSALS (non-ANSI stored predicate, foreign
+            # ops layout) — intentional fallbacks to the relational diff.
+            # Anything else is a planner bug and must surface, not
+            # silently demote every changelog read to the 300×-slower
+            # diff path (r10 review finding).
             return None
-        import pyspark.sql.types as _T
-
-        base = self.current_schema().to_spark()
-        st = _T.StructType(
-            list(base.fields)
-            + [
-                _T.StructField("_change_type", _T.StringType()),
-                _T.StructField("_commit_snapshot_id", _T.LongType()),
-                _T.StructField("_change_ordinal", _T.IntegerType()),
-            ]
-        )
+        empty = self._changelog_empty()  # single source of the schema
         if not slices:
-            return self.spark.createDataFrame([], st)
+            return empty
+        st = empty.schema
 
         def run_slices(indexed) -> Iterable[tuple]:
             for i in indexed:
@@ -4397,8 +4418,11 @@ class Table:
         first_ev = ev.filter(F.col("__rk") == 1).select(
             *keys, F.col("_commit_snapshot_id").alias("__close_snap")
         )
+        # distinct over the CHECKPOINTED frame: the raw `changes` plan is
+        # the whole changelog scan, and re-collecting from it would run
+        # that scan a second time just to list commit ids (r10 review)
         window_snaps = [
-            r[0] for r in changes.select("_commit_snapshot_id").distinct().collect()
+            r[0] for r in ev.select("_commit_snapshot_id").distinct().collect()
         ]
         open_hist = self.to_df().filter(F.col("valid_to").isNull())
         if window_snaps:

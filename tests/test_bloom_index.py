@@ -187,3 +187,48 @@ def test_bloom_refresh_call_route(catalog):
     t.append(t.spark.createDataFrame([(900, "x")], "id long, v string").coalesce(1))
     rows = catalog.sql("CALL system.refresh_key_bloom(table => 'bl8', col => 'id')").rows
     assert rows[0][0] == "id" and rows[0][2] == 1  # one new file built
+
+
+def test_bloom_exact_above_2_53_with_nulls(catalog):
+    """r10 review: a nullable long column crossing into pandas becomes
+    float64 and rounds keys above 2^53 — the build now casts to string
+    on the JVM, so snowflake-scale ids stay exact."""
+    big = 9007199254740993  # 2^53 + 1: float64 rounds it to ...992
+    t = catalog.create_table("blbig", schema={"id": "long", "pad": "long"})
+    t.append(
+        t.spark.createDataFrame(
+            [(big, 1), (None, 2), (5, 3)], "id long, pad long"
+        ).coalesce(1)
+    )
+    t.append(t.spark.createDataFrame([(7, 4)], "id long, pad long").coalesce(1))
+    t.build_key_bloom("id", fpp=0.001)
+    t = t.refresh()
+    rows = t.scan().filter(f"id = {big}").to_a()
+    assert [r["pad"] for r in rows] == [1]  # not silently pruned
+    assert len(t.scan().filter(f"id = {big}").plan_files()) >= 1
+
+
+def test_bloom_stale_after_column_drop_readd(catalog):
+    """r10 review: dropping a column and re-adding one under the same
+    name must NOT consult the old index (its blobs encode the old
+    column's values) — the stamped field-id detects the reuse; a refresh
+    rebuilds under the new identity."""
+    t = catalog.create_table("blreadd", schema={"id": "long", "v": "string"})
+    t.append(t.spark.createDataFrame([(1, "x"), (2, "y")], "id long, v string").coalesce(1))
+    t.build_key_bloom("v")
+    t = t.refresh()
+    with t.update_schema() as u:
+        u.drop_column("v")
+    with t.update_schema() as u:
+        u.add_column("v", "string")
+    t = t.refresh()
+    assert t._bloom_index("v") is None  # stale index unused
+    t.append(t.spark.createDataFrame([(3, "zz")], "id long, v string").coalesce(1))
+    t = t.refresh()
+    assert [r["id"] for r in t.scan().filter("v = 'zz'").to_a()] == [3]
+    # refresh rebuilds from scratch under the new field id
+    r = t.refresh_key_bloom("v")
+    assert r["files"] == r.get("built", r["files"])
+    t = t.refresh()
+    assert t._bloom_index("v") is not None
+    assert [r2["id"] for r2 in t.scan().filter("v = 'zz'").to_a()] == [3]

@@ -478,3 +478,24 @@ def test_merge_not_matched_by_source_update(catalog, spark):
     assert sorted(
         (r["k"], r["v"]) for r in catalog.load_table("nmu_sql").to_a()
     ) == [(1, "a2"), (2, "b!"), (3, "c")]
+
+
+def test_merge_by_source_conditional_delete_plus_update_sql(catalog, spark):
+    """Regression (r10 review): a conditional by-source DELETE followed by
+    a by-source UPDATE in the SAME statement — the UPDATE regex's lazy
+    AND-group used to swallow the DELETE clause text, erasing the delete
+    and feeding a garbage condition to the update."""
+    t = catalog.create_table("nmix_sql", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    src = spark.createDataFrame([(1, "A")], ["k", "v"])
+    src.createOrReplaceTempView("nmix_src")
+    catalog.sql(
+        """MERGE INTO nmix_sql USING nmix_src s ON nmix_sql.k = s.k
+           WHEN MATCHED THEN UPDATE SET v = s.v
+           WHEN NOT MATCHED BY SOURCE AND nmix_sql.k = 2 THEN DELETE
+           WHEN NOT MATCHED BY SOURCE THEN UPDATE SET v = 'stale'"""
+    )
+    rows = sorted((r["k"], r["v"]) for r in t.refresh().to_a())
+    # k=1 matched-updated; k=2 deleted by the conditional clause; k=3
+    # (not matched by source, delete condition false) takes the UPDATE
+    assert rows == [(1, "A"), (3, "stale")]
