@@ -1718,7 +1718,10 @@ class Catalog:
             )
             start = arg("start_snapshot_id", 2)
             end = arg("end_snapshot_id", 3)
-            tbl.changelog_scan(
+            # iceberg-spark's net_changes: window-cancelling changes drop
+            net = str(arg("net_changes", 4, "false")).lower() == "true"
+            fn = tbl.changelog_net if net else tbl.changelog_scan
+            fn(
                 from_snapshot_id=None if start is None else int(start),
                 to_snapshot_id=None if end is None else int(end),
             ).createOrReplaceTempView(view)

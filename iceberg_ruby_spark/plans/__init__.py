@@ -52,6 +52,7 @@ _NEVER_DRIVER_CHECKED = [
     "engine_materialized_minmax", "stream_cdc_pipeline",
     "engine_agg_pushdown", "engine_cdc_scd2", "corpus_shuffle_order",
     "engine_bloom_lookup", "corpus_sample_per_group", "stream_cdc_scd2",
+    "engine_changelog_net",
     # changed in r10: operator code — prior green is stale
     "engine_materialized_changelog",      # hybrid min/max fold rewrite
     "stream_changelog_cow",               # distributed content diffs

@@ -1219,3 +1219,50 @@ def engine_bloom_lookup(spark, sf_dir):
         part = t.scan().filter(f"o_orderkey = {k}").to_df()
         out = part if out is None else out.unionByName(part)
     return out
+
+
+@query(
+    "engine_changelog_net",
+    oracle="""
+    WITH a AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+               WHERE o_orderkey < 1500),
+         b AS (SELECT o_orderkey AS k, o_totalprice AS p FROM orders
+               WHERE o_orderkey >= 1500 AND o_orderkey < 2000)
+    SELECT CAST(k AS BIGINT) AS k, p AS price, 'delete' AS ct
+    FROM a WHERE k % 10 = 3
+    UNION ALL
+    SELECT CAST(k AS BIGINT), p, 'delete' FROM a
+    WHERE k % 7 = 2 AND k % 10 != 3
+    UNION ALL
+    SELECT CAST(k AS BIGINT), p + 1, 'insert' FROM a
+    WHERE k % 7 = 2 AND k % 10 != 3
+    UNION ALL
+    SELECT CAST(k AS BIGINT), p, 'insert' FROM b
+    WHERE k % 10 != 3 AND k % 7 != 2
+    UNION ALL
+    SELECT CAST(k AS BIGINT), p + 1, 'insert' FROM b
+    WHERE k % 10 != 3 AND k % 7 = 2
+    """,
+)
+def engine_changelog_net(spark, sf_dir):
+    """changelog_net (iceberg-spark net_changes) end-to-end: a window of
+    append + CoW delete + CoW update over a pre-window base — in-window
+    cancellation (appended rows later deleted vanish; an appended row
+    updated in-window nets to its NEW content only) and pre-window rows
+    net to plain deletes / delete+insert pairs.  The oracle enumerates
+    every net bucket relationally."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_clnet", schema={"k": "long", "price": "double"}
+    )
+    orders = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
+    )
+    t.append(orders.filter(F.col("k") < 1500))
+    mark = t.refresh().current_snapshot().snapshot_id
+    t.append(orders.filter((F.col("k") >= 1500) & (F.col("k") < 2000)))
+    t.delete_where("k % 10 = 3")
+    t.update_where({"price": "price + 1"}, "k % 7 = 2")
+    return t.changelog_net(from_snapshot_id=mark).select(
+        "k", "price", F.col("_change_type").alias("ct")
+    )

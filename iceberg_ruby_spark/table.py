@@ -2001,6 +2001,58 @@ class Table:
             out = out.unionByName(p)
         return out
 
+    def changelog_net(
+        self,
+        from_snapshot_id: Optional[Union[int, str]] = None,
+        to_snapshot_id: Optional[Union[int, str]] = None,
+        engine: str = "slices",
+    ) -> DataFrame:
+        """NET row-level changes over the window — iceberg-spark's
+        ``create_changelog_view(net_changes => true)`` semantics: changes
+        that cancel within the window disappear.  Identity is full row
+        CONTENT: an insert later deleted nets to nothing, an update nets
+        to delete(old content) + insert(new content), a row deleted and
+        re-inserted identically nets to nothing, and carryovers never
+        appear.  Each surviving event keeps the snapshot id / ordinal of
+        the row's LAST change in the window.
+
+        One aggregation over the window-sized changelog (signed count per
+        row content, map-side partials); multiplicities survive —
+        ``abs(net)`` copies emit for content appearing multiple times."""
+        ch = self.changelog_scan(
+            from_snapshot_id, to_snapshot_id, engine=engine
+        )
+        cols = [
+            c
+            for c in ch.columns
+            if c not in ("_change_type", "_commit_snapshot_id", "_change_ordinal")
+        ]
+        sign = F.when(F.col("_change_type") == "insert", 1).otherwise(-1)
+        last = F.max(
+            F.struct("_change_ordinal", "_commit_snapshot_id")
+        ).alias("__last")
+        net = (
+            ch.groupBy(*cols)
+            .agg(F.sum(sign).alias("__net"), last)
+            .filter(F.col("__net") != 0)
+        )
+        return (
+            net.withColumn(
+                "__dup",
+                F.explode(
+                    F.array_repeat(F.lit(1), F.abs(F.col("__net")).cast("int"))
+                ),
+            )
+            .select(
+                *cols,
+                F.when(F.col("__net") > 0, "insert")
+                .otherwise("delete")
+                .alias("_change_type"),
+                F.col("__last._commit_snapshot_id").alias("_commit_snapshot_id"),
+                F.col("__last._change_ordinal").alias("_change_ordinal"),
+            )
+        )
+
     def _changelog_scan_slices(
         self, from_id: Optional[int], to_id: int
     ) -> Optional[DataFrame]:

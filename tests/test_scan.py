@@ -439,3 +439,49 @@ def test_changelog_scan_slices_engine_matches_diff(catalog):
     assert ev(t.changelog_scan()) == ev(t.changelog_scan(engine="diff"))
     dead = [(k, ty) for k, _v, ty, _o in ev(t.changelog_scan()) if ty == "delete"]
     assert dead == [(1, "delete"), (2, "delete"), (3, "delete"), (4, "delete")]
+
+
+def test_changelog_net_cancels_within_window(catalog):
+    """changelog_net (iceberg-spark net_changes): window-cancelling
+    changes disappear — insert-then-delete nets to nothing, an update
+    nets to old-content delete + new-content insert, and each surviving
+    event carries the row's LAST change coordinates."""
+    t = catalog.create_table("clnet", schema={"k": "int", "v": "string"})
+    t.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}])
+    mark = t.current_snapshot().snapshot_id
+    t.append([{"k": 3, "v": "c"}])                 # net: insert (survives)
+    t.append([{"k": 4, "v": "d"}])
+    t.delete_where("k = 4")                        # net: nothing (in-window)
+    t.delete_where("k = 1")                        # net: delete (pre-window row)
+    t.update_where({"v": "'B'"}, "k = 2")          # net: delete b + insert B
+    ev = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changelog_net(from_snapshot_id=mark).collect()
+    )
+    assert ev == [
+        (1, "a", "delete"),
+        (2, "B", "insert"),
+        (2, "b", "delete"),
+        (3, "c", "insert"),
+    ]
+    # a from-table-creation net window IS the current state as inserts
+    full = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in t.changelog_net().collect()
+    )
+    cur = sorted((r["k"], r["v"], "insert") for r in t.to_a())
+    assert full == cur
+    # the surviving update-insert carries the UPDATE commit's ordinal
+    upd = [
+        r
+        for r in t.changelog_net(from_snapshot_id=mark).collect()
+        if r["k"] == 2 and r["_change_type"] == "insert"
+    ][0]
+    assert upd["_change_ordinal"] == 4  # 5th commit in the window
+    # CALL route registers the net view
+    catalog.sql(
+        "CALL system.create_changelog_view(table => 'clnet', "
+        "changelog_view => 'clnet_net', net_changes => true)"
+    )
+    n = catalog.spark.sql("SELECT COUNT(*) FROM clnet_net").collect()[0][0]
+    assert n == len(full)
