@@ -4,6 +4,20 @@ API): snapshot-offset micro-batches, checkpoint restart, rewrite guard."""
 import pytest
 
 
+def _rows(reader, parts):
+    """Flatten a reader's RecordBatch emission back to row tuples — the
+    executor boundary is Arrow-batched (r11), tests assert on rows."""
+    import pyarrow as pa
+
+    out = []
+    for p in parts:
+        for b in reader.read(p):
+            assert isinstance(b, pa.RecordBatch), type(b)
+            cols = [b.column(i).to_pylist() for i in range(b.num_columns)]
+            out += list(zip(*cols))
+    return out
+
+
 def _start(spark, t, name, tmp_path=None, **opts):
     from iceberg_ruby_spark.streaming import register_stream_source
 
@@ -776,9 +790,7 @@ def test_changelog_stream_survives_rename(catalog, spark):
     parts = r.partitions(
         {"snapshot_id": None}, {"snapshot_id": t2.current_snapshot().snapshot_id}
     )
-    events = []
-    for p in parts:
-        events += list(r.read(p))
+    events = _rows(r, parts)
     deletes = [(e[0], e[-3]) for e in events if e[-3] == "delete"]
     assert deletes == [(1, "delete")], events
 
@@ -914,9 +926,7 @@ def test_changelog_skip_keeps_structural_deletes_in_mixed_commit(catalog, spark)
     )
     kinds = sorted(p.kind for p in parts)
     assert "delete-eq" in kinds, kinds
-    events = []
-    for p in parts:
-        events += list(r.read(p))
+    events = _rows(r, parts)
     deletes = sorted(e[0] for e in events if e[-3] == "delete")
     assert deletes == [2], events  # equality delete streamed, predicate skipped
 
@@ -950,9 +960,7 @@ def test_changelog_delete_planning_is_delta_based(catalog, spark):
     finally:
         FsTableOps.read_manifest = orig
     assert calls["full"] == 1, calls  # only the window-start commit
-    events = []
-    for p in parts:
-        events += list(r.read(p))
+    events = _rows(r, parts)
     deletes = sorted(e[0] for e in events if e[-3] == "delete")
     assert deletes == [2, 4, 9, 10]
     inserts = sorted(e[0] for e in events if e[-3] == "insert")
