@@ -5,11 +5,13 @@ the pattern that scales: bytes stay columnar in Parquet, metadata prunes
 (format/size/duration predicates push down), and decode runs distributed in
 Arrow-batched ``mapInPandas``.
 
-Two REAL pure-python codecs ship for the uncompressed formats (r10):
-``ppm`` (binary P6 netpbm images — header parse, raster decode,
-nearest-neighbor resize) and ``wav`` (RIFF PCM16 audio — chunk walk,
-sample decode).  Compressed formats (JPEG/PNG/MP3/MP4) remain an honest
-registration seam behind :data:`_DECODERS` /
+Three REAL pure-python codecs ship: ``ppm`` (binary P6 netpbm images —
+header parse, raster decode, nearest-neighbor resize), ``wav`` (RIFF
+PCM16 audio — chunk walk, sample decode), and ``png`` (r11 — the first
+COMPRESSED format: stdlib zlib IDAT inflate, CRC-validated chunk walk,
+all five scanline filters unfiltered, 8-bit RGB/RGBA).  Remaining
+compressed formats (JPEG/MP3/MP4) stay an honest registration seam
+behind :data:`_DECODERS` /
 :func:`register_decoder` — those libraries are not in this container —
 and the deterministic ``fake`` decoder stays for plumbing tests:
 everything Spark-side (schemas, batch iteration, partition behavior,
@@ -163,6 +165,239 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(width, height, bytes(out), maxval)
 
 
+# -- PNG codec (pure python, RFC 2083 / W3C PNG spec) ------------------------
+#
+# stdlib ``zlib`` covers IDAT inflate/deflate; the rest is the published
+# format: 8-byte signature, length/type/data/CRC32 chunk walk
+# (IHDR → IDAT* → IEND), one filter byte per scanline (types 0–4:
+# None/Sub/Up/Average/Paeth) undone against the prior unfiltered
+# scanline.  Scope: 8-bit truecolor (color type 2, RGB) and
+# truecolor+alpha (type 6, RGBA), non-interlaced — the shapes a
+# training-data pipeline actually stores.  Palette/greyscale/16-bit/Adam7
+# refuse loudly rather than mis-decode.
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunks(payload: bytes):
+    """(type, data) chunk walk with length + CRC validation."""
+    import struct
+    import zlib
+
+    if payload is None or not payload.startswith(_PNG_SIG):
+        raise ValueError("not a PNG payload (bad signature)")
+    pos = len(_PNG_SIG)
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError(f"PNG chunk {ctype!r} truncated")
+        (crc,) = struct.unpack(
+            ">I", payload[pos + 8 + length : pos + 12 + length]
+        )
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        yield ctype, data
+        if ctype == b"IEND":
+            return
+        pos += 12 + length
+    raise ValueError("PNG missing IEND chunk")
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """Paeth predictor (PNG filter type 4): nearest of left/up/upper-left
+    to the linear estimate a + b − c, ties broken left → up → upper-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse an 8-bit RGB/RGBA non-interlaced PNG: returns
+    (width, height, channels, raster) with the raster unfiltered to raw
+    interleaved samples.  All five scanline filter types decode."""
+    import struct
+    import zlib
+
+    ihdr = None
+    idat = bytearray()
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR chunk")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or color not in (2, 6):
+        raise ValueError(
+            f"PNG bit depth {depth} / color type {color} unsupported: only "
+            "8-bit truecolor (2) and truecolor+alpha (6) decode here"
+        )
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG compression/filter method must be 0")
+    if interlace != 0:
+        raise ValueError("PNG Adam7 interlacing unsupported")
+    ch = 3 if color == 2 else 4
+    raw = zlib.decompress(bytes(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(
+            f"PNG raster size mismatch: expected {h * (stride + 1)} "
+            f"filtered bytes, got {len(raw)}"
+        )
+    out = bytearray(h * stride)
+    prev = bytes(stride)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1 : (y + 1) * (stride + 1)])
+        if f == 1:  # Sub: + left
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif f == 2:  # Up: + above
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif f == 3:  # Average: + floor((left + above) / 2)
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif f == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                ul = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(left, prev[i], ul)) & 0xFF
+        elif f != 0:
+            raise ValueError(f"PNG scanline filter type {f} invalid")
+        out[y * stride : (y + 1) * stride] = line
+        prev = bytes(line)
+    return w, h, ch, bytes(out)
+
+
+def encode_png(
+    width: int,
+    height: int,
+    raster: bytes,
+    channels: int = 3,
+    filters=None,
+) -> bytes:
+    """8-bit RGB/RGBA non-interlaced PNG from a raw interleaved raster.
+    ``filters`` optionally pins the per-scanline filter type (int or
+    per-row list, default 0/None) — the forward transform of the same
+    five filters the decoder undoes, so tests can exercise every
+    unfilter path against exact expected rasters."""
+    import struct
+    import zlib
+
+    if channels not in (3, 4):
+        raise ValueError("encode_png supports RGB (3) or RGBA (4) channels")
+    stride = width * channels
+    if len(raster) != height * stride:
+        raise ValueError("raster length must be height*width*channels")
+    if filters is None:
+        rowf = [0] * height
+    elif isinstance(filters, int):
+        rowf = [filters] * height
+    else:
+        rowf = list(filters)
+        if len(rowf) != height:
+            raise ValueError("filters list must have one entry per row")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        f = rowf[y]
+        line = raster[y * stride : (y + 1) * stride]
+        raw.append(f)
+        if f == 0:
+            raw += line
+        elif f == 1:
+            raw += bytes(
+                (line[i] - (line[i - channels] if i >= channels else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif f == 2:
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif f == 3:
+            raw += bytes(
+                (
+                    line[i]
+                    - ((line[i - channels] if i >= channels else 0) + prev[i])
+                    // 2
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        elif f == 4:
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - channels] if i >= channels else 0,
+                        prev[i],
+                        prev[i - channels] if i >= channels else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"PNG filter type {f} invalid")
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    color = 2 if channels == 3 else 6
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_features(payload: bytes) -> list[float]:
+    """Feature vector from a REAL PNG decode: [width, height, channels,
+    sum_r, sum_g, sum_b, sum_a, n_pixels] — exact integers (sum_a = 0
+    for RGB), closed-form derivable by an oracle that knows the pixel
+    generator."""
+    if payload is None:
+        return []
+    w, h, ch, raster = decode_png(payload)
+    sums = [float(sum(raster[c::ch])) for c in range(ch)]
+    if ch == 3:
+        sums.append(0.0)
+    return [float(w), float(h), float(ch), *sums, float(w * h)]
+
+
+def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of an 8-bit RGB/RGBA PNG —
+    destination (x, y) copies source (x*src_w // width, y*src_h //
+    height), the same floor mapping as the PPM resizer — re-encoded as
+    an unfiltered PNG."""
+    if payload is None:
+        return None
+    sw, sh, ch, raster = decode_png(payload)
+    out = bytearray()
+    for y in range(height):
+        sy = y * sh // height
+        for x in range(width):
+            sx = x * sw // width
+            p = ch * (sy * sw + sx)
+            out += raster[p : p + ch]
+    return encode_png(width, height, bytes(out), channels=ch)
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE PCM16 payload: chunk walk (fmt  + data, other
     chunks skipped), little-endian int16 samples.  Returns
@@ -234,7 +469,12 @@ def _wav_features(payload: bytes) -> list[float]:
     ]
 
 
-_DECODERS = {"fake": _fake_decode, "ppm": _ppm_features, "wav": _wav_features}
+_DECODERS = {
+    "fake": _fake_decode,
+    "ppm": _ppm_features,
+    "png": _png_features,
+    "wav": _wav_features,
+}
 
 
 def register_decoder(name: str, fn) -> None:
@@ -302,7 +542,11 @@ def _fake_resize(payload: bytes, width: int, height: int) -> bytes:
     return bytes(out[:n])
 
 
-_RESIZERS = {"fake": _fake_resize, "ppm": resize_ppm_nearest}
+_RESIZERS = {
+    "fake": _fake_resize,
+    "ppm": resize_ppm_nearest,
+    "png": resize_png_nearest,
+}
 
 
 def register_resizer(name: str, fn) -> None:

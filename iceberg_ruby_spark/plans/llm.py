@@ -836,6 +836,97 @@ def multimodal_ppm_pipeline(spark, sf_dir):
 
 
 @query(
+    "multimodal_png_pipeline",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id,
+             3 + doc_id % 3 AS w,
+             2 + doc_id % 2 AS h,
+             3 + doc_id % 2 AS c
+      FROM documents
+    ), px AS (
+      SELECT g.doc_id, g.c,
+             ((y.g * g.h) // 2) * g.w + ((x.g * g.w) // 2) AS p
+      FROM g, generate_series(0, 1) AS x(g), generate_series(0, 1) AS y(g)
+    )
+    SELECT doc_id AS media_id,
+           2 AS width,
+           2 AS height,
+           CAST(MAX(c) AS INTEGER) AS channels,
+           CAST(SUM((5 * doc_id + 11 * (c * p + 0)) % 249) AS BIGINT) AS sum_r,
+           CAST(SUM((5 * doc_id + 11 * (c * p + 1)) % 249) AS BIGINT) AS sum_g,
+           CAST(SUM((5 * doc_id + 11 * (c * p + 2)) % 249) AS BIGINT) AS sum_b,
+           CAST(SUM(CASE WHEN c = 4
+                         THEN (5 * doc_id + 11 * (c * p + 3)) % 249
+                         ELSE 0 END) AS BIGINT) AS sum_a
+    FROM px
+    GROUP BY doc_id
+    """,
+)
+def multimodal_png_pipeline(spark, sf_dir):
+    """REAL COMPRESSED image codec end-to-end (r11): 8-bit PNG payloads
+    are synthesized per document — width 3–5, height 2–3, RGB for even
+    doc_ids / RGBA for odd, channel bytes from a closed-form generator,
+    and the per-scanline filter type rotates through ALL FIVE PNG filters
+    ((doc_id + y) % 5), so Sub/Up/Average/Paeth unfiltering is on the
+    oracle path, not just filter-None.  The distributed pipeline then
+    runs the REAL pure-python codec: zlib IDAT inflate + CRC chunk walk +
+    unfilter (decode_png), nearest-neighbor resample to 2x2 re-encoded as
+    actual PNG bytes (resize_png_nearest), and a second decode into
+    per-channel sums.  The oracle replays the generator through the same
+    floor mapping without touching bytes — a chunk-walk, inflate
+    framing, or filter-reconstruction bug breaks the hash.  Sums are
+    exact small integers — no float noise."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_batch,
+        encode_png,
+        resize_media,
+    )
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def _build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                w, h, c = 3 + did % 3, 2 + did % 2, 3 + did % 2
+                raster = bytes(
+                    (5 * did + 11 * i) % 249 for i in range(c * w * h)
+                )
+                payloads.append(
+                    encode_png(
+                        w,
+                        h,
+                        raster,
+                        channels=c,
+                        filters=[(did + y) % 5 for y in range(h)],
+                    )
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(_build, "media_id long, payload binary")
+    tagged = attach_media_metadata(media, "payload", fmt="png")
+    resized = resize_media(tagged, width=2, height=2, resizer="png")
+    feats = decode_media_batch(resized, decoder="png")
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 3).cast("int").alias("channels"),
+        F.element_at("features", 4).cast("bigint").alias("sum_r"),
+        F.element_at("features", 5).cast("bigint").alias("sum_g"),
+        F.element_at("features", 6).cast("bigint").alias("sum_b"),
+        F.element_at("features", 7).cast("bigint").alias("sum_a"),
+    )
+
+
+@query(
     "multimodal_wav_features",
     oracle="""
     WITH g AS (
