@@ -1083,7 +1083,13 @@ def engine_materialized_minmax(spark, sf_dir):
            CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0 ELSE 1 END)
                 AS BIGINT) AS live_rows,
            CAST(SUM(CASE WHEN o_custkey % 7 = 0 THEN 0 ELSE 1 END)
-                AS BIGINT) AS sql_live_rows
+                AS BIGINT) AS sql_live_rows,
+           CAST(SUM(CASE WHEN o_orderkey < 2000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS aligned_cnt,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS split_cnt,
+           CAST(SUM(CASE WHEN o_orderkey < 2000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS sql_where_cnt
     FROM orders WHERE o_orderkey < 4000
     """,
 )
@@ -1113,13 +1119,23 @@ def engine_agg_pushdown(spark, sf_dir):
     nonnull_cust = t.scan().count("o_custkey")   # from null counts
     min_key = t.scan().min("o_orderkey")
     max_key = t.scan().max("o_orderkey")
+    # r11 filtered COUNT(*): the file-boundary-aligned predicate answers
+    # from metadata (each commit's file range fully matches or misses);
+    # the mid-file predicate provably SPLITS a file and must execute
+    aligned = t.scan().filter("o_orderkey < 2000").count()
+    split = t.scan().filter("o_orderkey >= 1000").count()
+    sql_where = cat.sql(
+        "SELECT COUNT(*) AS n FROM orders_aggpd WHERE o_orderkey < 2000"
+    ).to_a()[0]["n"]
     t.delete_where("o_custkey % 7 = 0", mode="merge-on-read-dv")
     live = t.scan().count()
     sql_live = cat.sql("SELECT COUNT(*) AS n FROM orders_aggpd").to_a()[0]["n"]
     return spark.createDataFrame(
-        [(total, nonnull_cust, min_key, max_key, live, sql_live)],
+        [(total, nonnull_cust, min_key, max_key, live, sql_live,
+          aligned, split, sql_where)],
         "total_rows long, nonnull_cust long, min_key long, max_key long, "
-        "live_rows long, sql_live_rows long",
+        "live_rows long, sql_live_rows long, aligned_cnt long, "
+        "split_cnt long, sql_where_cnt long",
     )
 
 
@@ -1133,14 +1149,16 @@ def engine_agg_pushdown(spark, sf_dir):
     SELECT CAST(k AS BIGINT) AS k, price,
            CAST(0 AS BIGINT) AS from_pos,
            CAST(CASE WHEN k % 10 = 3 THEN 1
-                     WHEN k % 10 = 7 THEN 2 END AS BIGINT) AS to_pos
+                     WHEN k % 10 = 7 THEN 2 END AS BIGINT) AS to_pos,
+           TRUE AS from_ts_ok, TRUE AS to_ts_ok
     FROM base
     UNION ALL
-    SELECT CAST(k AS BIGINT), price + 1, CAST(1 AS BIGINT), CAST(NULL AS BIGINT)
+    SELECT CAST(k AS BIGINT), price + 1, CAST(1 AS BIGINT), CAST(NULL AS BIGINT),
+           TRUE, TRUE
     FROM base WHERE k % 10 = 3
     UNION ALL
     SELECT CAST(o_orderkey AS BIGINT), o_totalprice, CAST(3 AS BIGINT),
-           CAST(NULL AS BIGINT)
+           CAST(NULL AS BIGINT), TRUE, TRUE
     FROM orders WHERE o_orderkey >= 2000 AND o_orderkey < 3000
     """,
 )
@@ -1151,14 +1169,26 @@ def engine_cdc_scd2(spark, sf_dir):
     close-the-open-version path runs.  Random snapshot ids map to their
     commit-chain position for the oracle, which reconstructs every
     version bracket relationally (update closes at 1, delete at 2,
-    survivors stay open)."""
+    survivors stay open).  r11: the history also carries timestamp
+    brackets (valid_from_ts/valid_to_ts, stamped from the source's
+    snapshot log via ``source=``); the query emits per-row booleans
+    asserting each stamp equals the snapshot log's timestamp for
+    exactly the bracketing commit (NULL edges stay NULL) — the oracle
+    expects all-TRUE."""
     cat = _temp_catalog(spark)
     src = cat.create_table(
         "orders_scd_src", schema={"k": "long", "price": "double"}
     )
     hist = cat.create_table(
         "orders_scd_hist",
-        schema={"k": "long", "price": "double", "valid_from": "long", "valid_to": "long"},
+        schema={
+            "k": "long",
+            "price": "double",
+            "valid_from": "long",
+            "valid_to": "long",
+            "valid_from_ts": "long",
+            "valid_to_ts": "long",
+        },
     )
     orders = load(spark, sf_dir, "orders").select(
         F.col("o_orderkey").alias("k"), F.col("o_totalprice").alias("price")
@@ -1166,21 +1196,34 @@ def engine_cdc_scd2(spark, sf_dir):
     src.append(orders.filter(F.col("k") < 2000))                 # pos 0
     src.update_where({"price": "price + 1"}, "k % 10 = 3")       # pos 1
     mark = src.refresh().current_snapshot().snapshot_id
-    hist.apply_changelog_scd2(src.changelog_scan(), on="k")      # window 1
+    hist.apply_changelog_scd2(src.changelog_scan(), on="k", source=src)  # window 1
     src.delete_where("k % 10 = 7")                               # pos 2
     src.append(orders.filter((F.col("k") >= 2000) & (F.col("k") < 3000)))  # pos 3
     hist.apply_changelog_scd2(
-        src.changelog_scan(from_snapshot_id=mark), on="k"        # window 2
+        src.changelog_scan(from_snapshot_id=mark), on="k", source=src  # window 2
     )
     snaps = sorted(src.refresh().ops.load().snapshots, key=lambda s: s.sequence_number)
     posmap = F.create_map(
         *[F.lit(x) for i, s in enumerate(snaps) for x in (s.snapshot_id, i)]
+    )
+    tsmap = F.create_map(
+        *[
+            F.lit(x).cast("long")
+            for s in snaps
+            for x in (s.snapshot_id, s.timestamp_ms)
+        ]
     )
     return hist.refresh().to_df().select(
         "k",
         "price",
         posmap[F.col("valid_from")].cast("long").alias("from_pos"),
         posmap[F.col("valid_to")].cast("long").alias("to_pos"),
+        (tsmap[F.col("valid_from")] == F.col("valid_from_ts")).alias("from_ts_ok"),
+        F.when(
+            F.col("valid_to").isNull(), F.col("valid_to_ts").isNull()
+        ).otherwise(tsmap[F.col("valid_to")] == F.col("valid_to_ts")).alias(
+            "to_ts_ok"
+        ),
     )
 
 

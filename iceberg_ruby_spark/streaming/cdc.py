@@ -98,7 +98,11 @@ def stream_changelog_scd2(
     def _apply(batch_df, _batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        history.refresh().apply_changelog_scd2(batch_df, on, mode=mode)
+        # source_table supplies the snapshot→timestamp mapping when the
+        # history schema declares valid_from_ts/valid_to_ts brackets
+        history.refresh().apply_changelog_scd2(
+            batch_df, on, mode=mode, source=source_table
+        )
 
     return _changelog_stream(
         spark,

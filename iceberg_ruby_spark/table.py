@@ -4395,6 +4395,8 @@ class Table:
         on: Union[str, list[str], None] = None,
         mode: Optional[str] = None,
         branch: Optional[str] = None,
+        source: Optional["Table"] = None,
+        snapshot_ts: Optional[dict] = None,
     ) -> "Table":
         """Consume a CDC feed into THIS table as a type-2 slowly-changing
         dimension: instead of net-effect replication
@@ -4425,6 +4427,19 @@ class Table:
         (two window functions over the same per-key partitioning), one
         broadcast-sized join of the changed keys against the history's
         open rows, one merge (O(changed rows) under merge-on-read).
+
+        **Timestamp brackets (r11)**: when the history schema ALSO
+        carries ``valid_from_ts`` / ``valid_to_ts`` (long, epoch ms),
+        they stamp from the window commits' snapshot timestamps — pass
+        ``source=`` (the table the changelog was scanned from; its
+        snapshot log supplies the mapping) or an explicit
+        ``snapshot_ts={snapshot_id: timestamp_ms}``.  Version IDENTITY
+        stays the snapshot id (timestamps can collide across fast
+        commits; ids cannot), so replay idempotence is unchanged — the
+        ts columns are a deterministic function of the id and re-stamp
+        byte-identically.  A window commit missing from the mapping
+        (e.g. expired from the source's snapshot log) raises rather
+        than writing a NULL that would masquerade as an open version.
 
         ``on=None`` defaults to the schema's identifier fields."""
         if on is None:
@@ -4463,23 +4478,62 @@ class Table:
             .withColumn("__rk", F.row_number().over(seq))
             .localCheckpoint()  # three branches below reuse it
         )
-        # versions this window opens: valid_to = the NEXT event's commit
-        # (NULL = still open at window end)
-        new_versions = ev.filter(F.col("_change_type") == "insert").select(
-            *data_cols,
-            F.col("_commit_snapshot_id").alias("valid_from"),
-            F.col("__next_snap").alias("valid_to"),
-        )
-        # the version open in history closes at the key's FIRST event
-        first_ev = ev.filter(F.col("__rk") == 1).select(
-            *keys, F.col("_commit_snapshot_id").alias("__close_snap")
-        )
         # distinct over the CHECKPOINTED frame: the raw `changes` plan is
         # the whole changelog scan, and re-collecting from it would run
         # that scan a second time just to list commit ids (r10 review)
         window_snaps = [
             r[0] for r in ev.select("_commit_snapshot_id").distinct().collect()
         ]
+        # optional timestamp brackets: stamped iff the history schema
+        # declares them; driver-sized literal map (the window's commit
+        # count), never a join
+        stamp_ts = "valid_from_ts" in have and "valid_to_ts" in have
+        tsmap = None
+        if stamp_ts and window_snaps:
+            if snapshot_ts is None:
+                if source is None:
+                    raise InvalidDataError(
+                        "history schema carries valid_from_ts/valid_to_ts "
+                        "but no snapshot-timestamp mapping is available: "
+                        "pass source=<the changelog's source table> or "
+                        "snapshot_ts={snapshot_id: timestamp_ms}"
+                    )
+                snapshot_ts = {
+                    s.snapshot_id: s.timestamp_ms
+                    for s in source.refresh().ops.load().snapshots
+                }
+            unmapped = [s for s in window_snaps if s not in snapshot_ts]
+            if unmapped:
+                raise InvalidDataError(
+                    f"no snapshot timestamp for window commit(s) {unmapped} "
+                    "(expired from the source's snapshot log?) — refusing "
+                    "to write NULL brackets that would read as open versions"
+                )
+            tsmap = F.create_map(
+                *[
+                    F.lit(x).cast("long")
+                    for sid in window_snaps
+                    for x in (sid, int(snapshot_ts[sid]))
+                ]
+            )
+        ts_cols = (
+            lambda frm, to: [
+                tsmap[frm].alias("valid_from_ts"),
+                tsmap[to].alias("valid_to_ts"),
+            ]
+        ) if tsmap is not None else (lambda frm, to: [])
+        # versions this window opens: valid_to = the NEXT event's commit
+        # (NULL = still open at window end)
+        new_versions = ev.filter(F.col("_change_type") == "insert").select(
+            *data_cols,
+            F.col("_commit_snapshot_id").alias("valid_from"),
+            F.col("__next_snap").alias("valid_to"),
+            *ts_cols(F.col("_commit_snapshot_id"), F.col("__next_snap")),
+        )
+        # the version open in history closes at the key's FIRST event
+        first_ev = ev.filter(F.col("__rk") == 1).select(
+            *keys, F.col("_commit_snapshot_id").alias("__close_snap")
+        )
         open_hist = self.to_df().filter(F.col("valid_to").isNull())
         if window_snaps:
             # a half-applied replay may have left THIS window's versions
@@ -4493,15 +4547,25 @@ class Table:
             open_hist.join(first_ev, on=keys, how="inner")
             .drop("valid_to")
             .withColumn("valid_to", F.col("__close_snap"))
-            .select(*data_cols, "valid_from", "valid_to")
         )
+        bracket_cols = ["valid_from", "valid_to"]
+        if tsmap is not None:
+            # the prior open row KEEPS its own valid_from_ts (stamped when
+            # it opened); only its closing edge stamps here
+            closed_prior = closed_prior.drop("valid_to_ts").withColumn(
+                "valid_to_ts", tsmap[F.col("__close_snap")]
+            )
+            bracket_cols += ["valid_from_ts", "valid_to_ts"]
+        closed_prior = closed_prior.select(*data_cols, *bracket_cols)
         upserts = new_versions.unionByName(closed_prior)
         if not upserts.isEmpty():
             self.merge_into(
                 upserts,
                 [*keys, "valid_from"],
                 when_matched_update={
-                    c: f"s.{c}" for c in [*data_cols, "valid_to"] if c not in keys
+                    c: f"s.{c}"
+                    for c in [*data_cols, *bracket_cols]
+                    if c not in (*keys, "valid_from")
                 },
                 mode=mode,
                 branch=branch,
@@ -6273,9 +6337,16 @@ def _normalize_bounds_literal(lo: Any, hi: Any, val: Any):
             # and let Spark's cast do the comparison
             return None
         try:
-            return tuple(Decimal(str(x).strip()) for x in sides)
+            ds = tuple(Decimal(str(x).strip()) for x in sides)
         except (InvalidOperation, ValueError, TypeError):
             return None
+        if any(d.is_nan() for d in ds):
+            # a NaN bound (float column whose extreme row is NaN) proves
+            # nothing either direction — and Decimal('NaN') comparisons
+            # RAISE InvalidOperation rather than returning False (r11:
+            # surfaced by the filtered-count soundness tests)
+            return None
+        return ds
     if not all(isinstance(x, str) for x in sides):
         return None
     # temporal domain: all three parse as ISO date/timestamp → compare as
@@ -6354,6 +6425,68 @@ def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     except TypeError:
         return True
     return True
+
+
+def _bounds_all_match(entry: dict[str, Any], node) -> bool:
+    """The dual of :func:`_bounds_may_match`: True ONLY when the manifest
+    stats PROVE every row of the file satisfies ``node`` (False = not
+    provable, not "no row matches").  Soundness under truncate(N) string
+    metrics: stored lower ≤ true min and stored upper ≥ true max, so
+    every rule here (hi ≤ v ⇒ all ≤ v, lo > v ⇒ all > v, lo = hi = v ⇒
+    all = v, v outside [lo, hi] ⇒ none = v) remains valid with
+    conservative bounds.  A value comparison is NULL (not true) for a
+    NULL row, so any null in the column disproves full-match."""
+    kind = node[0]
+    if kind == "and":
+        return _bounds_all_match(entry, node[1]) and _bounds_all_match(
+            entry, node[2]
+        )
+    if kind == "or":
+        return _bounds_all_match(entry, node[1]) or _bounds_all_match(
+            entry, node[2]
+        )
+    _, col, op, val = node
+    nc = (entry.get("null-counts") or {}).get(col)
+    rc = entry.get("record-count")
+    if nc is None or rc is None:
+        return False
+    if op == "isnull":
+        return nc == rc
+    if op == "notnull":
+        return nc == 0
+    if nc != 0:
+        return False
+    lo = (entry.get("lower-bounds") or {}).get(col)
+    hi = (entry.get("upper-bounds") or {}).get(col)
+    if lo is None or hi is None:
+        return False
+    norm = _normalize_bounds_literal(lo, hi, val)
+    if norm is None:
+        return False
+    lo, hi, val = norm
+    try:
+        if op == "=":
+            return lo == val and hi == val
+        if op == "<":
+            return hi < val
+        if op == "<=":
+            return hi <= val
+        if op == ">":
+            return lo > val
+        if op == ">=":
+            return lo >= val
+        if op == "!=":
+            return val < lo or hi < val
+    except TypeError:
+        return False
+    return False
+
+
+def _tree_columns(node) -> set:
+    """Column names referenced by a parsed predicate tree."""
+    if node[0] in ("and", "or"):
+        return _tree_columns(node[1]) | _tree_columns(node[2])
+    return {node[1]}
 
 
 # --------------------------------------------------------------------------
@@ -7138,12 +7271,26 @@ class TableScan:
         every file records a null count for the column and NO deletes are
         outstanding (a DV kills rows without saying whether they were
         NULL, so even exact DV cardinalities can't adjust a per-column
-        count); otherwise the scan executes."""
+        count); otherwise the scan executes.
+
+        **Filtered COUNT(*) (r11)**: ``WHERE p`` also answers from
+        metadata when the manifest stats prove EVERY file either
+        fully-matches p (:func:`_bounds_all_match` — every row provably
+        satisfies it, zero nulls in the compared columns) or fully-misses
+        it (:func:`_bounds_may_match` false) — the partition-aligned
+        shape (``WHERE day = X`` against day-partitioned files).  One
+        file the predicate SPLITS demotes the whole answer to the scan;
+        float/double predicates are excluded (NaN breaks bound
+        reasoning), as are outstanding deletes of any kind."""
         snap = self.snapshot()
         if snap is None:
             return 0
         if col is not None and self.table.current_schema().field_by_name(col) is None:
             raise InvalidDataError(f"no column {col!r}")
+        if self._filters and self._limit is None and col is None:
+            n = self._filtered_metadata_count(snap)
+            if n is not None:
+                return n
         if not self._filters and self._limit is None:
             entries = self.table.ops.read_manifest(snap.manifest_list)
             data, mor = Table._split_entries(entries)
@@ -7193,6 +7340,48 @@ class TableScan:
             else int(df.agg(F.count(F.col(col)).alias("n")).first()["n"])
         )
         return min(n, self._limit) if self._limit is not None else n
+
+    def _filtered_metadata_count(self, snap: Snapshot) -> Optional[int]:
+        """``COUNT(*) WHERE p`` from manifest stats, or None when not
+        provable (caller executes the scan).  Provable = no outstanding
+        deletes, every filter parses, no float/double column compared,
+        and every data file is either a proven full-match (its whole
+        record-count counts) or a proven full-miss (contributes zero) —
+        a file the predicate may SPLIT returns None."""
+        trees = []
+        for f in self._filters:
+            src = f
+            if not isinstance(src, str):
+                try:
+                    src = f._jc.toString()
+                except Exception:
+                    return None
+            tree = _parse_predicate(src)
+            if tree is None:
+                return None
+            trees.append(tree)
+        schema = self.table.current_schema()
+        for c in set().union(*(_tree_columns(t) for t in trees)):
+            field = schema.field_by_name(c)
+            if field is None or isinstance(
+                field.field_type, (ice_t.FloatType, ice_t.DoubleType)
+            ):
+                return None  # NaN breaks bound reasoning both directions
+        entries = self.table.ops.read_manifest(snap.manifest_list)
+        data, mor = Table._split_entries(entries)
+        if mor:
+            return None  # any delete may kill matched rows
+        total = 0
+        for e in data:
+            if "path" not in e or e.get("record-count") is None:
+                return None
+            if all(_bounds_all_match(e, t) for t in trees):
+                total += e["record-count"]
+            elif any(not _bounds_may_match(e, t) for t in trees):
+                continue  # provably zero matching rows
+            else:
+                return None  # the predicate splits this file
+        return total
 
     # bound-exact types for metadata min/max: float/double excluded (NaN
     # sorts above +inf in Iceberg bounds but is MAX in SQL — and bounds

@@ -153,3 +153,79 @@ def test_stream_changelog_scd2_loop(catalog, spark, tmp_path):
     # current view tracks the source
     cur = sorted((r["k"], r["v"]) for r in hist.to_a() if r["valid_to"] is None)
     assert cur == sorted((r["k"], r["v"]) for r in src.refresh().to_a())
+
+
+def test_scd2_timestamp_brackets(catalog):
+    """r11: a history schema carrying valid_from_ts/valid_to_ts stamps
+    each bracket edge with the bracketing commit's snapshot timestamp
+    (via source=), keeps snapshot-id version identity, and replays
+    byte-identically."""
+    src = catalog.create_table("scdts_src", schema={"k": "int", "v": "string"})
+    hist = catalog.create_table(
+        "scdts_hist",
+        schema={
+            "k": "int", "v": "string",
+            "valid_from": "long", "valid_to": "long",
+            "valid_from_ts": "long", "valid_to_ts": "long",
+        },
+    )
+    src.append([{"k": 1, "v": "a"}])                               # pos 0
+    hist.apply_changelog_scd2(src.changelog_scan(), on="k", source=src)
+    mark = src.current_snapshot().snapshot_id
+    src.update_where({"v": "'a2'"}, "k = 1")                       # pos 1
+    src.append([{"k": 2, "v": "b"}])                               # pos 2
+    win2 = src.changelog_scan(from_snapshot_id=mark)
+    hist.apply_changelog_scd2(win2, on="k", source=src)
+    ts = {s.snapshot_id: s.timestamp_ms for s in src.ops.load().snapshots}
+    rows = {(r["k"], r["v"]): r for r in hist.refresh().to_a()}
+    for (_, _), r in rows.items():
+        assert r["valid_from_ts"] == ts[r["valid_from"]]
+        if r["valid_to"] is None:
+            assert r["valid_to_ts"] is None
+        else:
+            assert r["valid_to_ts"] == ts[r["valid_to"]]
+    assert len(rows) == 3 and rows[(1, "a")]["valid_to_ts"] is not None
+    # replay converges (ts restamped identically)
+    before = sorted(map(tuple, (r.values() for r in hist.to_a())))
+    hist.apply_changelog_scd2(win2, on="k", source=src)
+    assert sorted(map(tuple, (r.values() for r in hist.refresh().to_a()))) == before
+    # explicit snapshot_ts mapping works without source
+    hist2 = catalog.create_table(
+        "scdts_hist2",
+        schema={
+            "k": "int", "v": "string",
+            "valid_from": "long", "valid_to": "long",
+            "valid_from_ts": "long", "valid_to_ts": "long",
+        },
+    )
+    hist2.apply_changelog_scd2(src.changelog_scan(), on="k", snapshot_ts=ts)
+    got = {r["valid_from_ts"] for r in hist2.refresh().to_a()}
+    assert got <= set(ts.values())
+
+
+def test_scd2_timestamp_brackets_refusals(catalog):
+    """ts-bracket schemas refuse silently-NULL stamps: no mapping source
+    at all, and a window commit missing from the provided mapping."""
+    src = catalog.create_table("scdtsr_src", schema={"k": "int", "v": "string"})
+    src.append([{"k": 1, "v": "a"}])
+    hist = catalog.create_table(
+        "scdtsr_hist",
+        schema={
+            "k": "int", "v": "string",
+            "valid_from": "long", "valid_to": "long",
+            "valid_from_ts": "long", "valid_to_ts": "long",
+        },
+    )
+    with pytest.raises(InvalidDataError, match="snapshot-timestamp mapping"):
+        hist.apply_changelog_scd2(src.changelog_scan(), on="k")
+    with pytest.raises(InvalidDataError, match="no snapshot timestamp"):
+        hist.apply_changelog_scd2(
+            src.changelog_scan(), on="k", snapshot_ts={-1: 0}
+        )
+    # plain schema without ts columns: source/snapshot_ts are ignored
+    plain = catalog.create_table(
+        "scdtsr_plain",
+        schema={"k": "int", "v": "string", "valid_from": "long", "valid_to": "long"},
+    )
+    plain.apply_changelog_scd2(src.changelog_scan(), on="k")
+    assert [r["k"] for r in plain.refresh().to_a()] == [1]
