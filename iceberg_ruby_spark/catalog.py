@@ -43,7 +43,13 @@ from iceberg_ruby_spark.errors import (
 from iceberg_ruby_spark.result import Result
 from iceberg_ruby_spark import types as ice_t
 from iceberg_ruby_spark.session import get_spark
-from iceberg_ruby_spark.table import Table, TableMetadata, _now_ms, _schema_to_json
+from iceberg_ruby_spark.table import (
+    Table,
+    TableMetadata,
+    _now_ms,
+    _parse_predicate,
+    _schema_to_json,
+)
 from iceberg_ruby_spark.table_definition import schema_from_any
 from iceberg_ruby_spark.transforms import PartitionSpec, SortOrder
 
@@ -726,7 +732,8 @@ class Catalog:
     _COUNT_STAR_RE = re.compile(
         r"^\s*SELECT\s+COUNT\s*\(\s*(?P<expr>\*|1|[A-Za-z_]\w*)\s*\)"
         r"(?:\s+AS\s+(?P<alias>\w+))?"
-        r"\s+FROM\s+(?P<tbl>[\w.]+)\s*;?\s*$",
+        r"\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+WHERE\s+(?P<where>[^;]+?))?\s*;?\s*$",
         re.IGNORECASE,
     )
 
@@ -845,16 +852,37 @@ class Catalog:
                 t = None  # Spark temp view / metadata table — generic path
             expr = m.group("expr")
             col = None if expr in ("*", "1") else expr
-            if t is not None and (
-                col is None or t.current_schema().field_by_name(col) is not None
+            where = m.group("where")
+            # a WHERE clause rides the fast path only for COUNT(*) and
+            # only when it parses into the supported predicate shape
+            # (col op literal / AND / OR / IN / IS NULL, no params) —
+            # TableScan.count() then serves it from metadata when every
+            # file provably full-matches or full-misses, and executes
+            # the filtered scan itself otherwise.  Anything fancier
+            # falls through to generic Spark SQL.
+            where_ok = where is None or (
+                col is None
+                and "$" not in where
+                and _parse_predicate(where) is not None
+            )
+            if (
+                t is not None
+                and where_ok
+                and (
+                    col is None
+                    or t.current_schema().field_by_name(col) is not None
+                )
             ):
                 # Spark names the bare aggregate count(1) / count(col)
                 alias = m.group("alias") or (
                     "count(1)" if col is None else f"count({col})"
                 )
+                scan = t.scan()
+                if where is not None:
+                    scan = scan.filter(where)
                 return Result(
                     self.spark.createDataFrame(
-                        [(t.scan().count(col),)], f"`{alias}` long"
+                        [(scan.count(col),)], f"`{alias}` long"
                     )
                 )
         self._register_views()

@@ -132,6 +132,62 @@ def test_sql_count_star_with_where_uses_generic_path(catalog):
     t.append([{"a": i} for i in range(9)])
     res = catalog.sql("SELECT COUNT(*) FROM agg9 WHERE a < 3").to_a()
     assert res == [{"count(1)": 3}]
+    # a predicate outside the parseable shape falls through to Spark SQL
+    res = catalog.sql("SELECT COUNT(*) FROM agg9 WHERE a % 2 = 0").to_a()
+    assert res == [{"count(1)": 5}]
+
+
+def test_filtered_count_metadata_when_partition_aligned(catalog):
+    """r11: COUNT(*) WHERE p answers from metadata when every file
+    provably full-matches or full-misses p — proven zero-read by
+    deleting the data files first.  A file the predicate splits falls
+    back to the executed scan (checked with files present)."""
+    t = catalog.create_table("aggf1", schema={"k": "long", "v": "string"})
+    t.append([{"k": i, "v": f"x{i}"} for i in range(0, 100)])
+    t.append([{"k": i, "v": f"x{i}"} for i in range(100, 250)])
+    t = t.refresh()
+    # split predicate executes (files still on disk here)
+    assert t.scan().filter("k >= 50").count() == 200
+    assert t.scan().filter("k >= 50 AND k < 150").count() == 100
+    _drop_data_files(t)
+    # aligned / full-table / full-miss: all metadata-only
+    assert t.scan().filter("k < 100").count() == 100
+    assert t.scan().filter("k >= 100").count() == 150
+    assert t.scan().filter("k >= 0").count() == 250
+    assert t.scan().filter("k > 100000").count() == 0
+    assert t.scan().filter("k < 100 OR k >= 100").count() == 250
+    # SQL spelling rides the same path
+    cat = t.catalog
+    assert cat.sql("SELECT COUNT(*) FROM aggf1 WHERE k < 100").rows == [[100]]
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM aggf1 WHERE k > 100000"
+    ).to_a() == [{"n": 0}]
+
+
+def test_filtered_count_soundness_fallbacks(catalog, spark):
+    """Float predicates, NULL-bearing compared columns, and outstanding
+    deletes must NOT answer a filtered count from metadata."""
+    t = catalog.create_table("aggf2", schema={"k": "long", "x": "double"})
+    t.append([{"k": 1, "x": 1.0}, {"k": 2, "x": float("nan")}])
+    # float comparison: bounds can't see NaN — must execute (2 rows on
+    # disk; NaN > 0.5 is TRUE in Spark) — note x's upper bound alone
+    # would claim a full match of x <= 1.5
+    assert t.scan().filter("x <= 1.5").count() == 1
+    # a NULL in the compared column disproves full-match: k <= 10 would
+    # bound-match both rows, but NULL k rows fail the predicate
+    t2 = catalog.create_table("aggf3", schema={"k": "long"})
+    t2.append([{"k": 1}, {"k": None}, {"k": 5}])
+    assert t2.scan().filter("k <= 10").count() == 2
+    # IS NULL / IS NOT NULL prove from null counts alone (zero-read)
+    t2 = t2.refresh()
+    _drop_data_files(t2)
+    assert t2.scan().filter("k IS NULL").count() == 1
+    assert t2.scan().filter("k IS NOT NULL").count() == 2
+    # outstanding MoR delete: always executes
+    t3 = catalog.create_table("aggf4", schema={"k": "long"})
+    t3.append([{"k": 1}, {"k": 2}, {"k": 3}])
+    t3.delete_where("k = 1", mode="merge-on-read-dv")
+    assert t3.scan().filter("k < 10").count() == 2
 
 
 def test_count_col_from_null_counts(catalog):
