@@ -1399,6 +1399,18 @@ class Table:
             if "path" in e and self.ops._rel(e["path"]) not in by_rel
         ]
         kept = [b for rel, b in sorted(by_rel.items()) if rel in live_rel]
+        if not fresh and len(kept) == len(by_rel):
+            # index already reflects the live file set exactly — no scan,
+            # no puffin rewrite, no property commit (what makes
+            # write.bloom.auto-refresh affordable on no-op commits)
+            return {
+                "column": col,
+                "files": len(kept),
+                "built": 0,
+                "dropped": 0,
+                "bytes": 0,
+                "noop": True,
+            }
         built = 0
         if fresh:
             # one bounded scan of just the new files through the same
@@ -3663,11 +3675,35 @@ class Table:
             raw["next-row-id"] = max(next_rid, meta.next_row_id + added_rows)
             try:
                 self.metadata = self.ops.commit(meta.version, raw)
+                self._auto_refresh_blooms(branch)
                 return
             except FileExistsError:
                 _commit_backoff(attempt)
                 continue  # lost the optimistic race; retry on fresh metadata
         raise InvalidDataError("commit conflict: too many retries")
+
+    def _auto_refresh_blooms(self, branch: str = MAIN_BRANCH) -> None:
+        """``write.bloom.auto-refresh=true``: fold bloom-index maintenance
+        into every main-branch commit so a standing index can't silently
+        age into keep-everything (a stale index prunes NOTHING for files
+        it doesn't cover — correct but useless).  Each refresh is the
+        O(new files) incremental path, and a commit that added or removed
+        no data files (MoR delete, property swap) is a pure no-op — the
+        refresh detects nothing to do and skips the index rewrite.
+        Branch commits skip: the index reflects main's file set."""
+        if branch != MAIN_BRANCH:
+            return
+        if str(
+            self.properties.get("write.bloom.auto-refresh", "")
+        ).lower() != "true":
+            return
+        cols = [
+            k[len("bloom.index."):-len(".path")]
+            for k in self.properties
+            if k.startswith("bloom.index.") and k.endswith(".path")
+        ]
+        for col in cols:
+            self.refresh_key_bloom(col)
 
     def _current_entries(
         self, branch: Optional[str] = None

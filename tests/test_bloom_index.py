@@ -232,3 +232,51 @@ def test_bloom_stale_after_column_drop_readd(catalog):
     t = t.refresh()
     assert t._bloom_index("v") is not None
     assert [r2["id"] for r2 in t.scan().filter("v = 'zz'").to_a()] == [3]
+
+
+def test_bloom_auto_refresh_property(catalog):
+    """r11: write.bloom.auto-refresh=true folds index maintenance into
+    commit paths — appends and compaction keep the index current with no
+    manual CALLs; commits that change no data files skip the rewrite;
+    property off = current (stale-but-conservative) behavior."""
+    t = _mk_interleaved(catalog, "blauto", files=4, per=50)
+    t.build_key_bloom("id", fpp=0.001)
+    t.update_properties({"write.bloom.auto-refresh": "true"})
+    t = t.refresh()
+    covered = lambda: len(t._bloom_index("id") or {})
+    n0 = covered()
+    # an append auto-extends the index over the new file
+    t.append(
+        t.spark.createDataFrame([(777777, "new")], "id long, v string").coalesce(1)
+    )
+    t = t.refresh()
+    t._bloom_cache.clear()
+    assert covered() == n0 + 1
+    # ...and lookups prune with it immediately (absent key: ~all pruned)
+    assert len(t.scan().filter("id = 999999").plan_files()) <= 1
+    assert len(t.scan().filter("id = 777777").plan_files()) <= 2
+    assert [r["v"] for r in t.scan().filter("id = 777777").to_a()] == ["new"]
+    # a MoR delete adds no data files: the refresh no-ops (index file
+    # unchanged on disk)
+    path_before = t.properties["bloom.index.id.path"]
+    t.delete_where("id = 1", mode="merge-on-read-dv")
+    t = t.refresh()
+    assert t.properties["bloom.index.id.path"] == path_before
+    # compaction rewrites every file: the index follows the new layout
+    t.compact()
+    t = t.refresh()
+    t._bloom_cache.clear()
+    live = len(t.scan().plan_files())
+    assert covered() == live
+    assert t.properties["bloom.index.id.path"] != path_before
+    assert [r["v"] for r in t.scan().filter("id = 777777").to_a()] == ["new"]
+    # property off: appends no longer extend (conservative staleness)
+    t.update_properties({"write.bloom.auto-refresh": "false"})
+    t = t.refresh()
+    t.append(
+        t.spark.createDataFrame([(888888, "n2")], "id long, v string").coalesce(1)
+    )
+    t = t.refresh()
+    t._bloom_cache.clear()
+    assert covered() == live  # unchanged
+    assert [r["v"] for r in t.scan().filter("id = 888888").to_a()] == ["n2"]
