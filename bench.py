@@ -36,6 +36,11 @@ def main() -> None:
         # xxhash64 and that is what gets timed
         return BENCH_FNS.get(name, QUERIES[name])
 
+    # host-load bracketing (r10 VERDICT #3): getloadavg() before and after
+    # lets a later reader adjudicate "uniform drift = host contention"
+    # from the artifact alone instead of re-measuring
+    load_before = tuple(round(x, 2) for x in os.getloadavg())
+
     spark = get_spark("bench")
     # JMH-style untimed warmup: run every bench query once at the smallest
     # tier so the timed loop measures steady-state data throughput, not
@@ -109,6 +114,13 @@ def main() -> None:
                 "timing": "min-of-2-interleaved (+1 tie-break if spread >1.5x)",
                 "bench_variants": {n: fn.__name__ for n, fn in BENCH_FNS.items()},
                 "runs": raw_runs,
+                # 1/5/15-min load averages bracketing the run; this host
+                # has 32 cpus, so loadavg >> 32 while benching = external
+                # contention, and uniform per-query drift with identical
+                # plans should be adjudicated against these numbers
+                "loadavg_before": load_before,
+                "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
+                "cpus_host": os.cpu_count(),
             }
         ),
         flush=True,
