@@ -7377,13 +7377,11 @@ class TableScan:
         )
         return min(n, self._limit) if self._limit is not None else n
 
-    def _filtered_metadata_count(self, snap: Snapshot) -> Optional[int]:
-        """``COUNT(*) WHERE p`` from manifest stats, or None when not
-        provable (caller executes the scan).  Provable = no outstanding
-        deletes, every filter parses, no float/double column compared,
-        and every data file is either a proven full-match (its whole
-        record-count counts) or a proven full-miss (contributes zero) —
-        a file the predicate may SPLIT returns None."""
+    def _provable_filter_trees(self) -> Optional[list]:
+        """The scan's filters as parsed predicate trees, or None when any
+        filter is outside the provable shape (unparseable expression, or
+        a float/double column compared — NaN breaks bound reasoning in
+        both directions)."""
         trees = []
         for f in self._filters:
             src = f
@@ -7397,12 +7395,24 @@ class TableScan:
                 return None
             trees.append(tree)
         schema = self.table.current_schema()
-        for c in set().union(*(_tree_columns(t) for t in trees)):
+        for c in set().union(set(), *(_tree_columns(t) for t in trees)):
             field = schema.field_by_name(c)
             if field is None or isinstance(
                 field.field_type, (ice_t.FloatType, ice_t.DoubleType)
             ):
-                return None  # NaN breaks bound reasoning both directions
+                return None
+        return trees
+
+    def _filtered_metadata_count(self, snap: Snapshot) -> Optional[int]:
+        """``COUNT(*) WHERE p`` from manifest stats, or None when not
+        provable (caller executes the scan).  Provable = no outstanding
+        deletes, every filter parses, no float/double column compared,
+        and every data file is either a proven full-match (its whole
+        record-count counts) or a proven full-miss (contributes zero) —
+        a file the predicate may SPLIT returns None."""
+        trees = self._provable_filter_trees()
+        if trees is None:
+            return None
         entries = self.table.ops.read_manifest(snap.manifest_list)
         data, mor = Table._split_entries(entries)
         if mor:
@@ -7447,16 +7457,33 @@ class TableScan:
         if field is None:
             raise InvalidDataError(f"no column {col!r}")
         meta_ok = (
-            not self._filters
-            and self._limit is None
+            self._limit is None
             and type(field.field_type).__name__.lower().replace("type", "")
             in self._BOUND_EXACT_TYPES
         )
+        # filtered MIN/MAX (r11, same proof as filtered COUNT): when every
+        # file provably full-matches or full-misses the predicate, the
+        # aggregate is the extremum of the FULL-MATCHING files' bounds —
+        # a full-match file's every row satisfies p, so its own min/max
+        # is eligible; a full-miss file contributes nothing; one split
+        # file demotes to the scan
+        trees = None
+        if meta_ok and self._filters:
+            trees = self._provable_filter_trees()
+            meta_ok = trees is not None
         if meta_ok:
             entries = self.table.ops.read_manifest(snap.manifest_list)
             data, mor = Table._split_entries(entries)
             vals = []
             for e in data:
+                if trees is not None:
+                    if all(_bounds_all_match(e, t) for t in trees):
+                        pass  # every row of this file matches — eligible
+                    elif any(not _bounds_may_match(e, t) for t in trees):
+                        continue  # no row matches — contributes nothing
+                    else:
+                        meta_ok = False
+                        break  # the predicate splits this file
                 b = (e.get("lower-bounds" if lo else "upper-bounds") or {}).get(col)
                 if b is not None:
                     vals.append(b)

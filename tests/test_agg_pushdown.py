@@ -224,3 +224,23 @@ def test_sql_count_col_fast_path(catalog):
     assert catalog.sql("SELECT COUNT(b) FROM agg12").to_a() == [{"count(b)": 1}]
     assert catalog.sql("SELECT COUNT(a) AS n FROM agg12").to_a() == [{"n": 3}]
     assert catalog.sql("SELECT COUNT(*) FROM agg12").to_a() == [{"count(1)": 3}]
+
+
+def test_filtered_min_max_metadata_when_partition_aligned(catalog):
+    """r11: MIN/MAX WHERE p from full-matching files' bounds — zero-read
+    proven by file deletion; a split predicate executes the scan."""
+    t = catalog.create_table("aggf5", schema={"k": "long", "v": "long"})
+    t.append([{"k": i, "v": 1000 - i} for i in range(0, 100)])
+    t.append([{"k": i, "v": 1000 - i} for i in range(100, 250)])
+    t = t.refresh()
+    # split predicate executes correctly with files present
+    assert t.scan().filter("k >= 50").min("k") == 50
+    assert t.scan().filter("k >= 50").max("v") == 950
+    _drop_data_files(t)
+    # aligned: extremum over the full-matching file's bounds only
+    assert t.scan().filter("k < 100").max("k") == 99
+    assert t.scan().filter("k < 100").min("v") == 901
+    assert t.scan().filter("k >= 100").min("k") == 100
+    assert t.scan().filter("k >= 100").max("v") == 900
+    # full-miss everywhere: SQL MIN over zero rows is NULL
+    assert t.scan().filter("k > 100000").min("k") is None
