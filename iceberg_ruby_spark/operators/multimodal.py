@@ -5,13 +5,15 @@ the pattern that scales: bytes stay columnar in Parquet, metadata prunes
 (format/size/duration predicates push down), and decode runs distributed in
 Arrow-batched ``mapInPandas``.
 
-Three REAL pure-python codecs ship: ``ppm`` (binary P6 netpbm images —
+Four REAL pure-python codecs ship: ``ppm`` (binary P6 netpbm images —
 header parse, raster decode, nearest-neighbor resize), ``wav`` (RIFF
-PCM16 audio — chunk walk, sample decode), and ``png`` (r11 — the first
-COMPRESSED format: stdlib zlib IDAT inflate, CRC-validated chunk walk,
-all five scanline filters unfiltered, 8-bit RGB/RGBA).  Remaining
-compressed formats (JPEG/MP3/MP4) stay an honest registration seam
-behind :data:`_DECODERS` /
+PCM16 audio — chunk walk, sample decode), ``png`` (r11 — stdlib zlib
+IDAT inflate, CRC-validated chunk walk, all five scanline filters
+unfiltered, 8-bit RGB/RGBA), and ``jpeg`` (r11 — ITU-T T.81 baseline:
+marker walk, huffman entropy decode with DC prediction and RSTn
+restarts, dequant/de-zigzag/IDCT, JFIF YCbCr→RGB; matching encoder).
+Remaining compressed formats (MP3/MP4) stay an honest registration
+seam behind :data:`_DECODERS` /
 :func:`register_decoder` — those libraries are not in this container —
 and the deterministic ``fake`` decoder stays for plumbing tests:
 everything Spark-side (schemas, batch iteration, partition behavior,
@@ -21,7 +23,7 @@ feature shapes) behaves identically whichever codec is plugged in.
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+from typing import Iterator, Optional
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -398,6 +400,541 @@ def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
     return encode_png(width, height, bytes(out), channels=ch)
 
 
+# -- JPEG codec (pure python + numpy, ITU-T T.81 baseline) -------------------
+#
+# Baseline sequential DCT, 8-bit, huffman-coded: SOI/APPn/DQT/SOF0/DHT/
+# DRI/SOS marker walk, stuff-byte-aware bit reader with RSTn resync,
+# per-MCU huffman decode (DC prediction + AC run/length with ZRL/EOB),
+# dequant, de-zigzag, separable float IDCT, level shift, and JFIF
+# YCbCr→RGB.  Scope: grayscale and 3-component YCbCr at 4:4:4 or
+# 4:2:0/4:2:2 (nearest-neighbor chroma upsampling); progressive (SOF2),
+# arithmetic coding, 12-bit, and hierarchical refuse loudly.  The
+# encoder emits baseline 4:4:4 with caller-supplied quant tables and
+# the standard Annex K huffman tables — with unit quant tables a
+# per-8×8-block-flat image round-trips EXACTLY (each block is DC-only:
+# dequant and IDCT reduce to the constant (1/4)(1/√2)(1/√2)·8·v = v),
+# which is what makes the pipeline oracle closed-form despite JPEG
+# being lossy in general.
+
+_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# ITU-T T.81 Annex K.3 typical huffman tables: (bits[1..16], values)
+_STD_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_STD_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+        0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+        0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+        0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+        0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+        0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+        0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+        0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+        0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+        0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+_STD_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+        0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+        0x42, 0x91, 0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15,
+        0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17,
+        0x18, 0x19, 0x1A, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37,
+        0x38, 0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A,
+        0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65,
+        0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A,
+        0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+        0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5,
+        0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+        0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9,
+        0xDA, 0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2,
+        0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+    ],
+)
+
+
+def _huff_decode_table(bits, values):
+    """{(length, code): value} from a (bits, values) spec (T.81 C.2)."""
+    table = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = values[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_encode_table(bits, values):
+    """{value: (code, length)} — the encoder-side inverse."""
+    return {
+        v: (code, length)
+        for (length, code), v in _huff_decode_table(bits, values).items()
+    }
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            b = (self._acc >> self._n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:
+                self.out.append(0x00)  # stuff byte
+
+    def flush(self) -> None:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # 1-fill per spec
+
+
+class _BitReader:
+    """Entropy-segment bit reader: un-stuffs 0xFF00, stops at markers,
+    resynchronizes across RSTn."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def _next_byte(self) -> int:
+        d, p = self.data, self.pos
+        if p >= len(d):
+            raise ValueError("JPEG entropy data truncated")
+        b = d[p]
+        if b == 0xFF:
+            nxt = d[p + 1] if p + 1 < len(d) else None
+            if nxt == 0x00:
+                self.pos = p + 2
+                return 0xFF
+            raise ValueError("JPEG entropy data hit a marker mid-symbol")
+        self.pos = p + 1
+        return b
+
+    def read_bit(self) -> int:
+        if self._n == 0:
+            self._acc = self._next_byte()
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def receive(self, length: int) -> int:
+        v = 0
+        for _ in range(length):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def align_restart(self, expected: int) -> None:
+        """Consume an RSTn marker between restart intervals."""
+        self._n = 0
+        d = self.data
+        while self.pos + 1 < len(d) and d[self.pos] == 0xFF and d[self.pos + 1] == 0xFF:
+            self.pos += 1  # fill bytes
+        if (
+            self.pos + 1 >= len(d)
+            or d[self.pos] != 0xFF
+            or d[self.pos + 1] != 0xD0 + expected
+        ):
+            raise ValueError("JPEG restart marker missing or out of sequence")
+        self.pos += 2
+
+    def decode_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            v = table.get((length, code))
+            if v is not None:
+                return v
+        raise ValueError("invalid JPEG huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map a t-bit magnitude to its signed value."""
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def _category(v: int) -> int:
+    t = 0
+    a = abs(v)
+    while a:
+        a >>= 1
+        t += 1
+    return t
+
+
+def _idct_2d(coeffs):
+    """Separable float 2-D inverse DCT of one 8x8 block (numpy)."""
+    import numpy as np
+
+    if not hasattr(_idct_2d, "_m"):
+        x = np.arange(8)
+        c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
+        s = np.full(8, np.sqrt(2.0 / 8.0))
+        s[0] = np.sqrt(1.0 / 8.0)
+        _idct_2d._m = (s[:, None] * c)  # [u, x]
+    m = _idct_2d._m
+    return m.T @ coeffs @ m
+
+
+def _fdct_2d(block):
+    """Forward 2-D DCT (encoder side)."""
+    m = None
+    _idct_2d(__import__("numpy").zeros((8, 8)))  # ensure matrix cached
+    m = _idct_2d._m
+    return m @ block @ m.T
+
+
+def _rgb_to_ycbcr(r: int, g: int, b: int) -> tuple[int, int, int]:
+    """JFIF integer conversion — FLOOR(x + 0.5) rounding on purpose so a
+    SQL oracle can replay it exactly (python round() is banker's)."""
+    import math
+
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    clamp = lambda v: max(0, min(255, v))
+    return clamp(y), clamp(cb), clamp(cr)
+
+
+def _ycbcr_to_rgb(y: float, cb: float, cr: float) -> tuple[int, int, int]:
+    import math
+
+    r = math.floor(y + 1.402 * (cr - 128) + 0.5)
+    g = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+    b = math.floor(y + 1.772 * (cb - 128) + 0.5)
+    clamp = lambda v: max(0, min(255, v))
+    return clamp(r), clamp(g), clamp(b)
+
+
+def encode_jpeg(
+    width: int,
+    height: int,
+    rgb: bytes,
+    quant: Optional[list[int]] = None,
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encoder: 4:4:4 YCbCr (or the exact path a test
+    wants via unit ``quant`` tables — per-8x8-flat images then decode
+    back bit-exact).  Standard Annex K huffman tables; optional DRI/RSTn
+    restart intervals."""
+    import struct
+
+    import numpy as np
+
+    if len(rgb) != 3 * width * height:
+        raise ValueError("rgb raster length must be 3*width*height")
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
+        raise ValueError("quant table must be 64 entries in [1, 255]")
+    # plane extraction + level-shifted YCbCr
+    arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.int32)
+    r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    # edge-replicate pad to whole blocks (keeps flat blocks flat)
+    padded = []
+    for p in planes:
+        pp = np.empty((bh * 8, bw * 8))
+        pp[:height, :width] = p
+        pp[height:, :width] = p[height - 1 : height, :]
+        pp[:, width:] = pp[:, width - 1 : width]
+        padded.append(pp)
+    dc_l = _huff_encode_table(*_STD_DC_LUMA)
+    dc_c = _huff_encode_table(*_STD_DC_CHROMA)
+    ac_l = _huff_encode_table(*_STD_AC_LUMA)
+    ac_c = _huff_encode_table(*_STD_AC_CHROMA)
+    qarr = np.array(q, dtype=np.float64)[np.argsort(_ZIGZAG)].reshape(8, 8)
+    w = _BitWriter()
+    pred = [0, 0, 0]
+    mcu_index = 0
+    rst = 0
+    for by in range(bh):
+        for bx in range(bw):
+            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) % 8
+                pred = [0, 0, 0]
+            mcu_index += 1
+            for ci, plane in enumerate(padded):
+                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                coeffs = _fdct_2d(block)
+                quantized = np.floor(coeffs / qarr + 0.5).astype(np.int64)
+                zz = [int(quantized.flat[_ZIGZAG[i]]) for i in range(64)]
+                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                diff = zz[0] - pred[ci]
+                pred[ci] = zz[0]
+                t = _category(diff)
+                code, ln = dct[t]
+                w.write(code, ln)
+                if t:
+                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
+                run = 0
+                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                for i in range(1, last_nz + 1):
+                    if zz[i] == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        code, ln = act[0xF0]  # ZRL
+                        w.write(code, ln)
+                        run -= 16
+                    t = _category(zz[i])
+                    code, ln = act[(run << 4) | t]
+                    w.write(code, ln)
+                    w.write(
+                        zz[i] if zz[i] >= 0 else zz[i] + (1 << t) - 1, t
+                    )
+                    run = 0
+                if last_nz < 63:
+                    code, ln = act[0x00]  # EOB
+                    w.write(code, ln)
+    w.flush()
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">BBH", 0xFF, marker, len(body) + 2) + body
+
+    out = bytearray(b"\xff\xd8")  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += seg(0xDB, bytes([0x00]) + bytes(q))  # DQT table 0 (shared)
+    out += seg(
+        0xC0,
+        struct.pack(">BHHB", 8, height, width, 3)
+        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+    )
+    for cls, tid, (bits, vals) in (
+        (0, 0, _STD_DC_LUMA),
+        (1, 0, _STD_AC_LUMA),
+        (0, 1, _STD_DC_CHROMA),
+        (1, 1, _STD_AC_CHROMA),
+    ):
+        out += seg(0xC4, bytes([(cls << 4) | tid]) + bytes(bits) + bytes(vals))
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(
+        0xDA,
+        bytes([3, 1, 0x00, 2, 0x11, 3, 0x11, 0, 63, 0]),
+    )
+    out += w.out
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def decode_jpeg(payload: bytes) -> tuple[int, int, int, bytes]:
+    """Parse a baseline JFIF/JPEG: returns (width, height, channels,
+    raster) — RGB bytes for 3-component YCbCr images, luma bytes for
+    grayscale.  Refuses progressive/arithmetic/12-bit loudly."""
+    import struct
+
+    import numpy as np
+
+    if payload is None or payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload (missing SOI)")
+    pos = 2
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart_interval = 0
+    comps = None
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        body = payload[pos + 4 : pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (possibly several tables)
+            b = body
+            while b:
+                prec, tid = b[0] >> 4, b[0] & 0xF
+                n = 64 * (2 if prec else 1)
+                raw = b[1 : 1 + n]
+                qt[tid] = (
+                    list(struct.unpack(f">{64}H", raw)) if prec else list(raw)
+                )
+                b = b[1 + n :]
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(
+                f"JPEG SOF{marker - 0xC0} unsupported: only baseline "
+                "sequential DCT (SOF0) decodes here"
+            )
+        elif marker == 0xC0:  # SOF0
+            depth, h, w_, nc = struct.unpack(">BHHB", body[:6])
+            if depth != 8:
+                raise ValueError(f"JPEG bit depth {depth} unsupported")
+            if nc not in (1, 3):
+                raise ValueError(f"JPEG component count {nc} unsupported")
+            comps = []
+            for i in range(nc):
+                cid, hv, tq = body[6 + 3 * i : 9 + 3 * i]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            sof = (w_, h, nc)
+        elif marker == 0xC4:  # DHT
+            b = body
+            while b:
+                cls, tid = b[0] >> 4, b[0] & 0xF
+                bits = list(b[1:17])
+                n = sum(bits)
+                huff[(cls, tid)] = _huff_decode_table(bits, list(b[17 : 17 + n]))
+                b = b[17 + n :]
+        elif marker == 0xDD:  # DRI
+            (restart_interval,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cs, tdta = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cs, tdta >> 4, tdta & 0xF))
+            pos = pos + 2 + seglen
+            return _jpeg_scan(
+                payload, pos, sof, comps, scan, qt, huff, restart_interval
+            )
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOS scan")
+
+
+def _jpeg_scan(payload, pos, sof, comps, scan, qt, huff, restart_interval):
+    import numpy as np
+
+    if sof is None:
+        raise ValueError("JPEG SOS before SOF0")
+    width, height, nc = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = (width + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (height + 8 * vmax - 1) // (8 * vmax)
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan:
+        c = by_id.get(cs)
+        if c is None:
+            raise ValueError(f"JPEG scan references unknown component {cs}")
+        order.append((c, huff.get((0, td)), huff.get((1, ta))))
+    for c, dt, at in order:
+        if dt is None or at is None:
+            raise ValueError("JPEG scan references an undefined huffman table")
+        if c["tq"] not in qt:
+            raise ValueError("JPEG component references an undefined quant table")
+    planes = [
+        np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
+    ]
+    r = _BitReader(payload, pos)
+    pred = {c["id"]: 0 for c in comps}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            r.align_restart(rst)
+            rst = (rst + 1) % 8
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for ci, (c, dt, at) in enumerate(order):
+            q = np.array(qt[c["tq"]], dtype=np.float64)
+            for v in range(c["v"]):
+                for hh in range(c["h"]):
+                    zz = np.zeros(64)
+                    t = r.decode_huff(dt)
+                    diff = _extend(r.receive(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    k = 1
+                    while k < 64:
+                        rs = r.decode_huff(at)
+                        run, size = rs >> 4, rs & 0xF
+                        if size == 0:
+                            if run == 15:
+                                k += 16  # ZRL
+                                continue
+                            break  # EOB
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG AC run exceeds block")
+                        zz[k] = _extend(r.receive(size), size)
+                        k += 1
+                    coeffs = np.zeros((8, 8))
+                    coeffs.flat[_ZIGZAG] = zz * q
+                    block = np.clip(
+                        np.floor(_idct_2d(coeffs) + 128.0 + 0.5), 0, 255
+                    )
+                    py = (my * c["v"] + v) * 8
+                    px = (mx * c["h"] + hh) * 8
+                    planes[ci][py : py + 8, px : px + 8] = block
+    # upsample chroma to full resolution (nearest-neighbor) and convert
+    full = []
+    for c, p in zip(comps, planes):
+        if c["h"] != hmax or c["v"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["v"], 0), hmax // c["h"], 1)
+        full.append(p[:height, :width])
+    if nc == 1:
+        return width, height, 1, bytes(full[0].astype(np.uint8).tobytes())
+    y, cb, cr = full
+    r_ = np.clip(np.floor(y + 1.402 * (cr - 128) + 0.5), 0, 255)
+    g_ = np.clip(
+        np.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5),
+        0,
+        255,
+    )
+    b_ = np.clip(np.floor(y + 1.772 * (cb - 128) + 0.5), 0, 255)
+    out = np.stack([r_, g_, b_], axis=-1).astype(np.uint8)
+    return width, height, 3, out.tobytes()
+
+
+def _jpeg_features(payload: bytes) -> list[float]:
+    """Feature vector from a REAL JPEG decode: [width, height, channels,
+    sum_r, sum_g, sum_b, n_pixels] — exact integers for per-8x8-flat
+    unit-quant images (the DC-only exact-roundtrip case)."""
+    if payload is None:
+        return []
+    w, h, ch, raster = decode_jpeg(payload)
+    if ch == 1:
+        s = float(sum(raster))
+        return [float(w), float(h), 1.0, s, s, s, float(w * h)]
+    return [
+        float(w),
+        float(h),
+        3.0,
+        float(sum(raster[0::3])),
+        float(sum(raster[1::3])),
+        float(sum(raster[2::3])),
+        float(w * h),
+    ]
+
+
 def decode_wav(payload: bytes) -> dict:
     """Parse a RIFF/WAVE PCM16 payload: chunk walk (fmt  + data, other
     chunks skipped), little-endian int16 samples.  Returns
@@ -473,6 +1010,7 @@ _DECODERS = {
     "fake": _fake_decode,
     "ppm": _ppm_features,
     "png": _png_features,
+    "jpeg": _jpeg_features,
     "wav": _wav_features,
 }
 

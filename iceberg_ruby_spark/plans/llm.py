@@ -927,6 +927,104 @@ def multimodal_png_pipeline(spark, sf_dir):
 
 
 @query(
+    "multimodal_jpeg_pipeline",
+    oracle="""
+    WITH g AS (
+      SELECT doc_id, 1 + doc_id % 2 AS nb FROM documents
+    ), blk AS (
+      SELECT g.doc_id, g.nb,
+             (3 * g.doc_id + 7 * b.g) % 256 AS r,
+             (5 * g.doc_id + 11 * b.g) % 256 AS gg,
+             (7 * g.doc_id + 13 * b.g) % 256 AS bb
+      FROM g, generate_series(0, 1) AS b(g)
+      WHERE b.g < g.nb
+    ), fwd AS (
+      SELECT doc_id, nb,
+        GREATEST(0, LEAST(255,
+          FLOOR(0.299 * r + 0.587 * gg + 0.114 * bb + 0.5))) AS y,
+        GREATEST(0, LEAST(255,
+          FLOOR(128 - 0.168736 * r - 0.331264 * gg + 0.5 * bb + 0.5))) AS cb,
+        GREATEST(0, LEAST(255,
+          FLOOR(128 + 0.5 * r - 0.418688 * gg - 0.081312 * bb + 0.5))) AS cr
+      FROM blk
+    ), back AS (
+      SELECT doc_id, nb,
+        GREATEST(0, LEAST(255,
+          FLOOR(y + 1.402 * (cr - 128) + 0.5))) AS r2,
+        GREATEST(0, LEAST(255,
+          FLOOR(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5))) AS g2,
+        GREATEST(0, LEAST(255,
+          FLOOR(y + 1.772 * (cb - 128) + 0.5))) AS b2
+      FROM fwd
+    )
+    SELECT doc_id AS media_id,
+           CAST(8 * nb AS INTEGER) AS width,
+           8 AS height,
+           CAST(SUM(64 * r2) AS BIGINT) AS sum_r,
+           CAST(SUM(64 * g2) AS BIGINT) AS sum_g,
+           CAST(SUM(64 * b2) AS BIGINT) AS sum_b
+    FROM back GROUP BY doc_id, nb
+    """,
+)
+def multimodal_jpeg_pipeline(spark, sf_dir):
+    """REAL baseline JPEG codec end-to-end (r11): per document an 8-or-16
+    × 8 image whose 8x8 blocks are each a flat closed-form color is
+    encoded into actual JFIF bytes (huffman entropy coding, DC
+    prediction across blocks, unit quant tables) and decoded back by the
+    full baseline pipeline (marker walk → huffman → dequant → IDCT →
+    YCbCr→RGB).  Flat blocks are DC-only, so with unit quant the DCT
+    round-trips EXACTLY and the only value change is the JFIF integer
+    color-convert double-rounding — which the DuckDB oracle replays term
+    by term (FLOOR(x + 0.5), identical operation order, clamped).  A
+    huffman-table, DC-prediction, dequant, IDCT-scale, or color-matrix
+    bug breaks the hash.  Sums are exact integers."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_batch,
+        encode_jpeg,
+    )
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def _build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                nb = 1 + did % 2
+                w, h = 8 * nb, 8
+                raster = bytearray()
+                for y in range(h):
+                    for x in range(w):
+                        bi = x // 8
+                        raster += bytes(
+                            (
+                                (3 * did + 7 * bi) % 256,
+                                (5 * did + 11 * bi) % 256,
+                                (7 * did + 13 * bi) % 256,
+                            )
+                        )
+                payloads.append(encode_jpeg(w, h, bytes(raster)))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(_build, "media_id long, payload binary")
+    tagged = attach_media_metadata(media, "payload", fmt="jpeg")
+    feats = decode_media_batch(tagged, decoder="jpeg")
+    return feats.select(
+        "media_id",
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 4).cast("bigint").alias("sum_r"),
+        F.element_at("features", 5).cast("bigint").alias("sum_g"),
+        F.element_at("features", 6).cast("bigint").alias("sum_b"),
+    )
+
+
+@query(
     "multimodal_wav_features",
     oracle="""
     WITH g AS (

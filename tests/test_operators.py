@@ -1394,6 +1394,76 @@ def test_png_through_spark_pipeline(spark):
     assert feats[2] == [1.0, 1.0, 4.0, 9.0, 8.0, 7.0, 6.0, 1.0]
 
 
+def test_jpeg_codec_baseline():
+    """r11: the REAL pure-python baseline JPEG codec — flat 8x8 blocks
+    with unit quant round-trip exactly through huffman/DCT (only the
+    JFIF integer color-convert double-rounding changes values), DC
+    prediction across blocks, restart markers, odd dims, refusals."""
+    import math
+    import struct
+
+    def through_ycbcr(r, g, b):
+        y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+        cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+        y, cb, cr = (max(0, min(255, v)) for v in (y, cb, cr))
+        r2 = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g2 = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        b2 = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        return tuple(max(0, min(255, v)) for v in (r2, g2, b2))
+
+    # two flat blocks with different colors: DC prediction on the line
+    cols = [(200, 30, 90), (10, 240, 55)]
+    raster = bytearray()
+    for y in range(8):
+        for x in range(16):
+            raster += bytes(cols[x // 8])
+    p = ops.encode_jpeg(16, 8, bytes(raster))
+    w, h, ch, dr = ops.decode_jpeg(p)
+    assert (w, h, ch) == (16, 8, 3)
+    for y in range(8):
+        for x in range(16):
+            i = 3 * (y * 16 + x)
+            assert tuple(dr[i : i + 3]) == through_ycbcr(*cols[x // 8])
+    # odd dims pad by edge replication and crop back
+    p = ops.encode_jpeg(5, 3, bytes([120, 60, 200] * 15))
+    w, h, ch, dr = ops.decode_jpeg(p)
+    assert (w, h) == (5, 3)
+    assert tuple(dr[:3]) == through_ycbcr(120, 60, 200)
+    # restart intervals: RSTn emitted and resynchronized
+    p = ops.encode_jpeg(24, 8, bytes([5, 250, 125] * (24 * 8)), restart_interval=1)
+    assert b"\xff\xd0" in p and b"\xff\xd1" in p
+    assert ops.decode_jpeg(p)[3][:3] == bytes(through_ycbcr(5, 250, 125))
+    # non-flat content with unit quant decodes CLOSE (lossy, bounded)
+    import random
+
+    random.seed(11)
+    src = bytes(random.randrange(256) for _ in range(3 * 8 * 8))
+    _, _, _, out = ops.decode_jpeg(ops.encode_jpeg(8, 8, src))
+    mean_err = sum(abs(a - b) for a, b in zip(src, out)) / len(src)
+    assert mean_err < 6, mean_err
+    # refusals: progressive SOF2, missing SOI
+    with pytest.raises(ValueError, match="SOI"):
+        ops.decode_jpeg(b"\x00\x00")
+    sof2 = bytearray(ops.encode_jpeg(8, 8, bytes(192)))
+    at = bytes(sof2).index(b"\xff\xc0")
+    sof2[at + 1] = 0xC2
+    with pytest.raises(ValueError, match="SOF2"):
+        ops.decode_jpeg(bytes(sof2))
+    # features: exact sums for the flat case
+    f = ops._jpeg_features(ops.encode_jpeg(8, 8, bytes([1, 2, 3] * 64)))
+    exp = through_ycbcr(1, 2, 3)
+    assert f == [8.0, 8.0, 3.0, 64.0 * exp[0], 64.0 * exp[1], 64.0 * exp[2], 64.0]
+
+
+def test_jpeg_through_spark_pipeline(spark):
+    imgs = [(1, ops.encode_jpeg(8, 8, bytes([9, 8, 7] * 64)))]
+    df = spark.createDataFrame(imgs, ["media_id", "payload"])
+    tagged = ops.attach_media_metadata(df, "payload", fmt="jpeg")
+    feats = ops.decode_media_batch(tagged, decoder="jpeg").collect()[0]["features"]
+    assert feats[0:3] == [8.0, 8.0, 3.0] and feats[6] == 64.0
+
+
 def test_real_codecs_through_spark_pipeline(spark):
     """The real codecs run through the SAME distributed plumbing as the
     fake: build P6/WAV payloads, resize_media with the real resampler,
