@@ -42,7 +42,10 @@ import uuid
 from dataclasses import dataclass
 from typing import Iterator, List, Optional
 
-from pyspark.sql.datasource import DataSourceStreamWriter, WriterCommitMessage
+from pyspark.sql.datasource import (
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
 
 from iceberg_ruby_spark.errors import InvalidDataError
 
@@ -56,7 +59,7 @@ class _FileMsg(WriterCommitMessage):
     files: list  # of {path, count, size, lower, upper}
 
 
-class EngineTableStreamWriter(DataSourceStreamWriter):
+class EngineTableStreamWriter(DataSourceStreamArrowWriter):
     def __init__(self, options: dict, schema, overwrite: bool):
         self.location = options.get("location") or options.get("path")
         if not self.location:
@@ -213,27 +216,30 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             return v.isoformat()
         return urllib.parse.quote(str(v), safe="")
 
-    def _write_file(self, rows: list, dir_path: str, file_cols: list) -> dict:
+    def _write_file(self, tbl, dir_path: str, file_cols: list) -> dict:
+        """Write one data file from an Arrow table (rows stay columnar
+        end-to-end: Spark ships RecordBatches, sorting and stats run in
+        Arrow compute, parquet writes the same buffers)."""
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        idx = {n: j for j, n in enumerate(self._names)}
+        n_rows = tbl.num_rows
         for col, desc in reversed(self._sort_fields):
-            j = idx[col]
-            # None-safe: nulls first on asc, last on desc (stable sorts
-            # compose across the reversed multi-key passes)
-            rows = sorted(
-                rows,
-                key=lambda r: (r[j] is not None, r[j]) if r[j] is not None
-                else (False, 0),
-                reverse=desc,
+            # None-safe: nulls first on asc, last on desc — per-key
+            # stable passes (pc.sort_indices is documented stable) give
+            # the same composition as the old reversed python sorts,
+            # with per-key null placement single-call sort can't express
+            idx = pc.sort_indices(
+                tbl.select([col]),
+                sort_keys=[(col, "descending" if desc else "ascending")],
+                null_placement="at_end" if desc else "at_start",
             )
-        cols = {name: [row[idx[name]] for row in rows] for name in file_cols}
+            tbl = tbl.take(idx)
         schema = pa.schema(
             [self._arrow_schema.field(n) for n in file_cols]
         )
-        tbl = pa.Table.from_pydict(cols, schema=schema)
+        tbl = tbl.select(file_cols).cast(schema)
         os.makedirs(dir_path, exist_ok=True)
         path = os.path.join(dir_path, f"stream-{uuid.uuid4().hex}.parquet")
         pq.write_table(tbl, path)
@@ -261,7 +267,7 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
                     upper[c] = hi
         return {
             "path": path,
-            "count": len(rows),
+            "count": n_rows,
             "size": os.path.getsize(path),
             "lower": lower,
             "upper": upper,
@@ -269,18 +275,25 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
         }
 
     def write(self, iterator: Iterator) -> _FileMsg:
-        rows = list(iterator)
-        if not rows:
+        """Arrow-native executor write (DataSourceStreamArrowWriter):
+        Spark ships this task's rows as RecordBatches — no per-row pickle
+        boundary, mirroring the source's batch emission (r11)."""
+        import pyarrow as pa
+
+        batches = [b for b in iterator if b.num_rows]
+        if not batches:
             return _FileMsg([])
+        tbl = pa.Table.from_batches(batches)
         data_dir = os.path.join(self.location, "data")
         if not self._part_fields:
-            return _FileMsg([self._write_file(rows, data_dir, self._names)])
+            return _FileMsg([self._write_file(tbl, data_dir, self._names)])
         # partitioned: group this task's rows by the spec's (transformed)
         # partition values, one file per value under Spark's name=value
         # directory layout — the same layout the batch writer produces.
         # Identity sources live in the path only; transformed sources
-        # stay in the file (the derived value is path-only).
-        idx = {n: j for j, n in enumerate(self._names)}
+        # stay in the file (the derived value is path-only).  Python
+        # touches only the partition SOURCE columns (transform.scalar is
+        # per-value python); grouped rows leave via vectorized take.
         # void transforms legitimately produce None (spec-evolution
         # placeholder fields): they land in Spark's default-partition
         # directory exactly like the batch writer's F.lit(None); a None
@@ -290,10 +303,14 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
             type(tr).__name__ == "VoidTransform"
             for _src, _name, tr, _st in self._part_fields
         ]
+        src_vals = {
+            src: tbl.column(src).to_pylist()
+            for src in {f[0] for f in self._part_fields}
+        }
         groups: dict = {}
-        for row in rows:
+        for i in range(tbl.num_rows):
             key = tuple(
-                tr.scalar(row[idx[src]], st)
+                tr.scalar(src_vals[src][i], st)
                 for src, _name, tr, st in self._part_fields
             )
             if any(v is None and not is_void for v, is_void in zip(key, void)):
@@ -306,17 +323,19 @@ class EngineTableStreamWriter(DataSourceStreamWriter):
                 _HIVE_DEFAULT if (v is None and is_void) else v
                 for v, is_void in zip(key, void)
             )
-            groups.setdefault(key, []).append(row)
+            groups.setdefault(key, []).append(i)
         file_cols = [n for n in self._names if n not in self._part_cols]
         out = []
-        for key, grp in groups.items():
+        for key, idxs in groups.items():
             seg = os.path.join(
                 *[
                     f"{name}={self._dir_value(v)}"
                     for (_src, name, _tr, _st), v in zip(self._part_fields, key)
                 ]
             )
-            rec = self._write_file(grp, os.path.join(data_dir, seg), file_cols)
+            rec = self._write_file(
+                tbl.take(pa.array(idxs)), os.path.join(data_dir, seg), file_cols
+            )
             # identity partition columns: min = max = the group value
             for (src, _name, tr, _st), v in zip(self._part_fields, key):
                 if src in self._part_cols and src in self._stats_cols:
