@@ -736,6 +736,75 @@ class Catalog:
         r"(?:\s+WHERE\s+(?P<where>[^;]+?))?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # the GENERAL single-table aggregate statement the scan layer can
+    # serve (iceberg-spark pushes exactly this shape through
+    # SupportsPushDownAggregates): any comma list of COUNT(*)/COUNT(1)/
+    # COUNT(col)/MIN(col)/MAX(col) with optional aliases, one bare
+    # table, optional WHERE.  Each aggregate answers from metadata when
+    # provable and executes its own scan when not — the fast path is
+    # never wrong, only sometimes not faster.
+    _AGG_ITEM_RE = re.compile(
+        r"^(?P<fn>COUNT|MIN|MAX)\s*\(\s*(?P<arg>\*|1|[A-Za-z_]\w*)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>\w+))?$",
+        re.IGNORECASE,
+    )
+    _AGG_STMT_RE = re.compile(
+        r"^\s*SELECT\s+(?P<items>[^;]+?)"
+        r"\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+WHERE\s+(?P<where>[^;]+?))?\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _sql_agg_fast_path(self, m) -> Optional["Result"]:
+        """Serve ``SELECT <aggs> FROM tbl [WHERE p]`` through the scan
+        layer, or None when any piece is outside the supported shape
+        (caller falls through to generic Spark SQL)."""
+        specs = []
+        for it in (s.strip() for s in m.group("items").split(",")):
+            im = self._AGG_ITEM_RE.match(it)
+            if im is None:
+                return None
+            fn, arg = im.group("fn").upper(), im.group("arg")
+            if fn in ("MIN", "MAX") and arg in ("*", "1"):
+                return None
+            specs.append((fn, arg, im.group("alias")))
+        if not specs:
+            return None
+        try:
+            t = self.load_table(self._sql_table_ident(m.group("tbl")))
+        except Exception:
+            return None  # Spark temp view / metadata table — generic path
+        where = m.group("where")
+        if where is not None and (
+            "$" in where or _parse_predicate(where) is None
+        ):
+            return None
+        from pyspark.sql import types as ST
+
+        fields_by_name = {f.name: f for f in t.current_schema().fields}
+        out_fields, vals = [], []
+        for fn, arg, alias in specs:
+            col = None if arg in ("*", "1") else arg
+            if col is not None and col not in fields_by_name:
+                return None
+            scan = t.scan()
+            if where is not None:
+                scan = scan.filter(where)
+            if fn == "COUNT":
+                vals.append(scan.count(col))
+                # Spark names the bare aggregate count(1) / count(col)
+                name = alias or ("count(1)" if col is None else f"count({col})")
+                typ = ST.LongType()
+            else:
+                vals.append(scan.min(col) if fn == "MIN" else scan.max(col))
+                name = alias or f"{fn.lower()}({col})"
+                typ = fields_by_name[col].to_spark().dataType
+            out_fields.append(ST.StructField(name, typ))
+        return Result(
+            self.spark.createDataFrame(
+                [tuple(vals)], ST.StructType(out_fields)
+            )
+        )
 
     def sql(self, query: str, params: Optional[list[Any]] = None) -> Result:
         """Execute SQL against the catalog (reference ``catalog.rb:103-108`` →
@@ -840,51 +909,17 @@ class Catalog:
         m = self._CALL_RE.match(query)
         if m:
             return self._sql_call(m.group(1), m.group(2))
-        m = self._COUNT_STAR_RE.match(query)
+        m = self._AGG_STMT_RE.match(query)
         if m and m.group("tbl").lower() not in ("dual",):
-            # metadata-only COUNT(*) — Iceberg-Spark's aggregate pushdown:
-            # TableScan.count() answers from manifest record counts (DV
-            # cardinalities subtracted exactly), falling back to an
-            # executed scan itself when any other delete kind is live
-            try:
-                t = self.load_table(self._sql_table_ident(m.group("tbl")))
-            except Exception:
-                t = None  # Spark temp view / metadata table — generic path
-            expr = m.group("expr")
-            col = None if expr in ("*", "1") else expr
-            where = m.group("where")
-            # a WHERE clause rides the fast path only for COUNT(*) and
-            # only when it parses into the supported predicate shape
-            # (col op literal / AND / OR / IN / IS NULL, no params) —
-            # TableScan.count() then serves it from metadata when every
-            # file provably full-matches or full-misses, and executes
-            # the filtered scan itself otherwise.  Anything fancier
-            # falls through to generic Spark SQL.
-            where_ok = where is None or (
-                col is None
-                and "$" not in where
-                and _parse_predicate(where) is not None
-            )
-            if (
-                t is not None
-                and where_ok
-                and (
-                    col is None
-                    or t.current_schema().field_by_name(col) is not None
-                )
-            ):
-                # Spark names the bare aggregate count(1) / count(col)
-                alias = m.group("alias") or (
-                    "count(1)" if col is None else f"count({col})"
-                )
-                scan = t.scan()
-                if where is not None:
-                    scan = scan.filter(where)
-                return Result(
-                    self.spark.createDataFrame(
-                        [(scan.count(col),)], f"`{alias}` long"
-                    )
-                )
+            # metadata-served aggregate statements — Iceberg-Spark's
+            # SupportsPushDownAggregates shape: COUNT/MIN/MAX lists over
+            # one bare table with an optional provable WHERE; each
+            # aggregate answers from manifest stats when provable and
+            # executes its own (filtered) scan when not, so routing here
+            # is never wrong — anything fancier falls through to Spark
+            routed = self._sql_agg_fast_path(m)
+            if routed is not None:
+                return routed
         self._register_views()
         query = self._rewrite_time_travel(query)
         query = self._rewrite_metadata_tables(query)
