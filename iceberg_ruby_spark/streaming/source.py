@@ -1509,121 +1509,107 @@ class EngineTableStreamReader(DataSourceStreamReader):
         out = tbl.take(pa.array(np.nonzero(keep)[0]))
         return self._emit_batches(out, sid, ordinal, "delete")
 
-    @classmethod
-    def _canon(cls, v):
-        """Hashable canonical form for multiset row comparison — the
-        executor-side analog of ``exceptAll``'s equality: NaN equals NaN,
-        nested arrays/maps/structs compare by value."""
-        if isinstance(v, float):
-            import math as _math
-
-            return ("__nan__",) if _math.isnan(v) else v
-        if isinstance(v, dict):
-            return tuple(sorted((k, cls._canon(x)) for k, x in v.items()))
-        if isinstance(v, (list, tuple)):
-            return tuple(cls._canon(x) for x in v)
-        if isinstance(v, bytearray):
-            return bytes(v)
-        return v
-
-    def _side_rows(self, specs: list[dict], columns: list[str], bases):
-        """Live rows of ONE commit state (a list of per-file specs) as a
-        multiset: (Counter of canonical row keys, key → original row).
-        Each file reads under its spec's delete view — positional/DV
-        positions, null-safe equality key tuples, and predicate deletes
-        evaluated per batch in DuckDB over the file's Arrow columns (the
-        executor has no SQL engine of its own; predicates are plain ANSI
-        comparisons both engines parse identically)."""
-        from collections import Counter
-
+    def _side_sql(self, con, specs: list[dict], columns: list[str], bases, tag: str) -> str:
+        """Register ONE commit state's live rows (a list of per-file
+        specs, each under its delete view) as DuckDB relations and return
+        a UNION ALL query selecting them.  All masking is vectorized:
+        positional/DV dead positions anti-join a positions relation,
+        equality deletes anti-join their key files null-safely
+        (``IS NOT DISTINCT FROM`` — NaN equals NaN under DuckDB's total
+        ordering, same as exceptAll), and predicate deletes evaluate as
+        ``NOT COALESCE(pred, FALSE)`` (plain ANSI comparisons both
+        engines parse identically).  No Python row loop anywhere."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        col_idx = {c: i for i, c in enumerate(columns)}
-        cnt: Counter = Counter()
-        orig: dict = {}
-        for spec in specs:
-            cols = self._load_cols(spec["path"], columns)
-            rows = list(zip(*cols)) if cols and cols[0] else []
-            if not rows:
+        collist = ", ".join(f't."{c}"' for c in columns)
+        parts = []
+        for j, spec in enumerate(specs):
+            tbl = self._load_table(spec["path"], columns)
+            n = tbl.num_rows
+            if n == 0:
                 continue
-            dead_pos: set = set()
+            name = f"__{tag}{j}"
+            conds = []
+            dead: set = set()
             for dp in spec["pos"]:
-                dead_pos |= self._positions_from_pos_file(
-                    dp, spec["path"], bases
-                )
+                dead |= self._positions_from_pos_file(dp, spec["path"], bases)
             for p, off, size in spec["dvs"]:
-                dead_pos |= self._positions_from_dv(p, off, size)
-            eq_sets = []
-            for dp, kcols in spec["eq"]:
-                kt = pq.read_table(dp, columns=list(kcols))
-                keys = {
-                    tuple(self._canon(v) for v in row)
-                    for row in zip(
-                        *[kt.column(c).to_pylist() for c in kcols]
-                    )
-                }
-                eq_sets.append((keys, [col_idx[c] for c in kcols]))
-            if spec["preds"]:
-                import duckdb
-
-                rel = pa.table(
-                    {name: c for name, c in zip(columns, cols)}
-                ).append_column("__pos", pa.array(range(len(rows))))
-                con = duckdb.connect()
-                con.register("__cd", rel)
-                for pred in spec["preds"]:
-                    # DELETE semantics: a row dies only when the predicate
-                    # is TRUE (matches table.py's COALESCE(pred, FALSE))
-                    dead_pos |= {
-                        r[0]
-                        for r in con.execute(
-                            f"SELECT __pos FROM __cd "
-                            f"WHERE COALESCE(({pred}), FALSE)"
-                        ).fetchall()
-                    }
-            for pos, r in enumerate(rows):
-                if pos in dead_pos:
-                    continue
-                if any(
-                    tuple(self._canon(r[i]) for i in kidx) in ks
-                    for ks, kidx in eq_sets
-                ):
-                    continue
-                k = tuple(self._canon(v) for v in r)
-                if k not in orig:
-                    orig[k] = r
-                cnt[k] += 1
-        return cnt, orig
+                dead |= self._positions_from_dv(p, off, size)
+            if dead:
+                tbl = tbl.append_column(
+                    "__cdpos", pa.array(range(n), pa.int64())
+                )
+                con.register(
+                    f"{name}_dead",
+                    pa.table(
+                        {"p": pa.array(
+                            sorted(x for x in dead if 0 <= x < n), pa.int64()
+                        )}
+                    ),
+                )
+                conds.append(
+                    f'"__cdpos" NOT IN (SELECT p FROM {name}_dead)'
+                )
+            con.register(name, tbl)
+            for k, (dp, kcols) in enumerate(spec["eq"]):
+                con.register(f"{name}_eq{k}", pq.read_table(dp, columns=list(kcols)))
+                match = " AND ".join(
+                    f't."{c}" IS NOT DISTINCT FROM e."{c}"' for c in kcols
+                )
+                conds.append(
+                    f"NOT EXISTS (SELECT 1 FROM {name}_eq{k} e WHERE {match})"
+                )
+            for pred in spec["preds"]:
+                # DELETE semantics: a row dies only when the predicate is
+                # TRUE (matches table.py's COALESCE(pred, FALSE))
+                conds.append(f"NOT COALESCE(({pred}), FALSE)")
+            where = f" WHERE {' AND '.join(conds)}" if conds else ""
+            parts.append(f"SELECT {collist} FROM {name} t{where}")
+        if not parts:
+            empty = f"__{tag}_empty"
+            con.register(empty, self._pa_base.empty_table())
+            return f"SELECT {collist} FROM {empty} t WHERE FALSE"
+        return " UNION ALL ".join(parts)
 
     def _read_content_diff(self, partition: "_ContentDiffSlice") -> Iterator:
         """Executor half of the content-diff fallback: read the commit's
         before/after states under their delete views and emit the
         multiset difference — insert rows that appear only after, delete
         rows that appear only before — exactly the batch
-        ``changelog_scan``'s ``exceptAll`` semantics.  A CoW UPDATE thus
-        emits delete+insert for touched rows and nothing for rows the
-        rewrite merely copied."""
-        before, orig_b = self._side_rows(
-            partition.prev_specs, partition.columns, partition.bases
+        ``changelog_scan``'s ``exceptAll`` semantics (DuckDB's EXCEPT ALL
+        is the same multiset operator, with NaN-equal and nested-type
+        value equality).  A CoW UPDATE thus emits delete+insert for
+        touched rows and nothing for rows the rewrite merely copied.
+        Fully vectorized (r11): file masking, the union of each side,
+        and the diff itself all run in DuckDB over Arrow buffers; the
+        result leaves as Arrow batches."""
+        import duckdb
+
+        con = duckdb.connect()
+        # bound per-task parallelism: many slices run concurrently in
+        # separate executor workers; an unbounded per-connection thread
+        # pool would oversubscribe the host
+        con.execute("SET threads=2")
+        before_sql = self._side_sql(
+            con, partition.prev_specs, partition.columns, partition.bases, "b"
         )
-        after, orig_a = self._side_rows(
-            partition.cur_specs, partition.columns, partition.bases
+        after_sql = self._side_sql(
+            con, partition.cur_specs, partition.columns, partition.bases, "a"
         )
         sid, ordinal = partition.snapshot_id, partition.ordinal
-        rows: list[tuple] = []
-        ctypes: list[str] = []
-        for k, n in after.items():
-            extra = n - before.get(k, 0)
-            if extra > 0:
-                rows.extend([orig_a[k]] * extra)
-                ctypes.extend(["insert"] * extra)
-        for k, n in before.items():
-            extra = n - after.get(k, 0)
-            if extra > 0:
-                rows.extend([orig_b[k]] * extra)
-                ctypes.extend(["delete"] * extra)
-        return self._rows_to_batches(rows, ctypes, sid, ordinal)
+        inserts = con.execute(
+            f"({after_sql}) EXCEPT ALL ({before_sql})"
+        ).arrow()
+        deletes = con.execute(
+            f"({before_sql}) EXCEPT ALL ({after_sql})"
+        ).arrow()
+
+        def gen():
+            yield from self._emit_batches(inserts, sid, ordinal, "insert")
+            yield from self._emit_batches(deletes, sid, ordinal, "delete")
+
+        return gen()
 
     def commit(self, end: dict) -> None:
         pass  # offsets live in Spark's checkpoint; nothing engine-side
