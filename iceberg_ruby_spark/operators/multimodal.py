@@ -643,11 +643,14 @@ def encode_jpeg(
     rgb: bytes,
     quant: Optional[list[int]] = None,
     restart_interval: int = 0,
+    subsampling: str = "444",
 ) -> bytes:
-    """Baseline JFIF encoder: 4:4:4 YCbCr (or the exact path a test
-    wants via unit ``quant`` tables — per-8x8-flat images then decode
-    back bit-exact).  Standard Annex K huffman tables; optional DRI/RSTn
-    restart intervals."""
+    """Baseline JFIF encoder: 4:4:4 or 4:2:0 YCbCr (the exact-roundtrip
+    path a test wants comes via unit ``quant`` tables — per-8x8-flat
+    images then decode back bit-exact at 4:4:4, per-16x16-flat at
+    4:2:0 where chroma block-averaging is exact over flat regions).
+    Standard Annex K huffman tables; optional DRI/RSTn restart
+    intervals."""
     import struct
 
     import numpy as np
@@ -657,6 +660,10 @@ def encode_jpeg(
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not 1 <= v <= 255 for v in q):
         raise ValueError("quant table must be 64 entries in [1, 255]")
+    if str(subsampling) not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
+    hl, vl = (2, 2) if str(subsampling) == "420" else (1, 1)
+    factors = [(hl, vl), (1, 1), (1, 1)]
     # plane extraction + level-shifted YCbCr
     arr = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3).astype(np.int32)
     r, g, b = arr[..., 0], arr[..., 1], arr[..., 2]
@@ -664,16 +671,30 @@ def encode_jpeg(
     cb = np.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
     cr = np.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
     planes = [np.clip(p, 0, 255) for p in (y, cb, cr)]
-    bw = (width + 7) // 8
-    bh = (height + 7) // 8
-    # edge-replicate pad to whole blocks (keeps flat blocks flat)
-    padded = []
-    for p in planes:
-        pp = np.empty((bh * 8, bw * 8))
-        pp[:height, :width] = p
-        pp[height:, :width] = p[height - 1 : height, :]
-        pp[:, width:] = pp[:, width - 1 : width]
-        padded.append(pp)
+    mcux = (width + 8 * hl - 1) // (8 * hl)
+    mcuy = (height + 8 * vl - 1) // (8 * vl)
+    # per-component: chroma downsamples by block average (exact over flat
+    # regions), then every plane edge-replicates to whole MCUs (keeps
+    # flat blocks flat)
+    comp_planes = []
+    for p, (hi, vi) in zip(planes, factors):
+        ry, rx = vl // vi, hl // hi
+        if (ry, rx) != (1, 1):
+            sh = (height + ry - 1) // ry * ry
+            sw = (width + rx - 1) // rx * rx
+            big = np.empty((sh, sw))
+            big[:height, :width] = p
+            big[height:, :width] = p[height - 1 : height, :]
+            big[:, width:] = big[:, width - 1 : width]
+            p = np.floor(
+                big.reshape(sh // ry, ry, sw // rx, rx).mean(axis=(1, 3)) + 0.5
+            )
+        ph, pw = p.shape
+        pp = np.empty((mcuy * vi * 8, mcux * hi * 8))
+        pp[:ph, :pw] = p
+        pp[ph:, :pw] = p[ph - 1 : ph, :]
+        pp[:, pw:] = pp[:, pw - 1 : pw]
+        comp_planes.append(pp)
     dc_l = _huff_encode_table(*_STD_DC_LUMA)
     dc_c = _huff_encode_table(*_STD_DC_CHROMA)
     ac_l = _huff_encode_table(*_STD_AC_LUMA)
@@ -681,49 +702,50 @@ def encode_jpeg(
     qarr = np.array(q, dtype=np.float64)[np.argsort(_ZIGZAG)].reshape(8, 8)
     w = _BitWriter()
     pred = [0, 0, 0]
-    mcu_index = 0
     rst = 0
-    for by in range(bh):
-        for bx in range(bw):
-            if restart_interval and mcu_index and mcu_index % restart_interval == 0:
-                w.flush()
-                w.out += bytes([0xFF, 0xD0 + rst])
-                rst = (rst + 1) % 8
-                pred = [0, 0, 0]
-            mcu_index += 1
-            for ci, plane in enumerate(padded):
-                block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
-                coeffs = _fdct_2d(block)
-                quantized = np.floor(coeffs / qarr + 0.5).astype(np.int64)
-                zz = [int(quantized.flat[_ZIGZAG[i]]) for i in range(64)]
-                dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
-                diff = zz[0] - pred[ci]
-                pred[ci] = zz[0]
-                t = _category(diff)
-                code, ln = dct[t]
-                w.write(code, ln)
-                if t:
-                    w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
-                run = 0
-                last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
-                for i in range(1, last_nz + 1):
-                    if zz[i] == 0:
-                        run += 1
-                        continue
-                    while run > 15:
-                        code, ln = act[0xF0]  # ZRL
-                        w.write(code, ln)
-                        run -= 16
-                    t = _category(zz[i])
-                    code, ln = act[(run << 4) | t]
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            w.flush()
+            w.out += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = [0, 0, 0]
+        my, mx = divmod(m, mcux)
+        for ci, (plane, (hi, vi)) in enumerate(zip(comp_planes, factors)):
+            for v in range(vi):
+                for hh in range(hi):
+                    by, bx = my * vi + v, mx * hi + hh
+                    block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                    coeffs = _fdct_2d(block)
+                    quantized = np.floor(coeffs / qarr + 0.5).astype(np.int64)
+                    zz = [int(quantized.flat[_ZIGZAG[i]]) for i in range(64)]
+                    dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
+                    diff = zz[0] - pred[ci]
+                    pred[ci] = zz[0]
+                    t = _category(diff)
+                    code, ln = dct[t]
                     w.write(code, ln)
-                    w.write(
-                        zz[i] if zz[i] >= 0 else zz[i] + (1 << t) - 1, t
-                    )
+                    if t:
+                        w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
                     run = 0
-                if last_nz < 63:
-                    code, ln = act[0x00]  # EOB
-                    w.write(code, ln)
+                    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                    for i in range(1, last_nz + 1):
+                        if zz[i] == 0:
+                            run += 1
+                            continue
+                        while run > 15:
+                            code, ln = act[0xF0]  # ZRL
+                            w.write(code, ln)
+                            run -= 16
+                        t = _category(zz[i])
+                        code, ln = act[(run << 4) | t]
+                        w.write(code, ln)
+                        w.write(
+                            zz[i] if zz[i] >= 0 else zz[i] + (1 << t) - 1, t
+                        )
+                        run = 0
+                    if last_nz < 63:
+                        code, ln = act[0x00]  # EOB
+                        w.write(code, ln)
     w.flush()
 
     def seg(marker: int, body: bytes) -> bytes:
@@ -735,7 +757,7 @@ def encode_jpeg(
     out += seg(
         0xC0,
         struct.pack(">BHHB", 8, height, width, 3)
-        + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]),
+        + bytes([1, (hl << 4) | vl, 0, 2, 0x11, 0, 3, 0x11, 0]),
     )
     for cls, tid, (bits, vals) in (
         (0, 0, _STD_DC_LUMA),

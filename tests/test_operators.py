@@ -1456,6 +1456,52 @@ def test_jpeg_codec_baseline():
     assert f == [8.0, 8.0, 3.0, 64.0 * exp[0], 64.0 * exp[1], 64.0 * exp[2], 64.0]
 
 
+def test_jpeg_codec_420_subsampling():
+    """r11: 4:2:0 chroma subsampling — the MCU-interleaved decode path
+    (2x2 luma blocks + 1 Cb + 1 Cr per MCU, nearest-neighbor chroma
+    upsampling).  Per-16x16-macroblock flat colors round-trip exactly
+    (block-averaged chroma is exact over flat regions)."""
+    import math
+
+    def conv(r, g, b):
+        y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+        cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+        cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+        y, cb, cr = (max(0, min(255, v)) for v in (y, cb, cr))
+        r2 = math.floor(y + 1.402 * (cr - 128) + 0.5)
+        g2 = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+        b2 = math.floor(y + 1.772 * (cb - 128) + 0.5)
+        return tuple(max(0, min(255, v)) for v in (r2, g2, b2))
+
+    cols = [(200, 30, 90), (10, 240, 55)]
+    raster = bytearray()
+    for y in range(16):
+        for x in range(32):
+            raster += bytes(cols[x // 16])
+    p = ops.encode_jpeg(32, 16, bytes(raster), subsampling="420")
+    w, h, ch, dr = ops.decode_jpeg(p)
+    assert (w, h, ch) == (32, 16, 3)
+    for y in range(16):
+        for x in range(32):
+            i = 3 * (y * 32 + x)
+            assert tuple(dr[i : i + 3]) == conv(*cols[x // 16]), (x, y)
+    # odd dims pad/crop through the subsampled grid
+    p = ops.encode_jpeg(9, 5, bytes([120, 60, 200] * 45), subsampling="420")
+    w, h, _, dr = ops.decode_jpeg(p)
+    assert (w, h) == (9, 5)
+    assert all(
+        tuple(dr[i : i + 3]) == conv(120, 60, 200) for i in range(0, len(dr), 3)
+    )
+    # restart markers at MCU granularity on the subsampled grid
+    p = ops.encode_jpeg(
+        48, 16, bytes([5, 250, 125] * (48 * 16)),
+        restart_interval=1, subsampling="420",
+    )
+    assert ops.decode_jpeg(p)[3][:3] == bytes(conv(5, 250, 125))
+    with pytest.raises(ValueError, match="subsampling"):
+        ops.encode_jpeg(8, 8, bytes(192), subsampling="422")
+
+
 def test_jpeg_through_spark_pipeline(spark):
     imgs = [(1, ops.encode_jpeg(8, 8, bytes([9, 8, 7] * 64)))]
     df = spark.createDataFrame(imgs, ["media_id", "payload"])
