@@ -1,0 +1,93 @@
+"""Property tests for the pure-python media codecs (no Spark session):
+encode→decode roundtrips over hypothesis-drawn inputs — PNG across all
+filter types and channel counts, JPEG's exact flat-block domain, WAV
+samples, PPM rasters."""
+
+from __future__ import annotations
+
+import math
+
+from hypothesis import given, settings, strategies as st
+
+from iceberg_ruby_spark.operators import multimodal as mm
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(1, 8),
+    st.integers(1, 8),
+    st.sampled_from([3, 4]),
+    st.data(),
+)
+def test_png_roundtrip_any_filters(w, h, ch, data):
+    n = w * h * ch
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    filters = data.draw(st.lists(st.integers(0, 4), min_size=h, max_size=h))
+    p = mm.encode_png(w, h, raster, channels=ch, filters=filters)
+    assert mm.decode_png(p) == (w, h, ch, raster)
+
+
+def _through_ycbcr(r, g, b):
+    y = math.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = math.floor(128 - 0.168736 * r - 0.331264 * g + 0.5 * b + 0.5)
+    cr = math.floor(128 + 0.5 * r - 0.418688 * g - 0.081312 * b + 0.5)
+    y, cb, cr = (max(0, min(255, v)) for v in (y, cb, cr))
+    r2 = math.floor(y + 1.402 * (cr - 128) + 0.5)
+    g2 = math.floor(y - 0.344136 * (cb - 128) - 0.714136 * (cr - 128) + 0.5)
+    b2 = math.floor(y + 1.772 * (cb - 128) + 0.5)
+    return tuple(max(0, min(255, v)) for v in (r2, g2, b2))
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.integers(1, 3), st.integers(1, 2), st.data())
+def test_jpeg_flat_blocks_exact(bw, bh, data):
+    """The exact-roundtrip domain: per-8x8-flat images under unit quant
+    decode to exactly the double-rounded color conversion, whatever the
+    per-block colors (DC prediction chain included)."""
+    cols = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(0, 255), st.integers(0, 255), st.integers(0, 255)
+            ),
+            min_size=bw * bh,
+            max_size=bw * bh,
+        )
+    )
+    w, h = 8 * bw, 8 * bh
+    raster = bytearray()
+    for y in range(h):
+        for x in range(w):
+            raster += bytes(cols[(y // 8) * bw + (x // 8)])
+    got = mm.decode_jpeg(mm.encode_jpeg(w, h, bytes(raster)))
+    assert got[:3] == (w, h, 3)
+    dr = got[3]
+    for y in range(h):
+        for x in range(w):
+            i = 3 * (y * w + x)
+            exp = _through_ycbcr(*cols[(y // 8) * bw + (x // 8)])
+            assert tuple(dr[i : i + 3]) == exp, (x, y)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.integers(8000, 48000),
+    st.integers(1, 2),
+    st.lists(st.integers(-32768, 32767), min_size=1, max_size=64),
+)
+def test_wav_roundtrip(rate, ch, samples):
+    if len(samples) % ch:
+        samples = samples + [0] * (ch - len(samples) % ch)
+    d = mm.decode_wav(mm.encode_wav(rate, ch, samples))
+    assert d == {"sample_rate": rate, "n_channels": ch, "samples": samples}
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.integers(1, 9), st.integers(1, 9), st.data())
+def test_ppm_roundtrip(w, h, data):
+    n = 3 * w * h
+    raster = bytes(
+        data.draw(st.lists(st.integers(0, 255), min_size=n, max_size=n))
+    )
+    assert mm.decode_ppm(mm.encode_ppm(w, h, raster)) == (w, h, 255, raster)
