@@ -593,25 +593,28 @@ def _category(v: int) -> int:
     return t
 
 
-def _idct_2d(coeffs):
-    """Separable float 2-D inverse DCT of one 8x8 block (numpy)."""
+def _dct_matrix():
+    """The orthonormal 8-point DCT-II basis matrix [u, x] (cached)."""
     import numpy as np
 
-    if not hasattr(_idct_2d, "_m"):
+    if not hasattr(_dct_matrix, "_m"):
         x = np.arange(8)
         c = np.cos((2 * x[None, :] + 1) * x[:, None] * np.pi / 16)
         s = np.full(8, np.sqrt(2.0 / 8.0))
         s[0] = np.sqrt(1.0 / 8.0)
-        _idct_2d._m = (s[:, None] * c)  # [u, x]
-    m = _idct_2d._m
+        _dct_matrix._m = s[:, None] * c
+    return _dct_matrix._m
+
+
+def _idct_2d(coeffs):
+    """Separable float 2-D inverse DCT of one 8x8 block (numpy)."""
+    m = _dct_matrix()
     return m.T @ coeffs @ m
 
 
 def _fdct_2d(block):
     """Forward 2-D DCT (encoder side)."""
-    m = None
-    _idct_2d(__import__("numpy").zeros((8, 8)))  # ensure matrix cached
-    m = _idct_2d._m
+    m = _dct_matrix()
     return m @ block @ m.T
 
 
