@@ -276,6 +276,17 @@ class EngineTableStreamReader(DataSourceStreamReader):
             )
         start = options.get("starting_snapshot_id")
         self._starting = int(start) if start is not None else None
+        # Iceberg's stream-from-timestamp: start with the first commit
+        # whose timestamp is >= the given epoch-ms (resolved below once
+        # metadata is loaded — the snapshot log maps ts → prior snapshot)
+        start_ts = options.get("starting_timestamp")
+        if start_ts is None:
+            start_ts = options.get("stream_from_timestamp")
+        if start_ts is not None and start is not None:
+            raise ValueError(
+                "pass either starting_snapshot_id or starting_timestamp, "
+                "not both"
+            )
         # pin the stream's head: offsets never advance past this snapshot,
         # so a drain loop terminates even under continuous concurrent
         # writes (availableNow-equivalent semantics for budgeted drains —
@@ -321,6 +332,21 @@ class EngineTableStreamReader(DataSourceStreamReader):
         # list it reflects; advanced per-commit from deltas.
         self._dv_cache: Optional[dict] = None
         meta = _ops(self.location).load()
+        if start_ts is not None:
+            if self._ref:
+                raise ValueError(
+                    "starting_timestamp resolves against the MAIN snapshot "
+                    "log; it cannot combine with ref/branch"
+                )
+            ts = int(start_ts)
+            prior = None  # latest main-ancestry commit strictly before ts
+            for e in meta.raw.get("snapshot-log", []):
+                if e["timestamp-ms"] < ts:
+                    prior = e["snapshot-id"]
+            # start AFTER that snapshot: the first emitted commit is the
+            # first one at-or-after ts (ts before table creation => full
+            # history; ts in the future => only new commits)
+            self._starting = prior
         self._columns = [f.name for f in _current_schema(meta).fields]
         # Arrow target schemas for executor emission: read() yields
         # ``pyarrow.RecordBatch`` (the Python DataSource runtime forwards

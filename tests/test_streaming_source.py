@@ -987,3 +987,57 @@ def test_stream_ending_snapshot_pin(catalog, spark):
         q.stop()
     got = sorted(r["k"] for r in spark.sql("SELECT * FROM clpin_sink").collect())
     assert got == [1]
+
+
+def test_stream_from_timestamp(catalog):
+    """r11: Iceberg's stream-from-timestamp — the stream starts at the
+    first commit whose timestamp is >= the given epoch-ms; before table
+    creation = full history, future = only new commits; combining with
+    starting_snapshot_id or ref refuses."""
+    import time
+
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    t = catalog.create_table("srcts", schema={"k": "int"})
+    t.append([{"k": 1}])
+    t = t.refresh()
+    first_ts = t.current_snapshot().timestamp_ms
+    time.sleep(0.01)
+    t.append([{"k": 2}])
+    t = t.refresh()
+    second_ts = t.current_snapshot().timestamp_ms
+    t.append([{"k": 3}])
+    t = t.refresh()
+    head = t.current_snapshot().snapshot_id
+
+    def drained(**opts):
+        r = EngineTableStreamReader({"location": t.ops.location, **opts})
+        parts = r.partitions(r.initialOffset(), {"snapshot_id": head})
+        return sorted(row[0] for row in _rows(r, parts))
+
+    # at the second commit's ts: commits 2 and 3 emit
+    assert drained(starting_timestamp=str(second_ts)) == [2, 3]
+    # strictly after the first commit but before the second: same window
+    assert drained(starting_timestamp=str(first_ts + 1)) == [2, 3]
+    # before table creation: full history
+    assert drained(starting_timestamp="0") == [1, 2, 3]
+    # in the future: nothing already-committed emits
+    assert drained(starting_timestamp=str(second_ts + 10_000)) == []
+    # iceberg's option spelling is accepted
+    assert drained(stream_from_timestamp=str(second_ts)) == [2, 3]
+    with pytest.raises(ValueError, match="not both"):
+        EngineTableStreamReader(
+            {
+                "location": t.ops.location,
+                "starting_snapshot_id": "1",
+                "starting_timestamp": "2",
+            }
+        )
+    with pytest.raises(ValueError, match="MAIN snapshot log"):
+        EngineTableStreamReader(
+            {
+                "location": t.ops.location,
+                "starting_timestamp": "0",
+                "branch": "audit",
+            }
+        )
