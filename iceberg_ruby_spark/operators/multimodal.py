@@ -167,6 +167,285 @@ def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
     return encode_ppm(width, height, bytes(out), maxval)
 
 
+# -- container metadata probes (pure python, header-only) --------------------
+#
+# The typed-metadata half of the multimodal story: REAL parsers that
+# read only headers/boxes — no raster/sample decode — so a metadata
+# backfill over 100 TB of media costs header bytes, not payload bytes.
+# Formats: PNG (IHDR), JPEG (marker walk to SOF0), P6 PPM (header
+# grammar), RIFF/WAV (fmt + data chunk sizes), ISO-BMFF MP4 (box walk:
+# mvhd duration/timescale, tkhd dims), MPEG-1 Layer III frame header
+# (sample rate, bitrate → duration estimate).  ``probe_media`` sniffs
+# magic bytes and dispatches; ``probe_media_meta`` runs it distributed
+# and fills the MEDIA_SCHEMA meta struct with real values.
+
+
+def _probe_png(payload: bytes) -> dict:
+    import struct
+
+    for ctype, data in _png_chunks(payload):
+        if ctype == b"IHDR":
+            w, h, _d, color, _c, _f, _i = struct.unpack(">IIBBBBB", data)
+            return {"format": "png", "width": w, "height": h}
+        break  # IHDR must be first
+    raise ValueError("PNG missing IHDR")
+
+
+def _probe_jpeg(payload: bytes) -> dict:
+    import struct
+
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG payload")
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG marker sync lost")
+        marker = payload[pos + 1]
+        if marker in (0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            _depth, h, w = struct.unpack(">BHH", payload[pos + 4 : pos + 9])
+            return {"format": "jpeg", "width": w, "height": h}
+        if marker == 0xDA:
+            break  # entropy data; no SOF seen
+        pos += 2 + seglen
+    raise ValueError("JPEG has no SOF header")
+
+
+def _probe_ppm(payload: bytes) -> dict:
+    w, h, _maxval, _raster = decode_ppm(payload)
+    return {"format": "ppm", "width": w, "height": h}
+
+
+def _probe_wav(payload: bytes) -> dict:
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    rate = channels = bits = None
+    data_size = None
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        if cid == b"fmt ":
+            _tag, channels, rate = struct.unpack(
+                "<HHI", payload[pos + 8 : pos + 16]
+            )
+            (bits,) = struct.unpack("<H", payload[pos + 22 : pos + 24])
+        elif cid == b"data":
+            data_size = size
+        pos += 8 + size + (size & 1)
+    if rate is None or data_size is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    frames = data_size // (channels * (bits // 8))
+    return {
+        "format": "wav",
+        "duration_ms": frames * 1000 // rate,
+    }
+
+
+def _probe_mp4(payload: bytes) -> dict:
+    """ISO-BMFF box walk: mvhd (movie duration/timescale) and the first
+    video trak's tkhd dims (16.16 fixed point)."""
+    import struct
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", buf[pos : pos + 4])
+            btype = buf[pos + 4 : pos + 8]
+            hdr = 8
+            if size == 1:  # 64-bit largesize
+                (size,) = struct.unpack(">Q", buf[pos + 8 : pos + 16])
+                hdr = 16
+            elif size == 0:  # to end of enclosing box
+                size = end - pos
+            if size < hdr or pos + size > end:
+                raise ValueError(f"MP4 box {btype!r} size out of bounds")
+            yield btype, pos + hdr, pos + size
+            pos += size
+
+    if payload[4:8] not in (b"ftyp", b"moov", b"free", b"mdat", b"styp"):
+        raise ValueError("not an ISO-BMFF payload")
+    out: dict = {"format": "mp4"}
+    for btype, body, bend in boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for b2, p2, e2 in boxes(payload, body, bend):
+            if b2 == b"mvhd":
+                ver = payload[p2]
+                if ver == 1:
+                    ts, dur = struct.unpack(">IQ", payload[p2 + 20 : p2 + 32])
+                else:
+                    ts, dur = struct.unpack(">II", payload[p2 + 12 : p2 + 20])
+                if ts:
+                    out["duration_ms"] = dur * 1000 // ts
+            elif b2 == b"trak" and "width" not in out:
+                for b3, p3, e3 in boxes(payload, p2, e2):
+                    if b3 == b"tkhd":
+                        ver = payload[p3]
+                        off = e3 - p3 - 8  # width/height are the last 8 bytes
+                        w16, h16 = struct.unpack(
+                            ">II", payload[p3 + off : p3 + off + 8]
+                        )
+                        if w16 and h16:
+                            out["width"] = w16 >> 16
+                            out["height"] = h16 >> 16
+    if "duration_ms" not in out:
+        raise ValueError("MP4 missing mvhd")
+    return out
+
+
+_MP3_BITRATES = [  # MPEG-1 Layer III, kbps (index 1..14)
+    0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320,
+]
+_MP3_RATES = [44100, 48000, 32000]
+
+
+def _probe_mp3(payload: bytes) -> dict:
+    """First MPEG-1 Layer III frame header → sample rate + bitrate; the
+    duration is the standard CBR estimate file_bits / bitrate."""
+    if len(payload) < 4 or payload[0] != 0xFF or (payload[1] & 0xE0) != 0xE0:
+        raise ValueError("not an MPEG audio frame header")
+    version = (payload[1] >> 3) & 0x3
+    layer = (payload[1] >> 1) & 0x3
+    if version != 3 or layer != 1:  # MPEG-1 (3), Layer III (1)
+        raise ValueError("only MPEG-1 Layer III headers probe here")
+    br_idx = payload[2] >> 4
+    sr_idx = (payload[2] >> 2) & 0x3
+    if not 1 <= br_idx <= 14 or sr_idx > 2:
+        raise ValueError("MP3 header has a reserved bitrate/samplerate index")
+    bitrate = _MP3_BITRATES[br_idx] * 1000
+    return {
+        "format": "mp3",
+        "duration_ms": len(payload) * 8 * 1000 // bitrate,
+    }
+
+
+def encode_mp4_meta(
+    width: int, height: int, duration_ms: int, timescale: int = 1000
+) -> bytes:
+    """A minimal metadata-only ISO-BMFF container (ftyp + moov{mvhd,
+    trak{tkhd}}, no media data) — the deterministic fixture the probe
+    tests and oracles run against.  This is a container SYNTHESIZER for
+    metadata plumbing, not a video encoder."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    dur = duration_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # creation/modification
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,  # rate/volume/matrix/predefines/next-track
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"  # version 0 + enabled flags
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)  # track id
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 52  # reserved/layer/volume/matrix
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    return ftyp + moov
+
+
+def encode_mp3_meta(bitrate_kbps: int, n_frames: int = 4) -> bytes:
+    """Deterministic MPEG-1 Layer III CBR frames (valid headers, zeroed
+    payloads) — fixture bytes for the header probe, not an audio
+    encoder."""
+    if bitrate_kbps not in _MP3_BITRATES[1:]:
+        raise ValueError(f"unsupported MP3 bitrate {bitrate_kbps}")
+    br_idx = _MP3_BITRATES.index(bitrate_kbps)
+    rate = 44100
+    frame_len = 144 * bitrate_kbps * 1000 // rate
+    hdr = bytes([0xFF, 0xFB, (br_idx << 4) | 0x00, 0x00])
+    return (hdr + bytes(frame_len - 4)) * n_frames
+
+
+_PROBES = {
+    "png": _probe_png,
+    "jpeg": _probe_jpeg,
+    "ppm": _probe_ppm,
+    "wav": _probe_wav,
+    "mp4": _probe_mp4,
+    "mp3": _probe_mp3,
+}
+
+
+def probe_media(payload: bytes) -> dict:
+    """Sniff a payload's container by magic bytes and parse its REAL
+    header metadata (dims for images, duration for audio/video).  Raises
+    on unrecognized bytes — callers that want best-effort use
+    probe_media_meta's null row instead."""
+    if payload is None or len(payload) < 8:
+        raise ValueError("payload too short to probe")
+    if payload.startswith(_PNG_SIG):
+        return _probe_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _probe_jpeg(payload)
+    if payload[:2] == b"P6":
+        return _probe_ppm(payload)
+    if payload[:4] == b"RIFF":
+        return _probe_wav(payload)
+    if payload[4:8] in (b"ftyp", b"styp"):
+        return _probe_mp4(payload)
+    if payload[0] == 0xFF and (payload[1] & 0xE0) == 0xE0:
+        return _probe_mp3(payload)
+    raise ValueError("unrecognized media container")
+
+
+def probe_media_meta(df: DataFrame, payload_col: str = "payload") -> DataFrame:
+    """Distributed metadata backfill: (media_id, payload) in, the
+    MEDIA_SCHEMA meta struct out with REAL sniffed format/dims/duration
+    (header parsing only — payload bytes beyond headers are never
+    touched).  Unrecognized payloads get format='bin' with NULL
+    dims/duration rather than failing the batch."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField(payload_col, T.BinaryType(), True),
+            MEDIA_SCHEMA["meta"],
+        ]
+    )
+
+    def _probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            metas = []
+            for p in pdf[payload_col]:
+                try:
+                    m = probe_media(bytes(p))
+                except (ValueError, IndexError, TypeError):
+                    m = {"format": "bin"}
+                metas.append(
+                    {
+                        "format": m.get("format"),
+                        "width": m.get("width"),
+                        "height": m.get("height"),
+                        "duration_ms": m.get("duration_ms"),
+                        "size_bytes": len(p) if p is not None else None,
+                    }
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    payload_col: pdf[payload_col],
+                    "meta": metas,
+                }
+            )
+
+    return df.select("media_id", payload_col).mapInPandas(_probe, out_schema)
+
+
 # -- PNG codec (pure python, RFC 2083 / W3C PNG spec) ------------------------
 #
 # stdlib ``zlib`` covers IDAT inflate/deflate; the rest is the published

@@ -927,6 +927,96 @@ def multimodal_png_pipeline(spark, sf_dir):
 
 
 @query(
+    "multimodal_probe_meta",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CASE doc_id % 5 WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+                WHEN 2 THEN 'ppm' WHEN 3 THEN 'wav' ELSE 'mp4'
+           END AS format,
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN 3 + doc_id % 3
+                WHEN 1 THEN 8 * (1 + doc_id % 2)
+                WHEN 2 THEN 2 + doc_id % 4
+                WHEN 4 THEN 320 + doc_id % 7 END AS INTEGER) AS width,
+           CAST(CASE doc_id % 5
+                WHEN 0 THEN 2 + doc_id % 2
+                WHEN 1 THEN 8
+                WHEN 2 THEN 1 + doc_id % 3
+                WHEN 4 THEN 240 + doc_id % 3 END AS INTEGER) AS height,
+           CAST(CASE doc_id % 5
+                WHEN 3 THEN ((1000 + doc_id % 7) * 1000)
+                            // (8000 + (doc_id % 3) * 2000)
+                WHEN 4 THEN 10000 + doc_id % 997 END AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def multimodal_probe_meta(spark, sf_dir):
+    """Container-metadata backfill end-to-end (r11): a mixed corpus of
+    REAL container bytes — PNG, baseline JPEG, P6 PPM, RIFF WAV, and
+    metadata-only ISO-BMFF MP4 (ftyp + moov boxes, 90k timescale) — is
+    probed by the header-only sniffers (magic-byte dispatch, IHDR / SOF
+    marker walk / netpbm grammar / fmt+data chunk sizes / mvhd+tkhd box
+    walk) into the typed meta struct.  The oracle recomputes every
+    dimension and duration from the generators arithmetically — a box
+    offset, fixed-point, chunk-size, or marker-walk bug breaks the hash.
+    100 TB shape: probing reads HEADER bytes only, never rasters or
+    samples."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        encode_jpeg,
+        encode_mp4_meta,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+        probe_media_meta,
+    )
+
+    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+
+    def _build(batches):
+        for pdf in batches:
+            payloads = []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                k = did % 5
+                if k == 0:
+                    w, h = 3 + did % 3, 2 + did % 2
+                    p = encode_png(w, h, bytes(3 * w * h))
+                elif k == 1:
+                    w = 8 * (1 + did % 2)
+                    p = encode_jpeg(w, 8, bytes([7] * (3 * w * 8)))
+                elif k == 2:
+                    w, h = 2 + did % 4, 1 + did % 3
+                    p = encode_ppm(w, h, bytes(3 * w * h))
+                elif k == 3:
+                    rate = 8000 + (did % 3) * 2000
+                    ch = 1 + did % 2
+                    p = encode_wav(rate, ch, [0] * ((1000 + did % 7) * ch))
+                else:
+                    p = encode_mp4_meta(
+                        320 + did % 7,
+                        240 + did % 3,
+                        10000 + did % 997,
+                        timescale=90000,
+                    )
+                payloads.append(p)
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(_build, "media_id long, payload binary")
+    probed = probe_media_meta(media)
+    return probed.select(
+        "media_id",
+        F.col("meta.format").alias("format"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.col("meta.duration_ms").alias("duration_ms"),
+    )
+
+
+@query(
     "multimodal_jpeg_pipeline",
     oracle="""
     WITH g AS (

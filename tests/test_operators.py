@@ -1591,3 +1591,67 @@ def test_sample_k_per_group_semantics(spark):
 
     with _pt.raises(ValueError, match="positive"):
         sample_k_per_group(df, "g", 0)
+
+
+def test_probe_media_containers():
+    """r11: header-only container probes — magic-byte dispatch, box/chunk
+    walking, fixed-point dims, duration math, and loud refusals."""
+    import struct
+
+    assert ops.probe_media(ops.encode_png(5, 3, bytes(45))) == {
+        "format": "png", "width": 5, "height": 3
+    }
+    assert ops.probe_media(ops.encode_jpeg(16, 8, bytes(3 * 16 * 8))) == {
+        "format": "jpeg", "width": 16, "height": 8
+    }
+    assert ops.probe_media(ops.encode_ppm(4, 2, bytes(24))) == {
+        "format": "ppm", "width": 4, "height": 2
+    }
+    # wav: 16 samples / 2 channels = 8 frames at 8 kHz -> 1 ms
+    assert ops.probe_media(ops.encode_wav(8000, 2, [0] * 16)) == {
+        "format": "wav", "duration_ms": 1
+    }
+    p = ops.encode_mp4_meta(640, 360, 123456, timescale=90000)
+    assert ops.probe_media(p) == {
+        "format": "mp4", "duration_ms": 123456, "width": 640, "height": 360
+    }
+    # version-1 mvhd (64-bit durations) parses too
+    def box(t, b):
+        return struct.pack(">I", len(b) + 8) + t + b
+    mvhd1 = box(
+        b"mvhd",
+        b"\x01\x00\x00\x00" + struct.pack(">QQ", 0, 0)
+        + struct.pack(">IQ", 90000, 90000 * 7) + b"\x00" * 80,
+    )
+    p = box(b"ftyp", b"isom\x00\x00\x02\x00isom") + box(b"moov", mvhd1)
+    assert ops.probe_media(p) == {"format": "mp4", "duration_ms": 7000}
+    # a box whose declared size overruns the payload refuses
+    bad = bytearray(ops.encode_mp4_meta(1, 1, 10))
+    bad[0:4] = struct.pack(">I", 1 << 24)
+    with pytest.raises(ValueError, match="out of bounds"):
+        ops.probe_media(bytes(bad))
+    # mp3: 10 CBR frames at 128 kbps
+    p = ops.encode_mp3_meta(128, n_frames=10)
+    assert ops.probe_media(p) == {
+        "format": "mp3", "duration_ms": len(p) * 8 * 1000 // 128000
+    }
+    with pytest.raises(ValueError, match="reserved"):
+        ops.probe_media(bytes([0xFF, 0xFB, 0xF0, 0x00, 0, 0, 0, 0]))  # bitrate idx 15
+    with pytest.raises(ValueError, match="unrecognized"):
+        ops.probe_media(b"GIF89a\x00\x00\x00\x00")
+
+
+def test_probe_media_meta_distributed(spark):
+    """probe_media_meta fills the meta struct distributed; unrecognized
+    payloads degrade to format='bin' with NULL dims, never failing."""
+    rows = [
+        (1, ops.encode_png(4, 2, bytes(24))),
+        (2, ops.encode_mp4_meta(320, 240, 5000)),
+        (3, b"not media at all...."),
+    ]
+    df = spark.createDataFrame(rows, ["media_id", "payload"])
+    out = {r["media_id"]: r["meta"] for r in ops.probe_media_meta(df).collect()}
+    assert out[1]["format"] == "png" and (out[1]["width"], out[1]["height"]) == (4, 2)
+    assert out[2]["format"] == "mp4" and out[2]["duration_ms"] == 5000
+    assert out[3]["format"] == "bin" and out[3]["width"] is None
+    assert out[3]["size_bytes"] == 20
