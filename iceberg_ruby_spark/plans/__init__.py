@@ -52,6 +52,7 @@ _DRIVER_BUDGET = 50
 _NEVER_DRIVER_CHECKED = [
     # new in r11 (never driver-checked by definition)
     "multimodal_png_pipeline", "multimodal_jpeg_pipeline",
+    "multimodal_probe_meta",
     # changed in r11: Arrow-batch emission replaced per-row tuples in
     # the stream reader + the batch changelog slices path (mapInArrow)
     "stream_changelog_cow", "stream_changelog_tail",
@@ -84,11 +85,12 @@ _LAST_CHECKED_R6 = [
     "stat_aggs",
     "q02_min_acctbal_supplier", "q04_order_priority",
     "q06_forecast_revenue", "q07_nation_volume", "q08_market_share",
-    "q09_product_profit", "q10_returned_items",
+    "q09_product_profit",
 ]
 
 # deferred to r12 tier 0 (budget exhausted; pure-relational, unchanged,
-# judge-mirror-verified every round): q11_important_parts,
+# judge-mirror-verified every round): q10_returned_items,
+# q11_important_parts,
 # q12_late_priority_lines, q13_customer_distribution, q14_promo_revenue,
 # q15_top_supplier, q16_part_supplier_counts,
 # q17_small_quantity_revenue, q18_large_volume_customers,
