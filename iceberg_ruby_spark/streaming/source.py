@@ -1305,32 +1305,11 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
     # -- execution (runs in executor python workers) ----------------------
     @staticmethod
-    def _load_cols(path: str, columns: list[str]) -> list[list]:
-        """Column lists for ``columns`` from a parquet/ORC data file;
-        columns missing in the file (schema evolved since it was written)
-        backfill None."""
-        if path.endswith(".orc"):
-            # add_files(format='orc') commits ORC imports as ordinary
-            # append entries; read them with the matching pyarrow reader
-            # instead of failing with an opaque parquet error
-            import pyarrow.orc as orc
-
-            tbl = orc.ORCFile(path).read()
-        else:
-            import pyarrow.parquet as pq
-
-            tbl = pq.read_table(path)
-        n = tbl.num_rows
-        return [
-            tbl.column(name).to_pylist() if name in tbl.column_names else [None] * n
-            for name in columns
-        ]
-
-    @staticmethod
     def _load_table(path: str, columns: list[str]):
         """``columns`` of a parquet/ORC data file as a pyarrow Table in
-        the requested order; columns missing in the file (schema evolved
-        since it was written) backfill as typed-later nulls."""
+        the requested order (ORC covers add_files(format='orc') imports);
+        columns missing in the file (schema evolved since it was written)
+        backfill as typed-later nulls."""
         import pyarrow as pa
 
         if path.endswith(".orc"):
@@ -1377,28 +1356,6 @@ class EngineTableStreamReader(DataSourceStreamReader):
         for b in tbl.cast(target).to_batches():
             if b.num_rows:
                 yield b
-
-    def _rows_to_batches(self, rows, ctypes, sid, ordinal):
-        """Content-diff emission: Python row tuples (the multiset diff is
-        inherently row-shaped) rebuilt column-wise into ONE typed Arrow
-        table, so even the fallback path crosses the worker boundary as
-        batches."""
-        import pyarrow as pa
-
-        if not rows:
-            return iter([])
-        target = self._pa_change
-        cols = list(zip(*rows))
-        n = len(rows)
-        arrays = [
-            pa.array(list(c), type=target.field(i).type)
-            for i, c in enumerate(cols)
-        ]
-        arrays.append(pa.array(ctypes, type=pa.string()))
-        arrays.append(pa.repeat(pa.scalar(sid, pa.int64()), n))
-        arrays.append(pa.repeat(pa.scalar(ordinal, pa.int32()), n))
-        tbl = pa.Table.from_arrays(arrays, schema=target)
-        return iter(b for b in tbl.to_batches() if b.num_rows)
 
     def read(self, partition: InputPartition) -> Iterator:
         """Executor read: an iterator of ``pyarrow.RecordBatch`` (PySpark

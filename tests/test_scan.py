@@ -485,3 +485,36 @@ def test_changelog_net_cancels_within_window(catalog):
     )
     n = catalog.spark.sql("SELECT COUNT(*) FROM clnet_net").collect()[0][0]
     assert n == len(full)
+
+
+def test_changelog_slices_type_fidelity(catalog):
+    """r11: timestamp/date/decimal columns are value-identical through
+    the Arrow-batched slices engine (structural + DuckDB content-diff
+    slices) and the relational diff — the cross-boundary type matrix for
+    the mapInArrow/RecordBatch emission."""
+    import datetime as dt
+    import decimal
+
+    t = catalog.create_table(
+        "cl_types",
+        schema={"k": "int", "ts": "timestamp", "d": "date", "x": "decimal(10,2)"},
+    )
+    rows = [
+        {
+            "k": i,
+            "ts": dt.datetime(2024, 1, 1 + i % 20, 10, i % 50),
+            "d": dt.date(2024, 2, 1 + i % 20),
+            "x": decimal.Decimal(f"{i}.25"),
+        }
+        for i in range(200)
+    ]
+    t.append(rows)
+    t.delete_by_keys([(i,) for i in range(0, 50, 7)], on="k")  # MoR slice
+    t.delete_where("k >= 190")  # CoW -> content-diff slice
+    t = t.refresh()
+    a = sorted(map(tuple, t.changelog_scan().collect()))
+    b = sorted(map(tuple, t.changelog_scan(engine="diff").collect()))
+    assert a == b and len(a) == 218
+    r = a[0]
+    assert isinstance(r[1], dt.datetime) and isinstance(r[2], dt.date)
+    assert isinstance(r[3], decimal.Decimal)
