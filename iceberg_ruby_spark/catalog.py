@@ -1690,6 +1690,12 @@ class Catalog:
                   res["added_manifests_count"])],
                 "rewritten_manifests_count long, added_manifests_count long",
             )
+        elif proc == "maintain":
+            rep = tbl.maintain(dry_run=bool(arg("dry_run", 1, False)))
+            out = (
+                [(json.dumps(sorted(rep)), json.dumps(rep, default=str))],
+                "steps string, report string",
+            )
         elif proc == "rewrite_position_delete_files":
             res = tbl.rewrite_position_deletes()
             out = (

@@ -5734,6 +5734,95 @@ class Table:
                 sid = s.get("parent-snapshot-id")
         return refs, protected, dropped_refs
 
+    def maintain(self, dry_run: bool = False) -> dict:
+        """ONE property-driven maintenance pass — the nightly job a
+        large deployment schedules per table, each step gated by its own
+        table property so a bare ``maintain()`` on an unconfigured table
+        is a safe no-op:
+
+        - ``maintenance.compact.min-input-files=N``: :meth:`compact`
+          when the live data-file count reaches N (trigger evaluated
+          from manifest entries — metadata-only).
+        - ``maintenance.rewrite-deletes.min-delete-files=N``:
+          :meth:`rewrite_position_deletes` when positional delete files
+          reach N.
+        - ``maintenance.rewrite-manifests.min-manifests=N``:
+          :meth:`rewrite_manifests` when manifest segments reach N.
+        - ``maintenance.expire.enabled=true``: argument-less
+          :meth:`expire_snapshots` (the ``history.expire.*`` retention
+          properties supply the policy).
+        - ``maintenance.orphans.older-than-ms=MS``:
+          :meth:`remove_orphan_files` with a now−MS safety cutoff.
+        - registered Bloom indexes refresh incrementally unless
+          ``write.bloom.auto-refresh=true`` already keeps them current.
+
+        Step order is deliberate: compact first (it materializes MoR
+        deletes, often emptying the delete-rewrite step), then metadata
+        consolidation, then index refresh over the settled layout, then
+        history expiry, then orphan cleanup.  ``dry_run=True`` reports
+        which steps WOULD fire without touching anything.  Returns a
+        per-step report dict."""
+        self._check_writable()
+        props = self.properties
+        report: dict[str, Any] = {}
+
+        def _int_prop(name: str) -> Optional[int]:
+            v = props.get(name)
+            return int(v) if v is not None else None
+
+        entries = self._current_entries()
+        data, mor = self._split_entries(entries)
+        n_files = sum(1 for e in data if "path" in e)
+        min_in = _int_prop("maintenance.compact.min-input-files")
+        if min_in is not None and n_files >= min_in:
+            report["compact"] = {"input_files": n_files}
+            if not dry_run:
+                self.compact()
+        min_del = _int_prop("maintenance.rewrite-deletes.min-delete-files")
+        if min_del is not None:
+            n_pos = sum(
+                1 for e in mor if e.get("content") == "position-deletes"
+            )
+            if n_pos >= min_del:
+                report["rewrite_position_deletes"] = (
+                    {"input_delete_files": n_pos}
+                    if dry_run
+                    else self.rewrite_position_deletes()
+                )
+        min_man = _int_prop("maintenance.rewrite-manifests.min-manifests")
+        if min_man is not None:
+            n_man = len(self._current_manifest_descriptors())
+            if n_man >= min_man:
+                report["rewrite_manifests"] = (
+                    {"input_manifests": n_man}
+                    if dry_run
+                    else self.rewrite_manifests()
+                )
+        if str(props.get("write.bloom.auto-refresh", "")).lower() != "true":
+            blooms = {}
+            for k in props:
+                if k.startswith("bloom.index.") and k.endswith(".path"):
+                    col = k[len("bloom.index."):-len(".path")]
+                    blooms[col] = (
+                        {"planned": True}
+                        if dry_run
+                        else self.refresh_key_bloom(col)
+                    )
+            if blooms:
+                report["refresh_blooms"] = blooms
+        if str(props.get("maintenance.expire.enabled", "")).lower() == "true":
+            report["expire_snapshots"] = {
+                "expired": self.expire_snapshots(dry_run=dry_run)
+            }
+        orphan_ms = _int_prop("maintenance.orphans.older-than-ms")
+        if orphan_ms is not None:
+            report["remove_orphan_files"] = {
+                "removed": self.remove_orphan_files(
+                    older_than=_now_ms() - orphan_ms, dry_run=dry_run
+                )
+            }
+        return report
+
     def expire_snapshots(
         self,
         keep_last: Optional[int] = None,

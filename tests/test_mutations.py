@@ -572,3 +572,59 @@ def test_equality_delete_scope_postcheck(catalog, spark):
     n = t.delete_by_keys([(150,)], on="k", scope="k >= 100")
     assert n == 1
     assert 150 not in {r["k"] for r in t.to_a()}
+
+
+def test_maintain_property_driven(catalog):
+    """r11: Table.maintain() — one pass, each step gated by its own
+    property; an unconfigured table no-ops; dry_run reports without
+    mutating; the CALL route returns the report."""
+    t = catalog.create_table("maint1", schema={"k": "int", "v": "string"})
+    for i in range(4):  # 4 small single-file commits
+        t.append([{"k": 10 * i + j, "v": f"v{i}{j}"} for j in range(5)])
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    t.delete_where("k = 11", mode="merge-on-read-positional")
+    t = t.refresh()
+    before_rows = sorted((r["k"], r["v"]) for r in t.to_a())
+    # unconfigured: no-op
+    assert t.maintain() == {}
+    # configure every step
+    t.update_properties(
+        {
+            "maintenance.compact.min-input-files": "3",
+            "maintenance.rewrite-deletes.min-delete-files": "2",
+            "maintenance.rewrite-manifests.min-manifests": "2",
+            "maintenance.expire.enabled": "true",
+            "history.expire.min-snapshots-to-keep": "1",
+            "maintenance.orphans.older-than-ms": "0",
+        }
+    )
+    t = t.refresh()
+    t.build_key_bloom("k")
+    t = t.refresh()
+    # dry run: triggers report, nothing changes
+    plan = t.maintain(dry_run=True)
+    assert "compact" in plan and plan["compact"]["input_files"] >= 3
+    assert "refresh_blooms" in plan
+    n_snaps = len(t.snapshots)
+    assert len(t.refresh().snapshots) == n_snaps
+    # real run: compaction materializes the MoR deletes (so the delete
+    # rewrite step finds none left), manifests consolidate, history
+    # expires to the floor, rows survive byte-identical
+    rep = t.maintain()
+    t = t.refresh()
+    assert "compact" in rep and "expire_snapshots" in rep
+    assert sorted((r["k"], r["v"]) for r in t.to_a()) == before_rows
+    assert len(t.scan().plan_files()) == 1  # compacted
+    assert rep["expire_snapshots"]["expired"] > 0
+    # bloom refreshed over the compacted layout: lookups stay correct
+    assert [r["v"] for r in t.scan().filter("k = 32").to_a()] == ["v32"]
+    # second pass: compaction trigger no longer met (1 file), blooms
+    # no-op via the incremental early exit
+    rep2 = t.refresh().maintain()
+    assert "compact" not in rep2
+    if "refresh_blooms" in rep2:
+        assert all(v.get("noop") for v in rep2["refresh_blooms"].values())
+    # CALL route
+    cat = t.catalog
+    res = cat.sql("CALL system.maintain('maint1', dry_run => true)").to_a()
+    assert res and "steps" in res[0]
