@@ -1505,7 +1505,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
         import pyarrow as pa
         import pyarrow.parquet as pq
 
-        collist = ", ".join(f't."{c}"' for c in columns)
+        def q(c: str) -> str:
+            # double-quote-escaped identifier: a column name with an
+            # embedded quote must not splice into the generated SQL
+            return '"' + c.replace('"', '""') + '"'
+
+        collist = ", ".join(f"t.{q(c)}" for c in columns)
         parts = []
         for j, spec in enumerate(specs):
             tbl = self._load_table(spec["path"], columns)
@@ -1538,7 +1543,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
             for k, (dp, kcols) in enumerate(spec["eq"]):
                 con.register(f"{name}_eq{k}", pq.read_table(dp, columns=list(kcols)))
                 match = " AND ".join(
-                    f't."{c}" IS NOT DISTINCT FROM e."{c}"' for c in kcols
+                    f"t.{q(c)} IS NOT DISTINCT FROM e.{q(c)}" for c in kcols
                 )
                 conds.append(
                     f"NOT EXISTS (SELECT 1 FROM {name}_eq{k} e WHERE {match})"
