@@ -198,6 +198,12 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
             if sf.get("transform", "identity") == "identity"
             and sf["source"] in self._names
         ]
+        # write.spark.max-records-per-file (the same property the batch
+        # writer forwards to Spark's maxRecordsPerFile): bound each
+        # streamed file so a large micro-batch task splits into
+        # right-sized files instead of one giant one
+        mrpf = props.get("write.spark.max-records-per-file")
+        self._max_rows_per_file = int(mrpf) if mrpf else None
 
     # -- executor side -----------------------------------------------------
     @staticmethod
@@ -216,7 +222,43 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
             return v.isoformat()
         return urllib.parse.quote(str(v), safe="")
 
-    def _write_file(self, tbl, dir_path: str, file_cols: list) -> dict:
+    def _write_files(self, tbl, dir_path: str, file_cols: list) -> list[dict]:
+        """Write one-or-more data files from an Arrow table: sorted once,
+        then split at ``write.spark.max-records-per-file`` rows (the
+        slices of a sorted table keep tight disjoint sort-key bounds, so
+        splitting IMPROVES manifest pruning rather than diluting it)."""
+        limit = self._max_rows_per_file
+        if limit is None or tbl.num_rows <= limit:
+            return [self._write_file(tbl, dir_path, file_cols)]
+        tbl = self._sorted(tbl)
+        out = []
+        for lo in range(0, tbl.num_rows, limit):
+            out.append(
+                self._write_file(
+                    tbl.slice(lo, limit), dir_path, file_cols, presorted=True
+                )
+            )
+        return out
+
+    def _sorted(self, tbl):
+        """Per-key stable Arrow sort passes (pc.sort_indices is
+        documented stable) — same composition as the old reversed python
+        sorts, with per-key null placement single-call sort can't
+        express: nulls first on asc, last on desc."""
+        import pyarrow.compute as pc
+
+        for col, desc in reversed(self._sort_fields):
+            idx = pc.sort_indices(
+                tbl.select([col]),
+                sort_keys=[(col, "descending" if desc else "ascending")],
+                null_placement="at_end" if desc else "at_start",
+            )
+            tbl = tbl.take(idx)
+        return tbl
+
+    def _write_file(
+        self, tbl, dir_path: str, file_cols: list, presorted: bool = False
+    ) -> dict:
         """Write one data file from an Arrow table (rows stay columnar
         end-to-end: Spark ships RecordBatches, sorting and stats run in
         Arrow compute, parquet writes the same buffers)."""
@@ -225,17 +267,8 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         import pyarrow.parquet as pq
 
         n_rows = tbl.num_rows
-        for col, desc in reversed(self._sort_fields):
-            # None-safe: nulls first on asc, last on desc — per-key
-            # stable passes (pc.sort_indices is documented stable) give
-            # the same composition as the old reversed python sorts,
-            # with per-key null placement single-call sort can't express
-            idx = pc.sort_indices(
-                tbl.select([col]),
-                sort_keys=[(col, "descending" if desc else "ascending")],
-                null_placement="at_end" if desc else "at_start",
-            )
-            tbl = tbl.take(idx)
+        if not presorted:
+            tbl = self._sorted(tbl)
         schema = pa.schema(
             [self._arrow_schema.field(n) for n in file_cols]
         )
@@ -286,7 +319,7 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         tbl = pa.Table.from_batches(batches)
         data_dir = os.path.join(self.location, "data")
         if not self._part_fields:
-            return _FileMsg([self._write_file(tbl, data_dir, self._names)])
+            return _FileMsg(self._write_files(tbl, data_dir, self._names))
         # partitioned: group this task's rows by the spec's (transformed)
         # partition values, one file per value under Spark's name=value
         # directory layout — the same layout the batch writer produces.
@@ -333,15 +366,16 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
                     for (_src, name, _tr, _st), v in zip(self._part_fields, key)
                 ]
             )
-            rec = self._write_file(
+            recs = self._write_files(
                 tbl.take(pa.array(idxs)), os.path.join(data_dir, seg), file_cols
             )
             # identity partition columns: min = max = the group value
-            for (src, _name, tr, _st), v in zip(self._part_fields, key):
-                if src in self._part_cols and src in self._stats_cols:
-                    rec["lower"][src] = v
-                    rec["upper"][src] = v
-            out.append(rec)
+            for rec in recs:
+                for (src, _name, tr, _st), v in zip(self._part_fields, key):
+                    if src in self._part_cols and src in self._stats_cols:
+                        rec["lower"][src] = v
+                        rec["upper"][src] = v
+            out.extend(recs)
         return _FileMsg(out)
 
     # -- driver side -------------------------------------------------------

@@ -430,3 +430,36 @@ def test_native_stream_writer_void_partition_field(catalog, spark, tmp_path):
     assert sorted(r["k"] for r in gold.refresh().to_a()) == [1, 2]
     entries = [e for e in gold._current_entries() if "path" in e]
     assert all("__HIVE_DEFAULT_PARTITION__" in e["path"] for e in entries)
+
+
+def test_sink_max_records_per_file(catalog, spark, tmp_path):
+    """r11: write.spark.max-records-per-file bounds each streamed file —
+    a large micro-batch splits into right-sized files with tight
+    disjoint sort-key bounds; rows and ordering semantics unchanged."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    t = catalog.create_table("sinksplit", schema={"k": "int", "v": "string"})
+    t.update_properties({"write.spark.max-records-per-file": "40"})
+    t.replace_sort_order([("k", "asc")])
+    register_stream_source(spark)
+    src = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k int, v string"
+    ).coalesce(1)
+    # drive the executor writer directly with Arrow batches
+    from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+    w = EngineTableStreamWriter({"location": t.ops.location}, src.schema, False)
+    import pyarrow as pa
+
+    tbl = pa.table({"k": list(range(100)), "v": [f"v{i}" for i in range(100)]})
+    tbl = tbl.cast(pa.schema([pa.field("k", pa.int32()), pa.field("v", pa.string())]))
+    msg = w.write(iter(tbl.to_batches(max_chunksize=25)))
+    assert len(msg.files) == 3  # ceil(100/40)
+    assert [f["count"] for f in msg.files] == [40, 40, 20]
+    # sorted split => disjoint tight bounds per file
+    bounds = sorted((f["lower"]["k"], f["upper"]["k"]) for f in msg.files)
+    assert bounds == [(0, 39), (40, 79), (80, 99)]
+    w.commit([msg], 0)
+    t = t.refresh()
+    assert len(t.scan().plan_files()) == 3
+    assert sorted(r["k"] for r in t.to_a()) == list(range(100))
