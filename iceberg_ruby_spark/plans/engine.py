@@ -1089,7 +1089,22 @@ def engine_materialized_minmax(spark, sf_dir):
            CAST(SUM(CASE WHEN o_orderkey >= 1000 THEN 1 ELSE 0 END)
                 AS BIGINT) AS split_cnt,
            CAST(SUM(CASE WHEN o_orderkey < 2000 THEN 1 ELSE 0 END)
-                AS BIGINT) AS sql_where_cnt
+                AS BIGINT) AS sql_where_cnt,
+           CAST(SUM(CASE WHEN o_orderkey < 2000 AND o_custkey IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS fcol_cnt,
+           CAST(MIN(CASE WHEN o_orderkey >= 1000 THEN o_orderkey END)
+                AS BIGINT) AS mlo,
+           CAST(MAX(CASE WHEN o_orderkey >= 1000 THEN o_orderkey END)
+                AS BIGINT) AS mhi,
+           CAST(SUM(CASE WHEN o_orderkey >= 1000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS mn,
+           CAST(MIN(CASE WHEN o_orderkey < 2000 THEN o_orderkey END)
+                AS BIGINT) AS plo,
+           CAST(SUM(CASE WHEN o_orderkey < 2000 THEN 1 ELSE 0 END)
+                AS BIGINT) AS pn,
+           CAST(SUM(CASE WHEN o_orderkey < 2000
+                         AND (o_custkey IS NULL OR o_custkey % 7 <> 0)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS dv_aligned_cnt
     FROM orders WHERE o_orderkey < 4000
     """,
 )
@@ -1127,15 +1142,38 @@ def engine_agg_pushdown(spark, sf_dir):
     sql_where = cat.sql(
         "SELECT COUNT(*) AS n FROM orders_aggpd WHERE o_orderkey < 2000"
     ).to_a()[0]["n"]
+    # r12 filtered COUNT(col): full-match files contribute
+    # record-count − null-count(col); the compared column's zero-null
+    # full-match proof is independent of the counted column's nulls
+    fcol = t.scan().filter("o_orderkey < 2000").count("o_custkey")
+    # r12 all-or-nothing multi-agg SQL: the split predicate makes NO item
+    # provable — the statement falls through to ONE generic Spark scan
+    # (test_agg_pushdown.py pins the zero-extra-scans claim); the aligned
+    # spelling serves every item from one shared manifest read
+    mrow = cat.sql(
+        "SELECT MIN(o_orderkey) AS mlo, MAX(o_orderkey) AS mhi,"
+        " COUNT(*) AS mn FROM orders_aggpd WHERE o_orderkey >= 1000"
+    ).to_a()[0]
+    prow = cat.sql(
+        "SELECT MIN(o_orderkey) AS plo, COUNT(*) AS pn"
+        " FROM orders_aggpd WHERE o_orderkey < 2000"
+    ).to_a()[0]
     t.delete_where("o_custkey % 7 = 0", mode="merge-on-read-dv")
     live = t.scan().count()
     sql_live = cat.sql("SELECT COUNT(*) AS n FROM orders_aggpd").to_a()[0]["n"]
+    # r12: a DV no longer demotes filtered COUNT(*) — its cardinality
+    # subtracts when its referenced file full-matches the predicate
+    dv_aligned = t.scan().filter("o_orderkey < 2000").count()
     return spark.createDataFrame(
         [(total, nonnull_cust, min_key, max_key, live, sql_live,
-          aligned, split, sql_where)],
+          aligned, split, sql_where, fcol,
+          mrow["mlo"], mrow["mhi"], mrow["mn"], prow["plo"], prow["pn"],
+          dv_aligned)],
         "total_rows long, nonnull_cust long, min_key long, max_key long, "
         "live_rows long, sql_live_rows long, aligned_cnt long, "
-        "split_cnt long, sql_where_cnt long",
+        "split_cnt long, sql_where_cnt long, fcol_cnt long, "
+        "mlo long, mhi long, mn long, plo long, pn long, "
+        "dv_aligned_cnt long",
     )
 
 

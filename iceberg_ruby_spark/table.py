@@ -5775,9 +5775,27 @@ class Table:
         n_files = sum(1 for e in data if "path" in e)
         min_in = _int_prop("maintenance.compact.min-input-files")
         if min_in is not None and n_files >= min_in:
-            report["compact"] = {"input_files": n_files}
-            if not dry_run:
+            if dry_run:
+                report["compact"] = {"input_files": n_files}
+            else:
                 self.compact()
+                summ = (self.current_snapshot() or Snapshot(
+                    0, None, 0, 0, "", 0, {}
+                )).summary
+                report["compact"] = {
+                    "input_files": n_files,
+                    "rewritten_data_files": summ.get(
+                        "rewritten-data-files-count"
+                    ),
+                    "added_data_files": summ.get("added-data-files-count"),
+                }
+                # later triggers must see the SETTLED layout (r12): the
+                # compaction just materialized MoR deletes away and
+                # replaced the file set — evaluating them on the
+                # pre-compact entries fired rewrite_position_deletes on
+                # delete files that no longer exist
+                entries = self._current_entries()
+                data, mor = self._split_entries(entries)
         min_del = _int_prop("maintenance.rewrite-deletes.min-delete-files")
         if min_del is not None:
             n_pos = sum(
@@ -7389,7 +7407,7 @@ class TableScan:
         their file on rewrite — so ``sum(record-count) − sum(dv
         cardinality)`` is exact, never an estimate.  Equality / positional
         / predicate deletes have no such disjointness guarantee and fall
-        back to executing the scan, as does any filter.
+        back to executing the scan.
 
         ``count(col)`` is SQL ``COUNT(col)`` — non-NULL rows only.  It
         answers from metadata as ``Σ(record-count − null-count)`` when
@@ -7398,7 +7416,7 @@ class TableScan:
         NULL, so even exact DV cardinalities can't adjust a per-column
         count); otherwise the scan executes.
 
-        **Filtered COUNT(*) (r11)**: ``WHERE p`` also answers from
+        **Filtered COUNT (r11/r12)**: ``WHERE p`` also answers from
         metadata when the manifest stats prove EVERY file either
         fully-matches p (:func:`_bounds_all_match` — every row provably
         satisfies it, zero nulls in the compared columns) or fully-misses
@@ -7406,58 +7424,22 @@ class TableScan:
         shape (``WHERE day = X`` against day-partitioned files).  One
         file the predicate SPLITS demotes the whole answer to the scan;
         float/double predicates are excluded (NaN breaks bound
-        reasoning), as are outstanding deletes of any kind."""
+        reasoning).  r12: a deletion vector no longer demotes filtered
+        COUNT(*) — its dead rows live entirely in its referenced file, so
+        it subtracts its exact cardinality when that file full-matches
+        and nothing when it full-misses (a split referenced file, a
+        non-DV delete, or COUNT(col) still demote).
+
+        All metadata reasoning lives in :meth:`metadata_aggs`; this method
+        is the single-item wrapper plus the executed-scan fallback."""
         snap = self.snapshot()
         if snap is None:
             return 0
         if col is not None and self.table.current_schema().field_by_name(col) is None:
             raise InvalidDataError(f"no column {col!r}")
-        if self._filters and self._limit is None and col is None:
-            n = self._filtered_metadata_count(snap)
-            if n is not None:
-                return n
-        if not self._filters and self._limit is None:
-            entries = self.table.ops.read_manifest(snap.manifest_list)
-            data, mor = Table._split_entries(entries)
-            if col is not None:
-                if not mor and all(
-                    "path" in e
-                    and e.get("record-count") is not None
-                    and (e.get("null-counts") or {}).get(col) is not None
-                    for e in data
-                ):
-                    return sum(
-                        e["record-count"] - e["null-counts"][col] for e in data
-                    )
-                n = (
-                    self.to_df()
-                    .agg(F.count(F.col(col)).alias("n"))
-                    .first()["n"]
-                )
-                return int(n)
-            if all(
-                "path" in e and e.get("record-count") is not None for e in data
-            ) and all(
-                e.get("content") == "deletion-vector"
-                and e.get("deleted-records") is not None
-                for e in mor
-            ):
-                total = sum(e["record-count"] for e in data)
-                if not mor:
-                    return total
-                # soundness guard: every DV must reference a live data
-                # file, once (a stale or duplicated DV would over-subtract)
-                live = {self.table.ops._abs(e["path"]) for e in data}
-                refs = [
-                    self.table.ops._abs(
-                        os.path.join(e["base-location"], e["referenced-data-file"])
-                        if e.get("base-location")
-                        else e["referenced-data-file"]
-                    )
-                    for e in mor
-                ]
-                if len(refs) == len(set(refs)) and set(refs) <= live:
-                    return total - sum(e["deleted-records"] for e in mor)
+        vals = self.metadata_aggs([("COUNT", col)])
+        if vals is not None:
+            return vals[0]
         df = self.to_df()
         n = (
             df.count()
@@ -7492,30 +7474,109 @@ class TableScan:
                 return None
         return trees
 
-    def _filtered_metadata_count(self, snap: Snapshot) -> Optional[int]:
-        """``COUNT(*) WHERE p`` from manifest stats, or None when not
-        provable (caller executes the scan).  Provable = no outstanding
-        deletes, every filter parses, no float/double column compared,
-        and every data file is either a proven full-match (its whole
-        record-count counts) or a proven full-miss (contributes zero) —
-        a file the predicate may SPLIT returns None."""
-        trees = self._provable_filter_trees()
-        if trees is None:
+    # sentinel: "this item is NOT answerable from metadata" — distinct
+    # from None, which is a legitimate aggregate value (all-NULL MIN)
+    _UNPROVABLE = object()
+
+    def metadata_aggs(
+        self, specs: list[tuple[str, Optional[str]]]
+    ) -> Optional[list]:
+        """All-or-nothing metadata answers for a ``[(fn, col)]`` spec list
+        (fn ∈ COUNT/MIN/MAX, col None = COUNT(*)) — ONE manifest-list
+        read shared across every item (r12, VERDICT r11 #2; Iceberg-
+        Spark's SupportsPushDownAggregates is likewise all-or-nothing).
+        Returns the value list when EVERY item is provable from manifest
+        stats alone, else None — the caller then runs ONE generic scan
+        for the whole statement instead of one fallback scan per item."""
+        if self._limit is not None:
             return None
+        snap = self.snapshot()
+        if snap is None:
+            return [0 if fn == "COUNT" else None for fn, _ in specs]
+        trees = None
+        if self._filters:
+            trees = self._provable_filter_trees()
+            if trees is None:
+                return None
         entries = self.table.ops.read_manifest(snap.manifest_list)
         data, mor = Table._split_entries(entries)
-        if mor:
-            return None  # any delete may kill matched rows
-        total = 0
+        vals = []
+        for fn, c in specs:
+            if fn == "COUNT":
+                v = self._meta_count(data, mor, trees, c)
+            else:
+                v = self._meta_bound(data, mor, trees, c, lo=(fn == "MIN"))
+            if v is TableScan._UNPROVABLE:
+                return None
+            vals.append(v)
+        return vals
+
+    def _meta_count(self, data, mor, trees, col):
+        """COUNT from pre-read manifest entries, or ``_UNPROVABLE``.
+        ``trees`` None = unfiltered; see :meth:`count` for the proof
+        obligations (DV-exactness, full-match/full-miss classification,
+        the COUNT(col) null-count requirement)."""
+        U = TableScan._UNPROVABLE
         for e in data:
             if "path" not in e or e.get("record-count") is None:
-                return None
-            if all(_bounds_all_match(e, t) for t in trees):
-                total += e["record-count"]
+                return U
+        if col is not None:
+            if mor:
+                return U  # a delete kills rows without recording NULL-ness
+            total = 0
+            for e in data:
+                nc = (e.get("null-counts") or {}).get(col)
+                if nc is None:
+                    return U
+                if trees is not None:
+                    if all(_bounds_all_match(e, t) for t in trees):
+                        total += e["record-count"] - nc
+                    elif any(not _bounds_may_match(e, t) for t in trees):
+                        continue  # provably zero matching rows
+                    else:
+                        return U  # the predicate splits this file
+                else:
+                    total += e["record-count"] - nc
+            return total
+        # COUNT(*): only deletion vectors have the exactness guarantee
+        if not all(
+            e.get("content") == "deletion-vector"
+            and e.get("deleted-records") is not None
+            for e in mor
+        ):
+            return U
+        matched: dict[str, bool] = {}  # abs data path → counted?
+        total = 0
+        for e in data:
+            if trees is None:
+                m = True
+            elif all(_bounds_all_match(e, t) for t in trees):
+                m = True
             elif any(not _bounds_may_match(e, t) for t in trees):
-                continue  # provably zero matching rows
+                m = False
             else:
-                return None  # the predicate splits this file
+                return U  # the predicate splits this file
+            matched[self.table.ops._abs(e["path"])] = m
+            if m:
+                total += e["record-count"]
+        if mor:
+            # soundness guard: every DV must reference a live data file,
+            # once (a stale or duplicated DV would over-subtract)
+            refs = [
+                self.table.ops._abs(
+                    os.path.join(e["base-location"], e["referenced-data-file"])
+                    if e.get("base-location")
+                    else e["referenced-data-file"]
+                )
+                for e in mor
+            ]
+            if len(refs) != len(set(refs)) or not set(refs) <= set(matched):
+                return U
+            # a DV's dead rows live entirely in its referenced file: they
+            # were all counted iff that file full-matched (r12)
+            total -= sum(
+                e["deleted-records"] for e, r in zip(mor, refs) if matched[r]
+            )
         return total
 
     # bound-exact types for metadata min/max: float/double excluded (NaN
@@ -7524,72 +7585,68 @@ class TableScan:
     # upper bound a bumped prefix, not a value from the file)
     _BOUND_EXACT_TYPES = ("int", "long", "date", "timestamp", "decimal")
 
+    def _meta_bound(self, data, mor, trees, col, lo):
+        """MIN/MAX from pre-read manifest entries, or ``_UNPROVABLE``.
+        Exact only when: the column is int/long/date/timestamp/decimal,
+        no merge-on-read delete is outstanding (any delete may kill the
+        extreme row), and every data file either records a bound or is
+        provably all-NULL.  Filtered (trees non-None): a full-match
+        file's every row satisfies p so its own bound is eligible, a
+        full-miss file contributes nothing, one split file demotes."""
+        U = TableScan._UNPROVABLE
+        field = self.table.current_schema().field_by_name(col)
+        if field is None or (
+            type(field.field_type).__name__.lower().replace("type", "")
+            not in self._BOUND_EXACT_TYPES
+        ):
+            return U
+        if mor:
+            return U
+        vals = []
+        for e in data:
+            if trees is not None:
+                if all(_bounds_all_match(e, t) for t in trees):
+                    pass  # every row of this file matches — eligible
+                elif any(not _bounds_may_match(e, t) for t in trees):
+                    continue  # no row matches — contributes nothing
+                else:
+                    return U  # the predicate splits this file
+            b = (e.get("lower-bounds" if lo else "upper-bounds") or {}).get(col)
+            if b is not None:
+                vals.append(b)
+                continue
+            # no bound: exact only if the file is provably all-NULL
+            nc = (e.get("null-counts") or {}).get(col)
+            if nc is None or nc != e.get("record-count"):
+                return U
+        if not vals:
+            return None  # every eligible row NULL (SQL: aggregate is NULL)
+        typed = [_typed_bound(v, field.field_type) for v in vals]
+        if any(t is None for t in typed):
+            return U
+        return min(typed) if lo else max(typed)
+
     def min(self, col: str) -> Any:
         """MIN(col), from manifest bounds when that is provably exact
-        (Iceberg-Spark's aggregate pushdown): no filters, no outstanding
-        merge-on-read deletes (a delete may kill the extreme row), an
-        int/long/date/timestamp/decimal column (float/double NaN and
-        truncated string bounds are unsound), and every data file either
-        records a bound or is provably all-NULL.  Falls back to the
-        scan otherwise.  SQL semantics: NULLs ignored; all-NULL → None."""
-        return self._bound_agg(col, lo=True)
+        (Iceberg-Spark's aggregate pushdown) — see :meth:`_meta_bound`
+        for the exactness conditions.  Falls back to the scan otherwise.
+        SQL semantics: NULLs ignored; all-NULL → None."""
+        return self._agg_one("MIN", col)
 
     def max(self, col: str) -> Any:
         """MAX(col) — see :meth:`min` for the exactness conditions."""
-        return self._bound_agg(col, lo=False)
+        return self._agg_one("MAX", col)
 
-    def _bound_agg(self, col: str, lo: bool) -> Any:
-        snap = self.snapshot()
-        if snap is None:
+    def _agg_one(self, fn: str, col: str) -> Any:
+        if self.snapshot() is None:
             return None
-        field = self.table.current_schema().field_by_name(col)
-        if field is None:
+        if self.table.current_schema().field_by_name(col) is None:
             raise InvalidDataError(f"no column {col!r}")
-        meta_ok = (
-            self._limit is None
-            and type(field.field_type).__name__.lower().replace("type", "")
-            in self._BOUND_EXACT_TYPES
-        )
-        # filtered MIN/MAX (r11, same proof as filtered COUNT): when every
-        # file provably full-matches or full-misses the predicate, the
-        # aggregate is the extremum of the FULL-MATCHING files' bounds —
-        # a full-match file's every row satisfies p, so its own min/max
-        # is eligible; a full-miss file contributes nothing; one split
-        # file demotes to the scan
-        trees = None
-        if meta_ok and self._filters:
-            trees = self._provable_filter_trees()
-            meta_ok = trees is not None
-        if meta_ok:
-            entries = self.table.ops.read_manifest(snap.manifest_list)
-            data, mor = Table._split_entries(entries)
-            vals = []
-            for e in data:
-                if trees is not None:
-                    if all(_bounds_all_match(e, t) for t in trees):
-                        pass  # every row of this file matches — eligible
-                    elif any(not _bounds_may_match(e, t) for t in trees):
-                        continue  # no row matches — contributes nothing
-                    else:
-                        meta_ok = False
-                        break  # the predicate splits this file
-                b = (e.get("lower-bounds" if lo else "upper-bounds") or {}).get(col)
-                if b is not None:
-                    vals.append(b)
-                    continue
-                # no bound: exact only if the file is provably all-NULL
-                nc = (e.get("null-counts") or {}).get(col)
-                if nc is None or nc != e.get("record-count"):
-                    meta_ok = False
-                    break
-            if meta_ok and not mor:
-                if not vals:
-                    return None  # every row NULL
-                typed = [_typed_bound(v, field.field_type) for v in vals]
-                if all(t is not None for t in typed):
-                    return min(typed) if lo else max(typed)
+        vals = self.metadata_aggs([(fn, col)])
+        if vals is not None:
+            return vals[0]
         row = self.to_df().agg(
-            (F.min(col) if lo else F.max(col)).alias("v")
+            (F.min(col) if fn == "MIN" else F.max(col)).alias("v")
         ).first()
         return row["v"]
 

@@ -285,3 +285,104 @@ def test_sql_multi_agg_generic_fallbacks(catalog):
     assert cat.sql(
         "SELECT MIN(k) AS lo FROM aggsql2 WHERE k >= $1", [7]
     ).rows == [[7]]
+
+
+def test_sql_multi_agg_all_or_nothing_single_scan(catalog, monkeypatch):
+    """r12 (VERDICT r11 #2): a multi-agg statement whose WHERE is not
+    provable must NOT execute one scan per aggregate item — the fast
+    path declines entirely (zero TableScan executions) and generic
+    Spark SQL runs the whole statement as its usual single scan."""
+    t = catalog.create_table("aggsql3", schema={"k": "long", "v": "long"})
+    t.append([{"k": i, "v": 2 * i} for i in range(100)])
+    cat = t.catalog
+    # warm the view cache through the GENERIC path (SUM is outside the
+    # fast path) so registration's own to_df isn't in the count below
+    assert cat.sql("SELECT SUM(k) AS s FROM aggsql3").rows == [[4950]]
+
+    from iceberg_ruby_spark import table as table_mod
+
+    calls = {"to_df": 0}
+    orig = table_mod.TableScan.to_df
+
+    def spy(self):
+        calls["to_df"] += 1
+        return orig(self)
+
+    monkeypatch.setattr(table_mod.TableScan, "to_df", spy)
+    # k >= 17 splits the single data file → no item is provable
+    r = cat.sql(
+        "SELECT MIN(k) AS lo, MAX(v) AS hi, COUNT(*) AS n"
+        " FROM aggsql3 WHERE k >= 17"
+    ).to_a()
+    assert r == [{"lo": 17, "hi": 198, "n": 83}]
+    assert calls["to_df"] == 0, (
+        "the r11 per-item fallback is back: the fast path must decline "
+        "unprovable statements instead of executing scans per aggregate"
+    )
+    # the provable spelling still serves every item from ONE manifest read
+    r = cat.sql(
+        "SELECT MIN(k) AS lo, MAX(v) AS hi, COUNT(*) AS n FROM aggsql3"
+    ).to_a()
+    assert r == [{"lo": 0, "hi": 198, "n": 100}]
+    assert calls["to_df"] == 0
+
+
+def test_filtered_count_with_dv_over_aligned_files(catalog):
+    """r12 (VERDICT r11 #7): a deletion vector no longer demotes filtered
+    COUNT(*) — it subtracts its exact cardinality when its referenced
+    file full-matches and nothing when it full-misses.  Zero-read proven
+    by deleting every data AND puffin byte before asking."""
+    t = catalog.create_table("aggdv1", schema={"k": "long", "v": "string"})
+    t.append([{"k": i, "v": f"x{i}"} for i in range(0, 100)])
+    t.append([{"k": i, "v": f"x{i}"} for i in range(100, 250)])
+    assert t.delete_where("k = 5", mode="merge-on-read-dv") == 1
+    t = t.refresh()
+    # split predicate still demotes to the executed scan (files present):
+    # k >= 50 splits the first file
+    assert t.scan().filter("k >= 50").count() == 200
+    _drop_data_files(t)
+    _drop_data_files(t, suffix=".puffin")
+    # DV's referenced file full-matches → subtract its cardinality
+    assert t.scan().filter("k < 100").count() == 99
+    # DV's referenced file full-misses → its dead rows were never counted
+    assert t.scan().filter("k >= 100").count() == 150
+    assert t.scan().count() == 249  # unfiltered DV path unchanged
+    # SQL spelling rides the same metadata path
+    cat = t.catalog
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM aggdv1 WHERE k < 100"
+    ).to_a() == [{"n": 99}]
+
+
+def test_filtered_min_max_demote_under_dv(catalog):
+    """A DV may have killed the extreme row — filtered MIN/MAX must
+    execute the scan whenever any delete is outstanding."""
+    t = catalog.create_table("aggdv2", schema={"k": "long"})
+    t.append([{"k": i} for i in range(0, 100)])
+    t.append([{"k": i} for i in range(100, 200)])
+    assert t.delete_where("k = 0", mode="merge-on-read-dv") == 1
+    t = t.refresh()
+    # metadata bounds would claim 0; the scan knows the row is dead
+    assert t.scan().filter("k < 100").min("k") == 1
+    assert t.scan().min("k") == 1
+
+
+def test_filtered_count_col_metadata(catalog):
+    """r12: filtered COUNT(col) — full-match files contribute
+    record-count − null-count(col), full-miss files contribute zero;
+    zero-read proven by file deletion.  The compared column's zero-null
+    full-match proof is independent of the counted column's nulls."""
+    t = catalog.create_table("aggfc", schema={"k": "long", "b": "int"})
+    t.append([{"k": i, "b": (None if i < 3 else i)} for i in range(0, 10)])
+    t.append([{"k": i, "b": i} for i in range(10, 20)])
+    t = t.refresh()
+    # split predicate executes (files present)
+    assert t.scan().filter("k >= 5").count("b") == 15
+    _drop_data_files(t)
+    assert t.scan().filter("k < 10").count("b") == 7
+    assert t.scan().filter("k >= 10").count("b") == 10
+    assert t.scan().filter("k < 100").count("b") == 17
+    cat = t.catalog
+    assert cat.sql(
+        "SELECT COUNT(b) AS n FROM aggfc WHERE k < 10"
+    ).to_a() == [{"n": 7}]

@@ -613,6 +613,16 @@ def test_maintain_property_driven(catalog):
     rep = t.maintain()
     t = t.refresh()
     assert "compact" in rep and "expire_snapshots" in rep
+    # r12 (VERDICT r11 #6): triggers after compact re-evaluate on the
+    # SETTLED layout — compaction materialized both positional delete
+    # files away, so the delete-rewrite step must NOT fire even though
+    # the PRE-compact state met its threshold; and the non-dry-run
+    # compact branch reports its result counts like every other step
+    assert "rewrite_position_deletes" not in rep
+    assert rep["compact"]["rewritten_data_files"] == (
+        rep["compact"]["input_files"]
+    )
+    assert rep["compact"]["added_data_files"] >= 1
     assert sorted((r["k"], r["v"]) for r in t.to_a()) == before_rows
     assert len(t.scan().plan_files()) == 1  # compacted
     assert rep["expire_snapshots"]["expired"] > 0
