@@ -41,6 +41,24 @@ def main() -> None:
     # from the artifact alone instead of re-measuring
     load_before = tuple(round(x, 2) for x in os.getloadavg())
 
+    # host-SPEED canary (r12, VERDICT r11 #3): a fixed, single-threaded,
+    # non-Spark CPU microbenchmark timed alongside the queries.  loadavg
+    # only rules contention in/out; two quiet hosts can still differ in
+    # effective CPU speed (r9→r11 showed a uniform 1.4× drift on
+    # plan-pinned pure-JVM queries at load 0.14).  wall ÷ canary is
+    # host-speed-normalized and comparable across rounds.
+    def _cpu_canary() -> float:
+        import hashlib
+
+        buf = bytes(range(256)) * 4096  # 1 MiB, deterministic
+        t0 = time.perf_counter()
+        d = buf
+        for _ in range(400):
+            d = hashlib.sha256(d + buf).digest()
+        return round(time.perf_counter() - t0, 4)
+
+    canary_before = _cpu_canary()
+
     spark = get_spark("bench")
     # JMH-style untimed warmup: run every bench query once at the smallest
     # tier so the timed loop measures steady-state data throughput, not
@@ -97,6 +115,7 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     warmup_total = round(sum(warmup.values()), 3)
+    canary_after = _cpu_canary()
     print(
         json.dumps(
             {
@@ -121,6 +140,16 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
                 "cpus_host": os.cpu_count(),
+                # single-thread sha256 canary (sec) bracketing the run —
+                # divide totals by mean(canary) for host-speed-normalized
+                # round-over-round comparison (SCALE.md adjudication)
+                "cpu_canary_sec": {
+                    "before": canary_before,
+                    "after": canary_after,
+                },
+                "value_per_canary": round(
+                    total / ((canary_before + canary_after) / 2), 2
+                ),
             }
         ),
         flush=True,
