@@ -2460,6 +2460,96 @@ def multimodal_dedup_frames(spark, sf_dir):
 
 
 @query(
+    "multimodal_frames_codec_dedup",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(g.i AS INTEGER) AS frame_index,
+           4 AS width, 4 AS height,
+           CAST(16 * ((37 * doc_id + 101 * (g.i // 2)) % 256) AS BIGINT)
+               AS sum_r
+    FROM documents, generate_series(0, 4) AS g(i)
+    WHERE doc_id < 300 AND g.i % 2 = 0 AND g.i < 2 + doc_id % 4
+    """,
+)
+def multimodal_frames_codec_dedup(spark, sf_dir):
+    """Real-codec video loop end-to-end (r12, VERDICT r11 #4): per
+    document an FRMC container of 2–5 REAL baseline-JPEG frames (8×8,
+    flat GRAYSCALE — r=g=b is a fixed point of the JFIF integer color
+    convert, so every encode/decode cycle is byte-exact), where frame
+    2j+1 repeats frame 2j (a static scene).  sample_frames pulls actual
+    encoded frame bytes through the container extractor, consecutive
+    dedup_frames keeps exactly the even indexes (digest windows only —
+    the shuffle moves md5s, not frames), the survivors run through the
+    JPEG resizer (decode → nearest-neighbor 4×4 → re-encode, a SECOND
+    full codec cycle), and a final decode emits per-frame pixel sums.
+    The DuckDB twin enumerates survivors and sums in closed form — a
+    container-offset, huffman, IDCT, resample, or dedup-window bug
+    breaks the hash."""
+    import pandas as pd
+
+    from iceberg_ruby_spark.operators.multimodal import (
+        attach_media_metadata,
+        decode_media_batch,
+        dedup_frames,
+        encode_frame_container,
+        encode_jpeg,
+        resize_media,
+        sample_frames,
+    )
+
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+
+    def _build(batches):
+        for pdf in batches:
+            payloads, durations = [], []
+            for mid in pdf["media_id"]:
+                did = int(mid)
+                n = 2 + did % 4
+                frames = []
+                for i in range(n):
+                    v = (37 * did + 101 * (i // 2)) % 256
+                    frames.append(encode_jpeg(8, 8, bytes([v, v, v] * 64)))
+                payloads.append(encode_frame_container(frames))
+                durations.append((n - 1) * 1000)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "duration_ms": durations,
+                }
+            )
+
+    media = d.select(F.col("doc_id").alias("media_id")).mapInPandas(
+        _build, "media_id long, payload binary, duration_ms long"
+    )
+    tagged = attach_media_metadata(media, "payload", fmt="frmc").withColumn(
+        "meta", F.col("meta").withField("duration_ms", F.col("duration_ms"))
+    )
+    sampled = sample_frames(tagged, every_ms=1000, extractor="container")
+    kept = dedup_frames(sampled, mode="consecutive")
+    # survivors re-enter the image pipeline as media rows; a composite id
+    # keeps (media_id, frame_index) addressable through the decode join
+    as_media = kept.select(
+        (F.col("media_id") * 100 + F.col("frame_index")).alias("media_id"),
+        F.col("frame").alias("payload"),
+    )
+    small = resize_media(
+        attach_media_metadata(as_media, "payload", fmt="jpeg"),
+        width=4,
+        height=4,
+        resizer="jpeg",
+    )
+    feats = decode_media_batch(small, decoder="jpeg")
+    return feats.select(
+        (F.col("media_id") / 100).cast("long").alias("media_id"),
+        (F.col("media_id") % 100).cast("int").alias("frame_index"),
+        F.element_at("features", 1).cast("int").alias("width"),
+        F.element_at("features", 2).cast("int").alias("height"),
+        F.element_at("features", 4).cast("bigint").alias("sum_r"),
+    )
+
+
+@query(
     "events_funnel",
     oracle="""
     WITH u1 AS (
