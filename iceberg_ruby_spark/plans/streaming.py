@@ -350,6 +350,73 @@ def stream_cdc_pipeline(spark, sf_dir):
 
 
 @query(
+    "stream_upsert_sink",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 6 = 0 THEN length(text) + 2000
+                     WHEN doc_id % 3 = 0 THEN length(text) + 1000
+                     ELSE length(text) END AS BIGINT) AS v
+    FROM documents WHERE doc_id < 400
+    """,
+)
+def stream_upsert_sink(spark, sf_dir):
+    """The native streaming UPSERT sink end-to-end (r12, VERDICT r11 #5 —
+    streaming/sink.py ``mode=upsert``, Iceberg's Flink upsert sink shape):
+    three keyed waves land in a bronze table; each drain of the bronze
+    tail commits ONE equality-delete (the batch's identifier keys,
+    applies-to-scoped to pre-batch files) + ONE append into gold.
+    Re-delivered keys converge to last-write-wins, which the DuckDB twin
+    recomputes in closed form — a delete-scope or key-dedup bug leaves
+    stale versions alive and breaks the hash."""
+    import tempfile
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    bronze = cat.create_table(
+        "upsert_bronze", schema={"doc_id": "long", "v": "long"}
+    )
+    gold = cat.create_table(
+        "upsert_gold", schema={"doc_id": "long", "v": "long"}
+    )
+    gold.update_schema().set_identifier_fields("doc_id").commit()
+    gold = gold.refresh()
+    register_stream_source(spark)
+    ck = tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    length = F.length("text").cast("long")
+    waves = [
+        (docs, length),
+        (docs.filter(F.col("doc_id") % 3 == 0), length + 1000),
+        (docs.filter(F.col("doc_id") % 6 == 0), length + 2000),
+    ]
+    for src, val in waves:
+        bronze.append(src.select("doc_id", val.alias("v")))
+        drain()
+    return gold.refresh().to_df().select("doc_id", "v")
+
+
+@query(
     "stream_cdc_scd2",
     oracle="""
     WITH base AS (

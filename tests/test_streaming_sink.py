@@ -463,3 +463,102 @@ def test_sink_max_records_per_file(catalog, spark, tmp_path):
     t = t.refresh()
     assert len(t.scan().plan_files()) == 3
     assert sorted(r["k"] for r in t.to_a()) == list(range(100))
+
+
+def test_native_stream_writer_upsert(catalog, spark, tmp_path):
+    """r12 (VERDICT r11 #5): option('mode','upsert') — each micro-batch
+    commits ONE equality delete on the batch's identifier-field keys
+    (scoped to pre-batch files) + the batch's data files in a single
+    snapshot, the Flink upsert sink shape.  Keyed replays converge to
+    last-write-wins; restarts stay exactly-once; the batch's own rows
+    survive its delete."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    register_stream_source(spark)
+    bronze = catalog.create_table("up_bronze", schema={"k": "long", "v": "string"})
+    gold = catalog.create_table("up_gold", schema={"k": "long", "v": "string"})
+    gold.update_schema().set_identifier_fields("k").commit()
+    gold = gold.refresh()
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    bronze.append([{"k": 1, "v": "a1"}, {"k": 2, "v": "a2"}])
+    run()
+    assert {r["k"]: r["v"] for r in gold.refresh().to_a()} == {1: "a1", 2: "a2"}
+    # second batch: k=1 updates, k=3 inserts, k=5 collapses to its LAST
+    # in-batch occurrence.  One source file → one sink task: in-task row
+    # order is the file order (like Flink, cross-task duplicates within a
+    # batch are the keyed-stream contract — the caller's job)
+    bronze.append(
+        spark.createDataFrame(
+            [(1, "b1"), (3, "b3"), (5, "x"), (5, "y")], "k long, v string"
+        ).coalesce(1)
+    )
+    run()
+    gold = gold.refresh()
+    assert {r["k"]: r["v"] for r in gold.to_a()} == {
+        1: "b1", 2: "a2", 3: "b3", 5: "y"
+    }
+    # one snapshot per micro-batch, upsert-marked, exactly-once ids
+    marks = [
+        (s.summary.get("mode"), s.summary.get("streaming-batch-id"))
+        for s in gold.snapshots
+        if s.summary.get("streaming-sink-id")
+    ]
+    assert marks == [("streaming-upsert", "0"), ("streaming-upsert", "1")]
+    # the second batch carries an equality delete scoped to PRE-batch
+    # files only (the batch's own rows survived it)
+    eq = [
+        e
+        for e in gold._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert len(eq) == 1
+    assert eq[0]["equality-cols"] == ["k"]
+    batch0_paths = set(eq[0]["applies-to"])
+    live_paths = {e["path"] for e in gold._current_entries() if "path" in e}
+    assert batch0_paths < live_paths  # strict subset: new files not scoped
+    # restart with the same checkpoint: no new source data, nothing changes
+    n_snaps = len(gold.snapshots)
+    run()
+    gold = gold.refresh()
+    assert len(gold.snapshots) == n_snaps
+    assert {r["k"]: r["v"] for r in gold.to_a()} == {
+        1: "b1", 2: "a2", 3: "b3", 5: "y"
+    }
+
+
+def test_native_stream_writer_upsert_requires_identifier_fields(
+    catalog, spark, tmp_path
+):
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+    plain = catalog.create_table("up_plain", schema={"k": "int", "v": "string"})
+    with pytest.raises(InvalidDataError, match="identifier fields"):
+        EngineTableStreamWriter(
+            {"location": plain.ops.location, "mode": "upsert"},
+            plain.spark_schema(),
+            overwrite=False,
+        )
+    with pytest.raises(InvalidDataError, match="expected 'append' or 'upsert'"):
+        EngineTableStreamWriter(
+            {"location": plain.ops.location, "mode": "replace"},
+            plain.spark_schema(),
+            overwrite=False,
+        )
