@@ -562,3 +562,92 @@ def test_native_stream_writer_upsert_requires_identifier_fields(
             plain.spark_schema(),
             overwrite=False,
         )
+
+
+def test_upsert_sink_composes_with_changelog(catalog, spark, tmp_path):
+    """An upsert-fed table stays CDC-consumable: changelog_scan over the
+    upsert commits emits delete(old version) + insert(new version) —
+    the commit is structurally delta-derivable (data files + one
+    equality delete added, nothing removed), so the slices planner
+    never needs a content diff.  A plain append-mode tail over the same
+    table refuses (operation 'overwrite'), matching Iceberg's streaming
+    behavior on overwrite snapshots unless skip_rewrite_commits."""
+    import pyspark.sql.functions as F
+
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    register_stream_source(spark)
+    bronze = catalog.create_table("cu_bronze", schema={"k": "long", "v": "string"})
+    gold = catalog.create_table("cu_gold", schema={"k": "long", "v": "string"})
+    gold.update_schema().set_identifier_fields("k").commit()
+    gold = gold.refresh()
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    bronze.append([{"k": 1, "v": "a1"}, {"k": 2, "v": "a2"}])
+    run()
+    bronze.append([{"k": 1, "v": "b1"}, {"k": 3, "v": "b3"}])
+    run()
+    gold = gold.refresh()
+    ch = gold.changelog_scan().select("k", "v", "_change_type")
+    events = sorted((r["k"], r["v"], r["_change_type"]) for r in ch.collect())
+    assert events == [
+        (1, "a1", "delete"),  # old version dies in the upsert commit
+        (1, "a1", "insert"),  # batch 0 insert
+        (1, "b1", "insert"),  # batch 1 new version
+        (2, "a2", "insert"),
+        (3, "b3", "insert"),
+    ]
+    # net view: the a1 insert+delete cancel
+    net = sorted(
+        (r["k"], r["v"], r["_change_type"])
+        for r in gold.changelog_net()
+        .select("k", "v", "_change_type")
+        .collect()
+    )
+    assert net == [
+        (1, "b1", "insert"), (2, "a2", "insert"), (3, "b3", "insert")
+    ]
+    # a plain append-mode tail refuses the overwrite commit...
+    import pytest
+
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .load()
+        .writeStream.format("memory")
+        .queryName("cu_tail_refuse")
+        .start()
+    )
+    with pytest.raises(Exception, match="overwrite"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # ...and passes over it under skip_rewrite_commits (Iceberg's
+    # streaming-skip-overwrite-snapshots semantics)
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("skip_rewrite_commits", "true")
+        .load()
+        .writeStream.format("memory")
+        .queryName("cu_tail_skip")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM cu_tail_skip").first()[0] == 0
