@@ -5743,6 +5743,13 @@ class Table:
         - ``maintenance.compact.min-input-files=N``: :meth:`compact`
           when the live data-file count reaches N (trigger evaluated
           from manifest entries — metadata-only).
+        - ``maintenance.compact.min-delete-entries=N``: :meth:`compact`
+          when outstanding merge-on-read delete entries of ANY kind
+          reach N — the upsert-table pattern (r12): a streaming upsert
+          sink accrues one equality delete per micro-batch, every scan
+          pays the anti-join until compaction materializes them away
+          (Flink upsert tables schedule rewrite_data_files for exactly
+          this).
         - ``maintenance.rewrite-deletes.min-delete-files=N``:
           :meth:`rewrite_position_deletes` when positional delete files
           reach N.
@@ -5774,9 +5781,15 @@ class Table:
         data, mor = self._split_entries(entries)
         n_files = sum(1 for e in data if "path" in e)
         min_in = _int_prop("maintenance.compact.min-input-files")
-        if min_in is not None and n_files >= min_in:
+        min_mor = _int_prop("maintenance.compact.min-delete-entries")
+        fire_files = min_in is not None and n_files >= min_in
+        fire_mor = min_mor is not None and len(mor) >= min_mor
+        if fire_files or fire_mor:
             if dry_run:
-                report["compact"] = {"input_files": n_files}
+                report["compact"] = {
+                    "input_files": n_files,
+                    "input_delete_entries": len(mor),
+                }
             else:
                 self.compact()
                 summ = (self.current_snapshot() or Snapshot(
@@ -5784,6 +5797,7 @@ class Table:
                 )).summary
                 report["compact"] = {
                     "input_files": n_files,
+                    "input_delete_entries": len(mor),
                     "rewritten_data_files": summ.get(
                         "rewritten-data-files-count"
                     ),

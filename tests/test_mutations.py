@@ -638,3 +638,29 @@ def test_maintain_property_driven(catalog):
     cat = t.catalog
     res = cat.sql("CALL system.maintain('maint1', dry_run => true)").to_a()
     assert res and "steps" in res[0]
+
+
+def test_maintain_compact_on_delete_entries(catalog):
+    """r12: maintenance.compact.min-delete-entries fires compaction on
+    accumulated MoR deletes of any kind — the upsert-table nightly
+    (each streaming upsert batch adds one equality delete; compaction
+    materializes them away)."""
+    t = catalog.create_table("maint2", schema={"k": "int", "v": "string"})
+    t.append([{"k": i, "v": f"v{i}"} for i in range(10)])
+    t.update_properties({"maintenance.compact.min-delete-entries": "2"})
+    t = t.refresh()
+    t.delete_by_keys([(1,)], on="k")     # equality delete 1
+    assert t.refresh().maintain() == {}  # below threshold: no-op
+    t = t.refresh()
+    t.delete_by_keys([(2,)], on="k")     # equality delete 2
+    t = t.refresh()
+    plan = t.maintain(dry_run=True)
+    assert plan["compact"]["input_delete_entries"] == 2
+    rep = t.maintain()
+    t = t.refresh()
+    assert rep["compact"]["input_delete_entries"] == 2
+    # deletes materialized away; rows correct; no MoR entries remain
+    assert sorted(r["k"] for r in t.to_a()) == [0] + list(range(3, 10))
+    assert not [e for e in t._current_entries() if "path" not in e]
+    # settled: a second pass does not fire
+    assert "compact" not in t.maintain()
