@@ -746,6 +746,56 @@ class Catalog:
         r"(?:\s+WHERE\s+(?P<where>[^;]+?))?\s*;?\s*$",
         re.IGNORECASE,
     )
+    # the partition-histogram statement: SELECT col, COUNT(*) … GROUP BY
+    # col — served from manifest stats when every file is single-valued
+    # on col (identity-partitioned tables are, by construction)
+    _GROUP_COUNT_RE = re.compile(
+        r"^\s*SELECT\s+(?P<col>[A-Za-z_]\w*)(?:\s+AS\s+(?P<colalias>\w+))?"
+        r"\s*,\s*COUNT\s*\(\s*(?:\*|1)\s*\)"
+        r"(?:\s+AS\s+(?P<alias>\w+))?"
+        r"\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+WHERE\s+(?P<where>[^;]+?))?"
+        r"\s+GROUP\s+BY\s+(?P<grp>1|[A-Za-z_]\w*)\s*;?\s*$",
+        re.IGNORECASE,
+    )
+
+    def _sql_group_count_fast_path(self, m) -> Optional["Result"]:
+        """``SELECT col, COUNT(*) FROM tbl [WHERE p] GROUP BY col`` from
+        metadata (:meth:`TableScan.metadata_group_counts`), or None —
+        all-or-nothing like the scalar aggregate route."""
+        col, grp = m.group("col"), m.group("grp")
+        alias = m.group("colalias")
+        if grp.lower() not in ("1", col.lower(), (alias or col).lower()):
+            return None
+        try:
+            t = self.load_table(self._sql_table_ident(m.group("tbl")))
+        except Exception:
+            return None
+        where = m.group("where")
+        if where is not None and (
+            "$" in where or _parse_predicate(where) is None
+        ):
+            return None
+        field = t.current_schema().field_by_name(col)
+        if field is None:
+            return None
+        scan = t.scan()
+        if where is not None:
+            scan = scan.filter(where)
+        rows = scan.metadata_group_counts(col)
+        if rows is None:
+            return None
+        from pyspark.sql import types as ST
+
+        schema = ST.StructType(
+            [
+                ST.StructField(
+                    m.group("colalias") or col, field.to_spark().dataType
+                ),
+                ST.StructField(m.group("alias") or "count(1)", ST.LongType()),
+            ]
+        )
+        return Result(self.spark.createDataFrame(rows, schema))
 
     def _sql_agg_fast_path(self, m) -> Optional["Result"]:
         """Serve ``SELECT <aggs> FROM tbl [WHERE p]`` from metadata alone,
@@ -907,6 +957,11 @@ class Catalog:
         m = self._CALL_RE.match(query)
         if m:
             return self._sql_call(m.group(1), m.group(2))
+        m = self._GROUP_COUNT_RE.match(query)
+        if m and m.group("tbl").lower() not in ("dual",):
+            routed = self._sql_group_count_fast_path(m)
+            if routed is not None:
+                return routed
         m = self._AGG_STMT_RE.match(query)
         if m and m.group("tbl").lower() not in ("dual",):
             # metadata-served aggregate statements — Iceberg-Spark's

@@ -1178,6 +1178,52 @@ def engine_agg_pushdown(spark, sf_dir):
 
 
 @query(
+    "engine_partition_counts",
+    oracle="""
+    SELECT o_orderpriority AS pr,
+           CAST(SUM(CASE WHEN o_orderkey % 100 = 7 THEN 0 ELSE 1 END)
+                AS BIGINT) AS n
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority
+    """,
+)
+def engine_partition_counts(spark, sf_dir):
+    """Partition histogram from metadata (r12): ``SELECT col, COUNT(*)
+    GROUP BY col`` over an identity-partitioned table answers from
+    manifest stats alone — every file is single-valued on the partition
+    source (lower == upper by construction), and a deletion vector
+    subtracts from its referenced file's group exactly
+    (test_agg_pushdown.py proves the zero-read claim by deleting the
+    files).  The SQL route and the scan API must agree; the DuckDB twin
+    recomputes the histogram relationally."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_pc",
+        schema={"o_orderkey": "long", "o_orderpriority": "string"},
+        partition_spec=[("o_orderpriority", "identity")],
+    )
+    t.append(
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    t = t.refresh()
+    t.delete_where("o_orderkey % 100 = 7", mode="merge-on-read-dv")
+    t = t.refresh()
+    meta = t.scan().metadata_group_counts("o_orderpriority")
+    res = cat.sql(
+        "SELECT o_orderpriority AS pr, COUNT(*) AS n"
+        " FROM orders_pc GROUP BY o_orderpriority"
+    ).to_a()
+    # the statement must have been SERVED from metadata, and agree
+    assert meta is not None, "metadata group counts declined unexpectedly"
+    assert sorted((k, v) for k, v in meta) == sorted(
+        (r["pr"], r["n"]) for r in res
+    )
+    return spark.createDataFrame(meta, "pr string, n long")
+
+
+@query(
     "engine_cdc_scd2",
     oracle="""
     WITH base AS (

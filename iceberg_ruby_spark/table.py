@@ -287,6 +287,29 @@ def _local_path(p: str) -> str:
     return p
 
 
+def _spark_uri_path(p: str) -> str:
+    """A Spark-reported file URI (``_metadata.file_path``,
+    ``input_file_name``) as the LITERAL filesystem path the writer
+    created: scheme stripped, Hadoop's URI percent-encoding undone.  A
+    partition value with a space reports as ``%20`` and a literal ``%``
+    as ``%25``, so ``unquote`` is the exact inverse (r12: manifest
+    entries recording the encoded form made any space-bearing identity
+    partition unreadable — PATH_NOT_FOUND on a path that existed)."""
+    import urllib.parse
+
+    return urllib.parse.unquote(_local_path(p))
+
+
+def _file_path_col():
+    """Column twin of :func:`_spark_uri_path` for ``_metadata.file_path``
+    — scheme stripped, percent-decoding undone.  Literal ``+`` is
+    pre-escaped because Spark's ``url_decode`` (java URLDecoder) turns a
+    bare ``+`` into a space, which python's ``unquote`` (and Hadoop's
+    encoder) never produce."""
+    c = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+    return F.url_decode(F.regexp_replace(c, r"\+", "%2B"))
+
+
 class FsTableOps:
     """Table metadata operations over a :class:`~iceberg_ruby_spark.io.FileIO`
     (POSIX by default; the interface contract — conditional put for commits,
@@ -2945,9 +2968,7 @@ class Table:
         entries = []
         for r in rows:
             d = r.asDict()
-            path = d["__path"]
-            if path.startswith("file:"):
-                path = path[len("file:"):]
+            path = _spark_uri_path(d["__path"])
             lowers, uppers, nulls = {}, {}, {}
             for c in stat_cols:
                 mode = modes[c]
@@ -3128,7 +3149,7 @@ class Table:
                 )
                 cols = [pos_expr.alias(pos_col or "__mor_pos")] + cols
             if preds or dfiles or file_col:
-                path_col = F.regexp_replace(F.col("_metadata.file_path"), "^file:", "")
+                path_col = _file_path_col()
                 cols = [path_col.alias(file_col or "__mor_file")] + cols
             parts.append(df.select(*cols))
         out = parts[0]
@@ -4023,9 +4044,7 @@ class Table:
         strip = base + "/"
         del_entries = []
         for r in sorted(per_file, key=lambda r: r["__part"]):
-            part = r["__part"]
-            if part.startswith("file:"):
-                part = part[len("file:"):]
+            part = _spark_uri_path(r["__part"])
             del_entries.append(
                 {
                     "delete-file": part,
@@ -4805,9 +4824,7 @@ class Table:
         )
         out = []
         for r in sorted(per_file, key=lambda r: r["__part"]):
-            part = r["__part"]
-            if part.startswith("file:"):
-                part = part[len("file:"):]
+            part = _spark_uri_path(r["__part"])
             out.append(
                 {
                     "delete-file": part,
@@ -5652,9 +5669,7 @@ class Table:
         strip = base + "/"
         new_entries = []
         for r in sorted(per_file, key=lambda r: r["__part"]):
-            part = r["__part"]
-            if part.startswith("file:"):
-                part = part[len("file:"):]
+            part = _spark_uri_path(r["__part"])
             new_entries.append(
                 {
                     "delete-file": part,
@@ -7663,6 +7678,121 @@ class TableScan:
             (F.min(col) if fn == "MIN" else F.max(col)).alias("v")
         ).first()
         return row["v"]
+
+    # group-count types: _BOUND_EXACT_TYPES plus string — a stored
+    # lo == hi under truncate(N) metrics PROVES min == max (the upper
+    # bound of a longer-than-N max is prefix-BUMPED, so it can only equal
+    # the lower bound when the value is its own untruncated form)
+    _GROUP_EXACT_TYPES = ("int", "long", "date", "timestamp", "decimal", "string")
+
+    def metadata_group_counts(
+        self, col: str
+    ) -> Optional[list[tuple[Any, int]]]:
+        """``SELECT col, COUNT(*) … GROUP BY col`` from manifest stats
+        alone — the partition-histogram statement (Iceberg's partitions
+        metadata table answers the same shape), zero data files opened.
+
+        Provable when every data file is SINGLE-VALUED on ``col`` at the
+        stats level: lower == upper (an identity-partitioned table's
+        writers record exactly this for the partition source), an
+        all-NULL file contributes its rows to the NULL group, and a
+        mixed file (some nulls, one value) splits by its null count.
+        Filters classify files full-match/full-miss like
+        :meth:`metadata_aggs`; a deletion vector subtracts its exact
+        cardinality from its referenced file's group when that file has
+        zero nulls in ``col`` (the dead rows' group is then certain).
+        Anything else — a multi-valued file, float/double group column,
+        non-DV delete, missing stats — returns None and the caller runs
+        the scan.  Returns ``[(value, count), …]`` sorted with NULL
+        first, zero-count groups dropped."""
+        if self._limit is not None:
+            return None
+        field = self.table.current_schema().field_by_name(col)
+        if field is None or (
+            type(field.field_type).__name__.lower().replace("type", "")
+            not in self._GROUP_EXACT_TYPES
+        ):
+            return None
+        snap = self.snapshot()
+        if snap is None:
+            return []
+        trees = None
+        if self._filters:
+            trees = self._provable_filter_trees()
+            if trees is None:
+                return None
+        entries = self.table.ops.read_manifest(snap.manifest_list)
+        data, mor = Table._split_entries(entries)
+        if not all(
+            e.get("content") == "deletion-vector"
+            and e.get("deleted-records") is not None
+            for e in mor
+        ):
+            return None
+
+        def _decode(raw):
+            if isinstance(field.field_type, ice_t.StringType):
+                return raw if isinstance(raw, str) else None
+            return _typed_bound(raw, field.field_type)
+
+        counts: dict = {}
+        file_group: dict = {}  # abs path → (key, nulls_in_file, matched)
+        for e in data:
+            if "path" not in e or e.get("record-count") is None:
+                return None
+            rc = e["record-count"]
+            nc = (e.get("null-counts") or {}).get(col)
+            if nc is None:
+                return None
+            matched = True
+            if trees is not None:
+                if all(_bounds_all_match(e, t) for t in trees):
+                    matched = True
+                elif any(not _bounds_may_match(e, t) for t in trees):
+                    matched = False
+                else:
+                    return None  # the predicate splits this file
+            key = None
+            if nc < rc:  # at least one non-null value: must be single
+                lo = (e.get("lower-bounds") or {}).get(col)
+                hi = (e.get("upper-bounds") or {}).get(col)
+                if lo is None or hi is None or lo != hi:
+                    return None
+                key = _decode(lo)
+                if key is None:
+                    return None
+            file_group[self.table.ops._abs(e["path"])] = (key, nc, rc, matched)
+            if not matched:
+                continue
+            if nc:
+                counts[None] = counts.get(None, 0) + nc
+            if nc < rc:
+                counts[key] = counts.get(key, 0) + (rc - nc)
+        if mor:
+            refs = [
+                self.table.ops._abs(
+                    os.path.join(e["base-location"], e["referenced-data-file"])
+                    if e.get("base-location")
+                    else e["referenced-data-file"]
+                )
+                for e in mor
+            ]
+            if len(refs) != len(set(refs)) or not set(refs) <= set(file_group):
+                return None
+            for e, r in zip(mor, refs):
+                key, nc, rc, matched = file_group[r]
+                if not matched:
+                    continue  # dead rows were never counted
+                if nc == 0:
+                    dead_key = key  # every row (dead ones included) = key
+                elif nc == rc:
+                    dead_key = None  # all-NULL file: dead rows are NULLs
+                else:
+                    return None  # dead rows' group (value vs NULL) unknown
+                counts[dead_key] = counts.get(dead_key, 0) - e["deleted-records"]
+        out = [(k, n) for k, n in counts.items() if n > 0]
+        out.sort(key=lambda kv: (kv[0] is not None, kv[0]))
+        return out
 
     def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Drop files whose commit-time column bounds prove the scan's

@@ -386,3 +386,92 @@ def test_filtered_count_col_metadata(catalog):
     assert cat.sql(
         "SELECT COUNT(b) AS n FROM aggfc WHERE k < 10"
     ).to_a() == [{"n": 7}]
+
+
+def test_group_counts_partition_histogram(catalog):
+    """r12: SELECT col, COUNT(*) GROUP BY col from manifest stats — the
+    partition-histogram statement.  Identity-partitioned writers record
+    lower == upper for the partition source, so the histogram is
+    metadata-only: proven by deleting every data file first."""
+    t = catalog.create_table(
+        "agggc",
+        schema={"day": "string", "v": "long"},
+        partition_spec=[("day", "identity")],
+    )
+    t.append(
+        [{"day": f"d{i % 3}", "v": i} for i in range(30)]
+    )
+    t.append([{"day": "d9", "v": 100}])
+    t = t.refresh()
+    _drop_data_files(t)
+    got = t.scan().metadata_group_counts("day")
+    assert got == [("d0", 10), ("d1", 10), ("d2", 10), ("d9", 1)]
+    cat = t.catalog
+    assert cat.sql(
+        "SELECT day, COUNT(*) AS n FROM agggc GROUP BY day"
+    ).to_a() == [
+        {"day": "d0", "n": 10}, {"day": "d1", "n": 10},
+        {"day": "d2", "n": 10}, {"day": "d9", "n": 1},
+    ]
+    assert cat.sql(
+        "SELECT day, COUNT(1) FROM agggc GROUP BY 1"
+    ).to_a()[0] == {"day": "d0", "count(1)": 10}
+
+
+def test_group_counts_nulls_filters_and_fallbacks(catalog, spark):
+    """NULL group from all-null/mixed files; filters classify files;
+    multi-valued files and unprovable shapes return None (caller scans)."""
+    # multi-valued file declines (and the SQL route falls through to the
+    # generic scan) — generic SQL runs FIRST: view registration scans
+    # every table, so it must precede any table's file deletion below
+    t2 = catalog.create_table("agggc3", schema={"k": "long"})
+    t2.append(spark.createDataFrame([(1,), (2,)], "k long").coalesce(1))
+    assert t2.scan().metadata_group_counts("k") is None
+    assert t2.catalog.sql(
+        "SELECT k, COUNT(*) AS n FROM agggc3 GROUP BY k ORDER BY k"
+    ).rows == [[1, 1], [2, 1]]
+    # float group columns never serve from bounds
+    t3 = catalog.create_table("agggc4", schema={"x": "double"})
+    t3.append([{"x": 1.0}])
+    assert t3.scan().metadata_group_counts("x") is None
+    t = catalog.create_table("agggc2", schema={"k": "long", "v": "long"})
+    # coalesce(1): exactly ONE single-k-valued file per append, so the
+    # split-predicate case below is deterministic
+    for rows in (
+        [(1, i) for i in range(0, 10)],
+        [(2, i) for i in range(10, 30)],
+        [(None, i) for i in range(30, 35)],
+    ):
+        t.append(
+            spark.createDataFrame(rows, "k long, v long").coalesce(1)
+        )
+    t = t.refresh()
+    _drop_data_files(t)
+    assert t.scan().metadata_group_counts("k") == [(None, 5), (1, 10), (2, 20)]
+    # filtered: the v-range classifies every file
+    assert t.scan().filter("v < 10").metadata_group_counts("k") == [(1, 10)]
+    assert t.scan().filter("v >= 10").metadata_group_counts("k") == [
+        (None, 5), (2, 20)
+    ]
+    # a predicate that splits a file declines
+    assert t.scan().filter("v >= 5").metadata_group_counts("k") is None
+
+
+def test_group_counts_dv_subtraction(catalog):
+    """A DV subtracts from its referenced file's group when that file has
+    zero nulls (the dead rows' group is certain); mixed-null referenced
+    files decline."""
+    t = catalog.create_table(
+        "agggc5",
+        schema={"day": "string", "v": "long"},
+        partition_spec=[("day", "identity")],
+    )
+    t.append([{"day": f"d{i % 2}", "v": i} for i in range(20)])
+    assert t.delete_where("v = 0", mode="merge-on-read-dv") == 1  # day d0
+    t = t.refresh()
+    _drop_data_files(t)
+    _drop_data_files(t, suffix=".puffin")
+    assert t.scan().metadata_group_counts("day") == [("d0", 9), ("d1", 10)]
+    assert t.catalog.sql(
+        "SELECT day, COUNT(*) AS n FROM agggc5 GROUP BY day"
+    ).to_a() == [{"day": "d0", "n": 9}, {"day": "d1", "n": 10}]

@@ -518,3 +518,39 @@ def test_changelog_slices_type_fidelity(catalog):
     r = a[0]
     assert isinstance(r[1], dt.datetime) and isinstance(r[2], dt.date)
     assert isinstance(r[3], decimal.Decimal)
+
+
+def test_partition_values_with_uri_special_chars(catalog):
+    """r12 regression pin: Spark reports committed file paths URI-encoded
+    (space → %20, %25, literal +), and the manifest used to record that
+    encoded form — making any space-bearing identity partition
+    unreadable (PATH_NOT_FOUND on a path that existed).  Manifest paths
+    are now the literal filesystem paths; every Spark-side comparison
+    decodes _metadata.file_path the same way."""
+    t = catalog.create_table(
+        "uri_parts",
+        schema={"pr": "string", "k": "long"},
+        partition_spec=[("pr", "identity")],
+    )
+    t.append(
+        [
+            {"pr": "HAS SPACE", "k": 1},
+            {"pr": "plain", "k": 2},
+            {"pr": "p%25ct+plus", "k": 3},
+        ]
+    )
+    t = t.refresh()
+    assert sorted((r["pr"], r["k"]) for r in t.to_a()) == [
+        ("HAS SPACE", 1), ("p%25ct+plus", 3), ("plain", 2)
+    ]
+    # manifest paths are literal: stats collection found the files
+    assert all(
+        e["file-size-bytes"] for e in t._current_entries() if "path" in e
+    )
+    # MoR deletes key on the decoded path consistently
+    t.delete_where("k = 1", mode="merge-on-read-positional")
+    t = t.refresh()
+    t.delete_by_keys([(3,)], on="k")
+    t = t.refresh()
+    assert sorted((r["pr"], r["k"]) for r in t.to_a()) == [("plain", 2)]
+    assert t.scan().filter("pr = 'plain'").to_a() == [{"pr": "plain", "k": 2}]
