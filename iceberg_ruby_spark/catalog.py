@@ -743,9 +743,29 @@ class Catalog:
     _AGG_STMT_RE = re.compile(
         r"^\s*SELECT\s+(?P<items>[^;]+?)"
         r"\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+(?:FOR\s+)?(?P<tkind>SYSTEM_VERSION|VERSION|SYSTEM_TIME"
+        r"|TIMESTAMP)\s+AS\s+OF\s+(?P<tval>'(?:[^']|'')*'|\d+))?"
         r"(?:\s+WHERE\s+(?P<where>[^;]+?))?\s*;?\s*$",
         re.IGNORECASE,
     )
+
+    @staticmethod
+    def _time_travel_scan(t, m):
+        """A TableScan pinned per the statement's optional ``VERSION AS
+        OF`` / ``TIMESTAMP AS OF`` clause (a historical COUNT/MIN/MAX is
+        exactly as metadata-answerable as a current one — the r12 reason
+        the aggregate fast path understands the travel spellings)."""
+        kind, val = m.group("tkind"), m.group("tval")
+        if kind is None:
+            return t.scan()
+        if val.startswith("'"):
+            val = val[1:-1].replace("''", "'")
+            if kind.upper() in ("SYSTEM_VERSION", "VERSION"):
+                return t.scan(ref=val)  # branch/tag name
+            return t.scan(as_of=val)
+        if kind.upper() in ("SYSTEM_VERSION", "VERSION"):
+            return t.scan(snapshot_id=int(val))
+        return t.scan(as_of=int(val))
     # the partition-histogram statement: SELECT col, COUNT(*) … GROUP BY
     # col — served from manifest stats when every file is single-valued
     # on col (identity-partitioned tables are, by construction)
@@ -832,7 +852,10 @@ class Catalog:
             if col is not None and col not in fields_by_name:
                 return None
             agg_specs.append((fn, col))
-        scan = t.scan()
+        try:
+            scan = self._time_travel_scan(t, m)
+        except Exception:
+            return None  # unknown ref / bad timestamp → generic path errors
         if where is not None:
             scan = scan.filter(where)
         vals = scan.metadata_aggs(agg_specs)

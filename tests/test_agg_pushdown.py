@@ -475,3 +475,28 @@ def test_group_counts_dv_subtraction(catalog):
     assert t.catalog.sql(
         "SELECT day, COUNT(*) AS n FROM agggc5 GROUP BY day"
     ).to_a() == [{"day": "d0", "n": 9}, {"day": "d1", "n": 10}]
+
+
+def test_sql_agg_fast_path_time_travel(catalog):
+    """r12: VERSION/TIMESTAMP AS OF spellings ride the aggregate fast
+    path — a historical COUNT/MIN/MAX is exactly as metadata-answerable
+    as a current one.  Zero-read proven by deleting the files."""
+    t = catalog.create_table("aggtt", schema={"k": "long"})
+    t.append([{"k": i} for i in range(10)])
+    t = t.refresh()
+    s1 = t.current_snapshot_id
+    t.create_tag("v1")
+    t.append([{"k": i} for i in range(10, 30)])
+    t = t.refresh()
+    cat = t.catalog
+    _drop_data_files(t)
+    assert cat.sql(
+        f"SELECT COUNT(*) AS n, MAX(k) AS hi FROM aggtt VERSION AS OF {s1}"
+    ).to_a() == [{"n": 10, "hi": 9}]
+    assert cat.sql(
+        "SELECT COUNT(*) AS n FROM aggtt VERSION AS OF 'v1'"
+    ).to_a() == [{"n": 10}]
+    assert cat.sql(
+        f"SELECT COUNT(*) AS n FROM aggtt FOR SYSTEM_VERSION AS OF {s1}"
+    ).to_a() == [{"n": 10}]
+    assert cat.sql("SELECT COUNT(*) AS n FROM aggtt").to_a() == [{"n": 30}]
