@@ -774,6 +774,8 @@ class Catalog:
         r"\s*,\s*COUNT\s*\(\s*(?:\*|1)\s*\)"
         r"(?:\s+AS\s+(?P<alias>\w+))?"
         r"\s+FROM\s+(?P<tbl>[\w.]+)"
+        r"(?:\s+(?:FOR\s+)?(?P<tkind>SYSTEM_VERSION|VERSION|SYSTEM_TIME"
+        r"|TIMESTAMP)\s+AS\s+OF\s+(?P<tval>'(?:[^']|'')*'|\d+))?"
         r"(?:\s+WHERE\s+(?P<where>[^;]+?))?"
         r"\s+GROUP\s+BY\s+(?P<grp>1|[A-Za-z_]\w*)\s*;?\s*$",
         re.IGNORECASE,
@@ -799,7 +801,10 @@ class Catalog:
         field = t.current_schema().field_by_name(col)
         if field is None:
             return None
-        scan = t.scan()
+        try:
+            scan = self._time_travel_scan(t, m)
+        except Exception:
+            return None  # unknown ref / bad timestamp → generic path errors
         if where is not None:
             scan = scan.filter(where)
         rows = scan.metadata_group_counts(col)

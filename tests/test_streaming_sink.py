@@ -651,3 +651,97 @@ def test_upsert_sink_composes_with_changelog(catalog, spark, tmp_path):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) FROM cu_tail_skip").first()[0] == 0
+
+
+def test_native_stream_writer_upsert_partitioned_composite_key(
+    catalog, spark, tmp_path
+):
+    """Upsert sink over an identity-PARTITIONED gold table with a
+    COMPOSITE identifier key: data files land in partition layout, the
+    per-batch equality delete carries both key columns, and keyed waves
+    converge last-write-wins."""
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    register_stream_source(spark)
+    bronze = catalog.create_table(
+        "upc_bronze", schema={"region": "string", "k": "long", "v": "long"}
+    )
+    gold = catalog.create_table(
+        "upc_gold",
+        schema={"region": "string", "k": "long", "v": "long"},
+        partition_spec=[("region", "identity")],
+    )
+    gold.update_schema().set_identifier_fields("region", "k").commit()
+    gold = gold.refresh()
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    bronze.append(
+        [
+            {"region": "eu", "k": 1, "v": 10},
+            {"region": "us", "k": 1, "v": 20},
+            {"region": "eu", "k": 2, "v": 30},
+        ]
+    )
+    run()
+    # same k in another region is a DIFFERENT key (composite); eu/1 updates
+    bronze.append(
+        [{"region": "eu", "k": 1, "v": 11}, {"region": "ap", "k": 9, "v": 90}]
+    )
+    run()
+    gold = gold.refresh()
+    state = {
+        (r["region"], r["k"]): r["v"] for r in gold.to_a()
+    }
+    assert state == {
+        ("eu", 1): 11, ("us", 1): 20, ("eu", 2): 30, ("ap", 9): 90
+    }
+    eq = [
+        e for e in gold._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert eq and all(e["equality-cols"] == ["region", "k"] for e in eq)
+    # partition pruning still works over the upsert-written layout
+    assert {r["k"] for r in gold.scan().filter("region = 'eu'").to_a()} == {1, 2}
+
+
+def test_sql_group_counts_time_travel(catalog):
+    """r12: the partition-histogram route understands VERSION AS OF —
+    a historical histogram is as metadata-answerable as a current one."""
+    t = catalog.create_table(
+        "gctt",
+        schema={"pr": "string", "k": "long"},
+        partition_spec=[("pr", "identity")],
+    )
+    t.append([{"pr": f"p{i % 2}", "k": i} for i in range(10)])
+    t = t.refresh()
+    s1 = t.current_snapshot_id
+    t.append([{"pr": "p9", "k": 99}])
+    t = t.refresh()
+    import glob
+    import os
+
+    for p in glob.glob(
+        os.path.join(t.ops.data_dir, "**", "*.parquet"), recursive=True
+    ):
+        os.remove(p)
+    cat = t.catalog
+    assert cat.sql(
+        f"SELECT pr, COUNT(*) AS n FROM gctt VERSION AS OF {s1} GROUP BY pr"
+    ).to_a() == [{"pr": "p0", "n": 5}, {"pr": "p1", "n": 5}]
+    assert cat.sql(
+        "SELECT pr, COUNT(*) AS n FROM gctt GROUP BY pr"
+    ).to_a() == [{"pr": "p0", "n": 5}, {"pr": "p1", "n": 5}, {"pr": "p9", "n": 1}]
