@@ -745,3 +745,57 @@ def test_sql_group_counts_time_travel(catalog):
     assert cat.sql(
         "SELECT pr, COUNT(*) AS n FROM gctt GROUP BY pr"
     ).to_a() == [{"pr": "p0", "n": 5}, {"pr": "p1", "n": 5}, {"pr": "p9", "n": 1}]
+
+
+def test_upsert_sink_to_changelog_stream_replica(catalog, spark, tmp_path):
+    """The full CDC loop over an upsert-fed table: keyed waves enter gold
+    through the native upsert sink, a CHANGELOG STREAM replicates gold
+    into a replica via per-batch apply_changelog merges — the replica
+    must converge to gold's exact last-write-wins state.  Pins that the
+    stream planner consumes upsert commits (data files + equality delete
+    per commit) structurally, including across restarts."""
+    from iceberg_ruby_spark.streaming import (
+        register_stream_source,
+        stream_changelog_apply,
+    )
+
+    register_stream_source(spark)
+    bronze = catalog.create_table("ucl_bronze", schema={"k": "long", "v": "long"})
+    gold = catalog.create_table("ucl_gold", schema={"k": "long", "v": "long"})
+    gold.update_schema().set_identifier_fields("k").commit()
+    gold = gold.refresh()
+    replica = catalog.create_table("ucl_rep", schema={"k": "long", "v": "long"})
+    up_ck = str(tmp_path / "up_ck")
+    cl_ck = str(tmp_path / "cl_ck")
+
+    def upsert_drain():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("checkpointLocation", up_ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    # wave 1 in, replicate
+    bronze.append([{"k": i, "v": i} for i in range(10)])
+    upsert_drain()
+    q = stream_changelog_apply(spark, gold.refresh(), replica, "k", cl_ck)
+    q.awaitTermination()
+    assert sorted((r["k"], r["v"]) for r in replica.refresh().to_a()) == [
+        (i, i) for i in range(10)
+    ]
+    # wave 2: updates + inserts, replicate incrementally (same checkpoint)
+    bronze.append([{"k": 3, "v": 333}, {"k": 7, "v": 777}, {"k": 20, "v": 20}])
+    upsert_drain()
+    q = stream_changelog_apply(spark, gold.refresh(), replica.refresh(), "k", cl_ck)
+    q.awaitTermination()
+    gold_state = sorted((r["k"], r["v"]) for r in gold.refresh().to_a())
+    rep_state = sorted((r["k"], r["v"]) for r in replica.refresh().to_a())
+    assert rep_state == gold_state
+    assert dict(gold_state)[3] == 333 and dict(gold_state)[20] == 20
