@@ -765,7 +765,9 @@ class Catalog:
             return t.scan(as_of=val)
         if kind.upper() in ("SYSTEM_VERSION", "VERSION"):
             return t.scan(snapshot_id=int(val))
-        return t.scan(as_of=int(val))
+        # bare numeric TIMESTAMP literal: Spark's numeric→timestamp cast
+        # is epoch-SECONDS; the engine's as_of ints are epoch-millis
+        return t.scan(as_of=int(val) * 1000)
     # the partition-histogram statement: SELECT col, COUNT(*) … GROUP BY
     # col — served from manifest stats when every file is single-valued
     # on col (identity-partitioned tables are, by construction)
@@ -1053,9 +1055,15 @@ class Catalog:
                     df = tbl.to_df(snapshot_id=int(lit))
                     view = f"{name.replace('.', '_')}__v{lit}"
             else:
-                ts = lit[1:-1].replace("''", "'")
+                if lit.startswith("'"):
+                    ts = lit[1:-1].replace("''", "'")
+                else:
+                    # bare numeric literal: Spark casts it as epoch-
+                    # SECONDS (the old lit[1:-1] stripped the first and
+                    # last DIGIT of an unquoted literal — r12 review)
+                    ts = int(lit) * 1000  # engine as_of ints = epoch-ms
                 df = tbl.to_df(as_of=ts)
-                view = f"{name.replace('.', '_')}__t{abs(hash(ts))}"
+                view = f"{name.replace('.', '_')}__t{abs(hash(str(ts)))}"
             df.createOrReplaceTempView(view)
             return view
 

@@ -150,21 +150,32 @@ def _ppm_features(payload: bytes) -> list[float]:
     ]
 
 
-def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resample of a P6 PPM: destination pixel
-    (x, y) copies source pixel (x*src_w // width, y*src_h // height) —
-    the standard floor mapping — and re-encodes as P6."""
-    if payload is None:
-        return None
-    sw, sh, maxval, raster = decode_ppm(payload)
+def _resample_raster(
+    raster: bytes, sw: int, sh: int, ch: int, width: int, height: int
+) -> bytes:
+    """THE nearest-neighbor floor mapping every resizer shares —
+    destination (x, y) copies source (x*sw // width, y*sh // height).
+    One implementation keeps the PPM/PNG/JPEG resizers' cross-format
+    oracle parity by construction (r12 review)."""
     out = bytearray()
     for y in range(height):
         sy = y * sh // height
         for x in range(width):
             sx = x * sw // width
-            p = 3 * (sy * sw + sx)
-            out += raster[p : p + 3]
-    return encode_ppm(width, height, bytes(out), maxval)
+            p = ch * (sy * sw + sx)
+            out += raster[p : p + ch]
+    return bytes(out)
+
+
+def resize_ppm_nearest(payload: bytes, width: int, height: int) -> bytes:
+    """REAL nearest-neighbor resample of a P6 PPM (the shared
+    :func:`_resample_raster` floor mapping), re-encoded as P6."""
+    if payload is None:
+        return None
+    sw, sh, maxval, raster = decode_ppm(payload)
+    return encode_ppm(
+        width, height, _resample_raster(raster, sw, sh, 3, width, height), maxval
+    )
 
 
 # -- container metadata probes (pure python, header-only) --------------------
@@ -662,21 +673,16 @@ def _png_features(payload: bytes) -> list[float]:
 
 
 def resize_png_nearest(payload: bytes, width: int, height: int) -> bytes:
-    """REAL nearest-neighbor resample of an 8-bit RGB/RGBA PNG —
-    destination (x, y) copies source (x*src_w // width, y*src_h //
-    height), the same floor mapping as the PPM resizer — re-encoded as
-    an unfiltered PNG."""
+    """REAL nearest-neighbor resample of an 8-bit RGB/RGBA PNG (the
+    shared :func:`_resample_raster` floor mapping), re-encoded as an
+    unfiltered PNG."""
     if payload is None:
         return None
     sw, sh, ch, raster = decode_png(payload)
-    out = bytearray()
-    for y in range(height):
-        sy = y * sh // height
-        for x in range(width):
-            sx = x * sw // width
-            p = ch * (sy * sw + sx)
-            out += raster[p : p + ch]
-    return encode_png(width, height, bytes(out), channels=ch)
+    return encode_png(
+        width, height, _resample_raster(raster, sw, sh, ch, width, height),
+        channels=ch,
+    )
 
 
 # -- JPEG codec (pure python + numpy, ITU-T T.81 baseline) -------------------
@@ -1395,18 +1401,11 @@ def resize_jpeg_nearest(payload: bytes, width: int, height: int) -> bytes:
     if payload is None:
         return None
     sw, sh, ch, raster = decode_jpeg(payload)
-    out = bytearray()
-    for y in range(height):
-        sy = y * sh // height
-        for x in range(width):
-            sx = x * sw // width
-            if ch == 1:
-                v = raster[sy * sw + sx]
-                out += bytes((v, v, v))
-            else:
-                p = 3 * (sy * sw + sx)
-                out += raster[p : p + 3]
-    return encode_jpeg(width, height, bytes(out))
+    if ch == 1:  # grayscale re-encodes as gray-valued RGB
+        raster = bytes(b for v in raster for b in (v, v, v))
+    return encode_jpeg(
+        width, height, _resample_raster(raster, sw, sh, 3, width, height)
+    )
 
 
 _RESIZERS = {

@@ -423,16 +423,21 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         keys' per-column [min, max] + null presence so the driver can
         bounds-prune the delete's ``applies-to`` file scope instead of
         naming every live file."""
+        import numpy as np
         import pyarrow as pa
         import pyarrow.compute as pc
         import pyarrow.parquet as pq
 
-        last: dict = {}
-        key_cols = {c: tbl.column(c).to_pylist() for c in self._eq_cols}
-        for i in range(tbl.num_rows):
-            last[tuple(key_cols[c][i] for c in self._eq_cols)] = i
-        if len(last) < tbl.num_rows:
-            tbl = tbl.take(pa.array(sorted(last.values())))
+        # keep-last per key, vectorized: max row index per key group
+        # (Arrow group_by keys null-safely, matching eqNullSafe) — no
+        # per-row Python on the per-task hot path (r12 review)
+        idx_tbl = tbl.select(self._eq_cols).append_column(
+            "__idx", pa.array(np.arange(tbl.num_rows, dtype=np.int64))
+        )
+        last = idx_tbl.group_by(self._eq_cols).aggregate([("__idx", "max")])
+        if last.num_rows < tbl.num_rows:
+            keep = np.sort(last.column("__idx_max").to_numpy())
+            tbl = tbl.take(pa.array(keep))
         keys = tbl.select(self._eq_cols).cast(
             pa.schema([self._arrow_schema.field(c) for c in self._eq_cols])
         )

@@ -6654,6 +6654,21 @@ def _bounds_all_match(entry: dict[str, Any], node) -> bool:
     return False
 
 
+def _classify_entry(entry: dict[str, Any], trees) -> Optional[bool]:
+    """Full-match/full-miss/split classification shared by every
+    metadata aggregate route (COUNT/MIN/MAX/group counts): True = every
+    row provably satisfies the filters (or there are none), False =
+    provably zero rows do, None = the predicate SPLITS the file — not
+    provable, the caller must decline to the executed scan."""
+    if trees is None:
+        return True
+    if all(_bounds_all_match(entry, t) for t in trees):
+        return True
+    if any(not _bounds_may_match(entry, t) for t in trees):
+        return False
+    return None
+
+
 def _tree_columns(node) -> set:
     """Column names referenced by a parsed predicate tree."""
     if node[0] in ("and", "or"):
@@ -7540,66 +7555,74 @@ class TableScan:
             vals.append(v)
         return vals
 
-    def _meta_count(self, data, mor, trees, col):
-        """COUNT from pre-read manifest entries, or ``_UNPROVABLE``.
-        ``trees`` None = unfiltered; see :meth:`count` for the proof
-        obligations (DV-exactness, full-match/full-miss classification,
-        the COUNT(col) null-count requirement)."""
-        U = TableScan._UNPROVABLE
-        for e in data:
-            if "path" not in e or e.get("record-count") is None:
-                return U
-        if col is not None:
-            if mor:
-                return U  # a delete kills rows without recording NULL-ness
-            total = 0
-            for e in data:
-                nc = (e.get("null-counts") or {}).get(col)
-                if nc is None:
-                    return U
-                if trees is not None:
-                    if all(_bounds_all_match(e, t) for t in trees):
-                        total += e["record-count"] - nc
-                    elif any(not _bounds_may_match(e, t) for t in trees):
-                        continue  # provably zero matching rows
-                    else:
-                        return U  # the predicate splits this file
-                else:
-                    total += e["record-count"] - nc
-            return total
-        # COUNT(*): only deletion vectors have the exactness guarantee
+    def _dv_refs(self, mor) -> Optional[list]:
+        """One absolute referenced-data-file path per MoR entry, or None
+        when any entry is not a cardinality-bearing deletion vector or a
+        reference repeats (over-subtraction hazard) — the shared guard of
+        every DV-exact metadata aggregate."""
         if not all(
             e.get("content") == "deletion-vector"
             and e.get("deleted-records") is not None
             for e in mor
         ):
+            return None
+        refs = [
+            self.table.ops._abs(
+                os.path.join(e["base-location"], e["referenced-data-file"])
+                if e.get("base-location")
+                else e["referenced-data-file"]
+            )
+            for e in mor
+        ]
+        if len(refs) != len(set(refs)):
+            return None
+        return refs
+
+    def _meta_count(self, data, mor, trees, col):
+        """COUNT from pre-read manifest entries, or ``_UNPROVABLE``.
+        ``trees`` None = unfiltered; see :meth:`count` for the proof
+        obligations (DV-exactness, full-match/full-miss classification,
+        the COUNT(col) null-count requirement).  Stats are demanded only
+        of files that CONTRIBUTE — a stats-less file the filter provably
+        excludes cannot demote the answer (r12 review)."""
+        U = TableScan._UNPROVABLE
+        if col is not None:
+            if mor:
+                return U  # a delete kills rows without recording NULL-ness
+            total = 0
+            for e in data:
+                m = _classify_entry(e, trees)
+                if m is None:
+                    return U  # the predicate splits this file
+                if not m:
+                    continue  # provably zero matching rows
+                rc = e.get("record-count")
+                nc = (e.get("null-counts") or {}).get(col)
+                if "path" not in e or rc is None or nc is None:
+                    return U
+                total += rc - nc
+            return total
+        # COUNT(*): only deletion vectors have the exactness guarantee
+        refs = self._dv_refs(mor) if mor else []
+        if refs is None:
             return U
         matched: dict[str, bool] = {}  # abs data path → counted?
         total = 0
         for e in data:
-            if trees is None:
-                m = True
-            elif all(_bounds_all_match(e, t) for t in trees):
-                m = True
-            elif any(not _bounds_may_match(e, t) for t in trees):
-                m = False
-            else:
+            if "path" not in e:
+                return U  # pathless legacy entry: can't key DV references
+            m = _classify_entry(e, trees)
+            if m is None:
                 return U  # the predicate splits this file
             matched[self.table.ops._abs(e["path"])] = m
             if m:
-                total += e["record-count"]
-        if mor:
-            # soundness guard: every DV must reference a live data file,
-            # once (a stale or duplicated DV would over-subtract)
-            refs = [
-                self.table.ops._abs(
-                    os.path.join(e["base-location"], e["referenced-data-file"])
-                    if e.get("base-location")
-                    else e["referenced-data-file"]
-                )
-                for e in mor
-            ]
-            if len(refs) != len(set(refs)) or not set(refs) <= set(matched):
+                rc = e.get("record-count")
+                if rc is None:
+                    return U
+                total += rc
+        if refs:
+            # soundness guard: every DV must reference a live data file
+            if not set(refs) <= set(matched):
                 return U
             # a DV's dead rows live entirely in its referenced file: they
             # were all counted iff that file full-matched (r12)
@@ -7633,13 +7656,11 @@ class TableScan:
             return U
         vals = []
         for e in data:
-            if trees is not None:
-                if all(_bounds_all_match(e, t) for t in trees):
-                    pass  # every row of this file matches — eligible
-                elif any(not _bounds_may_match(e, t) for t in trees):
-                    continue  # no row matches — contributes nothing
-                else:
-                    return U  # the predicate splits this file
+            m = _classify_entry(e, trees)
+            if m is None:
+                return U  # the predicate splits this file
+            if not m:
+                continue  # no row matches — contributes nothing
             b = (e.get("lower-bounds" if lo else "upper-bounds") or {}).get(col)
             if b is not None:
                 vals.append(b)
@@ -7723,12 +7744,6 @@ class TableScan:
                 return None
         entries = self.table.ops.read_manifest(snap.manifest_list)
         data, mor = Table._split_entries(entries)
-        if not all(
-            e.get("content") == "deletion-vector"
-            and e.get("deleted-records") is not None
-            for e in mor
-        ):
-            return None
 
         def _decode(raw):
             if isinstance(field.field_type, ice_t.StringType):
@@ -7736,22 +7751,24 @@ class TableScan:
             return _typed_bound(raw, field.field_type)
 
         counts: dict = {}
-        file_group: dict = {}  # abs path → (key, nulls_in_file, matched)
+        file_group: dict = {}  # abs path → (key, nulls, records, matched)
         for e in data:
-            if "path" not in e or e.get("record-count") is None:
-                return None
-            rc = e["record-count"]
+            if "path" not in e:
+                return None  # pathless legacy entry: can't key DV refs
+            m = _classify_entry(e, trees)
+            if m is None:
+                return None  # the predicate splits this file
+            if not m:
+                # provably zero contributing rows: no stats demanded of a
+                # file the filter excludes (r12 review)
+                file_group[self.table.ops._abs(e["path"])] = (
+                    None, None, None, False
+                )
+                continue
+            rc = e.get("record-count")
             nc = (e.get("null-counts") or {}).get(col)
-            if nc is None:
+            if rc is None or nc is None:
                 return None
-            matched = True
-            if trees is not None:
-                if all(_bounds_all_match(e, t) for t in trees):
-                    matched = True
-                elif any(not _bounds_may_match(e, t) for t in trees):
-                    matched = False
-                else:
-                    return None  # the predicate splits this file
             key = None
             if nc < rc:  # at least one non-null value: must be single
                 lo = (e.get("lower-bounds") or {}).get(col)
@@ -7761,23 +7778,14 @@ class TableScan:
                 key = _decode(lo)
                 if key is None:
                     return None
-            file_group[self.table.ops._abs(e["path"])] = (key, nc, rc, matched)
-            if not matched:
-                continue
+            file_group[self.table.ops._abs(e["path"])] = (key, nc, rc, True)
             if nc:
                 counts[None] = counts.get(None, 0) + nc
             if nc < rc:
                 counts[key] = counts.get(key, 0) + (rc - nc)
         if mor:
-            refs = [
-                self.table.ops._abs(
-                    os.path.join(e["base-location"], e["referenced-data-file"])
-                    if e.get("base-location")
-                    else e["referenced-data-file"]
-                )
-                for e in mor
-            ]
-            if len(refs) != len(set(refs)) or not set(refs) <= set(file_group):
+            refs = self._dv_refs(mor)
+            if refs is None or not set(refs) <= set(file_group):
                 return None
             for e, r in zip(mor, refs):
                 key, nc, rc, matched = file_group[r]

@@ -93,6 +93,11 @@ def main() -> None:
     # its delete must scope to the files whose bounds overlap it (the
     # full-corpus file), not every live file
     lo = n_keys * 4 // 5
+    before = {
+        e["delete-file"]
+        for e in gold.refresh()._current_entries()
+        if e.get("content") == "equality-deletes"
+    }
     bronze.append(
         docs.filter(F.col("doc_id") >= lo).select(
             "doc_id", (F.col("v") + 99_000).alias("v")
@@ -104,12 +109,17 @@ def main() -> None:
     eqs = [
         e for e in g._current_entries() if e.get("content") == "equality-deletes"
     ]
+    # the pruning claim is about THIS wave's delete specifically — earlier
+    # waves' deletes were scoped against smaller tables and would mask a
+    # pruning regression if min'd over (r12 review)
+    new_eqs = [e for e in eqs if e["delete-file"] not in before]
+    assert new_eqs, "the disjoint wave committed no equality delete"
+    disjoint_scope = max(len(e.get("applies-to") or []) for e in new_eqs)
     scopes = sorted(len(e.get("applies-to") or []) for e in eqs)
-    disjoint_scope = min(scopes)
     print(
         f"disjoint wave: keys>={lo} drain {wall:.2f}s  live_files "
-        f"{len(live)}  scopes {scopes} (bounds-pruned min {disjoint_scope} "
-        f"< live {len(live)})",
+        f"{len(live)}  scopes {scopes} (this wave's delete scoped to "
+        f"{disjoint_scope} of {len(live)})",
         flush=True,
     )
     assert disjoint_scope < len(live), "bounds pruning had no effect"

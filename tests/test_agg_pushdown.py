@@ -500,3 +500,29 @@ def test_sql_agg_fast_path_time_travel(catalog):
         f"SELECT COUNT(*) AS n FROM aggtt FOR SYSTEM_VERSION AS OF {s1}"
     ).to_a() == [{"n": 10}]
     assert cat.sql("SELECT COUNT(*) AS n FROM aggtt").to_a() == [{"n": 30}]
+
+
+def test_sql_numeric_timestamp_as_of(catalog):
+    """r12 review: a bare numeric TIMESTAMP AS OF literal is epoch-
+    SECONDS (Spark's numeric→timestamp cast), on the fast path AND the
+    generic rewrite (which used to strip the first and last DIGIT of an
+    unquoted literal)."""
+    import time
+
+    t = catalog.create_table("aggnts", schema={"k": "long"})
+    t.append([{"k": 1}, {"k": 2}])
+    t = t.refresh()
+    cut_s = t.current_snapshot().timestamp_ms // 1000 + 1
+    time.sleep(1.2)  # the next commit must land in a LATER second
+    t.append([{"k": 3}])
+    t = t.refresh()
+    cat = t.catalog
+    # fast path (provable COUNT)
+    assert cat.sql(
+        f"SELECT COUNT(*) AS n FROM aggnts TIMESTAMP AS OF {cut_s}"
+    ).to_a() == [{"n": 2}]
+    # generic path (SUM is outside the fast path) — same literal
+    assert cat.sql(
+        f"SELECT SUM(k) AS s FROM aggnts TIMESTAMP AS OF {cut_s}"
+    ).rows == [[3]]
+    assert cat.sql("SELECT COUNT(*) AS n FROM aggnts").to_a() == [{"n": 3}]
