@@ -455,6 +455,18 @@ def test_group_counts_nulls_filters_and_fallbacks(catalog, spark):
     ]
     # a predicate that splits a file declines
     assert t.scan().filter("v >= 5").metadata_group_counts("k") is None
+    # r12 review: a MULTI-VALUED file the filter provably EXCLUDES does
+    # not demote — stats are demanded only of contributing files
+    t.append(
+        spark.createDataFrame(
+            [(7, 100), (8, 101)], "k long, v long"
+        ).coalesce(1)
+    )
+    t = t.refresh()
+    assert t.scan().filter("v < 50").metadata_group_counts("k") == [
+        (None, 5), (1, 10), (2, 20)
+    ]
+    assert t.scan().metadata_group_counts("k") is None  # unfiltered: split
 
 
 def test_group_counts_dv_subtraction(catalog):
