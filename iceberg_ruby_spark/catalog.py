@@ -716,6 +716,9 @@ class Catalog:
     _SHOW_CREATE_RE = re.compile(
         r"^\s*SHOW\s+CREATE\s+TABLE\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
     )
+    _SHOW_PARTITIONS_RE = re.compile(
+        r"^\s*SHOW\s+PARTITIONS\s+([\w.]+)\s*;?\s*$", re.IGNORECASE
+    )
     _SHOW_PROPS_RE = re.compile(
         r"^\s*SHOW\s+TBLPROPERTIES\s+([\w.]+)"
         r"(?:\s*\(\s*'((?:[^']|'')*)'\s*\))?\s*;?\s*$",
@@ -953,6 +956,25 @@ class Catalog:
                 self.spark.createDataFrame(
                     [(self._show_create_ddl(t, m.group(1)),)],
                     "createtab_stmt string",
+                )
+            )
+        m = self._SHOW_PARTITIONS_RE.match(query)
+        if m:
+            # Spark's SHOW PARTITIONS spelling over the partitions
+            # metadata table — name=value strings, metadata-only
+            t = self.load_table(self._sql_table_ident(m.group(1)))
+            rows = sorted(
+                (
+                    "/".join(f"{k}={v}" for k, v in sorted(r["partition"].items())),
+                    r["record_count"],
+                    r["file_count"],
+                )
+                for r in t.inspect.partitions().collect()
+            )
+            return Result(
+                self.spark.createDataFrame(
+                    rows,
+                    "partition string, record_count long, file_count long",
                 )
             )
         m = self._DESCRIBE_RE.match(query)

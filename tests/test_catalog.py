@@ -605,3 +605,22 @@ def test_hint_recovery_list_and_drop(catalog):
     catalog.drop_table("hintless2")
     assert not catalog.table_exists("hintless2")
     assert ["hintless2"] not in [i[-1:] for i in catalog.list_tables()]
+
+
+def test_show_partitions(catalog):
+    """r12: Spark's SHOW PARTITIONS spelling over the partitions metadata
+    table — name=value strings + per-partition counts, metadata-only."""
+    t = catalog.create_table(
+        "shp",
+        schema={"pr": "string", "k": "long"},
+        partition_spec=[("pr", "identity")],
+    )
+    t.append([{"pr": f"p{i % 2}", "k": i} for i in range(10)])
+    assert catalog.sql("SHOW PARTITIONS shp").to_a() == [
+        {"partition": "pr=p0", "record_count": 5, "file_count": 1},
+        {"partition": "pr=p1", "record_count": 5, "file_count": 1},
+    ]
+    u = catalog.create_table("shp_un", schema={"k": "long"})
+    u.append([{"k": 1}])
+    rows = catalog.sql("SHOW PARTITIONS shp_un").to_a()
+    assert rows == [{"partition": "", "record_count": 1, "file_count": 1}]
