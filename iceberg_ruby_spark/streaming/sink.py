@@ -86,7 +86,13 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         # data files, in a single snapshot.  Requires identifier fields;
         # like Flink's upsert sink, the stream must be keyed so one batch
         # holds at most one row per key across tasks (within a task,
-        # last row wins).
+        # last row wins).  Rides outputMode("append") with CDC-shaped
+        # input: Spark's Python DataSource table does not implement
+        # SupportsStreamingUpdateAsAppend, so outputMode("update") —
+        # e.g. a streaming aggregation — cannot reach ANY python sink
+        # (verified: "iceberg_table does not support Update mode" raised
+        # Spark-side); continuous aggregations materialize via
+        # foreachBatch + merge or MaterializedAggregate instead.
         self.mode = str(options.get("mode", "append")).lower()
         if self.mode not in ("append", "upsert"):
             raise InvalidDataError(
