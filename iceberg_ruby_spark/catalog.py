@@ -960,8 +960,13 @@ class Catalog:
             )
         m = self._SHOW_PARTITIONS_RE.match(query)
         if m:
-            # Spark's SHOW PARTITIONS spelling over the partitions
-            # metadata table — name=value strings, metadata-only
+            # SHOW PARTITIONS spelling over the partitions metadata
+            # table — name=value strings plus per-partition counts,
+            # metadata-only.  Deliberate deviations from Spark's
+            # statement: an unpartitioned table answers one summary row
+            # (partition='') instead of raising, and record_count/
+            # file_count columns ride along — closer to Iceberg's
+            # `$partitions` table than to Spark's bare listing.
             t = self.load_table(self._sql_table_ident(m.group(1)))
             rows = sorted(
                 (

@@ -1401,11 +1401,13 @@ def resize_jpeg_nearest(payload: bytes, width: int, height: int) -> bytes:
     if payload is None:
         return None
     sw, sh, ch, raster = decode_jpeg(payload)
-    if ch == 1:  # grayscale re-encodes as gray-valued RGB
-        raster = bytes(b for v in raster for b in (v, v, v))
-    return encode_jpeg(
-        width, height, _resample_raster(raster, sw, sh, 3, width, height)
-    )
+    out = _resample_raster(raster, sw, sh, ch, width, height)
+    if ch == 1:
+        # grayscale re-encodes as gray-valued RGB — expand the
+        # DESTINATION raster only (a 12MP→thumbnail downscale must not
+        # triple the source first; r12 review)
+        out = bytes(b for v in out for b in (v, v, v))
+    return encode_jpeg(width, height, out)
 
 
 _RESIZERS = {
