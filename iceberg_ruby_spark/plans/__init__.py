@@ -29,9 +29,9 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 # The correctness driver checks queries in registration order and has a
 # bounded budget (50 per round).  Round-12 rotation (VERDICT r11 item 1):
 # (0) MUST-CHECK: the 13 TPC-H rows deferred since r7 (the mandatory
-#     tier-0 head, VERDICT r11 verbatim), the three queries NEW in r12
+#     tier-0 head, VERDICT r11 verbatim), the four queries NEW in r12
 #     (multimodal_frames_codec_dedup, stream_upsert_sink,
-#     engine_partition_counts), and every
+#     engine_partition_counts, engine_show_partitions), and every
 #     query whose CODE or ORACLE changed in r12 — engine_agg_pushdown
 #     (all-or-nothing metadata_aggs + DV-aware filtered COUNT, oracle
 #     extended), the sample_frames signature (both frame queries),
@@ -41,8 +41,8 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 # (1) the r8-aged cohort (45 queries, last checked in CORRECTNESS_r08),
 #     riskiest first: dedup/embedding/engine/events/skew operator
 #     queries, then TPC-H aggregates, then window/grouping scalars.
-#     The budget fits 28 of the 44 remaining members; the 16 deferred
-#     (agg_having, correlated_exists, count_distinct_by_group,
+#     The budget fits 27 of the 44 remaining members; the 17 deferred
+#     (agg_global, agg_having, correlated_exists, count_distinct_by_group,
 #     cte_join_agg, distinct_pairs, in_subquery, join_anti,
 #     join_broadcast_dim, join_cross, join_full_outer, join_inner_agg,
 #     join_left_zero_counts, join_right, join_semi, scalar_subquery,
@@ -63,7 +63,7 @@ _NEVER_DRIVER_CHECKED = [
     "q21_waiting_suppliers", "q22_idle_rich_customers",
     # new in r12 (never driver-checked by definition)
     "multimodal_frames_codec_dedup", "stream_upsert_sink",
-    "engine_partition_counts",
+    "engine_partition_counts", "engine_show_partitions",
     # changed in r12: all-or-nothing metadata_aggs + DV-aware filtered
     # COUNT (code + oracle extended)
     "engine_agg_pushdown",
@@ -89,7 +89,6 @@ _LAST_CHECKED_R8 = [
     "window_lag_lead", "window_ntile", "window_range_frame",
     "window_ranking", "window_running_sum",
     "cube_counts", "grouping_sets", "rollup_counts",
-    "agg_global",
 ]
 
 _TIER = {}

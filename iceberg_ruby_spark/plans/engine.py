@@ -1178,6 +1178,38 @@ def engine_agg_pushdown(spark, sf_dir):
 
 
 @query(
+    "engine_show_partitions",
+    oracle="""
+    SELECT 'o_orderpriority=' || o_orderpriority AS partition,
+           CAST(COUNT(*) AS BIGINT) AS record_count
+    FROM orders WHERE o_orderkey < 4000
+    GROUP BY o_orderpriority
+    """,
+)
+def engine_show_partitions(spark, sf_dir):
+    """SHOW PARTITIONS end-to-end over an identity-partitioned table —
+    name=value strings (space-bearing priority values exercise the r12
+    literal-path fix) + per-partition record counts, metadata-only; the
+    DuckDB twin recomputes both relationally."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_shp",
+        schema={"o_orderkey": "long", "o_orderpriority": "string"},
+        partition_spec=[("o_orderpriority", "identity")],
+    )
+    t.append(
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select("o_orderkey", "o_orderpriority")
+    )
+    rows = cat.sql("SHOW PARTITIONS orders_shp").to_a()
+    return spark.createDataFrame(
+        [(r["partition"], r["record_count"]) for r in rows],
+        "partition string, record_count long",
+    )
+
+
+@query(
     "engine_partition_counts",
     oracle="""
     SELECT o_orderpriority AS pr,
