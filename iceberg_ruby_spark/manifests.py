@@ -879,6 +879,14 @@ def write_avro_manifests(
                         ext[k] = e[k]
             if e.get("applies-to") is not None:
                 ext["applies-to"] = [ops._rel(ops._abs(p)) for p in e["applies-to"]]
+            if e.get("seq-scoped"):
+                # sequence-scoped equality delete (streaming upsert): scope
+                # is "data sequence strictly below dseq" — no path list to
+                # store; the optional key-bounds hint rides along (plain
+                # JSON-literal values by construction)
+                ext["seq-scoped"] = True
+                if e.get("key-bounds") is not None:
+                    ext["key-bounds"] = e["key-bounds"]
             if is_eq:
                 ext["equality-ids"] = e.get("equality-ids")
                 ext["equality-cols"] = e.get("equality-cols")
@@ -1049,6 +1057,10 @@ def read_one_avro_manifest(ops: Any, mpath: str) -> list[dict[str, Any]]:
             }
             if ext.get("applies-to") is not None:
                 e["applies-to"] = [ops._abs(p) for p in ext["applies-to"]]
+            if ext.get("seq-scoped"):
+                e["seq-scoped"] = True
+                if ext.get("key-bounds") is not None:
+                    e["key-bounds"] = ext["key-bounds"]
             if ext.get("deleted-records") is not None:
                 e["deleted-records"] = ext["deleted-records"]
             if ext.get("base-location") is not None:

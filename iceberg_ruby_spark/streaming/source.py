@@ -845,7 +845,9 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 bases = self._entry_bases(ops, prev_entries, non_pred)
                 try:
                     return self._delete_slices(
-                        ops, non_pred, prior_dels, inserts, sid, ordinal, bases
+                        ops, non_pred, prior_dels, inserts, sid, ordinal,
+                        bases,
+                        prior_data=[e for e in prev_entries if "path" in e],
                     )
                 except _NeedsContentDiff:
                     # a prior predicate masks a touched file: the delete
@@ -860,7 +862,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
         bases = self._entry_bases(ops, prev_entries, added_deletes)
         try:
             return self._delete_slices(
-                ops, added_deletes, prior_dels, inserts, sid, ordinal, bases
+                ops, added_deletes, prior_dels, inserts, sid, ordinal, bases,
+                prior_data=[e for e in prev_entries if "path" in e],
             )
         except _NeedsContentDiff:
             # a prior predicate delete masks a touched file — the partial
@@ -892,6 +895,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
         c = {
             "list": key,
             "deletes": [e for e in entries if _is_delete_entry(e)],
+            # parent-state DATA entries: what resolves a SEQUENCE-scoped
+            # equality delete's file scope (data sequence + key bounds).
+            # Memory is O(table metadata) — the same order as the one full
+            # manifest read that builds the cache — and per-commit advance
+            # stays O(delta), so a long upsert-sink drain's planning cost
+            # remains flat in table size.
+            "data": [e for e in entries if "path" in e],
             "bases": {
                 e["base-location"] for e in entries if e.get("base-location")
             },
@@ -906,11 +916,14 @@ class EngineTableStreamReader(DataSourceStreamReader):
         c = self._dv_cache
         if c is None or c["list"] != ops._rel(ops._abs(prev_snap.manifest_list)):
             return
-        self._dv_cache = {
-            "list": ops._rel(ops._abs(snap.manifest_list)),
-            "deletes": c["deletes"] + [e for e in added if _is_delete_entry(e)],
-            "bases": c["bases"]
-            | {e["base-location"] for e in added if e.get("base-location")},
+        # in-place: the lists are owned by the cache (built fresh on every
+        # rebuild), and per-commit copies made a long drain's advance cost
+        # O(standing entries) instead of O(delta)
+        c["list"] = ops._rel(ops._abs(snap.manifest_list))
+        c["deletes"].extend(e for e in added if _is_delete_entry(e))
+        c["data"].extend(e for e in added if "path" in e)
+        c["bases"] |= {
+            e["base-location"] for e in added if e.get("base-location")
         }
 
     def _set_delete_cache(self, ops, snap, entries) -> None:
@@ -918,6 +931,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         self._dv_cache = {
             "list": ops._rel(ops._abs(snap.manifest_list)),
             "deletes": [e for e in entries if _is_delete_entry(e)],
+            "data": [e for e in entries if "path" in e],
             "bases": {
                 e["base-location"] for e in entries if e.get("base-location")
             },
@@ -950,7 +964,7 @@ class EngineTableStreamReader(DataSourceStreamReader):
         try:
             out = self._delete_slices(
                 ops, added_deletes, cache["deletes"], inserts, sid, ordinal,
-                bases,
+                bases, prior_data=cache["data"],
             )
         except _NeedsContentDiff:
             return None
@@ -972,31 +986,68 @@ class EngineTableStreamReader(DataSourceStreamReader):
             }
         )
 
-    def _make_priors_for(self, ops, prior_del_entries):
+    def _make_priors_for(self, ops, prior_del_entries, prior_data=None):
         """Closure computing the deletes already applied to one data file
         in the PARENT state — the mask that keeps already-dead rows out of
-        a commit's delete events.  Needs only the parent's DELETE entries
-        (prior data entries can't kill rows), which is what lets the
-        delta-planning path feed it from the incremental delete-view cache
-        instead of a full manifest read.  Prior PREDICATE deletes cannot
-        be masked structurally → :class:`_NeedsContentDiff`."""
+        a commit's delete events.  Prior PREDICATE deletes cannot be
+        masked structurally → :class:`_NeedsContentDiff`.  ``prior_data``
+        (the parent state's DATA entries) resolves SEQUENCE-scoped prior
+        equality deletes (streaming-upsert commits): whether one applies
+        to a file depends on the file's data sequence number, which only
+        its manifest entry knows; without it such priors force the
+        content-diff fallback."""
+        from iceberg_ruby_spark.table import (
+            _compile_seq_scope,
+            _seq_scope_applies,
+        )
+
+        entry_by_path = {
+            ops._abs(e["path"]): e for e in (prior_data or []) if "path" in e
+        }
+        # precompile per-prior state ONCE — the closure runs per touched
+        # file, and rebuilding key-bounds trees / re-absolutizing scope
+        # lists per (prior, file) pair made a long unsettled upsert
+        # chain's planning quadratic in commit count
+        pre: list[tuple[str, dict, Any]] = []
+        for pe in prior_del_entries:
+            if "delete-predicate" in pe:
+                ap = pe.get("applies-to")
+                pre.append(
+                    (
+                        "pred",
+                        pe,
+                        None if ap is None else {ops._abs(p) for p in ap},
+                    )
+                )
+            elif "delete-file" not in pe:
+                continue
+            elif pe.get("seq-scoped"):
+                pre.append(("seq", pe, _compile_seq_scope(pe)))
+            else:
+                pre.append(
+                    ("plain", pe, {ops._abs(p) for p in _touched_files(pe)})
+                )
 
         def _priors_for(data_abs: str):
             eq: list[tuple[str, tuple[str, ...]]] = []
             pos: list[str] = []
             dv: Optional[tuple[str, int, int]] = None
-            for pe in prior_del_entries:
-                if "delete-predicate" in pe:
-                    ap = pe.get("applies-to")
-                    if ap is None or data_abs in (ops._abs(p) for p in ap):
+            for kind, pe, aux in pre:
+                if kind == "pred":
+                    if aux is None or data_abs in aux:
                         # already-dead rows under a PRIOR predicate delete
                         # cannot be masked structurally — route the whole
                         # commit through the content-diff fallback
                         raise _NeedsContentDiff(data_abs)
                     continue
-                if "delete-file" not in pe:
-                    continue
-                if data_abs not in (ops._abs(p) for p in _touched_files(pe)):
+                if kind == "seq":
+                    de = entry_by_path.get(data_abs)
+                    if de is None:
+                        # scope unresolvable without the file's sequence
+                        raise _NeedsContentDiff(data_abs)
+                    if not _seq_scope_applies(aux, de):
+                        continue
+                elif data_abs not in aux:
                     continue
                 content = pe.get("content")
                 if content == "equality-deletes":
@@ -1020,9 +1071,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
 
     def _delete_slices(
         self, ops, added_deletes, prior_del_entries, slices, sid, ordinal,
-        entry_bases,
+        entry_bases, prior_data=None,
     ) -> list[InputPartition]:
-        _priors_for = self._make_priors_for(ops, prior_del_entries)
+        from iceberg_ruby_spark.table import _seq_scope_touched
+
+        _priors_for = self._make_priors_for(
+            ops, prior_del_entries, prior_data
+        )
         slices = list(slices)
         for e in added_deletes:
             content = e.get("content")
@@ -1046,8 +1101,23 @@ class EngineTableStreamReader(DataSourceStreamReader):
                     f"equality delete in commit {sid} records no key "
                     "columns; cannot stream its changelog"
                 )
-            for data_path in _touched_files(e):
-                abs_path = ops._abs(data_path)
+            if e.get("seq-scoped"):
+                # sequence-scoped equality delete: candidates are the
+                # PARENT state's data files with strictly lower sequence,
+                # key-bounds pruned — resolved from metadata in hand, the
+                # same O(changed + overlapping files) planning the
+                # applies-to form had
+                if prior_data is None:
+                    raise _NeedsContentDiff(e.get("delete-file"))
+                touched = [
+                    ops._abs(de["path"])
+                    for de in _seq_scope_touched(
+                        e, [d for d in prior_data if "path" in d]
+                    )
+                ]
+            else:
+                touched = [ops._abs(p) for p in _touched_files(e)]
+            for abs_path in touched:
                 prior_eq, prior_pos, prior_dv = _priors_for(abs_path)
                 common = dict(
                     columns=self._columns,
@@ -1108,6 +1178,8 @@ class EngineTableStreamReader(DataSourceStreamReader):
             mor = {mor_key(e): e for e in entries if "path" not in e}
             return data, mor
 
+        from iceberg_ruby_spark.table import _seq_scope_touched
+
         prev_data, prev_mor = split(prev_entries)
         cur_data, cur_mor = split(cur_entries)
         all_paths = set(prev_data) | set(cur_data)
@@ -1116,6 +1188,12 @@ class EngineTableStreamReader(DataSourceStreamReader):
             e = prev_mor.get(k) or cur_mor[k]
             if e.get("content") == "deletion-vector":
                 touched.add(ops._abs(e["referenced-data-file"]))
+                continue
+            if e.get("seq-scoped"):
+                cand = {**prev_data, **cur_data}
+                touched |= {
+                    p for p, de in cand.items() if _seq_scope_touched(e, [de])
+                }
                 continue
             ap = e.get("applies-to")
             touched |= (
@@ -1157,11 +1235,16 @@ class EngineTableStreamReader(DataSourceStreamReader):
                                 )
                             )
                         continue
-                    ap = e.get("applies-to")
-                    if ap is not None and path_abs not in {
-                        ops._abs(p) for p in ap
-                    }:
-                        continue
+                    if e.get("seq-scoped"):
+                        de = data.get(path_abs)
+                        if de is None or not _seq_scope_touched(e, [de]):
+                            continue
+                    else:
+                        ap = e.get("applies-to")
+                        if ap is not None and path_abs not in {
+                            ops._abs(p) for p in ap
+                        }:
+                            continue
                     if content == "equality-deletes":
                         eq.append(
                             (

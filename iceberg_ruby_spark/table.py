@@ -2177,10 +2177,19 @@ class Table:
         cur_data, cur_mor = split(cur_entries)
         mor_changed = set(prev_mor) ^ set(cur_mor)
         # a common file is "touched" when any added/removed MoR entry's
-        # scope includes it (applies-to None = all files at commit time)
+        # scope includes it (applies-to None = all files at commit time;
+        # seq-scoped = strictly-lower data sequence, key-bounds pruned)
         touched = set()
         for k in mor_changed:
             e = prev_mor.get(k) or cur_mor[k]
+            if e.get("seq-scoped"):
+                cand = {**prev_data, **cur_data}
+                touched |= {
+                    p
+                    for p, de in cand.items()
+                    if _seq_scope_touched(e, [de])
+                }
+                continue
             ap = e.get("applies-to")
             touched |= set(ap) if ap is not None else set(prev_data) | set(cur_data)
         common_quiet = {
@@ -3249,7 +3258,117 @@ class Table:
                 abs_fp.alias(path_name), F.col("pos").alias(pos_name)
             )
             out = out.join(F.broadcast(del_df), [path_name, pos_name], "left_anti")
+        seq_eqs = [e for e in eq_files if e.get("seq-scoped")]
+        if seq_eqs:
+            # SEQUENCE-scoped equality deletes (streaming upsert commits,
+            # the Iceberg spec's scan-planning rule: a delete applies to
+            # rows of data files with STRICTLY lower data sequence).  Two
+            # structural choices keep a long upsert chain readable:
+            #
+            # 1. Each row's data-file sequence comes from ONE broadcast
+            #    (path → data-sequence-number) relation built from the
+            #    driver's in-hand manifest entries — metadata-sized, never
+            #    a per-delete path list in the plan.  Files without a
+            #    recorded sequence predate seq stamping (strictly older
+            #    than any seq-scoped delete): -1.
+            # 2. All such deletes sharing a key-column set MERGE into ONE
+            #    broadcast anti-condition: union the key files, keep
+            #    MAX(delete sequence) per key, and a row is dead iff that
+            #    max exceeds its file's sequence (k dead in file at seq s
+            #    ⟺ ∃ delete D ∋ k with D.seq > s ⟺ max_seq(k) > s).
+            #    One join however deep the chain — N chained joins blew
+            #    the JVM stack at plan time past ~100 micro-batches, and
+            #    Iceberg readers likewise merge all equality deletes into
+            #    one pass per file.
+            import pyspark.sql.types as _T
+
+            seq_pairs = []
+            for de in entries:
+                if "delete-predicate" in de or "delete-file" in de:
+                    continue
+                seqv = de.get("data-sequence-number")
+                seqv = -1 if seqv is None else int(seqv)
+                for p in self._entry_files([de]):
+                    seq_pairs.append((self.ops._abs(p), seqv))
+            seq_df = self.spark.createDataFrame(
+                seq_pairs,
+                _T.StructType(
+                    [
+                        _T.StructField("__mor_sf", _T.StringType()),
+                        _T.StructField("__mor_seq", _T.LongType()),
+                    ]
+                ),
+            )
+            out = out.join(
+                F.broadcast(seq_df),
+                F.col(path_name) == F.col("__mor_sf"),
+                "left",
+            ).drop("__mor_sf")
+            row_seq = F.coalesce(F.col("__mor_seq"), F.lit(-1))
+            groups: dict[tuple, list[dict[str, Any]]] = {}
+            for e in seq_eqs:
+                if e.get("data-sequence-number") is None:
+                    raise InvalidDataError(
+                        "sequence-scoped equality delete entry carries no "
+                        f"data-sequence-number: {e.get('delete-file')!r}"
+                    )
+                groups.setdefault(tuple(e["equality-cols"]), []).append(e)
+            for gi, cols_key in enumerate(sorted(groups)):
+                # ONE scan over every key file in the group (they share
+                # the key schema by construction); each key row picks up
+                # its delete's sequence through a tiny (file → seq)
+                # broadcast — no per-file driver read, no union chain
+                fseq = [
+                    (
+                        self.ops._abs(e["delete-file"]),
+                        int(e["data-sequence-number"]),
+                    )
+                    for e in groups[cols_key]
+                ]
+                fseq_df = self.spark.createDataFrame(
+                    fseq,
+                    _T.StructType(
+                        [
+                            _T.StructField("__eqsf", _T.StringType()),
+                            _T.StructField("__eq_seq", _T.LongType()),
+                        ]
+                    ),
+                )
+                keys_df = (
+                    self.spark.read.parquet(*[p for p, _ in fseq])
+                    .select(*cols_key, _file_path_col().alias("__eqf"))
+                    .join(
+                        F.broadcast(fseq_df),
+                        F.col("__eqf") == F.col("__eqsf"),
+                        "inner",
+                    )
+                    .drop("__eqf", "__eqsf")
+                )
+                keys_df = keys_df.groupBy(*cols_key).agg(
+                    F.max("__eq_seq").alias(f"__eqs{gi}")
+                )
+                keys_df = keys_df.select(
+                    *[
+                        F.col(c).alias(f"__eqsk{gi}_{j}")
+                        for j, c in enumerate(cols_key)
+                    ],
+                    f"__eqs{gi}",
+                )
+                join_cond = None
+                for j, c in enumerate(cols_key):
+                    this = out[c].eqNullSafe(keys_df[f"__eqsk{gi}_{j}"])
+                    join_cond = this if join_cond is None else (join_cond & this)
+                out = out.join(F.broadcast(keys_df), join_cond, "left")
+                dead = F.col(f"__eqs{gi}").isNotNull() & (
+                    F.col(f"__eqs{gi}") > row_seq
+                )
+                out = out.filter(~dead).drop(
+                    f"__eqs{gi}",
+                    *[f"__eqsk{gi}_{j}" for j in range(len(cols_key))],
+                )
         for i, e in enumerate(eq_files):
+            if e.get("seq-scoped"):
+                continue  # merged into the grouped pass above
             # equality delete: a row dies when its key tuple appears in the
             # delete file (null-safe equality, Iceberg's semantics), scoped
             # to the files live at delete time
@@ -3274,6 +3393,8 @@ class Table:
             out = out.filter(~dead).drop(
                 f"__eqd{i}", *[f"__eqk{i}_{j}" for j in range(len(eq_cols))]
             )
+        if "__mor_seq" in out.columns:
+            out = out.drop("__mor_seq")
         if pos_col is None and "__mor_pos" in out.columns:
             out = out.drop("__mor_pos")
         if (preds or dfiles) and not file_col:
@@ -3294,12 +3415,23 @@ class Table:
 
     @staticmethod
     def _live_preds(
-        preds: list[dict[str, Any]], kept_paths: set[str]
+        preds: list[dict[str, Any]],
+        kept_paths: set[str],
+        kept_entries: Optional[list[dict[str, Any]]] = None,
     ) -> list[dict[str, Any]]:
         """Predicate entries still needed after a rewrite: scope each to the
-        files that remain; drop it once no scoped file survives."""
+        files that remain; drop it once no scoped file survives.  A
+        sequence-scoped equality delete survives as long as any kept data
+        file's sequence is still below its own (rewritten files take the
+        rewrite commit's HIGHER sequence, so the delete never replays onto
+        them — the rewrite already materialized it)."""
         out = []
+        kept_data = [e for e in (kept_entries or []) if "path" in e]
         for e in preds:
+            if e.get("seq-scoped"):
+                if kept_entries is None or _seq_scope_touched(e, kept_data):
+                    out.append(e)
+                continue
             ap = e.get("applies-to")
             if ap is None:
                 out.append(e)
@@ -3500,7 +3632,26 @@ class Table:
                     ]
                     new_paths = {e["path"] for e in entries if "path" in e}
                     removed_here = base_paths - new_paths
+                    removed_base_entries = [
+                        b
+                        for b in base_entries
+                        if "path" in b and b["path"] in removed_here
+                    ]
                     for e in concurrent_pathless:
+                        if e.get("seq-scoped"):
+                            # a concurrent seq-scoped equality delete that
+                            # applies to a file this rewrite removed would
+                            # resurrect its dead rows (our rewritten files
+                            # take a HIGHER sequence the delete no longer
+                            # covers) — same hazard as applies-to overlap
+                            if _seq_scope_touched(e, removed_base_entries):
+                                raise InvalidDataError(
+                                    "commit conflict: a concurrent merge-on-"
+                                    "read delete applies to files this "
+                                    "operation rewrote; retry the operation "
+                                    "on fresh state"
+                                )
+                            continue
                         ap = e.get("applies-to")
                         scope_open = "delete-predicate" in e and ap is None
                         if scope_open or (ap is not None and set(ap) & removed_here):
@@ -3676,9 +3827,25 @@ class Table:
             raw["snapshots"] = raw.get("snapshots", []) + [snap_json]
             raw["last-sequence-number"] = snap.sequence_number
             raw["last-updated-ms"] = now
-            raw["metadata-log"] = meta.metadata_log + [
-                {"metadata-file": meta.metadata_file, "timestamp-ms": meta.last_updated_ms}
-            ]
+            # the spec caps the previous-metadata list at
+            # write.metadata.previous-versions-max (default 100) — without
+            # it a streaming sink's metadata document grows one log row
+            # per commit forever, an O(history) tax on EVERY subsequent
+            # commit's serialize+write
+            log_max = int(
+                (raw.get("properties") or {}).get(
+                    "write.metadata.previous-versions-max", 100
+                )
+            )
+            raw["metadata-log"] = (
+                meta.metadata_log
+                + [
+                    {
+                        "metadata-file": meta.metadata_file,
+                        "timestamp-ms": meta.last_updated_ms,
+                    }
+                ]
+            )[-log_max:]
             refs = dict(meta.refs)
             refs[branch] = {"snapshot-id": snapshot_id, "type": "branch"}
             raw["refs"] = refs
@@ -4363,7 +4530,7 @@ class Table:
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "delete",
-            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            keep_entries + new_entries + self._live_preds(preds, kept_paths, keep_entries),
             {"deleted-records": deleted},
             base_snapshot_id=self._branch_head_id(branch),
             branch=target,
@@ -4961,7 +5128,7 @@ class Table:
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "overwrite",
-            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            keep_entries + new_entries + self._live_preds(preds, kept_paths, keep_entries),
             {"updated-records": updated},
             base_snapshot_id=self._branch_head_id(branch),
             branch=branch or MAIN_BRANCH,
@@ -5207,7 +5374,7 @@ class Table:
         kept_paths = {e["path"] for e in keep_entries if "path" in e}
         self._commit_snapshot(
             "overwrite",
-            keep_entries + new_entries + self._live_preds(preds, kept_paths),
+            keep_entries + new_entries + self._live_preds(preds, kept_paths, keep_entries),
             {"operation-detail": "merge", **(summary_extra or {})},
             base_snapshot_id=self._branch_head_id(branch),
             branch=branch or MAIN_BRANCH,
@@ -5556,7 +5723,7 @@ class Table:
         if where is not None:
             kept_paths = {e["path"] for e in keep_entries if "path" in e}
             commit_entries = (
-                keep_entries + new_entries + self._live_preds(preds, kept_paths)
+                keep_entries + new_entries + self._live_preds(preds, kept_paths, keep_entries)
             )
         self._commit_snapshot(
             "replace",
@@ -6562,6 +6729,87 @@ def _typed_bound(v: Any, t: ice_t.Type) -> Any:
     return None
 
 
+def _key_bounds_tree(delete_entry: dict[str, Any]):
+    """Predicate tree from an equality delete's optional per-entry
+    ``key-bounds`` hint ({"lower": {col: v}, "upper": {col: v}}, values in
+    plain-literal form): a data file whose column bounds provably can't
+    contain ANY key in the delete's range can be skipped by changelog /
+    rewrite planning.  Columns without both bounds contribute nothing
+    (prune less, never wrong); no bounded column ⇒ None (no pruning)."""
+    kb = delete_entry.get("key-bounds") or {}
+    lo, hi = kb.get("lower") or {}, kb.get("upper") or {}
+    tree = None
+    for c in delete_entry.get("equality-cols") or []:
+        if c not in lo or c not in hi:
+            continue
+        leaf = ("and", ("cmp", c, ">=", lo[c]), ("cmp", c, "<=", hi[c]))
+        tree = leaf if tree is None else ("and", tree, leaf)
+    return tree
+
+
+def _seq_scope_touched(
+    delete_entry: dict[str, Any], data_entries: list[dict[str, Any]]
+) -> list[dict[str, Any]]:
+    """Data entries a SEQUENCE-scoped equality delete may apply to — the
+    Iceberg spec's scan-planning rule (an equality delete applies to data
+    files whose data sequence number is STRICTLY below the delete's own;
+    the reference's scan stack consumes this form via iceberg-rust,
+    ``/root/reference/ext/iceberg/src/scan.rs:41``), narrowed by the
+    entry's ``key-bounds`` hint when present.  Conservative on missing
+    metadata: a file without a recorded sequence predates seq stamping,
+    so the delete applies; an unstamped delete applies everywhere."""
+    scope = _compile_seq_scope(delete_entry)
+    return [e for e in data_entries if _seq_scope_applies(scope, e)]
+
+
+def _compile_seq_scope(delete_entry: dict[str, Any]) -> tuple:
+    """Precompiled (own-seq, bounded cols, lower, upper, tree) for
+    repeated :func:`_seq_scope_applies` checks — planners run one check
+    per (delete, file) pair, and recompiling the key-bounds tree per pair
+    made a long unsettled chain's planning quadratic."""
+    own = delete_entry.get("data-sequence-number")
+    kb = delete_entry.get("key-bounds") or {}
+    klo, khi = kb.get("lower") or {}, kb.get("upper") or {}
+    cols = [
+        c
+        for c in delete_entry.get("equality-cols") or []
+        if c in klo and c in khi
+    ]
+    tree = _key_bounds_tree(delete_entry) if cols else None
+    return (own, cols, klo, khi, tree)
+
+
+def _seq_scope_applies(scope: tuple, e: dict[str, Any]) -> bool:
+    """One (delete, data file) applicability check under a compiled
+    scope: strictly-lower sequence, then key-bounds overlap — all-int
+    bounds compare directly against the entry dicts (the generic tree
+    walk costs ~5 µs/pair in interpreter overhead alone), everything
+    else falls back to the conservative :func:`_bounds_may_match`."""
+    own, cols, klo, khi, tree = scope
+    seqv = e.get("data-sequence-number")
+    if own is not None and seqv is not None and int(seqv) >= int(own):
+        return False
+    if cols:
+        flo = e.get("lower-bounds") or {}
+        fhi = e.get("upper-bounds") or {}
+        for c in cols:
+            lo, hi = flo.get(c), fhi.get(c)
+            if lo is None or hi is None:
+                continue  # unknown bounds: may match on this column
+            a, b = klo[c], khi[c]
+            if (
+                type(lo) is int
+                and type(hi) is int
+                and type(a) is int
+                and type(b) is int
+            ):
+                if hi < a or lo > b:
+                    return False
+            else:
+                return _bounds_may_match(e, tree)
+    return True
+
+
 def _bounds_may_match(entry: dict[str, Any], node) -> bool:
     """True unless the bounds prove no row of the file can satisfy node."""
     kind = node[0]
@@ -6845,7 +7093,13 @@ class TableInspect:
                     {
                         "kind": e.get("content") or "position-deletes",
                         "detail": e["delete-file"],
-                        "scope_files": len(e.get("applies-to") or []),
+                        # sequence-scoped deletes name no file list — their
+                        # scope is "every data file with lower sequence"
+                        "scope_files": (
+                            None
+                            if e.get("seq-scoped")
+                            else len(e.get("applies-to") or [])
+                        ),
                     }
                 )
         return self._df(rows, "kind string, detail string, scope_files int")

@@ -28,6 +28,15 @@ Usage: python scripts/cdc_scale_probe.py [sf_dir] [n_waves]
 Prints one JSON line; exits 1 if append-commit planning is not flat
 (last-fifth mean > 3× first-fifth mean), delete-commit planning is not
 flat (> 1.5×), the replica diverges, or batch != stream event count.
+
+r13 (VERDICT r12 #6): ``--upsert-chain [sf_dir] [n_commits]`` runs the
+UPSERT-SINK chain variant instead — n_commits direct micro-batch commits
+through the native upsert sink (each = one seq-scoped equality delete +
+data files) over contiguous event-id ranges in two passes (insert pass,
+update pass — the range-aligned CDC shape), then asserts (a) per-commit
+changelog PLANNING cost flat across the chain (the delete-view cache +
+key-bounds touched-file resolution), (b) one ``stream_changelog_apply``
+drain replicates the chain exactly (content diff = 0).
 """
 
 from __future__ import annotations
@@ -221,5 +230,165 @@ def main() -> None:
         sys.exit(1)
 
 
+def upsert_chain() -> None:
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    n_commits = int(sys.argv[3]) if len(sys.argv) > 3 else 200
+
+    import tempfile
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.session import get_spark
+    from iceberg_ruby_spark.streaming import (
+        register_stream_source,
+        stream_changelog_apply,
+    )
+    from iceberg_ruby_spark.streaming.sink import (
+        EngineTableStreamWriter,
+        _FileMsg,
+    )
+    from iceberg_ruby_spark.streaming.source import EngineTableStreamReader
+
+    spark = get_spark("cdc_upsert_chain")
+    register_stream_source(spark)
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    src = cat.create_table(
+        "upchain_src", schema={"event_id": "long", "v": "long"}
+    )
+    src.update_schema().set_identifier_fields("event_id").commit()
+    src = src.refresh()
+    writer = EngineTableStreamWriter(
+        {"location": src.ops.location, "mode": "upsert"},
+        src.spark_schema(),
+        overwrite=False,
+    )
+    data_dir = src.ops.data_dir
+    os.makedirs(os.path.join(data_dir, "stream-deletes"), exist_ok=True)
+    # contiguous event-id ranges (sorted real ids), two passes: pass 1
+    # inserts each range, pass 2 updates it — the range-aligned CDC feed
+    # whose key-bounds keep each delete's planning scope at the overlap
+    ids = (
+        pq.read_table(os.path.join(sf_dir, "events.parquet"), columns=["event_id"])
+        .column("event_id")
+        .to_pylist()
+    )
+    ids.sort()
+    n_ranges = max(1, n_commits // 2)
+    per = max(1, len(ids) // n_ranges)
+    t0 = time.time()
+    b = 0
+    for pass_no in range(2):
+        for r in range(n_ranges):
+            chunk = ids[r * per : (r + 1) * per] if r < n_ranges - 1 else ids[r * per :]
+            if not chunk:
+                continue
+            tbl = pa.table(
+                {
+                    "event_id": pa.array(chunk, pa.int64()),
+                    "v": pa.array([pass_no * 1000 + r] * len(chunk), pa.int64()),
+                }
+            )
+            dpath = os.path.join(data_dir, f"uc-{b}.parquet")
+            pq.write_table(tbl, dpath)
+            kpath = os.path.join(data_dir, "stream-deletes", f"uc-{b}.parquet")
+            pq.write_table(tbl.select(["event_id"]), kpath)
+            writer.commit(
+                [
+                    _FileMsg(
+                        files=[
+                            {
+                                "path": dpath,
+                                "count": len(chunk),
+                                "size": os.path.getsize(dpath),
+                                "lower": {"event_id": chunk[0]},
+                                "upper": {"event_id": chunk[-1]},
+                                "nulls": {},
+                            }
+                        ],
+                        delete_files=[
+                            {
+                                "path": kpath,
+                                "count": len(chunk),
+                                "key_lower": {"event_id": chunk[0]},
+                                "key_upper": {"event_id": chunk[-1]},
+                                "key_has_null": False,
+                            }
+                        ],
+                    )
+                ],
+                b,
+            )
+            b += 1
+    build_wall = time.time() - t0
+    src = src.refresh()
+    snaps = sorted(src.ops.load().snapshots, key=lambda s: s.sequence_number)
+
+    # per-commit changelog planning across the whole chain.  Timed at the
+    # slices planner (`_commit_change_slices`: manifest delta read +
+    # delete-view cache advance + seq/key-bounds touched-file resolution)
+    # — the structural O(changed)-vs-O(table) claim under test.  The
+    # surrounding partitions() call also re-parses the table METADATA
+    # document, which grows one snapshot per commit in this synthetic
+    # walk; a live drain pays that once per offset poll against an
+    # expiry-bounded history (and can't expire mid-replay here, since the
+    # walk still needs the old snapshots), so it's excluded deliberately.
+    reader = EngineTableStreamReader(
+        {"location": src.ops.location, "mode": "changelog"}
+    )
+    ops = src.ops
+    plan_ms: list[float] = []
+    prev = None
+    for s in snaps:
+        t1 = time.time()
+        slices = (
+            reader._commit_change_slices(ops, prev, s, 0)
+            if prev is not None
+            else []
+        )
+        plan_ms.append((time.time() - t1) * 1000.0)
+        assert prev is None or slices, f"commit {s.snapshot_id} planned empty"
+        prev = s
+    k = max(1, len(plan_ms) // 5)
+    p_first = sum(plan_ms[:k]) / k
+    p_last = sum(plan_ms[-k:]) / k
+    plan_flat = p_last <= 1.5 * max(p_first, 1.0)
+
+    # replication drain over the chain, then content equivalence
+    rep = cat.create_table(
+        "upchain_rep", schema={"event_id": "long", "v": "long"}
+    )
+    t1 = time.time()
+    q = stream_changelog_apply(spark, src, rep, "event_id", tempfile.mkdtemp())
+    q.awaitTermination()
+    drain_wall = time.time() - t1
+    s_df = src.scan().to_df()
+    r_df = rep.refresh().scan().to_df().select(*s_df.columns)
+    n_src = s_df.count()
+    n_rep = r_df.count()
+    n_diff = s_df.exceptAll(r_df).union(r_df.exceptAll(s_df)).count()
+    out = {
+        "metric": "cdc_upsert_chain_probe",
+        "sf_dir": sf_dir,
+        "n_commits": len(snaps),
+        "n_rows_final": n_src,
+        "build_wall_s": round(build_wall, 2),
+        "plan_ms_first5th": round(p_first, 1),
+        "plan_ms_last5th": round(p_last, 1),
+        "planning_flat": bool(plan_flat),
+        "drain_wall_s": round(drain_wall, 2),
+        "replica_matches": bool(n_rep == n_src and n_diff == 0),
+        "content_diff_rows": n_diff,
+    }
+    print(json.dumps(out))
+    if not plan_flat or n_rep != n_src or n_diff:
+        sys.exit(1)
+
+
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) > 1 and sys.argv[1] == "--upsert-chain":
+        upsert_chain()
+    else:
+        main()

@@ -579,3 +579,91 @@ def test_equality_delete_files_are_spec_shaped(catalog, spark):
         key_rows += n
     assert key_rows == 3  # the 3 distinct key tuples, incl. the no-match 99
     assert sorted(r["k"] for r in t.to_a()) == [0, 1, 3, 4, 6, 7]
+
+
+def test_seq_scoped_equality_delete_roundtrips_avro(catalog, spark, tmp_path):
+    """The streaming upsert sink's SEQUENCE-scoped equality delete
+    (seq-scoped marker + key-bounds hint, r13) survives the Avro manifest
+    round-trip, and the scan honors the spec rule (strictly-lower data
+    sequence) after re-reading the entries from disk."""
+    from iceberg_ruby_spark.streaming.sink import (
+        EngineTableStreamWriter,
+        _FileMsg,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    t = catalog.create_table(
+        "av_upsert", schema={"k": "long", "v": "long"}, properties=AVRO_PROPS
+    )
+    t.update_schema().set_identifier_fields("k").commit()
+    t = t.refresh()
+    writer = EngineTableStreamWriter(
+        {"location": t.ops.location, "mode": "upsert"},
+        t.spark_schema(),
+        overwrite=False,
+    )
+    data_dir = t.ops.data_dir
+    os.makedirs(os.path.join(data_dir, "stream-deletes"), exist_ok=True)
+
+    def commit_batch(b, pairs):
+        tbl = pa.table(
+            {
+                "k": pa.array([k for k, _ in pairs], pa.int64()),
+                "v": pa.array([v for _, v in pairs], pa.int64()),
+            }
+        )
+        dpath = os.path.join(data_dir, f"b{b}.parquet")
+        pq.write_table(tbl, dpath)
+        kpath = os.path.join(data_dir, "stream-deletes", f"k{b}.parquet")
+        pq.write_table(tbl.select(["k"]), kpath)
+        ks = [k for k, _ in pairs]
+        writer.commit(
+            [
+                _FileMsg(
+                    files=[
+                        {
+                            "path": dpath,
+                            "count": len(pairs),
+                            "size": os.path.getsize(dpath),
+                            "lower": {"k": min(ks)},
+                            "upper": {"k": max(ks)},
+                            "nulls": {},
+                        }
+                    ],
+                    delete_files=[
+                        {
+                            "path": kpath,
+                            "count": len(pairs),
+                            "key_lower": {"k": min(ks)},
+                            "key_upper": {"k": max(ks)},
+                            "key_has_null": False,
+                        }
+                    ],
+                )
+            ],
+            b,
+        )
+
+    commit_batch(0, [(1, 10), (2, 20)])
+    commit_batch(1, [(2, 21), (3, 30)])
+    t = t.refresh()
+    # entries re-read from the AVRO manifests, not the in-memory dicts
+    eqs = [
+        e
+        for e in t._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert len(eqs) == 1
+    e = eqs[0]
+    assert e.get("seq-scoped") is True
+    assert "applies-to" not in e
+    assert e["key-bounds"] == {"lower": {"k": 2}, "upper": {"k": 3}}
+    assert e["equality-cols"] == ["k"]
+    assert e["data-sequence-number"] is not None
+    data = [x for x in t._current_entries() if "path" in x]
+    assert {x["data-sequence-number"] for x in data} == {
+        e["data-sequence-number"] - 1,
+        e["data-sequence-number"],
+    }
+    assert {r["k"]: r["v"] for r in t.to_a()} == {1: 10, 2: 21, 3: 30}

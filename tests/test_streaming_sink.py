@@ -1,6 +1,8 @@
 """Streaming ingestion into catalog tables (foreachBatch sink with
 exactly-once batch-id tracking)."""
 
+import os
+
 import pyspark.sql.functions as F
 
 
@@ -519,8 +521,11 @@ def test_native_stream_writer_upsert(catalog, spark, tmp_path):
         if s.summary.get("streaming-sink-id")
     ]
     assert marks == [("streaming-upsert", "0"), ("streaming-upsert", "1")]
-    # the second batch carries an equality delete scoped to PRE-batch
-    # files only (the batch's own rows survived it)
+    # the second batch carries a SEQUENCE-scoped equality delete (the
+    # Iceberg scan-planning rule: it applies only to data files with a
+    # strictly LOWER data sequence) — no applies-to path list, so the
+    # commit's metadata is O(batch) however many files the table holds,
+    # and the batch's own rows survived their own delete
     eq = [
         e
         for e in gold._current_entries()
@@ -528,9 +533,18 @@ def test_native_stream_writer_upsert(catalog, spark, tmp_path):
     ]
     assert len(eq) == 1
     assert eq[0]["equality-cols"] == ["k"]
-    batch0_paths = set(eq[0]["applies-to"])
-    live_paths = {e["path"] for e in gold._current_entries() if "path" in e}
-    assert batch0_paths < live_paths  # strict subset: new files not scoped
+    assert eq[0].get("seq-scoped") is True
+    assert "applies-to" not in eq[0]
+    # the per-entry key-bounds hint (reader-side pruning) spans the
+    # batch's keys
+    kb = eq[0]["key-bounds"]
+    assert kb["lower"]["k"] == 1 and kb["upper"]["k"] == 5
+    own = eq[0]["data-sequence-number"]
+    data = [e for e in gold._current_entries() if "path" in e]
+    # pre-batch files sit strictly below the delete's sequence (covered);
+    # the batch's own files share it (exempt)
+    assert any(e["data-sequence-number"] < own for e in data)
+    assert any(e["data-sequence-number"] == own for e in data)
     # restart with the same checkpoint: no new source data, nothing changes
     n_snaps = len(gold.snapshots)
     run()
@@ -799,3 +813,112 @@ def test_upsert_sink_to_changelog_stream_replica(catalog, spark, tmp_path):
     rep_state = sorted((r["k"], r["v"]) for r in replica.refresh().to_a())
     assert rep_state == gold_state
     assert dict(gold_state)[3] == 333 and dict(gold_state)[20] == 20
+
+
+def _direct_upsert_writer(catalog, extra_props=None):
+    from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+    t = catalog.create_table(
+        "up_direct",
+        schema={"k": "long", "v": "long"},
+        properties=extra_props or {},
+    )
+    t.update_schema().set_identifier_fields("k").commit()
+    t = t.refresh()
+    writer = EngineTableStreamWriter(
+        {"location": t.ops.location, "mode": "upsert"},
+        t.spark_schema(),
+        overwrite=False,
+    )
+    os.makedirs(os.path.join(t.ops.data_dir, "stream-deletes"), exist_ok=True)
+    return t, writer
+
+
+def _direct_commit(t, writer, b, pairs):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from iceberg_ruby_spark.streaming.sink import _FileMsg
+
+    tbl = pa.table(
+        {
+            "k": pa.array([k for k, _ in pairs], pa.int64()),
+            "v": pa.array([v for _, v in pairs], pa.int64()),
+        }
+    )
+    dpath = os.path.join(t.ops.data_dir, f"d{b}.parquet")
+    pq.write_table(tbl, dpath)
+    kpath = os.path.join(t.ops.data_dir, "stream-deletes", f"d{b}.parquet")
+    pq.write_table(tbl.select(["k"]), kpath)
+    ks = [k for k, _ in pairs]
+    writer.commit(
+        [
+            _FileMsg(
+                files=[
+                    {
+                        "path": dpath,
+                        "count": len(pairs),
+                        "size": os.path.getsize(dpath),
+                        "lower": {"k": min(ks)},
+                        "upper": {"k": max(ks)},
+                        "nulls": {},
+                    }
+                ],
+                delete_files=[
+                    {
+                        "path": kpath,
+                        "count": len(pairs),
+                        "key_lower": {"k": min(ks)},
+                        "key_upper": {"k": max(ks)},
+                        "key_has_null": False,
+                    }
+                ],
+            )
+        ],
+        b,
+    )
+
+
+def test_deep_upsert_chain_scans_with_one_merged_join(catalog, spark):
+    """Regression pin (r13): a LONG unsettled upsert chain must stay
+    readable.  Per-delete chained joins blew the JVM stack at plan time
+    past ~100 micro-batches (StackOverflowError in SparkPlan.prepare);
+    the scan now merges every seq-scoped equality delete sharing a key
+    set into ONE broadcast join on MAX(delete sequence) per key —
+    constant plan depth however deep the chain.  130 batches with
+    rotating keys must converge to last-write-wins exactly."""
+    t, writer = _direct_upsert_writer(catalog)
+    expect = {}
+    for b in range(130):
+        pairs = [((b * 7 + i) % 40, b * 100 + i) for i in range(5)]
+        for k, v in pairs:
+            expect[k] = v
+        _direct_commit(t, writer, b, pairs)
+    t = t.refresh()
+    eqs = [
+        e
+        for e in t._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert len(eqs) == 129  # every batch after the first committed one
+    assert {r["k"]: r["v"] for r in t.to_a()} == expect
+
+
+def test_metadata_log_capped_at_previous_versions_max(catalog, spark):
+    """The spec caps the metadata-log list at
+    write.metadata.previous-versions-max — without it a streaming sink's
+    metadata document grows one row per commit forever (an O(history)
+    serialize tax on every later commit)."""
+    t = catalog.create_table(
+        "meta_log_cap",
+        schema={"k": "long"},
+        properties={"write.metadata.previous-versions-max": "4"},
+    )
+    for b in range(9):
+        t.append([{"k": b}])
+        t = t.refresh()
+    log = t.metadata.raw.get("metadata-log", [])
+    assert len(log) == 4
+    # the retained entries are the NEWEST previous versions, in order
+    files = [e["metadata-file"] for e in log]
+    assert files == sorted(files, key=lambda p: int(p.split("v")[-1].split(".")[0]))
