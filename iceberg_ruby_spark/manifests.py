@@ -611,10 +611,15 @@ def write_avro_manifests(
     carried_records: list[dict[str, Any]] = []
     carried_rel_paths: list[Optional[str]] = []
     base_carried: list[dict[str, Any]] = []
+    # rel manifest path → engine column summary (segment pruning,
+    # read_avro_manifest_list_filtered); carried manifests keep theirs
+    summaries: dict[str, Any] = {}
+    base_summaries: dict[str, Any] = {}
     if base_list is not None:
         _, base_records, base_meta = read_ocf(ops.io.read_bytes(ops._abs(base_list)))
         base_extras = json.loads(base_meta.get(_EXTRAS_KEY, b"{}").decode())
         base_rels = base_extras.get("manifests")
+        base_summaries = base_extras.get("summaries") or {}
         base_carried = [_carried_abs(ops, e) for e in base_extras.get("carried", [])]
         keep = list(range(len(base_records)))
         if len(base_records) >= MANIFEST_SEGMENT_CAP:
@@ -634,6 +639,14 @@ def write_avro_manifests(
         carried_rel_paths = [
             base_rels[i] if base_rels and i < len(base_rels) else None for i in keep
         ]
+        for i in keep:
+            rel = (
+                base_rels[i]
+                if base_rels and i < len(base_rels)
+                else ops._rel(base_records[i]["manifest_path"])
+            )
+            if rel in base_summaries:
+                summaries[rel] = base_summaries[rel]
 
     data_entries = [e for e in entries if "path" in e]
     delete_entries = [e for e in entries if "delete-file" in e]
@@ -812,7 +825,11 @@ def write_avro_manifests(
         list_records.append(
             _list_entry(ops._abs(mpath), length, 0, records, dseqs, spec_id)
         )
-        list_rels.append(ops._rel(ops._abs(mpath)))
+        rel_m = ops._rel(ops._abs(mpath))
+        list_rels.append(rel_m)
+        from iceberg_ruby_spark.table import _segment_summary
+
+        summaries[rel_m] = _segment_summary(group)
 
     for spec_id in sorted(delete_groups):
         group = delete_groups[spec_id]
@@ -918,6 +935,7 @@ def write_avro_manifests(
             {
                 "manifests": list_rels,
                 "carried": carried_rel,
+                "summaries": summaries,
             }
         ),
     }
@@ -982,6 +1000,54 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
     for e in list_extras.get("carried", []):
         entries.append(_carried_abs(ops, e))
     return entries
+
+
+def read_avro_manifest_list_filtered(
+    ops: Any, list_path: str, trees
+) -> tuple[list[dict[str, Any]], int]:
+    """:func:`read_avro_manifest_list` with segment pruning: DATA
+    manifests whose stored column summary proves every file full-misses
+    the filter ``trees`` are skipped without being opened.  Engages only
+    on a provably merge-on-read-free snapshot (no delete manifests, no
+    carried pathless entries) — see ``FsTableOps.read_manifest_filtered``
+    for the soundness argument."""
+    from iceberg_ruby_spark.table import _summary_excludes
+
+    _, list_records, list_meta = read_ocf(ops.io.read_bytes(ops._abs(list_path)))
+    list_extras = json.loads(list_meta.get(_EXTRAS_KEY, b"{}").decode())
+    rel_manifests = list_extras.get("manifests")
+    summaries = list_extras.get("summaries") or {}
+    if list_extras.get("carried") or any(
+        mf["content"] == 1 for mf in list_records
+    ):
+        entries = []
+        for i, mf in enumerate(list_records):
+            entries.extend(
+                read_one_avro_manifest(
+                    ops, _manifest_abs_path(ops, rel_manifests, i, mf)
+                )
+            )
+        for e in list_extras.get("carried", []):
+            entries.append(_carried_abs(ops, e))
+        return entries, 0
+    entries = []
+    skipped = 0
+    for i, mf in enumerate(list_records):
+        rel = (
+            rel_manifests[i]
+            if rel_manifests and i < len(rel_manifests)
+            else ops._rel(mf["manifest_path"])
+        )
+        s = summaries.get(rel)
+        if s is not None and not s.get("mor") and _summary_excludes(s, trees):
+            skipped += 1
+            continue
+        entries.extend(
+            read_one_avro_manifest(
+                ops, _manifest_abs_path(ops, rel_manifests, i, mf)
+            )
+        )
+    return entries, skipped
 
 
 def _carried_abs(ops: Any, e: dict[str, Any]) -> dict[str, Any]:

@@ -1498,9 +1498,221 @@ def _container_frame_extract(payload: bytes, frame_index: int) -> bytes:
     return payload[off : off + lens[i]]
 
 
+def encode_mp4_frames(
+    frames: list,
+    width: int,
+    height: int,
+    frame_ms: int = 1000,
+    timescale: int = 1000,
+) -> bytes:
+    """A spec-shaped ISO-BMFF file carrying REAL sample bytes: ``ftyp +
+    moov{mvhd, trak{tkhd, mdia{mdhd, hdlr, minf{stbl{stsd, stts, stsc,
+    stsz, stco}}}}} + mdat`` — the synthesized-but-spec-shaped MP4 the
+    ``mp4`` frame extractor walks (r13, VERDICT r12 #5).  Samples pack
+    TWO per chunk so the sample-to-chunk table is genuinely exercised
+    (an odd count adds a trailing 1-sample chunk entry).  This is a
+    container synthesizer for sample-table plumbing, not a video
+    encoder — the samples are whatever encoded image bytes you pass."""
+    import struct
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", len(body) + 8) + btype + body
+
+    n = len(frames)
+    if n == 0:
+        raise ValueError("encode_mp4_frames needs at least one frame")
+    dur = n * frame_ms * timescale // 1000
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">I", 1)
+        + b"\x00" * 4
+        + struct.pack(">I", dur)
+        + b"\x00" * 52
+        + struct.pack(">II", width << 16, height << 16),
+    )
+    mdhd = box(
+        b"mdhd",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)
+        + struct.pack(">II", timescale, dur)
+        + struct.pack(">HH", 0x55C4, 0),  # und language + predefined
+    )
+    hdlr = box(
+        b"hdlr",
+        b"\x00\x00\x00\x00" + b"\x00" * 4 + b"vide" + b"\x00" * 12 + b"\x00",
+    )
+    stsd = box(
+        b"stsd",
+        b"\x00\x00\x00\x00" + struct.pack(">I", 1) + box(b"mp4v", b"\x00" * 78),
+    )
+    stts = box(
+        b"stts",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", 1)
+        + struct.pack(">II", n, frame_ms * timescale // 1000),
+    )
+    n_full = n // 2
+    chunk_sizes = [2] * n_full + ([1] if n % 2 else [])
+    stsc_entries = []
+    if n_full:
+        stsc_entries.append((1, 2, 1))
+    if n % 2:
+        stsc_entries.append((n_full + 1, 1, 1))
+    stsc = box(
+        b"stsc",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">I", len(stsc_entries))
+        + b"".join(struct.pack(">III", *e) for e in stsc_entries),
+    )
+    sizes = [len(f) for f in frames]
+    stsz = box(
+        b"stsz",
+        b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, n)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+
+    def build(offsets: list) -> bytes:
+        stco = box(
+            b"stco",
+            b"\x00\x00\x00\x00"
+            + struct.pack(">I", len(offsets))
+            + b"".join(struct.pack(">I", o) for o in offsets),
+        )
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = box(b"minf", stbl)
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        moov = box(b"moov", mvhd + box(b"trak", tkhd + mdia))
+        return moov
+
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 512) + b"isomiso2")
+    # two passes: moov's size is offset-independent (fixed-width stco),
+    # so build once with zeros to measure, then with real offsets
+    mdat_body = b"".join(frames)
+    moov0 = build([0] * len(chunk_sizes))
+    data_start = len(ftyp) + len(moov0) + 8  # + mdat header
+    offsets, pos, si = [], data_start, 0
+    for csz in chunk_sizes:
+        offsets.append(pos)
+        pos += sum(sizes[si : si + csz])
+        si += csz
+    return ftyp + build(offsets) + box(b"mdat", mdat_body)
+
+
+def _mp4_frame_extract(payload: bytes, frame_index: int):
+    """Sample ``frame_index``'s bytes from an ISO-BMFF file via the
+    sample tables (stsz sizes, stsc sample→chunk runs, stco/co64 chunk
+    offsets) — pure header arithmetic, no codec work (r13, VERDICT r12
+    #5).  Indexes past the last sample clamp to it (static tail, same
+    contract as the FRMC extractor); any malformed table, or an offset
+    pointing outside the payload, returns None rather than garbage."""
+    import struct
+
+    if payload is None or len(payload) < 12:
+        return None
+    if payload[4:8] not in (b"ftyp", b"moov", b"free", b"mdat", b"styp"):
+        return None
+
+    def boxes(buf: bytes, pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack_from(">I", buf, pos)
+            btype = buf[pos + 4 : pos + 8]
+            if size < 8 or pos + size > end:
+                return
+            yield btype, pos + 8, pos + size
+            pos += size
+
+    def child(btype: bytes, pos: int, end: int):
+        for bt, s, e in boxes(payload, pos, end):
+            if bt == btype:
+                return s, e
+        return None
+
+    try:
+        moov = child(b"moov", 0, len(payload))
+        if moov is None:
+            return None
+        stbl = None
+        for bt, s, e in boxes(payload, *moov):
+            if bt != b"trak":
+                continue
+            mdia = child(b"mdia", s, e)
+            if mdia is None:
+                continue
+            minf = child(b"minf", *mdia)
+            if minf is None:
+                continue
+            stbl = child(b"stbl", *minf)
+            if stbl is not None:
+                break
+        if stbl is None:
+            return None
+        tables: dict = {}
+        for bt, s, e in boxes(payload, *stbl):
+            if bt in (b"stsz", b"stsc", b"stco", b"co64"):
+                tables[bt] = (s, e)
+        if b"stsz" not in tables or b"stsc" not in tables:
+            return None
+        if b"stco" in tables:
+            s, _e = tables[b"stco"]
+            (n_chunks,) = struct.unpack_from(">I", payload, s + 4)
+            offs = struct.unpack_from(f">{n_chunks}I", payload, s + 8)
+        elif b"co64" in tables:
+            s, _e = tables[b"co64"]
+            (n_chunks,) = struct.unpack_from(">I", payload, s + 4)
+            offs = struct.unpack_from(f">{n_chunks}Q", payload, s + 8)
+        else:
+            return None
+        s, _e = tables[b"stsz"]
+        uniform, n = struct.unpack_from(">II", payload, s + 4)
+        if n == 0:
+            return None
+        sizes = (
+            [uniform] * n
+            if uniform
+            else list(struct.unpack_from(f">{n}I", payload, s + 12))
+        )
+        s, _e = tables[b"stsc"]
+        (n_runs,) = struct.unpack_from(">I", payload, s + 4)
+        runs = [
+            struct.unpack_from(">III", payload, s + 8 + 12 * j)[:2]
+            for j in range(n_runs)
+        ]
+        # expand sample→(chunk, position-in-chunk) over the run table
+        i = min(frame_index, n - 1)
+        sample = 0
+        for j, (first_chunk, per) in enumerate(runs):
+            last_chunk = (
+                runs[j + 1][0] - 1 if j + 1 < len(runs) else n_chunks
+            )
+            for c in range(first_chunk, last_chunk + 1):
+                if sample + per > i:
+                    off = offs[c - 1] + sum(
+                        sizes[sample : sample + (i - sample)]
+                    )
+                    size = sizes[i]
+                    if off + size > len(payload):
+                        return None
+                    return payload[off : off + size]
+                sample += per
+        return None
+    except (struct.error, IndexError):
+        return None
+
+
 _FRAME_EXTRACTORS = {
     "fake": _fake_frame_extract,
     "container": _container_frame_extract,
+    "mp4": _mp4_frame_extract,
 }
 
 

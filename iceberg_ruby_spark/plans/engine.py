@@ -1256,6 +1256,73 @@ def engine_partition_counts(spark, sf_dir):
 
 
 @query(
+    "engine_partition_rollup",
+    oracle="""
+    SELECT o_orderpriority AS pr,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS lo,
+           CAST(MAX(o_orderkey) AS BIGINT) AS hi,
+           CAST(COUNT(o_custkey) AS BIGINT) AS ns
+    FROM (
+        SELECT o_orderkey, o_orderpriority,
+               CASE WHEN o_orderkey % 5 = 0 THEN NULL
+                    ELSE o_custkey END AS o_custkey
+        FROM orders WHERE o_orderkey < 4000
+    )
+    GROUP BY o_orderpriority
+    """,
+)
+def engine_partition_rollup(spark, sf_dir):
+    """Multi-aggregate partition rollup from metadata (r13, VERDICT r12
+    #4): ``SELECT p, COUNT(*), MIN(x), MAX(x), COUNT(y) GROUP BY p`` —
+    the partitions-metadata-table's natural shape — answers from manifest
+    stats alone when every file is single-valued on p (identity
+    partitioning gives this by construction) and bound-exact on x.  The
+    in-query assert pins that the statement was SERVED from metadata
+    (scan API non-None) and that the SQL route agrees; the DuckDB twin
+    recomputes the rollup relationally, NULL census included."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_pr",
+        schema={
+            "o_orderkey": "long",
+            "o_orderpriority": "string",
+            "o_custkey": "long",
+        },
+        partition_spec=[("o_orderpriority", "identity")],
+    )
+    t.append(
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 4000)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit(None))
+            .otherwise(F.col("o_custkey"))
+            .cast("long")
+            .alias("o_custkey"),
+        )
+    )
+    t = t.refresh()
+    meta = t.scan().metadata_group_aggs(
+        "o_orderpriority",
+        [("COUNT", None), ("MIN", "o_orderkey"), ("MAX", "o_orderkey"),
+         ("COUNT", "o_custkey")],
+    )
+    assert meta is not None, "metadata rollup declined unexpectedly"
+    res = cat.sql(
+        "SELECT o_orderpriority AS pr, COUNT(*) AS n,"
+        " MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi,"
+        " COUNT(o_custkey) AS ns"
+        " FROM orders_pr GROUP BY o_orderpriority"
+    ).to_a()
+    assert sorted(meta) == sorted(
+        (r["pr"], r["n"], r["lo"], r["hi"], r["ns"]) for r in res
+    )
+    return spark.createDataFrame(meta, "pr string, n long, lo long, hi long, ns long")
+
+
+@query(
     "engine_cdc_scd2",
     oracle="""
     WITH base AS (

@@ -592,6 +592,11 @@ class RestTableOps:
 
         return FsTableOps.read_manifest(self, manifest_list)
 
+    def read_manifest_filtered(self, manifest_list: str, trees):
+        from iceberg_ruby_spark.table import FsTableOps
+
+        return FsTableOps.read_manifest_filtered(self, manifest_list, trees)
+
     def read_manifest_delta(self, end_list: str, start_list: str):
         from iceberg_ruby_spark.table import FsTableOps
 

@@ -503,7 +503,16 @@ class FsTableOps:
         segs = (
             self._base_segments(base_list) if base_list is not None else []
         )
-        segs.append({"path": self._rel(seg_path), "n": len(stored)})
+        # "s": the segment's conservative column summary — what lets the
+        # metadata layer SKIP whole segments a filter provably misses
+        # (read_manifest_filtered) without opening them
+        segs.append(
+            {
+                "path": self._rel(seg_path),
+                "n": len(stored),
+                "s": _segment_summary(stored),
+            }
+        )
         segs = self._maybe_merge_segments(snapshot_id, segs)
         doc: dict[str, Any] = {"snapshot-id": snapshot_id, "segments": segs}
         self.io.write_atomic(path, json.dumps(doc), overwrite=True)
@@ -556,7 +565,13 @@ class FsTableOps:
         first_victim = min(victims)
         for i, s in enumerate(segs):
             if i == first_victim:
-                out.append({"path": self._rel(mpath), "n": len(merged)})
+                out.append(
+                    {
+                        "path": self._rel(mpath),
+                        "n": len(merged),
+                        "s": _segment_summary(merged),
+                    }
+                )
             if i not in victims:
                 out.append(s)
         return out
@@ -573,6 +588,44 @@ class FsTableOps:
             stored.extend(sdoc.get("entries", []))
         stored.extend(doc.get("entries", []))
         return [self._map_entry_paths(e, self._abs) for e in stored]
+
+    def read_manifest_filtered(
+        self, manifest_list: str, trees
+    ) -> tuple[list[dict[str, Any]], int]:
+        """:meth:`read_manifest`, but segments whose stored summary PROVES
+        every file full-misses the filter ``trees`` are skipped without
+        being opened — filtered metadata-aggregate planning cost scales
+        with MATCHING segments, not total entries (r13, VERDICT r12 #3).
+
+        Returns ``(entries, skipped_segments)``.  Pruning engages only
+        when every segment carries a summary that proves the snapshot has
+        ZERO merge-on-read entries: a delete could reference a file in a
+        skipped segment, and the DV-exact COUNT proof needs the full
+        matched-file map — the mor-free analytic table is the case this
+        exists for.  Anything else falls back to the full read."""
+        if trees is None:
+            return self.read_manifest(manifest_list), 0
+        if manifest_list.endswith(".avro"):
+            from iceberg_ruby_spark.manifests import (
+                read_avro_manifest_list_filtered,
+            )
+
+            return read_avro_manifest_list_filtered(self, manifest_list, trees)
+        doc = json.loads(self.io.read(self._abs(manifest_list)))
+        segs = doc.get("segments", [])
+        if doc.get("entries") or any(
+            "s" not in seg or seg["s"].get("mor") for seg in segs
+        ):
+            return self.read_manifest(manifest_list), 0
+        stored: list[dict[str, Any]] = []
+        skipped = 0
+        for seg in segs:
+            if _summary_excludes(seg["s"], trees):
+                skipped += 1
+                continue
+            sdoc = json.loads(self.io.read(self._abs(seg["path"])))
+            stored.extend(sdoc.get("entries", []))
+        return [self._map_entry_paths(e, self._abs) for e in stored], skipped
 
     def read_manifest_delta(
         self, end_list: str, start_list: str
@@ -6729,6 +6782,83 @@ def _typed_bound(v: Any, t: ice_t.Type) -> Any:
     return None
 
 
+def _segment_summary(entries: list[dict[str, Any]]) -> dict[str, Any]:
+    """Conservative per-segment COLUMN summary for manifest-level segment
+    pruning (the engine twin of the Iceberg manifest-list rows' partition
+    field summaries, generalized to column bounds so non-partition
+    predicates prune too): ``{"mor": bool, "rows": int|None,
+    "cols": {col: {"lo","hi","nulls"?}}}``.
+
+    Soundness: a column appears ONLY when every data entry in the segment
+    records both bounds for it (a bound-less file could hold anything);
+    ``lo``/``hi`` are min/max over the files' conservative bounds, so the
+    segment range is conservative too; ``nulls`` (summed) appears only
+    when every file records a null count; ``rows`` only when every file
+    records a row count; a legacy data-dir entry empties the summary.
+    Values are the entries' stored JSON-stat forms — min/max on mixed
+    non-comparable types drops the column."""
+    data = [e for e in entries if "path" in e]
+    mor = any("delete-file" in e or "delete-predicate" in e for e in entries)
+    if any("data-dir" in e for e in entries) or not data:
+        return {"mor": mor, "rows": None, "cols": {}}
+    rows: Optional[int] = 0
+    for e in data:
+        rc = e.get("record-count")
+        if rc is None:
+            rows = None
+            break
+        rows += rc
+    cols: dict[str, dict[str, Any]] = {}
+    first = data[0]
+    cand = set((first.get("lower-bounds") or {})) & set(
+        (first.get("upper-bounds") or {})
+    )
+    for c in cand:
+        los, his, nulls = [], [], 0
+        ok, have_nulls = True, True
+        for e in data:
+            lo = (e.get("lower-bounds") or {}).get(c)
+            hi = (e.get("upper-bounds") or {}).get(c)
+            if lo is None or hi is None:
+                ok = False
+                break
+            los.append(lo)
+            his.append(hi)
+            nc = (e.get("null-counts") or {}).get(c)
+            if nc is None:
+                have_nulls = False
+            else:
+                nulls += nc
+        if not ok:
+            continue
+        try:
+            entry = {"lo": min(los), "hi": max(his)}
+        except TypeError:
+            continue  # mixed bound types: not comparable, skip the column
+        if have_nulls:
+            entry["nulls"] = nulls
+        cols[c] = entry
+    return {"mor": mor, "rows": rows, "cols": cols}
+
+
+def _summary_excludes(summary: Optional[dict[str, Any]], trees) -> bool:
+    """True when a segment summary PROVES no file in the segment can
+    contain a row matching every filter tree — the whole segment is then
+    full-miss and its manifest need not be opened."""
+    if not summary or trees is None:
+        return False
+    cols = summary.get("cols") or {}
+    pseudo = {
+        "lower-bounds": {c: v["lo"] for c, v in cols.items()},
+        "upper-bounds": {c: v["hi"] for c, v in cols.items()},
+        "null-counts": {
+            c: v["nulls"] for c, v in cols.items() if "nulls" in v
+        },
+        "record-count": summary.get("rows"),
+    }
+    return any(not _bounds_may_match(pseudo, t) for t in trees)
+
+
 def _key_bounds_tree(delete_entry: dict[str, Any]):
     """Predicate tree from an equality delete's optional per-entry
     ``key-bounds`` hint ({"lower": {col: v}, "upper": {col: v}}, values in
@@ -7801,7 +7931,12 @@ class TableScan:
             trees = self._provable_filter_trees()
             if trees is None:
                 return None
-        entries = self.table.ops.read_manifest(snap.manifest_list)
+        # segment pruning: manifests whose stored summary proves every
+        # file full-misses the filter never open — filtered metadata
+        # planning scales with MATCHING segments, not table history
+        entries, _ = self.table.ops.read_manifest_filtered(
+            snap.manifest_list, trees
+        )
         data, mor = Table._split_entries(entries)
         vals = []
         for fn, c in specs:
@@ -7969,30 +8104,65 @@ class TableScan:
         self, col: str
     ) -> Optional[list[tuple[Any, int]]]:
         """``SELECT col, COUNT(*) … GROUP BY col`` from manifest stats
-        alone — the partition-histogram statement (Iceberg's partitions
-        metadata table answers the same shape), zero data files opened.
+        alone — the partition-histogram statement; the single-agg wrapper
+        over :meth:`metadata_group_aggs`."""
+        rows = self.metadata_group_aggs(col, [("COUNT", None)])
+        if rows is None:
+            return None
+        return [(r[0], r[1]) for r in rows]
 
-        Provable when every data file is SINGLE-VALUED on ``col`` at the
-        stats level: lower == upper (an identity-partitioned table's
-        writers record exactly this for the partition source), an
-        all-NULL file contributes its rows to the NULL group, and a
-        mixed file (some nulls, one value) splits by its null count.
-        Filters classify files full-match/full-miss like
-        :meth:`metadata_aggs`; a deletion vector subtracts its exact
-        cardinality from its referenced file's group when that file has
-        zero nulls in ``col`` (the dead rows' group is then certain).
-        Anything else — a multi-valued file, float/double group column,
-        non-DV delete, missing stats — returns None and the caller runs
-        the scan.  Returns ``[(value, count), …]`` sorted with NULL
-        first, zero-count groups dropped."""
+    def metadata_group_aggs(
+        self, col: str, specs: list[tuple[str, Optional[str]]]
+    ) -> Optional[list[tuple]]:
+        """``SELECT col, <aggs> … GROUP BY col`` from manifest stats alone
+        — the partitions-metadata-table rollup shape (r13, VERDICT r12
+        #4), zero data files opened.  ``specs`` is a ``[(fn, arg)]`` list,
+        fn ∈ COUNT/MIN/MAX, arg None = COUNT(*).
+
+        Group-column proof as before (every contributing file
+        SINGLE-VALUED on ``col``: lower == upper, an identity-partitioned
+        table by construction; all-NULL files feed the NULL group; a
+        null-split file splits by its null count).  Column aggregates add:
+
+        - COUNT(x)/MIN(x)/MAX(x) need every contributing file
+          SINGLE-GROUP (zero nulls or all nulls in ``col``) — a
+          null-split file's x-stats span two groups and can't be
+          attributed — and NO merge-on-read entry outstanding (a delete
+          may kill the extreme row / change x's null census);
+        - MIN/MAX: bound-exact type (int/long/date/timestamp/decimal)
+          and per contributing file a recorded bound or a provable
+          all-NULL on x (:meth:`_meta_bound`'s rule, per group);
+        - COUNT(x): x's null count recorded per contributing file.
+
+        COUNT(*)-only statements keep the DV-exact subtraction.  Filters
+        classify files full-match/full-miss; anything unprovable returns
+        None and the caller runs ONE generic scan (all-or-nothing).
+        Rows sort NULL-first; groups whose COUNT(*) reaches zero drop."""
         if self._limit is not None:
             return None
-        field = self.table.current_schema().field_by_name(col)
+        schema = self.table.current_schema()
+        field = schema.field_by_name(col)
         if field is None or (
             type(field.field_type).__name__.lower().replace("type", "")
             not in self._GROUP_EXACT_TYPES
         ):
             return None
+        agg_fields = {}
+        for fn, c in specs:
+            if fn == "COUNT":
+                if c is not None and schema.field_by_name(c) is None:
+                    return None
+            elif fn in ("MIN", "MAX"):
+                f2 = schema.field_by_name(c) if c is not None else None
+                if f2 is None or (
+                    type(f2.field_type).__name__.lower().replace("type", "")
+                    not in self._BOUND_EXACT_TYPES
+                ):
+                    return None
+                agg_fields[c] = f2
+            else:
+                return None
+        needs_single_group = any(c is not None for _fn, c in specs)
         snap = self.snapshot()
         if snap is None:
             return []
@@ -8001,16 +8171,29 @@ class TableScan:
             trees = self._provable_filter_trees()
             if trees is None:
                 return None
-        entries = self.table.ops.read_manifest(snap.manifest_list)
+        entries, _ = self.table.ops.read_manifest_filtered(
+            snap.manifest_list, trees
+        )
         data, mor = Table._split_entries(entries)
+        if mor and needs_single_group:
+            return None
 
         def _decode(raw):
             if isinstance(field.field_type, ice_t.StringType):
                 return raw if isinstance(raw, str) else None
             return _typed_bound(raw, field.field_type)
 
-        counts: dict = {}
-        file_group: dict = {}  # abs path → (key, nulls, records, matched)
+        counts: dict = {}          # group key → COUNT(*) census
+        accs: dict = {}            # group key → per-spec accumulator list
+        file_group: dict = {}      # abs path → (key, nulls, records, matched)
+
+        def _acc(key):
+            if key not in accs:
+                accs[key] = [
+                    0 if fn == "COUNT" else None for fn, _c in specs
+                ]
+            return accs[key]
+
         for e in data:
             if "path" not in e:
                 return None  # pathless legacy entry: can't key DV refs
@@ -8028,6 +8211,8 @@ class TableScan:
             nc = (e.get("null-counts") or {}).get(col)
             if rc is None or nc is None:
                 return None
+            if needs_single_group and 0 < nc < rc:
+                return None  # x-stats would span two groups
             key = None
             if nc < rc:  # at least one non-null value: must be single
                 lo = (e.get("lower-bounds") or {}).get(col)
@@ -8042,6 +8227,38 @@ class TableScan:
                 counts[None] = counts.get(None, 0) + nc
             if nc < rc:
                 counts[key] = counts.get(key, 0) + (rc - nc)
+            # single-group files put every row (and every x value) in one
+            # group; null-split files reach here only for pure COUNT(*)
+            fkey = None if nc == rc else key
+            for i, (fn, c) in enumerate(specs):
+                if c is None:
+                    continue  # COUNT(*) comes from the census above
+                acc = _acc(fkey)
+                nc_c = (e.get("null-counts") or {}).get(c)
+                if fn == "COUNT":
+                    if nc_c is None:
+                        return None
+                    acc[i] += rc - nc_c
+                    continue
+                b = (
+                    e.get("lower-bounds" if fn == "MIN" else "upper-bounds")
+                    or {}
+                ).get(c)
+                if b is None:
+                    # exact only if the file is provably all-NULL on c
+                    if nc_c is None or nc_c != rc:
+                        return None
+                    continue
+                typed = _typed_bound(b, agg_fields[c].field_type)
+                if typed is None:
+                    return None
+                cur = acc[i]
+                if cur is None:
+                    acc[i] = typed
+                elif fn == "MIN":
+                    acc[i] = min(cur, typed)
+                else:
+                    acc[i] = max(cur, typed)
         if mor:
             refs = self._dv_refs(mor)
             if refs is None or not set(refs) <= set(file_group):
@@ -8057,9 +8274,37 @@ class TableScan:
                 else:
                     return None  # dead rows' group (value vs NULL) unknown
                 counts[dead_key] = counts.get(dead_key, 0) - e["deleted-records"]
-        out = [(k, n) for k, n in counts.items() if n > 0]
+        out = []
+        for k, n in counts.items():
+            if n <= 0:
+                continue
+            acc = accs.get(k) or [
+                0 if fn == "COUNT" else None for fn, _c in specs
+            ]
+            vals = [n if (fn == "COUNT" and c is None) else acc[i]
+                    for i, (fn, c) in enumerate(specs)]
+            out.append((k, *vals))
         out.sort(key=lambda kv: (kv[0] is not None, kv[0]))
         return out
+
+    def _parsed_filter_trees(self) -> Optional[list]:
+        """The PARSEABLE subset of the scan's filters as predicate trees
+        (unparseable filters prune nothing anyway), or None when none
+        parse — the segment-pruning twin of :meth:`_prune_entries`'s
+        per-file loop, safe for any column type because
+        ``_bounds_may_match`` is conservative."""
+        trees = []
+        for f in self._filters:
+            src = f
+            if not isinstance(src, str):
+                try:
+                    src = f._jc.toString()
+                except Exception:
+                    continue
+            tree = _parse_predicate(src)
+            if tree is not None:
+                trees.append(tree)
+        return trees or None
 
     def _prune_entries(self, entries: list[dict[str, Any]]) -> list[dict[str, Any]]:
         """Drop files whose commit-time column bounds prove the scan's
@@ -8157,7 +8402,10 @@ class TableScan:
         snap = self.snapshot()
         if snap is None:
             return []
-        entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
+        entries, _ = self.table.ops.read_manifest_filtered(
+            snap.manifest_list, self._parsed_filter_trees()
+        )
+        entries = self._prune_entries(entries)
         preds = [e for e in entries if "delete-predicate" in e]
         dfile_entries = [e for e in entries if "delete-file" in e]
         io = self.table.ops.io
@@ -8171,15 +8419,26 @@ class TableScan:
             ]
             for e in dfile_entries
         }
+        dfile_scopes = {
+            id(e): _compile_seq_scope(e) if e.get("seq-scoped") else None
+            for e in dfile_entries
+        }
 
-        def deletes_for(path: str) -> list[str]:
+        def deletes_for(de: dict[str, Any]) -> list[str]:
+            path = de["path"]
             out = [
                 e["delete-predicate"]
                 for e in preds
                 if e.get("applies-to") is None or path in e["applies-to"]
             ]
             for e in dfile_entries:
-                if e.get("applies-to") is None or path in e["applies-to"]:
+                scope = dfile_scopes[id(e)]
+                if scope is not None:
+                    # sequence-scoped: applies iff the data file's
+                    # sequence is strictly lower (key-bounds pruned)
+                    if _seq_scope_applies(scope, de):
+                        out.extend(dfile_paths[id(e)])
+                elif e.get("applies-to") is None or path in e["applies-to"]:
                     out.extend(dfile_paths[id(e)])
             return out
 
@@ -8193,7 +8452,7 @@ class TableScan:
                         "record_count": e.get("record-count"),
                         "lower_bounds": e.get("lower-bounds", {}),
                         "upper_bounds": e.get("upper-bounds", {}),
-                        "delete_files": deletes_for(e["path"]),
+                        "delete_files": deletes_for(e),
                     }
                 )
             elif "data-dir" in e:  # legacy dir-level entry
@@ -8241,7 +8500,10 @@ class TableScan:
                 st = _T.StructType(list(st.fields) + extra_fields)
             df = spark.createDataFrame([], st)
         else:
-            entries = self._prune_entries(self.table.ops.read_manifest(snap.manifest_list))
+            entries, _ = self.table.ops.read_manifest_filtered(
+                snap.manifest_list, self._parsed_filter_trees()
+            )
+            entries = self._prune_entries(entries)
             # _read_entries restores declared column order AND casts each
             # column back to the table schema (identity-partition values
             # round-trip through directory names; without the cast Spark's

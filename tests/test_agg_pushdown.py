@@ -538,3 +538,211 @@ def test_sql_numeric_timestamp_as_of(catalog):
         f"SELECT SUM(k) AS s FROM aggnts TIMESTAMP AS OF {cut_s}"
     ).rows == [[3]]
     assert cat.sql("SELECT COUNT(*) AS n FROM aggnts").to_a() == [{"n": 3}]
+
+
+def _spy_segment_reads(t):
+    """Wrap the table io's read/read_bytes to record metadata files opened."""
+    opened = []
+    io = t.ops.io
+    orig_read, orig_rb = io.read, io.read_bytes
+
+    def read(path, *a, **kw):
+        opened.append(path)
+        return orig_read(path, *a, **kw)
+
+    def read_bytes(path, *a, **kw):
+        opened.append(path)
+        return orig_rb(path, *a, **kw)
+
+    io.read, io.read_bytes = read, read_bytes
+    return opened, lambda: (setattr(io, "read", orig_read),
+                            setattr(io, "read_bytes", orig_rb))
+
+
+def test_segment_pruning_skips_unopened_segments(catalog):
+    """r13 (VERDICT r12 #3): a filtered metadata COUNT opens ONLY the
+    manifest segments whose stored column summary may match the filter —
+    a summary-excluded segment file is never read.  Six disjoint-range
+    commits, a filter hitting one range: exactly one segment opens."""
+    t = catalog.create_table("segprune", schema={"k": "long", "v": "long"})
+    for c in range(6):
+        t.append([{"k": c * 100 + i, "v": i} for i in range(10)])
+    t = t.refresh()
+    opened, restore = _spy_segment_reads(t)
+    try:
+        n = t.scan().filter("k >= 200 AND k < 210").count()
+    finally:
+        restore()
+    assert n == 10
+    segs = [p for p in opened if "/seg-" in p]
+    assert len(segs) == 1, f"expected 1 segment opened, got {segs}"
+    # unfiltered COUNT still reads nothing extra (pure fast-path totals)
+    # and a WIDE filter opens every segment
+    opened2, restore = _spy_segment_reads(t)
+    try:
+        n_all = t.scan().filter("k >= 0").count()
+    finally:
+        restore()
+    assert n_all == 60
+    assert len([p for p in opened2 if "/seg-" in p]) == 6
+
+
+def test_segment_pruning_avro_and_mor_fallback(catalog):
+    """Avro manifest lists prune via the extras summaries; ANY
+    merge-on-read entry disables pruning (the DV-exact COUNT proof needs
+    the full matched-file map) but answers stay exact."""
+    t = catalog.create_table(
+        "segprune_av",
+        schema={"k": "long", "v": "long"},
+        properties={"write.metadata.manifest-format": "avro"},
+    )
+    for c in range(4):
+        t.append([{"k": c * 100 + i, "v": i} for i in range(10)])
+    t = t.refresh()
+    opened, restore = _spy_segment_reads(t)
+    try:
+        n = t.scan().filter("k >= 100 AND k < 120").count()
+    finally:
+        restore()
+    assert n == 10
+    manifests = [
+        p for p in opened if p.endswith(".avro") and "-m" in os.path.basename(p)
+    ]
+    assert len(manifests) == 1, f"expected 1 manifest opened, got {manifests}"
+    # a DV delete lands → pruning disengages, result stays exact
+    t.delete_where("k = 305", mode="merge-on-read-dv")
+    t = t.refresh()
+    assert t.scan().filter("k >= 100 AND k < 120").count() == 10
+    assert t.scan().filter("k >= 300 AND k < 320").count() == 9
+    assert t.scan().count() == 39
+
+
+def test_segment_pruning_group_counts_and_scan(catalog, spark):
+    """The histogram route and the executed scan prune segments too; a
+    summary survives a segment MERGE (the consolidation recomputes it)."""
+    import iceberg_ruby_spark.manifests as _m
+
+    t = catalog.create_table("segprune_gc", schema={"p": "long", "k": "long"})
+    for c in range(5):
+        t.append([{"p": c, "k": c * 100 + i} for i in range(8)])
+    t = t.refresh()
+    scan = t.scan().filter("k >= 200 AND k < 300")
+    assert scan.metadata_group_counts("p") == [(2, 8)]
+    opened, restore = _spy_segment_reads(t)
+    try:
+        rows = t.scan().filter("k >= 200 AND k < 300").to_df().collect()
+    finally:
+        restore()
+    assert len(rows) == 8
+    assert len([p for p in opened if "/seg-" in p]) == 1
+    # force a merge below the cap and re-check
+    old = _m.MANIFEST_SEGMENT_CAP
+    _m.MANIFEST_SEGMENT_CAP = 3
+    try:
+        t.append([{"p": 9, "k": 900 + i} for i in range(8)])
+    finally:
+        _m.MANIFEST_SEGMENT_CAP = old
+    t = t.refresh()
+    assert t.scan().filter("k >= 200 AND k < 300").count() == 8
+    assert t.scan().filter("k >= 900").count() == 8
+    assert t.scan().count() == 48
+
+
+def test_group_rollup_multi_agg_zero_read(catalog):
+    """r13 (VERDICT r12 #4): ``SELECT p, COUNT(*), MIN(x), MAX(x) GROUP
+    BY p`` — the partitions-metadata-table rollup — answers from manifest
+    stats alone: proven by deleting every data file first."""
+    t = catalog.create_table(
+        "rollup0",
+        schema={"p": "long", "x": "long", "s": "string"},
+        partition_spec=["p"],
+    )
+    t.append(
+        [
+            {"p": 1, "x": 10, "s": "a"},
+            {"p": 1, "x": 5, "s": None},
+            {"p": 2, "x": 7, "s": "c"},
+        ]
+    )
+    t.append([{"p": 1, "x": 99, "s": "d"}, {"p": 2, "x": 1, "s": "e"}])
+    t = t.refresh()
+    _drop_data_files(t)
+    rows = catalog.sql(
+        "SELECT p, COUNT(*) AS n, MIN(x) AS lo, MAX(x) AS hi, COUNT(s) AS ns"
+        " FROM rollup0 GROUP BY p"
+    ).to_a()
+    assert rows == [
+        {"p": 1, "n": 3, "lo": 5, "hi": 99, "ns": 2},
+        {"p": 2, "n": 2, "lo": 1, "hi": 7, "ns": 2},
+    ]
+    # filtered variant: full-match/full-miss classification per file
+    rows = catalog.sql(
+        "SELECT p, COUNT(*) AS n, MAX(x) AS hi FROM rollup0"
+        " WHERE p = 1 GROUP BY p"
+    ).to_a()
+    assert rows == [{"p": 1, "n": 3, "hi": 99}]
+
+
+def test_group_rollup_declines(catalog, spark):
+    """Unprovable rollups return None (the scan API) and the SQL route
+    falls to ONE generic scan: a multi-valued group file, a null-split
+    group file under an x-agg, any MoR delete under an x-agg, and a
+    string MIN (bounds may be truncated prefixes)."""
+    # multi-valued group file (one unpartitioned file mixes p values)
+    t = catalog.create_table("rollup1", schema={"p": "long", "x": "long"})
+    t.append(
+        spark.createDataFrame([(1, 1), (2, 2)], "p long, x long").coalesce(1)
+    )
+    t = t.refresh()
+    assert t.scan().metadata_group_aggs("p", [("MIN", "x")]) is None
+    rows = catalog.sql(
+        "SELECT p, MIN(x) AS lo FROM rollup1 GROUP BY p ORDER BY p"
+    ).to_a()
+    assert rows == [{"p": 1, "lo": 1}, {"p": 2, "lo": 2}]
+    # null-split group file: COUNT(*) histogram still provable, x-aggs not
+    t2 = catalog.create_table("rollup2", schema={"p": "long", "x": "long"})
+    t2.append(
+        spark.createDataFrame([(None, 4), (7, 5)], "p long, x long").coalesce(1)
+    )
+    t2 = t2.refresh()
+    assert t2.scan().metadata_group_counts("p") == [(None, 1), (7, 1)]
+    assert t2.scan().metadata_group_aggs("p", [("MAX", "x")]) is None
+    # an MoR delete under an x-agg declines (the extreme row may be dead);
+    # the COUNT(*)-only histogram keeps its DV-exact subtraction
+    t3 = catalog.create_table(
+        "rollup3", schema={"p": "long", "x": "long"}, partition_spec=["p"]
+    )
+    t3.append([{"p": 1, "x": 1}, {"p": 1, "x": 9}, {"p": 2, "x": 5}])
+    t3 = t3.refresh()
+    t3.delete_where("x = 9", mode="merge-on-read-dv")
+    t3 = t3.refresh()
+    assert t3.scan().metadata_group_aggs("p", [("MAX", "x")]) is None
+    assert t3.scan().metadata_group_counts("p") == [(1, 1), (2, 1)]
+    assert catalog.sql(
+        "SELECT p, MAX(x) AS hi FROM rollup3 GROUP BY p ORDER BY p"
+    ).to_a() == [{"p": 1, "hi": 1}, {"p": 2, "hi": 5}]
+    # string aggregate target: truncated bounds are not values — decline
+    t4 = catalog.create_table(
+        "rollup4", schema={"p": "long", "s": "string"}, partition_spec=["p"]
+    )
+    t4.append([{"p": 1, "s": "zz"}])
+    t4 = t4.refresh()
+    assert t4.scan().metadata_group_aggs("p", [("MIN", "s")]) is None
+
+
+def test_group_rollup_all_null_agg_column(catalog, spark):
+    """A file all-NULL on the aggregate column contributes nothing to
+    MIN/MAX (SQL ignores NULLs) and a group with no non-null values
+    reports NULL."""
+    t = catalog.create_table(
+        "rollup5", schema={"p": "long", "x": "long"}, partition_spec=["p"]
+    )
+    t.append(
+        spark.createDataFrame([(1, None), (1, None)], "p long, x long")
+    )
+    t.append([{"p": 2, "x": 3}])
+    t = t.refresh()
+    rows = t.scan().metadata_group_aggs(
+        "p", [("COUNT", None), ("MIN", "x"), ("COUNT", "x")]
+    )
+    assert rows == [(1, 2, None, 0), (2, 1, 3, 1)]

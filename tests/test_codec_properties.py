@@ -156,3 +156,43 @@ def test_frame_container_roundtrip_and_clamp():
     assert mm._container_frame_extract(mm.encode_frame_container([]), 0) is None
     # extracted frames decode with the real codec
     assert mm.decode_png(mm._container_frame_extract(c, 1))[3] == bytes([9, 9, 9] * 4)
+
+
+def test_mp4_sample_table_roundtrip_clamp_and_refusals():
+    """r13 (VERDICT r12 #5): the ``mp4`` frame extractor walks the real
+    ISO-BMFF sample tables (stsz/stsc/stco) — every sample round-trips
+    byte-exact through the 2-per-chunk layout, indexes past the end clamp
+    to the last sample, and malformed input (truncation, garbage,
+    offsets outside the payload) returns None instead of garbage."""
+    import struct
+
+    from iceberg_ruby_spark.operators import multimodal as mm
+
+    for n in (1, 2, 5, 8):
+        frames = [bytes([i]) * (3 + 7 * i) for i in range(n)]
+        mp4 = mm.encode_mp4_frames(frames, 4, 4, frame_ms=500)
+        for i in range(n):
+            assert mm._mp4_frame_extract(mp4, i) == frames[i], (n, i)
+        assert mm._mp4_frame_extract(mp4, n + 10) == frames[-1]  # clamp
+        # the metadata probe still reads the same container
+        meta = mm._probe_mp4(mp4)
+        assert meta["duration_ms"] == n * 500
+        assert (meta["width"], meta["height"]) == (4, 4)
+    frames = [b"abc", b"defg"]
+    mp4 = mm.encode_mp4_frames(frames, 2, 2)
+    assert mm._mp4_frame_extract(mp4[: len(mp4) // 2], 0) is None
+    assert mm._mp4_frame_extract(b"garbage", 0) is None
+    assert mm._mp4_frame_extract(None, 0) is None
+    # metadata-only fixture (no stbl): refused, not crashed
+    assert mm._mp4_frame_extract(mm.encode_mp4_meta(2, 2, 1000), 0) is None
+    # an stco offset pointing outside the payload: refused
+    off = mp4.find(b"stco") + 12
+    (first,) = struct.unpack_from(">I", mp4, off)
+    bad = mp4[:off] + struct.pack(">I", len(mp4) + 100) + mp4[off + 4:]
+    assert mm._mp4_frame_extract(bad, 0) is None
+    # real JPEG samples decode after extraction (frame bytes untouched)
+    j = [mm.encode_jpeg(8, 8, bytes([v, v, v]) * 64) for v in (10, 200)]
+    mj = mm.encode_mp4_frames(j, 8, 8)
+    got = mm._mp4_frame_extract(mj, 1)
+    assert got == j[1]
+    assert mm.decode_jpeg(got)[3][:3] == bytes([200, 200, 200])
