@@ -358,7 +358,7 @@ def stream_cdc_pipeline(spark, sf_dir):
                      ELSE length(text) END AS BIGINT) AS v
     FROM documents WHERE doc_id < 400
     """,
-    bench=True,
+    bench="tail",
 )
 def stream_upsert_sink(spark, sf_dir):
     """The native streaming UPSERT sink end-to-end (r12, VERDICT r11 #5 —
