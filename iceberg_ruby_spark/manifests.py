@@ -1003,33 +1003,26 @@ def read_avro_manifest_list(ops: Any, list_path: str) -> list[dict[str, Any]]:
 
 
 def read_avro_manifest_list_filtered(
-    ops: Any, list_path: str, trees
+    ops: Any, list_path: str, trees, allow_mor: bool = False
 ) -> tuple[list[dict[str, Any]], int]:
     """:func:`read_avro_manifest_list` with segment pruning: DATA
     manifests whose stored column summary proves every file full-misses
-    the filter ``trees`` are skipped without being opened.  Engages only
-    on a provably merge-on-read-free snapshot (no delete manifests, no
-    carried pathless entries) — see ``FsTableOps.read_manifest_filtered``
-    for the soundness argument."""
+    the filter ``trees`` are skipped without being opened.  By default
+    engages only on a provably merge-on-read-free snapshot (no delete
+    manifests, no carried pathless entries); ``allow_mor=True`` prunes
+    data manifests even then (delete manifests and carried entries are
+    always read) — see ``FsTableOps.read_manifest_filtered`` for the
+    soundness argument."""
     from iceberg_ruby_spark.table import _summary_excludes
 
     _, list_records, list_meta = read_ocf(ops.io.read_bytes(ops._abs(list_path)))
     list_extras = json.loads(list_meta.get(_EXTRAS_KEY, b"{}").decode())
     rel_manifests = list_extras.get("manifests")
     summaries = list_extras.get("summaries") or {}
-    if list_extras.get("carried") or any(
+    has_mor = list_extras.get("carried") or any(
         mf["content"] == 1 for mf in list_records
-    ):
-        entries = []
-        for i, mf in enumerate(list_records):
-            entries.extend(
-                read_one_avro_manifest(
-                    ops, _manifest_abs_path(ops, rel_manifests, i, mf)
-                )
-            )
-        for e in list_extras.get("carried", []):
-            entries.append(_carried_abs(ops, e))
-        return entries, 0
+    )
+    prune = allow_mor or not has_mor
     entries = []
     skipped = 0
     for i, mf in enumerate(list_records):
@@ -1038,7 +1031,7 @@ def read_avro_manifest_list_filtered(
             if rel_manifests and i < len(rel_manifests)
             else ops._rel(mf["manifest_path"])
         )
-        s = summaries.get(rel)
+        s = summaries.get(rel) if prune and mf["content"] == 0 else None
         if s is not None and not s.get("mor") and _summary_excludes(s, trees):
             skipped += 1
             continue
@@ -1047,6 +1040,8 @@ def read_avro_manifest_list_filtered(
                 ops, _manifest_abs_path(ops, rel_manifests, i, mf)
             )
         )
+    for e in list_extras.get("carried", []):
+        entries.append(_carried_abs(ops, e))
     return entries, skipped
 
 

@@ -590,19 +590,24 @@ class FsTableOps:
         return [self._map_entry_paths(e, self._abs) for e in stored]
 
     def read_manifest_filtered(
-        self, manifest_list: str, trees
+        self, manifest_list: str, trees, allow_mor: bool = False
     ) -> tuple[list[dict[str, Any]], int]:
         """:meth:`read_manifest`, but segments whose stored summary PROVES
         every file full-misses the filter ``trees`` are skipped without
         being opened — filtered metadata-aggregate planning cost scales
         with MATCHING segments, not total entries (r13, VERDICT r12 #3).
 
-        Returns ``(entries, skipped_segments)``.  Pruning engages only
-        when every segment carries a summary that proves the snapshot has
-        ZERO merge-on-read entries: a delete could reference a file in a
-        skipped segment, and the DV-exact COUNT proof needs the full
-        matched-file map — the mor-free analytic table is the case this
-        exists for.  Anything else falls back to the full read."""
+        Returns ``(entries, skipped_segments)``.  With the default
+        ``allow_mor=False``, pruning engages only when every segment
+        carries a summary that proves the snapshot has ZERO merge-on-read
+        entries: a delete could reference a file in a skipped segment,
+        and the DV-exact COUNT proof needs the full matched-file map.
+        ``allow_mor=True`` (the executed-scan/plan_files callers) prunes
+        data-pure segments even on MoR tables — sound for READING because
+        a pruned file's rows are never materialized, so a delete scoped
+        to it is a no-op, and every delete ENTRY still rides along
+        (mor-bearing segments are always read).  Summary-less segments
+        are always read in both modes."""
         if trees is None:
             return self.read_manifest(manifest_list), 0
         if manifest_list.endswith(".avro"):
@@ -610,21 +615,30 @@ class FsTableOps:
                 read_avro_manifest_list_filtered,
             )
 
-            return read_avro_manifest_list_filtered(self, manifest_list, trees)
+            return read_avro_manifest_list_filtered(
+                self, manifest_list, trees, allow_mor=allow_mor
+            )
         doc = json.loads(self.io.read(self._abs(manifest_list)))
         segs = doc.get("segments", [])
-        if doc.get("entries") or any(
+        has_mor = doc.get("entries") or any(
             "s" not in seg or seg["s"].get("mor") for seg in segs
-        ):
+        )
+        if has_mor and not allow_mor:
             return self.read_manifest(manifest_list), 0
         stored: list[dict[str, Any]] = []
         skipped = 0
         for seg in segs:
-            if _summary_excludes(seg["s"], trees):
+            s = seg.get("s")
+            if (
+                s is not None
+                and not s.get("mor")
+                and _summary_excludes(s, trees)
+            ):
                 skipped += 1
                 continue
             sdoc = json.loads(self.io.read(self._abs(seg["path"])))
             stored.extend(sdoc.get("entries", []))
+        stored.extend(doc.get("entries", []))
         return [self._map_entry_paths(e, self._abs) for e in stored], skipped
 
     def read_manifest_delta(
@@ -8403,7 +8417,7 @@ class TableScan:
         if snap is None:
             return []
         entries, _ = self.table.ops.read_manifest_filtered(
-            snap.manifest_list, self._parsed_filter_trees()
+            snap.manifest_list, self._parsed_filter_trees(), allow_mor=True
         )
         entries = self._prune_entries(entries)
         preds = [e for e in entries if "delete-predicate" in e]
@@ -8501,7 +8515,7 @@ class TableScan:
             df = spark.createDataFrame([], st)
         else:
             entries, _ = self.table.ops.read_manifest_filtered(
-                snap.manifest_list, self._parsed_filter_trees()
+                snap.manifest_list, self._parsed_filter_trees(), allow_mor=True
             )
             entries = self._prune_entries(entries)
             # _read_entries restores declared column order AND casts each

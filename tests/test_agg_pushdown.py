@@ -746,3 +746,38 @@ def test_group_rollup_all_null_agg_column(catalog, spark):
         "p", [("COUNT", None), ("MIN", "x"), ("COUNT", "x")]
     )
     assert rows == [(1, 2, None, 0), (2, 1, 3, 1)]
+
+
+def test_segment_pruning_scan_on_mor_table(catalog, spark):
+    """allow_mor pruning (r13): the EXECUTED scan skips data-pure
+    segments even when the table carries merge-on-read deletes — a
+    pruned file's rows are never read, so a delete scoped to it is a
+    no-op; delete entries always ride along.  Results stay exact across
+    DV, positional, and seq-scoped equality deletes."""
+    t = catalog.create_table("segprune_mor", schema={"k": "long", "v": "long"})
+    for c in range(5):
+        t.append([{"k": c * 100 + i, "v": i} for i in range(10)])
+    t = t.refresh()
+    t.delete_where("k = 105", mode="merge-on-read-dv")
+    t = t.refresh()
+    t.delete_by_keys([(203,)], on="k")
+    t = t.refresh()
+    opened, restore = _spy_segment_reads(t)
+    try:
+        rows = sorted(
+            r["k"] for r in t.scan().filter("k >= 100 AND k < 120").to_df().collect()
+        )
+    finally:
+        restore()
+    assert rows == [100, 101, 102, 103, 104] + list(range(106, 110))
+    segs = [p for p in opened if "/seg-" in p]
+    # fewer segments than the table holds: the disjoint-range data
+    # segments were pruned (delete-bearing segments always read)
+    doc_segs = __import__("json").loads(
+        t.ops.io.read(t.ops._abs(t.current_snapshot().manifest_list))
+    )["segments"]
+    assert len(segs) < len(doc_segs)
+    # the deleted-key range still reads exactly
+    assert sorted(
+        r["k"] for r in t.scan().filter("k >= 200 AND k < 220").to_df().collect()
+    ) == [200, 201, 202] + list(range(204, 210))
