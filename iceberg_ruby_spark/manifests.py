@@ -707,9 +707,42 @@ def write_avro_manifests(
         added_* counts status=ADDED entries (this commit's sequence),
         existing_* the carried ones keeping their original data sequence
         — the split equality-delete application depends on (a delete at
-        seq N applies only to data files with data seq < N)."""
+        seq N applies only to data files with data seq < N).
+
+        ``partitions`` carries the spec's per-partition-field summaries
+        (field_summary: contains_null + binary lower/upper bounds over
+        the manifest's files, r13) — what an EXTERNAL Iceberg reader
+        uses to skip whole manifests during scan planning, the spec twin
+        of the engine's richer per-column extras summaries."""
         added = [r for r in records if r["status"] == 1]
         existing = [r for r in records if r["status"] == 0]
+        summaries = None
+        pfields_s = _partition_fields(ctx, spec_id)
+        if pfields_s and records:
+            summaries = []
+            for p in pfields_s:
+                vals = [
+                    r["data_file"]["partition"].get(p["avro_name"])
+                    for r in records
+                ]
+                non_null = [v for v in vals if v is not None]
+                fs = {
+                    "contains_null": any(v is None for v in vals),
+                    "contains_nan": None,
+                    "lower_bound": None,
+                    "upper_bound": None,
+                }
+                if non_null:
+                    try:
+                        fs["lower_bound"] = bound_to_bytes(
+                            min(non_null), p["type"]
+                        )
+                        fs["upper_bound"] = bound_to_bytes(
+                            max(non_null), p["type"]
+                        )
+                    except TypeError:
+                        pass  # mixed/unorderable values: bounds omitted
+                summaries.append(fs)
         return {
             "manifest_path": path,
             "manifest_length": length,
@@ -726,7 +759,7 @@ def write_avro_manifests(
                 r["data_file"]["record_count"] for r in existing
             ),
             "deleted_rows_count": 0,
-            "partitions": None,
+            "partitions": summaries,
             "key_metadata": None,
         }
 
