@@ -139,8 +139,12 @@ class _PointerTableOps:
     def read_manifest(self, manifest_list: str) -> list[dict[str, Any]]:
         return self._fs.read_manifest(manifest_list)
 
-    def read_manifest_filtered(self, manifest_list: str, trees):
-        return self._fs.read_manifest_filtered(manifest_list, trees)
+    def read_manifest_filtered(
+        self, manifest_list: str, trees, allow_mor: bool = False
+    ):
+        return self._fs.read_manifest_filtered(
+            manifest_list, trees, allow_mor=allow_mor
+        )
 
     def read_manifest_delta(self, end_list: str, start_list: str):
         return self._fs.read_manifest_delta(end_list, start_list)

@@ -75,6 +75,48 @@ def engine_delete_cow(spark, sf_dir):
 
 
 @query(
+    "engine_blind_delete",
+    oracle="""
+    SELECT o_orderkey AS k,
+           CAST(CASE WHEN o_orderkey % 10 = 3 THEN -1
+                     ELSE length(o_orderpriority) END AS BIGINT) AS v
+    FROM orders WHERE o_orderkey < 2000 AND (o_orderkey % 10 <> 7)
+    """,
+)
+def engine_blind_delete(spark, sf_dir):
+    """The blind CDC delete (r13): ``delete_by_keys(verify_hits=False)``
+    commits ONE fast-append SEQUENCE-scoped equality delete with
+    per-file key-bounds — zero table reads, O(|keys|) at any table size.
+    Keys ≡ 7 (mod 10) die; keys ≡ 3 are then RE-INSERTED by a later
+    append with sentinel values, which the strictly-lower-sequence rule
+    must leave alive even though the same keys also sat in the delete.
+    The DuckDB twin states the surviving set in closed form — a scoping,
+    bounds, or ordering bug breaks the hash."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "orders_blind", schema={"k": "long", "v": "long"}
+    )
+    base = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderkey") < 2000)
+        .select(
+            F.col("o_orderkey").alias("k"),
+            F.length("o_orderpriority").cast("long").alias("v"),
+        )
+    )
+    t.append(base)
+    t = t.refresh()
+    dead = base.filter((F.col("k") % 10 == 3) | (F.col("k") % 10 == 7)).select("k")
+    n = t.delete_by_keys(dead, on="k", verify_hits=False)
+    assert n == dead.count(), "blind delete returns the distinct key count"
+    t = t.refresh()
+    t.append(
+        base.filter(F.col("k") % 10 == 3).select("k", F.lit(-1).cast("long").alias("v"))
+    )
+    return t.refresh().to_df().select("k", "v")
+
+
+@query(
     "engine_update_cow",
     oracle=f"""
     SELECT o_orderkey, o_custkey,

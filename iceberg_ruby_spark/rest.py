@@ -592,10 +592,14 @@ class RestTableOps:
 
         return FsTableOps.read_manifest(self, manifest_list)
 
-    def read_manifest_filtered(self, manifest_list: str, trees):
+    def read_manifest_filtered(
+        self, manifest_list: str, trees, allow_mor: bool = False
+    ):
         from iceberg_ruby_spark.table import FsTableOps
 
-        return FsTableOps.read_manifest_filtered(self, manifest_list, trees)
+        return FsTableOps.read_manifest_filtered(
+            self, manifest_list, trees, allow_mor=allow_mor
+        )
 
     def read_manifest_delta(self, end_list: str, start_list: str):
         from iceberg_ruby_spark.table import FsTableOps

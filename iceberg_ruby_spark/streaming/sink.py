@@ -563,21 +563,7 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         prune with the per-entry ``key-bounds`` hint instead of a stored
         path list, so a partition-aligned CDC feed still scopes each
         delete's planning to the overlapping files."""
-        import datetime as _dt
-
-        def _lit(v):
-            # plain-JSON literal for key-bounds (the manifest stores it
-            # verbatim); unsupported types drop that column's bound —
-            # prune less, never wrong
-            if isinstance(v, bool) or v is None:
-                return None
-            if isinstance(v, _dt.datetime):
-                return v.isoformat(sep=" ")
-            if isinstance(v, _dt.date):
-                return str(v)
-            if isinstance(v, (int, float, str)):
-                return v
-            return None
+        from iceberg_ruby_spark.table import _plain_bound_literal as _lit
 
         head = (
             table.snapshot_for_ref(self.branch)

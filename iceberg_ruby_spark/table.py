@@ -3899,11 +3899,14 @@ class Table:
             # it a streaming sink's metadata document grows one log row
             # per commit forever, an O(history) tax on EVERY subsequent
             # commit's serialize+write
-            log_max = int(
-                (raw.get("properties") or {}).get(
-                    "write.metadata.previous-versions-max", 100
+            try:
+                log_max = int(
+                    (raw.get("properties") or {}).get(
+                        "write.metadata.previous-versions-max", 100
+                    )
                 )
-            )
+            except (TypeError, ValueError):
+                log_max = 100  # malformed property: the spec default wins
             raw["metadata-log"] = (
                 meta.metadata_log
                 + [
@@ -4868,6 +4871,7 @@ class Table:
         branch: Optional[str] = None,
         scope: Optional[str] = None,
         scope_is_hint: bool = False,
+        verify_hits: bool = True,
     ) -> int:
         """Merge-on-read DELETE by key set — an EQUALITY delete file
         (reference ``FileScanTask#delete_files`` exposes ``equality_ids``,
@@ -4896,7 +4900,19 @@ class Table:
         opts back into unchecked hint semantics (the caller knows the
         overlap is physically vacuous — e.g. keys unique per partition).
         The check is metadata-only: one tiny aggregate over the key frame
-        plus bounds arithmetic, no data files opened."""
+        plus bounds arithmetic, no data files opened.
+
+        ``verify_hits=False`` (r13) is the BLIND CDC delete: skip the
+        hit-finding scan entirely and commit one SEQUENCE-scoped
+        equality delete (the Iceberg spec's scan-planning rule — it
+        applies to every data file with a strictly lower data sequence,
+        so rows appended LATER are untouched) with per-file key-bounds
+        hints, as a fast-append delta.  Zero table reads, O(|keys|)
+        total — the shape a CDC feed deleting primary keys against a
+        100 TB table needs when it does not care how many rows died.
+        Returns the DISTINCT KEY count (an upper bound on dead rows),
+        not the matched-row count, and commits even when nothing
+        matches; incompatible with ``scope`` (nothing is scanned)."""
         self._check_writable()
         cols = [on] if isinstance(on, str) else list(on)
         schema = self.current_schema()
@@ -4927,6 +4943,76 @@ class Table:
                 for c in cols
             ]
         ).distinct()
+        if not verify_hits:
+            # BLIND CDC delete: no scan, one fast-append seq-scoped
+            # equality delete — O(|keys|) total work at any table size
+            if scope is not None:
+                raise InvalidDataError(
+                    "delete_by_keys(verify_hits=False) performs no scan, "
+                    "so a scope promise can be neither used nor checked — "
+                    "drop one of the two"
+                )
+            head = None
+            if branch and branch != MAIN_BRANCH:
+                head = self.snapshot_for_ref(branch)
+            if head is None:
+                head = self.current_snapshot()
+            if head is None or head.summary.get("total-data-files") == "0":
+                return 0  # nothing the delete could apply to
+            del_dir = os.path.join(
+                self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
+            )
+            keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
+            written = self.spark.read.parquet(del_dir)
+            aggs = [F.count(F.lit(1)).alias("__n")]
+            for j, c in enumerate(cols):
+                aggs += [
+                    F.min(c).alias(f"__lo{j}"),
+                    F.max(c).alias(f"__hi{j}"),
+                    F.sum(F.col(c).isNull().cast("int")).alias(f"__nn{j}"),
+                ]
+            per_file = (
+                written.groupBy(F.col("_metadata.file_path").alias("__part"))
+                .agg(*aggs)
+                .collect()
+            )
+            n_keys = 0
+            delete_entries = []
+            for r in sorted(per_file, key=lambda r: r["__part"]):
+                part = _spark_uri_path(r["__part"])
+                n_keys += r["__n"]
+                lo, hi = {}, {}
+                for j, c in enumerate(cols):
+                    if r[f"__nn{j}"]:
+                        continue  # null keys: bounds can't witness them
+                    lv = _plain_bound_literal(r[f"__lo{j}"])
+                    hv = _plain_bound_literal(r[f"__hi{j}"])
+                    if lv is not None and hv is not None:
+                        lo[c], hi[c] = lv, hv
+                entry = {
+                    "delete-file": part,
+                    "seq-scoped": True,
+                    "deleted-records": r["__n"],
+                    "content": "equality-deletes",
+                    "equality-ids": list(field_ids),
+                    "equality-cols": list(cols),
+                    "spec-id": self.default_spec_id,
+                }
+                if lo:
+                    entry["key-bounds"] = {"lower": lo, "upper": hi}
+                delete_entries.append(entry)
+            self._commit_snapshot(
+                "delete",
+                delete_entries,
+                {
+                    "deleted-records": n_keys,
+                    "mode": "merge-on-read-equality",
+                    "blind-delete": "true",
+                },
+                mode="append",
+                branch=branch or MAIN_BRANCH,
+            )
+            return n_keys
         entries = self._current_entries(branch)
         # count the live rows that will die (delta semantics, like the
         # other MoR modes) and find which files they live in; with a
@@ -6904,6 +6990,25 @@ def _seq_scope_touched(
     so the delete applies; an unstamped delete applies everywhere."""
     scope = _compile_seq_scope(delete_entry)
     return [e for e in data_entries if _seq_scope_applies(scope, e)]
+
+
+def _plain_bound_literal(v: Any):
+    """A key-bounds value in plain-JSON literal form (the manifest stores
+    it verbatim; readers compare it via ``_bounds_may_match``'s
+    normalization): temporal → ISO string, int/float/str pass through,
+    anything else (bool, Decimal, bytes, None) drops the bound — prune
+    less, never wrong."""
+    import datetime as _dt
+
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, _dt.datetime):
+        return v.isoformat(sep=" ")
+    if isinstance(v, _dt.date):
+        return str(v)
+    if isinstance(v, (int, float, str)):
+        return v
+    return None
 
 
 def _compile_seq_scope(delete_entry: dict[str, Any]) -> tuple:

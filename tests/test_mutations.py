@@ -664,3 +664,58 @@ def test_maintain_compact_on_delete_entries(catalog):
     assert not [e for e in t._current_entries() if "path" not in e]
     # settled: a second pass does not fire
     assert "compact" not in t.maintain()
+
+
+def test_blind_delete_by_keys(catalog, spark):
+    """r13: delete_by_keys(verify_hits=False) — the blind CDC delete:
+    NO table scan, one fast-append SEQUENCE-scoped equality delete with
+    per-file key-bounds.  Matching rows die, later appends are immune
+    (strictly-lower-sequence rule), the return value is the distinct
+    KEY count, and the no-op shapes behave."""
+    import iceberg_ruby_spark.table as T
+
+    t = catalog.create_table("blind1", schema={"k": "long", "v": "string"})
+    # empty table: nothing to apply to, nothing committed
+    assert t.delete_by_keys([(1,)], on="k", verify_hits=False) == 0
+    assert t.refresh().current_snapshot() is None
+    t.append([{"k": i, "v": f"x{i}"} for i in range(10)])
+    t = t.refresh()
+    calls = []
+    orig = T.TableScan.to_df
+
+    def spy(self, *a, **kw):
+        calls.append(1)
+        return orig(self, *a, **kw)
+
+    T.TableScan.to_df = spy
+    try:
+        # 99 matches nothing — blind mode still counts it (key count,
+        # not matched rows) and commits
+        n = t.delete_by_keys([(3,), (7,), (99,)], on="k", verify_hits=False)
+    finally:
+        T.TableScan.to_df = orig
+    assert n == 3
+    assert not calls, "blind delete must not scan the table"
+    t = t.refresh()
+    eq = [
+        e for e in t._current_entries() if e.get("content") == "equality-deletes"
+    ]
+    assert len(eq) == 1 and eq[0].get("seq-scoped") is True
+    assert eq[0]["key-bounds"] == {"lower": {"k": 3}, "upper": {"k": 99}}
+    assert sorted(r["k"] for r in t.to_a()) == [0, 1, 2, 4, 5, 6, 8, 9]
+    # rows appended AFTER the delete are immune, including re-used keys
+    t.append([{"k": 3, "v": "new3"}, {"k": 20, "v": "x20"}])
+    t = t.refresh()
+    rows = {r["k"]: r["v"] for r in t.to_a()}
+    assert rows[3] == "new3" and 20 in rows and 7 not in rows
+    # scope is incompatible with the blind form
+    import pytest as _pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    with _pytest.raises(InvalidDataError, match="verify_hits=False"):
+        t.delete_by_keys([(1,)], on="k", scope="k < 5", verify_hits=False)
+    # changelog over the blind commit emits the dead rows structurally
+    ch = t.changelog_scan().select("k", "_change_type")
+    dels = sorted(r["k"] for r in ch.collect() if r["_change_type"] == "delete")
+    assert dels == [3, 7]
