@@ -98,3 +98,70 @@ def test_aggs_match_ground_truth(catalog, spark, appends, delete, del_cut, flt):
         assert meta_groups == want["groups"]
     # fresh scans: the filter must not have mutated the reusable scan
     assert t.scan().count() == len(rows)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    steps=st.lists(
+        st.tuples(
+            st.sampled_from(["append", "blind", "upsert"]),
+            st.lists(
+                st.tuples(st.integers(0, 12), st.integers(0, 99)),
+                min_size=1,
+                max_size=5,
+            ),
+        ),
+        min_size=2,
+        max_size=6,
+    ),
+)
+def test_seq_scoped_interleavings_match_ground_truth(catalog, spark, steps):
+    """r13 fuzz over SEQUENCE-scoped delete semantics: random
+    interleavings of appends, blind key deletes
+    (delete_by_keys(verify_hits=False)), and keyed upserts must converge
+    to the python ground truth (apply steps in order; a delete kills
+    every EARLIER row with the key, an upsert is delete+insert), both
+    through the merged-MoR scan and again after compaction settles the
+    chain."""
+    name = f"seqp_{uuid.uuid4().hex[:10]}"
+    t = catalog.create_table(name, schema={"k": "long", "v": "long"})
+    state: dict = {}
+    multiset: list = []  # (k, v) rows alive, append-mode duplicates kept
+    for kind, pairs in steps:
+        if kind == "append":
+            t = t.refresh()
+            t.append([{"k": k, "v": v} for k, v in pairs])
+            multiset.extend(pairs)
+        elif kind == "blind":
+            t = t.refresh()
+            keys = sorted({k for k, _v in pairs})
+            t.delete_by_keys([(k,) for k in keys], on="k", verify_hits=False)
+            dead = set(keys)
+            multiset = [p for p in multiset if p[0] not in dead]
+        else:  # upsert = blind delete of the keys + append, one per key
+            t = t.refresh()
+            last = {k: v for k, v in pairs}
+            t.delete_by_keys([(k,) for k in sorted(last)], on="k",
+                             verify_hits=False)
+            multiset = [p for p in multiset if p[0] not in last]
+            t = t.refresh()
+            t.append([{"k": k, "v": v} for k, v in sorted(last.items())])
+            multiset.extend(sorted(last.items()))
+    t = t.refresh()
+    got = sorted((r["k"], r["v"]) for r in t.to_a())
+    assert got == sorted(multiset)
+    # settle the chain and re-read: compaction must materialize the
+    # deletes away without changing a row
+    if t.current_snapshot() is not None and multiset:
+        t.compact()
+        t = t.refresh()
+        assert sorted((r["k"], r["v"]) for r in t.to_a()) == sorted(multiset)
+        assert not [
+            e
+            for e in t._current_entries()
+            if e.get("content") == "equality-deletes"
+        ]
