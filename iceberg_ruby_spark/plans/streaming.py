@@ -423,6 +423,80 @@ def stream_upsert_sink(spark, sf_dir):
 
 
 @query(
+    "stream_upsert_retract",
+    oracle="""
+    SELECT doc_id,
+           CAST(CASE WHEN doc_id % 3 = 0 THEN length(text) + 1000
+                     ELSE length(text) END AS BIGINT) AS v
+    FROM documents WHERE doc_id < 300 AND doc_id % 5 <> 0
+    """,
+)
+def stream_upsert_retract(spark, sf_dir):
+    """CDC retractions through the native upsert sink (r13 —
+    ``option("delete_column", c)``, Flink-parity): wave 1 inserts the
+    corpus, wave 2 upserts every doc_id ≡ 0 (mod 3), wave 3 RETRACTS
+    every doc_id ≡ 0 (mod 5) via marked rows (keys die through the
+    batch's sequence-scoped equality delete; no data row written).  The
+    DuckDB twin states the surviving keyed state in closed form — a
+    marker-splitting, keep-last, or delete-scoping bug breaks the
+    hash."""
+    import tempfile
+
+    from iceberg_ruby_spark.catalog import MemoryCatalog
+    from iceberg_ruby_spark.plans.tables import load
+    from iceberg_ruby_spark.streaming import register_stream_source
+
+    cat = MemoryCatalog(namespace="main", spark=spark)
+    cat.create_namespace("main", if_not_exists=True)
+    docs = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    bronze = cat.create_table(
+        "retract_bronze",
+        schema={"doc_id": "long", "v": "long", "op_del": "boolean"},
+    )
+    gold = cat.create_table(
+        "retract_gold", schema={"doc_id": "long", "v": "long"}
+    )
+    gold.update_schema().set_identifier_fields("doc_id").commit()
+    gold = gold.refresh()
+    register_stream_source(spark)
+    ck = tempfile.mkdtemp(prefix="upsert_retract_ckpt_")
+
+    def drain():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("delete_column", "op_del")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    length = F.length("text").cast("long")
+    waves = [
+        (docs, length, F.lit(False)),
+        (docs.filter(F.col("doc_id") % 3 == 0), length + 1000, F.lit(False)),
+        (
+            docs.filter(F.col("doc_id") % 5 == 0),
+            F.lit(None).cast("long"),
+            F.lit(True),
+        ),
+    ]
+    for src, val, mark in waves:
+        bronze.append(
+            src.select("doc_id", val.alias("v"), mark.alias("op_del"))
+        )
+        drain()
+    return gold.refresh().to_df().select("doc_id", "v")
+
+
+@query(
     "stream_cdc_scd2",
     oracle="""
     WITH base AS (

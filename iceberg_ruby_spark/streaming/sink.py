@@ -99,6 +99,18 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
                 f"iceberg_table stream sink mode {self.mode!r}: expected "
                 "'append' or 'upsert'"
             )
+        # ``option("delete_column", col)`` (r13, Flink-parity retractions):
+        # a CDC stream marks deletions with a TRANSPORT-ONLY boolean
+        # column — marked keys die (they enter the batch's equality
+        # delete and write no data row), unmarked rows upsert as before,
+        # and within a task the LAST operation per key wins whatever its
+        # kind.  The column is never written to the table.
+        self.delete_col = options.get("delete_column")
+        if self.delete_col is not None and self.mode != "upsert":
+            raise InvalidDataError(
+                "iceberg_table stream sink option 'delete_column' requires "
+                "mode 'upsert' (append streams carry no retractions)"
+            )
         # branch-targeted streaming (streaming write-audit-publish): every
         # micro-batch commits to this ref instead of main — main's readers
         # never see unaudited streamed data; publish with fast_forward.
@@ -162,8 +174,23 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
             if type(tr).__name__ == "IdentityTransform"
         ]
         table_schema = eng_schema.to_spark()
+        stream_fields = list(schema.fields)
+        if self.delete_col is not None:
+            import pyspark.sql.types as _ST
+
+            if (
+                not stream_fields
+                or stream_fields[-1].name != self.delete_col
+                or not isinstance(stream_fields[-1].dataType, _ST.BooleanType)
+            ):
+                raise InvalidDataError(
+                    f"delete_column {self.delete_col!r} must be the "
+                    "stream's LAST column and boolean-typed (it is "
+                    "transport-only and never written to the table)"
+                )
+            stream_fields = stream_fields[:-1]
         want = [(f.name, f.dataType) for f in table_schema.fields]
-        got = [(f.name, f.dataType) for f in schema.fields]
+        got = [(f.name, f.dataType) for f in stream_fields]
         if want != got:
             raise InvalidDataError(
                 f"stream schema {got} does not match table schema {want}; "
@@ -171,6 +198,9 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
             )
         from pyspark.sql.pandas.types import to_arrow_schema
 
+        import pyspark.sql.types as _ST2
+
+        schema = _ST2.StructType(stream_fields)
         self._names = [f.name for f in schema.fields]
         # stamp Iceberg field ids into the arrow schema (pyarrow writes
         # them as parquet field ids), so streamed files project by field
@@ -359,6 +389,9 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         delete_files: list = []
         if self.mode == "upsert":
             tbl, delete_files = self._upsert_prepare(tbl, data_dir)
+            if tbl.num_rows == 0:
+                # a pure-retraction batch: one equality delete, no data
+                return _FileMsg([], delete_files)
         if not self._part_fields:
             return _FileMsg(
                 self._write_files(tbl, data_dir, self._names), delete_files
@@ -447,6 +480,15 @@ class EngineTableStreamWriter(DataSourceStreamArrowWriter):
         keys = tbl.select(self._eq_cols).cast(
             pa.schema([self._arrow_schema.field(c) for c in self._eq_cols])
         )
+        if self.delete_col is not None:
+            # retractions: every kept key (deleted OR upserted) enters the
+            # equality delete — only the non-marked survivors write data
+            # rows; the marker column never reaches the file.  A NULL
+            # marker reads as upsert.
+            dead = pc.fill_null(
+                pc.cast(tbl.column(self.delete_col), pa.bool_()), False
+            )
+            tbl = tbl.filter(pc.invert(dead)).drop([self.delete_col])
         del_dir = os.path.join(data_dir, "stream-deletes")
         os.makedirs(del_dir, exist_ok=True)
         path = os.path.join(del_dir, f"eq-{uuid.uuid4().hex}.parquet")

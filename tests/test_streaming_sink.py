@@ -922,3 +922,98 @@ def test_metadata_log_capped_at_previous_versions_max(catalog, spark):
     # the retained entries are the NEWEST previous versions, in order
     files = [e["metadata-file"] for e in log]
     assert files == sorted(files, key=lambda p: int(p.split("v")[-1].split(".")[0]))
+
+
+def test_native_stream_writer_upsert_with_delete_column(catalog, spark, tmp_path):
+    """r13 Flink-parity retractions: option('delete_column', c) marks CDC
+    delete rows — marked keys die (equality delete, no data row),
+    unmarked rows upsert, last-operation-per-key wins in a batch, a
+    pure-retraction batch commits a delete-only snapshot, and the marker
+    column never reaches the table."""
+    import pytest
+
+    from iceberg_ruby_spark.errors import InvalidDataError
+    from iceberg_ruby_spark.streaming import register_stream_source
+    from iceberg_ruby_spark.streaming.sink import EngineTableStreamWriter
+
+    register_stream_source(spark)
+    bronze = catalog.create_table(
+        "del_bronze", schema={"k": "long", "v": "string", "op_del": "boolean"}
+    )
+    gold = catalog.create_table("del_gold", schema={"k": "long", "v": "string"})
+    gold.update_schema().set_identifier_fields("k").commit()
+    gold = gold.refresh()
+    ck = str(tmp_path / "ck")
+
+    def run():
+        q = (
+            spark.readStream.format("iceberg_table")
+            .option("location", bronze.ops.location)
+            .load()
+            .writeStream.format("iceberg_table")
+            .option("location", gold.ops.location)
+            .option("mode", "upsert")
+            .option("delete_column", "op_del")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    bronze.append(
+        [
+            {"k": 1, "v": "a1", "op_del": False},
+            {"k": 2, "v": "a2", "op_del": None},  # NULL marker = upsert
+            {"k": 3, "v": "a3", "op_del": False},
+        ]
+    )
+    run()
+    assert {r["k"]: r["v"] for r in gold.refresh().to_a()} == {
+        1: "a1", 2: "a2", 3: "a3"
+    }
+    # mixed batch, one source file → one task: k=2 deleted, k=1 updated,
+    # k=4 inserted-then-deleted (last op wins → dead), k=5 deleted-then-
+    # inserted (last op wins → alive)
+    bronze.append(
+        spark.createDataFrame(
+            [
+                (2, None, True),
+                (1, "b1", False),
+                (4, "x4", False),
+                (4, None, True),
+                (5, None, True),
+                (5, "b5", False),
+            ],
+            "k long, v string, op_del boolean",
+        ).coalesce(1)
+    )
+    run()
+    gold = gold.refresh()
+    assert {r["k"]: r["v"] for r in gold.to_a()} == {
+        1: "b1", 3: "a3", 5: "b5"
+    }
+    assert "op_del" not in gold.to_df().columns
+    # pure-retraction batch: delete-only snapshot, data-file count flat
+    n_data = len([e for e in gold._current_entries() if "path" in e])
+    bronze.append([{"k": 3, "v": None, "op_del": True}])
+    run()
+    gold = gold.refresh()
+    assert {r["k"]: r["v"] for r in gold.to_a()} == {1: "b1", 5: "b5"}
+    assert len([e for e in gold._current_entries() if "path" in e]) == n_data
+    # refusals: delete_column outside upsert mode / wrong placement
+    with pytest.raises(InvalidDataError, match="requires\\s+.?mode 'upsert'"):
+        EngineTableStreamWriter(
+            {"location": gold.ops.location, "delete_column": "op_del"},
+            bronze.spark_schema(),
+            overwrite=False,
+        )
+    with pytest.raises(InvalidDataError, match="LAST column"):
+        EngineTableStreamWriter(
+            {
+                "location": gold.ops.location,
+                "mode": "upsert",
+                "delete_column": "nope",
+            },
+            bronze.spark_schema(),
+            overwrite=False,
+        )
