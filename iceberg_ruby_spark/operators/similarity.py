@@ -279,12 +279,17 @@ def _kmeans_np(x, k: int, seed: int = 42, iters: int = 10):
         centroids[c] = x[rng.choice(len(x), p=probs)]
         d2 = np.minimum(d2, ((x - centroids[c]) ** 2).sum(axis=1))
     for _ in range(iters):
-        d = ((x[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        # argmin ||x-c||² needs only ||c||² - 2x·c — the matmul form; the
+        # broadcast (n, k, d) difference array it replaces allocated
+        # ~n·k·d·8 bytes PER ITERATION (134 MB at the PQ defaults) and
+        # made training the dominant cost of the whole index build
+        d = (centroids**2).sum(axis=1)[None, :] - 2.0 * (x @ centroids.T)
         assign = d.argmin(axis=1)
-        for c in range(k):
-            members = x[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
+        sums = np.zeros_like(centroids)
+        np.add.at(sums, assign, x)
+        counts = np.bincount(assign, minlength=k).astype(np.float64)
+        nz = counts > 0
+        centroids[nz] = sums[nz] / counts[nz, None]
     return centroids
 
 
@@ -592,15 +597,21 @@ def _adc_scorer(codebooks, qrows):
 
     @F.pandas_udf("double")
     def _adc(qids: pd.Series, codes: pd.Series) -> pd.Series:
-        out = np.empty(len(qids))
+        n = len(qids)
+        out = np.empty(n)
+        if n == 0:
+            return pd.Series(out)
         rng = np.arange(m)
-        for i, (qid, cs) in enumerate(zip(qids, codes)):
-            cs = np.asarray(cs, dtype=np.int64)
+        cs_all = np.asarray(codes.tolist(), dtype=np.int64)  # (n, m)
+        rnorm = np.sqrt(sqn[rng[None, :], cs_all].sum(axis=1))
+        rnorm[rnorm == 0.0] = 1.0
+        qarr = np.asarray(qids)
+        # one gather+sum per DISTINCT query in the batch, not per row
+        for qid in pd.unique(qids):
+            sel = qarr == qid
             lut = luts[qid]
-            dot = lut[rng, cs].sum()
-            rnorm = np.sqrt(sqn[rng, cs].sum()) or 1.0
-            out[i] = dot / rnorm
-        return pd.Series(out)
+            out[sel] = lut[rng[None, :], cs_all[sel]].sum(axis=1)
+        return pd.Series(out / rnorm)
 
     return _adc
 

@@ -1178,11 +1178,15 @@ class EngineTableStreamReader(DataSourceStreamReader):
             mor = {mor_key(e): e for e in entries if "path" not in e}
             return data, mor
 
-        from iceberg_ruby_spark.table import _seq_scope_touched
+        from iceberg_ruby_spark.table import (
+            _compile_seq_scope,
+            _seq_scope_applies,
+        )
 
         prev_data, prev_mor = split(prev_entries)
         cur_data, cur_mor = split(cur_entries)
         all_paths = set(prev_data) | set(cur_data)
+        cand = {**prev_data, **cur_data}
         touched: set = set()
         for k in set(prev_mor) ^ set(cur_mor):
             e = prev_mor.get(k) or cur_mor[k]
@@ -1190,9 +1194,11 @@ class EngineTableStreamReader(DataSourceStreamReader):
                 touched.add(ops._abs(e["referenced-data-file"]))
                 continue
             if e.get("seq-scoped"):
-                cand = {**prev_data, **cur_data}
+                # ONE compile per delete, not per (delete, file) pair
+                scope = _compile_seq_scope(e)
                 touched |= {
-                    p for p, de in cand.items() if _seq_scope_touched(e, [de])
+                    p for p, de in cand.items()
+                    if _seq_scope_applies(scope, de)
                 }
                 continue
             ap = e.get("applies-to")
@@ -1212,15 +1218,28 @@ class EngineTableStreamReader(DataSourceStreamReader):
         )
 
         def side_specs(data, mor) -> list[dict]:
+            # precompile each MoR entry's scope ONCE — the path loop below
+            # would otherwise rebuild the seq-scope tree / abs-path set per
+            # (path, entry) pair
+            compiled = {
+                id(e): _compile_seq_scope(e) if e.get("seq-scoped") else None
+                for e in mor.values()
+            }
+            ap_abs = {
+                id(e): (
+                    {ops._abs(p) for p in e["applies-to"]}
+                    if e.get("applies-to") is not None
+                    else None
+                )
+                for e in mor.values()
+            }
             specs = []
             for path_abs in sorted(set(data) - quiet):
                 eq, pos, dvs, preds = [], [], [], []
                 for e in mor.values():
                     if "delete-predicate" in e:
-                        ap = e.get("applies-to")
-                        if ap is None or path_abs in {
-                            ops._abs(p) for p in ap
-                        }:
+                        ap = ap_abs[id(e)]
+                        if ap is None or path_abs in ap:
                             self._check_diff_predicate(e["delete-predicate"])
                             preds.append(e["delete-predicate"])
                         continue
@@ -1237,13 +1256,13 @@ class EngineTableStreamReader(DataSourceStreamReader):
                         continue
                     if e.get("seq-scoped"):
                         de = data.get(path_abs)
-                        if de is None or not _seq_scope_touched(e, [de]):
+                        if de is None or not _seq_scope_applies(
+                            compiled[id(e)], de
+                        ):
                             continue
                     else:
-                        ap = e.get("applies-to")
-                        if ap is not None and path_abs not in {
-                            ops._abs(p) for p in ap
-                        }:
+                        ap = ap_abs[id(e)]
+                        if ap is not None and path_abs not in ap:
                             continue
                     if content == "equality-deletes":
                         eq.append(

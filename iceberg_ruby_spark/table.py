@@ -2247,14 +2247,16 @@ class Table:
         # scope includes it (applies-to None = all files at commit time;
         # seq-scoped = strictly-lower data sequence, key-bounds pruned)
         touched = set()
+        cand = {**prev_data, **cur_data}
         for k in mor_changed:
             e = prev_mor.get(k) or cur_mor[k]
             if e.get("seq-scoped"):
-                cand = {**prev_data, **cur_data}
+                # compile the scope ONCE per delete, not per (delete, file)
+                scope = _compile_seq_scope(e)
                 touched |= {
                     p
                     for p, de in cand.items()
-                    if _seq_scope_touched(e, [de])
+                    if _seq_scope_applies(scope, de)
                 }
                 continue
             ap = e.get("applies-to")
@@ -3907,6 +3909,10 @@ class Table:
                 )
             except (TypeError, ValueError):
                 log_max = 100  # malformed property: the spec default wins
+            # a non-positive cap would INVERT the slice ([-0:] keeps the
+            # whole list; negative drops the NEWEST) — clamp like the spec
+            # impls do (previous-versions-max minimum is 1)
+            log_max = max(1, log_max)
             raw["metadata-log"] = (
                 meta.metadata_log
                 + [
@@ -4962,7 +4968,13 @@ class Table:
             del_dir = os.path.join(
                 self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}"
             )
-            keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
+            # range-partition the key files so each carries TIGHT disjoint
+            # key-bounds — after .distinct() the keys are hash-partitioned
+            # and every output file would span ~the global key range,
+            # defeating the per-file bounds pruning this path exists for
+            keys_df.repartitionByRange(*cols).sortWithinPartitions(
+                *cols
+            ).write.parquet(del_dir)
             written = self.spark.read.parquet(del_dir)
             aggs = [F.count(F.lit(1)).alias("__n")]
             for j, c in enumerate(cols):

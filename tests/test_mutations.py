@@ -719,3 +719,50 @@ def test_blind_delete_by_keys(catalog, spark):
     ch = t.changelog_scan().select("k", "_change_type")
     dels = sorted(r["k"] for r in ch.collect() if r["_change_type"] == "delete")
     assert dels == [3, 7]
+
+
+def test_blind_delete_key_files_have_tight_disjoint_bounds(catalog, spark):
+    """The blind delete's key files must be RANGE-partitioned: after
+    ``.distinct()`` the keys are hash-partitioned, and writing that
+    layout gives every file ~the global key range — per-file key-bounds
+    pruning (the whole point of the bounds) would never exclude anything.
+    With range partitioning each delete entry's bounds are tight and
+    pairwise disjoint."""
+    t = catalog.create_table("blind_bounds", schema={"k": "long", "v": "long"})
+    t.append([{"k": i, "v": i} for i in range(4000)])
+    t = t.refresh()
+    keys = spark.range(0, 4000, 2).withColumnRenamed("id", "k")
+    # a 2000-key batch is small enough that AQE (correctly) coalesces the
+    # range shuffle to ONE file — shrink the advisory size so the test
+    # exercises the multi-file layout a 100 TB-scale key batch produces
+    adv = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(adv, None)
+    spark.conf.set(adv, "false")
+    try:
+        n = t.delete_by_keys(keys, on="k", verify_hits=False)
+    finally:
+        if prev is None:
+            spark.conf.unset(adv)
+        else:
+            spark.conf.set(adv, prev)
+    assert n == 2000
+    t = t.refresh()
+    eq = [
+        e
+        for e in t._current_entries()
+        if e.get("content") == "equality-deletes"
+    ]
+    assert eq and all(e.get("key-bounds") for e in eq)
+    spans = sorted(
+        (e["key-bounds"]["lower"]["k"], e["key-bounds"]["upper"]["k"])
+        for e in eq
+    )
+    assert len(spans) > 1, "advisory shrink should have split the keys"
+    # range partitioning ⇒ pairwise disjoint, each a fraction of the
+    # global range (hash layout would make every span ~[0, 3998])
+    for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+        assert hi1 < lo2, f"overlapping key-file bounds: {spans}"
+    assert all(hi - lo < 3998 for lo, hi in spans)
+    # and the delete is exact
+    assert sorted(r["k"] for r in t.to_a())[:5] == [1, 3, 5, 7, 9]
+    assert t.refresh().scan().count() == 2000

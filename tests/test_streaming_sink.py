@@ -924,6 +924,29 @@ def test_metadata_log_capped_at_previous_versions_max(catalog, spark):
     assert files == sorted(files, key=lambda p: int(p.split("v")[-1].split(".")[0]))
 
 
+def test_metadata_log_cap_floor_at_one(catalog, spark):
+    """A non-positive previous-versions-max must clamp, not invert: the
+    naive ``[-0:]`` slice keeps the WHOLE list (unbounded growth — the
+    exact tax the cap bounds) and a negative cap would drop the NEWEST
+    entries.  Spec implementations floor the property at 1."""
+    t = catalog.create_table(
+        "meta_log_floor",
+        schema={"k": "long"},
+        properties={"write.metadata.previous-versions-max": "0"},
+    )
+    for b in range(5):
+        t.append([{"k": b}])
+        t = t.refresh()
+    log = t.metadata.raw.get("metadata-log", [])
+    assert len(log) == 1  # clamped to 1, not "everything"
+    # and the retained entry is the NEWEST previous version — one below
+    # the current metadata document's version
+    def _v(p):
+        return int(p.split("v")[-1].split(".")[0])
+
+    assert _v(log[0]["metadata-file"]) == _v(t.metadata.metadata_file) - 1
+
+
 def test_native_stream_writer_upsert_with_delete_column(catalog, spark, tmp_path):
     """r13 Flink-parity retractions: option('delete_column', c) marks CDC
     delete rows — marked keys die (equality delete, no data row),
