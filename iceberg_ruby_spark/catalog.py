@@ -339,6 +339,11 @@ class Catalog:
         fv = int(props.pop("format-version", 2))
         if fv not in (1, 2, 3):
             raise InvalidDataError(f"invalid format-version: {fv}")
+        if fv < 3 and ice_t.schema_has_variant(ice_schema):
+            raise InvalidDataError(
+                "variant columns require format-version 3 "
+                "(Iceberg v3 spec: variant is a v3 type)"
+            )
 
         spec_json: list[dict] = []
         if partition_spec is not None:
@@ -621,7 +626,8 @@ class Catalog:
     _PARAM_RE = re.compile(r"\$(\d+)")
     _DDL_RE = re.compile(
         r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
-        r"([\w.]+)\s*\((.*)\)\s*;?\s*$",
+        r"([\w.]+)\s*\((.*?)\)\s*"
+        r"(?:TBLPROPERTIES\s*\((.*?)\)\s*)?;?\s*$",
         re.IGNORECASE | re.DOTALL,
     )
     _INSERT_RE = re.compile(
@@ -1307,11 +1313,24 @@ class Catalog:
             or_replace = bool(
                 re.match(r"^\s*CREATE\s+OR\s+REPLACE\b", query, re.IGNORECASE)
             )
+            props = None
+            if m.group(3):
+                # TBLPROPERTIES ('k'='v', ...) — iceberg-spark's CREATE
+                # TABLE spelling (how SQL callers reach format-version 3)
+                props = {}
+                for p in _split_top_level(m.group(3)):
+                    k, eq, v = p.partition("=")
+                    if not eq:
+                        raise UnsupportedFeatureError(
+                            "TBLPROPERTIES expects 'key'='value' pairs"
+                        )
+                    props[k.strip().strip("'")] = v.strip().strip("'")
             self.create_table(
                 self._sql_table_ident(name),
                 schema=cols,
                 if_not_exists=if_not_exists,
                 or_replace=or_replace,
+                properties=props,
             )
             return Result(self.spark.createDataFrame([], "ok string"))
         m = self._TRUNCATE_RE.match(query)

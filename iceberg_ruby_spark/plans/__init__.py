@@ -43,9 +43,10 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 # (1) the r9-aged cohort (36 queries, last checked in CORRECTNESS_r09),
 #     riskiest first: dedup/embedding/asof operator queries, then
 #     engine_delete_cow (promoted to tier 0: it exercises _live_preds).
-#     The budget fits 9; the remaining 24 r9 rows
-#     (scalar/function/set-op queries, judge-mirror-green every round)
-#     are the natural tier-0 head of the r14 rotation.
+#     The budget fits 3 after the late-pass kmeans/ADC promotions; the
+#     remaining 29 r9 rows (5 dedup queries named on the cohort list
+#     below + 24 scalar/function/set-op queries, judge-mirror-green
+#     every round) are the mandatory tier-0 head of the r14 rotation.
 # The arithmetic is ASSERTED below, not narrated: every name must be a
 # registered query, and tier (0) must fit the budget entirely.
 _DRIVER_BUDGET = 50
@@ -61,6 +62,12 @@ _NEVER_DRIVER_CHECKED = [
     # new in r13 (never driver-checked by definition)
     "engine_partition_rollup", "multimodal_mp4_frames",
     "engine_blind_delete", "stream_upsert_retract",
+    "engine_variant_type",
+    # changed in r13 (late pass): kmeans Lloyd loop rewritten to the
+    # matmul form + vectorized ADC scorer — every centroid-consuming
+    # query re-verifies
+    "embedding_ann_pq", "embedding_ann_pq_table", "embedding_ann_ivf",
+    "embedding_ann_ivf_table", "dedup_semantic",
     # changed in r13: seq-scoped equality deletes + fast-append upsert
     # commit (sink.py rewritten; also benched from r13)
     "stream_upsert_sink",
@@ -84,11 +91,13 @@ _NEVER_DRIVER_CHECKED = [
 ]
 
 # fills the remaining budget exactly: the r9-aged cohort, riskiest first
+# (the late-pass kmeans/ADC change promoted 5 similarity queries into
+# tier 0, so only 3 slots remain; dedup_fingerprint, dedup_ngram_jaccard,
+# dedup_shared_spans, dedup_simhash and dedup_simhash_pairs join the 24
+# other r9 rows as the r14 tier-0 head)
 _LAST_CHECKED_R9 = [
     "dedup_cluster_components", "dedup_decontaminate",
-    "dedup_embedding_cosine", "dedup_fingerprint", "dedup_ngram_jaccard",
-    "dedup_shared_spans", "dedup_simhash", "dedup_simhash_pairs",
-    "embedding_ann_pq_table",
+    "dedup_embedding_cosine",
 ]
 
 _TIER = {}

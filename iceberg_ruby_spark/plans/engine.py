@@ -1534,3 +1534,54 @@ def engine_changelog_net(spark, sf_dir):
     return t.changelog_net(from_snapshot_id=mark).select(
         "k", "price", F.col("_change_type").alias("ct")
     )
+
+
+@query(
+    "engine_variant_type",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 400 AND n_chars > 200
+    ORDER BY doc_id
+    """,
+)
+def engine_variant_type(spark, sf_dir):
+    """Iceberg v3 ``variant`` end-to-end (r13 extension; the reference's
+    Rust binding maps primitives/list/map/struct only,
+    ext/iceberg/src/schema.rs:100-181): SQL CREATE TABLE with a VARIANT
+    column under TBLPROPERTIES format-version 3, semi-structured
+    ingestion via parse_json (each document's lang/source/n_chars as one
+    JSON object), parquet round-trip through Spark's native VariantType,
+    and a read that filters + projects through variant_get — the DuckDB
+    twin recomputes the same fields relationally from the source table,
+    so a shredding, parse, or typed-extract bug breaks the hash.  Stats
+    posture: the variant column records no bounds (spec: variant carries
+    no ordering), pinned with the other declines in
+    tests/test_variant.py."""
+    cat = _temp_catalog(spark)
+    cat.sql(
+        "CREATE TABLE docs_var (doc_id BIGINT, meta VARIANT) "
+        "TBLPROPERTIES ('format-version'='3')"
+    )
+    t = cat.load_table("docs_var")
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    t.append(
+        d.select(
+            "doc_id",
+            F.parse_json(
+                F.to_json(F.struct("lang", "source", "n_chars"))
+            ).alias("meta"),
+        )
+    )
+    t = t.refresh()
+    return (
+        t.scan()
+        .to_df()
+        .select(
+            "doc_id",
+            F.variant_get("meta", "$.lang", "string").alias("lang"),
+            F.variant_get("meta", "$.n_chars", "long").alias("n_chars"),
+        )
+        .filter(F.col("n_chars") > 200)
+        .orderBy("doc_id")
+    )

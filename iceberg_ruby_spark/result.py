@@ -15,6 +15,19 @@ from typing import Any, Iterator
 from pyspark.sql import DataFrame
 
 
+def _pyval(v: Any) -> Any:
+    """Row values → plain Python: v3 variant cells come back as
+    ``VariantVal`` — surface them as dict/list/scalars, the row-hash
+    shape the reference's ``Result`` yields for every other type."""
+    try:
+        from pyspark.sql.types import VariantVal
+    except ImportError:  # pragma: no cover - older Spark
+        return v
+    if isinstance(v, VariantVal):
+        return v.toPython()
+    return v
+
+
 class Result:
     def __init__(self, df: DataFrame):
         self.df = df
@@ -31,11 +44,12 @@ class Result:
 
     @property
     def rows(self) -> list[list[Any]]:
-        return [list(r) for r in self._collect()]
+        return [[_pyval(v) for v in r] for r in self._collect()]
 
     def __iter__(self) -> Iterator[dict[str, Any]]:
         for r in self._collect():
-            yield r.asDict(recursive=True)
+            d = r.asDict(recursive=True)
+            yield {k: _pyval(v) for k, v in d.items()}
 
     def to_a(self) -> list[dict[str, Any]]:
         return list(self)

@@ -2637,11 +2637,19 @@ class Table:
             def _field_type(f):
                 if isinstance(f.field_type, ice_t.DecimalType):
                     return T.StringType()
+                if isinstance(f.field_type, ice_t.VariantType):
+                    # dict rows carry variant values as JSON text; the
+                    # shared projection parse_json's them
+                    return T.StringType()
                 return f.to_spark().dataType
 
             def _cell(f, v):
                 if v is not None and isinstance(f.field_type, ice_t.DecimalType):
                     return str(v)
+                if v is not None and isinstance(f.field_type, ice_t.VariantType):
+                    import json as _json
+
+                    return v if isinstance(v, str) else _json.dumps(v)
                 return v
 
             sub_schema = T.StructType(
@@ -2668,9 +2676,26 @@ class Table:
         if extra:
             raise InvalidDataError(f"columns not in table schema: {extra}")
         select_cols = []
+        df_types = dict(df.dtypes)
         for f in schema.fields:
             spark_f = f.to_spark()
             if f.name in df.columns:
+                if isinstance(f.field_type, ice_t.VariantType):
+                    # string input is a JSON DOCUMENT (parse it — a cast
+                    # would wrap the text as a variant string scalar);
+                    # variant input passes through; other types cast
+                    src = df_types.get(f.name)
+                    if src == "variant":
+                        select_cols.append(F.col(f.name).alias(f.name))
+                    elif src == "string":
+                        select_cols.append(
+                            F.parse_json(F.col(f.name)).alias(f.name)
+                        )
+                    else:
+                        select_cols.append(
+                            F.col(f.name).cast(spark_f.dataType).alias(f.name)
+                        )
+                    continue
                 select_cols.append(F.col(f.name).cast(spark_f.dataType).alias(f.name))
             else:
                 default = f.write_default
@@ -7797,6 +7822,13 @@ class UpdateSchema:
                         raise InvalidDataError(f"column already exists: {name}")
                     next_id += 1
                     t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
+                    if ice_t.type_has_variant(t) and int(
+                        raw.get("format-version", 2)
+                    ) < 3:
+                        raise InvalidDataError(
+                            "variant columns require format-version 3 "
+                            "(Iceberg v3 spec: variant is a v3 type)"
+                        )
                     fields.append(
                         ice_t.NestedField(
                             next_id, name, t, required=False, doc=doc,
@@ -7857,7 +7889,12 @@ class UpdateSchema:
                         f = fields[idx(n)]
                         if isinstance(
                             f.field_type,
-                            (ice_t.StructType, ice_t.ListType, ice_t.MapType),
+                            (
+                                ice_t.StructType,
+                                ice_t.ListType,
+                                ice_t.MapType,
+                                ice_t.VariantType,
+                            ),
                         ):
                             raise InvalidDataError(
                                 f"identifier field {n} must be a primitive type"

@@ -47,6 +47,7 @@ _TYPE_NAMES: dict[str, Any] = {
     "uuid": ice_t.UuidType,
     "fixed": ice_t.FixedType,
     "binary": ice_t.BinaryType,
+    "variant": ice_t.VariantType,  # v3 — create_table gates on format-version
 }
 
 
@@ -167,6 +168,9 @@ class TableDefinition:
 
     def binary(self, name: str, **kw: Any) -> "TableDefinition":
         return self.column(name, ice_t.BinaryType(), **kw)
+
+    def variant(self, name: str, **kw: Any) -> "TableDefinition":
+        return self.column(name, ice_t.VariantType(), **kw)
 
     # -- nested ------------------------------------------------------------
     def list(self, name: str, element: Union[str, ice_t.Type], element_required: bool = False, **kw: Any) -> "TableDefinition":

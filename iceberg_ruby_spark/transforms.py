@@ -530,6 +530,12 @@ class PartitionSpec:
             sf = schema.field_by_name(f.source_name)
             if sf is None:
                 raise InvalidDataError(f"partition source column not in schema: {f.source_name}")
+            if isinstance(sf.field_type, ice_t.VariantType):
+                # v3 spec: variant has no defined ordering or hash — it
+                # may not source ANY partition transform
+                raise InvalidDataError(
+                    f"cannot partition by variant column: {f.source_name}"
+                )
             f.transform.validate_source(sf.field_type)
 
     def to_json(self) -> list[dict]:

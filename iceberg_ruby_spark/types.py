@@ -184,6 +184,41 @@ class BinaryType(Type):
         return T.BinaryType()
 
 
+class VariantType(Type):
+    """Iceberg v3 ``variant`` — semi-structured values.  Maps to Spark 4's
+    native ``VariantType`` (same binary encoding family the v3 spec
+    adopts), so reads/writes, ``parse_json``/``variant_get`` and parquet
+    round-trips are all JVM-native.  The spec allows no bounds, no
+    transforms, and no identifier fields on variant — the engine's stats
+    allowlist and partition validation enforce those declines."""
+
+    name = "variant"
+
+    def to_spark(self) -> T.DataType:
+        return T.VariantType()
+
+
+def type_has_variant(t: "Type") -> bool:
+    """True when ``t`` is or nests a :class:`VariantType` — the v3 gate
+    walks struct/list/map nesting (a ``struct<v: variant>`` column is
+    just as v3-only as a top-level one)."""
+    if isinstance(t, VariantType):
+        return True
+    if isinstance(t, StructType):
+        return any(type_has_variant(f.field_type) for f in t.fields)
+    if isinstance(t, ListType):
+        return type_has_variant(t.element_field.field_type)
+    if isinstance(t, MapType):
+        return type_has_variant(t.key_field.field_type) or type_has_variant(
+            t.value_field.field_type
+        )
+    return False
+
+
+def schema_has_variant(schema: "Schema") -> bool:
+    return any(type_has_variant(f.field_type) for f in schema.fields)
+
+
 @dataclass
 class NestedField:
     """A schema field with a stable id — reference ``ext/iceberg/src/schema.rs:16-24``."""
@@ -327,6 +362,8 @@ class Schema:
                 return StringType()
             if isinstance(dt, T.BinaryType):
                 return BinaryType()
+            if isinstance(dt, T.VariantType):
+                return VariantType()
             if isinstance(dt, T.ArrayType):
                 elem = NestedField(next_id(), "element", conv(dt.elementType), not dt.containsNull)
                 return ListType(elem)

@@ -1,0 +1,179 @@
+"""Iceberg v3 ``variant`` type (the v3 spec's semi-structured type,
+mapped onto Spark 4's native VariantType).
+
+Spec rules pinned here: variant is v3-only (create AND evolution gate),
+carries no bounds/stats, cannot source a partition transform, and cannot
+be an identifier field.  The reference's Rust binding has no variant
+support at all (ext/iceberg/src/schema.rs maps primitives/list/map/struct
+only) — this is an engine extension aligned with the published v3 spec.
+"""
+
+import pyspark.sql.functions as F
+import pytest
+
+import iceberg_ruby_spark.types as ice_t
+from iceberg_ruby_spark.errors import InvalidDataError
+from iceberg_ruby_spark.table_definition import TableDefinition, parse_type
+
+
+def test_variant_requires_v3(catalog):
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.create_table("var_v2", schema={"id": "long", "m": "variant"})
+    # nested variant is just as v3-only
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.create_table(
+            "var_v2n",
+            schema=ice_t.Schema(
+                fields=[
+                    ice_t.NestedField(
+                        1,
+                        "s",
+                        ice_t.StructType(
+                            [ice_t.NestedField(2, "m", ice_t.VariantType())]
+                        ),
+                    )
+                ]
+            ),
+        )
+    t = catalog.create_table(
+        "var_v3",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    assert t.format_version == 3
+    f = t.current_schema().field_by_name("m")
+    assert isinstance(f.field_type, ice_t.VariantType)
+
+
+def test_variant_parse_type_and_dsl():
+    assert isinstance(parse_type("variant"), ice_t.VariantType)
+    td = TableDefinition()
+    td.long("id")
+    td.variant("payload")
+    s = td.schema()
+    assert isinstance(s.field_by_name("payload").field_type, ice_t.VariantType)
+
+
+def test_variant_append_scan_roundtrip(catalog, spark):
+    """Dict rows carry JSON text (or plain python dicts); DataFrame input
+    accepts a pre-parsed variant column OR a JSON string column; reads
+    surface plain python values through to_a and variant_get through
+    scans."""
+    t = catalog.create_table(
+        "var_rt",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    t.append(
+        [
+            {"id": 1, "m": '{"a": 1, "tags": ["x", "y"]}'},
+            {"id": 2, "m": {"a": 7, "tags": []}},
+            {"id": 3, "m": None},
+        ]
+    )
+    t = t.refresh()
+    # DataFrame input: a string column parse_json's; a variant column
+    # passes through untouched
+    t.append(
+        spark.createDataFrame([(4, '{"a": 9}')], "id long, m string")
+    )
+    t.append(
+        spark.createDataFrame([(5, '{"a": 11}')], "id long, m string").select(
+            "id", F.parse_json("m").alias("m")
+        )
+    )
+    t = t.refresh()
+    got = t.scan().to_df()
+    assert dict(got.dtypes)["m"] == "variant"
+    rows = (
+        got.select(
+            "id", F.variant_get("m", "$.a", "long").alias("a")
+        )
+        .orderBy("id")
+        .collect()
+    )
+    assert [(r["id"], r["a"]) for r in rows] == [
+        (1, 1), (2, 7), (3, None), (4, 9), (5, 11),
+    ]
+    # row-hash surface: plain python values, not VariantVal
+    by_id = {r["id"]: r["m"] for r in t.to_a()}
+    assert by_id[1] == {"a": 1, "tags": ["x", "y"]}
+    assert by_id[2] == {"a": 7, "tags": []}
+    assert by_id[3] is None
+    # SQL over the table composes with Spark's variant functions
+    r = catalog.sql(
+        "SELECT CAST(variant_get(m, '$.a', 'long') AS BIGINT) AS a "
+        "FROM var_rt WHERE id = 2"
+    )
+    assert r.rows == [[7]]
+
+
+def test_variant_no_stats_no_partition_no_identifier(catalog, spark):
+    t = catalog.create_table(
+        "var_lim",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"id": 1, "m": '{"a": 1}'}])
+    t = t.refresh()
+    # no bounds/null-counts recorded for the variant column
+    for e in t._current_entries():
+        if "path" not in e:
+            continue
+        assert "m" not in (e.get("lower-bounds") or {})
+        assert "m" not in (e.get("null-value-counts") or {})
+        assert "id" in (e.get("lower-bounds") or {})
+    # COUNT(*) still metadata-served on a variant-bearing table
+    assert t.scan().metadata_aggs([("COUNT", None)]) == [1]
+    with pytest.raises(InvalidDataError, match="variant"):
+        catalog.create_table(
+            "var_part",
+            schema={"id": "long", "m": "variant"},
+            partition_spec=[("m", "identity")],
+            properties={"format-version": "3"},
+        )
+    with pytest.raises(InvalidDataError, match="primitive"):
+        t.update_schema().set_identifier_fields("m").commit()
+
+
+def test_variant_schema_evolution_gate(catalog):
+    t2 = catalog.create_table("var_ev2", schema={"id": "long"})
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        t2.update_schema().add_column("m", "variant").commit()
+    t3 = catalog.create_table(
+        "var_ev3",
+        schema={"id": "long"},
+        properties={"format-version": "3"},
+    )
+    t3.append([{"id": 1}])
+    t3 = t3.refresh()
+    t3.update_schema().add_column("m", "variant").commit()
+    t3 = t3.refresh()
+    t3.append([{"id": 2, "m": '{"b": true}'}])
+    # missing-column default fill casts a NULL literal to variant
+    t3.append([{"id": 3}])
+    t3 = t3.refresh()
+    by_id = {r["id"]: r["m"] for r in t3.to_a()}
+    assert by_id[1] is None and by_id[2] == {"b": True} and by_id[3] is None
+
+
+def test_variant_sql_create_with_tblproperties(catalog):
+    catalog.sql(
+        "CREATE TABLE var_sql (id BIGINT, m VARIANT) "
+        "TBLPROPERTIES ('format-version'='3')"
+    )
+    t = catalog.load_table("var_sql")
+    assert t.format_version == 3
+    assert isinstance(
+        t.current_schema().field_by_name("m").field_type, ice_t.VariantType
+    )
+    catalog.sql(
+        "INSERT INTO var_sql SELECT 1 AS id, parse_json('{\"k\": 5}') AS m"
+    )
+    r = catalog.sql(
+        "SELECT CAST(variant_get(m, '$.k', 'long') AS BIGINT) AS k FROM var_sql"
+    )
+    assert r.rows == [[5]]
+    # and the plain v2 SQL default still gates
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.sql("CREATE TABLE var_sql2 (id BIGINT, m VARIANT)")
