@@ -339,11 +339,18 @@ class Catalog:
         fv = int(props.pop("format-version", 2))
         if fv not in (1, 2, 3):
             raise InvalidDataError(f"invalid format-version: {fv}")
-        if fv < 3 and ice_t.schema_has_variant(ice_schema):
+        v3_name = ice_t.schema_v3_only(ice_schema)
+        if fv < 3 and v3_name:
             raise InvalidDataError(
-                "variant columns require format-version 3 "
-                "(Iceberg v3 spec: variant is a v3 type)"
+                f"{v3_name} columns require format-version 3 "
+                f"(Iceberg v3 spec: {v3_name} is a v3 type)"
             )
+        for f in ice_schema.fields:
+            if isinstance(f.field_type, ice_t.UnknownType) and f.required:
+                raise InvalidDataError(
+                    f"unknown-typed column {f.name} must be optional "
+                    "(v3 spec: every value of unknown type is null)"
+                )
 
         spec_json: list[dict] = []
         if partition_spec is not None:

@@ -2650,6 +2650,12 @@ class Table:
                     import json as _json
 
                     return v if isinstance(v, str) else _json.dumps(v)
+                if v is not None and isinstance(f.field_type, ice_t.UnknownType):
+                    raise InvalidDataError(
+                        f"column {f.name} has unknown type: every value "
+                        "must be null (promote the column to a real type "
+                        "first)"
+                    )
                 return v
 
             sub_schema = T.StructType(
@@ -2679,6 +2685,17 @@ class Table:
         df_types = dict(df.dtypes)
         for f in schema.fields:
             spark_f = f.to_spark()
+            if isinstance(f.field_type, ice_t.UnknownType):
+                # unknown: only null exists; a typed input column would be
+                # silently discarded at write time — refuse it loudly
+                if f.name in df.columns and df_types.get(f.name) != "void":
+                    raise InvalidDataError(
+                        f"column {f.name} has unknown type: every value "
+                        "must be null (promote the column to a real type "
+                        "first)"
+                    )
+                select_cols.append(F.lit(None).alias(f.name))
+                continue
             if f.name in df.columns:
                 if isinstance(f.field_type, ice_t.VariantType):
                     # string input is a JSON DOCUMENT (parse it — a cast
@@ -2884,6 +2901,10 @@ class Table:
             .cast(f.to_spark().dataType)
             .alias(f.name, metadata=f.to_spark().metadata)
             for f in schema.fields
+            # v3 unknown: values are never stored — the column is dropped
+            # from every data file (parquet has no void encoding anyway)
+            # and the scan projects a null literal back
+            if not isinstance(f.field_type, ice_t.UnknownType)
         ]
         if lineage_cols:
             out_cols.append(
@@ -3227,7 +3248,11 @@ class Table:
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
                 spark_t = f.to_spark().dataType
-                if wf is not None and wf.name in df.columns:
+                if isinstance(f.field_type, ice_t.UnknownType):
+                    # v3 unknown: never stored, always reads null — even
+                    # if some file physically carries the name
+                    cols.append(F.lit(None).alias(f.name))
+                elif wf is not None and wf.name in df.columns:
                     cols.append(F.col(wf.name).cast(spark_t).alias(f.name))
                 else:
                     cols.append(F.lit(f.initial_default).cast(spark_t).alias(f.name))
@@ -4144,6 +4169,9 @@ class Table:
                 f"files carry columns not in the table schema: {sorted(extra)}"
             )
         for f in schema.fields:
+            if isinstance(f.field_type, ice_t.UnknownType):
+                # unknown values are never stored — files rightly omit them
+                continue
             if f.name not in df.columns:
                 raise InvalidDataError(f"files are missing column {f.name!r}")
             actual = df.schema[f.name].dataType
@@ -7225,6 +7253,10 @@ def _tree_columns(node) -> set:
 def _promotable(old: ice_t.Type, new: ice_t.Type) -> bool:
     if type(old) is type(new) and old == new:
         return True
+    if isinstance(old, ice_t.UnknownType):
+        # v3 spec: unknown promotes to ANY type (no stored values exist,
+        # so every prior row reads back as the new type's null)
+        return True
     if isinstance(old, ice_t.IntType) and isinstance(new, ice_t.LongType):
         return True
     if isinstance(old, ice_t.FloatType) and isinstance(new, ice_t.DoubleType):
@@ -7822,12 +7854,11 @@ class UpdateSchema:
                         raise InvalidDataError(f"column already exists: {name}")
                     next_id += 1
                     t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
-                    if ice_t.type_has_variant(t) and int(
-                        raw.get("format-version", 2)
-                    ) < 3:
+                    v3_name = ice_t.type_v3_only(t)
+                    if v3_name and int(raw.get("format-version", 2)) < 3:
                         raise InvalidDataError(
-                            "variant columns require format-version 3 "
-                            "(Iceberg v3 spec: variant is a v3 type)"
+                            f"{v3_name} columns require format-version 3 "
+                            f"(Iceberg v3 spec: {v3_name} is a v3 type)"
                         )
                     fields.append(
                         ice_t.NestedField(
@@ -7894,6 +7925,7 @@ class UpdateSchema:
                                 ice_t.ListType,
                                 ice_t.MapType,
                                 ice_t.VariantType,
+                                ice_t.UnknownType,
                             ),
                         ):
                             raise InvalidDataError(

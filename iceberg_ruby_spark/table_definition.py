@@ -48,6 +48,7 @@ _TYPE_NAMES: dict[str, Any] = {
     "fixed": ice_t.FixedType,
     "binary": ice_t.BinaryType,
     "variant": ice_t.VariantType,  # v3 — create_table gates on format-version
+    "unknown": ice_t.UnknownType,  # v3 — always optional, values never stored
 }
 
 
@@ -171,6 +172,9 @@ class TableDefinition:
 
     def variant(self, name: str, **kw: Any) -> "TableDefinition":
         return self.column(name, ice_t.VariantType(), **kw)
+
+    def unknown(self, name: str, **kw: Any) -> "TableDefinition":
+        return self.column(name, ice_t.UnknownType(), **kw)
 
     # -- nested ------------------------------------------------------------
     def list(self, name: str, element: Union[str, ice_t.Type], element_required: bool = False, **kw: Any) -> "TableDefinition":

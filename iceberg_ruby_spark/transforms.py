@@ -530,11 +530,15 @@ class PartitionSpec:
             sf = schema.field_by_name(f.source_name)
             if sf is None:
                 raise InvalidDataError(f"partition source column not in schema: {f.source_name}")
-            if isinstance(sf.field_type, ice_t.VariantType):
-                # v3 spec: variant has no defined ordering or hash — it
-                # may not source ANY partition transform
+            if isinstance(
+                sf.field_type, (ice_t.VariantType, ice_t.UnknownType)
+            ):
+                # v3 spec: variant has no defined ordering or hash, and
+                # unknown values are never stored — neither may source
+                # ANY partition transform
                 raise InvalidDataError(
-                    f"cannot partition by variant column: {f.source_name}"
+                    f"cannot partition by {sf.field_type.name} column: "
+                    f"{f.source_name}"
                 )
             f.transform.validate_source(sf.field_type)
 

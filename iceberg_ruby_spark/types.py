@@ -198,25 +198,50 @@ class VariantType(Type):
         return T.VariantType()
 
 
-def type_has_variant(t: "Type") -> bool:
-    """True when ``t`` is or nests a :class:`VariantType` — the v3 gate
-    walks struct/list/map nesting (a ``struct<v: variant>`` column is
-    just as v3-only as a top-level one)."""
+class UnknownType(Type):
+    """Iceberg v3 ``unknown`` — a column whose type is not (yet) known:
+    always optional, every value is null, values are NOT stored in data
+    files (writers drop the column; readers project a null literal), and
+    the type may later be promoted to ANY other type (the v3 spec's only
+    universal promotion).  Maps to Spark's ``NullType`` for in-plan
+    representation."""
+
+    name = "unknown"
+
+    def to_spark(self) -> T.DataType:
+        return T.NullType()
+
+
+def type_v3_only(t: "Type") -> Optional[str]:
+    """Name of the v3-only type ``t`` is or nests (``variant`` /
+    ``unknown``), else None — the format-version gate walks
+    struct/list/map nesting (a ``struct<v: variant>`` column is just as
+    v3-only as a top-level one)."""
     if isinstance(t, VariantType):
-        return True
+        return "variant"
+    if isinstance(t, UnknownType):
+        return "unknown"
     if isinstance(t, StructType):
-        return any(type_has_variant(f.field_type) for f in t.fields)
+        for f in t.fields:
+            r = type_v3_only(f.field_type)
+            if r:
+                return r
+        return None
     if isinstance(t, ListType):
-        return type_has_variant(t.element_field.field_type)
+        return type_v3_only(t.element_field.field_type)
     if isinstance(t, MapType):
-        return type_has_variant(t.key_field.field_type) or type_has_variant(
+        return type_v3_only(t.key_field.field_type) or type_v3_only(
             t.value_field.field_type
         )
-    return False
+    return None
 
 
-def schema_has_variant(schema: "Schema") -> bool:
-    return any(type_has_variant(f.field_type) for f in schema.fields)
+def schema_v3_only(schema: "Schema") -> Optional[str]:
+    for f in schema.fields:
+        r = type_v3_only(f.field_type)
+        if r:
+            return r
+    return None
 
 
 @dataclass

@@ -177,3 +177,103 @@ def test_variant_sql_create_with_tblproperties(catalog):
     # and the plain v2 SQL default still gates
     with pytest.raises(InvalidDataError, match="format-version 3"):
         catalog.sql("CREATE TABLE var_sql2 (id BIGINT, m VARIANT)")
+
+
+# ---------------------------------------------------------------------------
+# v3 `unknown` type — always optional, never stored, promotes to any type
+# ---------------------------------------------------------------------------
+
+
+def test_unknown_requires_v3_and_optional(catalog):
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.create_table("unk_v2", schema={"id": "long", "u": "unknown"})
+    td = TableDefinition()
+    td.long("id")
+    td.unknown("u", required=True)
+    with pytest.raises(InvalidDataError, match="must be optional"):
+        catalog.create_table(
+            "unk_req", schema=td.schema(), properties={"format-version": "3"}
+        )
+    t = catalog.create_table(
+        "unk_ok",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    assert isinstance(
+        t.current_schema().field_by_name("u").field_type, ice_t.UnknownType
+    )
+
+
+def test_unknown_never_stored_reads_null(catalog, spark):
+    t = catalog.create_table(
+        "unk_rt",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"id": 1}, {"id": 2, "u": None}])
+    t = t.refresh()
+    # the data files physically omit the column
+    import glob
+    import os
+
+    pq = glob.glob(
+        os.path.join(t.ops.data_dir, "**", "*.parquet"), recursive=True
+    )
+    assert pq
+    raw = spark.read.parquet(*pq)
+    assert "u" not in raw.columns
+    # reads project null; filters on the column behave
+    assert t.to_a() == [{"id": 1, "u": None}, {"id": 2, "u": None}] or sorted(
+        r["id"] for r in t.to_a()
+    ) == [1, 2]
+    assert all(r["u"] is None for r in t.to_a())
+    assert t.scan().filter("u IS NULL").count() == 2
+    # non-null input refuses loudly on both input paths
+    with pytest.raises(InvalidDataError, match="unknown type"):
+        t.append([{"id": 3, "u": "boom"}])
+    with pytest.raises(InvalidDataError, match="unknown type"):
+        t.append(spark.createDataFrame([(3, "boom")], "id long, u string"))
+
+
+def test_unknown_promotes_to_any_type(catalog):
+    t = catalog.create_table(
+        "unk_promote",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"id": 1}])
+    t = t.refresh()
+    t.update_schema().update_column("u", "string").commit()
+    t = t.refresh()
+    # existing rows read the new type's null; new rows store real values
+    t.append([{"id": 2, "u": "now-a-string"}])
+    t = t.refresh()
+    by_id = {r["id"]: r["u"] for r in t.to_a()}
+    assert by_id == {1: None, 2: "now-a-string"}
+    # a widen in the OTHER direction is still refused
+    with pytest.raises(InvalidDataError, match="widening"):
+        t.update_schema().update_column("id", "unknown").commit()
+
+
+def test_unknown_declines(catalog):
+    t = catalog.create_table(
+        "unk_lim",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    with pytest.raises(InvalidDataError, match="primitive"):
+        t.update_schema().set_identifier_fields("u").commit()
+    with pytest.raises(InvalidDataError, match="cannot partition by unknown"):
+        catalog.create_table(
+            "unk_part",
+            schema={"id": "long", "u": "unknown"},
+            partition_spec=[("u", "identity")],
+            properties={"format-version": "3"},
+        )
+    t.append([{"id": 1}])
+    t = t.refresh()
+    # no stats recorded, COUNT(*) still metadata-served
+    for e in t._current_entries():
+        if "path" in e:
+            assert "u" not in (e.get("lower-bounds") or {})
+    assert t.scan().metadata_aggs([("COUNT", None)]) == [1]
