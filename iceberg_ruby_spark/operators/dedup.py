@@ -668,8 +668,15 @@ def embedding_cosine_pairs(
             "(quadratic); pass allow_all_pairs=True to opt in on a bounded "
             "slice, or keep n_planes>0 for the LSH-bucketed path"
         )
-    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
-    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    # norms precomputed per ROW (value-identical to the per-pair form —
+    # same expression over the same values — but O(n) instead of O(pairs):
+    # each _norm is a full interpreted 64-element fold)
+    a = df.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va")
+    ).withColumn("__na", _norm(F.col("__va")))
+    b = df.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb")
+    ).withColumn("__nb", _norm(F.col("__vb")))
     if n_planes > 0:
         dim = len(df.select(vec_col).first()[0])
         # table id packed into the bucket key's high bits → one long-key
@@ -698,7 +705,7 @@ def embedding_cosine_pairs(
             "cosine",
             F.round(
                 _dot(F.col("__va"), F.col("__vb"))
-                / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+                / (F.col("__na") * F.col("__nb")),
                 6,
             ),
         )
@@ -1028,12 +1035,16 @@ def _within_cell_pairs(
 ) -> DataFrame:
     from iceberg_ruby_spark.operators.similarity import _dot, _norm
 
+    # norms precomputed per ROW before the join — value-identical to the
+    # per-pair form (same expression over the same values) but O(n)
+    # instead of O(pairs); at the 10× tier the per-pair _norm folds were
+    # 2/3 of the pair stage's expression work
     a = assigned.select(
         "cell", F.col(id_col).alias("id_a"), F.col("__cv").alias("__va")
-    )
+    ).withColumn("__na", _norm(F.col("__va")))
     b = assigned.select(
         "cell", F.col(id_col).alias("id_b"), F.col("__cv").alias("__vb")
-    )
+    ).withColumn("__nb", _norm(F.col("__vb")))
     # shuffle-hash, not sort-merge: sorting both sides by cell buys
     # nothing when every same-cell pair is enumerated anyway
     return (
@@ -1043,7 +1054,7 @@ def _within_cell_pairs(
             "cosine",
             F.round(
                 _dot(F.col("__va"), F.col("__vb"))
-                / (_norm(F.col("__va")) * _norm(F.col("__vb"))),
+                / (F.col("__na") * F.col("__nb")),
                 6,
             ),
         )

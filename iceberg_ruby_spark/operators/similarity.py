@@ -61,10 +61,14 @@ def cosine_topk(
     via a per-query window.  At 1000 executors the corpus stays partitioned;
     only the (small) query set is replicated."""
     query_id_col = query_id_col or id_col
+    # norms precomputed per ROW (value-identical; each per-pair _norm was
+    # a full interpreted fold repeated |queries| times per corpus row)
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    )
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+    ).withColumn("__qn", _norm(F.col("__qv")))
+    c = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("__cv")
+    ).withColumn("__cn", _norm(F.col("__cv")))
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col(id_col) != F.col("query_id"))
@@ -72,7 +76,7 @@ def cosine_topk(
             "cosine",
             F.round(
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                / (F.col("__qn") * F.col("__cn")),
                 6,
             ),
         )
@@ -171,12 +175,18 @@ def lsh_ann_topk(
                 ]
         return F.explode(F.array(*out))
 
-    c = corpus.select(F.col(id_col), F.col(vec_col).alias("__cv")).withColumn(
-        "__bucket", probe_buckets(F.col("__cv"), want_probes=False)
+    c = (
+        corpus.select(F.col(id_col), F.col(vec_col).alias("__cv"))
+        .withColumn("__cn", _norm(F.col("__cv")))
+        .withColumn("__bucket", probe_buckets(F.col("__cv"), want_probes=False))
     )
-    q = queries.select(
-        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
-    ).withColumn("__bucket", probe_buckets(F.col("__qv"), want_probes=True))
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
+        )
+        .withColumn("__qn", _norm(F.col("__qv")))
+        .withColumn("__bucket", probe_buckets(F.col("__qv"), want_probes=True))
+    )
     # a pair can collide in several tables — dedup candidates before the
     # exact re-rank so each (query, id) is scored once
     scored = (
@@ -187,7 +197,7 @@ def lsh_ann_topk(
             "cosine",
             F.round(
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                / (F.col("__qn") * F.col("__cn")),
                 6,
             ),
         )
@@ -432,7 +442,9 @@ def ivf_search(
     import numpy as np
 
     query_id_col = query_id_col or id_col
-    c = assigned.withColumnRenamed("cell", "__cell")
+    c = assigned.withColumnRenamed("cell", "__cell").withColumn(
+        "__cn", _norm(F.col("__cv"))
+    )
 
     cents = np.asarray(centroids, dtype=np.float64)
     sq = (cents**2).sum(axis=1)
@@ -450,6 +462,7 @@ def ivf_search(
         queries.select(
             F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("__qv")
         )
+        .withColumn("__qn", _norm(F.col("__qv")))
         .withColumn("__cell", F.explode(probe_cells(F.col("__qv"))))
     )
     scored = (
@@ -459,7 +472,7 @@ def ivf_search(
             "cosine",
             F.round(
                 _dot(F.col("__qv"), F.col("__cv"))
-                / (_norm(F.col("__qv")) * _norm(F.col("__cv"))),
+                / (F.col("__qn") * F.col("__cn")),
                 6,
             ),
         )

@@ -68,6 +68,10 @@ _NEVER_DRIVER_CHECKED = [
     # query re-verifies
     "embedding_ann_pq", "embedding_ann_pq_table", "embedding_ann_ivf",
     "embedding_ann_ivf_table", "dedup_semantic",
+    # changed in r13 (late pass): per-row norm precompute in the cosine
+    # scan/pair operators (value-identical expression, but the plan
+    # changed — re-verify every consumer)
+    "embedding_cosine_topk", "embedding_ann_lsh", "dedup_embedding_cosine",
     # changed in r13: seq-scoped equality deletes + fast-append upsert
     # commit (sink.py rewritten; also benched from r13)
     "stream_upsert_sink",
@@ -90,15 +94,14 @@ _NEVER_DRIVER_CHECKED = [
     "engine_bloom_lookup", "engine_time_travel", "engine_wap_publish",
 ]
 
-# fills the remaining budget exactly: the r9-aged cohort, riskiest first
-# (the late-pass kmeans/ADC change promoted 5 similarity queries into
-# tier 0, so only 3 slots remain; dedup_fingerprint, dedup_ngram_jaccard,
-# dedup_shared_spans, dedup_simhash and dedup_simhash_pairs join the 24
-# other r9 rows as the r14 tier-0 head)
-_LAST_CHECKED_R9 = [
-    "dedup_cluster_components", "dedup_decontaminate",
-    "dedup_embedding_cosine",
-]
+# the late-pass kmeans/ADC + cosine-precompute changes promoted 8
+# similarity/dedup queries into tier 0, which fills the 50-slot budget
+# EXACTLY — no r9-cohort fill slots remain this round.  The r14
+# mandatory tier-0 head is therefore the full remaining r9 cohort:
+# dedup_cluster_components, dedup_decontaminate, dedup_fingerprint,
+# dedup_ngram_jaccard, dedup_shared_spans, dedup_simhash,
+# dedup_simhash_pairs + the 24 scalar/function/set-op rows.
+_LAST_CHECKED_R9: list = []
 
 _TIER = {}
 _RANK = {}
