@@ -277,3 +277,71 @@ def test_unknown_declines(catalog):
         if "path" in e:
             assert "u" not in (e.get("lower-bounds") or {})
     assert t.scan().metadata_aggs([("COUNT", None)]) == [1]
+
+
+def test_variant_numeric_surface(catalog):
+    """parse_json's documented numeric mapping through the python
+    surface: integer JSON numbers read back as int, decimal literals as
+    Decimal (exact — '0.1' stays 0.1, no binary-float drift), exponent
+    forms as float."""
+    from decimal import Decimal
+
+    t = catalog.create_table(
+        "var_num",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    t.append([{"id": 1, "m": '{"i": 3, "d": 0.1, "e": 1e30}'}])
+    t = t.refresh()
+    m = t.to_a()[0]["m"]
+    assert m["i"] == 3 and isinstance(m["i"], int)
+    assert m["d"] == Decimal("0.1") and isinstance(m["d"], Decimal)
+    assert m["e"] == 1e30 and isinstance(m["e"], float)
+
+
+def test_variant_json_roundtrip_fuzz(catalog):
+    """Hypothesis: random JSON documents (ints/strings/bools/None nested
+    through lists and objects) survive append → parquet → scan → to_a
+    structurally intact.  Floats are pinned separately
+    (test_variant_numeric_surface) — decimal literals surface as exact
+    Decimal, not binary float."""
+    import json
+
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    leaf = st.one_of(
+        st.none(),
+        st.booleans(),
+        st.integers(-(2**63) + 1, 2**63 - 1),
+        st.text(max_size=12),
+    )
+    value = st.recursive(
+        leaf,
+        lambda inner: st.one_of(
+            st.lists(inner, max_size=4),
+            st.dictionaries(st.text(min_size=1, max_size=8), inner, max_size=4),
+        ),
+        max_leaves=12,
+    )
+
+    t = catalog.create_table(
+        "var_fuzz",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    state = {"n": 0}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(value)
+    def run(v):
+        state["n"] += 1
+        i = state["n"]
+        t.append([{"id": i, "m": json.dumps(v)}])
+        got = {r["id"]: r["m"] for r in t.refresh().to_a()}
+        assert got[i] == v, f"variant round-trip mismatch: {v!r} -> {got[i]!r}"
+
+    run()
