@@ -339,18 +339,7 @@ class Catalog:
         fv = int(props.pop("format-version", 2))
         if fv not in (1, 2, 3):
             raise InvalidDataError(f"invalid format-version: {fv}")
-        v3_name = ice_t.schema_v3_only(ice_schema)
-        if fv < 3 and v3_name:
-            raise InvalidDataError(
-                f"{v3_name} columns require format-version 3 "
-                f"(Iceberg v3 spec: {v3_name} is a v3 type)"
-            )
-        for f in ice_schema.fields:
-            if isinstance(f.field_type, ice_t.UnknownType) and f.required:
-                raise InvalidDataError(
-                    f"unknown-typed column {f.name} must be optional "
-                    "(v3 spec: every value of unknown type is null)"
-                )
+        ice_t.validate_field_types(ice_schema.fields, fv)
 
         spec_json: list[dict] = []
         if partition_spec is not None:
@@ -364,6 +353,7 @@ class Catalog:
         order_json: list[dict] = []
         if sort_order is not None:
             so = sort_order if isinstance(sort_order, SortOrder) else SortOrder(fields=list(sort_order))
+            so.validate(ice_schema)
             order_json = so.to_json()
 
         now = _now_ms()
@@ -427,6 +417,23 @@ class Catalog:
         table still carrying the old definition (ADVICE r7 low)."""
         t = self.load_table(parts)
         new_schema = schema_from_any(schema if schema is not None else {})
+        # the same gates the plain-create path runs — a REPLACE must not
+        # be the unguarded spelling (review r13: CREATE OR REPLACE could
+        # plant a variant column in a v2 table).  A format-version in the
+        # new properties upgrades the table (spec: upgrades only).
+        repl_props = dict(properties or {})
+        fv_req = repl_props.pop("format-version", None)
+        cur_fv = t.format_version
+        new_fv = cur_fv
+        if fv_req is not None:
+            new_fv = int(fv_req)
+            if new_fv not in (1, 2, 3):
+                raise InvalidDataError(f"invalid format-version: {new_fv}")
+            if new_fv < cur_fv:
+                raise InvalidDataError(
+                    f"cannot downgrade format-version {cur_fv} -> {new_fv}"
+                )
+        ice_t.validate_field_types(new_schema.fields, new_fv)
         spec_fields: list[dict] = []
         if partition_spec is not None:
             ps = (
@@ -443,6 +450,7 @@ class Catalog:
                 if isinstance(sort_order, SortOrder)
                 else SortOrder(fields=list(sort_order))
             )
+            so.validate(new_schema)
             order_fields = so.to_json()
 
         def mutate(raw: dict) -> None:
@@ -507,7 +515,9 @@ class Catalog:
                     {"order-id": 0, "fields": []}
                 ]
             raw["default-sort-order-id"] = new_order_id
-            raw["properties"] = dict(properties or {})
+            raw["properties"] = dict(repl_props)
+            if new_fv > int(raw.get("format-version", 2)):
+                raw["format-version"] = new_fv
 
         t._check_writable()
         t._commit_snapshot(

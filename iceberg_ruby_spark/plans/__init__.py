@@ -40,13 +40,15 @@ from iceberg_ruby_spark.plans import tpch  # noqa: E402,F401
 #     metadata_aggs/metadata_group_counts), and the scan-pruning-
 #     sensitive engine rows (read_manifest_filtered now feeds to_df /
 #     plan_files).
-# (1) the r9-aged cohort (36 queries, last checked in CORRECTNESS_r09),
-#     riskiest first: dedup/embedding/asof operator queries, then
-#     engine_delete_cow (promoted to tier 0: it exercises _live_preds).
-#     The budget fits 3 after the late-pass kmeans/ADC promotions; the
-#     remaining 29 r9 rows (5 dedup queries named on the cohort list
-#     below + 24 scalar/function/set-op queries, judge-mirror-green
-#     every round) are the mandatory tier-0 head of the r14 rotation.
+# (1) the r9-aged cohort (36 queries, last checked in CORRECTNESS_r09):
+#     after the late-pass kmeans/ADC + cosine-precompute promotions,
+#     tier 0 fills the 50-slot budget EXACTLY and no r9 fill slots
+#     remain.  The full remaining r9 cohort — 31 rows: 7 dedup queries
+#     (dedup_cluster_components, dedup_decontaminate, dedup_fingerprint,
+#     dedup_ngram_jaccard, dedup_shared_spans, dedup_simhash,
+#     dedup_simhash_pairs) + 24 scalar/function/set-op rows,
+#     judge-mirror-green every round — is the mandatory tier-0 head of
+#     the r14 rotation.
 # The arithmetic is ASSERTED below, not narrated: every name must be a
 # registered query, and tier (0) must fit the budget entirely.
 _DRIVER_BUDGET = 50
@@ -94,13 +96,8 @@ _NEVER_DRIVER_CHECKED = [
     "engine_bloom_lookup", "engine_time_travel", "engine_wap_publish",
 ]
 
-# the late-pass kmeans/ADC + cosine-precompute changes promoted 8
-# similarity/dedup queries into tier 0, which fills the 50-slot budget
-# EXACTLY — no r9-cohort fill slots remain this round.  The r14
-# mandatory tier-0 head is therefore the full remaining r9 cohort:
-# dedup_cluster_components, dedup_decontaminate, dedup_fingerprint,
-# dedup_ngram_jaccard, dedup_shared_spans, dedup_simhash,
-# dedup_simhash_pairs + the 24 scalar/function/set-op rows.
+# no fill slots this round (see the tier-1 note above: the full 31-row
+# r9 cohort is the r14 mandatory tier-0 head)
 _LAST_CHECKED_R9: list = []
 
 _TIER = {}

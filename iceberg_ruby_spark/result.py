@@ -18,13 +18,21 @@ from pyspark.sql import DataFrame
 def _pyval(v: Any) -> Any:
     """Row values → plain Python: v3 variant cells come back as
     ``VariantVal`` — surface them as dict/list/scalars, the row-hash
-    shape the reference's ``Result`` yields for every other type."""
+    shape the reference's ``Result`` yields for every other type.
+    Recursive: a variant nested inside a struct/array/map column (the
+    nested spelling the v3 gates explicitly allow) converts too."""
     try:
-        from pyspark.sql.types import VariantVal
+        from pyspark.sql.types import Row, VariantVal
     except ImportError:  # pragma: no cover - older Spark
         return v
     if isinstance(v, VariantVal):
         return v.toPython()
+    if isinstance(v, dict):
+        return {k: _pyval(x) for k, x in v.items()}
+    if isinstance(v, Row):
+        return {k: _pyval(x) for k, x in v.asDict().items()}
+    if isinstance(v, (list, tuple)):
+        return [_pyval(x) for x in v]
     return v
 
 

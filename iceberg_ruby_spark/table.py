@@ -4170,7 +4170,18 @@ class Table:
             )
         for f in schema.fields:
             if isinstance(f.field_type, ice_t.UnknownType):
-                # unknown values are never stored — files rightly omit them
+                # unknown values are never stored — files must OMIT the
+                # column; registering a file that carries one would
+                # silently shadow its data behind the reader's null
+                # projection (the append paths refuse non-null unknown
+                # input loudly; add_files must not be the quiet path)
+                if f.name in df.columns:
+                    raise InvalidDataError(
+                        f"files carry column {f.name!r}, which has unknown "
+                        "type in the table: unknown values are never "
+                        "stored — promote the column to a real type first "
+                        "or register files without it"
+                    )
                 continue
             if f.name not in df.columns:
                 raise InvalidDataError(f"files are missing column {f.name!r}")
@@ -7854,18 +7865,15 @@ class UpdateSchema:
                         raise InvalidDataError(f"column already exists: {name}")
                     next_id += 1
                     t = ftype if isinstance(ftype, ice_t.Type) else parse_type(str(ftype))
-                    v3_name = ice_t.type_v3_only(t)
-                    if v3_name and int(raw.get("format-version", 2)) < 3:
-                        raise InvalidDataError(
-                            f"{v3_name} columns require format-version 3 "
-                            f"(Iceberg v3 spec: {v3_name} is a v3 type)"
-                        )
-                    fields.append(
-                        ice_t.NestedField(
-                            next_id, name, t, required=False, doc=doc,
-                            initial_default=default, write_default=default,
-                        )
+                    nf = ice_t.NestedField(
+                        next_id, name, t, required=False, doc=doc,
+                        initial_default=default, write_default=default,
                     )
+                    # same v3/nesting gates as create (shared validator)
+                    ice_t.validate_field_types(
+                        [nf], int(raw.get("format-version", 2))
+                    )
+                    fields.append(nf)
                 elif op[0] == "drop":
                     _, name = op
                     if name in pinned:
@@ -7909,10 +7917,17 @@ class UpdateSchema:
                             f"cannot change {name} from {f.field_type.name} to "
                             f"{t.name}: only widening promotions are allowed"
                         )
-                    fields[i] = ice_t.NestedField(
+                    nf = ice_t.NestedField(
                         f.field_id, f.name, t, f.required, f.doc,
                         f.initial_default, f.write_default,
                     )
+                    # the unknown->any promotion must not smuggle a
+                    # v3-only or nested-unknown target into the schema
+                    if t != f.field_type:
+                        ice_t.validate_field_types(
+                            [nf], int(raw.get("format-version", 2))
+                        )
+                    fields[i] = nf
                 elif op[0] == "identify":
                     _, names = op
                     new_ids = []

@@ -601,6 +601,27 @@ class SortOrder:
     def __post_init__(self) -> None:
         self.fields = [sort_field_from_any(f) for f in self.fields]
 
+    def validate(self, schema: ice_t.Schema) -> None:
+        """Mirror of :meth:`PartitionSpec.validate` for sort orders —
+        without it a sort on a variant (unorderable) or unknown (never
+        stored; the writer drops the column and the write-side sort
+        would reference a missing name) source only fails deep inside
+        the first append."""
+        for f in self.fields:
+            sf = schema.field_by_name(f.source_name)
+            if sf is None:
+                raise InvalidDataError(
+                    f"sort source column not in schema: {f.source_name}"
+                )
+            if isinstance(
+                sf.field_type, (ice_t.VariantType, ice_t.UnknownType)
+            ):
+                raise InvalidDataError(
+                    f"cannot sort by {sf.field_type.name} column: "
+                    f"{f.source_name}"
+                )
+            f.transform.validate_source(sf.field_type)
+
     def to_json(self) -> list[dict]:
         return [
             {

@@ -244,6 +244,61 @@ def schema_v3_only(schema: "Schema") -> Optional[str]:
     return None
 
 
+def _nests_unknown(t: "Type") -> bool:
+    """True when ``t`` contains an UnknownType anywhere BELOW itself —
+    i.e. a nested unknown (a top-level UnknownType column is fine)."""
+    if isinstance(t, StructType):
+        return any(
+            isinstance(f.field_type, UnknownType) or _nests_unknown(f.field_type)
+            for f in t.fields
+        )
+    if isinstance(t, ListType):
+        ef = t.element_field.field_type
+        return isinstance(ef, UnknownType) or _nests_unknown(ef)
+    if isinstance(t, MapType):
+        kt, vt = t.key_field.field_type, t.value_field.field_type
+        return (
+            isinstance(kt, UnknownType)
+            or isinstance(vt, UnknownType)
+            or _nests_unknown(kt)
+            or _nests_unknown(vt)
+        )
+    return False
+
+
+def validate_field_types(fields, fv: int) -> None:
+    """Shared v3 type-rule validation for a field list — used by
+    create_table, CREATE OR REPLACE, and schema evolution so no entry
+    path skips a gate:
+
+    - variant/unknown (including nested) require format-version 3;
+    - a top-level unknown column must be optional (every value is null);
+    - unknown below the top level is an engine decline: parquet has no
+      void encoding and the data-file writer drops only top-level
+      columns, so a nested unknown would make the table un-writable.
+    """
+    from iceberg_ruby_spark.errors import InvalidDataError
+
+    for f in fields:
+        name = type_v3_only(f.field_type)
+        if name and fv < 3:
+            raise InvalidDataError(
+                f"{name} columns require format-version 3 "
+                f"(Iceberg v3 spec: {name} is a v3 type)"
+            )
+        if isinstance(f.field_type, UnknownType) and f.required:
+            raise InvalidDataError(
+                f"unknown-typed column {f.name} must be optional "
+                "(v3 spec: every value of unknown type is null)"
+            )
+        if _nests_unknown(f.field_type):
+            raise InvalidDataError(
+                f"column {f.name}: unknown type is supported as a "
+                "top-level column only (parquet cannot represent a "
+                "nested void; promote the nested field to a real type)"
+            )
+
+
 @dataclass
 class NestedField:
     """A schema field with a stable id — reference ``ext/iceberg/src/schema.rs:16-24``."""

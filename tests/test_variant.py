@@ -345,3 +345,144 @@ def test_variant_json_roundtrip_fuzz(catalog):
         assert got[i] == v, f"variant round-trip mismatch: {v!r} -> {got[i]!r}"
 
     run()
+
+
+def test_replace_table_enforces_v3_gates(catalog):
+    """CREATE OR REPLACE must not be the unguarded spelling: the same
+    variant/unknown gates as plain create, and a format-version in the
+    new TBLPROPERTIES upgrades the table (never downgrades)."""
+    catalog.create_table("repl_t", schema={"id": "long"})
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.create_table(
+            "repl_t", schema={"id": "long", "m": "variant"}, or_replace=True
+        )
+    # replace WITH the v3 property upgrades and succeeds
+    t = catalog.create_table(
+        "repl_t",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+        or_replace=True,
+    )
+    assert t.format_version == 3
+    assert "format-version" not in t.properties
+    t.append([{"id": 1, "m": '{"x": 1}'}])
+    assert t.refresh().to_a()[0]["m"] == {"x": 1}
+    # downgrade refused
+    with pytest.raises(InvalidDataError, match="downgrade"):
+        catalog.create_table(
+            "repl_t",
+            schema={"id": "long"},
+            properties={"format-version": "2"},
+            or_replace=True,
+        )
+    # the SQL spelling runs through the same path (fresh v2 table —
+    # repl_t is already upgraded to v3 above)
+    catalog.create_table("repl_t2", schema={"id": "long"})
+    with pytest.raises(InvalidDataError, match="format-version 3"):
+        catalog.sql("CREATE OR REPLACE TABLE repl_t2 (id BIGINT, u UNKNOWN)")
+
+
+def test_nested_unknown_is_refused_everywhere(catalog):
+    """unknown below the top level would make the table un-writable
+    (parquet has no void encoding; the writer drops only top-level
+    columns) — refused at create, add_column, AND the unknown->any
+    promotion target."""
+    nested = ice_t.Schema(
+        fields=[
+            ice_t.NestedField(
+                1,
+                "s",
+                ice_t.StructType(
+                    [ice_t.NestedField(2, "u", ice_t.UnknownType())]
+                ),
+            )
+        ]
+    )
+    with pytest.raises(InvalidDataError, match="top-level column only"):
+        catalog.create_table(
+            "nunk", schema=nested, properties={"format-version": "3"}
+        )
+    t = catalog.create_table(
+        "nunk_ev",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    with pytest.raises(InvalidDataError, match="top-level column only"):
+        t.update_schema().add_column(
+            "s",
+            ice_t.StructType([ice_t.NestedField(99, "u2", ice_t.UnknownType())]),
+        ).commit()
+    with pytest.raises(InvalidDataError, match="top-level column only"):
+        t.update_schema().update_column(
+            "u",
+            ice_t.StructType([ice_t.NestedField(99, "u2", ice_t.UnknownType())]),
+        ).commit()
+
+
+def test_sort_order_declines_variant_unknown(catalog):
+    with pytest.raises(InvalidDataError, match="cannot sort by unknown"):
+        catalog.create_table(
+            "so_unk",
+            schema={"id": "long", "u": "unknown"},
+            sort_order=["u"],
+            properties={"format-version": "3"},
+        )
+    with pytest.raises(InvalidDataError, match="cannot sort by variant"):
+        catalog.create_table(
+            "so_var",
+            schema={"id": "long", "m": "variant"},
+            sort_order=["m"],
+            properties={"format-version": "3"},
+        )
+    with pytest.raises(InvalidDataError, match="sort source column"):
+        catalog.create_table(
+            "so_miss", schema={"id": "long"}, sort_order=["nope"]
+        )
+
+
+def test_add_files_refuses_stored_unknown_column(catalog, spark, tmp_path):
+    t = catalog.create_table(
+        "af_unk",
+        schema={"id": "long", "u": "unknown"},
+        properties={"format-version": "3"},
+    )
+    good = str(tmp_path / "good")
+    spark.createDataFrame([(1,)], "id long").write.parquet(good)
+    assert t.add_files(good) == 1
+    t = t.refresh()
+    assert t.to_a() == [{"id": 1, "u": None}]
+    bad = str(tmp_path / "bad")
+    spark.createDataFrame([(2, "data")], "id long, u string").write.parquet(bad)
+    with pytest.raises(InvalidDataError, match="unknown"):
+        t.add_files(bad)
+
+
+def test_nested_variant_surfaces_python_values(catalog, spark):
+    """A variant nested inside a struct column (the nested spelling the
+    v3 gate allows) converts recursively through to_a/rows."""
+    import pyspark.sql.types as T
+
+    t = catalog.create_table(
+        "var_nested",
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType()),
+                T.StructField(
+                    "s",
+                    T.StructType([T.StructField("m", T.VariantType())]),
+                ),
+            ]
+        ),
+        properties={"format-version": "3"},
+    )
+    src = spark.createDataFrame([(1, '{"k": [1, 2]}')], "id long, j string")
+    t.append(
+        src.select(
+            "id", F.struct(F.parse_json("j").alias("m")).alias("s")
+        )
+    )
+    t = t.refresh()
+    rows = t.to_a()
+    assert rows == [{"id": 1, "s": {"m": {"k": [1, 2]}}}]
+    r = t.scan().collect()
+    assert r.rows == [[1, {"m": {"k": [1, 2]}}]]
