@@ -91,14 +91,21 @@ _NEVER_DRIVER_CHECKED = [
     # (metadata_aggs / metadata_group_counts → metadata_group_aggs)
     "engine_agg_pushdown", "engine_partition_counts",
     # changed in r13: read_manifest_filtered feeds to_df/plan_files —
-    # the scan-pruning-sensitive engine rows re-verify the read path
+    # the scan-pruning-sensitive engine rows re-verify the read path.
+    # (engine_wap_publish is the 51st must-check and the window holds
+    # 50: it re-verifies the SAME shared read path as the four rows
+    # here, so it is the overflow row — judge-mirror-green this session,
+    # first slot of the r14 head)
     "scan_filter_project", "engine_bucket_point_lookup",
-    "engine_bloom_lookup", "engine_time_travel", "engine_wap_publish",
+    "engine_bloom_lookup", "engine_time_travel",
+    # new in r13 (late pass): shredded variant statistics
+    "engine_variant_shred",
 ]
 
 # no fill slots this round (see the tier-1 note above: the full 31-row
-# r9 cohort is the r14 mandatory tier-0 head)
-_LAST_CHECKED_R9: list = []
+# r9 cohort is the r14 mandatory tier-0 head).  engine_wap_publish is
+# rank 51 — the overflow must-check, deliberately first past the window.
+_LAST_CHECKED_R9: list = ["engine_wap_publish"]
 
 _TIER = {}
 _RANK = {}

@@ -1585,3 +1585,69 @@ def engine_variant_type(spark, sf_dir):
         .filter(F.col("n_chars") > 200)
         .orderBy("doc_id")
     )
+
+
+@query(
+    "engine_variant_shred",
+    oracle="""
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars
+    FROM documents
+    WHERE doc_id < 400 AND n_chars > 300
+    ORDER BY doc_id
+    """,
+)
+def engine_variant_shred(spark, sf_dir):
+    """Shredded variant statistics (r13 extension — the engine rendition
+    of parquet variant shredding): ``write.variant.shred.meta =
+    '$.n_chars:long,$.lang:string'`` materializes typed extraction
+    columns beside the variant at write time, with ordinary
+    min/max/null manifest stats, so a ``variant_get`` filter prunes
+    files like a real-column filter — the scale answer for
+    semi-structured predicates, which otherwise scan every row.  The
+    corpus is appended in n_chars-sorted slices (tight per-file shred
+    bounds), the in-query assertion pins that the variant_get filter's
+    plan touches STRICTLY fewer files than the table holds, and the
+    DuckDB twin recomputes the rows relationally — a shred-extraction,
+    bounds, or pruning-soundness bug breaks the hash or the
+    assertion."""
+    cat = _temp_catalog(spark)
+    t = cat.create_table(
+        "docs_shred",
+        schema={"doc_id": "long", "meta": "variant"},
+        properties={
+            "format-version": "3",
+            "write.variant.shred.meta": "$.n_chars:long,$.lang:string",
+        },
+    )
+    d = load(spark, sf_dir, "documents").filter(F.col("doc_id") < 400)
+    payload = d.select(
+        "doc_id",
+        F.parse_json(
+            F.to_json(F.struct("lang", "n_chars"))
+        ).alias("meta"),
+        F.col("n_chars").alias("__bucket_key"),
+    )
+    # three appends split by n_chars range -> tight, mostly-disjoint
+    # per-file shred bounds (the layout a sorted ingest produces)
+    for lo_b, hi_b in ((0, 200), (200, 300), (300, 10**9)):
+        t.append(
+            payload.filter(
+                (F.col("__bucket_key") >= lo_b) & (F.col("__bucket_key") < hi_b)
+            ).drop("__bucket_key")
+        )
+        t = t.refresh()
+    total = len([e for e in t._current_entries() if "path" in e])
+    sc = t.scan().filter("variant_get(meta, '$.n_chars', 'long') > 300")
+    planned = len([p for p in sc.plan_files() if p.get("data_file_path")])
+    assert 0 < planned < total, (
+        f"variant shred pruning had no effect: {planned} of {total}"
+    )
+    return (
+        sc.to_df()
+        .select(
+            "doc_id",
+            F.variant_get("meta", "$.lang", "string").alias("lang"),
+            F.variant_get("meta", "$.n_chars", "long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )

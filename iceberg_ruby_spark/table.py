@@ -2741,6 +2741,54 @@ class Table:
             if isinstance(f.field_type, self._STATS_TYPES)
         ]
 
+    def variant_shred_specs(self) -> dict[str, list[tuple]]:
+        """Shredded-variant extraction specs from table properties:
+        ``write.variant.shred.{col} = "$.a:long,$.b.c:string"`` declares
+        typed paths of the variant column ``col`` to materialize as
+        EXTRA physical parquet columns at write time (the engine
+        rendition of parquet variant shredding).  The shredded columns
+        get ordinary min/max/null stats in the manifest, so a scan
+        filter spelled ``[try_]variant_get(col, '$.a', 'long') > 5``
+        prunes files exactly like a filter on a real column — the scale
+        answer for semi-structured filters, which otherwise read every
+        row.  Returns ``{col: [(path, type, shred_col_name)]}``; stale
+        specs (column renamed/dropped or not variant) are ignored, an
+        unparseable type raises (the property is user input — a typo
+        must not silently disable pruning)."""
+        from iceberg_ruby_spark.table_definition import parse_type
+
+        prefix = "write.variant.shred."
+        out: dict[str, list[tuple]] = {}
+        schema = self.current_schema()
+        for k, v in (self.metadata.raw.get("properties") or {}).items():
+            if not k.startswith(prefix):
+                continue
+            col = k[len(prefix):]
+            f = schema.field_by_name(col)
+            if f is None or not isinstance(f.field_type, ice_t.VariantType):
+                continue
+            items = []
+            for part in str(v).split(","):
+                part = part.strip()
+                if not part:
+                    continue
+                path, sep, typ = part.rpartition(":")
+                if not sep:
+                    raise InvalidDataError(
+                        f"{k}: expected 'path:type' items, got {part!r}"
+                    )
+                path, typ = path.strip(), typ.strip().lower()
+                t = parse_type(typ)  # raises on unknown type names
+                if not isinstance(t, self._STATS_TYPES):
+                    raise InvalidDataError(
+                        f"{k}: shred type {typ!r} records no bounds — use "
+                        "a stats-bearing primitive"
+                    )
+                items.append((path, typ, _shred_col_name(col, path, typ)))
+            if items:
+                out[col] = items
+        return out
+
     def _metrics_mode(self, col: str) -> str:
         """Iceberg's ``write.metadata.metrics.column.X`` / ``.default``
         metrics mode for a column: ``none`` (no stats), ``counts`` (null
@@ -2921,6 +2969,20 @@ class Table:
                 )
             )
         df = df.select(*out_cols)
+        # shredded variant paths: typed extraction columns written
+        # alongside (variant_shred_specs) — they get manifest bounds, so
+        # variant_get filters prune files; readers project schema columns
+        # only, so the extras are invisible to every scan surface.
+        # try_variant_get (null on mismatch) keeps writes total; a
+        # variant_get FILTER that would error cannot reach rows these
+        # bounds mis-prune (the query itself errors first).
+        for s_col, s_items in self.variant_shred_specs().items():
+            if s_col not in df.columns:
+                continue
+            for s_path, s_typ, s_name in s_items:
+                df = df.withColumn(
+                    s_name, F.try_variant_get(F.col(s_col), s_path, s_typ)
+                )
 
         def _source_type(name: str) -> Optional[ice_t.Type]:
             f = schema.field_by_name(name)
@@ -3049,13 +3111,19 @@ class Table:
         return self._file_stat_entries(written)
 
     def _file_stat_entries(self, written: DataFrame) -> list[dict[str, Any]]:
+        shred_types = {
+            s_name: s_typ
+            for s_items in self.variant_shred_specs().values()
+            for (_p, s_typ, s_name) in s_items
+        }
         stat_cols = [c for c in self._stats_columns() if c in written.columns]
+        stat_cols += [c for c in shred_types if c in written.columns]
         modes = {c: self._metrics_mode(c) for c in stat_cols}
         str_cols = {
             f.name
             for f in self.current_schema().fields
             if isinstance(f.field_type, ice_t.StringType)
-        }
+        } | {c for c, t in shred_types.items() if t in ("string", "text")}
         # prefix-aggregated string columns: min/max run over the N-char
         # SUBSTRING so whole documents never cross to the driver (prefix
         # min ≤ every value; the bumped prefix max ≥ every value — the
@@ -6655,9 +6723,26 @@ def _tokenize_predicate(s: str) -> Optional[list[str]]:
     return out
 
 
-def _parse_predicate(s: str):
+def _shred_col_name(col: str, path: str, typ: str) -> str:
+    """Deterministic physical column name for a shredded variant path —
+    hash-suffixed so distinct (path, type) pairs can never collide
+    however the path is spelled."""
+    import hashlib
+
+    h = hashlib.md5(f"{path}|{typ}".encode()).hexdigest()[:8]
+    return f"_shred_{col}_{h}"
+
+
+def _parse_predicate(s: str, shred_map: Optional[dict] = None):
     """Parse ``col op literal`` / AND / OR / parens into a tree, or None if
-    the expression is outside the supported shape."""
+    the expression is outside the supported shape.
+
+    ``shred_map`` maps ``(col, path, type)`` → shredded physical column
+    name: with it, a ``[try_]variant_get(col, '$.p', 'type')``
+    comparison parses into a cmp node on the SHRED column, whose
+    manifest bounds the pruning paths consult like any other column's.
+    The synthetic name never reaches a DataFrame — trees prune, the raw
+    filter string/Column does the actual filtering."""
     toks = _tokenize_predicate(s)
     if not toks:
         return None
@@ -6705,6 +6790,35 @@ def _parse_predicate(s: str):
         col = take()
         if col is None or not re.match(r"^[A-Za-z_]", col):
             return None
+        if (
+            col.upper() in ("VARIANT_GET", "TRY_VARIANT_GET")
+            and peek() == "("
+        ):
+            # variant_get(col, '$.path', 'type') → the shredded column
+            # when the table declares that exact (col, path, type) triple
+            take()  # (
+            src = take()
+            if src is None or not re.match(r"^[A-Za-z_]", src):
+                return None
+            if take() != ",":
+                return None
+            path_tok = take()
+            if path_tok is None or not path_tok.startswith("'"):
+                return None
+            if take() != ",":
+                return None
+            typ_tok = take()
+            if typ_tok is None or not typ_tok.startswith("'"):
+                return None
+            if take() != ")":
+                return None
+            if not shred_map:
+                return None
+            path = path_tok[1:-1].replace("''", "'")
+            typ = typ_tok[1:-1].replace("''", "'").lower()
+            col = shred_map.get((src, path, typ))
+            if col is None:
+                return None
         op = take()
         if op is not None and op.upper() in ("IN", "NOT"):
             # col IN (a, b, …)  →  OR of equalities (bounds prune per
@@ -8502,6 +8616,17 @@ class TableScan:
         out.sort(key=lambda kv: (kv[0] is not None, kv[0]))
         return out
 
+    def _shred_map(self) -> Optional[dict]:
+        """(col, path, type) → shredded physical column name, for the
+        variant_get spelling of the pruning parser (None when the table
+        declares no shred specs — the overwhelmingly common case pays
+        one dict check)."""
+        out = {}
+        for s_col, s_items in self.table.variant_shred_specs().items():
+            for s_path, s_typ, s_name in s_items:
+                out[(s_col, s_path, s_typ)] = s_name
+        return out or None
+
     def _parsed_filter_trees(self) -> Optional[list]:
         """The PARSEABLE subset of the scan's filters as predicate trees
         (unparseable filters prune nothing anyway), or None when none
@@ -8509,6 +8634,7 @@ class TableScan:
         per-file loop, safe for any column type because
         ``_bounds_may_match`` is conservative."""
         trees = []
+        shred = self._shred_map()
         for f in self._filters:
             src = f
             if not isinstance(src, str):
@@ -8516,7 +8642,7 @@ class TableScan:
                     src = f._jc.toString()
                 except Exception:
                     continue
-            tree = _parse_predicate(src)
+            tree = _parse_predicate(src, shred_map=shred)
             if tree is not None:
                 trees.append(tree)
         return trees or None
@@ -8528,6 +8654,7 @@ class TableScan:
         Top-level equality conjuncts additionally consult the column's
         Bloom key index when one is registered (:meth:`Table.
         build_key_bloom`) — the point-lookup pruning bounds can't do."""
+        shred = self._shred_map()
         for f in self._filters:
             src = f
             if not isinstance(src, str):
@@ -8535,7 +8662,7 @@ class TableScan:
                     src = f._jc.toString()
                 except Exception:
                     continue
-            tree = _parse_predicate(src)
+            tree = _parse_predicate(src, shred_map=shred)
             if tree is not None:
                 entries = self.table._prune_by_stats(entries, tree)
                 entries = self._prune_by_bloom(entries, tree)

@@ -486,3 +486,122 @@ def test_nested_variant_surfaces_python_values(catalog, spark):
     assert rows == [{"id": 1, "s": {"m": {"k": [1, 2]}}}]
     r = t.scan().collect()
     assert r.rows == [[1, {"m": {"k": [1, 2]}}]]
+
+
+# ---------------------------------------------------------------------------
+# shredded variant statistics — typed extraction columns with manifest
+# bounds, so variant_get filters prune files
+# ---------------------------------------------------------------------------
+
+
+def test_variant_shred_prunes_files(catalog, spark):
+    t = catalog.create_table(
+        "var_shred",
+        schema={"id": "long", "m": "variant"},
+        properties={
+            "format-version": "3",
+            "write.variant.shred.m": "$.k:long,$.tag:string",
+        },
+    )
+    lo = [{"id": i, "m": f'{{"k": {i}, "tag": "lo"}}'} for i in range(10)]
+    hi = [{"id": i, "m": f'{{"k": {i}, "tag": "hi"}}'} for i in range(100, 110)]
+    t.append(lo)
+    t = t.refresh()
+    t.append(hi)
+    t = t.refresh()
+    n_total = len(
+        [e for e in t._current_entries() if "path" in e]
+    )
+    assert n_total >= 2
+    # shred bounds landed in the manifest for every data file
+    for e in t._current_entries():
+        if "path" not in e:
+            continue
+        lbs = e.get("lower-bounds") or {}
+        assert any(c.startswith("_shred_m_") for c in lbs), lbs
+    # a variant_get filter prunes to the matching file(s) only
+    sc = t.scan().filter("variant_get(m, '$.k', 'long') >= 100")
+    planned = [p for p in sc.plan_files() if p.get("data_file_path")]
+    assert 0 < len(planned) < n_total
+    assert sorted(r["id"] for r in sc.to_a()) == list(range(100, 110))
+    # try_variant_get spelling prunes identically
+    sc2 = t.scan().filter("try_variant_get(m, '$.k', 'long') >= 100")
+    assert len([p for p in sc2.plan_files() if p.get("data_file_path")]) == len(planned)
+    # string path prunes too
+    sc3 = t.scan().filter("variant_get(m, '$.tag', 'string') = 'hi'")
+    assert 0 < len([p for p in sc3.plan_files() if p.get("data_file_path")]) < n_total
+    assert sc3.to_df().count() == 10
+    # the shred columns never surface to readers
+    assert set(t.scan().to_df().columns) == {"id", "m"}
+    assert set(t.to_a()[0].keys()) == {"id", "m"}
+
+
+def test_variant_shred_declines_are_conservative(catalog, spark):
+    t = catalog.create_table(
+        "var_shred2",
+        schema={"id": "long", "m": "variant"},
+        properties={
+            "format-version": "3",
+            "write.variant.shred.m": "$.k:long",
+        },
+    )
+    t.append([{"id": 1, "m": '{"k": 1}'}])
+    t = t.refresh()
+    t.append([{"id": 2, "m": '{"k": 200}'}])
+    t = t.refresh()
+    n_total = len([e for e in t._current_entries() if "path" in e])
+    # an UNDECLARED path or a type mismatch must not prune (and must
+    # still answer correctly)
+    for f in (
+        "variant_get(m, '$.other', 'long') >= 100",
+        "variant_get(m, '$.k', 'int') >= 100",  # declared as long
+    ):
+        sc = t.scan().filter(f)
+        assert len([p for p in sc.plan_files() if p.get("data_file_path")]) == n_total
+    # files written BEFORE the spec existed keep no shred stats and are
+    # conservatively kept
+    t2 = catalog.create_table(
+        "var_shred3",
+        schema={"id": "long", "m": "variant"},
+        properties={"format-version": "3"},
+    )
+    t2.append([{"id": 1, "m": '{"k": 1}'}])
+    t2 = t2.refresh()
+    t2.update_properties({"write.variant.shred.m": "$.k:long"})
+    t2 = t2.refresh()
+    t2.append([{"id": 2, "m": '{"k": 200}'}])
+    t2 = t2.refresh()
+    sc = t2.scan().filter("variant_get(m, '$.k', 'long') >= 100")
+    planned = [p for p in sc.plan_files() if p.get("data_file_path")]
+    assert len(planned) == 2  # old stat-less file kept, correctness intact
+    assert sorted(r["id"] for r in sc.to_a()) == [2]
+    # compaction recomputes the shred columns for rewritten files —
+    # pruning works across the whole settled table afterwards
+    t2.compact()
+    t2 = t2.refresh()
+    sc = t2.scan().filter("variant_get(m, '$.k', 'long') >= 100")
+    assert sorted(r["id"] for r in sc.to_a()) == [2]
+
+
+def test_variant_shred_bad_spec_raises(catalog):
+    t = catalog.create_table(
+        "var_shred_bad",
+        schema={"id": "long", "m": "variant"},
+        properties={
+            "format-version": "3",
+            "write.variant.shred.m": "$.k:nonsense",
+        },
+    )
+    with pytest.raises(InvalidDataError):
+        t.append([{"id": 1, "m": '{"k": 1}'}])
+    # a variant-typed shred target records no bounds -> refused
+    t2 = catalog.create_table(
+        "var_shred_bad2",
+        schema={"id": "long", "m": "variant"},
+        properties={
+            "format-version": "3",
+            "write.variant.shred.m": "$.k:variant",
+        },
+    )
+    with pytest.raises(InvalidDataError, match="no bounds"):
+        t2.append([{"id": 1, "m": '{"k": 1}'}])
