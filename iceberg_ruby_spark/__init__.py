@@ -25,6 +25,22 @@ Everything here derives from public knowledge only: the Apache Spark API and
 the reference repo's observable behavior.
 """
 
+import os as _os
+
+# Pin BLAS to one thread per process BEFORE numpy can load (optimization
+# guide §4.5 / measured this round): this host's OpenBLAS build
+# (MAX_THREADS=2, DYNAMIC_ARCH) pays a pathological thread-sync cost on the
+# skinny matmuls our operators run — a 4096×8 @ 8×512 dgemm measured 69 ms
+# threaded vs 5 ms single-threaded (14×), and kmeans/PQ-encode/ADC are all
+# built from exactly that shape.  Single-thread results are bit-identical
+# (each output element is one thread's dot product either way — verified by
+# hashing both).  One thread per process is also the right shape under
+# Spark: 32 concurrent tasks × N BLAS threads oversubscribes the host, and
+# executor Python workers inherit this env from the driver in local mode
+# (session.py additionally sets spark.executorEnv for cluster deployments).
+for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
+    _os.environ.setdefault(_v, "1")
+
 from iceberg_ruby_spark.errors import (
     Error,
     InvalidDataError,

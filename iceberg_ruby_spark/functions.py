@@ -17,11 +17,24 @@ import hashlib
 import re as _re
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
-from iceberg_ruby_spark.operators.text import STOPWORDS
+# pandas lazily imported: the engine import must stay light for the
+# streaming micro-batch Python workers (see transforms.py); pandas_udf
+# resolves the pd.Series hints against these globals when
+# register_functions runs
+pd = None
+
+
+def _ensure_pd():
+    global pd
+    if pd is None:
+        import pandas
+
+        globals()["pd"] = pandas
+    return pd
+
 
 
 def _simhash64_py(text) -> int:
@@ -57,6 +70,11 @@ def _token_count_py(text) -> int:
 def _language_id_py(text) -> str:
     if text is None:
         return None
+    # imported here, not at module scope: operators/__init__ pulls the whole
+    # operator surface (pandas, numpy) — too heavy for the engine import the
+    # streaming Python workers pay per spawn
+    from iceberg_ruby_spark.operators.text import STOPWORDS
+
     toks = set(text.lower().strip().split())
     hits = {lang: len(toks & set(STOPWORDS[lang])) for lang in sorted(STOPWORDS)}
     best = max(hits.values(), default=0)
@@ -71,6 +89,7 @@ def _language_id_py(text) -> str:
 def register_functions(spark: SparkSession) -> list[str]:
     """Register the ``icb_*`` SQL functions on this session; returns the
     registered names.  Idempotent (re-registration replaces)."""
+    _ensure_pd()
 
     @F.pandas_udf("int")
     def icb_token_count(s: pd.Series) -> pd.Series:

@@ -56,6 +56,12 @@ def get_spark(app_name: str = "iceberg_ruby_spark", cpus: Optional[int] = None) 
         .config("spark.python.factory.idleWorkerMaxPoolSize", "16")
         .config("spark.python.worker.idleTimeoutSeconds", "120")
         .config("spark.python.worker.killOnIdleTimeout", "true")
+        # single-threaded BLAS in executor Python workers (see the package
+        # __init__ for the measurement): local mode inherits the driver's
+        # env, these make cluster deployments behave identically
+        .config("spark.executorEnv.OPENBLAS_NUM_THREADS", "1")
+        .config("spark.executorEnv.OMP_NUM_THREADS", "1")
+        .config("spark.executorEnv.MKL_NUM_THREADS", "1")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -48,8 +48,6 @@ import uuid as uuid_mod
 from dataclasses import dataclass
 from typing import Any, Iterable, Optional, Sequence, Union
 
-import pandas
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -837,6 +835,22 @@ def _theta_supported(t: ice_t.Type) -> bool:
     return isinstance(t, _THETA_TYPES)
 
 
+# pandas is needed only inside _theta_hash_udf's pandas UDF; a module-level
+# import put the full ~0.3 s pandas import on every engine-importing
+# process, including the streaming micro-batch Python workers (see
+# transforms.py for the same pattern and the measurement)
+pandas = None
+
+
+def _ensure_pandas():
+    global pandas
+    if pandas is None:
+        import pandas as _pd
+
+        globals()["pandas"] = _pd
+    return pandas
+
+
 def _theta_hash_udf(ice_type: ice_t.Type):
     """Arrow-batched pandas UDF: value → 63-bit theta-sketch hash of its
     Iceberg single-value serialization (theta_sketch.hash63, the
@@ -850,6 +864,7 @@ def _theta_hash_udf(ice_type: ice_t.Type):
     from iceberg_ruby_spark.manifests import bound_to_bytes
     from iceberg_ruby_spark.theta_sketch import hash63, hash63_fixed_batch
 
+    _ensure_pandas()
     fixed = None
     if isinstance(
         ice_type,
@@ -2944,6 +2959,13 @@ class Table:
         # the parquet footer (fieldId.write.enabled is on by default in
         # Spark 3.4+; pinned here so bare sessions behave identically)
         self.spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+        # int64-micros timestamps — the Iceberg spec's physical form.
+        # Spark's INT96 legacy default additionally carries NO footer
+        # statistics, which would starve external readers of bounds and
+        # block the footer-stats fast path in _collect_file_stats
+        self.spark.conf.set(
+            "spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS"
+        )
         out_cols = [
             F.col(f.name)
             .cast(f.to_spark().dataType)
@@ -3097,18 +3119,199 @@ class Table:
             writer.orc(out)
         else:
             writer.parquet(out)
-        return self._collect_file_stats(out)
+        return self._collect_file_stats(out, partitioned=bool(part_cols))
 
-    def _collect_file_stats(self, out_dir: str) -> list[dict[str, Any]]:
-        """One Spark aggregation over the written files → per-file manifest
-        entries with record counts and min/max column bounds."""
+    def _collect_file_stats(
+        self, out_dir: str, partitioned: bool = False
+    ) -> list[dict[str, Any]]:
+        """Per-file manifest entries (record counts, min/max bounds, null
+        counts) for the freshly written files.
+
+        Fast path (r13, optimization guide §1 first-principles): the
+        parquet FOOTERS already carry exactly these statistics, so reading
+        them costs O(files × KB of footer) instead of the full second data
+        scan the previous Spark aggregation paid — at 100 TB that second
+        scan doubled every commit's read volume.  Value semantics are
+        pinned to the aggregation path (same bound truncation, same
+        NaN-greatest float ordering, same all-null handling); the
+        ``SPARK_GRAFT_STATS_XCHECK=1`` env makes every commit compute BOTH
+        and assert equality (the whole pytest gate and oracle mirror were
+        run that way when this landed).  Falls back to the Spark
+        aggregation for ORC, hive-partitioned layouts (bounds for the
+        directory-derived partition columns need Spark's partition-value
+        inference), non-local IO, and any file whose footer lacks a needed
+        statistic (e.g. parquet-mr drops min/max for >4 KB values)."""
         files = list(self.ops.io.list(out_dir))
         has_orc = any(f.endswith(".orc") for f in files)
         if not has_orc and not any(f.endswith(".parquet") for f in files):
             return []  # zero-row write (e.g. a delete emptied every hit file)
+        entries = None
+        if not has_orc and not partitioned:
+            entries = self._footer_stat_entries(
+                [f for f in files if f.endswith(".parquet")]
+            )
+        if entries is not None and not os.environ.get("SPARK_GRAFT_STATS_XCHECK"):
+            return entries
         reader = self.spark.read.option("basePath", out_dir)
         written = reader.orc(out_dir) if has_orc else reader.parquet(out_dir)
-        return self._file_stat_entries(written)
+        agg_entries = self._file_stat_entries(written)
+        if entries is not None and entries != agg_entries:
+            raise AssertionError(
+                "footer-stats mismatch vs Spark aggregation:\n"
+                f"footer: {entries}\nagg:    {agg_entries}"
+            )
+        return agg_entries
+
+    # Spark-side float ordering for multi-row-group aggregation: NaN is
+    # GREATER than everything (so max picks it, min never does unless all
+    # values are NaN) — the same total order Spark SQL and parquet-mr use.
+    @staticmethod
+    def _stat_min(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            import math
+
+            if math.isnan(a):
+                return b
+            if math.isnan(b):
+                return a
+        return b if b < a else a
+
+    @staticmethod
+    def _stat_max(a, b):
+        if isinstance(a, float) and isinstance(b, float):
+            import math
+
+            if math.isnan(a):
+                return a
+            if math.isnan(b):
+                return b
+        return b if b > a else a
+
+    def _footer_stat_entries(
+        self, paths: list[str]
+    ) -> Optional[list[dict[str, Any]]]:
+        """Manifest entries from parquet footer statistics, or ``None``
+        when any needed statistic is unavailable (caller falls back to the
+        Spark aggregation).  Mirrors :meth:`_file_stat_entries` value for
+        value: same stats-column set and metrics modes, same string-prefix
+        truncation/bump, all-null columns record ``None`` bounds, files
+        with zero rows produce no entry (the aggregation path's groupBy
+        semantics), timestamps convert to naive UTC exactly like a
+        collected Spark row."""
+        import datetime as _dt
+
+        try:
+            import pyarrow.parquet as _pq
+        except Exception:
+            return None
+        shred_types = {
+            s_name: s_typ
+            for s_items in self.variant_shred_specs().values()
+            for (_p, s_typ, s_name) in s_items
+        }
+        schema_cols = self._stats_columns()
+        modes = {
+            c: self._metrics_mode(c) for c in schema_cols + list(shred_types)
+        }
+        str_cols = {
+            f.name
+            for f in self.current_schema().fields
+            if isinstance(f.field_type, ice_t.StringType)
+        } | {c for c, t in shred_types.items() if t in ("string", "text")}
+        prefix_len = {
+            c: n
+            for c, m in modes.items()
+            if c in str_cols and (n := metrics_truncate_len(m)) is not None
+        }
+
+        def _norm(v):
+            if isinstance(v, _dt.datetime) and v.tzinfo is not None:
+                # pyarrow returns tz-aware UTC for adjusted-to-UTC columns;
+                # a collected Spark row is naive (driver-local; UTC here)
+                return v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            return v
+
+        entries = []
+        for path in sorted(paths):
+            if not os.path.isfile(path):
+                return None  # non-local IO — let Spark read it
+            try:
+                md = _pq.ParquetFile(path).metadata
+            except Exception:
+                return None
+            if md.num_rows == 0:
+                continue  # the aggregation path emits no group for it
+            # per-column footer aggregation across row groups
+            mins: dict[str, Any] = {}
+            maxs: dict[str, Any] = {}
+            nulls: dict[str, int] = {}
+            present: set[str] = set()
+            ok = True
+            for rg_i in range(md.num_row_groups):
+                rg = md.row_group(rg_i)
+                for ci in range(rg.num_columns):
+                    col = rg.column(ci)
+                    name = col.path_in_schema
+                    if "." in name:
+                        continue  # nested leaf — never a stats column
+                    if name not in modes or modes[name] == "none":
+                        continue
+                    present.add(name)
+                    st = col.statistics
+                    if st is None or not st.has_null_count:
+                        ok = False
+                        break
+                    nulls[name] = nulls.get(name, 0) + st.null_count
+                    if modes[name] == "counts":
+                        continue
+                    if st.null_count == rg.num_rows:
+                        continue  # all-null row group: no bounds to add
+                    if not st.has_min_max:
+                        ok = False  # non-null values but no bounds (e.g.
+                        break  # parquet-mr's >4 KB stats drop)
+                    lo, hi = _norm(st.min), _norm(st.max)
+                    mins[name] = (
+                        self._stat_min(mins[name], lo) if name in mins else lo
+                    )
+                    maxs[name] = (
+                        self._stat_max(maxs[name], hi) if name in maxs else hi
+                    )
+                if not ok:
+                    break
+            if not ok:
+                return None
+            lowers, uppers, nullc = {}, {}, {}
+            for c in sorted(present):
+                mode = modes[c]
+                nullc[c] = int(nulls.get(c, 0))
+                if mode == "counts":
+                    continue
+                lo, hi = mins.get(c), maxs.get(c)
+                raw_max_none = c not in maxs
+                if c in prefix_len and isinstance(hi, str):
+                    n = prefix_len[c]
+                    lo = lo[:n]
+                    hi = hi[:n]
+                    if len(hi) >= n:
+                        hi = self._truncate_upper(hi + "\x00", n)
+                else:
+                    lo, hi = self._bound_pair(c, lo, hi)
+                lowers[c] = self._json_stat(lo)
+                if hi is not None or raw_max_none:
+                    uppers[c] = self._json_stat(hi)
+            entries.append(
+                {
+                    "path": path,
+                    "record-count": md.num_rows,
+                    "schema-id": self.metadata.current_schema_id,
+                    "spec-id": self.default_spec_id,
+                    "file-size-bytes": self.ops.io.size(path),
+                    "lower-bounds": lowers,
+                    "upper-bounds": uppers,
+                    "null-counts": nullc,
+                }
+            )
+        return entries
 
     def _file_stat_entries(self, written: DataFrame) -> list[dict[str, Any]]:
         shred_types = {

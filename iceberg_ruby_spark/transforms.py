@@ -18,9 +18,27 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Any, Optional
 
-import pandas as pd
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+# pandas is needed only inside the bucket pandas-UDFs below, but importing
+# it at module scope put ~0.33 s of pandas import on EVERY process that
+# imports the engine — including the Python DataSource planner/commit
+# workers each streaming micro-batch spawns (measured with -X importtime;
+# the drain-phase overhead of the streaming bench queries).  ``pd`` is
+# populated lazily: pandas_udf resolves the ``pd.Series`` type hints
+# against these module globals at UDF-CREATION time (inside apply_typed),
+# so _ensure_pandas() runs first there.
+pd = None
+
+
+def _ensure_pandas():
+    global pd
+    if pd is None:
+        import pandas
+
+        pd = pandas
+    return pd
 
 from iceberg_ruby_spark import types as ice_t
 from iceberg_ruby_spark.errors import InvalidDataError
@@ -225,6 +243,7 @@ class BucketTransform(Transform):
     def apply_typed(self, source_type: Optional[ice_t.Type], col: Column) -> Column:
         if source_type is None:
             return self(col)
+        _ensure_pandas()
         n = self.n
 
         if isinstance(
