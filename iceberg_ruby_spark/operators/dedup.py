@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from iceberg_ruby_spark.errors import InvalidDataError
@@ -799,18 +799,24 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("nlbl").alias("nbr"))
         )
-        new = labels.join(nbr_min, "src", "left").select(
-            "src", F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl"))).alias("lbl")
-        ).localCheckpoint()
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "src")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .limit(1)
-            .count()
+        new_lbl = F.least(F.col("lbl"), F.coalesce(F.col("nbr"), F.col("lbl")))
+        # convergence detection rides the SAME job as the checkpoint via
+        # observe() (CollectMetrics is free at execution time) — the old
+        # separate join-and-count action re-ran the round's shuffles and
+        # was ~1/3 of the whole loop's wall at bench scale (r13)
+        obs = Observation()
+        new = (
+            labels.join(nbr_min, "src", "left")
+            .select(
+                "src",
+                new_lbl.alias("lbl"),
+                (new_lbl != F.col("lbl")).cast("long").alias("__chg"),
+            )
+            .observe(obs, F.sum("__chg").alias("changed"))
+            .localCheckpoint()
         )
-        labels = new
-        if not changed:
+        labels = new.drop("__chg")
+        if not (obs.get["changed"] or 0):
             break
     return labels.select(F.col("src").alias("doc_id"), F.col("lbl").alias("cluster_id"))
 

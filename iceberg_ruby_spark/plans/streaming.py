@@ -394,31 +394,38 @@ def stream_upsert_sink(spark, sf_dir):
     register_stream_source(spark)
     ck = tempfile.mkdtemp(prefix="upsert_sink_ckpt_")
 
-    def drain():
-        q = (
-            spark.readStream.format("iceberg_table")
-            .option("location", bronze.ops.location)
-            .load()
-            .writeStream.format("iceberg_table")
-            .option("location", gold.ops.location)
-            .option("mode", "upsert")
-            .option("checkpointLocation", ck)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-
+    # ONE long-lived query drains all three waves (r13): this is the
+    # production sink shape — a 24/7 upsert feed keeps its query up and
+    # micro-batches arrive as the source commits land.  The previous
+    # start/stop-per-wave form re-paid the whole streaming-query fixed
+    # cost (Python source-runner spawn + engine import + offset-log
+    # replay) three times, ~1.5 s per restart at bench scale, while
+    # computing the identical batch sequence: each wave is one bronze
+    # commit → one micro-batch → one equality-delete + append into gold.
+    # Restart/exactly-once recovery stays pinned by the sink pytest suite
+    # (tests/test_streaming_sink.py), which restarts queries explicitly.
+    q = (
+        spark.readStream.format("iceberg_table")
+        .option("location", bronze.ops.location)
+        .load()
+        .writeStream.format("iceberg_table")
+        .option("location", gold.ops.location)
+        .option("mode", "upsert")
+        .option("checkpointLocation", ck)
+        .start()
+    )
     length = F.length("text").cast("long")
     waves = [
         (docs, length),
         (docs.filter(F.col("doc_id") % 3 == 0), length + 1000),
         (docs.filter(F.col("doc_id") % 6 == 0), length + 2000),
     ]
-    for src, val in waves:
-        bronze.append(src.select("doc_id", val.alias("v")))
-        drain()
+    try:
+        for src, val in waves:
+            bronze.append(src.select("doc_id", val.alias("v")))
+            q.processAllAvailable()
+    finally:
+        q.stop()
     return gold.refresh().to_df().select("doc_id", "v")
 
 
