@@ -519,6 +519,7 @@ def pq_index(
     n_codes: int = 256,
     sample_size: int = 4096,
     seed: int = 42,
+    emit_err: bool = False,
 ):
     """Product-quantization index (Jégou et al. 2011, "Product
     Quantization for Nearest Neighbor Search"): split the vector into
@@ -550,7 +551,9 @@ def pq_index(
         .tolist()
         for j in range(m)
     ]
-    return codebooks, pq_encode(codebooks, corpus, id_col=id_col, vec_col=vec_col)
+    return codebooks, pq_encode(
+        codebooks, corpus, id_col=id_col, vec_col=vec_col, emit_err=emit_err
+    )
 
 
 def pq_encode(
@@ -558,10 +561,19 @@ def pq_encode(
     batch: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    emit_err: bool = False,
 ) -> DataFrame:
     """Encode a batch against FIXED codebooks → ``(id, __cv, codes)`` —
     the incremental-ingest half of :func:`pq_index` (new arrivals encode
-    without retraining, exactly like :func:`ivf_assign`)."""
+    without retraining, exactly like :func:`ivf_assign`).
+
+    ``emit_err=True`` additionally emits ``__err`` — the row's squared
+    reconstruction error, computed from the SAME gathered reconstruction
+    ``_pq_recon_err`` uses (bit-identical values) — so index builds get
+    their build-error statistic from the encode pass itself instead of a
+    second full pass over (vector, codes) (r13: one fewer
+    ArrowEvalPython stage per index build; at scale one fewer read of
+    the corpus)."""
     import numpy as np
     import pandas as pd
 
@@ -569,22 +581,52 @@ def pq_encode(
     m = len(cbs)
     dsub = cbs[0].shape[1]
 
-    @F.pandas_udf("array<int>")
-    def _encode(vecs: pd.Series) -> pd.Series:
-        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if len(x) == 0:
-            return pd.Series([], dtype=object)
+    def _codes_of(x):
         codes = np.empty((len(x), m), dtype=np.int64)
         for j in range(m):
             sub = x[:, j * dsub : (j + 1) * dsub]
             cb = cbs[j]
             d = (cb**2).sum(axis=1)[None, :] - 2.0 * (sub @ cb.T)
             codes[:, j] = d.argmin(axis=1)
-        return pd.Series([row.tolist() for row in codes])
+        return codes
 
-    return batch.select(
+    if not emit_err:
+
+        @F.pandas_udf("array<int>")
+        def _encode(vecs: pd.Series) -> pd.Series:
+            x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+            if len(x) == 0:
+                return pd.Series([], dtype=object)
+            return pd.Series([row.tolist() for row in _codes_of(x)])
+
+        return batch.select(
+            F.col(id_col), F.col(vec_col).alias("__cv")
+        ).withColumn("codes", _encode(F.col("__cv")))
+
+    @F.pandas_udf("struct<codes:array<int>,err:double>")
+    def _encode_err(vecs: pd.Series) -> pd.DataFrame:
+        x = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if len(x) == 0:
+            return pd.DataFrame({"codes": [], "err": []})
+        codes = _codes_of(x)
+        # the exact (x − reconstruction)² sum _pq_recon_err computes — NOT
+        # the algebraically-equal matmul form, whose float rounding would
+        # break the lossless regime's exact-zero build error
+        rec = np.concatenate([cbs[j][codes[:, j]] for j in range(m)], axis=1)
+        err = ((x - rec) ** 2).sum(axis=1)
+        return pd.DataFrame(
+            {"codes": [row.tolist() for row in codes], "err": err}
+        )
+
+    out = batch.select(
         F.col(id_col), F.col(vec_col).alias("__cv")
-    ).withColumn("codes", _encode(F.col("__cv")))
+    ).withColumn("__ce", _encode_err(F.col("__cv")))
+    return out.select(
+        id_col,
+        "__cv",
+        F.col("__ce.codes").alias("codes"),
+        F.col("__ce.err").alias("__err"),
+    )
 
 
 def _adc_scorer(codebooks, qrows):
@@ -1115,19 +1157,21 @@ def pq_table_index(
 
     codebooks, enc = pq_index(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
-        sample_size=sample_size, seed=seed,
+        sample_size=sample_size, seed=seed, emit_err=True,
     )
     # the encode pass is the expensive distributed step — persist so the
-    # build-error aggregate and the append materialize it ONCE
+    # build-error aggregate and the append materialize it ONCE.  The
+    # per-row reconstruction error rides the encode UDF itself (__err —
+    # bit-identical to _pq_recon_err's value), so the build statistic is
+    # one JVM aggregate over the cache instead of a second Arrow pass.
     enc = enc.persist()
     src_fields = {f.name: f.dataType for f in corpus.schema.fields}
     src_type = src_fields[vec_col].simpleString()
     rows = enc.select(
         F.col(id_col), F.col("codes"), F.col("__cv").cast(src_type).alias(vec_col)
     )
-    build_err, _n = _pq_recon_err(
-        enc.select(F.col("__cv").alias(vec_col), "codes"), vec_col, codebooks
-    )
+    r = enc.agg(F.avg("__err").alias("e"), F.count(F.lit(1)).alias("n")).collect()[0]
+    build_err = float(r["e"] or 0.0)
     t = catalog.create_table(
         table_name,
         schema=T.StructType(
@@ -1270,12 +1314,11 @@ def pq_table_retrain(index_table, seed: int = 42):
     src_type = dict(corpus.dtypes)[vec_col]
     codebooks, enc = pq_index(
         corpus, id_col=id_col, vec_col=vec_col, m=m, n_codes=n_codes,
-        sample_size=sample_size, seed=seed,
+        sample_size=sample_size, seed=seed, emit_err=True,
     )
     enc = enc.persist()  # one materialization feeds both jobs below
-    err, _n = _pq_recon_err(
-        enc.select(F.col("__cv").alias(vec_col), "codes"), vec_col, codebooks
-    )
+    r = enc.agg(F.avg("__err").alias("e")).collect()[0]
+    err = float(r["e"] or 0.0)
     index_table.overwrite(
         enc.select(
             F.col(id_col), F.col("codes"),
