@@ -4993,33 +4993,65 @@ class Table:
         for k in keys:
             if k not in data_cols:
                 raise InvalidDataError(f"changelog frame lacks key column {k!r}")
+        from pyspark.sql import Observation
         from pyspark.sql import Window as _W
 
         w = _W.partitionBy(*keys).orderBy(
             F.col("_change_ordinal").desc(),
             F.when(F.col("_change_type") == "insert", 1).otherwise(0).desc(),
         )
+        # the delete/insert counts ride the SAME job as the checkpoint via
+        # observe() (CollectMetrics is free at execution time) — the two
+        # isEmpty() probes each re-launched a job per micro-batch (r13)
+        obs = Observation()
         final = (
             changes.withColumn("__rk", F.row_number().over(w))
             .filter(F.col("__rk") == 1)
             .drop("__rk")
+            .observe(
+                obs,
+                F.count(
+                    F.when(F.col("_change_type") == "delete", 1)
+                ).alias("n_del"),
+                F.count(
+                    F.when(F.col("_change_type") == "insert", 1)
+                ).alias("n_ups"),
+            )
             .localCheckpoint()  # both branches reuse it; don't recompute
         )
+        n_del = obs.get["n_del"] or 0
+        n_ups = obs.get["n_ups"] or 0
         dels = final.filter(F.col("_change_type") == "delete").select(*keys)
         ups = final.filter(F.col("_change_type") == "insert").select(*data_cols)
-        if not dels.isEmpty():
+        # initial-load fast path: a target with zero live data files has
+        # nothing the deletes could hit, and every insert is not-matched —
+        # the first batch of any replication (the backfill) is ONE append
+        # instead of a delete commit + merge planning (r13)
+        head = (
+            self.snapshot_for_ref(branch)
+            if branch and branch != MAIN_BRANCH
+            else self.current_snapshot()
+        )
+        empty_target = head is None or head.summary.get("total-data-files") == "0"
+        if n_del and not empty_target:
             self.delete_by_keys(dels, keys, branch=branch)
-        if not ups.isEmpty():
-            # full-row upsert: every non-key column takes the CDC row's value
-            self.merge_into(
-                ups,
-                keys,
-                when_matched_update={
-                    c: f"s.{c}" for c in data_cols if c not in keys
-                },
-                mode=mode,
-                branch=branch,
-            )
+        if n_ups:
+            if empty_target:
+                # `final` holds at most one row per key (row_number == 1),
+                # so append ≡ merge's all-not-matched insert here
+                self.append(ups, branch=branch)
+            else:
+                # full-row upsert: every non-key column takes the CDC
+                # row's value
+                self.merge_into(
+                    ups,
+                    keys,
+                    when_matched_update={
+                        c: f"s.{c}" for c in data_cols if c not in keys
+                    },
+                    mode=mode,
+                    branch=branch,
+                )
         return self
 
     def apply_changelog_scd2(

@@ -637,6 +637,29 @@ def test_apply_changelog_replication(catalog):
         rep.apply_changelog(src.changelog_scan(), on="nope")
 
 
+def test_apply_changelog_empty_target_fast_path(catalog):
+    # first batch of a replication (empty replica): ONE append commit,
+    # no delete commit, no merge — even when the window carries deletes
+    src = catalog.create_table("cdc_fp_src", schema={"k": "int", "v": "string"})
+    src.append([{"k": 1, "v": "a"}, {"k": 2, "v": "b"}, {"k": 3, "v": "c"}])
+    src.delete_where("k = 2")
+    mark = src.refresh().current_snapshot_id
+    rep = catalog.create_table("cdc_fp_rep", schema={"k": "int", "v": "string"})
+    rep.apply_changelog(src.changelog_scan(), on="k")
+    rep = rep.refresh()
+    assert sorted((r["k"], r["v"]) for r in rep.to_a()) == [(1, "a"), (3, "c")]
+    snaps = rep.snapshots
+    assert len(snaps) == 1, "empty-target apply must be a single commit"
+    assert snaps[-1].operation == "append"
+    assert snaps[-1].summary.get("total-delete-files", "0") == "0"
+    # second batch (non-empty target) still routes through delete+merge
+    src.update_where({"v": "'a2'"}, "k = 1")
+    src.delete_where("k = 3")
+    rep.apply_changelog(src.changelog_scan(from_snapshot_id=mark), on="k")
+    expect = sorted((r["k"], r["v"]) for r in src.refresh().to_a())
+    assert sorted((r["k"], r["v"]) for r in rep.refresh().to_a()) == expect
+
+
 def test_compact_where_and_compression(catalog):
     import pyarrow.parquet as pq
 
