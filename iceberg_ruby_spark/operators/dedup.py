@@ -20,6 +20,7 @@ no Python in any per-row path.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Sequence
 
 from pyspark.sql import DataFrame, Observation, Window
@@ -796,11 +797,58 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
+    # the edge count rides the checkpoint job (CollectMetrics) — it gates
+    # the small-graph fast path below for free
+    obs0 = Observation()
     edges = (
         sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint()
     )
+    n_edges = int(obs0.get["n"] or 0)
+    # Small-graph fast path (r13): each label-propagation round costs 2-3
+    # shuffled jobs of pure scheduling latency when the edge list is tiny
+    # — and near-dup pair lists usually ARE tiny relative to the corpus
+    # (they are output-sized by construction).  Below the bound the exact
+    # same min-label closure runs as a driver union-find over the
+    # ALREADY-COUNTED edge list: the collect is provably bounded (the
+    # observe count gates it BEFORE any row moves), ~16 bytes/edge, and
+    # the loop is O(E α(E)).  Above the bound the distributed loop runs
+    # unchanged — the threshold adapts to data size, not cluster shape.
+    local_max = int(
+        os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "500000") or 0
+    )
+    if n_edges <= local_max:
+        parent: dict[int, int] = {}
+
+        def _find(x: int) -> int:
+            r = x
+            while parent[r] != r:
+                r = parent[r]
+            while parent[x] != r:  # path compression
+                parent[x], x = r, parent[x]
+            return r
+
+        for row in edges.collect():
+            s, d = row[0], row[1]
+            if s not in parent:
+                parent[s] = s
+            if d not in parent:
+                parent[d] = d
+            rs, rd = _find(s), _find(d)
+            if rs != rd:
+                # union by MIN root so every root is its component's
+                # smallest id — the distributed loop's exact contract
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+        spark = pairs.sparkSession
+        return spark.createDataFrame(
+            [(n, _find(n)) for n in parent],
+            "doc_id long, cluster_id long",
+        )
     labels = edges.select("src").distinct().withColumn("lbl", F.col("src"))
     for _ in range(max_iterations):
         nbr_min = (

@@ -608,6 +608,27 @@ def test_connected_components_transitive_closure(spark):
     assert set(got2.values()) == {30} and len(got2) == 11
 
 
+def test_connected_components_local_and_distributed_agree(spark, monkeypatch):
+    # the driver union-find fast path and the label-propagation loop are
+    # the same closure: force each via the size gate and compare
+    import random
+
+    from iceberg_ruby_spark.operators.dedup import connected_components
+
+    rng = random.Random(11)
+    rows = []
+    for c in range(40):
+        ids = [c * 1000 + i for i in range(rng.randint(2, 7))]
+        rows.extend(zip(ids, ids[1:]))
+        rows.append((ids[-1], ids[0]))  # cycle
+    pairs = spark.createDataFrame(rows, "id_a long, id_b long")
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "500000")
+    local = sorted(map(tuple, connected_components(pairs).collect()))
+    monkeypatch.setenv("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "0")
+    dist = sorted(map(tuple, connected_components(pairs).collect()))
+    assert local == dist and len(local) > 0
+
+
 def test_mix_corpus_token_budgets(spark):
     from iceberg_ruby_spark.operators.text import mix_corpus, token_count
 
