@@ -16,6 +16,7 @@ Absent from the reference (SURVEY.md §2 Tier C).  Two tiers:
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import pandas as pd
@@ -537,14 +538,19 @@ def pq_index(
     distributed pass (a numpy matmul per subspace per batch)."""
     import numpy as np
 
-    dim = len(corpus.select(vec_col).first()[0])
+    x = _bounded_sample(corpus, vec_col, sample_size, seed, id_col)
+    if len(x) == 0:
+        raise ValueError("cannot train PQ on an empty corpus")
+    # the sample already carries the dimensionality — a separate
+    # corpus.first() action per index build was one whole Spark job (r13;
+    # a thread-pooled variant of the m trainings was measured and
+    # REJECTED: the Lloyd scatter is GIL-bound, so 8 threads ran 1.8×
+    # slower than this sequential loop even with 1-thread BLAS)
+    dim = x.shape[1]
     if dim % m != 0:
         raise InvalidDataError(
             f"pq_index: vector dim {dim} is not divisible by m={m}"
         )
-    x = _bounded_sample(corpus, vec_col, sample_size, seed, id_col)
-    if len(x) == 0:
-        raise ValueError("cannot train PQ on an empty corpus")
     dsub = dim // m
     codebooks = [
         _kmeans_np(x[:, j * dsub : (j + 1) * dsub], n_codes, seed=seed + j)
