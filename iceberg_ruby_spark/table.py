@@ -3269,7 +3269,13 @@ class Table:
                     if not st.has_min_max:
                         ok = False  # non-null values but no bounds (e.g.
                         break  # parquet-mr's >4 KB stats drop)
-                    lo, hi = _norm(st.min), _norm(st.max)
+                    try:
+                        lo, hi = _norm(st.min), _norm(st.max)
+                    except Exception:
+                        # pyarrow can't decode this type's statistics
+                        # (e.g. FLBA-backed decimal(>18)): same as absent
+                        ok = False
+                        break
                     mins[name] = (
                         self._stat_min(mins[name], lo) if name in mins else lo
                     )
