@@ -1252,17 +1252,15 @@ def remove_shared_spans(
     (8+8 bytes instead of ~ngram×6-byte strings; two independently
     seeded 64-bit halves make collisions negligible at trillion-gram
     scale), with map-side partial aggregation collapsing boilerplate
-    grams.  Coverage expansion is an output-sized explode of duplicated
-    windows only; reassembly is one per-doc aggregate over surviving
-    (pos, token) rows.  Never all-pairs, nothing driver-side."""
+    grams.  Coverage and reassembly are per-doc interval math over the
+    hit-window STARTS (:func:`_remove_hit_windows`) — one output-sized
+    aggregate, never a per-position explode.  Never all-pairs, nothing
+    driver-side."""
     toks_arr = F.filter(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != "",
     )
     base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
-    tok_rows = base.select(
-        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
-    )
     # one gram per start position (positional, NOT distinct — occurrence
     # counts and first-occurrence identity both need every window)
     starts = F.when(
@@ -1302,64 +1300,80 @@ def remove_shared_spans(
                 & (F.col("pos") == F.col("__first.p"))
             )
         )
-    covered = (
-        hit.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    return _remove_covered(
-        corpus, tok_rows, covered, text_col, id_col, drop_empty_docs
+    return _remove_hit_windows(
+        corpus, hit.select(F.col(id_col), "pos"), text_col, id_col, ngram,
+        drop_empty_docs,
     )
 
 
-def _remove_covered(
+def _remove_hit_windows(
     corpus: DataFrame,
-    tok_rows: DataFrame,
-    covered: DataFrame,
+    hits: DataFrame,
     text_col: str,
     id_col: str,
+    ngram: int,
     drop_empty_docs: bool,
 ) -> DataFrame:
-    """Cut the ``covered`` (id, pos) token positions out of the corpus and
-    re-assemble touched documents in order — the shared tail of
-    :func:`remove_shared_spans` and :func:`decontaminate_spans`.
-    Untouched documents keep their text verbatim."""
-    n_removed = covered.groupBy(id_col).agg(
-        F.count(F.lit(1)).alias("__n_removed")
+    """Cut every token position covered by a hit window ``[pos,
+    pos+ngram)`` out of the corpus and re-assemble touched documents in
+    order — the shared tail of :func:`remove_shared_spans` and
+    :func:`decontaminate_spans`.  ``hits`` is one (id, pos) row per hit
+    window START.  Untouched documents keep their text verbatim.
+
+    All windows share one length, so per doc the sorted starts have
+    monotone window ends and the kept tokens are exactly the gap slices
+    between consecutive windows — linear JVM array math from ONE
+    output-sized aggregate (collect the starts) plus ONE corpus join.
+    Replaces the r12 shape (per-position coverage explode → distinct →
+    token-row semi/anti joins → sort-reassembly aggregate), which
+    shuffled corpus-TOKEN-sized frames four times; at 100 TB those token
+    rows are the corpus ×8-ish in row count, and every one of them
+    crossed the wire.  Overlapping windows clamp to empty gap slices;
+    duplicate starts degrade to an empty gap the same way, so the math
+    is insensitive to hit multiplicity."""
+    starts_per_doc = hits.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("pos")).alias("__starts")
     )
-    kept = (
-        tok_rows.join(n_removed.select(id_col), id_col, "left_semi")
-        .join(covered, [id_col, "pos"], "left_anti")
+    toks_arr = F.filter(
+        F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
     )
-    reassembled = (
-        kept.groupBy(id_col)
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "tok"))).alias("__a"))
-        .select(
-            F.col(id_col),
-            F.concat_ws(
-                " ", F.transform("__a", lambda x: x["tok"])
-            ).alias("__new_text"),
+    # gap i spans [gap_start_i, gap_end_i): before each window start,
+    # nothing past the PREVIOUS window's end is covered (ends monotone)
+    gap_starts = F.concat(
+        F.array(F.lit(0)),
+        F.transform("__starts", lambda s: s + F.lit(ngram)),
+    )
+    gap_ends = F.concat(F.col("__starts"), F.array(F.size("__toks")))
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda gs, ge: F.slice(
+                F.col("__toks"), gs + 1, F.greatest(ge - gs, F.lit(0))
+            ),
         )
     )
+    touched = F.col("__starts").isNotNull()
     out = (
-        corpus.join(n_removed, id_col, "left")
-        .join(reassembled, id_col, "left")
+        corpus.join(starts_per_doc, id_col, "left")
+        .withColumn("__toks", F.when(touched, toks_arr))
+        .withColumn("__kept", F.when(touched, kept))
+        .withColumn(
+            "__n_removed",
+            F.when(touched, F.size("__toks") - F.size("__kept")),
+        )
         .withColumn(
             text_col,
             F.when(
-                F.col("__n_removed") > 0,
-                F.coalesce(F.col("__new_text"), F.lit("")),
+                F.col("__n_removed") > 0, F.concat_ws(" ", F.col("__kept"))
             ).otherwise(F.col(text_col)),
         )
         .withColumn(
             "n_removed_tokens",
             F.coalesce(F.col("__n_removed"), F.lit(0)).cast("long"),
         )
-        .drop("__n_removed", "__new_text")
+        .drop("__starts", "__toks", "__kept", "__n_removed")
     )
     if drop_empty_docs:
         out = out.filter(F.length(F.trim(F.coalesce(F.col(text_col), F.lit("")))) > 0)
@@ -1395,9 +1409,6 @@ def decontaminate_spans(
         lambda t: t != "",
     )
     base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
-    tok_rows = base.select(
-        F.col(id_col), F.posexplode("__toks").alias("pos", "tok")
-    )
     starts = F.when(
         F.size("__toks") >= ngram,
         F.sequence(F.lit(0), F.size("__toks") - ngram),
@@ -1415,15 +1426,7 @@ def decontaminate_spans(
         )
     )
     hit = grams.join(F.broadcast(bench_grams), "__g")
-    covered = (
-        hit.select(
-            F.col(id_col),
-            F.explode(
-                F.sequence(F.col("pos"), F.col("pos") + F.lit(ngram - 1))
-            ).alias("pos"),
-        )
-        .distinct()
-    )
-    return _remove_covered(
-        corpus, tok_rows, covered, text_col, id_col, drop_empty_docs
+    return _remove_hit_windows(
+        corpus, hit.select(F.col(id_col), "pos"), text_col, id_col, ngram,
+        drop_empty_docs,
     )

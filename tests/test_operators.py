@@ -1075,6 +1075,25 @@ def test_remove_shared_spans(spark):
     assert sorted(r.doc_id for r in kept.collect()) == [1, 2, 3]
 
 
+def test_remove_shared_spans_overlap_intervals(spark):
+    # overlapping hit windows inside one document: the interval-gap
+    # reassembly must cut the UNION of windows exactly once
+    rows = [
+        (1, "x a b c y"),
+        (2, "p a b c q a b c r"),
+        (3, "a b a b a b a b"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in ops.remove_shared_spans(df, ngram=3).collect()}
+    # "a b c" first occurs at (doc 1, pos 1): doc 1 keeps its copy
+    assert out[1].text == "x a b c y" and out[1].n_removed_tokens == 0
+    # doc 2 hits at pos 1 and 5 — disjoint windows, two gaps survive
+    assert out[2].text == "p q r" and out[2].n_removed_tokens == 6
+    # doc 3: "a b a"/"b a b" repeat within the doc; hits at pos 2,3,4,5
+    # overlap pairwise — union [2,7], not 4 windows double-counted
+    assert out[3].text == "a b" and out[3].n_removed_tokens == 6
+
+
 def test_strip_html(spark):
     import pyspark.sql.functions as F
 
