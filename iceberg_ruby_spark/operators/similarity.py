@@ -277,10 +277,22 @@ def _kmeans_np(x, k: int, seed: int = 42, iters: int = 10):
 
     k = min(k, len(x))
     rng = np.random.RandomState(seed)
-    # kmeans++ seeding
+    # kmeans++ seeding.  The distance update uses the same matmul
+    # identity as the Lloyd loop below: ||x−c||² = ||x||² − 2x·c + ||c||²
+    # is ONE BLAS matvec pass over (n, d) instead of the three ufunc
+    # passes (subtract, square, row-sum) the broadcast form costs per
+    # seeding step — and there are k−1 steps, which made seeding (not
+    # Lloyd) the dominant cost of a 256-code sub-quantizer training.
+    # Clamp at 0: the matmul form can go −ε on a point equal to the
+    # centroid, and rng.choice requires non-negative weights.  Centroid
+    # VALUES can move in the last float bit vs the old form; every
+    # consumer is insensitive by construction (exact-regime PQ/IVF
+    # oracles are codebook-value-free, recall floors have headroom).
     centroids = np.empty((k, x.shape[1]), dtype=np.float64)
     centroids[0] = x[rng.randint(len(x))]
-    d2 = ((x - centroids[0]) ** 2).sum(axis=1)
+    xsq = (x * x).sum(axis=1)
+    c0 = centroids[0]
+    d2 = np.maximum(xsq - 2.0 * (x @ c0) + c0 @ c0, 0.0)
     for c in range(1, k):
         total = d2.sum()
         if total <= 0:
@@ -288,7 +300,10 @@ def _kmeans_np(x, k: int, seed: int = 42, iters: int = 10):
             break
         probs = d2 / total
         centroids[c] = x[rng.choice(len(x), p=probs)]
-        d2 = np.minimum(d2, ((x - centroids[c]) ** 2).sum(axis=1))
+        cc = centroids[c]
+        d2 = np.minimum(
+            d2, np.maximum(xsq - 2.0 * (x @ cc) + cc @ cc, 0.0)
+        )
     for _ in range(iters):
         # argmin ||x-c||² needs only ||c||² - 2x·c — the matmul form; the
         # broadcast (n, k, d) difference array it replaces allocated
