@@ -797,16 +797,18 @@ def connected_components(
     sym = pairs.select(
         F.col(id_a).cast("long").alias("src"), F.col(id_b).cast("long").alias("dst")
     )
-    # the edge count rides the checkpoint job (CollectMetrics) — it gates
-    # the small-graph fast path below for free
+    # the pair count rides the checkpoint job (CollectMetrics) — it gates
+    # the small-graph fast path below for free.  The RAW directed pair
+    # list is what gets checkpointed: union-find is insensitive to edge
+    # direction and duplicates, so the small path needs neither the
+    # symmetrization nor the `distinct` — which means this job carries NO
+    # shuffle at all (the old shape exchanged the 2E-row symmetrized list
+    # to dedup it before the gate had even decided the rows were going to
+    # the driver).  The distributed loop below still builds the
+    # symmetrized distinct edge list, from the checkpointed pairs.
     obs0 = Observation()
-    edges = (
-        sym.union(sym.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .distinct()
-        .observe(obs0, F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
-    )
-    n_edges = int(obs0.get["n"] or 0)
+    raw = sym.observe(obs0, F.count(F.lit(1)).alias("n")).localCheckpoint()
+    n_edges = 2 * int(obs0.get["n"] or 0)  # symmetrized upper bound
     # Small-graph fast path (r13): each label-propagation round costs 2-3
     # shuffled jobs of pure scheduling latency when the edge list is tiny
     # — and near-dup pair lists usually ARE tiny relative to the corpus
@@ -830,7 +832,7 @@ def connected_components(
                 parent[x], x = r, parent[x]
             return r
 
-        for row in edges.collect():
+        for row in raw.collect():
             s, d = row[0], row[1]
             if s not in parent:
                 parent[s] = s
@@ -849,6 +851,11 @@ def connected_components(
             [(n, _find(n)) for n in parent],
             "doc_id long, cluster_id long",
         )
+    edges = (
+        raw.union(raw.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint()
+    )
     labels = edges.select("src").distinct().withColumn("lbl", F.col("src"))
     for _ in range(max_iterations):
         nbr_min = (
