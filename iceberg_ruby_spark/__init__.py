@@ -41,6 +41,8 @@ import os as _os
 for _v in ("OPENBLAS_NUM_THREADS", "OMP_NUM_THREADS", "MKL_NUM_THREADS"):
     _os.environ.setdefault(_v, "1")
 
+# errors stay eager: zero-cost (stdlib-only module) and the exception
+# types must be identical objects however they are reached
 from iceberg_ruby_spark.errors import (
     Error,
     InvalidDataError,
@@ -51,49 +53,72 @@ from iceberg_ruby_spark.errors import (
     Todo,
     UnsupportedFeatureError,
 )
-from iceberg_ruby_spark.session import get_spark, stop_spark
-from iceberg_ruby_spark.result import Result
-from iceberg_ruby_spark.types import (
-    BinaryType,
-    BooleanType,
-    DateType,
-    DecimalType,
-    DoubleType,
-    FixedType,
-    FloatType,
-    IntType,
-    ListType,
-    LongType,
-    MapType,
-    NestedField,
-    Schema,
-    StringType,
-    StructType,
-    TimeType,
-    TimestampType,
-    TimestampTzType,
-    UuidType,
-)
-from iceberg_ruby_spark.table_definition import TableDefinition
-from iceberg_ruby_spark.transforms import (
-    BucketTransform,
-    DayTransform,
-    HourTransform,
-    IdentityTransform,
-    MonthTransform,
-    TruncateTransform,
-    UnknownTransform,
-    VoidTransform,
-    YearTransform,
-)
-from iceberg_ruby_spark.catalog import Catalog, MemoryCatalog
-from iceberg_ruby_spark.aws import GlueCatalog, S3TablesCatalog
-from iceberg_ruby_spark.rest import RestCatalog
-from iceberg_ruby_spark.sql_catalog import SqlCatalog
-from iceberg_ruby_spark.materialized import MaterializedAggregate
-from iceberg_ruby_spark.table import Table, TableScan, Transaction, UpdateSchema
-from iceberg_ruby_spark.static_table import StaticTable
-from iceberg_ruby_spark.functions import register_functions
+
+# Everything else resolves lazily on first attribute access (PEP 562,
+# optimization guide §1.2 fixed costs): every forked Python worker that
+# unpickles an engine class (streaming source runners, sink committers,
+# executor UDF workers) runs this __init__ before its first task, and the
+# eager import chain (table/catalog/rest/sql_catalog/...) measured ~0.16 s
+# per fork with the pyspark daemon's modules already loaded.  Public API
+# is unchanged: ``from iceberg_ruby_spark import X`` and ``ice.X`` hit
+# ``__getattr__`` once and are then cached on the package.
+_LAZY = {
+    "get_spark": "iceberg_ruby_spark.session",
+    "stop_spark": "iceberg_ruby_spark.session",
+    "Result": "iceberg_ruby_spark.result",
+    "TableDefinition": "iceberg_ruby_spark.table_definition",
+    "Catalog": "iceberg_ruby_spark.catalog",
+    "MemoryCatalog": "iceberg_ruby_spark.catalog",
+    "GlueCatalog": "iceberg_ruby_spark.aws",
+    "S3TablesCatalog": "iceberg_ruby_spark.aws",
+    "RestCatalog": "iceberg_ruby_spark.rest",
+    "SqlCatalog": "iceberg_ruby_spark.sql_catalog",
+    "MaterializedAggregate": "iceberg_ruby_spark.materialized",
+    "Table": "iceberg_ruby_spark.table",
+    "TableScan": "iceberg_ruby_spark.table",
+    "Transaction": "iceberg_ruby_spark.table",
+    "UpdateSchema": "iceberg_ruby_spark.table",
+    "StaticTable": "iceberg_ruby_spark.static_table",
+    "register_functions": "iceberg_ruby_spark.functions",
+}
+for _t in (
+    "BinaryType",
+    "BooleanType",
+    "DateType",
+    "DecimalType",
+    "DoubleType",
+    "FixedType",
+    "FloatType",
+    "IntType",
+    "ListType",
+    "LongType",
+    "MapType",
+    "NestedField",
+    "Schema",
+    "StringType",
+    "StructType",
+    "TimeType",
+    "TimestampType",
+    "TimestampTzType",
+    "UuidType",
+):
+    _LAZY[_t] = "iceberg_ruby_spark.types"
+for _t in (
+    "BucketTransform",
+    "DayTransform",
+    "HourTransform",
+    "IdentityTransform",
+    "MonthTransform",
+    "TruncateTransform",
+    "UnknownTransform",
+    "VoidTransform",
+    "YearTransform",
+):
+    _LAZY[_t] = "iceberg_ruby_spark.transforms"
+
+from iceberg_ruby_spark._lazy import lazy_attrs as _lazy_attrs
+
+__getattr__, __dir__ = _lazy_attrs(__name__, _LAZY)
 
 __version__ = "0.1.0"
 

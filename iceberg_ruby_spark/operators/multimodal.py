@@ -25,10 +25,16 @@ from __future__ import annotations
 import hashlib
 from typing import Iterator, Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from iceberg_ruby_spark._lazy import LazyModule
+
+# pandas resolves on first use (~0.3 s import): only the mapInPandas
+# bodies build pd.DataFrames; header-probe helpers and codecs shipped to
+# workers for other operators skip the import entirely.
+pd = LazyModule("pandas", __name__, "pd")
 
 # payload + typed metadata: the schema every media table shares
 MEDIA_SCHEMA = T.StructType(

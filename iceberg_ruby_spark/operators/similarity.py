@@ -19,11 +19,17 @@ from __future__ import annotations
 import os
 from typing import Optional
 
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from iceberg_ruby_spark._lazy import LazyModule
 from iceberg_ruby_spark.errors import InvalidDataError
+
+# pandas resolves on first use (~0.3 s import): only the pandas-UDF paths
+# (IVF assign/probe, PQ encode/ADC) touch it; workers unpickling the
+# JVM-only operators here skip the import.  The proxy satisfies the
+# ``pd.Series`` annotations pandas_udf evaluates at decoration time.
+pd = LazyModule("pandas", __name__, "pd")
 
 
 def _dot(a, b):
