@@ -57,8 +57,12 @@ def stream_changelog_apply(
     ADVICE).  Call again to pick up what landed since."""
 
     def _apply(batch_df, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-probe: that is one extra Spark job on EVERY
+        # micro-batch (it re-reads the batch's first slice through the
+        # Python source), while apply_changelog is already a commit-free
+        # no-op on an empty frame — its delete/insert counts ride the
+        # checkpoint job via observe(), so an empty batch costs the same
+        # one job the probe did, and every non-empty batch saves one
         replica.refresh().apply_changelog(batch_df, on, mode=mode)
 
     return _changelog_stream(
@@ -96,8 +100,10 @@ def stream_changelog_scd2(
     :func:`stream_changelog_apply`."""
 
     def _apply(batch_df, _batch_id: int) -> None:
-        if batch_df.isEmpty():
-            return
+        # no isEmpty() pre-probe (see stream_changelog_apply): the probe
+        # costs one job on every batch; apply_changelog_scd2 commits
+        # nothing on an empty frame (its internal upserts.isEmpty() gate),
+        # and empty micro-batches only occur on rare replay edges
         # source_table supplies the snapshot→timestamp mapping when the
         # history schema declares valid_from_ts/valid_to_ts brackets
         history.refresh().apply_changelog_scd2(
