@@ -345,6 +345,13 @@ class MaterializedAggregate:
                 from_snapshot_id=since, to_snapshot_id=head
             )
             part = self._partial(delta)
+        # materialize the delta partial-aggregate ONCE: it is group-key ×
+        # agg-state sized (delta-window groups, never the table), and an
+        # unckeckpointed plan would re-run the whole incremental/changelog
+        # scan + aggregation for the emptiness probe AND each of
+        # merge_into's three source evaluations (dup check, hit-file
+        # semi-join, rewrite) — 4 recomputations per refresh
+        part = part.localCheckpoint()
         if part.isEmpty():
             # empty window (metadata-only source commits): leave the
             # watermark where it is — re-deriving the same empty window
