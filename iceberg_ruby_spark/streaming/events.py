@@ -251,6 +251,13 @@ def stream_upsert_to_table(
             .withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .select(*[c for c in batch_df.columns])
+            # checkpoint the batch-sized frame: merge_into evaluates its
+            # source three times (dup check, hit-file semi-join, rewrite),
+            # each re-reading the micro-batch — and the __seq tie-break is
+            # monotonically_increasing_id(), which is NOT stable across
+            # recomputations, so an uncheckpointed plan could hand the
+            # three evaluations different per-key winners
+            .localCheckpoint()
         )
         t.merge_into(
             deduped,
