@@ -1,0 +1,72 @@
+"""Driver-built metadata-sized DataFrames that execute without Python
+workers (optimization guide §4: eliminate the JVM↔Python boundary).
+
+``spark.createDataFrame(list_of_rows, ...)`` parallelizes the rows as
+PICKLED Python partitions: every later *execution* of the frame — each
+broadcast build, each action of a multi-action lifecycle that reuses the
+plan — launches one forked Python worker per partition just to unpickle
+a handful of metadata rows.  Measured on local[32]: executing a 50-row
+list frame costs ~0.45 s (32 worker tasks) vs ~0.1 s when the same rows
+enter through the Arrow path, which ships them ONCE as an Arrow batch
+held by the JVM so later executions are pure-JVM (and single-partition).
+
+Values are identical with one exception: Arrow conversion turns a float
+NaN inside an ARRAY element into null, so any row set containing a float
+NaN falls back to the plain list path (the scan is trivial at metadata
+size).  Empty row sets, sessions without the Arrow conf, and any Arrow
+conversion failure also fall back — the helper never changes what a
+frame contains, only how its rows reach the JVM.
+
+Scope: metadata-shaped columns only (strings, ints/longs, floats, and
+flat arrays thereof) — the shapes the engine's internal frames use.
+Temporal/decimal/binary columns keep calling ``createDataFrame``
+directly; their coercion rules differ between the two paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable
+
+
+def _has_float_nan(v: Any) -> bool:
+    if isinstance(v, float):
+        return v != v
+    if isinstance(v, (list, tuple)):
+        return any(_has_float_nan(x) for x in v)
+    return False
+
+
+def small_local_df(spark, rows: Iterable[tuple], schema):
+    """``spark.createDataFrame(rows, schema)`` for driver-held
+    metadata-sized row lists, routed through Arrow so executions of the
+    returned frame never fork Python workers.  Falls back to the plain
+    list path whenever the Arrow path could differ (see module doc)."""
+    rows = rows if isinstance(rows, list) else list(rows)
+    if not rows:
+        # empty list → LocalRelation: already zero-task, nothing to gain
+        return spark.createDataFrame(rows, schema)
+    try:
+        if (
+            str(
+                spark.conf.get(
+                    "spark.sql.execution.arrow.pyspark.enabled", "false"
+                )
+            ).lower()
+            != "true"
+        ):
+            return spark.createDataFrame(rows, schema)
+        if any(_has_float_nan(r) for r in rows):
+            return spark.createDataFrame(rows, schema)
+        import pandas as pd
+        from pyspark.sql.types import StructType, _parse_datatype_string
+
+        st = (
+            schema
+            if isinstance(schema, StructType)
+            else _parse_datatype_string(schema)
+        )
+        pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
+        return spark.createDataFrame(pdf, schema=st)
+    except Exception:
+        # any conversion surprise: the list path is always correct
+        return spark.createDataFrame(rows, schema)

@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from iceberg_ruby_spark.errors import InvalidDataError
+from iceberg_ruby_spark._localdf import small_local_df
 
 
 def exact_dedup(
@@ -847,7 +848,8 @@ def connected_components(
                 else:
                     parent[rs] = rd
         spark = pairs.sparkSession
-        return spark.createDataFrame(
+        return small_local_df(
+            spark,
             [(n, _find(n)) for n in parent],
             "doc_id long, cluster_id long",
         )
@@ -1260,7 +1262,8 @@ def semantic_dedup(
     # centroid-similarity quality via a BROADCAST join against the (tiny)
     # centroid table — a literal array-of-arrays expression would bloat
     # the plan at large n_cells (4096 cells × dim literals per evaluation)
-    cent_df = corpus.sparkSession.createDataFrame(
+    cent_df = small_local_df(
+        corpus.sparkSession,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, __cent array<double>",
     )

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from iceberg_ruby_spark._lazy import LazyModule
+from iceberg_ruby_spark._localdf import small_local_df
 from iceberg_ruby_spark.errors import InvalidDataError
 
 # pandas resolves on first use (~0.3 s import): only the pandas-UDF paths
@@ -1043,7 +1044,8 @@ def _ivf_assign_stats(df: DataFrame, vec_col: str, centroids) -> dict:
     singleton roll-up.  Centroids ride a broadcast — nothing corpus-sized
     moves."""
     spark = df.sparkSession
-    cent_df = spark.createDataFrame(
+    cent_df = small_local_df(
+        spark,
         [(i, [float(x) for x in c]) for i, c in enumerate(centroids)],
         "cell int, __c array<double>",
     )
@@ -1397,8 +1399,10 @@ def pq_table_search(
     _adc = _adc_scorer(codebooks, qrows)
     spark = index_table.spark
     enc = index_table.scan().select(id_col, "codes").to_df()
-    qids = spark.createDataFrame(
-        [(r[0],) for r in qrows], f"query_id {dict(queries.dtypes)[query_id_col]}"
+    qids = small_local_df(
+        spark,
+        [(r[0],) for r in qrows],
+        f"query_id {dict(queries.dtypes)[query_id_col]}",
     )
     w0 = Window.partitionBy("query_id").orderBy(
         F.col("__adc").desc(), F.col(id_col).asc()
@@ -1423,8 +1427,8 @@ def pq_table_search(
         return spark.createDataFrame(
             [], f"query_id {qt}, {id_col} {it}, cosine double, rank int"
         )
-    cand = spark.createDataFrame(
-        [(r[0], r[1]) for r in cand_rows], f"query_id {qt}, {id_col} {it}"
+    cand = small_local_df(
+        spark, [(r[0], r[1]) for r in cand_rows], f"query_id {qt}, {id_col} {it}"
     )
 
     def _sql_lit(v):
@@ -1503,7 +1507,7 @@ def ivf_table_search(
         all_cells.update(cells)
         probe_rows.extend((r[0], c) for c in cells)
     spark = index_table.spark
-    probes = spark.createDataFrame(probe_rows, f"query_id long, cell int")
+    probes = small_local_df(spark, probe_rows, "query_id long, cell int")
     # OR-of-equalities: the shape the engine's stats/partition pruning
     # consumes — only the probed cells' files are planned
     cond = " OR ".join(f"cell = {c}" for c in sorted(all_cells))

@@ -57,6 +57,7 @@ from iceberg_ruby_spark.errors import (
     UnsupportedFeatureError,
 )
 from iceberg_ruby_spark.result import Result
+from iceberg_ruby_spark._localdf import small_local_df
 from iceberg_ruby_spark import types as ice_t
 from iceberg_ruby_spark.transforms import (
     PartitionSpec,
@@ -2903,7 +2904,8 @@ class Table:
             for e in entries
             if "path" in e
         ]
-        mapping = self.spark.createDataFrame(
+        mapping = small_local_df(
+            self.spark,
             rows,
             _T.StructType(
                 [
@@ -3637,7 +3639,8 @@ class Table:
                     ref = self.ops._abs(e["referenced-data-file"])
                     dv_rows.extend((ref, pos) for pos in decode_dv_blob(payload))
                 del_parts.append(
-                    self.spark.createDataFrame(
+                    small_local_df(
+                        self.spark,
                         dv_rows,
                         _T.StructType(
                             [
@@ -3686,7 +3689,8 @@ class Table:
                 seqv = -1 if seqv is None else int(seqv)
                 for p in self._entry_files([de]):
                     seq_pairs.append((self.ops._abs(p), seqv))
-            seq_df = self.spark.createDataFrame(
+            seq_df = small_local_df(
+                self.spark,
                 seq_pairs,
                 _T.StructType(
                     [
@@ -3721,7 +3725,8 @@ class Table:
                     )
                     for e in groups[cols_key]
                 ]
-                fseq_df = self.spark.createDataFrame(
+                fseq_df = small_local_df(
+                    self.spark,
                     fseq,
                     _T.StructType(
                         [
