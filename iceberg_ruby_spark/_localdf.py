@@ -33,7 +33,31 @@ def _has_float_nan(v: Any) -> bool:
         return v != v
     if isinstance(v, (list, tuple)):
         return any(_has_float_nan(x) for x in v)
+    if isinstance(v, dict):
+        return any(_has_float_nan(x) for x in v.values())
     return False
+
+
+def _arrow_safe(dt) -> bool:
+    """Only types whose Arrow conversion is provably value-identical to
+    the pickled-list path: atomic string/number/boolean and flat arrays
+    thereof.  Temporal, decimal, binary, map and struct columns keep the
+    list path — their coercion rules differ between the two paths."""
+    import pyspark.sql.types as T
+
+    atomic = (
+        T.StringType,
+        T.LongType,
+        T.IntegerType,
+        T.ShortType,
+        T.ByteType,
+        T.DoubleType,
+        T.FloatType,
+        T.BooleanType,
+    )
+    if isinstance(dt, T.ArrayType):
+        return isinstance(dt.elementType, atomic)
+    return isinstance(dt, atomic)
 
 
 def small_local_df(spark, rows: Iterable[tuple], schema):
@@ -65,6 +89,8 @@ def small_local_df(spark, rows: Iterable[tuple], schema):
             if isinstance(schema, StructType)
             else _parse_datatype_string(schema)
         )
+        if not all(_arrow_safe(f.dataType) for f in st.fields):
+            return spark.createDataFrame(rows, schema)
         pdf = pd.DataFrame(rows, columns=[f.name for f in st.fields])
         return spark.createDataFrame(pdf, schema=st)
     except Exception:

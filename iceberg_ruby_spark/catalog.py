@@ -41,6 +41,7 @@ from iceberg_ruby_spark.errors import (
     UnsupportedFeatureError,
 )
 from iceberg_ruby_spark.result import Result
+from iceberg_ruby_spark._localdf import small_local_df
 from iceberg_ruby_spark import types as ice_t
 from iceberg_ruby_spark.session import get_spark
 from iceberg_ruby_spark.table import (
@@ -873,7 +874,7 @@ class Catalog:
                 typ = schema_t.field_by_name(c).to_spark().dataType
             out_fields.append(ST.StructField(name, typ))
         return Result(
-            self.spark.createDataFrame(rows, ST.StructType(out_fields))
+            small_local_df(self.spark, rows, ST.StructType(out_fields))
         )
 
     def _sql_agg_fast_path(self, m) -> Optional["Result"]:
@@ -931,7 +932,7 @@ class Catalog:
                 typ = fields_by_name[col].to_spark().dataType
             out_fields.append(ST.StructField(name, typ))
         return Result(
-            self.spark.createDataFrame(
+            small_local_df(self.spark, 
                 [tuple(vals)], ST.StructType(out_fields)
             )
         )
@@ -966,7 +967,7 @@ class Catalog:
             t = self.load_table(self._sql_table_ident(m.group(1)))
             st = t.compute_statistics()
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     [(st.get("record-count"), len(st.get("columns", {})))],
                     "row_count long, columns_analyzed int",
                 )
@@ -976,7 +977,7 @@ class Catalog:
             parent = m.group(1).split(".") if m.group(1) else None
             rows = [(".".join(p),) for p in self.list_namespaces(parent)]
             return Result(
-                self.spark.createDataFrame(rows, "namespace string")
+                small_local_df(self.spark, rows, "namespace string")
             )
         m = self._SHOW_TABLES_RE.match(query)
         if m:
@@ -984,7 +985,7 @@ class Catalog:
             ns_parts = ns.split(".") if ns else None
             rows = [(".".join(p),) for p in self.list_tables(ns_parts)]
             return Result(
-                self.spark.createDataFrame(rows, "table_name string")
+                small_local_df(self.spark, rows, "table_name string")
             )
         m = self._SHOW_PROPS_RE.match(query)
         if m:
@@ -996,13 +997,13 @@ class Catalog:
             else:
                 rows = sorted(props.items())
             return Result(
-                self.spark.createDataFrame(rows, "key string, value string")
+                small_local_df(self.spark, rows, "key string, value string")
             )
         m = self._SHOW_CREATE_RE.match(query)
         if m:
             t = self.load_table(self._sql_table_ident(m.group(1)))
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     [(self._show_create_ddl(t, m.group(1)),)],
                     "createtab_stmt string",
                 )
@@ -1026,7 +1027,7 @@ class Catalog:
                 for r in t.inspect.partitions().collect()
             )
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     rows,
                     "partition string, record_count long, file_count long",
                 )
@@ -1055,7 +1056,7 @@ class Catalog:
                     for k, v in sorted(t.properties.items())
                 ]
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     rows, "col_name string, data_type string, nullable boolean, "
                     "comment string"
                 )
@@ -1270,12 +1271,12 @@ class Catalog:
         if m:
             replace = bool(re.search(r"OR\s+REPLACE", query, re.IGNORECASE))
             self.create_view(self._sql_table_ident(m.group(1)), m.group(2), replace=replace)
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._DROP_VIEW_RE.match(query)
         if m:
             if_exists = bool(re.search(r"IF\s+EXISTS", query, re.IGNORECASE))
             self.drop_view(self._sql_table_ident(m.group(1)), if_exists=if_exists)
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = re.match(
             r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s+"
             r"LIKE\s+([\w.]+)\s*;?\s*$",
@@ -1298,7 +1299,7 @@ class Catalog:
                     re.search(r"IF\s+NOT\s+EXISTS", query, re.IGNORECASE)
                 ),
             )
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._CREATE_NS_RE.match(query)
         if m:
             props = None
@@ -1312,11 +1313,11 @@ class Catalog:
                 properties=props,
                 if_not_exists=bool(m.group(1)),
             )
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._DROP_NS_RE.match(query)
         if m:
             self.drop_namespace(m.group(2).split("."), if_exists=bool(m.group(1)))
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._DDL_RE.match(query)
         if m:
             name, cols_src = m.group(1), m.group(2)
@@ -1349,14 +1350,14 @@ class Catalog:
                 or_replace=or_replace,
                 properties=props,
             )
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._TRUNCATE_RE.match(query)
         if m:
             tbl = self.load_table(self._sql_table_ident(m.group(1)))
             n = tbl.scan().count()
             tbl.overwrite([])
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([(n,)], "deleted long"))
+            return Result(small_local_df(self.spark, [(n,)], "deleted long"))
         m = self._INSERT_RE.match(query)
         if m:
             verb, name, col_list, rest = (
@@ -1388,7 +1389,7 @@ class Catalog:
             else:
                 tbl.append(df)
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._ALTER_RE.match(query)
         if m:
             name, action = m.group(1), m.group(2).strip().rstrip(";").strip()
@@ -1569,7 +1570,7 @@ class Catalog:
                     f"unsupported ALTER TABLE action: {action[:60]!r}"
                 )
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._MERGE_RE.match(query)
         if m:
             name, talias, sub_src, src_name, salias, on_src, when_src = m.groups()
@@ -1663,7 +1664,7 @@ class Catalog:
                 when_not_matched_by_source_condition=nmbs_ucond,
             )
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([], "ok string"))
+            return Result(small_local_df(self.spark, [], "ok string"))
         m = self._UPDATE_RE.match(query)
         if m:
             name, set_src, where_src = m.groups()
@@ -1678,14 +1679,14 @@ class Catalog:
                 assignments[k.strip()] = v.strip()
             n = tbl.update_where(assignments, where_src)
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([(n,)], "updated long"))
+            return Result(small_local_df(self.spark, [(n,)], "updated long"))
         m = self._DELETE_RE.match(query)
         if m:
             name, where_src = m.groups()
             tbl = self.load_table(self._sql_table_ident(name))
             n = tbl.delete_where(where_src)
             self._invalidate_views()
-            return Result(self.spark.createDataFrame([(n,)], "deleted long"))
+            return Result(small_local_df(self.spark, [(n,)], "deleted long"))
         raise UnsupportedFeatureError(
             f"unsupported write statement (use the catalog/table API): {query[:80]!r}"
         )
@@ -1726,7 +1727,7 @@ class Catalog:
             )
             self._invalidate_views()
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     [(t.current_snapshot_id,
                       len(t.snapshots),
                       len([e for e in t._current_entries() if "path" in e]))],
@@ -1751,7 +1752,7 @@ class Catalog:
             n = t.add_files(expanded)
             self._invalidate_views()
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     [(n,)], "imported_files_count long"
                 )
             )
@@ -1772,7 +1773,7 @@ class Catalog:
                     else None
                 )
             return Result(
-                self.spark.createDataFrame(
+                small_local_df(self.spark, 
                     rows, "snapshot_id long, timestamp long"
                 )
             )
@@ -1976,7 +1977,7 @@ class Catalog:
             raise UnsupportedFeatureError(f"unknown procedure: system.{proc}")
         self._invalidate_views()
         rows, schema = out
-        return Result(self.spark.createDataFrame(rows, schema))
+        return Result(small_local_df(self.spark, rows, schema))
 
     def _invalidate_views(self) -> None:
         self._view_cache: dict[str, int] = {}

@@ -8044,7 +8044,7 @@ class TableInspect:
                 ]
                 ref = t.ops._abs(e["referenced-data-file"])
                 dv_rows.extend((ref, pos, p) for pos in decode_dv_blob(payload))
-            parts.append(t.spark.createDataFrame(dv_rows, schema))
+            parts.append(small_local_df(t.spark, dv_rows, schema))
         if not parts:
             return t.spark.createDataFrame([], schema)
         out = parts[0]
