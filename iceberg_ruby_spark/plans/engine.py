@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from iceberg_ruby_spark._localdf import small_local_df
 from iceberg_ruby_spark.plans.registry import query
 from iceberg_ruby_spark.plans.tables import load
 
@@ -723,7 +724,7 @@ def engine_statistics_ndv(spark, sf_dir):
     if again != stats:
         raise AssertionError("stats round-trip mismatch")
     cols = stats["columns"]
-    return spark.createDataFrame(
+    return small_local_df(spark, 
         [
             (
                 stats["record-count"],
@@ -1206,7 +1207,7 @@ def engine_agg_pushdown(spark, sf_dir):
     # r12: a DV no longer demotes filtered COUNT(*) — its cardinality
     # subtracts when its referenced file full-matches the predicate
     dv_aligned = t.scan().filter("o_orderkey < 2000").count()
-    return spark.createDataFrame(
+    return small_local_df(spark, 
         [(total, nonnull_cust, min_key, max_key, live, sql_live,
           aligned, split, sql_where, fcol,
           mrow["mlo"], mrow["mhi"], mrow["mn"], prow["plo"], prow["pn"],
@@ -1245,7 +1246,7 @@ def engine_show_partitions(spark, sf_dir):
         .select("o_orderkey", "o_orderpriority")
     )
     rows = cat.sql("SHOW PARTITIONS orders_shp").to_a()
-    return spark.createDataFrame(
+    return small_local_df(spark, 
         [(r["partition"], r["record_count"]) for r in rows],
         "partition string, record_count long",
     )
@@ -1294,7 +1295,7 @@ def engine_partition_counts(spark, sf_dir):
     assert sorted((k, v) for k, v in meta) == sorted(
         (r["pr"], r["n"]) for r in res
     )
-    return spark.createDataFrame(meta, "pr string, n long")
+    return small_local_df(spark, meta, "pr string, n long")
 
 
 @query(
@@ -1361,7 +1362,7 @@ def engine_partition_rollup(spark, sf_dir):
     assert sorted(meta) == sorted(
         (r["pr"], r["n"], r["lo"], r["hi"], r["ns"]) for r in res
     )
-    return spark.createDataFrame(meta, "pr string, n long, lo long, hi long, ns long")
+    return small_local_df(spark, meta, "pr string, n long, lo long, hi long, ns long")
 
 
 @query(
