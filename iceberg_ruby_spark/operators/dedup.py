@@ -982,6 +982,13 @@ def shared_span_stats(
     grams = corpus.select(
         F.col(id_col), F.explode(token_shingle_array(text_col, ngram)).alias("__g")
     )
+    # one exchange feeds all THREE consumers (r13, the remove_shared_spans
+    # mechanism): the gram explode was evaluated for the shared-count
+    # aggregate, the semi-join probe, and the per-doc totals separately.
+    # Repartitioned by gram, the first two share the exchange verbatim and
+    # the totals branch re-exchanges by doc id from the same materialized
+    # stage instead of re-running the corpus explode.
+    grams = grams.repartition(F.col("__g"))
     shared = (
         grams.groupBy("__g")
         .agg(F.count_distinct(id_col).alias("__nd"))
@@ -1043,6 +1050,10 @@ def line_dedup(
             "__pos", "__line"
         ),
     ).withColumn("__k", F.trim(F.col("__line")))
+    # NOTE (r13): the remove_shared_spans repartition-to-share-the-
+    # exchange trick was measured here and REJECTED — the line explode
+    # is too cheap for the saved re-evaluation to beat the added AQE
+    # stage barrier (A/B min-of-4 at sf0.1: 0.867 s vs 0.831 s plain).
     dup = (
         lines.filter(F.col("__k") != "")
         .groupBy("__k")
