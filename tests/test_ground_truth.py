@@ -236,6 +236,39 @@ def test_pq_topk_recall_and_exact_regime(spark):
         pq_index(bad, m=2)
 
 
+def test_pq_subquantizer_pool_matches_sequential():
+    """The fork-pool sub-quantizer training (r13) is BIT-IDENTICAL to the
+    sequential loop: each of the m trainings is a self-contained
+    deterministic computation (own RandomState(seed+j), 1-thread BLAS),
+    so process isolation changes no float op.  Covers both sides of the
+    work gate: a big-enough shape that takes the pool, and the forced
+    single-proc env override that takes the sequential path."""
+    import os
+
+    import numpy as np
+
+    from iceberg_ruby_spark.operators.similarity import (
+        _kmeans_np,
+        _train_subcodebooks,
+    )
+
+    rng = np.random.RandomState(3)
+    m, dsub, k = 8, 8, 128
+    x = rng.randn(700, m * dsub)  # proxy 8*128*700*8 = 5.7M > the 4M gate
+    seq = [
+        _kmeans_np(x[:, j * dsub : (j + 1) * dsub], k, seed=42 + j)
+        for j in range(m)
+    ]
+    pooled = _train_subcodebooks(x, m, dsub, k, 42)
+    assert all(np.array_equal(a, b) for a, b in zip(seq, pooled))
+    os.environ["SPARK_GRAFT_PQ_TRAIN_PROCS"] = "1"
+    try:
+        forced_seq = _train_subcodebooks(x, m, dsub, k, 42)
+    finally:
+        del os.environ["SPARK_GRAFT_PQ_TRAIN_PROCS"]
+    assert all(np.array_equal(a, b) for a, b in zip(seq, forced_seq))
+
+
 def test_ivf_table_index_pruning_and_recall(catalog, spark):
     from iceberg_ruby_spark.operators.similarity import (
         cosine_topk,
