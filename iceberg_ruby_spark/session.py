@@ -69,6 +69,17 @@ def get_spark(app_name: str = "iceberg_ruby_spark", cpus: Optional[int] = None) 
         .config("spark.python.factory.idleWorkerMaxPoolSize", "16")
         .config("spark.python.worker.idleTimeoutSeconds", "120")
         .config("spark.python.worker.killOnIdleTimeout", "true")
+        # DataFrame-op call-site capture for error enrichment costs ~3 py4j
+        # round trips per DataFrame method (conf read + origin set + clear)
+        # plus a Python stack walk — pure debugging affordance, no effect
+        # on results or error TYPES (only the call-site line in messages).
+        # Measured: dedup_minhash_lsh graph construction 0.81 → 0.67 s
+        # median (6 reps); it taxes every query's driver time.  Static conf;
+        # re-enable via env when diagnosing a plan-construction error.
+        .config(
+            "spark.python.sql.dataFrameDebugging.enabled",
+            os.environ.get("SPARK_GRAFT_DF_DEBUGGING", "false"),
+        )
         # single-threaded BLAS in executor Python workers (see the package
         # __init__ for the measurement): local mode inherits the driver's
         # env, these make cluster deployments behave identically
