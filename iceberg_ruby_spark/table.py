@@ -821,6 +821,26 @@ def _bloom_maybe_contains(blob: bytes, m: int, k: int, val_str: str) -> bool:
 # the explicit hint, which would otherwise override Spark's own guard.
 _BROADCAST_KEYS_MAX_BYTES = 64 << 20
 
+# Inferred-schema memo for the scan read path (r13, guide §1.2: don't
+# compute things twice).  ``spark.read.parquet`` with no schema re-infers
+# from file footers on EVERY call (~100-300 ms per scan group at bench
+# scale); iceberg data files are IMMUTABLE (rewrites mint new paths), so
+# the inference result for a given (basePath, file set) never changes —
+# the first scan infers, repeats pass the identical StructType
+# explicitly.  Metadata only: row data is read from parquet at execution
+# on every scan.  The mergeSchema branch (reserved lineage columns in
+# SOME files) stays on live inference — its result depends on footer
+# union, and callers are rare.  LRU-capped so a 24/7 session's memo
+# stays bounded.
+_SCAN_SCHEMA_MEMO: dict = {}
+_SCAN_SCHEMA_MEMO_MAX = 256
+
+
+def _scan_schema_memo_put(key, spark_schema) -> None:
+    _SCAN_SCHEMA_MEMO[key] = spark_schema
+    if len(_SCAN_SCHEMA_MEMO) > _SCAN_SCHEMA_MEMO_MAX:
+        _SCAN_SCHEMA_MEMO.pop(next(iter(_SCAN_SCHEMA_MEMO)))
+
 
 _THETA_TYPES = (
     ice_t.BooleanType, ice_t.IntType, ice_t.LongType, ice_t.FloatType,
@@ -3518,11 +3538,18 @@ class Table:
                 # surfaces them everywhere, null where absent
                 reader = reader.option("mergeSchema", "true")
             paths = groups[(sid, cdir, fmt)]
-            df = (
-                reader.format("orc").load(paths)
-                if fmt == "orc"
-                else reader.parquet(*paths)
-            )
+            if fmt == "orc":
+                df = reader.format("orc").load(paths)
+            elif extra_cols:
+                df = reader.parquet(*paths)
+            else:
+                memo_key = (cdir, tuple(paths))
+                cached = _SCAN_SCHEMA_MEMO.get(memo_key)
+                if cached is None:
+                    df = reader.parquet(*paths)
+                    _scan_schema_memo_put(memo_key, df.schema)
+                else:
+                    df = reader.schema(cached).parquet(*paths)
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
