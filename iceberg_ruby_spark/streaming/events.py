@@ -8,6 +8,10 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+# inferred-schema memo for the immutable events test file (see
+# read_events_stream)
+_EVENTS_SCHEMA_MEMO: dict = {}
+
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events.parquet as a bounded stream (schema taken from a batch probe),
@@ -29,15 +33,23 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     session (``spark.newSession()``) or re-pin the confs afterwards."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    batch = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # schema memo (r13, guide §1.2): the file is immutable test data, so
+    # infer its schema once per path — repeat stream builds skip the
+    # footer re-inference (~290 ms each).  Inference runs under the
+    # nanosAsLong pin above, so the memoized schema matches it.
+    path = f"{sf_dir}/events.parquet"
+    schema = _EVENTS_SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _EVENTS_SCHEMA_MEMO[path] = schema
     # file-stream sources take a directory; select the events file by glob
     stream = (
-        spark.readStream.schema(batch.schema)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .option("maxFilesPerTrigger", 1)
         .parquet(sf_dir)
     )
-    ts_type = dict(batch.dtypes).get("ts")
+    ts_type = {f.name: f.dataType.simpleString() for f in schema.fields}.get("ts")
     if ts_type == "bigint":
         stream = stream.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
     elif ts_type == "timestamp_ntz":

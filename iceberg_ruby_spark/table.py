@@ -842,6 +842,36 @@ def _scan_schema_memo_put(key, spark_schema) -> None:
         _SCAN_SCHEMA_MEMO.pop(next(iter(_SCAN_SCHEMA_MEMO)))
 
 
+def _memo_read_parquet(spark: SparkSession, paths, base_path=None) -> DataFrame:
+    """Parquet read of IMMUTABLE files through the inferred-schema memo:
+    the first read of a file set infers and memoizes, repeats pass the
+    identical StructType explicitly and skip the footer re-inference."""
+    key = (base_path, tuple(paths))
+    reader = spark.read
+    if base_path is not None:
+        reader = reader.option("basePath", base_path)
+    cached = _SCAN_SCHEMA_MEMO.get(key)
+    if cached is None:
+        df = reader.parquet(*paths)
+        _scan_schema_memo_put(key, df.schema)
+        return df
+    return reader.schema(cached).parquet(*paths)
+
+
+def _read_back_parquet(spark: SparkSession, out_dir: str, like_schema) -> DataFrame:
+    """Read back a directory THIS engine just wrote, passing the writer's
+    own schema (nullability relaxed, per-field metadata stripped) so the
+    read skips footer re-inference — the files were written from a frame
+    with exactly these columns and types, so inference could return
+    nothing else."""
+    import pyspark.sql.types as _T
+
+    clean = _T.StructType(
+        [_T.StructField(f.name, f.dataType, True) for f in like_schema.fields]
+    )
+    return spark.read.schema(clean).parquet(out_dir)
+
+
 _THETA_TYPES = (
     ice_t.BooleanType, ice_t.IntType, ice_t.LongType, ice_t.FloatType,
     ice_t.DoubleType, ice_t.DateType, ice_t.TimestampType, ice_t.TimestampTzType,
@@ -3543,13 +3573,7 @@ class Table:
             elif extra_cols:
                 df = reader.parquet(*paths)
             else:
-                memo_key = (cdir, tuple(paths))
-                cached = _SCAN_SCHEMA_MEMO.get(memo_key)
-                if cached is None:
-                    df = reader.parquet(*paths)
-                    _scan_schema_memo_put(memo_key, df.schema)
-                else:
-                    df = reader.schema(cached).parquet(*paths)
+                df = _memo_read_parquet(self.spark, paths, base_path=cdir)
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
@@ -3640,8 +3664,9 @@ class Table:
             del_parts = []
             if pos_files:
                 del_parts.append(
-                    self.spark.read.parquet(
-                        *[self.ops._abs(e["delete-file"]) for e in pos_files]
+                    _memo_read_parquet(
+                        self.spark,
+                        [self.ops._abs(e["delete-file"]) for e in pos_files],
                     ).select("file_path", F.col("pos").cast("long").alias("pos"))
                 )
             if dv_files:
@@ -3763,7 +3788,7 @@ class Table:
                     ),
                 )
                 keys_df = (
-                    self.spark.read.parquet(*[p for p, _ in fseq])
+                    _memo_read_parquet(self.spark, [p for p, _ in fseq])
                     .select(*cols_key, _file_path_col().alias("__eqf"))
                     .join(
                         F.broadcast(fseq_df),
@@ -3802,7 +3827,7 @@ class Table:
             # to the files live at delete time
             eq_cols = e["equality-cols"]
             dels = (
-                self.spark.read.parquet(self.ops._abs(e["delete-file"]))
+                _memo_read_parquet(self.spark, [self.ops._abs(e["delete-file"])])
                 .select(
                     *[F.col(c).alias(f"__eqk{i}_{j}") for j, c in enumerate(eq_cols)]
                 )
@@ -4643,7 +4668,7 @@ class Table:
         hits.repartition(F.col("file_path")).sortWithinPartitions(
             "file_path", "pos"
         ).write.parquet(del_dir)
-        written = self.spark.read.parquet(del_dir)
+        written = _read_back_parquet(self.spark, del_dir, hits.schema)
         # per-part-file counts + target scope in ONE footer-cheap job
         per_file = (
             written.groupBy(F.col("_metadata.file_path").alias("__part"))
@@ -5380,7 +5405,7 @@ class Table:
             keys_df.repartitionByRange(*cols).sortWithinPartitions(
                 *cols
             ).write.parquet(del_dir)
-            written = self.spark.read.parquet(del_dir)
+            written = _read_back_parquet(self.spark, del_dir, keys_df.schema)
             aggs = [F.count(F.lit(1)).alias("__n")]
             for j, c in enumerate(cols):
                 aggs += [
@@ -5553,20 +5578,13 @@ class Table:
         ``deleted-records`` = key rows in THAT file, which is what the
         spec's delete-file ``record_count`` means for equality deletes.
         The matched-data-row total goes in the commit summary instead."""
-        written = self.spark.read.parquet(del_dir)
-        per_file = (
-            written.groupBy(F.col("_metadata.file_path").alias("__part"))
-            .agg(F.count(F.lit(1)).alias("__n"))
-            .collect()
-        )
         out = []
-        for r in sorted(per_file, key=lambda r: r["__part"]):
-            part = _spark_uri_path(r["__part"])
+        for part, n in self._delete_part_counts(del_dir):
             out.append(
                 {
                     "delete-file": part,
                     "applies-to": list(applies),
-                    "deleted-records": r["__n"],
+                    "deleted-records": n,
                     "content": "equality-deletes",
                     "equality-ids": list(field_ids),
                     "equality-cols": list(cols),
@@ -5574,6 +5592,35 @@ class Table:
                 }
             )
         return out
+
+    def _delete_part_counts(self, del_dir: str) -> list:
+        """``(path, rows)`` per parquet part file of a freshly written
+        delete directory, sorted by path.  Footer fast path (guide §1.2 —
+        the same move as the manifest footer stats): the counts ARE the
+        parquet footers' ``num_rows``, so local files need no Spark read
+        job at all; non-local IO or any footer surprise falls back to the
+        Spark aggregation.  Zero-row part files are skipped on both paths
+        (the aggregation emits no group for them)."""
+        try:
+            import pyarrow.parquet as _pq
+
+            paths = sorted(
+                p for p in self.ops.io.list(del_dir) if p.endswith(".parquet")
+            )
+            if paths and all(os.path.isfile(p) for p in paths):
+                counts = [
+                    (p, _pq.ParquetFile(p).metadata.num_rows) for p in paths
+                ]
+                return [(p, n) for p, n in counts if n]
+        except Exception:
+            pass
+        written = self.spark.read.parquet(del_dir)
+        rows = (
+            written.groupBy(F.col("_metadata.file_path").alias("__part"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .collect()
+        )
+        return sorted((_spark_uri_path(r["__part"]), r["__n"]) for r in rows)
 
     def _update_where_mor(
         self, assignments: dict[str, Any], cond, mode: str,
@@ -6369,8 +6416,8 @@ class Table:
         # applies, so consolidation survives prior rename_table moves)
         parts = []
         for e in pos:
-            df_e = self.spark.read.parquet(
-                self.ops._abs(e["delete-file"])
+            df_e = _memo_read_parquet(
+                self.spark, [self.ops._abs(e["delete-file"])]
             ).select("file_path", F.col("pos").cast("long").alias("pos"))
             ebase = (e.get("base-location") or base).rstrip("/")
             rel = F.regexp_replace(
@@ -6394,7 +6441,7 @@ class Table:
         merged.repartition(F.col("file_path")).sortWithinPartitions(
             "file_path", "pos"
         ).write.parquet(del_dir)
-        written = self.spark.read.parquet(del_dir)
+        written = _read_back_parquet(self.spark, del_dir, merged.schema)
         per_file = (
             written.groupBy(F.col("_metadata.file_path").alias("__part"))
             .agg(
@@ -8048,8 +8095,8 @@ class TableInspect:
         parts = []
         if pos_files:
             parts.append(
-                t.spark.read.parquet(
-                    *[t.ops._abs(e["delete-file"]) for e in pos_files]
+                _memo_read_parquet(
+                    t.spark, [t.ops._abs(e["delete-file"]) for e in pos_files]
                 )
                 .select(
                     "file_path",
