@@ -895,12 +895,23 @@ def apply_dedup(
     pairs: DataFrame,
     id_col: str = "doc_id",
     quality_col: Optional[str] = None,
+    quality_fn=None,
 ) -> DataFrame:
     """The dedup pipeline's APPLY step: given the corpus and its verified
     near-dup pairs, return the corpus with every near-dup family reduced
     to ONE canonical survivor (highest ``quality_col``, ties and the
     no-quality default broken by smallest id).  Docs in no pair pass
     through untouched.
+
+    ``quality_fn`` supplies the quality lookup lazily: it is called with
+    the member-id frame (one ``id_col`` row per doc in any pair — the
+    components output, so already materialized) and must return an
+    ``(id_col, quality_col)`` frame covering those ids.  The ranking
+    consults quality ONLY for component members, so a caller whose
+    quality is derived (not stored on the corpus) computes it for the
+    output-sized member set instead of attaching a corpus-sized derived
+    column that the returned frame would drop anyway (guide §1.2: don't
+    compute things you throw away).
 
     Scale shape: components (:func:`connected_components`) and the
     ranked loser list are pair-output-sized, never corpus-sized; the
@@ -911,8 +922,12 @@ def apply_dedup(
         "doc_id", "__cc_id"
     )
     qual_cols = [F.col(quality_col).alias("__q")] if quality_col else []
+    if quality_fn is not None:
+        qual_src = quality_fn(comp.select(F.col("__cc_id").alias(id_col)))
+    else:
+        qual_src = corpus
     ranked = comp.join(
-        corpus.select(F.col(id_col).cast("long").alias("__cc_id"), *qual_cols),
+        qual_src.select(F.col(id_col).cast("long").alias("__cc_id"), *qual_cols),
         "__cc_id",
     )
     order = ([F.col("__q").desc()] if quality_col else []) + [F.col("__cc_id").asc()]
@@ -1270,6 +1285,8 @@ def semantic_dedup(
     pairs = _within_cell_pairs(assigned, id_col, threshold)
     if keep == "min_id":
         return apply_dedup(corpus, pairs, id_col=id_col)
+    from iceberg_ruby_spark.operators.similarity import ivf_assign
+
     # centroid-similarity quality via a BROADCAST join against the (tiny)
     # centroid table — a literal array-of-arrays expression would bloat
     # the plan at large n_cells (4096 cells × dim literals per evaluation)
@@ -1281,17 +1298,29 @@ def semantic_dedup(
     centroid_cos = _dot(F.col("__cv"), F.col("__cent")) / (
         _norm(F.col("__cv")) * _norm(F.col("__cent"))
     )
-    qual = (
-        assigned.join(F.broadcast(cent_df), "cell")
-        .select(F.col(id_col), (-centroid_cos).alias("__centroid_far"))
-    )
-    out = apply_dedup(
-        corpus.join(qual, id_col, "left"),
+    # quality is consulted only for COMPONENT MEMBERS (apply_dedup ranks
+    # within clusters; docs in no pair pass through untouched), so the
+    # centroid-similarity column is computed for members only — the old
+    # form attached it to the WHOLE corpus (a second full-corpus
+    # assignment pass — scan + Arrow UDF — beyond the one the pair stage
+    # already runs) and the returned frame dropped the column anyway.
+    # apply_dedup hands the member-id frame (the already-materialized
+    # components output) to this callback.
+    def _member_quality(member_ids: DataFrame) -> DataFrame:
+        members = corpus.join(F.broadcast(member_ids), id_col, "left_semi")
+        return (
+            ivf_assign(centroids, members, id_col=id_col, vec_col=vec_col)
+            .join(F.broadcast(cent_df), "cell")
+            .select(F.col(id_col), (-centroid_cos).alias("__centroid_far"))
+        )
+
+    return apply_dedup(
+        corpus,
         pairs,
         id_col=id_col,
         quality_col="__centroid_far",
+        quality_fn=_member_quality,
     )
-    return out.drop("__centroid_far")
 
 
 def remove_shared_spans(

@@ -397,7 +397,15 @@ def _cell_assigner(centroids):
         d = sq[None, :] - 2.0 * (x @ cents.T)  # argmin ||v-c||² sans ||v||²
         return pd.Series(d.argmin(axis=1)).astype("Int32")
 
-    return _assign
+    # asNondeterministic (guide §4.4): the function IS deterministic, but
+    # joins on the assigned cell derive ``isnotnull(cell)`` and the
+    # optimizer pushes that filter below by DUPLICATING the UDF — every
+    # assignment consumer then ran the matmul twice per corpus row (one
+    # ArrowEvalPython below the filter, one above; seen in the
+    # dedup_semantic and IVF plans).  Marking it non-deterministic
+    # forbids the copy, yielding a single evaluation; assignment values
+    # are unchanged.
+    return _assign.asNondeterministic()
 
 
 def _cell_assign_expr(vec, centroids):

@@ -771,6 +771,37 @@ def test_apply_dedup_keeps_canonical(spark):
     assert kept_min == [1, 4, 9]
 
 
+def test_apply_dedup_quality_fn_members_only(spark):
+    # quality_fn receives EXACTLY the component-member ids and its values
+    # rank identically to an equivalent corpus quality column (the
+    # members-only quality path semantic_dedup's far_from_centroid uses)
+    from pyspark.sql import functions as F
+
+    from iceberg_ruby_spark.operators.dedup import apply_dedup
+
+    corpus = spark.createDataFrame(
+        [(1, 50), (2, 80), (3, 60), (4, 10), (9, 99)],
+        "doc_id long, n_chars long",
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], "id_a long, id_b long")
+    seen: dict = {}
+
+    def qfn(member_ids):
+        seen["ids"] = sorted(r["doc_id"] for r in member_ids.collect())
+        return member_ids.join(corpus, "doc_id").select(
+            "doc_id", F.col("n_chars").alias("__mq")
+        )
+
+    kept = sorted(
+        r["doc_id"]
+        for r in apply_dedup(
+            corpus, pairs, quality_col="__mq", quality_fn=qfn
+        ).collect()
+    )
+    assert kept == [2, 4, 9]  # same ranking as the corpus-column form
+    assert seen["ids"] == [1, 2, 3]  # members only — never the corpus
+
+
 def test_leakage_safe_split_never_splits_neardups(spark):
     from iceberg_ruby_spark.operators.dedup import leakage_safe_split
 
