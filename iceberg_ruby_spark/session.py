@@ -40,7 +40,25 @@ def get_spark(app_name: str = "iceberg_ruby_spark", cpus: Optional[int] = None) 
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Spark's default 10 MB, env-overridable.  The round-1 value
+        # (64 MB) was re-measured in r13: at sf0.1 the two are
+        # statistically identical (full 20-query interleaved A/B:
+        # 24.431 s vs 24.459 s; 5-rep focused A/B on every query that
+        # seemed to prefer 64 MB: overlapping distributions), but at the
+        # 10× tier the 64 MB value made the planner BROADCAST the fact
+        # side of q3/q5's orders⋈lineitem joins (a ~6M-row single-thread
+        # broadcast build + driver collect): q5 3.36 → 0.84 s and q3
+        # 1.98 → 0.64 s at sf1 with the default.  Deliberate broadcasts
+        # in the query library use explicit hints and are unaffected;
+        # the threshold only governs unhinted mid-size decisions, where
+        # under-broadcasting costs a coalesced shuffle and
+        # over-broadcasting costs a serial build that grows with data.
+        .config(
+            "spark.sql.autoBroadcastJoinThreshold",
+            os.environ.get(
+                "SPARK_GRAFT_BROADCAST_THRESHOLD", str(10 * 1024 * 1024)
+            ),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
