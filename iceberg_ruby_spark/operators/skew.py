@@ -80,15 +80,23 @@ def salted_join(
     o = other.withColumn(
         "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt)]))
     )
-    # shuffle_hash on the replicated side (r13): left to its stats, Spark
-    # broadcasts the salt×-replicated build — every executor hashes salt
-    # copies of every `other` row, single-threaded per broadcast, and the
-    # (key, salt) join key does nothing under a broadcast (salting exists
-    # to spread a SHUFFLE's hot key).  The operator's contract is "both
-    # sides too big to broadcast", so pin the shuffle shape: hash-build on
-    # the replicated side, no SMJ sorts, AQE skew-split still applies.
-    # Measured interleaved at sf0.1: 0.73 s vs 1.93 s broadcast min-of-3.
-    joined = s.join(o.hint("shuffle_hash"), keys + ["__salt"], how)
+    # merge hint (r13): left to its stats, Spark broadcasts the
+    # salt×-replicated build — every executor hashes salt copies of every
+    # `other` row, single-threaded per broadcast, and the (key, salt)
+    # join key does nothing under a broadcast (salting exists to spread a
+    # SHUFFLE's hot key).  The operator's contract is "both sides too big
+    # to broadcast", so the shuffle shape is pinned.  A shuffle_hash
+    # build on the replicated side was used earlier in r13 (0.73 s vs
+    # 1.93 s broadcast at sf0.1) and then FALSIFIED by the 100×-tier
+    # probe: the hash build holds salt × |other| / partitions rows and
+    # cannot spill — at tmp/sf10 that is ~3.7M rows (~450 MB) per task,
+    # which hard-OOMed the bench session
+    # (SparkOutOfMemoryError "not enough memory to build hash map" in
+    # ShuffledHashJoinExec.buildHashedRelation).  Sort-merge spills
+    # gracefully at any scale and is the join AQE's skew-split handles
+    # best; measured stage-level cost vs SHJ at sf0.1 was 0.80 s vs
+    # 0.73 s — noise at query level, bought with an OOM-free build.
+    joined = s.join(o.hint("merge"), keys + ["__salt"], how)
     return joined.drop("__salt")
 
 

@@ -80,7 +80,13 @@ def main() -> None:
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
     ]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver testdata ships single parquet FILES; synthesized scale
+        # tiers (scripts/gen_scale.py) are Spark-written DIRECTORIES —
+        # glob those so the oracle can run on any tier
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
 
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
