@@ -174,6 +174,15 @@ def main() -> None:
                 "loadavg_before": load_before,
                 "loadavg_after": tuple(round(x, 2) for x in os.getloadavg()),
                 "cpus_host": os.cpu_count(),
+                # EFFECTIVE parallelism (r13 VERDICT #3: `cpus_host` is
+                # os.cpu_count() — 32 even on an 8-core leg — so nothing in
+                # the artifact proved $SPARK_GRAFT_CPUS was honored and the
+                # driver's core-scaling probe false-flagged
+                # `suspect_cpus_ignored`).  defaultParallelism and the
+                # master string come from the LIVE SparkContext: they are
+                # what the session actually ran with.
+                "cpus_effective": spark.sparkContext.defaultParallelism,
+                "master": spark.sparkContext.master,
                 # single-thread sha256 canary (sec) bracketing the run —
                 # divide totals by mean(canary) for host-speed-normalized
                 # round-over-round comparison (SCALE.md adjudication)

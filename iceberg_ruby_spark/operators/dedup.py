@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from iceberg_ruby_spark.errors import InvalidDataError
 from iceberg_ruby_spark._localdf import small_local_df
+from iceberg_ruby_spark.operators._spread import spread_small_scan
 
 
 def exact_dedup(
@@ -120,8 +121,17 @@ def _shingle_hashes(
     derivation :func:`simhash` uses.  md5 exists with identical semantics
     in other engines (DuckDB: ``CAST('0x'||substr(md5(s),1,15) AS
     BIGINT)``), making every downstream signature — and therefore the
-    whole MinHash+LSH pipeline — cross-engine verifiable."""
-    norm = df.select(
+    whole MinHash+LSH pipeline — cross-engine verifiable.
+
+    The input is SPREAD first when under-split (guide §2.5): shingling
+    multiplies per-row work ~300× (shingles/doc) × k hash-mins, so a
+    byte-sized scan split serializes the whole pipeline's dominant stage
+    on one core (measured at sf0.1: the corpus is one 0.6 MB row group →
+    a 1-task signature stage; spreading it halved the whole query).
+    Partitioning by ``id_col`` lets the signature ``groupBy(id)`` reuse
+    this exchange instead of adding one (§2.4); at scale the gate never
+    fires (scans split to ≥ cores naturally)."""
+    norm = spread_small_scan(df, id_col).select(
         F.col(id_col), F.encode(normalize_text(text_col), "UTF-8").alias("__t")
     )
     n = F.greatest(F.length(F.col("__t")) - F.lit(size - 1), F.lit(1))
@@ -1069,6 +1079,9 @@ def line_dedup(
     # exchange trick was measured here and REJECTED — the line explode
     # is too cheap for the saved re-evaluation to beat the added AQE
     # stage barrier (A/B min-of-4 at sf0.1: 0.867 s vs 0.831 s plain).
+    # NOTE (r14): spread_small_scan on the corpus was likewise measured
+    # and REJECTED (0.699 s spread vs 0.508 s plain, interleaved min-of-4
+    # — same reason).
     dup = (
         lines.filter(F.col("__k") != "")
         .groupBy("__k")
@@ -1359,6 +1372,12 @@ def remove_shared_spans(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != "",
     )
+    # NOTE (r14): spread_small_scan was measured here and REJECTED — the
+    # token-split + gram-concat work is too cheap for the gained
+    # parallelism to beat the added exchange + AQE stage barrier
+    # (interleaved A/B min-of-4 at sf0.1: 1.113 s spread vs 1.014 s plain
+    # for dedup_remove_spans).  The minhash shingle path, whose per-row
+    # work is ~10× heavier (k=64 affine mins per shingle), keeps it.
     base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
     # one gram per start position (positional, NOT distinct — occurrence
     # counts and first-occurrence identity both need every window)
@@ -1523,6 +1542,12 @@ def decontaminate_spans(
         F.split(F.trim(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
         lambda t: t != "",
     )
+    # NOTE (r14): spread_small_scan was measured here and REJECTED — the
+    # token-split + gram-concat work is too cheap for the gained
+    # parallelism to beat the added exchange + AQE stage barrier
+    # (interleaved A/B min-of-4 at sf0.1: 1.113 s spread vs 1.014 s plain
+    # for dedup_remove_spans).  The minhash shingle path, whose per-row
+    # work is ~10× heavier (k=64 affine mins per shingle), keeps it.
     base = corpus.select(F.col(id_col), toks_arr.alias("__toks"))
     starts = F.when(
         F.size("__toks") >= ngram,

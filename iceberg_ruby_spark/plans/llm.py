@@ -705,6 +705,10 @@ def pipeline_clean_corpus(spark, sf_dir):
         token_count,
     )
 
+    # NOTE (r14): spread_small_scan (the minhash §2.5 fix) was measured
+    # here and REJECTED — interleaved A/B min-of-4 at sf0.1: 0.825 s
+    # spread vs 0.784 s plain (the regex scoring is cheap enough that the
+    # added exchange + stage barrier loses).
     d = load(spark, sf_dir, "documents")
     scored = d.select(
         "doc_id",
