@@ -81,3 +81,17 @@ def test_salted_count_distinct_exact(spark):
     assert got == want == {"hot": 37, "cold": 2, "none": 0}
     with pytest.raises(InvalidDataError, match="salt must be"):
         salted_count_distinct(df, "k", "x", salt=0)
+
+
+def test_salted_join_plan_is_sort_merge(skewed, dim):
+    """r14 (VERDICT r13 #3): the salted join's physical shape is pinned
+    to SortMergeJoin — not BroadcastHashJoin (a broadcast of the salt×-
+    replicated side defeats salting: the hot key never spreads) and not
+    ShuffledHashJoin (its hash build cannot spill; the r13 sf10 probe
+    OOMed in buildHashedRelation).  SMJ spills gracefully and is the
+    join AQE's skew-split targets."""
+    df = salted_join(skewed, dim, on="k", salt=8)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
