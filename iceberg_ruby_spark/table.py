@@ -842,15 +842,189 @@ def _scan_schema_memo_put(key, spark_schema) -> None:
         _SCAN_SCHEMA_MEMO.pop(next(iter(_SCAN_SCHEMA_MEMO)))
 
 
-def _memo_read_parquet(spark: SparkSession, paths, base_path=None) -> DataFrame:
-    """Parquet read of IMMUTABLE files through the inferred-schema memo:
-    the first read of a file set infers and memoizes, repeats pass the
-    identical StructType explicitly and skip the footer re-inference."""
+# Per-PATH footer-schema memo (r14, VERDICT r13 #6: kill remaining
+# schema-inferring reads).  The per-fileset memo above only helps the
+# SECOND scan of an identical file set; every first scan still paid a
+# Spark schema-inference JOB (~0.1 s at bench scale, a footer pass over
+# every file at 100 TB).  Data files are immutable, so each file's
+# footer schema can be read ONCE (pyarrow, driver-side, ~1 ms local)
+# and reused across every file-set grouping that ever includes the
+# file — new commits recombine old files into new sets, which the
+# fileset memo cannot exploit.  Anything the footer maps ambiguously
+# (variant logical types, INT96/nanos timestamps) returns None and the
+# caller falls back to live Spark inference; SPARK_GRAFT_SCHEMA_XCHECK=1
+# makes every declared-schema read ALSO infer and assert equality.
+_FOOTER_SCHEMA_MEMO: dict = {}
+_FOOTER_SCHEMA_MEMO_MAX = 4096
+
+
+def _relax_nullable(dt):
+    """Recursively nullable/containsNull=True — Spark inference reports
+    everything nullable; footer schemas carry parquet repetition."""
+    import pyspark.sql.types as _T
+
+    if isinstance(dt, _T.StructType):
+        return _T.StructType(
+            [
+                _T.StructField(f.name, _relax_nullable(f.dataType), True)
+                for f in dt.fields
+            ]
+        )
+    if isinstance(dt, _T.ArrayType):
+        return _T.ArrayType(_relax_nullable(dt.elementType), True)
+    if isinstance(dt, _T.MapType):
+        return _T.MapType(
+            _relax_nullable(dt.keyType), _relax_nullable(dt.valueType), True
+        )
+    return dt
+
+
+def _arrow_type_ambiguous(t) -> bool:
+    """Arrow types whose Spark-read mapping differs from footer-derived
+    conversion: ns-unit timestamps (INT96 legacy files and true
+    nano-parquet read differently than ``from_arrow_schema`` maps them)."""
+    import pyarrow as _pa
+
+    if _pa.types.is_timestamp(t):
+        return t.unit == "ns"
+    if _pa.types.is_list(t) or _pa.types.is_large_list(t):
+        return _arrow_type_ambiguous(t.value_type)
+    if _pa.types.is_struct(t):
+        return any(_arrow_type_ambiguous(f.type) for f in t)
+    if _pa.types.is_map(t):
+        return _arrow_type_ambiguous(t.key_type) or _arrow_type_ambiguous(
+            t.item_type
+        )
+    return False
+
+
+def _footer_file_schema(path: str):
+    """The file's column StructType built from its parquet FOOTER
+    (immutable files ⇒ per-path LRU), or None when the footer is
+    unreadable or maps ambiguously — callers fall back to inference."""
+    st = _FOOTER_SCHEMA_MEMO.get(path)
+    if st is not None:
+        return st
+    local = _local_path(path)
+    if "://" in local or not os.path.isfile(local):
+        return None
+    try:
+        import pyarrow.parquet as _pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        arrow = _pq.read_schema(local)
+        if any(_arrow_type_ambiguous(f.type) for f in arrow):
+            return None
+        st = from_arrow_schema(arrow, prefer_timestamp_ntz=True)
+    except Exception:
+        return None
+    st = _relax_nullable(st)
+    _FOOTER_SCHEMA_MEMO[path] = st
+    if len(_FOOTER_SCHEMA_MEMO) > _FOOTER_SCHEMA_MEMO_MAX:
+        _FOOTER_SCHEMA_MEMO.pop(next(iter(_FOOTER_SCHEMA_MEMO)))
+    return st
+
+
+def _declared_read_schema(paths, base_path=None, part_types=None):
+    """The full read schema Spark inference WOULD return for these paths
+    (file columns unioned across footers + hive partition-directory
+    columns under ``base_path``), or None when any piece cannot be
+    derived — mixed layouts, unknown partition types, exotic footers.
+    ``part_types`` maps partition-directory names to their Spark types
+    (identity partitions: the table column's type — the read path casts
+    to the target schema afterwards either way)."""
+    import pyspark.sql.types as _T
+
+    fields: list = []
+    seen: dict = {}
+    for p in paths:
+        st = _footer_file_schema(p)
+        if st is None:
+            return None
+        for f in st.fields:
+            prev = seen.get(f.name)
+            if prev is None:
+                seen[f.name] = f.dataType
+                fields.append(f)
+            elif prev != f.dataType:
+                return None
+    if base_path is not None:
+        base = os.path.abspath(_local_path(base_path))
+        pcols = None
+        for p in paths:
+            rel = os.path.relpath(
+                os.path.dirname(os.path.abspath(_local_path(p))), base
+            )
+            names = tuple(
+                s.split("=", 1)[0] for s in rel.split(os.sep) if "=" in s
+            )
+            if pcols is None:
+                pcols = names
+            elif pcols != names:
+                return None
+        for name in pcols or ():
+            if name in seen:
+                return None
+            t = (part_types or {}).get(name)
+            if t is None:
+                return None
+            fields.append(_T.StructField(name, t, True))
+    return _T.StructType(fields)
+
+
+def _xcheck_declared_schema(reader_fn, declared, tag: str, paths=()) -> None:
+    """SPARK_GRAFT_SCHEMA_XCHECK=1: run the live inference the declared
+    schema replaced and assert containment — every inferred field exists
+    in the declared schema, with the identical type for FILE columns.
+    Containment, not equality: plain (non-mergeSchema) inference reads
+    ONE footer, so on groups where only some files carry the reserved
+    lineage columns it under-reports them; the declared union includes
+    them, and downstream projections select by name, ignoring extras.
+    Partition-DIRECTORY columns (names absent from every footer) only
+    need to exist: inference narrows their type from the directory
+    string (``p=1`` → int) while the declared schema uses the table
+    column's type — the read path casts to the table type either way."""
+    inferred = _relax_nullable(reader_fn().schema)
+    got = {f.name: f.dataType for f in declared.fields}
+    file_names = set()
+    for p in paths:
+        st = _footer_file_schema(p)
+        if st is not None:
+            file_names |= {f.name for f in st.fields}
+    bad = [
+        f.name
+        for f in inferred.fields
+        if f.name not in got
+        or (f.name in file_names and got[f.name] != f.dataType)
+    ]
+    if bad:
+        raise AssertionError(
+            f"declared-read-schema mismatch on {bad} ({tag}):\n"
+            f"declared: {declared.simpleString()}\n"
+            f"inferred: {inferred.simpleString()}"
+        )
+
+
+def _memo_read_parquet(
+    spark: SparkSession, paths, base_path=None, part_types=None
+) -> DataFrame:
+    """Parquet read of IMMUTABLE files with the schema DECLARED instead of
+    inferred: built from per-path footer schemas (plus partition-directory
+    columns) when derivable, else inferred once and memoized per file set.
+    Either way repeats never pay a footer re-inference job."""
     key = (base_path, tuple(paths))
     reader = spark.read
     if base_path is not None:
         reader = reader.option("basePath", base_path)
     cached = _SCAN_SCHEMA_MEMO.get(key)
+    if cached is None:
+        cached = _declared_read_schema(paths, base_path, part_types)
+        if cached is not None:
+            if os.environ.get("SPARK_GRAFT_SCHEMA_XCHECK"):
+                _xcheck_declared_schema(
+                    lambda: reader.parquet(*paths), cached, paths[0], paths
+                )
+            _scan_schema_memo_put(key, cached)
     if cached is None:
         df = reader.parquet(*paths)
         _scan_schema_memo_put(key, df.schema)
@@ -3561,19 +3735,40 @@ class Table:
         for sid, cdir, fmt in sorted(groups):
             written = self.schema_by_id(sid) or schema
             reader = self.spark.read.option("basePath", cdir)
-            if extra_cols:
-                # reserved columns (materialized lineage) exist only in
-                # SOME files of a group (compaction outputs share the flat
-                # unpartitioned group with later appends); mergeSchema
-                # surfaces them everywhere, null where absent
-                reader = reader.option("mergeSchema", "true")
             paths = groups[(sid, cdir, fmt)]
+            # identity partition directories cast to the written column's
+            # type (the projection below re-casts to the target schema
+            # anyway); unknown names (transformed specs) fall back to
+            # live inference inside the helpers
+            part_types = {f.name: f.to_spark().dataType for f in written.fields}
             if fmt == "orc":
                 df = reader.format("orc").load(paths)
             elif extra_cols:
-                df = reader.parquet(*paths)
+                # reserved columns (materialized lineage) exist only in
+                # SOME files of a group (compaction outputs share the flat
+                # unpartitioned group with later appends).  The declared
+                # union schema surfaces them everywhere, null where a file
+                # lacks them — what option("mergeSchema") computed with a
+                # footer-inference JOB per call (r14: mergeSchema was the
+                # one read the r13 fileset memo could not cover)
+                declared = _declared_read_schema(paths, cdir, part_types)
+                if declared is not None:
+                    if os.environ.get("SPARK_GRAFT_SCHEMA_XCHECK"):
+                        _xcheck_declared_schema(
+                            lambda r=reader, ps=paths: r.option(
+                                "mergeSchema", "true"
+                            ).parquet(*ps),
+                            declared,
+                            f"lineage:{paths[0]}",
+                            paths,
+                        )
+                    df = reader.schema(declared).parquet(*paths)
+                else:
+                    df = reader.option("mergeSchema", "true").parquet(*paths)
             else:
-                df = _memo_read_parquet(self.spark, paths, base_path=cdir)
+                df = _memo_read_parquet(
+                    self.spark, paths, base_path=cdir, part_types=part_types
+                )
             cols = []
             for f in schema.fields:
                 wf = written.field_by_id(f.field_id)
@@ -5487,16 +5682,31 @@ class Table:
                     )
             scan_entries = kept + mor
         live = self._read_entries(scan_entries, file_col="__f")
-        match_cond = [live[c].eqNullSafe(keys_df[c]) for c in cols]
-        # Broadcast only when the key frame's Catalyst size estimate fits
-        # the budget — a CDC batch broadcasts (no fact shuffle); a 10^8-key
-        # backfill would OOM the driver, so it falls back to a shuffle
-        # semi-join instead (r6 review item).
-        est_bytes = int(
-            keys_df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        # Write the key file FIRST, then hit-find against its read-back
+        # (r14): the keys frame is often a filtered scan/join in its own
+        # right, and the old order evaluated it TWICE — once broadcast for
+        # the hit count, once for the write — plus a forced Catalyst
+        # optimization pass just for the broadcast size estimate.  The
+        # written parquet is the same distinct key set, its re-scan is
+        # O(|keys|), and its on-disk size decides broadcast-vs-shuffle
+        # from real bytes (quartered as a compression allowance) instead
+        # of an estimate; a no-hit call removes the file and commits
+        # nothing, exactly like before (r6 review item: a 10^8-key
+        # backfill must fall back to a shuffle semi-join, not OOM the
+        # driver).
+        del_dir = os.path.join(self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}")
+        keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
+        written = _read_back_parquet(self.spark, del_dir, keys_df.schema)
+        size_bytes = sum(
+            os.path.getsize(_local_path(p))
+            for p in self.ops.io.list(del_dir)
+            if p.endswith(".parquet")
         )
+        match_cond = [live[c].eqNullSafe(written[c]) for c in cols]
         keys_side = (
-            F.broadcast(keys_df) if est_bytes <= _BROADCAST_KEYS_MAX_BYTES else keys_df
+            F.broadcast(written)
+            if size_bytes <= _BROADCAST_KEYS_MAX_BYTES // 4
+            else written
         )
         hit_rows = (
             live.join(keys_side, match_cond, "left_semi")
@@ -5506,9 +5716,10 @@ class Table:
         )
         deleted = sum(r["n"] for r in hit_rows)
         if not deleted:
+            import shutil
+
+            shutil.rmtree(_local_path(del_dir), ignore_errors=True)
             return 0
-        del_dir = os.path.join(self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}")
-        keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
         self._commit_snapshot(
             "delete",
             entries
