@@ -765,8 +765,21 @@ _STD_AC_CHROMA = (
 )
 
 
+# Huffman table memo (r14, guide §4.5 "heavyweight init once"): every
+# decode re-parsed its DHT segments and every encode rebuilt the four
+# standard Annex K tables — 8+ dict builds PER IMAGE, ~25% of a small
+# image's codec wall (profiled on the 1-2-block bench shapes).  The
+# (bits, values) spec fully determines the table and the standard
+# tables repeat across every file, so both directions memoize on it.
+_HUFF_MEMO: dict = {}
+
+
 def _huff_decode_table(bits, values):
     """{(length, code): value} from a (bits, values) spec (T.81 C.2)."""
+    key = ("d", bytes(bits), bytes(values))
+    cached = _HUFF_MEMO.get(key)
+    if cached is not None:
+        return cached
     table = {}
     code = 0
     k = 0
@@ -776,15 +789,24 @@ def _huff_decode_table(bits, values):
             code += 1
             k += 1
         code <<= 1
+    if len(_HUFF_MEMO) < 1024:
+        _HUFF_MEMO[key] = table
     return table
 
 
 def _huff_encode_table(bits, values):
     """{value: (code, length)} — the encoder-side inverse."""
-    return {
+    key = ("e", bytes(bits), bytes(values))
+    cached = _HUFF_MEMO.get(key)
+    if cached is not None:
+        return cached
+    table = {
         v: (code, length)
         for (length, code), v in _huff_decode_table(bits, values).items()
     }
+    if len(_HUFF_MEMO) < 1024:
+        _HUFF_MEMO[key] = table
+    return table
 
 
 class _BitWriter:
@@ -882,6 +904,19 @@ def _category(v: int) -> int:
         a >>= 1
         t += 1
     return t
+
+
+def _zigzag_np():
+    """Cached numpy zigzag index array and its inverse permutation —
+    per-block list comprehensions over _ZIGZAG were ~11% of a small
+    image's encode wall (r14 profile)."""
+    import numpy as np
+
+    if not hasattr(_zigzag_np, "_z"):
+        z = np.array(_ZIGZAG, dtype=np.int64)
+        _zigzag_np._z = z
+        _zigzag_np._inv = np.argsort(z)
+    return _zigzag_np._z, _zigzag_np._inv
 
 
 def _dct_matrix():
@@ -993,7 +1028,8 @@ def encode_jpeg(
     dc_c = _huff_encode_table(*_STD_DC_CHROMA)
     ac_l = _huff_encode_table(*_STD_AC_LUMA)
     ac_c = _huff_encode_table(*_STD_AC_CHROMA)
-    qarr = np.array(q, dtype=np.float64)[np.argsort(_ZIGZAG)].reshape(8, 8)
+    _zz_idx, _zz_inv = _zigzag_np()
+    qarr = np.array(q, dtype=np.float64)[_zz_inv].reshape(8, 8)
     w = _BitWriter()
     pred = [0, 0, 0]
     rst = 0
@@ -1011,7 +1047,8 @@ def encode_jpeg(
                     block = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
                     coeffs = _fdct_2d(block)
                     quantized = np.floor(coeffs / qarr + 0.5).astype(np.int64)
-                    zz = [int(quantized.flat[_ZIGZAG[i]]) for i in range(64)]
+                    zz_arr = quantized.ravel()[_zz_idx]
+                    zz = zz_arr.tolist()
                     dct, act = (dc_l, ac_l) if ci == 0 else (dc_c, ac_c)
                     diff = zz[0] - pred[ci]
                     pred[ci] = zz[0]
@@ -1021,7 +1058,8 @@ def encode_jpeg(
                     if t:
                         w.write(diff if diff >= 0 else diff + (1 << t) - 1, t)
                     run = 0
-                    last_nz = max((i for i in range(1, 64) if zz[i]), default=0)
+                    nz = np.nonzero(zz_arr[1:])[0]
+                    last_nz = int(nz[-1]) + 1 if nz.size else 0
                     for i in range(1, last_nz + 1):
                         if zz[i] == 0:
                             run += 1
@@ -1170,6 +1208,10 @@ def _jpeg_scan(payload, pos, sof, comps, scan, qt, huff, restart_interval):
     planes = [
         np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8)) for c in comps
     ]
+    # per-component dequant vectors, built ONCE (the block loop built a
+    # fresh np.array per 8x8 block — r14 profile)
+    q_for = {c["id"]: np.array(qt[c["tq"]], dtype=np.float64) for c in comps}
+    zz_idx, _ = _zigzag_np()
     r = _BitReader(payload, pos)
     pred = {c["id"]: 0 for c in comps}
     rst = 0
@@ -1180,7 +1222,7 @@ def _jpeg_scan(payload, pos, sof, comps, scan, qt, huff, restart_interval):
             pred = {c["id"]: 0 for c in comps}
         my, mx = divmod(m, mcux)
         for ci, (c, dt, at) in enumerate(order):
-            q = np.array(qt[c["tq"]], dtype=np.float64)
+            q = q_for[c["id"]]
             for v in range(c["v"]):
                 for hh in range(c["h"]):
                     zz = np.zeros(64)
@@ -1203,7 +1245,7 @@ def _jpeg_scan(payload, pos, sof, comps, scan, qt, huff, restart_interval):
                         zz[k] = _extend(r.receive(size), size)
                         k += 1
                     coeffs = np.zeros((8, 8))
-                    coeffs.flat[_ZIGZAG] = zz * q
+                    coeffs.flat[zz_idx] = zz * q
                     block = np.clip(
                         np.floor(_idct_2d(coeffs) + 128.0 + 0.5), 0, 255
                     )

@@ -1080,7 +1080,17 @@ def multimodal_jpeg_pipeline(spark, sf_dir):
         encode_jpeg,
     )
 
-    d = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id"))
+    from iceberg_ruby_spark.operators._spread import spread_small_scan
+
+    # spread the id frame before the codec mapInPandas (guide §2.5, the
+    # minhash r14 fix): the documents scan is ONE byte-sized split at
+    # bench scale, so the whole encode→decode codec chain otherwise runs
+    # single-task (measured: ~0.6 ms/doc of codec CPU serialized on one
+    # core).  The exchange ships only (media_id) rows.
+    d = spread_small_scan(
+        load(spark, sf_dir, "documents").select(F.col("doc_id").alias("media_id")),
+        "media_id",
+    )
 
     def _build(batches):
         for pdf in batches:
@@ -2473,6 +2483,12 @@ def multimodal_mp4_frames(spark, sf_dir):
                 {"media_id": pdf["media_id"], "payload": payloads}
             )
 
+    # NOTE (r14): spread_small_scan before _build was measured here and
+    # REJECTED — interleaved A/B min-of-2 at sf0.1: 5.75 s spread vs
+    # 1.21 s plain.  Unlike multimodal_jpeg_pipeline (2 python stages,
+    # kept), this query chains 5 python/shuffle stages over the frames;
+    # 32-way partitioning multiplies their per-task costs far past the
+    # codec parallelism it buys.
     media = d.select(F.col("doc_id").alias("media_id")).mapInPandas(
         _build, "media_id long, payload binary"
     )
@@ -2602,6 +2618,9 @@ def multimodal_frames_codec_dedup(spark, sf_dir):
                 }
             )
 
+    # NOTE (r14): spread_small_scan before _build was measured here and
+    # REJECTED — interleaved A/B min-of-2 at sf0.1: 4.51 s spread vs
+    # 1.26 s plain (see multimodal_mp4_frames for the shape analysis).
     media = d.select(F.col("doc_id").alias("media_id")).mapInPandas(
         _build, "media_id long, payload binary, duration_ms long"
     )
