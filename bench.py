@@ -21,6 +21,18 @@ import sys
 import time
 
 
+def _parallel_canary_work(_i) -> float:
+    """One parallel-canary task: fixed sha256 burst (module-level so a
+    process pool can pickle it)."""
+    import hashlib
+
+    d = b"x" * 8192
+    t0 = time.perf_counter()
+    for _ in range(10000):
+        d = hashlib.sha256(d).digest() * 256
+    return time.perf_counter() - t0
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -62,6 +74,35 @@ def main() -> None:
         return round(time.perf_counter() - t0, 4)
 
     canary_before = _cpu_canary()
+
+    # PARALLEL-throughput canary (r14): the single-thread canary cannot
+    # see degraded MULTI-core capacity (cgroup quota shrinkage, co-tenant
+    # steal) — measured in r14: single-thread within 6% of r13 while 32
+    # processes scaled only 11.4x (vs ~25-30x on a healthy window),
+    # uniformly dilating every multi-task query 1.2-1.5x.  One fixed
+    # process-pool sha256 burst quantifies the host's effective core
+    # count so a reader can adjudicate uniform drift from the artifact.
+    def _cpu_canary_parallel() -> dict:
+        import concurrent.futures
+
+        single = _parallel_canary_work(0)
+        n = min(32, os.cpu_count() or 1)
+        t0 = time.perf_counter()
+        try:
+            # module-level worker: a process pool pickles the callable
+            with concurrent.futures.ProcessPoolExecutor(n) as ex:
+                list(ex.map(_parallel_canary_work, range(n)))
+        except Exception:
+            return {"n": n, "single_sec": round(single, 4), "scaling": None}
+        wall = time.perf_counter() - t0
+        return {
+            "n": n,
+            "single_sec": round(single, 4),
+            "wall_sec": round(wall, 4),
+            "scaling": round(n * single / wall, 1),
+        }
+
+    canary_parallel = _cpu_canary_parallel()
 
     spark = get_spark("bench")
     # JMH-style untimed warmup: run every bench query once at the smallest
@@ -190,6 +231,7 @@ def main() -> None:
                     "before": canary_before,
                     "after": canary_after,
                 },
+                "cpu_canary_parallel": canary_parallel,
                 "value_per_canary": round(
                     total / ((canary_before + canary_after) / 2), 2
                 ),
