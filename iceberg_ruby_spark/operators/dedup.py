@@ -783,6 +783,38 @@ def decontaminate(
     )
 
 
+def _local_union_find(edges) -> list[tuple[int, int]]:
+    """Driver-side union-find over an iterable of (src, dst) int pairs —
+    the small-graph fast path's closure.  Union by MIN root so every
+    root is its component's smallest id (the distributed loop's exact
+    contract).  Memory is one dict entry per distinct NODE (not per
+    edge); the 500k-edge gate bound is property-tested against a
+    tracemalloc ceiling in tests/test_operators.py so the constant is
+    evidence-backed, not estimated."""
+    parent: dict[int, int] = {}
+
+    def _find(x: int) -> int:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in edges:
+        if s not in parent:
+            parent[s] = s
+        if d not in parent:
+            parent[d] = d
+        rs, rd = _find(s), _find(d)
+        if rs != rd:
+            if rs < rd:
+                parent[rd] = rs
+            else:
+                parent[rs] = rd
+    return [(n, _find(n)) for n in parent]
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -833,34 +865,10 @@ def connected_components(
         os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX_EDGES", "500000") or 0
     )
     if n_edges <= local_max:
-        parent: dict[int, int] = {}
-
-        def _find(x: int) -> int:
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:  # path compression
-                parent[x], x = r, parent[x]
-            return r
-
-        for row in raw.collect():
-            s, d = row[0], row[1]
-            if s not in parent:
-                parent[s] = s
-            if d not in parent:
-                parent[d] = d
-            rs, rd = _find(s), _find(d)
-            if rs != rd:
-                # union by MIN root so every root is its component's
-                # smallest id — the distributed loop's exact contract
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
         spark = pairs.sparkSession
         return small_local_df(
             spark,
-            [(n, _find(n)) for n in parent],
+            _local_union_find((row[0], row[1]) for row in raw.collect()),
             "doc_id long, cluster_id long",
         )
     edges = (
@@ -932,13 +940,34 @@ def apply_dedup(
         "doc_id", "__cc_id"
     )
     qual_cols = [F.col(quality_col).alias("__q")] if quality_col else []
+    if quality_fn is not None and not quality_col:
+        # r14 (ADVICE r13): a callback without a quality column is
+        # silently meaningless — the frame would join and be ignored
+        # while still paying the callback's cost
+        raise InvalidDataError(
+            "apply_dedup: quality_fn requires quality_col (the callback's "
+            "output column the ranking should read)"
+        )
     if quality_fn is not None:
         qual_src = quality_fn(comp.select(F.col("__cc_id").alias(id_col)))
+        # LEFT join (r14, ADVICE r13): a contract-violating callback that
+        # returns a frame missing some member ids must degrade to min-id
+        # ranking for those members (null __q sorts last under desc),
+        # never silently drop them from the window — dropped members
+        # bypass dedup entirely.  For a compliant callback the join is
+        # key-complete and left ≡ inner.
+        how = "left"
     else:
         qual_src = corpus
+        # corpus-sourced quality keeps the inner join: caller-supplied
+        # pairs may reference ids absent from the corpus, and a phantom
+        # id must not enter the ranking (a left join would let a phantom
+        # minimum id win a cluster and evict a real survivor)
+        how = "inner"
     ranked = comp.join(
         qual_src.select(F.col(id_col).cast("long").alias("__cc_id"), *qual_cols),
         "__cc_id",
+        how,
     )
     order = ([F.col("__q").desc()] if quality_col else []) + [F.col("__cc_id").asc()]
     w = Window.partitionBy("cluster_id").orderBy(*order)

@@ -404,7 +404,13 @@ def _cell_assigner(centroids):
     # ArrowEvalPython below the filter, one above; seen in the
     # dedup_semantic and IVF plans).  Marking it non-deterministic
     # forbids the copy, yielding a single evaluation; assignment values
-    # are unchanged.
+    # are unchanged.  Broader cost (ADVICE r13): non-determinism blocks
+    # pushdown of ALL predicates through the project containing this
+    # UDF, not just the duplicated isnotnull — e.g. an id filter applied
+    # AFTER ivf_assign no longer prunes the scan below it.  The measured
+    # double-evaluation win dominates on the engine's own paths (they
+    # filter before assigning); callers composing ad-hoc filters on top
+    # of ivf_assign should filter/select-prune the INPUT frame instead.
     return _assign.asNondeterministic()
 
 

