@@ -955,7 +955,12 @@ def apply_dedup(
         # ranking for those members (null __q sorts last under desc),
         # never silently drop them from the window — dropped members
         # bypass dedup entirely.  For a compliant callback the join is
-        # key-complete and left ≡ inner.
+        # key-complete and left ≡ inner.  The quality side is BROADCAST
+        # explicitly: left-outer cannot build-left, so without the hint
+        # the planner flips the previously-broadcast ranking join to a
+        # two-exchange sort-merge (seen in the dedup_semantic plan).
+        # Scale-safety is unchanged — the callback frame is member-sized,
+        # the very frame the inner path's auto-broadcast already shipped.
         how = "left"
     else:
         qual_src = corpus
@@ -964,11 +969,12 @@ def apply_dedup(
         # id must not enter the ranking (a left join would let a phantom
         # minimum id win a cluster and evict a real survivor)
         how = "inner"
-    ranked = comp.join(
-        qual_src.select(F.col(id_col).cast("long").alias("__cc_id"), *qual_cols),
-        "__cc_id",
-        how,
+    qual_sel = qual_src.select(
+        F.col(id_col).cast("long").alias("__cc_id"), *qual_cols
     )
+    if how == "left":
+        qual_sel = F.broadcast(qual_sel)
+    ranked = comp.join(qual_sel, "__cc_id", how)
     order = ([F.col("__q").desc()] if quality_col else []) + [F.col("__cc_id").asc()]
     w = Window.partitionBy("cluster_id").orderBy(*order)
     losers = (
