@@ -932,9 +932,24 @@ def _declared_read_schema(paths, base_path=None, part_types=None):
     derived — mixed layouts, unknown partition types, exotic footers.
     ``part_types`` maps partition-directory names to their Spark types
     (identity partitions: the table column's type — the read path casts
-    to the target schema afterwards either way)."""
+    to the target schema afterwards either way).
+
+    Capped at ``SPARK_GRAFT_DECLARED_SCHEMA_MAX_FILES`` (256) paths: the
+    footer walk is driver-side and sequential, so for a very large scan
+    group plain inference is the better trade — non-mergeSchema
+    inference reads ONE footer, and mergeSchema distributes the walk
+    across the cluster.  The per-fileset memo still makes repeats of a
+    big group free after the first inference."""
     import pyspark.sql.types as _T
 
+    try:
+        cap = int(
+            os.environ.get("SPARK_GRAFT_DECLARED_SCHEMA_MAX_FILES", "256")
+        )
+    except ValueError:
+        cap = 256
+    if len(paths) > cap > 0:
+        return None
     fields: list = []
     seen: dict = {}
     for p in paths:
