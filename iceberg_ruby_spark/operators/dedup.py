@@ -783,6 +783,15 @@ def decontaminate(
     )
 
 
+def _is_driver_local(df: DataFrame) -> bool:
+    """True when the frame is a driver-built local relation (the
+    union-find fast path's output) — plan inspection only, no job."""
+    try:
+        return "LocalRelation" in df._jdf.queryExecution().optimizedPlan().toString()
+    except Exception:
+        return False
+
+
 def _local_union_find(edges) -> list[tuple[int, int]]:
     """Driver-side union-find over an iterable of (src, dst) int pairs —
     the small-graph fast path's closure.  Union by MIN root so every
@@ -972,7 +981,15 @@ def apply_dedup(
     qual_sel = qual_src.select(
         F.col(id_col).cast("long").alias("__cc_id"), *qual_cols
     )
-    if how == "left":
+    if how == "left" and _is_driver_local(comp):
+        # broadcast only when the component frame itself came from the
+        # driver union-find fast path (a LocalTableScan — the ≤500k-edge
+        # gate): the member-sized quality frame is then bounded by the
+        # same gate and safely broadcastable.  When the DISTRIBUTED
+        # closure ran, the member set is big by the very same gate, and
+        # an unconditional broadcast hint would force a multi-GB build
+        # the planner's threshold was protecting against (r14 review) —
+        # the shuffle join is the right shape there.
         qual_sel = F.broadcast(qual_sel)
     ranked = comp.join(qual_sel, "__cc_id", how)
     order = ([F.col("__q").desc()] if quality_col else []) + [F.col("__cc_id").asc()]

@@ -19,8 +19,13 @@ _PATH = os.environ.get("SPARK_GRAFT_STREAM_TRACE")
 def trace(tag: str) -> None:
     if not _PATH:
         return
-    with open(_PATH, "a") as fh:
-        fh.write(f"{time.time():.6f} {os.getpid()} {tag}\n")
+    try:
+        with open(_PATH, "a") as fh:
+            fh.write(f"{time.time():.6f} {os.getpid()} {tag}\n")
+    except OSError:
+        # diagnostics must never fail the traced streaming query (the
+        # path may not exist on every process that imports this)
+        pass
 
 
 def traced(fn):

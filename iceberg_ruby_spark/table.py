@@ -5712,8 +5712,10 @@ class Table:
         del_dir = os.path.join(self.ops.data_dir, f"deletes-{uuid_mod.uuid4().hex[:12]}")
         keys_df.sortWithinPartitions(*cols).write.parquet(del_dir)
         written = _read_back_parquet(self.spark, del_dir, keys_df.schema)
+        # size/cleanup through the table's FileIO (r14 review): the key
+        # files live under the TABLE location, which need not be local
         size_bytes = sum(
-            os.path.getsize(_local_path(p))
+            self.ops.io.size(p) or 0
             for p in self.ops.io.list(del_dir)
             if p.endswith(".parquet")
         )
@@ -5723,17 +5725,25 @@ class Table:
             if size_bytes <= _BROADCAST_KEYS_MAX_BYTES // 4
             else written
         )
-        hit_rows = (
-            live.join(keys_side, match_cond, "left_semi")
-            .groupBy("__f")
-            .agg(F.count(F.lit(1)).alias("n"))
-            .collect()
-        )
+        try:
+            hit_rows = (
+                live.join(keys_side, match_cond, "left_semi")
+                .groupBy("__f")
+                .agg(F.count(F.lit(1)).alias("n"))
+                .collect()
+            )
+        except Exception:
+            # the key files are written BEFORE verification (one keys
+            # evaluation instead of two); a failed hit-count must not
+            # leak the uncommitted delete dir
+            try:
+                self.ops.io.delete_prefix(del_dir)
+            except OSError:
+                pass
+            raise
         deleted = sum(r["n"] for r in hit_rows)
         if not deleted:
-            import shutil
-
-            shutil.rmtree(_local_path(del_dir), ignore_errors=True)
+            self.ops.io.delete_prefix(del_dir)
             return 0
         self._commit_snapshot(
             "delete",

@@ -20,7 +20,7 @@ def _one_part(corpus):
     return corpus.coalesce(1)
 
 
-def test_gate_fires_on_underspLit_input(spark, corpus):
+def test_gate_fires_on_undersplit_input(spark, corpus):
     target = int(spark.conf.get("spark.sql.shuffle.partitions"))
     if target < 4:
         pytest.skip("gate needs shuffle parallelism >= factor")
